@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: reads Verify.scala's
+outDir, runs each oracle_sql.json entry in DuckDB against the sf parquet
+tables, and compares (sorted columns, sorted rows, value-normalized)."""
+import glob, json, math, os, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_of(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
+    return [cols[i] for i in order], sorted(data)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        spark_dir = f"{out_dir}/{name}"
+        if not glob.glob(f"{spark_dir}/*.parquet"):
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        try:
+            scols, srows = rows_of(con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
+            ocols, orows = rows_of(con.sql(oracle[name]))
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+            print(f"FAIL {name}: columns {scols} vs {ocols}")
+            n_bad += 1
+        elif srows != orows:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b]
+            print(f"FAIL {name}: {len(srows)} vs {len(orows)} rows; "
+                  f"first diffs: {diff[:2]}"
+                  + (f" extra_spark={srows[len(orows):][:1]}" if len(srows) > len(orows) else "")
+                  + (f" extra_oracle={orows[len(srows):][:1]}" if len(orows) > len(srows) else ""))
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(srows)} rows)")
+            n_ok += 1
+    # queries without oracle: rows-only check
+    for d in sorted(glob.glob(f"{out_dir}/q*")):
+        name = os.path.basename(d)
+        if name not in oracle and os.path.isdir(d):
+            n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+            print(f"ROWS {name}: {n}")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    sys.exit(main(sf, out))

@@ -1,13 +1,316 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{JTable, Sel}
+import graft.operators.{Aggregations => A, Joins}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is implemented through the graft library API (JTable /
+  * operators / functions packages) so the correctness gate exercises the
+  * library, not ad-hoc SQL. Oracle notes:
+  *  - row-level double arithmetic is bit-identical between Spark and DuckDB
+  *    (same IEEE ops), so computed row columns are left as plain doubles;
+  *  - double AGGREGATES are order-dependent, so every sum/avg goes through
+  *    an exact DECIMAL cast before aggregation and back to DOUBLE after —
+  *    deterministic and identical in both engines;
+  *  - computed integers are cast to BIGINT on both sides (Spark int vs
+  *    DuckDB int64 would otherwise diverge in schema);
+  *  - every query has a total deterministic ORDER BY (unique tiebreak).
+  */
 object SparkEntry {
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       sql: Option[String])
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def ord(s: SparkSession, dir: String) = Tables.orders(s, dir)
+
+  /** sum of a double column with deterministic decimal accumulation. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  // ---------------------------------------------------------------------------
+  private val registry: Seq[Q] = Seq(
+
+    // §2.4 groupreduce — TPC-H Q1-style pricing summary (flagship).
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        val t = JTable(li(s, dir))
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        A.groupreduce(t, Seq("l_returnflag", "l_linestatus"),
+          "sum_qty" -> dsum(col("l_quantity")),
+          "sum_base_price" -> dsum(col("l_extendedprice")),
+          "sum_disc_price" -> dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4),
+          "avg_qty" -> (dsum(col("l_quantity")) / count(lit(1))),
+          "avg_price" -> (dsum(col("l_extendedprice")) / count(lit(1))),
+          "count_order" -> count(lit(1))
+        ).orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // §2.2 select — projection + computed column via the selector language.
+    Q("q02_select_revenue",
+      (s, dir) => {
+        JTable(li(s, dir))
+          .filter(col("l_discount") > 0.05)
+          .select(Sel("l_orderkey"), Sel("l_linenumber"),
+            Sel.Expr((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")))
+          .df.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1 - l_discount) AS revenue
+             |FROM lineitem WHERE l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // §2.2 filter — conjunction-of-predicates form.
+    Q("q03_filter_conjunction",
+      (s, dir) => {
+        JTable(li(s, dir))
+          .filterAll(
+            "l_quantity" -> (c => c >= 30 && c <= 40),
+            "l_returnflag" -> (c => c === "R"),
+            "l_shipdate" -> (c => c >= lit("1996-01-01").cast("timestamp")))
+          .select(Sel("l_orderkey"), Sel("l_linenumber"), Sel("l_quantity"))
+          .df.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity BETWEEN 30 AND 40 AND l_returnflag = 'R'
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // §2.2 transform — derived columns (year extraction + banding).
+    Q("q04_transform",
+      (s, dir) => {
+        JTable(ord(s, dir))
+          .transform(
+            "o_year" -> year(col("o_orderdate")).cast("long"),
+            "band" -> when(col("o_totalprice") < 100000, "low")
+              .when(col("o_totalprice") < 300000, "mid").otherwise("high"))
+          .select(Sel("o_orderkey"), Sel("o_year"), Sel("band"))
+          .df.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             |  CASE WHEN o_totalprice < 100000 THEN 'low'
+             |       WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS band
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // §2.3 inner join + group: shuffle join on the fact keys.
+    Q("q05_join_inner",
+      (s, dir) => {
+        val j = Joins.join(JTable(li(s, dir)), JTable(ord(s, dir)),
+          Seq("l_orderkey"), Seq("o_orderkey"))
+        A.groupreduce(JTable.assumeSorted(j, Nil), Seq("o_orderpriority"),
+          "n" -> count(lit(1)),
+          "revenue" -> dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        ).orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // §2.3 left join: count matches without losing left rows.
+    Q("q06_join_left",
+      (s, dir) => {
+        val j = Joins.join(JTable(Tables.customer(s, dir)), JTable(ord(s, dir)),
+          Seq("c_custkey"), Seq("o_custkey"), how = "left")
+        j.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // §2.3 anti join: customers with no high-value order, per nation.
+    Q("q07_join_anti",
+      (s, dir) => {
+        val big = JTable(ord(s, dir).filter(col("o_totalprice") > 300000))
+        val a = Joins.join(JTable(Tables.customer(s, dir)), big,
+          Seq("c_custkey"), Seq("o_custkey"), how = "anti")
+        a.groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+          .agg(count(lit(1)).as("n_no_big_orders"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n_no_big_orders
+             |FROM customer c WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // §2.3 broadcast join chain: fact × broadcast dims (out-of-core pattern).
+    Q("q08_broadcast_dims",
+      (s, dir) => {
+        val j = JTable(li(s, dir)).df
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        j.groupBy("r_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+               count(lit(1)).as("n"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // §2.3 groupjoin: nested per-key right groups → group-size distribution.
+    Q("q09_groupjoin",
+      (s, dir) => {
+        val liKeyed = li(s, dir).withColumnRenamed("l_orderkey", "o_orderkey")
+        val gj = Joins.groupjoin(JTable(ord(s, dir)), JTable(liKeyed),
+          Seq("o_orderkey"), Seq("l_linenumber", "l_quantity"), how = "left")
+        gj.select(col("o_orderkey"), size(col("groups")).cast("long").as("n_items"))
+          .groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+          .orderBy("n_items")
+      },
+      Some("""SELECT n_items, COUNT(*) AS n_orders FROM (
+             |  SELECT o_orderkey, CAST(COUNT(l_orderkey) AS BIGINT) AS n_items
+             |  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY o_orderkey)
+             |GROUP BY n_items ORDER BY n_items""".stripMargin)),
+
+    // §2.3 asofjoin: last click at-or-before each purchase, per user.
+    Q("q10_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val l = ev.filter(col("event_type") === "purchase")
+        val r = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        Joins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+            lCols = Seq("event_id", "value"),
+            rValueCols = Seq("click_id", "click_value"))
+          .select(col("event_id"), col("user_id"), col("click_id"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, r.event_id AS click_id, r.value AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // §2.5 window rank: top-3 orders by price per priority (grouped top-k).
+    Q("q11_window_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        ord(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // §2.5 window lag: inter-event gap per user (ShiftedArrays.lag idiom).
+    // `ts` is read as int64 nanos (nanosAsLong) — gap stays exact integer.
+    Q("q12_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          // DuckDB truncates ns→µs at parquet read; match it: gap in µs.
+          .withColumn("gap_us", expr("(ts div 1000) - (prev_ts div 1000)"))
+          .filter(col("prev_ts").isNotNull)
+          .select(col("event_id"), col("user_id"), col("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+             |FROM (
+             |  SELECT event_id, user_id, ts,
+             |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+             |  FROM events)
+             |WHERE prev_ts IS NOT NULL ORDER BY event_id""".stripMargin)),
+
+    // §2.6 global top-k: TakeOrdered plan, no full sort at scale.
+    Q("q13_sort_topk",
+      (s, dir) => {
+        JTable(li(s, dir)).topk(10,
+          col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+             |LIMIT 10""".stripMargin)),
+
+    // §2.4 reduce — whole-table fold to one row (multi-reducer form).
+    Q("q14_reduce_scalar",
+      (s, dir) => {
+        A.reduce(JTable(li(s, dir)),
+          "total_qty" -> dsum(col("l_quantity")),
+          "min_ship" -> min(col("l_shipdate")),
+          "max_ship" -> max(col("l_shipdate")),
+          "n" -> count(lit(1)))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+             |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+             |  COUNT(*) AS n FROM lineitem""".stripMargin)),
+
+    // §2.4 summarize — per-column min/max fan-out, grouped.
+    Q("q15_summarize",
+      (s, dir) => {
+        A.summarize(JTable(li(s, dir)), Seq("l_returnflag"),
+          Seq("l_quantity", "l_discount"),
+          "min" -> (c => min(c)), "max" -> (c => max(c)))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max,
+             |  MIN(l_discount) AS l_discount_min, MAX(l_discount) AS l_discount_max
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // §2.7 distinct (reference idiom: unique-per-chunk + tree union).
+    Q("q16_distinct",
+      (s, dir) => {
+        A.distinct(JTable(li(s, dir)), "l_returnflag", "l_linestatus")
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+  )
+
+  // ---------------------------------------------------------------------------
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    registry.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.sql.map(q.name -> _)).toMap
+
+  /** Headline queries for Bench (subset; keep bench wall-time sane). */
+  def benchQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q05_join_inner", "q08_broadcast_dims",
+    "q09_groupjoin", "q10_asof_join", "q11_window_topk")
 }

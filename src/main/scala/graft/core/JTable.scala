@@ -1,0 +1,127 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core table type: a thin wrapper over `DataFrame` carrying the primary-key
+  * (`pkey`) invariant of the reference's `DIndexedTable` (reference
+  * `src/table.jl:21-27`): when `pkey` is non-empty the underlying plan is
+  * range-partitioned and sorted-within-partitions by those columns.
+  *
+  * Scale rationale: the reference maintains sorted, range-chunked tables so
+  * that grouping/joining on the pkey needs no data movement (reference
+  * `src/reduce.jl:85-104`). In Spark the same invariant means the
+  * `Exchange(rangepartitioning)` + `Sort` already in the plan are reused by
+  * Catalyst for downstream sort-merge joins and sort-based aggregations on a
+  * pkey prefix — the shuffle is paid once, not per operator. On a real
+  * cluster the equivalent persisted form is a bucketed/sorted table write.
+  */
+final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
+  def spark: SparkSession = df.sparkSession
+  def columns: Seq[String] = df.columns.toSeq
+
+  private def keyed(newDf: DataFrame, newPkey: Seq[String]): JTable =
+    JTable(newDf, newPkey)
+  /** Wrap a derived plan that provably preserves the partition+sort order
+    * (narrow transformations only: projection keeping pkey cols, filter). */
+  private def orderPreserving(newDf: DataFrame): JTable = new JTable(newDf, pkey)
+
+  // ---- selection (§2.2) ----------------------------------------------------
+
+  /** `select(t, sel)` — project per the selector language. Keeps the pkey
+    * invariant when all pkey columns survive the projection. */
+  def select(sels: Sel*): JTable = {
+    val cols = sels.flatMap(s => Sel.compile(df, pkey, s))
+    val outNames = sels.flatMap(s => Sel.names(df, pkey, s))
+    val kept = pkey.filter(outNames.contains)
+    val out = df.select(cols: _*)
+    if (kept == pkey) new JTable(out, pkey) else new JTable(out, Nil)
+  }
+
+  /** `filter(f, t; select)` — predicate over rows or selected columns. */
+  def filter(pred: Column): JTable = orderPreserving(df.filter(pred))
+  /** Tuple-of-pairs conjunction form: `filter(t, (a = p1, b = p2))`. */
+  def filterAll(preds: (String, Column => Column)*): JTable =
+    orderPreserving(df.filter(preds.map { case (c, p) => p(col(c)) }.reduce(_ && _)))
+
+  /** `map(f, t; select)` with an expression-valued f: stays in codegen. */
+  def mapExpr(f: Seq[Column]): JTable = new JTable(df.select(f: _*), Nil)
+
+  /** `dropmissing(t, cols)` (reference `src/selection.jl:8-12`). */
+  def dropmissing(cols: String*): JTable =
+    orderPreserving(if (cols.isEmpty) df.na.drop() else df.na.drop(cols.toArray))
+
+  /** `transform(t, name => col)` — add/replace a column; re-sorts when a pkey
+    * column is replaced (reference `test/test_table.jl:83-85`). */
+  def transform(pairs: (String, Column)*): JTable = {
+    val out = pairs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    if (pairs.exists { case (n, _) => pkey.contains(n) }) keyed(out, pkey)
+    else orderPreserving(out)
+  }
+
+  /** `rename(t, old => new)`. */
+  def rename(pairs: (String, String)*): JTable = {
+    val out = pairs.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+    val newPkey = pkey.map(k => pairs.collectFirst { case (`k`, n) => n }.getOrElse(k))
+    new JTable(out, newPkey)
+  }
+
+  /** `insertcolsafter(t, pos, name => col)` — positional column insertion. */
+  def insertAfter(after: String, pairs: (String, Column)*): JTable = {
+    val idx = df.columns.indexOf(after)
+    require(idx >= 0, s"no column $after")
+    val (pre, post) = df.columns.splitAt(idx + 1)
+    val cols = pre.map(col) ++ pairs.map { case (n, c) => c.as(n) } ++ post.map(col)
+    orderPreserving(df.select(cols.toSeq: _*))
+  }
+
+  // ---- ordering (§2.6) -----------------------------------------------------
+
+  /** `reindex(t, by)` — establish a new pkey: one range shuffle + in-partition
+    * sort (the reference's sample-sort `rechunk`, `src/sort.jl:28-68`; Spark's
+    * `RangePartitioner` is also sample-based). */
+  def reindex(by: String*): JTable = keyed(df, by)
+
+  /** Full global sort by arbitrary columns (`sort(t, col)`). */
+  def sortBy(cols: Column*): JTable = new JTable(df.orderBy(cols: _*), Nil)
+
+  /** top-k: global `orderBy.limit(k)` — Spark plans this as a per-partition
+    * TakeOrdered + driver merge, no full shuffle. */
+  def topk(k: Int, cols: Column*): DataFrame = df.orderBy(cols: _*).limit(k)
+
+  /** `distribute(t, n)` — explicit re-chunking. */
+  def distribute(n: Int): JTable =
+    if (pkey.isEmpty) new JTable(df.repartition(n), Nil)
+    else new JTable(
+      df.repartitionByRange(n, pkey.map(col): _*).sortWithinPartitions(pkey.map(col): _*),
+      pkey)
+
+  // ---- materialization (§2.1) ---------------------------------------------
+
+  /** `compute(t)` — force + keep distributed (cache). */
+  def compute(): JTable = { df.cache(); df.count(); this }
+  /** `collect(t)` — ordered collect to the driver. */
+  def collectOrdered(): Array[Row] =
+    (if (pkey.isEmpty) df else df.orderBy(pkey.map(col): _*)).collect()
+
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+}
+
+object JTable {
+  /** Build with a pkey: pays one range shuffle + sort to establish the
+    * reference's sortedness invariant. */
+  def apply(df: DataFrame, pkey: Seq[String] = Nil, numPartitions: Int = 0): JTable =
+    if (pkey.isEmpty) new JTable(df, Nil)
+    else {
+      val cols = pkey.map(col)
+      val rp =
+        if (numPartitions > 0) df.repartitionByRange(numPartitions, cols: _*)
+        else df.repartitionByRange(cols: _*)
+      new JTable(rp.sortWithinPartitions(cols: _*), pkey)
+    }
+
+  /** Wrap without establishing the invariant — caller asserts the frame is
+    * already range-partitioned+sorted (e.g. read from a sorted/bucketed
+    * write, or derived order-preservingly). */
+  def assumeSorted(df: DataFrame, pkey: Seq[String]): JTable = new JTable(df, pkey)
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.core.{JTable, Sel}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (reference §2.4: `reduce`, `groupreduce`, `groupby`,
+  * `summarize`, `reducedim`).
+  *
+  * Execution model note: the reference runs per-chunk partial reduces then a
+  * tree merge (`src/reduce.jl:5-70`, `src/util.jl:2-8`). Spark's
+  * HashAggregate already plans exactly that — partial aggregate on the map
+  * side, exchange on the group keys, final aggregate — so every entry point
+  * here lowers to `df.groupBy(...).agg(...)` and stays inside whole-stage
+  * codegen. Custom vector-function grouping (`groupby` with an arbitrary
+  * Julia function in the reference) is exposed two ways: a fast path for
+  * expressible functions (Column aggregators), and `collect_list`/
+  * `flatMapGroups` for truly opaque ones.
+  */
+object Aggregations {
+
+  /** `reduce(f, t; select)` — whole-table fold to a single row.
+    * Pass named Column aggregators (the reference's named-tuple-of-reducers
+    * form, `test/test_table.jl:145-151`). */
+  def reduce(t: JTable, aggs: (String, Column)*): DataFrame =
+    t.df.agg(aggs.head._2.as(aggs.head._1),
+             aggs.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** `groupreduce(f, t, by; select)` — grouped fold with mergeable state. */
+  def groupreduce(t: JTable, by: Seq[String], aggs: (String, Column)*): DataFrame =
+    t.df.groupBy(by.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+           aggs.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** `groupby(f, t, by; select)` fast path: the grouped-vector function is
+    * expressible as Column aggregators (mean, quantile, count, …). */
+  def groupby(t: JTable, by: Seq[String], aggs: (String, Column)*): DataFrame =
+    groupreduce(t, by, aggs: _*)
+
+  /** `groupby` slow path: truly arbitrary vector function over each group's
+    * rows, via collect_list of a struct. Use only when no Column form exists
+    * — the grouped rows must fit in executor memory per key (same contract
+    * as the reference, which materializes each group's vector). */
+  def groupbyVector(t: JTable, by: Seq[String], valueCols: Seq[String],
+                    f: Column => Column, as: String): DataFrame = {
+    val grouped = t.df.groupBy(by.map(col): _*)
+      .agg(collect_list(struct(valueCols.map(col): _*)).as("__rows"))
+    grouped.select((by.map(col) :+ f(col("__rows")).as(as)): _*)
+  }
+
+  /** `summarize(f, t, by; select)` — apply each named function to each
+    * selected column; output names `col_fn` (reference `test/test_table.jl:237-243`). */
+  def summarize(t: JTable, by: Seq[String], cols: Seq[String],
+                fns: (String, Column => Column)*): DataFrame = {
+    val aggs = for { c <- cols; (fname, f) <- fns } yield f(col(c)).as(s"${c}_$fname")
+    t.df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Array-style `reduce(f, x; dims)` (reference `src/reduce.jl:107-115`):
+    * drop `dims` from the key set, aggregate over kept dims. */
+  def reducedim(t: JTable, keyCols: Seq[String], dropDims: Seq[String],
+                aggs: (String, Column)*): DataFrame = {
+    val kept = keyCols.filterNot(dropDims.contains)
+    groupreduce(t, kept, aggs: _*)
+  }
+
+  /** `stack`-free distinct (reference has no distinct op; idiom parity). */
+  def distinct(t: JTable, cols: String*): DataFrame =
+    if (cols.isEmpty) t.df.distinct() else t.df.select(cols.map(col): _*).distinct()
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.core.JTable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (reference §2.3: `join(how=…)`, broadcast variant,
+  * `groupjoin`, `naturaljoin`, `leftjoin`, `asofjoin`, `merge`).
+  *
+  * The reference's distributed join is: co-range-partition both sides on the
+  * key, then per-chunk sort-merge (`src/join.jl:3-113`). Spark's
+  * SortMergeJoin IS that algorithm (exchange + sort + merge), and
+  * BroadcastHashJoin covers the reference's `broadcast=:right` replication
+  * path (`src/join.jl:37-57`) — so plain `df.join` with an explicit
+  * `broadcast()` hint for small sides is the whole story for equi-joins.
+  * AQE upgrades SMJ→BHJ at runtime when a side turns out small, and handles
+  * skewed keys by splitting oversized partitions.
+  */
+object Joins {
+
+  /** `join(l, r; how, lkey, rkey)` — equi-join. `how` ∈ inner|left|outer|anti
+    * (reference `src/join.jl:26-134`). */
+  def join(l: JTable, r: JTable, lkey: Seq[String], rkey: Seq[String],
+           how: String = "inner"): DataFrame = {
+    val sparkHow = how match {
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case "outer" => "full_outer"
+      case "anti"  => "left_anti"
+      case "semi"  => "left_semi" // parity-plus: absent in reference (§2.3 notes)
+      case other   => other
+    }
+    if (lkey == rkey) l.df.join(r.df, lkey, sparkHow)
+    else {
+      val cond = lkey.zip(rkey).map { case (a, b) => l.df(a) === r.df(b) }.reduce(_ && _)
+      l.df.join(r.df, cond, sparkHow)
+    }
+  }
+
+  /** Broadcast variant — reference's out-of-core "join small to big"
+    * (`docs/src/out_of_core.md:64-72`): replicate the right side. */
+  def broadcastJoin(l: JTable, r: JTable, key: Seq[String],
+                    how: String = "inner"): DataFrame =
+    l.df.join(broadcast(r.df), key, if (how == "left") "left_outer" else how)
+
+  /** `groupjoin(l, r; how)` — matching right rows grouped into a nested
+    * `groups` column (reference `src/join.jl:120-126`, `test/test_table.jl:117-122`).
+    * Lowered as: pre-aggregate the right side per key (one shuffle of r,
+    * map-side combined), then join — cheaper at scale than join-then-regroup
+    * because the grouped right side is at most |distinct keys| rows. */
+  def groupjoin(l: JTable, r: JTable, key: Seq[String], rValueCols: Seq[String],
+                how: String = "inner"): DataFrame = {
+    val grouped = r.df
+      .groupBy(key.map(col): _*)
+      .agg(collect_list(struct(rValueCols.map(col): _*)).as("groups"))
+    val sparkHow = if (how == "left") "left_outer" else if (how == "outer") "full_outer" else how
+    val joined = l.df.join(grouped, key, sparkHow)
+    // outer/left: missing groups become empty lists, mirroring the reference
+    val emptyGroups = array().cast(grouped.schema("groups").dataType)
+    joined.withColumn("groups", coalesce(col("groups"), emptyGroups))
+  }
+
+  /** `asofjoin(l, r)` (reference `src/join.jl:232-243`, semantics
+    * `test/test_join.jl:32-43`): keys = (id…, time); each left row picks the
+    * right row with the same id-keys and the greatest rtime ≤ ltime.
+    *
+    * Implementation: union both sides tagged by origin, then one window
+    * `last(value, ignoreNulls)` ordered by (time, side) per id-key — a right
+    * row at the same timestamp is visible to the left row (≤ semantics).
+    * Cost at scale: ONE shuffle of l∪r on the id-keys + an in-partition
+    * sort — strictly cheaper than the range-join + dedup alternative (which
+    * shuffles twice and explodes matches before deduping). Skewed ids are
+    * handled by AQE skew-split since this is a plain window over a shuffle.
+    */
+  def asofJoin(l: DataFrame, r: DataFrame, ids: Seq[String], ltime: String,
+               rtime: String, lCols: Seq[String], rValueCols: Seq[String]): DataFrame = {
+    val lTagged = l.select(
+      (ids.map(col) :+ col(ltime).as("__t") :+ lit(1).as("__side")) ++
+        lCols.map(col) ++ rValueCols.map(c => lit(null).cast(r.schema(c).dataType).as(c)): _*)
+    val rTagged = r.select(
+      (ids.map(col) :+ col(rtime).as("__t") :+ lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(l.schema(c).dataType).as(c)) ++ rValueCols.map(col): _*)
+    val unioned = lTagged.unionByName(rTagged)
+    val w = Window.partitionBy(ids.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rValueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((ids.map(col) :+ col("__t").as(ltime)) ++ lCols.map(col) ++ rValueCols.map(col): _*)
+  }
+
+  /** `merge(l, r; agg)` — order-preserving union by pkey; duplicate keys
+    * combined by `agg` when given (reference `src/join.jl:245-267`). The
+    * range-partitioned pkey invariant restores global order without a full
+    * sort. */
+  def merge(l: JTable, r: JTable, aggs: Seq[(String, Column)] = Nil): JTable = {
+    val u = l.df.unionByName(r.df)
+    if (aggs.isEmpty) JTable(u, l.pkey)
+    else JTable(
+      u.groupBy(l.pkey.map(col): _*)
+        .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*),
+      l.pkey)
+  }
+}
