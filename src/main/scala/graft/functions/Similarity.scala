@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: broadcast the (small) query set against the
+  *    full corpus — one narrow pass over the corpus, no shuffle of the big
+  *    side; this is the exactness baseline and is how re-ranking works at
+  *    scale;
+  *  - LSH-bucketed ANN (random hyperplane signs): corpus is bucketed by a
+  *    b-bit signature (narrow compute + one small shuffle at query time);
+  *    only same-bucket (or near-bucket) vectors are scored. At 100 TB the
+  *    bucketed corpus is written partitioned by signature so a query touches
+  *    a handful of partitions (IVF-style partition pruning).
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double arrays (IEEE-deterministic:
+    * left-to-right fold, same result in any engine). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (small set, broadcast),
+    * score every corpus vector, keep k best. The per-query ranking is a
+    * window over the broadcast-join result — corpus is scanned once. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("id"))
+      .withColumn("cos", cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Random-hyperplane signature: b deterministic pseudo-random hyperplanes
+    * (hash-derived coefficients in [-1,1]), sign bits packed into a long.
+    * Pure expression — computed in the scan, no UDF. */
+  def rhpSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val planes = (0 until bits).map { b =>
+      // deterministic "random" coefficient for (plane b, coordinate i):
+      // splitmix-ish integer scramble scaled to [-1, 1]
+      val coeffs = (0 until dim).map { i =>
+        val h = {
+          var z = (b.toLong * 1610612741L + i.toLong * 805306457L + 2654435769L)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        (h % 1000003L).toDouble / 1000003.0
+      }
+      val proj = (0 until dim).map(i => element_at(vec, i + 1) * lit(coeffs(i))).reduce(_ + _)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: only score pairs whose signatures
+    * share a bucket. Returns the same schema as bruteForceTopK; recall is
+    * tested against the brute-force baseline. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, bits: Int, k: Int): DataFrame = {
+    val sig = (v: Column) => rhpSignature(v.cast("array<double>"), dim, bits)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sig(col(vecCol)).as("qsig"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
+      sig(col(vecCol)).as("csig"))
+    val scored = c.join(broadcast(q),
+        col("qsig") === col("csig") && col("query_id") =!= col("id"))
+      .withColumn("cos", cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs with DECIMAL-exact accumulation
+    * (portable across engines for the correctness oracle): explode to
+    * (id, pos, val), join on pos, sum decimal products. Relational form =
+    * also the shuffle-parallel form for fat vectors. */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    // decimal(12,9): products stay within both engines' 38-digit cap
+    // (12,9)×(12,9) → scale-18 products summed exactly.
+    val e = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .withColumn("vd", col("v").cast("decimal(12,9)"))
+    val norms = e.groupBy("id")
+      .agg(sum(col("vd") * col("vd")).as("nsq"))
+      .withColumn("nrm", sqrt(col("nsq").cast("double")))
+    val a = e.as("a"); val b = e.as("b")
+    val dots = a.join(b, col("a.pos") === col("b.pos") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(sum(col("a.vd") * col("b.vd")).as("dotd"))
+    dots
+      .join(norms.select(col("id").as("i"), col("nrm").as("norm_i")), "i")
+      .join(norms.select(col("id").as("j"), col("nrm").as("norm_j")), "j")
+      .withColumn("cos", col("dotd").cast("double") / (col("norm_i") * col("norm_j")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+  }
+}

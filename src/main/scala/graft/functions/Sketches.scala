@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** OnlineStats-style mergeable aggregators (reference §2.4: `Mean`,
+  * `Variance`, `Extrema`, `CountMap`, `Hist`, `KHist`; copy-per-chunk +
+  * merge semantics at `src/reduce.jl:19-29`).
+  *
+  * Each is a Spark `Aggregator[IN, BUF, OUT]`: the buffer is the mergeable
+  * state, `reduce` is the reference's `fit!`, `merge` is OnlineStats'
+  * `merge` — Spark runs them as partial aggregates (map-side combine) +
+  * merge after a shuffle of buffers only, exactly the reference's
+  * per-chunk-then-tree-merge execution. Buffers are tiny (O(bins)), so at
+  * 100 TB the shuffle carries `partitions × buffer` bytes, not data.
+  */
+object Sketches {
+
+  /** Mean/Variance/Extrema in one pass (Welford/Chan parallel merge). */
+  final case class Moments(n: Long, mean: Double, m2: Double, min: Double, max: Double)
+  final case class MomentsOut(n: Long, mean: Double, variance: Double, min: Double, max: Double)
+
+  object MomentsAgg extends Aggregator[Double, Moments, MomentsOut] {
+    def zero: Moments = Moments(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
+    def reduce(b: Moments, x: Double): Moments = {
+      val n1 = b.n + 1
+      val d = x - b.mean
+      val mean1 = b.mean + d / n1
+      Moments(n1, mean1, b.m2 + d * (x - mean1), math.min(b.min, x), math.max(b.max, x))
+    }
+    def merge(a: Moments, b: Moments): Moments =
+      if (a.n == 0) b else if (b.n == 0) a
+      else {
+        val n = a.n + b.n
+        val d = b.mean - a.mean
+        Moments(n, a.mean + d * b.n / n,
+          a.m2 + b.m2 + d * d * a.n * b.n / n,
+          math.min(a.min, b.min), math.max(a.max, b.max))
+      }
+    def finish(b: Moments): MomentsOut =
+      MomentsOut(b.n, b.mean, if (b.n > 1) b.m2 / (b.n - 1) else Double.NaN, b.min, b.max)
+    def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
+    def outputEncoder: Encoder[MomentsOut] = Encoders.product[MomentsOut]
+  }
+
+  /** Fixed-range histogram (OnlineStats `Hist`): `nbins` equal bins over
+    * [lo, hi); out-of-range clamps to edge bins. */
+  final case class HistAgg(lo: Double, hi: Double, nbins: Int)
+      extends Aggregator[Double, Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.fill(nbins)(0L)
+    def reduce(b: Array[Long], x: Double): Array[Long] = {
+      val raw = ((x - lo) / (hi - lo) * nbins).toInt
+      val i = math.min(math.max(raw, 0), nbins - 1)
+      b(i) += 1; b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < nbins) { a(i) += b(i); i += 1 }; a
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExprEncoders.longArray
+    def outputEncoder: Encoder[Seq[Long]] = ExprEncoders.longSeq
+  }
+
+  /** Adaptive histogram (OnlineStats `KHist`): keep ≤ k (value, weight)
+    * centroids; on overflow merge the closest pair — a t-digest-like
+    * mergeable sketch. Deterministic given input order within partitions
+    * is fixed; used for approximate quantiles/plots, not exact oracles. */
+  final case class KHistBuf(centers: Seq[(Double, Long)])
+  final case class KHistAgg(k: Int) extends Aggregator[Double, KHistBuf, Seq[(Double, Long)]] {
+    def zero: KHistBuf = KHistBuf(Vector.empty)
+    private def insert(cs: Seq[(Double, Long)], x: Double, w: Long): Seq[(Double, Long)] = {
+      val idx = cs.indexWhere(_._1 >= x)
+      val withNew =
+        if (idx >= 0 && cs(idx)._1 == x) cs.updated(idx, (x, cs(idx)._2 + w))
+        else if (idx >= 0) (cs.take(idx) :+ ((x, w))) ++ cs.drop(idx)
+        else cs :+ ((x, w))
+      compress(withNew)
+    }
+    private def compress(cs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      if (cs.size <= k) cs
+      else {
+        // merge the adjacent pair with the smallest gap (weighted mean)
+        var bi = 0; var bg = Double.MaxValue
+        var i = 0
+        while (i < cs.size - 1) {
+          val g = cs(i + 1)._1 - cs(i)._1
+          if (g < bg) { bg = g; bi = i }
+          i += 1
+        }
+        val (x1, w1) = cs(bi); val (x2, w2) = cs(bi + 1)
+        val merged = ((x1 * w1 + x2 * w2) / (w1 + w2), w1 + w2)
+        compress((cs.take(bi) :+ merged) ++ cs.drop(bi + 2))
+      }
+    def reduce(b: KHistBuf, x: Double): KHistBuf = KHistBuf(insert(b.centers, x, 1L))
+    def merge(a: KHistBuf, b: KHistBuf): KHistBuf =
+      KHistBuf(b.centers.foldLeft(a.centers) { case (cs, (x, w)) => insert(cs, x, w) })
+    def finish(b: KHistBuf): Seq[(Double, Long)] = b.centers
+    def bufferEncoder: Encoder[KHistBuf] = Encoders.product[KHistBuf]
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = ExprEncoders.pairSeq
+  }
+
+  /** CountMap (OnlineStats `CountMap`): value→count map with an optional
+    * capacity cap keeping the heaviest keys (space-saving-style). */
+  final case class CountMapAgg(maxKeys: Int = 10000)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    private def cap(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= maxKeys) m
+      else m.toSeq.sortBy { case (k, v) => (-v, k) }.take(maxKeys).toMap
+    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      cap(b.updated(x, b.getOrElse(x, 0L) + 1L))
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      cap(b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] = ExprEncoders.strLongMap
+    def outputEncoder: Encoder[Map[String, Long]] = ExprEncoders.strLongMap
+  }
+
+  private object ExprEncoders {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import scala.reflect.runtime.universe.TypeTag
+    private def of[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
+    val longArray: Encoder[Array[Long]] = of[Array[Long]]
+    val longSeq: Encoder[Seq[Long]] = of[Seq[Long]]
+    val pairSeq: Encoder[Seq[(Double, Long)]] = of[Seq[(Double, Long)]]
+    val strLongMap: Encoder[Map[String, Long]] = of[Map[String, Long]]
+  }
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization/counting, quality scoring, n-gram language ID, and document
+  * fingerprinting. Everything here is a pure Column expression — codegen'd,
+  * no UDFs — so it runs inside WholeStageCodegen and scales linearly with
+  * the scan (the only cost at 100 TB is the read itself).
+  *
+  * Determinism: all outputs are integers or single-rounding doubles so they
+  * hash-match an independent DuckDB implementation of the same formulas.
+  */
+object Text {
+
+  /** Normalize: lowercase, collapse whitespace, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space chars — a cheap stand-in for a real tokenizer's
+    * piece count. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  /** Mean token length (chars per token), as an exact ratio of longs. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  /** Punctuation ratio: punct chars / total chars of the normalized text. */
+  def punctRatio(text: Column): Column = {
+    val n = normalize(text)
+    size(regexp_extract_all(n, lit("[.,;:!?'\"()-]"), lit(0))).cast("double") /
+      length(n).cast("double")
+  }
+
+  /** Stopword ratio against a tiny English stopword list. */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it")
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("double") /
+      size(t).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: penalizes very short docs, extreme
+    * punctuation, and stopword-free (unnatural) text. Single formula, two
+    * divisions + one rounding — deterministic across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(normalize(text)).cast("double") / 200.0, lit(1.0))
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text)
+    lenScore * (lit(1.0) - punct) * least(stop * 5.0, lit(1.0))
+  }
+
+  /** N-gram/stopword language ID over {en, de, fr, es, zh}.
+    * CJK characters dominate (zh); otherwise argmax of per-language marker
+    * token hits with a fixed preference order on ties. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+  def markerWords: Seq[(String, Seq[String])] = markers
+
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    def hits(ws: Seq[String]): Column =
+      size(filter(t, x => x.isin(ws.map(_.asInstanceOf[Any]): _*)))
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val scored = markers.map { case (lang, ws) => lang -> hits(ws) }
+    // fixed-order argmax: strictly-greater beats earlier languages
+    val best = scored.tail.foldLeft((lit(markers.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(cjk > 0, lit("zh")).otherwise(best._1)
+  }
+
+  /** Positional fingerprint: sum_i i * codepoint(char_i) mod 1e9+7 over the
+    * normalized text — order-sensitive, pure integer math, identical in any
+    * engine with 64-bit arithmetic. */
+  val FpMod = 1000000007L
+  def fingerprint(text: Column): Column = {
+    val n = normalize(text)
+    val codes = transform(sequence(lit(1), length(n)),
+      i => i.cast("long") * ascii(n.substr(i, lit(1))).cast("long"))
+    pmod(aggregate(codes, lit(0L), (acc, x) => acc + x), lit(FpMod))
+  }
+}
