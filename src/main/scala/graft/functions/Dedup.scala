@@ -20,14 +20,14 @@ object Dedup {
       .groupBy(sha2(col("__norm"), 256).as("text_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of the normalized text (distinct set). */
+  /** Word n-gram shingles of the normalized text (distinct set). Docs with
+    * fewer than n tokens yield no shingles (guarded: Spark's `sequence(1,0)`
+    * is the DESCENDING [1,0], which would index past the array end). */
   def shingles(text: Column, n: Int): Column = {
     val t = Text.tokens(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
-          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)),
-        s => length(s) > 0))
+    val grams = transform(sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+    array_distinct(when(size(t) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
   /** Pairwise n-gram Jaccard via an inverted index: explode doc→shingle,

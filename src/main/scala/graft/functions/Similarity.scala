@@ -46,13 +46,14 @@ object Similarity {
   /** Random-hyperplane signature: b deterministic pseudo-random hyperplanes
     * (hash-derived coefficients in [-1,1]), sign bits packed into a long.
     * Pure expression — computed in the scan, no UDF. */
-  def rhpSignature(vec: Column, dim: Int, bits: Int): Column = {
+  def rhpSignature(vec: Column, dim: Int, bits: Int, seed: Int = 0): Column = {
     val planes = (0 until bits).map { b =>
       // deterministic "random" coefficient for (plane b, coordinate i):
       // splitmix-ish integer scramble scaled to [-1, 1]
       val coeffs = (0 until dim).map { i =>
         val h = {
-          var z = (b.toLong * 1610612741L + i.toLong * 805306457L + 2654435769L)
+          var z = ((b.toLong + seed.toLong * 31) * 1610612741L +
+            i.toLong * 805306457L + 2654435769L)
           z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
           z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
           z ^ (z >>> 31)
@@ -66,17 +67,23 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: only score pairs whose signatures
-    * share a bucket. Returns the same schema as bruteForceTopK; recall is
-    * tested against the brute-force baseline. */
+    * share a bucket in at least one of `tables` independent hash tables
+    * (standard OR-amplification — recall rises with tables, candidate
+    * volume stays ~corpus/2^bits per table). Recall is tested against the
+    * brute-force baseline. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, dim: Int, bits: Int, k: Int): DataFrame = {
-    val sig = (v: Column) => rhpSignature(v.cast("array<double>"), dim, bits)
+              vecCol: String, dim: Int, bits: Int, k: Int,
+              tables: Int = 4): DataFrame = {
+    def sigs(v: Column) = array((0 until tables).map(t =>
+      rhpSignature(v.cast("array<double>"), dim, bits, seed = t * 7919)): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sig(col(vecCol)).as("qsig"))
+        posexplode(sigs(col(vecCol))).as(Seq("qtbl", "qsig")))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
-      sig(col(vecCol)).as("csig"))
+        posexplode(sigs(col(vecCol))).as(Seq("ctbl", "csig")))
     val scored = c.join(broadcast(q),
-        col("qsig") === col("csig") && col("query_id") =!= col("id"))
+        col("qtbl") === col("ctbl") && col("qsig") === col("csig") &&
+          col("query_id") =!= col("id"))
+      .dropDuplicates("query_id", "id")
       .withColumn("cos", cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)

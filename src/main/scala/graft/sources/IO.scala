@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.core.JTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources & sinks (reference §2.1: `loadtable`, `loadndsparse`, `save`,
+  * `load`, `distribute`).
+  *
+  * The reference's CSV loader options (`src/io.jl:33-64`) map onto Spark's
+  * CSV reader; the extras it has beyond Spark's options are implemented
+  * here: `filenamecol` (provenance column from the input path),
+  * per-file schema unification with missing-column fill
+  * (`src/util.jl:169-176`), and column-name canonicalization
+  * (`src/util.jl:203-205`). `save`/`load` are a sorted parquet write that
+  * preserves the pkey invariant on re-read.
+  */
+object IO {
+
+  final case class CsvOptions(
+      delim: String = ",",
+      quotechar: String = "\"",
+      escapechar: String = "\\",
+      headerExists: Boolean = true,
+      colnames: Seq[String] = Nil,
+      nastrings: Seq[String] = Seq(""),
+      skiplinesBegin: Int = 0,
+      typeDetectRows: Int = 20,
+      colparsers: Option[StructType] = None,
+      filenamecol: Option[String] = None,
+      filenameFn: String => String = identity)
+
+  /** Canonicalize column names (whitespace → underscore, reference
+    * `src/util.jl:203-205`). */
+  def canonicalize(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c.trim.replaceAll("\\s+", "_")))
+
+  /** `loadtable(files; opts)` → DataFrame. One Spark CSV scan over all
+    * paths: file listing, splitting, and parallel parse are the built-in
+    * reader's job (the reference hand-rolls chunked parallel parsing;
+    * Spark's FileScan already partitions by file splits). */
+  def loadtable(spark: SparkSession, paths: Seq[String], opts: CsvOptions = CsvOptions(),
+                indexcols: Seq[String] = Nil): JTable = {
+    var reader = spark.read
+      .option("sep", opts.delim)
+      .option("quote", opts.quotechar)
+      .option("escape", opts.escapechar)
+      .option("header", opts.headerExists.toString)
+      .option("nullValue", opts.nastrings.head)
+      .option("skipRows", opts.skiplinesBegin)
+    reader = opts.colparsers match {
+      case Some(schema) => reader.schema(schema)
+      case None => reader.option("inferSchema", "true")
+        .option("samplingRatio", "1.0")
+    }
+    var df = reader.csv(paths: _*)
+    if (opts.colnames.nonEmpty)
+      df = df.toDF(opts.colnames: _*)
+    df = canonicalize(df)
+    df = opts.filenamecol match {
+      case Some(name) =>
+        val fn = udf(opts.filenameFn)
+        df.withColumn(name, fn(input_file_name()))
+      case None => df
+    }
+    JTable(df, indexcols)
+  }
+
+  /** Multi-file load with differing schemas: per-file frames unified by
+    * name, missing columns null-filled (reference `samecols` +
+    * missing-column fill, `test/test_readwrite.jl:62-88`). Use only for
+    * genuinely heterogeneous file sets — the single-scan path above is the
+    * fast path. */
+  def loadtableUnify(spark: SparkSession, paths: Seq[String],
+                     opts: CsvOptions = CsvOptions()): DataFrame =
+    paths.map(p => loadtable(spark, Seq(p), opts).df)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `save(t, dir)` — columnar persist. The pkey sort order is preserved
+    * within files; at cluster scale add `.bucketBy` on the pkey to make
+    * re-reads shuffle-free for pkey joins/groupBys. */
+  def save(t: JTable, dir: String): Unit =
+    t.df.write.mode("overwrite").parquet(dir)
+
+  /** `load(dir)` — re-attach saved chunks; re-establishes the pkey
+    * invariant lazily (parquet min/max row-group stats give back the
+    * reference's per-chunk IndexSpace pruning for free). */
+  def load(spark: SparkSession, dir: String, pkey: Seq[String] = Nil): JTable =
+    JTable(spark.read.parquet(dir), pkey)
+
+  /** `Iterators.partition(t, n)` — driver-side batched iteration without
+    * materializing the whole table (reference `src/iteration.jl:3-60`). */
+  def partitionIterator(df: DataFrame, batch: Int): Iterator[Seq[org.apache.spark.sql.Row]] =
+    df.toLocalIterator().asScala.grouped(batch)
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}

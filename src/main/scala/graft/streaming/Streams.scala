@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (reference §2.9): the reference's only
+  * "streaming" capabilities are out-of-core chunked reduce/groupreduce,
+  * incremental `append=true` ingest, and OnlineStats mergeable accumulators
+  * (`docs/src/onlinestats.md:9-22`). Structured Streaming subsumes all
+  * three: stateful aggregation IS the mergeable-accumulator pattern run
+  * forever, file-source streams ARE incremental ingest, and watermarked
+  * windows are the parity-plus on top.
+  *
+  * Scale notes: state lives in the state store keyed by group — partitioned
+  * by the shuffle, checkpointed incrementally; watermark bounds state size
+  * (late data beyond it is dropped), which is what makes event-time aggs
+  * run indefinitely on an unbounded stream.
+  */
+object Streams {
+
+  /** Incremental ingest (reference `loadndsparse(append=true)`): a file
+    * stream over a directory — new parquet files are picked up per batch. */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregation of the events shape:
+    * (ts_us long, event_type string, value double) → per-(window, type)
+    * counts and sums — the streaming twin of SparkEntry q39. */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+                  window_ : String = "1 hour"): DataFrame =
+    events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming running aggregate per key — the OnlineStats `reduce`
+    * pattern as an always-on query (complete/update mode). */
+  def runningStats(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
+  /** Stateful streaming dedup: emit each key's row only the first time it
+    * is seen (training-data pipelines run exactly this to dedup an
+    * unbounded crawl). State = one boolean per key. In production, bound
+    * state with EventTimeTimeout + a watermark (a ProcessingTimeTimeout
+    * forces the micro-batch loop to keep running empty batches to fire
+    * timers, which also breaks synchronous `processAllAvailable` drives). */
+  final case class Keyed(key: String, payload: Long)
+  def streamingDedup(ds: Dataset[Keyed]): Dataset[Keyed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Keyed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+
+  /** Drive a streaming query synchronously over whatever is currently in
+    * the source (for tests and batch-parity checks). */
+  def runOnce(df: DataFrame, queryName: String, mode: String = "append"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.core.{JTable, Sel}
+import graft.operators.{Aggregations => A, Joins, NDSparse, Reshape, TypedOps}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Core operator semantics on tiny inline tables with partition sweeps —
+  * the reference's `test/test_table.jl` pattern (golden values, chunks=1..5). */
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tinyTable = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0),
+    (4L, "b", 40.0), (5L, "a", 50.0)).toDF("k", "g", "v")
+
+  test("pkey invariant: rows sorted within range partitions") {
+    val t = JTable(tinyTable.repartition(3), Seq("k"), numPartitions = 2)
+    val perPart = t.df.rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.foreach(p => assert(p == p.sorted, s"partition not sorted: $p"))
+    val ranges = perPart.filter(_.nonEmpty).map(p => (p.head, p.last)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "range partitions overlap")
+      case _ =>
+    }
+  }
+
+  test("selector language: name/pos/regex/type/not/between/fn/as") {
+    val li = Tables.lineitem(spark, sf)
+    val t = JTable(li)
+    assert(t.select(Sel("l_orderkey")).columns == Seq("l_orderkey"))
+    assert(t.select(Sel(1)).columns == Seq("l_orderkey")) // 1-based like reference
+    assert(t.select(Sel.Re("price$".r)).columns == Seq("l_extendedprice"))
+    assert(t.select(Sel.OfType(StringType)).columns == Seq("l_returnflag", "l_linestatus"))
+    assert(t.select(Sel.Between("l_quantity", "l_discount")).columns ==
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+    assert(t.select(Sel.Not(Sel.OfType(StringType))).columns.size == li.columns.length - 2)
+    val computed = t.select(Sel("l_quantity").andThen(c => c * 2).as("qty2"))
+    assert(computed.columns == Seq("qty2"))
+    val keyed = JTable(li, Seq("l_orderkey"))
+    assert(keyed.select(Sel.Keys, Sel("l_quantity")).columns ==
+      Seq("l_orderkey", "l_quantity"))
+  }
+
+  test("select keeps pkey when pkey columns survive projection") {
+    val t = JTable(tinyTable, Seq("k"))
+    assert(t.select(Sel("k"), Sel("v")).pkey == Seq("k"))
+    assert(t.select(Sel("v")).pkey.isEmpty)
+  }
+
+  test("transform replacing a pkey column re-sorts (reference test_table.jl:83-85)") {
+    val t = JTable(tinyTable, Seq("k"))
+    val t2 = t.transform("k" -> (lit(6L) - col("k"))) // reverses key order
+    assert(t2.pkey == Seq("k"))
+    val perPart = t2.df.rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.foreach(p => assert(p == p.sorted))
+  }
+
+  test("groupreduce/reduce across partition sweep") {
+    partitionSweep { n =>
+      val t = JTable(tinyTable.repartition(n))
+      A.groupreduce(t, Seq("g"), "s" -> sum(col("v")), "n" -> count(lit(1)))
+        .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    }
+    val r = A.reduce(JTable(tinyTable), "s" -> sum(col("v")), "mx" -> max(col("v"))).head()
+    assert(r.getDouble(0) == 150.0 && r.getDouble(1) == 50.0)
+  }
+
+  test("asofJoin golden semantics (reference test_join.jl:32-43)") {
+    // left: (id, time); right: (id, time, value); match greatest rt <= lt
+    val l = Seq(("x", 3L), ("x", 5L), ("x", 1L), ("y", 4L), ("z", 2L))
+      .toDF("id", "t")
+    val r = Seq(("x", 2L, 100.0), ("x", 3L, 200.0), ("x", 6L, 300.0),
+      ("y", 5L, 400.0)).toDF("id", "t", "rv")
+    val out = Joins.asofJoin(l, r, Seq("id"), "t", "t", Seq.empty, Seq("rv"))
+      .orderBy("id", "t").collect()
+      .map(x => (x.getString(0), x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("x", 1L, None),          // no right row <= 1
+      ("x", 3L, Some(200.0)),   // equal time matches (<= semantics)
+      ("x", 5L, Some(200.0)),   // greatest <= 5 is t=3
+      ("y", 4L, None),          // y's only right row is later
+      ("z", 2L, None)))         // no right rows for z
+  }
+
+  test("asofJoin partition sweep") {
+    val ev = Tables.events(spark, sf)
+    partitionSweep { n =>
+      val l = ev.filter(col("event_type") === "purchase").repartition(n)
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("cv")).repartition(n)
+      Joins.asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("event_id"), Seq("cv"))
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("merge with agg combines duplicate keys (reference join.jl:245-262)") {
+    val l = JTable(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), Seq("k"))
+    val r = JTable(Seq((2L, 5.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))
+    val m = Joins.merge(l, r, Seq("v" -> sum(col("v"))))
+    assert(m.collectOrdered().map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+  }
+
+  test("groupjoin nests right rows; empty groups for unmatched left") {
+    val l = JTable(Seq((1L, "a"), (2L, "b")).toDF("k", "lv"))
+    val r = JTable(Seq((1L, 1.0), (1L, 2.0)).toDF("k", "rv"))
+    val out = Joins.groupjoin(l, r, Seq("k"), Seq("rv"), how = "left")
+      .orderBy("k").collect()
+    assert(out(0).getSeq[Row](2).size == 2)
+    assert(out(1).getSeq[Row](2).isEmpty)
+  }
+
+  test("NDSparse construction dedups keys via agg (reference ndsparse.jl:19-23)") {
+    val df = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)).toDF("k", "v")
+    val nd = NDSparse(df, Seq("k"), Seq("v"), agg = Some(c => sum(c)))
+    assert(nd.table.collectOrdered().map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      Seq((1L, 15.0), (2L, 1.0)))
+  }
+
+  test("NDSparse lookup / slice / permutedims") {
+    val nd = NDSparse(tinyTable, Seq("g", "k"), Seq("v"))
+    assert(nd.lookup("a", 3L).collect().map(_.getDouble(0)).toSeq == Seq(30.0))
+    assert(nd.slice("g" -> "b").table.df.count() == 2)
+    val p = nd.permutedims(Seq(1, 0))
+    assert(p.dims == Seq("k", "g"))
+  }
+
+  test("reshape: stack/unstack roundtrip, flatten") {
+    val t = JTable(Seq((1L, 1.0, 2.0), (2L, 3.0, 4.0)).toDF("k", "x", "y"))
+    val long = Reshape.stack(t, Seq("k"), Seq("x", "y"))
+    assert(long.count() == 4)
+    val wide = Reshape.unstack(JTable(long), Seq("k"), "variable", "value",
+      pivotValues = Seq("x", "y"))
+    assert(wide.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq == Seq((1L, 1.0, 2.0), (2L, 3.0, 4.0)))
+    val arr = Seq((1L, Seq(1.0, 2.0))).toDF("k", "a")
+    assert(Reshape.flatten(JTable(arr), "a", Seq("k")).count() == 2)
+  }
+
+  test("groupbyFlatten = the reference's flatten=true window idiom") {
+    // per-group ordinal rank by v desc, as a table-returning group function
+    val ds = tinyTable.as[(Long, String, Double)]
+    val ranked = TypedOps.groupbyFlatten(ds, (t: (Long, String, Double)) => t._2) { (g, rows) =>
+      rows.sortBy(-_._3).zipWithIndex.map { case ((k, _, v), i) => (g, k, v, i + 1) }
+    }.toDF("g", "k", "v", "rank")
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val expected = tinyTable.withColumn("rank", row_number().over(w))
+      .select("g", "k", "v", "rank")
+    assert(ranked.orderBy("g", "rank").collect().toSeq ==
+      expected.orderBy("g", "rank").collect().toSeq)
+  }
+
+  test("dropmissing narrows rows; subtable row-range") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("k", "v")
+    assert(JTable(df).dropmissing("v").df.count() == 2)
+  }
+}

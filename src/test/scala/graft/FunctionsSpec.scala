@@ -1,0 +1,164 @@
+package graft
+
+import graft.functions.{Dedup, ML, Multimodal, Similarity, Sketches, Text}
+import org.apache.spark.sql.functions._
+
+/** Sketch-merge correctness (the reference's test_onlinestats.jl pattern:
+  * distributed merge == single-node), dedup recall, similarity recall,
+  * ML featurization shapes. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MomentsAgg merge == exact formula, any partitioning") {
+    val li = Tables.lineitem(spark, sf).select(col("l_quantity")).as[Double]
+    val exact = Tables.lineitem(spark, sf)
+      .agg(count(lit(1)), avg("l_quantity"), var_samp("l_quantity"),
+        min("l_quantity"), max("l_quantity")).head()
+    partitionSweep { n =>
+      val m = li.repartition(n).select(Sketches.MomentsAgg.toColumn).head()
+      assert(m.n == exact.getLong(0))
+      assert(math.abs(m.mean - exact.getDouble(1)) < 1e-9)
+      assert(math.abs(m.variance - exact.getDouble(2)) < 1e-6)
+      assert(m.min == exact.getDouble(3) && m.max == exact.getDouble(4))
+      Seq(m.n)
+    }
+  }
+
+  test("HistAgg == floor-binned groupBy, any partitioning") {
+    val o = Tables.orders(spark, sf)
+    val expected = o.groupBy(floor(col("o_totalprice") / 100000.0).cast("int").as("bin"))
+      .agg(count(lit(1))).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val agg = Sketches.HistAgg(0.0, 600000.0, 6)
+    partitionSweep { n =>
+      val hist = o.select(col("o_totalprice")).as[Double].repartition(n)
+        .select(agg.toColumn).head()
+      hist.zipWithIndex.foreach { case (cnt, bin) =>
+        assert(cnt == expected.getOrElse(bin, 0L), s"bin $bin")
+      }
+      hist
+    }
+  }
+
+  test("CountMapAgg == groupBy count") {
+    val ev = Tables.events(spark, sf).select(col("event_type")).as[String]
+    val expected = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = ev.select(Sketches.CountMapAgg(100).toColumn).head()
+    assert(m == expected)
+  }
+
+  test("KHistAgg preserves total weight and value bounds") {
+    val v = Tables.orders(spark, sf).select(col("o_totalprice")).as[Double]
+    val centers = v.select(Sketches.KHistAgg(16).toColumn).head()
+    assert(centers.map(_._2).sum == v.count())
+    assert(centers.size <= 16)
+    assert(centers.map(_._1) == centers.map(_._1).sorted)
+  }
+
+  test("Text functions: tokens/quality/langid on inline docs") {
+    val docs = Seq(
+      (1L, "The cat and the dog sat on the mat together today."),
+      (2L, "der hund und die katze das ist gut und der tag"),
+      (3L, "le chat et la maison les arbres et le jardin est"),
+      (4L, "el perro y los gatos las casas y el sol es"),
+      (5L, "这是 中文 文本 测试")).toDF("id", "text")
+    val out = docs.select(col("id"), Text.langId(col("text")).as("lang"),
+      Text.tokenCount(col("text")).as("n")).orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("en", "de", "fr", "es", "zh"))
+    assert(out(0).getLong(2) == 11L)
+    val q = docs.select(Text.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    q.foreach(x => assert(x >= 0.0 && x <= 1.0))
+  }
+
+  test("shingles: golden 3-grams, short docs empty") {
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val sh = d.select(col("id"), Dedup.shingles(col("text"), 3).as("s"))
+      .orderBy("id").collect()
+    assert(sh(0).getSeq[String](1).toSet == Set("a b c", "b c d"))
+    assert(sh(1).getSeq[String](1).isEmpty)
+  }
+
+  test("jaccardPairs: golden values on near-dup docs") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")).toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(d, "id", "text", n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.length == 1)
+    val (i, j, jac) = pairs.head
+    assert(i == 1L && j == 2L)
+    // doc1/doc2: 7 shingles each, 6 shared -> jaccard 6/8
+    assert(math.abs(jac - 0.75) < 1e-12)
+  }
+
+  test("minhashLSH finds the high-jaccard pairs (recall vs exact)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLSH(docs, "doc_id", "text", n = 3,
+      bands = 8, rowsPerBand = 2, minEstSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(lsh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("simhash: identical docs distance 0, near docs small distance") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat")).toDF("id", "text")
+    val sigs = d.select(col("id"), Dedup.simhash(col("text")).as("s"))
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) <= 10)
+  }
+
+  test("cosine: golden values; lshTopK recall vs brute force") {
+    val v = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cos = v.select(Similarity.cosine(
+      col("embedding").cast("array<double>"),
+      array(lit(1.0), lit(0.0)))).collect().map(_.getDouble(0))
+    assert(math.abs(cos(0) - 1.0) < 1e-12)
+    assert(math.abs(cos(1)) < 1e-12)
+    assert(math.abs(cos(2) - math.sqrt(0.5)) < 1e-12)
+
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 4, 5,
+      tables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 6 OR-amplified 4-bit tables: high-cosine neighbors land in a shared
+    // bucket in at least one table with high probability
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.4, s"LSH recall $recall")
+  }
+
+  test("multimodal: stub features match byte-level recompute") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.documents(spark, sf).limit(20))
+    val feats = Multimodal.extractFeatures(media).collect()
+    val raw = media.collect().map(m => m.media_id -> m.payload).toMap
+    feats.foreach { f =>
+      val bytes = raw(f.media_id)
+      assert(f.n_bytes == bytes.length)
+      assert(f.first_byte == (bytes(0) & 0xff).toLong)
+    }
+  }
+
+  test("ML featuremat: vector width = n_continuous + sum(card-1 per cat)") {
+    val df = Tables.customer(spark, sf)
+      .select(col("c_acctbal"), col("c_mktsegment"))
+    val out = ML.featuremat(df)
+    val width = out.select(col("features")).head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    val card = df.select(countDistinct(col("c_mktsegment"))).head().getLong(0)
+    // OneHotEncoder drops the last category by default
+    assert(width == 1 + (card - 1))
+  }
+}
