@@ -73,15 +73,12 @@ object Dedup {
 
   /** MinHash signatures: k universal-hash permutations h_i(x)=(a_i·x+b_i)
     * mod p over the shingle-hash set; signature element i = min over
-    * shingles. Deterministic seeds. One narrow pass — no shuffle. */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val hashes = transform(shingles(text, n), s => shingleHash(s))
-    val perms = (0 until k).map { i =>
-      val a = 2L * i + 1; val b = 104729L * (i + 1)
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
-    }
-    array(perms: _*)
-  }
+    * shingles. Deterministic seeds. One narrow pass — no shuffle.
+    * Implemented as a native Catalyst expression (plans.MinHashSig): the
+    * pure-HOF formulation costs ~shingles×k interpreted lambda evals per
+    * row; the expression does one tight JVM pass. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    graft.plans.HashExpressions.minhashSig(text, n, k)
 
   /** MinHash+LSH near-dup candidate pairs: band the k-element signature
     * into `bands` rows of `rowsPerBand`, bucket-join on (band, band-slice).
@@ -98,32 +95,27 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)).as(Seq("band", "slice")))
     val a = bandRows.as("a"); val b = bandRows.as("b")
+    // verify BEFORE dedup: est_sim is a cheap narrow compute, and filtering
+    // first means the dropDuplicates shuffle carries only surviving pairs
+    // (candidate volume can be orders of magnitude larger).
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
-      .dropDuplicates("i", "j")
-    cand.withColumn("est_sim",
-        size(filter(zip_with(col("sig_i"), col("sig_j"), (x, y) => x === y),
-          b => b)).cast("double") / k)
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          bb => bb)).cast("double") / k).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
+    cand.dropDuplicates("i", "j")
       .select(col("i"), col("j"), col("est_sim"))
   }
 
-  /** SimHash (64-bit): per-token hash bit votes weighted ±1, sign → bit.
-    * Near-dups = signatures within `maxHamming`. Narrow per-doc compute;
-    * pairing via exact-bucket join on rotated bit-blocks (each block
-    * identical for pairs within Hamming distance ≤ blocks−1). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(Text.tokens(text), t => shingleHash(t))
-    val bits = (0 until 62).map { bit =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(pmod(shiftright(h * 2654435761L, bit), lit(2L)) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << bit)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  /** SimHash (62-bit): per-token hash bit votes weighted ±1, sign → bit.
+    * Near-dups = signatures within `maxHamming`. Narrow per-doc compute
+    * (native expression, plans.SimHash64); pairing via exact-bucket join
+    * on bit-blocks (each block identical for pairs within Hamming
+    * distance ≤ blocks−1). */
+  def simhash(text: Column): Column =
+    graft.plans.HashExpressions.simhash64(text)
 
   /** SimHash near-dup pairs: bucket on b-bit blocks of the signature; pairs
     * agreeing on ≥1 block are candidates (guaranteed complete for hamming ≤
@@ -137,14 +129,15 @@ object Dedup {
         pmod(shiftright(col("sig"), blk * blockBits), lit(1L << blockBits))): _*))
         .as(Seq("blk", "blkval")))
     val a = blocks.as("a"); val b = blocks.as("b")
+    // verify BEFORE dedup (popcount is cheap; the dedup shuffle then only
+    // carries true near-dup pairs, not the full candidate blowup)
     val cand = a.join(b,
         col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
-      .dropDuplicates("i", "j")
-    cand.withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast("long"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    cand.dropDuplicates("i", "j")
       .select(col("i"), col("j"), col("hamming"))
   }
 }

@@ -45,26 +45,10 @@ object Similarity {
 
   /** Random-hyperplane signature: b deterministic pseudo-random hyperplanes
     * (hash-derived coefficients in [-1,1]), sign bits packed into a long.
-    * Pure expression — computed in the scan, no UDF. */
-  def rhpSignature(vec: Column, dim: Int, bits: Int, seed: Int = 0): Column = {
-    val planes = (0 until bits).map { b =>
-      // deterministic "random" coefficient for (plane b, coordinate i):
-      // splitmix-ish integer scramble scaled to [-1, 1]
-      val coeffs = (0 until dim).map { i =>
-        val h = {
-          var z = ((b.toLong + seed.toLong * 31) * 1610612741L +
-            i.toLong * 805306457L + 2654435769L)
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
-        (h % 1000003L).toDouble / 1000003.0
-      }
-      val proj = (0 until dim).map(i => element_at(vec, i + 1) * lit(coeffs(i))).reduce(_ + _)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
-  }
+    * Native Catalyst expression (plans.RhpSignature) — one pass over the
+    * vector per row, computed in the scan, no shuffle. */
+  def rhpSignature(vec: Column, dim: Int, bits: Int, seed: Int = 0): Column =
+    graft.plans.HashExpressions.rhpSignature(vec, dim, bits, seed)
 
   /** LSH-bucketed approximate top-k: only score pairs whose signatures
     * share a bucket in at least one of `tables` independent hash tables

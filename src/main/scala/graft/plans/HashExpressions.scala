@@ -1,0 +1,214 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native Catalyst expressions for the hashing hot paths of the dedup
+  * operators (§ SURVEY 2.8/parity-plus).
+  *
+  * Rationale: the pure-`functions._` formulations of MinHash/SimHash nest
+  * higher-order lambdas (transform ∘ aggregate ∘ transform) k× per row —
+  * HOFs are interpreted per element, so a 400-shingle doc × 16 permutations
+  * costs ~10⁵ interpreted expression evals per row. These expressions do
+  * the same math in one tight JVM pass per row (single tokenizer, one
+  * HashSet, k running minima). They are deterministic, partition-local
+  * (no shuffle), and safe inside any plan; `CodegenFallback` only splits
+  * the enclosing codegen stage at this operator, which is irrelevant
+  * against the 100-1000× per-row win.
+  */
+object HashOps {
+  val P: Long = 1000000007L
+
+  /** Positional polynomial hash of a string slice: sum_i (i+1)*code_i mod P
+    * (same scheme as functions.Text.fingerprint — engine-portable). */
+  def sliceHash(s: String, from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) {
+      h += (i - from + 1).toLong * s.charAt(i).toInt
+      i += 1
+    }
+    h % P
+  }
+
+  /** Whitespace tokenization of lowercased text → (string, token spans). */
+  def tokenSpans(raw: String): (String, Array[Int], Array[Int]) = {
+    val s = raw.toLowerCase
+    val starts = Array.newBuilder[Int]
+    val ends = Array.newBuilder[Int]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        ends += i
+      }
+    }
+    (s, starts.result(), ends.result())
+  }
+
+  /** Distinct hashes of word n-gram shingles (shingle string = tokens
+    * joined by single spaces, hashed positionally — consistent with the
+    * Column-based Dedup.shingleHash ∘ shingles semantics). */
+  def shingleHashes(raw: String, n: Int): Array[Long] = {
+    val (s, starts, ends) = tokenSpans(raw)
+    val m = starts.length - n + 1
+    if (m <= 0) return Array.empty
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      // positional hash of "tok_i tok_i+1 … tok_i+n-1"
+      var h = 0L
+      var pos = 1L
+      var k = 0
+      while (k < n) {
+        var j = starts(i + k)
+        val e = ends(i + k)
+        while (j < e) { h += pos * s.charAt(j).toInt; pos += 1; j += 1 }
+        if (k < n - 1) { h += pos * ' '.toInt; pos += 1 }
+        k += 1
+      }
+      set.add(h % P)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    out
+  }
+}
+
+/** minhash_sig(text): k-permutation MinHash signature over word n-gram
+  * shingles, one pass per row. h_i(x) = (a_i·x + b_i) mod P with the same
+  * deterministic (a_i, b_i) as functions.Dedup.minhashSignature. */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = HashOps.shingleHashes(input.asInstanceOf[UTF8String].toString, n)
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = 2L * i + 1
+      val b = 104729L * (i + 1)
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < hashes.length) {
+        val v = (hashes(j) * a + b) % HashOps.P
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(i) = if (hashes.isEmpty) Long.MaxValue else mn
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** simhash64(text): 62-bit SimHash over whitespace tokens — per-token
+  * positional hash scrambled per bit (same vote rule as the Column
+  * formulation in functions.Dedup.simhash). */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val (s, starts, ends) = HashOps.tokenSpans(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](62)
+    var t = 0
+    while (t < starts.length) {
+      val h = HashOps.sliceHash(s, starts(t), ends(t))
+      val scrambled = h * 2654435761L
+      var bit = 0
+      while (bit < 62) {
+        // pmod semantics of the Column version: ((x >> bit) mod 2 + 2) mod 2
+        val b = (((scrambled >> bit) % 2L) + 2L) % 2L
+        if (b == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 62) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** shingle_hashes(text): the distinct shingle-hash set itself (for Jaccard
+  * estimation / inverted indexes over hashed shingles at scale — shuffling
+  * 8-byte hashes instead of shingle strings). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** rhp_signature(vec): b sign-bits of deterministic pseudo-random
+  * hyperplane projections, packed into a long — the ANN bucketing hash.
+  * One pass over the vector per row (the Column formulation builds a
+  * bits×dim element_at tree whose codegen compile time dominates). */
+case class RhpSignature(child: Expression, dim: Int, bits: Int, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  private lazy val coeffs: Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (b, i) =>
+      var z = ((b.toLong + seed.toLong * 31) * 1610612741L +
+        i.toLong * 805306457L + 2654435769L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z % 1000003L).toDouble / 1000003.0
+    }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val c = coeffs(b)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += v * c(i)
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): RhpSignature = copy(child = c)
+  override def prettyName: String = "rhp_signature"
+}
+
+object HashExpressions {
+  import ColumnBridge.{column, expression}
+  def minhashSig(c: Column, n: Int, k: Int): Column = column(MinHashSig(expression(c), n, k))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
+  def rhpSignature(c: Column, dim: Int, bits: Int, seed: Int): Column =
+    column(RhpSignature(expression(c), dim, bits, seed))
+}
