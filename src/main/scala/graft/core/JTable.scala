@@ -105,6 +105,12 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
     (if (pkey.isEmpty) df else df.orderBy(pkey.map(col): _*)).collect()
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** Multiset equality across distributed tables (reference `==` at
+    * `src/JuliaDB.jl:46-64`): symmetric exceptAll emptiness — two shuffles,
+    * no driver materialization. */
+  def equalsTable(other: JTable): Boolean =
+    df.exceptAll(other.df).isEmpty && other.df.exceptAll(df).isEmpty
 }
 
 object JTable {

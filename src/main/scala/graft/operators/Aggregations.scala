@@ -67,4 +67,22 @@ object Aggregations {
   /** `stack`-free distinct (reference has no distinct op; idiom parity). */
   def distinct(t: JTable, cols: String*): DataFrame =
     if (cols.isEmpty) t.df.distinct() else t.df.select(cols.map(col): _*).distinct()
+
+  /** Two-phase salted groupBy for skewed keys: phase 1 aggregates on
+    * (keys, salt) — spreading a hot key over `saltBuckets` reducers —
+    * phase 2 merges the partials. Correct for any mergeable aggregate;
+    * each entry is (name, partialAgg, mergeOfPartials). AQE's skew
+    * handling covers sort/join skew, but a single hot GROUP BY key still
+    * lands on one reducer without salting — this is the standard fix.
+    */
+  def groupreduceSalted(t: JTable, by: Seq[String], saltBuckets: Int,
+                        aggs: (String, Column, Column => Column)*): DataFrame = {
+    val salted = t.df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted.groupBy((by :+ "__salt").map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c, _) => c.as(n) }: _*)
+    phase1.groupBy(by.map(col): _*)
+      .agg(aggs.head._3(col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (n, _, m) => m(col(n)).as(n) }: _*)
+  }
 }

@@ -153,6 +153,26 @@ class CoreSpec extends SparkSpec {
       expected.orderBy("g", "rank").collect().toSeq)
   }
 
+  test("salted groupreduce == plain groupreduce (skew path)") {
+    val li = Tables.lineitem(spark, sf)
+    val plain = A.groupreduce(JTable(li), Seq("l_returnflag"),
+      "n" -> count(lit(1)), "s" -> sum(col("l_quantity")), "mx" -> max(col("l_quantity")))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    val salted = A.groupreduceSalted(JTable(li), Seq("l_returnflag"), 8,
+      ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+      ("s", sum(col("l_quantity")), (c: org.apache.spark.sql.Column) => sum(c)),
+      ("mx", max(col("l_quantity")), (c: org.apache.spark.sql.Column) => max(c)))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("equalsTable: multiset equality across partitionings") {
+    val a = JTable(Tables.nation(spark, sf).repartition(5))
+    val b = JTable(Tables.nation(spark, sf).repartition(2))
+    assert(a.equalsTable(b))
+    assert(!a.equalsTable(JTable(Tables.nation(spark, sf).limit(20))))
+  }
+
   test("dropmissing narrows rows; subtable row-range") {
     val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
       .toDF("k", "v")

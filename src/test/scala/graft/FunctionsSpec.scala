@@ -151,6 +151,20 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: graft expressions callable from spark.sql") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(text) AS s, minhash_sig(text, 3, 4) AS m FROM docs_sql ORDER BY doc_id")
+      .collect()
+    val viaCol = Tables.documents(spark, sf).limit(5)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("s"),
+        Dedup.minhashSignature(col("text"), 3, 4).as("m"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.getLong(1)).toSeq == viaCol.map(_.getLong(1)).toSeq)
+    assert(viaSql.map(_.getSeq[Long](2)).toSeq == viaCol.map(_.getSeq[Long](2)).toSeq)
+  }
+
   test("ML featuremat: vector width = n_continuous + sum(card-1 per cat)") {
     val df = Tables.customer(spark, sf)
       .select(col("c_acctbal"), col("c_mktsegment"))
