@@ -54,6 +54,11 @@ object Joins {
     val grouped = r.df
       .groupBy(key.map(col): _*)
       .agg(collect_list(struct(rValueCols.map(col): _*)).as("groups"))
+      // merge-join hint: the grouped side is already hash-partitioned on the
+      // key by its aggregation exchange (reused by SMJ), while broadcasting
+      // it would ship the full nested payload through the driver — size
+      // estimates on array columns routinely fool the broadcast chooser.
+      .hint("merge")
     val sparkHow = if (how == "left") "left_outer" else if (how == "outer") "full_outer" else how
     val joined = l.df.join(grouped, key, sparkHow)
     // outer/left: missing groups become empty lists, mirroring the reference
