@@ -2,7 +2,7 @@ package graft
 
 import graft.SparkEntry.Q
 import graft.core.{JTable, Sel}
-import graft.operators.{Aggregations => A, NDSparse, Reshape}
+import graft.operators.{Aggregations => A, Joins, NDSparse, Reshape}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -161,6 +161,42 @@ private[graft] object Batch3 {
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
              |WHERE l_returnflag IN ('A', 'R')
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // §2.4 salted two-phase aggregation — same answer as a plain GROUP BY
+    // (the skew path is a pure execution-strategy change).
+    Q("q58_salted_agg",
+      (s, dir) => {
+        A.groupreduceSalted(JTable(li(s, dir)), Seq("l_returnflag"), 16,
+          ("n", count(lit(1)), (c: Column) => sum(c)),
+          ("sum_qty", sum(col("l_quantity").cast("decimal(18,2)")), (c: Column) => sum(c)),
+          ("max_price", max(col("l_extendedprice")), (c: Column) => max(c)))
+          .withColumn("sum_qty", col("sum_qty").cast("double"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  MAX(l_extendedprice) AS max_price
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // §2.3 leftjoin with combine op (reference join.jl:192-230).
+    Q("q59_leftjoin_combine",
+      (s, dir) => {
+        val cust = JTable(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_acctbal")))
+        val ords = JTable(Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(max(col("o_totalprice")).as("max_order")))
+        Joins.leftjoinWith(cust, ords, Seq("c_custkey"),
+          "c_acctbal", "max_order", (l, r) => greatest(l, r), as = "bal_or_best")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN m.max_order IS NOT NULL THEN GREATEST(c_acctbal, m.max_order)
+             |       ELSE c_acctbal END AS bal_or_best
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, MAX(o_totalprice) AS max_order FROM orders GROUP BY 1) m
+             |  ON c_custkey = m.o_custkey
+             |ORDER BY c_custkey""".stripMargin)),
 
     // §2.2 NDSparse scalar getindex — exact point lookup on the pkey.
     Q("q57_nd_point_lookup",

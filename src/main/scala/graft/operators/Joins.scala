@@ -97,6 +97,18 @@ object Joins {
       .select((ids.map(col) :+ col("__t").as(ltime)) ++ lCols.map(col) ++ rValueCols.map(col): _*)
   }
 
+  /** `leftjoin(op, l, r)` (reference `src/join.jl:192-230`): keep the left
+    * index set; where a right value exists, combine with `op`, else keep
+    * the left value. */
+  def leftjoinWith(l: JTable, r: JTable, key: Seq[String],
+                   lVal: String, rVal: String, op: (Column, Column) => Column,
+                   as: String = "value"): DataFrame = {
+    val joined = l.df.join(r.df, key, "left_outer")
+    joined.select(key.map(col) :+
+      when(col(rVal).isNotNull, op(col(lVal), col(rVal)))
+        .otherwise(col(lVal)).as(as): _*)
+  }
+
   /** `merge(l, r; agg)` — order-preserving union by pkey; duplicate keys
     * combined by `agg` when given (reference `src/join.jl:245-267`). The
     * range-partitioned pkey invariant restores global order without a full

@@ -70,8 +70,11 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
     * Catalyst (broadcast if `other` is small, else sort-merge on shared
     * dims). */
   def broadcastOp(other: NDSparse, f: (Column, Column) => Column,
-                  as: String = "value"): NDSparse = {
-    val shared = dims.filter(other.dims.contains)
+                  as: String = "value",
+                  dimmap: Option[Seq[String]] = None): NDSparse = {
+    // dimmap (reference `src/join.jl:286-322`): explicit join-dim subset;
+    // dims mapped to 0 in the reference = excluded here by omission.
+    val shared = dimmap.getOrElse(dims.filter(other.dims.contains))
     require(shared.nonEmpty, "broadcast requires at least one shared dim")
     val l = df
     val r = other.df.select((shared ++ other.valueCols).map(col): _*)

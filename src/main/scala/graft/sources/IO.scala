@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.StructType
   */
 object IO {
 
+  /** Reference `loadtable` options (`src/io.jl:33-64`). Divergence:
+    * `skiplines_begin` is not supported — Spark's CSV reader has no
+    * skip-N-lines option (use `comment` prefixes or pre-strip); passing a
+    * nonzero value throws rather than silently ignoring it. */
   final case class CsvOptions(
       delim: String = ",",
       quotechar: String = "\"",
@@ -42,13 +46,14 @@ object IO {
     * Spark's FileScan already partitions by file splits). */
   def loadtable(spark: SparkSession, paths: Seq[String], opts: CsvOptions = CsvOptions(),
                 indexcols: Seq[String] = Nil): JTable = {
+    require(opts.skiplinesBegin == 0,
+      "skiplinesBegin is unsupported on the Spark CSV reader (see CsvOptions doc)")
     var reader = spark.read
       .option("sep", opts.delim)
       .option("quote", opts.quotechar)
       .option("escape", opts.escapechar)
       .option("header", opts.headerExists.toString)
       .option("nullValue", opts.nastrings.head)
-      .option("skipRows", opts.skiplinesBegin)
     reader = opts.colparsers match {
       case Some(schema) => reader.schema(schema)
       case None => reader.option("inferSchema", "true")

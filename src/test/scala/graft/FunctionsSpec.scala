@@ -151,6 +151,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("dedup pipeline is partition-invariant (reference sweep pattern)") {
+    val docs = Tables.documents(spark, sf)
+    partitionSweep { n =>
+      Dedup.jaccardPairs(docs.repartition(n), "doc_id", "text", 3, 0.3)
+        .orderBy("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    partitionSweep { n =>
+      Dedup.minhashLSH(docs.repartition(n), "doc_id", "text", 3, 8, 2, 0.3)
+        .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+  }
+
   test("SQL registration: graft expressions callable from spark.sql") {
     graft.plans.GraftExtensions.registerAll(spark)
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_sql")
