@@ -1,0 +1,90 @@
+package graft
+
+import graft.SparkEntry.Q
+import graft.core.JTable
+import graft.operators.{Aggregations => A, Joins}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 4: deeper multi-join analytical shapes (TPC-H-like
+  * Q3/Q7/Q18 analogs over the synthetic star schema) — the workload class
+  * the engine must sustain at 100 TB: selective dim filters pushed to
+  * scans, fact-fact joins, aggregation-then-join-back (HAVING).
+  */
+private[graft] object Batch4 {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def ord(s: SparkSession, dir: String) = Tables.orders(s, dir)
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val queries: Seq[Q] = Seq(
+
+    // Q3 analog: shipping-priority revenue — selective filters on both
+    // sides of a 3-way join, top-10 by revenue.
+    Q("q60_shipping_priority",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = ord(s, dir).filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = li(s, dir).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        j.groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |  AND l_shipdate > TIMESTAMP '1997-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // Q7 analog: volume by (supplier nation, ship year) across the full
+    // dim chain — broadcast dims, fact shuffled once for the group.
+    Q("q61_nation_volume",
+      (s, dir) => {
+        val j = li(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        j.groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("ship_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("volume"),
+            count(lit(1)).as("n"))
+          .orderBy("n_name", "ship_year")
+      },
+      Some("""SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY n_name, ship_year""".stripMargin)),
+
+    // Q18 analog: large-volume orders — aggregate, HAVING, join back to
+    // the dimension rows (semi-join shape on an aggregated key set).
+    Q("q62_large_orders",
+      (s, dir) => {
+        val big = li(s, dir).groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        val j = Joins.join(JTable(big), JTable(ord(s, dir)),
+          Seq("l_orderkey"), Seq("o_orderkey"))
+        j.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+             |FROM orders JOIN (
+             |  SELECT l_orderkey,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             |  FROM lineitem GROUP BY 1
+             |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) t
+             |  ON o_orderkey = t.l_orderkey
+             |ORDER BY o_orderkey""".stripMargin))
+  )
+}

@@ -116,6 +116,45 @@ object Sketches {
     def outputEncoder: Encoder[Map[String, Long]] = ExprEncoders.strLongMap
   }
 
+  /** 2-D count map (OnlineStats `Mosaic`, reference `docs/src/plotting.md`):
+    * (x, y) category-pair → count, capped by heaviest pairs. */
+  final case class MosaicAgg(maxKeys: Int = 10000)
+      extends Aggregator[(String, String), Map[String, Long], Map[String, Long]] {
+    private def key(x: String, y: String) = x + " " + y
+    def zero: Map[String, Long] = Map.empty
+    private def cap(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= maxKeys) m
+      else m.toSeq.sortBy { case (k, v) => (-v, k) }.take(maxKeys).toMap
+    def reduce(b: Map[String, Long], x: (String, String)): Map[String, Long] = {
+      val k = key(x._1, x._2)
+      cap(b.updated(k, b.getOrElse(k, 0L) + 1L))
+    }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      cap(b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] = ExprEncoders.strLongMap
+    def outputEncoder: Encoder[Map[String, Long]] = ExprEncoders.strLongMap
+  }
+
+  /** x-binned y-summary (OnlineStats `IndexedPartition`): fixed x bins over
+    * [lo, hi), each holding mergeable y-Moments — the 2-D profile sketch
+    * behind partitionplot. */
+  final case class IndexedPartitionAgg(lo: Double, hi: Double, nbins: Int)
+      extends Aggregator[(Double, Double), Array[Moments], Seq[MomentsOut]] {
+    def zero: Array[Moments] = Array.fill(nbins)(MomentsAgg.zero)
+    def reduce(b: Array[Moments], xy: (Double, Double)): Array[Moments] = {
+      val raw = ((xy._1 - lo) / (hi - lo) * nbins).toInt
+      val i = math.min(math.max(raw, 0), nbins - 1)
+      b(i) = MomentsAgg.reduce(b(i), xy._2); b
+    }
+    def merge(a: Array[Moments], b: Array[Moments]): Array[Moments] = {
+      var i = 0; while (i < nbins) { a(i) = MomentsAgg.merge(a(i), b(i)); i += 1 }; a
+    }
+    def finish(b: Array[Moments]): Seq[MomentsOut] = b.toSeq.map(MomentsAgg.finish)
+    def bufferEncoder: Encoder[Array[Moments]] = ExprEncoders.momentsArray
+    def outputEncoder: Encoder[Seq[MomentsOut]] = ExprEncoders.momentsOutSeq
+  }
+
   private object ExprEncoders {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import scala.reflect.runtime.universe.TypeTag
@@ -124,5 +163,7 @@ object Sketches {
     val longSeq: Encoder[Seq[Long]] = of[Seq[Long]]
     val pairSeq: Encoder[Seq[(Double, Long)]] = of[Seq[(Double, Long)]]
     val strLongMap: Encoder[Map[String, Long]] = of[Map[String, Long]]
+    val momentsArray: Encoder[Array[Moments]] = of[Array[Moments]]
+    val momentsOutSeq: Encoder[Seq[MomentsOut]] = of[Seq[MomentsOut]]
   }
 }

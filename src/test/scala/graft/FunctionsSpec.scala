@@ -55,6 +55,25 @@ class FunctionsSpec extends SparkSpec {
     assert(centers.map(_._1) == centers.map(_._1).sorted)
   }
 
+  test("MosaicAgg and IndexedPartitionAgg merge correctly across partitionings") {
+    val ev2 = Tables.events(spark, sf)
+      .select(col("event_type"), concat(lit("u"), pmod(col("user_id"), lit(3))).as("ub"))
+      .as[(String, String)]
+    val expected = ev2.toDF("x", "y")
+      .groupBy(concat(col("x"), lit(" "), col("y")).as("k"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    partitionSweep { n =>
+      val m = ev2.repartition(n).select(Sketches.MosaicAgg(1000).toColumn).head()
+      assert(m == expected)
+      Seq(m.size)
+    }
+    val xy = Tables.orders(spark, sf)
+      .select(col("o_totalprice"), col("o_totalprice") * 2).as[(Double, Double)]
+    val ip = xy.select(Sketches.IndexedPartitionAgg(0, 600000, 4).toColumn).head()
+    assert(ip.map(_.n).sum == Tables.orders(spark, sf).count())
+    ip.filter(_.n > 0).foreach(mo => assert(mo.min <= mo.mean && mo.mean <= mo.max))
+  }
+
   test("Text functions: tokens/quality/langid on inline docs") {
     val docs = Seq(
       (1L, "The cat and the dog sat on the mat together today."),
