@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,9 +18,9 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * costs ~10⁵ interpreted expression evals per row. These expressions do
   * the same math in one tight JVM pass per row (single tokenizer, one
   * HashSet, k running minima). They are deterministic, partition-local
-  * (no shuffle), and safe inside any plan; `CodegenFallback` only splits
-  * the enclosing codegen stage at this operator, which is irrelevant
-  * against the 100-1000× per-row win.
+  * (no shuffle), and safe inside any plan. Each implements `doGenCode`
+  * (a static-helper call), so the enclosing WholeStageCodegen span stays
+  * intact — no interpreter fallback row boundary at this operator.
   */
 object HashOps {
   val P: Long = 1000000007L
@@ -85,16 +85,11 @@ object HashOps {
     while (it.hasNext) { out(x) = it.next(); x += 1 }
     out
   }
-}
 
-/** minhash_sig(text): k-permutation MinHash signature over word n-gram
-  * shingles, one pass per row. h_i(x) = (a_i·x + b_i) mod P with the same
-  * deterministic (a_i, b_i) as functions.Dedup.minhashSignature. */
-case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val hashes = HashOps.shingleHashes(input.asInstanceOf[UTF8String].toString, n)
+  // --- codegen-callable entry points (static forwarders on this object) ---
+
+  def minhashSigJava(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val hashes = shingleHashes(s.toString, n)
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -103,7 +98,7 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
       var mn = Long.MaxValue
       var j = 0
       while (j < hashes.length) {
-        val v = (hashes(j) * a + b) % HashOps.P
+        val v = (hashes(j) * a + b) % P
         if (v < mn) mn = v
         j += 1
       }
@@ -112,25 +107,16 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
-  override def prettyName: String = "minhash_sig"
-}
 
-/** simhash64(text): 62-bit SimHash over whitespace tokens — per-token
-  * positional hash scrambled per bit (same vote rule as the Column
-  * formulation in functions.Dedup.simhash). */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val (s, starts, ends) = HashOps.tokenSpans(input.asInstanceOf[UTF8String].toString)
+  def simhash64Java(s0: UTF8String): Long = {
+    val (s, starts, ends) = tokenSpans(s0.toString)
     val votes = new Array[Int](62)
     var t = 0
     while (t < starts.length) {
-      val h = HashOps.sliceHash(s, starts(t), ends(t))
+      val h = sliceHash(s, starts(t), ends(t))
       val scrambled = h * 2654435761L
       var bit = 0
       while (bit < 62) {
-        // pmod semantics of the Column version: ((x >> bit) mod 2 + 2) mod 2
         val b = (((scrambled >> bit) % 2L) + 2L) % 2L
         if (b == 1L) votes(bit) += 1 else votes(bit) -= 1
         bit += 1
@@ -143,47 +129,16 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       if (votes(bit) > 0) sig |= (1L << bit)
       bit += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
-  override def prettyName: String = "simhash64"
-}
 
-/** shingle_hashes(text): the distinct shingle-hash set itself (for Jaccard
-  * estimation / inverted indexes over hashed shingles at scale — shuffling
-  * 8-byte hashes instead of shingle strings). */
-case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(HashOps.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
-  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
-  override def prettyName: String = "shingle_hashes"
-}
+  def shingleHashesJava(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingleHashes(s.toString, n))
 
-/** rhp_signature(vec): b sign-bits of deterministic pseudo-random
-  * hyperplane projections, packed into a long — the ANN bucketing hash.
-  * One pass over the vector per row (the Column formulation builds a
-  * bits×dim element_at tree whose codegen compile time dominates). */
-case class RhpSignature(child: Expression, dim: Int, bits: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  private lazy val coeffs: Array[Array[Double]] =
-    Array.tabulate(bits, dim) { (b, i) =>
-      var z = ((b.toLong + seed.toLong * 31) * 1610612741L +
-        i.toLong * 805306457L + 2654435769L)
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z % 1000003L).toDouble / 1000003.0
-    }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def rhpSigJava(arr: ArrayData, coeffs: Array[Array[Double]], isFloat: Boolean): Long = {
+    val bits = coeffs.length
+    val dim = if (bits > 0) coeffs(0).length else 0
     val n = math.min(arr.numElements(), dim)
-    val isFloat = child.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
     var sig = 0L
     var b = 0
     while (b < bits) {
@@ -198,7 +153,81 @@ case class RhpSignature(child: Expression, dim: Int, bits: Int, seed: Int)
       if (proj > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+}
+
+/** minhash_sig(text): k-permutation MinHash signature over word n-gram
+  * shingles, one pass per row. h_i(x) = (a_i·x + b_i) mod P with the same
+  * deterministic (a_i, b_i) as functions.Dedup.minhashSignature. */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.minhashSigJava(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.minhashSigJava($c, $n, $k);")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** simhash64(text): 62-bit SimHash over whitespace tokens — per-token
+  * positional hash scrambled per bit (same vote rule as the Column
+  * formulation in functions.Dedup.simhash). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashOps.simhash64Java(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.simhash64Java($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** shingle_hashes(text): the distinct shingle-hash set itself (for Jaccard
+  * estimation / inverted indexes over hashed shingles at scale — shuffling
+  * 8-byte hashes instead of shingle strings). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.shingleHashesJava(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.shingleHashesJava($c, $n);")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** rhp_signature(vec): b sign-bits of deterministic pseudo-random
+  * hyperplane projections, packed into a long — the ANN bucketing hash.
+  * One pass over the vector per row (the Column formulation builds a
+  * bits×dim element_at tree whose codegen compile time dominates). */
+case class RhpSignature(child: Expression, dim: Int, bits: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private lazy val coeffs: Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (b, i) =>
+      var z = ((b.toLong + seed.toLong * 31) * 1610612741L +
+        i.toLong * 805306457L + 2654435769L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z % 1000003L).toDouble / 1000003.0
+    }
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashOps.rhpSigJava(input.asInstanceOf[ArrayData], coeffs, isFloat))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coeffsRef = ctx.addReferenceObj("rhpCoeffs", coeffs, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.rhpSigJava($c, $coeffsRef, $isFloat);")
   }
   override protected def withNewChildInternal(c: Expression): RhpSignature = copy(child = c)
   override def prettyName: String = "rhp_signature"
