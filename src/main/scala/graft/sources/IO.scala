@@ -94,6 +94,22 @@ object IO {
   def load(spark: SparkSession, dir: String, pkey: Seq[String] = Nil): JTable =
     JTable(spark.read.parquet(dir), pkey)
 
+  /** Persist with the pkey baked into the physical layout: bucketed +
+    * sorted by the pkey. This is the cluster-scale form of the reference's
+    * saved sorted chunks (`src/io.jl:167-236`) — every later join/groupBy
+    * on the pkey reads shuffle-free (bucket pruning + no Exchange), i.e.
+    * the shuffle is paid once at write time, not per query. */
+  def saveBucketed(t: JTable, tableName: String, buckets: Int): Unit = {
+    require(t.pkey.nonEmpty, "saveBucketed requires a pkey")
+    t.df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, t.pkey.head, t.pkey.tail: _*)
+      .sortBy(t.pkey.head, t.pkey.tail: _*)
+      .saveAsTable(tableName)
+  }
+
+  def loadBucketed(spark: SparkSession, tableName: String, pkey: Seq[String]): JTable =
+    JTable.assumeSorted(spark.table(tableName), pkey)
+
   /** `Iterators.partition(t, n)` — driver-side batched iteration without
     * materializing the whole table (reference `src/iteration.jl:3-60`). */
   def partitionIterator(df: DataFrame, batch: Int): Iterator[Seq[org.apache.spark.sql.Row]] =

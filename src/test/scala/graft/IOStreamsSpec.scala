@@ -54,6 +54,28 @@ class IOStreamsSpec extends SparkSpec {
     assert(batches.forall(_.size <= 7))
   }
 
+  test("bucketed save: pkey joins/groupBys read shuffle-free") {
+    val li = JTable(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity")), Seq("l_orderkey"))
+    val ord = JTable(Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")), Seq("l_orderkey"))
+    IO.saveBucketed(li, "li_bucketed", 4)
+    IO.saveBucketed(ord, "ord_bucketed", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = IO.loadBucketed(spark, "li_bucketed", Seq("l_orderkey")).df
+        .join(IO.loadBucketed(spark, "ord_bucketed", Seq("l_orderkey")).df, "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+      val grouped = IO.loadBucketed(spark, "li_bucketed", Seq("l_orderkey")).df
+        .groupBy("l_orderkey").agg(sum(col("l_quantity")))
+      val gplan = grouped.queryExecution.executedPlan.toString
+      assert(!gplan.contains("Exchange"), s"bucketed groupBy still shuffles:\n$gplan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("streaming windowedAgg == batch q39 on the same data") {
     val dir = Files.createTempDirectory("graft_stream").toFile.getPath
     val ev = Tables.events(spark, sf)
