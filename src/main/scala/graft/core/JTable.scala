@@ -127,7 +127,13 @@ object JTable {
     }
 
   /** Wrap without establishing the invariant — caller asserts the frame is
-    * already range-partitioned+sorted (e.g. read from a sorted/bucketed
-    * write, or derived order-preservingly). */
+    * already range-partitioned+sorted (e.g. derived order-preservingly). */
   def assumeSorted(df: DataFrame, pkey: Seq[String]): JTable = new JTable(df, pkey)
+
+  /** Wrap a frame that is co-partitioned by pkey (hash, e.g. a bucketed
+    * read) and sorted within partitions. Every pkey-trusting operation
+    * (groupBy/join/merge on the pkey, ordered collect via explicit sort)
+    * is correct under either hash or range co-partitioning; only
+    * global-order-sensitive fast paths would need true range partitioning. */
+  def assumeCoPartitioned(df: DataFrame, pkey: Seq[String]): JTable = new JTable(df, pkey)
 }

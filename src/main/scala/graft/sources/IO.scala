@@ -101,14 +101,31 @@ object IO {
     * the shuffle is paid once at write time, not per query. */
   def saveBucketed(t: JTable, tableName: String, buckets: Int): Unit = {
     require(t.pkey.nonEmpty, "saveBucketed requires a pkey")
-    t.df.write.mode("overwrite").format("parquet")
+    // repartition onto the bucket keys first: one writer task per bucket →
+    // exactly one file per bucket. Without this, every input partition
+    // writes a file into every bucket (N×buckets small files). The read
+    // win of bucketing is the eliminated Exchange; a partition-local Sort
+    // remains (Spark doesn't consume sortBy metadata in SMJ, SPARK-19256).
+    t.df.repartition(buckets, t.pkey.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, t.pkey.head, t.pkey.tail: _*)
       .sortBy(t.pkey.head, t.pkey.tail: _*)
       .saveAsTable(tableName)
   }
 
-  def loadBucketed(spark: SparkSession, tableName: String, pkey: Seq[String]): JTable =
-    JTable.assumeSorted(spark.table(tableName), pkey)
+  /** Load a bucketed table; the pkey is derived from the catalog's bucket
+    * spec (bucket columns must equal sort-column prefix), not caller-
+    * supplied — a mismatched claim would silently corrupt downstream
+    * pkey-trusting operations. */
+  def loadBucketed(spark: SparkSession, tableName: String): JTable = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$tableName is not bucketed"))
+    require(spec.sortColumnNames.startsWith(spec.bucketColumnNames),
+      s"bucket columns ${spec.bucketColumnNames} not a sort prefix ${spec.sortColumnNames}")
+    JTable.assumeCoPartitioned(spark.table(tableName), spec.bucketColumnNames)
+  }
 
   /** `Iterators.partition(t, n)` — driver-side batched iteration without
     * materializing the whole table (reference `src/iteration.jl:3-60`). */

@@ -59,21 +59,45 @@ class IOStreamsSpec extends SparkSpec {
       .select(col("l_orderkey"), col("l_quantity")), Seq("l_orderkey"))
     val ord = JTable(Tables.orders(spark, sf)
       .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")), Seq("l_orderkey"))
+    // the derby metastore is per-JVM but the warehouse dir persists: drop
+    // any stale table AND its leftover location before re-creating
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     IO.saveBucketed(li, "li_bucketed", 4)
     IO.saveBucketed(ord, "ord_bucketed", 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = IO.loadBucketed(spark, "li_bucketed", Seq("l_orderkey")).df
-        .join(IO.loadBucketed(spark, "ord_bucketed", Seq("l_orderkey")).df, "l_orderkey")
+      val lb = IO.loadBucketed(spark, "li_bucketed")
+      assert(lb.pkey == Seq("l_orderkey")) // pkey derived from catalog spec
+      val joined = lb.df
+        .join(IO.loadBucketed(spark, "ord_bucketed").df, "l_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // note: a partition-local Sort remains above each scan — Spark does
+      // not exploit bucket sortBy metadata for SMJ (SPARK-19256); the
+      // scale win here is the eliminated Exchange.
       assert(joined.count() == Tables.lineitem(spark, sf).count())
-      val grouped = IO.loadBucketed(spark, "li_bucketed", Seq("l_orderkey")).df
+      val grouped = IO.loadBucketed(spark, "li_bucketed").df
         .groupBy("l_orderkey").agg(sum(col("l_quantity")))
       val gplan = grouped.queryExecution.executedPlan.toString
       assert(!gplan.contains("Exchange"), s"bucketed groupBy still shuffles:\n$gplan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      intercept[Exception] { IO.loadBucketed(spark, "nonexistent_tbl") }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
   }
 
   test("streaming windowedAgg == batch q39 on the same data") {
