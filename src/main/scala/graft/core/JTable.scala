@@ -29,11 +29,14 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
   // ---- selection (§2.2) ----------------------------------------------------
 
   /** `select(t, sel)` — project per the selector language. Keeps the pkey
-    * invariant when all pkey columns survive the projection. */
+    * invariant only when every pkey column survives via a PLAIN (identity)
+    * selector — a `Fn`/`As`/`Expr` selector may transform or shadow a pkey
+    * column, which would silently break sortedness. */
   def select(sels: Sel*): JTable = {
     val cols = sels.flatMap(s => Sel.compile(df, pkey, s))
-    val outNames = sels.flatMap(s => Sel.names(df, pkey, s))
-    val kept = pkey.filter(outNames.contains)
+    val plainNames = sels.filter(Sel.isPlain).flatMap(s => Sel.names(df, pkey, s))
+    val transformed = sels.filterNot(Sel.isPlain).flatMap(s => Sel.names(df, pkey, s)).toSet
+    val kept = pkey.filter(k => plainNames.contains(k) && !transformed.contains(k))
     val out = df.select(cols: _*)
     if (kept == pkey) new JTable(out, pkey) else new JTable(out, Nil)
   }

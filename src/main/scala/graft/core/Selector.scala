@@ -49,6 +49,16 @@ object Sel {
   implicit def fromRegex(r: Regex): Sel = Re(r)
   implicit def fromColumn(c: Column): Sel = Expr(c)
 
+  /** A selector is "plain" when it projects existing columns unchanged
+    * (safe for pkey-invariant preservation); Fn/As/Expr may transform or
+    * rename, so they are not plain. */
+  def isPlain(sel: Sel): Boolean = sel match {
+    case Name(_) | Pos(_) | Re(_) | OfType(_) | Between(_, _) | Keys | AllCols => true
+    case Not(s) => isPlain(s)
+    case All(ss) => ss.forall(isPlain)
+    case Fn(_, _) | As(_, _) | Expr(_, _) => false
+  }
+
   /** Resolve a selector to the list of column *names* it denotes (before any
     * Fn/As transformation). Order follows the dataframe's column order for
     * set-like selectors, and the selector's own order for explicit lists.

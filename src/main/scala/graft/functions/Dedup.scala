@@ -62,15 +62,6 @@ object Dedup {
       .select(col("i"), col("j"), col("n_common"), col("jaccard"))
   }
 
-  /** Deterministic 64-bit-ish shingle hash (positional polynomial mod p,
-    * same scheme as Text.fingerprint) — engine-portable integer math. */
-  private val P = 1000000007L
-  def shingleHash(s: Column): Column = {
-    val codes = transform(sequence(lit(1), length(s)),
-      i => i.cast("long") * ascii(s.substr(i, lit(1))).cast("long"))
-    pmod(aggregate(codes, lit(0L), (acc, x) => acc + x), lit(P))
-  }
-
   /** MinHash signatures: k universal-hash permutations h_i(x)=(a_i·x+b_i)
     * mod p over the shingle-hash set; signature element i = min over
     * shingles. Deterministic seeds. One narrow pass — no shuffle.
@@ -90,7 +81,6 @@ object Dedup {
     val k = bands * rowsPerBand
     val sigs = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
-    // cache: sigs is used twice (bucket join + verification re-join)
     val bandRows = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)).as(Seq("band", "slice")))

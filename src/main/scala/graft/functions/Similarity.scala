@@ -31,10 +31,14 @@ object Similarity {
     * score every corpus vector, keep k best. The per-query ranking is a
     * window over the broadcast-join result — corpus is scanned once. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf=true assumes query and corpus share an id space (self-
+    // search); pass false when the query set is an unrelated table.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("id"))
+    val cond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
+    val scored = c.join(broadcast(q), cond)
       .withColumn("cos", cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
@@ -57,16 +61,16 @@ object Similarity {
     * brute-force baseline. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, bits: Int, k: Int,
-              tables: Int = 4): DataFrame = {
+              tables: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     def sigs(v: Column) = array((0 until tables).map(t =>
       rhpSignature(v.cast("array<double>"), dim, bits, seed = t * 7919)): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         posexplode(sigs(col(vecCol))).as(Seq("qtbl", "qsig")))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
         posexplode(sigs(col(vecCol))).as(Seq("ctbl", "csig")))
+    val selfCond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
     val scored = c.join(broadcast(q),
-        col("qtbl") === col("ctbl") && col("qsig") === col("csig") &&
-          col("query_id") =!= col("id"))
+        col("qtbl") === col("ctbl") && col("qsig") === col("csig") && selfCond)
       .dropDuplicates("query_id", "id")
       .withColumn("cos", cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
     val w = org.apache.spark.sql.expressions.Window

@@ -99,13 +99,17 @@ object Sketches {
     def outputEncoder: Encoder[Seq[(Double, Long)]] = ExprEncoders.pairSeq
   }
 
-  /** CountMap (OnlineStats `CountMap`): value→count map with an optional
-    * capacity cap keeping the heaviest keys (space-saving-style). */
+  /** CountMap (OnlineStats `CountMap`): value→count map with a capacity
+    * cap. EXACT while distinct keys ≤ maxKeys (the reference's CountMap is
+    * unbounded/exact); beyond that, lightest keys are evicted in amortized
+    * batches (eviction at 2×maxKeys), so late-arriving heavy hitters can be
+    * undercounted — size maxKeys above the expected cardinality, or use a
+    * plain groupBy for exact heavy-hitter counting at scale. */
   final case class CountMapAgg(maxKeys: Int = 10000)
       extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     def zero: Map[String, Long] = Map.empty
     private def cap(m: Map[String, Long]): Map[String, Long] =
-      if (m.size <= maxKeys) m
+      if (m.size <= 2 * maxKeys) m
       else m.toSeq.sortBy { case (k, v) => (-v, k) }.take(maxKeys).toMap
     def reduce(b: Map[String, Long], x: String): Map[String, Long] =
       cap(b.updated(x, b.getOrElse(x, 0L) + 1L))
@@ -117,13 +121,15 @@ object Sketches {
   }
 
   /** 2-D count map (OnlineStats `Mosaic`, reference `docs/src/plotting.md`):
-    * (x, y) category-pair → count, capped by heaviest pairs. */
+    * (x, y) category-pair → count, keyed with a \u0001 separator (a space
+    * would collide multi-word categories); same cap semantics as
+    * CountMapAgg. */
   final case class MosaicAgg(maxKeys: Int = 10000)
       extends Aggregator[(String, String), Map[String, Long], Map[String, Long]] {
-    private def key(x: String, y: String) = x + " " + y
+    private def key(x: String, y: String) = x + MosaicAgg.Sep + y
     def zero: Map[String, Long] = Map.empty
     private def cap(m: Map[String, Long]): Map[String, Long] =
-      if (m.size <= maxKeys) m
+      if (m.size <= 2 * maxKeys) m
       else m.toSeq.sortBy { case (k, v) => (-v, k) }.take(maxKeys).toMap
     def reduce(b: Map[String, Long], x: (String, String)): Map[String, Long] = {
       val k = key(x._1, x._2)
@@ -135,6 +141,8 @@ object Sketches {
     def bufferEncoder: Encoder[Map[String, Long]] = ExprEncoders.strLongMap
     def outputEncoder: Encoder[Map[String, Long]] = ExprEncoders.strLongMap
   }
+
+  object MosaicAgg { val Sep = "\u0001" }
 
   /** x-binned y-summary (OnlineStats `IndexedPartition`): fixed x bins over
     * [lo, hi), each holding mergeable y-Moments — the 2-D profile sketch

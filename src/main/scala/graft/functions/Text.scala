@@ -18,8 +18,11 @@ object Text {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  /** Whitespace tokens of the normalized text. Empty/whitespace-only text
+    * yields an empty array (Spark's split of "" returns [""], which would
+    * count as one token). */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), " "), t => length(t) > 0)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

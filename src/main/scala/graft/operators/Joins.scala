@@ -51,6 +51,8 @@ object Joins {
     * because the grouped right side is at most |distinct keys| rows. */
   def groupjoin(l: JTable, r: JTable, key: Seq[String], rValueCols: Seq[String],
                 how: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "outer").contains(how),
+      s"groupjoin supports inner|left|outer (reference src/join.jl:120-126), got: $how")
     val grouped = r.df
       .groupBy(key.map(col): _*)
       .agg(collect_list(struct(rValueCols.map(col): _*)).as("groups"))
@@ -87,8 +89,11 @@ object Joins {
       (ids.map(col) :+ col(rtime).as("__t") :+ lit(0).as("__side")) ++
         lCols.map(c => lit(null).cast(l.schema(c).dataType).as(c)) ++ rValueCols.map(col): _*)
     val unioned = lTagged.unionByName(rTagged)
+    // tiebreak on the right value columns: duplicate right (ids, time) rows
+    // would otherwise resolve by shuffle arrival order (nondeterministic)
     val w = Window.partitionBy(ids.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc +: col("__side").asc +:
+        rValueCols.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rValueCols.foldLeft(unioned) { (d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))

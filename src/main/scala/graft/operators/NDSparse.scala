@@ -76,6 +76,9 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
     // dims mapped to 0 in the reference = excluded here by omission.
     val shared = dimmap.getOrElse(dims.filter(other.dims.contains))
     require(shared.nonEmpty, "broadcast requires at least one shared dim")
+    require(valueCols.size == 1 && other.valueCols.size == 1,
+      s"broadcast combines single-value arrays (got $valueCols vs ${other.valueCols}); " +
+        "select one value column per side first (reference broadcast is elementwise on the value)")
     val l = df
     val r = other.df.select((shared ++ other.valueCols).map(col): _*)
       .withColumnsRenamed(other.valueCols.map(c => c -> s"__r_$c").toMap)

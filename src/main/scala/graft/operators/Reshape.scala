@@ -16,10 +16,17 @@ object Reshape {
     * a narrow op, output = |rows| × |cols| with no shuffle. */
   def stack(t: JTable, idCols: Seq[String], valueCols: Seq[String],
             variable: String = "variable", value: String = "value"): DataFrame = {
+    val numeric = valueCols.forall(c =>
+      t.df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    require(numeric,
+      s"stack value columns must all be numeric (got ${valueCols.map(c => t.df.schema(c).dataType)}); " +
+        "a heterogeneous melt would silently null non-numeric cells")
+    require((valueCols ++ Seq(variable, value)).forall(n => !n.contains("`") && !n.contains("'")),
+      "stack column/output names must not contain quotes")
     val arms = valueCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
     t.df.select(
       idCols.map(col) :+
-        expr(s"stack(${valueCols.size}, $arms) as ($variable, $value)"): _*)
+        expr(s"stack(${valueCols.size}, $arms) as (`$variable`, `$value`)"): _*)
   }
 
   /** `unstack(t, by; variable, value)` — long→wide pivot (reference

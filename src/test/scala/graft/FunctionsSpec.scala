@@ -60,7 +60,7 @@ class FunctionsSpec extends SparkSpec {
       .select(col("event_type"), concat(lit("u"), pmod(col("user_id"), lit(3))).as("ub"))
       .as[(String, String)]
     val expected = ev2.toDF("x", "y")
-      .groupBy(concat(col("x"), lit(" "), col("y")).as("k"))
+      .groupBy(concat(col("x"), lit(Sketches.MosaicAgg.Sep), col("y")).as("k"))
       .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     partitionSweep { n =>
       val m = ev2.repartition(n).select(Sketches.MosaicAgg(1000).toColumn).head()

@@ -122,6 +122,27 @@ class IOStreamsSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(want.get(k).contains(v), s"window $k") }
   }
 
+  test("Moments sketch runs under Structured Streaming == batch result") {
+    val dir = Files.createTempDirectory("graft_skstream").toFile.getPath
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(ev.schema).parquet(dir)
+      .as[(String, Double)]
+    val agg = src.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.Sketches.MomentsAgg.toColumn)
+    val got = Streams.runOnce(agg.toDF("event_type", "moments"), "mom_test",
+      mode = "complete")
+    val batch = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.collect().foreach { r =>
+      val m = r.getStruct(1)
+      val (n, mean) = batch(r.getString(0))
+      assert(m.getLong(0) == n)
+      assert(math.abs(m.getDouble(1) - mean) < 1e-9)
+    }
+  }
+
   test("streamingDedup emits first occurrence per key only") {
     val dir = Files.createTempDirectory("graft_dedup").toFile.getPath
     Seq(Streams.Keyed("a", 1L), Streams.Keyed("a", 2L), Streams.Keyed("b", 3L))
