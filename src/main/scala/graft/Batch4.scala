@@ -85,6 +85,52 @@ private[graft] object Batch4 {
              |  FROM lineitem GROUP BY 1
              |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) t
              |  ON o_orderkey = t.l_orderkey
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Flagship data-pipeline composition: quality-gate → exact-dedup to
+    // representatives → per-language corpus stats. One narrow scan + two
+    // small shuffles — the canonical pretraining-corpus curation shape.
+    Q("q63_pipeline_curate",
+      (s, dir) => {
+        import graft.functions.{Dedup, Text}
+        // language-agnostic gate (length x punctuation): the stopword factor
+        // of the full qualityScore is English-specific and would zero out
+        // every non-English doc
+        val lenScore = least(length(Text.normalize(col("text"))).cast("double") / 200.0, lit(1.0))
+        val docs = Tables.documents(s, dir)
+          .withColumn("gate", lenScore * (lit(1.0) - Text.punctRatio(col("text"))))
+          .filter(col("gate") >= 0.5)
+        val reps = Dedup.exact(docs, "doc_id", "text")
+          .select(col("rep_id").as("doc_id"))
+        val kept = docs.join(reps, "doc_id")
+        kept.groupBy(Text.langId(col("text")).as("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(Text.tokenCount(col("text"))).as("n_tokens"))
+          .orderBy("pred_lang")
+      },
+      Some {
+        def hits(ws: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${ws.map("'" + _ + "'").mkString(",")})))"
+        val Seq(en, de, fr, es) = graft.functions.Text.markerWords.map(m => hits(m._2))
+        Some(s"""WITH n AS (SELECT doc_id, text,
+                |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+                |t AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks,
+                |    CAST(len(regexp_extract_all(norm, '[.,;:!?''"()-]')) AS DOUBLE) / length(norm) AS punct
+                |  FROM n),
+                |q AS (SELECT *,
+                |    LEAST(CAST(length(norm) AS DOUBLE) / 200.0, 1.0) * (1.0 - punct) AS gate
+                |  FROM t),
+                |gated AS (SELECT * FROM q WHERE gate >= 0.5),
+                |reps AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(norm)),
+                |kept AS (SELECT g.* FROM gated g JOIN reps USING (doc_id))
+                |SELECT CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+                |       WHEN $es > GREATEST($en, $de, $fr) THEN 'es'
+                |       WHEN $fr > GREATEST($en, $de) THEN 'fr'
+                |       WHEN $de > $en THEN 'de'
+                |       ELSE 'en' END AS pred_lang,
+                |  COUNT(*) AS n_docs,
+                |  SUM(CAST(len(toks) AS BIGINT)) AS n_tokens
+                |FROM kept GROUP BY 1 ORDER BY pred_lang""".stripMargin)
+      }.get)
   )
 }
