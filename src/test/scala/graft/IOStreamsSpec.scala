@@ -28,6 +28,22 @@ class IOStreamsSpec extends SparkSpec {
       ("MSFT", 200.25, "2020")))
   }
 
+  test("loadtable: explicit colparsers schema skips inference") {
+    val dir = Files.createTempDirectory("graft_csv3").toFile
+    Files.writeString(new java.io.File(dir, "t.csv").toPath,
+      Seq("a,b", "1,x", "2,y", "").mkString(System.lineSeparator))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType)))
+    val t = IO.loadtable(spark, Seq(s"$dir/t.csv"),
+      IO.CsvOptions(colparsers = Some(schema)))
+    assert(t.df.schema("a").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.df.count() == 2)
+    intercept[IllegalArgumentException] {
+      IO.loadtable(spark, Seq(s"$dir/t.csv"), IO.CsvOptions(skiplinesBegin = 1))
+    }
+  }
+
   test("loadtableUnify: missing columns null-filled across files") {
     val dir = Files.createTempDirectory("graft_csv2").toFile
     Files.writeString(new java.io.File(dir, "a.csv").toPath, "x,y\n1,2\n")
