@@ -50,6 +50,16 @@ class CoreSpec extends SparkSpec {
     assert(t.select(Sel("v")).pkey.isEmpty)
   }
 
+  test("select drops pkey claim when a transforming selector touches a pkey column") {
+    val t = JTable(tinyTable, Seq("k"))
+    // Fn over the pkey column: transformed values can't claim sortedness
+    assert(t.select(Sel("k").andThen(c => c * 2).as("k"), Sel("v")).pkey.isEmpty)
+    // As-rename shadowing the pkey name from another column: not plain
+    assert(t.select(Sel("v").as("k")).pkey.isEmpty)
+    // plain projection keeps it
+    assert(t.select(Sel("k"), Sel("g")).pkey == Seq("k"))
+  }
+
   test("transform replacing a pkey column re-sorts (reference test_table.jl:83-85)") {
     val t = JTable(tinyTable, Seq("k"))
     val t2 = t.transform("k" -> (lit(6L) - col("k"))) // reverses key order
