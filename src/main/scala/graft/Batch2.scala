@@ -43,9 +43,12 @@ private[graft] object Batch2 {
     // §2.11 unstack — long→wide pivot with an explicit domain (one shuffle).
     Q("q18_unstack",
       (s, dir) => {
-        Reshape.unstack(JTable(ev(s, dir)), Seq("user_id"), "event_type", "event_id",
-          pivotValues = Seq("click", "error", "purchase", "signup", "view"),
-          agg = c => count(c))
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Reshape.unstack(JTable(ev(s, dir)), Seq("user_id"),
+          "event_type", "event_id", pivotValues = types, agg = c => count(c))
+        // pivot yields NULL for absent (user, type) combos; the COUNT(*)
+        // FILTER oracle yields 0 — normalize
+        types.foldLeft(wide)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
           .orderBy("user_id")
       },
       Some("""SELECT user_id,

@@ -79,8 +79,11 @@ object Dedup {
   def minhashLSH(df: DataFrame, idCol: String, textCol: String, n: Int,
                  bands: Int, rowsPerBand: Int, minEstSim: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, k).as("sig"))
+    // docs with < n tokens have no shingles → an empty (sentinel-filled)
+    // signature; they would all collide as est_sim=1.0 "duplicates"
+    val sigs = df.filter(Text.tokenCount(col(textCol)) >= n)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), n, k).as("sig"))
     val bandRows = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)).as(Seq("band", "slice")))
@@ -113,7 +116,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    nBlocks: Int = 4, maxHamming: Int = 3): DataFrame = {
     val bitsTotal = 62; val blockBits = bitsTotal / nBlocks
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // token-less docs all hash to sig=0 and would pair at hamming 0
+    val sigs = df.filter(Text.tokenCount(col(textCol)) >= 1)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val blocks = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until nBlocks).map(blk =>
         pmod(shiftright(col("sig"), blk * blockBits), lit(1L << blockBits))): _*))

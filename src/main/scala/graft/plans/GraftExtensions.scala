@@ -23,8 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def intLit(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
+  private def intLit(e: Expression): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      lit.value match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"expected an integer literal argument, got: $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"expected a literal argument, got expression: ${other.sql}")
+  }
 
   private[plans] val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig" -> { args =>

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -37,18 +37,27 @@ object HashOps {
     h % P
   }
 
-  /** Whitespace tokenization of lowercased text → (string, token spans). */
+  /** ASCII whitespace, matching Java-regex `\s` (what Text.normalize's
+    * regexp_replace uses) — NOT Character.isWhitespace, whose Unicode
+    * class would tokenize differently from the Column formulation. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace tokenization of lowercased text → (string, token spans).
+    * Locale.ROOT lowercasing: the default-locale toLowerCase diverges from
+    * Spark's lower() under e.g. tr-TR (dotless ı), which would make
+    * signatures cluster-locale-dependent. */
   def tokenSpans(raw: String): (String, Array[Int], Array[Int]) = {
-    val s = raw.toLowerCase
+    val s = raw.toLowerCase(java.util.Locale.ROOT)
     val starts = Array.newBuilder[Int]
     val ends = Array.newBuilder[Int]
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isWs(s.charAt(i))) i += 1
       if (i < n) {
         starts += i
-        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < n && !isWs(s.charAt(i))) i += 1
         ends += i
       }
     }
@@ -138,7 +147,10 @@ object HashOps {
   def rhpSigJava(arr: ArrayData, coeffs: Array[Array[Double]], isFloat: Boolean): Long = {
     val bits = coeffs.length
     val dim = if (bits > 0) coeffs(0).length else 0
-    val n = math.min(arr.numElements(), dim)
+    require(arr.numElements() == dim,
+      s"rhp_signature dim mismatch: vector has ${arr.numElements()} elements, expected $dim " +
+        "— a silent truncation would quietly degrade ANN recall")
+    val n = dim
     var sig = 0L
     var b = 0
     while (b < bits) {
@@ -161,7 +173,8 @@ object HashOps {
   * shingles, one pass per row. h_i(x) = (a_i·x + b_i) mod P with the same
   * deterministic (a_i, b_i) as functions.Dedup.minhashSignature. */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashOps.minhashSigJava(input.asInstanceOf[UTF8String], n, k)
@@ -175,7 +188,9 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
 /** simhash64(text): 62-bit SimHash over whitespace tokens — per-token
   * positional hash scrambled per bit (same vote rule as the Column
   * formulation in functions.Dedup.simhash). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(HashOps.simhash64Java(input.asInstanceOf[UTF8String]))
@@ -190,7 +205,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * estimation / inverted indexes over hashed shingles at scale — shuffling
   * 8-byte hashes instead of shingle strings). */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashOps.shingleHashesJava(input.asInstanceOf[UTF8String], n)
@@ -207,6 +223,14 @@ case class ShingleHashes(child: Expression, n: Int)
   * bits×dim element_at tree whose codegen compile time dominates). */
 case class RhpSignature(child: Expression, dim: Int, bits: Int, seed: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rhp_signature expects array<float> or array<double>, got $other")
+    }
   override def dataType: DataType = LongType
   private lazy val coeffs: Array[Array[Double]] =
     Array.tabulate(bits, dim) { (b, i) =>

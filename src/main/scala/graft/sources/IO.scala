@@ -37,8 +37,14 @@ object IO {
 
   /** Canonicalize column names (whitespace → underscore, reference
     * `src/util.jl:203-205`). */
-  def canonicalize(df: DataFrame): DataFrame =
-    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c.trim.replaceAll("\\s+", "_")))
+  def canonicalize(df: DataFrame): DataFrame = {
+    val renamed = df.columns.map(c => c.trim.replaceAll("\\s+", "_"))
+    val dups = renamed.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+    require(dups.isEmpty,
+      s"column-name canonicalization collides on: ${dups.mkString(", ")} — " +
+        "rename the source columns (a duplicate-named frame fails far from the load site)")
+    df.columns.zip(renamed).foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+  }
 
   /** `loadtable(files; opts)` → DataFrame. One Spark CSV scan over all
     * paths: file listing, splitting, and parallel parse are the built-in
@@ -48,6 +54,9 @@ object IO {
                 indexcols: Seq[String] = Nil): JTable = {
     require(opts.skiplinesBegin == 0,
       "skiplinesBegin is unsupported on the Spark CSV reader (see CsvOptions doc)")
+    require(opts.nastrings.size == 1,
+      "Spark's CSV reader supports exactly one nullValue; multi-NA-string " +
+        "emulation (post-load replacement) is not implemented — pass one")
     var reader = spark.read
       .option("sep", opts.delim)
       .option("quote", opts.quotechar)
@@ -129,13 +138,8 @@ object IO {
 
   /** `Iterators.partition(t, n)` — driver-side batched iteration without
     * materializing the whole table (reference `src/iteration.jl:3-60`). */
-  def partitionIterator(df: DataFrame, batch: Int): Iterator[Seq[org.apache.spark.sql.Row]] =
+  def partitionIterator(df: DataFrame, batch: Int): Iterator[Seq[org.apache.spark.sql.Row]] = {
+    import scala.jdk.CollectionConverters._
     df.toLocalIterator().asScala.grouped(batch)
-
-  private implicit class JIter[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
   }
 }

@@ -67,11 +67,14 @@ object Streams {
   }
 
   /** Drive a streaming query synchronously over whatever is currently in
-    * the source (for tests and batch-parity checks). */
+    * the source (for tests and batch-parity checks). Note on modes: with a
+    * watermarked aggregation, "append" only emits windows already closed
+    * by the watermark — trailing open windows are withheld; use
+    * "complete"/"update" for full-state parity. */
   def runOnce(df: DataFrame, queryName: String, mode: String = "append"): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop() // always release the query + its memory-sink name
     df.sparkSession.table(queryName)
   }
 }
