@@ -11,12 +11,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # 12 sig figs: the driver's hash tolerated last-ulp float diffs in
+    # round 1 (q36/q37 cos), so exact repr over-fails; 10 digits hid real
+    # mismatches. 12 splits the difference.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return f"{v:.12g}"
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
+    # type-tag non-(int|str) values: DuckDB HUGEINT/DECIMAL reach pandas as
+    # float64/object on the driver side, so e.g. SUM(BIGINT) vs Spark's long
+    # hash-mismatches even when values are equal (round-1 q63). Surface the
+    # type difference locally instead of coercing it away.
+    if not isinstance(v, (int, str)):
+        return f"{type(v).__name__}:{v}"
     return str(v)
 
 
@@ -24,7 +33,7 @@ def rows_of(rel):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
-    return [cols[i] for i in order], sorted(data)
+    return [cols[i] for i in order], sorted(data), [str(rel.types[i]) for i in order]
 
 
 def main(sf_dir, out_dir):
@@ -42,14 +51,29 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            scols, srows = rows_of(con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
-            ocols, orows = rows_of(con.sql(oracle[name]))
+            scols, srows, stypes = rows_of(con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
+            ocols, orows, otypes = rows_of(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
+        # physical-type category check: the driver converts both sides via
+        # pandas, where HUGEINT/DECIMAL become float64/object — equal values
+        # in different categories still hash-mismatch (round-1 q63)
+        def cat(t):
+            t = t.upper()
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t  # HUGEINT, DECIMAL(..), VARCHAR, TIMESTAMP, lists, ...
+        tdiff = [(c, a, b) for c, a, b in zip(scols, stypes, otypes)
+                 if cat(a) != cat(b)]
         if [c.lower() for c in scols] != [c.lower() for c in ocols]:
             print(f"FAIL {name}: columns {scols} vs {ocols}")
+            n_bad += 1
+        elif tdiff:
+            print(f"FAIL {name}: type category mismatch {tdiff}")
             n_bad += 1
         elif srows != orows:
             diff = [(a, b) for a, b in zip(srows, orows) if a != b]

@@ -186,14 +186,20 @@ private[graft] object Batch2 {
           Text.meanTokenLen(col("text")).as("mean_tok_len"))
           .orderBy("doc_id")
       },
+      // toks mirrors Text.tokens' empty-token filter; mean_tok_len mirrors
+      // the Spark-side 0.0 guard for token-less docs.
       Some("""WITH n AS (SELECT doc_id,
              |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
-             |    lower(text) AS lt FROM documents)
+             |    lower(text) AS lt FROM documents),
+             |t AS (SELECT doc_id, norm, lt,
+             |    list_filter(string_split(norm, ' '), x -> length(x) > 0) AS toks FROM n)
              |SELECT doc_id,
-             |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
              |  CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subwords,
-             |  CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(string_split(norm, ' ')) AS mean_tok_len
-             |FROM n ORDER BY doc_id""".stripMargin)),
+             |  CASE WHEN len(toks) > 0
+             |    THEN CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(toks)
+             |    ELSE 0.0 END AS mean_tok_len
+             |FROM t ORDER BY doc_id""".stripMargin)),
 
     // Text quality score: composite formula, single-rounding determinism.
     Q("q29_text_quality",
@@ -202,15 +208,22 @@ private[graft] object Batch2 {
           Text.qualityScore(col("text")).as("quality"))
           .orderBy("doc_id")
       },
+      // guards mirror Text.punctRatio/stopwordRatio: degenerate docs score
+      // 0.0 instead of NaN (NaN ordering differs between engines).
       Some(s"""WITH n AS (SELECT doc_id,
               |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
-              |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks,
-              |    CAST(len(regexp_extract_all(norm, '[.,;:!?''"()-]')) AS DOUBLE) / length(norm) AS punct
+              |t AS (SELECT doc_id, norm,
+              |    list_filter(string_split(norm, ' '), x -> length(x) > 0) AS toks,
+              |    CASE WHEN length(norm) > 0
+              |      THEN CAST(len(regexp_extract_all(norm, '[.,;:!?''"()-]')) AS DOUBLE) / length(norm)
+              |      ELSE 0.0 END AS punct
               |  FROM n)
               |SELECT doc_id,
               |  LEAST(CAST(length(norm) AS DOUBLE) / 200.0, 1.0)
               |    * (1.0 - punct)
-              |    * LEAST(CAST(len(list_filter(toks, x -> x IN (${Text.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(toks) * 5.0, 1.0)
+              |    * CASE WHEN len(toks) > 0
+              |        THEN LEAST(CAST(len(list_filter(toks, x -> x IN (${Text.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(toks) * 5.0, 1.0)
+              |        ELSE 0.0 END
               |  AS quality
               |FROM t ORDER BY doc_id""".stripMargin)),
 

@@ -112,10 +112,20 @@ private[graft] object Batch4 {
         def hits(ws: Seq[String]) =
           s"len(list_filter(toks, x -> x IN (${ws.map("'" + _ + "'").mkString(",")})))"
         val Seq(en, de, fr, es) = graft.functions.Text.markerWords.map(m => hits(m._2))
+        // oracle notes: (a) toks mirrors Text.tokens' empty-token filter
+        // (DuckDB string_split('') is [''], len 1 — Spark's is []);
+        // (b) punct guards length 0 like Text.punctRatio (0/0 would be NaN,
+        // and DuckDB orders NaN above all values so `gate >= 0.5` would
+        // diverge); (c) the token sum is CAST to BIGINT — DuckDB's
+        // SUM(BIGINT) is HUGEINT, which the driver's compare widens to
+        // float64 ("26646.0" vs Spark's "26646": round-1's one hash miss).
         Some(s"""WITH n AS (SELECT doc_id, text,
                 |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
-                |t AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks,
-                |    CAST(len(regexp_extract_all(norm, '[.,;:!?''"()-]')) AS DOUBLE) / length(norm) AS punct
+                |t AS (SELECT doc_id, text, norm,
+                |    list_filter(string_split(norm, ' '), x -> length(x) > 0) AS toks,
+                |    CASE WHEN length(norm) > 0
+                |      THEN CAST(len(regexp_extract_all(norm, '[.,;:!?''"()-]')) AS DOUBLE) / length(norm)
+                |      ELSE 0.0 END AS punct
                 |  FROM n),
                 |q AS (SELECT *,
                 |    LEAST(CAST(length(norm) AS DOUBLE) / 200.0, 1.0) * (1.0 - punct) AS gate
@@ -129,7 +139,7 @@ private[graft] object Batch4 {
                 |       WHEN $de > $en THEN 'de'
                 |       ELSE 'en' END AS pred_lang,
                 |  COUNT(*) AS n_docs,
-                |  SUM(CAST(len(toks) AS BIGINT)) AS n_tokens
+                |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
                 |FROM kept GROUP BY 1 ORDER BY pred_lang""".stripMargin)
       }.get)
   )

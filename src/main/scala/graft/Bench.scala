@@ -15,16 +15,21 @@ object Bench {
     // JVM/codegen warmup so headline numbers measure the engine, not JIT.
     try { qs0(SparkEntry.benchQueries.head)(spark, sfDir).count() }
     catch { case _: Throwable => }
+    // a crashing query is flagged (value -1, listed in "errors") instead of
+    // silently folding its time-to-crash into the headline total
     val results = SparkEntry.benchQueries.map { name =>
       val fn = qs0(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }.toSeq
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,11 +44,13 @@ object Sketches {
   }
 
   /** Fixed-range histogram (OnlineStats `Hist`): `nbins` equal bins over
-    * [lo, hi); out-of-range clamps to edge bins. */
+    * [lo, hi); out-of-range clamps to edge bins; NaN inputs are skipped
+    * (a NaN would otherwise cast to bin 0 and silently pollute it). */
   final case class HistAgg(lo: Double, hi: Double, nbins: Int)
       extends Aggregator[Double, Array[Long], Seq[Long]] {
     def zero: Array[Long] = Array.fill(nbins)(0L)
     def reduce(b: Array[Long], x: Double): Array[Long] = {
+      if (x.isNaN) return b
       val raw = ((x - lo) / (hi - lo) * nbins).toInt
       val i = math.min(math.max(raw, 0), nbins - 1)
       b(i) += 1; b
@@ -151,6 +153,7 @@ object Sketches {
       extends Aggregator[(Double, Double), Array[Moments], Seq[MomentsOut]] {
     def zero: Array[Moments] = Array.fill(nbins)(MomentsAgg.zero)
     def reduce(b: Array[Moments], xy: (Double, Double)): Array[Moments] = {
+      if (xy._1.isNaN) return b // NaN x has no bin (would cast to bin 0)
       val raw = ((xy._1 - lo) / (hi - lo) * nbins).toInt
       val i = math.min(math.max(raw, 0), nbins - 1)
       b(i) = MomentsAgg.reduce(b(i), xy._2); b

@@ -33,25 +33,36 @@ object Text {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
-  /** Mean token length (chars per token), as an exact ratio of longs. */
+  /** Mean token length (chars per token), as an exact ratio of longs.
+    * Token-less text yields 0.0 (not NaN/null) so degenerate docs stay
+    * comparable across engines. */
   def meanTokenLen(text: Column): Column = {
     val t = tokens(text)
-    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+      .otherwise(lit(0.0))
   }
 
-  /** Punctuation ratio: punct chars / total chars of the normalized text. */
+  /** Punctuation ratio: punct chars / total chars of the normalized text.
+    * Empty text yields 0.0 (a 0/0 would be NaN, and NaN comparison
+    * semantics differ across engines — DuckDB orders NaN above all). */
   def punctRatio(text: Column): Column = {
     val n = normalize(text)
-    size(regexp_extract_all(n, lit("[.,;:!?'\"()-]"), lit(0))).cast("double") /
-      length(n).cast("double")
+    when(length(n) > 0,
+      size(regexp_extract_all(n, lit("[.,;:!?'\"()-]"), lit(0))).cast("double") /
+        length(n).cast("double"))
+      .otherwise(lit(0.0))
   }
 
-  /** Stopword ratio against a tiny English stopword list. */
+  /** Stopword ratio against a tiny English stopword list; 0.0 when there
+    * are no tokens. */
   val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it")
   def stopwordRatio(text: Column): Column = {
     val t = tokens(text)
-    size(filter(t, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("double") /
-      size(t).cast("double")
+    when(size(t) > 0,
+      size(filter(t, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("double") /
+        size(t).cast("double"))
+      .otherwise(lit(0.0))
   }
 
   /** Composite quality score in [0,1]: penalizes very short docs, extreme

@@ -73,33 +73,39 @@ object Joins {
     * right row with the same id-keys and the greatest rtime ≤ ltime.
     *
     * Implementation: union both sides tagged by origin, then one window
-    * `last(value, ignoreNulls)` ordered by (time, side) per id-key — a right
-    * row at the same timestamp is visible to the left row (≤ semantics).
+    * `last(struct(values), ignoreNulls)` ordered by (time, side) per id-key
+    * — a right row at the same timestamp is visible to the left row (≤
+    * semantics). The right value columns travel as ONE struct so the match
+    * is a whole right row, like the reference: filling each column
+    * independently would blend columns from different right rows whenever a
+    * later right row carries a null in one of them.
     * Cost at scale: ONE shuffle of l∪r on the id-keys + an in-partition
     * sort — strictly cheaper than the range-join + dedup alternative (which
-    * shuffles twice and explodes matches before deduping). Skewed ids are
-    * handled by AQE skew-split since this is a plain window over a shuffle.
+    * shuffles twice and explodes matches before deduping). A hot id still
+    * lands on a single window task (AQE skew-split applies to join
+    * partitions, not window exchanges); if one id dominates, salt with a
+    * coarse time bucket and stitch bucket boundaries with a second pass.
     */
   def asofJoin(l: DataFrame, r: DataFrame, ids: Seq[String], ltime: String,
                rtime: String, lCols: Seq[String], rValueCols: Seq[String]): DataFrame = {
+    val rStruct = struct(rValueCols.map(col): _*)
+    val rStructType = r.select(rStruct).schema.head.dataType
     val lTagged = l.select(
       (ids.map(col) :+ col(ltime).as("__t") :+ lit(1).as("__side")) ++
-        lCols.map(col) ++ rValueCols.map(c => lit(null).cast(r.schema(c).dataType).as(c)): _*)
+        lCols.map(col) :+ lit(null).cast(rStructType).as("__rv"): _*)
     val rTagged = r.select(
       (ids.map(col) :+ col(rtime).as("__t") :+ lit(0).as("__side")) ++
-        lCols.map(c => lit(null).cast(l.schema(c).dataType).as(c)) ++ rValueCols.map(col): _*)
+        lCols.map(c => lit(null).cast(l.schema(c).dataType).as(c)) :+ rStruct.as("__rv"): _*)
     val unioned = lTagged.unionByName(rTagged)
-    // tiebreak on the right value columns: duplicate right (ids, time) rows
+    // tiebreak on the right value struct: duplicate right (ids, time) rows
     // would otherwise resolve by shuffle arrival order (nondeterministic)
     val w = Window.partitionBy(ids.map(col): _*)
-      .orderBy(col("__t").asc +: col("__side").asc +:
-        rValueCols.map(c => col(c).asc_nulls_first): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rValueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select((ids.map(col) :+ col("__t").as(ltime)) ++ lCols.map(col) ++ rValueCols.map(col): _*)
+      .select((ids.map(col) :+ col("__t").as(ltime)) ++ lCols.map(col) ++
+        rValueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
   /** `leftjoin(op, l, r)` (reference `src/join.jl:192-230`): keep the left

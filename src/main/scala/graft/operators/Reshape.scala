@@ -34,9 +34,15 @@ object Reshape {
     * single groupBy shuffle (no distinct-values pre-pass — at 100 TB the
     * two-pass dynamic pivot doubles the scan, so callers should pass the
     * domain when they know it, exactly like the reference's collected
-    * `unique` set). */
+    * `unique` set).
+    *
+    * Default cell aggregate is `min` — deterministic when multiple rows
+    * share (by, variable), and identical to the reference's single-value
+    * pick when the pair is unique (Spark's `first` is arrival-order
+    * nondeterministic; a run-to-run divergence trap). Pass `agg`
+    * explicitly for other collision semantics. */
   def unstack(t: JTable, by: Seq[String], variable: String, value: String,
-              pivotValues: Seq[String] = Nil, agg: Column => Column = first(_)): DataFrame = {
+              pivotValues: Seq[String] = Nil, agg: Column => Column = min(_)): DataFrame = {
     val g = t.df.groupBy(by.map(col): _*)
     val p = if (pivotValues.nonEmpty) g.pivot(variable, pivotValues) else g.pivot(variable)
     p.agg(agg(col(value)))
