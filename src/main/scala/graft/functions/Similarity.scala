@@ -27,19 +27,45 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** DECIMAL-exact dot product: each element rounds once to decimal(12,9),
+    * products (scale 18) accumulate exactly — order-independent, so the
+    * value is bit-identical to any other engine's exact decimal sum (the
+    * property the correctness oracle needs; the double fold above is
+    * order-dependent and engine-specific once Spark/DuckDB sum in
+    * different orders). */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("decimal(12,9)") * y.cast("decimal(12,9)")),
+      lit(0).cast("decimal(38,18)"),
+      (acc, v) => (acc + v).cast("decimal(38,18)"))
+
+  /** Cosine via decimal-exact dot/norms; one double rounding per factor
+    * then one division — deterministic across engines. */
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b).cast("double") /
+      (sqrt(dotExact(a, a).cast("double")) * sqrt(dotExact(b, b).cast("double")))
+
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),
-    * score every corpus vector, keep k best. The per-query ranking is a
-    * window over the broadcast-join result — corpus is scanned once. */
+    * score every corpus vector, keep k best. The corpus is scanned ONCE and
+    * never shuffled at full width: the only exchange carries (query_id, id,
+    * cos) scored rows into the per-query ranking window. This is the plan
+    * that survives 100× — the posexplode/join-on-position relational form
+    * (kept only as the DuckDB oracle) keys its shuffle on `pos` (≤ dim
+    * distinct values) and materializes every (query, corpus) pair.
+    *
+    * `exact=true` scores with [[cosineExact]] so results hash-match an
+    * exact-decimal oracle; default is the faster double fold. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
-                     excludeSelf: Boolean = true): DataFrame = {
+                     excludeSelf: Boolean = true, exact: Boolean = false): DataFrame = {
     // excludeSelf=true assumes query and corpus share an id space (self-
     // search); pass false when the query set is an unrelated table.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
     val cond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
+    val score: (Column, Column) => Column = if (exact) cosineExact else cosine
     val scored = c.join(broadcast(q), cond)
-      .withColumn("cos", cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
+      .withColumn("cos", score(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
