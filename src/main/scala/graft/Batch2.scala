@@ -339,28 +339,15 @@ private[graft] object Batch2 {
              |WHERE CAST(dotd AS DOUBLE) / (ni.nrm * nj.nrm) >= 0.25
              |ORDER BY i, j""".stripMargin)),
 
-    // Similarity: brute-force cosine top-k (broadcast query set), scored
-    // with the same decimal-exact relational dot product for the oracle.
+    // Similarity: brute-force cosine top-k THROUGH the library operator
+    // (broadcast query set, one corpus scan, decimal-exact scoring so the
+    // values hash-match the relational oracle below — which keeps the
+    // pos-join form only as DuckDB SQL, never as a Spark plan).
     Q("q37_embed_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val e = emb.select(col("vec_id").as("id"),
-            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
-          .withColumn("vd", col("v").cast("decimal(12,9)"))
-        val norms = e.groupBy("id").agg(sum(col("vd") * col("vd")).as("nsq"))
-          .withColumn("nrm", sqrt(col("nsq").cast("double")))
-        val q = e.filter(col("id") < 5)
-          .withColumnsRenamed(Map("id" -> "query_id", "vd" -> "qd"))
-        val dots = q.join(e, Seq("pos")).filter(col("query_id") =!= col("id"))
-          .groupBy("query_id", "id").agg(sum(col("qd") * col("vd")).as("dotd"))
-        val scored = dots
-          .join(norms.select(col("id").as("query_id"), col("nrm").as("qn")), "query_id")
-          .join(norms.select(col("id"), col("nrm").as("cn")), "id")
-          .withColumn("cos", col("dotd").cast("double") / (col("qn") * col("cn")))
-        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
-        scored.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 10)
-          .select(col("query_id"), col("rank"), col("id"), col("cos"))
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, excludeSelf = true, exact = true)
           .orderBy("query_id", "rank")
       },
       Some("""WITH e AS (SELECT vec_id AS id,

@@ -64,13 +64,13 @@ private[graft] object Batch3 {
              |WHERE o_orderkey <= 200
              |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
 
-    // §2.2 subtable — contiguous row-range by global position.
+    // §2.2 subtable — contiguous row-range by global position, through the
+    // library operator (partition-offset zipWithIndex; no single-task
+    // global window anywhere in the plan).
     Q("q50_subtable",
       (s, dir) => {
-        val w = Window.orderBy(col("o_orderkey").asc)
-        Tables.orders(s, dir)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn").between(101, 120))
+        JTable(Tables.orders(s, dir), Seq("o_orderkey"))
+          .subtable(101, 120)
           .select(col("o_orderkey"), col("o_totalprice"))
           .orderBy("o_orderkey")
       },

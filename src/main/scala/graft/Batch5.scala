@@ -1,0 +1,109 @@
+package graft
+
+import graft.SparkEntry.Q
+import graft.core.JTable
+import graft.operators.{Joins, NDSparse}
+import graft.functions.{Similarity, Sketches}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 5 (round 3): full-outer join, convertdim vecagg,
+  * OnlineStats combinators, and the LSH-prefiltered near-dup-pairs scale
+  * path — each closing a carried coverage gap with a green oracle row.
+  */
+private[graft] object Batch5 {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def ord(s: SparkSession, dir: String) = Tables.orders(s, dir)
+
+  val queries: Seq[Q] = Seq(
+
+    // §2.3 join how=:outer — full outer with missing-fill on BOTH sides
+    // (reference `test/test_join.jl:61-90`): customers with a very large
+    // order vs customers with a very small one; most keys appear on only
+    // one side, so both null-fill directions are exercised.
+    Q("q64_join_outer",
+      (s, dir) => {
+        val big = JTable(ord(s, dir).filter(col("o_totalprice") > 350000)
+          .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_big")))
+        val small = JTable(ord(s, dir).filter(col("o_totalprice") < 20000)
+          .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_small")))
+        Joins.join(big, small, Seq("custkey"), Seq("custkey"), how = "outer")
+          .orderBy("custkey")
+      },
+      Some("""SELECT COALESCE(a.custkey, b.custkey) AS custkey, a.n_big, b.n_small
+             |FROM (SELECT o_custkey AS custkey, COUNT(*) AS n_big FROM orders
+             |      WHERE o_totalprice > 350000 GROUP BY 1) a
+             |FULL JOIN (SELECT o_custkey AS custkey, COUNT(*) AS n_small FROM orders
+             |      WHERE o_totalprice < 20000 GROUP BY 1) b
+             |  ON a.custkey = b.custkey
+             |ORDER BY custkey""".stripMargin)),
+
+    // §2.2 convertdim vecagg form (reference `src/selection.jl:36-47`):
+    // collisions merged by a VECTOR aggregate — exact interpolating median
+    // of each month's quantities (integral-valued doubles: both engines'
+    // interpolation is exact, same precedent as q51).
+    Q("q65_convertdim_vecagg",
+      (s, dir) => {
+        val median: Column => Column = arr => {
+          val sorted = array_sort(arr); val n = size(sorted)
+          when(pmod(n, lit(2)) === 1,
+              element_at(sorted, ((n + lit(1)) / 2).cast("int")))
+            .otherwise((element_at(sorted, (n / 2).cast("int")) +
+              element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
+        }
+        val nd = NDSparse(li(s, dir), Seq("l_shipdate"), Seq("l_quantity"))
+        nd.convertdimVec("l_shipdate", d => date_trunc("month", d).cast("date"),
+            "l_quantity", median, as = "median_qty").table.df
+          .withColumnRenamed("l_shipdate", "ship_month")
+          .orderBy("ship_month")
+      },
+      Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty
+             |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // §2.4 OnlineStats combinators — Series (N stats, one selection) +
+    // Group (per-column stats) fit in ONE aggregation pass / one Exchange.
+    Q("q66_series_combinators",
+      (s, dir) => {
+        import Sketches.Combinators._
+        val cols = series(col("l_quantity"),
+          "n" -> (c => count(c)),
+          "mean_qty" -> (c => sum(c.cast("decimal(18,2)")).cast("double") / count(c)),
+          "min_qty" -> (c => min(c)),
+          "max_qty" -> (c => max(c))) ++
+          group(col("l_extendedprice") -> ("max_price", (c: Column) => max(c)),
+            col("l_discount") -> ("min_disc", (c: Column) => min(c)))
+        reduceAll(li(s, dir), Seq("l_returnflag"), cols).orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(l_quantity) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS mean_qty,
+             |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             |  MAX(l_extendedprice) AS max_price, MIN(l_discount) AS min_disc
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // Embedding near-dup pairs through the SCALE operator: LSH bucket
+    // prefilter + exact decimal re-check — same oracle as q36's all-pairs
+    // SQL (full recall at this threshold/fixture is what the gate checks);
+    // the plan's only joins are keyed on (table, signature) buckets, never
+    // on vector position.
+    Q("q67_embed_pairs_lsh",
+      (s, dir) => {
+        Similarity.cosinePairsLSH(
+          Tables.embeddings(s, dir).filter(col("label") === 0),
+          "vec_id", "embedding", threshold = 0.25, dim = 64)
+          .orderBy("i", "j")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id,
+             |    generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
+             |  FROM embeddings WHERE label = 0),
+             |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm FROM e GROUP BY 1),
+             |dots AS (SELECT a.id AS i, b.id AS j, SUM(a.vd * b.vd) AS dotd
+             |  FROM e a JOIN e b ON a.pos = b.pos AND a.id < b.id GROUP BY 1, 2)
+             |SELECT i, j, CAST(dotd AS DOUBLE) / (ni.nrm * nj.nrm) AS cos
+             |FROM dots JOIN norms ni ON ni.id = i JOIN norms nj ON nj.id = j
+             |WHERE CAST(dotd AS DOUBLE) / (ni.nrm * nj.nrm) >= 0.25
+             |ORDER BY i, j""".stripMargin))
+  )
+}

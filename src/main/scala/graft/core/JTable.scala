@@ -99,6 +99,53 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
       df.repartitionByRange(n, pkey.map(col): _*).sortWithinPartitions(pkey.map(col): _*),
       pkey)
 
+  /** `distribute(t, rowgroups)` — explicit per-chunk row counts (reference
+    * `src/ndsparse.jl:426-474`: `distribute(t, [n₁, n₂, …])`). Rows are
+    * numbered in global pkey order (partition-offset zipWithIndex, same
+    * machinery as [[subtable]]) and bucketed by the cumulative boundaries;
+    * a range repartition on the bucket id gives chunk i exactly `groups(i)`
+    * rows, in order. Rows beyond `groups.sum` overflow into the last chunk
+    * (the reference requires the sizes to sum to length(t); we keep the
+    * tail rather than throw a distributed size check). */
+  def distribute(groups: Seq[Long]): JTable = {
+    require(pkey.nonEmpty, "distribute(rowgroups) requires a pkey (chunks are pkey-ordered)")
+    require(groups.nonEmpty && groups.forall(_ > 0), s"row-group sizes must be positive: $groups")
+    val bounds = groups.scanLeft(0L)(_ + _).tail // cumulative upper bounds
+    val sorted = df.orderBy(pkey.map(col): _*)
+    val schema = sorted.schema
+    val n = groups.size
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      val b = bounds.indexWhere(i < _)
+      (if (b < 0) n - 1 else b, r)
+    }
+    val parted = rows.partitionBy(new org.apache.spark.Partitioner {
+      def numPartitions: Int = n
+      def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).map(_._2)
+    new JTable(spark.createDataFrame(parted, schema)
+      .sortWithinPartitions(pkey.map(col): _*), pkey)
+  }
+
+  /** `subtable(t, lo:hi)` — contiguous row-range by global pkey position,
+    * 1-based inclusive (reference `src/ndsparse.jl:497-527`).
+    *
+    * Scale-safe lowering: global sort (range shuffle) + `zipWithIndex`,
+    * which computes per-partition counts in one small job and assigns each
+    * partition its cumulative offset — the reference's chunk-clipping by
+    * per-chunk `nrows`, and NOT a `Window.orderBy` with no partitionBy
+    * (that plan funnels the whole table through ONE window task; at 100 TB
+    * it is a driver-equivalent bottleneck). zipWithIndex reuses the sorted
+    * stage's shuffle files for its second pass, so the data is ranged once. */
+  def subtable(lo: Long, hi: Long): DataFrame = {
+    require(pkey.nonEmpty, "subtable requires a pkey (global position = pkey order)")
+    val sorted = df.orderBy(pkey.map(col): _*)
+    val schema = sorted.schema.add("__pos", org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => i >= lo - 1 && i <= hi - 1 }
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
+    spark.createDataFrame(rows, schema)
+  }
+
   // ---- materialization (§2.1) ---------------------------------------------
 
   /** `compute(t)` — force + keep distributed (cache). */

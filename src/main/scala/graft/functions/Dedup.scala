@@ -44,8 +44,15 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
     val shFiltered =
       if (maxDF > 0) {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-        sh.withColumn("__df", count(lit(1)).over(w)).filter(col("__df") <= maxDF).drop("__df")
+        // hot-shingle cap via aggregate + broadcast anti-join: the groupBy
+        // is map-side combined (shuffles distinct shingles, not occurrences)
+        // and the >maxDF survivors are few BY CONSTRUCTION, so they
+        // broadcast. A Window.partitionBy(s) here would re-shuffle every
+        // (id, shingle) occurrence AND land each hot shingle's occurrence
+        // list on one task — the exact skew the cap exists to remove.
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDF).select(col("s"))
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
       } else sh
     val sizes = shFiltered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = shFiltered.as("a"); val b = shFiltered.as("b")

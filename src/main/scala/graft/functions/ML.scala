@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.feature.{OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.ml.feature.{Imputer, OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -14,6 +14,14 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * forced Continuous/Categorical or dropped. The fitted pipeline is the
   * distributed analog of `ML.schema` (its fit pass computes the same
   * mean/std/countmap statistics); `transform` is `featuremat`.
+  *
+  * Missing values follow the reference's `Maybe` wrapper (`src/ml.jl:20-40`):
+  * a nullable continuous column featurizes as (mean-imputed value,
+  * 0/1 missing indicator) — `Maybe{Continuous}` is exactly "standardized
+  * value + was-missing flag" — and a nullable categorical column treats
+  * missing as its own category. Rows are NEVER dropped: `featuremat`
+  * preserves the input row count and widens by one indicator column per
+  * nullable continuous input.
   */
 object ML {
 
@@ -21,6 +29,10 @@ object ML {
   case object Continuous extends Hint
   case object Categorical extends Hint
   case object Drop extends Hint
+
+  /** Sentinel category for missing categorical values (reference
+    * `Maybe{Categorical}` keeps missing as a distinct level). */
+  val MissingCategory = "__missing"
 
   /** Column-role inference: numeric → continuous, string → categorical
     * (the reference uses Variance vs CountMap stats the same way). */
@@ -33,16 +45,30 @@ object ML {
       })
     }.toMap
 
-  /** Build the featurization pipeline: continuous cols assembled +
+  private def contCatOf(df: DataFrame, hints: Map[String, Hint]): (Seq[String], Seq[String]) = {
+    val r = roles(df, hints)
+    (r.collect { case (c, Continuous) => c }.toSeq.sorted,
+      r.collect { case (c, Categorical) => c }.toSeq.sorted)
+  }
+
+  /** Build the featurization pipeline: nullable continuous cols imputed
+    * (mean strategy — the `Maybe` path; their `_missing` indicators are
+    * added by [[featuremat]] before the fit), continuous cols assembled +
     * standardized, categorical cols indexed + one-hot, all concatenated
     * into `features`. */
   def featurePipeline(df: DataFrame, hints: Map[String, Hint] = Map.empty): Pipeline = {
-    val r = roles(df, hints)
-    val cont = r.collect { case (c, Continuous) => c }.toSeq.sorted
-    val cat = r.collect { case (c, Categorical) => c }.toSeq.sorted
+    val (cont, cat) = contCatOf(df, hints)
+    val nullableCont = cont.filter(c => df.schema(c).nullable)
+    val imputeStages =
+      if (nullableCont.nonEmpty) Seq(
+        new Imputer().setStrategy("mean")
+          .setInputCols(nullableCont.toArray)
+          .setOutputCols(nullableCont.map(c => s"__imp_$c").toArray))
+      else Nil
+    val contInputs = cont.map(c => if (nullableCont.contains(c)) s"__imp_$c" else c)
     val contStages =
       if (cont.nonEmpty) Seq(
-        new VectorAssembler().setInputCols(cont.toArray).setOutputCol("__cont"),
+        new VectorAssembler().setInputCols(contInputs.toArray).setOutputCol("__cont"),
         new StandardScaler().setInputCol("__cont").setOutputCol("__cont_std")
           .setWithMean(true).setWithStd(true))
       else Nil
@@ -53,13 +79,22 @@ object ML {
     }
     val finalCols = (if (cont.nonEmpty) Seq("__cont_std") else Nil) ++ cat.map(c => s"__oh_$c")
     val assembler = new VectorAssembler().setInputCols(finalCols.toArray).setOutputCol("features")
-    new Pipeline().setStages((contStages ++ catStages :+ assembler).toArray)
+    new Pipeline().setStages((imputeStages ++ contStages ++ catStages :+ assembler).toArray)
   }
 
-  /** `featuremat(schema, t)`: fit + transform to the features column. */
+  /** `featuremat(schema, t)`: fit + transform to the features column.
+    * Row-count preserving: missing continuous values are mean-imputed with
+    * a companion `<col>_missing` indicator (itself a continuous input, so
+    * it lands in the feature vector), missing categoricals become the
+    * [[MissingCategory]] level. */
   def featuremat(df: DataFrame, hints: Map[String, Hint] = Map.empty): DataFrame = {
-    val keep = roles(df, hints).collect { case (c, h) if h != Drop => c }.toSeq.sorted
-    val input = df.select(keep.map(col): _*).na.drop()
+    val (cont, cat) = contCatOf(df, hints)
+    val nullableCont = cont.filter(c => df.schema(c).nullable)
+    var input = df.select((cont ++ cat).map(col): _*)
+    // indicators BEFORE imputation erases the missingness signal
+    input = nullableCont.foldLeft(input)((d, c) =>
+      d.withColumn(s"${c}_missing", when(col(c).isNull, 1.0).otherwise(0.0)))
+    if (cat.nonEmpty) input = input.na.fill(MissingCategory, cat)
     featurePipeline(input, hints).fit(input).transform(input)
   }
 }

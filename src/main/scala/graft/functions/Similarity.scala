@@ -34,10 +34,15 @@ object Similarity {
     * order-dependent and engine-specific once Spark/DuckDB sum in
     * different orders). */
   def dotExact(a: Column, b: Column): Column =
+    // accumulator is (37,18), NOT (38,18): Spark types (37,18)+(25,18) as
+    // decimal(38,18) — still exact — whereas a (38,18) accumulator
+    // overflows the 38-digit cap on every addition and Catalyst silently
+    // reduces the result scale to 17, dropping the 18th digit per step
+    // (a last-ulp divergence from any engine that sums exactly).
     aggregate(
       zip_with(a, b, (x, y) => x.cast("decimal(12,9)") * y.cast("decimal(12,9)")),
-      lit(0).cast("decimal(38,18)"),
-      (acc, v) => (acc + v).cast("decimal(38,18)"))
+      lit(0).cast("decimal(37,18)"),
+      (acc, v) => (acc + v).cast("decimal(37,18)"))
 
   /** Cosine via decimal-exact dot/norms; one double rounding per factor
     * then one division — deterministic across engines. */
@@ -106,10 +111,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id"), col("cos"))
   }
 
-  /** Embedding-cosine near-duplicate pairs with DECIMAL-exact accumulation
-    * (portable across engines for the correctness oracle): explode to
-    * (id, pos, val), join on pos, sum decimal products. Relational form =
-    * also the shuffle-parallel form for fat vectors. */
+  private def tableSigs(v: Column, dim: Int, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      rhpSignature(v.cast("array<double>"), dim, bits, seed = t * 7919)): _*)
+
+  /** Write the corpus in the IVF-style bucketed layout the class doc
+    * promises: one hive partition per (hash table, signature) bucket —
+    * each vector written once per table under `tbl=<t>/sig=<s>/`. At
+    * 100 TB this is the ANN index: it costs `tables`× storage (standard
+    * LSH-index tradeoff) and is built with one narrow pass + one
+    * partitioned write. */
+  def writeBucketedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, bits: Int, tables: Int, path: String): Unit =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
+        posexplode(tableSigs(col(vecCol), dim, bits, tables)).as(Seq("tbl", "sig")))
+      .write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+
+  /** Query the bucketed corpus: compute the (small) query set's signatures,
+    * push them as literal partition predicates so the scan reads ONLY the
+    * matching `tbl=/sig=` directories — directory-level partition pruning,
+    * never a full-corpus scan — then score and rank as in [[lshTopK]].
+    * Collecting the query buckets to the driver is by design: the query
+    * set is the broadcast-small side. Same (bits, tables) as the write. */
+  def lshTopKBucketed(corpusPath: String, queries: DataFrame, idCol: String,
+                      vecCol: String, dim: Int, bits: Int, k: Int,
+                      tables: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      posexplode(tableSigs(col(vecCol), dim, bits, tables)).as(Seq("qtbl", "qsig")))
+    val buckets = q.select(col("qtbl"), col("qsig")).distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val bucketPred = buckets.map { case (t, sg) =>
+      col("tbl") === lit(t) && col("sig") === lit(sg)
+    }.reduce(_ || _)
+    val c = spark.read.parquet(corpusPath).filter(bucketPred)
+    val selfCond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
+    val scored = c.join(broadcast(q),
+        col("qtbl") === col("tbl") && col("qsig") === col("sig") && selfCond)
+      .dropDuplicates("query_id", "id")
+      .withColumn("cos", cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs with DECIMAL-exact accumulation:
+    * explode to (id, pos, val), join on pos, sum decimal products.
+    *
+    * ORACLE-ONLY — not a scale path. The `a.pos === b.pos` join keys the
+    * shuffle on ≤ dim distinct values and materializes every (id, id) pair:
+    * all-pairs by construction, O(n²·dim) intermediate. It exists because
+    * its arithmetic is expressible identically in any SQL engine (the
+    * correctness gate's job). The exported near-dup-pairs operator is
+    * [[cosinePairsLSH]]: bucket prefilter + exact re-check, same answer at
+    * full recall, candidate-pair cost instead of n². */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     // decimal(12,9): products stay within both engines' 38-digit cap
@@ -128,6 +185,44 @@ object Similarity {
       .join(norms.select(col("id").as("i"), col("nrm").as("norm_i")), "i")
       .join(norms.select(col("id").as("j"), col("nrm").as("norm_j")), "j")
       .withColumn("cos", col("dotd").cast("double") / (col("norm_i") * col("norm_j")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  /** Near-duplicate pairs at scale: LSH candidate generation (random-
+    * hyperplane signatures, OR-amplified over `tables` hash tables) then an
+    * exact decimal-cosine re-check of ONLY the surviving candidates.
+    *
+    * This is the library path [[cosinePairsExact]] is not: the only joins
+    * are keyed on (table, signature) buckets — candidate volume ~
+    * n²/2^bits per table instead of all pairs — and the expensive exact
+    * scoring runs once per deduped candidate. False positives are removed
+    * by the re-check; recall is 1-(1-p^bits)^tables per pair (p = 1-θ/π),
+    * so choose (bits, tables) for the cosine floor you care about — the
+    * defaults give full recall at threshold ≥ 0.25 on the test fixtures
+    * (verified against [[cosinePairsExact]] in the spec AND by the oracle
+    * gate, which compares this operator to the all-pairs SQL). Scores use
+    * [[cosineExact]], so matched pairs are bit-identical to the oracle's. */
+  def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, dim: Int, bits: Int = 2,
+                     tables: Int = 24): DataFrame = {
+    def sigs(v: Column) = array((0 until tables).map(t =>
+      rhpSignature(v.cast("array<double>"), dim, bits, seed = t * 7919)): _*)
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(sigs(col(vecCol))).as(Seq("tbl", "sig")))
+    val a = e.as("a"); val b = e.as("b")
+    // dedup BEFORE scoring (reverse of minhashLSH's order): the exact
+    // decimal re-check is the expensive step here, so each candidate pair
+    // must be scored once, not once per colliding table.
+    val cand = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.v").as("vi"), col("b.v").as("vj"))
+      .dropDuplicates("i", "j")
+    cand
+      .withColumn("cos",
+        cosineExact(col("vi").cast("array<double>"), col("vj").cast("array<double>")))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
   }

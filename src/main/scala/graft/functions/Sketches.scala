@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{col, count, udaf, when}
 
 /** OnlineStats-style mergeable aggregators (reference §2.4: `Mean`,
   * `Variance`, `Extrema`, `CountMap`, `Hist`, `KHist`; copy-per-chunk +
@@ -164,6 +165,56 @@ object Sketches {
     def finish(b: Array[Moments]): Seq[MomentsOut] = b.toSeq.map(MomentsAgg.finish)
     def bufferEncoder: Encoder[Array[Moments]] = ExprEncoders.momentsArray
     def outputEncoder: Encoder[Seq[MomentsOut]] = ExprEncoders.momentsOutSeq
+  }
+
+  // ---- Column forms of the sketches (for combinators / plain .agg) --------
+
+  /** Moments sketch as an untyped aggregate Column. */
+  def momentsCol(c: Column): Column = udaf(MomentsAgg, Encoders.scalaDouble).apply(c)
+  /** Fixed-bin histogram as an untyped aggregate Column. */
+  def histCol(lo: Double, hi: Double, nbins: Int)(c: Column): Column =
+    udaf(HistAgg(lo, hi, nbins), Encoders.scalaDouble).apply(c)
+  /** CountMap as an untyped aggregate Column. */
+  def countmapCol(maxKeys: Int = 10000)(c: Column): Column =
+    udaf(CountMapAgg(maxKeys), Encoders.STRING).apply(c)
+
+  /** OnlineStats combinators (reference `docs/src/onlinestats.md:24-47`,
+    * `src/recipes.jl:7-30`): `Series` fits several stats over ONE selection,
+    * `Group` one stat per column, `FTSeries` filters/transforms before
+    * fitting. The reference builds these so N sketches share a single data
+    * pass; in Spark the same guarantee comes from handing ALL the aggregate
+    * expressions to a single `agg(...)` — Catalyst plans one partial
+    * aggregate → ONE Exchange → one final aggregate, so the data is read
+    * once and the shuffle carries N small buffers, exactly OnlineStats'
+    * one-`fit!`-loop execution (the spec pins the single Exchange). */
+  object Combinators {
+    /** A named stat: output column name → aggregate constructor. */
+    type Stat = (String, Column => Column)
+
+    /** `Series(Mean(), Variance(), …)` — every stat over the same input. */
+    def series(input: Column, stats: Stat*): Seq[Column] =
+      stats.map { case (n, f) => f(input).as(n) }.toSeq
+
+    /** `Group(stat₁ ⇒ col₁, …)` / `3Mean` — the i-th stat fits the i-th
+      * column (reference `Group(Mean(), Mean(), Mean())` over a tuple). */
+    def group(pairs: (Column, Stat)*): Seq[Column] =
+      pairs.map { case (c, (n, f)) => f(c).as(n) }.toSeq
+
+    /** `FTSeries(stats…; filter, transform)` — rows failing `pred` are
+      * skipped, survivors pass through `t` before fitting. Lowered as a
+      * per-stat `when` guard (nulls are ignored by aggregates), so it is
+      * still one pass / one Exchange. */
+    def ftSeries(input: Column, pred: Column => Column, t: Column => Column,
+                 stats: Stat*): Seq[Column] = {
+      val guarded = when(pred(input), t(input))
+      stats.map { case (n, f) => f(guarded).as(n) }.toSeq
+    }
+
+    /** Fit the combined stats in one aggregation pass (whole-table `reduce`
+      * or per-group `groupreduce` shape). */
+    def reduceAll(df: DataFrame, by: Seq[String], cols: Seq[Column]): DataFrame =
+      if (by.isEmpty) df.agg(cols.head, cols.tail: _*)
+      else df.groupBy(by.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
   private object ExprEncoders {

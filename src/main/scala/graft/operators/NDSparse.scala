@@ -49,6 +49,19 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
     NDSparse(JTable(out, dims), dims, aggs.map(_._1))
   }
 
+  /** `convertdim(t, d, xlate; vecagg)` — like [[convertdim]] but collisions
+    * are merged by a VECTOR aggregate: `vecagg` sees the whole collision
+    * group as an array column (reference `src/selection.jl:36-47`, the
+    * `vecagg` keyword). Lowered as `collect_list` + the caller's
+    * array-level expression — one shuffle, group payloads stay distributed. */
+  def convertdimVec(dim: String, xlate: Column => Column, valueCol: String,
+                    vecagg: Column => Column, as: String = "value"): NDSparse = {
+    val mapped = df.withColumn(dim, xlate(col(dim)))
+    val out = mapped.groupBy(dims.map(col): _*)
+      .agg(vecagg(collect_list(col(valueCol))).as(as))
+    NDSparse(JTable(out, dims), dims, Seq(as))
+  }
+
   /** `selectkeys(x, sel; agg)` — re-key by a subset of index columns
     * (reference `src/selection.jl:25-31`). */
   def selectkeys(newDims: Seq[String], aggs: (String, Column)*): NDSparse = {
@@ -66,9 +79,11 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
 
   /** `broadcast(f, A, B; dimmap)` — N-d array broadcasting: inner join on
     * the shared dims, apply `f` elementwise (reference `src/join.jl:269-335`).
-    * Dims present only in `this` are preserved; the join is planned by
-    * Catalyst (broadcast if `other` is small, else sort-merge on shared
-    * dims). */
+    * Output dims = A's dims followed by B-only dims, like the reference
+    * (`src/join.jl:286-322` keeps both sides' non-matched dims — the result
+    * indexes over the cross of the unmatched dimensions). The join is
+    * planned by Catalyst (broadcast if `other` is small, else sort-merge on
+    * shared dims). */
   def broadcastOp(other: NDSparse, f: (Column, Column) => Column,
                   as: String = "value",
                   dimmap: Option[Seq[String]] = None): NDSparse = {
@@ -79,13 +94,15 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
     require(valueCols.size == 1 && other.valueCols.size == 1,
       s"broadcast combines single-value arrays (got $valueCols vs ${other.valueCols}); " +
         "select one value column per side first (reference broadcast is elementwise on the value)")
+    val otherOnly = other.dims.filterNot(shared.contains)
     val l = df
-    val r = other.df.select((shared ++ other.valueCols).map(col): _*)
+    val r = other.df.select((shared ++ otherOnly ++ other.valueCols).map(col): _*)
       .withColumnsRenamed(other.valueCols.map(c => c -> s"__r_$c").toMap)
     val joined = l.join(r, shared)
+    val outDims = dims ++ otherOnly
     val out = joined.select(
-      dims.map(col) :+ f(col(valueCols.head), col(s"__r_${other.valueCols.head}")).as(as): _*)
-    NDSparse(JTable(out, dims), dims, Seq(as))
+      outDims.map(col) :+ f(col(valueCols.head), col(s"__r_${other.valueCols.head}")).as(as): _*)
+    NDSparse(JTable(out, outDims), outDims, Seq(as))
   }
 
   /** `naturaljoin(op, l, r)` — inner join on the full index intersection,

@@ -18,12 +18,17 @@ import org.apache.spark.sql.types.StructType
   */
 object IO {
 
-  /** Reference `loadtable` options (`src/io.jl:33-64`). Divergence:
-    * `skiplines_begin` is not supported — Spark's CSV reader has no
-    * skip-N-lines option (use `comment` prefixes or pre-strip); passing a
-    * nonzero value throws rather than silently ignoring it. */
+  /** Reference `loadtable` options (`src/io.jl:33-64`). Divergences:
+    *  - `skiplines_begin` is not supported — Spark's CSV reader has no
+    *    skip-N-lines option (use `comment` prefixes or pre-strip); passing
+    *    a nonzero value throws rather than silently ignoring it;
+    *  - `spacedelim` maps to a single-space separator with leading/trailing
+    *    whitespace trimmed; a RUN of spaces between fields (which the
+    *    reference's TextParse collapses) yields empty fields — pre-collapse
+    *    such files or use a real delimiter. */
   final case class CsvOptions(
       delim: String = ",",
+      spacedelim: Boolean = false,
       quotechar: String = "\"",
       escapechar: String = "\\",
       headerExists: Boolean = true,
@@ -54,23 +59,41 @@ object IO {
                 indexcols: Seq[String] = Nil): JTable = {
     require(opts.skiplinesBegin == 0,
       "skiplinesBegin is unsupported on the Spark CSV reader (see CsvOptions doc)")
-    require(opts.nastrings.size == 1,
-      "Spark's CSV reader supports exactly one nullValue; multi-NA-string " +
-        "emulation (post-load replacement) is not implemented — pass one")
-    var reader = spark.read
-      .option("sep", opts.delim)
+    require(opts.nastrings.nonEmpty, "nastrings must name at least one NA token")
+    def base(r: org.apache.spark.sql.DataFrameReader) = r
+      .option("sep", if (opts.spacedelim) " " else opts.delim)
+      .option("ignoreLeadingWhiteSpace", opts.spacedelim.toString)
+      .option("ignoreTrailingWhiteSpace", opts.spacedelim.toString)
       .option("quote", opts.quotechar)
       .option("escape", opts.escapechar)
       .option("header", opts.headerExists.toString)
       .option("nullValue", opts.nastrings.head)
-    reader = opts.colparsers match {
-      case Some(schema) => reader.schema(schema)
-      case None => reader.option("inferSchema", "true")
-        .option("samplingRatio", "1.0")
+    val reader = opts.colparsers match {
+      case Some(schema) => base(spark.read).schema(schema)
+      case None =>
+        // type_detect_rows (reference `src/io.jl:55-56`): infer the schema
+        // from the first N data rows ONLY, then pin it for the full read —
+        // at 100 TB a full-scan inference pass costs as much as the query,
+        // and the reference's sample-N semantics avoid exactly that.
+        val sample = spark.read.textFile(paths: _*)
+          .limit(opts.typeDetectRows + (if (opts.headerExists) 1 else 0))
+        val inferred = base(spark.read).option("inferSchema", "true").csv(sample).schema
+        base(spark.read).schema(inferred)
     }
     var df = reader.csv(paths: _*)
     if (opts.colnames.nonEmpty)
       df = df.toDF(opts.colnames: _*)
+    // multi-`nastrings` (reference `src/io.jl:57`): the Spark reader takes
+    // ONE nullValue; the rest are nulled post-load. String columns get an
+    // explicit isin→null; typed columns already parse the stray tokens to
+    // null in the reader's default permissive mode.
+    val extraNas = opts.nastrings.drop(1)
+    if (extraNas.nonEmpty)
+      df = df.select(df.schema.fields.toSeq.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          when(col(f.name).isin(extraNas: _*), lit(null)).otherwise(col(f.name)).as(f.name)
+        else col(f.name)
+      }: _*)
     df = canonicalize(df)
     df = opts.filenamecol match {
       case Some(name) =>

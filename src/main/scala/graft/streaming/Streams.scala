@@ -66,6 +66,35 @@ object Streams {
       }
   }
 
+  /** Bounded-state streaming dedup — the form that runs indefinitely at
+    * 100 TB. State per key = last-seen event time; a key expires once the
+    * watermark passes last-seen + `ttlMs` (EventTimeTimeout fires, state
+    * removed), after which the key is re-admitted as new. The unbounded
+    * variant above is only for finite backfills; an endless crawl MUST
+    * expire state or the state store grows without bound. */
+  final case class KeyedEvent(key: String, eventTime: java.sql.Timestamp, payload: Long)
+  def streamingDedupBounded(ds: Dataset[KeyedEvent], watermarkDelay: String,
+                            ttlMs: Long): Dataset[KeyedEvent] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq
+            val lastSeen = batch.map(_.eventTime.getTime).max
+            val isNew = !state.exists
+            state.update(math.max(state.getOption.getOrElse(0L), lastSeen))
+            // suppression window slides with the last sighting
+            state.setTimeoutTimestamp(state.get + ttlMs)
+            if (isNew) batch.sortBy(e => (e.eventTime.getTime, e.payload)).take(1).iterator
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Drive a streaming query synchronously over whatever is currently in
     * the source (for tests and batch-parity checks). Note on modes: with a
     * watermarked aggregation, "append" only emits windows already closed

@@ -188,4 +188,58 @@ class CoreSpec extends SparkSpec {
       .toDF("k", "v")
     assert(JTable(df).dropmissing("v").df.count() == 2)
   }
+
+  test("subtable: global row-range by pkey position (golden + sweep)") {
+    val got = JTable(tinyTable, Seq("k")).subtable(2, 4)
+      .select(col("k"), col("__pos")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 2L), (3L, 3L), (4L, 4L)))
+    partitionSweep { n =>
+      JTable(tinyTable.repartition(n), Seq("k")).subtable(2, 4)
+        .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+  }
+
+  test("distribute(rowgroups): explicit chunk sizes in pkey order (reference ndsparse.jl:426-474)") {
+    val t = JTable(tinyTable, Seq("k")).distribute(Seq(2L, 3L))
+    assert(t.pkey == Seq("k"))
+    val per = t.df.rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    assert(per.map(_.size).toSeq == Seq(2, 3))
+    assert(per(0) == Seq(1L, 2L) && per(1) == Seq(3L, 4L, 5L))
+    // overflow lands in the last chunk rather than throwing
+    val t2 = JTable(tinyTable, Seq("k")).distribute(Seq(1L, 1L))
+    val per2 = t2.df.rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    assert(per2.map(_.size).toSeq == Seq(1, 4))
+  }
+
+  test("convertdim vecagg: vector-level collision merge (reference selection.jl:36-47)") {
+    def median(arr: org.apache.spark.sql.Column) = {
+      val sorted = array_sort(arr); val n = size(sorted)
+      when(pmod(n, lit(2)) === 1, element_at(sorted, ((n + lit(1)) / 2).cast("int")))
+        .otherwise((element_at(sorted, (n / 2).cast("int")) +
+          element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
+    }
+    partitionSweep { n =>
+      val nd = NDSparse(tinyTable.repartition(n), Seq("k"), Seq("v"))
+      nd.convertdimVec("k", c => pmod(c, lit(2L)), "v", median, as = "med")
+        .table.df.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val nd = NDSparse(tinyTable, Seq("k"), Seq("v"))
+    val got = nd.convertdimVec("k", c => pmod(c, lit(2L)), "v", median, as = "med")
+      .table.df.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // k%2==0 → v∈{20,40} → 30.0; k%2==1 → v∈{10,30,50} → 30.0
+    assert(got == Seq((0L, 30.0), (1L, 30.0)))
+  }
+
+  test("broadcastOp keeps B-only dims (reference join.jl:286-322)") {
+    val a = NDSparse(Seq((1L, 10.0), (2L, 20.0)).toDF("x", "va"), Seq("x"), Seq("va"))
+    val b = NDSparse(Seq((1L, "p", 1.0), (1L, "q", 2.0), (2L, "p", 3.0))
+      .toDF("x", "y", "vb"), Seq("x", "y"), Seq("vb"))
+    val out = a.broadcastOp(b, (l, r) => l * r, "v")
+    assert(out.dims == Seq("x", "y"))
+    val rows = out.table.df.orderBy("x", "y").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "p", 10.0), (1L, "q", 20.0), (2L, "p", 60.0)))
+  }
 }

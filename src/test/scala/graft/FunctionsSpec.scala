@@ -197,14 +197,105 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.map(_.getSeq[Long](2)).toSeq == viaCol.map(_.getSeq[Long](2)).toSeq)
   }
 
-  test("ML featuremat: vector width = n_continuous + sum(card-1 per cat)") {
+  test("ML featuremat: vector width = n_cont + n_indicators + sum(card-1 per cat)") {
     val df = Tables.customer(spark, sf)
       .select(col("c_acctbal"), col("c_mktsegment"))
     val out = ML.featuremat(df)
+    assert(out.count() == df.count()) // Maybe featurization never drops rows
     val width = out.select(col("features")).head()
       .getAs[org.apache.spark.ml.linalg.Vector](0).size
     val card = df.select(countDistinct(col("c_mktsegment"))).head().getLong(0)
+    // nullable continuous cols add a missing-indicator column each;
     // OneHotEncoder drops the last category by default
-    assert(width == 1 + (card - 1))
+    val nInd = if (df.schema("c_acctbal").nullable) 1 else 0
+    assert(width == 1 + nInd + (card - 1))
+  }
+
+  test("ML featuremat: Maybe missing-value featurization (reference ml.jl:20-40)") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), "x"), (None, "y"), (Some(3.0), "x"))
+      .toDF("v", "c")
+    val out = ML.featuremat(df)
+    assert(out.count() == 3) // rows preserved, not na.drop()ed
+    assert(out.columns.contains("v_missing"))
+    assert(out.filter(col("v_missing") === 1.0).count() == 1)
+    // mean imputation: the missing v becomes mean(1.0, 3.0) = 2.0
+    val imputed = out.filter(col("v_missing") === 1.0)
+      .select(col("__imp_v")).head().getDouble(0)
+    assert(imputed == 2.0)
+    // missing categorical becomes its own level, not a dropped row
+    val catMissing = Seq((1.0, Some("x")), (2.0, None)).toDF("v", "c")
+    val out2 = ML.featuremat(catMissing)
+    assert(out2.count() == 2)
+    assert(out2.filter(col("c") === ML.MissingCategory).count() == 1)
+  }
+
+  test("cosinePairsLSH == cosinePairsExact (full recall, exact scores)") {
+    val emb = Tables.embeddings(spark, sf).filter(col("label") === 0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.25)
+      .collect().map(key).toSet
+    val lsh = Similarity.cosinePairsLSH(emb, "vec_id", "embedding", 0.25, dim = 64)
+      .collect().map(key).toSet
+    // the scale path must reproduce the oracle path bit-for-bit: same pair
+    // set (full recall at these (bits, tables)) and same exact-decimal cos
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("jaccardPairs maxDF: hot shingles contribute no candidate pairs") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"))
+      .toDF("id", "text")
+    // all shingles have df=3: capped out at maxDF=1 → no pairs at all
+    assert(Dedup.jaccardPairs(d, "id", "text", n = 3, threshold = 0.1, maxDF = 1L).count() == 0)
+    // cap above the max df: identical to the uncapped result
+    val uncapped = Dedup.jaccardPairs(d, "id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val capped = Dedup.jaccardPairs(d, "id", "text", 3, 0.1, maxDF = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(capped == uncapped && uncapped.size == 3)
+  }
+
+  test("Combinators: Series/Group/FTSeries fit in ONE pass (single Exchange)") {
+    import Sketches.Combinators._
+    import org.apache.spark.sql.Column
+    val li = Tables.lineitem(spark, sf)
+    val cols = series(col("l_quantity"),
+        "n" -> (c => count(c)), "mx" -> (c => max(c))) ++
+      group(col("l_extendedprice") -> (("mn_price", (c: Column) => min(c)))) ++
+      ftSeries(col("l_quantity"), c => c > 10, c => c * 2,
+        "s2" -> (c => sum(c)))
+    val out = reduceAll(li, Seq("l_returnflag"), cols)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).size == 1,
+      s"combined sketch pass should have exactly one Exchange:\n$plan")
+    val got = out.orderBy("l_returnflag").collect()
+    val want = li.groupBy("l_returnflag").agg(count(col("l_quantity")),
+        max(col("l_quantity")), min(col("l_extendedprice")),
+        sum(when(col("l_quantity") > 10, col("l_quantity") * 2)))
+      .orderBy("l_returnflag").collect()
+    got.zip(want).foreach { case (g, w) => assert(g.toSeq == w.toSeq) }
+    // custom sketches compose in the same single pass
+    val withSketch = reduceAll(li, Seq("l_returnflag"),
+      series(col("l_quantity"), "m" -> Sketches.momentsCol _, "n" -> (c => count(c))))
+    val row = withSketch.orderBy("l_returnflag").head()
+    assert(row.getStruct(1).getLong(0) == row.getLong(2))
+  }
+
+  test("bucketed ANN corpus: partition-pruned query == lshTopK") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toFile.getPath + "/corpus"
+    Similarity.writeBucketedCorpus(emb, "vec_id", "embedding", 64, 4, 4, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.lshTopKBucketed(dir, queries, "vec_id", "embedding",
+      64, 4, 5, tables = 4)
+    val want = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 4, 5,
+      tables = 4)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(got.collect().map(key).toSet == want.collect().map(key).toSet)
+    // the scan must read only matching (tbl, sig) directories
+    val scanPlan = got.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters: ["), scanPlan)
+    assert(scanPlan.contains("sig"), "bucket predicate not pushed to the scan")
   }
 }

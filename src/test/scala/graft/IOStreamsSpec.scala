@@ -159,6 +159,58 @@ class IOStreamsSpec extends SparkSpec {
     }
   }
 
+  test("loadtable: multi-nastrings nulled post-load; spacedelim") {
+    val dir = Files.createTempDirectory("graft_csv4").toFile
+    Files.writeString(new java.io.File(dir, "na.csv").toPath,
+      "a,b\n1,x\nNA,NULL\n2,-\n")
+    val t = IO.loadtable(spark, Seq(s"$dir/na.csv"),
+      IO.CsvOptions(nastrings = Seq("NA", "NULL", "-")))
+    val rows = t.df.orderBy(col("a").asc_nulls_last).collect()
+    assert(rows.map(r => Option(r.get(0))).toSeq == Seq(Some(1), Some(2), None))
+    assert(rows.map(r => Option(r.get(1))).toSeq == Seq(Some("x"), None, None))
+
+    Files.writeString(new java.io.File(dir, "sp.csv").toPath, "a b\n1 2\n3 4\n")
+    val sp = IO.loadtable(spark, Seq(s"$dir/sp.csv"), IO.CsvOptions(spacedelim = true))
+    assert(sp.df.columns.toSeq == Seq("a", "b"))
+    assert(sp.df.orderBy("a").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 2), (3, 4)))
+  }
+
+  test("loadtable: typeDetectRows pins the schema from the first N rows") {
+    val dir = Files.createTempDirectory("graft_csv5").toFile
+    // first 2 data rows are integral; row 3 is not — the reference's
+    // type_detect_rows=2 sample infers Int and later rows fail to parse
+    Files.writeString(new java.io.File(dir, "t.csv").toPath, "a\n1\n2\n3.5\n")
+    val t = IO.loadtable(spark, Seq(s"$dir/t.csv"), IO.CsvOptions(typeDetectRows = 2))
+    assert(t.df.schema("a").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(t.df.filter(col("a").isNull).count() == 1) // "3.5" → null, not a full-scan re-infer
+    // a larger sample sees the double and widens
+    val t2 = IO.loadtable(spark, Seq(s"$dir/t.csv"), IO.CsvOptions(typeDetectRows = 3))
+    assert(t2.df.schema("a").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("streamingDedupBounded: expired keys re-admit (EventTimeTimeout)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val ms = MemoryStream[Streams.KeyedEvent](spark)
+    val out = Streams.streamingDedupBounded(ms.toDS(), "0 seconds", ttlMs = 10000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_ttl_test").start()
+    try {
+      def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+      ms.addData(Streams.KeyedEvent("a", t(0), 1L)); q.processAllAvailable()
+      ms.addData(Streams.KeyedEvent("c", t(60), 2L)); q.processAllAvailable()  // watermark → t(0+60)
+      ms.addData(Streams.KeyedEvent("d", t(120), 3L)); q.processAllAvailable() // a times out here
+      ms.addData(Streams.KeyedEvent("a", t(180), 4L)); q.processAllAvailable() // a re-admitted
+      val keys = spark.table("dedup_ttl_test").collect().map(_.getString(0)).toSeq
+      assert(keys.count(_ == "a") == 2, s"expired key not re-admitted: $keys")
+      assert(keys.count(_ == "c") == 1 && keys.count(_ == "d") == 1)
+      // within-TTL duplicates stay suppressed
+      ms.addData(Streams.KeyedEvent("a", t(181), 5L)); q.processAllAvailable()
+      assert(spark.table("dedup_ttl_test").collect().count(_.getString(0) == "a") == 2)
+    } finally q.stop()
+  }
+
   test("streamingDedup emits first occurrence per key only") {
     val dir = Files.createTempDirectory("graft_dedup").toFile.getPath
     Seq(Streams.Keyed("a", 1L), Streams.Keyed("a", 2L), Streams.Keyed("b", 3L))
