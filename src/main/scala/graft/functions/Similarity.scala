@@ -65,12 +65,21 @@ object Similarity {
                      excludeSelf: Boolean = true, exact: Boolean = false): DataFrame = {
     // excludeSelf=true assumes query and corpus share an id space (self-
     // search); pass false when the query set is an unrelated table.
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    // Norms are computed ONCE per vector (query norms inside the broadcast,
+    // corpus norms in the narrow scan) — scoring a pair is then one dot
+    // product, not three: cos = dot(q,c) / (|q|·|c|), the same arithmetic
+    // as computing cosine from scratch, at a third of the per-pair cost.
+    val dotF: (Column, Column) => Column = if (exact) dotExact(_, _).cast("double") else dot
+    def nrm(v: Column) = sqrt(dotF(v, v))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", nrm(col("qv")))
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", nrm(col("cv")))
     val cond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
-    val score: (Column, Column) => Column = if (exact) cosineExact else cosine
     val scored = c.join(broadcast(q), cond)
-      .withColumn("cos", score(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
+      .withColumn("cos", dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -207,9 +216,12 @@ object Similarity {
                      threshold: Double, dim: Int, bits: Int = 2,
                      tables: Int = 24): DataFrame = {
     def sigs(v: Column) = array((0 until tables).map(t =>
-      rhpSignature(v.cast("array<double>"), dim, bits, seed = t * 7919)): _*)
-    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(sigs(col(vecCol))).as(Seq("tbl", "sig")))
+      rhpSignature(v, dim, bits, seed = t * 7919)): _*)
+    // norms once per vector in the narrow scan (not once per candidate)
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotExact(col("v"), col("v")).cast("double")))
+    val e = base.select(col("id"), col("v"), col("nrm"),
+      posexplode(sigs(col("v"))).as(Seq("tbl", "sig")))
     val a = e.as("a"); val b = e.as("b")
     // dedup BEFORE scoring (reverse of minhashLSH's order): the exact
     // decimal re-check is the expensive step here, so each candidate pair
@@ -218,11 +230,12 @@ object Similarity {
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.v").as("vi"), col("b.v").as("vj"))
+        col("a.v").as("vi"), col("b.v").as("vj"),
+        col("a.nrm").as("ni"), col("b.nrm").as("nj"))
       .dropDuplicates("i", "j")
     cand
       .withColumn("cos",
-        cosineExact(col("vi").cast("array<double>"), col("vj").cast("array<double>")))
+        dotExact(col("vi"), col("vj")).cast("double") / (col("ni") * col("nj")))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
   }
