@@ -104,6 +104,88 @@ private[graft] object Batch5 {
              |SELECT i, j, CAST(dotd AS DOUBLE) / (ni.nrm * nj.nrm) AS cos
              |FROM dots JOIN norms ni ON ni.id = i JOIN norms nj ON nj.id = j
              |WHERE CAST(dotd AS DOUBLE) / (ni.nrm * nj.nrm) >= 0.25
-             |ORDER BY i, j""".stripMargin))
+             |ORDER BY i, j""".stripMargin)),
+
+    // OnlineStats Hist THROUGH the mergeable Aggregator (q40 covers the
+    // groupBy lowering; this row covers Sketches.HistAgg itself): counts
+    // are exact longs, so partial-merge order can't affect the hash. The
+    // oracle mirrors the sketch's bin arithmetic ((x-lo)/(hi-lo)*nbins,
+    // clamped) rather than an equivalent-looking /width form, so both
+    // engines round identically at bin boundaries.
+    Q("q68_hist_sketch",
+      (s, dir) => {
+        val h = Tables.orders(s, dir)
+          .agg(Sketches.histCol(0.0, 600000.0, 12)(col("o_totalprice")).as("h"))
+        h.select(posexplode(col("h")).as(Seq("bin", "n")))
+          .withColumn("bin", col("bin").cast("long"))
+          .orderBy("bin")
+      },
+      Some("""WITH c AS (SELECT LEAST(GREATEST(
+             |      CAST(FLOOR(o_totalprice / 600000.0 * 12) AS BIGINT), 0), 11) AS bin,
+             |    COUNT(*) AS n
+             |  FROM orders GROUP BY 1)
+             |SELECT r.bin, COALESCE(c.n, 0) AS n
+             |FROM (SELECT unnest(range(12)) AS bin) r
+             |LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin)),
+
+    // OnlineStats CountMap THROUGH the Aggregator (exact while distinct
+    // keys ≤ maxKeys; q41 covers the groupBy form).
+    Q("q69_countmap_sketch",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .agg(Sketches.countmapCol(1000)(col("event_type")).as("m"))
+          .select(explode(col("m")).as(Seq("event_type", "n")))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // OnlineStats Mosaic (2-D countmap) THROUGH the Aggregator.
+    Q("q70_mosaic_sketch",
+      (s, dir) => {
+        val ub = concat(lit("u"), pmod(col("user_id"), lit(4L)))
+        Tables.events(s, dir)
+          .agg(Sketches.mosaicCol(1000)(col("event_type"), ub).as("m"))
+          .select(explode(col("m")).as(Seq("k", "n")))
+          .select(split(col("k"), Sketches.MosaicAgg.Sep).getItem(0).as("event_type"),
+            split(col("k"), Sketches.MosaicAgg.Sep).getItem(1).as("user_bucket"),
+            col("n"))
+          .orderBy("event_type", "user_bucket")
+      },
+      Some("""SELECT event_type, 'u' || CAST(user_id % 4 AS VARCHAR) AS user_bucket,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, user_bucket""".stripMargin)),
+
+    // §2.2 dropmissing on join-produced missings (reference
+    // `test/test_table.jl:203-222`): left join creates the nulls, the
+    // operator narrows them away — equivalent to the inner join.
+    Q("q71_dropmissing",
+      (s, dir) => {
+        val stats = ord(s, dir).filter(col("o_totalprice") > 300000)
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(max(col("o_totalprice")).as("max_big"))
+        val j = Joins.join(
+          JTable(Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))),
+          JTable(stats), Seq("c_custkey"), Seq("c_custkey"), how = "left")
+        JTable(j).dropmissing("max_big").df.orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, m.max_big
+             |FROM customer JOIN (
+             |  SELECT o_custkey, MAX(o_totalprice) AS max_big FROM orders
+             |  WHERE o_totalprice > 300000 GROUP BY 1) m
+             |  ON c_custkey = m.o_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // §2.2 rename (pkey-aware) + positional insertcols through the oracle.
+    Q("q72_rename_insert",
+      (s, dir) => {
+        JTable(Tables.part(s, dir).select(col("p_partkey"), col("p_name")), Seq("p_partkey"))
+          .rename("p_name" -> "part_name")
+          .insertAfter("p_partkey", "key2" -> (col("p_partkey") * 2).cast("long"))
+          .df.orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, CAST(p_partkey * 2 AS BIGINT) AS key2,
+             |  p_name AS part_name
+             |FROM part ORDER BY p_partkey""".stripMargin))
   )
 }

@@ -177,6 +177,9 @@ object Sketches {
   /** CountMap as an untyped aggregate Column. */
   def countmapCol(maxKeys: Int = 10000)(c: Column): Column =
     udaf(CountMapAgg(maxKeys), Encoders.STRING).apply(c)
+  /** Mosaic (2-D countmap) as an untyped aggregate Column over (x, y). */
+  def mosaicCol(maxKeys: Int = 10000)(x: Column, y: Column): Column =
+    udaf(MosaicAgg(maxKeys), Encoders.tuple(Encoders.STRING, Encoders.STRING)).apply(x, y)
 
   /** OnlineStats combinators (reference `docs/src/onlinestats.md:24-47`,
     * `src/recipes.jl:7-30`): `Series` fits several stats over ONE selection,

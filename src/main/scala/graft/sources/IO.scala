@@ -159,6 +159,27 @@ object IO {
     JTable.assumeCoPartitioned(spark.table(tableName), spec.bucketColumnNames)
   }
 
+  /** SQL/db source (reference's MySQL example, `docs/src/tutorial.md:706-720`):
+    * read a table or `(SELECT …) q` subquery through JDBC. At scale, pass
+    * `partitioning = (column, lower, upper, n)` so the read issues n
+    * range-split queries in parallel instead of one serial cursor — the
+    * single-connection form does NOT parallelize and is only for small
+    * dimension pulls. */
+  def loadJdbc(spark: SparkSession, url: String, table: String,
+               options: Map[String, String] = Map.empty,
+               partitioning: Option[(String, Long, Long, Int)] = None,
+               pkey: Seq[String] = Nil): JTable = {
+    var reader = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    partitioning.foreach { case (c, lo, hi, n) =>
+      reader = reader.option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n)
+    }
+    JTable(reader.load(), pkey)
+  }
+
   /** `Iterators.partition(t, n)` — driver-side batched iteration without
     * materializing the whole table (reference `src/iteration.jl:3-60`). */
   def partitionIterator(df: DataFrame, batch: Int): Iterator[Seq[org.apache.spark.sql.Row]] = {

@@ -55,6 +55,32 @@ class IOStreamsSpec extends SparkSpec {
     assert(df.filter(col("z").isNull).count() == 1)
   }
 
+  test("loadJdbc: embedded Derby source, serial and range-partitioned") {
+    val dbDir = Files.createTempDirectory("graft_derby").toFile.getPath + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE stocks (id BIGINT, ticker VARCHAR(8), price DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO stocks VALUES (?, ?, ?)")
+      Seq((1L, "AAPL", 100.5), (2L, "MSFT", 200.25), (3L, "GOOG", 150.0))
+        .foreach { case (i, t, p) =>
+          ps.setLong(1, i); ps.setString(2, t); ps.setDouble(3, p); ps.addBatch()
+        }
+      ps.executeBatch()
+    } finally conn.close()
+    val t = IO.loadJdbc(spark, url, "stocks",
+      options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(t.df.orderBy("id").collect().map(r => (r.getString(1), r.getDouble(2))).toSeq ==
+      Seq(("AAPL", 100.5), ("MSFT", 200.25), ("GOOG", 150.0)))
+    // range-partitioned parallel read: same rows, n partitions
+    val p = IO.loadJdbc(spark, url, "stocks",
+      options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+      partitioning = Some(("id", 1L, 4L, 2)))
+    assert(p.df.rdd.getNumPartitions == 2)
+    assert(p.df.count() == 3)
+  }
+
   test("save/load roundtrip preserves data") {
     val dir = Files.createTempDirectory("graft_save").toFile.getPath + "/t"
     val t = JTable(Tables.nation(spark, sf), Seq("n_nationkey"))
