@@ -91,15 +91,21 @@ object Dedup {
     val sigs = df.filter(Text.tokenCount(col(textCol)) >= n)
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), n, k).as("sig"))
+    // each band's slice is packed to ONE 64-bit bucket key (xxhash64 over
+    // band index + slice values): the bucket-join shuffle then carries an
+    // 8-byte key instead of an array<long>, and the join is a plain long
+    // equi-join. A 2^-64 hash collision only ADDS a candidate pair, which
+    // the est_sim verification below filters — never a missed pair.
     val bandRows = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)).as(Seq("band", "slice")))
+      explode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as("bucket"))
     val a = bandRows.as("a"); val b = bandRows.as("b")
     // verify BEFORE dedup: est_sim is a cheap narrow compute, and filtering
     // first means the dropDuplicates shuffle carries only surviving pairs
     // (candidate volume can be orders of magnitude larger).
     val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+        col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),

@@ -102,6 +102,19 @@ object Sketches {
     def outputEncoder: Encoder[Seq[(Double, Long)]] = ExprEncoders.pairSeq
   }
 
+  /** Approximate quantile from a KHist sketch: walk the cumulative weight
+    * to the target rank (OnlineStats quantile-from-KHist recipe). */
+  def khistQuantile(centers: Seq[(Double, Long)], q: Double): Double = {
+    require(centers.nonEmpty, "empty sketch")
+    val target = q * centers.map(_._2).sum
+    var acc = 0L
+    centers.foreach { case (x, w) =>
+      acc += w
+      if (acc >= target) return x
+    }
+    centers.last._1
+  }
+
   /** CountMap (OnlineStats `CountMap`): value→count map with a capacity
     * cap. EXACT while distinct keys ≤ maxKeys (the reference's CountMap is
     * unbounded/exact); beyond that, lightest keys are evicted in amortized
@@ -165,6 +178,35 @@ object Sketches {
     def finish(b: Array[Moments]): Seq[MomentsOut] = b.toSeq.map(MomentsAgg.finish)
     def bufferEncoder: Encoder[Array[Moments]] = ExprEncoders.momentsArray
     def outputEncoder: Encoder[Seq[MomentsOut]] = ExprEncoders.momentsOutSeq
+  }
+
+  /** OnlineStats `Partition(stat, nparts)` (reference `src/recipes.jl`,
+    * `docs/src/plotting.md`): the value column summarized over `nparts`
+    * contiguous chunks of the table in GLOBAL pkey order — "arrival order",
+    * which a distributed engine must define as the table's sort order. rows
+    * are numbered with the same partition-offset zipWithIndex machinery as
+    * `subtable` (no single-task window), then fed to [[IndexedPartitionAgg]]
+    * over the position axis. Two jobs (zipWithIndex's count + the
+    * aggregation), both fully parallel. */
+  def partitionSketch(t: graft.core.JTable, valueCol: String,
+                      nparts: Int): Seq[MomentsOut] = {
+    require(t.pkey.nonEmpty, "partitionSketch requires a pkey (sequence = pkey order)")
+    val sorted = t.df.orderBy(t.pkey.map(col): _*)
+    val vIdx = sorted.columns.indexOf(valueCol)
+    require(vIdx >= 0, s"no column $valueCol")
+    val posVal = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      (i.toDouble, r.getDouble(vIdx))
+    }
+    val n = posVal.count()
+    val spark = t.spark
+    import spark.implicits._
+    posVal.toDF("pos", "v").as[(Double, Double)]
+      .select(udaf(IndexedPartitionAgg(0.0, n.toDouble, nparts),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+        .apply(col("pos"), col("v")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => MomentsOut(r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
   }
 
   // ---- Column forms of the sketches (for combinators / plain .agg) --------

@@ -55,6 +55,33 @@ class FunctionsSpec extends SparkSpec {
     assert(centers.map(_._1) == centers.map(_._1).sorted)
   }
 
+  test("partitionSketch: sequential-chunk summary in pkey order (reference Partition)") {
+    import spark.implicits._
+    val t = graft.core.JTable(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)).toDF("k", "v"),
+      Seq("k"))
+    val parts = Sketches.partitionSketch(t, "v", 2)
+    assert(parts.map(_.n) == Seq(3L, 2L))
+    assert(parts(0).mean == 20.0 && parts(1).mean == 45.0)
+    assert(parts(0).min == 10.0 && parts(1).max == 50.0)
+  }
+
+  test("KHist quantiles track exact percentiles (approximation quality)") {
+    val o = Tables.orders(spark, sf)
+    val exact = o.select(
+      percentile(col("o_totalprice"), lit(0.25)),
+      percentile(col("o_totalprice"), lit(0.5)),
+      percentile(col("o_totalprice"), lit(0.75))).head()
+    val centers = o.select(col("o_totalprice")).as[Double]
+      .select(Sketches.KHistAgg(64).toColumn).head()
+    for ((q, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+      val est = Sketches.khistQuantile(centers, q)
+      val want = exact.getDouble(i)
+      assert(math.abs(est - want) / want < 0.15,
+        s"q=$q: khist $est vs exact $want")
+    }
+  }
+
   test("MosaicAgg and IndexedPartitionAgg merge correctly across partitionings") {
     val ev2 = Tables.events(spark, sf)
       .select(col("event_type"), concat(lit("u"), pmod(col("user_id"), lit(3))).as("ub"))
