@@ -186,6 +186,80 @@ private[graft] object Batch5 {
       },
       Some("""SELECT p_partkey, CAST(p_partkey * 2 AS BIGINT) AS key2,
              |  p_name AS part_name
-             |FROM part ORDER BY p_partkey""".stripMargin))
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // TPC-H Q5 analog: local-supply revenue per nation inside one region —
+    // the 6-way join shape. Fact tables SMJ on their keys; supplier,
+    // nation, region broadcast; the c_nationkey = s_nationkey local-supply
+    // predicate rides the join.
+    Q("q73_local_supply",
+      (s, dir) => {
+        val j = li(s, dir)
+          .join(ord(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+        j.groupBy("n_name")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // TPC-H Q10 analog: top returned-revenue customers (agg → global
+    // top-k; TakeOrdered plan, no full sort).
+    Q("q74_returned_revenue",
+      (s, dir) => {
+        val j = li(s, dir).filter(col("l_returnflag") === "R")
+          .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        j.groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
+
+    // TPC-H Q12 analog: conditional aggregation (CASE inside SUM) — high-
+    // vs low-priority line counts per linestatus.
+    Q("q75_priority_split",
+      (s, dir) => {
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li(s, dir).join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_count"),
+            sum(when(!isHigh, 1L).otherwise(0L)).as("low_count"))
+          .orderBy("l_linestatus")
+      },
+      // CAST to BIGINT: DuckDB's SUM(INTEGER) is HUGEINT (the q63 trap)
+      Some("""SELECT l_linestatus,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY l_linestatus""".stripMargin))
   )
 }

@@ -138,6 +138,7 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
     * stage's shuffle files for its second pass, so the data is ranged once. */
   def subtable(lo: Long, hi: Long): DataFrame = {
     require(pkey.nonEmpty, "subtable requires a pkey (global position = pkey order)")
+    require(lo >= 1 && hi >= lo, s"invalid 1-based row range [$lo, $hi]")
     val sorted = df.orderBy(pkey.map(col): _*)
     val schema = sorted.schema.add("__pos", org.apache.spark.sql.types.LongType, nullable = false)
     val rows = sorted.rdd.zipWithIndex()

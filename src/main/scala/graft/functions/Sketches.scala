@@ -191,9 +191,11 @@ object Sketches {
   def partitionSketch(t: graft.core.JTable, valueCol: String,
                       nparts: Int): Seq[MomentsOut] = {
     require(t.pkey.nonEmpty, "partitionSketch requires a pkey (sequence = pkey order)")
-    val sorted = t.df.orderBy(t.pkey.map(col): _*)
-    val vIdx = sorted.columns.indexOf(valueCol)
-    require(vIdx >= 0, s"no column $valueCol")
+    require(t.df.columns.contains(valueCol), s"no column $valueCol")
+    val sorted = t.df
+      .select(t.pkey.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .orderBy(t.pkey.map(col): _*)
+    val vIdx = sorted.columns.length - 1
     val posVal = sorted.rdd.zipWithIndex().map { case (r, i) =>
       (i.toDouble, r.getDouble(vIdx))
     }

@@ -87,8 +87,11 @@ object Streams {
             val lastSeen = batch.map(_.eventTime.getTime).max
             val isNew = !state.exists
             state.update(math.max(state.getOption.getOrElse(0L), lastSeen))
-            // suppression window slides with the last sighting
-            state.setTimeoutTimestamp(state.get + ttlMs)
+            // suppression window slides with the last sighting; clamp above
+            // the watermark — a batch of late-but-in-watermark events could
+            // otherwise compute an expiry ≤ watermark, which Spark rejects
+            state.setTimeoutTimestamp(
+              math.max(state.get + ttlMs, state.getCurrentWatermarkMs() + 1))
             if (isNew) batch.sortBy(e => (e.eventTime.getTime, e.payload)).take(1).iterator
             else Iterator.empty
           }
