@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Normalize: lowercase, collapse whitespace, trim. */
+  /** Normalize: lowercase, collapse whitespace, trim. Native expression
+    * (plans.NormalizeWs): one byte-level pass instead of a per-row Java
+    * regex machine — bit-identical to
+    * `trim(regexp_replace(lower(text), "\\s+", " "))` (spec-asserted),
+    * which remains the DuckDB-oracle formulation. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    graft.plans.HashExpressions.normalizeWs(text)
 
   /** Whitespace tokens of the normalized text. Empty/whitespace-only text
     * yields an empty array (Spark's split of "" returns [""], which would

@@ -43,6 +43,10 @@ object GraftExtensions {
       require(args.length == 1, "simhash64(text)")
       SimHash64(args(0))
     },
+    "normalize_ws" -> { args =>
+      require(args.length == 1, "normalize_ws(text)")
+      NormalizeWs(args(0))
+    },
     "shingle_hashes" -> { args =>
       require(args.length == 2, "shingle_hashes(text, n)")
       ShingleHashes(args(0), intLit(args(1)))

@@ -144,6 +144,33 @@ object HashOps {
   def shingleHashesJava(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(s.toString, n))
 
+  /** Lowercase + collapse ASCII-whitespace runs to single spaces + trim, in
+    * one byte-level pass. Bit-identical to
+    * `trim(regexp_replace(lower(s), "\\s+", " "))`: lowercasing delegates
+    * to UTF8String.toLowerCase (exactly Spark's `lower()`), and the six
+    * Java-regex `\s` chars are all single UTF-8 bytes, never continuation
+    * bytes, so the byte scan is UTF-8-safe. */
+  def normalizeWsJava(s: UTF8String): UTF8String = {
+    val b = s.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var pending = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c == 0x20 || c == 0x09 || c == 0x0A || c == 0x0B || c == 0x0C || c == 0x0D) {
+        pending = o > 0 // a leading run is trimmed, not emitted
+      } else {
+        if (pending) { out(o) = 0x20; o += 1; pending = false }
+        out(o) = c
+        o += 1
+      }
+      i += 1
+    }
+    // a trailing run never flushes `pending` → trimmed
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   def rhpSigJava(arr: ArrayData, coeffs: Array[Array[Double]], isFloat: Boolean): Long = {
     val bits = coeffs.length
     val dim = if (bits > 0) coeffs(0).length else 0
@@ -217,6 +244,23 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** normalize_ws(text): lowercase + whitespace-collapse + trim in one
+  * byte-level pass — the normalization under every text/dedup operator.
+  * Replaces a per-row Java-regex `\s+` machine with a branch-per-byte
+  * loop (same output, asserted against the regex form in the spec). */
+case class NormalizeWs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.normalizeWsJava(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.normalizeWsJava($c);")
+  override protected def withNewChildInternal(c: Expression): NormalizeWs = copy(child = c)
+  override def prettyName: String = "normalize_ws"
+}
+
 /** rhp_signature(vec): b sign-bits of deterministic pseudo-random
   * hyperplane projections, packed into a long — the ANN bucketing hash.
   * One pass over the vector per row (the Column formulation builds a
@@ -262,6 +306,7 @@ object HashExpressions {
   def minhashSig(c: Column, n: Int, k: Int): Column = column(MinHashSig(expression(c), n, k))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
+  def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
   def rhpSignature(c: Column, dim: Int, bits: Int, seed: Int): Column =
     column(RhpSignature(expression(c), dim, bits, seed))
 }

@@ -101,6 +101,18 @@ class FunctionsSpec extends SparkSpec {
     ip.filter(_.n > 0).foreach(mo => assert(mo.min <= mo.mean && mo.mean <= mo.max))
   }
 
+  test("normalize_ws == trim(regexp_replace(lower, \\s+)) on fixture + edge cases") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "\t\n A  B\r\nC ", "Ünïcode  ÇH文字  x",
+      "ab", " mixed\tws\n\fruns ", "NoWs").toDF("text")
+    val regexForm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    for (df <- Seq(edge, Tables.documents(spark, sf).select(col("text")))) {
+      val diff = df.select(Text.normalize(col("text")).as("native"), regexForm.as("re"))
+        .filter(not(col("native") <=> col("re")))
+      assert(diff.isEmpty, diff.take(3).mkString("; "))
+    }
+  }
+
   test("Text functions: tokens/quality/langid on inline docs") {
     val docs = Seq(
       (1L, "The cat and the dog sat on the mat together today."),
