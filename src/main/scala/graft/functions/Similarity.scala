@@ -69,13 +69,18 @@ object Similarity {
     // corpus norms in the narrow scan) — scoring a pair is then one dot
     // product, not three: cos = dot(q,c) / (|q|·|c|), the same arithmetic
     // as computing cosine from scratch, at a third of the per-pair cost.
-    val dotF: (Column, Column) => Column = if (exact) dotExact(_, _).cast("double") else dot
+    // exact=true additionally pre-converts each vector to its fix9 image
+    // (exact decimal-9 unscaled longs, once per vector) so per-pair exact
+    // scoring is a native long loop (DotFix9), not interpreted decimal
+    // HOFs — bit-identical output either way.
+    import graft.plans.HashExpressions.{dotFix9, fix9}
+    val prep: Column => Column =
+      if (exact) fix9 else (v: Column) => v.cast("array<double>")
+    val dotF: (Column, Column) => Column = if (exact) dotFix9 else dot
     def nrm(v: Column) = sqrt(dotF(v, v))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), prep(col(vecCol)).as("qv"))
       .withColumn("qn", nrm(col("qv")))
-    val c = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("cv"))
+    val c = corpus.select(col(idCol).as("id"), prep(col(vecCol)).as("cv"))
       .withColumn("cn", nrm(col("cv")))
     val cond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
     val scored = c.join(broadcast(q), cond)
@@ -215,13 +220,17 @@ object Similarity {
   def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, bits: Int = 2,
                      tables: Int = 24): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9}
     def sigs(v: Column) = array((0 until tables).map(t =>
       rhpSignature(v, dim, bits, seed = t * 7919)): _*)
-    // norms once per vector in the narrow scan (not once per candidate)
-    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotExact(col("v"), col("v")).cast("double")))
-    val e = base.select(col("id"), col("v"), col("nrm"),
-      posexplode(sigs(col("v"))).as(Seq("tbl", "sig")))
+    // fix9 image + norm once per vector in the narrow scan (computed
+    // BEFORE the signature explode so neither repeats per table row);
+    // signatures from the raw vector (float→double is exact)
+    val base = df.select(col(idCol).as("id"), fix9(col(vecCol)).as("vf"),
+        sigs(col(vecCol)).as("ss"))
+      .withColumn("nrm", sqrt(dotFix9(col("vf"), col("vf"))))
+    val e = base.select(col("id"), col("vf"), col("nrm"),
+      posexplode(col("ss")).as(Seq("tbl", "sig")))
     val a = e.as("a"); val b = e.as("b")
     // dedup BEFORE scoring (reverse of minhashLSH's order): the exact
     // decimal re-check is the expensive step here, so each candidate pair
@@ -230,12 +239,11 @@ object Similarity {
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.v").as("vi"), col("b.v").as("vj"),
+        col("a.vf").as("fi"), col("b.vf").as("fj"),
         col("a.nrm").as("ni"), col("b.nrm").as("nj"))
       .dropDuplicates("i", "j")
     cand
-      .withColumn("cos",
-        dotExact(col("vi"), col("vj")).cast("double") / (col("ni") * col("nj")))
+      .withColumn("cos", dotFix9(col("fi"), col("fj")) / (col("ni") * col("nj")))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
   }

@@ -171,6 +171,58 @@ object HashOps {
     UTF8String.fromBytes(out, 0, o)
   }
 
+  /** Element-exact decimal(12,9) fixed-point: each element v becomes the
+    * unscaled long of Spark's `cast(v as decimal(12,9))` — BigDecimal
+    * .valueOf (shortest decimal repr, what Decimal.set(Double) uses) then
+    * setScale(9, HALF_UP). Computed ONCE per vector; pair scoring then
+    * never touches BigDecimal (see [[dotFix9Java]]). */
+  def fix9Java(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      require(!arr.isNullAt(i), s"fix9: null element at $i (dense vectors only)")
+      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      out(i) = java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact dot product of two fix9 vectors: products are scale-18 longs
+    * (may exceed 64 bits for large elements → 128-bit via multiplyHigh),
+    * accumulated into a signed 128-bit (hi, lo) pair — the EXACT decimal
+    * sum — then one correctly-rounded conversion to double. Bit-identical
+    * to `cast(aggregate(zip_with(a, b, (x,y) -> decimal products)) as
+    * double)` and to any engine's exact-decimal relational sum. */
+  def dotFix9Java(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dot_fix9 dim mismatch: ${a.numElements()} vs ${b.numElements()}")
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < n) {
+      val la = a.getLong(i)
+      val lb = b.getLong(i)
+      val pl = la * lb
+      val ph = Math.multiplyHigh(la, lb)
+      val nlo = lo + pl
+      hi += ph + (if (java.lang.Long.compareUnsigned(nlo, lo) < 0) 1L else 0L)
+      lo = nlo
+      i += 1
+    }
+    if (hi == 0L && lo >= 0L) new java.math.BigDecimal(java.math.BigInteger.valueOf(lo), 18).doubleValue()
+    else if (hi == -1L && lo < 0L) new java.math.BigDecimal(java.math.BigInteger.valueOf(lo), 18).doubleValue()
+    else {
+      val big = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+        .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+      new java.math.BigDecimal(big, 18).doubleValue()
+    }
+  }
+
   def rhpSigJava(arr: ArrayData, coeffs: Array[Array[Double]], isFloat: Boolean): Long = {
     val bits = coeffs.length
     val dim = if (bits > 0) coeffs(0).length else 0
@@ -244,6 +296,51 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** fix9(vec): exact decimal(12,9) fixed-point image of a float/double
+  * vector, as unscaled longs — the once-per-vector half of the native
+  * exact-cosine path (see HashOps.fix9Java). */
+case class Fix9(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fix9 expects array<float> or array<double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.fix9Java(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.fix9Java($c, $isFloat);")
+  override protected def withNewChildInternal(c: Expression): Fix9 = copy(child = c)
+  override def prettyName: String = "fix9"
+}
+
+/** dot_fix9(a, b): exact decimal dot product of two fix9 vectors →
+  * correctly-rounded double (see HashOps.dotFix9Java). */
+case class DotFix9(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType, containsNull = false),
+    ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      HashOps.dotFix9Java(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HashOps.dotFix9Java($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFix9 =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_fix9"
+}
+
 /** normalize_ws(text): lowercase + whitespace-collapse + trim in one
   * byte-level pass — the normalization under every text/dedup operator.
   * Replaces a per-row Java-regex `\s+` machine with a branch-per-byte
@@ -307,6 +404,8 @@ object HashExpressions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
+  def fix9(c: Column): Column = column(Fix9(expression(c)))
+  def dotFix9(a: Column, b: Column): Column = column(DotFix9(expression(a), expression(b)))
   def rhpSignature(c: Column, dim: Int, bits: Int, seed: Int): Column =
     column(RhpSignature(expression(c), dim, bits, seed))
 }

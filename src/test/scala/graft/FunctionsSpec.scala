@@ -269,6 +269,25 @@ class FunctionsSpec extends SparkSpec {
     assert(out2.filter(col("c") === ML.MissingCategory).count() == 1)
   }
 
+  test("fix9/dotFix9 == interpreted decimal HOF dot (bit-identical)") {
+    import graft.plans.HashExpressions.{dotFix9, fix9}
+    val emb = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val both = emb.select(
+      dotFix9(fix9(col("embedding")), fix9(col("embedding"))).as("native"),
+      Similarity.dotExact(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).cast("double").as("hof"))
+    val diff = both.filter(not(col("native") <=> col("hof")))
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+    // negative values exercise the 128-bit accumulation sign paths
+    import spark.implicits._
+    val v = Seq((Seq(-1.5f, 2.25f, -3.0f), Seq(4.0f, -5.5f, 6.75f))).toDF("a", "b")
+    val r = v.select(dotFix9(fix9(col("a")), fix9(col("b"))).as("native"),
+      Similarity.dotExact(col("a").cast("array<double>"),
+        col("b").cast("array<double>")).cast("double").as("hof")).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
   test("cosinePairsLSH == cosinePairsExact (full recall, exact scores)") {
     val emb = Tables.embeddings(spark, sf).filter(col("label") === 0)
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
