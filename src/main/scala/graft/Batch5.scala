@@ -260,6 +260,46 @@ private[graft] object Batch5 {
              |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
              |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY 1 ORDER BY l_linestatus""".stripMargin))
+             |GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // §2.11 mapslices through the OPAQUE typed path (flatMapGroups): the
+    // slice function sees each order's rows as a vector and returns a
+    // table — per-line share of the slice's max quantity. Row-level double
+    // division is IEEE-identical across engines.
+    Q("q76_mapslices",
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        val ds = li(s, dir).filter(col("l_orderkey") <= 500)
+          .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+            col("l_quantity").cast("double"))
+          .as[(Long, Long, Double)]
+        graft.operators.TypedOps
+          .mapslices(ds, (t: (Long, Long, Double)) => t._1) { (k, rows) =>
+            val mx = rows.map(_._3).max
+            rows.map(r => (k, r._2, r._3 / mx))
+          }
+          .toDF("l_orderkey", "l_linenumber", "qty_share")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+             |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  l_quantity / MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS qty_share
+             |FROM lineitem WHERE l_orderkey <= 500
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // §2.6 permutedims + leading-dim slice: reorder the NDSparse index so
+    // the sliced dim leads (the reference re-sorts; here the pkey re-keys
+    // and partition pruning follows the new leading dim).
+    Q("q77_permutedims_slice",
+      (s, dir) => {
+        val nd = NDSparse(li(s, dir), Seq("l_orderkey", "l_linenumber"), Seq("l_quantity"))
+        nd.permutedims(Seq(1, 0)).slice("l_linenumber" -> 7)
+          .table.df
+          .select(col("l_linenumber"), col("l_orderkey"), col("l_quantity"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_linenumber, l_orderkey, l_quantity FROM lineitem
+             |WHERE l_linenumber = 7 ORDER BY l_orderkey""".stripMargin))
   )
 }
