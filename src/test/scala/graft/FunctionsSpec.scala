@@ -220,6 +220,12 @@ class FunctionsSpec extends SparkSpec {
       Dedup.minhashLSH(docs.repartition(n), "doc_id", "text", 3, 8, 2, 0.3)
         .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
+    val emb = Tables.embeddings(spark, sf).filter(col("label") === 0)
+    partitionSweep { n =>
+      Similarity.cosinePairsLSH(emb.repartition(n), "vec_id", "embedding", 0.25, dim = 64)
+        .orderBy("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
   }
 
   test("SQL registration: graft expressions callable from spark.sql") {
