@@ -108,8 +108,9 @@ object Dedup {
         col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          bb => bb)).cast("double") / k).as("est_sim"))
+        // native eq_frac: matching-signature fraction in one loop per
+        // candidate, vs an interpreted zip_with/filter HOF pair
+        graft.plans.HashExpressions.eqFrac(col("a.sig"), col("b.sig")).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
     cand.dropDuplicates("i", "j")
       .select(col("i"), col("j"), col("est_sim"))

@@ -104,12 +104,11 @@ object Text {
 
   /** Positional fingerprint: sum_i i * codepoint(char_i) mod 1e9+7 over the
     * normalized text — order-sensitive, pure integer math, identical in any
-    * engine with 64-bit arithmetic. */
+    * engine with 64-bit arithmetic. Native expression
+    * (plans.Fingerprint64): one O(chars) pass — the Column formulation
+    * (transform ∘ sequence ∘ substr) re-seeks the string per character,
+    * O(n²) per document (spec asserts bit-identity). */
   val FpMod = 1000000007L
-  def fingerprint(text: Column): Column = {
-    val n = normalize(text)
-    val codes = transform(sequence(lit(1), length(n)),
-      i => i.cast("long") * ascii(n.substr(i, lit(1))).cast("long"))
-    pmod(aggregate(codes, lit(0L), (acc, x) => acc + x), lit(FpMod))
-  }
+  def fingerprint(text: Column): Column =
+    graft.plans.HashExpressions.fingerprint64(normalize(text))
 }

@@ -171,6 +171,43 @@ object HashOps {
     UTF8String.fromBytes(out, 0, o)
   }
 
+  /** Fraction of positions where two equal-length long arrays agree —
+    * MinHash estimated similarity (matching signature fraction). */
+  def eqFracJava(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"eq_frac length mismatch: $n vs ${b.numElements()}")
+    if (n == 0) return 0.0
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m.toDouble / n
+  }
+
+  /** Positional fingerprint over CHARACTERS (codepoints): sum_i i·cp_i
+    * mod P, 1-based — matches the Column/oracle form (`ascii`/`unicode`
+    * index by character, so codePointAt iteration, not UTF-16 units;
+    * the two differ beyond the BMP). */
+  def fingerprintJava(s0: UTF8String): Long = {
+    val s = s0.toString
+    var h = 0L
+    var pos = 1L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h += pos * cp
+      pos += 1
+      i += Character.charCount(cp)
+    }
+    // pmod semantics: if the un-modded sum wrapped negative (gigantic
+    // docs), match the Column form's non-negative result
+    val m = h % P
+    if (m < 0) m + P else m
+  }
+
   /** Element-exact decimal(12,9) fixed-point: each element v becomes the
     * unscaled long of Spark's `cast(v as decimal(12,9))` — BigDecimal
     * .valueOf (shortest decimal repr, what Decimal.set(Double) uses) then
@@ -341,6 +378,42 @@ case class DotFix9(left: Expression, right: Expression)
   override def prettyName: String = "dot_fix9"
 }
 
+/** eq_frac(a, b): matching-element fraction of two long arrays — the
+  * MinHash est_sim, one tight loop instead of a zip_with/filter HOF per
+  * candidate pair. */
+case class EqFrac(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType, containsNull = false),
+    ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      HashOps.eqFracJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HashOps.eqFracJava($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EqFrac =
+    copy(left = l, right = r)
+  override def prettyName: String = "eq_frac"
+}
+
+/** fingerprint64(text): positional codepoint fingerprint mod 1e9+7 — one
+  * O(chars) pass; the Column formulation (transform ∘ sequence ∘ substr)
+  * re-seeks the string per character, O(n²) per document. */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashOps.fingerprintJava(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.fingerprintJava($c);")
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+  override def prettyName: String = "fingerprint64"
+}
+
 /** normalize_ws(text): lowercase + whitespace-collapse + trim in one
   * byte-level pass — the normalization under every text/dedup operator.
   * Replaces a per-row Java-regex `\s+` machine with a branch-per-byte
@@ -406,6 +479,8 @@ object HashExpressions {
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
   def fix9(c: Column): Column = column(Fix9(expression(c)))
   def dotFix9(a: Column, b: Column): Column = column(DotFix9(expression(a), expression(b)))
+  def eqFrac(a: Column, b: Column): Column = column(EqFrac(expression(a), expression(b)))
+  def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def rhpSignature(c: Column, dim: Int, bits: Int, seed: Int): Column =
     column(RhpSignature(expression(c), dim, bits, seed))
 }

@@ -275,6 +275,26 @@ class FunctionsSpec extends SparkSpec {
     assert(out2.filter(col("c") === ML.MissingCategory).count() == 1)
   }
 
+  test("fingerprint64/eq_frac natives == Column formulations") {
+    import graft.plans.HashExpressions.eqFrac
+    import spark.implicits._
+    // fingerprint: native O(n) pass vs the transform∘sequence∘substr form
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .unionByName(Seq("", "  ", "中文 测试 abc", "plain ascii doc").toDF("text"))
+    val columnForm = {
+      val n = Text.normalize(col("text"))
+      pmod(aggregate(transform(sequence(lit(1), length(n)),
+        i => i.cast("long") * ascii(n.substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(Text.FpMod))
+    }
+    val fpDiff = docs.select(Text.fingerprint(col("text")).as("native"),
+      columnForm.as("col")).filter(not(col("native") <=> col("col")))
+    assert(fpDiff.isEmpty, fpDiff.take(3).mkString("; "))
+    // eq_frac golden
+    val arrs = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L))).toDF("a", "b")
+    assert(arrs.select(eqFrac(col("a"), col("b"))).head().getDouble(0) == 0.5)
+  }
+
   test("fix9/dotFix9 == interpreted decimal HOF dot (bit-identical)") {
     import graft.plans.HashExpressions.{dotFix9, fix9}
     val emb = Tables.embeddings(spark, sf).limit(200)
