@@ -133,15 +133,20 @@ object Dedup {
     // token-less docs all hash to sig=0 and would pair at hamming 0
     val sigs = df.filter(Text.tokenCount(col(textCol)) >= 1)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // one collision-free long bucket per block: block index in the high
+    // bits, block value below — the join shuffles a single 8-byte key
+    // (same packing idea as minhashLSH's xxhash64 buckets, but exact:
+    // blockBits ≤ 15 leaves the high bits free for the index)
     val blocks = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until nBlocks).map(blk =>
-        pmod(shiftright(col("sig"), blk * blockBits), lit(1L << blockBits))): _*))
-        .as(Seq("blk", "blkval")))
+      explode(array((0 until nBlocks).map(blk =>
+        shiftleft(lit(blk.toLong), 56)
+          .bitwiseOR(pmod(shiftright(col("sig"), blk * blockBits), lit(1L << blockBits)))): _*))
+        .as("bucket"))
     val a = blocks.as("a"); val b = blocks.as("b")
     // verify BEFORE dedup (popcount is cheap; the dedup shuffle then only
     // carries true near-dup pairs, not the full candidate blowup)
     val cand = a.join(b,
-        col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
+        col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
