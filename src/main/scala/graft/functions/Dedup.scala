@@ -38,10 +38,22 @@ object Dedup {
     * are shingles and (i,j) pairs. Hot shingles (huge doc-frequency) are
     * the skew risk at 100 TB — cap them with `maxDF` (standard practice:
     * a shingle in >maxDF docs contributes no candidate pairs; pairs that
-    * share only ultra-common shingles are not near-dups anyway). */
+    * share only ultra-common shingles are not near-dups anyway).
+    *
+    * `hashShingles=true` is the 100 TB form: the inverted index carries
+    * 8-byte shingle HASHES (native ShingleHashes expression) instead of
+    * shingle strings, shrinking the exchange by ~the mean shingle length.
+    * A hash collision can only merge two shingles (slightly overcounting
+    * n_common); the spec asserts fixture-equality with the string form,
+    * which remains the default because it is what the SQL oracle can
+    * reproduce exactly. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   threshold: Double, maxDF: Long = 0L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+                   threshold: Double, maxDF: Long = 0L,
+                   hashShingles: Boolean = false): DataFrame = {
+    val shingleCol =
+      if (hashShingles) graft.plans.HashExpressions.shingleHashes(col(textCol), n, wide = true)
+      else shingles(col(textCol), n)
+    val sh = df.select(col(idCol).as("id"), explode(shingleCol).as("s"))
     val shFiltered =
       if (maxDF > 0) {
         // hot-shingle cap via aggregate + broadcast anti-join: the groupBy

@@ -66,26 +66,40 @@ object HashOps {
 
   /** Distinct hashes of word n-gram shingles (shingle string = tokens
     * joined by single spaces, hashed positionally — consistent with the
-    * Column-based Dedup.shingleHash ∘ shingles semantics). */
-  def shingleHashes(raw: String, n: Int): Array[Long] = {
+    * Column-based Dedup.shingleHash ∘ shingles semantics).
+    *
+    * `wide=false` (default): positional sum mod P — the ~30-bit universe
+    * MinHash's (a·x+b) mod P permutations are built on. `wide=true`: a
+    * 64-bit polynomial over the same character walk — for the inverted-
+    * index Jaccard form, where a mod-P space measurably collides at
+    * corpus scale (two shingles colliding merges them in every doc's
+    * set) while 64-bit collisions are ~2⁻⁶⁴·pairs. */
+  def shingleHashes(raw: String, n: Int, wide: Boolean = false): Array[Long] = {
     val (s, starts, ends) = tokenSpans(raw)
     val m = starts.length - n + 1
     if (m <= 0) return Array.empty
     val set = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i < m) {
-      // positional hash of "tok_i tok_i+1 … tok_i+n-1"
+      // walk "tok_i tok_i+1 … tok_i+n-1" once, accumulating both schemes
       var h = 0L
       var pos = 1L
       var k = 0
       while (k < n) {
         var j = starts(i + k)
         val e = ends(i + k)
-        while (j < e) { h += pos * s.charAt(j).toInt; pos += 1; j += 1 }
-        if (k < n - 1) { h += pos * ' '.toInt; pos += 1 }
+        while (j < e) {
+          val c = s.charAt(j).toInt
+          if (wide) h = h * 1099511628211L + c else h += pos * c
+          pos += 1; j += 1
+        }
+        if (k < n - 1) {
+          if (wide) h = h * 1099511628211L + ' '.toInt else h += pos * ' '.toInt
+          pos += 1
+        }
         k += 1
       }
-      set.add(h % P)
+      set.add(if (wide) h else h % P)
       i += 1
     }
     val out = new Array[Long](set.size)
@@ -141,8 +155,8 @@ object HashOps {
     sig
   }
 
-  def shingleHashesJava(s: UTF8String, n: Int): ArrayData =
-    new GenericArrayData(shingleHashes(s.toString, n))
+  def shingleHashesJava(s: UTF8String, n: Int, wide: Boolean): ArrayData =
+    new GenericArrayData(shingleHashes(s.toString, n, wide))
 
   /** Lowercase + collapse ASCII-whitespace runs to single spaces + trim, in
     * one byte-level pass. Bit-identical to
@@ -319,16 +333,17 @@ case class SimHash64(child: Expression)
 
 /** shingle_hashes(text): the distinct shingle-hash set itself (for Jaccard
   * estimation / inverted indexes over hashed shingles at scale — shuffling
-  * 8-byte hashes instead of shingle strings). */
-case class ShingleHashes(child: Expression, n: Int)
+  * 8-byte hashes instead of shingle strings). `wide` selects the 64-bit
+  * polynomial (inverted-index form) over the mod-P MinHash universe. */
+case class ShingleHashes(child: Expression, n: Int, wide: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    HashOps.shingleHashesJava(input.asInstanceOf[UTF8String], n)
+    HashOps.shingleHashesJava(input.asInstanceOf[UTF8String], n, wide)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.HashOps.shingleHashesJava($c, $n);")
+      s"${ev.value} = graft.plans.HashOps.shingleHashesJava($c, $n, $wide);")
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   override def prettyName: String = "shingle_hashes"
 }
@@ -475,7 +490,8 @@ object HashExpressions {
   import ColumnBridge.{column, expression}
   def minhashSig(c: Column, n: Int, k: Int): Column = column(MinHashSig(expression(c), n, k))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
-  def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
+  def shingleHashes(c: Column, n: Int, wide: Boolean = false): Column =
+    column(ShingleHashes(expression(c), n, wide))
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
   def fix9(c: Column): Column = column(Fix9(expression(c)))
   def dotFix9(a: Column, b: Column): Column = column(DotFix9(expression(a), expression(b)))

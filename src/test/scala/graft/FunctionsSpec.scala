@@ -326,6 +326,14 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("jaccardPairs hashShingles (8-byte-key scale form) == string form") {
+    val docs = Tables.documents(spark, sf)
+    def run(hashed: Boolean) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3, hashShingles = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(run(hashed = true) == run(hashed = false))
+  }
+
   test("jaccardPairs maxDF: hot shingles contribute no candidate pairs") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"))
