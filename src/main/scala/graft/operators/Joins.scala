@@ -83,8 +83,9 @@ object Joins {
     * sort — strictly cheaper than the range-join + dedup alternative (which
     * shuffles twice and explodes matches before deduping). A hot id still
     * lands on a single window task (AQE skew-split applies to join
-    * partitions, not window exchanges); if one id dominates, salt with a
-    * coarse time bucket and stitch bucket boundaries with a second pass.
+    * partitions, not window exchanges); if one id dominates, use
+    * [[asofJoinSalted]] — the time-bucket split with boundary repair,
+    * spec-asserted equal to this operator.
     */
   def asofJoin(l: DataFrame, r: DataFrame, ids: Seq[String], ltime: String,
                rtime: String, lCols: Seq[String], rValueCols: Seq[String]): DataFrame = {
@@ -104,6 +105,58 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
+      .select((ids.map(col) :+ col("__t").as(ltime)) ++ lCols.map(col) ++
+        rValueCols.map(c => col("__rv").getField(c).as(c)): _*)
+  }
+
+  /** Skew-hardened asofjoin — the hot-id fallback [[asofJoin]]'s doc
+    * names, implemented. Same semantics, but the per-id window is split
+    * by a coarse time bucket (`bucketOf`, any monotone coarsening of the
+    * time column) so one id's events never funnel into a single window
+    * task:
+    *  1. the within-bucket pass is [[asofJoin]]'s window keyed by
+    *     (ids, bucket) — task size bounded by bucket width;
+    *  2. rows whose match lives in an EARLIER bucket are repaired from a
+    *     per-(id, bucket) "latest right row" summary, whose running
+    *     window is over ≤ #buckets rows per id — tiny no matter how hot
+    *     the id — and joins back on (ids, bucket), which is exactly the
+    *     salted (spread) key.
+    * Equality with the unsalted operator is spec-asserted across bucket
+    * widths and partitionings. */
+  def asofJoinSalted(l: DataFrame, r: DataFrame, ids: Seq[String], ltime: String,
+                     rtime: String, lCols: Seq[String], rValueCols: Seq[String],
+                     bucketOf: Column => Column): DataFrame = {
+    val rStruct = struct(rValueCols.map(col): _*)
+    val rStructType = r.select(rStruct).schema.head.dataType
+    val lTagged = l.select(
+      (ids.map(col) :+ col(ltime).as("__t") :+ lit(1).as("__side")) ++
+        lCols.map(col) :+ lit(null).cast(rStructType).as("__rv"): _*)
+    val rTagged = r.select(
+      (ids.map(col) :+ col(rtime).as("__t") :+ lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(l.schema(c).dataType).as(c)) :+ rStruct.as("__rv"): _*)
+    val unioned = lTagged.unionByName(rTagged).withColumn("__b", bucketOf(col("__t")))
+    val inBucketW = Window.partitionBy((ids :+ "__b").map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(inBucketW))
+    // latest right row per (id, bucket): max(struct(t, rv)) matches the
+    // window's (t asc, rv asc) last-wins tiebreak for duplicate times
+    val bucketLast = rTagged.withColumn("__b", bucketOf(col("__t")))
+      .groupBy((ids :+ "__b").map(col): _*)
+      .agg(max(struct(col("__t"), col("__rv"))).as("__bl"))
+    // every (id, bucket) the data touches — buckets with no right rows
+    // must still receive a carry
+    val allBuckets = unioned.select((ids :+ "__b").map(col): _*).distinct()
+    val carryW = Window.partitionBy(ids.map(col): _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets.join(bucketLast, ids :+ "__b", "left_outer")
+      .withColumn("__prev",
+        max(when(col("__bl").isNotNull, struct(col("__b"), col("__bl")))).over(carryW))
+      .select((ids :+ "__b").map(col) :+
+        col("__prev").getField("__bl").getField("__rv").as("__carry_rv"): _*)
+    filled.filter(col("__side") === 1)
+      .join(carry, ids :+ "__b", "left_outer")
+      .withColumn("__rv", coalesce(col("__rv"), col("__carry_rv")))
       .select((ids.map(col) :+ col("__t").as(ltime)) ++ lCols.map(col) ++
         rValueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }

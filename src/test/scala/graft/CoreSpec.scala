@@ -106,6 +106,32 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinSalted == asofJoin across bucket widths (hot-id fallback)") {
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("cv"))
+    val base = Joins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+      Seq("event_id"), Seq("click_id", "cv"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    for (bucketNs <- Seq(3600L * 1000000000L, 86400L * 1000000000L)) {
+      val salted = Joins.asofJoinSalted(l, r, Seq("user_id"), "ts", "ts",
+        Seq("event_id"), Seq("click_id", "cv"),
+        t => floor(t / bucketNs).cast("long"))
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(salted == base, s"bucket $bucketNs diverged")
+    }
+    // golden carry path: matches crossing one and two bucket boundaries
+    val ll = Seq(("x", 10L), ("x", 25L)).toDF("id", "t")
+    val rr = Seq(("x", 3L, 1.0), ("x", 12L, 2.0)).toDF("id", "t", "v")
+    val out = Joins.asofJoinSalted(ll, rr, Seq("id"), "t", "t",
+      Seq.empty, Seq("v"), c => floor(c / 10).cast("long"))
+      .orderBy("t").collect()
+      .map(x => (x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    assert(out == Seq((10L, Some(1.0)), (25L, Some(2.0))))
+  }
+
   test("merge with agg combines duplicate keys (reference join.jl:245-262)") {
     val l = JTable(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), Seq("k"))
     val r = JTable(Seq((2L, 5.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))
