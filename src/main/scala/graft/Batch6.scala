@@ -1,0 +1,166 @@
+package graft
+
+import graft.SparkEntry.Q
+import graft.core.JTable
+import graft.operators.{Joins, NDSparse}
+import graft.functions.Sketches
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 6 (round 4): the last spec-only-to-oracle
+  * conversions — the salted asof join's hot-id fixture, the groupjoin size
+  * fast path, `reducedim_vec`, the implicit `1:n` index, keyed upsert, and
+  * the space-saving count map in its exact regime.
+  */
+private[graft] object Batch6 {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def ord(s: SparkSession, dir: String) = Tables.orders(s, dir)
+
+  val queries: Seq[Q] = Seq(
+
+    // §2.3 asofjoin through the SALTED skew fallback (Joins.asofJoinSalted)
+    // on a HOT-id fixture: user_id % 3 folds every event onto three ids,
+    // each ~33% of the table — the single-window-task shape the salted
+    // operator exists for. Hour buckets (µs time) split each id's window;
+    // the cross-bucket carry join repairs rows whose match lives in an
+    // earlier bucket. Times compare at µs on BOTH sides (`ts div 1000`;
+    // DuckDB's parquet read truncates ns→µs, so ns-precision comparisons
+    // could disagree at sub-µs boundaries). The oracle mirrors asof-left
+    // semantics as a window over the range join, with the same
+    // duplicate-time tiebreak as the operator (max right-value struct).
+    Q("q78_asof_salted",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("uid", pmod(col("user_id"), lit(3L)))
+          .withColumn("tus", expr("ts div 1000"))
+        val l = ev.filter(col("event_type") === "purchase")
+        val r = ev.filter(col("event_type") === "click")
+          .select(col("uid"), col("tus"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        Joins.asofJoinSalted(l, r, Seq("uid"), "tus", "tus",
+            lCols = Seq("event_id", "value"),
+            rValueCols = Seq("click_id", "click_value"),
+            bucketOf = t => (t / lit(3600000000L)).cast("long")) // 1h in µs
+          .select(col("event_id"), col("uid"), col("click_id"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id % 3 AS uid, epoch_us(ts) AS tus,
+             |    event_type, value FROM events),
+             |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+             |c AS (SELECT * FROM e WHERE event_type = 'click')
+             |SELECT event_id, uid, click_id, click_value FROM (
+             |  SELECT p.event_id, p.uid, c.event_id AS click_id, c.value AS click_value,
+             |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.tus DESC, c.event_id DESC, c.value DESC) AS rn
+             |  FROM p LEFT JOIN c ON p.uid = c.uid AND c.tus <= p.tus) t
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // §2.4 reducedim_vec (reference `src/reduce.jl:117-134`): drop a dim,
+    // merge each kept-key group by a VECTOR aggregate — exact interpolating
+    // median of quantities per linestatus, through NDSparse.reducedimVec →
+    // Aggregations.groupbyVector (q51 covers the Column-percentile fast
+    // path; this row covers the collect+array lowering itself). Quantities
+    // are integral-valued doubles, so both engines' interpolation is exact
+    // (q65 precedent).
+    Q("q79_reducedim_vec",
+      (s, dir) => {
+        val median: Column => Column = arr => {
+          val sorted = array_sort(arr); val n = size(sorted)
+          when(pmod(n, lit(2)) === 1,
+              element_at(sorted, ((n + lit(1)) / 2).cast("int")))
+            .otherwise((element_at(sorted, (n / 2).cast("int")) +
+              element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
+        }
+        val nd = NDSparse(li(s, dir), Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        nd.reducedimVec(Seq("l_returnflag"), "l_quantity", median, as = "median_qty")
+          .table.df.orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, quantile_cont(l_quantity, 0.5) AS median_qty
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // Keyed upsert (the `setindex!`/`insert_row!` divergence as an
+    // operator, reference `src/indexing.jl:47-86`): right-wins merge by
+    // pkey — updates replace whole rows on key match, right-only keys
+    // insert. Update rows double the price AND rewrite the name, proving
+    // whole-row (not per-column) replacement.
+    Q("q80_upsert",
+      (s, dir) => {
+        val cols = Seq(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        val base = JTable(Tables.part(s, dir).select(cols: _*), Seq("p_partkey"))
+        val hit = Tables.part(s, dir).filter(pmod(col("p_partkey"), lit(10L)) === 0)
+        val updates = JTable(
+          hit.select(col("p_partkey"), lit("updated").as("p_name"),
+              (col("p_retailprice") * 2).as("p_retailprice"))
+            .unionByName(hit.select((col("p_partkey") + 1000000L).as("p_partkey"),
+              col("p_name"), col("p_retailprice"))),
+          Seq("p_partkey"))
+        Joins.upsert(base, updates).df.orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  CASE WHEN p_partkey % 10 = 0 THEN 'updated' ELSE p_name END AS p_name,
+             |  CASE WHEN p_partkey % 10 = 0 THEN p_retailprice * 2 ELSE p_retailprice END AS p_retailprice
+             |FROM part
+             |UNION ALL
+             |SELECT p_partkey + 1000000 AS p_partkey, p_name, p_retailprice
+             |FROM part WHERE p_partkey % 10 = 0
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // §2.1 implicit 1:n index (reference `loadndsparse` with no index cols,
+    // `src/io.jl:19-29`; `offset_index!` renumbering `src/io.jl:151-154`):
+    // rows numbered in global pkey order via the partition-offset
+    // zipWithIndex (JTable.withRowIndex — no single-task window), then a
+    // point-range lookup on the synthesized dimension.
+    Q("q81_implicit_index",
+      (s, dir) => {
+        val t = JTable(
+          li(s, dir).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          Seq("l_orderkey", "l_linenumber"))
+        val nd = NDSparse(t.withRowIndex("idx"), Seq("idx"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        nd.sliceRange("idx", 1001L, 1100L).table.df
+          .select(col("idx"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy("idx")
+      },
+      Some("""SELECT idx, l_orderkey, l_linenumber, l_quantity FROM (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS idx,
+             |    l_orderkey, l_linenumber, l_quantity
+             |  FROM lineitem)
+             |WHERE idx BETWEEN 1001 AND 1100 ORDER BY idx""".stripMargin)),
+
+    // §2.3 groupjoin size fast path: q09's group-size distribution through
+    // Joins.groupjoinSize — count(*) per key instead of
+    // collect_list(struct(...)), same oracle as q09 (the q09/q82 bench
+    // pair shows the nested-payload shuffle is q09's cost, not the join's).
+    Q("q82_groupjoin_count",
+      (s, dir) => {
+        val liKeyed = li(s, dir).withColumnRenamed("l_orderkey", "o_orderkey")
+        val gj = Joins.groupjoinSize(JTable(ord(s, dir)), JTable(liKeyed),
+          Seq("o_orderkey"), how = "left", as = "n_items")
+        gj.select(col("o_orderkey"), col("n_items"))
+          .groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+          .orderBy("n_items")
+      },
+      Some("""SELECT n_items, COUNT(*) AS n_orders FROM (
+             |  SELECT o_orderkey, CAST(COUNT(l_orderkey) AS BIGINT) AS n_items
+             |  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY o_orderkey)
+             |GROUP BY n_items ORDER BY n_items""".stripMargin)),
+
+    // Space-saving count map THROUGH the Aggregator in its exact regime
+    // (distinct keys ≤ capacity → counts exact, error bounds zero — same
+    // gate pattern as q69; the adversarial heavy-hitter guarantee is the
+    // FunctionsSpec's job, estimates not being SQL-expressible).
+    Q("q83_countmap_ss",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .agg(Sketches.spaceSavingCol(1000)(col("event_type")).as("m"))
+          .select(explode(col("m")).as("e"))
+          .select(col("e.key").as("event_type"), col("e.count").as("n"),
+            col("e.err").as("err"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n, CAST(0 AS BIGINT) AS err
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+  )
+}

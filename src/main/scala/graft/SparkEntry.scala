@@ -294,7 +294,7 @@ object SparkEntry {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
-  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries
+  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries
 
   // ---------------------------------------------------------------------------
 
@@ -314,7 +314,7 @@ object SparkEntry {
   /** Headline queries for Bench (subset; keep bench wall-time sane). */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q05_join_inner", "q08_broadcast_dims",
-    "q09_groupjoin", "q10_asof_join", "q11_window_topk",
+    "q09_groupjoin", "q82_groupjoin_count", "q10_asof_join", "q11_window_topk",
     "q28_text_stats", "q32_dedup_exact", "q34_dedup_minhash",
     "q35_dedup_simhash", "q37_embed_topk", "q60_shipping_priority",
     "q62_large_orders")

@@ -147,6 +147,26 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Append a global 1-based position column — the reference's implicit
+    * `1:n` index (`loadndsparse` with no index columns, `src/io.jl:19-29`;
+    * `offset_index!` renumbers chunks by cumulative offsets,
+    * `src/io.jl:151-154`). Same partition-offset zipWithIndex machinery as
+    * [[subtable]] — one small count job assigns each partition its
+    * cumulative offset; never a single-task global window.
+    *
+    * Numbering order: global pkey order when a pkey exists (deterministic
+    * under ANY re-chunking — the CoreSpec sweep pins this); with no pkey,
+    * current partition order (the reference's arrival order — deterministic
+    * for a fresh load, not under repartitioning). The result is keyed by
+    * the new index column, which is globally sorted by construction. */
+  def withRowIndex(name: String = "idx"): JTable = {
+    require(!df.columns.contains(name), s"column $name already exists")
+    val ordered = if (pkey.isEmpty) df else df.orderBy(pkey.map(col): _*)
+    val schema = ordered.schema.add(name, org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = ordered.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
+    JTable.assumeSorted(spark.createDataFrame(rows, schema), Seq(name))
+  }
+
   // ---- materialization (§2.1) ---------------------------------------------
 
   /** `compute(t)` — force + keep distributed (cache). */

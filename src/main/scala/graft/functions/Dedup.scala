@@ -56,15 +56,19 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), explode(shingleCol).as("s"))
     val shFiltered =
       if (maxDF > 0) {
-        // hot-shingle cap via aggregate + broadcast anti-join: the groupBy
-        // is map-side combined (shuffles distinct shingles, not occurrences)
-        // and the >maxDF survivors are few BY CONSTRUCTION, so they
-        // broadcast. A Window.partitionBy(s) here would re-shuffle every
-        // (id, shingle) occurrence AND land each hot shingle's occurrence
-        // list on one task — the exact skew the cap exists to remove.
+        // hot-shingle cap via aggregate + anti-join: the groupBy is map-side
+        // combined (shuffles distinct shingles, not occurrences). The >maxDF
+        // survivor count is bounded by totalOccurrences/maxDF — usually tiny,
+        // but NOT guaranteed to fit the 8 GB broadcast limit at 100 TB with a
+        // modest maxDF, so no explicit broadcast hint: AQE picks broadcast
+        // when the hot set's runtime size allows and falls back to a shuffle
+        // anti-join when it doesn't (the hint form would fail the job the cap
+        // exists to save). A Window.partitionBy(s) here would re-shuffle
+        // every (id, shingle) occurrence AND land each hot shingle's
+        // occurrence list on one task — the exact skew the cap removes.
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDF).select(col("s"))
-        sh.join(broadcast(hot), Seq("s"), "left_anti")
+        sh.join(hot, Seq("s"), "left_anti")
       } else sh
     val sizes = shFiltered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = shFiltered.as("a"); val b = shFiltered.as("b")

@@ -59,7 +59,11 @@ object Similarity {
     * distinct values) and materializes every (query, corpus) pair.
     *
     * `exact=true` scores with [[cosineExact]] so results hash-match an
-    * exact-decimal oracle; default is the faster double fold. */
+    * exact-decimal oracle; default is the faster double fold. The exact
+    * path requires dense non-null vectors with |v| < 1000 (the fix9
+    * fixed-point domain, enforced with a clear error) — embeddings are
+    * unit-scale, so this is a documentation of the contract, not a
+    * practical limit. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
                      excludeSelf: Boolean = true, exact: Boolean = false): DataFrame = {
@@ -155,8 +159,19 @@ object Similarity {
       posexplode(tableSigs(col(vecCol), dim, bits, tables)).as(Seq("qtbl", "qsig")))
     val buckets = q.select(col("qtbl"), col("qsig")).distinct().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
-    val bucketPred = buckets.map { case (t, sg) =>
-      col("tbl") === lit(t) && col("sig") === lit(sg)
+    if (buckets.isEmpty) {
+      // empty query set: an empty result with the output schema, not a
+      // reduce() crash on an empty predicate list
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType), StructField("rank", LongType),
+          StructField("id", LongType), StructField("cos", DoubleType))))
+    }
+    // ONE isin per hash table (≤ `tables` disjuncts, each a partition-column
+    // IN-list) instead of an O(#distinct buckets) OR-chain of equality pairs:
+    // same directory-level pruning, bounded planning cost for large query sets
+    val bucketPred = buckets.groupBy(_._1).map { case (t, grp) =>
+      col("tbl") === lit(t) && col("sig").isin(grp.map(_._2).toSeq: _*)
     }.reduce(_ || _)
     val c = spark.read.parquet(corpusPath).filter(bucketPred)
     val selfCond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
@@ -216,7 +231,9 @@ object Similarity {
     * defaults give full recall at threshold ≥ 0.25 on the test fixtures
     * (verified against [[cosinePairsExact]] in the spec AND by the oracle
     * gate, which compares this operator to the all-pairs SQL). Scores use
-    * [[cosineExact]], so matched pairs are bit-identical to the oracle's. */
+    * [[cosineExact]], so matched pairs are bit-identical to the oracle's.
+    * Exact scoring runs on the fix9 fixed-point image: dense non-null
+    * vectors with |v| < 1000 (enforced — see plans.HashExpressions.fix9Java). */
   def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, bits: Int = 2,
                      tables: Int = 24): DataFrame = {

@@ -136,6 +136,57 @@ object Sketches {
     def outputEncoder: Encoder[Map[String, Long]] = ExprEncoders.strLongMap
   }
 
+  /** Heavy-hitter-CORRECT count map: space-saving counters (Metwally et
+    * al.; merge per Agarwal et al., "Mergeable Summaries"). At most
+    * `capacity` (key → (count, err)) entries, where `count` overestimates
+    * the true frequency by at most `err`: true ∈ [count − err, count].
+    * Unlike [[CountMapAgg]]'s lightest-key eviction (which can undercount a
+    * LATE-arriving heavy hitter), any key with true frequency > N/capacity
+    * is guaranteed present, whatever the arrival order — the bounded-error
+    * upgrade the CountMap cap caveat asks for. Exact (err = 0) while
+    * distinct keys ≤ capacity. Eviction is O(capacity) per new key at
+    * saturation — sized for sketch capacities (10³–10⁵), not as a groupBy
+    * replacement. */
+  final case class SSEntry(key: String, count: Long, err: Long)
+  final case class SpaceSavingAgg(capacity: Int)
+      extends Aggregator[String, Map[String, (Long, Long)], Seq[SSEntry]] {
+    require(capacity > 0, "space-saving capacity must be positive")
+    def zero: Map[String, (Long, Long)] = Map.empty
+    def reduce(b: Map[String, (Long, Long)], x: String): Map[String, (Long, Long)] =
+      b.get(x) match {
+        case Some((c, e)) => b.updated(x, (c + 1, e))
+        case None if b.size < capacity => b.updated(x, (1L, 0L))
+        case None =>
+          // evict the min-count key (deterministic key tiebreak); the
+          // newcomer inherits that count as its error bound — it may have
+          // occurred up to `min` times before being tracked
+          val (mk, (mc, _)) = b.minBy { case (k, (c, _)) => (c, k) }
+          (b - mk).updated(x, (mc + 1, mc))
+      }
+    def merge(a: Map[String, (Long, Long)], b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+      // a key absent from a FULL summary may have been evicted holding up
+      // to that summary's min count — charge (min, min) for absent keys so
+      // the overestimate invariant survives the merge; absent from a
+      // non-full summary means truly unseen (0, 0).
+      val minA = if (a.size >= capacity) a.values.iterator.map(_._1).min else 0L
+      val minB = if (b.size >= capacity) b.values.iterator.map(_._1).min else 0L
+      val summed = (a.keySet ++ b.keySet).iterator.map { k =>
+        val (ca, ea) = a.getOrElse(k, (minA, minA))
+        val (cb, eb) = b.getOrElse(k, (minB, minB))
+        k -> (ca + cb, ea + eb)
+      }.toMap
+      if (summed.size <= capacity) summed
+      // keep the top `capacity` by count: every dropped count ≤ the kept
+      // min, so the absent-key charge above still covers dropped keys
+      else summed.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity).toMap
+    }
+    def finish(b: Map[String, (Long, Long)]): Seq[SSEntry] =
+      b.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
+        .map { case (k, (c, e)) => SSEntry(k, c, e) }
+    def bufferEncoder: Encoder[Map[String, (Long, Long)]] = ExprEncoders.ssBuf
+    def outputEncoder: Encoder[Seq[SSEntry]] = ExprEncoders.ssSeq
+  }
+
   /** 2-D count map (OnlineStats `Mosaic`, reference `docs/src/plotting.md`):
     * (x, y) category-pair → count, keyed with a \u0001 separator (a space
     * would collide multi-word categories); same cap semantics as
@@ -221,6 +272,11 @@ object Sketches {
   /** CountMap as an untyped aggregate Column. */
   def countmapCol(maxKeys: Int = 10000)(c: Column): Column =
     udaf(CountMapAgg(maxKeys), Encoders.STRING).apply(c)
+  /** Space-saving count map as an untyped aggregate Column — same shape as
+    * [[countmapCol]] but with the heavy-hitter guarantee; yields
+    * array<struct<key, count, err>> sorted by (count desc, key). */
+  def spaceSavingCol(capacity: Int)(c: Column): Column =
+    udaf(SpaceSavingAgg(capacity), Encoders.STRING).apply(c)
   /** Mosaic (2-D countmap) as an untyped aggregate Column over (x, y). */
   def mosaicCol(maxKeys: Int = 10000)(x: Column, y: Column): Column =
     udaf(MosaicAgg(maxKeys), Encoders.tuple(Encoders.STRING, Encoders.STRING)).apply(x, y)
@@ -272,6 +328,8 @@ object Sketches {
     val longSeq: Encoder[Seq[Long]] = of[Seq[Long]]
     val pairSeq: Encoder[Seq[(Double, Long)]] = of[Seq[(Double, Long)]]
     val strLongMap: Encoder[Map[String, Long]] = of[Map[String, Long]]
+    val ssBuf: Encoder[Map[String, (Long, Long)]] = of[Map[String, (Long, Long)]]
+    val ssSeq: Encoder[Seq[SSEntry]] = of[Seq[SSEntry]]
     val momentsArray: Encoder[Array[Moments]] = of[Array[Moments]]
     val momentsOutSeq: Encoder[Seq[MomentsOut]] = of[Seq[MomentsOut]]
   }

@@ -40,11 +40,18 @@ object Aggregations {
   /** `groupby` slow path: truly arbitrary vector function over each group's
     * rows, via collect_list of a struct. Use only when no Column form exists
     * — the grouped rows must fit in executor memory per key (same contract
-    * as the reference, which materializes each group's vector). */
+    * as the reference, which materializes each group's vector).
+    *
+    * The collected array is sorted (struct lexicographic order on
+    * `valueCols`) before `f` sees it: `collect_list` order is partition-
+    * dependent, and an order-sensitive `f` would otherwise be
+    * nondeterministic. The reference hands `f` the group in table order;
+    * here the deterministic stand-in is valueCols order — put the ordering
+    * column first if `f` is order-sensitive. */
   def groupbyVector(t: JTable, by: Seq[String], valueCols: Seq[String],
                     f: Column => Column, as: String): DataFrame = {
     val grouped = t.df.groupBy(by.map(col): _*)
-      .agg(collect_list(struct(valueCols.map(col): _*)).as("__rows"))
+      .agg(array_sort(collect_list(struct(valueCols.map(col): _*))).as("__rows"))
     grouped.select((by.map(col) :+ f(col("__rows")).as(as)): _*)
   }
 

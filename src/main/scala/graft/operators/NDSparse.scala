@@ -40,6 +40,19 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
     NDSparse(JTable(out, kept), kept, aggs.map(_._1))
   }
 
+  /** `reducedim_vec(f, x, dims)` (reference `src/reduce.jl:117-134`): drop
+    * `dropDims`, apply a VECTOR function to each kept-key group's values —
+    * the vector-aggregate cousin of [[reducedim]]. Lowered through
+    * `Aggregations.groupbyVector` (collect + deterministic sort + the
+    * caller's array expression); same one-shuffle cost. */
+  def reducedimVec(dropDims: Seq[String], valueCol: String,
+                   vecagg: Column => Column, as: String = "value"): NDSparse = {
+    val kept = dims.filterNot(dropDims.contains)
+    val out = Aggregations.groupbyVector(table, kept, Seq(valueCol),
+      arr => vecagg(transform(arr, r => r.getField(valueCol))), as)
+    NDSparse(JTable(out, kept), kept, Seq(as))
+  }
+
   /** `convertdim(t, d, xlate; agg)` — map one index dimension through a
     * function, merging collisions (reference `src/selection.jl:36-81`). */
   def convertdim(dim: String, xlate: Column => Column, aggs: (String, Column)*): NDSparse = {
@@ -53,12 +66,19 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
     * are merged by a VECTOR aggregate: `vecagg` sees the whole collision
     * group as an array column (reference `src/selection.jl:36-47`, the
     * `vecagg` keyword). Lowered as `collect_list` + the caller's
-    * array-level expression — one shuffle, group payloads stay distributed. */
+    * array-level expression — one shuffle, group payloads stay distributed.
+    *
+    * Element order: `collect_list` order is partition-dependent, so the
+    * collected array is sorted ascending before `vecagg` — deterministic
+    * under any partitioning. Divergence from the reference (which hands
+    * vecagg the group in TABLE order): an order-sensitive vecagg sees
+    * value order here; order-insensitive aggregates (median, sum, …) are
+    * unaffected. */
   def convertdimVec(dim: String, xlate: Column => Column, valueCol: String,
                     vecagg: Column => Column, as: String = "value"): NDSparse = {
     val mapped = df.withColumn(dim, xlate(col(dim)))
     val out = mapped.groupBy(dims.map(col): _*)
-      .agg(vecagg(collect_list(col(valueCol))).as(as))
+      .agg(vecagg(array_sort(collect_list(col(valueCol)))).as(as))
     NDSparse(JTable(out, dims), dims, Seq(as))
   }
 

@@ -226,14 +226,28 @@ object HashOps {
     * unscaled long of Spark's `cast(v as decimal(12,9))` — BigDecimal
     * .valueOf (shortest decimal repr, what Decimal.set(Double) uses) then
     * setScale(9, HALF_UP). Computed ONCE per vector; pair scoring then
-    * never touches BigDecimal (see [[dotFix9Java]]). */
+    * never touches BigDecimal (see [[dotFix9Java]]).
+    *
+    * PRECONDITION (enforced, not silent): dense non-null vectors with
+    * |v| < 1000. Outside that range Spark's non-ANSI `cast(v as
+    * decimal(12,9))` yields NULL, so an out-of-range element would make the
+    * fix9 path diverge from the decimal-HOF/oracle arithmetic it is spec-
+    * asserted bit-identical to — the operators that use fix9 (exact cosine
+    * scoring) document the same contract; embeddings are unit-scale, so the
+    * bound is not a practical limit. */
   def fix9Java(arr: ArrayData, isFloat: Boolean): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      require(!arr.isNullAt(i), s"fix9: null element at $i (dense vectors only)")
+      require(!arr.isNullAt(i),
+        s"fix9: null element at $i — exact cosine requires dense non-null vectors " +
+          "(cast(v as decimal(12,9)) of null has no fixed-point image)")
       val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      require(math.abs(v) < 1000.0,
+        s"fix9: element $v at $i out of decimal(12,9) range (|v| < 1000) — " +
+          "Spark's cast would yield NULL here, so a silent fixed-point image " +
+          "would diverge from the exact-decimal oracle arithmetic")
       out(i) = java.math.BigDecimal.valueOf(v)
         .setScale(9, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()

@@ -104,6 +104,33 @@ object IO {
     JTable(df, indexcols)
   }
 
+  /** `loadndsparse(files; indexcols, datacols)` (reference `src/io.jl:19-29`):
+    * load as an N-d sparse array. With empty `indexcols` the reference
+    * synthesizes the implicit `1:n` index and `offset_index!` renumbers
+    * chunks by cumulative offsets (`src/io.jl:151-154`) — here that global
+    * renumbering is `JTable.withRowIndex` (partition-offset zipWithIndex):
+    * rows are numbered 1..n in load order, the index column becomes the
+    * single dimension, and the numbering is identical regardless of how
+    * many chunks/partitions the load produced (the reference's
+    * across-chunk renumbering guarantee; pinned by the CoreSpec sweep). */
+  def loadndsparse(spark: SparkSession, paths: Seq[String],
+                   opts: CsvOptions = CsvOptions(),
+                   indexcols: Seq[String] = Nil,
+                   datacols: Seq[String] = Nil,
+                   implicitIndexCol: String = "idx"): graft.operators.NDSparse = {
+    val t = loadtable(spark, paths, opts, indexcols)
+    if (indexcols.nonEmpty) {
+      val values = if (datacols.nonEmpty) datacols
+                   else t.columns.filterNot(indexcols.contains)
+      graft.operators.NDSparse(t, indexcols, values)
+    } else {
+      val indexed = t.withRowIndex(implicitIndexCol)
+      val values = if (datacols.nonEmpty) datacols
+                   else t.columns // every loaded column is data under the implicit index
+      graft.operators.NDSparse(indexed, Seq(implicitIndexCol), values)
+    }
+  }
+
   /** Multi-file load with differing schemas: per-file frames unified by
     * name, missing columns null-filled (reference `samecols` +
     * missing-column fill, `test/test_readwrite.jl:62-88`). Use only for
