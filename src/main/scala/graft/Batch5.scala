@@ -289,8 +289,12 @@ private[graft] object Batch5 {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // §2.6 permutedims + leading-dim slice: reorder the NDSparse index so
-    // the sliced dim leads (the reference re-sorts; here the pkey re-keys
-    // and partition pruning follows the new leading dim).
+    // the sliced dim leads. The reference re-sorts; here the pkey re-keys,
+    // which changes the RANGE PARTITIONING downstream operators reuse (the
+    // shuffle-reuse invariant) — not the parquet layout. Storage-level skip
+    // for the sliced dim comes from the pushed `l_linenumber = 7` predicate
+    // + row-group min/max stats, which depend on how the data was WRITTEN;
+    // the CoreSpec pins that the predicate reaches PushedFilters.
     Q("q77_permutedims_slice",
       (s, dir) => {
         val nd = NDSparse(li(s, dir), Seq("l_orderkey", "l_linenumber"), Seq("l_quantity"))

@@ -31,6 +31,12 @@ object IO {
       spacedelim: Boolean = false,
       quotechar: String = "\"",
       escapechar: String = "\\",
+      /** Parse quoted embedded newlines (TextParse handles these natively).
+        * Off by default: Spark's multiLine CSV mode reads each file as ONE
+        * split (no intra-file parallelism) — at 100 TB prefer newline-free
+        * exports unless records genuinely embed newlines. Inference follows
+        * the same mode, so the sample sees whole records either way. */
+      multiline: Boolean = false,
       headerExists: Boolean = true,
       colnames: Seq[String] = Nil,
       nastrings: Seq[String] = Seq(""),
@@ -66,6 +72,7 @@ object IO {
       .option("ignoreTrailingWhiteSpace", opts.spacedelim.toString)
       .option("quote", opts.quotechar)
       .option("escape", opts.escapechar)
+      .option("multiLine", opts.multiline.toString)
       .option("header", opts.headerExists.toString)
       .option("nullValue", opts.nastrings.head)
     val reader = opts.colparsers match {
@@ -75,9 +82,39 @@ object IO {
         // from the first N data rows ONLY, then pin it for the full read —
         // at 100 TB a full-scan inference pass costs as much as the query,
         // and the reference's sample-N semantics avoid exactly that.
-        val sample = spark.read.textFile(paths: _*)
-          .limit(opts.typeDetectRows + (if (opts.headerExists) 1 else 0))
-        val inferred = base(spark.read).option("inferSchema", "true").csv(sample).schema
+        // The sample goes THROUGH the CSV reader (limit N, all-string
+        // schema), not through raw text lines: the parser consumes each
+        // file's header, so a multi-file load can't leak later files'
+        // header lines into the sample as data rows, and with
+        // `multiline=true` quoted embedded newlines can't split a record
+        // mid-field (the sample runs under the same reader mode as the
+        // full read, so both see the same records). The N sampled rows are then re-encoded with a
+        // \u0001 separator (values containing the separator or a newline
+        // are defused to a non-numeric token — such a column is string-
+        // typed anyway) and inference runs once on that tiny in-memory set.
+        val sampled = base(spark.read).csv(paths: _*).limit(opts.typeDetectRows)
+        val names = sampled.columns.toSeq
+        val sep = "\u0001"
+        val na = opts.nastrings.head
+        val encoded: Seq[String] = sampled.collect().toSeq.map { r =>
+          (0 until r.length).map { i =>
+            val v = r.getString(i)
+            if (v == null) na else v.replaceAll("[\u0001\r\n]", "x")
+          }.mkString(sep)
+        }
+        val inferred =
+          if (encoded.isEmpty)
+            org.apache.spark.sql.types.StructType(names.map(n =>
+              org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+          else {
+            import spark.implicits._
+            val raw = spark.read
+              .option("sep", sep).option("header", "false")
+              .option("nullValue", na).option("inferSchema", "true")
+              .csv(spark.createDataset(encoded)).schema
+            org.apache.spark.sql.types.StructType(
+              names.zip(raw.fields).map { case (n, f) => f.copy(name = n) })
+          }
         base(spark.read).schema(inferred)
     }
     var df = reader.csv(paths: _*)

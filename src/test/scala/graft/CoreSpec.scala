@@ -258,6 +258,82 @@ class CoreSpec extends SparkSpec {
     assert(got == Seq((0L, 30.0), (1L, 30.0)))
   }
 
+  test("withRowIndex: pkey-order numbering invariant across chunkings (reference io.jl:151-154)") {
+    partitionSweep { n =>
+      JTable(tinyTable.repartition(n), Seq("k")).withRowIndex("idx")
+        .df.orderBy("idx").collect()
+        .map(r => (r.getAs[Long]("idx"), r.getAs[Long]("k"))).toSeq
+    }
+    val t = JTable(tinyTable, Seq("k")).withRowIndex("idx")
+    assert(t.pkey == Seq("idx")) // the synthesized dim is the new key
+    assert(t.df.orderBy("idx").collect()
+      .map(r => (r.getAs[Long]("idx"), r.getAs[Long]("k"))).toSeq ==
+      (1L to 5L).map(i => (i, i)).toSeq)
+    intercept[IllegalArgumentException](t.withRowIndex("idx")) // name collision
+  }
+
+  test("upsert: right-wins by pkey, right-only inserts, deterministic within-side dups") {
+    val base = JTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v"), Seq("k"))
+    // duplicate k=2 WITHIN updates resolves to the side's max value struct
+    val ups = JTable(Seq((2L, "B", 20.0), (2L, "A", 10.0), (4L, "D", 40.0))
+      .toDF("k", "s", "v"), Seq("k"))
+    val want = Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (4L, "D", 40.0))
+    assert(Joins.upsert(base, ups).df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq == want)
+    partitionSweep { n =>
+      Joins.upsert(JTable(base.df.repartition(n), Seq("k")),
+          JTable(ups.df.repartition(n), Seq("k")))
+        .df.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    }
+    intercept[IllegalArgumentException](Joins.upsert(JTable(base.df), ups)) // pkey required
+    intercept[IllegalArgumentException]( // schema mismatch
+      Joins.upsert(base, JTable(ups.df.drop("v"), Seq("k"))))
+  }
+
+  test("groupjoinSize == size(groupjoin groups) for inner/left/outer") {
+    val l = JTable(Seq("a", "b", "x").toDF("g"))
+    val r = JTable(tinyTable)
+    for (how <- Seq("inner", "left", "outer")) {
+      val viaList = Joins.groupjoin(l, r, Seq("g"), Seq("k", "v"), how)
+        .select(col("g"), size(col("groups")).cast("long").as("n"))
+      val viaCount = Joins.groupjoinSize(l, r, Seq("g"), how, as = "n")
+        .select(col("g"), col("n"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("g").collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+      assert(rows(viaCount) == rows(viaList), s"fast path diverges for how=$how")
+    }
+  }
+
+  test("reducedimVec: vector aggregate after dropping dims (reference reduce.jl:117-134)") {
+    def median(arr: org.apache.spark.sql.Column) = {
+      val sorted = array_sort(arr); val n = size(sorted)
+      when(pmod(n, lit(2)) === 1, element_at(sorted, ((n + lit(1)) / 2).cast("int")))
+        .otherwise((element_at(sorted, (n / 2).cast("int")) +
+          element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
+    }
+    partitionSweep { n =>
+      NDSparse(tinyTable.repartition(n), Seq("g", "k"), Seq("v"))
+        .reducedimVec(Seq("k"), "v", median, as = "med")
+        .table.df.orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    val got = NDSparse(tinyTable, Seq("g", "k"), Seq("v"))
+      .reducedimVec(Seq("k"), "v", median, as = "med")
+      .table.df.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // g=a → {10,30,50} → 30.0; g=b → {20,40} → 30.0
+    assert(got == Seq(("a", 30.0), ("b", 30.0)))
+  }
+
+  test("q77 slice predicate reaches the parquet scan (PushedFilters)") {
+    val df = SparkEntry.queries("q77_permutedims_slice")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_linenumber,7)"),
+      s"l_linenumber = 7 not in PushedFilters — storage-level row-group skip lost:\n$plan")
+  }
+
   test("broadcastOp keeps B-only dims (reference join.jl:286-322)") {
     val a = NDSparse(Seq((1L, 10.0), (2L, 20.0)).toDF("x", "va"), Seq("x"), Seq("va"))
     val b = NDSparse(Seq((1L, "p", 1.0), (1L, "q", 2.0), (2L, "p", 3.0))

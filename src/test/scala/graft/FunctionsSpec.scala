@@ -374,6 +374,39 @@ class FunctionsSpec extends SparkSpec {
     assert(row.getStruct(1).getLong(0) == row.getLong(2))
   }
 
+  test("SpaceSaving: late heavy hitter guaranteed present, bounded error; exact regime") {
+    import Sketches.{SpaceSavingAgg, spaceSavingCol}
+    val agg = SpaceSavingAgg(4)
+    // adversarial arrival order: 8 light keys saturate the 4-slot summary
+    // BEFORE the heavy hitter appears — exactly the pattern CountMapAgg's
+    // lightest-key eviction undercounts. HH is 30/70 ≈ 43% of the stream,
+    // far above the N/capacity = 17.5 presence guarantee.
+    val stream = (0 until 40).map(i => s"k${i % 8}") ++ Seq.fill(30)("HH")
+    val bufs = stream.grouped(10).map(c => c.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val out = agg.finish(bufs.reduce(agg.merge))
+    assert(out.size <= 4)
+    val hh = out.find(_.key == "HH")
+      .getOrElse(fail("late heavy hitter missing — the guarantee SpaceSaving exists for"))
+    assert(hh.count >= 30, s"space-saving counts must overestimate: $hh")
+    assert(hh.count - hh.err <= 30, s"error bound violated: $hh")
+    // exact regime through the Column API (distinct keys ≤ capacity →
+    // exact counts, zero error), swept across partitionings to exercise
+    // Spark's partial/merge path
+    partitionSweep { n =>
+      stream.toDF("x").repartition(n)
+        .agg(spaceSavingCol(32)(col("x")).as("m"))
+        .select(explode(col("m")).as("e"))
+        .select(col("e.key"), col("e.count"), col("e.err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val exact = stream.toDF("x")
+      .agg(spaceSavingCol(32)(col("x")).as("m"))
+      .select(explode(col("m")).as("e"))
+      .select(col("e.key"), col("e.count"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == ((0 until 8).map(i => (s"k$i", 5L, 0L)).toSet + (("HH", 30L, 0L))))
+  }
+
   test("bucketed ANN corpus: partition-pruned query == lshTopK") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toFile.getPath + "/corpus"

@@ -215,6 +215,53 @@ class IOStreamsSpec extends SparkSpec {
     assert(t2.df.schema("a").dataType == org.apache.spark.sql.types.DoubleType)
   }
 
+  test("loadtable inference: later files' headers can't enter the sample") {
+    val dir = Files.createTempDirectory("graft_csv6").toFile
+    // file one has FEWER data rows than typeDetectRows: a raw-line sample
+    // would spill into file two and read its header "a,b" as a data row,
+    // demoting both columns to string; sampling through the CSV reader
+    // consumes every file's header
+    Files.writeString(new java.io.File(dir, "f1.csv").toPath, "a,b\n1,10\n2,20\n")
+    Files.writeString(new java.io.File(dir, "f2.csv").toPath, "a,b\n3,30\n4,40\n")
+    val t = IO.loadtable(spark, Seq(s"$dir/f1.csv", s"$dir/f2.csv"),
+      IO.CsvOptions(typeDetectRows = 5))
+    assert(t.df.schema("a").dataType == org.apache.spark.sql.types.IntegerType,
+      s"header line polluted the inference sample: ${t.df.schema}")
+    assert(t.df.schema("b").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(t.df.count() == 4)
+  }
+
+  test("loadtable inference: quoted multi-line records sampled whole") {
+    val dir = Files.createTempDirectory("graft_csv7").toFile
+    // a raw-line sample would split the quoted record mid-field and see
+    // "two" / "lines" as malformed rows; the CSV reader keeps it whole
+    Files.writeString(new java.io.File(dir, "m.csv").toPath,
+      "a,b\n1,\"two\nlines\"\n2,plain\n")
+    val t = IO.loadtable(spark, Seq(s"$dir/m.csv"),
+      IO.CsvOptions(typeDetectRows = 2, multiline = true))
+    assert(t.df.schema("a").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(t.df.count() == 2)
+    assert(t.df.filter(col("b").contains("\n")).count() == 1)
+  }
+
+  test("loadndsparse: implicit 1:n index when no indexcols (reference io.jl:19-29)") {
+    val dir = Files.createTempDirectory("graft_nd").toFile
+    Files.writeString(new java.io.File(dir, "nd.csv").toPath,
+      "x,y\n10,a\n20,b\n30,c\n")
+    val nd = IO.loadndsparse(spark, Seq(s"$dir/nd.csv"))
+    assert(nd.dims == Seq("idx"))
+    assert(nd.valueCols == Seq("x", "y"))
+    val rows = nd.table.df.orderBy("idx").collect()
+      .map(r => (r.getAs[Long]("idx"), r.getAs[Int]("x"), r.getAs[String]("y"))).toSeq
+    assert(rows == Seq((1L, 10, "a"), (2L, 20, "b"), (3L, 30, "c")))
+    // point lookup on the synthesized dimension
+    assert(nd.lookup(2L).collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((20, "b")))
+    // explicit indexcols still win
+    val nd2 = IO.loadndsparse(spark, Seq(s"$dir/nd.csv"), indexcols = Seq("x"))
+    assert(nd2.dims == Seq("x") && nd2.valueCols == Seq("y"))
+  }
+
   test("streamingDedupBounded: expired keys re-admit (EventTimeTimeout)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
