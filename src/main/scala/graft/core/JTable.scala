@@ -114,9 +114,15 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
     val sorted = df.orderBy(pkey.map(col): _*)
     val schema = sorted.schema
     val n = groups.size
+    val boundsArr = bounds.toArray // binary-searchable: O(log chunks) per row
     val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      val b = bounds.indexWhere(i < _)
-      (if (b < 0) n - 1 else b, r)
+      // first bound strictly greater than i (lowest insertion point of i+1)
+      var lo = 0; var hi = boundsArr.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (i < boundsArr(mid)) hi = mid else lo = mid + 1
+      }
+      (if (i < boundsArr(lo)) lo else n - 1, r)
     }
     val parted = rows.partitionBy(new org.apache.spark.Partitioner {
       def numPartitions: Int = n

@@ -102,15 +102,28 @@ object Sketches {
     def outputEncoder: Encoder[Seq[(Double, Long)]] = ExprEncoders.pairSeq
   }
 
-  /** Approximate quantile from a KHist sketch: walk the cumulative weight
-    * to the target rank (OnlineStats quantile-from-KHist recipe). */
+  /** Approximate quantile from a KHist sketch, interpolating between
+    * centroid rank positions (OnlineStats quantile-from-KHist recipe).
+    * Centroid i's representative rank is `cum + (w-1)/2` — the middle of
+    * the ranks its weight covers — and the target rank is `q·(n−1)`, the
+    * same convention as SQL `percentile`/`quantile_cont`: while the sketch
+    * is EXACT (no compression has happened), this returns exactly the
+    * interpolated percentile; after compression it is the usual
+    * t-digest-style approximation. */
   def khistQuantile(centers: Seq[(Double, Long)], q: Double): Double = {
     require(centers.nonEmpty, "empty sketch")
-    val target = q * centers.map(_._2).sum
-    var acc = 0L
+    val n = centers.map(_._2).sum
+    val t = q * (n - 1)
+    var cum = 0L
+    var prevPos = Double.NaN
+    var prevX = Double.NaN
     centers.foreach { case (x, w) =>
-      acc += w
-      if (acc >= target) return x
+      val pos = cum + (w - 1) / 2.0
+      if (t <= pos) {
+        return if (prevPos.isNaN || pos == prevPos) x
+        else prevX + (x - prevX) * (t - prevPos) / (pos - prevPos)
+      }
+      prevPos = pos; prevX = x; cum += w
     }
     centers.last._1
   }
@@ -280,6 +293,24 @@ object Sketches {
   /** Mosaic (2-D countmap) as an untyped aggregate Column over (x, y). */
   def mosaicCol(maxKeys: Int = 10000)(x: Column, y: Column): Column =
     udaf(MosaicAgg(maxKeys), Encoders.tuple(Encoders.STRING, Encoders.STRING)).apply(x, y)
+  /** KHist as an untyped aggregate Column — yields
+    * array<struct<_1: center, _2: weight>>; pair with [[khistQuantileCol]]
+    * (or [[khistQuantile]] driver-side) to read quantiles off the sketch.
+    * Mergeable, so it runs identically under Structured Streaming windows
+    * (see `Streams.windowedQuantiles`). */
+  def khistCol(k: Int)(c: Column): Column =
+    udaf(KHistAgg(k), Encoders.scalaDouble).apply(c)
+  /** Quantile walk over a KHist sketch column (the [[khistQuantile]]
+    * recipe as a scalar function). Runs per GROUP row — one sketch per
+    * window/key, never per input row — so a plain Scala UDF is fine here;
+    * the per-row hot path is the aggregator above. */
+  def khistQuantileCol(q: Double)(sketch: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { centers: Seq[org.apache.spark.sql.Row] =>
+      if (centers == null || centers.isEmpty) Double.NaN
+      else khistQuantile(centers.map(r => (r.getDouble(0), r.getLong(1))), q)
+    }
+    f(sketch)
+  }
 
   /** OnlineStats combinators (reference `docs/src/onlinestats.md:24-47`,
     * `src/recipes.jl:7-30`): `Series` fits several stats over ONE selection,

@@ -45,6 +45,32 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
 
+  /** Streaming windowed quantile sketch: per-(window, event_type) KHist
+    * over `value`, with the requested quantiles read off the sketch in the
+    * same query. The KHist buffer is mergeable state (O(k) per group), so
+    * this runs indefinitely: the state store holds one ≤k-centroid sketch
+    * per open window×type, the watermark closes windows and frees state,
+    * and append mode emits each window exactly once when it closes —
+    * quantiles over an unbounded stream with bounded memory, which an
+    * exact percentile (full sort per window) cannot do. */
+  def windowedQuantiles(events: DataFrame, watermark: String = "10 minutes",
+                        window_ : String = "1 hour", k: Int = 64,
+                        qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    import graft.functions.Sketches
+    val base = events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), Sketches.khistCol(k)(col("value")).as("sketch"))
+    val withQs = qs.foldLeft(base) { (df, q) =>
+      df.withColumn(f"p${math.round(q * 100)}%02d",
+        Sketches.khistQuantileCol(q)(col("sketch")))
+    }
+    withQs.select(
+      unix_micros(col("window.start")).as("bucket_us") +: col("event_type") +:
+        col("n") +: qs.map(q => col(f"p${math.round(q * 100)}%02d")): _*)
+  }
+
   /** Stateful streaming dedup: emit each key's row only the first time it
     * is seen (training-data pipelines run exactly this to dedup an
     * unbounded crawl). State = one boolean per key. In production, bound

@@ -79,6 +79,16 @@ class IOStreamsSpec extends SparkSpec {
       partitioning = Some(("id", 1L, 4L, 2)))
     assert(p.df.rdd.getNumPartitions == 2)
     assert(p.df.count() == 3)
+    // predicate pushdown: the filter must reach the JDBC scan (travel as
+    // a WHERE clause in each range-split query, so the database — not
+    // Spark — drops the rows; at scale this is the difference between
+    // shipping the table and shipping the answer)
+    val filtered = p.df.filter(col("price") > 120.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.toLowerCase.contains("greaterthan(price,120.0)"),
+      s"price predicate not pushed to the JDBC scan:\n$plan")
+    assert(filtered.collect().map(_.getString(1)).toSet == Set("MSFT", "GOOG"))
   }
 
   test("save/load roundtrip preserves data") {
@@ -162,6 +172,41 @@ class IOStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     val want = batch.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     got.foreach { case (k, v) => assert(want.get(k).contains(v), s"window $k") }
+  }
+
+  test("streaming windowedQuantiles: KHist p50/p90 track batch exact percentiles") {
+    val dir = Files.createTempDirectory("graft_qstream").toFile.getPath
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select("ts_us", "event_type", "value")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = Streams.parquetStream(spark, dir, ev.schema)
+    val result = Streams.runOnce(
+      Streams.windowedQuantiles(stream), "q_test", mode = "append")
+    // append emits only watermark-closed windows (same as the windowedAgg
+    // test); every emitted window must carry sketch quantiles within the
+    // KHist tolerance of the batch-exact percentiles on the same slice.
+    val batch = ev.withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.5)).as("e50"),
+        percentile(col("value"), lit(0.9)).as("e90"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("e50"), col("e90"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val rows = result.collect()
+    assert(rows.nonEmpty, "no closed windows emitted")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val (n, e50, e90) = batch(key)
+      assert(r.getLong(2) == n, s"window $key count")
+      def close(est: Double, want: Double) =
+        math.abs(est - want) <= math.max(0.15 * math.abs(want), 1e-9)
+      assert(close(r.getDouble(3), e50), s"window $key p50 ${r.getDouble(3)} vs $e50")
+      assert(close(r.getDouble(4), e90), s"window $key p90 ${r.getDouble(4)} vs $e90")
+    }
   }
 
   test("Moments sketch runs under Structured Streaming == batch result") {
