@@ -1,0 +1,88 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.LongAdder
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.GraftListenerShim
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** `tracktime(f)` diagnostics (reference `src/diagnostics.jl:84-98`): run a
+  * block and report where the time went. The reference swaps in a logging
+  * Dagger context and aggregates per-(proc, event-type) timings + GC deltas;
+  * the Spark-native sources for exactly those numbers are the listener
+  * APIs — `QueryExecutionListener` for per-action wall time (the
+  * reference's per-`compute` events) and `SparkListener.onTaskEnd` task
+  * metrics for executor run/GC time, shuffle bytes, and spill (the
+  * per-proc breakdown; Spark pre-aggregates GC per task the way the
+  * reference folds `gc_diff`s). Listeners see every job the block runs,
+  * across all executors — this is the cluster-wide view, not a driver
+  * stopwatch. For interactive deep dives the Spark UI holds the same
+  * events; `tracktime` is the programmatic summary of them. */
+object Diagnostics {
+
+  /** One driver-side action (collect/count/write) with its wall time. */
+  final case class ActionTiming(funcName: String, durationMs: Double)
+
+  /** Executor-side totals over the tracked block (reference per-proc
+    * aggregation, `src/diagnostics.jl:38-48`). */
+  final case class TaskTotals(tasks: Long, executorRunTimeMs: Long,
+                              jvmGcTimeMs: Long, shuffleReadBytes: Long,
+                              shuffleWriteBytes: Long, spilledBytes: Long)
+
+  final case class Timings(actions: Seq[ActionTiming], tasks: TaskTotals) {
+    /** `show_timings` analog — a compact human-readable breakdown. */
+    def summary: String = {
+      val acts = actions.map(a => f"  ${a.funcName}%-12s ${a.durationMs}%10.1f ms").mkString("\n")
+      s"""actions:
+         |$acts
+         |tasks: ${tasks.tasks}, executor run ${tasks.executorRunTimeMs} ms, """.stripMargin +
+        s"gc ${tasks.jvmGcTimeMs} ms, shuffle r/w ${tasks.shuffleReadBytes}/" +
+        s"${tasks.shuffleWriteBytes} B, spilled ${tasks.spilledBytes} B"
+    }
+  }
+
+  /** Track the Spark work done by `f`: returns (result, timings). Nesting
+    * note: listeners are session/context-global, so concurrent queries on
+    * the same session during the block are included in the totals (the
+    * reference's context swap has the same property — it logs everything
+    * the scheduler runs while tracking is on). */
+  def tracktime[T](spark: SparkSession)(f: => T): (T, Timings) = {
+    val actions = new ConcurrentLinkedQueue[ActionTiming]()
+    val tasks = new LongAdder; val runTime = new LongAdder; val gcTime = new LongAdder
+    val shRead = new LongAdder; val shWrite = new LongAdder; val spilled = new LongAdder
+    val qel = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        actions.add(ActionTiming(funcName, durationNs / 1e6))
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    val sl = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          tasks.increment(); runTime.add(m.executorRunTime); gcTime.add(m.jvmGCTime)
+          shRead.add(m.shuffleReadMetrics.totalBytesRead)
+          shWrite.add(m.shuffleWriteMetrics.bytesWritten)
+          spilled.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    }
+    spark.listenerManager.register(qel)
+    spark.sparkContext.addSparkListener(sl)
+    try {
+      val res = f
+      // both task metrics and QueryExecutionListener events ride the async
+      // listener bus — drain it before reading what the listeners saw
+      GraftListenerShim.waitUntilListenerBusEmpty(spark.sparkContext, 30000)
+      (res, Timings(actions.asScala.toSeq,
+        TaskTotals(tasks.sum, runTime.sum, gcTime.sum, shRead.sum, shWrite.sum, spilled.sum)))
+    } finally {
+      spark.listenerManager.unregister(qel)
+      spark.sparkContext.removeSparkListener(sl)
+    }
+  }
+}

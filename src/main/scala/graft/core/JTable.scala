@@ -54,6 +54,38 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
   def dropmissing(cols: String*): JTable =
     orderPreserving(if (cols.isEmpty) df.na.drop() else df.na.drop(cols.toArray))
 
+  /** `convertmissing(t, missingtype)` (reference `src/selection.jl:14-18`):
+    * the reference converts columns between its two missing representations
+    * (`Missing` union vs `DataValue` wrapper). Spark's native representation
+    * is the nullable column ("null"); the `DataValue` analog is "flagged" —
+    * an explicit `struct<value, present: boolean>` per converted column,
+    * which downstream logic can treat as data (group on presence, carry
+    * through joins that would otherwise conflate "missing" with "no match").
+    * Narrow projection both ways; `convertmissing(convertmissing(t,
+    * "flagged"), "null")` round-trips losslessly. */
+  def convertmissing(missingtype: String, cols: String*): JTable = {
+    val targets = if (cols.isEmpty) df.columns.toSeq else cols.toSeq
+    missingtype match {
+      case "flagged" =>
+        val out = targets.filterNot(pkey.contains).foldLeft(df) { (d, c) =>
+          d.withColumn(c, struct(col(c).as("value"), col(c).isNotNull.as("present")))
+        }
+        orderPreserving(out)
+      case "null" =>
+        val out = targets.foldLeft(df) { (d, c) =>
+          d.schema(c).dataType match {
+            case s: org.apache.spark.sql.types.StructType
+                if s.fieldNames.sameElements(Array("value", "present")) =>
+              d.withColumn(c, when(col(c)("present"), col(c)("value")))
+            case _ => d
+          }
+        }
+        orderPreserving(out)
+      case other => throw new IllegalArgumentException(
+        s"missingtype must be 'null' or 'flagged', got $other")
+    }
+  }
+
   /** `transform(t, name => col)` — add/replace a column; re-sorts when a pkey
     * column is replaced (reference `test/test_table.jl:83-85`). */
   def transform(pairs: (String, Column)*): JTable = {
@@ -116,13 +148,7 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
     val n = groups.size
     val boundsArr = bounds.toArray // binary-searchable: O(log chunks) per row
     val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      // first bound strictly greater than i (lowest insertion point of i+1)
-      var lo = 0; var hi = boundsArr.length - 1
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (i < boundsArr(mid)) hi = mid else lo = mid + 1
-      }
-      (if (i < boundsArr(lo)) lo else n - 1, r)
+      (JTable.chunkOf(i, boundsArr), r)
     }
     val parted = rows.partitionBy(new org.apache.spark.Partitioner {
       def numPartitions: Int = n
@@ -206,6 +232,67 @@ object JTable {
   /** Wrap without establishing the invariant — caller asserts the frame is
     * already range-partitioned+sorted (e.g. derived order-preservingly). */
   def assumeSorted(df: DataFrame, pkey: Seq[String]): JTable = new JTable(df, pkey)
+
+  /** Chunk index of global row position `i` given cumulative upper
+    * `bounds`: first bound strictly greater than i, clamped into the last
+    * chunk (overflow rows keep the tail). O(log chunks) binary search. */
+  private[core] def chunkOf(i: Long, bounds: Array[Long]): Int = {
+    var lo = 0; var hi = bounds.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (i < bounds(mid)) hi = mid else lo = mid + 1
+    }
+    if (i < bounds(lo)) lo else bounds.length - 1
+  }
+
+  /** Constructor from distributed column vectors (reference
+    * `src/table.jl:52-81`: `table(distributed vectors…)` picks the first
+    * vector's chunking and distributes the others to match, then zips
+    * chunk-wise). Each input is a single-column frame; rows pair by global
+    * POSITION. Columns whose per-partition row counts already equal the
+    * first column's zip in place — no data movement, the aligned fast
+    * path; a misaligned column is realigned to the first column's chunking
+    * by global position (zipWithIndex → explicit-bounds partitioner → one
+    * in-partition sort, the same machinery as `distribute(rowgroups)`).
+    * Per-chunk data must fit an executor — the reference's chunk contract.
+    * RDD zip is the genuine per-partition imperative case: position-pairing
+    * has no relational form that avoids a join keyed on row number. */
+  def fromColumns(columns: Seq[(String, DataFrame)], pkey: Seq[String] = Nil): JTable = {
+    require(columns.nonEmpty, "fromColumns needs at least one column")
+    columns.foreach { case (n, d) =>
+      require(d.columns.length == 1, s"column $n: expected a single-column frame")
+    }
+    val rdds = columns.map(_._2.rdd)
+    def partCounts(r: org.apache.spark.rdd.RDD[Row]): Array[Long] =
+      r.mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+        .collect()
+    val c0 = partCounts(rdds.head)
+    val n0 = c0.sum
+    val bounds = c0.scanLeft(0L)(_ + _).tail
+    val nParts = math.max(c0.length, 1)
+    val aligned = rdds.head +: rdds.tail.zip(columns.tail).map { case (r, (name, _)) =>
+      val ci = partCounts(r)
+      if (ci.sameElements(c0)) r
+      else {
+        require(ci.sum == n0, s"column $name: length ${ci.sum} != first column's $n0")
+        r.zipWithIndex().map { case (row, i) => (i, row) }
+          .partitionBy(new org.apache.spark.Partitioner {
+            def numPartitions: Int = nParts
+            def getPartition(key: Any): Int = chunkOf(key.asInstanceOf[Long], bounds)
+          })
+          .mapPartitions(it => it.toArray.sortBy(_._1).iterator.map(_._2))
+      }
+    }
+    val zipped = aligned.reduce { (a, b) =>
+      a.zipPartitions(b) { (ia, ib) =>
+        ia.zip(ib).map { case (x, y) => Row.fromSeq(x.toSeq ++ y.toSeq) }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      columns.map { case (n, d) => d.schema.fields.head.copy(name = n) })
+    val df = columns.head._2.sparkSession.createDataFrame(zipped, schema)
+    JTable(df, pkey)
+  }
 
   /** Wrap a frame that is co-partitioned by pkey (hash, e.g. a bucketed
     * read) and sorted within partitions. Every pkey-trusting operation

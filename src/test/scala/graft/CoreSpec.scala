@@ -334,6 +334,51 @@ class CoreSpec extends SparkSpec {
       s"l_linenumber = 7 not in PushedFilters — storage-level row-group skip lost:\n$plan")
   }
 
+  test("fromColumns: distributed-vector ctor zips by position (reference table.jl:52-81)") {
+    val sc = spark.sparkContext
+    val a = sc.parallelize(1L to 6L, 3).toDF("a")
+    val aligned = sc.parallelize(Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0), 3).toDF("x")
+    val misaligned = sc.parallelize(Seq("u", "v", "w", "x", "y", "z"), 2).toDF("b")
+    val t = JTable.fromColumns(Seq("a" -> a, "x" -> aligned, "b" -> misaligned), Seq("a"))
+    assert(t.columns == Seq("a", "x", "b"))
+    assert(t.pkey == Seq("a"))
+    val rows = t.df.orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 10.0, "u"), (2L, 20.0, "v"), (3L, 30.0, "w"),
+      (4L, 40.0, "x"), (5L, 50.0, "y"), (6L, 60.0, "z")))
+    // length mismatch is an error, not silent truncation
+    val short = sc.parallelize(Seq(1.0, 2.0), 2).toDF("s")
+    intercept[IllegalArgumentException] {
+      JTable.fromColumns(Seq("a" -> a, "s" -> short))
+    }
+  }
+
+  test("convertmissing: null ↔ flagged round-trip (reference selection.jl:14-18)") {
+    val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0))).toDF("k", "v")
+    val t = JTable(df, Seq("k"))
+    val flagged = t.convertmissing("flagged", "v")
+    val fr = flagged.df.orderBy("k").collect()
+    assert(fr.map(_.getStruct(1).getBoolean(1)).toSeq == Seq(true, false, true))
+    // presence is data now: groupable without conflating null with no-match
+    assert(flagged.df.where(col("v")("present")).count() == 2)
+    val back = flagged.convertmissing("null", "v")
+    assert(back.df.schema("v").dataType == DoubleType)
+    val vs = back.df.orderBy("k").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+    assert(vs == Seq(Some(10.0), None, Some(30.0)))
+    intercept[IllegalArgumentException] { t.convertmissing("bogus", "v") }
+  }
+
+  test("tracktime: listener-sourced action + task totals (reference diagnostics.jl:84-98)") {
+    val (res, timings) = Diagnostics.tracktime(spark) {
+      tinyTable.repartition(4).groupBy("g").count().collect().length
+    }
+    assert(res == 2)
+    assert(timings.actions.nonEmpty, "QueryExecutionListener saw no action")
+    assert(timings.tasks.tasks > 0, "SparkListener saw no tasks")
+    assert(timings.summary.contains("tasks:"))
+  }
+
   test("broadcastOp keeps B-only dims (reference join.jl:286-322)") {
     val a = NDSparse(Seq((1L, 10.0), (2L, 20.0)).toDF("x", "va"), Seq("x"), Seq("va"))
     val b = NDSparse(Seq((1L, "p", 1.0), (1L, "q", 2.0), (2L, "p", 3.0))
