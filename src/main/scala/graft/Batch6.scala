@@ -161,6 +161,43 @@ private[graft] object Batch6 {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(*) AS n, CAST(0 AS BIGINT) AS err
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // IVF ANN THROUGH the operator in its exhaustive configuration:
+    // nprobe = nlist probes every cell, so the approximate operator
+    // degenerates to exact search — the oracle certifies the whole IVF
+    // pipeline (k-means assignment, probe explode, cell join, ranking)
+    // independent of where k-means put the centroids. exact=true scores
+    // with the fix9 fixed-point image, hash-matching the decimal oracle
+    // (q37's form). Approximate recall at nprobe < nlist is FunctionsSpec's
+    // job — not SQL-expressible.
+    Q("q84_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.functions.Similarity.trainIvf(
+          emb, "embedding", nlist = 4, maxIter = 3)
+        graft.functions.Similarity.ivfTopK(emb,
+            emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+            "vec_id", "embedding", k = 7, nprobe = 4, model = model,
+            excludeSelf = true, exact = true)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id,
+             |    generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
+             |  FROM embeddings),
+             |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm FROM e GROUP BY 1),
+             |dots AS (SELECT q.id AS query_id, c.id AS id, SUM(q.vd * c.vd) AS dotd
+             |  FROM e q JOIN e c ON q.pos = c.pos AND q.id >= 5 AND q.id < 10 AND c.id <> q.id
+             |  GROUP BY 1, 2),
+             |scored AS (SELECT dots.query_id, dots.id,
+             |    CAST(dotd AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+             |  FROM dots JOIN norms nq ON nq.id = dots.query_id
+             |  JOIN norms nc ON nc.id = dots.id),
+             |ranked AS (SELECT query_id, id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 7
+             |ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -264,4 +264,161 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
   }
+
+  // ---------------------------------------------------------------- IVF ANN
+
+  /** IVF coarse-quantizer model: `nlist` k-means centroids. Tiny by
+    * construction (nlist × dim doubles) — broadcast to every task. */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+    /** Unit-norm centroids: nearest-by-cosine becomes argmax-dot, so
+      * assignment is one fused multiply-add loop per (vector, centroid). */
+    lazy val unitCentroids: Array[Array[Double]] = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+  }
+
+  /** Train the IVF coarse quantizer: spherical k-means (Spark ML `KMeans`
+    * with cosine distance) over (a sample of) the corpus. At 100 TB train
+    * on a sample — centroid quality converges long before the full pass;
+    * `sampleFraction` sizes it. Zero vectors are excluded (cosine distance
+    * is undefined on them; at query time they land in cell 0). */
+  def trainIvf(corpus: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
+               sampleFraction: Double = 1.0, maxIter: Int = 20): IvfModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base =
+      if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus
+    val vecs = base.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(dot(col("v"), col("v")) > 0.0)
+      .select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setDistanceMeasure("cosine").setFeaturesCol("features").fit(vecs)
+    IvfModel(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Cell of each vector: argmax dot with the broadcast unit centroids
+    * (ties → lowest cell). A Scala UDF is the honest tool here: argmin over
+    * a broadcast matrix has no `functions._` form, and a literal-centroid
+    * codegen expression would inline nlist×dim constants into the generated
+    * method (past the JIT limit at real dims). The UDF body is two tight
+    * primitive loops; the broadcast ships the matrix once per executor. */
+  private def cellUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { v: Seq[Double] =>
+      val cs = bc.value; val arr = v.toArray
+      var best = 0; var bestDot = Double.NegativeInfinity; var i = 0
+      while (i < cs.length) {
+        val c = cs(i); var d = 0.0; var j = 0
+        val len = math.min(c.length, arr.length)
+        while (j < len) { d += c(j) * arr(j); j += 1 }
+        if (d > bestDot) { bestDot = d; best = i }
+        i += 1
+      }
+      best
+    }
+
+  /** The `nprobe` cells nearest a query vector, by centroid dot descending
+    * (ties → lowest cell; deterministic). */
+  private def probeUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                       nprobe: Int) =
+    udf { v: Seq[Double] =>
+      val cs = bc.value; val arr = v.toArray
+      val dots = Array.tabulate(cs.length) { i =>
+        val c = cs(i); var d = 0.0; var j = 0
+        val len = math.min(c.length, arr.length)
+        while (j < len) { d += c(j) * arr(j); j += 1 }
+        (d, i)
+      }
+      dots.sortBy { case (d, i) => (-d, i) }.take(nprobe).map(_._2).toSeq
+    }
+
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
+    * scale path next to LSH ([[lshTopK]]): corpus vectors are assigned ONCE
+    * to their nearest-centroid cell (narrow scan, no shuffle), and a query
+    * scores only the `nprobe` cells whose centroids are nearest it.
+    * Candidate volume ≈ |corpus|·nprobe/nlist, and because the cells
+    * PARTITION the corpus (unlike OR-amplified LSH tables) every candidate
+    * pair arises exactly once — no dropDuplicates exchange in the plan.
+    *
+    * `nprobe = nlist` probes every cell and is EXACTLY brute force — the
+    * oracle gate (q84) runs that configuration with `exact=true` against
+    * the same relational oracle as q37, which certifies the whole pipeline
+    * (assignment, probing, join, ranking) bit-identically; approximate
+    * recall at `nprobe < nlist` is spec'd against [[bruteForceTopK]].
+    * Scoring mirrors [[bruteForceTopK]]: norms once per vector, one dot
+    * per pair; `exact=true` uses the fix9 fixed-point image. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nprobe: Int,
+              model: IvfModel, excludeSelf: Boolean = true,
+              exact: Boolean = false): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9}
+    val bc = corpus.sparkSession.sparkContext.broadcast(model.unitCentroids)
+    val assign = cellUdf(bc)
+    val probes = probeUdf(bc, math.min(nprobe, model.nlist))
+    val prep: Column => Column =
+      if (exact) fix9 else (v: Column) => v.cast("array<double>")
+    val dotF: (Column, Column) => Column = if (exact) dotFix9 else dot
+    def nrm(v: Column) = sqrt(dotF(v, v))
+    val q = queries.select(col(idCol).as("query_id"), prep(col(vecCol)).as("qv"),
+        explode(probes(col(vecCol).cast("array<double>"))).as("cell"))
+      .withColumn("qn", nrm(col("qv")))
+    val c = corpus.select(col(idCol).as("id"), prep(col(vecCol)).as("cv"),
+        assign(col(vecCol).cast("array<double>")).as("cell"))
+      .withColumn("cn", nrm(col("cv")))
+    rankProbed(c, q, k, excludeSelf, dotF)
+  }
+
+  /** Score (corpus row, query probe) matches on `cell` and keep each
+    * query's top k. The query side is broadcast; the corpus side is never
+    * shuffled before ranking. */
+  private def rankProbed(c: DataFrame, q: DataFrame, k: Int,
+                         excludeSelf: Boolean,
+                         dotF: (Column, Column) => Column): DataFrame = {
+    val selfCond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
+    val scored = c.join(broadcast(q), // tiny: |Q|·nprobe rows
+        q("cell") === c("cell") && selfCond)
+      .withColumn("cos", dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Write the corpus in the IVF index layout: one hive partition per cell
+    * (`cell=<i>/`). Unlike the LSH index ([[writeBucketedCorpus]]) each
+    * vector is written exactly once — no storage amplification. One narrow
+    * assignment pass + one partitioned write. */
+  def writeIvfCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                     model: IvfModel, path: String): Unit = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model.unitCentroids)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
+        cellUdf(bc)(col(vecCol).cast("array<double>")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Query the written IVF index: the probed-cell set across the query set
+    * (≤ nlist ints — driver-safe by construction) becomes ONE `isin`
+    * partition predicate, so the scan reads only the probed `cell=`
+    * directories. An empty query set yields an empty `isin` (constant
+    * false) — an empty result, not an error. */
+  def ivfTopKIndexed(corpusPath: String, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nprobe: Int, model: IvfModel,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(model.unitCentroids)
+    val probes = probeUdf(bc, math.min(nprobe, model.nlist))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        explode(probes(col(vecCol).cast("array<double>"))).as("cell"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(corpusPath)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id"), col("cv").cast("array<double>").as("cv"), col("cell"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    rankProbed(c, q, k, excludeSelf, dot)
+  }
 }

@@ -407,6 +407,46 @@ class FunctionsSpec extends SparkSpec {
     assert(exact == ((0 until 8).map(i => (s"k$i", 5L, 0L)).toSet + (("HH", 30L, 0L))))
   }
 
+  test("ivfTopK: nprobe=nlist is exactly brute force; partial probes keep recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = Similarity.trainIvf(emb, "embedding", nlist = 8, maxIter = 10)
+    assert(model.nlist == 8)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // all cells probed → the approximate operator degenerates to exact search
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8, model = model)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+    assert(full.collect().map(key).toSet == bf.collect().map(key).toSet)
+    // half the cells probed: clustered fixture → top-10 recall stays high
+    val part = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nprobe = 4, model = model)
+    val recall = bf.collect().map(key).toSet.intersect(part.collect().map(key).toSet)
+      .size.toDouble / 50.0
+    assert(recall >= 0.5, s"IVF recall $recall at nprobe=4/8")
+  }
+
+  test("IVF index: partition-pruned search == ivfTopK; empty queries → empty result") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.trainIvf(emb, "embedding", nlist = 8, maxIter = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toFile.getPath + "/corpus"
+    Similarity.writeIvfCorpus(emb, "vec_id", "embedding", model, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.ivfTopKIndexed(dir, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, model = model)
+    val want = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, model = model)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(got.collect().map(key).toSet == want.collect().map(key).toSet)
+    // only the probed cell= directories are read
+    val scanPlan = got.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters: ["), scanPlan)
+    assert(scanPlan.contains("cell"), "cell predicate not pushed to the scan")
+    val none = Similarity.ivfTopKIndexed(dir, queries.filter(lit(false)),
+      "vec_id", "embedding", k = 5, nprobe = 2, model = model)
+    assert(none.count() == 0)
+  }
+
   test("bucketed ANN corpus: partition-pruned query == lshTopK") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toFile.getPath + "/corpus"
