@@ -82,6 +82,38 @@ object ML {
     new Pipeline().setStages((imputeStages ++ contStages ++ catStages :+ assembler).toArray)
   }
 
+  /** `splitschema(sch, ks...)` (reference `src/ml.jl:155-158`): partition
+    * the inferred roles into (everything else, the named columns) — the
+    * features/targets split used before training. */
+  def splitschema(df: DataFrame, hints: Map[String, Hint],
+                  ks: String*): (Map[String, Hint], Map[String, Hint]) = {
+    val r = roles(df, hints)
+    (r.filterNot { case (k, _) => ks.contains(k) },
+      r.filter { case (k, _) => ks.contains(k) })
+  }
+
+  /** `width(sch)` (reference `src/ml.jl:142`): the [[featuremat]] vector
+    * width, computed from column stats in ONE aggregate pass without
+    * fitting the pipeline — each continuous column is 1 (+1 `Maybe`
+    * missing indicator if nullable, reference `src/ml.jl:112`), each
+    * categorical contributes (cardinality incl. the missing level) − 1.
+    * The −1 follows spark.ml's one-hot `dropLast` (full-rank encoding);
+    * the reference keeps every level (`src/ml.jl:76`) — same documented
+    * divergence as [[featuremat]] itself. */
+  def width(df: DataFrame, hints: Map[String, Hint] = Map.empty): Int = {
+    val (cont, cat) = contCatOf(df, hints)
+    val nIndicators = cont.count(c => df.schema(c).nullable)
+    val catWidth =
+      if (cat.isEmpty) 0L
+      else {
+        val aggs = cat.map(c => countDistinct(
+          when(col(c).isNull, lit(MissingCategory)).otherwise(col(c))).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        cat.map(c => row.getAs[Long](c) - 1).sum
+      }
+    cont.size + nIndicators + catWidth.toInt
+  }
+
   /** `featuremat(schema, t)`: fit + transform to the features column.
     * Row-count preserving: missing continuous values are mean-imputed with
     * a companion `<col>_missing` indicator (itself a continuous input, so

@@ -256,6 +256,27 @@ class FunctionsSpec extends SparkSpec {
     assert(width == 1 + nInd + (card - 1))
   }
 
+  test("ML width/splitschema (reference ml.jl:142,155)") {
+    val df = Tables.customer(spark, sf)
+      .select(col("c_acctbal"), col("c_mktsegment"), col("c_nationkey"))
+    // width from stats (no fit) == the fitted featuremat vector's size
+    val vecSize = ML.featuremat(df).select(col("features")).head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    assert(ML.width(df) == vecSize)
+    // missing level counts toward the categorical cardinality
+    import spark.implicits._
+    val withNullCat = Seq((1.0, Some("x")), (2.0, None), (3.0, Some("y")))
+      .toDF("v", "c")
+    val vecSize2 = ML.featuremat(withNullCat).select(col("features")).head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    assert(ML.width(withNullCat) == vecSize2)
+    // splitschema: (rest, targets) partition of the inferred roles
+    val (feats, targets) = ML.splitschema(df, Map.empty, "c_acctbal")
+    assert(targets == Map("c_acctbal" -> ML.Continuous))
+    assert(feats.keySet == Set("c_mktsegment", "c_nationkey"))
+    assert(!feats.contains("c_acctbal"))
+  }
+
   test("ML featuremat: Maybe missing-value featurization (reference ml.jl:20-40)") {
     import spark.implicits._
     val df = Seq((Some(1.0), "x"), (None, "y"), (Some(3.0), "x"))
