@@ -65,13 +65,8 @@ private[graft] object Batch6 {
     // (q65 precedent).
     Q("q79_reducedim_vec",
       (s, dir) => {
-        val median: Column => Column = arr => {
-          val sorted = array_sort(arr); val n = size(sorted)
-          when(pmod(n, lit(2)) === 1,
-              element_at(sorted, ((n + lit(1)) / 2).cast("int")))
-            .otherwise((element_at(sorted, (n / 2).cast("int")) +
-              element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
-        }
+        val median: Column => Column =
+          graft.operators.Aggregations.medianCol(_, assumeSorted = true)
         val nd = NDSparse(li(s, dir), Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
         nd.reducedimVec(Seq("l_returnflag"), "l_quantity", median, as = "median_qty")
           .table.df.orderBy("l_linestatus")

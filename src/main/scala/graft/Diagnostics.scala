@@ -34,7 +34,11 @@ object Diagnostics {
                               jvmGcTimeMs: Long, shuffleReadBytes: Long,
                               shuffleWriteBytes: Long, spilledBytes: Long)
 
-  final case class Timings(actions: Seq[ActionTiming], tasks: TaskTotals) {
+  final case class Timings(actions: Seq[ActionTiming], tasks: TaskTotals,
+                           /** false iff the listener-bus drain timed out:
+                             * totals may miss late events, but the block's
+                             * RESULT is intact either way. */
+                           complete: Boolean = true) {
     /** `show_timings` analog — a compact human-readable breakdown. */
     def summary: String = {
       val acts = actions.map(a => f"  ${a.funcName}%-12s ${a.durationMs}%10.1f ms").mkString("\n")
@@ -76,10 +80,15 @@ object Diagnostics {
     try {
       val res = f
       // both task metrics and QueryExecutionListener events ride the async
-      // listener bus — drain it before reading what the listeners saw
-      GraftListenerShim.waitUntilListenerBusEmpty(spark.sparkContext, 30000)
+      // listener bus — drain it before reading what the listeners saw. A
+      // drain timeout (busy shared bus) must NOT throw away the block's
+      // already-computed result: return it with partial, flagged timings.
+      val drained =
+        try { GraftListenerShim.waitUntilListenerBusEmpty(spark.sparkContext, 30000); true }
+        catch { case _: java.util.concurrent.TimeoutException => false }
       (res, Timings(actions.asScala.toSeq,
-        TaskTotals(tasks.sum, runTime.sum, gcTime.sum, shRead.sum, shWrite.sum, spilled.sum)))
+        TaskTotals(tasks.sum, runTime.sum, gcTime.sum, shRead.sum, shWrite.sum, spilled.sum),
+        complete = drained))
     } finally {
       spark.listenerManager.unregister(qel)
       spark.sparkContext.removeSparkListener(sl)

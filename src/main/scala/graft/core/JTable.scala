@@ -65,6 +65,13 @@ final class JTable private (val df: DataFrame, val pkey: Seq[String]) {
     * "flagged"), "null")` round-trips losslessly. */
   def convertmissing(missingtype: String, cols: String*): JTable = {
     val targets = if (cols.isEmpty) df.columns.toSeq else cols.toSeq
+    // pkey columns can't become structs (the sort/partition invariant is on
+    // the plain values): the all-columns default skips them silently, but
+    // an EXPLICIT request for one must fail loudly, not no-op.
+    val explicitPkey = cols.filter(pkey.contains)
+    require(explicitPkey.isEmpty,
+      s"convertmissing: ${explicitPkey.mkString(", ")} are pkey columns — " +
+        "they keep the plain (null) representation")
     missingtype match {
       case "flagged" =>
         val out = targets.filterNot(pkey.contains).foldLeft(df) { (d, c) =>
@@ -256,7 +263,10 @@ object JTable {
     * in-partition sort, the same machinery as `distribute(rowgroups)`).
     * Per-chunk data must fit an executor — the reference's chunk contract.
     * RDD zip is the genuine per-partition imperative case: position-pairing
-    * has no relational form that avoids a join keyed on row number. */
+    * has no relational form that avoids a join keyed on row number.
+    * COST: one extra counting pass per column on top of the zip's pass
+    * (misaligned columns recompute once more for the realignment) — cache
+    * the inputs first when their lineage is expensive to recompute. */
   def fromColumns(columns: Seq[(String, DataFrame)], pkey: Seq[String] = Nil): JTable = {
     require(columns.nonEmpty, "fromColumns needs at least one column")
     columns.foreach { case (n, d) =>

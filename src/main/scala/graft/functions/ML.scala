@@ -109,7 +109,9 @@ object ML {
         val aggs = cat.map(c => countDistinct(
           when(col(c).isNull, lit(MissingCategory)).otherwise(col(c))).as(c))
         val row = df.agg(aggs.head, aggs.tail: _*).head()
-        cat.map(c => row.getAs[Long](c) - 1).sum
+        // max(card-1, 0): an empty frame has cardinality 0 per categorical
+        // column, which must contribute 0 width, not -1
+        cat.map(c => math.max(row.getAs[Long](c) - 1, 0L)).sum
       }
     cont.size + nIndicators + catWidth.toInt
   }

@@ -159,20 +159,18 @@ object Similarity {
       posexplode(tableSigs(col(vecCol), dim, bits, tables)).as(Seq("qtbl", "qsig")))
     val buckets = q.select(col("qtbl"), col("qsig")).distinct().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
-    if (buckets.isEmpty) {
-      // empty query set: an empty result with the output schema, not a
-      // reduce() crash on an empty predicate list
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("query_id", LongType), StructField("rank", LongType),
-          StructField("id", LongType), StructField("cos", DoubleType))))
-    }
     // ONE isin per hash table (≤ `tables` disjuncts, each a partition-column
     // IN-list) instead of an O(#distinct buckets) OR-chain of equality pairs:
-    // same directory-level pruning, bounded planning cost for large query sets
-    val bucketPred = buckets.groupBy(_._1).map { case (t, grp) =>
-      col("tbl") === lit(t) && col("sig").isin(grp.map(_._2).toSeq: _*)
-    }.reduce(_ || _)
+    // same directory-level pruning, bounded planning cost for large query
+    // sets. An empty query set folds to a constant-false scan predicate —
+    // an empty result through the NORMAL plan, so the id columns keep the
+    // corpus's actual types (a hand-built empty frame hardcoding LongType
+    // would diverge for string-id corpora).
+    val bucketPred =
+      if (buckets.isEmpty) lit(false)
+      else buckets.groupBy(_._1).map { case (t, grp) =>
+        col("tbl") === lit(t) && col("sig").isin(grp.map(_._2).toSeq: _*)
+      }.reduce(_ || _)
     val c = spark.read.parquet(corpusPath).filter(bucketPred)
     val selfCond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
     val scored = c.join(broadcast(q),

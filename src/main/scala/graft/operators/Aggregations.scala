@@ -55,6 +55,21 @@ object Aggregations {
     grouped.select((by.map(col) :+ f(col("__rows")).as(as)): _*)
   }
 
+  /** Exact interpolating median of a numeric array column — the
+    * reference's canonical order-insensitive vector aggregate (its
+    * `groupby(median, …)` examples). `assumeSorted=true` skips the sort:
+    * correct for arrays produced by [[groupbyVector]] /
+    * `NDSparse.reducedimVec` / `NDSparse.convertdimVec`, which all sort
+    * the collected array before the aggregate sees it. */
+  def medianCol(arr: Column, assumeSorted: Boolean = false): Column = {
+    val sorted = if (assumeSorted) arr else array_sort(arr)
+    val n = size(sorted)
+    when(pmod(n, lit(2)) === 1,
+        element_at(sorted, ((n + lit(1)) / 2).cast("int")))
+      .otherwise((element_at(sorted, (n / 2).cast("int")) +
+        element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
+  }
+
   /** `summarize(f, t, by; select)` — apply each named function to each
     * selected column; output names `col_fn` (reference `test/test_table.jl:237-243`). */
   def summarize(t: JTable, by: Seq[String], cols: Seq[String],

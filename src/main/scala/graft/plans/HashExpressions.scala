@@ -244,13 +244,20 @@ object HashOps {
         s"fix9: null element at $i — exact cosine requires dense non-null vectors " +
           "(cast(v as decimal(12,9)) of null has no fixed-point image)")
       val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      require(math.abs(v) < 1000.0,
-        s"fix9: element $v at $i out of decimal(12,9) range (|v| < 1000) — " +
+      require(math.abs(v) <= 1000.0, // coarse gate so longValueExact can't overflow
+        s"fix9: element $v at $i out of decimal(12,9) range — " +
           "Spark's cast would yield NULL here, so a silent fixed-point image " +
           "would diverge from the exact-decimal oracle arithmetic")
-      out(i) = java.math.BigDecimal.valueOf(v)
+      val unscaled = java.math.BigDecimal.valueOf(v)
         .setScale(9, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
+      // the bound is on the ROUNDED image: v in [999.9999999995, 1000)
+      // passes |v| < 1000 but HALF_UP-rounds to 13 digits — exactly the
+      // precision overflow where cast(v as decimal(12,9)) yields NULL
+      require(math.abs(unscaled) <= 999999999999L,
+        s"fix9: element $v at $i rounds outside decimal(12,9) precision — " +
+          "Spark's cast would yield NULL here")
+      out(i) = unscaled
       i += 1
     }
     new GenericArrayData(out)

@@ -108,10 +108,16 @@ object IO {
               org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
           else {
             import spark.implicits._
+            // quoting/escaping OFF for the synthetic read: the values are
+            // already parsed (a value starting with '"' must not re-open a
+            // quoted region and swallow separators)
             val raw = spark.read
               .option("sep", sep).option("header", "false")
+              .option("quote", "\u0000").option("escape", "\u0000")
               .option("nullValue", na).option("inferSchema", "true")
               .csv(spark.createDataset(encoded)).schema
+            require(raw.fields.length == names.length,
+              s"inference field count ${raw.fields.length} != ${names.length} columns")
             org.apache.spark.sql.types.StructType(
               names.zip(raw.fields).map { case (n, f) => f.copy(name = n) })
           }

@@ -57,18 +57,21 @@ object Streams {
                         window_ : String = "1 hour", k: Int = 64,
                         qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
     import graft.functions.Sketches
+    val names = qs.map(q => f"p${math.round(q * 100)}%02d")
+    require(names.distinct.length == names.length,
+      s"quantiles $qs collide on output names $names (named by rounded " +
+        "percent) — a colliding pair would silently drop one quantile")
     val base = events
       .withColumn("tstamp", timestamp_micros(col("ts_us")))
       .withWatermark("tstamp", watermark)
       .groupBy(window(col("tstamp"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), Sketches.khistCol(k)(col("value")).as("sketch"))
-    val withQs = qs.foldLeft(base) { (df, q) =>
-      df.withColumn(f"p${math.round(q * 100)}%02d",
-        Sketches.khistQuantileCol(q)(col("sketch")))
+    val withQs = qs.zip(names).foldLeft(base) { case (df, (q, name)) =>
+      df.withColumn(name, Sketches.khistQuantileCol(q)(col("sketch")))
     }
     withQs.select(
       unix_micros(col("window.start")).as("bucket_us") +: col("event_type") +:
-        col("n") +: qs.map(q => col(f"p${math.round(q * 100)}%02d")): _*)
+        col("n") +: names.map(col): _*)
   }
 
   /** Stateful streaming dedup: emit each key's row only the first time it

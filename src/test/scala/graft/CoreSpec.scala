@@ -239,12 +239,8 @@ class CoreSpec extends SparkSpec {
   }
 
   test("convertdim vecagg: vector-level collision merge (reference selection.jl:36-47)") {
-    def median(arr: org.apache.spark.sql.Column) = {
-      val sorted = array_sort(arr); val n = size(sorted)
-      when(pmod(n, lit(2)) === 1, element_at(sorted, ((n + lit(1)) / 2).cast("int")))
-        .otherwise((element_at(sorted, (n / 2).cast("int")) +
-          element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
-    }
+    val median: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      A.medianCol(_) // general (self-sorting) form
     partitionSweep { n =>
       val nd = NDSparse(tinyTable.repartition(n), Seq("k"), Seq("v"))
       nd.convertdimVec("k", c => pmod(c, lit(2L)), "v", median, as = "med")
@@ -307,12 +303,8 @@ class CoreSpec extends SparkSpec {
   }
 
   test("reducedimVec: vector aggregate after dropping dims (reference reduce.jl:117-134)") {
-    def median(arr: org.apache.spark.sql.Column) = {
-      val sorted = array_sort(arr); val n = size(sorted)
-      when(pmod(n, lit(2)) === 1, element_at(sorted, ((n + lit(1)) / 2).cast("int")))
-        .otherwise((element_at(sorted, (n / 2).cast("int")) +
-          element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
-    }
+    val median: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      A.medianCol(_, assumeSorted = true) // pins the lowering's sorted-array contract
     partitionSweep { n =>
       NDSparse(tinyTable.repartition(n), Seq("g", "k"), Seq("v"))
         .reducedimVec(Seq("k"), "v", median, as = "med")
@@ -367,6 +359,8 @@ class CoreSpec extends SparkSpec {
       .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
     assert(vs == Seq(Some(10.0), None, Some(30.0)))
     intercept[IllegalArgumentException] { t.convertmissing("bogus", "v") }
+    // an EXPLICIT request for a pkey column fails loudly, never no-ops
+    intercept[IllegalArgumentException] { t.convertmissing("flagged", "k") }
   }
 
   test("tracktime: listener-sourced action + task totals (reference diagnostics.jl:84-98)") {
