@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query time is the MEDIAN of N runs (default 3): single-run
+    // numbers at sub-3-second scales showed a ±10-30% JIT/run-order noise
+    // band across rounds — the median measures the plan, not the jitter.
+    val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,12 +23,22 @@ object Bench {
     // silently folding its time-to-crash into the headline total
     val results = SparkEntry.benchQueries.map { name =>
       val fn = qs0(name)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var ok = true
+      var i = 0
+      while (ok && i < iters) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); ok = false }
+        i += 1
+      }
+      val median =
+        if (!ok) -1.0
+        else { val s = times.sorted; s(s.length / 2) }
+      (name, median, ok)
     }.toSeq
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
