@@ -468,6 +468,25 @@ class FunctionsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("ivfTopK plan: broadcast probe join and NO dedup aggregate (cells partition the corpus)") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.trainIvf(emb, "embedding", nlist = 4, maxIter = 3)
+    val df = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, nprobe = 2, model = model)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    // LSH needs dropDuplicates (OR-amplified tables duplicate candidates),
+    // which lowers to an aggregate; IVF cells are disjoint so the plan must
+    // carry NO aggregate at all — pin that structural advantage
+    assert(!plan.contains("HashAggregate"), s"unexpected dedup/aggregate in IVF plan:\n$plan")
+    // excludeSelf=false: every query's rank-1 hit is itself at cos == 1
+    val self = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 1, nprobe = 4, model = model, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(self == Set((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+
   test("bucketed ANN corpus: partition-pruned query == lshTopK") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toFile.getPath + "/corpus"
