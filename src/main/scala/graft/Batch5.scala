@@ -45,13 +45,8 @@ private[graft] object Batch5 {
     // interpolation is exact, same precedent as q51).
     Q("q65_convertdim_vecagg",
       (s, dir) => {
-        val median: Column => Column = arr => {
-          val sorted = array_sort(arr); val n = size(sorted)
-          when(pmod(n, lit(2)) === 1,
-              element_at(sorted, ((n + lit(1)) / 2).cast("int")))
-            .otherwise((element_at(sorted, (n / 2).cast("int")) +
-              element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)
-        }
+        val median: Column => Column =
+          graft.operators.Aggregations.medianCol(_, assumeSorted = true)
         val nd = NDSparse(li(s, dir), Seq("l_shipdate"), Seq("l_quantity"))
         nd.convertdimVec("l_shipdate", d => date_trunc("month", d).cast("date"),
             "l_quantity", median, as = "median_qty").table.df

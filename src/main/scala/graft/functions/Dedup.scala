@@ -145,6 +145,12 @@ object Dedup {
     * nBlocks−1), then verified with exact popcount. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    nBlocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    // the pigeonhole guarantee (some block identical) only holds for
+    // hamming ≤ nBlocks−1; a larger maxHamming would silently MISS pairs
+    // that differ in every block — refuse rather than return wrong rows
+    require(maxHamming <= nBlocks - 1,
+      s"maxHamming=$maxHamming exceeds the block-bucketing completeness " +
+        s"bound nBlocks-1=${nBlocks - 1}: raise nBlocks")
     val bitsTotal = 62; val blockBits = bitsTotal / nBlocks
     // token-less docs all hash to sig=0 and would pair at hamming 0
     val sigs = df.filter(Text.tokenCount(col(textCol)) >= 1)

@@ -111,12 +111,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, bits: Int, k: Int,
               tables: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    def sigs(v: Column) = array((0 until tables).map(t =>
-      rhpSignature(v.cast("array<double>"), dim, bits, seed = t * 7919)): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        posexplode(sigs(col(vecCol))).as(Seq("qtbl", "qsig")))
+        posexplode(tableSigs(col(vecCol), dim, bits, tables)).as(Seq("qtbl", "qsig")))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
-        posexplode(sigs(col(vecCol))).as(Seq("ctbl", "csig")))
+        posexplode(tableSigs(col(vecCol), dim, bits, tables)).as(Seq("ctbl", "csig")))
     val selfCond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
     val scored = c.join(broadcast(q),
         col("qtbl") === col("ctbl") && col("qsig") === col("csig") && selfCond)

@@ -257,7 +257,10 @@ object Sketches {
     require(t.pkey.nonEmpty, "partitionSketch requires a pkey (sequence = pkey order)")
     require(t.df.columns.contains(valueCol), s"no column $valueCol")
     val sorted = t.df
+      // null values (or doubles the cast nulls out) are dropped BEFORE the
+      // position numbering — getDouble on a null cell would NPE the job
       .select(t.pkey.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .orderBy(t.pkey.map(col): _*)
     val vIdx = sorted.columns.length - 1
     val posVal = sorted.rdd.zipWithIndex().map { case (r, i) =>

@@ -64,7 +64,10 @@ object Aggregations {
   def medianCol(arr: Column, assumeSorted: Boolean = false): Column = {
     val sorted = if (assumeSorted) arr else array_sort(arr)
     val n = size(sorted)
-    when(pmod(n, lit(2)) === 1,
+    // empty → null (collect_list skips nulls, so an all-null group yields
+    // an empty array; element_at index 0 would be a runtime error)
+    when(n === 0, lit(null))
+      .when(pmod(n, lit(2)) === 1,
         element_at(sorted, ((n + lit(1)) / 2).cast("int")))
       .otherwise((element_at(sorted, (n / 2).cast("int")) +
         element_at(sorted, (n / 2).cast("int") + 1)) / 2.0)

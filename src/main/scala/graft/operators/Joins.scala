@@ -211,19 +211,27 @@ object Joins {
       .agg(max(struct(col("__side") +: valCols.map(col): _*)).as("__w"))
     val out = picked.select(l.df.columns.toSeq.map(c =>
       if (key.contains(c)) col(c) else col("__w").getField(c).as(c)): _*)
-    JTable(out, key)
+    // the groupBy output is already hash-partitioned by the key — sort
+    // within partitions and claim co-partitioning, instead of paying a
+    // second (range) exchange to re-establish the pkey invariant
+    JTable.assumeCoPartitioned(out.sortWithinPartitions(key.map(col): _*), key)
   }
 
-  /** `merge(l, r; agg)` — order-preserving union by pkey; duplicate keys
-    * combined by `agg` when given (reference `src/join.jl:245-267`). The
-    * range-partitioned pkey invariant restores global order without a full
-    * sort. */
+  /** `merge(l, r; agg)` — union by pkey; duplicate keys combined by `agg`
+    * when given (reference `src/join.jl:245-267`). The no-agg union
+    * re-establishes the pkey invariant through the standard range exchange
+    * + in-partition sort — Spark's analog of the reference's chunk merge
+    * (restoring NON-OVERLAPPING sorted chunks from two interleaved keyed
+    * tables is a range exchange by definition; each row moves once). The
+    * agg path reuses its own groupBy hash exchange instead of paying a
+    * second one. */
   def merge(l: JTable, r: JTable, aggs: Seq[(String, Column)] = Nil): JTable = {
     val u = l.df.unionByName(r.df)
     if (aggs.isEmpty) JTable(u, l.pkey)
-    else JTable(
+    else JTable.assumeCoPartitioned(
       u.groupBy(l.pkey.map(col): _*)
-        .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*),
+        .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+        .sortWithinPartitions(l.pkey.map(col): _*),
       l.pkey)
   }
 }

@@ -18,7 +18,10 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
     * the caller's signal (reference `src/indexing.jl:2-44`). */
   def lookup(keys: Any*): DataFrame = {
     val preds = dims.zip(keys).collect { case (d, v) if v != null => col(d) === lit(v) }
-    df.filter(preds.reduce(_ && _)).select(valueCols.map(col): _*)
+    // no usable key (x[:] / all-null) selects every value, like the
+    // reference's full-colon getindex — not an empty-reduce crash
+    df.filter(preds.reduceOption(_ && _).getOrElse(lit(true)))
+      .select(valueCols.map(col): _*)
   }
 
   /** Partial slice: fix a prefix of dims, keep the rest (`nd[x, :]`). */
@@ -115,11 +118,19 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
       s"broadcast combines single-value arrays (got $valueCols vs ${other.valueCols}); " +
         "select one value column per side first (reference broadcast is elementwise on the value)")
     val otherOnly = other.dims.filterNot(shared.contains)
-    val l = df
+    // a B-only dim whose NAME collides with an A column (possible when
+    // dimmap excludes a same-named dim from the join) is disambiguated —
+    // the reference's dims are positional so "both sides keep their
+    // unmatched dim" can't collide there; here it must be renamed or the
+    // joined frame has two identically-named columns
+    val rOnlyNames = otherOnly.map(c =>
+      c -> (if (df.columns.contains(c)) s"${c}_r" else c))
     val r = other.df.select((shared ++ otherOnly ++ other.valueCols).map(col): _*)
-      .withColumnsRenamed(other.valueCols.map(c => c -> s"__r_$c").toMap)
-    val joined = l.join(r, shared)
-    val outDims = dims ++ otherOnly
+      .withColumnsRenamed(
+        (other.valueCols.map(c => c -> s"__r_$c") ++
+          rOnlyNames.filter { case (a, b) => a != b }).toMap)
+    val joined = df.join(r, shared)
+    val outDims = dims ++ rOnlyNames.map(_._2)
     val out = joined.select(
       outDims.map(col) :+ f(col(valueCols.head), col(s"__r_${other.valueCols.head}")).as(as): _*)
     NDSparse(JTable(out, outDims), outDims, Seq(as))

@@ -373,6 +373,28 @@ class CoreSpec extends SparkSpec {
     assert(timings.summary.contains("tasks:"))
   }
 
+  test("broadcastOp dimmap: excluded same-named dim stays as a (renamed) output dim") {
+    // both sides carry (x, y); joining on x only means each side keeps its
+    // own y — B's is disambiguated to y_r (the reference's dims are
+    // positional, so "both keep their unmatched dim" can't collide there)
+    val a = NDSparse(Seq((1L, 1L, 10.0), (1L, 2L, 20.0)).toDF("x", "y", "va"),
+      Seq("x", "y"), Seq("va"))
+    val b = NDSparse(Seq((1L, 7L, 2.0)).toDF("x", "y", "vb"),
+      Seq("x", "y"), Seq("vb"))
+    val out = a.broadcastOp(b, (l, r) => l * r, "v", dimmap = Some(Seq("x")))
+    assert(out.dims == Seq("x", "y", "y_r"))
+    val rows = out.table.df.orderBy("y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq((1L, 1L, 7L, 20.0), (1L, 2L, 7L, 40.0)))
+  }
+
+  test("lookup with no usable key selects all values (full-colon getindex)") {
+    val nd = NDSparse(tinyTable, Seq("k"), Seq("v"))
+    assert(nd.lookup().count() == 5)
+    assert(nd.lookup(null).count() == 5)
+    assert(nd.lookup(3L).collect().map(_.getDouble(0)).toSeq == Seq(30.0))
+  }
+
   test("broadcastOp keeps B-only dims (reference join.jl:286-322)") {
     val a = NDSparse(Seq((1L, 10.0), (2L, 20.0)).toDF("x", "va"), Seq("x"), Seq("va"))
     val b = NDSparse(Seq((1L, "p", 1.0), (1L, "q", 2.0), (2L, "p", 3.0))
