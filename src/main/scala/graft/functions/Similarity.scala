@@ -295,40 +295,12 @@ object Similarity {
     IvfModel(model.clusterCenters.map(_.toArray))
   }
 
-  /** Cell of each vector: argmax dot with the broadcast unit centroids
-    * (ties → lowest cell). A Scala UDF is the honest tool here: argmin over
-    * a broadcast matrix has no `functions._` form, and a literal-centroid
-    * codegen expression would inline nlist×dim constants into the generated
-    * method (past the JIT limit at real dims). The UDF body is two tight
-    * primitive loops; the broadcast ships the matrix once per executor. */
-  private def cellUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
-    udf { v: Seq[Double] =>
-      val cs = bc.value; val arr = v.toArray
-      var best = 0; var bestDot = Double.NegativeInfinity; var i = 0
-      while (i < cs.length) {
-        val c = cs(i); var d = 0.0; var j = 0
-        val len = math.min(c.length, arr.length)
-        while (j < len) { d += c(j) * arr(j); j += 1 }
-        if (d > bestDot) { bestDot = d; best = i }
-        i += 1
-      }
-      best
-    }
-
-  /** The `nprobe` cells nearest a query vector, by centroid dot descending
-    * (ties → lowest cell; deterministic). */
-  private def probeUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
-                       nprobe: Int) =
-    udf { v: Seq[Double] =>
-      val cs = bc.value; val arr = v.toArray
-      val dots = Array.tabulate(cs.length) { i =>
-        val c = cs(i); var d = 0.0; var j = 0
-        val len = math.min(c.length, arr.length)
-        while (j < len) { d += c(j) * arr(j); j += 1 }
-        (d, i)
-      }
-      dots.sortBy { case (d, i) => (-d, i) }.take(nprobe).map(_._2).toSeq
-    }
+  // Cell routing and probe lists are native Catalyst expressions
+  // (plans.NearestCell / plans.TopCells): the centroid matrix rides the
+  // codegen REFERENCE array (shipped once per task binary, which the
+  // scheduler broadcasts) — not inlined source constants (nlist×dim
+  // literals would blow past JIT limits at real dims) and no UDF Seq
+  // boxing on the per-corpus-row hot path.
 
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
     * scale path next to LSH ([[lshTopK]]): corpus vectors are assigned ONCE
@@ -349,19 +321,17 @@ object Similarity {
               vecCol: String, k: Int, nprobe: Int,
               model: IvfModel, excludeSelf: Boolean = true,
               exact: Boolean = false): DataFrame = {
-    import graft.plans.HashExpressions.{dotFix9, fix9}
-    val bc = corpus.sparkSession.sparkContext.broadcast(model.unitCentroids)
-    val assign = cellUdf(bc)
-    val probes = probeUdf(bc, math.min(nprobe, model.nlist))
+    import graft.plans.HashExpressions.{dotFix9, fix9, nearestCell, topCells}
     val prep: Column => Column =
       if (exact) fix9 else (v: Column) => v.cast("array<double>")
     val dotF: (Column, Column) => Column = if (exact) dotFix9 else dot
     def nrm(v: Column) = sqrt(dotF(v, v))
     val q = queries.select(col(idCol).as("query_id"), prep(col(vecCol)).as("qv"),
-        explode(probes(col(vecCol).cast("array<double>"))).as("cell"))
+        explode(topCells(col(vecCol), model.unitCentroids,
+          math.min(nprobe, model.nlist))).as("cell"))
       .withColumn("qn", nrm(col("qv")))
     val c = corpus.select(col(idCol).as("id"), prep(col(vecCol)).as("cv"),
-        assign(col(vecCol).cast("array<double>")).as("cell"))
+        nearestCell(col(vecCol), model.unitCentroids).as("cell"))
       .withColumn("cn", nrm(col("cv")))
     rankProbed(c, q, k, excludeSelf, dotF)
   }
@@ -388,12 +358,10 @@ object Similarity {
     * vector is written exactly once — no storage amplification. One narrow
     * assignment pass + one partitioned write. */
   def writeIvfCorpus(corpus: DataFrame, idCol: String, vecCol: String,
-                     model: IvfModel, path: String): Unit = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(model.unitCentroids)
+                     model: IvfModel, path: String): Unit =
     corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
-        cellUdf(bc)(col(vecCol).cast("array<double>")).as("cell"))
+        graft.plans.HashExpressions.nearestCell(col(vecCol), model.unitCentroids).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-  }
 
   /** Query the written IVF index: the probed-cell set across the query set
     * (≤ nlist ints — driver-safe by construction) becomes ONE `isin`
@@ -404,11 +372,10 @@ object Similarity {
                      vecCol: String, k: Int, nprobe: Int, model: IvfModel,
                      excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(model.unitCentroids)
-    val probes = probeUdf(bc, math.min(nprobe, model.nlist))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"),
-        explode(probes(col(vecCol).cast("array<double>"))).as("cell"))
+        explode(graft.plans.HashExpressions.topCells(col(vecCol),
+          model.unitCentroids, math.min(nprobe, model.nlist))).as("cell"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     val c = spark.read.parquet(corpusPath)

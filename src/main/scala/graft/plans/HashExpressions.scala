@@ -318,6 +318,53 @@ object HashOps {
     }
     sig
   }
+
+  private def vecDoubles(arr: ArrayData, isFloat: Boolean): Array[Double] =
+    if (isFloat) {
+      val n = arr.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = arr.getFloat(i).toDouble; i += 1 }
+      out
+    } else arr.toDoubleArray()
+
+  /** IVF cell routing: argmax dot(vec, centroid) over the unit-centroid
+    * matrix — ties → lowest cell (exactly the UDF semantics this
+    * replaced; the recall/degeneration specs pin equivalence). */
+  def nearestCellJava(arr: ArrayData, isFloat: Boolean,
+                      centroids: Array[Array[Double]]): Int = {
+    val v = vecDoubles(arr, isFloat)
+    var best = 0; var bestDot = Double.NegativeInfinity; var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      var d = 0.0; var j = 0
+      val len = math.min(c.length, v.length)
+      while (j < len) { d += c(j) * v(j); j += 1 }
+      if (d > bestDot) { bestDot = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** IVF probe list: `nprobe` cell ids by centroid dot descending, ties →
+    * lowest cell. */
+  def topCellsJava(arr: ArrayData, isFloat: Boolean,
+                   centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val v = vecDoubles(arr, isFloat)
+    val n = centroids.length
+    val dots = new Array[Double](n)
+    var ci = 0
+    while (ci < n) {
+      val c = centroids(ci)
+      var d = 0.0; var j = 0
+      val len = math.min(c.length, v.length)
+      while (j < len) { d += c(j) * v(j); j += 1 }
+      dots(ci) = d
+      ci += 1
+    }
+    val order = Array.tabulate(n)(identity).sortBy(i => (-dots(i), i))
+    new GenericArrayData(order.take(math.min(nprobe, n)))
+  }
 }
 
 /** minhash_sig(text): k-permutation MinHash signature over word n-gram
@@ -507,8 +554,78 @@ case class RhpSignature(child: Expression, dim: Int, bits: Int, seed: Int)
   override def prettyName: String = "rhp_signature"
 }
 
+/** nearest_cell(vec): argmax-dot assignment of a vector against a
+  * unit-norm centroid matrix — the IVF coarse-quantizer routing step,
+  * once per corpus row in the scan. The matrix is attached as a codegen
+  * REFERENCE object (one copy per task binary, which the scheduler
+  * already broadcasts) — never inlined into generated source (nlist×dim
+  * literal constants would blow past JIT method limits at real dims) and
+  * no UDF Seq boxing: the row's vector is read once into a primitive
+  * array. Ties → lowest cell; zero vectors land in cell 0 (dot 0 beats
+  * the -∞ sentinel at index 0). Dense non-null vectors expected (same
+  * domain as the scoring path). */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell expects array<float> or array<double>, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(
+      HashOps.nearestCellJava(input.asInstanceOf[ArrayData], isFloat, centroids))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.nearestCellJava($c, $isFloat, $cRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCell = copy(child = c)
+  override def prettyName: String = "nearest_cell"
+}
+
+/** top_cells(vec): the `nprobe` cell ids nearest a query vector (centroid
+  * dot descending, ties → lowest cell) — the IVF probe list. Same
+  * reference-object centroid transport as [[NearestCell]]. */
+case class TopCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_cells expects array<float> or array<double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.topCellsJava(input.asInstanceOf[ArrayData], isFloat, centroids, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.topCellsJava($c, $isFloat, $cRef, $nprobe);")
+  }
+  override protected def withNewChildInternal(c: Expression): TopCells = copy(child = c)
+  override def prettyName: String = "top_cells"
+}
+
 object HashExpressions {
   import ColumnBridge.{column, expression}
+  def nearestCell(c: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCell(expression(c), centroids))
+  def topCells(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    column(TopCells(expression(c), centroids, nprobe))
   def minhashSig(c: Column, n: Int, k: Int): Column = column(MinHashSig(expression(c), n, k))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def shingleHashes(c: Column, n: Int, wide: Boolean = false): Column =
