@@ -476,6 +476,9 @@ class FunctionsSpec extends SparkSpec {
     df.count()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    // cell routing is a native expression (nearest_cell/top_cells) — no
+    // ScalaUDF eval boundary in the corpus scan
+    assert(!plan.contains("UDF"), s"UDF boundary in the IVF plan:\n$plan")
     // LSH needs dropDuplicates (OR-amplified tables duplicate candidates),
     // which lowers to an aggregate; IVF cells are disjoint so the plan must
     // carry NO aggregate at all — pin that structural advantage
