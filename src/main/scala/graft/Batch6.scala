@@ -193,6 +193,30 @@ private[graft] object Batch6 {
              |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
              |  FROM scored)
              |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 7
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // Multimodal frame sampling THROUGH the flatMap/UDTF shape: payloads
+    // chunked into 256-byte frames, every 2nd frame emitted with its
+    // positional checksum (q38's byte math per frame). The oracle mirrors
+    // the chunking with a correlated generate_series — ASCII fixture, so
+    // DuckDB's char positions == payload byte positions (q38 precedent).
+    Q("q85_frame_sample",
+      (s, dir) => {
+        val media = graft.functions.Multimodal.mediaFromDocuments(s,
+          Tables.documents(s, dir).filter(col("lang") === "en"))
+        graft.functions.Multimodal.frameSample(media, frameBytes = 256, stride = 2)
+          .toDF().orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT doc_id AS media_id, f.frame_idx,
+             |  CAST(strlen(substr(text, CAST(f.frame_idx * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS n_bytes,
+             |  CAST(list_sum(list_transform(
+             |    range(1, strlen(substr(text, CAST(f.frame_idx * 256 + 1 AS BIGINT), 256)) + 1),
+             |    i -> i * unicode(substr(text, CAST(f.frame_idx * 256 + 1 AS BIGINT), 256)[i])))
+             |    % 1000000007 AS BIGINT) AS checksum
+             |FROM documents,
+             |  (SELECT generate_series AS frame_idx
+             |   FROM generate_series(0, 16382, 2)) f
+             |WHERE lang = 'en' AND f.frame_idx * 256 < strlen(text)
+             |ORDER BY media_id, frame_idx""".stripMargin))
   )
 }

@@ -55,6 +55,57 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: media id, frame position, payload stats. */
+  final case class Frame(media_id: Long, frame_idx: Long, n_bytes: Long,
+                         checksum: Long)
+
+  /** Frame sampling — the one-row-in-many-out (UDTF/flatMap) shape of a
+    * real video sampler. The payload is treated as fixed-width frames
+    * (`frameBytes` each; tail frame short) and every `stride`-th frame is
+    * emitted with its positional checksum. Deterministic byte-level fake
+    * of keyframe extraction: a real sampler seeks codec keyframes here —
+    * the batch shape (narrow flatMap, no shuffle, output rows ≈
+    * rows·frames/stride) is the Spark-side contract. */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int,
+                  stride: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = r.payload.length
+      val nFrames = (n + frameBytes - 1) / frameBytes
+      Iterator.range(0, nFrames, stride).map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, n)
+        var sum = 0L; var i = from
+        while (i < until) { sum += (i - from + 1).toLong * (r.payload(i) & 0xff); i += 1 }
+        Frame(r.media_id, f.toLong, (until - from).toLong, sum % 1000000007L)
+      }
+    }
+  }
+
+  /** Resize — binary→binary per-row transform with updated metadata.
+    * Deterministic fake: strided byte downsample to exactly w·h bytes
+    * (position i samples payload(i·n/target); empty payloads stay empty).
+    * A real resizer decodes + rescales pixels here; the contract is the
+    * narrow map, the payload width change, and the metadata rewrite. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val n = r.payload.length
+      val target = w * h
+      val out =
+        if (n == 0) Array.emptyByteArray
+        else {
+          val a = new Array[Byte](target)
+          var i = 0
+          while (i < target) { a(i) = r.payload((i.toLong * n / target).toInt); i += 1 }
+          a
+        }
+      r.copy(payload = out, width = w, height = h)
+    }
+  }
+
   /** Build a media table from the documents fixture: text bytes stand in
     * for media payloads (real binary column, fake modality). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -209,6 +209,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal frameSample/resize: batch shapes and deterministic stubs") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.tabulate(10)(i => (i + 1).toByte), "fake", 0, 0),
+      Multimodal.MediaRow(2L, Array.emptyByteArray, "fake", 0, 0)).toDS()
+    val frames = Multimodal.frameSample(media, frameBytes = 4, stride = 2).collect()
+    // id1: 10 bytes → frames {0:4B, 1:4B, 2:2B}; stride 2 keeps idx 0 and 2;
+    // empty payload emits nothing
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.n_bytes)).toSet ==
+      Set((1L, 0L, 4L), (1L, 2L, 2L)))
+    assert(frames.find(_.frame_idx == 0L).get.checksum == 30L) // 1·1+2·2+3·3+4·4
+    assert(frames.find(_.frame_idx == 2L).get.checksum == 29L) // 1·9+2·10
+    val resized = Multimodal.resize(media, 2, 3).collect().sortBy(_.media_id)
+    assert(resized(0).payload.length == 6)
+    assert((resized(0).width, resized(0).height) == (2, 3))
+    // strided downsample: position i samples payload(i·n/target)
+    assert(resized(0).payload.toSeq == Seq(0, 1, 3, 5, 6, 8).map(p => (p + 1).toByte))
+    assert(resized(1).payload.isEmpty)
+  }
+
   test("dedup pipeline is partition-invariant (reference sweep pattern)") {
     val docs = Tables.documents(spark, sf)
     partitionSweep { n =>
