@@ -243,7 +243,7 @@ object JTable {
   /** Chunk index of global row position `i` given cumulative upper
     * `bounds`: first bound strictly greater than i, clamped into the last
     * chunk (overflow rows keep the tail). O(log chunks) binary search. */
-  private[core] def chunkOf(i: Long, bounds: Array[Long]): Int = {
+  private[graft] def chunkOf(i: Long, bounds: Array[Long]): Int = {
     var lo = 0; var hi = bounds.length - 1
     while (lo < hi) {
       val mid = (lo + hi) >>> 1

@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.JTable
+import graft.operators.{Aggregations, Joins}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+
+/** Property-based differential tests: random inputs checked against simple
+  * Scala reference models — the operator-semantics analog of the fixed
+  * golden fixtures (the reference's randomized `test/test_join.jl` style).
+  * Sizes are kept small so each property runs many cases through real
+  * Spark plans in reasonable time. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run a scalacheck property under ScalaTest (no scalatestplus bridge in
+    * the offline cache): fail the test with the shrunk counterexample. */
+  private def check(p: Prop, minTests: Int = 30): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val smallTable: Gen[List[(Long, Double)]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(0L, 7L), Gen.choose(-100.0, 100.0)))
+
+  test("upsert == Map-model: right wins on key match, right-only inserts") {
+    check(forAll(smallTable, smallTable) { (l, r) =>
+      // model: per-side max-struct resolution (the operator's documented
+      // within-side determinism), then right overlays left
+      def resolve(rows: List[(Long, Double)], side: Int): Map[Long, (Int, Double)] =
+        rows.groupBy(_._1).map { case (k, g) => k -> (side, g.map(_._2).max) }
+      val expect = resolve(l, 0) ++ resolve(r, 1)
+      val lt = JTable(l.toDF("k", "v"), Seq("k"))
+      val rt = JTable(r.toDF("k", "v"), Seq("k"))
+      val got = Joins.upsert(lt, rt).df.collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      Prop(got == expect.map { case (k, (_, v)) => k -> v }) :| s"got=$got expect=$expect"
+    })
+  }
+
+  test("medianCol == scala median (incl. empty arrays)") {
+    val arrays: Gen[List[Double]] =
+      Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, Gen.choose(-50.0, 50.0)))
+    check(forAll(Gen.listOfN(6, arrays)) { (arrs: List[List[Double]]) =>
+      def model(xs: List[Double]): Option[Double] =
+        if (xs.isEmpty) None
+        else {
+          val s = xs.sorted; val n = s.length
+          Some(if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0)
+        }
+      val df = arrs.zipWithIndex.map { case (a, i) => (i, a) }.toDF("i", "arr")
+      val got = df.select(col("i"), Aggregations.medianCol(col("arr")).as("m"))
+        .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val expect = arrs.zipWithIndex.map { case (a, i) => i -> model(a) }.toMap
+      Prop(got == expect) :| s"got=$got expect=$expect"
+    })
+  }
+
+  test("chunkOf == linear scan over cumulative bounds") {
+    val groups: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 5L)).map(_.take(6))
+    check(forAll(groups, Gen.choose(0L, 40L)) { (sizes, i) =>
+      val bounds = sizes.scanLeft(0L)(_ + _).tail.toArray
+      def model: Int = {
+        val idx = bounds.indexWhere(i < _)
+        if (idx >= 0) idx else bounds.length - 1
+      }
+      Prop(JTable.chunkOf(i, bounds) == model) :| s"i=$i bounds=${bounds.toSeq}"
+    })
+  }
+}
