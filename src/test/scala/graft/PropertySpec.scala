@@ -59,6 +59,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("asofJoin and asofJoinSalted == per-row model (last right at ts ≤ t, max-struct ties)") {
+    val events: Gen[List[(Long, Long, Double)]] =
+      Gen.listOfN(14, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 20L),
+        Gen.choose(0.0, 9.0)))
+    check(forAll(events, events) { (l, r) =>
+      // model: for each left row, the right row with max ts ≤ t on the same
+      // id; duplicate-ts candidates resolve to max value (the operator's
+      // max-struct tiebreak — struct(ts, v) ordering)
+      def model(id: Long, t: Long): Option[Double] = {
+        val cand = r.filter(x => x._1 == id && x._2 <= t)
+        if (cand.isEmpty) None
+        else Some(cand.max(Ordering.by((x: (Long, Long, Double)) => (x._2, x._3)))._3)
+      }
+      val expect = l.map { case (id, t, v) => (id, t, v, model(id, t)) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val ldf = l.toDF("id", "t", "lv")
+      val rdf = r.toDF("id", "t", "rv")
+      def collectOut(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("id"), col("t"), col("lv"), col("rv")).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+          if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val plain = collectOut(Joins.asofJoin(ldf, rdf, Seq("id"), "t", "t",
+        Seq("lv"), Seq("rv")))
+      val salted = collectOut(Joins.asofJoinSalted(ldf, rdf, Seq("id"), "t", "t",
+        Seq("lv"), Seq("rv"), b => (b / 5L).cast("long")))
+      (Prop(plain == expect) :| s"plain got=$plain expect=$expect") &&
+        (Prop(salted == expect) :| s"salted got=$salted expect=$expect")
+    }, minTests = 20)
+  }
+
   test("chunkOf == linear scan over cumulative bounds") {
     val groups: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 5L)).map(_.take(6))
     check(forAll(groups, Gen.choose(0L, 40L)) { (sizes, i) =>
