@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.JTable
+import graft.functions.Dedup
 import graft.operators.{Aggregations, Joins}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop}
@@ -88,6 +89,30 @@ class PropertySpec extends SparkSpec {
       (Prop(plain == expect) :| s"plain got=$plain expect=$expect") &&
         (Prop(salted == expect) :| s"salted got=$salted expect=$expect")
     }, minTests = 20)
+  }
+
+  test("jaccardPairs == brute-force set model on random small corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docGen: Gen[String] =
+      Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    check(forAll(Gen.listOfN(8, docGen)) { docs =>
+      def sh(s: String): Set[String] = {
+        val t = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (t.length < 2) Set.empty[String]
+        else t.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val model = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        si = sh(docs(i)); sj = sh(docs(j))
+        inter = si.intersect(sj).size
+        if inter >= 1
+        if inter.toDouble / (si.size + sj.size - inter) >= 0.3
+      } yield (i.toLong, j.toLong, inter.toLong)).toSet
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      val got = Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      Prop(got == model) :| s"got=$got expect=$model docs=$docs"
+    }, minTests = 15)
   }
 
   test("chunkOf == linear scan over cumulative bounds") {
