@@ -115,6 +115,23 @@ class PropertySpec extends SparkSpec {
     }, minTests = 15)
   }
 
+  test("groupreduceSalted == plain groupreduce (random skewed keys, any partitioning)") {
+    val rows: Gen[List[(Long, Long)]] =
+      Gen.listOfN(20, Gen.zip(Gen.frequency(5 -> Gen.const(0L), 2 -> Gen.choose(1L, 3L)),
+        Gen.choose(0L, 100L)))
+    check(forAll(rows, Gen.choose(1, 4), Gen.choose(1, 5)) { (xs, nparts, buckets) =>
+      val t = JTable(xs.toDF("k", "v").repartition(nparts), Seq("k"))
+      val plain = Aggregations.groupreduce(t, Seq("k"),
+          "s" -> sum(col("v")), "n" -> count(lit(1)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val salted = Aggregations.groupreduceSalted(t, Seq("k"), buckets,
+          ("s", sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c)),
+          ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      Prop(salted == plain) :| s"salted=$salted plain=$plain"
+    }, minTests = 20)
+  }
+
   test("chunkOf == linear scan over cumulative bounds") {
     val groups: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 5L)).map(_.take(6))
     check(forAll(groups, Gen.choose(0L, 40L)) { (sizes, i) =>
