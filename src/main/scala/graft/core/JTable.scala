@@ -264,9 +264,10 @@ object JTable {
     * Per-chunk data must fit an executor — the reference's chunk contract.
     * RDD zip is the genuine per-partition imperative case: position-pairing
     * has no relational form that avoids a join keyed on row number.
-    * COST: one extra counting pass per column on top of the zip's pass
-    * (misaligned columns recompute once more for the realignment) — cache
-    * the inputs first when their lineage is expensive to recompute. */
+    * COST: one counting pass per column plus the zip's pass (misaligned
+    * columns number positions from the already-collected counts — no
+    * second zipWithIndex count job) — cache the inputs first when their
+    * lineage is expensive to recompute. */
   def fromColumns(columns: Seq[(String, DataFrame)], pkey: Seq[String] = Nil): JTable = {
     require(columns.nonEmpty, "fromColumns needs at least one column")
     columns.foreach { case (n, d) =>
@@ -285,7 +286,13 @@ object JTable {
       if (ci.sameElements(c0)) r
       else {
         require(ci.sum == n0, s"column $name: length ${ci.sum} != first column's $n0")
-        r.zipWithIndex().map { case (row, i) => (i, row) }
+        // global positions from the counts we ALREADY have (zipWithIndex
+        // would run its own extra count job over the column)
+        val offsets = ci.scanLeft(0L)(_ + _)
+        r.mapPartitionsWithIndex({ (pi, it) =>
+            var i = offsets(pi)
+            it.map { row => val out = (i, row); i += 1; out }
+          }, preservesPartitioning = true)
           .partitionBy(new org.apache.spark.Partitioner {
             def numPartitions: Int = nParts
             def getPartition(key: Any): Int = chunkOf(key.asInstanceOf[Long], bounds)
