@@ -229,6 +229,14 @@ class FunctionsSpec extends SparkSpec {
     assert(resized(1).payload.isEmpty)
   }
 
+  test("guard rails: simhash completeness bound, quantile name collisions refuse loudly") {
+    val docs = Tables.documents(spark, sf).limit(5)
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", nBlocks = 4, maxHamming = 6))
+    intercept[IllegalArgumentException](
+      graft.streaming.Streams.windowedQuantiles(docs.toDF(), qs = Seq(0.055, 0.0551)))
+  }
+
   test("dedup pipeline is partition-invariant (reference sweep pattern)") {
     val docs = Tables.documents(spark, sf)
     partitionSweep { n =>
