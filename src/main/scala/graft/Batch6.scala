@@ -215,7 +215,8 @@ private[graft] object Batch6 {
              |    % 1000000007 AS BIGINT) AS checksum
              |FROM documents,
              |  (SELECT generate_series AS frame_idx
-             |   FROM generate_series(0, 16382, 2)) f
+             |   FROM generate_series(0, 65534, 2)) f -- covers 16.7 MB docs; a longer
+             |   -- payload would (correctly) go red here rather than silently truncate
              |WHERE lang = 'en' AND f.frame_idx * 256 < strlen(text)
              |ORDER BY media_id, frame_idx""".stripMargin))
   )

@@ -35,7 +35,11 @@ object Bench {
       }
       val median =
         if (!ok) -1.0
-        else { val s = times.sorted; s(s.length / 2) }
+        else {
+          val s = times.sorted
+          if (s.length % 2 == 1) s(s.length / 2)
+          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+        }
       (name, median, ok)
     }.toSeq
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -31,17 +31,21 @@ object Multimodal {
   /** The stub "decoder": byte length, first byte, positional checksum —
     * deterministic, byte-level, cross-engine reproducible. A real decoder
     * would return pixels/frames/spectrograms here. */
+  /** Positional checksum over a byte range: Σ (i−from+1)·byte_i mod P —
+    * the ONE copy of the oracle-coupled math (q38 whole-payload, q85
+    * per-frame). */
+  private[functions] def positionalChecksum(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var sum = 0L
+    var i = from
+    while (i < until) { sum += (i - from + 1).toLong * (bytes(i) & 0xff); i += 1 }
+    sum % 1000000007L
+  }
+
   def decodeStub(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) {
-      sum += (i + 1).toLong * (bytes(i) & 0xff)
-      i += 1
-    }
     MediaFeatures(r.media_id, bytes.length.toLong,
       if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else -1L,
-      sum % 1000000007L)
+      positionalChecksum(bytes, 0, bytes.length))
   }
 
   /** Batched feature extraction: one decoder invocation per partition
@@ -76,9 +80,8 @@ object Multimodal {
       Iterator.range(0, nFrames, stride).map { f =>
         val from = f * frameBytes
         val until = math.min(from + frameBytes, n)
-        var sum = 0L; var i = from
-        while (i < until) { sum += (i - from + 1).toLong * (r.payload(i) & 0xff); i += 1 }
-        Frame(r.media_id, f.toLong, (until - from).toLong, sum % 1000000007L)
+        Frame(r.media_id, f.toLong, (until - from).toLong,
+          positionalChecksum(r.payload, from, until))
       }
     }
   }
@@ -90,6 +93,10 @@ object Multimodal {
     * narrow map, the payload width change, and the metadata rewrite. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     require(w > 0 && h > 0, "target dimensions must be positive")
+    // w·h must fit an Int (and a JVM array): 46341² overflows to negative
+    // (executor crash), 65536² wraps to exactly 0 (silent empty payloads)
+    require(w.toLong * h <= Int.MaxValue,
+      s"target $w×$h overflows the payload array size")
     import media.sparkSession.implicits._
     media.map { r =>
       val n = r.payload.length

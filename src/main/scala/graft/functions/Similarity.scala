@@ -302,6 +302,18 @@ object Similarity {
   // literals would blow past JIT limits at real dims) and no UDF Seq
   // boxing on the per-corpus-row hot path.
 
+  /** Vector column in the expressions' native domain: float/double arrays
+    * pass through untouched (the expressions read both without
+    * conversion); other numeric arrays are widened to array<double> — the
+    * acceptance the pre-native UDF path had via its unconditional cast. */
+  private def vecInput(df: DataFrame, vecCol: String): Column =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType, _) => col(vecCol)
+      case _ => col(vecCol).cast("array<double>")
+    }
+
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
     * scale path next to LSH ([[lshTopK]]): corpus vectors are assigned ONCE
     * to their nearest-centroid cell (narrow scan, no shuffle), and a query
@@ -327,11 +339,11 @@ object Similarity {
     val dotF: (Column, Column) => Column = if (exact) dotFix9 else dot
     def nrm(v: Column) = sqrt(dotF(v, v))
     val q = queries.select(col(idCol).as("query_id"), prep(col(vecCol)).as("qv"),
-        explode(topCells(col(vecCol), model.unitCentroids,
+        explode(topCells(vecInput(queries, vecCol), model.unitCentroids,
           math.min(nprobe, model.nlist))).as("cell"))
       .withColumn("qn", nrm(col("qv")))
     val c = corpus.select(col(idCol).as("id"), prep(col(vecCol)).as("cv"),
-        nearestCell(col(vecCol), model.unitCentroids).as("cell"))
+        nearestCell(vecInput(corpus, vecCol), model.unitCentroids).as("cell"))
       .withColumn("cn", nrm(col("cv")))
     rankProbed(c, q, k, excludeSelf, dotF)
   }
@@ -360,7 +372,8 @@ object Similarity {
   def writeIvfCorpus(corpus: DataFrame, idCol: String, vecCol: String,
                      model: IvfModel, path: String): Unit =
     corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
-        graft.plans.HashExpressions.nearestCell(col(vecCol), model.unitCentroids).as("cell"))
+        graft.plans.HashExpressions.nearestCell(vecInput(corpus, vecCol),
+          model.unitCentroids).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Query the written IVF index: the probed-cell set across the query set
@@ -374,7 +387,7 @@ object Similarity {
     val spark = queries.sparkSession
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"),
-        explode(graft.plans.HashExpressions.topCells(col(vecCol),
+        explode(graft.plans.HashExpressions.topCells(vecInput(queries, vecCol),
           model.unitCentroids, math.min(nprobe, model.nlist))).as("cell"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq

@@ -123,8 +123,13 @@ final case class NDSparse(table: JTable, dims: Seq[String], valueCols: Seq[Strin
     // the reference's dims are positional so "both sides keep their
     // unmatched dim" can't collide there; here it must be renamed or the
     // joined frame has two identically-named columns
-    val rOnlyNames = otherOnly.map(c =>
-      c -> (if (df.columns.contains(c)) s"${c}_r" else c))
+    val rOnlyNames = otherOnly.map { c =>
+      // fresh-name loop: the suffixed name must not collide either (A may
+      // itself carry a `<dim>_r` column)
+      var nm = c
+      while (df.columns.contains(nm)) nm += "_r"
+      c -> nm
+    }
     val r = other.df.select((shared ++ otherOnly ++ other.valueCols).map(col): _*)
       .withColumnsRenamed(
         (other.valueCols.map(c => c -> s"__r_$c") ++
