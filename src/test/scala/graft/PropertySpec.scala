@@ -132,6 +132,46 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("subtable == sorted-slice model (random tables, ranges, partitionings)") {
+    val rows: Gen[List[(Long, Double)]] =
+      Gen.listOfN(10, Gen.zip(Gen.choose(0L, 30L), Gen.choose(0.0, 9.0)))
+    check(forAll(rows, Gen.choose(1, 4), Gen.choose(1L, 10L), Gen.choose(0L, 5L)) {
+      (xs, nparts, lo, span) =>
+        val hi = lo + span
+        val t = JTable(xs.toDF("k", "v").repartition(nparts), Seq("k"))
+        val got = t.subtable(lo, hi).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toList
+        // pkey order pins only the KEY sequence; among equal keys the
+        // slice may take any of the tied rows (sort is by pkey alone). So:
+        // key sequence must equal the positional slice exactly, and value
+        // multisets must match for keys fully inside the window.
+        val expectKeys = xs.map(_._1).sorted.slice((lo - 1).toInt, hi.toInt)
+        val fullKeys = expectKeys.groupBy(identity).collect {
+          case (k, g) if g.size == xs.count(_._1 == k) => k
+        }.toSet
+        val gotFull = got.filter(r => fullKeys(r._1)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).sorted).toMap
+        val expFull = fullKeys.map(k => k -> xs.filter(_._1 == k).map(_._2).sorted).toMap
+        Prop(got.map(_._1).sorted == expectKeys && gotFull == expFull) :|
+          s"got=$got expectKeys=$expectKeys"
+    }, minTests = 20)
+  }
+
+  test("unstack(stack(t)) roundtrip on random wide tables") {
+    val rows: Gen[List[(Long, Double, Double)]] =
+      Gen.listOfN(6, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0.0, 9.0), Gen.choose(0.0, 9.0)))
+    check(forAll(rows) { xs0 =>
+      // distinct keys: unstack pivots one row per key
+      val xs = xs0.groupBy(_._1).map(_._2.head).toList
+      val t = JTable(xs.toDF("k", "a", "b"), Seq("k"))
+      val long = graft.operators.Reshape.stack(t, Seq("k"), Seq("a", "b"))
+      val wide = graft.operators.Reshape.unstack(
+          JTable(long, Seq("k")), Seq("k"), "variable", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      Prop(wide == xs.toSet) :| s"wide=$wide expect=${xs.toSet}"
+    }, minTests = 20)
+  }
+
   test("chunkOf == linear scan over cumulative bounds") {
     val groups: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 5L)).map(_.take(6))
     check(forAll(groups, Gen.choose(0L, 40L)) { (sizes, i) =>
