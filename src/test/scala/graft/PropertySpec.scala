@@ -172,6 +172,28 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("broadcastOp == join model (shared dims matched, B-only dims crossed)") {
+    import graft.operators.NDSparse
+    val aGen: Gen[List[(Long, Long, Double)]] =
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 2L), Gen.choose(1.0, 9.0)))
+    val bGen: Gen[List[(Long, Long, Double)]] =
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 3L), Gen.choose(10L, 12L), Gen.choose(1.0, 9.0)))
+    check(forAll(aGen, bGen) { (a0, b0) =>
+      // dedup index collisions (NDSparse keys are unique per (dims))
+      val a = a0.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      val b = b0.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      val nda = NDSparse(a.toDF("x", "y", "va"), Seq("x", "y"), Seq("va"))
+      val ndb = NDSparse(b.toDF("x", "z", "vb"), Seq("x", "z"), Seq("vb"))
+      val out = nda.broadcastOp(ndb, (l, r) => l * r, "v")
+      val got = out.table.df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val expect = (for {
+        (ax, ay, av) <- a; (bx, bz, bv) <- b if ax == bx
+      } yield (ax, ay, bz, av * bv)).toSet
+      Prop(got == expect) :| s"got=$got expect=$expect"
+    }, minTests = 20)
+  }
+
   test("chunkOf == linear scan over cumulative bounds") {
     val groups: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 5L)).map(_.take(6))
     check(forAll(groups, Gen.choose(0L, 40L)) { (sizes, i) =>
