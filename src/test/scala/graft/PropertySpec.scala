@@ -194,6 +194,24 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("merge(agg) == grouped-union model (exercises the reused hash exchange)") {
+    val rows: Gen[List[(Long, Long)]] =
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 50L)))
+    check(forAll(rows, rows, Gen.choose(1, 4)) { (l, r, nparts) =>
+      val lt = JTable(l.toDF("k", "v").repartition(nparts), Seq("k"))
+      val rt = JTable(r.toDF("k", "v"), Seq("k"))
+      val merged = Joins.merge(lt, rt, Seq("v" -> sum(col("v"))))
+      val got = merged.df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val expect = (l ++ r).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      // the result must also satisfy the claimed pkey invariant: sorted
+      // within each partition
+      val perPart = merged.df.rdd
+        .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+      Prop(got == expect && perPart.forall(p => p == p.sorted)) :|
+        s"got=$got expect=$expect perPart=${perPart.toSeq}"
+    }, minTests = 20)
+  }
+
   test("chunkOf == linear scan over cumulative bounds") {
     val groups: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 5L)).map(_.take(6))
     check(forAll(groups, Gen.choose(0L, 40L)) { (sizes, i) =>
