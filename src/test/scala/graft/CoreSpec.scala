@@ -326,6 +326,19 @@ class CoreSpec extends SparkSpec {
       s"l_linenumber = 7 not in PushedFilters — storage-level row-group skip lost:\n$plan")
   }
 
+  test("upsert plan: exactly ONE exchange (the groupBy hash, reused for the pkey claim)") {
+    // assumeSorted inputs isolate the operator's own plan from input keying
+    val base = JTable.assumeSorted(tinyTable.select(col("k"), col("v")), Seq("k"))
+    val ups = JTable.assumeSorted(
+      Seq((2L, 99.0), (9L, 1.0)).toDF("k", "v"), Seq("k"))
+    val out = Joins.upsert(base, ups)
+    out.df.collect()
+    // AQE prints Final AND Initial plans — count only the executed (final)
+    val plan = out.df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"expected the single groupBy hash exchange, got $exchanges:\n$plan")
+  }
+
   test("fromColumns: distributed-vector ctor zips by position (reference table.jl:52-81)") {
     val sc = spark.sparkContext
     val a = sc.parallelize(1L to 6L, 3).toDF("a")
