@@ -212,6 +212,43 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("simhashPairs == popcount model within the completeness bound") {
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "onyx")
+    val docGen: Gen[String] =
+      Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    check(forAll(Gen.listOfN(7, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      // model: exact signature hamming ≤ nBlocks−1 = 3 over all pairs —
+      // the regime where block bucketing is COMPLETE, so the operator
+      // must find exactly these pairs
+      val sigs = df.select(col("doc_id"),
+          Dedup.simhash(col("text")).as("sig")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        h = java.lang.Long.bitCount(sigs(i.toLong) ^ sigs(j.toLong))
+        if h <= 3
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      val got = Dedup.simhashPairs(df, "doc_id", "text", nBlocks = 4, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      Prop(got == expect) :| s"got=$got expect=$expect docs=$docs"
+    }, minTests = 15)
+  }
+
+  test("exact dedup == normalize-groupBy model") {
+    val docGen: Gen[String] = Gen.oneOf(
+      "The cat", "the  cat", " THE CAT ", "a dog", "A  DOG", "bird")
+    check(forAll(Gen.listOfN(8, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      val expect = docs.zipWithIndex.groupBy { case (d, _) => norm(d) }
+        .map { case (_, g) => (g.map(_._2.toLong).min, g.size.toLong) }.toSet
+      val got = Dedup.exact(df, "doc_id", "text").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      Prop(got == expect) :| s"got=$got expect=$expect docs=$docs"
+    }, minTests = 20)
+  }
+
   test("chunkOf == linear scan over cumulative bounds") {
     val groups: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 5L)).map(_.take(6))
     check(forAll(groups, Gen.choose(0L, 40L)) { (sizes, i) =>
