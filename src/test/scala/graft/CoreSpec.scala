@@ -326,6 +326,12 @@ class CoreSpec extends SparkSpec {
       s"l_linenumber = 7 not in PushedFilters — storage-level row-group skip lost:\n$plan")
   }
 
+  test("AQE is on (SCALE.md ground rule: runtime re-plan, skew split, coalesce)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled").toBoolean)
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled").toBoolean)
+  }
+
   test("upsert plan: exactly ONE exchange (the groupBy hash, reused for the pkey claim)") {
     // assumeSorted inputs isolate the operator's own plan from input keying
     val base = JTable.assumeSorted(tinyTable.select(col("k"), col("v")), Seq("k"))
