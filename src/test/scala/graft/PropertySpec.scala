@@ -249,6 +249,28 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("loadtable roundtrip: written CSV == read table (quotes, commas, separators, inference)") {
+    val cell: Gen[String] =
+      Gen.listOfN(6, Gen.oneOf('a', 'b', ',', '"', ' ', 'x', '')).map(_.mkString)
+    val rows: Gen[List[(Long, String)]] =
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 99L), cell))
+    check(forAll(rows) { xs =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+        .toFile.getPath + "/t"
+      xs.toDF("k", "s").coalesce(1).write
+        .option("header", "true")
+        // the writer trims unquoted whitespace by default — disable so the
+        // roundtrip is byte-faithful
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .mode("overwrite").csv(dir)
+      val t = graft.sources.IO.loadtable(spark, Seq(dir))
+      val got = t.df.select(col("k").cast("long"), col("s")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      Prop(got == xs.toSet) :| s"got=$got expect=${xs.toSet}"
+    }, minTests = 10)
+  }
+
   test("chunkOf == linear scan over cumulative bounds") {
     val groups: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 5L)).map(_.take(6))
     check(forAll(groups, Gen.choose(0L, 40L)) { (sizes, i) =>
