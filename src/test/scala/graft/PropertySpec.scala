@@ -205,10 +205,8 @@ class PropertySpec extends SparkSpec {
       val expect = (l ++ r).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       // the result must also satisfy the claimed pkey invariant: sorted
       // within each partition
-      val perPart = merged.df.rdd
-        .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
-      Prop(got == expect && perPart.forall(p => p == p.sorted)) :|
-        s"got=$got expect=$expect perPart=${perPart.toSeq}"
+      assertSortedWithinPartitions(merged.df)
+      Prop(got == expect) :| s"got=$got expect=$expect"
     }, minTests = 20)
   }
 
@@ -251,12 +249,14 @@ class PropertySpec extends SparkSpec {
 
   test("loadtable roundtrip: written CSV == read table (quotes, commas, separators, inference)") {
     val cell: Gen[String] =
-      Gen.listOfN(6, Gen.oneOf('a', 'b', ',', '"', ' ', 'x', '')).map(_.mkString)
+      Gen.listOfN(6, Gen.oneOf('a', 'b', ',', '"', ' ', 'x', '\u0001')).map(_.mkString)
     val rows: Gen[List[(Long, String)]] =
       Gen.listOfN(8, Gen.zip(Gen.choose(0L, 99L), cell))
+    // ONE temp dir for the whole property (mode=overwrite reuses it) —
+    // per-iteration dirs would leak into /tmp on every run
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+      .toFile.getPath + "/t"
     check(forAll(rows) { xs =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_csv")
-        .toFile.getPath + "/t"
       xs.toDF("k", "s").coalesce(1).write
         .option("header", "true")
         // the writer trims unquoted whitespace by default — disable so the

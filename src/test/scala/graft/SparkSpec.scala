@@ -29,4 +29,12 @@ trait SparkSpec extends AnyFunSuite {
     val base = mk(1)
     for (n <- 2 to 5) assert(mk(n) == base, s"partition sweep diverged at n=$n")
   }
+
+  /** Assert the pkey sortedness half of the JTable invariant: the first
+    * (long) key column is non-decreasing within every partition. */
+  def assertSortedWithinPartitions(df: org.apache.spark.sql.DataFrame): Unit = {
+    val perPart = df.rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.foreach(p => assert(p == p.sorted, s"partition not sorted: $p"))
+  }
 }
