@@ -18,8 +18,8 @@ class CoreSpec extends SparkSpec {
 
   test("pkey invariant: rows sorted within range partitions") {
     val t = JTable(tinyTable.repartition(3), Seq("k"), numPartitions = 2)
+    assertSortedWithinPartitions(t.df)
     val perPart = t.df.rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
-    perPart.foreach(p => assert(p == p.sorted, s"partition not sorted: $p"))
     val ranges = perPart.filter(_.nonEmpty).map(p => (p.head, p.last)).sortBy(_._1)
     ranges.sliding(2).foreach {
       case Array((_, hi), (lo, _)) => assert(hi <= lo, "range partitions overlap")
