@@ -132,6 +132,112 @@ object Dedup {
       .select(col("i"), col("j"), col("est_sim"))
   }
 
+  /** Connected components over an undirected near-dup pair set — the step
+    * that turns pairwise `jaccardPairs`/`minhashLSH`/`simhashPairs` output
+    * into dedup CLUSTERS (a chain a~b~c is one duplicate group even when
+    * (a,c) itself was never emitted as a pair).
+    *
+    * Algorithm: iterative min-label propagation (the same semantics as
+    * GraphX's Pregel ConnectedComponents) — every node starts at
+    * `min(self, neighbors)` and each round takes the min of its neighbors'
+    * labels, until a fixpoint. Rounds = O(max component diameter); near-dup
+    * graphs are locally dense (LSH banding emits most pairs of a clique
+    * directly), so diameter — and the round count — stays small in
+    * practice. Each round is two hash exchanges keyed on 8-byte node ids
+    * over the PAIR set (≪ corpus size at 100 TB: only docs that collided
+    * at all appear here). Every round is `localCheckpoint`ed: lineage stays
+    * flat (no exponential replay of the iteration history) and the
+    * convergence check reuses the materialized blocks.
+    *
+    * Returns (node, comp) for every node that appears in ≥1 pair, where
+    * comp = the smallest node id reachable from it. Singletons (docs in no
+    * pair) are absent — [[clusters]] re-attaches them as their own comp.
+    */
+  def connectedComponents(pairs: DataFrame, iCol: String = "i",
+                          jCol: String = "j", maxIter: Int = 64): DataFrame = {
+    val sym = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
+      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("comp")).as("ncomp"))
+      // left join: a node whose neighbors all have larger labels gets no
+      // improvement this round but must keep its current label
+      val next = labels.join(viaEdges, Seq("node"), "left")
+        .select(col("node"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.filter(col("comp") < col("__old")).isEmpty
+      labels = next.select("node", "comp")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "pair graph has a component of diameter > maxIter; raise maxIter")
+    labels
+  }
+
+  /** Cluster assignment for EVERY row of `df`: comp = min doc id of the
+    * row's near-dup cluster, or its own id when it collided with nothing.
+    * The component map covers only docs that appear in a pair, so it is
+    * small relative to the corpus — AQE broadcasts the join and the corpus
+    * itself is never shuffled. */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+               iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val cc = connectedComponents(pairs, iCol, jCol)
+      .withColumnRenamed("node", idCol)
+    df.join(cc, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+  }
+
+  /** Keep ONE canonical row (the min-id member) per near-dup cluster —
+    * the standard last step of a corpus dedup pass. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                   iCol: String = "i", jCol: String = "j"): DataFrame =
+    clusters(df, idCol, pairs, iCol, jCol)
+      .filter(col("comp") === col(idCol)).drop("comp")
+
+  /** Benchmark decontamination score: for each doc, the number of DISTINCT
+    * word n-gram shingles it shares with a benchmark/eval corpus. Training
+    * pipelines drop docs above a threshold so eval answers can't leak into
+    * training data.
+    *
+    * Scale shape: the benchmark side is an eval suite — tiny next to a
+    * 100 TB corpus — so its distinct shingle set is broadcast and the
+    * corpus-side shingle stream never shuffles; the only exchange is the
+    * per-doc count aggregate, keyed on doc id. (For an unusually large
+    * blocklist, drop the broadcast hint and let AQE decide.) */
+  def contaminationScores(df: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          n: Int): DataFrame = {
+    val benchSh = bench.select(explode(shingles(col(benchTextCol), n)).as("s")).distinct()
+    val docSh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    // shingles() is array_distinct per doc, so count(1) counts DISTINCT
+    // shared shingles without a distinct aggregate
+    docSh.join(broadcast(benchSh), Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Remove docs sharing ≥ `minShared` distinct n-gram shingles with the
+    * benchmark corpus (anti-join on the flagged id set; all original
+    * columns survive). */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int, minShared: Long): DataFrame = {
+    val flagged = contaminationScores(df, idCol, textCol, bench, benchTextCol, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("id").as(idCol))
+    df.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** SimHash (62-bit): per-token hash bit votes weighted ±1, sign → bit.
     * Near-dups = signatures within `maxHamming`. Narrow per-doc compute
     * (native expression, plans.SimHash64); pairing via exact-bucket join

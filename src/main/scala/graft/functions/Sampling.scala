@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling for training-data pipelines:
+  * train/val/test splits, fractional sampling, and domain-mixture
+  * resampling. Everything keys off a salted md5 of the row's id, NOT
+  * `rand()`: the assignment is a pure function of (salt, key), so it is
+  * reproducible across runs, stable under repartitioning, and identical on
+  * any engine — re-running the pipeline (or re-materializing a lost
+  * partition) can never move a document between train and test.
+  *
+  * Scale shape: every operator here is a narrow per-row filter/projection
+  * computed in the scan (md5 + a CASE) — no shuffle, no state; the only
+  * exchange in [[resampleToMixture]] is a tiny per-domain count aggregate
+  * that AQE broadcasts back.
+  */
+object Sampling {
+
+  /** Uniform 32-bit hash of a key: the first 8 hex chars of
+    * md5(salt ∥ key) as an integer in [0, 2^32). Exactly reproducible in
+    * any engine with md5 (the correctness oracle recomputes it in SQL);
+    * use the salt to decorrelate independent sampling decisions on the
+    * same key space. */
+  def hashU32(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** The same hash as a uniform fraction in [0, 1). */
+  def hashFraction(key: Column, salt: String): Column =
+    hashU32(key, salt) / lit(4294967296.0)
+
+  /** Integer threshold for "keep with probability `fraction`": compare
+    * [[hashU32]] strictly below it. Exposed so callers (and the SQL
+    * oracle) can reproduce the exact boundary. */
+  def thresholdU32(fraction: Double): Long =
+    math.floor(fraction * 4294967296.0).toLong
+
+  /** Deterministic Bernoulli sample: keep each row iff
+    * hashU32(key) < fraction·2^32. Unlike `df.sample`, membership is a
+    * function of the key — stable across runs, retries, and engines. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,
+                   salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction ∉ [0,1]")
+    df.filter(hashU32(col(keyCol), salt) < lit(thresholdU32(fraction)))
+  }
+
+  /** Deterministic split assignment: appends a `split` column mapping each
+    * row to the named band whose cumulative-weight interval contains its
+    * hash. Weights must sum to 1 (±1e-9). Bands are exactly disjoint and
+    * exhaustive (integer interval arithmetic on the u32 hash), and a row's
+    * band never changes unless the salt does. */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)], salt: String = "",
+                  as: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits is empty")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights ${splits.map(_._2)} must sum to 1")
+    val u = hashU32(col(keyCol), salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(thresholdU32)
+    // last band is the OTHERWISE: exhaustive even if the final cut rounds
+    // below 2^32-1
+    val assign = splits.init.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc.fold(when(u < cut, name))(_.when(u < cut, name)))
+    }.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn(as, assign)
+  }
+
+  /** Domain-mixture resampling: deterministically downsample each domain so
+    * the kept rows follow the `target` distribution, keeping as many rows
+    * as feasible without upsampling. With per-domain counts c_d and target
+    * weights w_d, the largest feasible total is T = min_d(c_d / w_d); each
+    * domain keeps fraction min(w_d·T / c_d, 1). Domains absent from
+    * `target` are dropped.
+    *
+    * The arithmetic is plain double division in a fixed shape (c/w, then
+    * w·T/c) so the oracle reproduces the exact same fractions; membership
+    * is then the integer hash threshold, as everywhere in this module. */
+  def resampleToMixture(df: DataFrame, domainCol: String, keyCol: String,
+                        target: Map[String, Double],
+                        salt: String = ""): DataFrame = {
+    require(target.nonEmpty, "target mixture is empty")
+    require(target.values.forall(_ > 0.0), s"target weights must be > 0: $target")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = target.toSeq.toDF(domainCol, "__w")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
+      .join(tgt, Seq(domainCol)) // inner: domains outside the target drop out
+      .withColumn("__ratio", col("__c").cast("double") / col("__w"))
+    val tmax = counts.agg(min(col("__ratio")).as("__T"))
+    val fracs = counts.crossJoin(tmax)
+      .withColumn("__f",
+        least(col("__w") * col("__T") / col("__c").cast("double"), lit(1.0)))
+      .select(col(domainCol), col("__f"))
+    // fracs has one row per domain — a broadcast-size join back to the data
+    df.join(broadcast(fracs), Seq(domainCol))
+      .filter(hashU32(col(keyCol), salt) < floor(col("__f") * lit(4294967296.0)))
+      .drop("__f")
+  }
+}

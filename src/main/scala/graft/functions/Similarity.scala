@@ -295,6 +295,35 @@ object Similarity {
     IvfModel(model.clusterCenters.map(_.toArray))
   }
 
+  /** Persist the coarse quantizer next to its index: (cell, centroid)
+    * rows in parquet. Training is the expensive step at 100 TB (a k-means
+    * pass over a corpus sample) — persisting the model means index builds,
+    * backfills, and every query session reuse ONE training run, and the
+    * index stays queryable by jobs that never saw the training data. */
+  def saveIvf(model: IvfModel, path: String,
+              spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1) // nlist×dim doubles — one tiny file
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted quantizer. Cell ids are positional (row i = cell i),
+    * so the load re-orders by the stored cell column — assignments from a
+    * loaded model are identical to the model that was saved. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"no IVF model at $path")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq,
+      s"IVF model at $path has non-contiguous cell ids — corrupt save")
+    IvfModel(rows.map(_.getSeq[Double](1).toArray))
+  }
+
   // Cell routing and probe lists are native Catalyst expressions
   // (plans.NearestCell / plans.TopCells): the centroid matrix rides the
   // codegen REFERENCE array (shipped once per task binary, which the

@@ -518,6 +518,76 @@ class FunctionsSpec extends SparkSpec {
     assert(self == Set((0L, 0L), (1L, 1L), (2L, 2L)))
   }
 
+  test("saveIvf/loadIvf roundtrip: loaded model reproduces the saved model's results") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.trainIvf(emb, "embedding", nlist = 4, maxIter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfm").toFile.getPath + "/model"
+    Similarity.saveIvf(model, dir, spark)
+    val loaded = Similarity.loadIvf(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq,
+      "centroids changed through the parquet roundtrip")
+    val queries = emb.filter(col("vec_id") < 3)
+    def run(m: Similarity.IvfModel) =
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nprobe = 2, model = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(loaded) == run(model))
+    // corrupt save (non-contiguous cells) fails loudly, not with skewed cells
+    import spark.implicits._
+    val bad = java.nio.file.Files.createTempDirectory("graft_ivfb").toFile.getPath + "/m"
+    Seq((0, Seq(1.0)), (2, Seq(2.0))).toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalArgumentException](Similarity.loadIvf(spark, bad))
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+
+  test("connectedComponents: multi-hop chain converges; maxIter guard fails loudly") {
+    import spark.implicits._
+    // a 12-node path: min label must travel 11 hops — exercises the
+    // iteration loop well past the one-round case
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("i", "j")
+    val cc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (0L to 11L).map(_ -> 0L).toMap, s"chain not collapsed: $cc")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("decontaminate: flagged docs removed, clean docs keep all columns") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps low", "keepmeta"), // 3 shared 3-grams
+      (2L, "completely different words here now", "other"),
+      (3L, "the quick brown fox jumps high today", "dup")  // ≥4 shared
+    ).toDF("doc_id", "text", "source")
+    val clean = Dedup.decontaminate(docs, "doc_id", "text", bench, "text",
+      n = 3, minShared = 3)
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("packGreedy: oversized docs isolated; binStats fill ratios; shards bound runs") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 60L), ("g", 2L, 50L), ("g", 3L, 200L), ("g", 4L, 10L))
+      .toDF("grp", "ord", "ntok")
+    val packed = graft.functions.Packing.packGreedy(df, "grp", "ord", col("ntok"), budget = 100)
+    val bins = packed.collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    // 60 | 50 would overflow → new bin; 200 > budget → own bin; 10 follows
+    assert(bins == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"bins=$bins")
+    val stats = graft.functions.Packing.binStats(packed, "grp", budget = 100)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(stats.map(s => (s._1, s._3)).toSeq ==
+      Seq((0L, 60L), (1L, 50L), (2L, 200L), (3L, 10L)))
+    assert(math.abs(stats(2)._4 - 2.0) < 1e-12) // 200/100 fill
+    // sharded: every row still assigned exactly once
+    val sharded = graft.functions.Packing.packGreedy(df, "grp", "ord", col("ntok"),
+      budget = 100, shards = 2)
+    assert(sharded.count() == 4)
+  }
+
   test("bucketed ANN corpus: partition-pruned query == lshTopK") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_ann").toFile.getPath + "/corpus"

@@ -282,4 +282,165 @@ class PropertySpec extends SparkSpec {
       Prop(JTable.chunkOf(i, bounds) == model) :| s"i=$i bounds=${bounds.toSeq}"
     })
   }
+
+  test("connectedComponents == union-find model on random edge lists") {
+    val edges: Gen[List[(Long, Long)]] =
+      Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))))
+    check(forAll(edges) { es0 =>
+      val es = es0.filter { case (a, b) => a != b } // self-pairs carry no info
+      if (es.isEmpty) Prop(true)
+      else {
+        // model: textbook union-find, components labeled by their min node
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val roots = nodes.groupBy(find)
+        val expect = roots.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+        val got = Dedup.connectedComponents(es.toDF("i", "j")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Prop(got == expect) :| s"got=$got expect=$expect edges=$es"
+      }
+    }, minTests = 12)
+  }
+
+  test("clusters/dedupByPairs: singletons self-labeled, one canonical row per cluster") {
+    check(forAll(Gen.listOfN(6, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))) { es0 =>
+      val es = es0.filter { case (a, b) => a != b }
+      val docs = (0L to 9L).map(i => (i, s"doc$i")).toList
+      val df = docs.toDF("doc_id", "text")
+      val pairs = (if (es.isEmpty) List((98L, 99L)) else es).toDF("i", "j")
+      val cl = Dedup.clusters(df, "doc_id", pairs)
+        .select(col("doc_id"), col("comp")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every doc labeled; comp ≤ id; docs outside the pair graph keep self
+      val inGraph = es.flatMap(e => Seq(e._1, e._2)).toSet
+      val selfOk = docs.map(_._1).filterNot(inGraph).forall(i => cl(i) == i)
+      val kept = Dedup.dedupByPairs(df, "doc_id", pairs).collect()
+        .map(_.getLong(0)).toSet
+      // canonical set == distinct comp labels that are real doc ids
+      val expectKept = cl.values.toSet.intersect(docs.map(_._1).toSet)
+      Prop(cl.size == docs.size && selfOk && kept == expectKept &&
+        cl.forall { case (i, c) => c <= i }) :| s"cl=$cl kept=$kept"
+    }, minTests = 12)
+  }
+
+  test("packGreedy == sequential greedy model, per (group, shard) run") {
+    val rows: Gen[List[(String, Long)]] =
+      Gen.choose(1, 14).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b"), Gen.choose(1L, 120L))))
+    check(forAll(rows, Gen.oneOf(1, 3)) { (xs, shards) =>
+      val budget = 100L
+      val df = xs.zipWithIndex.map { case ((g, tok), i) => (g, i.toLong, tok) }
+        .toDF("g", "ord", "ntok")
+      val got = graft.functions.Packing
+        .packGreedy(df, "g", "ord", col("ntok"), budget, shards)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      def model(run: Seq[(Long, Long)]): Map[Long, Long] = { // ord→bin
+        var bin = 0L; var acc = 0L; var first = true
+        run.sortBy(_._1).map { case (ord, tok) =>
+          if (first) { first = false; acc = tok }
+          else if (acc + tok > budget) { bin += 1; acc = tok }
+          else acc += tok
+          ord -> bin
+        }.toMap
+      }
+      // validate each (g, shard) run against the model — the shard map
+      // itself is the operator's own hash, read back from the output
+      val ok = got.groupBy(r => (r._1, r._2)).forall { case (_, run) =>
+        val m = model(run.map(r => (r._3, r._4)).toSeq)
+        run.forall(r => m(r._3) == r._5)
+      }
+      val complete = got.length == xs.length
+      Prop(ok && complete) :| s"got=${got.toSeq} xs=$xs shards=$shards"
+    }, minTests = 20)
+  }
+
+  test("splitByHash/sampleByHash == salted-md5 model, bands disjoint+exhaustive") {
+    def u32(salt: String, key: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$key".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    check(forAll(Gen.listOfN(12, Gen.choose(0L, 999L)), Gen.identifier) { (keys0, salt) =>
+      val keys = keys0.distinct
+      val df = keys.map(Tuple1(_)).toDF("k")
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val got = graft.functions.Sampling.splitByHash(df, "k", splits, salt)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = keys.map { k =>
+        val u = u32(salt, k)
+        k -> (if (u < 3435973836L) "train" else if (u < 3865470566L) "val" else "test")
+      }.toMap
+      val sampled = graft.functions.Sampling.sampleByHash(df, "k", 0.5, salt)
+        .collect().map(_.getLong(0)).toSet
+      val expectSampled = keys.filter(k => u32(salt, k) < 2147483648L).toSet
+      (Prop(got == expect) :| s"split got=$got expect=$expect") &&
+        (Prop(sampled == expectSampled) :| s"sample got=$sampled expect=$expectSampled")
+    }, minTests = 15)
+  }
+
+  test("resampleToMixture == Scala model (same double shapes, same hash threshold)") {
+    val rows: Gen[List[(String, Long)]] =
+      Gen.choose(4, 20).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("x", "y", "z"), Gen.choose(0L, 999L))))
+    check(forAll(rows) { xs0 =>
+      val xs = xs0.distinctBy(_._2) // unique keys
+      val target = Map("x" -> 0.5, "y" -> 0.25, "z" -> 0.25)
+      val present = xs.map(_._1).toSet
+      if (!present.exists(target.contains)) Prop(true)
+      else {
+        def u32(key: Long): Long = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"m$key".getBytes("UTF-8"))
+          java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+        }
+        val counts = xs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+          .filter { case (d, _) => target.contains(d) }
+        val tMin = counts.map { case (d, c) => c.toDouble / target(d) }.min
+        val expect = xs.filter { case (d, k) =>
+          counts.contains(d) && {
+            val f = math.min(target(d) * tMin / counts(d).toDouble, 1.0)
+            u32(k) < math.floor(f * 4294967296.0).toLong
+          }
+        }.toSet
+        val got = graft.functions.Sampling
+          .resampleToMixture(xs.toDF("dom", "k"), "dom", "k", target, salt = "m")
+          .select(col("dom"), col("k")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        Prop(got == expect) :| s"got=$got expect=$expect xs=$xs"
+      }
+    }, minTests = 15)
+  }
+
+  test("contaminationScores == brute-force shingle-set model") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen: Gen[String] =
+      Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    check(forAll(Gen.listOfN(6, docGen), Gen.listOfN(2, docGen)) { (cand, bench) =>
+      def sh(s: String): Set[String] = {
+        val t = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (t.length < 2) Set.empty else t.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val benchSet = bench.flatMap(sh).toSet
+      val expect = cand.zipWithIndex
+        .map { case (d, i) => i.toLong -> sh(d).intersect(benchSet).size.toLong }
+        .filter(_._2 > 0).toMap
+      val got = Dedup.contaminationScores(
+          cand.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text"),
+          "doc_id", "text",
+          bench.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("bid", "btext"),
+          "btext", n = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == expect) :| s"got=$got expect=$expect cand=$cand bench=$bench"
+    }, minTests = 15)
+  }
 }
