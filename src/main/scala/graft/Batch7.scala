@@ -34,10 +34,15 @@ private[graft] object Batch7 {
     // recursive min-label-propagation CTE — same algorithm, independent
     // engine. This is the step that makes pairwise dedup output usable:
     // a~b~c chains collapse to ONE keep-candidate per cluster.
+    // Pair generation runs the 8-byte hashShingles scale form; the oracle
+    // recomputes the pairs from shingle STRINGS, so the green row also
+    // cross-checks the hashed inverted index against the exact one
+    // (the q67-vs-q36 pattern).
     Q("q86_dedup_clusters",
       (s, dir) => {
         val d = docs(s, dir)
-        val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3)
+        val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3,
+          hashShingles = true)
         Dedup.clusters(d, "doc_id", pairs)
           .select(col("doc_id"), col("comp"))
           .orderBy("doc_id")
@@ -156,6 +161,102 @@ private[graft] object Batch7 {
              |    CASE WHEN w.acc + d.ntok > 256 THEN d.ntok ELSE w.acc + d.ntok END
              |  FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1)
              |SELECT lang, doc_id, ntok AS n_tokens, bin FROM walk
-             |ORDER BY lang, doc_id""".stripMargin))
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // Embedding near-dup CLUSTERS: the generic connected-components step
+    // over COSINE pairs (q67's LSH-prefiltered exact-recheck scale path
+    // feeds the same pairs→groups machinery as the Jaccard q86). The
+    // oracle recomputes exact all-pairs cosine in decimal then the same
+    // min-label fixpoint — green here certifies the whole chain:
+    // RHP buckets → exact fix9 re-check → min-label clusters.
+    Q("q91_embed_clusters",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).filter(col("label") === 0)
+        val pairs = graft.functions.Similarity.cosinePairsLSH(
+          e, "vec_id", "embedding", threshold = 0.25, dim = 64)
+        Dedup.clusters(e, "vec_id", pairs)
+          .select(col("vec_id"), col("comp"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id AS id,
+             |    generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
+             |  FROM embeddings WHERE label = 0),
+             |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm FROM e GROUP BY 1),
+             |dots AS (SELECT a.id AS i, b.id AS j, SUM(a.vd * b.vd) AS dotd
+             |  FROM e a JOIN e b ON a.pos = b.pos AND a.id < b.id GROUP BY 1, 2),
+             |pairs AS (SELECT i, j FROM dots
+             |  JOIN norms ni ON ni.id = i JOIN norms nj ON nj.id = j
+             |  WHERE CAST(dotd AS DOUBLE) / (ni.nrm * nj.nrm) >= 0.25),
+             |und AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs),
+             |cc(node, comp) AS (
+             |  SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM und GROUP BY a
+             |  UNION
+             |  SELECT u.a AS node, c.comp FROM und u JOIN cc c ON c.node = u.b
+             |  WHERE c.comp < u.a),
+             |lab AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node)
+             |SELECT v.vec_id, COALESCE(l.comp, v.vec_id) AS comp
+             |FROM (SELECT vec_id FROM embeddings WHERE label = 0) v
+             |LEFT JOIN lab l ON l.node = v.vec_id
+             |ORDER BY v.vec_id""".stripMargin)),
+
+    // Deterministic N-per-group sample: the 20 docs per language whose
+    // salted hash ranks lowest (hash, then id, a total order). The oracle
+    // recomputes the identical md5 rank — same rows on any engine, any
+    // partitioning, any retry.
+    Q("q92_sample_per_group",
+      (s, dir) => {
+        Sampling.sampleNPerGroup(docs(s, dir), "lang", "doc_id", n = 20, salt = "q92")
+          .select(col("lang"), col("doc_id"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""SELECT lang, doc_id FROM (
+             |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY CAST('0x' || substr(md5('q92' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+             |        doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // Corpus vocab analysis: top 30 word 3-grams by DOCUMENT frequency
+    // (per-doc distinct, ties broken by gram). One native-shingle pass +
+    // one map-side-combined aggregate + TakeOrdered.
+    Q("q93_ngram_vocab",
+      (s, dir) => Text.topNgrams(docs(s, dir), "text", n = 3, k = 30),
+      Some(s"""WITH $pairCtes
+             |SELECT s AS gram, COUNT(*) AS doc_freq FROM sh
+             |GROUP BY 1 ORDER BY doc_freq DESC, gram LIMIT 30""".stripMargin)),
+
+    // Packed-sequence materialization: q90's bins with the member texts
+    // concatenated in packing order — the actual training-sequence output.
+    // The oracle runs the same recursive walk, joins the text back, and
+    // string_aggs in the same order; gating the concatenated TEXT pins the
+    // member set, the order, and the separator placement exactly.
+    Q("q94_pack_texts",
+      (s, dir) => {
+        Packing.packTexts(docs(s, dir), "lang", "doc_id",
+            Text.tokenCount(col("text")), "text", budget = 256)
+          .select(col("lang"), col("bin"), col("n_docs"), col("tok_total"), col("text"))
+          .orderBy("lang", "bin")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT lang, doc_id, text,
+             |    CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |      x -> length(x) > 0)) AS BIGINT) AS ntok,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |walk(lang, rn, doc_id, ntok, bin, acc) AS (
+             |  SELECT lang, rn, doc_id, ntok, CAST(0 AS BIGINT) AS bin, ntok AS acc
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.lang, d.rn, d.doc_id, d.ntok,
+             |    CASE WHEN w.acc + d.ntok > 256 THEN w.bin + 1 ELSE w.bin END,
+             |    CASE WHEN w.acc + d.ntok > 256 THEN d.ntok ELSE w.acc + d.ntok END
+             |  FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1)
+             |SELECT w.lang, w.bin, COUNT(*) AS n_docs, SUM(w.ntok) AS tok_total,
+             |  string_agg(d.text, e'\n\n' ORDER BY w.doc_id) AS text
+             |FROM walk w JOIN d ON d.lang = w.lang AND d.doc_id = w.doc_id
+             |GROUP BY w.lang, w.bin
+             |ORDER BY w.lang, w.bin""".stripMargin))
   )
 }

@@ -317,5 +317,5 @@ object SparkEntry {
     "q09_groupjoin", "q82_groupjoin_count", "q10_asof_join", "q11_window_topk",
     "q28_text_stats", "q32_dedup_exact", "q34_dedup_minhash",
     "q35_dedup_simhash", "q37_embed_topk", "q60_shipping_priority",
-    "q62_large_orders")
+    "q62_large_orders", "q86_dedup_clusters", "q90_pack_greedy")
 }

@@ -20,10 +20,20 @@ object Dedup {
       .groupBy(sha2(col("__norm"), 256).as("text_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of the normalized text (distinct set). Docs with
-    * fewer than n tokens yield no shingles (guarded: Spark's `sequence(1,0)`
-    * is the DESCENDING [1,0], which would index past the array end). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of the normalized text (distinct set,
+    * first-occurrence order). Docs with fewer than n tokens yield no
+    * shingles. Native one-pass expression: the HOF formulation (kept below
+    * as the spec's reference) re-evaluates the tokenizer subtree per
+    * element_at — O(shingles × tokens) interpreted evals per doc, ~19 s
+    * for a 5000-doc sf0.1 corpus where this pass takes <1 s. */
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.HashExpressions.shingleStrings(text, n)
+
+  /** The Column-HOF formulation of `shingles` — the independent reference
+    * the spec asserts the native expression against, bit-identical
+    * (guarded: Spark's `sequence(1,0)` is the DESCENDING [1,0], which
+    * would index past the array end). */
+  private[graft] def shinglesHof(text: Column, n: Int): Column = {
     val t = Text.tokens(text)
     val grams = transform(sequence(lit(1), size(t) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))

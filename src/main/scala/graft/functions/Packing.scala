@@ -68,6 +68,62 @@ object Packing {
     walked.toDF(groupCol, "shard", orderCol, "n_tokens", "bin")
   }
 
+  /** Materialize the packed training sequences themselves: one output row
+    * per bin, with the member texts concatenated by `sep` in packing
+    * order. Same greedy walk (and bin numbering) as [[packGreedy]], but
+    * bins are emitted as they CLOSE — the task holds one bin's text at a
+    * time (≤ budget tokens + one doc), never a group, so memory is bounded
+    * by the sequence length regardless of group size.
+    *
+    * Output: (groupCol, shard, bin, n_docs, tok_total, text). */
+  def packTexts(df: DataFrame, groupCol: String, orderCol: String,
+                tokens: Column, textCol: String, budget: Long,
+                sep: String = "\n\n", shards: Int = 1): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    require(shards >= 1, s"shards $shards must be ≥ 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shardOf: Column =
+      if (shards > 1) pmod(xxhash64(col(orderCol)), lit(shards.toLong)) else lit(0L)
+    val base = df.select(
+        col(groupCol).cast("string").as("g"),
+        shardOf.as("shard"),
+        col(orderCol).cast("long").as("ord"),
+        tokens.cast("long").as("ntok"),
+        col(textCol).cast("string").as("txt"))
+      .na.drop(Seq("g", "shard", "ord", "ntok", "txt"))
+    val packed = base
+      .repartition(col("g"), col("shard"))
+      .sortWithinPartitions(col("g"), col("shard"), col("ord"))
+      .as[(String, Long, Long, Long, String)]
+      .mapPartitions { it =>
+        var cur: (String, Long) = null
+        var bin = 0L; var acc = 0L; var nDocs = 0L
+        val sb = new java.lang.StringBuilder()
+        def closed(): (String, Long, Long, Long, Long, String) =
+          (cur._1, cur._2, bin, nDocs, acc, sb.toString)
+        val main = it.flatMap { case (g, sh, ord @ _, ntok, txt) =>
+          val emit: Option[(String, Long, Long, Long, Long, String)] =
+            if (cur == null || cur._1 != g || cur._2 != sh) {
+              val e = if (cur == null) None else Some(closed())
+              cur = (g, sh); bin = 0L; acc = 0L; nDocs = 0L; sb.setLength(0)
+              e
+            } else if (acc + ntok > budget) {
+              val e = Some(closed())
+              bin += 1; acc = 0L; nDocs = 0L; sb.setLength(0)
+              e
+            } else None
+          if (nDocs > 0) sb.append(sep)
+          sb.append(txt); acc += ntok; nDocs += 1
+          emit
+        }
+        // `++`'s operand is by-name: the final flush reads the walk state
+        // only after `main` is exhausted
+        main ++ (if (cur != null) Iterator.single(closed()) else Iterator.empty)
+      }
+    packed.toDF(groupCol, "shard", "bin", "n_docs", "tok_total", "text")
+  }
+
   /** Per-bin summary of a [[packGreedy]] assignment: docs and token total
     * per bin, plus the budget-fill ratio — the packing-efficiency numbers
     * a pipeline reports. One map-side-combined aggregate. */

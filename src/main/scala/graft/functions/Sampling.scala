@@ -68,6 +68,26 @@ object Sampling {
     df.withColumn(as, assign)
   }
 
+  /** Deterministic fixed-size sample per group: the `n` rows of each group
+    * whose salted hash ranks lowest (ties broken by the key itself, so the
+    * selection is total-order deterministic). Unlike a fraction-based
+    * sample, every group yields exactly min(n, |group|) rows — the usual
+    * "N examples per source/language" curation step.
+    *
+    * Scale shape: `row_number() ≤ n` over (group / hash-order) lowers to
+    * Spark's WindowGroupLimit — each task forwards at most n rows per
+    * group BEFORE the exchange, so a skewed group costs its partial top-n
+    * per task, never a full-group sort spill. */
+  def sampleNPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                      n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, s"n $n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashU32(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Domain-mixture resampling: deterministically downsample each domain so
     * the kept rows follow the `target` distribution, keeping as many rows
     * as feasible without upsampling. With per-domain counts c_d and target
@@ -75,28 +95,38 @@ object Sampling {
     * domain keeps fraction min(w_d·T / c_d, 1). Domains absent from
     * `target` are dropped.
     *
-    * The arithmetic is plain double division in a fixed shape (c/w, then
-    * w·T/c) so the oracle reproduces the exact same fractions; membership
-    * is then the integer hash threshold, as everywhere in this module. */
+    * Exactly two corpus passes — the theoretical minimum (T depends on all
+    * counts): ONE map-side-combined count aggregate, collected (|domains|
+    * rows — driver-tiny by construction), then ONE narrow filter pass with
+    * the per-domain integer thresholds inlined as a literal CASE — no join
+    * on the corpus side at all. (Leaving the counts as a plan subtree
+    * would re-scan the corpus once per reference: tmax and the fractions
+    * both consume it.) The threshold math is plain double division in a
+    * fixed shape (c/w, then w·T/c) so an independent engine reproduces the
+    * exact fractions; membership is the u32 hash threshold, as everywhere
+    * in this module. */
   def resampleToMixture(df: DataFrame, domainCol: String, keyCol: String,
                         target: Map[String, Double],
                         salt: String = ""): DataFrame = {
     require(target.nonEmpty, "target mixture is empty")
     require(target.values.forall(_ > 0.0), s"target weights must be > 0: $target")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val tgt = target.toSeq.toDF(domainCol, "__w")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
-      .join(tgt, Seq(domainCol)) // inner: domains outside the target drop out
-      .withColumn("__ratio", col("__c").cast("double") / col("__w"))
-    val tmax = counts.agg(min(col("__ratio")).as("__T"))
-    val fracs = counts.crossJoin(tmax)
-      .withColumn("__f",
-        least(col("__w") * col("__T") / col("__c").cast("double"), lit(1.0)))
-      .select(col(domainCol), col("__f"))
-    // fracs has one row per domain — a broadcast-size join back to the data
-    df.join(broadcast(fracs), Seq(domainCol))
-      .filter(hashU32(col(keyCol), salt) < floor(col("__f") * lit(4294967296.0)))
-      .drop("__f")
+    val counts = df.groupBy(col(domainCol).cast("string").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter { case (d, _) => target.contains(d) }
+    if (counts.isEmpty) df.filter(lit(false))
+    else {
+      val tMin = counts.map { case (d, c) => c.toDouble / target(d) }.min
+      val thresholds = counts.map { case (d, c) =>
+        val f = math.min(target(d) * tMin / c.toDouble, 1.0)
+        d -> math.floor(f * 4294967296.0).toLong
+      }
+      // unknown/null domains fall through every branch to a null
+      // threshold, and `u < null` filters false — dropped, per the contract
+      val thr = thresholds.foldLeft(lit(null).cast("long")) {
+        case (acc, (d, t)) => when(col(domainCol).cast("string") === d, lit(t)).otherwise(acc)
+      }
+      df.filter(hashU32(col(keyCol), salt) < thr)
+    }
   }
 }

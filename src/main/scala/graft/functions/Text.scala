@@ -111,4 +111,23 @@ object Text {
   val FpMod = 1000000007L
   def fingerprint(text: Column): Column =
     graft.plans.HashExpressions.fingerprint64(normalize(text))
+
+  /** Corpus n-gram DOCUMENT frequency — the vocab/stopword-analysis pass:
+    * for each distinct word n-gram (per-doc distinct, so a gram counts once
+    * per doc), the number of documents containing it. One narrow
+    * native-shingle pass + one map-side-combined aggregate keyed on the
+    * gram — the same shape (and the same skew profile) as a word-count. */
+  def ngramDocFreq(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   n: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(graft.plans.HashExpressions.shingleStrings(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+
+  /** Top-k n-grams by document frequency (ties broken by gram text, so the
+    * result is deterministic). The global limit after the aggregate lowers
+    * to TakeOrderedAndProject — partial top-k per partition, only k rows
+    * reach the driver-side merge, never a full sort. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+                n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    ngramDocFreq(df, textCol, n)
+      .orderBy(col("doc_freq").desc, col("gram").asc).limit(k)
 }

@@ -51,6 +51,10 @@ object GraftExtensions {
       require(args.length == 2, "shingle_hashes(text, n)")
       ShingleHashes(args(0), intLit(args(1)))
     },
+    "shingle_strings" -> { args =>
+      require(args.length == 2, "shingle_strings(text, n)")
+      ShingleStrings(args(0), intLit(args(1)))
+    },
     "rhp_signature" -> { args =>
       require(args.length == 4, "rhp_signature(vec, dim, bits, seed)")
       RhpSignature(args(0), intLit(args(1)), intLit(args(2)), intLit(args(3)))

@@ -109,6 +109,39 @@ object HashOps {
     out
   }
 
+  /** Distinct word n-gram shingle STRINGS in first-occurrence order —
+    * bit-identical to the Column formulation
+    * `array_distinct(transform(sequence(...), i -> concat_ws(" ",
+    * element_at(tokens, i+k)...)))` (spec-asserted), in ONE pass: the HOF
+    * form re-evaluates the tokenizer subtree per element_at, costing
+    * O(shingles × tokens) interpreted expression evals per document —
+    * measured ~19 s for a 5000-doc corpus where this pass takes well
+    * under a second. */
+  def shingleStringsJava(s: UTF8String, n: Int): ArrayData = {
+    val (str, starts, ends) = tokenSpans(s.toString)
+    val m = starts.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        sb.append(str, starts(i + k), ends(i + k))
+        if (k < n - 1) sb.append(' ')
+        k += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
+    new GenericArrayData(out)
+  }
+
   // --- codegen-callable entry points (static forwarders on this object) ---
 
   def minhashSigJava(s: UTF8String, n: Int, k: Int): ArrayData = {
@@ -399,6 +432,22 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** shingle_strings(text, n): distinct word n-gram shingles of the
+  * normalized text, one tokenizer pass per row (see
+  * HashOps.shingleStringsJava). */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.shingleStringsJava(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.shingleStringsJava($c, $n);")
+  override protected def withNewChildInternal(c: Expression): ShingleStrings = copy(child = c)
+  override def prettyName: String = "shingle_strings"
+}
+
 /** shingle_hashes(text): the distinct shingle-hash set itself (for Jaccard
   * estimation / inverted indexes over hashed shingles at scale — shuffling
   * 8-byte hashes instead of shingle strings). `wide` selects the 64-bit
@@ -630,6 +679,8 @@ object HashExpressions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def shingleHashes(c: Column, n: Int, wide: Boolean = false): Column =
     column(ShingleHashes(expression(c), n, wide))
+  def shingleStrings(c: Column, n: Int): Column =
+    column(ShingleStrings(expression(c), n))
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
   def fix9(c: Column): Column = column(Fix9(expression(c)))
   def dotFix9(a: Column, b: Column): Column = column(DotFix9(expression(a), expression(b)))

@@ -136,6 +136,20 @@ class FunctionsSpec extends SparkSpec {
     assert(sh(1).getSeq[String](1).isEmpty)
   }
 
+  test("shingle_strings (native) == HOF formulation, order included") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "a b", "a b c", "A  b\tC d\n e", "x x x x x",
+      "Ünïcode ÇH文字 x y z", "the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+    for (df <- Seq(edge, Tables.documents(spark, sf).select(col("text")));
+         n <- Seq(2, 3, 5)) {
+      val diff = df.select(Dedup.shingles(col("text"), n).as("native"),
+          Dedup.shinglesHof(col("text"), n).as("hof"))
+        .filter(not(col("native") <=> col("hof")))
+      assert(diff.isEmpty, s"n=$n: " + diff.take(3).mkString("; "))
+    }
+  }
+
   test("jaccardPairs: golden values on near-dup docs") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
@@ -586,6 +600,18 @@ class FunctionsSpec extends SparkSpec {
     val sharded = graft.functions.Packing.packGreedy(df, "grp", "ord", col("ntok"),
       budget = 100, shards = 2)
     assert(sharded.count() == 4)
+  }
+
+  test("resampleToMixture plan: filter pass carries NO join (thresholds inlined)") {
+    import spark.implicits._
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("z", 4L)).toDF("dom", "k")
+    val out = graft.functions.Sampling.resampleToMixture(
+      df, "dom", "k", Map("x" -> 0.5, "y" -> 0.5))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"corpus-side join in the mixture filter:\n$plan")
+    // domain outside the target ('z') is dropped
+    assert(!out.collect().map(_.getString(0)).contains("z"))
   }
 
   test("bucketed ANN corpus: partition-pruned query == lshTopK") {
