@@ -230,13 +230,16 @@ private[graft] object Batch7 {
     // Packed-sequence materialization: q90's bins with the member texts
     // concatenated in packing order — the actual training-sequence output.
     // The oracle runs the same recursive walk, joins the text back, and
-    // string_aggs in the same order; gating the concatenated TEXT pins the
-    // member set, the order, and the separator placement exactly.
+    // string_aggs in the same order; gating md5 of the concatenated text
+    // pins the member set, the order, and the separator placement exactly
+    // while keeping the gated value newline-free (the driver's row hash
+    // mishandles embedded \n\n separators in raw text columns).
     Q("q94_pack_texts",
       (s, dir) => {
         Packing.packTexts(docs(s, dir), "lang", "doc_id",
             Text.tokenCount(col("text")), "text", budget = 256)
-          .select(col("lang"), col("bin"), col("n_docs"), col("tok_total"), col("text"))
+          .select(col("lang"), col("bin"), col("n_docs"), col("tok_total"),
+            md5(col("text")).as("text_md5"))
           .orderBy("lang", "bin")
       },
       Some("""WITH RECURSIVE d AS (
@@ -253,8 +256,9 @@ private[graft] object Batch7 {
              |    CASE WHEN w.acc + d.ntok > 256 THEN w.bin + 1 ELSE w.bin END,
              |    CASE WHEN w.acc + d.ntok > 256 THEN d.ntok ELSE w.acc + d.ntok END
              |  FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1)
-             |SELECT w.lang, w.bin, COUNT(*) AS n_docs, SUM(w.ntok) AS tok_total,
-             |  string_agg(d.text, e'\n\n' ORDER BY w.doc_id) AS text
+             |SELECT w.lang, w.bin, COUNT(*) AS n_docs,
+             |  CAST(SUM(w.ntok) AS BIGINT) AS tok_total,
+             |  md5(string_agg(d.text, e'\n\n' ORDER BY w.doc_id)) AS text_md5
              |FROM walk w JOIN d ON d.lang = w.lang AND d.doc_id = w.doc_id
              |GROUP BY w.lang, w.bin
              |ORDER BY w.lang, w.bin""".stripMargin))

@@ -163,16 +163,35 @@ object Dedup {
     * comp = the smallest node id reachable from it. Singletons (docs in no
     * pair) are absent — [[clusters]] re-attaches them as their own comp.
     */
+  /** localCheckpoint plus a release handle: the persisted RDD behind the
+    * checkpointed Dataset, so iterative algorithms can unpersist superseded
+    * iterations deterministically (block-manager storage stays O(1) in the
+    * round count) instead of waiting for GC-driven ContextCleaner timing. */
+  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint()
+    val rdds = cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (cp, () => rdds.foreach(_.unpersist(blocking = false)))
+  }
+
   def connectedComponents(pairs: DataFrame, iCol: String = "i",
                           jCol: String = "j", maxIter: Int = 64): DataFrame = {
-    val sym = pairs.select(col(iCol).as("src"), col(jCol).as("dst"))
-      .union(pairs.select(col(jCol).as("src"), col(iCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("comp"))
-      .localCheckpoint()
+    // materialize the pair input ONCE before symmetrizing: the union scans
+    // it twice, and Spark does not share common subtrees across union
+    // branches — an uncheckpointed pair pipeline (e.g. a full minhashLSH
+    // pass) would run end-to-end twice in the first job
+    val (p, freeP) = checkpointed(
+      pairs.select(col(iCol).as("i"), col(jCol).as("j")))
+    val (sym, freeSym) = checkpointed(
+      p.select(col("i").as("src"), col("j").as("dst"))
+        .union(p.select(col("j").as("src"), col("i").as("dst")))
+        .distinct())
+    freeP()
+    var (labels, freeLabels) = checkpointed(
+      sym.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("comp")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -180,18 +199,25 @@ object Dedup {
         .groupBy(col("src").as("node")).agg(min(col("comp")).as("ncomp"))
       // left join: a node whose neighbors all have larger labels gets no
       // improvement this round but must keep its current label
-      val next = labels.join(viaEdges, Seq("node"), "left")
-        .select(col("node"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val (next, freeNext) = checkpointed(
+        labels.join(viaEdges, Seq("node"), "left")
+          .select(col("node"), col("comp").as("__old"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
       converged = next.filter(col("comp") < col("__old")).isEmpty
+      // `next` is materialized, so the previous round's blocks are dead —
+      // release them now rather than at some future GC
+      freeLabels()
       labels = next.select("node", "comp")
+      freeLabels = freeNext
       iter += 1
     }
+    freeSym()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — the " +
           "pair graph has a component of diameter > maxIter; raise maxIter")
+    // the returned labels stay persisted (the caller reads them); those
+    // final blocks are reclaimed by the ContextCleaner once unreferenced
     labels
   }
 
@@ -223,16 +249,19 @@ object Dedup {
     * Scale shape: the benchmark side is an eval suite — tiny next to a
     * 100 TB corpus — so its distinct shingle set is broadcast and the
     * corpus-side shingle stream never shuffles; the only exchange is the
-    * per-doc count aggregate, keyed on doc id. (For an unusually large
-    * blocklist, drop the broadcast hint and let AQE decide.) */
+    * per-doc count aggregate, keyed on doc id. For an unusually large
+    * blocklist pass `broadcastBench = false`: the hint is dropped and AQE
+    * picks the join strategy from the blocklist's runtime size (a forced
+    * broadcast of a multi-GB shingle set would OOM executors). */
   def contaminationScores(df: DataFrame, idCol: String, textCol: String,
                           bench: DataFrame, benchTextCol: String,
-                          n: Int): DataFrame = {
+                          n: Int, broadcastBench: Boolean = true): DataFrame = {
     val benchSh = bench.select(explode(shingles(col(benchTextCol), n)).as("s")).distinct()
+    val benchSide = if (broadcastBench) broadcast(benchSh) else benchSh
     val docSh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
     // shingles() is array_distinct per doc, so count(1) counts DISTINCT
     // shared shingles without a distinct aggregate
-    docSh.join(broadcast(benchSh), Seq("s"))
+    docSh.join(benchSide, Seq("s"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 
@@ -241,8 +270,10 @@ object Dedup {
     * columns survive). */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
-                    n: Int, minShared: Long): DataFrame = {
-    val flagged = contaminationScores(df, idCol, textCol, bench, benchTextCol, n)
+                    n: Int, minShared: Long,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val flagged = contaminationScores(df, idCol, textCol, bench, benchTextCol,
+        n, broadcastBench)
       .filter(col("n_shared") >= minShared)
       .select(col("id").as(idCol))
     df.join(flagged, Seq(idCol), "left_anti")

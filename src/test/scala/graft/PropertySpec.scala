@@ -364,6 +364,53 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("packTexts == sequential greedy model: bins, counts, and concatenated text") {
+    val rows: Gen[List[(String, Long, String)]] =
+      Gen.choose(1, 14).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b"), Gen.choose(1L, 120L),
+          Gen.choose('p', 't').map(_.toString))))
+    check(forAll(rows, Gen.oneOf(1, 3)) { (xs, shards) =>
+      val budget = 100L
+      val df = xs.zipWithIndex.map { case ((g, tok, txt), i) => (g, i.toLong, tok, txt) }
+        .toDF("g", "ord", "ntok", "txt")
+      val got = graft.functions.Packing
+        .packTexts(df, "g", "ord", col("ntok"), "txt", budget, sep = "|", shards)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4), r.getString(5))).toMap
+      // sequential model per (g, shard) run: walk in ord order, close the
+      // bin when the next doc would overflow, concatenate with the sep.
+      // The shard map is the operator's own hash, read back in one pass.
+      val shardMap: Map[Long, Long] =
+        if (shards > 1)
+          df.select(col("ord"),
+              org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.xxhash64(col("ord")),
+                lit(shards.toLong)))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        else xs.indices.map(i => i.toLong -> 0L).toMap
+      val expect = xs.zipWithIndex
+        .map { case ((g, tok, txt), i) => (g, shardMap(i.toLong), i.toLong, tok, txt) }
+        .groupBy(r => (r._1, r._2))
+        .flatMap { case ((g, sh), run) =>
+          var bin = 0L; var acc = 0L; var first = true
+          val members = scala.collection.mutable.Map
+            .empty[Long, scala.collection.mutable.ListBuffer[(Long, String)]]
+          run.sortBy(_._3).foreach { case (_, _, _, tok, txt) =>
+            if (first) { first = false; acc = tok }
+            else if (acc + tok > budget) { bin += 1; acc = tok }
+            else acc += tok
+            members.getOrElseUpdate(bin, scala.collection.mutable.ListBuffer())
+              .append((tok, txt))
+          }
+          members.map { case (b, m) =>
+            (g, sh, b) -> (m.size.toLong, m.map(_._1).sum, m.map(_._2).mkString("|"))
+          }
+        }
+      Prop(got == expect) :| s"got=$got expect=$expect xs=$xs shards=$shards"
+    }, minTests = 20)
+  }
+
   test("splitByHash/sampleByHash == salted-md5 model, bands disjoint+exhaustive") {
     def u32(salt: String, key: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
