@@ -1,0 +1,163 @@
+package graft
+
+import graft.SparkEntry.Q
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Query registry batch 8 (round 6): the remaining text-curation signals a
+  * training-data pipeline runs over raw text — Gopher-style repetition
+  * statistics, PII detection/redaction, a composite quality gate, and
+  * per-document tf·idf keyterms. All per-row signals are narrow codegen'd
+  * expressions (no shuffle beyond what the aggregation itself needs), so at
+  * 100 TB they ride the scan.
+  */
+private[graft] object Batch8 {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** DuckDB token-list CTE (the q33/q86 tokenizer, shared shape). */
+  private val toksCte =
+    """toks AS (SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |    x -> length(x) > 0) AS t
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB 2-gram repetition aggregate (grams → per-gram counts → per-doc
+    * total/distinct/top), mirroring HashOps.repStatsJava at n=2. */
+  private val rep2Ctes =
+    s"""$toksCte,
+      |grams AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, GREATEST(len(t) - 1, 0) + 1), i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM toks),
+      |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+      |    CAST(COUNT(*) AS BIGINT) AS dist, CAST(MAX(c) AS BIGINT) AS top
+      |  FROM cnt GROUP BY 1)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Gopher-style repetition signals: per doc, 2-gram occurrence count,
+    // distinct count, the top gram's count, and the derived duplicate /
+    // top-gram fractions. Spark side is ONE native expression pass
+    // (rep_stats: single tokenizer + count map per row, no materialized
+    // gram array); the oracle recomputes via unnest + group by.
+    Q("q95_repetition",
+      (s, dir) => {
+        val st = Text.repetitionStats(col("text"), 2)
+        docs(s, dir).select(col("doc_id"),
+            st("total").as("n_grams"),
+            st("distinct").as("n_distinct"),
+            st("top").as("top_count"),
+            Text.dupNgramFrac(col("text"), 2).as("dup_frac"),
+            Text.topNgramFrac(col("text"), 2).as("top_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $rep2Ctes
+             |SELECT d.doc_id,
+             |  COALESCE(r.total, 0) AS n_grams,
+             |  COALESCE(r.dist, 0) AS n_distinct,
+             |  COALESCE(r.top, 0) AS top_count,
+             |  CASE WHEN COALESCE(r.total, 0) > 0
+             |    THEN CAST(r.total - r.dist AS DOUBLE) / r.total ELSE 0.0 END AS dup_frac,
+             |  CASE WHEN COALESCE(r.total, 0) > 0
+             |    THEN CAST(r.top AS DOUBLE) / r.total ELSE 0.0 END AS top_frac
+             |FROM documents d LEFT JOIN rep r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // PII detect + redact: emails / phones / IPv4s counted and scrubbed.
+    // The corpus text has no PII, so the fixture synthesizes a deterministic
+    // tail from doc_id ON BOTH SIDES (same concat in Spark and the oracle) —
+    // the operators under test are the count/scrub regexes, whose patterns
+    // are restricted to Java-regex ∩ RE2 semantics. Gating md5(redacted)
+    // pins every replacement position.
+    Q("q96_pii_scrub",
+      (s, dir) => {
+        val t2 = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(100L)).cast("string"),
+          lit(" tel +1-555-"), (pmod(col("doc_id"), lit(9000L)) + 1000L).cast("string"),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            lit(" alt bob.smith+x@mail.co")).otherwise(lit("")))
+        docs(s, dir).select(col("doc_id"),
+            Text.emailCount(t2).as("n_email"),
+            Text.phoneCount(t2).as("n_phone"),
+            Text.ipCount(t2).as("n_ip"),
+            md5(Text.scrubPii(t2)).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text
+             |    || ' contact user' || CAST(doc_id AS VARCHAR)
+             |    || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+             |    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+             |    || ' tel +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' alt bob.smith+x@mail.co' ELSE '' END AS t2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t2, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+             |  CAST(len(regexp_extract_all(t2, '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS BIGINT) AS n_ip,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+             |    '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g')) AS red_md5
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Composite Gopher-style quality gate: token-count window, mean token
+    // length window, minimum stopword ratio, maximum duplicate-2-gram
+    // fraction. Thresholds chosen to split the fixture corpus (median
+    // n_tokens 56, median stop_ratio 0.06, p80 dup_frac 0.05) so BOTH
+    // keep outcomes are exercised. Every signal is gated alongside the
+    // boolean so a mismatch localizes to the signal, not just the AND.
+    Q("q97_gopher_rules",
+      (s, dir) => {
+        docs(s, dir).select(col("doc_id"),
+            Text.tokenCount(col("text")).as("n_tokens"),
+            Text.meanTokenLen(col("text")).as("mean_wlen"),
+            Text.stopwordRatio(col("text")).as("stop_ratio"),
+            Text.dupNgramFrac(col("text"), 2).as("dup2_frac"),
+            Text.gopherKeep(col("text"), minTokens = 40, maxTokens = 100000,
+              minMeanLen = 3.0, maxMeanLen = 10.0,
+              minStopRatio = 0.02, maxDupFrac = 0.05).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $rep2Ctes,
+             |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |    CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) ELSE 0.0 END AS mean_wlen,
+             |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it'))) AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio
+             |  FROM toks)
+             |SELECT b.doc_id, b.n_tokens, b.mean_wlen, b.stop_ratio,
+             |  CASE WHEN COALESCE(r.total, 0) > 0
+             |    THEN CAST(r.total - r.dist AS DOUBLE) / r.total ELSE 0.0 END AS dup2_frac,
+             |  (b.n_tokens >= 40 AND b.n_tokens <= 100000
+             |    AND b.mean_wlen >= 3.0 AND b.mean_wlen <= 10.0
+             |    AND b.stop_ratio >= 0.02
+             |    AND (CASE WHEN COALESCE(r.total, 0) > 0
+             |      THEN CAST(r.total - r.dist AS DOUBLE) / r.total ELSE 0.0 END) <= 0.05) AS keep
+             |FROM base b LEFT JOIN rep r USING (doc_id)
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // Per-document tf·idf keyterms (top 3 by tf·N/df, ties → term asc).
+    // idf is N/df WITHOUT the log: ranking-equivalent (log is monotone) and
+    // exactly two IEEE double ops, so the score — and every rank decision —
+    // is bit-identical across engines, where log's last ulp is libm-lottery.
+    Q("q98_tfidf",
+      (s, dir) => Text.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "term"),
+      Some(s"""WITH $toksCte,
+             |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM terms GROUP BY 1, 2),
+             |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+             |SELECT doc_id, term, tf, df, score FROM (
+             |  SELECT t.doc_id, t.term, t.tf, d.df,
+             |    CAST(t.tf AS DOUBLE) * n.n / d.df AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+             |      ORDER BY CAST(t.tf AS DOUBLE) * n.n / d.df DESC, t.term) AS rn
+             |  FROM tf t JOIN dfreq d USING (term), n)
+             |WHERE rn <= 3
+             |ORDER BY doc_id, term""".stripMargin))
+  )
+}

@@ -294,7 +294,7 @@ object SparkEntry {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
-  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries
+  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries
 
   // ---------------------------------------------------------------------------
 
@@ -317,5 +317,6 @@ object SparkEntry {
     "q09_groupjoin", "q82_groupjoin_count", "q10_asof_join", "q11_window_topk",
     "q28_text_stats", "q32_dedup_exact", "q34_dedup_minhash",
     "q35_dedup_simhash", "q37_embed_topk", "q60_shipping_priority",
-    "q62_large_orders", "q86_dedup_clusters", "q90_pack_greedy")
+    "q62_large_orders", "q86_dedup_clusters", "q90_pack_greedy",
+    "q95_repetition", "q98_tfidf")
 }

@@ -112,6 +112,100 @@ object Text {
   def fingerprint(text: Column): Column =
     graft.plans.HashExpressions.fingerprint64(normalize(text))
 
+  /** Per-document word n-gram repetition statistics — the Gopher-style
+    * repetition signals (Rae et al. 2021 §A1.1 use duplicate-line/-ngram
+    * fractions as quality gates; the reference's quality filters are the
+    * same shape): struct(total, distinct, top) where `total` = n-gram
+    * occurrences, `distinct` = distinct n-grams, `top` = the max count of
+    * any one n-gram. Native expression, one tokenizer pass per row, no
+    * shuffle — at 100 TB this rides the scan like the other Text signals. */
+  def repetitionStats(text: Column, n: Int): Column = {
+    val a = graft.plans.HashExpressions.repStats(text, n)
+    struct(element_at(a, 1).as("total"), element_at(a, 2).as("distinct"),
+      element_at(a, 3).as("top"))
+  }
+
+  /** Duplicate n-gram fraction: 1 − distinct/total (0.0 for docs with no
+    * n-grams). A doc whose every n-gram is unique scores 0; pure repetition
+    * approaches 1. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val st = repetitionStats(text, n)
+    when(st("total") > 0,
+      (st("total") - st("distinct")).cast("double") / st("total").cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Top n-gram fraction: occurrences of the single most frequent n-gram
+    * over all n-gram occurrences (0.0 for docs with no n-grams). */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val st = repetitionStats(text, n)
+    when(st("total") > 0, st("top").cast("double") / st("total").cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** The Column-HOF reference formulation of [[repetitionStats]] — what the
+    * spec asserts the native expression against. Sorts the non-distinct
+    * gram array and folds a (prev, run, best) state to find the max run —
+    * O(shingles × tokens) interpreted evals per doc, test-only. */
+  private[graft] def repetitionStatsHof(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val grams0 = transform(sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+    val grams = when(size(t) >= n, grams0).otherwise(array().cast("array<string>"))
+    val sorted = sort_array(grams)
+    val folded = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st("prev"), st("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(st("best"), run).as("best"))
+      })
+    struct(size(grams).cast("long").as("total"),
+      size(array_distinct(grams)).cast("long").as("distinct"),
+      folded("best").as("top"))
+  }
+
+  // --- PII detection/redaction -------------------------------------------
+  // Patterns are restricted to syntax with identical semantics in Java
+  // regex (Spark) and RE2 (DuckDB): char classes, bounded repetition,
+  // non-capturing groups, \b word boundaries. No lookarounds (RE2 has
+  // none), no backreferences.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  val ipPattern = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+
+  /** Count of PII matches of one pattern. */
+  private def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+  def emailCount(text: Column): Column = piiCount(text, emailPattern)
+  def phoneCount(text: Column): Column = piiCount(text, phonePattern)
+  def ipCount(text: Column): Column = piiCount(text, ipPattern)
+
+  /** Redact PII in a fixed order (emails, then phones, then IPs — the order
+    * is part of the contract since an earlier replacement can destroy a
+    * later pattern's match). Pure codegen'd regexp_replace chain: rides the
+    * scan, no shuffle, safe to run over 100 TB of raw text. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipPattern, "<IP>")
+
+  /** Gopher-style composite quality gate: token count window, mean-token-
+    * length window, minimum stopword ratio, maximum duplicate-2-gram
+    * fraction. Returns a BOOLEAN keep column; thresholds are parameters
+    * because every corpus tunes them. All four signals are narrow
+    * per-row exprs — the gate adds zero shuffles to a curation pipeline. */
+  def gopherKeep(text: Column,
+                 minTokens: Long = 50, maxTokens: Long = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minStopRatio: Double = 0.0, maxDupFrac: Double = 0.2): Column = {
+    val nt = tokenCount(text)
+    nt >= minTokens && nt <= maxTokens &&
+      meanTokenLen(text) >= minMeanLen && meanTokenLen(text) <= maxMeanLen &&
+      stopwordRatio(text) >= minStopRatio && dupNgramFrac(text, 2) <= maxDupFrac
+  }
+
   /** Corpus n-gram DOCUMENT frequency — the vocab/stopword-analysis pass:
     * for each distinct word n-gram (per-doc distinct, so a gram counts once
     * per doc), the number of documents containing it. One narrow
@@ -130,4 +224,36 @@ object Text {
                 n: Int, k: Int): org.apache.spark.sql.DataFrame =
     ngramDocFreq(df, textCol, n)
       .orderBy(col("doc_freq").desc, col("gram").asc).limit(k)
+
+  /** Per-document top-k terms by tf·idf, with idf = N/df (the inverse
+    * document frequency WITHOUT the log: per-document ranking is invariant
+    * under the monotone log, and tf·N/df is two exact IEEE double ops —
+    * deterministic across engines, where log's last-ulp rounding is
+    * libm-dependent and would make the hash gate flaky).
+    *
+    * Shuffle shape at 100 TB: (1) tf — one map-side-combined aggregate
+    * keyed on (doc, term); (2) df — an aggregate of the tf set keyed on
+    * term (distinct doc-term rows, so counting rows counts docs); (3) the
+    * tf⋈df join keyed on term, AQE picks broadcast when the vocab is small
+    * enough; (4) per-doc top-k via rank window → WindowGroupLimit pushes
+    * partial per-partition limits, so the final exchange carries ≤ k rows
+    * per doc, not the full doc×term matrix. N (corpus size) joins in as a
+    * broadcast 1-row aggregate — the operator stays fully lazy. */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("__n") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

@@ -142,6 +142,38 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Word n-gram repetition statistics in ONE tokenizer pass:
+    * `[total, distinct, top]` where `total` = n-gram occurrences
+    * (tokens−n+1, floored at 0), `distinct` = distinct n-grams, and `top` =
+    * the highest occurrence count of any single n-gram. These are the
+    * Gopher-style repetition signals (duplicate-fraction = 1 − distinct/
+    * total; top-gram fraction = top/total) — computed per document with no
+    * shuffle and no materialized non-distinct gram array (a repetitive
+    * 100 k-token doc would otherwise allocate 100 k gram strings; the map
+    * holds only the distinct ones). */
+  def repStatsJava(s: UTF8String, n: Int): ArrayData = {
+    val (str, starts, ends) = tokenSpans(s.toString)
+    val m = starts.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    var top = 0
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        sb.append(str, starts(i + k), ends(i + k))
+        if (k < n - 1) sb.append(' ')
+        k += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array(m.toLong, counts.size.toLong, top.toLong))
+  }
+
   // --- codegen-callable entry points (static forwarders on this object) ---
 
   def minhashSigJava(s: UTF8String, n: Int, k: Int): ArrayData = {
@@ -448,6 +480,22 @@ case class ShingleStrings(child: Expression, n: Int)
   override def prettyName: String = "shingle_strings"
 }
 
+/** rep_stats(text, n): per-document word n-gram repetition statistics
+  * `[total, distinct, top]` (see HashOps.repStatsJava) — the narrow scan
+  * half of Gopher-style repetition filtering. */
+case class RepStats(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.repStatsJava(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.repStatsJava($c, $n);")
+  override protected def withNewChildInternal(c: Expression): RepStats = copy(child = c)
+  override def prettyName: String = "rep_stats"
+}
+
 /** shingle_hashes(text): the distinct shingle-hash set itself (for Jaccard
   * estimation / inverted indexes over hashed shingles at scale — shuffling
   * 8-byte hashes instead of shingle strings). `wide` selects the 64-bit
@@ -681,6 +729,7 @@ object HashExpressions {
     column(ShingleHashes(expression(c), n, wide))
   def shingleStrings(c: Column, n: Int): Column =
     column(ShingleStrings(expression(c), n))
+  def repStats(c: Column, n: Int): Column = column(RepStats(expression(c), n))
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
   def fix9(c: Column): Column = column(Fix9(expression(c)))
   def dotFix9(a: Column, b: Column): Column = column(DotFix9(expression(a), expression(b)))

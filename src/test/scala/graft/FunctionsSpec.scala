@@ -630,4 +630,74 @@ class FunctionsSpec extends SparkSpec {
     assert(scanPlan.contains("PartitionFilters: ["), scanPlan)
     assert(scanPlan.contains("sig"), "bucket predicate not pushed to the scan")
   }
+
+  test("rep_stats native == sorted-fold HOF reference on fixture + edges") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "a", "a a", "a a a a", "x y x y x y",
+      "one two three two three two", "A  a\tA \n a").toDF("text")
+    for (df <- Seq(edge, Tables.documents(spark, sf).select(col("text")));
+         n <- Seq(1, 2, 3)) {
+      val diff = df.select(Text.repetitionStats(col("text"), n).as("native"),
+          Text.repetitionStatsHof(col("text"), n).as("re"))
+        .filter(not(col("native") <=> col("re")))
+      assert(diff.isEmpty, s"n=$n: " + diff.take(3).mkString("; "))
+    }
+  }
+
+  test("PII scrub: counts and redaction on adversarial inline cases") {
+    import spark.implicits._
+    val cases = Seq(
+      // (text, n_email, n_phone, n_ip, redacted)
+      ("mail a@b.co and c.d-e@f.org now", 2L, 0L, 0L, "mail <EMAIL> and <EMAIL> now"),
+      ("+1-555-1234", 0L, 1L, 0L, "<PHONE>"),
+      ("ip 10.0.0.1 edge", 0L, 0L, 1L, "ip <IP> edge"),
+      ("999.999.999.999", 0L, 0L, 1L, "<IP>"), // syntactic match; no range check
+      ("adjacent a@b.co 1.2.3.4 +12-345-6789", 1L, 1L, 1L,
+        "adjacent <EMAIL> <IP> <PHONE>"),
+      ("digits15@ex4mple.com", 1L, 0L, 0L, "<EMAIL>"),
+      ("no pii at all", 0L, 0L, 0L, "no pii at all"),
+      ("1.2.3.4.5", 0L, 0L, 1L, "<IP>.5"), // greedy leftmost match, documented
+      ("v1.2.3 semver", 0L, 0L, 0L, "v1.2.3 semver")) // \b guards the left edge
+    val df = cases.map(_._1).toDF("text")
+    val got = df.select(col("text"), Text.emailCount(col("text")),
+        Text.phoneCount(col("text")), Text.ipCount(col("text")),
+        Text.scrubPii(col("text"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == cases, got.toSeq.diff(cases).mkString("; "))
+  }
+
+  test("gopherKeep == conjunction of its exported signals") {
+    val docs = Tables.documents(spark, sf)
+    val out = docs.select(
+      Text.tokenCount(col("text")).as("nt"),
+      Text.meanTokenLen(col("text")).as("ml"),
+      Text.stopwordRatio(col("text")).as("sr"),
+      Text.dupNgramFrac(col("text"), 2).as("d2"),
+      Text.gopherKeep(col("text"), minTokens = 40, maxTokens = 100000,
+        minMeanLen = 3.0, maxMeanLen = 10.0,
+        minStopRatio = 0.02, maxDupFrac = 0.05).as("keep"))
+    val bad = out.filter(col("keep") =!= (col("nt") >= 40 && col("nt") <= 100000 &&
+      col("ml") >= 3.0 && col("ml") <= 10.0 && col("sr") >= 0.02 && col("d2") <= 0.05))
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+    // the fixture thresholds must exercise BOTH outcomes
+    val keeps = out.groupBy(col("keep")).count().collect().map(_.getBoolean(0)).toSet
+    assert(keeps == Set(true, false), s"gate does not discriminate: $keeps")
+  }
+
+  test("tfidfTopK: exact scores and ranks on a hand-computed corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry apple")).toDF("id", "text")
+    // N=3; df: apple 2, banana 2, cherry 2 → score = tf * 3.0 / 2
+    val got = Text.tfidfTopK(docs, "id", "text", k = 2)
+      .orderBy("id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val want = Seq(
+      (1L, "apple", 2L, 2L, 3.0), (1L, "banana", 1L, 2L, 1.5),
+      (2L, "banana", 1L, 2L, 1.5), (2L, "cherry", 1L, 2L, 1.5),
+      (3L, "apple", 1L, 2L, 1.5), (3L, "cherry", 3L, 2L, 4.5))
+    assert(got.toSeq == want, got.mkString("; "))
+  }
 }

@@ -490,4 +490,29 @@ class PropertySpec extends SparkSpec {
       Prop(got == expect) :| s"got=$got expect=$expect cand=$cand bench=$bench"
     }, minTests = 15)
   }
+
+  test("repetitionStats == n-gram count-map model on random docs") {
+    val word = Gen.oneOf("aa", "b", "ccc", "dd", "e")
+    val doc = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word))
+      .map(_.mkString(" "))
+    check(forAll(Gen.listOfN(5, doc), Gen.choose(1, 3)) { (texts, n) =>
+      def model(t: String): (Long, Long, Long) = {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+        (grams.size.toLong, counts.size.toLong,
+          if (counts.isEmpty) 0L else counts.values.max.toLong)
+      }
+      val expect = texts.map(model)
+      val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("i", "text")
+        .select(col("i"), graft.functions.Text.repetitionStats(col("text"), n).as("st"))
+        .orderBy("i").collect()
+        .map { r =>
+          val st = r.getStruct(1)
+          (st.getLong(0), st.getLong(1), st.getLong(2))
+        }.toList
+      Prop(got == expect) :| s"n=$n got=$got expect=$expect texts=$texts"
+    }, minTests = 20)
+  }
 }
