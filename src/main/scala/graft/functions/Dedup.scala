@@ -63,7 +63,14 @@ object Dedup {
     val shingleCol =
       if (hashShingles) graft.plans.HashExpressions.shingleHashes(col(textCol), n, wide = true)
       else shingles(col(textCol), n)
-    val sh = df.select(col(idCol).as("id"), explode(shingleCol).as("s"))
+    // |A| rides ALONG the inverted index instead of living in a separate
+    // per-doc `sizes` table: at 100 TB that table is |corpus|-sized, so the
+    // old sizes⋈inter joins were two extra full shuffles of the candidate
+    // set — for the price of one extra 8-byte column on the exploded rows,
+    // first(sz) in the pair aggregate makes them free.
+    val sh = df.select(col(idCol).as("id"), shingleCol.as("__arr"))
+      .select(col("id"), size(col("__arr")).cast("long").as("sz"),
+        explode(col("__arr")).as("s"))
     val shFiltered =
       if (maxDF > 0) {
         // hot-shingle cap via aggregate + anti-join: the groupBy is map-side
@@ -76,18 +83,21 @@ object Dedup {
         // exists to save). A Window.partitionBy(s) here would re-shuffle
         // every (id, shingle) occurrence AND land each hot shingle's
         // occurrence list on one task — the exact skew the cap removes.
+        // Jaccard stays defined over the SURVIVING shingle sets (the cap
+        // changes the universe, not just the candidates), so sz is
+        // recounted post-filter — one window keyed on doc id (bounded by
+        // doc size, no hot-shingle skew).
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDF).select(col("s"))
         sh.join(hot, Seq("s"), "left_anti")
+          .withColumn("sz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
       } else sh
-    val sizes = shFiltered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = shFiltered.as("a"); val b = shFiltered.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "i", "sz" -> "sz_i")), "i")
-      .join(sizes.withColumnsRenamed(Map("id" -> "j", "sz" -> "sz_j")), "j")
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.sz")).as("sz_i"), first(col("b.sz")).as("sz_j"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sz_i") + col("sz_j") - col("n_common")).cast("double"))
