@@ -127,6 +127,28 @@ object Streams {
       }
   }
 
+  /** Streaming corpus curation: the batch q63 pipeline (quality gate →
+    * exact dedup) as an always-on crawl consumer. The quality gate is the
+    * Gopher-style [[graft.functions.Text.gopherKeep]] conjunction — pure
+    * narrow column exprs, so it filters each micro-batch with zero state —
+    * and dedup is [[streamingDedupBounded]] keyed on the 256-bit digest of
+    * the normalized text (exact content dedup; the TTL bounds state so an
+    * endless crawl can run forever). Emits one row per first-seen distinct
+    * quality document: (key = digest, eventTime, payload = doc id). */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+                   timeCol: String, watermarkDelay: String, ttlMs: Long,
+                   minTokens: Long = 50, maxDupFrac: Double = 0.2): Dataset[KeyedEvent] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.Text
+    val keyed = docs
+      .filter(Text.gopherKeep(col(textCol), minTokens = minTokens,
+        maxDupFrac = maxDupFrac))
+      .select(sha2(Text.normalize(col(textCol)), 256).as("key"),
+        col(timeCol).as("eventTime"), col(idCol).as("payload"))
+      .as[KeyedEvent]
+    streamingDedupBounded(keyed, watermarkDelay, ttlMs)
+  }
+
   /** Drive a streaming query synchronously over whatever is currently in
     * the source (for tests and batch-parity checks). Note on modes: with a
     * watermarked aggregation, "append" only emits windows already closed

@@ -329,6 +329,32 @@ class IOStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: quality gate + digest dedup over a micro-batched crawl") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val good = ("spark " * 10 + "table scan the a of merge join " +
+      (1 to 40).map(i => s"w$i").mkString(" ")).trim  // 57 tokens, low dup2
+    val short = "the a tiny doc"                      // fails minTokens
+    val ms = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = ms.toDS().toDF("doc_id", "text", "crawl_ts")
+    val out = Streams.curateStream(docs, "doc_id", "text", "crawl_ts",
+      "0 seconds", ttlMs = 3600 * 1000L, minTokens = 50, maxDupFrac = 0.9)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_test").start()
+    try {
+      def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+      ms.addData((1L, good, t(0)), (2L, short, t(1)))
+      q.processAllAvailable()
+      // duplicate content (same normalized text, different id) in a later batch
+      ms.addData((3L, good + "  ", t(2)), (4L, good + " extra tail", t(3)))
+      q.processAllAvailable()
+      val ids = spark.table("curate_test").collect().map(_.getLong(2)).sorted.toSeq
+      // 1 survives (first-seen quality doc); 2 fails the gate; 3 is a
+      // normalized-content dup of 1; 4 is distinct content
+      assert(ids == Seq(1L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streamingDedup emits first occurrence per key only") {
     val dir = Files.createTempDirectory("graft_dedup").toFile.getPath
     Seq(Streams.Keyed("a", 1L), Streams.Keyed("a", 2L), Streams.Keyed("b", 3L))
