@@ -2,6 +2,7 @@ package graft
 
 import graft.SparkEntry.Q
 import graft.functions.Text
+import graft.operators.Joins
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
@@ -158,6 +159,39 @@ private[graft] object Batch8 {
              |      ORDER BY CAST(t.tf AS DOUBLE) * n.n / d.df DESC, t.term) AS rn
              |  FROM tf t JOIN dfreq d USING (term), n)
              |WHERE rn <= 3
-             |ORDER BY doc_id, term""".stripMargin))
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    // Range (band) join: clicks within ±2 h of each same-user purchase —
+    // the interval sibling of q10's asof join, THROUGH Joins.rangeJoin
+    // (bucketed equi-join on 2 h windows; the naive formulation is a
+    // BroadcastNestedLoopJoin). Times compare at µs granularity on both
+    // sides (ts is int64 nanos in Spark; DuckDB truncates the same parquet
+    // column to µs — `ts DIV 1000` matches epoch_us exactly for the
+    // positive-epoch fixture).
+    Q("q99_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val us = expr("ts DIV 1000")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), us.as("click_us"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        val twoH = 7200000000L // 2 h in µs
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            (us - twoH).as("lo_us"), (us + twoH).as("hi_us"))
+        Joins.rangeJoin(clicks, purchases, Seq("user_id"), "click_us",
+            "lo_us", "hi_us", bucketWidth = twoH)
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+            col("click_value"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  p.user_id, c.value AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON c.user_id = p.user_id
+             | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 7200000000
+             |                        AND epoch_us(p.ts) + 7200000000
+             |ORDER BY purchase_id, click_id""".stripMargin))
   )
 }

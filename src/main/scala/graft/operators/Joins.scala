@@ -179,6 +179,53 @@ object Joins {
         rValueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
+  /** Range (interval/band) join: rows of `l` whose `pointCol` falls inside
+    * `r`'s `[loCol, hiCol]` (inclusive), optionally under `ids` equi-keys —
+    * the "events within a window around each anchor" join next to
+    * [[asofJoin]]'s "latest before".
+    *
+    * Spark lowers the naive `l.join(r, p >= lo && p <= hi)` with no
+    * equi-key to a BroadcastNestedLoopJoin — an O(|l|·|r|) scan that dies
+    * long before 100 TB — and even with equi-keys the range is a
+    * post-filter over every same-key pairing. This operator makes the join
+    * an EQUI-join on coarse buckets of width `bucketWidth`: points map to
+    * the single bucket containing them; each interval explodes to the
+    * buckets it overlaps (ceil(span/width)+1 rows). A (point, interval)
+    * candidate meets in exactly ONE bucket — the point's — so there is no
+    * dedup pass, and the exact bounds filter runs only on same-bucket
+    * candidates.
+    *
+    * Scale: shuffle = |l| + Σ(interval spans)/width rows, keyed on
+    * (ids, bucket) 8-byte-ish keys. Pick `bucketWidth` near the typical
+    * interval span: wider buckets cut interval replication but admit more
+    * false candidates; narrower buckets do the reverse. Hot buckets are
+    * ordinary join skew — AQE's skew-join split applies. Intervals with
+    * hi < lo are empty and dropped (Spark's `sequence(a,b)` would DESCEND
+    * and fabricate buckets). */
+  def rangeJoin(l: DataFrame, r: DataFrame, ids: Seq[String], pointCol: String,
+                loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // integer inputs use exact decimal floor-div (64-bit epoch-nano values
+    // round under a double division above 2^53); fractional inputs use the
+    // ordinary double floor — each column by its own type, so mixed
+    // long/double sides still land in the same mathematical bucket
+    def bucketOf(df: DataFrame, c: String): Column = {
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          floor(col(c).cast("decimal(28,0)") / bucketWidth).cast("long")
+        case _ => floor(col(c) / bucketWidth).cast("long")
+      }
+    }
+    val lb = l.withColumn("__b", bucketOf(l, pointCol))
+    val rb = r.filter(col(hiCol) >= col(loCol))
+      .withColumn("__b",
+        explode(sequence(bucketOf(r, loCol), bucketOf(r, hiCol))))
+    lb.join(rb, ids :+ "__b", "inner")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   /** `leftjoin(op, l, r)` (reference `src/join.jl:192-230`): keep the left
     * index set; where a right value exists, combine with `op`, else keep
     * the left value. */

@@ -132,6 +132,29 @@ class CoreSpec extends SparkSpec {
     assert(out == Seq((10L, Some(1.0)), (25L, Some(2.0))))
   }
 
+  test("rangeJoin golden: inclusive bounds, negatives, empty intervals, wide spans") {
+    val pts = Seq(("x", -5L), ("x", 0L), ("x", 7L), ("y", 7L), ("z", 100L))
+      .toDF("id", "v")
+    val ivs = Seq(
+      ("x", -7L, -5L, "a"),   // inclusive hi catches -5
+      ("x", 0L, 0L, "b"),     // degenerate single-point interval
+      ("x", 5L, 3L, "c"),     // hi < lo: empty, must match nothing
+      ("x", -100L, 100L, "d"), // spans many buckets; each point matches once
+      ("y", 6L, 8L, "e"))
+      .toDF("id", "lo", "hi", "tag")
+    for (w <- Seq(1L, 3L, 1000L)) {
+      val got = Joins.rangeJoin(pts, ivs, Seq("id"), "v", "lo", "hi", w)
+        .select(col("id"), col("v"), col("tag")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(got == Seq(("x", -5L, "a"), ("x", -5L, "d"), ("x", 0L, "b"),
+        ("x", 0L, "d"), ("x", 7L, "d"), ("y", 7L, "e")), s"width=$w: $got")
+    }
+    // the point is the plan: bucketed equi-join, never a nested-loop scan
+    val plan = Joins.rangeJoin(pts, ivs, Seq("id"), "v", "lo", "hi", 3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("merge with agg combines duplicate keys (reference join.jl:245-262)") {
     val l = JTable(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), Seq("k"))
     val r = JTable(Seq((2L, 5.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))

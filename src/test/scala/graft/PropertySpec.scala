@@ -491,6 +491,30 @@ class PropertySpec extends SparkSpec {
     }, minTests = 15)
   }
 
+  test("rangeJoin == brute-force interval-containment model") {
+    val pts: Gen[List[(Long, Long)]] =
+      Gen.listOfN(10, Gen.zip(Gen.choose(0L, 2L), Gen.choose(-20L, 20L)))
+    val ivs: Gen[List[(Long, Long, Long)]] = Gen.listOfN(8,
+      Gen.zip(Gen.choose(0L, 2L), Gen.choose(-20L, 20L), Gen.choose(-8L, 8L))
+        .map { case (id, lo, span) => (id, lo, lo + span) }) // span<0 → empty
+    check(forAll(pts, ivs, Gen.oneOf(1L, 2L, 7L, 50L)) { (ps, is, w) =>
+      val expect = (for {
+        ((pid, v), pi) <- ps.zipWithIndex
+        ((iid, lo, hi), ii) <- is.zipWithIndex
+        if pid == iid && v >= lo && v <= hi
+      } yield (pi.toLong, ii.toLong)).sorted
+      val got = Joins.rangeJoin(
+          ps.zipWithIndex.map { case ((id, v), i) => (i.toLong, id, v) }
+            .toDF("pi", "id", "v"),
+          is.zipWithIndex.map { case ((id, lo, hi), i) => (i.toLong, id, lo, hi) }
+            .toDF("ii", "id", "lo", "hi"),
+          Seq("id"), "v", "lo", "hi", w)
+        .select(col("pi"), col("ii")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      Prop(got == expect) :| s"w=$w got=$got expect=$expect"
+    }, minTests = 20)
+  }
+
   test("repetitionStats == n-gram count-map model on random docs") {
     val word = Gen.oneOf("aa", "b", "ccc", "dd", "e")
     val doc = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word))
