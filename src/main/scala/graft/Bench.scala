@@ -4,10 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Per-query time is the MEDIAN of N runs (default 3): single-run
-    // numbers at sub-3-second scales showed a ±10-30% JIT/run-order noise
-    // band across rounds — the median measures the plan, not the jitter.
-    val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt, 1)
+    // Per-query time is the MEDIAN of N runs (default 5; was 3 through
+    // round 5): single-run numbers at sub-3-second scales showed a
+    // ±10-30% JIT/run-order noise band across rounds, and round-5's
+    // driver run showed ±50%+ host-load swings (q09 3.46 s vs 1.0 s on
+    // the same code) — the median measures the plan, not the jitter.
+    val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
