@@ -192,6 +192,28 @@ private[graft] object Batch8 {
              |  ON c.user_id = p.user_id
              | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 7200000000
              |                        AND epoch_us(p.ts) + 7200000000
-             |ORDER BY purchase_id, click_id""".stripMargin))
+             |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // Token-window chunking: 32-token chunks with 8 tokens of overlap
+    // (stride 24) — the context-window prep for embedding pipelines. The
+    // oracle recomputes the chunk grid with the same integer `div`
+    // arithmetic (a double division would round differently when cast)
+    // and re-slices the token list; gating chunk_text pins the token
+    // boundaries, the overlap, and the short tail chunk exactly.
+    Q("q100_chunk_tokens",
+      (s, dir) => Text.chunkTokens(docs(s, dir), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH $toksCte,
+             |meta AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+             |  FROM toks WHERE len(t) > 0),
+             |grid AS (SELECT doc_id, t, n,
+             |    unnest(range(0, GREATEST((n - 8 + 23) // 24, 1))) AS chunk_id
+             |  FROM meta)
+             |SELECT doc_id, chunk_id,
+             |  LEAST(chunk_id * 24 + 32, n) - chunk_id * 24 AS n_tokens,
+             |  array_to_string(t[chunk_id * 24 + 1 : LEAST(chunk_id * 24 + 32, n)], ' ') AS chunk_text
+             |FROM grid
+             |ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

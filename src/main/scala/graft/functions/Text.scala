@@ -225,6 +225,40 @@ object Text {
     ngramDocFreq(df, textCol, n)
       .orderBy(col("doc_freq").desc, col("gram").asc).limit(k)
 
+  /** Token-window chunking: split each document into `chunkSize`-token
+    * chunks overlapping by `overlap` tokens (stride = chunkSize − overlap) —
+    * the standard context-window preparation for embedding / training
+    * pipelines. The last chunk may be short (it covers the tail); documents
+    * with zero tokens emit no chunks (same contract as shingles). Output:
+    * (id, chunk_id, n_tokens, chunk_text), chunk_text = the chunk's tokens
+    * re-joined with single spaces (normalized text).
+    *
+    * Narrow: tokenize + per-row explode of ⌈(n−overlap)/stride⌉ chunk ids —
+    * no shuffle; at 100 TB this is a flatMap riding the scan, and output
+    * volume is input × (1 + overlap/stride). Chunk-count arithmetic is
+    * integer `div` (a double division would round differently across
+    * engines when cast back). */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkSize: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val withT = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val nChunks = greatest(
+      expr(s"(__n - $overlap + ${stride - 1}) div $stride"), lit(1L))
+    val start = (col("chunk_id") * stride).cast("int")
+    withT
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (least(col("chunk_id") * stride + chunkSize, col("__n")) -
+          col("chunk_id") * stride).as("n_tokens"),
+        concat_ws(" ", slice(col("__t"), start + 1, lit(chunkSize))).as("chunk_text"))
+  }
+
   /** Per-document top-k terms by tf·idf, with idf = N/df (the inverse
     * document frequency WITHOUT the log: per-document ranking is invariant
     * under the monotone log, and tf·N/df is two exact IEEE double ops —

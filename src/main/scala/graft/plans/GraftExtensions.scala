@@ -58,6 +58,10 @@ object GraftExtensions {
     "rhp_signature" -> { args =>
       require(args.length == 4, "rhp_signature(vec, dim, bits, seed)")
       RhpSignature(args(0), intLit(args(1)), intLit(args(2)), intLit(args(3)))
+    },
+    "rep_stats" -> { args =>
+      require(args.length == 2, "rep_stats(text, n)")
+      RepStats(args(0), intLit(args(1)))
     })
 
   /** Register on a live session (temp functions, session-scoped). */

@@ -274,14 +274,17 @@ class FunctionsSpec extends SparkSpec {
     graft.plans.GraftExtensions.registerAll(spark)
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_sql")
     val viaSql = spark.sql(
-      "SELECT doc_id, simhash64(text) AS s, minhash_sig(text, 3, 4) AS m FROM docs_sql ORDER BY doc_id")
+      "SELECT doc_id, simhash64(text) AS s, minhash_sig(text, 3, 4) AS m, " +
+        "rep_stats(text, 2) AS r FROM docs_sql ORDER BY doc_id")
       .collect()
     val viaCol = Tables.documents(spark, sf).limit(5)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("s"),
-        Dedup.minhashSignature(col("text"), 3, 4).as("m"))
+        Dedup.minhashSignature(col("text"), 3, 4).as("m"),
+        graft.plans.HashExpressions.repStats(col("text"), 2).as("r"))
       .orderBy("doc_id").collect()
     assert(viaSql.map(_.getLong(1)).toSeq == viaCol.map(_.getLong(1)).toSeq)
     assert(viaSql.map(_.getSeq[Long](2)).toSeq == viaCol.map(_.getSeq[Long](2)).toSeq)
+    assert(viaSql.map(_.getSeq[Long](3)).toSeq == viaCol.map(_.getSeq[Long](3)).toSeq)
   }
 
   test("ML featuremat: vector width = n_cont + n_indicators + sum(card-1 per cat)") {
@@ -682,6 +685,35 @@ class FunctionsSpec extends SparkSpec {
     // the fixture thresholds must exercise BOTH outcomes
     val keeps = out.groupBy(col("keep")).count().collect().map(_.getBoolean(0)).toSet
     assert(keeps == Set(true, false), s"gate does not discriminate: $keeps")
+  }
+
+  test("chunkTokens: golden grid + lossless reconstruction on fixture") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "  ")).toDF("id", "text")
+    val got = Text.chunkTokens(df, "id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc1: n=7, stride=3 → chunks [a b c d], [d e f g] (share 1 token);
+    // doc2: single short chunk; doc3 (no tokens): no rows
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "d e f g"), (2L, 0L, 1L, "x")))
+    // fixture invariant: dropping each non-first chunk's leading `overlap`
+    // tokens and concatenating reproduces the token stream exactly
+    val docs = Tables.documents(spark, sf)
+    val chunks = Text.chunkTokens(docs, "doc_id", "text", chunkSize = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val model = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    for ((id, toks) <- model if toks.nonEmpty) {
+      val rebuilt = chunks(id).zipWithIndex.flatMap { case (c, k) =>
+        val t = c.split(" ").toSeq
+        if (k == 0) t else t.drop(8)
+      }
+      assert(rebuilt.toSeq == toks, s"doc $id reconstruction mismatch")
+    }
+    assert(chunks.keySet == model.filter(_._2.nonEmpty).keySet)
   }
 
   test("tfidfTopK: exact scores and ranks on a hand-computed corpus") {
