@@ -205,22 +205,37 @@ object Joins {
   def rangeJoin(l: DataFrame, r: DataFrame, ids: Seq[String], pointCol: String,
                 loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    // integer inputs use exact decimal floor-div (64-bit epoch-nano values
-    // round under a double division above 2^53); fractional inputs use the
-    // ordinary double floor — each column by its own type, so mixed
-    // long/double sides still land in the same mathematical bucket
-    def bucketOf(df: DataFrame, c: String): Column = {
-      import org.apache.spark.sql.types._
-      df.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          floor(col(c).cast("decimal(28,0)") / bucketWidth).cast("long")
-        case _ => floor(col(c) / bucketWidth).cast("long")
-      }
+    // Integral columns bucket EXACTLY: subtract the nonneg remainder first
+    // (c − pmod(c, w) = w·⌊c/w⌋ in pure long arithmetic), so the division's
+    // true quotient is an integer — then any rounding mode returns it
+    // unchanged. A bare floor(c.cast(decimal)/w) is WRONG at large widths:
+    // Spark lowers decimal/long to decimal(38,10) with HALF_UP, which can
+    // round the quotient UP across an integer boundary before floor runs
+    // (off-by-one bucket at w > ~2e10; a plain double division breaks
+    // earlier, above 2^53). Fractional columns use the double floor, whose
+    // quotient can land one off its mathematical bucket at representation
+    // boundaries — so when ANY bucketed column is fractional, the interval
+    // explode widens by ±1 bucket. Widening only ADDS candidates (each
+    // (point, interval) pair still meets in exactly one bucket — the
+    // point's), and the exact bounds filter removes the extras; the ±1
+    // bound holds while |value/width| < 2^52 (double floor error < 1).
+    import org.apache.spark.sql.types._
+    def isIntegral(df: DataFrame, c: String): Boolean = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
     }
+    def bucketOf(df: DataFrame, c: String): Column =
+      if (isIntegral(df, c))
+        ((col(c) - pmod(col(c), lit(bucketWidth))).cast("decimal(38,0)") / bucketWidth)
+          .cast("long")
+      else floor(col(c) / bucketWidth).cast("long")
+    val anyFractional = !isIntegral(l, pointCol) || !isIntegral(r, loCol) ||
+      !isIntegral(r, hiCol)
+    val pad = if (anyFractional) 1L else 0L
     val lb = l.withColumn("__b", bucketOf(l, pointCol))
     val rb = r.filter(col(hiCol) >= col(loCol))
       .withColumn("__b",
-        explode(sequence(bucketOf(r, loCol), bucketOf(r, hiCol))))
+        explode(sequence(bucketOf(r, loCol) - pad, bucketOf(r, hiCol) + pad)))
     lb.join(rb, ids :+ "__b", "inner")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")

@@ -437,6 +437,8 @@ object HashOps {
   * deterministic (a_i, b_i) as functions.Dedup.minhashSignature. */
 case class MinHashSig(child: Expression, n: Int, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1 && k >= 1,
+    s"minhash_sig needs n-gram size >= 1 and signature length >= 1, got n=$n k=$k")
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -469,6 +471,7 @@ case class SimHash64(child: Expression)
   * HashOps.shingleStringsJava). */
 case class ShingleStrings(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle n-gram size must be >= 1, got $n")
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -485,6 +488,7 @@ case class ShingleStrings(child: Expression, n: Int)
   * half of Gopher-style repetition filtering. */
 case class RepStats(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"rep_stats n-gram size must be >= 1, got $n")
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -502,6 +506,7 @@ case class RepStats(child: Expression, n: Int)
   * polynomial (inverted-index form) over the mod-P MinHash universe. */
 case class ShingleHashes(child: Expression, n: Int, wide: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle n-gram size must be >= 1, got $n")
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =

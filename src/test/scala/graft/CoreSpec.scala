@@ -155,6 +155,26 @@ class CoreSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("rangeJoin: huge widths and mixed long/double sides bucket consistently") {
+    // regression: Spark lowers decimal/long division to decimal(38,10)
+    // HALF_UP — a bare floor(cast(decimal)/w) rounds the quotient UP across
+    // an integer boundary at w > ~2e10, so a long point at 50·w−1 bucketed
+    // to 50 while its double interval bound bucketed to 49 → match dropped
+    val w = 100000000000L // 1e11
+    val v = 50L * w - 1
+    val longPts = Seq(("x", v)).toDF("id", "v")
+    val dblIvs = Seq(("x", (v - 5).toDouble, v.toDouble)).toDF("id", "lo", "hi")
+    val mixed = Joins.rangeJoin(longPts, dblIvs, Seq("id"), "v", "lo", "hi", w)
+    assert(mixed.count() == 1, "mixed long/double boundary match dropped")
+    val longIvs = Seq(("x", v - 5, v)).toDF("id", "lo", "hi")
+    val exact = Joins.rangeJoin(longPts, longIvs, Seq("id"), "v", "lo", "hi", w)
+    assert(exact.count() == 1, "integral boundary match dropped at huge width")
+    // negative side of the same boundary family
+    val negPts = Seq(("x", -v)).toDF("id", "v")
+    val negIvs = Seq(("x", -v, -v + 5)).toDF("id", "lo", "hi")
+    assert(Joins.rangeJoin(negPts, negIvs, Seq("id"), "v", "lo", "hi", w).count() == 1)
+  }
+
   test("merge with agg combines duplicate keys (reference join.jl:245-262)") {
     val l = JTable(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), Seq("k"))
     val r = JTable(Seq((2L, 5.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))

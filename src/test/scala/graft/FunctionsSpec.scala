@@ -634,6 +634,17 @@ class FunctionsSpec extends SparkSpec {
     assert(scanPlan.contains("sig"), "bucket predicate not pushed to the scan")
   }
 
+  test("n-parameterized expressions refuse n < 1 loudly") {
+    import graft.plans.HashExpressions
+    for (bad <- Seq(0, -1)) {
+      intercept[IllegalArgumentException](HashExpressions.repStats(col("text"), bad))
+      intercept[IllegalArgumentException](HashExpressions.shingleStrings(col("text"), bad))
+      intercept[IllegalArgumentException](HashExpressions.shingleHashes(col("text"), bad))
+      intercept[IllegalArgumentException](HashExpressions.minhashSig(col("text"), bad, 4))
+    }
+    intercept[IllegalArgumentException](HashExpressions.minhashSig(col("text"), 3, 0))
+  }
+
   test("rep_stats native == sorted-fold HOF reference on fixture + edges") {
     import spark.implicits._
     val edge = Seq("", "   ", "a", "a a", "a a a a", "x y x y x y",
