@@ -214,6 +214,33 @@ private[graft] object Batch8 {
              |  LEAST(chunk_id * 24 + 32, n) - chunk_id * 24 AS n_tokens,
              |  array_to_string(t[chunk_id * 24 + 1 : LEAST(chunk_id * 24 + 32, n)], ' ') AS chunk_text
              |FROM grid
-             |ORDER BY doc_id, chunk_id""".stripMargin))
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // partitionplot's DATA (reference src/recipes.jl:1-41): by-grouped
+    // IndexedPartition reduce — quantity profiled over 8 fixed
+    // extendedprice bins per returnflag, the exact table the reference's
+    // plot recipe renders. Closes the last §2 inventory row (rendering
+    // itself stays out of scope). Oracle note: DuckDB CAST(double AS INT)
+    // ROUNDS where Spark's cast truncates — the SQL uses explicit FLOOR,
+    // which agrees with truncate-then-clamp for every input (negatives
+    // clamp to bin 0 either way).
+    Q("q101_partitionplot",
+      (s, dir) => {
+        graft.functions.Sketches.partitionplotData(
+            Tables.lineitem(s, dir), "l_extendedprice", "l_quantity",
+            Seq("l_returnflag"), lo = 0.0, hi = 120000.0, bins = 8)
+          .orderBy("l_returnflag", "bin")
+      },
+      Some("""SELECT l_returnflag,
+             |  LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 120000.0 * 8) AS BIGINT), 0), 7) AS bin,
+             |  CAST(0.0 AS DOUBLE) + LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 120000.0 * 8) AS BIGINT), 0), 7) * CAST(15000.0 AS DOUBLE) AS x_lo,
+             |  CAST(0.0 AS DOUBLE) + (LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 120000.0 * 8) AS BIGINT), 0), 7) + 1) * CAST(15000.0 AS DOUBLE) AS x_hi,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mean_y,
+             |  CAST(MIN(l_quantity) AS DOUBLE) AS min_y,
+             |  CAST(MAX(l_quantity) AS DOUBLE) AS max_y
+             |FROM lineitem
+             |GROUP BY 1, 2
+             |ORDER BY l_returnflag, bin""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{col, count, udaf, when}
+import org.apache.spark.sql.functions.{col, count, greatest, isnan, least, lit, max, min, sum, udaf, when}
 
 /** OnlineStats-style mergeable aggregators (reference §2.4: `Mean`,
   * `Variance`, `Extrema`, `CountMap`, `Hist`, `KHist`; copy-per-chunk +
@@ -242,6 +242,40 @@ object Sketches {
     def finish(b: Array[Moments]): Seq[MomentsOut] = b.toSeq.map(MomentsAgg.finish)
     def bufferEncoder: Encoder[Array[Moments]] = ExprEncoders.momentsArray
     def outputEncoder: Encoder[Seq[MomentsOut]] = ExprEncoders.momentsOutSeq
+  }
+
+  /** Plot-DATA form of the reference's `partitionplot` (`src/recipes.jl:
+    * 1-41`): the by-grouped IndexedPartition reduce whose output the plot
+    * recipe renders — x binned over [lo, hi) into `bins` clamped bins
+    * (same edge semantics as [[IndexedPartitionAgg]]: out-of-range values
+    * land in the edge bins, NaN x is dropped), per-bin y count/mean/min/
+    * max, optionally per `by` group. Rendering stays out of scope; this
+    * table IS what `src/recipes.jl` computes before handing to Plots.
+    *
+    * Lowered to the §2.4 groupBy fast path (one map-side-combined
+    * aggregate keyed on (by…, bin) — the SQL-expressible twin of the
+    * [[IndexedPartitionAgg]] sketch, which remains the mergeable/streaming
+    * form). The mean accumulates through an exact decimal sum, so results
+    * are deterministic under any partitioning. */
+  def partitionplotData(df: DataFrame, xCol: String, yCol: String,
+                        byCols: Seq[String], lo: Double, hi: Double,
+                        bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val step = (hi - lo) / bins
+    val bin = least(greatest(
+      ((col(xCol) - lo) / (hi - lo) * bins).cast("int"), lit(0)), lit(bins - 1))
+      .cast("long")
+    df.filter(col(xCol).isNotNull && !isnan(col(xCol)) && col(yCol).isNotNull)
+      .groupBy((byCols.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col(yCol).cast("decimal(28,4)")).cast("double") / count(lit(1))).as("mean_y"),
+        min(col(yCol)).cast("double").as("min_y"),
+        max(col(yCol)).cast("double").as("max_y"))
+      .withColumn("x_lo", lit(lo) + col("bin") * step)
+      .withColumn("x_hi", lit(lo) + (col("bin") + 1) * step)
+      .select((byCols.map(col) :+ col("bin") :+ col("x_lo") :+ col("x_hi") :+
+        col("n") :+ col("mean_y") :+ col("min_y") :+ col("max_y")): _*)
   }
 
   /** OnlineStats `Partition(stat, nparts)` (reference `src/recipes.jl`,

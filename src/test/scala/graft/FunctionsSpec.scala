@@ -101,6 +101,34 @@ class FunctionsSpec extends SparkSpec {
     ip.filter(_.n > 0).foreach(mo => assert(mo.min <= mo.mean && mo.mean <= mo.max))
   }
 
+  test("partitionplotData == IndexedPartition sketch bin-for-bin") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val table = Sketches.partitionplotData(li, "l_extendedprice", "l_quantity",
+        Seq.empty, lo = 0.0, hi = 120000.0, bins = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val sk = li.select(col("l_extendedprice"), col("l_quantity")).as[(Double, Double)]
+      .select(Sketches.IndexedPartitionAgg(0.0, 120000.0, 8).toColumn).head()
+    sk.zipWithIndex.foreach { case (mo, bin) =>
+      table.get(bin.toLong) match {
+        case Some((n, mean, mn, mx)) =>
+          assert(mo.n == n && mo.min == mn && mo.max == mx, s"bin $bin")
+          // sketch mean is double-order accumulation; table mean is exact
+          // decimal — equal to fp noise
+          assert(math.abs(mo.mean - mean) < 1e-6, s"bin $bin mean")
+        case None => assert(mo.n == 0, s"bin $bin missing but sketch n=${mo.n}")
+      }
+    }
+    // by-grouped form: per-group rows sum to the ungrouped counts
+    val byTotals = Sketches.partitionplotData(li, "l_extendedprice", "l_quantity",
+        Seq("l_returnflag"), lo = 0.0, hi = 120000.0, bins = 8)
+      .groupBy(col("bin")).agg(sum(col("n")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byTotals == table.view.mapValues(_._1).toMap)
+  }
+
   test("normalize_ws == trim(regexp_replace(lower, \\s+)) on fixture + edge cases") {
     import spark.implicits._
     val edge = Seq("", "   ", "\t\n A  B\r\nC ", "Ünïcode  ÇH文字  x",
