@@ -300,24 +300,84 @@ private[graft] object Batch2 {
              |WHERE CAST(n_common AS DOUBLE) / (si.sz + sj.sz - n_common) >= 0.3
              |ORDER BY i, j""".stripMargin)),
 
-    // Dedup: MinHash+LSH (scale path; verified against exact Jaccard in
-    // tests — banding math not SQL-expressible in the oracle, rows-only).
+    // Dedup: MinHash+LSH (scale path). Round 6: full oracle — the
+    // signature pipeline (positional shingle hash mod P → (a·h+b) mod P
+    // permutation minima) is plain SQL list arithmetic, and BANDING is
+    // expressed semantically: the oracle joins on band-slice VALUES where
+    // the operator joins on xxhash64(band, slice) — identical output
+    // unless a 64-bit bucket hash collision ADDS a candidate (none on
+    // this fixture, and est_sim verification filters most). min over
+    // hashes is duplicate-insensitive, so hash-set vs string-set shingle
+    // dedup cannot diverge either. ASCII-fixture assumption: unicode()
+    // codepoints == Java UTF-16 code units.
     Q("q34_dedup_minhash",
       (s, dir) => {
         Dedup.minhashLSH(docs(s, dir), "doc_id", "text", n = 3,
           bands = 8, rowsPerBand = 2, minEstSim = 0.25)
           .orderBy("i", "j")
       },
-      None),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |    x -> length(x) > 0) AS t
+             |  FROM documents),
+             |elig AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, GREATEST(len(t) - 2, 0) + 1),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+             |  FROM elig),
+             |hs AS (SELECT doc_id, list_transform(gs,
+             |    g -> list_sum(list_transform(range(1, length(g) + 1),
+             |      j -> j * unicode(g[j:j]))) % 1000000007) AS hh
+             |  FROM sh),
+             |sig AS (SELECT doc_id, list_transform(range(0, 16),
+             |    i -> list_min(list_transform(hh,
+             |      h -> (h * (2*i + 1) + 104729 * (i + 1)) % 1000000007))) AS sig
+             |  FROM hs),
+             |bands AS (SELECT doc_id, unnest(range(0, 8)) AS b, sig FROM sig),
+             |keyed AS (SELECT doc_id, b, sig[2*b + 1] AS h1, sig[2*b + 2] AS h2, sig FROM bands),
+             |cand AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j, a.sig AS asig, c.sig AS csig
+             |  FROM keyed a JOIN keyed c
+             |    ON a.b = c.b AND a.h1 = c.h1 AND a.h2 = c.h2 AND a.doc_id < c.doc_id)
+             |SELECT i, j,
+             |  CAST(len(list_filter(range(1, 17), p -> asig[p] = csig[p])) AS DOUBLE) / 16 AS est_sim
+             |FROM cand
+             |WHERE CAST(len(list_filter(range(1, 17), p -> asig[p] = csig[p])) AS DOUBLE) / 16 >= 0.25
+             |ORDER BY i, j""".stripMargin)),
 
-    // Dedup: SimHash near-dup pairs (rows-only; block-bucket candidates).
+    // Dedup: SimHash near-dup pairs. Round 6: full oracle — per-token
+    // positional hash mod P, the 2654435761 scramble (h < P and the
+    // multiplier keep the product under 2^63, so NO 64-bit wrap to
+    // emulate), per-bit majority votes, and the 15-bit block buckets all
+    // lower to SQL integer/list arithmetic. votes > 0 ⟺ 2·ones > tokens.
     Q("q35_dedup_simhash",
       (s, dir) => {
         Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
           nBlocks = 4, maxHamming = 3)
           .orderBy("i", "j")
       },
-      None),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |    x -> length(x) > 0) AS t
+             |  FROM documents),
+             |tokh AS (SELECT doc_id, list_transform(t,
+             |    tok -> (list_sum(list_transform(range(1, length(tok) + 1),
+             |      j -> j * unicode(tok[j:j]))) % 1000000007) * 2654435761) AS sc,
+             |    len(t) AS n
+             |  FROM toks WHERE len(t) >= 1),
+             |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 62), bit ->
+             |    CASE WHEN len(list_filter(sc, v -> (v // (CAST(1 AS BIGINT) << bit)) % 2 = 1)) * 2 > n
+             |      THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)) AS BIGINT) AS sig
+             |  FROM tokh),
+             |blocks AS (SELECT doc_id, sig, unnest(range(0, 4)) AS blk FROM sig),
+             |keyed AS (SELECT doc_id, sig, blk,
+             |    (sig // (CAST(1 AS BIGINT) << (blk * 15))) % 32768 AS bv FROM blocks),
+             |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+             |    bit_count(xor(a.sig, b.sig)) AS hamming
+             |  FROM keyed a JOIN keyed b
+             |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT i, j, CAST(hamming AS BIGINT) AS hamming FROM cand
+             |WHERE hamming <= 3
+             |ORDER BY i, j""".stripMargin)),
 
     // Embedding-cosine near-dup pairs, DECIMAL-exact accumulation.
     Q("q36_embed_cosine_pairs",
