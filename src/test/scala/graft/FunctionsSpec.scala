@@ -127,6 +127,12 @@ class FunctionsSpec extends SparkSpec {
       .groupBy(col("bin")).agg(sum(col("n")).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byTotals == table.view.mapValues(_._1).toMap)
+    // decimal-mean determinism: identical rows under any partitioning
+    partitionSweep { n =>
+      Sketches.partitionplotData(li.repartition(n), "l_extendedprice",
+          "l_quantity", Seq("l_returnflag"), 0.0, 120000.0, 8)
+        .orderBy("l_returnflag", "bin").collect().map(_.toSeq).toSeq
+    }
   }
 
   test("normalize_ws == trim(regexp_replace(lower, \\s+)) on fixture + edge cases") {

@@ -515,6 +515,39 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("chunkTokens == sequential chunk model across random size/overlap") {
+    val word = Gen.oneOf("aa", "b", "ccc", "dd")
+    val doc = Gen.choose(0, 30).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val cfg = for {
+      cs <- Gen.choose(1, 8)
+      ov <- Gen.choose(0, cs - 1)
+    } yield (cs, ov)
+    check(forAll(Gen.listOfN(4, doc), cfg) { case (texts, (cs, ov)) =>
+      val stride = cs - ov
+      def model(t: String): Seq[(Long, Long, String)] = {
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) Seq.empty
+        else {
+          val k = math.max((toks.length - ov + stride - 1) / stride, 1)
+          (0 until k).map { c =>
+            val chunk = toks.slice(c * stride, c * stride + cs)
+            (c.toLong, chunk.length.toLong, chunk.mkString(" "))
+          }
+        }
+      }
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        model(t).map { case (c, n, s) => (i.toLong, c, n, s) }
+      }.sorted
+      val got = graft.functions.Text.chunkTokens(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+          "id", "text", cs, ov)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toList.sorted
+      Prop(got == expect) :| s"cs=$cs ov=$ov got=$got expect=$expect"
+    }, minTests = 20)
+  }
+
   test("repetitionStats == n-gram count-map model on random docs") {
     val word = Gen.oneOf("aa", "b", "ccc", "dd", "e")
     val doc = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word))
