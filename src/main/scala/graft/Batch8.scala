@@ -241,6 +241,32 @@ private[graft] object Batch8 {
              |  CAST(MAX(l_quantity) AS DOUBLE) AS max_y
              |FROM lineitem
              |GROUP BY 1, 2
-             |ORDER BY l_returnflag, bin""".stripMargin))
+             |ORDER BY l_returnflag, bin""".stripMargin)),
+
+    // Shared-passage detection: maximal runs of ≥3 consecutive shared
+    // 3-grams between doc pairs (span-level dedup — boilerplate/quoted
+    // passages inside otherwise-distinct docs). The operator joins
+    // positioned 64-bit gram HASHES; the oracle joins positioned gram
+    // STRINGS and walks the same diagonal/run-group construction — the
+    // green row cross-checks the hashed positional index against the
+    // exact one (the q86 pattern, plus the run arithmetic).
+    Q("q102_shared_passages",
+      (s, dir) => {
+        graft.functions.Dedup.sharedPassages(docs(s, dir), "doc_id", "text",
+            n = 3, minRun = 3)
+          .orderBy("i", "j", "start_i", "start_j")
+      },
+      Some(s"""WITH $toksCte,
+             |idx AS (SELECT doc_id, t, unnest(range(1, GREATEST(len(t) - 2, 0) + 1)) AS i FROM toks),
+             |pg AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+             |m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj, a.pos - b.pos AS d
+             |  FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |runs AS (SELECT i, j, d, pi, pj,
+             |    pi - ROW_NUMBER() OVER (PARTITION BY i, j, d ORDER BY pi) AS grp FROM m),
+             |agg AS (SELECT i, j, d, grp, MIN(pi) AS start_i, MIN(pj) AS start_j,
+             |    CAST(COUNT(*) AS BIGINT) AS run_grams FROM runs GROUP BY 1, 2, 3, 4)
+             |SELECT i, j, start_i, start_j, run_grams, run_grams + 2 AS run_tokens
+             |FROM agg WHERE run_grams >= 3
+             |ORDER BY i, j, start_i, start_j""".stripMargin))
   )
 }

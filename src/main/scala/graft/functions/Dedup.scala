@@ -289,6 +289,54 @@ object Dedup {
     df.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Shared-passage detection — span-level dedup: maximal runs of
+    * consecutive shared word n-grams between document PAIRS (the
+    * exact-substring complement to whole-doc dedup: boilerplate headers,
+    * quoted passages, and template text duplicate spans inside otherwise
+    * distinct documents). Returns one row per maximal run of ≥ `minRun`
+    * consecutive shared n-grams: (i, j, start_i, start_j, run_grams,
+    * run_tokens = run_grams + n − 1), positions 0-based in n-gram space.
+    *
+    * Shape: positioned 64-bit gram hashes (native one-pass expression,
+    * ordered — NOT the distinct set) → equi-join on the 8-byte hash
+    * (`maxDF` caps hot grams exactly like [[jaccardPairs]] — boilerplate
+    * grams are both the signal AND the skew bomb, so cap generously) →
+    * per-(pair, diagonal) run detection via the pos − row_number trick
+    * (consecutive positions share a group id). The run window partitions
+    * by (i, j, diagonal), bounded by document length — never corpus-sized.
+    * A 64-bit hash collision can only ADD a spurious match (and a 1-gram
+    * island dies to `minRun`); the q102 oracle joins positioned gram
+    * STRINGS, cross-checking the hashed index against the exact one. */
+  def sharedPassages(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     minRun: Long, maxDF: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val sh = df.select(col(idCol).as("id"),
+        posexplode(graft.plans.HashExpressions.shingleHashesAll(col(textCol), n)))
+      .toDF("id", "pos", "h")
+      .withColumn("pos", col("pos").cast("long"))
+    val shF =
+      if (maxDF > 0) {
+        val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDF).select(col("h"))
+        sh.join(hot, Seq("h"), "left_anti")
+      } else sh
+    val a = shF.as("a"); val b = shF.as("b")
+    val m = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.pos").as("pi"), col("b.pos").as("pj"))
+      .withColumn("d", col("pi") - col("pj"))
+    val w = Window.partitionBy(col("i"), col("j"), col("d")).orderBy(col("pi"))
+    m.withColumn("__grp", col("pi") - row_number().over(w))
+      .groupBy(col("i"), col("j"), col("d"), col("__grp"))
+      .agg(min(col("pi")).as("start_i"), min(col("pj")).as("start_j"),
+        count(lit(1)).as("run_grams"))
+      .filter(col("run_grams") >= minRun)
+      .withColumn("run_tokens", col("run_grams") + (n - 1))
+      .select(col("i"), col("j"), col("start_i"), col("start_j"),
+        col("run_grams"), col("run_tokens"))
+  }
+
   /** SimHash (62-bit): per-token hash bit votes weighted ±1, sign → bit.
     * Near-dups = signatures within `maxHamming`. Narrow per-doc compute
     * (native expression, plans.SimHash64); pairing via exact-bucket join

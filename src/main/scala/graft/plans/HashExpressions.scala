@@ -142,6 +142,34 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** ORDERED, non-distinct 64-bit shingle hashes — one entry per n-gram
+    * POSITION (index i hashes tokens i..i+n−1), for positioned-gram
+    * operators (shared-passage detection needs positions; the distinct
+    * set forms above lose them). Wide 64-bit polynomial only: positioned
+    * joins are a scale operator, and the mod-P space collides at corpus
+    * scale. */
+  def shingleHashesAllJava(s: UTF8String, n: Int): ArrayData = {
+    val (str, starts, ends) = tokenSpans(s.toString)
+    val m = starts.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var k = 0
+      while (k < n) {
+        var j = starts(i + k)
+        val e = ends(i + k)
+        while (j < e) { h = h * 1099511628211L + str.charAt(j).toInt; j += 1 }
+        if (k < n - 1) h = h * 1099511628211L + ' '.toInt
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word n-gram repetition statistics in ONE tokenizer pass:
     * `[total, distinct, top]` where `total` = n-gram occurrences
     * (tokens−n+1, floored at 0), `distinct` = distinct n-grams, and `top` =
@@ -483,6 +511,22 @@ case class ShingleStrings(child: Expression, n: Int)
   override def prettyName: String = "shingle_strings"
 }
 
+/** shingle_hashes_all(text, n): ORDERED non-distinct 64-bit shingle
+  * hashes, index = n-gram position (see HashOps.shingleHashesAllJava). */
+case class ShingleHashesAll(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle n-gram size must be >= 1, got $n")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.shingleHashesAllJava(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.shingleHashesAllJava($c, $n);")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesAll = copy(child = c)
+  override def prettyName: String = "shingle_hashes_all"
+}
+
 /** rep_stats(text, n): per-document word n-gram repetition statistics
   * `[total, distinct, top]` (see HashOps.repStatsJava) — the narrow scan
   * half of Gopher-style repetition filtering. */
@@ -735,6 +779,8 @@ object HashExpressions {
   def shingleStrings(c: Column, n: Int): Column =
     column(ShingleStrings(expression(c), n))
   def repStats(c: Column, n: Int): Column = column(RepStats(expression(c), n))
+  def shingleHashesAll(c: Column, n: Int): Column =
+    column(ShingleHashesAll(expression(c), n))
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
   def fix9(c: Column): Column = column(Fix9(expression(c)))
   def dotFix9(a: Column, b: Column): Column = column(DotFix9(expression(a), expression(b)))

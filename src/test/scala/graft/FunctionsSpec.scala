@@ -679,6 +679,24 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](HashExpressions.minhashSig(col("text"), 3, 0))
   }
 
+  test("sharedPassages: golden runs, diagonals, minRun gate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s t u v"),
+      (2L, "x p q r s y t u v"),
+      (3L, "m n o m n o m n z")).toDF("id", "text")
+    def runs(minRun: Long) =
+      Dedup.sharedPassages(df, "id", "text", n = 3, minRun = minRun)
+        .orderBy("i", "j", "start_i", "start_j").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    // docs 1↔2 share "p q r","q r s" (one diagonal, run 2 → 4 tokens) and
+    // "t u v" (another diagonal, run 1); doc 3's internal repeats match
+    // nothing across docs
+    assert(runs(2) == Seq((1L, 2L, 0L, 1L, 2L, 4L)))
+    assert(runs(1) == Seq((1L, 2L, 0L, 1L, 2L, 4L), (1L, 2L, 4L, 6L, 1L, 3L)))
+  }
+
   test("rep_stats native == sorted-fold HOF reference on fixture + edges") {
     import spark.implicits._
     val edge = Seq("", "   ", "a", "a a", "a a a a", "x y x y x y",
