@@ -17,7 +17,11 @@ private[graft] object Batch8 {
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
-  /** DuckDB token-list CTE (the q33/q86 tokenizer, shared shape). */
+  /** DuckDB token-list CTE (the q33/q86 tokenizer, shared shape).
+    * Fixture assumption shared by every text oracle since round 1: RE2's
+    * `\s` is [\t\n\f\r ] WITHOUT vertical tab (\x0B), which Java regex —
+    * and the native normalizer — treats as whitespace; the synthetic
+    * corpus contains none. */
   private val toksCte =
     """toks AS (SELECT doc_id, list_filter(
       |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),

@@ -57,6 +57,31 @@ object Dedup {
     * n_common); the spec asserts fixture-equality with the string form,
     * which remains the default because it is what the SQL oracle can
     * reproduce exactly. */
+  /** Hot-key cap shared by the inverted-index operators: drop rows whose
+    * `keyCol` value appears in more than `maxDF` DOCUMENTS (per-doc
+    * repeats of a key count once — a doc that internally repeats a gram
+    * 100× must not push it over a corpus-wide doc-frequency cap). The
+    * aggregate is map-side combined (shuffles distinct keys, not
+    * occurrences); the >maxDF survivor set gets no broadcast hint — its
+    * size is bounded by totalOccurrences/maxDF but NOT guaranteed under
+    * the 8 GB broadcast limit at 100 TB, so AQE picks the anti-join side
+    * from runtime size (a forced-broadcast failure would kill the job the
+    * cap exists to save). A Window.partitionBy(key) alternative would
+    * re-shuffle every occurrence AND land each hot key's occurrence list
+    * on one task — the exact skew the cap removes. */
+  private def capHotKeys(rows: DataFrame, keyCol: String, idCol: String,
+                         maxDF: Long, distinctPerDoc: Boolean): DataFrame = {
+    // when the producer already emits each (key, doc) at most once
+    // (jaccardPairs' per-doc distinct shingles), occurrence count IS doc
+    // frequency — skip the extra dedup exchange
+    val occ =
+      if (distinctPerDoc) rows.select(col(keyCol))
+      else rows.select(col(keyCol), col(idCol)).distinct().select(col(keyCol))
+    val hot = occ.groupBy(col(keyCol)).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDF).select(col(keyCol))
+    rows.join(hot, Seq(keyCol), "left_anti")
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxDF: Long = 0L,
                    hashShingles: Boolean = false): DataFrame = {
@@ -73,23 +98,13 @@ object Dedup {
         explode(col("__arr")).as("s"))
     val shFiltered =
       if (maxDF > 0) {
-        // hot-shingle cap via aggregate + anti-join: the groupBy is map-side
-        // combined (shuffles distinct shingles, not occurrences). The >maxDF
-        // survivor count is bounded by totalOccurrences/maxDF — usually tiny,
-        // but NOT guaranteed to fit the 8 GB broadcast limit at 100 TB with a
-        // modest maxDF, so no explicit broadcast hint: AQE picks broadcast
-        // when the hot set's runtime size allows and falls back to a shuffle
-        // anti-join when it doesn't (the hint form would fail the job the cap
-        // exists to save). A Window.partitionBy(s) here would re-shuffle
-        // every (id, shingle) occurrence AND land each hot shingle's
-        // occurrence list on one task — the exact skew the cap removes.
+        // hot-shingle cap (see capHotKeys; shingles are per-doc distinct,
+        // so occurrence count is doc frequency — no dedup pass needed).
         // Jaccard stays defined over the SURVIVING shingle sets (the cap
         // changes the universe, not just the candidates), so sz is
         // recounted post-filter — one window keyed on doc id (bounded by
         // doc size, no hot-shingle skew).
-        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDF).select(col("s"))
-        sh.join(hot, Seq("s"), "left_anti")
+        capHotKeys(sh, "s", "id", maxDF, distinctPerDoc = true)
           .withColumn("sz", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
       } else sh
@@ -315,12 +330,12 @@ object Dedup {
         posexplode(graft.plans.HashExpressions.shingleHashesAll(col(textCol), n)))
       .toDF("id", "pos", "h")
       .withColumn("pos", col("pos").cast("long"))
+    // positioned hashes are NOT distinct per doc — a gram repeated inside
+    // one document must count ONCE toward its corpus doc frequency, so
+    // the cap dedups (h, id) before counting
     val shF =
-      if (maxDF > 0) {
-        val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDF).select(col("h"))
-        sh.join(hot, Seq("h"), "left_anti")
-      } else sh
+      if (maxDF > 0) capHotKeys(sh, "h", "id", maxDF, distinctPerDoc = false)
+      else sh
     val a = shF.as("a"); val b = shF.as("b")
     val m = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),

@@ -251,6 +251,9 @@ object Sketches {
     * land in the edge bins, NaN x is dropped), per-bin y count/mean/min/
     * max, optionally per `by` group. Rendering stays out of scope; this
     * table IS what `src/recipes.jl` computes before handing to Plots.
+    * NaN/null rows (either column) are DROPPED — a plot can't place them,
+    * and this is the one documented divergence from the sketch twin,
+    * whose Moments mean a NaN y would poison to NaN.
     *
     * Lowered to the §2.4 groupBy fast path (one map-side-combined
     * aggregate keyed on (by…, bin) — the SQL-expressible twin of the
@@ -266,7 +269,11 @@ object Sketches {
     val bin = least(greatest(
       ((col(xCol) - lo) / (hi - lo) * bins).cast("int"), lit(0)), lit(bins - 1))
       .cast("long")
-    df.filter(col(xCol).isNotNull && !isnan(col(xCol)) && col(yCol).isNotNull)
+    // NaN y must go too: the decimal cast would turn it into NULL, so
+    // sum would skip the row while count still counted it — a silently
+    // BIASED mean instead of either NaN or a dropped row
+    df.filter(col(xCol).isNotNull && !isnan(col(xCol)) &&
+        col(yCol).isNotNull && !isnan(col(yCol)))
       .groupBy((byCols.map(col) :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("n"),
         (sum(col(yCol).cast("decimal(28,4)")).cast("double") / count(lit(1))).as("mean_y"),

@@ -133,6 +133,14 @@ class FunctionsSpec extends SparkSpec {
           "l_quantity", Seq("l_returnflag"), 0.0, 120000.0, 8)
         .orderBy("l_returnflag", "bin").collect().map(_.toSeq).toSeq
     }
+    // NaN y rows are DROPPED (documented divergence): the decimal cast
+    // nulls NaN, so keeping the row would bias the mean (sum skips it,
+    // count doesn't)
+    val nan = Seq((1.0, 1.0), (1.5, Double.NaN)).toDF("x", "y")
+    val row = Sketches.partitionplotData(nan, "x", "y", Seq.empty, 0.0, 10.0, 2)
+      .collect()
+    assert(row.length == 1 && row(0).getLong(3) == 1L && row(0).getDouble(4) == 1.0,
+      row.mkString("; "))
   }
 
   test("normalize_ws == trim(regexp_replace(lower, \\s+)) on fixture + edge cases") {
@@ -695,6 +703,26 @@ class FunctionsSpec extends SparkSpec {
     // nothing across docs
     assert(runs(2) == Seq((1L, 2L, 0L, 1L, 2L, 4L)))
     assert(runs(1) == Seq((1L, 2L, 0L, 1L, 2L, 4L), (1L, 2L, 4L, 6L, 1L, 3L)))
+  }
+
+  test("sharedPassages maxDF caps DOC frequency, not in-doc repetitions") {
+    import spark.implicits._
+    // A↔B share the passage "p q r s t"; C repeats the gram "p q r"
+    // internally many times (occurrences ≫ cap) but its DOC frequency is 3
+    val df = Seq(
+      (1L, "p q r s t"),
+      (2L, "z p q r s t"),
+      (3L, "p q r p q r p q r p q r")).toDF("id", "text")
+    def runsAt(maxDF: Long) =
+      Dedup.sharedPassages(df, "id", "text", n = 3, minRun = 2, maxDF = maxDF)
+        .orderBy("i", "j", "start_i").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    // cap 3 ≥ every gram's doc frequency → A↔B run of 3 grams survives
+    // intact (an occurrence-counting cap would wrongly evict "p q r")
+    assert(runsAt(3).contains((1L, 2L, 0L, 1L, 3L)), runsAt(3).toString)
+    // cap 2 < df("p q r")=3 → the run loses its first gram, survives as 2
+    assert(runsAt(2).contains((1L, 2L, 1L, 2L, 2L)), runsAt(2).toString)
   }
 
   test("rep_stats native == sorted-fold HOF reference on fixture + edges") {
