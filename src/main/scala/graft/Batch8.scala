@@ -271,6 +271,39 @@ private[graft] object Batch8 {
              |    CAST(COUNT(*) AS BIGINT) AS run_grams FROM runs GROUP BY 1, 2, 3, 4)
              |SELECT i, j, start_i, start_j, run_grams, run_grams + 2 AS run_tokens
              |FROM agg WHERE run_grams >= 3
-             |ORDER BY i, j, start_i, start_j""".stripMargin))
+             |ORDER BY i, j, start_i, start_j""".stripMargin)),
+
+    // Span-level dedup TRANSFORM: q102's shared passages REMOVED from all
+    // but their first-by-doc-id occurrence (the ExactSubstr removal step).
+    // Gating the reconstructed clean_text itself pins the keep-first
+    // convention, the token-space range arithmetic, and overlapping-range
+    // masking exactly.
+    Q("q103_strip_passages",
+      (s, dir) => {
+        graft.functions.Dedup.stripPassages(docs(s, dir), "doc_id", "text",
+            n = 3, minRun = 3)
+          .select(col("doc_id"), col("clean_text"), col("n_tokens_clean"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte,
+             |idx AS (SELECT doc_id, t, unnest(range(1, GREATEST(len(t) - 2, 0) + 1)) AS i FROM toks),
+             |pg AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+             |m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj, a.pos - b.pos AS d
+             |  FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |rns AS (SELECT i, j, d, pi, pj,
+             |    pi - ROW_NUMBER() OVER (PARTITION BY i, j, d ORDER BY pi) AS grp FROM m),
+             |agg AS (SELECT i, j, d, grp, MIN(pj) AS start_j,
+             |    CAST(COUNT(*) AS BIGINT) AS run_grams FROM rns GROUP BY 1, 2, 3, 4),
+             |rm AS (SELECT j AS doc_id, list(struct_pack(s := start_j, rt := run_grams + 2)) AS rm
+             |  FROM agg WHERE run_grams >= 3 GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(array_to_string(CASE WHEN rm.rm IS NULL THEN d.t
+             |    ELSE list_filter(d.t, (x, i) -> len(list_filter(rm.rm,
+             |      r -> i - 1 >= r.s AND i - 1 < r.s + r.rt)) = 0) END, ' '), '') AS clean_text,
+             |  CAST(CASE WHEN rm.rm IS NULL THEN len(d.t)
+             |    ELSE len(list_filter(d.t, (x, i) -> len(list_filter(rm.rm,
+             |      r -> i - 1 >= r.s AND i - 1 < r.s + r.rt)) = 0)) END AS BIGINT) AS n_tokens_clean
+             |FROM toks d LEFT JOIN rm USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

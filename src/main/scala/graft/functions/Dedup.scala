@@ -352,6 +352,43 @@ object Dedup {
         col("run_grams"), col("run_tokens"))
   }
 
+  /** Span-level dedup TRANSFORM: remove every shared passage found by
+    * [[sharedPassages]] from all but its first-by-doc-id occurrence
+    * (doc i < j keeps the span; j loses tokens
+    * [start_j, start_j + run_tokens)) — the "Deduplicating Training Data"
+    * ExactSubstr removal step at word-n-gram granularity. Chains resolve
+    * consistently: the globally smallest doc containing a passage keeps
+    * it, every later doc drops it (each later doc pairs with an earlier
+    * keeper, so its copy is covered by some range).
+    *
+    * Output: every input row with `clean_text` = the doc's NORMALIZED
+    * tokens minus removed spans, re-joined with single spaces (span
+    * arithmetic lives in token space, so the reconstruction is
+    * normalized by construction), plus `n_tokens_clean`. Docs in no
+    * shared passage pass through with their full normalized text.
+    *
+    * Scale: the per-doc removal-range lists ride a groupBy keyed on doc
+    * id (ranges ≪ tokens); the mask is a per-row HOF over the token
+    * array — no extra shuffle beyond [[sharedPassages]] itself plus the
+    * range aggregation and one id-keyed join. */
+  def stripPassages(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    minRun: Long, maxDF: Long = 0L): DataFrame = {
+    val runs = sharedPassages(df, idCol, textCol, n, minRun, maxDF)
+      .select(col("j").as(idCol), col("start_j"), col("run_tokens"))
+    val ranges = runs.groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_j"), col("run_tokens"))).as("__rm"))
+    df.join(ranges, Seq(idCol), "left")
+      .withColumn("__t", Text.tokens(col(textCol)))
+      .withColumn("__keep",
+        when(col("__rm").isNull, col("__t")).otherwise(
+          filter(col("__t"), (_, i) => !exists(col("__rm"), r =>
+            i >= r.getField("start_j") &&
+              i < r.getField("start_j") + r.getField("run_tokens")))))
+      .withColumn("clean_text", concat_ws(" ", col("__keep")))
+      .withColumn("n_tokens_clean", size(col("__keep")).cast("long"))
+      .drop("__rm", "__t", "__keep")
+  }
+
   /** SimHash (62-bit): per-token hash bit votes weighted ±1, sign → bit.
     * Near-dups = signatures within `maxHamming`. Narrow per-doc compute
     * (native expression, plans.SimHash64); pairing via exact-bucket join

@@ -705,6 +705,24 @@ class FunctionsSpec extends SparkSpec {
     assert(runs(1) == Seq((1L, 2L, 0L, 1L, 2L, 4L), (1L, 2L, 4L, 6L, 1L, 3L)))
   }
 
+  test("stripPassages: keep-first removal, chains, pass-through") {
+    import spark.implicits._
+    // docs 1<2<3 all share "p q r s t"; doc 4 is untouched
+    val df = Seq(
+      (1L, "p q r s t a"),
+      (2L, "b p q r s t"),
+      (3L, "p q r s t c d"),
+      (4L, "e f g h")).toDF("id", "text")
+    val out = Dedup.stripPassages(df, "id", "text", n = 3, minRun = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "p q r s t a", 6L),  // smallest id keeps the passage
+      (2L, "b", 1L),            // span [1,6) removed
+      (3L, "c d", 2L),          // span [0,5) removed (pairs with BOTH 1 and 2)
+      (4L, "e f g h", 4L)))     // no shared passage: normalized pass-through
+  }
+
   test("sharedPassages maxDF caps DOC frequency, not in-doc repetitions") {
     import spark.implicits._
     // A↔B share the passage "p q r s t"; C repeats the gram "p q r"
