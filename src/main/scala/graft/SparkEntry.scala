@@ -318,5 +318,5 @@ object SparkEntry {
     "q28_text_stats", "q32_dedup_exact", "q34_dedup_minhash",
     "q35_dedup_simhash", "q37_embed_topk", "q60_shipping_priority",
     "q62_large_orders", "q86_dedup_clusters", "q90_pack_greedy",
-    "q95_repetition", "q98_tfidf", "q99_range_join")
+    "q95_repetition", "q98_tfidf", "q99_range_join", "q102_shared_passages")
 }
