@@ -548,6 +548,44 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("sharedPassages == brute-force diagonal-run model on random docs") {
+    val word = Gen.oneOf("u", "v", "w", "x")
+    val doc = Gen.choose(0, 10).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    check(forAll(Gen.listOfN(4, doc), Gen.choose(1L, 3L)) { (texts, minRun) =>
+      val n = 2
+      def grams(t: String): Seq[String] =
+        t.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq
+      val g = texts.map(grams)
+      val expect = (for {
+        i <- g.indices; j <- g.indices if i < j
+        matches = for {
+          (ga, pa) <- g(i).zipWithIndex; (gb, pb) <- g(j).zipWithIndex
+          if ga == gb
+        } yield (pa, pb)
+        (d, ms) <- matches.groupBy { case (pa, pb) => pa - pb }
+        // maximal runs of consecutive pa within one diagonal
+        run <- {
+          val ps = ms.map(_._1).sorted
+          ps.foldLeft(List.empty[List[Int]]) {
+            case (acc @ (h :: t), p) if h.nonEmpty && p == h.head + 1 =>
+              (p :: h) :: t
+            case (acc, p) => List(p) :: acc
+          }
+        }
+        if run.length >= minRun
+      } yield (i.toLong, j.toLong, run.min.toLong, (run.min - d).toLong,
+        run.length.toLong)).toList.sorted
+      val got = Dedup.sharedPassages(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+          "id", "text", n, minRun)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toList.sorted
+      Prop(got == expect) :| s"minRun=$minRun got=$got expect=$expect texts=$texts"
+    }, minTests = 25)
+  }
+
   test("repetitionStats == n-gram count-map model on random docs") {
     val word = Gen.oneOf("aa", "b", "ccc", "dd", "e")
     val doc = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word))
