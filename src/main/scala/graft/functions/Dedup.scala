@@ -352,14 +352,18 @@ object Dedup {
         col("run_grams"), col("run_tokens"))
   }
 
-  /** Span-level dedup TRANSFORM: remove every shared passage found by
-    * [[sharedPassages]] from all but its first-by-doc-id occurrence
-    * (doc i < j keeps the span; j loses tokens
-    * [start_j, start_j + run_tokens)) — the "Deduplicating Training Data"
-    * ExactSubstr removal step at word-n-gram granularity. Chains resolve
-    * consistently: the globally smallest doc containing a passage keeps
-    * it, every later doc drops it (each later doc pairs with an earlier
-    * keeper, so its copy is covered by some range).
+  /** Span-level dedup TRANSFORM: for every shared run found by
+    * [[sharedPassages]], the larger-id doc of the pair loses the run's
+    * tokens ([start_j, start_j + run_tokens)); the smaller-id doc keeps
+    * that run's span — the "Deduplicating Training Data" ExactSubstr
+    * removal step at word-n-gram granularity. The guarantee is PER RUN,
+    * not per stitched passage: distinct overlapping runs (e.g. two
+    * partial matches against a smaller doc on different diagonals) can
+    * jointly cover more of a doc than any single pair shares, so a long
+    * passage may survive only as the fragments its pairwise runs leave in
+    * their keepers — the same per-substring behavior as ExactSubstr
+    * itself. Likewise, repeats of a span INSIDE the keeper doc all
+    * survive (removal is driven by cross-doc pairs only).
     *
     * Output: every input row with `clean_text` = the doc's NORMALIZED
     * tokens minus removed spans, re-joined with single spaces (span

@@ -705,7 +705,7 @@ class FunctionsSpec extends SparkSpec {
     assert(runs(1) == Seq((1L, 2L, 0L, 1L, 2L, 4L), (1L, 2L, 4L, 6L, 1L, 3L)))
   }
 
-  test("stripPassages: keep-first removal, chains, pass-through") {
+  test("stripPassages: keep-first removal, chains, total removal, pass-through") {
     import spark.implicits._
     // docs 1<2<3 all share "p q r s t"; doc 4 is untouched
     val df = Seq(
@@ -721,6 +721,23 @@ class FunctionsSpec extends SparkSpec {
       (2L, "b", 1L),            // span [1,6) removed
       (3L, "c d", 2L),          // span [0,5) removed (pairs with BOTH 1 and 2)
       (4L, "e f g h", 4L)))     // no shared passage: normalized pass-through
+    // total removal: an exact duplicate empties to "" (the Spark
+    // counterpart of the DuckDB array_to_string-NULL gotcha), and a true
+    // transitive chain (1~2 via X, 2~3 via Y, 1∩3 = ∅) strips each later
+    // doc only where its own pairs shared
+    val df2 = Seq(
+      (1L, "x1 x2 x3 x4 x5"),
+      (2L, "x1 x2 x3 x4 x5"),      // exact dup of 1 → emptied
+      (3L, "x1 x2 x3 x4 x5 y1 y2 y3 y4 y5"), // loses X (from 1,2); keeps Y
+      (4L, "z y1 y2 y3 y4 y5")).toDF("id", "text") // loses Y (from 3); keeps z
+    val out2 = Dedup.stripPassages(df2, "id", "text", n = 3, minRun = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(out2.toSeq == Seq(
+      (1L, "x1 x2 x3 x4 x5", 5L),
+      (2L, "", 0L),
+      (3L, "y1 y2 y3 y4 y5", 5L),
+      (4L, "z", 1L)), out2.mkString("; "))
   }
 
   test("sharedPassages maxDF caps DOC frequency, not in-doc repetitions") {
