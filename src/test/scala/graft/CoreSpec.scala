@@ -155,6 +155,21 @@ class CoreSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("rangeJoin partition sweep (events ±1h window)") {
+    val ev = Tables.events(spark, sf)
+    val us = expr("ts DIV 1000")
+    partitionSweep { n =>
+      val pts = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), us.as("v"), col("event_id")).repartition(n)
+      val ivs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          (us - 3600000000L).as("lo"), (us + 3600000000L).as("hi")).repartition(n)
+      Joins.rangeJoin(pts, ivs, Seq("user_id"), "v", "lo", "hi", 3600000000L)
+        .select(col("pid"), col("event_id"))
+        .orderBy("pid", "event_id").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("rangeJoin: huge widths and mixed long/double sides bucket consistently") {
     // regression: Spark lowers decimal/long division to decimal(38,10)
     // HALF_UP — a bare floor(cast(decimal)/w) rounds the quotient UP across
