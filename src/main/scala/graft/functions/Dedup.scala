@@ -111,8 +111,13 @@ object Dedup {
     val a = shFiltered.as("a"); val b = shFiltered.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      // sz is functionally dependent on the grouped id, so min == the only
+      // value — but min is DETERMINISTIC by construction where first() is a
+      // declared non-deterministic aggregate that would silently return an
+      // arbitrary row's value if the invariant ever broke (e.g. duplicate
+      // doc ids with different texts)
       .agg(count(lit(1)).as("n_common"),
-        first(col("a.sz")).as("sz_i"), first(col("b.sz")).as("sz_j"))
+        min(col("a.sz")).as("sz_i"), min(col("b.sz")).as("sz_j"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sz_i") + col("sz_j") - col("n_common")).cast("double"))
@@ -197,7 +202,31 @@ object Dedup {
     val rdds = cp.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
-    (cp, () => rdds.foreach(_.unpersist(blocking = false)))
+    (cp, () => quietly("org.apache.spark.rdd") {
+      rdds.foreach(_.unpersist(blocking = false))
+    })
+  }
+
+  /** Run `body` with one logger (here the `org.apache.spark.rdd` PACKAGE —
+    * Spark's Logging trait names loggers after the concrete RDD subclass,
+    * e.g. MapPartitionsRDD, so the package level is the one that reaches
+    * them all) dropped to ERROR, restoring it after. Used around the
+    * unpersist of superseded CC rounds: `RDD.unpersist` logs a per-call
+    * WARN ("lineage has been truncated and cannot be recomputed after
+    * unpersisting") for every locally-checkpointed RDD.
+    * Here that is the POINT — the next round is already materialized
+    * before the previous one is freed, so nothing ever recomputes the
+    * truncated lineage — and a 30-round CC pass would otherwise flood the
+    * bench tail with noise that masks real warnings. Scoped to the
+    * unpersist call itself (the log call is synchronous in `unpersist`,
+    * even with blocking=false), so genuine RDD warnings elsewhere in the
+    * job still print. */
+  private def quietly[T](loggerName: String)(body: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val prev = LogManager.getLogger(loggerName).getLevel
+    Configurator.setLevel(loggerName, Level.ERROR)
+    try body finally Configurator.setLevel(loggerName, prev)
   }
 
   def connectedComponents(pairs: DataFrame, iCol: String = "i",

@@ -232,10 +232,29 @@ object Joins {
     val anyFractional = !isIntegral(l, pointCol) || !isIntegral(r, loCol) ||
       !isIntegral(r, hiCol)
     val pad = if (anyFractional) 1L else 0L
+    // Guard the interval explode: an interval spanning span/width buckets
+    // materializes that many rows, and past ~134M elements Spark's
+    // sequence() throws an opaque ArrayData allocation error from deep
+    // inside the plan — while even a 10^5-bucket interval silently blows up
+    // shuffle volume first. Fail loudly per offending row with the knob to
+    // turn (assert_true evaluates BEFORE the sequence, so a mis-tuned width
+    // surfaces as this message, not an allocation failure). 1M buckets per
+    // interval is already ~1000× over any sane width choice.
+    val maxBucketsPerInterval = 1000000L
+    val nBuckets = bucketOf(r, hiCol) - bucketOf(r, loCol) + 1 + 2 * pad
+    val guard = assert_true(nBuckets <= maxBucketsPerInterval,
+      concat(lit(s"rangeJoin: an interval spans more than " +
+          s"$maxBucketsPerInterval buckets of width $bucketWidth ("),
+        nBuckets, lit(" buckets, interval ["), col(loCol), lit(", "),
+        col(hiCol), lit("]) — raise bucketWidth toward the typical " +
+          "interval span")))
     val lb = l.withColumn("__b", bucketOf(l, pointCol))
+    // the guard rides INSIDE the sequence bound (assert_true yields null on
+    // pass, coalesce restores the bound) so column pruning can't drop it
     val rb = r.filter(col(hiCol) >= col(loCol))
       .withColumn("__b",
-        explode(sequence(bucketOf(r, loCol) - pad, bucketOf(r, hiCol) + pad)))
+        explode(sequence(bucketOf(r, loCol) - pad,
+          coalesce(guard.cast("long"), bucketOf(r, hiCol) + pad))))
     lb.join(rb, ids :+ "__b", "inner")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")
