@@ -37,7 +37,11 @@ private[graft] object Batch7 {
     // Pair generation runs the 8-byte hashShingles scale form; the oracle
     // recomputes the pairs from shingle STRINGS, so the green row also
     // cross-checks the hashed inverted index against the exact one
-    // (the q67-vs-q36 pattern).
+    // (the q67-vs-q36 pattern). maxDF is OFF here — fixture-only: the
+    // hottest 3-gram spans ≤9 docs in this corpus, so the uncapped
+    // inverted-index self-join is harmless, but at 100 TB it is quadratic
+    // in the hottest shingle's doc frequency — a production pass sets
+    // maxDF (the capped form is oracle-gated by q104).
     Q("q86_dedup_clusters",
       (s, dir) => {
         val d = docs(s, dir)

@@ -253,7 +253,10 @@ private[graft] object Batch8 {
     // positioned 64-bit gram HASHES; the oracle joins positioned gram
     // STRINGS and walks the same diagonal/run-group construction — the
     // green row cross-checks the hashed positional index against the
-    // exact one (the q86 pattern, plus the run arithmetic).
+    // exact one (the q86 pattern, plus the run arithmetic). maxDF is OFF
+    // here — fixture-only (hottest gram ≤9 docs); at 100 TB boilerplate
+    // grams are both the signal and the skew bomb, so a production pass
+    // caps them (the cap's semantics are oracle-gated by q104).
     Q("q102_shared_passages",
       (s, dir) => {
         graft.functions.Dedup.sharedPassages(docs(s, dir), "doc_id", "text",
