@@ -412,18 +412,26 @@ object Similarity {
     * false) — an empty result, not an error. */
   def ivfTopKIndexed(corpusPath: String, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, nprobe: Int, model: IvfModel,
-                     excludeSelf: Boolean = true): DataFrame = {
+                     excludeSelf: Boolean = true,
+                     exact: Boolean = false): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9}
     val spark = queries.sparkSession
-    val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"),
+    // exact=true mirrors ivfTopK: fix9 fixed-point scoring, so results from
+    // a PERSISTED index hash-match the same decimal oracle as the in-memory
+    // path (the q84 gate runs this with nprobe = nlist = brute force)
+    val prep: Column => Column =
+      if (exact) fix9 else (v: Column) => v.cast("array<double>")
+    val dotF: (Column, Column) => Column = if (exact) dotFix9 else dot
+    def nrm(v: Column) = sqrt(dotF(v, v))
+    val q = queries.select(col(idCol).as("query_id"), prep(col(vecCol)).as("qv"),
         explode(graft.plans.HashExpressions.topCells(vecInput(queries, vecCol),
           model.unitCentroids, math.min(nprobe, model.nlist))).as("cell"))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("qn", nrm(col("qv")))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     val c = spark.read.parquet(corpusPath)
       .filter(col("cell").isin(probed: _*))
-      .select(col("id"), col("cv").cast("array<double>").as("cv"), col("cell"))
-      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-    rankProbed(c, q, k, excludeSelf, dot)
+      .select(col("id"), prep(col("cv")).as("cv"), col("cell"))
+      .withColumn("cn", nrm(col("cv")))
+    rankProbed(c, q, k, excludeSelf, dotF)
   }
 }
