@@ -53,6 +53,69 @@ private[graft] object Batch9 {
              |JOIN sizes si ON si.doc_id = i
              |JOIN sizes sj ON sj.doc_id = j
              |WHERE CAST(n_common AS DOUBLE) / (si.sz + sj.sz - n_common) >= 0.2
-             |ORDER BY i, j""".stripMargin))
+             |ORDER BY i, j""".stripMargin)),
+
+    // ML.featuremat under the oracle — the full featurization semantics
+    // pinned row by row: standardized continuous columns (mean 0 / sample
+    // std 1; zero-variance columns → 0.0), mean-imputed nullable
+    // continuous (c_acctbal nulled deterministically on both sides) with
+    // its 0/1 missing indicator itself standardized (the reference's
+    // Maybe{Continuous}), and alphabetAsc one-hot for c_mktsegment with
+    // spark.ml's dropLast (the documented full-rank divergence from the
+    // reference). The feature vector is exploded to (row, pos, value)
+    // and ROUNDED TO 5 DECIMALS on both sides: spark.ml computes scaler
+    // moments with Welford-style running updates while the oracle's
+    // stddev_samp accumulates differently — both are within ~1e-13 of
+    // the exact value, 7 orders below the rounding boundary, so the gate
+    // is deterministic under any partition count while still pinning
+    // every feature slot to 5 decimal places.
+    Q("q105_featuremat",
+      (s, dir) => {
+        import org.apache.spark.ml.functions.vector_to_array
+        val cust = Tables.customer(s, dir).select(
+          col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(7)) === 0, lit(null))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_nationkey"), col("c_mktsegment"))
+        graft.functions.ML.featuremat(cust)
+          .select(col("c_custkey"),
+            posexplode(vector_to_array(col("features"))).as(Seq("pos", "v")))
+          // + 0.0 canonicalizes IEEE -0.0 (a rounded tiny negative) to
+          // +0.0 — DuckDB's ROUND returns +0.0 where Spark keeps the sign
+          .select(col("c_custkey"), col("pos").cast("long").as("pos"),
+            (round(col("v"), 5) + lit(0.0)).as("val"))
+          .orderBy("c_custkey", "pos")
+      },
+      Some("""WITH base AS (SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+             |    CAST(c_custkey AS DOUBLE) AS ck,
+             |    CAST(c_nationkey AS DOUBLE) AS nk,
+             |    c_mktsegment AS seg
+             |  FROM customer),
+             |imp AS (SELECT c_custkey, seg,
+             |    COALESCE(bal, (SELECT AVG(bal) FROM base)) AS bal_i,
+             |    CASE WHEN bal IS NULL THEN 1.0 ELSE 0.0 END AS bal_m,
+             |    ck, nk FROM base),
+             |st AS (SELECT
+             |    AVG(bal_i) AS m0, STDDEV_SAMP(bal_i) AS s0,
+             |    AVG(bal_m) AS m1, STDDEV_SAMP(bal_m) AS s1,
+             |    AVG(ck) AS m2, STDDEV_SAMP(ck) AS s2,
+             |    AVG(nk) AS m4, STDDEV_SAMP(nk) AS s4
+             |  FROM imp),
+             |vec AS (SELECT i.c_custkey, [
+             |    CASE WHEN st.s0 > 0 THEN (i.bal_i - st.m0) / st.s0 ELSE 0.0 END,
+             |    CASE WHEN st.s1 > 0 THEN (i.bal_m - st.m1) / st.s1 ELSE 0.0 END,
+             |    CASE WHEN st.s2 > 0 THEN (i.ck - st.m2) / st.s2 ELSE 0.0 END,
+             |    0.0,
+             |    CASE WHEN st.s4 > 0 THEN (i.nk - st.m4) / st.s4 ELSE 0.0 END,
+             |    0.0,
+             |    CASE WHEN i.seg = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END,
+             |    CASE WHEN i.seg = 'BUILDING' THEN 1.0 ELSE 0.0 END,
+             |    CASE WHEN i.seg = 'FURNITURE' THEN 1.0 ELSE 0.0 END,
+             |    CASE WHEN i.seg = 'HOUSEHOLD' THEN 1.0 ELSE 0.0 END] AS arr
+             |  FROM imp i, st)
+             |SELECT c_custkey, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+             |  ROUND(unnest(arr), 5) + 0.0 AS val
+             |FROM vec ORDER BY c_custkey, pos""".stripMargin))
   )
 }
