@@ -116,6 +116,35 @@ private[graft] object Batch9 {
              |  FROM imp i, st)
              |SELECT c_custkey, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
              |  ROUND(unnest(arr), 5) + 0.0 AS val
-             |FROM vec ORDER BY c_custkey, pos""".stripMargin))
+             |FROM vec ORDER BY c_custkey, pos""".stripMargin)),
+
+    // The OnlineStats Partition sketch's data form under the oracle
+    // (reference src/recipes.jl Partition(stat, nparts); the sketch twin
+    // partitionSketch stays the mergeable/streaming form, spec-asserted
+    // equal): lineitem's extendedprice profiled over 7 contiguous chunks
+    // of the table in global (l_orderkey, l_linenumber) pkey order. The
+    // oracle rebuilds the position axis with ROW_NUMBER over the same
+    // order and the same pure-integer chunk grid — 7 deliberately does
+    // NOT divide the fixture row count, so the uneven-chunk boundary
+    // arithmetic is exercised, and pos_lo/pos_hi pin every boundary.
+    Q("q106_partition_sketch",
+      (s, dir) => {
+        graft.functions.Sketches.partitionData(
+            graft.core.JTable(Tables.lineitem(s, dir),
+              Seq("l_orderkey", "l_linenumber")),
+            "l_extendedprice", nparts = 7)
+          .orderBy("part")
+      },
+      Some("""WITH pos AS (SELECT
+             |    CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS pos,
+             |    l_extendedprice AS v
+             |  FROM lineitem),
+             |nn AS (SELECT COUNT(*) AS n FROM pos)
+             |SELECT pos * 7 // nn.n AS part,
+             |  MIN(pos) AS pos_lo, MAX(pos) AS pos_hi, COUNT(*) AS n,
+             |  CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mean_v,
+             |  MIN(v) AS min_v, MAX(v) AS max_v
+             |FROM pos, nn
+             |GROUP BY 1 ORDER BY part""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{col, count, greatest, isnan, least, lit, max, min, sum, udaf, when}
+import org.apache.spark.sql.functions.{col, count, expr, greatest, isnan, least, lit, max, min, sum, udaf, when}
 
 /** OnlineStats-style mergeable aggregators (reference §2.4: `Mean`,
   * `Variance`, `Extrema`, `CountMap`, `Hist`, `KHist`; copy-per-chunk +
@@ -317,6 +317,43 @@ object Sketches {
       .head().getSeq[org.apache.spark.sql.Row](0)
       .map(r => MomentsOut(r.getLong(0), r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4)))
+  }
+
+  /** Plot-DATA form of the OnlineStats `Partition` sketch — the
+    * SQL-expressible exact twin of [[partitionSketch]] (the same
+    * relationship [[partitionplotData]] has to [[IndexedPartitionAgg]]):
+    * the value column summarized over `nparts` contiguous chunks of the
+    * table in GLOBAL pkey order. Positions come from the same
+    * partition-offset zipWithIndex machinery (no single-task window);
+    * chunk assignment is PURE LONG arithmetic — part = pos·nparts div n —
+    * which is exact at any n where the sketch twin's double binning
+    * ((pos/n)·nparts cast to int) can land one off at representation
+    * boundaries; the mean accumulates through an exact decimal sum so the
+    * result is deterministic under any partitioning. Null values (or
+    * doubles the cast nulls out) and NaNs are dropped BEFORE the position
+    * numbering, mirroring [[partitionplotData]]'s documented contract.
+    * Two jobs (zipWithIndex's count + the aggregation), both fully
+    * parallel; the groupBy is map-side combined on ≤ nparts keys. */
+  def partitionData(t: graft.core.JTable, valueCol: String,
+                    nparts: Int): DataFrame = {
+    require(nparts > 0, s"nparts must be positive, got $nparts")
+    require(t.pkey.nonEmpty, "partitionData requires a pkey (sequence = pkey order)")
+    require(t.df.columns.contains(valueCol), s"no column $valueCol")
+    val sorted = t.df
+      .select(t.pkey.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .orderBy(t.pkey.map(col): _*)
+    val vIdx = sorted.columns.length - 1
+    val posVal = sorted.rdd.zipWithIndex().map { case (r, i) => (i, r.getDouble(vIdx)) }
+    val spark = t.spark
+    import spark.implicits._
+    val pv = posVal.toDF("pos", "v")
+    val n = posVal.count()
+    pv.groupBy(expr(s"pos * $nparts div $n").as("part"))
+      .agg(min(col("pos")).as("pos_lo"), max(col("pos")).as("pos_hi"),
+        count(lit(1)).as("n"),
+        (sum(col("v").cast("decimal(28,4)")).cast("double") / count(lit(1))).as("mean_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
   }
 
   // ---- Column forms of the sketches (for combinators / plain .agg) --------
