@@ -145,6 +145,73 @@ private[graft] object Batch9 {
              |  CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mean_v,
              |  MIN(v) AS min_v, MAX(v) AS max_v
              |FROM pos, nn
-             |GROUP BY 1 ORDER BY part""".stripMargin))
+             |GROUP BY 1 ORDER BY part""".stripMargin)),
+
+    // Streaming batch-parity gate: the curateStream pipeline (Gopher-style
+    // quality gate → digest-keyed TTL-bounded streaming dedup) driven over
+    // the documents fixture through a REAL MemoryStream micro-batch
+    // sequence — originals in batch 1, an id-shifted duplicate copy of the
+    // whole corpus in batch 2 (same texts, doc_id + 1e6, later event
+    // times) — with the oracle computing the batch semantics: one row per
+    // distinct normalized-text digest among gate-passing docs, keyed by
+    // the min doc id. Batch 2 must be FULLY suppressed by the stateful
+    // dedup (every digest was seen in batch 1 and the TTL outlives the
+    // fixture's time span), so a green row certifies that the streaming
+    // pipeline's gate, digest, state, and first-seen semantics match the
+    // batch definition exactly. Gate thresholds are curateStream's
+    // defaults (minTokens=50, dup2≤0.2, mean token length [3,10];
+    // stopRatio≥0.0 is trivially true and omitted from the SQL). The
+    // driver-side collect is the fixture feed, not the pipeline: a
+    // MemoryStream needs in-memory batches (500 docs at the sf0.01 gate
+    // scale); the pipeline itself is the production streaming form.
+    Q("q107_stream_curate_parity",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.streaming.Streams
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val both = base.union(
+          base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val rows = both.collect().map(r => (r.getLong(0), r.getString(1)))
+        val (dupes, orig) = rows.partition(_._1 >= 1000000L)
+        val ms = MemoryStream[(Long, String)](s)
+        val docs = ms.toDS().toDF("doc_id", "text")
+          .withColumn("crawl_ts",
+            timestamp_seconds(lit(1700000000L) + col("doc_id")))
+        val out = Streams.curateStream(docs, "doc_id", "text", "crawl_ts",
+          watermarkDelay = "0 seconds", ttlMs = 10L * 365 * 24 * 3600 * 1000,
+          minTokens = 50, maxDupFrac = 0.2)
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q107_sink").start()
+        try {
+          ms.addData(orig.toSeq); q.processAllAvailable()
+          ms.addData(dupes.toSeq); q.processAllAvailable()
+        } finally q.stop()
+        s.table("q107_sink")
+          .select(col("payload").as("doc_id"), col("key").as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+             |toks AS (SELECT doc_id, text, list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |    x -> length(x) > 0) AS tk
+             |  FROM t),
+             |grams AS (SELECT doc_id, unnest(list_transform(
+             |    range(1, GREATEST(len(tk) - 1, 0) + 1), i -> tk[i] || ' ' || tk[i+1])) AS g
+             |  FROM toks),
+             |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+             |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+             |    CAST(COUNT(*) AS BIGINT) AS dist FROM cnt GROUP BY 1),
+             |gated AS (SELECT k.doc_id, k.text FROM toks k LEFT JOIN rep r USING (doc_id)
+             |  WHERE len(k.tk) >= 50 AND len(k.tk) <= 100000
+             |    AND CAST(list_sum(list_transform(k.tk, x -> length(x))) AS DOUBLE) / len(k.tk) >= 3.0
+             |    AND CAST(list_sum(list_transform(k.tk, x -> length(x))) AS DOUBLE) / len(k.tk) <= 10.0
+             |    AND (CASE WHEN COALESCE(r.total, 0) > 0
+             |      THEN CAST(r.total - r.dist AS DOUBLE) / r.total ELSE 0.0 END) <= 0.2),
+             |keyed AS (SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+             |    doc_id FROM gated)
+             |SELECT MIN(doc_id) AS doc_id, digest FROM keyed GROUP BY digest
+             |ORDER BY doc_id""".stripMargin))
   )
 }
