@@ -59,8 +59,9 @@ object Text {
   }
 
   /** Stopword ratio against a tiny English stopword list; 0.0 when there
-    * are no tokens. */
-  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it")
+    * are no tokens. The list's single source of truth is
+    * plans.HashOps.Stopwords (shared with the fused native gate). */
+  val stopwords: Seq[String] = graft.plans.HashOps.Stopwords
   def stopwordRatio(text: Column): Column = {
     val t = tokens(text)
     when(size(t) > 0,
@@ -194,9 +195,25 @@ object Text {
   /** Gopher-style composite quality gate: token count window, mean-token-
     * length window, minimum stopword ratio, maximum duplicate-2-gram
     * fraction. Returns a BOOLEAN keep column; thresholds are parameters
-    * because every corpus tunes them. All four signals are narrow
-    * per-row exprs — the gate adds zero shuffles to a curation pipeline. */
+    * because every corpus tunes them. ONE fused native expression
+    * (plans.GopherKeep): a single tokenizer pass + one gram map per row,
+    * inside WholeStageCodegen — the HOF-based conjunction (kept below as
+    * [[gopherKeepHof]], the spec's bit-equality reference) is
+    * CodegenFallback through ArrayFilter/ArrayAggregate, which ejects the
+    * projection from codegen AND re-evaluates the tokens subtree per
+    * signal (fresh lambda ExprIds defeat subexpression elimination — the
+    * round-6 audit counted ~10 tokenizer evals per row). The gate still
+    * adds zero shuffles to a curation pipeline. */
   def gopherKeep(text: Column,
+                 minTokens: Long = 50, maxTokens: Long = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minStopRatio: Double = 0.0, maxDupFrac: Double = 0.2): Column =
+    graft.plans.HashExpressions.gopherKeep(text, 2, minTokens, maxTokens,
+      minMeanLen, maxMeanLen, minStopRatio, maxDupFrac)
+
+  /** The Column-HOF reference formulation of [[gopherKeep]] — what the
+    * spec asserts the fused native expression against, signal by signal. */
+  private[graft] def gopherKeepHof(text: Column,
                  minTokens: Long = 50, maxTokens: Long = 100000,
                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                  minStopRatio: Double = 0.0, maxDupFrac: Double = 0.2): Column = {

@@ -202,6 +202,71 @@ object HashOps {
     new GenericArrayData(Array(m.toLong, counts.size.toLong, top.toLong))
   }
 
+  /** Canonical stopword list — `functions.Text.stopwords` re-exports this
+    * (single source of truth between the Column signals and the fused
+    * native gate). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it")
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Stopwords.foreach(s.add)
+    s
+  }
+
+  /** The composite Gopher-style quality gate in ONE pass: token-count
+    * window, mean-token-length window, minimum stopword ratio, maximum
+    * duplicate-n-gram fraction — the same four signals as the Column
+    * formulation (functions.Text.gopherKeep's spec asserts bit-equality),
+    * but with a single tokenizer walk and one gram map per row instead of
+    * ~10 independent evaluations of the tokens subtree: the HOF-based
+    * conjunction is CodegenFallback (ArrayFilter/ArrayAggregate), which
+    * both ejects the projection from WholeStageCodegen AND defeats
+    * subexpression elimination (each lambda gets fresh ExprIds, so the
+    * shared tokens subtree is not semantically equal across signals).
+    * Signal arithmetic mirrors the Column forms exactly: mean/stop ratios
+    * are 0.0 for token-less text, dup fraction is (total−distinct)/total
+    * over n-gram occurrences (0.0 when no grams), and the conjunction
+    * short-circuits identically (pure boolean, no nulls past the
+    * null-safe wrapper). */
+  def gopherKeepJava(s: UTF8String, n: Int, minTokens: Long, maxTokens: Long,
+                     minMeanLen: Double, maxMeanLen: Double,
+                     minStopRatio: Double, maxDupFrac: Double): Boolean = {
+    val (str, starts, ends) = tokenSpans(s.toString)
+    val nt = starts.length
+    if (nt < minTokens || nt > maxTokens) return false
+    var sumLen = 0L
+    var stop = 0
+    var i = 0
+    while (i < nt) {
+      sumLen += ends(i) - starts(i)
+      if (stopSet.contains(str.substring(starts(i), ends(i)))) stop += 1
+      i += 1
+    }
+    val ml = if (nt > 0) sumLen.toDouble / nt else 0.0
+    if (!(ml >= minMeanLen && ml <= maxMeanLen)) return false
+    val sr = if (nt > 0) stop.toDouble / nt else 0.0
+    if (sr < minStopRatio) return false
+    val m = nt - n + 1
+    var df2 = 0.0
+    if (m > 0) {
+      val counts = new java.util.HashMap[String, Integer]()
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          sb.append(str, starts(j + k), ends(j + k))
+          if (k < n - 1) sb.append(' ')
+          k += 1
+        }
+        counts.merge(sb.toString, 1, (a, b) => a + b)
+        j += 1
+      }
+      df2 = (m.toLong - counts.size).toDouble / m
+    }
+    df2 <= maxDupFrac
+  }
+
   // --- codegen-callable entry points (static forwarders on this object) ---
 
   def minhashSigJava(s: UTF8String, n: Int, k: Int): ArrayData = {
@@ -544,6 +609,54 @@ case class RepStats(child: Expression, n: Int)
   override def prettyName: String = "rep_stats"
 }
 
+/** gopher_keep(text): the composite Gopher-style quality gate fused into
+  * one codegen'd native expression (see HashOps.gopherKeepJava) — keeps a
+  * curation projection inside WholeStageCodegen where the HOF-based
+  * conjunction is CodegenFallback, and does one tokenizer pass instead of
+  * ~10. Threshold params are plan constants (embedded in generated code),
+  * hence required finite. */
+case class GopherKeep(child: Expression, n: Int,
+                      minTokens: Long, maxTokens: Long,
+                      minMeanLen: Double, maxMeanLen: Double,
+                      minStopRatio: Double, maxDupFrac: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"gopher_keep n-gram size must be >= 1, got $n")
+  require(!minMeanLen.isNaN && !minMeanLen.isInfinite &&
+    !maxMeanLen.isNaN && !maxMeanLen.isInfinite &&
+    !minStopRatio.isNaN && !minStopRatio.isInfinite &&
+    !maxDupFrac.isNaN && !maxDupFrac.isInfinite,
+    "gopher_keep thresholds must be finite (they are codegen literals)")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  // NULL text gates to FALSE, not null — matching the HOF conjunction's
+  // observed three-valued collapse (the mean-length window's otherwise(0.0)
+  // arm makes one conjunct definitively false, and null AND false = false),
+  // so the fused gate is a drop-in for the round-6 semantics and the
+  // expression is non-nullable (filters and projections see a plain bool).
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    java.lang.Boolean.valueOf(v != null &&
+      HashOps.gopherKeepJava(v.asInstanceOf[UTF8String], n, minTokens,
+        maxTokens, minMeanLen, maxMeanLen, minStopRatio, maxDupFrac))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+        ${childGen.code}
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull}) {
+          ${ev.value} = graft.plans.HashOps.gopherKeepJava(${childGen.value}, $n,
+            ${minTokens}L, ${maxTokens}L, ${minMeanLen}D, ${maxMeanLen}D,
+            ${minStopRatio}D, ${maxDupFrac}D);
+        }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): GopherKeep = copy(child = c)
+  override def prettyName: String = "gopher_keep"
+}
+
 /** shingle_hashes(text): the distinct shingle-hash set itself (for Jaccard
   * estimation / inverted indexes over hashed shingles at scale — shuffling
   * 8-byte hashes instead of shingle strings). `wide` selects the 64-bit
@@ -779,6 +892,11 @@ object HashExpressions {
   def shingleStrings(c: Column, n: Int): Column =
     column(ShingleStrings(expression(c), n))
   def repStats(c: Column, n: Int): Column = column(RepStats(expression(c), n))
+  def gopherKeep(c: Column, n: Int, minTokens: Long, maxTokens: Long,
+                 minMeanLen: Double, maxMeanLen: Double,
+                 minStopRatio: Double, maxDupFrac: Double): Column =
+    column(GopherKeep(expression(c), n, minTokens, maxTokens,
+      minMeanLen, maxMeanLen, minStopRatio, maxDupFrac))
   def shingleHashesAll(c: Column, n: Int): Column =
     column(ShingleHashesAll(expression(c), n))
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))

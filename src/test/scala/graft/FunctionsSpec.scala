@@ -813,6 +813,59 @@ class FunctionsSpec extends SparkSpec {
     assert(keeps == Set(true, false), s"gate does not discriminate: $keeps")
   }
 
+  test("gopherKeep: fused gate runs inside WholeStageCodegen, one tokenizer call per row") {
+    // Round-6 audit result: the HOF-based conjunction evaluated the tokens
+    // subtree ~10× per row AND ejected the projection from WholeStageCodegen
+    // (ArrayFilter/ArrayAggregate are CodegenFallback, and fresh lambda
+    // ExprIds defeat subexpression elimination — CSE could never have saved
+    // it). The gate is now ONE native expression; this pins both halves:
+    // the projection is codegen'd (starred in the plan) and the generated
+    // code calls gopherKeepJava exactly once — one tokenizer pass per row.
+    val docs = Tables.documents(spark, sf)
+    val df = docs.select(Text.gopherKeep(col("text"),
+      minTokens = 40, maxTokens = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+      minStopRatio = 0.02, maxDupFrac = 0.05).as("keep"))
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("*(1) Project"),
+      s"gopherKeep projection fell out of WholeStageCodegen:\n$planStr")
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    val nGate = "gopherKeepJava\\(".r.findAllIn(code).size
+    assert(nGate == 1,
+      s"expected exactly 1 gopherKeepJava call site in generated code, got $nGate")
+  }
+
+  test("gopherKeep: fused native gate == HOF conjunction, fixture + edge cases") {
+    import spark.implicits._
+    // fixture corpus at thresholds that split it, plus hand-built edges:
+    // empty text, whitespace-only, token-less-after-normalize, all-stopword
+    // (mean len < 3 but stop ratio 1), pure repetition (dup2 = 1), null
+    val edges = Seq("", "   ", "\t\n", "the the the the the",
+      ("spark " * 60).trim, "one two three four five six seven eight nine ten")
+      .toDF("text")
+    val corpus = Tables.documents(spark, sf).select(col("text")).union(edges)
+    for ((minT, maxT, minL, maxL, minS, maxD) <-
+           Seq((40L, 100000L, 3.0, 10.0, 0.02, 0.05),
+               (0L, 100000L, 0.0, 100.0, 0.0, 1.0),
+               (50L, 100000L, 3.0, 10.0, 0.0, 0.2))) {
+      val bad = corpus.select(
+          Text.gopherKeep(col("text"), minT, maxT, minL, maxL, minS, maxD).as("a"),
+          Text.gopherKeepHof(col("text"), minT, maxT, minL, maxL, minS, maxD).as("b"))
+        .filter(!(col("a") <=> col("b")))
+      assert(bad.isEmpty,
+        s"fused/HOF divergence at ($minT,$maxT,$minL,$maxL,$minS,$maxD): " +
+          bad.take(3).mkString("; "))
+      // NULL text: the fused gate's contract is a definitive FALSE (the
+      // HOF's null result is threshold-dependent three-valued noise —
+      // false when some conjunct collapses, null otherwise; a curation
+      // gate must never pass a null document either way)
+      val onNull = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+        .select(Text.gopherKeep(col("text"), minT, maxT, minL, maxL, minS, maxD))
+        .head().getBoolean(0)
+      assert(!onNull, "null text must gate to false")
+    }
+  }
+
   test("chunkTokens: golden grid + lossless reconstruction on fixture") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "  ")).toDF("id", "text")
