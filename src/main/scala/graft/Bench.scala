@@ -24,6 +24,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val qs0 = SparkEntry.queries
     def fmt(d: Double): String = f"$d%.4f"
+    // Materialize via a noop-sink WRITE, not count(): under count(),
+    // Catalyst prunes every unreferenced column and EliminateSorts drops
+    // the final orderBy — for project/window-shaped queries that can
+    // optimize away the very operator being measured (an asof join's
+    // value columns come from the window; prune them and the window
+    // itself disappears from the plan). The noop sink consumes every row
+    // at full width with zero serialization cost, so the timed plan is
+    // the plan the query actually declares.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // a crashing query is flagged (value -1, listed in "errors") instead of
     // silently folding its time-to-crash into the headline total
     case class R(name: String, median: Double, min: Double, max: Double, ok: Boolean)
@@ -35,13 +45,13 @@ object Bench {
       // in a JVM pays JIT + codegen compilation + broadcast warm costs that
       // the steady-state runs don't — folding it in skewed every median
       // high and run-order-dependently.
-      try { fn(spark, sfDir).count() }
+      try { run(fn(spark, sfDir)) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed in warmup: $e"); ok = false }
       var i = 0
       while (ok && i < iters) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        try { run(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e"); ok = false }
         i += 1

@@ -318,5 +318,11 @@ object SparkEntry {
     "q28_text_stats", "q32_dedup_exact", "q34_dedup_minhash",
     "q35_dedup_simhash", "q37_embed_topk", "q60_shipping_priority",
     "q62_large_orders", "q86_dedup_clusters", "q90_pack_greedy",
-    "q95_repetition", "q98_tfidf", "q99_range_join", "q102_shared_passages")
+    "q95_repetition", "q98_tfidf", "q99_range_join", "q102_shared_passages",
+    // the skew pair: identical semantics on a deliberately hot key set
+    // (3 window partitions) — q108's time is set by the hottest key,
+    // q78's by the salt-bucket machinery's fixed overhead; the pair
+    // turns the skew tradeoff into two measured lines per round (at
+    // fixture scale the overhead side wins — see Batch9.q108's comment)
+    "q108_asof_hot_plain", "q78_asof_salted")
 }

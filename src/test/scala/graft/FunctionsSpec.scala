@@ -219,6 +219,39 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minhashLSH: hashed band buckets == value-joined band slices on fixture") {
+    // The q34 oracle joins raw band-slice VALUES while the operator joins
+    // xxhash64-packed (band, slice) buckets — semantically equal modulo a
+    // 64-bit bucket collision, which can only ADD a candidate pair. This
+    // pins that equality on the fixture (hash candidates are always ⊇
+    // value candidates; equality means zero collisions here), so a future
+    // fixture change that introduces a colliding pair fails THIS spec
+    // with a clear message instead of hash-mismatching q34's gate.
+    val docs = Tables.documents(spark, sf)
+    val n = 3; val bands = 8; val rpb = 2
+    val sigs = docs.filter(Text.tokenCount(col("text")) >= n)
+      .select(col("doc_id").as("id"),
+        Dedup.minhashSignature(col("text"), n, bands * rpb).as("sig"))
+    def pairsOf(bucketed: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val a = bucketed.as("a"); val b = bucketed.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val hashed = pairsOf(sigs.select(col("id"),
+      explode(array((0 until bands).map(bb =>
+        xxhash64(lit(bb), slice(col("sig"), bb * rpb + 1, rpb))): _*)).as("bucket")))
+    val valued = pairsOf(sigs.select(col("id"),
+      explode(array((0 until bands).map(bb =>
+        struct(lit(bb), slice(col("sig"), bb * rpb + 1, rpb))): _*)).as("bucket")))
+    assert(valued.subsetOf(hashed),
+      "hashed buckets LOST candidates - packing must be superset-safe")
+    assert(hashed == valued,
+      s"xxhash64 bucket collision on this fixture: ${(hashed -- valued).take(5)} " +
+        "- q34's value-joined oracle is no longer exactly equal to the " +
+        "operator; re-pick fixture params or document the extra pair")
+  }
+
   test("simhash: identical docs distance 0, near docs small distance") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
