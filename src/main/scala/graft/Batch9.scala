@@ -252,6 +252,40 @@ private[graft] object Batch9 {
              |    ROW_NUMBER() OVER (PARTITION BY p.event_id
              |      ORDER BY c.tus DESC, c.event_id DESC, c.value DESC) AS rn
              |  FROM p LEFT JOIN c ON p.uid = c.uid AND c.tus <= p.tus) t
-             |WHERE rn = 1 ORDER BY event_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // The hot-key cap's OTHER branch under the oracle: sharedPassages'
+    // positioned grams are NOT per-doc distinct (a gram repeated inside
+    // one doc must count once toward corpus doc frequency), so its
+    // capHotKeys call takes the dedup-before-count path that q104's
+    // jaccardPairs cap skips. maxDF=3 drops the boilerplate grams and
+    // visibly reshapes the run set at both fixture scales (345 runs vs
+    // q102-style uncapped 402 at sf0.01 with minRun=2); the oracle
+    // recomputes doc frequency over DISTINCT (gram, doc) and walks the
+    // same diagonal/run construction on the surviving gram universe.
+    Q("q109_shared_passages_capped",
+      (s, dir) => {
+        graft.functions.Dedup.sharedPassages(docs(s, dir), "doc_id", "text",
+            n = 3, minRun = 2, maxDF = 3)
+          .orderBy("i", "j", "start_i", "start_j")
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |    x -> length(x) > 0) AS t
+             |  FROM documents),
+             |idx AS (SELECT doc_id, t, unnest(range(1, GREATEST(len(t) - 2, 0) + 1)) AS i FROM toks),
+             |pg0 AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+             |hot AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM pg0)
+             |  GROUP BY g HAVING COUNT(*) > 3),
+             |pg AS (SELECT pg0.doc_id, pg0.pos, pg0.g FROM pg0 ANTI JOIN hot USING (g)),
+             |m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj, a.pos - b.pos AS d
+             |  FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |runs AS (SELECT i, j, d, pi, pj,
+             |    pi - ROW_NUMBER() OVER (PARTITION BY i, j, d ORDER BY pi) AS grp FROM m),
+             |agg AS (SELECT i, j, d, grp, MIN(pi) AS start_i, MIN(pj) AS start_j,
+             |    CAST(COUNT(*) AS BIGINT) AS run_grams FROM runs GROUP BY 1, 2, 3, 4)
+             |SELECT i, j, start_i, start_j, run_grams, run_grams + 2 AS run_tokens
+             |FROM agg WHERE run_grams >= 2
+             |ORDER BY i, j, start_i, start_j""".stripMargin))
   )
 }
