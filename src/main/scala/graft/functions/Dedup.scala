@@ -56,7 +56,16 @@ object Dedup {
     * A hash collision can only merge two shingles (slightly overcounting
     * n_common); the spec asserts fixture-equality with the string form,
     * which remains the default because it is what the SQL oracle can
-    * reproduce exactly. */
+    * reproduce exactly.
+    *
+    * Self-join plan note: Spark shares no common subplans, so the index
+    * subtree (scan → shingle explode, plus the cap's anti-join + recount
+    * when maxDF > 0) is evaluated once per join side — a bounded 2×, not
+    * a blow-up, and the same tradeoff as q98's documented two scans. A
+    * production pass over 100 TB that reuses the index (several
+    * thresholds, repeated runs) should materialize it once — write the
+    * capped (id, sz, s) rows with IO.save (bucketed by s) and self-join
+    * the saved table; the operator keeps the lazy one-shot form. */
   /** Hot-key cap shared by the inverted-index operators: drop rows whose
     * `keyCol` value appears in more than `maxDF` DOCUMENTS (per-doc
     * repeats of a key count once — a doc that internally repeats a gram

@@ -66,6 +66,29 @@ class FunctionsSpec extends SparkSpec {
     assert(parts(0).min == 10.0 && parts(1).max == 50.0)
   }
 
+  test("partitionData == partitionSketch chunk summaries on the fixture") {
+    // ties the SQL-expressible exact twin (q106's operator) to the
+    // mergeable sketch form: same chunk boundaries (the sketch's double
+    // binning and the twin's pure-long grid agree away from 2^52-scale
+    // representation boundaries), exact n/min/max, means within sketch
+    // arithmetic tolerance (decimal-exact sum vs Welford merges)
+    val t = graft.core.JTable(Tables.lineitem(spark, sf),
+      Seq("l_orderkey", "l_linenumber"))
+    val nparts = 7
+    val sketch = Sketches.partitionSketch(t, "l_extendedprice", nparts)
+    val data = Sketches.partitionData(t, "l_extendedprice", nparts)
+      .orderBy("part").collect()
+    assert(data.length == nparts && sketch.length == nparts)
+    data.zip(sketch).foreach { case (row, mo) =>
+      assert(row.getAs[Long]("n") == mo.n, s"n mismatch at part ${row.get(0)}")
+      assert(row.getAs[Double]("min_v") == mo.min)
+      assert(row.getAs[Double]("max_v") == mo.max)
+      assert(math.abs(row.getAs[Double]("mean_v") - mo.mean) <=
+        1e-9 * math.max(1.0, math.abs(mo.mean)),
+        s"mean mismatch at part ${row.get(0)}: ${row.getAs[Double]("mean_v")} vs ${mo.mean}")
+    }
+  }
+
   test("KHist quantiles track exact percentiles (approximation quality)") {
     val o = Tables.orders(spark, sf)
     val exact = o.select(
