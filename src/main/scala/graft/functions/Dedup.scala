@@ -117,7 +117,15 @@ object Dedup {
           .withColumn("sz", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
       } else sh
-    val a = shFiltered.as("a"); val b = shFiltered.as("b")
+    // SHUFFLE_HASH on the index self-join: without it the planner
+    // broadcasts the ENTIRE inverted index when it fits (measured 2.4×
+    // slower at sf0.1 — every task re-reads a corpus-sized build side),
+    // and at 100 TB an index broadcast is exactly the plan that dies on
+    // the 8 GB limit. A hash join on 8-byte keys also skips SMJ's
+    // per-side sort; build-side partitions are bounded once maxDF caps
+    // hot keys, and Spark's SHJ spills if they are not.
+    val a = shFiltered.hint("shuffle_hash").as("a")
+    val b = shFiltered.hint("shuffle_hash").as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       // sz is functionally dependent on the grouped id, so min == the only
@@ -165,7 +173,11 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
         .as("bucket"))
-    val a = bandRows.as("a"); val b = bandRows.as("b")
+    // SHUFFLE_HASH: the banded signature table is corpus-sized — never a
+    // broadcast candidate at scale (see jaccardPairs), and hash beats
+    // sort-merge on the 8-byte bucket key
+    val a = bandRows.hint("shuffle_hash").as("a")
+    val b = bandRows.hint("shuffle_hash").as("b")
     // verify BEFORE dedup: est_sim is a cheap narrow compute, and filtering
     // first means the dropDuplicates shuffle carries only surviving pairs
     // (candidate volume can be orders of magnitude larger).
@@ -374,7 +386,10 @@ object Dedup {
     val shF =
       if (maxDF > 0) capHotKeys(sh, "h", "id", maxDF, distinctPerDoc = false)
       else sh
-    val a = shF.as("a"); val b = shF.as("b")
+    // same SHUFFLE_HASH rationale as jaccardPairs: never broadcast a
+    // corpus-sized positional index, and skip the SMJ sort on 8-byte keys
+    val a = shF.hint("shuffle_hash").as("a")
+    val b = shF.hint("shuffle_hash").as("b")
     val m = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         col("a.pos").as("pi"), col("b.pos").as("pj"))
@@ -463,7 +478,9 @@ object Dedup {
         shiftleft(lit(blk.toLong), 56)
           .bitwiseOR(pmod(shiftright(col("sig"), blk * blockBits), lit(1L << blockBits)))): _*))
         .as("bucket"))
-    val a = blocks.as("a"); val b = blocks.as("b")
+    // SHUFFLE_HASH: same corpus-sized-self-join rationale as jaccardPairs
+    val a = blocks.hint("shuffle_hash").as("a")
+    val b = blocks.hint("shuffle_hash").as("b")
     // verify BEFORE dedup (popcount is cheap; the dedup shuffle then only
     // carries true near-dup pairs, not the full candidate blowup)
     val cand = a.join(b,

@@ -244,7 +244,9 @@ object Similarity {
       .withColumn("nrm", sqrt(dotFix9(col("vf"), col("vf"))))
     val e = base.select(col("id"), col("vf"), col("nrm"),
       posexplode(col("ss")).as(Seq("tbl", "sig")))
-    val a = e.as("a"); val b = e.as("b")
+    // SHUFFLE_HASH: the signature-exploded corpus is never a broadcast
+    // candidate at scale (same rationale as Dedup.jaccardPairs)
+    val a = e.hint("shuffle_hash").as("a"); val b = e.hint("shuffle_hash").as("b")
     // dedup BEFORE scoring (reverse of minhashLSH's order): the exact
     // decimal re-check is the expensive step here, so each candidate pair
     // must be scored once, not once per colliding table.
