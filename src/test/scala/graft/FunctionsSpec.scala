@@ -275,6 +275,30 @@ class FunctionsSpec extends SparkSpec {
         "operator; re-pick fixture params or document the extra pair")
   }
 
+  test("index self-joins plan as ShuffledHashJoin, never an index broadcast") {
+    // Round-7 fix pinned: left alone, the planner broadcast the ENTIRE
+    // inverted index / signature table whenever it fit under the
+    // threshold — 2.4× slower at fixture scale and the exact plan that
+    // dies on the 8 GB broadcast limit at 100 TB. The SHUFFLE_HASH hints
+    // must survive optimization; a Spark upgrade that drops them would
+    // silently reintroduce the broadcast.
+    val docs = Tables.documents(spark, sf)
+    val plans = Seq(
+      "jaccardPairs" -> Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3),
+      "sharedPassages" -> Dedup.sharedPassages(docs, "doc_id", "text", 3, 3),
+      "minhashLSH" -> Dedup.minhashLSH(docs, "doc_id", "text", 3, 8, 2, 0.25),
+      "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text"))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$name: candidate self-join is not a ShuffledHashJoin:\n$plan")
+      val indexBroadcast = Seq("BroadcastHashJoin [s#", "BroadcastHashJoin [h#",
+        "BroadcastHashJoin [bucket#").exists(plan.contains)
+      assert(!indexBroadcast,
+        s"$name: the corpus-sized index side is being broadcast:\n$plan")
+    }
+  }
+
   test("simhash: identical docs distance 0, near docs small distance") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
