@@ -610,4 +610,43 @@ class PropertySpec extends SparkSpec {
       Prop(got == expect) :| s"n=$n got=$got expect=$expect texts=$texts"
     }, minTests = 20)
   }
+
+  test("gopherKeep fused == HOF conjunction on random ASCII docs + thresholds") {
+    // the fused native gate's documented equivalence domain is ASCII-ish
+    // text (the tokenSpans String.toLowerCase vs normalize_ws
+    // UTF8String.toLowerCase divergence only appears for locale-special
+    // unicode like U+0130); generate adversarial ASCII: stopwords, long
+    // and 1-char words, digits, punctuation, every Java-regex \s
+    // whitespace char, repeated grams, empty docs
+    val word = Gen.oneOf("the", "a", "of", "spark", "q", "zz", "12345",
+      "w1", "longtokenword", "x.y!", "THE", "In")
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", "", "\f", "\r", " \t ")
+    val doc = for {
+      k <- Gen.choose(0, 24)
+      words <- Gen.listOfN(k, word)
+      seps <- Gen.listOfN(math.max(k - 1, 0), ws)
+      lead <- ws; trail <- ws
+    } yield {
+      val body = words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString
+      lead + body + trail
+    }
+    val thresholds = for {
+      minT <- Gen.choose(0L, 6L); maxT <- Gen.choose(6L, 30L)
+      minL <- Gen.choose(0.0, 3.0); maxL <- Gen.choose(3.0, 14.0)
+      minS <- Gen.choose(0.0, 0.4); maxD <- Gen.choose(0.0, 1.0)
+    } yield (minT, maxT, minL, maxL, minS, maxD)
+    check(forAll(Gen.listOfN(6, doc), thresholds) { case (texts, (minT, maxT, minL, maxL, minS, maxD)) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("i", "text")
+        .select(col("i"),
+          graft.functions.Text.gopherKeep(col("text"), minT, maxT, minL, maxL, minS, maxD).as("a"),
+          graft.functions.Text.gopherKeepHof(col("text"), minT, maxT, minL, maxL, minS, maxD).as("b"))
+        .orderBy("i").collect()
+        .map(r => (r.getBoolean(1), if (r.isNullAt(2)) null else r.getBoolean(2)))
+      // HOF nulls only arise from null TEXT (not generated here), so
+      // plain equality is the property
+      Prop(rows.forall { case (a, b) => b != null && a == b }) :|
+        s"thresholds=($minT,$maxT,$minL,$maxL,$minS,$maxD) rows=${rows.toList} texts=$texts"
+    }, minTests = 25)
+  }
 }
