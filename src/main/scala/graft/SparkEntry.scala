@@ -33,6 +33,13 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Bit-identical fast form of `dsum` for SCALE-2 SOURCE COLUMNS whose
+    * 100 TB overflow bound holds (see functions.FixedPoint — long
+    * accumulation of unscaled cents, ~3× cheaper than decimal per row;
+    * scale-4 discount products stay on [[dsum]]: their unscaled sum
+    * overflows 2^63 at the design point). */
+  private def fsum2(c: Column): Column = graft.functions.FixedPoint.sumFixed(c, 2)
+
   // ---------------------------------------------------------------------------
   private val batch1: Seq[Q] = Seq(
 
@@ -41,12 +48,16 @@ object SparkEntry {
       (s, dir) => {
         val t = JTable(li(s, dir))
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        // scale-2 sums ride the fixed-point long path (bit-identical to
+        // the decimal oracle, ~3× cheaper per row; q01 measured 0.81 →
+        // 0.48 s at sf0.1); the scale-4 discount product stays decimal —
+        // its unscaled sum overflows 2^63 at the 100 TB design point
         A.groupreduce(t, Seq("l_returnflag", "l_linestatus"),
-          "sum_qty" -> dsum(col("l_quantity")),
-          "sum_base_price" -> dsum(col("l_extendedprice")),
+          "sum_qty" -> fsum2(col("l_quantity")),
+          "sum_base_price" -> fsum2(col("l_extendedprice")),
           "sum_disc_price" -> dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4),
-          "avg_qty" -> (dsum(col("l_quantity")) / count(lit(1))),
-          "avg_price" -> (dsum(col("l_extendedprice")) / count(lit(1))),
+          "avg_qty" -> (fsum2(col("l_quantity")) / count(lit(1))),
+          "avg_price" -> (fsum2(col("l_extendedprice")) / count(lit(1))),
           "count_order" -> count(lit(1))
         ).orderBy("l_returnflag", "l_linestatus")
       },
@@ -262,7 +273,7 @@ object SparkEntry {
     Q("q14_reduce_scalar",
       (s, dir) => {
         A.reduce(JTable(li(s, dir)),
-          "total_qty" -> dsum(col("l_quantity")),
+          "total_qty" -> fsum2(col("l_quantity")),
           "min_ship" -> min(col("l_shipdate")),
           "max_ship" -> max(col("l_shipdate")),
           "n" -> count(lit(1)))

@@ -66,6 +66,27 @@ class FunctionsSpec extends SparkSpec {
     assert(parts(0).min == 10.0 && parts(1).max == 50.0)
   }
 
+  test("FixedPoint.sumFixed == decimal sum, fixture columns + signed edges") {
+    import graft.functions.FixedPoint
+    // fixture money/quantity columns (the q01 domain)
+    val li = Tables.lineitem(spark, sf)
+    val a = li.agg(
+      FixedPoint.sumFixed(col("l_quantity"), 2).as("f1"),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("d1"),
+      FixedPoint.sumFixed(col("l_extendedprice"), 2).as("f2"),
+      sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("d2")).head()
+    assert(a.getDouble(0) == a.getDouble(1) && a.getDouble(2) == a.getDouble(3))
+    // signed values + half-way cases: the snap must round half AWAY from
+    // zero exactly like the decimal(18,2) HALF_UP cast (-2.345 → -2.35)
+    import spark.implicits._
+    val edge = Seq(-2.345, 2.345, -0.005, 0.005, 0.0, -123.455, 99.995,
+      -0.01, 490.02).toDF("v")
+    val e = edge.agg(
+      FixedPoint.sumFixed(col("v"), 2).as("f"),
+      sum(col("v").cast("decimal(18,2)")).cast("double").as("d")).head()
+    assert(e.getDouble(0) == e.getDouble(1), s"${e.getDouble(0)} vs ${e.getDouble(1)}")
+  }
+
   test("partitionData == partitionSketch chunk summaries on the fixture") {
     // ties the SQL-expressible exact twin (q106's operator) to the
     // mergeable sketch form: same chunk boundaries (the sketch's double
