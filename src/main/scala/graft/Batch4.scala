@@ -71,7 +71,9 @@ private[graft] object Batch4 {
     Q("q62_large_orders",
       (s, dir) => {
         val big = li(s, dir).groupBy(col("l_orderkey"))
-          .agg(dsum(col("l_quantity")).as("total_qty"))
+          // scale-2 fixed-point path (see functions.FixedPoint: bit-
+          // identical to the decimal oracle, long-bounded at 100 TB)
+          .agg(graft.functions.FixedPoint.sumFixed(col("l_quantity"), 2).as("total_qty"))
           .filter(col("total_qty") > 150)
         val j = Joins.join(JTable(big), JTable(ord(s, dir)),
           Seq("l_orderkey"), Seq("o_orderkey"))
