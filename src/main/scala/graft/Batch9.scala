@@ -286,6 +286,96 @@ private[graft] object Batch9 {
              |    CAST(COUNT(*) AS BIGINT) AS run_grams FROM runs GROUP BY 1, 2, 3, 4)
              |SELECT i, j, start_i, start_j, run_grams, run_grams + 2 AS run_tokens
              |FROM agg WHERE run_grams >= 2
-             |ORDER BY i, j, start_i, start_j""".stripMargin))
+             |ORDER BY i, j, start_i, start_j""".stripMargin)),
+
+    // convertmissing under the oracle: the DataValue analog ("flagged" =
+    // struct<value, present>) flattened to columns, PLUS the lossless
+    // "null" round-trip in the same row — deterministic synthetic nulls
+    // (q105's %7 pattern) on both sides.
+    Q("q110_convertmissing",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).select(
+          col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(7)) === 0, lit(null))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        val flagged = graft.core.JTable(cust, Seq("c_custkey"))
+          .convertmissing("flagged", "c_acctbal")
+        val back = flagged.convertmissing("null", "c_acctbal")
+        flagged.df.select(col("c_custkey"),
+            col("c_acctbal")("value").as("bal_value"),
+            col("c_acctbal")("present").as("bal_present"))
+          .join(back.df.select(col("c_custkey"),
+            col("c_acctbal").as("bal_restored")), Seq("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal_value,
+             |  c_custkey % 7 <> 0 AS bal_present,
+             |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal_restored
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // distribute(n) content preservation under the oracle: an explicit
+    // 5-way range redistribution of the pkey'd table must be invisible at
+    // the row level (the machinery under every keyed operator — the
+    // reference's `distribute` is its chunking primitive).
+    Q("q111_distribute_roundtrip",
+      (s, dir) => {
+        graft.core.JTable(Tables.lineitem(s, dir),
+            Seq("l_orderkey", "l_linenumber"))
+          .distribute(5)
+          .df.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // save/load round-trip under the oracle: parquet out + back through
+    // IO.save/IO.load (pkey re-established on load), content gated
+    // against the ORIGINAL table.
+    Q("q112_save_load",
+      (s, dir) => {
+        val t = graft.core.JTable(Tables.part(s, dir), Seq("p_partkey"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q112-")
+          .toAbsolutePath.toString + "/part"
+        graft.sources.IO.save(t, tmp)
+        graft.sources.IO.load(s, tmp, Seq("p_partkey"))
+          .df.select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // loadtable CSV + filenamecol under the oracle: the nation fixture is
+    // exported to a REAL csv file (deterministic formatting, no quoting
+    // needed — fixture names are comma/quote-free), re-read through the
+    // full loadtable path (header, explicit parsers, filenamecol with a
+    // basename filenameFn), and gated against the parquet original. The
+    // driver-side export is the fixture feed (25-250 rows), not the
+    // operator: parsing runs in Spark's CSV scan.
+    Q("q113_loadtable_csv",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val rows = Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect()
+        val csv = "n_nationkey,n_name,n_regionkey\n" +
+          rows.map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}").mkString("\n")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q113-")
+        val f = tmp.resolve("nation.csv")
+        java.nio.file.Files.writeString(f, csv)
+        val opts = graft.sources.IO.CsvOptions(
+          headerExists = true,
+          colparsers = Some(StructType(Seq(
+            StructField("n_nationkey", LongType), StructField("n_name", StringType),
+            StructField("n_regionkey", LongType)))),
+          filenamecol = Some("src_file"),
+          filenameFn = p => p.substring(p.lastIndexOf('/') + 1))
+        graft.sources.IO.loadtable(s, Seq(f.toAbsolutePath.toString), opts)
+          .df.orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |  'nation.csv' AS src_file
+             |FROM nation ORDER BY n_nationkey""".stripMargin))
   )
 }
