@@ -314,15 +314,19 @@ private[graft] object Batch9 {
              |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal_restored
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
-    // distribute(n) content preservation under the oracle: an explicit
-    // 5-way range redistribution of the pkey'd table must be invisible at
-    // the row level (the machinery under every keyed operator — the
-    // reference's `distribute` is its chunking primitive).
+    // distribute content preservation under the oracle: a 5-way range
+    // redistribution CHAINED with an explicit uneven rowgroups
+    // redistribution (both reference `distribute` forms — the chunking
+    // primitive under every keyed operator) must be invisible at the row
+    // level. The rowgroup sizes are computed from a driver-side count
+    // (metadata, not data).
     Q("q111_distribute_roundtrip",
       (s, dir) => {
-        graft.core.JTable(Tables.lineitem(s, dir),
+        val t = graft.core.JTable(Tables.lineitem(s, dir),
             Seq("l_orderkey", "l_linenumber"))
           .distribute(5)
+        val n = t.df.count()
+        t.distribute(Seq(n / 3, n / 3, n - 2 * (n / 3)))
           .df.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
           .orderBy("l_orderkey", "l_linenumber")
       },
@@ -376,6 +380,124 @@ private[graft] object Batch9 {
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
              |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
              |  'nation.csv' AS src_file
-             |FROM nation ORDER BY n_nationkey""".stripMargin))
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Incremental ingest (reference append=true) under the oracle: a
+    // parquet file-source STREAM over a directory that receives two
+    // files across two micro-batches — the fixture file, then a
+    // doc_id-shifted second file — with a streaming per-lang count in
+    // complete mode. The oracle computes the final counts over both
+    // arrivals; matching requires the stream to have picked up file 2
+    // incrementally. File placement is driver-side fixture plumbing;
+    // counting runs in Structured Streaming.
+    Q("q114_ingest_stream",
+      (s, dir) => {
+        import graft.streaming.Streams
+        val streamDir = java.nio.file.Files.createTempDirectory("graft-q114-")
+        val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+        val batch = Tables.documents(s, dir)
+        // second arrival: same corpus, shifted ids, written via Spark
+        // then moved in as one file
+        val staging = java.nio.file.Files.createTempDirectory("graft-q114s-")
+          .toAbsolutePath.toString + "/out"
+        batch.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .get.toPath
+        val counts = Streams.parquetStream(s, streamDir.toAbsolutePath.toString,
+            batch.schema)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val q = counts.writeStream.outputMode("complete").format("memory")
+          .queryName("q114_sink").start()
+        try {
+          java.nio.file.Files.copy(src, streamDir.resolve("f1.parquet"))
+          q.processAllAvailable()
+          java.nio.file.Files.copy(part, streamDir.resolve("f2.parquet"))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table("q114_sink").orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) * 2 AS BIGINT) AS n
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Table multiset equality under the oracle: t == t-redistributed
+    // (true THROUGH a different partitioning — the reference's `==` is
+    // content equality, `src/JuliaDB.jl:46-64`) and t == t-with-one-
+    // changed-row (false), emitted as one gated row.
+    Q("q115_table_eq",
+      (s, dir) => {
+        import s.implicits._
+        val t = graft.core.JTable(Tables.nation(s, dir), Seq("n_nationkey"))
+        val same = t.equalsTable(
+          graft.core.JTable(Tables.nation(s, dir), Seq("n_nationkey")).distribute(3))
+        val changed = graft.core.JTable(
+          Tables.nation(s, dir).withColumn("n_regionkey",
+            when(col("n_nationkey") === 0, lit(99)).otherwise(col("n_regionkey"))),
+          Seq("n_nationkey"))
+        val diff = t.equalsTable(changed)
+        Seq((same, diff)).toDF("same", "diff")
+      },
+      Some("SELECT TRUE AS same, FALSE AS diff")),
+
+    // JDBC source under the oracle: the nation fixture loaded into an
+    // embedded Derby database (driver-side setup), read back through
+    // loadJdbc's RANGE-PARTITIONED parallel path (4 partitions on
+    // n_nationkey), gated against the parquet original.
+    Q("q116_jdbc_source",
+      (s, dir) => {
+        val dbDir = java.nio.file.Files.createTempDirectory("graft-q116-")
+          .toAbsolutePath.toString + "/db"
+        val url = s"jdbc:derby:$dbDir;create=true"
+        val rows = Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect()
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.createStatement().execute(
+            "CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR(64), n_regionkey BIGINT)")
+          val ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+          rows.foreach { r =>
+            ps.setLong(1, r.getInt(0).toLong); ps.setString(2, r.getString(1))
+            ps.setLong(3, r.getInt(2).toLong); ps.addBatch()
+          }
+          ps.executeBatch()
+        } finally conn.close()
+        graft.sources.IO.loadJdbc(s, url, "nation",
+            options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+            partitioning = Some(("n_nationkey", 0L, rows.length.toLong, 4)),
+            pkey = Seq("n_nationkey"))
+          .df.orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Iterators.partition under the oracle: driver-side batched iteration
+    // (the reference's out-of-core iteration API) over the pkey-ordered
+    // part table in 500-row batches, each batch summarized — the oracle
+    // rebuilds the same batch grid with ROW_NUMBER. The iterator IS a
+    // driver-side operator by definition (toLocalIterator streams one
+    // partition at a time; nothing corpus-sized materializes).
+    Q("q117_iterators_partition",
+      (s, dir) => {
+        import s.implicits._
+        val sorted = Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_retailprice"))
+          .orderBy("p_partkey")
+        val batches = graft.sources.IO.partitionIterator(sorted, 500)
+          .zipWithIndex.map { case (rows, i) =>
+            (i.toLong, rows.length.toLong,
+              rows.map(_.getLong(0)).min, rows.map(_.getLong(0)).max)
+          }.toSeq
+        batches.toDF("chunk_id", "n", "min_key", "max_key").orderBy("chunk_id")
+      },
+      Some("""WITH pos AS (SELECT p_partkey,
+             |    (ROW_NUMBER() OVER (ORDER BY p_partkey) - 1) // 500 AS chunk_id
+             |  FROM part)
+             |SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |  MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+             |FROM pos GROUP BY 1 ORDER BY chunk_id""".stripMargin))
   )
 }
