@@ -611,6 +611,20 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("FixedPoint.sumFixed == decimal sum on random signed 2-dp values") {
+    // values constructed AS 2-dp rationals (k/100 for random k) — the
+    // helper's documented exactness domain, signs included
+    val cents = Gen.choose(-1000000000L, 1000000000L)
+    check(forAll(Gen.listOfN(40, cents)) { ks =>
+      val df = ks.map(k => Tuple1(k / 100.0)).toDF("v")
+      val r = df.agg(
+        graft.functions.FixedPoint.sumFixed(col("v"), 2).as("f"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("d")).head()
+      Prop(r.getDouble(0) == r.getDouble(1)) :|
+        s"fixed=${r.getDouble(0)} decimal=${r.getDouble(1)}"
+    }, minTests = 25)
+  }
+
   test("gopherKeep fused == HOF conjunction on random ASCII docs + thresholds") {
     // the fused native gate's documented equivalence domain is ASCII-ish
     // text (the tokenSpans String.toLowerCase vs normalize_ws
