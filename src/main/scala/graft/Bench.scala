@@ -23,7 +23,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs0 = SparkEntry.queries
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator delegates to the DEFAULT locale —
+    // under a comma-decimal locale (de_DE etc.) it would print 0,8210 and
+    // the driver's json.load would reject the whole payload
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     // Materialize via a noop-sink WRITE, not count(): under count(),
     // Catalyst prunes every unreferenced column and EliminateSorts drops
     // the final orderBy — for project/window-shaped queries that can

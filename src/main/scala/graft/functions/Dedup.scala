@@ -244,10 +244,26 @@ object Dedup {
     * job still print. */
   private def quietly[T](loggerName: String)(body: => T): T = {
     import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.config.Configurator
-    val prev = LogManager.getLogger(loggerName).getLevel
+    // restore must distinguish "had an explicit config" from "was
+    // inheriting": getLevel returns the inherited EFFECTIVE level, and
+    // re-setting it as an explicit config would pin the package forever —
+    // a later root-level change (sc.setLogLevel) would silently stop
+    // propagating here. If we created the config, remove it afterwards.
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val hadExplicit = ctx.getConfiguration.getLoggers.containsKey(loggerName)
+    val prev: Level =
+      if (hadExplicit) ctx.getConfiguration.getLoggerConfig(loggerName).getLevel
+      else null
     Configurator.setLevel(loggerName, Level.ERROR)
-    try body finally Configurator.setLevel(loggerName, prev)
+    try body finally {
+      if (hadExplicit) Configurator.setLevel(loggerName, prev)
+      else {
+        ctx.getConfiguration.removeLogger(loggerName)
+        ctx.updateLoggers()
+      }
+    }
   }
 
   def connectedComponents(pairs: DataFrame, iCol: String = "i",

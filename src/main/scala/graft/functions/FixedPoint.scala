@@ -29,13 +29,19 @@ import org.apache.spark.sql.functions._
   * not a crash: when in doubt, use the decimal form. */
 object FixedPoint {
 
-  /** See object doc. Null values are skipped by `sum` exactly as the
-    * decimal form skips them (the snap maps null → null). */
+  /** See object doc. Null, NaN, and ±Infinity are skipped by `sum`
+    * exactly as the decimal form skips them: a decimal(p,s) cast maps all
+    * three to null, so the snap must too — without the guard, Spark's
+    * NaN/Inf ordering (greater than everything) would take the positive
+    * branch and cast(Inf as long) = Long.MaxValue would silently destroy
+    * the total, while an all-NaN column would sum to 0.0 instead of
+    * null. */
   def sumFixed(c: Column, scale: Int): Column = {
     require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
     val m = math.pow(10, scale)
-    val snapped = when(c >= 0, (c * m + 0.5).cast("long"))
-      .otherwise(-((-c * m + 0.5).cast("long")))
+    val finite = !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+    val snapped = when(finite && c >= 0, (c * m + 0.5).cast("long"))
+      .when(finite && c < 0, -((-c * m + 0.5).cast("long")))
     sum(snapped).cast("double") / m
   }
 }

@@ -320,7 +320,7 @@ object Sketches {
   }
 
   /** Plot-DATA form of the OnlineStats `Partition` sketch — the
-    * SQL-expressible exact twin of [[partitionSketch]] (the same
+    * SQL-expressible data twin of [[partitionSketch]] (the same
     * relationship [[partitionplotData]] has to [[IndexedPartitionAgg]]):
     * the value column summarized over `nparts` contiguous chunks of the
     * table in GLOBAL pkey order. Positions come from the same
@@ -331,9 +331,17 @@ object Sketches {
     * boundaries; the mean accumulates through an exact decimal sum so the
     * result is deterministic under any partitioning. Null values (or
     * doubles the cast nulls out) and NaNs are dropped BEFORE the position
-    * numbering, mirroring [[partitionplotData]]'s documented contract.
-    * Two jobs (zipWithIndex's count + the aggregation), both fully
-    * parallel; the groupBy is map-side combined on ≤ nparts keys. */
+    * numbering — the same contract as [[partitionplotData]], and the same
+    * DOCUMENTED DIVERGENCE from the sketch twin: [[partitionSketch]]
+    * keeps NaN values, whose Moments mean poisons to NaN (a plot can't
+    * place them; the data form drops them). On NaN-free columns the two
+    * forms are equal (spec-asserted on the fixture).
+    *
+    * The positioned rows are localCheckpointed before use: the chunk grid
+    * needs n (a count) AND the aggregation over the same rows, and an
+    * unmaterialized lineage would re-run the global sort + zipWithIndex
+    * once per action (3× on a 100 TB table). One materialization, then a
+    * cheap count + one map-side-combined groupBy on ≤ nparts keys. */
   def partitionData(t: graft.core.JTable, valueCol: String,
                     nparts: Int): DataFrame = {
     require(nparts > 0, s"nparts must be positive, got $nparts")
@@ -347,8 +355,8 @@ object Sketches {
     val posVal = sorted.rdd.zipWithIndex().map { case (r, i) => (i, r.getDouble(vIdx)) }
     val spark = t.spark
     import spark.implicits._
-    val pv = posVal.toDF("pos", "v")
-    val n = posVal.count()
+    val pv = posVal.toDF("pos", "v").localCheckpoint()
+    val n = pv.count()
     pv.groupBy(expr(s"pos * $nparts div $n").as("part"))
       .agg(min(col("pos")).as("pos_lo"), max(col("pos")).as("pos_hi"),
         count(lit(1)).as("n"),

@@ -77,14 +77,23 @@ class FunctionsSpec extends SparkSpec {
       sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("d2")).head()
     assert(a.getDouble(0) == a.getDouble(1) && a.getDouble(2) == a.getDouble(3))
     // signed values + half-way cases: the snap must round half AWAY from
-    // zero exactly like the decimal(18,2) HALF_UP cast (-2.345 → -2.35)
+    // zero exactly like the decimal(18,2) HALF_UP cast (-2.345 → -2.35);
+    // NaN/±Inf must be SKIPPED like the decimal cast's null mapping (an
+    // unguarded cast(Inf as long) is Long.MaxValue — a destroyed total)
     import spark.implicits._
     val edge = Seq(-2.345, 2.345, -0.005, 0.005, 0.0, -123.455, 99.995,
-      -0.01, 490.02).toDF("v")
+      -0.01, 490.02, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity).toDF("v")
     val e = edge.agg(
       FixedPoint.sumFixed(col("v"), 2).as("f"),
       sum(col("v").cast("decimal(18,2)")).cast("double").as("d")).head()
     assert(e.getDouble(0) == e.getDouble(1), s"${e.getDouble(0)} vs ${e.getDouble(1)}")
+    // all-non-finite input sums to NULL on both paths, not 0.0
+    val allBad = Seq(Double.NaN, Double.PositiveInfinity).toDF("v")
+      .agg(FixedPoint.sumFixed(col("v"), 2).as("f"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("d")).head()
+    assert(allBad.isNullAt(0) && allBad.isNullAt(1),
+      s"expected null/null, got $allBad")
   }
 
   test("partitionData == partitionSketch chunk summaries on the fixture") {
@@ -304,17 +313,21 @@ class FunctionsSpec extends SparkSpec {
     // must survive optimization; a Spark upgrade that drops them would
     // silently reintroduce the broadcast.
     val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
     val plans = Seq(
       "jaccardPairs" -> Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3),
       "sharedPassages" -> Dedup.sharedPassages(docs, "doc_id", "text", 3, 3),
       "minhashLSH" -> Dedup.minhashLSH(docs, "doc_id", "text", 3, 8, 2, 0.25),
-      "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text"))
+      "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text"),
+      "cosinePairsLSH" -> Similarity.cosinePairsLSH(emb, "vec_id", "embedding",
+        0.25, dim = 64))
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ShuffledHashJoin"),
         s"$name: candidate self-join is not a ShuffledHashJoin:\n$plan")
       val indexBroadcast = Seq("BroadcastHashJoin [s#", "BroadcastHashJoin [h#",
-        "BroadcastHashJoin [bucket#").exists(plan.contains)
+        "BroadcastHashJoin [bucket#", "BroadcastHashJoin [tbl#",
+        "BroadcastHashJoin [sig#").exists(plan.contains)
       assert(!indexBroadcast,
         s"$name: the corpus-sized index side is being broadcast:\n$plan")
     }
