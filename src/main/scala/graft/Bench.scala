@@ -77,7 +77,15 @@ object Bench {
     val errors = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case r if r.ok => r.median }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"warmup_excluded":true,"errors":$errors,"sf":"$sfDir"}""")
+    val payload =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"warmup_excluded":true,"errors":$errors,"sf":"$sfDir"}"""
+    println(payload)
+    // ALSO drop the payload as a bare file: the driver scrapes stdout
+    // through sbt, whose [info] prefix has left BENCH_r{N}.json with
+    // parsed:null two rounds running — a file needs no log surgery
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_latest.json"), payload + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     spark.stop()
   }
 }
