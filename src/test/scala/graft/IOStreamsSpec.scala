@@ -152,6 +152,56 @@ class IOStreamsSpec extends SparkSpec {
     }
   }
 
+  test("materialized inverted index: bucketed self-join adds no index re-shuffle") {
+    // SCALE.md's materialize-for-reuse recipe for Dedup.jaccardPairs,
+    // proven in plan form: persist the exploded (id, sz, shingle) index
+    // ONCE bucketed by shingle, and candidate generation over the saved
+    // table self-joins with NO Exchange under the join — the only
+    // exchange left in the whole pair pipeline is the (i, j) aggregate's.
+    // At 100 TB this is how several thresholds/runs share one index
+    // build (the lazy operator re-derives it per run, a documented 2×).
+    spark.sql("DROP TABLE IF EXISTS shingle_idx")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "shingle_idx")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"),
+        graft.plans.HashExpressions.shingleStrings(col("text"), 3).as("__arr"))
+      .select(col("id"), size(col("__arr")).cast("long").as("sz"),
+        explode(col("__arr")).as("s"))
+    IO.saveBucketed(JTable(sh, Seq("s")), "shingle_idx", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idx = IO.loadBucketed(spark, "shingle_idx").df
+      val a = idx.as("a"); val b = idx.as("b")
+      val pairs = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+        .agg(count(lit(1)).as("n_common"))
+      val plan = pairs.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange".r.findAllIn(plan).size
+      assert(nExchanges == 1,
+        s"expected exactly 1 Exchange (the pair aggregate), got $nExchanges:\n$plan")
+      // and the result matches the lazy operator's intersection counts
+      val fromSaved = pairs.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val lazyPairs = graft.functions.Dedup.jaccardPairs(
+          Tables.documents(spark, sf), "doc_id", "text", 3, threshold = 0.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(fromSaved == lazyPairs,
+        s"saved-index pair counts diverge from the lazy operator")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS shingle_idx")
+    }
+  }
+
   test("streaming windowedAgg == batch q39 on the same data") {
     val dir = Files.createTempDirectory("graft_stream").toFile.getPath
     val ev = Tables.events(spark, sf)
