@@ -155,6 +155,26 @@ class CoreSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("rangeJoin: interval-span guard fires with an actionable message") {
+    // the round-7 guard: an interval spanning >1M buckets must fail with
+    // the raise-bucketWidth message, not an opaque ArrayData allocation
+    // error — and the guard must SURVIVE optimization (it rides inside
+    // the sequence bound precisely so column pruning can't drop it)
+    val pts = Seq(("x", 5L)).toDF("id", "v")
+    val huge = Seq(("x", 0L, 5000000L)).toDF("id", "lo", "hi")
+    val e = intercept[Exception] {
+      Joins.rangeJoin(pts, huge, Seq("id"), "v", "lo", "hi", bucketWidth = 1L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rangeJoin")),
+      s"expected the rangeJoin span guard, got: ${messages(e).mkString(" | ")}")
+    // and a sane width over the same data still works
+    assert(Joins.rangeJoin(pts, huge, Seq("id"), "v", "lo", "hi",
+      bucketWidth = 1000000L).count() == 1)
+  }
+
   test("rangeJoin partition sweep (events ±1h window)") {
     val ev = Tables.events(spark, sf)
     val us = expr("ts DIV 1000")
