@@ -498,6 +498,30 @@ private[graft] object Batch9 {
              |  FROM part)
              |SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n,
              |  MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
-             |FROM pos GROUP BY 1 ORDER BY chunk_id""".stripMargin))
+             |FROM pos GROUP BY 1 ORDER BY chunk_id""".stripMargin)),
+
+    // The distributed-vector table ctor under the oracle: fromColumns
+    // position-zips independently-ordered single-column frames (the
+    // reference's `table(v1, v2)` over distributed vectors). Each input
+    // is globally sorted by its OWN values, so the k-th key pairs with
+    // the k-th lexicographically-smallest name — exactly a ROW_NUMBER
+    // zip in SQL, which pins the positional semantics (and, because two
+    // separate sorts range-partition differently, the misaligned
+    // realignment path) at the row level.
+    Q("q118_from_columns",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        graft.core.JTable.fromColumns(Seq(
+            "k" -> cust.select(col("c_custkey")).orderBy("c_custkey"),
+            "name" -> cust.select(col("c_name")).orderBy("c_name")))
+          .df.orderBy("k")
+      },
+      Some("""SELECT a.k, b.name FROM
+             |  (SELECT c_custkey AS k, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+             |   FROM customer) a
+             |JOIN
+             |  (SELECT c_name AS name, ROW_NUMBER() OVER (ORDER BY c_name) AS rn
+             |   FROM customer) b
+             |USING (rn) ORDER BY a.k""".stripMargin))
   )
 }
