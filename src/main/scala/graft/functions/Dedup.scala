@@ -122,8 +122,15 @@ object Dedup {
     // slower at sf0.1 — every task re-reads a corpus-sized build side),
     // and at 100 TB an index broadcast is exactly the plan that dies on
     // the 8 GB limit. A hash join on 8-byte keys also skips SMJ's
-    // per-side sort; build-side partitions are bounded once maxDF caps
-    // hot keys, and Spark's SHJ spills if they are not.
+    // per-side sort. MEMORY CONTRACT: SHJ's build-side hash relation
+    // does NOT spill — Spark 4.x's UnsafeHashedRelation build throws
+    // cannotAcquireMemoryToBuildUnsafeHashedRelationError when it can't
+    // acquire pages (verified against the deployed 4.1.2 bytecode), so
+    // at 100 TB this hint is safe ONLY with maxDF > 0 bounding each
+    // shingle's build rows. An uncapped run at scale must drop the hint
+    // and take sort-merge (spillable, but still quadratic in the hot
+    // shingle's matches — the cap is the real defense either way);
+    // uncapped-at-fixture is fine, the whole index is megabytes.
     val a = shFiltered.hint("shuffle_hash").as("a")
     val b = shFiltered.hint("shuffle_hash").as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -241,8 +248,19 @@ object Dedup {
     * bench tail with noise that masks real warnings. Scoped to the
     * unpersist call itself (the log call is synchronous in `unpersist`,
     * even with blocking=false), so genuine RDD warnings elsewhere in the
-    * job still print. */
-  private def quietly[T](loggerName: String)(body: => T): T = {
+    * job still print.
+    *
+    * The level flip mutates PROCESS-GLOBAL log4j state, so the whole
+    * flip→body→restore sequence holds [[quietLock]]: two concurrent
+    * callers (e.g. parallel CC passes on different pair sets) would
+    * otherwise interleave set/removeLogger and could leave the package
+    * logger pinned at ERROR or with a stale explicit config. The lock
+    * serializes the (fast, driver-side) unpersist calls only; the cost is
+    * nil next to the jobs between them. Anything else logging under the
+    * same package DURING the held window is suppressed with it — an
+    * accepted, documented blind spot bounded by the unpersist call. */
+  private val quietLock = new Object
+  private def quietly[T](loggerName: String)(body: => T): T = quietLock.synchronized {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.config.Configurator

@@ -24,9 +24,22 @@ import org.apache.spark.sql.functions._
   * stay below 2^63 ≈ 9.2e18. At ~6e11 lineitem rows (100 TB-scale SF):
   * scale-2 money (max ~1e5 → unscaled 1e7) sums to ≤ 6e18 — safe;
   * scale-4 discount PRODUCTS (unscaled ≤ 1e9) would reach 6e20 —
-  * overflow, keep those on decimal. A long sum under non-ANSI semantics
-  * WRAPS SILENTLY on overflow, so a mis-bounded use is a wrong answer,
-  * not a crash: when in doubt, use the decimal form. */
+  * overflow, keep those on decimal. Under ANSI mode (the Spark 4 session
+  * default) an overflowing long sum throws ARITHMETIC_OVERFLOW — loud
+  * but ORDER-DEPENDENT (whether an intermediate partial crosses 2^63
+  * depends on partition merge order) and gone entirely in an ANSI-off
+  * session, where the sum WRAPS SILENTLY into a plausible wrong total.
+  *
+  * So the bound is ENFORCED at runtime, not just documented: the
+  * aggregate carries a `count` and `max(abs(unscaled))` alongside the
+  * sum (two extra 8-byte map-side-combined buffers — no extra pass, no
+  * shuffle growth) and trips `assert_true(max ≤ (2^63−1)/n)` on the
+  * aggregated result, the same guard-rides-the-expression pattern as
+  * operators.Joins.rangeJoin's span guard. n·max ≥ Σ|unscaled| is
+  * conservative and DETERMINISTIC — a sum that could have wrapped under
+  * an adversarial ordering fails with the actionable message even if
+  * this particular order stayed in range, in both ANSI modes; callers
+  * in that regime must use the decimal form anyway. */
 object FixedPoint {
 
   /** See object doc. Null, NaN, and ±Infinity are skipped by `sum`
@@ -42,6 +55,19 @@ object FixedPoint {
     val finite = !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
     val snapped = when(finite && c >= 0, (c * m + 0.5).cast("long"))
       .when(finite && c < 0, -((-c * m + 0.5).cast("long")))
-    sum(snapped).cast("double") / m
+    // overflow tripwire (see object doc): n·max|unscaled| must fit 2^63.
+    // count/max aggregate the same snapped child, so Spark evaluates the
+    // snap once per row and the two extra buffers ride the existing
+    // partial-aggregation exchange. assert_true yields NULL on pass;
+    // adding it (coalesced to 0) to the sum pins it against column
+    // pruning, bit-identically.
+    val n = count(snapped)
+    val mx = max(abs(snapped))
+    val guard = assert_true(n === 0 || mx <= lit(Long.MaxValue) / n,
+      concat(lit(s"FixedPoint.sumFixed(scale=$scale): overflow bound " +
+          "violated — count("), n, lit(") * max|unscaled|("), mx,
+        lit(") can exceed 2^63, so a long accumulator may wrap silently; " +
+          "use a decimal(18," + scale + ") sum for this column")))
+    (sum(snapped) + coalesce(guard.cast("long"), lit(0L))).cast("double") / m
   }
 }

@@ -241,11 +241,26 @@ object Joins {
     // surfaces as this message, not an allocation failure). 1M buckets per
     // interval is already ~1000× over any sane width choice.
     val maxBucketsPerInterval = 1000000L
-    val nBuckets = bucketOf(r, hiCol) - bucketOf(r, loCol) + 1 + 2 * pad
-    val guard = assert_true(nBuckets <= maxBucketsPerInterval,
+    // try_subtract/try_add: pathological bounds (hi near Long.MaxValue
+    // with a far-negative lo under a small width) overflow the span
+    // arithmetic itself — plain ops would either WRAP negative (ANSI
+    // off: sails past a one-sided <= check into the opaque sequence()
+    // failure) or throw a bare ARITHMETIC_OVERFLOW with no mention of
+    // which knob to turn (ANSI on, the session default). The try_ forms
+    // yield NULL on overflow in both modes, and assert_true treats a
+    // NULL condition as failed — so an overflowed span deterministically
+    // takes THIS actionable message. BETWEEN (not <=) additionally rules
+    // out any negative count.
+    val nBuckets = try_add(try_subtract(bucketOf(r, hiCol), bucketOf(r, loCol)),
+      lit(1 + 2 * pad))
+    val guard = assert_true(nBuckets.between(0L, maxBucketsPerInterval),
       concat(lit(s"rangeJoin: an interval spans more than " +
           s"$maxBucketsPerInterval buckets of width $bucketWidth ("),
-        nBuckets, lit(" buckets, interval ["), col(loCol), lit(", "),
+        // concat is null-propagating: an overflowed (null) count must not
+        // blank the whole message
+        coalesce(nBuckets.cast("string"), lit("overflowed-64-bit")),
+        lit(" buckets — a negative or overflowed count means the span " +
+          "itself exceeds 64 bits — interval ["), col(loCol), lit(", "),
         col(hiCol), lit("]) — raise bucketWidth toward the typical " +
           "interval span")))
     val lb = l.withColumn("__b", bucketOf(l, pointCol))

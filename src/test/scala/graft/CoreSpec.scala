@@ -175,6 +175,24 @@ class CoreSpec extends SparkSpec {
       bucketWidth = 1000000L).count() == 1)
   }
 
+  test("rangeJoin: span guard catches a 64-bit-overflowed bucket count") {
+    // pathological bounds: bucket(hi) − bucket(lo) wraps Long (non-ANSI
+    // subtraction), producing a NEGATIVE span that a one-sided <= check
+    // would wave through into the opaque sequence() failure — the guard's
+    // BETWEEN form must fire the same actionable message instead
+    val pts = Seq(("x", 5L)).toDF("id", "v")
+    val wrap = Seq(("x", -4611686018427387904L, 4611686018427387904L))
+      .toDF("id", "lo", "hi") // hi − lo = 2^63: wraps negative at width 1
+    val e = intercept[Exception] {
+      Joins.rangeJoin(pts, wrap, Seq("id"), "v", "lo", "hi", bucketWidth = 1L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rangeJoin")),
+      s"expected the rangeJoin span guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("rangeJoin partition sweep (events ±1h window)") {
     val ev = Tables.events(spark, sf)
     val us = expr("ts DIV 1000")

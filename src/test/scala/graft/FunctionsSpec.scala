@@ -96,6 +96,42 @@ class FunctionsSpec extends SparkSpec {
       s"expected null/null, got $allBad")
   }
 
+  test("FixedPoint.sumFixed: overflow tripwire fails loudly instead of wrapping") {
+    import graft.functions.FixedPoint
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // two rows whose unscaled (scale-2) values are ~9e18 each: the true
+    // sum ~1.8e19 exceeds 2^63. Under ANSI (session default) the sum
+    // itself throws ARITHMETIC_OVERFLOW during accumulation, before the
+    // tripwire's projection evaluates — either way the failure is LOUD,
+    // never a wrapped total
+    val overflow = Seq(9.0e16, 9.0e16).toDF("v")
+    val e = intercept[Exception] {
+      overflow.agg(FixedPoint.sumFixed(col("v"), 2).as("f")).head()
+    }
+    assert(messages(e).exists(m =>
+        (m.contains("sumFixed") && m.contains("decimal")) ||
+          m.contains("ARITHMETIC_OVERFLOW")),
+      s"expected a loud overflow failure, got: ${messages(e).mkString(" | ")}")
+    // the tripwire's own value over ANSI: it is DETERMINISTIC. A
+    // mixed-sign sum whose TRUE total is tiny never trips ANSI in any
+    // partition order here, but under an adversarial order it could have
+    // wrapped mid-fold — the n·max(abs) bound fails it with the
+    // actionable message regardless of order or ANSI mode
+    val mixed = Seq(9.0e16, -9.0e16, 0.01).toDF("v")
+    val e2 = intercept[Exception] {
+      mixed.agg(FixedPoint.sumFixed(col("v"), 2).as("f")).head()
+    }
+    assert(messages(e2).exists(m => m.contains("sumFixed") && m.contains("decimal")),
+      s"expected the sumFixed overflow tripwire, got: ${messages(e2).mkString(" | ")}")
+    // and values just inside the bound still sum exactly (n=2, max=4e18
+    // unscaled → n·max = 8e18 < 2^63): no false positive near the edge
+    val nearEdge = Seq(4.0e16, -4.0e16).toDF("v")
+    assert(nearEdge.agg(FixedPoint.sumFixed(col("v"), 2).as("f"))
+      .head().getDouble(0) == 0.0)
+  }
+
   test("partitionData == partitionSketch chunk summaries on the fixture") {
     // ties the SQL-expressible exact twin (q106's operator) to the
     // mergeable sketch form: same chunk boundaries (the sketch's double
