@@ -1,0 +1,49 @@
+package graft
+
+import graft.SparkEntry.Q
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Query registry batch 10 (round 8): scale-evidence round. q119 closes
+  * the last decode stub — REAL pixel decode through JDK ImageIO, gated by
+  * a closed-form synthetic-PNG oracle (the SQL recomputes what the codec
+  * must return, so the gate proves the round-trip, not a byte checksum).
+  */
+private[graft] object Batch10 {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  val queries: Seq[Q] = Seq(
+
+    // Real image decode under the oracle: every doc_id becomes a
+    // deterministic PNG (pixel (x,y,c) = (id·31+7x+13y+29c) mod 256,
+    // w = 8+id%5, h = 8+id%3), ImageIO decodes it back on the executors
+    // (narrow map → flatMap, no shuffle), and the emitted per-channel
+    // sums must equal the closed form the DuckDB oracle computes with no
+    // image library at all. PNG is lossless, so any divergence — codec,
+    // channel order, color management — turns the row red. Video frame
+    // extraction remains the one documented stand-in (q85): the JDK has
+    // image codecs but no video codecs.
+    Q("q119_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[java.lang.Long]
+        Multimodal.imageFeatures(Multimodal.syntheticImages(ids)).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("width").cast("long").as("w"),
+            col("height").cast("long").as("h"),
+            col("sum_r"), col("sum_g"), col("sum_b"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, w, h,
+             |  CAST(SUM((doc_id*31 + 7*x + 13*y) % 256) AS BIGINT) AS sum_r,
+             |  CAST(SUM((doc_id*31 + 7*x + 13*y + 29) % 256) AS BIGINT) AS sum_g,
+             |  CAST(SUM((doc_id*31 + 7*x + 13*y + 58) % 256) AS BIGINT) AS sum_b
+             |FROM (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+             |      FROM documents),
+             |  generate_series(0, 11) AS gx(x), generate_series(0, 9) AS gy(y)
+             |WHERE x < w AND y < h
+             |GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -499,15 +499,30 @@ private[graft] object Batch2 {
              |  / (COUNT(*) - 1) AS variance
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // §2.4 groupby vector-function: exact median (interpolating quantile).
+    // §2.4 groupby vector-function: grouped median ESTIMATOR (the KHist /
+    // percentile_approx path) gated by its own accuracy contract.
+    // Estimator values differ across engines, so the estimate itself can't
+    // be hashed — instead the query emits the exact median (q51 proves
+    // percentile == DuckDB quantile_cont on this fixture) plus an in-query
+    // `within_bound` flag: percentile_approx(accuracy=100) guarantees rank
+    // error ≤ n/100, so the returned order statistic must lie between the
+    // exact 0.48 and 0.52 quantiles (±0.01 widened by one interpolation
+    // step on each side). The oracle asserts the flag is 1 — a broken or
+    // drifting estimator turns the row red instead of invisible.
     Q("q43_groupby_median",
       (s, dir) => {
+        val est = percentile_approx(col("l_quantity"), lit(0.5), lit(100)).cast("double")
+        val lo = percentile(col("l_quantity"), lit(0.48))
+        val hi = percentile(col("l_quantity"), lit(0.52))
         A.groupby(JTable(li(s, dir)), Seq("l_returnflag"),
-          "median_qty" -> percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)).cast("double"),
+          "median_exact" -> percentile(col("l_quantity"), lit(0.5)),
+          "within_bound" -> (est >= lo && est <= hi).cast("long"),
           "n" -> count(lit(1)))
           .orderBy("l_returnflag")
       },
-      None), // percentile estimators differ across engines; exactness via test
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_exact,
+             |  CAST(1 AS BIGINT) AS within_bound, COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // §2.2 selector language: Regex + Type + Between selectors.
     Q("q44_selectors",

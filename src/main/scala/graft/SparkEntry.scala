@@ -305,7 +305,7 @@ object SparkEntry {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
-  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries ++ Batch9.queries
+  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries ++ Batch9.queries ++ Batch10.queries
 
   // ---------------------------------------------------------------------------
 
@@ -335,5 +335,13 @@ object SparkEntry {
     // q78's by the salt-bucket machinery's fixed overhead; the pair
     // turns the skew tradeoff into two measured lines per round (at
     // fixture scale the overhead side wins — see Batch9.q108's comment)
-    "q108_asof_hot_plain", "q78_asof_salted")
+    "q108_asof_hot_plain", "q78_asof_salted",
+    // round-8 additions: the flagship operators that previously had no
+    // bench line, so a plan regression in any of them was invisible
+    // round-over-round — the capped inverted index (q104), the RHP-LSH
+    // cosine scale path (q67), the persisted-IVF query path (q84; its
+    // one-time index train lands in the excluded warmup run), and the
+    // ML featurization pipeline (q105)
+    "q104_dedup_jaccard_capped", "q67_embed_pairs_lsh", "q84_ivf_topk",
+    "q105_featuremat")
 }

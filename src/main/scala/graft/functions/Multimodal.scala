@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by partition-batched decoders.
   *
-  * The decode step is STUBBED (no media libs in this container) with a
-  * deterministic fake that reads real bytes — the Spark-side contract
-  * (schema, binary transport, mapPartitions batching, feature output shape)
-  * is real and tested. Swap `decodeStub` for a JNI/FFI decoder (or column
-  * batches via Arrow) without touching the pipeline.
+  * Decode boundary (round 8): IMAGE decode is REAL — [[decodeImage]] reads
+  * PNG/JPEG/BMP/GIF pixels through `javax.imageio` (readers every JDK
+  * ships; zero external dependencies) and is oracle-gated on a synthetic
+  * closed-form PNG corpus (q119). Only VIDEO frame extraction remains a
+  * deterministic byte-level stand-in ([[frameSample]] — real codecs are
+  * genuinely absent from the JDK): its Spark-side contract (schema, binary
+  * transport, one-row-many-out flatMap batching) is real and oracle-gated
+  * (q85); swap the per-frame byte stats for a JNI/FFI codec without
+  * touching the pipeline. [[decodeStub]] is kept as the codec-free
+  * byte-stats twin the q38 oracle pins.
   *
   * Scale notes: media blobs ride in parquet binary columns; partition sizing
   * must account for blob width (`spark.sql.files.maxPartitionBytes` smaller
@@ -56,6 +61,104 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here (model load, JNI handle…)
       it.map(decodeStub)
+    }
+  }
+
+  /** Decoded-image features: dimensions + exact per-channel pixel sums.
+    * Long sums (not double means) so the oracle compare is exact integer
+    * arithmetic. */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image decode via JDK ImageIO — PNG/JPEG/BMP/GIF, no external
+    * codec. Returns None when the payload is not a decodable image (the
+    * pipeline filters rather than crashes on a corrupt blob — at 100 TB
+    * some fraction of any scraped corpus is undecodable by construction).
+    * Pixel channels come from `getRGB`'s sRGB packing; for 8-bit-per-
+    * channel sources (all fixtures here) that is the exact stored value. */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeaturesRaw] = {
+    // explicit memory-backed stream: ImageIO.createImageInputStream's
+    // default spools each stream through a temp FILE (per-row disk I/O
+    // on the executor hot path) unless a process-global flag is flipped
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val img = reader.read(0)
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageFeaturesRaw(w, h, sr, sg, sb))
+        } finally reader.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** Decode result before the id is attached. */
+  final case class ImageFeaturesRaw(width: Int, height: Int,
+                                    sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Batched image feature extraction: narrow mapPartitions (no shuffle),
+    * undecodable payloads dropped. The per-partition closure is where a
+    * heavier decoder would hold its init (warmed codec tables, GPU
+    * handle); ImageIO readers are instantiated per image by design —
+    * they are stateful and not thread-safe across rows. */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeImage(r.payload).map(f =>
+        ImageFeatures(r.media_id, f.width, f.height, f.sum_r, f.sum_g, f.sum_b))
+    })
+  }
+
+  /** Deterministic synthetic PNG: w = 8 + id%5, h = 8 + id%3, pixel
+    * (x, y) channel c ∈ {r=0, g=1, b=2} = (id·31 + 7x + 13y + 29c) mod
+    * 256. PNG is LOSSLESS, so decoding must return exactly these values —
+    * and the closed form means a SQL oracle can recompute the decoded
+    * channel sums without any image library (q119): the gate proves the
+    * real codec round-trip, not a byte checksum. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt; val h = (8 + id % 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = id * 31 + 7 * x + 13 * y
+        val r = (base % 256).toInt; val g = ((base + 29) % 256).toInt
+        val b = ((base + 58) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic PNG corpus keyed by an id column — distributed generation
+    * (the encode runs on executors), real binary payloads. */
+  def syntheticImages(ids: Dataset[java.lang.Long]): Dataset[MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.map { id =>
+      MediaRow(id, syntheticPng(id), "image/png",
+        (8 + id % 5).toInt, (8 + id % 3).toInt)
     }
   }
 

@@ -132,6 +132,50 @@ class FunctionsSpec extends SparkSpec {
       .head().getDouble(0) == 0.0)
   }
 
+  test("decodeImage: real ImageIO round-trip (PNG exact, JPEG approximate, junk dropped)") {
+    // PNG is lossless: decode must return the synthetic pattern's exact
+    // dimensions and channel sums (the q119 oracle recomputes these in
+    // SQL; this spec pins the same contract locally, plus the formats
+    // the oracle can't cover)
+    for (id <- Seq(0L, 1L, 7L, 499L)) {
+      val w = (8 + id % 5).toInt; val h = (8 + id % 3).toInt
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = id * 31 + 7 * x + 13 * y
+        er += base % 256; eg += (base + 29) % 256; eb += (base + 58) % 256
+      }
+      val f = Multimodal.decodeImage(Multimodal.syntheticPng(id)).get
+      assert((f.width, f.height, f.sum_r, f.sum_g, f.sum_b) == (w, h, er, eg, eb),
+        s"id=$id: $f vs ($w,$h,$er,$eg,$eb)")
+    }
+    // JPEG: lossy, so dimensions must be exact and channel means close —
+    // proves the decoder handles a second real codec, not just PNG
+    val img = new java.awt.image.BufferedImage(
+      16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, (128 << 16) | (64 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val j = Multimodal.decodeImage(bos.toByteArray).get
+    assert(j.width == 16 && j.height == 12)
+    val n = 16 * 12
+    assert(math.abs(j.sum_r.toDouble / n - 128) < 8 &&
+      math.abs(j.sum_g.toDouble / n - 64) < 8 &&
+      math.abs(j.sum_b.toDouble / n - 200) < 8,
+      s"jpeg channel means drifted: $j")
+    // junk bytes: None, not an exception (a scraped corpus always has
+    // undecodable blobs; the pipeline must filter, not crash)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // and the distributed path drops the junk row while decoding the rest
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticPng(1L), "image/png", 9, 9),
+      Multimodal.MediaRow(2L, Array[Byte](9, 9, 9), "junk", 0, 0)).toDS()
+    val feats = Multimodal.imageFeatures(media).collect()
+    assert(feats.map(_.media_id).toSeq == Seq(1L))
+  }
+
   test("partitionData == partitionSketch chunk summaries on the fixture") {
     // ties the SQL-expressible exact twin (q106's operator) to the
     // mergeable sketch form: same chunk boundaries (the sketch's double
