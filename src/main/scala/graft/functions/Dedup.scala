@@ -125,12 +125,14 @@ object Dedup {
     // per-side sort. MEMORY CONTRACT: SHJ's build-side hash relation
     // does NOT spill — Spark 4.x's UnsafeHashedRelation build throws
     // cannotAcquireMemoryToBuildUnsafeHashedRelationError when it can't
-    // acquire pages (verified against the deployed 4.1.2 bytecode), so
-    // at 100 TB this hint is safe ONLY with maxDF > 0 bounding each
-    // shingle's build rows. An uncapped run at scale must drop the hint
-    // and take sort-merge (spillable, but still quadratic in the hot
-    // shingle's matches — the cap is the real defense either way);
-    // uncapped-at-fixture is fine, the whole index is megabytes.
+    // acquire pages (verified against the deployed 4.1.2 bytecode).
+    // Two verified defenses bound it (CoreSpec "AQE skew split…"): AQE's
+    // skew split applies to this hinted SELF-join — both sides' reads
+    // split even through the ReusedExchange — capping per-task build
+    // memory at advisoryPartitionSizeInBytes; and maxDF, still REQUIRED
+    // at scale because splitting bounds memory, not the O(df²)
+    // pair-generation WORK a hot shingle emits. Uncapped runs are a
+    // fixture-scale convenience, not a 100 TB configuration.
     val a = shFiltered.hint("shuffle_hash").as("a")
     val b = shFiltered.hint("shuffle_hash").as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))

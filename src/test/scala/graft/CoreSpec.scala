@@ -193,6 +193,60 @@ class CoreSpec extends SparkSpec {
       s"expected the rangeJoin span guard, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("AQE skew split fires on hinted SHUFFLE_HASH joins — including the self-join shape") {
+    // Settles the SCALE.md question round 7 left open: does
+    // OptimizeSkewedJoin split a SHUFFLE_HASH-hinted join's oversized
+    // partitions, and does that extend to the inverted-index SELF-join
+    // (both sides hot on the same key, reading ONE ReusedExchange)?
+    // Verified here: yes and yes — ShuffledHashJoin(skew=true) with both
+    // sides' AQEShuffleRead marked skewed. Detection subtlety this spec
+    // encodes deliberately: skewedPartitionThresholdInBytes measures
+    // COMPRESSED map-output bytes, so the payload is md5 (incompressible)
+    // — a repetitive payload compresses ~10× and can hide a genuinely hot
+    // partition under the threshold (a false "AQE doesn't help" reading
+    // this round hit before catching it).
+    val tuned = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the plan must come from the SAME QueryExecution that ran: a
+      // write-path action runs its own command QE and leaves this one
+      // un-finalized (AdaptiveSparkPlan isFinalPlan=false, no skew info)
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        spark.sparkContext.runJob(df.queryExecution.toRdd,
+          (it: Iterator[_]) => it.foreach(_ => ()))
+        df.queryExecution.executedPlan.toString
+      }
+      // hot key 0 carries 2500 incompressible rows (~80KB) vs ~20KB
+      // median partitions: clears factor 2 and the 20k threshold
+      val idx = spark.range(0, 5000)
+        .select(when(col("id") < 2500, lit(0L)).otherwise(col("id")).as("s"),
+          md5(col("id").cast("string")).as("doc"))
+      // two-input join, hot stream side (the rangeJoin hot-bucket shape)
+      val dim = spark.range(0, 100).select(col("id").as("s"),
+        md5(col("id").cast("string")).as("rv"))
+      val two = finalPlan(idx.hint("shuffle_hash").join(dim.hint("shuffle_hash"), "s"))
+      assert(two.contains("ShuffledHashJoin(skew=true)"),
+        s"expected stream-side skew split on the hinted SHJ:\n$two")
+      // self-join on the hot key — the jaccardPairs / LSH bucket shape;
+      // both sides must split even though they read one reused exchange
+      val self = finalPlan(idx.as("a").hint("shuffle_hash")
+        .join(idx.as("b").hint("shuffle_hash"), col("a.s") === col("b.s")))
+      assert(self.contains("ShuffledHashJoin(skew=true)"),
+        s"expected skew split on the self-join:\n$self")
+      assert(self.contains("ReusedExchange"),
+        s"expected the self-join to reuse one exchange:\n$self")
+      assert(self.linesIterator.count(_.contains("AQEShuffleRead skewed")) == 2,
+        s"expected BOTH sides' shuffle reads split:\n$self")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("rangeJoin partition sweep (events ±1h window)") {
     val ev = Tables.events(spark, sf)
     val us = expr("ts DIV 1000")
