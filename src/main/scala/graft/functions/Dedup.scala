@@ -91,9 +91,18 @@ object Dedup {
     rows.join(hot, Seq(keyCol), "left_anti")
   }
 
+  /** `joinStrategy` picks the self-join plan: "shuffle_hash" (default —
+    * see the memory contract below), "merge" (spillable SMJ), or
+    * "broadcast" (the plan the un-hinted planner picks when the index
+    * fits its size estimate — kept selectable so the stress bench can
+    * measure exactly that plan against the hint; never the 100 TB
+    * choice, a corpus-sized index dies on the 8 GB broadcast limit). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxDF: Long = 0L,
-                   hashShingles: Boolean = false): DataFrame = {
+                   hashShingles: Boolean = false,
+                   joinStrategy: String = "shuffle_hash"): DataFrame = {
+    require(Set("shuffle_hash", "merge", "broadcast").contains(joinStrategy),
+      s"joinStrategy must be shuffle_hash|merge|broadcast, got: $joinStrategy")
     val shingleCol =
       if (hashShingles) graft.plans.HashExpressions.shingleHashes(col(textCol), n, wide = true)
       else shingles(col(textCol), n)
@@ -133,8 +142,8 @@ object Dedup {
     // at scale because splitting bounds memory, not the O(df²)
     // pair-generation WORK a hot shingle emits. Uncapped runs are a
     // fixture-scale convenience, not a 100 TB configuration.
-    val a = shFiltered.hint("shuffle_hash").as("a")
-    val b = shFiltered.hint("shuffle_hash").as("b")
+    val a = shFiltered.hint(joinStrategy).as("a")
+    val b = shFiltered.hint(joinStrategy).as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       // sz is functionally dependent on the grouped id, so min == the only
