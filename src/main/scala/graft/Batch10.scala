@@ -44,6 +44,33 @@ private[graft] object Batch10 {
              |      FROM documents),
              |  generate_series(0, 11) AS gx(x), generate_series(0, 9) AS gy(y)
              |WHERE x < w AND y < h
-             |GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
+    // Real AUDIO decode under the oracle — q119's sibling for the second
+    // JDK-native codec family: every doc_id becomes a deterministic WAV
+    // (mono 16-bit PCM, sample i = (id·7+i·13) mod 4001 − 2000,
+    // n = 500+id%250), javax.sound.sampled decodes it back on the
+    // executors, and the emitted per-sample stats must equal the closed
+    // form the DuckDB oracle computes with no audio library. PCM-in-WAV
+    // is lossless, so any container/endianness/width bug turns the row
+    // red. Lossy audio (mp3 etc.) needs external SPIs and sits with
+    // video on the documented stand-in side of the decode boundary.
+    Q("q120_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[java.lang.Long]
+        Multimodal.audioFeatures(Multimodal.syntheticAudio(ids)).toDF()
+          .select(col("media_id").as("doc_id"), col("n_samples"),
+            col("sum_abs"), col("max_abs"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_samples,
+             |  CAST(SUM(ABS(((doc_id*7 + i*13) % 4001) - 2000)) AS BIGINT) AS sum_abs,
+             |  CAST(MAX(ABS(((doc_id*7 + i*13) % 4001) - 2000)) AS BIGINT) AS max_abs
+             |FROM (SELECT doc_id, 500 + doc_id % 250 AS n_samples
+             |      FROM documents),
+             |  generate_series(0, 749) AS g(i)
+             |WHERE i < n_samples
+             |GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin))
   )
 }

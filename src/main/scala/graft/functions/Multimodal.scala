@@ -6,16 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by partition-batched decoders.
   *
-  * Decode boundary (round 8): IMAGE decode is REAL — [[decodeImage]] reads
-  * PNG/JPEG/BMP/GIF pixels through `javax.imageio` (readers every JDK
-  * ships; zero external dependencies) and is oracle-gated on a synthetic
-  * closed-form PNG corpus (q119). Only VIDEO frame extraction remains a
-  * deterministic byte-level stand-in ([[frameSample]] — real codecs are
-  * genuinely absent from the JDK): its Spark-side contract (schema, binary
-  * transport, one-row-many-out flatMap batching) is real and oracle-gated
-  * (q85); swap the per-frame byte stats for a JNI/FFI codec without
-  * touching the pipeline. [[decodeStub]] is kept as the codec-free
-  * byte-stats twin the q38 oracle pins.
+  * Decode boundary (round 8): IMAGE and AUDIO decode are REAL —
+  * [[decodeImage]] reads PNG/JPEG/BMP/GIF pixels through `javax.imageio`
+  * and [[decodeAudio]] reads WAV/AIFF/AU PCM samples through
+  * `javax.sound.sampled` (both reader families ship in every JDK; zero
+  * external dependencies), each oracle-gated on a synthetic closed-form
+  * corpus (q119 images, q120 audio — the SQL recomputes what the codec
+  * must return). Only VIDEO frame extraction (and lossy-audio codecs)
+  * remains a deterministic byte-level stand-in ([[frameSample]] — those
+  * codecs are genuinely absent from the JDK): its Spark-side contract
+  * (schema, binary transport, one-row-many-out flatMap batching) is real
+  * and oracle-gated (q85); swap the per-frame byte stats for a JNI/FFI
+  * codec without touching the pipeline. [[decodeStub]] is kept as the
+  * codec-free byte-stats twin the q38 oracle pins.
   *
   * Scale notes: media blobs ride in parquet binary columns; partition sizing
   * must account for blob width (`spark.sql.files.maxPartitionBytes` smaller
@@ -160,6 +163,95 @@ object Multimodal {
       MediaRow(id, syntheticPng(id), "image/png",
         (8 + id % 5).toInt, (8 + id % 3).toInt)
     }
+  }
+
+  /** Decoded-audio features: stream shape + exact sample stats (sums of
+    * ABSOLUTE sample values stay in long range for any realistic clip). */
+  final case class AudioFeatures(media_id: Long, n_samples: Long, channels: Int,
+                                 sample_rate: Double, sum_abs: Long, max_abs: Long)
+
+  /** Decode result before the id is attached. */
+  final case class AudioFeaturesRaw(n_samples: Long, channels: Int,
+                                    sample_rate: Double, sum_abs: Long, max_abs: Long)
+
+  /** REAL audio decode via `javax.sound.sampled` — WAV/AIFF/AU PCM, the
+    * formats every JDK ships a reader for (lossy codecs need external
+    * SPIs and stay out of scope with video). Returns None for payloads
+    * that are not decodable audio. Supports signed 16-bit and 8-bit PCM,
+    * any channel count, either endianness — sample stats run over ALL
+    * channels interleaved, which is what a corpus-quality filter wants. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioFeaturesRaw] = {
+    import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return None
+        val bytes = in.readAllBytes()
+        val step = bits / 8
+        val n = bytes.length / step
+        var sum = 0L; var mx = 0L
+        var i = 0
+        while (i < n) {
+          val v: Long =
+            if (bits == 8) bytes(i).toLong
+            else if (fmt.isBigEndian)
+              ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toLong
+            else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+          val a = math.abs(v)
+          sum += a; if (a > mx) mx = a
+          i += 1
+        }
+        // n_samples = frames (total samples / channels); the stats above
+        // still cover every channel's samples
+        Some(AudioFeaturesRaw(n.toLong / fmt.getChannels,
+          fmt.getChannels, fmt.getSampleRate.toDouble, sum, mx))
+      } finally in.close()
+    } catch {
+      case _: UnsupportedAudioFileException | _: java.io.IOException => None
+    }
+  }
+
+  /** Batched audio feature extraction — narrow mapPartitions, undecodable
+    * payloads dropped (same shape as [[imageFeatures]]). */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeAudio(r.payload).map(f => AudioFeatures(r.media_id, f.n_samples,
+        f.channels, f.sample_rate, f.sum_abs, f.max_abs))
+    })
+  }
+
+  /** Deterministic synthetic WAV: mono 16-bit signed little-endian PCM at
+    * 8 kHz; n = 500 + id%250 samples, sample i = ((id·7 + i·13) mod 4001)
+    * − 2000. PCM in a WAV container is LOSSLESS, so decode must return
+    * exactly these values — and the closed form lets a SQL oracle
+    * recompute the decoded stats with no audio library (q120), proving
+    * the real codec round-trip like q119 does for images. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (500 + id % 250).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 7 + i * 13) % 4001) - 2000).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic WAV corpus keyed by an id column — distributed generation,
+    * real binary payloads ([[syntheticImages]]' audio sibling). */
+  def syntheticAudio(ids: Dataset[java.lang.Long]): Dataset[MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.map(id => MediaRow(id, syntheticWav(id), "audio/wav", 0, 0))
   }
 
   /** One sampled frame: media id, frame position, payload stats. */

@@ -176,6 +176,40 @@ class FunctionsSpec extends SparkSpec {
     assert(feats.map(_.media_id).toSeq == Seq(1L))
   }
 
+  test("decodeAudio: real WAV round-trip, endianness/width variants, junk dropped") {
+    // lossless PCM round-trip: decode must return the synthetic pattern's
+    // exact frame count and sample stats (q120's oracle recomputes these
+    // in SQL; here we pin the local contract plus variants it can't cover)
+    for (id <- Seq(0L, 3L, 499L)) {
+      val n = (500 + id % 250).toInt
+      var sum = 0L; var mx = 0L
+      for (i <- 0 until n) {
+        val a = math.abs(((id * 7 + i * 13) % 4001) - 2000)
+        sum += a; if (a > mx) mx = a
+      }
+      val f = Multimodal.decodeAudio(Multimodal.syntheticWav(id)).get
+      assert((f.n_samples, f.channels, f.sample_rate, f.sum_abs, f.max_abs) ==
+        (n.toLong, 1, 8000.0, sum, mx), s"id=$id: $f")
+    }
+    // big-endian 16-bit stereo: the decoder must honor the container's
+    // declared byte order and count frames (not raw samples)
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Seq[Short](1000, -1000, 500, -500, 2000, -2000) // 3 stereo frames
+    val be = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      be(2 * i) = ((s >> 8) & 0xff).toByte; be(2 * i + 1) = (s & 0xff).toByte }
+    val fmt = new AudioFormat(44100f, 16, 2, true, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(be), fmt, 3L), AudioFileFormat.Type.AIFF, bos)
+    val g = Multimodal.decodeAudio(bos.toByteArray).get
+    assert(g.n_samples == 3 && g.channels == 2, s"$g")
+    assert(g.sum_abs == samples.map(s => math.abs(s.toLong)).sum && g.max_abs == 2000, s"$g")
+    // junk: None, not an exception
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.syntheticPng(1L)).isEmpty)
+  }
+
   test("partitionData == partitionSketch chunk summaries on the fixture") {
     // ties the SQL-expressible exact twin (q106's operator) to the
     // mergeable sketch form: same chunk boundaries (the sketch's double
@@ -634,6 +668,26 @@ class FunctionsSpec extends SparkSpec {
       Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3, hashShingles = hashed)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(run(hashed = true) == run(hashed = false))
+  }
+
+  test("jaccardPairs joinStrategy: identical pairs under all three join plans") {
+    // the round-8 measurement knob must be semantics-free: shuffle_hash
+    // (default), merge, and broadcast are PLAN choices only — identical
+    // pair sets, capped and uncapped
+    val docs = Tables.documents(spark, sf)
+    for (maxDF <- Seq(0L, 3L)) {
+      val runs = Seq("shuffle_hash", "merge", "broadcast").map { strat =>
+        strat -> Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2,
+            maxDF = maxDF, joinStrategy = strat)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      }
+      val (_, base) = runs.head
+      runs.tail.foreach { case (s, got) =>
+        assert(got == base, s"strategy $s diverged at maxDF=$maxDF") }
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2, joinStrategy = "nested_loop")
+    }
   }
 
   test("jaccardPairs maxDF: hot shingles contribute no candidate pairs") {
