@@ -31,7 +31,7 @@ private[graft] object Batch4 {
         val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         j.groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .agg(SparkEntry.fprod4(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10)
       },
@@ -54,7 +54,7 @@ private[graft] object Batch4 {
           .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
         j.groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("ship_year"))
-          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("volume"),
+          .agg(SparkEntry.fprod4(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("volume"),
             count(lit(1)).as("n"))
           .orderBy("n_name", "ship_year")
       },

@@ -58,9 +58,12 @@ object FixedPoint {
     // overflow tripwire (see object doc): n·max|unscaled| must fit 2^63.
     // count/max aggregate the same snapped child, so Spark evaluates the
     // snap once per row and the two extra buffers ride the existing
-    // partial-aggregation exchange. assert_true yields NULL on pass;
-    // adding it (coalesced to 0) to the sum pins it against column
-    // pruning, bit-identically.
+    // partial-aggregation exchange. The guard rides as coalesce's FIRST
+    // child: assert_true yields NULL on pass, so the value falls through
+    // to the sum bit-identically — and the guard cannot be skipped. (The
+    // tempting `sum + coalesce(guard, 0)` form has a hole: binary-op
+    // codegen short-circuits the RIGHT child when the left is null, so
+    // an all-null sum would silently bypass the assert.)
     val n = count(snapped)
     val mx = max(abs(snapped))
     val guard = assert_true(n === 0 || mx <= lit(Long.MaxValue) / n,
@@ -68,6 +71,52 @@ object FixedPoint {
           "violated — count("), n, lit(") * max|unscaled|("), mx,
         lit(") can exceed 2^63, so a long accumulator may wrap silently; " +
           "use a decimal(18," + scale + ") sum for this column")))
-    (sum(snapped) + coalesce(guard.cast("long"), lit(0L))).cast("double") / m
+    coalesce(guard.cast("long"), sum(snapped)).cast("double") / m
+  }
+
+  /** Exact fixed-point PRODUCT sum: Σ a·b where `a` carries ≤ scaleA and
+    * `b` ≤ scaleB decimal digits — the `sum(ep·(1−disc))` money shape.
+    * Each factor is snapped to its long unscaled form (same rounding and
+    * null/NaN/±Inf semantics as [[sumFixed]]'s snap, matching the
+    * decimal cast's null mapping); the LONG product is the exact
+    * (scaleA+scaleB)-dp unscaled value, accumulated in DECIMAL(38,0) —
+    * which stays on Spark's compact-long fast path until the running
+    * total passes 18 digits and then switches to BigDecimal instead of
+    * overflowing, so the 100 TB design point (Σ|unscaled| ≈ 6e20 for
+    * lineitem money products) is SAFE where a bare long sum is not.
+    * Bit-identical to `sum(cast(a*b as decimal(18, sA+sB)))` for 2-dp
+    * money inputs (the double product sits within 1 ulp of the exact
+    * 4-dp rational — see the object doc) and measured ~1.5× cheaper at
+    * sf0.1 (0.48 → 0.32 s on the q01 shape: the per-row double→
+    * BigDecimal cast becomes two long snaps and a long multiply).
+    *
+    * Per-ROW overflow (|a·10^sA · b·10^sB| ≥ 2^63) uses `try_multiply`,
+    * which nulls on overflow in both ANSI modes — and a count tripwire
+    * turns any such null into a loud failure rather than a silently
+    * dropped row. Final-division caveat: the result is rounded once
+    * through double division by 10^(sA+sB); totals beyond 2^53 unscaled
+    * may differ from the single-rounded decimal cast by 1 ulp. */
+  def sumProductFixed(a: Column, b: Column, scaleA: Int, scaleB: Int): Column = {
+    require(scaleA >= 0 && scaleA <= 9 && scaleB >= 0 && scaleB <= 9,
+      s"scales must be in [0, 9], got ($scaleA, $scaleB)")
+    def snap(c: Column, m: Double): Column = {
+      val finite = !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+      when(finite && c >= 0, (c * m + 0.5).cast("long"))
+        .when(finite && c < 0, -((-c * m + 0.5).cast("long")))
+    }
+    val pa = snap(a, math.pow(10, scaleA))
+    val pb = snap(b, math.pow(10, scaleB))
+    val p = try_multiply(pa, pb)
+    val nIn = count(when(pa.isNotNull && pb.isNotNull, lit(1)))
+    val nP = count(p)
+    // guard first in the coalesce (see sumFixed's comment: a sum-side
+    // null would short-circuit past a right-hand guard — here that is
+    // exactly the all-rows-overflowed case the guard exists for)
+    val guard = assert_true(nP === nIn,
+      concat(lit(s"FixedPoint.sumProductFixed($scaleA,$scaleB): "),
+        nIn - nP, lit(" row(s) overflowed the 2^63 per-row product " +
+          "bound; use the decimal form for this column pair")))
+    coalesce(guard.cast("decimal(38,0)"), sum(p.cast("decimal(38,0)")))
+      .cast("double") / math.pow(10, scaleA + scaleB)
   }
 }

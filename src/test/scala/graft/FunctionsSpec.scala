@@ -132,6 +132,41 @@ class FunctionsSpec extends SparkSpec {
       .head().getDouble(0) == 0.0)
   }
 
+  test("FixedPoint.sumProductFixed == decimal product sum, fixture + edges + row-overflow trip") {
+    import graft.functions.FixedPoint
+    import spark.implicits._
+    // the q01/q05/q08 revenue shape on the fixture: bit-identical to the
+    // decimal(18,4) product-cast sum, per group
+    val li = Tables.lineitem(spark, sf)
+    val diff = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(FixedPoint.sumProductFixed(col("l_extendedprice"),
+          lit(1.0) - col("l_discount"), 2, 2).as("f"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("d"))
+      .filter(col("f") =!= col("d")).count()
+    assert(diff == 0L)
+    // null/NaN/Inf factors skip like the decimal form (product → null);
+    // all finite values are honest 2-dp rationals — the documented
+    // contract (a 3-dp input like 0.005 would diverge: the decimal form
+    // rounds the PRODUCT to 4 dp, this form rounds each FACTOR first)
+    val edge = Seq((2.5, 4.0), (Double.NaN, 3.0), (2.0, Double.PositiveInfinity),
+      (-1.25, 0.75), (0.01, -0.03), (-99999.99, 0.97)).toDF("a", "b")
+    val e = edge.agg(
+      FixedPoint.sumProductFixed(col("a"), col("b"), 2, 2).as("f"),
+      sum((col("a") * col("b")).cast("decimal(18,4)")).cast("double").as("d")).head()
+    assert(e.getDouble(0) == e.getDouble(1), s"${e.getDouble(0)} vs ${e.getDouble(1)}")
+    // a row whose unscaled PRODUCT overflows 2^63 must fail loudly (the
+    // try_multiply null would otherwise silently DROP the row)
+    val big = Seq((5.0e10, 5.0e10)).toDF("a", "b") // 5e12 * 5e12 unscaled
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val ex = intercept[Exception] {
+      big.agg(FixedPoint.sumProductFixed(col("a"), col("b"), 2, 2)).head()
+    }
+    assert(messages(ex).exists(m => m.contains("sumProductFixed") && m.contains("decimal")),
+      s"expected the per-row product tripwire, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("decodeImage: real ImageIO round-trip (PNG exact, JPEG approximate, junk dropped)") {
     // PNG is lossless: decode must return the synthetic pattern's exact
     // dimensions and channel sums (the q119 oracle recomputes these in
