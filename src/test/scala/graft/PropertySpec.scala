@@ -625,6 +625,21 @@ class PropertySpec extends SparkSpec {
     }, minTests = 25)
   }
 
+  test("FixedPoint.sumProductFixed == decimal product sum on random 2-dp pairs") {
+    // both factors are honest 2-dp rationals (the revenue-shape domain:
+    // money × (1 − discount)); signs included on the money side
+    val cents = Gen.choose(-100000000L, 100000000L)
+    val pct = Gen.choose(0L, 100L)
+    check(forAll(Gen.listOfN(30, Gen.zip(cents, pct))) { ks =>
+      val df = ks.map { case (a, b) => (a / 100.0, b / 100.0) }.toDF("a", "b")
+      val r = df.agg(
+        graft.functions.FixedPoint.sumProductFixed(col("a"), col("b"), 2, 2).as("f"),
+        sum((col("a") * col("b")).cast("decimal(18,4)")).cast("double").as("d")).head()
+      Prop(r.getDouble(0) == r.getDouble(1)) :|
+        s"fixed=${r.getDouble(0)} decimal=${r.getDouble(1)}"
+    }, minTests = 25)
+  }
+
   test("gopherKeep fused == HOF conjunction on random ASCII docs + thresholds") {
     // the fused native gate's documented equivalence domain is ASCII-ish
     // text (the tokenSpans String.toLowerCase vs normalize_ws
