@@ -79,7 +79,7 @@ object Multimodal {
     * some fraction of any scraped corpus is undecodable by construction).
     * Pixel channels come from `getRGB`'s sRGB packing; for 8-bit-per-
     * channel sources (all fixtures here) that is the exact stored value. */
-  def decodeImage(payload: Array[Byte]): Option[ImageFeaturesRaw] = {
+  def decodeImage(payload: Array[Byte]): Option[ImageFeaturesRaw] = try {
     // explicit memory-backed stream: ImageIO.createImageInputStream's
     // default spools each stream through a temp FILE (per-row disk I/O
     // on the executor hot path) unless a process-global flag is flipped
@@ -109,6 +109,11 @@ object Multimodal {
         } finally reader.dispose()
       }
     } finally in.close()
+  } catch {
+    // a TRUNCATED or corrupt image whose magic bytes still matched a
+    // reader throws from read(0) — at corpus scale that row must filter,
+    // not kill the task (the no-reader case already returns None above)
+    case _: java.io.IOException => None
   }
 
   /** Decode result before the id is attached. */

@@ -202,6 +202,10 @@ class FunctionsSpec extends SparkSpec {
     // undecodable blobs; the pipeline must filter, not crash)
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // TRUNCATED image: the PNG magic matches a reader, so the failure
+    // comes from read(0) mid-decode — must also filter, not throw
+    assert(Multimodal.decodeImage(Multimodal.syntheticPng(7L).take(40)).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.syntheticWav(7L).take(30)).isEmpty)
     // and the distributed path drops the junk row while decoding the rest
     import spark.implicits._
     val media = Seq(
