@@ -60,6 +60,11 @@ object Joins {
       // key by its aggregation exchange (reused by SMJ), while broadcasting
       // it would ship the full nested payload through the driver — size
       // estimates on array columns routinely fool the broadcast chooser.
+      // Not shuffle_hash either (round 8): SHJ's build side does not
+      // spill (verified against Spark 4.1.2 — see Dedup.jaccardPairs'
+      // memory contract), and the grouped side's nested arrays are
+      // unbounded per key; SMJ keeps the giant-group failure mode
+      // spillable.
       .hint("merge")
     val sparkHow = if (how == "left") "left_outer" else if (how == "outer") "full_outer" else how
     val joined = l.df.join(grouped, key, sparkHow)
