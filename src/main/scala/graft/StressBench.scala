@@ -79,9 +79,12 @@ object StressBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the forced-broadcast arm must not be vetoed by the 8 GB/size
-      // checks at this scale; everything else uses explicit hints
-      .config("spark.sql.autoBroadcastJoinThreshold", "512m")
+      // deliberately NO autoBroadcastJoinThreshold override: broadcast
+      // HINTS are honored regardless of the threshold (and the 8 GB cap
+      // is hardcoded in BroadcastExchangeExec), while raising it would
+      // silently change the UN-hinted joins inside the operators (e.g.
+      // the maxDF cap's anti-join side) across every arm — the plans
+      // must be the production-default plans the comparison is about
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildFixtures(spark, sfDir)

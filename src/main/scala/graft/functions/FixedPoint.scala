@@ -33,28 +33,37 @@ import org.apache.spark.sql.functions._
   * So the bound is ENFORCED at runtime, not just documented: the
   * aggregate carries a `count` and `max(abs(unscaled))` alongside the
   * sum (two extra 8-byte map-side-combined buffers — no extra pass, no
-  * shuffle growth) and trips `assert_true(max ≤ (2^63−1)/n)` on the
-  * aggregated result, the same guard-rides-the-expression pattern as
-  * operators.Joins.rangeJoin's span guard. n·max ≥ Σ|unscaled| is
+  * shuffle growth) and trips when `try_multiply(max, n)` overflows —
+  * an EXACT 2^63 test (a division-based bound would be double
+  * arithmetic with ~1024-ulp slack at the boundary) — the same
+  * guard-rides-the-expression pattern as operators.Joins.rangeJoin's
+  * span guard. n·max ≥ Σ|unscaled| is
   * conservative and DETERMINISTIC — a sum that could have wrapped under
   * an adversarial ordering fails with the actionable message even if
   * this particular order stayed in range, in both ANSI modes; callers
   * in that regime must use the decimal form anyway. */
 object FixedPoint {
 
-  /** See object doc. Null, NaN, and ±Infinity are skipped by `sum`
-    * exactly as the decimal form skips them: a decimal(p,s) cast maps all
-    * three to null, so the snap must too — without the guard, Spark's
-    * NaN/Inf ordering (greater than everything) would take the positive
-    * branch and cast(Inf as long) = Long.MaxValue would silently destroy
-    * the total, while an all-NaN column would sum to 0.0 instead of
-    * null. */
+  /** Snap a double to its long unscaled fixed-point image (round half
+    * AWAY from zero, matching the decimal HALF_UP cast). Null, NaN, and
+    * ±Infinity become null exactly as the decimal form maps them —
+    * without the finite guard, Spark's NaN/Inf ordering (greater than
+    * everything) would take the positive branch and cast(Inf as long) =
+    * Long.MaxValue would silently destroy the total, while an all-NaN
+    * column would sum to 0.0 instead of null. ONE copy, shared by both
+    * aggregates: the snap semantics are a documented cross-aggregate
+    * contract. */
+  private def snap(c: Column, m: Double): Column = {
+    val finite = !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+    when(finite && c >= 0, (c * m + 0.5).cast("long"))
+      .when(finite && c < 0, -((-c * m + 0.5).cast("long")))
+  }
+
+  /** See object doc. */
   def sumFixed(c: Column, scale: Int): Column = {
     require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
     val m = math.pow(10, scale)
-    val finite = !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
-    val snapped = when(finite && c >= 0, (c * m + 0.5).cast("long"))
-      .when(finite && c < 0, -((-c * m + 0.5).cast("long")))
+    val snapped = snap(c, m)
     // overflow tripwire (see object doc): n·max|unscaled| must fit 2^63.
     // count/max aggregate the same snapped child, so Spark evaluates the
     // snap once per row and the two extra buffers ride the existing
@@ -66,7 +75,14 @@ object FixedPoint {
     // an all-null sum would silently bypass the assert.)
     val n = count(snapped)
     val mx = max(abs(snapped))
-    val guard = assert_true(n === 0 || mx <= lit(Long.MaxValue) / n,
+    // n·max must fit 2^63 EXACTLY: try_multiply nulls on long overflow,
+    // so non-null ⟺ the product fits. (The tempting `mx <= MaxValue/n`
+    // form is Spark DOUBLE division: (double)Long.MaxValue rounds UP to
+    // exactly 2^63 and the comparison has ~1024-ulp slack there — at the
+    // boundary, n=2 with mx=2^62 would PASS and the true sum 2^63 wraps
+    // in an ANSI-off session: the precise silent-wrong-total hole this
+    // guard exists to close.)
+    val guard = assert_true(n === 0 || try_multiply(mx, n).isNotNull,
       concat(lit(s"FixedPoint.sumFixed(scale=$scale): overflow bound " +
           "violated — count("), n, lit(") * max|unscaled|("), mx,
         lit(") can exceed 2^63, so a long accumulator may wrap silently; " +
@@ -99,11 +115,6 @@ object FixedPoint {
   def sumProductFixed(a: Column, b: Column, scaleA: Int, scaleB: Int): Column = {
     require(scaleA >= 0 && scaleA <= 9 && scaleB >= 0 && scaleB <= 9,
       s"scales must be in [0, 9], got ($scaleA, $scaleB)")
-    def snap(c: Column, m: Double): Column = {
-      val finite = !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
-      when(finite && c >= 0, (c * m + 0.5).cast("long"))
-        .when(finite && c < 0, -((-c * m + 0.5).cast("long")))
-    }
     val pa = snap(a, math.pow(10, scaleA))
     val pb = snap(b, math.pow(10, scaleB))
     val p = try_multiply(pa, pb)

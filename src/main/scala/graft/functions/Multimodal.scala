@@ -111,9 +111,11 @@ object Multimodal {
     } finally in.close()
   } catch {
     // a TRUNCATED or corrupt image whose magic bytes still matched a
-    // reader throws from read(0) — at corpus scale that row must filter,
-    // not kill the task (the no-reader case already returns None above)
-    case _: java.io.IOException => None
+    // reader must filter, not kill the task (the no-reader case already
+    // returns None above). NonFatal, not just IOException: the JDK
+    // readers throw unchecked exceptions (ArrayIndexOutOfBounds,
+    // IllegalArgument, NegativeArraySize) on fuzzed header fields.
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Decode result before the id is attached. */
@@ -156,7 +158,13 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // memory-backed output stream: the OutputStream overload of
+    // ImageIO.write spools through a temp FILE by default — per-row
+    // disk I/O on the executors (the write-side twin of decodeImage's
+    // input-stream choice)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { javax.imageio.ImageIO.write(img, "png", ios); ios.flush() }
+    finally ios.close()
     bos.toByteArray
   }
 
@@ -182,17 +190,31 @@ object Multimodal {
   /** REAL audio decode via `javax.sound.sampled` — WAV/AIFF/AU PCM, the
     * formats every JDK ships a reader for (lossy codecs need external
     * SPIs and stay out of scope with video). Returns None for payloads
-    * that are not decodable audio. Supports signed 16-bit and 8-bit PCM,
-    * any channel count, either endianness — sample stats run over ALL
-    * channels interleaved, which is what a corpus-quality filter wants. */
+    * that are not decodable LINEAR PCM: signed 16-bit, signed 8-bit, or
+    * unsigned 8-bit (the WAV-spec 8-bit form, rebased to signed), any
+    * channel count, either endianness — companded ULAW/ALAW streams
+    * filter rather than being summed as if linear. Sample stats run over
+    * ALL channels interleaved, which is what a corpus-quality filter
+    * wants. */
   def decodeAudio(payload: Array[Byte]): Option[AudioFeaturesRaw] = {
-    import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
     try {
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        if (bits != 16 && bits != 8) return None
+        val enc = fmt.getEncoding
+        // ENCODING gate, not just sample width: 8-bit WAV is PCM_UNSIGNED
+        // by spec (midpoint 0x80 — sign-extending it would report silence
+        // as sum_abs = 128·n), and ULAW/ALAW also report 8 sample bits
+        // but carry companded values that must not be summed as linear
+        // PCM. Anything outside signed 16-bit / signed-or-unsigned 8-bit
+        // linear PCM filters to None rather than returning wrong stats.
+        val ok =
+          (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+            (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+        if (!ok) return None
+        val unsigned8 = enc == AudioFormat.Encoding.PCM_UNSIGNED
         val bytes = in.readAllBytes()
         val step = bits / 8
         val n = bytes.length / step
@@ -200,8 +222,9 @@ object Multimodal {
         var i = 0
         while (i < n) {
           val v: Long =
-            if (bits == 8) bytes(i).toLong
-            else if (fmt.isBigEndian)
+            if (bits == 8) {
+              if (unsigned8) (bytes(i) & 0xff).toLong - 128L else bytes(i).toLong
+            } else if (fmt.isBigEndian)
               ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toLong
             else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
           val a = math.abs(v)
@@ -214,7 +237,9 @@ object Multimodal {
           fmt.getChannels, fmt.getSampleRate.toDouble, sum, mx))
       } finally in.close()
     } catch {
-      case _: UnsupportedAudioFileException | _: java.io.IOException => None
+      // same contract as decodeImage: undecodable or corrupt audio —
+      // including unchecked exceptions from fuzzed headers — filters
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

@@ -244,6 +244,16 @@ class FunctionsSpec extends SparkSpec {
     val g = Multimodal.decodeAudio(bos.toByteArray).get
     assert(g.n_samples == 3 && g.channels == 2, s"$g")
     assert(g.sum_abs == samples.map(s => math.abs(s.toLong)).sum && g.max_abs == 2000, s"$g")
+    // unsigned 8-bit (the WAV-spec 8-bit form): silence is 0x80, which a
+    // sign-extending decoder would report as sum_abs = 128·n — the
+    // encoding gate must rebase to signed instead
+    val u8 = Array.fill[Byte](100)(0x80.toByte)
+    val ufmt = new AudioFormat(8000f, 8, 1, false, false)
+    val ubos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(u8), ufmt, 100L), AudioFileFormat.Type.WAVE, ubos)
+    val u = Multimodal.decodeAudio(ubos.toByteArray).get
+    assert(u.n_samples == 100 && u.sum_abs == 0L && u.max_abs == 0L, s"$u")
     // junk: None, not an exception
     assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.decodeAudio(Multimodal.syntheticPng(1L)).isEmpty)
