@@ -71,6 +71,56 @@ private[graft] object Batch10 {
              |      FROM documents),
              |  generate_series(0, 749) AS g(i)
              |WHERE i < n_samples
-             |GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin)),
+
+    // Watermarked windowed aggregation under the oracle — the last
+    // spec-only streaming idiom (Streams.windowedAgg) converted to a
+    // hash-green gate. A REAL two-micro-batch MemoryStream drive:
+    // batch 1 is the whole events fixture; batch 2 is (a) a duplicate
+    // copy of every earliest-hour row — now LATE, because the watermark
+    // (delay 0 s) advanced to batch 1's max event time, far past that
+    // window's end, so stateful aggregation must DROP them — plus (b)
+    // one synthetic flush row 4 h past the fixture's last bucket, which
+    // advances the watermark so every real window closes and append
+    // mode emits it exactly once (the flush row's own window never
+    // closes and is never emitted). The oracle is q39's batch SQL over
+    // the original events verbatim: green certifies the three claims
+    // that make event-time streaming correct at scale — late data
+    // beyond the watermark is dropped (not double-counted), each window
+    // is emitted exactly once with the batch-equal count AND
+    // decimal-exact sum, and open windows are withheld. The driver-side
+    // collect is the fixture feed only (MemoryStream needs in-memory
+    // batches); the pipeline under test is the production streaming
+    // form, whose state is bounded by the watermark (SCALE.md §streams).
+    Q("q121_stream_window_late",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.streaming.Streams
+        val rows = Tables.events(s, dir)
+          .select(expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        val hourUs = 3600L * 1000000L
+        val minBucketEnd = rows.map(_._1).min / hourUs * hourUs + hourUs
+        val maxTs = rows.map(_._1).max
+        require(minBucketEnd <= maxTs, "fixture must span more than one window")
+        val late = rows.filter(_._1 < minBucketEnd)
+        val flush = (maxTs / hourUs + 4) * hourUs + 1L
+        val ms = MemoryStream[(Long, String, Double)](s)
+        val out = Streams.windowedAgg(
+          ms.toDS().toDF("ts_us", "event_type", "value"),
+          watermark = "0 seconds", window_ = "1 hour")
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q121_sink").start()
+        try {
+          ms.addData(rows.toSeq); q.processAllAvailable()
+          ms.addData(late.toSeq :+ ((flush, "flush", 0.0))); q.processAllAvailable()
+        } finally q.stop()
+        s.table("q121_sink").orderBy("bucket_us", "event_type")
+      },
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin))
   )
 }

@@ -27,14 +27,20 @@ object Streams {
 
   /** Watermarked tumbling-window aggregation of the events shape:
     * (ts_us long, event_type string, value double) → per-(window, type)
-    * counts and sums — the streaming twin of SparkEntry q39. */
+    * counts and sums — the streaming twin of SparkEntry q39. The sum
+    * accumulates in decimal(18,4) (q39's dsum discipline): a double
+    * accumulator's result depends on row arrival order, which for a
+    * stream is nondeterministic by construction — decimal state makes
+    * the emitted window value independent of batching and enables the
+    * exact batch-parity gate (q121). */
   def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
                   window_ : String = "1 hour"): DataFrame =
     events
       .withColumn("tstamp", timestamp_micros(col("ts_us")))
       .withWatermark("tstamp", watermark)
       .groupBy(window(col("tstamp"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"), col("n"), col("sum_value"))
 
