@@ -216,21 +216,43 @@ object Dedup {
     * into dedup CLUSTERS (a chain a~b~c is one duplicate group even when
     * (a,c) itself was never emitted as a pair).
     *
-    * Algorithm: iterative min-label propagation (the same semantics as
-    * GraphX's Pregel ConnectedComponents) — every node starts at
-    * `min(self, neighbors)` and each round takes the min of its neighbors'
-    * labels, until a fixpoint. Rounds = O(max component diameter); near-dup
-    * graphs are locally dense (LSH banding emits most pairs of a clique
-    * directly), so diameter — and the round count — stays small in
-    * practice. Each round is two hash exchanges keyed on 8-byte node ids
-    * over the PAIR set (≪ corpus size at 100 TB: only docs that collided
-    * at all appear here). Every round is `localCheckpoint`ed: lineage stays
-    * flat (no exponential replay of the iteration history) and the
-    * convergence check reuses the materialized blocks.
+    * Algorithm, size-adaptive — the same broadcast-vs-shuffle decision
+    * Spark itself makes for joins, applied to graph labeling:
+    *
+    *  - **Small graph (edge count ≤ `localEdgeLimit`, integral ids): one
+    *    driver union-find pass.** The thresholded near-dup pair set is
+    *    orders of magnitude smaller than the corpus (only docs that
+    *    collided at all appear, and LSH banding + similarity thresholds
+    *    prune hard); at the default limit of 5M edges the collect is
+    *    ≤ ~80 MB — the same order a broadcast join ships to the driver —
+    *    and union-find labels it in well under a second, replacing
+    *    O(diameter) iterations of join+aggregate+checkpoint jobs whose
+    *    fixed per-round latency dominates whenever the graph is small.
+    *    The label map returned to the cluster is ≤ one row per touched
+    *    node, which [[clusters]]'s AQE-broadcast join then applies
+    *    without shuffling the corpus.
+    *  - **Large graph: iterative min-label propagation** (the same
+    *    semantics as GraphX's Pregel ConnectedComponents) — every node
+    *    starts at `min(self, neighbors)` and each round takes the min of
+    *    its neighbors' labels, until a fixpoint. Rounds = O(max component
+    *    diameter); near-dup graphs are locally dense (LSH banding emits
+    *    most pairs of a clique directly), so diameter — and the round
+    *    count — stays small in practice. Each round is two hash exchanges
+    *    keyed on 8-byte node ids over the PAIR set. Every round is
+    *    `localCheckpoint`ed: lineage stays flat (no exponential replay of
+    *    the iteration history) and the convergence check reuses the
+    *    materialized blocks.
+    *
+    * Pass `localEdgeLimit = 0` to force the distributed path (the specs
+    * exercise both). Both paths compute the identical labeling and are
+    * property-tested against the same model.
     *
     * Returns (node, comp) for every node that appears in ≥1 pair, where
     * comp = the smallest node id reachable from it. Singletons (docs in no
     * pair) are absent — [[clusters]] re-attaches them as their own comp.
+    * Null endpoints contribute no edges on either path (a null never
+    * equi-joins in the propagation rounds; the fast path filters them
+    * before collecting).
     */
   /** localCheckpoint plus a release handle: the persisted RDD behind the
     * checkpointed Dataset, so iterative algorithms can unpersist superseded
@@ -296,13 +318,64 @@ object Dedup {
   }
 
   def connectedComponents(pairs: DataFrame, iCol: String = "i",
-                          jCol: String = "j", maxIter: Int = 64): DataFrame = {
+                          jCol: String = "j", maxIter: Int = 64,
+                          localEdgeLimit: Long = 5000000L): DataFrame = {
     // materialize the pair input ONCE before symmetrizing: the union scans
     // it twice, and Spark does not share common subtrees across union
     // branches — an uncheckpointed pair pipeline (e.g. a full minhashLSH
     // pass) would run end-to-end twice in the first job
     val (p, freeP) = checkpointed(
       pairs.select(col(iCol).as("i"), col(jCol).as("j")))
+    // size gate for the driver fast path (see scaladoc): the count runs
+    // over the just-materialized checkpoint blocks, not the pair pipeline
+    val integralIds = p.schema.fields.forall(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (integralIds && localEdgeLimit > 0 && p.count() <= localEdgeLimit) {
+      val outType = p.schema.fields.map(_.dataType)
+        .maxBy(_.defaultSize) // widest input id type carries both columns
+      val edges = p.na.drop()
+        .select(col("i").cast("long"), col("j").cast("long")).collect()
+      freeP()
+      // union-find, min id as root: attaching the larger root under the
+      // smaller makes every root the min of its component by induction;
+      // path compression keeps find() amortized near-constant
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val px = parent.get(r); px != null && px != r }) r = parent.get(r)
+        var c = x
+        while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      edges.foreach { e =>
+        val (i, j) = (e.getLong(0), e.getLong(1))
+        // register BOTH endpoints: a union writes only the larger root's
+        // entry, and a node absent from the map would be absent from the
+        // output labeling
+        parent.putIfAbsent(i, i)
+        parent.putIfAbsent(j, j)
+        val (ri, rj) = (find(i), find(j))
+        if (ri < rj) parent.put(rj, ri)
+        else if (rj < ri) parent.put(ri, rj)
+      }
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(n => labels += ((n, find(n))))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // parallelize, don't build a LocalRelation: a multi-million-row
+      // label map embedded in the plan would serialize through the driver
+      // on every use; as an RDD-backed frame it behaves like any small
+      // distributed table (and AQE still broadcasts it downstream)
+      return spark.sparkContext.parallelize(labels.toSeq)
+        .toDF("node", "comp")
+        .select(col("node").cast(outType), col("comp").cast(outType))
+        .toDF("node", "comp")
+    }
     val (sym, freeSym) = checkpointed(
       p.select(col("i").as("src"), col("j").as("dst"))
         .union(p.select(col("j").as("src"), col("i").as("dst")))

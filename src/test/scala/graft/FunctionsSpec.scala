@@ -902,12 +902,19 @@ class FunctionsSpec extends SparkSpec {
     // a 12-node path: min label must travel 11 hops — exercises the
     // iteration loop well past the one-round case
     val chain = (0L until 11L).map(i => (i, i + 1)).toDF("i", "j")
-    val cc = Dedup.connectedComponents(chain).collect()
+    // localEdgeLimit = 0: force the DISTRIBUTED path — an 11-edge chain
+    // takes the driver fast path by default, and both the 11-hop
+    // propagation and the maxIter guard live on the iterative side
+    val cc = Dedup.connectedComponents(chain, localEdgeLimit = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == (0L to 11L).map(_ -> 0L).toMap, s"chain not collapsed: $cc")
     val e = intercept[IllegalStateException](
-      Dedup.connectedComponents(chain, maxIter = 2))
+      Dedup.connectedComponents(chain, maxIter = 2, localEdgeLimit = 0L))
     assert(e.getMessage.contains("did not converge"))
+    // fast path on the same chain: identical labeling, no iteration
+    val fcc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fcc == cc, s"fast-path labeling diverges: $fcc")
   }
 
   test("decontaminate: flagged docs removed, clean docs keep all columns") {

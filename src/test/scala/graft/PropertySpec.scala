@@ -304,9 +304,16 @@ class PropertySpec extends SparkSpec {
         val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
         val roots = nodes.groupBy(find)
         val expect = roots.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
-        val got = Dedup.connectedComponents(es.toDF("i", "j")).collect()
+        // BOTH paths of the size-adaptive operator against the model:
+        // the driver union-find fast path (default gate) and the
+        // distributed label propagation (localEdgeLimit = 0 forces it)
+        val fast = Dedup.connectedComponents(es.toDF("i", "j")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        Prop(got == expect) :| s"got=$got expect=$expect edges=$es"
+        val dist = Dedup.connectedComponents(es.toDF("i", "j"),
+            localEdgeLimit = 0L).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (Prop(fast == expect) :| s"fast got=$fast expect=$expect edges=$es") &&
+          (Prop(dist == expect) :| s"dist got=$dist expect=$expect edges=$es")
       }
     }, minTests = 12)
   }
