@@ -78,6 +78,37 @@ object Dedup {
     * cap exists to save). A Window.partitionBy(key) alternative would
     * re-shuffle every occurrence AND land each hot key's occurrence list
     * on one task — the exact skew the cap removes. */
+  /** Lazily materialize a subplan both self-join sides read, when — and
+    * ONLY when — its recompute cost dominates its cached footprint.
+    * Spark's ReuseExchange does not fire on the duplicated subtrees of
+    * these self-joins (they canonicalize unequal — lambda and generator
+    * expression ids differ per instantiation; measured: zero
+    * ReusedExchange nodes across every pair generator's executed plan),
+    * so the per-side pipeline runs once PER REFERENCE.
+    * `localCheckpoint(eager = false)` keeps the operator lazy (nothing
+    * runs at construction — Verify/Bench timing stays honest); on first
+    * execution the RDD's partitions compute once and persist
+    * (memory-and-disk, spillable; freed by the ContextCleaner when the
+    * query's RDDs drop out of reference), and the other reference reads
+    * the cached blocks.
+    *
+    * Where it applies is a MEASURED decision (500k-doc stress corpus,
+    * round 8), not a default: only [[minhashLSH]]'s signature table
+    * qualifies — k hashes per token make the signature pass the
+    * operator's dominant cost, and sharing it measured 55.9 → 40.7 s
+    * (1.37×, bands disjoint). Everywhere else the same change measured
+    * SLOWER and was reverted: simhash's one-pass signature is cheaper to
+    * recompute inside whole-stage codegen than to round-trip through the
+    * cache layer (12.5 → 14.3 s), and the exploded inverted indexes
+    * (jaccard, sharedPassages) are LARGER than the text they derive from
+    * (one row per doc×shingle), so caching them trades a cheap columnar
+    * rescan for block-manager pressure (capped stress arm 3.3 → 4.3 s).
+    * Trade-off at cluster scale: lineage is truncated, so losing an
+    * executor mid-query fails the stage instead of recomputing that
+    * partition — the standard cache-sharing trade. */
+  private[functions] def shared(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   private def capHotKeys(rows: DataFrame, keyCol: String, idCol: String,
                          maxDF: Long, distinctPerDoc: Boolean): DataFrame = {
     // when the producer already emits each (key, doc) at most once
@@ -111,6 +142,10 @@ object Dedup {
     // old sizes⋈inter joins were two extra full shuffles of the candidate
     // set — for the price of one extra 8-byte column on the exploded rows,
     // first(sz) in the pair aggregate makes them free.
+    // deliberately NOT shared() (see the helper's doc): the exploded
+    // index is one row per doc×shingle — LARGER than the text it derives
+    // from — and recomputing it is a cheap fused columnar scan; caching
+    // it measured slower on the stress corpus
     val sh = df.select(col(idCol).as("id"), shingleCol.as("__arr"))
       .select(col("id"), size(col("__arr")).cast("long").as("sz"),
         explode(col("__arr")).as("s"))
@@ -179,9 +214,14 @@ object Dedup {
     val k = bands * rowsPerBand
     // docs with < n tokens have no shingles → an empty (sentinel-filled)
     // signature; they would all collide as est_sim=1.0 "duplicates"
-    val sigs = df.filter(Text.tokenCount(col(textCol)) >= n)
+    // shared(): the k-hash signature pass is the operator's dominant
+    // cost (k hashes per token), so compute it once, not once per
+    // self-join side — measured 55.9 → 40.7 s on the 500k-doc stress
+    // corpus (1.37×, bands disjoint); see the helper's doc for why the
+    // OTHER pair generators deliberately recompute instead
+    val sigs = shared(df.filter(Text.tokenCount(col(textCol)) >= n)
       .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), n, k).as("sig"))
+        minhashSignature(col(textCol), n, k).as("sig")))
     // each band's slice is packed to ONE 64-bit bucket key (xxhash64 over
     // band index + slice values): the bucket-join shuffle then carries an
     // 8-byte key instead of an array<long>, and the join is a plain long
@@ -494,6 +534,9 @@ object Dedup {
                      minRun: Long, maxDF: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    // deliberately NOT shared(): same exploded-index shape as
+    // jaccardPairs — larger than the source text, cheap to recompute
+    // (see the helper's doc)
     val sh = df.select(col(idCol).as("id"),
         posexplode(graft.plans.HashExpressions.shingleHashesAll(col(textCol), n)))
       .toDF("id", "pos", "h")
@@ -584,7 +627,10 @@ object Dedup {
       s"maxHamming=$maxHamming exceeds the block-bucketing completeness " +
         s"bound nBlocks-1=${nBlocks - 1}: raise nBlocks")
     val bitsTotal = 62; val blockBits = bitsTotal / nBlocks
-    // token-less docs all hash to sig=0 and would pair at hamming 0
+    // token-less docs all hash to sig=0 and would pair at hamming 0.
+    // deliberately NOT shared() (see the helper's doc): the one-pass
+    // simhash recomputes cheaper inside whole-stage codegen than a cache
+    // round-trip — sharing measured 12.5 → 14.3 s on the stress corpus
     val sigs = df.filter(Text.tokenCount(col(textCol)) >= 1)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     // one collision-free long bucket per block: block index in the high

@@ -239,6 +239,10 @@ object Similarity {
     // fix9 image + norm once per vector in the narrow scan (computed
     // BEFORE the signature explode so neither repeats per table row);
     // signatures from the raw vector (float→double is exact)
+    // deliberately NOT Dedup.shared() (see that helper's doc): the fix9
+    // image + signatures are ~3× the raw float vector's bytes, and the
+    // fused madd loops recompute cheaper than the cache round-trip —
+    // measured slightly slower with sharing (q67: 0.46 → 0.53 s)
     val base = df.select(col(idCol).as("id"), fix9(col(vecCol)).as("vf"),
         sigs(col(vecCol)).as("ss"))
       .withColumn("nrm", sqrt(dotFix9(col("vf"), col("vf"))))
