@@ -32,6 +32,8 @@ import org.apache.spark.sql.functions._
   *    (571k chain components of diameter 7 — the iterative path pays
   *    ~8 join+aggregate rounds; the gate's justification measured, not
   *    argued)
+  *  - minhashLSH signature sharing vs recompute-per-join-side (the
+  *    ReuseExchange gap): the k-hash pass dominates at corpus scale
   * Emits one JSON line (stdout + target/stress_latest.json) for
   * NOTES/SCALE tables. */
 object StressBench {
@@ -131,7 +133,16 @@ object StressBench {
       "cc_driver" -> (() => Dedup.connectedComponents(
         spark.read.parquet(s"$root/edges_stress"))),
       "cc_distributed" -> (() => Dedup.connectedComponents(
-        spark.read.parquet(s"$root/edges_stress"), localEdgeLimit = 0L)))
+        spark.read.parquet(s"$root/edges_stress"), localEdgeLimit = 0L)),
+      // the signature-sharing knob in ITS regime: the k-hash pass over a
+      // 500k-doc corpus dominates, so computing it once (lazy
+      // localCheckpoint) beats the recompute-per-join-side plan that
+      // ReuseExchange fails to rescue (subtrees canonicalize unequal)
+      "minhash_shared" -> (() => Dedup.minhashLSH(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, minEstSim = 0.8)),
+      "minhash_recompute" -> (() => Dedup.minhashLSH(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 8, minEstSim = 0.8,
+        shareSignatures = false)))
 
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))

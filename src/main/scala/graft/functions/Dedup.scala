@@ -95,8 +95,8 @@ object Dedup {
     * Where it applies is a MEASURED decision (500k-doc stress corpus,
     * round 8), not a default: only [[minhashLSH]]'s signature table
     * qualifies — k hashes per token make the signature pass the
-    * operator's dominant cost, and sharing it measured 55.9 → 40.7 s
-    * (1.37×, bands disjoint). Everywhere else the same change measured
+    * operator's dominant cost, and sharing it measured 58.6 → 47.7 s
+    * under the stress harness arms (disjoint bands). Everywhere else the same change measured
     * SLOWER and was reverted: simhash's one-pass signature is cheaper to
     * recompute inside whole-stage codegen than to round-trip through the
     * cache layer (12.5 → 14.3 s), and the exploded inverted indexes
@@ -210,18 +210,24 @@ object Dedup {
     * volume is controlled by the (bands, rows) S-curve. Verification
     * re-checks estimated similarity = matching signature fraction. */
   def minhashLSH(df: DataFrame, idCol: String, textCol: String, n: Int,
-                 bands: Int, rowsPerBand: Int, minEstSim: Double): DataFrame = {
+                 bands: Int, rowsPerBand: Int, minEstSim: Double,
+                 shareSignatures: Boolean = true): DataFrame = {
     val k = bands * rowsPerBand
     // docs with < n tokens have no shingles → an empty (sentinel-filled)
     // signature; they would all collide as est_sim=1.0 "duplicates"
     // shared(): the k-hash signature pass is the operator's dominant
     // cost (k hashes per token), so compute it once, not once per
-    // self-join side — measured 55.9 → 40.7 s on the 500k-doc stress
-    // corpus (1.37×, bands disjoint); see the helper's doc for why the
-    // OTHER pair generators deliberately recompute instead
-    val sigs = shared(df.filter(Text.tokenCount(col(textCol)) >= n)
+    // self-join side — measured 58.6 → 47.7 s on the 500k-doc stress
+    // corpus (minhash_shared/minhash_recompute arms, disjoint bands);
+    // see the helper's doc for why the
+    // OTHER pair generators deliberately recompute instead.
+    // `shareSignatures = false` keeps the recompute-per-side plan
+    // selectable so the stress bench measures the exact alternative
+    // (the joinStrategy precedent) — never the production choice.
+    val sigsPlain = df.filter(Text.tokenCount(col(textCol)) >= n)
       .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), n, k).as("sig")))
+        minhashSignature(col(textCol), n, k).as("sig"))
+    val sigs = if (shareSignatures) shared(sigsPlain) else sigsPlain
     // each band's slice is packed to ONE 64-bit bucket key (xxhash64 over
     // band index + slice values): the bucket-join shuffle then carries an
     // 8-byte key instead of an array<long>, and the join is a plain long

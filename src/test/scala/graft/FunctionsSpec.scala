@@ -433,6 +433,12 @@ class FunctionsSpec extends SparkSpec {
       val recall = exact.intersect(lsh).size.toDouble / exact.size
       assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
     }
+    // the recompute-per-side plan (shareSignatures = false — the stress
+    // bench's comparison arm) must emit the identical pair set
+    val unshared = Dedup.minhashLSH(docs, "doc_id", "text", n = 3,
+      bands = 8, rowsPerBand = 2, minEstSim = 0.3, shareSignatures = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unshared == lsh, "shared vs recompute plans diverge")
   }
 
   test("minhashLSH: hashed band buckets == value-joined band slices on fixture") {
