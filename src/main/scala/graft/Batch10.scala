@@ -121,6 +121,60 @@ private[graft] object Batch10 {
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, event_type,
              |  COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin)),
+
+    // Streaming windowed QUANTILES under the oracle — q121's sibling for
+    // the sketch path (Streams.windowedQuantiles): per-(window, type)
+    // KHist state is O(k) and mergeable, which is what makes quantiles
+    // over an unbounded stream possible at all. Same MemoryStream drive
+    // (batch 1 = the fixture, batch 2 = one flush row that closes every
+    // real window). What this row gates is the STREAMING mechanics —
+    // per-window `n` must equal the batch count exactly (state merged
+    // across batches, watermark-closed, emitted exactly once) — plus
+    // read-off sanity booleans: each sketch quantile inside the window's
+    // batch-exact [min, max] envelope, and p50 ≤ p90 (the read-off is
+    // monotone in q). The VALUE-accuracy contract is deliberately NOT
+    // re-gated here: KHist merges equal values into weighted centroids,
+    // and on a 3-row window like [.19, .19, 96.92] the centroid
+    // interpolation legitimately strays far from quantile_cont (rank
+    // mass spreads across the merged weight) — a fixed relative bound
+    // would encode fixture luck, not the estimator's contract. Accuracy
+    // lives where it is properly pinned: the KHist accuracy spec
+    // (rank-error tracking vs exact percentiles at spec scale) and q43
+    // (percentile_approx's rank contract under the oracle).
+    Q("q122_stream_window_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.streaming.Streams
+        val ev = Tables.events(s, dir)
+          .select(expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+        val rows = ev.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        val hourUs = 3600L * 1000000L
+        val flush = (rows.map(_._1).max / hourUs + 4) * hourUs + 1L
+        val ms = MemoryStream[(Long, String, Double)](s)
+        val out = Streams.windowedQuantiles(
+          ms.toDS().toDF("ts_us", "event_type", "value"),
+          watermark = "0 seconds", window_ = "1 hour", k = 64, qs = Seq(0.5, 0.9))
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q122_sink").start()
+        try {
+          ms.addData(rows.toSeq); q.processAllAvailable()
+          ms.addData((flush, "flush", 0.0)); q.processAllAvailable()
+        } finally q.stop()
+        val exact = ev
+          .groupBy((floor(col("ts_us") / hourUs) * hourUs).cast("long").as("bucket_us"),
+            col("event_type"))
+          .agg(min(col("value")).as("emn"), max(col("value")).as("emx"))
+        s.table("q122_sink").join(exact, Seq("bucket_us", "event_type"))
+          .select(col("bucket_us"), col("event_type"), col("n"),
+            (col("p50") >= col("emn") && col("p50") <= col("emx")).as("inb50"),
+            (col("p90") >= col("emn") && col("p90") <= col("emx")).as("inb90"),
+            (col("p50") <= col("p90")).as("mono"))
+          .orderBy("bucket_us", "event_type")
+      },
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, event_type,
+             |  COUNT(*) AS n, TRUE AS inb50, TRUE AS inb90, TRUE AS mono
              |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin))
   )
 }
