@@ -102,7 +102,10 @@ object Dedup {
     * cache layer (12.5 → 14.3 s), and the exploded inverted indexes
     * (jaccard, sharedPassages) are LARGER than the text they derive from
     * (one row per doc×shingle), so caching them trades a cheap columnar
-    * rescan for block-manager pressure (capped stress arm 3.3 → 4.3 s).
+    * rescan for block-manager pressure (capped stress arm 3.3 → 4.3 s);
+    * even sharing ONLY capHotKeys' tiny >maxDF survivor set measured
+    * slower (2.29 → 2.55 s) — the checkpoint barrier serializes a pass
+    * that otherwise overlaps other stages.
     * Trade-off at cluster scale: lineage is truncated, so losing an
     * executor mid-query fails the stage instead of recomputing that
     * partition — the standard cache-sharing trade. */
