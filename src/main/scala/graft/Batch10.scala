@@ -175,6 +175,60 @@ private[graft] object Batch10 {
       },
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, event_type,
              |  COUNT(*) AS n, TRUE AS inb50, TRUE AS inb90, TRUE AS mono
-             |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin)),
+
+    // The persisted-bucketed-index dedup path under the oracle — the
+    // repeated-run form of q33: the (id, sz, shingle) inverted index is
+    // written ONCE bucketed by shingle (IO.saveBucketed), and
+    // jaccardPairsFromIndex self-joins the saved table with ZERO index
+    // exchanges (bucketing co-partitions both sides — the IOStreamsSpec
+    // plan test pins exactly one Exchange, the pair aggregate's). At
+    // 100 TB this is how several thresholds/runs share one index build
+    // instead of paying the lazy operator's per-run scan+explode. The
+    // oracle is q33's SQL verbatim (same n=3, threshold=0.3), so green
+    // certifies the saved-table path end-to-end: bucketed write, catalog
+    // round-trip, co-partitioned self-join, identical pairs. The table
+    // is dropped and rebuilt per run (the build is part of the measured
+    // query — honest for a one-build-one-query drive; the operator's
+    // point is that SUBSEQUENT queries skip it).
+    Q("q123_dedup_jaccard_indexed",
+      (s, dir) => {
+        import graft.sources.IO
+        val table = "graft_q123_idx"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        // a PREVIOUS JVM's run leaves the managed location on disk while
+        // this JVM's fresh in-memory catalog has no entry to drop —
+        // saveAsTable then fails LOCATION_ALREADY_EXISTS; clear the dir
+        val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), table)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+          f.delete()
+        }
+        if (loc.exists()) rm(loc)
+        val idx = graft.functions.Dedup.jaccardIndex(
+          docs(s, dir), "doc_id", "text", n = 3)
+        IO.saveBucketed(graft.core.JTable(idx, Seq("s")), table, 8)
+        graft.functions.Dedup.jaccardPairsFromIndex(
+            IO.loadBucketed(s, table).df, threshold = 0.3)
+          .orderBy("i", "j")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+             |  FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, GREATEST(len(t) - 2, 0) + 1),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+             |  FROM toks),
+             |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT i, j, n_common,
+             |  CAST(n_common AS DOUBLE) / (si.sz + sj.sz - n_common) AS jaccard
+             |FROM inter
+             |JOIN sizes si ON si.doc_id = i
+             |JOIN sizes sj ON sj.doc_id = j
+             |WHERE CAST(n_common AS DOUBLE) / (si.sz + sj.sz - n_common) >= 0.3
+             |ORDER BY i, j""".stripMargin))
   )
 }

@@ -137,9 +137,6 @@ object Dedup {
                    joinStrategy: String = "shuffle_hash"): DataFrame = {
     require(Set("shuffle_hash", "merge", "broadcast").contains(joinStrategy),
       s"joinStrategy must be shuffle_hash|merge|broadcast, got: $joinStrategy")
-    val shingleCol =
-      if (hashShingles) graft.plans.HashExpressions.shingleHashes(col(textCol), n, wide = true)
-      else shingles(col(textCol), n)
     // |A| rides ALONG the inverted index instead of living in a separate
     // per-doc `sizes` table: at 100 TB that table is |corpus|-sized, so the
     // old sizes⋈inter joins were two extra full shuffles of the candidate
@@ -149,9 +146,7 @@ object Dedup {
     // index is one row per doc×shingle — LARGER than the text it derives
     // from — and recomputing it is a cheap fused columnar scan; caching
     // it measured slower on the stress corpus
-    val sh = df.select(col(idCol).as("id"), shingleCol.as("__arr"))
-      .select(col("id"), size(col("__arr")).cast("long").as("sz"),
-        explode(col("__arr")).as("s"))
+    val sh = jaccardIndex(df, idCol, textCol, n, hashShingles)
     val shFiltered =
       if (maxDF > 0) {
         // hot-shingle cap (see capHotKeys; shingles are per-doc distinct,
@@ -180,8 +175,17 @@ object Dedup {
     // at scale because splitting bounds memory, not the O(df²)
     // pair-generation WORK a hot shingle emits. Uncapped runs are a
     // fixture-scale convenience, not a 100 TB configuration.
-    val a = shFiltered.hint(joinStrategy).as("a")
-    val b = shFiltered.hint(joinStrategy).as("b")
+    pairStage(shFiltered, threshold, joinStrategy)
+  }
+
+  /** The self-join + intersection + Jaccard stage over an (id, sz, s)
+    * inverted index — ONE implementation shared by the lazy operator
+    * ([[jaccardPairs]]) and the persisted-index form
+    * ([[jaccardPairsFromIndex]]), so the two can never drift. */
+  private def pairStage(index: DataFrame, threshold: Double,
+                        joinStrategy: String): DataFrame = {
+    val a = index.hint(joinStrategy).as("a")
+    val b = index.hint(joinStrategy).as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       // sz is functionally dependent on the grouped id, so min == the only
@@ -196,6 +200,36 @@ object Dedup {
           (col("sz_i") + col("sz_j") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("n_common"), col("jaccard"))
+  }
+
+  /** Exact-Jaccard pairs over a PERSISTED inverted index — the
+    * repeated-run form of [[jaccardPairs]]: build the (id, sz, s) index
+    * once with [[jaccardIndex]] + `IO.saveBucketed(…, buckets, by "s")`,
+    * then every threshold sweep / re-run self-joins the saved table with
+    * ZERO index exchanges (bucketing co-partitions both sides; the
+    * IOStreamsSpec plan test pins exactly one Exchange — the pair
+    * aggregate's — in the whole pipeline). Default `joinStrategy` is
+    * "merge": SMJ consumes the bucket layout with a partition-local
+    * sort, and the index never moves. At 100 TB this turns the
+    * per-run index build (scan + shingle explode, the lazy operator's
+    * documented per-side cost) into a one-time write. Apply `maxDF`
+    * BEFORE saving (cap, then persist the surviving rows) so every
+    * downstream run inherits the capped universe. */
+  def jaccardPairsFromIndex(index: DataFrame, threshold: Double,
+                            joinStrategy: String = "merge"): DataFrame =
+    pairStage(index, threshold, joinStrategy)
+
+  /** The (id, sz, s) inverted-index rows [[jaccardPairs]] derives
+    * internally — exposed so a pipeline can persist them (bucketed by
+    * `s`) for [[jaccardPairsFromIndex]]. */
+  def jaccardIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   hashShingles: Boolean = false): DataFrame = {
+    val shingleCol =
+      if (hashShingles) graft.plans.HashExpressions.shingleHashes(col(textCol), n, wide = true)
+      else shingles(col(textCol), n)
+    df.select(col(idCol).as("id"), shingleCol.as("__arr"))
+      .select(col("id"), size(col("__arr")).cast("long").as("sz"),
+        explode(col("__arr")).as("s"))
   }
 
   /** MinHash signatures: k universal-hash permutations h_i(x)=(a_i·x+b_i)
