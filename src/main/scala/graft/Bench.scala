@@ -2,6 +2,48 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Extract per-query medians from a prior-round bench artifact.
+   *
+   *  Handles the three shapes seen in real driver artifacts: (a) the bare
+   *  one-line payload this program prints ({"queries":{...}}), (b) the
+   *  driver wrapper with a "parsed" copy of the payload, and (c) the
+   *  driver wrapper where parsing failed (parsed:null) and only an
+   *  escaped, possibly front-truncated "tail" string survives — BENCH_r08
+   *  is shape (c), which is exactly why this uses a real JSON parser for
+   *  the wrapper and a name:number regex over the decoded tail. Spread
+   *  ({"min":..}) and sanity-flag entries are objects, not numbers, so
+   *  the regex cannot confuse them with medians. */
+  private[graft] def priorMedians(txt: String): Map[String, Double] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def fromPayload(j: JValue): Map[String, Double] = j \ "queries" match {
+      case JObject(fs) => fs.collect {
+        case (n, JDouble(v)) => n -> v
+        case (n, JInt(v)) => n -> v.toDouble
+        case (n, JDecimal(v)) => n -> v.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+    def fromText(s: String): Map[String, Double] = {
+      val prx = java.util.regex.Pattern.compile("\"(q[^\"]+)\":(-?[0-9.]+)")
+      val m = prx.matcher(s)
+      val acc = scala.collection.mutable.Map.empty[String, Double]
+      while (m.find()) if (!acc.contains(m.group(1))) acc(m.group(1)) = m.group(2).toDouble
+      acc.toMap
+    }
+    val j = try JsonMethods.parse(txt) catch { case _: Throwable => org.json4s.JNothing }
+    val direct = fromPayload(j)
+    if (direct.nonEmpty) direct
+    else {
+      val parsed = fromPayload(j \ "parsed")
+      if (parsed.nonEmpty) parsed
+      else j \ "tail" match {
+        case JString(tail) => fromText(tail)
+        case _ => fromText(txt)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,7 +56,29 @@ object Bench {
     // from noise. The payload therefore carries the per-query MIN/MAX
     // spread across the timed runs next to the median: a real plan
     // regression moves the whole [min, max] band; host load widens it.
+    //
+    // ROUND-ROBIN PASSES (round 9): iterations are interleaved ACROSS
+    // queries — pass 1 runs q01..qN once, pass 2 runs q01..qN again, … —
+    // instead of running each query's 5 iterations back-to-back. Round 8
+    // showed why: a multi-second host-load burst that covers one query's
+    // whole contiguous 5-iteration window moves that line's ENTIRE
+    // [min,max] band (driver r8 read q108 at 1.53 s; a same-HEAD re-run
+    // measured 0.42 s — the burst swallowed every sample of one line and
+    // the band defense designed for exactly this was defeated). With
+    // interleaving the same burst lands on ONE sample of MANY queries:
+    // each median-of-5 discards it, no single line's band jumps.
     val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt, 1)
+    // Deliberate-noise harness test (NOT used by the driver): burn all
+    // cores for BURN_SECS starting at the top of pass K to verify the
+    // interleaving claim — see NOTES_r9. The burst is bounded-duration
+    // (default 8 s, the magnitude of the r8 q108 artifact: a host burst
+    // covering one query's ~5 contiguous sub-second iterations), NOT
+    // pass-length: saturating every core for a whole 15 s pass triggers
+    // host frequency scaling whose residue bleeds into the NEXT passes —
+    // a much bigger event than the artifact being simulated, and one no
+    // iteration ordering could absorb. -1 = off.
+    val burnPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_BURN_PASS", "-1").toInt
+    val burnSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BURN_SECS", "8").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,36 +102,87 @@ object Bench {
     // the plan the query actually declares.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // a crashing query is flagged (value -1, listed in "errors") instead of
-    // silently folding its time-to-crash into the headline total
-    case class R(name: String, median: Double, min: Double, max: Double, ok: Boolean)
-    val results = SparkEntry.benchQueries.map { name =>
-      val fn = qs0(name)
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var ok = true
-      // warmup run, EXCLUDED from the stats: the first execution of a query
-      // in a JVM pays JIT + codegen compilation + broadcast warm costs that
-      // the steady-state runs don't — folding it in skewed every median
-      // high and run-order-dependently.
-      try { run(fn(spark, sfDir)) }
+    val names = SparkEntry.benchQueries
+    val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val ok = scala.collection.mutable.Map.empty[String, Boolean]
+    names.foreach { n => times(n) = scala.collection.mutable.ArrayBuffer.empty[Double]; ok(n) = true }
+    // Warmup pass, EXCLUDED from the stats: the first execution of a query
+    // in a JVM pays JIT + codegen compilation + broadcast warm costs that
+    // the steady-state runs don't — folding it in skewed every median
+    // high and run-order-dependently. A query that crashes here is flagged
+    // (value -1, listed in "errors") instead of silently folding its
+    // time-to-crash into the headline total.
+    names.foreach { name =>
+      try { run(qs0(name)(spark, sfDir)) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed in warmup: $e"); ok = false }
-      var i = 0
-      while (ok && i < iters) {
-        val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); ok = false }
-        i += 1
+        System.err.println(s"[bench] $name failed in warmup: $e"); ok(name) = false }
+    }
+    var pass = 0
+    while (pass < iters) {
+      val p0 = System.nanoTime()
+      if (pass == burnPass) {
+        val deadline = System.nanoTime() + (burnSecs * 1e9).toLong
+        (0 until Runtime.getRuntime.availableProcessors()).foreach { _ =>
+          val t = new Thread(() => {
+            var x = 0L; while (System.nanoTime() < deadline) { x += 1 }; if (x == -1) println(x)
+          })
+          t.setDaemon(true); t.start()
+        }
+        System.err.println(s"[bench] injected $burnSecs s all-core burn at top of pass $pass")
       }
-      if (!ok) R(name, -1.0, -1.0, -1.0, ok = false)
+      names.foreach { name =>
+        if (ok(name)) {
+          val t0 = System.nanoTime()
+          try { run(qs0(name)(spark, sfDir)); times(name) += (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); ok(name) = false }
+        }
+      }
+      if (burnPass >= 0)
+        System.err.println(f"[bench] pass $pass: ${(System.nanoTime() - p0) / 1e9}%.1f s")
+      pass += 1
+    }
+    case class R(name: String, median: Double, min: Double, max: Double, ok: Boolean)
+    val results = names.map { name =>
+      if (!ok(name) || times(name).isEmpty) R(name, -1.0, -1.0, -1.0, ok = false)
       else {
-        val s = times.sorted
+        val s = times(name).sorted
         val med =
           if (s.length % 2 == 1) s(s.length / 2)
           else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
         R(name, med, s.head, s.last, ok = true)
       }
+    }
+    // Cross-round sanity: compare each median against the newest committed
+    // BENCH_r{N}.json in the working directory and flag >2x moves in either
+    // direction. A flag does NOT fail the bench — the r8 lesson is that a
+    // 5x one-line move on unchanged code needed a human re-run to
+    // adjudicate; this field makes such lines self-announcing so nobody
+    // anchors a round's conclusions on a burst artifact.
+    val sanity: String = {
+      try {
+        val cwd = java.nio.file.Paths.get(".")
+        val rx = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
+        val prior = java.nio.file.Files.list(cwd).toArray.toSeq
+          .map(_.toString.stripPrefix("./"))
+          .flatMap { f => val m = rx.matcher(f); if (m.matches()) Some((m.group(1).toInt, f)) else None }
+          .sortBy(-_._1).headOption
+        prior match {
+          case None => "null"
+          case Some((rn, file)) =>
+            val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(file))
+            val prev = priorMedians(txt)
+            val flags = results.filter(_.ok).flatMap { r =>
+              prev.get(r.name) match {
+                case Some(p) if p > 0 && (r.median > 2 * p || r.median * 2 < p) =>
+                  Some("\"" + r.name + "\":{\"prev\":" + fmt(p) + ",\"cur\":" + fmt(r.median) + "}")
+                case _ => None
+              }
+            }
+            s"""{"baseline":"$file","round":$rn,"compared":${prev.size},"flags":${flags.mkString("{", ",", "}")}}"""
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sanity compare skipped: $e"); "null" }
     }
     val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median))
       .mkString("{", ",", "}")
@@ -78,7 +193,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case r if r.ok => r.median }.sum
     val payload =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"warmup_excluded":true,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"warmup_excluded":true,"interleaved":true,"sanity":$sanity,"errors":$errors,"sf":"$sfDir"}"""
     println(payload)
     // ALSO drop the payload as a bare file: the driver scrapes stdout
     // through sbt, whose [info] prefix has left BENCH_r{N}.json with
