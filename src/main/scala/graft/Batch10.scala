@@ -195,17 +195,7 @@ private[graft] object Batch10 {
       (s, dir) => {
         import graft.sources.IO
         val table = "graft_q123_idx"
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        // a PREVIOUS JVM's run leaves the managed location on disk while
-        // this JVM's fresh in-memory catalog has no entry to drop —
-        // saveAsTable then fails LOCATION_ALREADY_EXISTS; clear the dir
-        val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:"), table)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-          f.delete()
-        }
-        if (loc.exists()) rm(loc)
+        IO.dropManagedTable(s, table)
         val idx = graft.functions.Dedup.jaccardIndex(
           docs(s, dir), "doc_id", "text", n = 3)
         IO.saveBucketed(graft.core.JTable(idx, Seq("s")), table, 8)

@@ -134,8 +134,8 @@ object StressBench {
         spark.read.parquet(s"$root/edges_stress"))),
       "cc_distributed" -> (() => Dedup.connectedComponents(
         spark.read.parquet(s"$root/edges_stress"), localEdgeLimit = 0L)),
-      // the signature-sharing knob in ITS regime: the k-hash pass over a
-      // 500k-doc corpus dominates, so computing it once (lazy
+      // the signature-sharing knob in ITS regime: the k-hash pass over the
+      // 50k-doc stress corpus (sf0.1 docs ×10) dominates, so computing it once (lazy
       // localCheckpoint) beats the recompute-per-join-side plan that
       // ReuseExchange fails to rescue (subtrees canonicalize unequal)
       "minhash_shared" -> (() => Dedup.minhashLSH(docs, "doc_id", "text",

@@ -92,8 +92,9 @@ object Dedup {
     * query's RDDs drop out of reference), and the other reference reads
     * the cached blocks.
     *
-    * Where it applies is a MEASURED decision (500k-doc stress corpus,
-    * round 8), not a default: only [[minhashLSH]]'s signature table
+    * Where it applies is a MEASURED decision (round 8, on the 50k-doc
+    * stress corpus — sf0.1 documents ×10 replicas), not a default: only
+    * [[minhashLSH]]'s signature table
     * qualifies — k hashes per token make the signature pass the
     * operator's dominant cost, and sharing it measured 58.6 → 47.7 s
     * under the stress harness arms (disjoint bands). Everywhere else the same change measured
@@ -254,7 +255,7 @@ object Dedup {
     // signature; they would all collide as est_sim=1.0 "duplicates"
     // shared(): the k-hash signature pass is the operator's dominant
     // cost (k hashes per token), so compute it once, not once per
-    // self-join side — measured 58.6 → 47.7 s on the 500k-doc stress
+    // self-join side — measured 58.6 → 47.7 s on the 50k-doc stress
     // corpus (minhash_shared/minhash_recompute arms, disjoint bands);
     // see the helper's doc for why the
     // OTHER pair generators deliberately recompute instead.
@@ -306,14 +307,21 @@ object Dedup {
     *    driver union-find pass.** The thresholded near-dup pair set is
     *    orders of magnitude smaller than the corpus (only docs that
     *    collided at all appear, and LSH banding + similarity thresholds
-    *    prune hard); at the default limit of 5M edges the collect is
-    *    ≤ ~80 MB — the same order a broadcast join ships to the driver —
-    *    and union-find labels it in well under a second, replacing
-    *    O(diameter) iterations of join+aggregate+checkpoint jobs whose
-    *    fixed per-round latency dominates whenever the graph is small.
-    *    The label map returned to the cluster is ≤ one row per touched
-    *    node, which [[clusters]]'s AQE-broadcast join then applies
-    *    without shuffling the corpus.
+    *    prune hard). DRIVER-MEMORY BUDGET at the default 5M-edge limit:
+    *    the edges collect through the specialized (Long, Long) tuple
+    *    encoder (~32 B/edge object → ~160 MB transient, released after
+    *    the union-find loads them) and the union-find itself is a
+    *    primitive open-addressed long→long table (two long arrays, ≤
+    *    2·16M·8 B = 256 MB at the worst case of 10M distinct nodes) —
+    *    call it ~0.5 GB of driver headroom worst-case, NOT the raw
+    *    16 B/edge arithmetic (a Row-based collect would have boxed 5M
+    *    Rows at 100+ B each on top). Lower `localEdgeLimit` on a small
+    *    driver. Union-find labels 5M edges in well under a second,
+    *    replacing O(diameter) iterations of join+aggregate+checkpoint
+    *    jobs whose fixed per-round latency dominates whenever the graph
+    *    is small. The label map returned to the cluster is ≤ one row per
+    *    touched node, which [[clusters]]'s AQE-broadcast join then
+    *    applies without shuffling the corpus.
     *  - **Large graph: iterative min-label propagation** (the same
     *    semantics as GraphX's Pregel ConnectedComponents) — every node
     *    starts at `min(self, neighbors)` and each round takes the min of
@@ -333,9 +341,13 @@ object Dedup {
     * Returns (node, comp) for every node that appears in ≥1 pair, where
     * comp = the smallest node id reachable from it. Singletons (docs in no
     * pair) are absent — [[clusters]] re-attaches them as their own comp.
-    * Null endpoints contribute no edges on either path (a null never
-    * equi-joins in the propagation rounds; the fast path filters them
-    * before collecting).
+    * A pair with a null endpoint is no edge: it is dropped WHOLE, before
+    * the paths fork, so both paths see the identical edge set (its
+    * non-null endpoint appears in the output only if some real pair names
+    * it; [[clusters]] re-attaches it as a singleton otherwise). Filtering
+    * per-path was a bug class: na.drop on the fast path vs null-keyed
+    * groupBy on the distributed path labeled the half-null pair's
+    * survivor differently.
     */
   /** localCheckpoint plus a release handle: the persisted RDD behind the
     * checkpointed Dataset, so iterative algorithms can unpersist superseded
@@ -400,15 +412,81 @@ object Dedup {
     }
   }
 
+  /** Minimal primitive open-addressed long→long map for the driver
+    * union-find fast path: two long arrays + an occupancy bitset, linear
+    * probing, doubling at 50% load. vs java.util.HashMap[Long, Long] this
+    * is ~5× smaller (~16 B/entry at rest vs ~90 B with boxed keys/values
+    * and entry objects) and allocation-free per operation — at the
+    * 10M-node worst case of the 5M-edge gate that is ~256 MB of flat
+    * arrays instead of ~1 GB of object graph (the original HashMap form's
+    * "~80 MB" scaladoc claim counted raw longs only and was wrong). */
+  private final class LongLongMap(initCap: Int) {
+    private var mask = 0
+    private var keys: Array[Long] = _
+    private var vals: Array[Long] = _
+    private var bits: Array[Long] = _
+    private var n = 0
+    alloc(math.max(java.lang.Integer.highestOneBit(math.max(initCap, 64) - 1) << 1, 64))
+    private def alloc(cap: Int): Unit = {
+      mask = cap - 1; keys = new Array[Long](cap); vals = new Array[Long](cap)
+      bits = new Array[Long](cap >> 6); n = 0
+    }
+    private def isUsed(i: Int): Boolean = (bits(i >> 6) & (1L << (i & 63))) != 0
+    // splitmix64 finalizer-style mix: linear probing clusters badly on
+    // sequential ids without it
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // 0x9E3779B97F4A7C15 as signed
+      h ^= h >>> 32
+      var i = (h & mask).toInt
+      while (isUsed(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    private def insertAt(i: Int, k: Long, v: Long): Unit = {
+      if ((n + 1) * 2 > mask + 1) { grow(); insertAt(slot(k), k, v) }
+      else { bits(i >> 6) |= 1L << (i & 63); keys(i) = k; vals(i) = v; n += 1 }
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      val i = slot(k); if (isUsed(i)) vals(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (isUsed(i)) vals(i) = v else insertAt(i, k, v)
+    }
+    def putIfAbsent(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!isUsed(i)) insertAt(i, k, v)
+    }
+    def size: Int = n
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i <= mask) { if (isUsed(i)) f(keys(i), vals(i)); i += 1 }
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ob = bits; val om = mask
+      alloc((om + 1) << 1)
+      var i = 0
+      while (i <= om) {
+        if ((ob(i >> 6) & (1L << (i & 63))) != 0) {
+          // capacity just doubled, so these re-inserts cannot re-grow
+          val k = ok(i); val j = slot(k)
+          bits(j >> 6) |= 1L << (j & 63); keys(j) = k; vals(j) = ov(i); n += 1
+        }
+        i += 1
+      }
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, iCol: String = "i",
                           jCol: String = "j", maxIter: Int = 64,
                           localEdgeLimit: Long = 5000000L): DataFrame = {
     // materialize the pair input ONCE before symmetrizing: the union scans
     // it twice, and Spark does not share common subtrees across union
     // branches — an uncheckpointed pair pipeline (e.g. a full minhashLSH
-    // pass) would run end-to-end twice in the first job
+    // pass) would run end-to-end twice in the first job. na.drop HERE,
+    // before the fast-path/distributed fork: a half-null pair is no edge
+    // on either path (see scaladoc).
     val (p, freeP) = checkpointed(
-      pairs.select(col(iCol).as("i"), col(jCol).as("j")))
+      pairs.select(col(iCol).as("i"), col(jCol).as("j")).na.drop())
     // size gate for the driver fast path (see scaladoc): the count runs
     // over the just-materialized checkpoint blocks, not the pair pipeline
     val integralIds = p.schema.fields.forall(f => f.dataType match {
@@ -421,35 +499,48 @@ object Dedup {
     if (integralIds && localEdgeLimit > 0 && p.count() <= localEdgeLimit) {
       val outType = p.schema.fields.map(_.dataType)
         .maxBy(_.defaultSize) // widest input id type carries both columns
-      val edges = p.na.drop()
-        .select(col("i").cast("long"), col("j").cast("long")).collect()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // typed collect: the specialized (Long, Long) encoder materializes
+      // ~32 B/edge tuples — a Row collect boxes 100+ B per edge, which at
+      // the 5M-edge gate is the difference between ~160 MB and >500 MB of
+      // transient driver heap (see the scaladoc's driver-memory budget)
+      val edges = p
+        .select(col("i").cast("long"), col("j").cast("long"))
+        .as[(Long, Long)].collect()
       freeP()
       // union-find, min id as root: attaching the larger root under the
       // smaller makes every root the min of its component by induction;
       // path compression keeps find() amortized near-constant
-      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      val parent = new LongLongMap(1 << 20)
       def find(x: Long): Long = {
         var r = x
-        while ({ val px = parent.get(r); px != null && px != r }) r = parent.get(r)
+        var pr = parent.getOrElse(r, r)
+        while (pr != r) { r = pr; pr = parent.getOrElse(r, r) }
         var c = x
-        while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        while (c != r) { val nxt = parent.getOrElse(c, c); parent.put(c, r); c = nxt }
         r
       }
-      edges.foreach { e =>
-        val (i, j) = (e.getLong(0), e.getLong(1))
+      var e = 0
+      while (e < edges.length) {
+        val i = edges(e)._1
+        val j = edges(e)._2
         // register BOTH endpoints: a union writes only the larger root's
         // entry, and a node absent from the map would be absent from the
         // output labeling
         parent.putIfAbsent(i, i)
         parent.putIfAbsent(j, j)
-        val (ri, rj) = (find(i), find(j))
+        val ri = find(i)
+        val rj = find(j)
         if (ri < rj) parent.put(rj, ri)
         else if (rj < ri) parent.put(ri, rj)
+        e += 1
       }
       val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-      parent.keySet().forEach(n => labels += ((n, find(n))))
-      val spark = pairs.sparkSession
-      import spark.implicits._
+      // find() during iteration only path-compresses EXISTING keys
+      // (vals overwrite, no insert, no resize) — safe against the arrays
+      // being walked
+      parent.foreachEntry((n, _) => labels += ((n, find(n))))
       // parallelize, don't build a LocalRelation: a multi-million-row
       // label map embedded in the plan would serialize through the driver
       // on every use; as an RDD-backed frame it behaves like any small

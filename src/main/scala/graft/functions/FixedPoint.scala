@@ -45,19 +45,49 @@ import org.apache.spark.sql.functions._
 object FixedPoint {
 
   /** Snap a double to its long unscaled fixed-point image (round half
-    * AWAY from zero, matching the decimal HALF_UP cast). Null, NaN, and
-    * ±Infinity become null exactly as the decimal form maps them —
+    * AWAY from zero, matching the decimal HALF_UP cast). Null, NaN,
+    * ±Infinity, AND magnitudes whose unscaled image cannot be represented
+    * become null exactly as the ANSI-off decimal cast maps them —
     * without the finite guard, Spark's NaN/Inf ordering (greater than
     * everything) would take the positive branch and cast(Inf as long) =
     * Long.MaxValue would silently destroy the total, while an all-NaN
-    * column would sum to 0.0 instead of null. ONE copy, shared by both
-    * aggregates: the snap semantics are a documented cross-aggregate
-    * contract. */
+    * column would sum to 0.0 instead of null.
+    *
+    * The RANGE guard (|c|·m < 2^62) closes the saturation hole the
+    * aggregate-level tripwire cannot see: in an ANSI-off session the
+    * double→long cast SATURATES an |unscaled| ≥ 2^63 value to
+    * Long.MaxValue instead of overflowing, so max|unscaled| reads as
+    * 2^63−1 while the SUM still wraps — and with small n,
+    * try_multiply(max, n) does not overflow either, so the tripwire
+    * passes on a silently wrong total. Nulling the out-of-range input
+    * BEFORE the cast keeps the downstream max/count honest — and each
+    * aggregate pairs this with a finite-row count (see [[finiteCount]])
+    * that turns the null into a LOUD trip, never a silently dropped row
+    * (the same count-compare pattern as sumProductFixed's per-row
+    * product guard). 2^62 rather than 2^63: doubles at that magnitude
+    * carry ~1024-ulp slack, so the exact saturation boundary is fuzzy;
+    * the 2× margin costs nothing — the exactness contract caps inputs
+    * at 15 significant digits, orders of magnitude below either bound.
+    * (NaN < bound and Inf < bound are both false, so the single
+    * comparison subsumes the finite check; isnan stays for the
+    * documented NaN intent.) ONE copy, shared by both aggregates: the
+    * snap semantics are a documented cross-aggregate contract. */
   private def snap(c: Column, m: Double): Column = {
-    val finite = !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
-    when(finite && c >= 0, (c * m + 0.5).cast("long"))
-      .when(finite && c < 0, -((-c * m + 0.5).cast("long")))
+    val ok = !isnan(c) && abs(c) * m < lit(4.611686018427388e18) // 2^62
+    when(ok && c >= 0, (c * m + 0.5).cast("long"))
+      .when(ok && c < 0, -((-c * m + 0.5).cast("long")))
   }
+
+  /** Count of rows whose input is a real number (non-null, non-NaN,
+    * finite) — the rows snap MUST have snapped. snap also nulls finite
+    * values whose unscaled image overflows its range guard, so
+    * `count(snapped) < finiteCount(c)` ⟺ some real value was out of
+    * range: the aggregates trip on that instead of letting the row
+    * silently leave the sum. (NaN/Inf/null rows are NOT counted — those
+    * skip legitimately, exactly as the decimal cast maps them.) */
+  private def isFinite(c: Column): Column =
+    !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+  private def finiteCount(c: Column): Column = count(when(isFinite(c), lit(1)))
 
   /** See object doc. */
   def sumFixed(c: Column, scale: Int): Column = {
@@ -75,6 +105,11 @@ object FixedPoint {
     // an all-null sum would silently bypass the assert.)
     val n = count(snapped)
     val mx = max(abs(snapped))
+    // snap's range guard nulls any finite value whose |unscaled| image
+    // could saturate the double→long cast; count-compare turns that into
+    // a loud failure (a saturated value would otherwise make max read
+    // 2^63−1 while the sum wraps — the ANSI-off silent-wrong hole)
+    val nFin = finiteCount(c)
     // n·max must fit 2^63 EXACTLY: try_multiply nulls on long overflow,
     // so non-null ⟺ the product fits. (The tempting `mx <= MaxValue/n`
     // form is Spark DOUBLE division: (double)Long.MaxValue rounds UP to
@@ -82,11 +117,17 @@ object FixedPoint {
     // boundary, n=2 with mx=2^62 would PASS and the true sum 2^63 wraps
     // in an ANSI-off session: the precise silent-wrong-total hole this
     // guard exists to close.)
-    val guard = assert_true(n === 0 || try_multiply(mx, n).isNotNull,
+    val guard = assert_true(
+      n === nFin && (n === 0 || try_multiply(mx, n).isNotNull),
       concat(lit(s"FixedPoint.sumFixed(scale=$scale): overflow bound " +
-          "violated — count("), n, lit(") * max|unscaled|("), mx,
+          "violated — "), nFin - n,
+        lit(" value(s) exceed the representable unscaled range, or count("),
+        // coalesce: max over zero snapped rows is NULL, and one null arg
+        // nulls the whole concat — assert_true would then raise with a
+        // useless "null" message
+        n, lit(") * max|unscaled|("), coalesce(mx, lit(0L)),
         lit(") can exceed 2^63, so a long accumulator may wrap silently; " +
-          "use a decimal(18," + scale + ") sum for this column")))
+          "use a decimal sum for this column")))
     coalesce(guard.cast("long"), sum(snapped)).cast("double") / m
   }
 
@@ -120,13 +161,20 @@ object FixedPoint {
     val p = try_multiply(pa, pb)
     val nIn = count(when(pa.isNotNull && pb.isNotNull, lit(1)))
     val nP = count(p)
+    // a row BOTH of whose factors are real numbers must have snapped —
+    // snap's range guard nulls a factor whose unscaled image would
+    // saturate the long cast, and without this count-compare such a row
+    // would silently leave the sum (the factor-level sibling of the
+    // per-row product bound below)
+    val nFin = count(when(isFinite(a) && isFinite(b), lit(1)))
     // guard first in the coalesce (see sumFixed's comment: a sum-side
     // null would short-circuit past a right-hand guard — here that is
     // exactly the all-rows-overflowed case the guard exists for)
-    val guard = assert_true(nP === nIn,
+    val guard = assert_true(nP === nIn && nIn === nFin,
       concat(lit(s"FixedPoint.sumProductFixed($scaleA,$scaleB): "),
-        nIn - nP, lit(" row(s) overflowed the 2^63 per-row product " +
-          "bound; use the decimal form for this column pair")))
+        nFin - nP, lit(" row(s) overflowed the 2^63 per-row product " +
+          "bound or the factor unscaled range; use the decimal form " +
+          "for this column pair")))
     coalesce(guard.cast("decimal(38,0)"), sum(p.cast("decimal(38,0)")))
       .cast("double") / math.pow(10, scaleA + scaleB)
   }

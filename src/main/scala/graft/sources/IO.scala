@@ -229,6 +229,42 @@ object IO {
     JTable.assumeCoPartitioned(spark.table(tableName), spec.bucketColumnNames)
   }
 
+  /** Drop a MANAGED table and clear its on-disk warehouse location — the
+    * re-runnable-fixture companion to [[saveBucketed]]. The catalog drop
+    * alone is not enough across JVMs: a previous process's run leaves the
+    * managed directory on disk while THIS process's fresh in-memory
+    * catalog has no entry to drop, so the next saveAsTable fails with
+    * LOCATION_ALREADY_EXISTS.
+    *
+    * The location is resolved through java.net.URI, not a
+    * stripPrefix("file:") hack — the warehouse conf appears as a bare
+    * path, `file:/p`, or `file:///p` depending on how the session was
+    * built, and the string hack mishandles the `//` forms. Before
+    * deleting anything the resolved path is SCOPE-CHECKED to be a strict
+    * child of the warehouse dir (table names like `../x` or an
+    * unexpected conf value must never aim a recursive delete outside the
+    * warehouse). Spark lowercases managed-table directory names, hence
+    * the toLowerCase. */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    val wh = {
+      val uri = try new java.net.URI(whConf) catch { case _: Exception => null }
+      val p = if (uri == null || uri.getScheme == null) whConf else uri.getPath
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize()
+    }
+    val loc = wh.resolve(table.toLowerCase(java.util.Locale.ROOT)).normalize()
+    // scope check BEFORE touching anything — catalog included: a name
+    // that escapes the warehouse is malformed, period
+    require(loc.startsWith(wh) && loc != wh,
+      s"refusing to delete $loc: not strictly inside warehouse dir $wh")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** SQL/db source (reference's MySQL example, `docs/src/tutorial.md:706-720`):
     * read a table or `(SELECT …) q` subquery through JDBC. At scale, pass
     * `partitioning = (column, lower, upper, n)` so the read issues n

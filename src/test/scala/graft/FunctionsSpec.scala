@@ -132,6 +132,42 @@ class FunctionsSpec extends SparkSpec {
       .head().getDouble(0) == 0.0)
   }
 
+  test("FixedPoint: ANSI-off snap saturation trips loudly (round-9 hole)") {
+    import graft.functions.FixedPoint
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // THE hole the round-8 tripwire missed: one value whose |unscaled|
+    // exceeds 2^63. In an ANSI-off session the double→long cast
+    // SATURATES it to Long.MaxValue — max|unscaled| then reads 2^63−1,
+    // n=1 makes try_multiply(max, 1) pass, and pre-fix the aggregate
+    // returned a silently wrong 9.2e16 total. The snap's range guard +
+    // finite-count compare must fail it LOUDLY in BOTH ANSI modes (the
+    // guard nulls before any cast runs, so ANSI-on raises no cast error
+    // either — the trip is the deterministic failure path).
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    for (ansi <- Seq("false", "true")) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val one = Seq(1.0e18, 1.0).toDF("v") // unscaled 1e20 at scale 2
+        val e = intercept[Exception] {
+          one.agg(FixedPoint.sumFixed(col("v"), 2).as("f")).head()
+        }
+        assert(messages(e).exists(m => m.contains("sumFixed") &&
+            m.contains("unscaled range")),
+          s"ansi=$ansi: expected the range trip, got: ${messages(e).mkString(" | ")}")
+        // factor-level sibling in the product form: an out-of-range
+        // factor must trip, not silently drop the row
+        val pe = intercept[Exception] {
+          Seq((1.0e18, 1.0)).toDF("a", "b")
+            .agg(FixedPoint.sumProductFixed(col("a"), col("b"), 2, 2)).head()
+        }
+        assert(messages(pe).exists(m => m.contains("sumProductFixed")),
+          s"ansi=$ansi: expected the product trip, got: ${messages(pe).mkString(" | ")}")
+      } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+  }
+
   test("FixedPoint.sumProductFixed == decimal product sum, fixture + edges + row-overflow trip") {
     import graft.functions.FixedPoint
     import spark.implicits._

@@ -106,6 +106,32 @@ class IOStreamsSpec extends SparkSpec {
     assert(batches.forall(_.size <= 7))
   }
 
+  test("dropManagedTable: scope-checked, URI-form warehouse dirs, idempotent") {
+    // a table name that would resolve outside the warehouse must be
+    // refused BEFORE any delete happens (the recursive rm is aimed by
+    // session config — the scope check is the only thing between a
+    // misconfigured conf and deleting a home directory)
+    intercept[IllegalArgumentException] {
+      IO.dropManagedTable(spark, "../evil")
+    }
+    // idempotent on a table that never existed (no catalog entry, no dir)
+    IO.dropManagedTable(spark, "graft_never_created")
+    // and actually clears both catalog entry and on-disk location
+    import spark.implicits._
+    val t = JTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    IO.saveBucketed(t, "graft_drop_me", 2)
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new java.io.File(wh.getPath, "graft_drop_me")
+    assert(loc.exists(), s"expected managed location $loc after saveBucketed")
+    IO.dropManagedTable(spark, "graft_drop_me")
+    assert(!loc.exists(), "location must be gone")
+    assert(!spark.catalog.tableExists("graft_drop_me"))
+    // a second save into the same name succeeds (the LOCATION_ALREADY_
+    // EXISTS failure mode this helper exists to prevent)
+    IO.saveBucketed(t, "graft_drop_me", 2)
+    IO.dropManagedTable(spark, "graft_drop_me")
+  }
+
   test("bucketed save: pkey joins/groupBys read shuffle-free") {
     val li = JTable(Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_quantity")), Seq("l_orderkey"))
@@ -113,18 +139,7 @@ class IOStreamsSpec extends SparkSpec {
       .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")), Seq("l_orderkey"))
     // the derby metastore is per-JVM but the warehouse dir persists: drop
     // any stale table AND its leftover location before re-creating
-    for (t <- Seq("li_bucketed", "ord_bucketed")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
-    }
+    for (t <- Seq("li_bucketed", "ord_bucketed")) IO.dropManagedTable(spark, t)
     IO.saveBucketed(li, "li_bucketed", 4)
     IO.saveBucketed(ord, "ord_bucketed", 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -160,16 +175,7 @@ class IOStreamsSpec extends SparkSpec {
     // exchange left in the whole pair pipeline is the (i, j) aggregate's.
     // At 100 TB this is how several thresholds/runs share one index
     // build (the lazy operator re-derives it per run, a documented 2×).
-    spark.sql("DROP TABLE IF EXISTS shingle_idx")
-    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:"), "shingle_idx")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    IO.dropManagedTable(spark, "shingle_idx")
     val sh = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"),
         graft.plans.HashExpressions.shingleStrings(col("text"), 3).as("__arr"))

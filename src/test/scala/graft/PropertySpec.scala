@@ -283,38 +283,44 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("connectedComponents == union-find model on random edge lists") {
-    val edges: Gen[List[(Long, Long)]] =
-      Gen.choose(1, 12).flatMap(n =>
-        Gen.listOfN(n, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))))
+  test("connectedComponents == union-find model on random edge lists (incl. null endpoints)") {
+    // ~1 in 8 endpoints is null: a half-null pair is NO edge and must be
+    // dropped WHOLE on both paths (round-9 fix: per-path filtering labeled
+    // the half-null pair's survivor on the distributed path only)
+    val endpoint: Gen[Option[Long]] =
+      Gen.frequency(7 -> Gen.choose(0L, 9L).map(Some(_): Option[Long]),
+        1 -> Gen.const(None: Option[Long]))
+    val edges: Gen[List[(Option[Long], Option[Long])]] =
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.zip(endpoint, endpoint)))
     check(forAll(edges) { es0 =>
-      val es = es0.filter { case (a, b) => a != b } // self-pairs carry no info
-      if (es.isEmpty) Prop(true)
-      else {
-        // model: textbook union-find, components labeled by their min node
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
-        val roots = nodes.groupBy(find)
-        val expect = roots.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
-        // BOTH paths of the size-adaptive operator against the model:
-        // the driver union-find fast path (default gate) and the
-        // distributed label propagation (localEdgeLimit = 0 forces it)
-        val fast = Dedup.connectedComponents(es.toDF("i", "j")).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val dist = Dedup.connectedComponents(es.toDF("i", "j"),
-            localEdgeLimit = 0L).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        (Prop(fast == expect) :| s"fast got=$fast expect=$expect edges=$es") &&
-          (Prop(dist == expect) :| s"dist got=$dist expect=$expect edges=$es")
+      // model sees only real edges; self-pairs carry no info and are kept
+      // OUT of the operator input too (a self-loop IS a 1-pair node)
+      val es = es0.collect { case (Some(a), Some(b)) if a != b => (a, b) }
+      val input = es0.filter { case (a, b) =>
+        a.isEmpty || b.isEmpty || a != b }.toDF("i", "j")
+      // model: textbook union-find, components labeled by their min node
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
       }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val roots = nodes.groupBy(find)
+      val expect = roots.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+      // BOTH paths of the size-adaptive operator against the model:
+      // the driver union-find fast path (default gate) and the
+      // distributed label propagation (localEdgeLimit = 0 forces it)
+      val fast = Dedup.connectedComponents(input).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(input,
+          localEdgeLimit = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (Prop(fast == expect) :| s"fast got=$fast expect=$expect edges=$es0") &&
+        (Prop(dist == expect) :| s"dist got=$dist expect=$expect edges=$es0")
     }, minTests = 12)
   }
 
