@@ -50,6 +50,82 @@ object Diagnostics {
     }
   }
 
+  /** One parquet/file scan in a plan: what actually reaches storage. At
+    * 100 TB these two fields ARE the query cost — a scan whose
+    * `pushedFilters` is empty reads every row group, and a `readSchema`
+    * wider than the projection reads every column. */
+  final case class ScanInfo(relation: String, readSchema: String,
+                            pushedFilters: String)
+
+  /** Static plan facts for a query — the numbers a user checks before
+    * running anything big (the plan-inspection loop README documents).
+    * Counts come from the physical plan as planned NOW: under AQE the
+    * runtime may still replace sort-merge joins with broadcast joins or
+    * coalesce partitions, so treat join/exchange counts as the
+    * pessimistic bound AQE improves on. */
+  final case class PlanSummary(scans: Seq[ScanInfo], exchanges: Int,
+                               broadcastExchanges: Int, reusedExchanges: Int,
+                               codegenSpans: Int, joins: Map[String, Int],
+                               formatted: String) {
+    /** One paragraph a human reads: shuffles, broadcasts, scan pushdown. */
+    def summary: String = {
+      val scanLines = scans.map(s =>
+        s"  scan ${s.relation}\n    read: ${s.readSchema}\n    pushed: ${s.pushedFilters}")
+        .mkString("\n")
+      val joinLine =
+        if (joins.isEmpty) "none"
+        else joins.toSeq.sortBy(_._1).map { case (k, v) => s"$k×$v" }.mkString(", ")
+      s"exchanges: $exchanges shuffle + $broadcastExchanges broadcast" +
+        s" (+$reusedExchanges reused), codegen spans: $codegenSpans," +
+        s" joins: $joinLine\n$scanLines"
+    }
+  }
+
+  /** `analyze(df)` — the plan half of the diagnostics story ([[tracktime]]
+    * is the runtime half): summarize the physical plan Spark chose for a
+    * frame WITHOUT executing it. Use it the way the reference's docs use
+    * plan printing: confirm a filter reached the parquet scan, count the
+    * shuffles an operator pays, and check a dimension join broadcast
+    * before paying for a full run. */
+  def analyze(df: org.apache.spark.sql.DataFrame): PlanSummary = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val exec = df.queryExecution.executedPlan
+    // walk through the wrappers plan.collect stops at: the AQE root is a
+    // leaf node hiding the real plan, query stages hide their subtree,
+    // and subquery expressions hold whole side-plans
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      }
+      p +: (below ++ p.subqueries.flatMap(flatten))
+    }
+    val nodes = flatten(exec)
+    val scans = nodes.collect { case s: FileSourceScanExec =>
+      ScanInfo(s.relation.location.rootPaths.mkString(","),
+        s.requiredSchema.map(_.name).mkString(", "),
+        s.metadata.getOrElse("PushedFilters", "[]"))
+    }
+    val joins = nodes.collect {
+      case _: SortMergeJoinExec => "sort_merge"
+      case _: BroadcastHashJoinExec => "broadcast_hash"
+      case _: ShuffledHashJoinExec => "shuffled_hash"
+      case _: BroadcastNestedLoopJoinExec => "broadcast_nested_loop"
+    }.groupBy(identity).map { case (k, v) => (k, v.size) }
+    PlanSummary(
+      scans,
+      nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      nodes.count(_.isInstanceOf[ReusedExchangeExec]),
+      nodes.count(_.isInstanceOf[WholeStageCodegenExec]),
+      joins,
+      exec.toString)
+  }
+
   /** Track the Spark work done by `f`: returns (result, timings). Nesting
     * note: listeners are session/context-global, so concurrent queries on
     * the same session during the block are included in the totals (the

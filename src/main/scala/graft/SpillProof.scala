@@ -32,10 +32,18 @@ object SpillProof {
       // squeeze the unified pool so the hot window partition cannot fit:
       // the point is the spill path, not a big heap
       .config("spark.memory.fraction", "0.1")
+      // the boundary arms must observe the STATIC plan choice: AQE's
+      // skew split would re-partition the SHJ build reads and move the
+      // failure point with it (that defense is measured separately in
+      // CoreSpec "AQE skew split fires…") — here we demonstrate the raw
+      // build-side no-spill contract itself
+      .config("spark.sql.adaptive.enabled",
+        if (args.headOption.contains("shj_boundary")) "false" else "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     System.err.println(s"[spill] heap ${heapMb} MB, memory.fraction 0.1, local[$cpus]")
+    if (args.headOption.contains("shj_boundary")) { shjBoundary(spark, heapMb); return }
 
     val events = spark.read.parquet("/tmp/graft_stress/events_stress")
     val l = events.filter(col("event_type") === "purchase")
@@ -66,6 +74,65 @@ object SpillProof {
       System.err.println(s"[spill] FAILED: rows=$rows expected=$expected spilled=$spilled")
       spark.stop(); sys.exit(1)
     }
+    spark.stop()
+  }
+
+  /** The OTHER side of the memory contract (Dedup.jaccardPairs doc): the
+    * SHJ build-side hash relation does NOT spill — in a starved JVM the
+    * build must fail LOUDLY with Spark's cannot-acquire-memory error,
+    * while the `merge` strategy on the IDENTICAL input goes green by
+    * spilling its sorts. Run:
+    *
+    *   SPARK_DRIVER_MEM=2g SPARK_GRAFT_CPUS=8 \
+    *     sbt -batch "runMain graft.SpillProof shj_boundary"
+    *
+    * Arms (docs_stress corpus, ~10M exploded index rows):
+    *  - shj_uncapped: SHUFFLE_HASH, no cap — expect the build failure
+    *  - shj_capped:   SHUFFLE_HASH, maxDF=100 — the cap removes the hot
+    *    shingle's O(df²) OUTPUT but only ~5k of ~10M index rows, so the
+    *    per-task BUILD is virtually unchanged; whether this arm fails
+    *    too is exactly what the run measures (the cap and the strategy
+    *    are orthogonal knobs — output work vs build memory)
+    *  - merge_uncapped: SMJ on the same uncapped input — expect green
+    *    via sort spill, proving the failure is the SHJ build side, not
+    *    the input size. */
+  private def shjBoundary(spark: SparkSession, heapMb: Long): Unit = {
+    import graft.functions.Dedup
+    val docs = spark.read.parquet("/tmp/graft_stress/docs_stress")
+    def jaccard(maxDF: Long, strategy: String) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8,
+        maxDF = maxDF, hashShingles = true, joinStrategy = strategy)
+    def attempt(name: String, maxDF: Long, strategy: String): (String, String) = {
+      try {
+        val (_, timings) = Diagnostics.tracktime(spark) {
+          jaccard(maxDF, strategy).write.format("noop").mode("overwrite").save()
+        }
+        val sp = timings.tasks.spilledBytes
+        System.err.println(s"[shj] $name: GREEN, spilled_bytes=$sp")
+        (name, s"""{"outcome":"green","spilled_bytes":$sp}""")
+      } catch { case e: Throwable =>
+        // the interesting failure is Spark's explicit build-side
+        // acquisition error; walk the cause chain for it
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Seq.empty else t +: chain(t.getCause)
+        val msgs = chain(e).map(t => s"${t.getClass.getSimpleName}: ${t.getMessage}")
+        val hit = msgs.exists(m => m.contains("acquire") && m.contains("memory")) ||
+          msgs.exists(_.contains("UnsafeHashedRelation"))
+        System.err.println(s"[shj] $name: FAILED ${msgs.headOption.getOrElse("?")}")
+        (name, s"""{"outcome":"failed","expected_error":$hit,""" +
+          s""""error":"${msgs.headOption.getOrElse("").replace("\"", "'").take(200)}"}""")
+      }
+    }
+    val arms = Seq(
+      attempt("shj_uncapped", 0L, "shuffle_hash"),
+      attempt("shj_capped", 100L, "shuffle_hash"),
+      attempt("merge_uncapped", 0L, "merge"))
+    val payload = arms.map { case (n, j) => s""""$n":$j""" }
+      .mkString(s"""{"shj_boundary":{"heap_mb":$heapMb,""", ",", "}}")
+    println(payload)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/shj_boundary_latest.json"), payload + "\n")
+    catch { case e: Throwable => System.err.println(s"[shj] file write: $e") }
     spark.stop()
   }
 }

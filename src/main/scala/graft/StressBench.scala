@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-8 scale-knob stress bench: measures each skew/size knob in the
@@ -40,6 +40,61 @@ object StressBench {
 
   private val root = "/tmp/graft_stress"
 
+  /** rangeJoin arm: points-in-interval over the hot-burst fixture at the
+    * given bucket width. The output set is width-invariant (exact bounds
+    * filter); only candidate volume and its placement move. */
+  private def rangeArm(spark: SparkSession, width: Long): DataFrame =
+    graft.operators.Joins.rangeJoin(
+      spark.read.parquet(s"$root/range_points_stress"),
+      spark.read.parquet(s"$root/range_intervals_stress"),
+      ids = Seq.empty, pointCol = "p", loCol = "lo", hiCol = "hi",
+      bucketWidth = width)
+
+  /** The two groupjoin payload arms share this input split: purchases
+    * grouped-join clicks by user_id, on the hot-user event fixture. */
+  private def groupjoinInput(spark: SparkSession): (DataFrame, DataFrame) = {
+    val events = spark.read.parquet(s"$root/events_stress")
+    val l = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val r = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("value").as("click_value"))
+    (l, r)
+  }
+
+  private def groupjoinStructArm(spark: SparkSession): DataFrame = {
+    val (l, r) = groupjoinInput(spark)
+    graft.operators.Joins.groupjoin(graft.core.JTable(l), graft.core.JTable(r),
+      Seq("user_id"), Seq("click_id", "click_value"))
+  }
+
+  /** SoA candidate: collect each value column into its own primitive
+    * array (the two collect_lists run in ONE aggregate over the same row
+    * stream, so indices correspond), join, then rebuild the exact
+    * array<struct> schema with zip_with + a positional struct cast. */
+  private def groupjoinSoaArm(spark: SparkSession): DataFrame = {
+    val (l, r) = groupjoinInput(spark)
+    val grouped = r.groupBy(col("user_id"))
+      .agg(collect_list(col("click_id")).as("g1"),
+        collect_list(col("click_value")).as("g2"))
+      .hint("merge")
+    l.join(grouped, Seq("user_id"), "inner")
+      .withColumn("groups",
+        zip_with(col("g1"), col("g2"), (a, b) => struct(a, b))
+          .cast("array<struct<click_id:bigint,click_value:double>>"))
+      .drop("g1", "g2")
+  }
+
+  /** cosinePairsLSH arm over the near-parallel-cluster fixture. The
+    * cluster's C(2k,2) ≈ 2M true near-dup pairs dominate candidate volume
+    * in every configuration (the background thins with `bits`; the
+    * cluster never does). */
+  private def cosineArm(spark: SparkSession, bits: Int, dedupFirst: Boolean): DataFrame =
+    graft.functions.Similarity.cosinePairsLSH(
+      spark.read.parquet(s"$root/vectors_stress"), "vec_id", "emb",
+      threshold = 0.9, dim = 64, bits = bits, tables = 24,
+      dedupFirst = dedupFirst)
+
   private def buildFixtures(spark: SparkSession, sfDir: String): Unit = {
     val fs = java.nio.file.Paths.get(root)
     val t0 = System.nanoTime()
@@ -73,6 +128,49 @@ object StressBench {
             .otherwise(col("user_id") + 1).as("user_id"),
           (col("ts") + col("rep")).as("ts"), col("event_type"), col("value"))
       stressEv.repartition(32).write.mode("overwrite").parquet(s"$root/events_stress")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("range_points_stress/_SUCCESS"))) {
+      // rangeJoin hot-BUCKET fixture: 10M points over a 30-day ns span,
+      // 20% folded into ONE 1-second window (a flash-sale burst); 200k
+      // intervals of span 1e7 ns, 2000 of them inside the burst window.
+      // With bucketWidth=1e9 the burst is ONE join key: ~2M point rows ×
+      // ~2000 intervals ≈ 4G same-bucket candidates in ONE task (the
+      // quadratic blowup the width knob exists for), vs ~80M spread over
+      // ~100 keys at width 1e7. True matches (~40M rows) are
+      // width-invariant, so the measured contrast is candidate volume +
+      // placement. Hash-derived values keep the fixture deterministic.
+      val hotLo = 1300000000000000L // burst start, mid-span
+      val pts = spark.range(10000000L).select(col("id").as("point_id"),
+        when(pmod(col("id"), lit(5)) === 0,
+            lit(hotLo) + pmod(xxhash64(col("id")), lit(1000000000L)))
+          .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(2592000000000000L)))
+          .as("p"))
+      pts.repartition(32).write.mode("overwrite").parquet(s"$root/range_points_stress")
+      val iv = spark.range(200000L).select(col("id").as("iv_id"),
+        when(col("id") < 2000,
+            lit(hotLo) + pmod(xxhash64(col("id"), lit(2)), lit(980000000L)))
+          .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(2592000000000000L)))
+          .as("lo"))
+        .withColumn("hi", col("lo") + 10000000L)
+      iv.repartition(32).write.mode("overwrite").parquet(s"$root/range_intervals_stress")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("vectors_stress/_SUCCESS"))) {
+      // cosinePairsLSH hot-RHP-bucket fixture: 50k background vectors with
+      // hash-derived components (uniform signatures) + a 2k NEAR-PARALLEL
+      // cluster (one base vector + per-vector noise ~1e-4 of the component
+      // scale). The cluster agrees on EVERY hyperplane (θ ≈ 0 → p ≈ 1),
+      // so all 2k land in the same bucket of every table regardless of
+      // `bits`: C(2k,2) ≈ 2M candidate pairs per table × tables.
+      val dim = 64
+      def comp(seedCol: Column, pos: Int, scale: Double) =
+        (pmod(xxhash64(seedCol, lit(pos)), lit(2000001L)) - 1000000L) / 1e6 * scale
+      val bg = spark.range(50000L).select(col("id").as("vec_id"),
+        array((0 until dim).map(p => comp(col("id"), p, 1.0)): _*).as("emb"))
+      val hot = spark.range(50000L, 52000L).select(col("id").as("vec_id"),
+        array((0 until dim).map(p =>
+          comp(lit(-1L), p, 1.0) + comp(col("id"), p, 1e-4)): _*).as("emb"))
+      bg.unionAll(hot).withColumn("emb", col("emb").cast("array<float>"))
+        .repartition(32).write.mode("overwrite").parquet(s"$root/vectors_stress")
     }
     if (!java.nio.file.Files.exists(fs.resolve("edges_stress/_SUCCESS"))) {
       // 4M edges just inside the 5M driver-union-find gate: 8-node chain
@@ -142,13 +240,45 @@ object StressBench {
         n = 3, bands = 16, rowsPerBand = 8, minEstSim = 0.8)),
       "minhash_recompute" -> (() => Dedup.minhashLSH(docs, "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 8, minEstSim = 0.8,
-        shareSignatures = false)))
+        shareSignatures = false)),
+      // rangeJoin bucketWidth sweep on the hot-burst fixture (round 9):
+      // 1e9 swallows the whole 1-second burst into one join key, 1e8/1e7
+      // split it 10/100 ways at the price of wider interval replication
+      // (span 1e8 → 2 / 11 bucket rows per interval)
+      "range_wide_1e9" -> (() => rangeArm(spark, 1000000000L)),
+      "range_mid_1e8" -> (() => rangeArm(spark, 100000000L)),
+      "range_narrow_1e7" -> (() => rangeArm(spark, 10000000L)),
+      // cosinePairsLSH on the near-parallel-cluster fixture (round 9):
+      // score-first vs dedup-first candidate order, and a bits bump that
+      // thins BACKGROUND buckets but cannot split the parallel cluster
+      "cosine_hot_score_first" -> (() => cosineArm(spark, bits = 12, dedupFirst = false)),
+      "cosine_hot_dedup_first" -> (() => cosineArm(spark, bits = 12, dedupFirst = true)),
+      "cosine_hot_bits16" -> (() => cosineArm(spark, bits = 16, dedupFirst = false)),
+      // groupjoin payload-shape experiment (round 9, VERDICT #5): the
+      // current array<struct> payload vs a structure-of-arrays form (one
+      // primitive collect_list per value column, zipped back to the
+      // identical array<struct> schema after the join). UnsafeArrayData
+      // stores struct elements via per-element offset words + a per-
+      // element UnsafeRow (null word + fields ≈ 40 B for a long+double
+      // pair); primitive long/double arrays are 8 B/element flat — the
+      // SoA shuffle ships ~16 B/element. The hot user-0 group (~2.5M
+      // clicks) makes the payload the dominant cost.
+      "groupjoin_struct" -> (() => groupjoinStructArm(spark)),
+      "groupjoin_soa" -> (() => groupjoinSoaArm(spark)))
 
+    // optional arg: substring filter over arm names (comma-separated),
+    // for iterating on one knob without re-measuring the whole suite
+    val selected = args.headOption match {
+      case Some(f) =>
+        val subs = f.split(",").map(_.trim).filter(_.nonEmpty)
+        cases.filter { case (n, _) => subs.exists(n.contains) }
+      case None => cases
+    }
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val results = cases.map { case (name, mk) =>
+    val results = selected.map { case (name, mk) =>
       run(mk()) // warmup, excluded
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime(); run(mk()); (System.nanoTime() - t0) / 1e9

@@ -229,10 +229,22 @@ object Similarity {
     * gate, which compares this operator to the all-pairs SQL). Scores use
     * [[cosineExact]], so matched pairs are bit-identical to the oracle's.
     * Exact scoring runs on the fix9 fixed-point image: dense non-null
-    * vectors with |v| < 1000 (enforced — see plans.HashExpressions.fix9Java). */
+    * vectors with |v| < 1000 (enforced — see plans.HashExpressions.fix9Java).
+    *
+    * `dedupFirst` flips the candidate-dedup/score order (default false =
+    * score-before-dedup, the measured sf0.1 winner — see the comment at
+    * the join below). The flipped order exists for the hot-bucket regime:
+    * a NEAR-PARALLEL vector cluster of size m collides in every table
+    * (p = 1-θ/π ≈ 1 agrees on all hyperplanes, so more `bits` cannot
+    * split it) and score-first re-scores each of its C(m,2) pairs once
+    * per table — `tables`× redundant dim-length dot products — while
+    * dedup-first collapses the redundancy to one score per pair at the
+    * price of carrying both fix9 vectors through the dedup exchange.
+    * Which side wins is regime-dependent and MEASURED (StressBench
+    * cosine_hot arms); on uniform corpora keep the default. */
   def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, bits: Int = 2,
-                     tables: Int = 24): DataFrame = {
+                     tables: Int = 24, dedupFirst: Boolean = false): DataFrame = {
     import graft.plans.HashExpressions.{dotFix9, fix9}
     def sigs(v: Column) = array((0 until tables).map(t =>
       rhpSignature(v, dim, bits, seed = t * 7919)): _*)
@@ -265,13 +277,28 @@ object Similarity {
     // the dedup a pure group-by-keys aggregate: no first(), nothing
     // order-dependent. Measured at sf0.1 (q67, median of 5, same host):
     // 0.556 [0.553, 0.566] → 0.398 [0.371, 0.427] s — disjoint bands.
-    a.join(b,
-        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        (dotFix9(col("a.vf"), col("b.vf")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .filter(col("cos") >= threshold)
-      .distinct()
+    val cand = a.join(b,
+      col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+    if (dedupFirst)
+      // the pre-round-8 order, kept as the hot-bucket knob: dedup the
+      // (i, j) candidate set BEFORE scoring, so a pair colliding in t
+      // tables is scored once, not t times. min() not first(): vf/nrm
+      // are functionally dependent on the grouped id (same rationale as
+      // pairStage's sz) and min is deterministic. The cost is the wide
+      // exchange (two fix9 vectors per candidate row) and a
+      // SortAggregate under the array payload.
+      cand.groupBy(col("a.id").as("i"), col("b.id").as("j"))
+        .agg(min(col("a.vf")).as("vfi"), min(col("b.vf")).as("vfj"),
+          min(col("a.nrm")).as("ni"), min(col("b.nrm")).as("nj"))
+        .select(col("i"), col("j"),
+          (dotFix9(col("vfi"), col("vfj")) / (col("ni") * col("nj"))).as("cos"))
+        .filter(col("cos") >= threshold)
+    else
+      cand.select(col("a.id").as("i"), col("b.id").as("j"),
+          (dotFix9(col("a.vf"), col("b.vf")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .distinct()
   }
 
   // ---------------------------------------------------------------- IVF ANN

@@ -766,6 +766,11 @@ class FunctionsSpec extends SparkSpec {
     // the scale path must reproduce the oracle path bit-for-bit: same pair
     // set (full recall at these (bits, tables)) and same exact-decimal cos
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+    // dedupFirst is a PLAN knob (hot-bucket regime), not a semantics knob:
+    // same pair set, same exact-decimal scores
+    val dedupFirst = Similarity.cosinePairsLSH(emb, "vec_id", "embedding",
+      0.25, dim = 64, dedupFirst = true).collect().map(key).toSet
+    assert(dedupFirst == exact, s"dedupFirst=${dedupFirst.size} exact=${exact.size}")
   }
 
   test("jaccardPairs hashShingles (8-byte-key scale form) == string form") {
