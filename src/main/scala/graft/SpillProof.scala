@@ -95,7 +95,13 @@ object SpillProof {
     *    are orthogonal knobs — output work vs build memory)
     *  - merge_uncapped: SMJ on the same uncapped input — expect green
     *    via sort spill, proving the failure is the SHJ build side, not
-    *    the input size. */
+    *    the input size.
+    *
+    * MEASURED (round 9, heap 2048 MB): shj_uncapped FAILED with
+    * "Can't acquire 16777216 bytes memory to build hash relation";
+    * shj_capped FAILED with the same error (orthogonality confirmed);
+    * merge_uncapped GREEN with 6.76 GB spilled
+    * (target/shj_boundary_latest.json, NOTES_r9.md). */
   private def shjBoundary(spark: SparkSession, heapMb: Long): Unit = {
     import graft.functions.Dedup
     val docs = spark.read.parquet("/tmp/graft_stress/docs_stress")

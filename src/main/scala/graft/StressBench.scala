@@ -50,12 +50,21 @@ object StressBench {
       ids = Seq.empty, pointCol = "p", loCol = "lo", hiCol = "hi",
       bucketWidth = width)
 
-  /** The two groupjoin payload arms share this input split: purchases
-    * grouped-join clicks by user_id, on the hot-user event fixture. */
+  /** The two groupjoin payload arms share this input split: per-user
+    * purchase summaries grouped-join clicks by user_id, on the hot-user
+    * event fixture. The left side is pre-aggregated to ONE row per user
+    * on purpose: with raw purchases on the left, the hot user's ~1.6M
+    * left rows would each receive a copy of its ~1.6M-element click
+    * array — a petabyte-scale join fan-out that measures nothing about
+    * the payload (the first groupjoin arm draft did exactly that and ran
+    * effectively forever). One row per key means the array payload is
+    * aggregated, shuffled, joined, and materialized exactly once — the
+    * costs the struct-vs-SoA contrast is about. */
   private def groupjoinInput(spark: SparkSession): (DataFrame, DataFrame) = {
     val events = spark.read.parquet(s"$root/events_stress")
     val l = events.filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "value")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purch"), sum(col("value")).as("purch_value"))
     val r = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("value").as("click_value"))
@@ -189,11 +198,20 @@ object StressBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt, 1)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for one-off A/B
+    // diagnosis runs (e.g. disabling AQE's skew split to attribute a
+    // win); the recorded suite numbers always run WITHOUT it
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")) {
+        case (b, (k, v)) => System.err.println(s"[stress] extra conf: $k=$v")
+          b.config(k, v)
+      }
       // deliberately NO autoBroadcastJoinThreshold override: broadcast
       // HINTS are honored regardless of the threshold (and the 8 GB cap
       // is hardcoded in BroadcastExchangeExec), while raising it would

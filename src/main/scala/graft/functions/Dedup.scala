@@ -168,7 +168,13 @@ object Dedup {
     // per-side sort. MEMORY CONTRACT: SHJ's build-side hash relation
     // does NOT spill — Spark 4.x's UnsafeHashedRelation build throws
     // cannotAcquireMemoryToBuildUnsafeHashedRelationError when it can't
-    // acquire pages (verified against the deployed 4.1.2 bytecode).
+    // acquire pages (verified against the deployed 4.1.2 bytecode, and
+    // DEMONSTRATED round 9 — SpillProof shj_boundary, 2 GB JVM: both
+    // SHJ arms fail with exactly "Can't acquire ... to build hash
+    // relation" while `merge` on the identical input goes green with
+    // 6.8 GB spilled; the capped SHJ arm fails TOO, because the cap
+    // removes O(df²) output work, not build rows — the cap and the
+    // join strategy are orthogonal knobs).
     // Two verified defenses bound it (CoreSpec "AQE skew split…"): AQE's
     // skew split applies to this hinted SELF-join — both sides' reads
     // split even through the ReusedExchange — capping per-task build

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * remains a deterministic byte-level stand-in ([[frameSample]] — those
   * codecs are genuinely absent from the JDK): its Spark-side contract
   * (schema, binary transport, one-row-many-out flatMap batching) is real
-  * and oracle-gated (q85); swap the per-frame byte stats for a JNI/FFI
-  * codec without touching the pipeline. [[decodeStub]] is kept as the
-  * codec-free byte-stats twin the q38 oracle pins.
+  * and oracle-gated (q85), and a [[Multimodal.FrameDecoder]] ServiceLoader
+  * seam (round 9) routes formats claimed by a codec jar on the classpath
+  * through the real decoder with zero graft changes — unmatched formats
+  * keep the stand-in, so the oracle stays pinned. [[decodeStub]] is kept
+  * as the codec-free byte-stats twin the q38 oracle pins.
   *
   * Scale notes: media blobs ride in parquet binary columns; partition sizing
   * must account for blob width (`spark.sql.files.maxPartitionBytes` smaller
@@ -288,25 +290,72 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Long, n_bytes: Long,
                          checksum: Long)
 
+  /** SPI seam for REAL video-frame decoders (the optional-codec hook for
+    * the one remaining stand-in — the JDK ships no video codecs, so graft
+    * cannot decode frames itself). A deployment drops a codec jar on the
+    * classpath with a `META-INF/services/graft.functions.FrameDecoder`
+    * entry and [[Multimodal.frameSample]] routes matching formats through
+    * it — no graft change, no recompile; unmatched formats keep the
+    * deterministic byte-chunk stand-in (so the q85 oracle stays pinned).
+    * Implementations must be Serializable (discovery is per-JVM, but task
+    * closures may capture a decoder). */
+  trait FrameDecoder extends Serializable {
+    /** Media formats this decoder handles (exact match on `MediaRow.format`,
+      * e.g. "video/mp4"). */
+    def formats: Set[String]
+    /** Decoded frames for one payload as (frame_idx, frame bytes), already
+      * sampled to every `stride`-th decodable frame. The codec defines the
+      * framing — `frameBytes` does not apply on this path. */
+    def frames(payload: Array[Byte], stride: Int): Iterator[(Long, Array[Byte])]
+  }
+
+  object FrameDecoder {
+    /** format → decoder, discovered once per JVM via ServiceLoader (first
+      * provider claiming a format wins; executor JVMs re-discover from
+      * their own classpath — the TCCL carries Spark's user-jar loader
+      * there, with this class's loader as the local-mode fallback). */
+    lazy val registry: Map[String, FrameDecoder] = {
+      val loader = Option(Thread.currentThread.getContextClassLoader)
+        .getOrElse(classOf[FrameDecoder].getClassLoader)
+      val it = java.util.ServiceLoader.load(classOf[FrameDecoder], loader).iterator()
+      val out = scala.collection.mutable.Map.empty[String, FrameDecoder]
+      while (it.hasNext) {
+        val d = it.next()
+        d.formats.foreach(f => if (!out.contains(f)) out(f) = d)
+      }
+      out.toMap
+    }
+  }
+
   /** Frame sampling — the one-row-in-many-out (UDTF/flatMap) shape of a
-    * real video sampler. The payload is treated as fixed-width frames
+    * real video sampler. Formats claimed by a [[FrameDecoder]] SPI
+    * provider on the classpath decode through it (real codec framing);
+    * for everything else the payload is treated as fixed-width frames
     * (`frameBytes` each; tail frame short) and every `stride`-th frame is
-    * emitted with its positional checksum. Deterministic byte-level fake
-    * of keyframe extraction: a real sampler seeks codec keyframes here —
-    * the batch shape (narrow flatMap, no shuffle, output rows ≈
-    * rows·frames/stride) is the Spark-side contract. */
+    * emitted with its positional checksum — the deterministic byte-level
+    * stand-in the q85 oracle pins. Either way the Spark-side contract is
+    * identical: narrow flatMap, no shuffle, output rows ≈
+    * rows·frames/stride. */
   def frameSample(media: Dataset[MediaRow], frameBytes: Int,
                   stride: Int): Dataset[Frame] = {
     require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val n = r.payload.length
-      val nFrames = (n + frameBytes - 1) / frameBytes
-      Iterator.range(0, nFrames, stride).map { f =>
-        val from = f * frameBytes
-        val until = math.min(from + frameBytes, n)
-        Frame(r.media_id, f.toLong, (until - from).toLong,
-          positionalChecksum(r.payload, from, until))
+      FrameDecoder.registry.get(r.format) match {
+        case Some(dec) =>
+          dec.frames(r.payload, stride).map { case (idx, bytes) =>
+            Frame(r.media_id, idx, bytes.length.toLong,
+              positionalChecksum(bytes, 0, bytes.length))
+          }
+        case None =>
+          val n = r.payload.length
+          val nFrames = (n + frameBytes - 1) / frameBytes
+          Iterator.range(0, nFrames, stride).map { f =>
+            val from = f * frameBytes
+            val until = math.min(from + frameBytes, n)
+            Frame(r.media_id, f.toLong, (until - from).toLong,
+              positionalChecksum(r.payload, from, until))
+          }
       }
     }
   }

@@ -232,16 +232,24 @@ object Similarity {
     * vectors with |v| < 1000 (enforced — see plans.HashExpressions.fix9Java).
     *
     * `dedupFirst` flips the candidate-dedup/score order (default false =
-    * score-before-dedup, the measured sf0.1 winner — see the comment at
-    * the join below). The flipped order exists for the hot-bucket regime:
-    * a NEAR-PARALLEL vector cluster of size m collides in every table
-    * (p = 1-θ/π ≈ 1 agrees on all hyperplanes, so more `bits` cannot
-    * split it) and score-first re-scores each of its C(m,2) pairs once
-    * per table — `tables`× redundant dim-length dot products — while
-    * dedup-first collapses the redundancy to one score per pair at the
-    * price of carrying both fix9 vectors through the dedup exchange.
-    * Which side wins is regime-dependent and MEASURED (StressBench
-    * cosine_hot arms); on uniform corpora keep the default. */
+    * score-before-dedup). The flipped order was built for the hot-bucket
+    * regime: a NEAR-PARALLEL vector cluster of size m collides in every
+    * table (p = 1-θ/π ≈ 1 agrees on all hyperplanes, so more `bits`
+    * cannot split it) and score-first re-scores each of its C(m,2) pairs
+    * once per table — `tables`× redundant dot products — while
+    * dedup-first scores each pair once, at the price of carrying both
+    * fix9 vectors through the dedup exchange. MEASURED (round 9,
+    * StressBench cosine_hot arms: 50k uniform vectors + a 2k
+    * near-parallel cluster, ~48M cluster candidates over 24 tables):
+    * score-first 39.8 s [31.1, 43.1], dedup-first 131.1 s [101.4, 171.4]
+    * — the DEFAULT wins 3.3× with disjoint bands even in the regime the
+    * knob was built for, because the deduped exchange ships ~1 KB of
+    * vector payload per candidate row while the redundant dot products
+    * are cheap codegen'd arithmetic on rows already in hand. bits 12→16
+    * trims only the background (39.8 → 32.5 s): the cluster is the
+    * floor, exactly as the p ≈ 1 analysis predicts. The knob stays for
+    * wider-than-1KB vector payloads (dim ≫ 64), where the tradeoff
+    * re-opens; every regime measured so far says keep the default. */
   def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, bits: Int = 2,
                      tables: Int = 24, dedupFirst: Boolean = false): DataFrame = {

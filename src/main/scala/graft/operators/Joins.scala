@@ -65,6 +65,15 @@ object Joins {
       // memory contract), and the grouped side's nested arrays are
       // unbounded per key; SMJ keeps the giant-group failure mode
       // spillable.
+      // Payload shape (round 9, measured): collect_list(struct(...)) vs a
+      // structure-of-arrays form (one primitive collect_list per value
+      // column, zip_with-rebuilt to the same schema after the join) on
+      // the hot-user stress corpus (~1.6M-element hot group): struct
+      // 0.97 s [0.93, 1.65] vs SoA 1.14 s [1.09, 1.43] — the SoA's
+      // narrower shuffle (8 B/element flat vs per-element offset word +
+      // UnsafeRow) is repaid by its second aggregation buffer and the
+      // zip_with rebuild; NEGATIVE result, the direct struct list stays
+      // (StressBench groupjoin_* arms).
       .hint("merge")
     val sparkHow = if (how == "left") "left_outer" else if (how == "outer") "full_outer" else how
     val joined = l.df.join(grouped, key, sparkHow)
@@ -203,8 +212,19 @@ object Joins {
     * Scale: shuffle = |l| + Σ(interval spans)/width rows, keyed on
     * (ids, bucket) 8-byte-ish keys. Pick `bucketWidth` near the typical
     * interval span: wider buckets cut interval replication but admit more
-    * false candidates; narrower buckets do the reverse. Hot buckets are
-    * ordinary join skew — AQE's skew-join split applies. Intervals with
+    * false candidates; narrower buckets do the reverse. Do NOT count on
+    * AQE to rescue a too-wide width under a point burst — measured
+    * (round 9, hot-burst fixture: 20% of 10M points + 2k intervals in one
+    * 1-second window): at width 1e9 the burst is ONE bucket whose ~4e9
+    * same-key candidates run in ONE ~3.1 s task, and AQE's skew split
+    * never fires because the bucket's shuffle INPUT (~50 MB) is far under
+    * the 256 MB byte threshold — candidate AMPLIFICATION is invisible to
+    * byte-based skew detection, the same blind spot as the jaccard maxDF
+    * finding (skew-on vs skew-off: identical 64 tasks, 3.6 vs 3.9 s wall).
+    * Even forcing the split (4 MB threshold) only SPREADS the candidates
+    * (3.3 s); width 1e7 ≈ the interval span REMOVES them (~40M true + few
+    * false candidates): 1.54 s [1.47, 1.80] vs wide's 3.77 [3.37, 4.12] —
+    * 2.5×, disjoint bands (StressBench range_* arms). Intervals with
     * hi < lo are empty and dropped (Spark's `sequence(a,b)` would DESCEND
     * and fabricate buckets). */
   def rangeJoin(l: DataFrame, r: DataFrame, ids: Seq[String], pointCol: String,

@@ -542,6 +542,38 @@ class CoreSpec extends SparkSpec {
     assert(timings.summary.contains("tasks:"))
   }
 
+  test("analyze: static plan summary — scan pushdown/pruning, exchange + join census") {
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val agg = lineitem.filter(col("l_quantity") > 40)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice").as("rev"))
+    val p = Diagnostics.analyze(agg)
+    // the two facts a user checks before a 100 TB run: the filter reached
+    // the parquet scan, and the scan reads only the referenced columns
+    assert(p.scans.size == 1, p.summary)
+    assert(p.scans.head.pushedFilters.contains("l_quantity"), p.scans.head)
+    assert(p.scans.head.readSchema.split(", ").toSet ==
+      Set("l_quantity", "l_returnflag", "l_extendedprice"), p.scans.head)
+    assert(p.exchanges == 1, p.summary) // partial agg -> ONE shuffle -> final
+    assert(p.joins.isEmpty, p.summary)
+
+    // join census sees through the AQE root: a hinted dim join is counted
+    // as broadcast_hash with its BroadcastExchange, pre-execution
+    val supplier = spark.read.parquet(s"$sf/supplier.parquet")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val j = supplier.join(broadcast(nation),
+      col("s_nationkey") === col("n_nationkey"))
+    val pj = Diagnostics.analyze(j)
+    assert(pj.joins.getOrElse("broadcast_hash", 0) == 1, pj.summary)
+    assert(pj.broadcastExchanges == 1, pj.summary)
+    assert(pj.exchanges == 0, pj.summary)
+
+    // codegen spans appear once AQE finalizes stages (post-execution);
+    // summary renders without throwing in both states
+    assert(p.summary.contains("pushed"))
+    agg.collect()
+    assert(Diagnostics.analyze(agg).codegenSpans > 0)
+  }
+
   test("broadcastOp dimmap: excluded same-named dim stays as a (renamed) output dim") {
     // both sides carry (x, y); joining on x only means each side keeps its
     // own y — B's is disambiguated to y_r (the reference's dims are

@@ -251,6 +251,34 @@ class FunctionsSpec extends SparkSpec {
     assert(feats.map(_.media_id).toSeq == Seq(1L))
   }
 
+  test("frameSample FrameDecoder SPI: claimed formats route through the provider, others keep the stand-in") {
+    import spark.implicits._
+    // discovery: the test provider (META-INF/services in test resources)
+    // must be visible through the ServiceLoader seam
+    assert(Multimodal.FrameDecoder.registry.contains("video/test-quarters"),
+      s"registry=${Multimodal.FrameDecoder.registry.keySet}")
+    val payload = Array.tabulate(40)(i => (i + 1).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, payload, "video/test-quarters", 0, 0),
+      Multimodal.MediaRow(2L, payload, "video/unclaimed", 0, 0)).toDS()
+    val out = Multimodal.frameSample(media, frameBytes = 16, stride = 1)
+      .collect().groupBy(_.media_id)
+    // routed row: codec framing (4 × 10 bytes), NOT the 16-byte chunking
+    val routed = out(1L).sortBy(_.frame_idx)
+    assert(routed.map(_.n_bytes).toSeq == Seq(10L, 10L, 10L, 10L), routed.toSeq)
+    // checksum is computed on the DECODED frame bytes: frame 1 holds
+    // payload(10..19), checksummed positionally from its own offset 0
+    val expect1 = (0 until 10).map(i => (i + 1).toLong * (payload(10 + i) & 0xff)).sum % 1000000007L
+    assert(routed(1).checksum == expect1)
+    // unclaimed row: byte-chunk stand-in untouched (40 bytes / 16 → 16,16,8)
+    val stand = out(2L).sortBy(_.frame_idx)
+    assert(stand.map(_.n_bytes).toSeq == Seq(16L, 16L, 8L), stand.toSeq)
+    // stride rides through the SPI too (every 2nd codec frame)
+    val strided = Multimodal.frameSample(media.filter(_.media_id == 1L),
+      frameBytes = 16, stride = 2).collect().sortBy(_.frame_idx)
+    assert(strided.map(_.frame_idx).toSeq == Seq(0L, 2L))
+  }
+
   test("decodeAudio: real WAV round-trip, endianness/width variants, junk dropped") {
     // lossless PCM round-trip: decode must return the synthetic pattern's
     // exact frame count and sample stats (q120's oracle recomputes these
