@@ -29,10 +29,15 @@ object Diagnostics {
   final case class ActionTiming(funcName: String, durationMs: Double)
 
   /** Executor-side totals over the tracked block (reference per-proc
-    * aggregation, `src/diagnostics.jl:38-48`). */
+    * aggregation, `src/diagnostics.jl:38-48`). `maxTaskMs` is the skew
+    * tell: wall-clock ≈ maxTaskMs means ONE task serialized the stage
+    * (the round-9 rangeJoin hot-bucket diagnosis rested on exactly this
+    * — 64 tasks, max task ≈ wall), while totals alone can't distinguish
+    * a balanced busy stage from one straggler. */
   final case class TaskTotals(tasks: Long, executorRunTimeMs: Long,
                               jvmGcTimeMs: Long, shuffleReadBytes: Long,
-                              shuffleWriteBytes: Long, spilledBytes: Long)
+                              shuffleWriteBytes: Long, spilledBytes: Long,
+                              maxTaskMs: Long = 0L)
 
   final case class Timings(actions: Seq[ActionTiming], tasks: TaskTotals,
                            /** false iff the listener-bus drain timed out:
@@ -44,8 +49,9 @@ object Diagnostics {
       val acts = actions.map(a => f"  ${a.funcName}%-12s ${a.durationMs}%10.1f ms").mkString("\n")
       s"""actions:
          |$acts
-         |tasks: ${tasks.tasks}, executor run ${tasks.executorRunTimeMs} ms, """.stripMargin +
-        s"gc ${tasks.jvmGcTimeMs} ms, shuffle r/w ${tasks.shuffleReadBytes}/" +
+         |tasks: ${tasks.tasks}, executor run ${tasks.executorRunTimeMs} ms """.stripMargin +
+        s"(max task ${tasks.maxTaskMs} ms), gc ${tasks.jvmGcTimeMs} ms, " +
+        s"shuffle r/w ${tasks.shuffleReadBytes}/" +
         s"${tasks.shuffleWriteBytes} B, spilled ${tasks.spilledBytes} B"
     }
   }
@@ -135,6 +141,7 @@ object Diagnostics {
     val actions = new ConcurrentLinkedQueue[ActionTiming]()
     val tasks = new LongAdder; val runTime = new LongAdder; val gcTime = new LongAdder
     val shRead = new LongAdder; val shWrite = new LongAdder; val spilled = new LongAdder
+    val maxTask = new java.util.concurrent.atomic.LongAccumulator(Math.max(_, _), 0L)
     val qel = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         actions.add(ActionTiming(funcName, durationNs / 1e6))
@@ -145,6 +152,7 @@ object Diagnostics {
         val m = te.taskMetrics
         if (m != null) {
           tasks.increment(); runTime.add(m.executorRunTime); gcTime.add(m.jvmGCTime)
+          maxTask.accumulate(m.executorRunTime)
           shRead.add(m.shuffleReadMetrics.totalBytesRead)
           shWrite.add(m.shuffleWriteMetrics.bytesWritten)
           spilled.add(m.memoryBytesSpilled + m.diskBytesSpilled)
@@ -163,7 +171,8 @@ object Diagnostics {
         try { GraftListenerShim.waitUntilListenerBusEmpty(spark.sparkContext, 30000); true }
         catch { case _: java.util.concurrent.TimeoutException => false }
       (res, Timings(actions.asScala.toSeq,
-        TaskTotals(tasks.sum, runTime.sum, gcTime.sum, shRead.sum, shWrite.sum, spilled.sum),
+        TaskTotals(tasks.sum, runTime.sum, gcTime.sum, shRead.sum, shWrite.sum,
+          spilled.sum, maxTask.get),
         complete = drained))
     } finally {
       spark.listenerManager.unregister(qel)

@@ -539,6 +539,9 @@ class CoreSpec extends SparkSpec {
     assert(res == 2)
     assert(timings.actions.nonEmpty, "QueryExecutionListener saw no action")
     assert(timings.tasks.tasks > 0, "SparkListener saw no tasks")
+    // the skew tell: the max single task is bounded by the run-time total
+    assert(timings.tasks.maxTaskMs <= timings.tasks.executorRunTimeMs)
+    assert(timings.summary.contains("max task"))
     assert(timings.summary.contains("tasks:"))
   }
 
