@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   * and oracle-gated (q85), and a [[Multimodal.FrameDecoder]] ServiceLoader
   * seam (round 9) routes formats claimed by a codec jar on the classpath
   * through the real decoder with zero graft changes — unmatched formats
-  * keep the stand-in, so the oracle stays pinned. [[decodeStub]] is kept
-  * as the codec-free byte-stats twin the q38 oracle pins.
+  * keep the stand-in, so the oracle stays pinned. Lossy AUDIO needs no
+  * graft seam at all: [[decodeAudio]] reads through
+  * `AudioSystem.getAudioInputStream`, which is itself a ServiceLoader
+  * SPI (`javax.sound.sampled.spi.AudioFileReader`) — dropping a codec
+  * jar (e.g. an MP3 reader) on the classpath extends decode to that
+  * format with zero code changes; only video needed a custom trait
+  * because the JDK has no audio/video framework to hang an SPI on.
+  * [[decodeStub]] is kept as the codec-free byte-stats twin the q38
+  * oracle pins.
   *
   * Scale notes: media blobs ride in parquet binary columns; partition sizing
   * must account for blob width (`spark.sql.files.maxPartitionBytes` smaller
