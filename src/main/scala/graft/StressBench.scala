@@ -98,11 +98,12 @@ object StressBench {
     * cluster's C(2k,2) ≈ 2M true near-dup pairs dominate candidate volume
     * in every configuration (the background thins with `bits`; the
     * cluster never does). */
-  private def cosineArm(spark: SparkSession, bits: Int, dedupFirst: Boolean): DataFrame =
+  private def cosineArm(spark: SparkSession, bits: Int, dedupFirst: Boolean,
+                        maxBucket: Long = 0L): DataFrame =
     graft.functions.Similarity.cosinePairsLSH(
       spark.read.parquet(s"$root/vectors_stress"), "vec_id", "emb",
       threshold = 0.9, dim = 64, bits = bits, tables = 24,
-      dedupFirst = dedupFirst)
+      dedupFirst = dedupFirst, maxBucket = maxBucket)
 
   private def buildFixtures(spark: SparkSession, sfDir: String): Unit = {
     val fs = java.nio.file.Paths.get(root)
@@ -272,6 +273,11 @@ object StressBench {
       "cosine_hot_score_first" -> (() => cosineArm(spark, bits = 12, dedupFirst = false)),
       "cosine_hot_dedup_first" -> (() => cosineArm(spark, bits = 12, dedupFirst = true)),
       "cosine_hot_bits16" -> (() => cosineArm(spark, bits = 16, dedupFirst = false)),
+      // the maxDF-analog cap (round 9): buckets > 1000 dropped — the 2k
+      // near-parallel cluster (hot in EVERY table) is excluded whole,
+      // background buckets (~12 ids at bits=12) untouched
+      "cosine_hot_cap1000" -> (() => cosineArm(spark, bits = 12,
+        dedupFirst = false, maxBucket = 1000L)),
       // groupjoin payload-shape experiment (round 9, VERDICT #5): the
       // current array<struct> payload vs a structure-of-arrays form (one
       // primitive collect_list per value column, zipped back to the

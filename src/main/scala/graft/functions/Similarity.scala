@@ -249,10 +249,35 @@ object Similarity {
     * trims only the background (39.8 → 32.5 s): the cluster is the
     * floor, exactly as the p ≈ 1 analysis predicts. The knob stays for
     * wider-than-1KB vector payloads (dim ≫ 64), where the tradeoff
-    * re-opens; every regime measured so far says keep the default. */
+    * re-opens; every regime measured so far says keep the default.
+    *
+    * `maxBucket` (0 = off) is this operator's [[Dedup.jaccardPairs]]
+    * `maxDF` analog — the knob that bounds the O(m²) work no ordering
+    * or AQE setting can remove (the round-9 finding above): buckets
+    * holding more than `maxBucket` vectors are dropped from candidate
+    * generation BEFORE the self-join, so a degenerate near-parallel
+    * clique of size m (10⁶ vectors of one template at corpus scale →
+    * C(m,2) ≈ 5·10¹¹ candidates PER TABLE) costs one count aggregate
+    * instead of the quadratic join. RECALL CONTRACT: a pair survives if
+    * ANY of its `tables` shared buckets is within the cap, so ordinary
+    * hot spots (hot in some tables only) degrade gracefully; a
+    * genuinely near-parallel clique collides in EVERY table and is
+    * excluded whole — by design, mirroring maxDF's contract: past the
+    * cap, "these m vectors are one clique" is established by the
+    * capped-out bucket itself far cheaper than enumerating its pairs
+    * (route a representative through exact scoring / [[Dedup.clusters]]
+    * instead). The count rides the already-exploded signature rows —
+    * one aggregate + anti-join, no extra corpus scan (same shape as
+    * Dedup.capHotKeys). MEASURED in the hot regime (StressBench
+    * cosine_hot_cap1000, same fixture as above): 39.8 s [31.1, 43.1]
+    * uncapped → 2.57 s [2.39, 3.15] capped — 15.5×, disjoint bands; the
+    * cap removes the cluster's ~48M candidate scorings for the price of
+    * one count aggregate, while every background pair survives (the
+    * background's ~12-id buckets are far under the 1000 cap). */
   def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, bits: Int = 2,
-                     tables: Int = 24, dedupFirst: Boolean = false): DataFrame = {
+                     tables: Int = 24, dedupFirst: Boolean = false,
+                     maxBucket: Long = 0L): DataFrame = {
     import graft.plans.HashExpressions.{dotFix9, fix9}
     def sigs(v: Column) = array((0 until tables).map(t =>
       rhpSignature(v, dim, bits, seed = t * 7919)): _*)
@@ -266,8 +291,18 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), fix9(col(vecCol)).as("vf"),
         sigs(col(vecCol)).as("ss"))
       .withColumn("nrm", sqrt(dotFix9(col("vf"), col("vf"))))
-    val e = base.select(col("id"), col("vf"), col("nrm"),
+    val e0 = base.select(col("id"), col("vf"), col("nrm"),
       posexplode(col("ss")).as(Seq("tbl", "sig")))
+    // hot-bucket cap (see scaladoc): each id appears exactly once per
+    // table, so the occurrence count per (tbl, sig) IS the bucket size —
+    // no per-id dedup pass needed before counting
+    val e =
+      if (maxBucket > 0L) {
+        val hot = e0.groupBy(col("tbl"), col("sig"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket).select(col("tbl"), col("sig"))
+        e0.join(hot, Seq("tbl", "sig"), "left_anti")
+      } else e0
     // SHUFFLE_HASH: the signature-exploded corpus is never a broadcast
     // candidate at scale (same rationale as Dedup.jaccardPairs)
     val a = e.hint("shuffle_hash").as("a"); val b = e.hint("shuffle_hash").as("b")

@@ -799,6 +799,35 @@ class FunctionsSpec extends SparkSpec {
     val dedupFirst = Similarity.cosinePairsLSH(emb, "vec_id", "embedding",
       0.25, dim = 64, dedupFirst = true).collect().map(key).toSet
     assert(dedupFirst == exact, s"dedupFirst=${dedupFirst.size} exact=${exact.size}")
+    // a maxBucket no bucket reaches is a no-op (the cap only ever REMOVES)
+    val capped = Similarity.cosinePairsLSH(emb, "vec_id", "embedding",
+      0.25, dim = 64, maxBucket = 1000000L).collect().map(key).toSet
+    assert(capped == exact, s"capped=${capped.size} exact=${exact.size}")
+  }
+
+  test("cosinePairsLSH maxBucket: near-parallel clique excluded whole, background pairs kept") {
+    import spark.implicits._
+    // 6-vector near-parallel clique (same direction, tiny per-vector tilt
+    // on one axis) + one background near-dup pair pointing elsewhere: the
+    // clique shares EVERY table's bucket (size 6), the pair's buckets
+    // hold 2 — a cap of 5 must drop all C(6,2)=15 clique pairs and keep
+    // the background pair with its exact score
+    def vec(dir: Int, tilt: Float): Seq[Float] =
+      Seq.tabulate(4)(i => (if (i == dir) 10f else 0f) + (if (i == 3) tilt else 0f))
+    val rows = (0L until 6L).map(id => (id, vec(0, 0.001f * (id + 1)))) ++
+      Seq((100L, vec(1, 0.002f)), (101L, vec(1, 0.003f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairs(cap: Long) = Similarity.cosinePairsLSH(df, "vec_id", "embedding",
+      0.9, dim = 4, bits = 8, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(0L)
+    assert(uncapped.count { case (i, j) => i < 6 && j < 6 } == 15, uncapped)
+    assert(uncapped.contains((100L, 101L)))
+    val capped = pairs(5L)
+    assert(capped == Set((100L, 101L)), s"capped=$capped")
+    // the recall contract's graceful half: a cap the clique fits under
+    // keeps everything
+    assert(pairs(6L) == uncapped)
   }
 
   test("jaccardPairs hashShingles (8-byte-key scale form) == string form") {
