@@ -214,5 +214,14 @@ object Bench {
       java.nio.file.Paths.get("target/bench_latest.json"), payload + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     spark.stop()
+    // Per-query failures must surface in the exit status (round-10 lesson:
+    // three -1.0 lines rode an rc:0 payload into a committed snapshot).
+    // The payload is already printed and file-dropped above, so a non-zero
+    // exit loses nothing and makes a broken round self-announcing.
+    val nFailed = results.count(!_.ok)
+    if (nFailed > 0) {
+      System.err.println(s"[bench] $nFailed quer${if (nFailed == 1) "y" else "ies"} failed — exiting 1")
+      sys.exit(1)
+    }
   }
 }

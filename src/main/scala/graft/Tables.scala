@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet test tables (TESTDATA.md).
   *
@@ -26,7 +28,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** `events.ts` normalized to int64 nanos-since-epoch regardless of the
+    * physical parquet type. The generator has shipped this column two ways
+    * across testdata refreshes: TIMESTAMP(NANOS) (which, under
+    * `spark.sql.legacy.parquet.nanosAsLong`, arrives as a plain LongType
+    * of nanos) and TIMESTAMP(MICROS) (which arrives as TIMESTAMP_NTZ).
+    * Every query and the stress fixtures treat `ts` as int64 nanos, so
+    * normalize here — the single choke point — instead of per query.
+    * The NTZ→long conversion relies on the session timezone being UTC
+    * (all entry points set `spark.sql.session.timeZone=UTC`), matching
+    * the generator's epoch-based values. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) + nanosAsLong: already nanos
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected type $other")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
