@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes Bench's one-line JSON payload from sbt stdout; the
+// default logged output strategy prefixes it with "[info] ", which has
+// left every BENCH_r{N}.json with parsed:null. StdoutOutput passes the
+// forked JVM's streams through verbatim, and showSuccess drops the
+// trailing "[success] Total time" line, so the payload is a bare,
+// json.loads-able stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
