@@ -219,6 +219,48 @@ private[graft] object Batch10 {
              |JOIN sizes si ON si.doc_id = i
              |JOIN sizes sj ON sj.doc_id = j
              |WHERE CAST(n_common AS DOUBLE) / (si.sz + sj.sz - n_common) >= 0.3
-             |ORDER BY i, j""".stripMargin))
+             |ORDER BY i, j""".stripMargin)),
+
+    // SQ8-quantized ANN under the oracle (round 11): the memory-side
+    // scale lever — float32 corpus → 1 B/dim codes (4× smaller scans at
+    // 100 TB) from a closed-form trainer (per-dim min/max, one aggregate
+    // pass; no k-means). The oracle re-derives the ENTIRE pipeline in
+    // SQL — ranges, codes (same pinned IEEE op order), decoded grid,
+    // decimal-exact cosine, ranking — so green certifies train, encode,
+    // decode, and quantized scoring end-to-end, not just the top-k ids.
+    // Recall vs the exact float baseline is spec-gated (FunctionsSpec).
+    Q("q124_ann_sq8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.functions.Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, excludeSelf = true)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+             |dims AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY 1),
+             |codes AS (SELECT id, e.pos, v,
+             |    CASE WHEN hi = lo THEN 0
+             |         ELSE GREATEST(0, LEAST(255,
+             |           CAST(FLOOR((v - lo) / (hi - lo) * 255.0 + 0.5) AS BIGINT))) END AS c
+             |  FROM e JOIN dims ON e.pos = dims.pos),
+             |dec AS (SELECT id, codes.pos,
+             |    CAST(lo + c * ((hi - lo) / 255.0) AS DECIMAL(12,9)) AS vd
+             |  FROM codes JOIN dims ON codes.pos = dims.pos),
+             |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm
+             |  FROM dec GROUP BY 1),
+             |dots AS (SELECT q.id AS query_id, c2.id AS id, SUM(q.vd * c2.vd) AS dotd
+             |  FROM dec q JOIN dec c2 ON q.pos = c2.pos AND q.id < 5 AND c2.id <> q.id
+             |  GROUP BY 1, 2),
+             |scored AS (SELECT dots.query_id, dots.id,
+             |    CAST(dotd AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+             |  FROM dots JOIN norms nq ON nq.id = dots.query_id
+             |  JOIN norms nc ON nc.id = dots.id),
+             |ranked AS (SELECT query_id, id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -354,5 +354,8 @@ object SparkEntry {
     // one-time index train lands in the excluded warmup run), and the
     // ML featurization pipeline (q105)
     "q104_dedup_jaccard_capped", "q67_embed_pairs_lsh", "q84_ivf_topk",
-    "q105_featuremat")
+    "q105_featuremat",
+    // round-11 addition: the SQ8-quantized ANN path (train + encode +
+    // decode + exact-decimal scoring, end-to-end per run)
+    "q124_ann_sq8")
 }

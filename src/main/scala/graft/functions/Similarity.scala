@@ -182,6 +182,90 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id"), col("cos"))
   }
 
+  /** SQ8 scalar-quantization model: per-dimension [lo, hi] ranges. The
+    * whole model is `2·dim` doubles (~1 KB at dim 64) — driver-held and
+    * broadcast as literals, like the IVF centroids.
+    *
+    * This is the 100 TB memory-side ANN lever the float corpus lacks: a
+    * float32 embedding column is 4 B/dim; SQ8 codes are 1 B/dim with a
+    * closed-form trainer (per-dim min/max — one aggregate pass, unlike
+    * PQ's iterative k-means), so a 100 TB embedding corpus becomes a
+    * 25 TB code table that scans 4× faster and, decoded against the tiny
+    * model, reranks to near-full recall (8 bits/dim keeps ~1e-3 relative
+    * error on unit-scale embeddings; recall vs the exact baseline is
+    * spec-gated). Encode/decode are narrow per-row transforms — no
+    * shuffle anywhere except the final per-query ranking window. */
+  case class Sq8Model(lo: Array[Double], hi: Array[Double]) {
+    require(lo.length == hi.length, s"sq8: lo/hi dim mismatch ${lo.length}/${hi.length}")
+    def dim: Int = lo.length
+  }
+
+  /** Train = per-dimension min/max over the corpus. posexplode fans out
+    * (pos, v) rows, but the groupBy(pos) aggregate partial-combines to
+    * `dim` rows per task BEFORE the exchange — the shuffle carries
+    * dim × partitions tiny rows at any corpus size. Floats widen to
+    * double exactly, and min/max select (never compute), so any engine
+    * training on the same data produces bit-identical ranges. */
+  def sq8Train(corpus: DataFrame, vecCol: String): Sq8Model = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("pos").collect()
+    require(rows.nonEmpty, "sq8Train: empty corpus")
+    Sq8Model(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Encode a vector to array<int> codes in [0, 255]:
+    * `floor((v-lo)/(hi-lo)·255 + 0.5)` clamped — written with exactly
+    * this operation order so any engine repeating it on doubles gets the
+    * identical IEEE result (the oracle recomputes codes in SQL; a
+    * degenerate hi==lo dimension encodes as 0). Values outside the
+    * trained range (a query vector under a corpus-trained model) clamp
+    * to the range edge — standard SQ behavior. */
+  def sq8Encode(vec: Column, model: Sq8Model): Column = {
+    val loL = typedLit(model.lo.toSeq); val hiL = typedLit(model.hi.toSeq)
+    transform(vec.cast("array<double>"), (v, i) => {
+      val l = element_at(loL, i + 1); val h = element_at(hiL, i + 1)
+      when(h === l, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          floor((v - l) / (h - l) * lit(255.0) + lit(0.5))))).cast("int")
+    })
+  }
+
+  /** Decode codes back to the quantized grid: `lo + c·((hi-lo)/255)` —
+    * again a pinned operation order, so decoded values (and everything
+    * computed from them) match a SQL re-derivation bit-for-bit. */
+  def sq8Decode(codes: Column, model: Sq8Model): Column = {
+    val loL = typedLit(model.lo.toSeq); val hiL = typedLit(model.hi.toSeq)
+    transform(codes, (c, i) => {
+      val l = element_at(loL, i + 1); val h = element_at(hiL, i + 1)
+      l + c.cast("double") * ((h - l) / lit(255.0))
+    })
+  }
+
+  /** The persistable form: (id, codes) — write THIS at 100 TB (4× smaller
+    * than the float corpus, splittable parquet ints) and keep the ~1 KB
+    * model next to it; queries encode on the fly against the same model. */
+  def sq8EncodeTable(df: DataFrame, idCol: String, vecCol: String,
+                     model: Sq8Model): DataFrame =
+    df.select(col(idCol).as("id"), sq8Encode(col(vecCol), model).as("codes"))
+
+  /** Quantized brute-force top-k: train on the corpus, encode+decode both
+    * sides onto the SQ8 grid, then score with the PROVEN exact machinery
+    * ([[bruteForceTopK]] `exact=true`: fix9 images + native decimal-exact
+    * dot products) so the result hash-matches a pure-SQL oracle that
+    * re-derives the same grid. Ranking ties (two corpus vectors decoding
+    * to the same grid point) break deterministically by id — same rule
+    * both sides. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val model = sq8Train(corpus, vecCol)
+    def decoded(df: DataFrame) = df.select(col(idCol),
+      sq8Decode(sq8Encode(col(vecCol), model), model).as(vecCol))
+    bruteForceTopK(decoded(corpus), decoded(queries), idCol, vecCol, k,
+      excludeSelf = excludeSelf, exact = true)
+  }
+
   /** Embedding-cosine near-duplicate pairs with DECIMAL-exact accumulation:
     * explode to (id, pos, val), join on pos, sum decimal products.
     *

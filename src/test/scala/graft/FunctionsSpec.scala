@@ -615,6 +615,52 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall")
   }
 
+  test("sq8: code range + clamp + constant-dim edge; grid error bound; recall vs exact") {
+    // hand fixture: dim 3 with a constant dimension (hi == lo) and a
+    // query value outside the trained range (must clamp, not wrap/fail)
+    val corpus = Seq(
+      (1L, Seq(0.0f, 5.0f, -1.0f)),
+      (2L, Seq(1.0f, 5.0f, 1.0f)),
+      (3L, Seq(0.5f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val m = Similarity.sq8Train(corpus, "embedding")
+    assert(m.lo.toSeq == Seq(0.0, 5.0, -1.0) && m.hi.toSeq == Seq(1.0, 5.0, 1.0))
+    val codes = corpus.select(col("vec_id"),
+        Similarity.sq8Encode(col("embedding"), m).as("c"))
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(codes.forall(_.forall(c => c >= 0 && c <= 255)))
+    assert(codes.forall(_(1) == 0), "constant dim must encode 0")
+    assert(codes(0).toSeq == Seq(0, 0, 0) && codes(1).toSeq == Seq(255, 0, 255))
+    val outside = Seq((9L, Seq(-3.0f, 5.0f, 7.0f))).toDF("vec_id", "embedding")
+    val oc = outside.select(Similarity.sq8Encode(col("embedding"), m))
+      .head().getSeq[Int](0)
+    assert(oc.toSeq == Seq(0, 0, 255), s"out-of-range must clamp: $oc")
+
+    // decode(encode(v)) stays within half a quantization step per dim
+    val emb = Tables.embeddings(spark, sf)
+    val me = Similarity.sq8Train(emb, "embedding")
+    val err = emb.select(
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"),
+            Similarity.sq8Decode(Similarity.sq8Encode(col("embedding"), me), me),
+            (a, b) => abs(a - b)),
+          lit(0.0), (acc, v) => greatest(acc, v)).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    val step = (0 until me.dim).map(i => (me.hi(i) - me.lo(i)) / 255.0).max
+    assert(err <= step / 2 + 1e-12, s"max abs grid error $err > half-step ${step / 2}")
+
+    // recall@10 vs the exact float baseline: 8 bits/dim on unit-scale
+    // embeddings must be a near-perfect preselector
+    val queries = emb.filter(col("vec_id") < 5)
+    val bfe = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 10, excludeSelf = true, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = Similarity.sq8TopK(emb, queries, "vec_id", "embedding",
+        k = 10, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rc = bfe.intersect(sq).size.toDouble / bfe.size
+    assert(rc >= 0.9, s"sq8 recall@10 $rc vs exact baseline")
+  }
+
   test("multimodal: stub features match byte-level recompute") {
     val media = Multimodal.mediaFromDocuments(spark,
       Tables.documents(spark, sf).limit(20))
