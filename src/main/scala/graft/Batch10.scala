@@ -14,6 +14,26 @@ private[graft] object Batch10 {
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
+  /** Per-dir IVF×SQ8 code-index fixture (q125) — Batch6.IvfIndex's pattern:
+    * train both models once, write the cell-partitioned CODE table once,
+    * reuse across runs in this JVM. */
+  private object IvfSq8Index {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, (graft.functions.Similarity.IvfModel, graft.functions.Similarity.Sq8Model, String)]
+    def forDir(s: SparkSession, dir: String): (graft.functions.Similarity.IvfModel, graft.functions.Similarity.Sq8Model, String) =
+      cache.getOrElseUpdate(dir, {
+        val emb = Tables.embeddings(s, dir)
+        val ivf = graft.functions.Similarity.trainIvf(
+          emb, "embedding", nlist = 4, maxIter = 3)
+        val sq8 = graft.functions.Similarity.sq8Train(emb, "embedding")
+        val path = java.nio.file.Files.createTempDirectory("graft-ivfsq8-")
+          .toAbsolutePath.toString + "/codes"
+        graft.functions.Similarity.writeIvfCorpusSq8(
+          emb, "vec_id", "embedding", ivf, sq8, path)
+        (ivf, sq8, path)
+      })
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Real image decode under the oracle: every doc_id becomes a
@@ -234,6 +254,50 @@ private[graft] object Batch10 {
         val emb = Tables.embeddings(s, dir)
         graft.functions.Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5),
             "vec_id", "embedding", k = 10, excludeSelf = true)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+             |dims AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY 1),
+             |codes AS (SELECT id, e.pos, v,
+             |    CASE WHEN hi = lo THEN 0
+             |         ELSE GREATEST(0, LEAST(255,
+             |           CAST(FLOOR((v - lo) / (hi - lo) * 255.0 + 0.5) AS BIGINT))) END AS c
+             |  FROM e JOIN dims ON e.pos = dims.pos),
+             |dec AS (SELECT id, codes.pos,
+             |    CAST(lo + c * ((hi - lo) / 255.0) AS DECIMAL(12,9)) AS vd
+             |  FROM codes JOIN dims ON codes.pos = dims.pos),
+             |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm
+             |  FROM dec GROUP BY 1),
+             |dots AS (SELECT q.id AS query_id, c2.id AS id, SUM(q.vd * c2.vd) AS dotd
+             |  FROM dec q JOIN dec c2 ON q.pos = c2.pos AND q.id < 5 AND c2.id <> q.id
+             |  GROUP BY 1, 2),
+             |scored AS (SELECT dots.query_id, dots.id,
+             |    CAST(dotd AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+             |  FROM dots JOIN norms nq ON nq.id = dots.query_id
+             |  JOIN norms nc ON nc.id = dots.id),
+             |ranked AS (SELECT query_id, id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF×SQ8 composed index under the oracle (round 11): q124's pipeline
+    // THROUGH a persisted cell-partitioned CODE table — encode at write,
+    // hive cell layout, isin-pruned read, decode at read, grid scoring.
+    // nprobe = nlist probes every cell (q84's gate pattern), so the result
+    // must be bit-identical to q124's and the oracle is q124's SQL
+    // VERBATIM — green certifies the whole persisted quantized index, not
+    // just the in-memory math. Partial-probe recall + actual partition
+    // pruning are FunctionsSpec's job (not SQL-expressible).
+    Q("q125_ann_ivf_sq8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (ivf, sq8, path) = IvfSq8Index.forDir(s, dir)
+        graft.functions.Similarity.ivfTopKIndexedSq8(path,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, nprobe = 4, ivf = ivf, sq8 = sq8, excludeSelf = true)
           .orderBy("query_id", "rank")
       },
       Some("""WITH e AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,

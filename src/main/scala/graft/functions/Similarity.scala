@@ -577,6 +577,47 @@ object Similarity {
     * partition predicate, so the scan reads only the probed `cell=`
     * directories. An empty query set yields an empty `isin` (constant
     * false) — an empty result, not an error. */
+  /** IVF×SQ8: the composed index SCALE.md promises — the routing lever
+    * (cell partitions, probe pruning) over the memory lever (1 B/dim
+    * codes). The written table carries CODES, not vectors: 4× smaller
+    * directories, 4× fewer scanned bytes per probe; cell assignment uses
+    * the original float vector (routing quality is not quantized). */
+  def writeIvfCorpusSq8(corpus: DataFrame, idCol: String, vecCol: String,
+                        ivf: IvfModel, sq8: Sq8Model, path: String): Unit =
+    corpus.select(col(idCol).as("id"),
+        sq8Encode(col(vecCol), sq8).as("codes"),
+        graft.plans.HashExpressions.nearestCell(vecInput(corpus, vecCol),
+          ivf.unitCentroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Query the SQ8 code index: probe cells by the RAW query vector (the
+    * same routing domain the corpus was assigned in), prune the scan to
+    * the probed `cell=` directories, decode candidate codes onto the SQ8
+    * grid, and score EXACTLY like [[sq8TopK]] (both sides on the grid,
+    * fix9 decimal-exact) — so `nprobe = nlist` returns bit-identically
+    * the [[sq8TopK]] result, which is how the oracle gate (q125 runs
+    * q124's SQL verbatim) certifies the whole persisted pipeline: encode
+    * at write, cell layout, pruned read, decode, quantized scoring.
+    * Partial-probe recall is spec-gated like the float IVF path's. */
+  def ivfTopKIndexedSq8(corpusPath: String, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nprobe: Int, ivf: IvfModel,
+                        sq8: Sq8Model, excludeSelf: Boolean = true): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9, topCells}
+    val spark = queries.sparkSession
+    def nrm(v: Column) = sqrt(dotFix9(v, v))
+    val q = queries.select(col(idCol).as("query_id"),
+        fix9(sq8Decode(sq8Encode(col(vecCol), sq8), sq8)).as("qv"),
+        explode(topCells(vecInput(queries, vecCol), ivf.unitCentroids,
+          math.min(nprobe, ivf.nlist))).as("cell"))
+      .withColumn("qn", nrm(col("qv")))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(corpusPath)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id"), fix9(sq8Decode(col("codes"), sq8)).as("cv"), col("cell"))
+      .withColumn("cn", nrm(col("cv")))
+    rankProbed(c, q, k, excludeSelf, dotFix9)
+  }
+
   def ivfTopKIndexed(corpusPath: String, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, nprobe: Int, model: IvfModel,
                      excludeSelf: Boolean = true,

@@ -1017,6 +1017,38 @@ class FunctionsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("IVF×SQ8 code index: nprobe=nlist == sq8TopK bit-for-bit; pruning; partial-probe recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 8, maxIter = 10)
+    val sq8 = Similarity.sq8Train(emb, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8").toFile.getPath + "/codes"
+    Similarity.writeIvfCorpusSq8(emb, "vec_id", "embedding", ivf, sq8, dir)
+    // the persisted table carries codes, not vectors
+    val codeSchema = spark.read.parquet(dir).schema
+    assert(codeSchema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, true))
+    val queries = emb.filter(col("vec_id") < 5)
+    // full probe degenerates to the in-memory quantized scorer EXACTLY
+    // (same grid, same fix9 scoring, same tie-break) — the q125 gate's
+    // local twin, including the cos values
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = Similarity.ivfTopKIndexedSq8(dir, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8, ivf = ivf, sq8 = sq8)
+    val mem = Similarity.sq8TopK(emb, queries, "vec_id", "embedding", k = 10)
+    assert(keyed(full) == keyed(mem))
+    // partial probe: pruned scan + recall vs the full-probe result
+    val part = Similarity.ivfTopKIndexedSq8(dir, queries, "vec_id", "embedding",
+      k = 10, nprobe = 2, ivf = ivf, sq8 = sq8)
+    val scanPlan = part.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters: ["), scanPlan)
+    assert(scanPlan.contains("cell"), "cell predicate not pushed to the scan")
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ids(part).intersect(ids(mem)).size.toDouble / ids(mem).size
+    assert(recall >= 0.5, s"IVF×SQ8 recall@10 at nprobe 2/8: $recall")
+  }
+
   test("ivfTopK plan: broadcast probe join and NO dedup aggregate (cells partition the corpus)") {
     val emb = Tables.embeddings(spark, sf)
     val model = Similarity.trainIvf(emb, "embedding", nlist = 4, maxIter = 3)
