@@ -325,6 +325,51 @@ private[graft] object Batch10 {
              |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
              |  FROM scored)
              |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ADC — asymmetric SQ8 (round 11): only the corpus is quantized (the
+    // side that must shrink at 100 TB); queries score at full precision,
+    // halving quantization noise per dot product. The oracle mixes the
+    // precisions exactly as the operator does: query side = raw values
+    // rounded once to decimal(12,9) (q37's form), corpus side = the SQ8
+    // grid — so green certifies the asymmetric scoring path itself, not
+    // an approximation of it.
+    Q("q126_ann_sq8_adc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.functions.Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, excludeSelf = true, asymmetric = true)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+             |dims AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY 1),
+             |codes AS (SELECT id, e.pos, v,
+             |    CASE WHEN hi = lo THEN 0
+             |         ELSE GREATEST(0, LEAST(255,
+             |           CAST(FLOOR((v - lo) / (hi - lo) * 255.0 + 0.5) AS BIGINT))) END AS c
+             |  FROM e JOIN dims ON e.pos = dims.pos),
+             |dec AS (SELECT id, codes.pos,
+             |    CAST(lo + c * ((hi - lo) / 255.0) AS DECIMAL(12,9)) AS vd
+             |  FROM codes JOIN dims ON codes.pos = dims.pos),
+             |qe AS (SELECT id, pos, CAST(v AS DECIMAL(12,9)) AS vd
+             |  FROM e WHERE id < 5),
+             |cnorms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm
+             |  FROM dec GROUP BY 1),
+             |qnorms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm
+             |  FROM qe GROUP BY 1),
+             |dots AS (SELECT q.id AS query_id, c2.id AS id, SUM(q.vd * c2.vd) AS dotd
+             |  FROM qe q JOIN dec c2 ON q.pos = c2.pos AND c2.id <> q.id
+             |  GROUP BY 1, 2),
+             |scored AS (SELECT dots.query_id, dots.id,
+             |    CAST(dotd AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+             |  FROM dots JOIN qnorms nq ON nq.id = dots.query_id
+             |  JOIN cnorms nc ON nc.id = dots.id),
+             |ranked AS (SELECT query_id, id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -256,13 +256,23 @@ object Similarity {
     * dot products) so the result hash-matches a pure-SQL oracle that
     * re-derives the same grid. Ranking ties (two corpus vectors decoding
     * to the same grid point) break deterministically by id — same rule
-    * both sides. */
+    * both sides.
+    *
+    * `asymmetric=true` is ADC (asymmetric distance computation), the
+    * standard SQ accuracy upgrade: only the CORPUS is quantized — it is
+    * the side that must shrink at 100 TB — while queries score at full
+    * precision, halving the quantization noise per dot product for free
+    * (the query side was never the memory problem). Still oracle-exact:
+    * the SQL twin takes raw decimals on the query side and the grid on
+    * the corpus side. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+              vecCol: String, k: Int, excludeSelf: Boolean = true,
+              asymmetric: Boolean = false): DataFrame = {
     val model = sq8Train(corpus, vecCol)
     def decoded(df: DataFrame) = df.select(col(idCol),
       sq8Decode(sq8Encode(col(vecCol), model), model).as(vecCol))
-    bruteForceTopK(decoded(corpus), decoded(queries), idCol, vecCol, k,
+    val qSide = if (asymmetric) queries else decoded(queries)
+    bruteForceTopK(decoded(corpus), qSide, idCol, vecCol, k,
       excludeSelf = excludeSelf, exact = true)
   }
 

@@ -659,6 +659,28 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val rc = bfe.intersect(sq).size.toDouble / bfe.size
     assert(rc >= 0.9, s"sq8 recall@10 $rc vs exact baseline")
+
+    // ADC: full-precision queries vs the quantized corpus — recall holds,
+    // and the scores sit closer to the exact baseline than the symmetric
+    // path's (half the quantization noise per dot product)
+    val adcDf = Similarity.sq8TopK(emb, queries, "vec_id", "embedding",
+      k = 10, excludeSelf = true, asymmetric = true)
+    val adc = adcDf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rcAdc = bfe.intersect(adc).size.toDouble / bfe.size
+    assert(rcAdc >= 0.9, s"sq8 ADC recall@10 $rcAdc vs exact baseline")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val exactScores = scores(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 10, excludeSelf = true, exact = true))
+    def meanErr(m: Map[(Long, Long), Double]) = {
+      val common = m.keySet.intersect(exactScores.keySet)
+      common.toSeq.map(k2 => math.abs(m(k2) - exactScores(k2))).sum / common.size
+    }
+    val symErr = meanErr(scores(Similarity.sq8TopK(emb, queries,
+      "vec_id", "embedding", k = 10, excludeSelf = true)))
+    val adcErr = meanErr(scores(adcDf))
+    assert(adcErr <= symErr,
+      s"ADC mean |cos err| $adcErr should not exceed symmetric's $symErr")
   }
 
   test("multimodal: stub features match byte-level recompute") {
