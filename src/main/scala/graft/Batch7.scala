@@ -91,6 +91,33 @@ private[graft] object Batch7 {
              |GROUP BY doc_id HAVING COUNT(*) >= 5
              |ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-prefiltered decontamination (round 11): q87's third bench-size
+    // regime — the bench shingle set rides a broadcast BLOOM image (bits
+    // per key) and the corpus stream is prefiltered in the scan by the
+    // native bloom_might_contain expression; the exact verify join then
+    // carries only probable hits and removes every false positive, so the
+    // result is IDENTICAL to contaminationScores and the oracle is q87's
+    // SQL VERBATIM. Green certifies the whole bloom path end-to-end:
+    // build, broadcast transport, byte-image probe, FP-exact verify.
+    Q("q127_decontaminate_bloom",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val bench = d.filter(pmod(col("doc_id"), lit(20L)) === 0)
+        val cand = d.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+        Dedup.contaminationScoresBloom(cand, "doc_id", "text", bench, "text",
+            n = 3, fpp = 0.01)
+          .filter(col("n_shared") >= 5)
+          .select(col("id").as("doc_id"), col("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $pairCtes,
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+             |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+             |SELECT doc_id, COUNT(*) AS n_shared
+             |FROM cand JOIN bench USING (s)
+             |GROUP BY doc_id HAVING COUNT(*) >= 5
+             |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split: band = the cumulative-weight
     // interval containing u32 = int(md5(salt‖id)[0:8]). The oracle
     // recomputes the hash and the exact integer cut points (⌊0.8·2^32⌋,

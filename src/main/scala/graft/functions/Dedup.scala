@@ -638,6 +638,36 @@ object Dedup {
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[contaminationScores]] for the THIRD bench-size regime: too big to
+    * broadcast as an exact shingle set (the `broadcastBench=true` path),
+    * but whose BLOOM image still broadcasts — bits per key instead of a
+    * hash-map entry per key (~1.2 MB per million shingles at 1% FP vs
+    * hundreds of MB exact). The filter prefilters the corpus shingle
+    * stream IN THE SCAN (native `bloom_might_contain` expression — codegen,
+    * reference-object transport, no UDF), so the exact verify join that
+    * follows shuffles only probable-hit rows: at a typical contamination
+    * rate the exchange carries ~FP-rate × corpus shingles instead of all
+    * of them. The verify join (AQE-sized, never force-broadcast) removes
+    * every false positive, so the result is IDENTICAL to
+    * [[contaminationScores]] — which is exactly how the oracle gates it
+    * (q127 reuses q87's SQL verbatim).
+    *
+    * `expectedItems <= 0` counts the bench shingle set first (one extra
+    * pass over the SMALL side) to size the filter; pass a known count to
+    * skip it. */
+  def contaminationScoresBloom(df: DataFrame, idCol: String, textCol: String,
+                               bench: DataFrame, benchTextCol: String,
+                               n: Int, fpp: Double = 0.01,
+                               expectedItems: Long = 0L): DataFrame = {
+    val benchSh = bench.select(explode(shingles(col(benchTextCol), n)).as("s")).distinct()
+    val items = if (expectedItems > 0L) expectedItems else math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter("s", items, fpp)
+    val docSh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .filter(graft.plans.HashExpressions.bloomMightContain(col("s"), bf))
+    docSh.join(benchSh, Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Remove docs sharing ≥ `minShared` distinct n-gram shingles with the
     * benchmark corpus (anti-join on the flagged id set; all original
     * columns survive). */

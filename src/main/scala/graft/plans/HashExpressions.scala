@@ -489,6 +489,13 @@ object HashOps {
   /** IVF cell routing: argmax dot(vec, centroid) over the unit-centroid
     * matrix — ties → lowest cell (exactly the UDF semantics this
     * replaced; the recall/degeneration specs pin equivalence). */
+  /** Bloom probe on the UTF-8 byte image — the insertion domain of
+    * `stat.bloomFilter` over a string column (BloomFilterImpl hashes the
+    * raw bytes for both put and mightContain). */
+  def bloomContainsJava(s: UTF8String,
+                        bf: org.apache.spark.util.sketch.BloomFilter): Boolean =
+    bf.mightContainBinary(s.getBytes)
+
   def nearestCellJava(arr: ArrayData, isFloat: Boolean,
                       centroids: Array[Array[Double]]): Int = {
     val v = vecDoubles(arr, isFloat)
@@ -823,6 +830,42 @@ case class RhpSignature(child: Expression, dim: Int, bits: Int, seed: Int)
   * array. Ties → lowest cell; zero vectors land in cell 0 (dot 0 beats
   * the -∞ sentinel at index 0). Dense non-null vectors expected (same
   * domain as the scoring path). */
+/** bloom_might_contain(s): membership probe of a string against a
+  * driver-built Bloom filter ([[org.apache.spark.util.sketch.BloomFilter]],
+  * Serializable) riding the codegen REFERENCE array like [[NearestCell]]'s
+  * centroid matrix — shipped once per task binary, no UDF boxing on the
+  * corpus-shingle hot path. Probes the UTF-8 BYTES directly (the same
+  * image `DataFrameStatFunctions.bloomFilter` inserted for a string
+  * column), so no per-row String materialization. May return true for an
+  * absent key (FP rate set at build); never false for a present one —
+  * callers must re-verify positives exactly (see
+  * `Dedup.contaminationScoresBloom`). */
+case class BloomMightContain(child: Expression,
+                             filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain expects string, got $other")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      HashOps.bloomContainsJava(input.asInstanceOf[UTF8String], filter))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("bloomFilter", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.bloomContainsJava($c, $fRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -881,6 +924,9 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], nprobe: 
 
 object HashExpressions {
   import ColumnBridge.{column, expression}
+  def bloomMightContain(c: Column,
+                        bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomMightContain(expression(c), bf))
   def nearestCell(c: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCell(expression(c), centroids))
   def topCells(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =

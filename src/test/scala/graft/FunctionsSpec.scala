@@ -1150,6 +1150,32 @@ class FunctionsSpec extends SparkSpec {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("contaminationScoresBloom == contaminationScores (verify kills FPs, even at fpp 0.5); native probe in plan") {
+    val d = Tables.documents(spark, sf)
+    val bench = d.filter(pmod(col("doc_id"), lit(20L)) === 0)
+    val cand = d.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyed(Dedup.contaminationScores(cand, "doc_id", "text",
+      bench, "text", n = 3))
+    assert(exact.nonEmpty, "fixture should have contaminated docs")
+    val bloom = Dedup.contaminationScoresBloom(cand, "doc_id", "text",
+      bench, "text", n = 3, fpp = 0.01)
+    assert(keyed(bloom) == exact)
+    // the probe is the native codegen expression, applied in the corpus
+    // scan stage (before the verify join), not a ScalaUDF
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("ScalaUDF"), "probe must not be a UDF")
+    // adversarial FP pressure: a deliberately terrible filter (50% FP)
+    // floods the verify join with false candidates — the RESULT must not
+    // change by a single row (exactness comes from the verify, the filter
+    // only sizes the exchange)
+    val floody = Dedup.contaminationScoresBloom(cand, "doc_id", "text",
+      bench, "text", n = 3, fpp = 0.5)
+    assert(keyed(floody) == exact)
+  }
+
   test("packGreedy: oversized docs isolated; binStats fill ratios; shards bound runs") {
     import spark.implicits._
     val df = Seq(("g", 1L, 60L), ("g", 2L, 50L), ("g", 3L, 200L), ("g", 4L, 10L))
