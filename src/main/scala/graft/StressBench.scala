@@ -182,6 +182,39 @@ object StressBench {
       bg.unionAll(hot).withColumn("emb", col("emb").cast("array<float>"))
         .repartition(32).write.mode("overwrite").parquet(s"$root/vectors_stress")
     }
+    if (!java.nio.file.Files.exists(fs.resolve("docs_stress100/_SUCCESS"))) {
+      // 100-replica corpus (~500k docs, ~100M shingle rows) for the
+      // decontam crossover's far side: the corpus-side shingle shuffle
+      // must dominate the bloom path's fixed costs (two bench passes +
+      // the scan probe) for the prefilter to pay — at the 10-replica
+      // size it measurably does not (decontam_sparse arms).
+      val docs = Tables.documents(spark, sfDir)
+      val reps = explode(sequence(lit(0), lit(99))).as("rep")
+      val stressDocs = docs.select(col("doc_id"), col("text"), reps)
+        .select((col("doc_id") * 100 + col("rep")).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => hex(xxhash64(t, pmod(col("rep"), lit(10)))))).as("text"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(col("text"), lit(" hotaa hotbb hotcc"))).otherwise(col("text")))
+      stressDocs.repartition(32).write.mode("overwrite")
+        .parquet(s"$root/docs_stress100")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("bench_sparse/_SUCCESS"))) {
+      // sparse-overlap benchmark fixture (round 11, decontam bloom arms):
+      // the REAL decontamination shape — an eval suite whose shingles are
+      // almost entirely absent from the corpus. Tokens re-hashed with
+      // salt 99 (disjoint from every docs_stress replica's salt 0..9);
+      // the planted hot sentence is the only shared content, so the
+      // corpus-side shingle hit rate is ~0 and the bloom prefilter's
+      // thinning is attributable to the regime, not tuning.
+      val docs = Tables.documents(spark, sfDir)
+      val bench = docs.select(col("doc_id"),
+        concat(concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => hex(xxhash64(t, lit(99))))),
+          lit(" hotaa hotbb hotcc")).as("text"))
+      bench.repartition(8).write.mode("overwrite").parquet(s"$root/bench_sparse")
+    }
     if (!java.nio.file.Files.exists(fs.resolve("edges_stress/_SUCCESS"))) {
       // 4M edges just inside the 5M driver-union-find gate: 8-node chain
       // blocks (7 edges each, diameter 7), so the distributed path pays
@@ -288,7 +321,52 @@ object StressBench {
       // SoA shuffle ships ~16 B/element. The hot user-0 group (~2.5M
       // clicks) makes the payload the dominant cost.
       "groupjoin_struct" -> (() => groupjoinStructArm(spark)),
-      "groupjoin_soa" -> (() => groupjoinSoaArm(spark)))
+      "groupjoin_soa" -> (() => groupjoinSoaArm(spark)),
+      // decontamination at a bench size where exact broadcast is off the
+      // table (round 11): 2.5k bench docs → ~500k distinct shingles. The
+      // baseline is the operator's own no-broadcast fallback (AQE-sized
+      // SMJ: the FULL ~10M-row corpus shingle stream shuffles into the
+      // join); the bloom arm prefilters that stream in the scan (~1.2 MB
+      // filter, 1% FP) so only probable hits reach the exchange. The
+      // bloom arm's time INCLUDES the bench count + driver-side filter
+      // build every iteration — the honest end-to-end cost of the path.
+      "decontam_smj" -> (() => graft.functions.Dedup.contaminationScores(
+        spark.read.parquet(s"$root/docs_stress")
+          .filter(pmod(col("doc_id"), lit(20L)) =!= 0),
+        "doc_id", "text",
+        spark.read.parquet(s"$root/docs_stress")
+          .filter(pmod(col("doc_id"), lit(20L)) === 0),
+        "text", n = 3, broadcastBench = false)),
+      "decontam_bloom" -> (() => graft.functions.Dedup.contaminationScoresBloom(
+        spark.read.parquet(s"$root/docs_stress")
+          .filter(pmod(col("doc_id"), lit(20L)) =!= 0),
+        "doc_id", "text",
+        spark.read.parquet(s"$root/docs_stress")
+          .filter(pmod(col("doc_id"), lit(20L)) === 0),
+        "text", n = 3, fpp = 0.01)),
+      // the sparse-overlap pair — the regime the bloom path exists for
+      // (eval-suite bench vs web corpus: ~0 corpus-side hit rate, so the
+      // prefilter kills ~99% of the ~10M-row corpus shingle stream
+      // before the exchange, vs the SMJ baseline shuffling all of it)
+      "decontam_sparse_smj" -> (() => graft.functions.Dedup.contaminationScores(
+        spark.read.parquet(s"$root/docs_stress"), "doc_id", "text",
+        spark.read.parquet(s"$root/bench_sparse"), "text",
+        n = 3, broadcastBench = false)),
+      "decontam_sparse_bloom" -> (() => graft.functions.Dedup.contaminationScoresBloom(
+        spark.read.parquet(s"$root/docs_stress"), "doc_id", "text",
+        spark.read.parquet(s"$root/bench_sparse"), "text",
+        n = 3, fpp = 0.01)),
+      // the crossover's far side: same sparse bench, 10× the corpus
+      // (~100M shingle rows) — the regime where the stream's shuffle,
+      // not the filter build, is the dominant term
+      "decontam_big_smj" -> (() => graft.functions.Dedup.contaminationScores(
+        spark.read.parquet(s"$root/docs_stress100"), "doc_id", "text",
+        spark.read.parquet(s"$root/bench_sparse"), "text",
+        n = 3, broadcastBench = false)),
+      "decontam_big_bloom" -> (() => graft.functions.Dedup.contaminationScoresBloom(
+        spark.read.parquet(s"$root/docs_stress100"), "doc_id", "text",
+        spark.read.parquet(s"$root/bench_sparse"), "text",
+        n = 3, fpp = 0.01)))
 
     // optional arg: substring filter over arm names (comma-separated),
     // for iterating on one knob without re-measuring the whole suite

@@ -654,7 +654,18 @@ object Dedup {
     *
     * `expectedItems <= 0` counts the bench shingle set first (one extra
     * pass over the SMALL side) to size the filter; pass a known count to
-    * skip it. */
+    * skip it.
+    *
+    * MEASURED regime (StressBench decontam arms, local[32], sparse
+    * 5k-doc bench, median of 5): the bloom path pays two bench passes +
+    * the scan probe as FIXED cost, so it loses while the corpus shingle
+    * shuffle is cheap — 10M-row stream: SMJ 1.04 s vs bloom 1.23 s
+    * (and at DENSE overlap, where the filter can't thin the stream,
+    * bloom loses outright: 1.08 vs 1.64 s) — and wins once the stream
+    * dominates: 100M-row stream, same bench: SMJ 3.74 s vs bloom
+    * 2.14 s (1.75×). At 100 TB the corpus term is ~10⁶× the bench term,
+    * deep inside the bloom regime; use [[contaminationScores]] when the
+    * bench side broadcasts exactly or the corpus is small. */
   def contaminationScoresBloom(df: DataFrame, idCol: String, textCol: String,
                                bench: DataFrame, benchTextCol: String,
                                n: Int, fpp: Double = 0.01,
