@@ -370,6 +370,31 @@ private[graft] object Batch10 {
              |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
              |  FROM scored)
              |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // HyperLogLog approximate distinct under the oracle (round 11) — the
+    // q43 estimator-gate pattern: no engine can recompute another's HLL
+    // registers, but any engine can check the estimate's ERROR CONTRACT
+    // against the exact answer. The query emits the exact per-group
+    // distinct count plus an in-query flag asserting the HLL++ estimate
+    // (rsd=0.02) landed within 4·rsd of it; the oracle recomputes the
+    // exact count and asserts the flag is 1. Green certifies the
+    // register-merge pipeline's estimate honors its contract on real
+    // grouped data — the 100 TB distinct-count shape (fixed 2^p buffer
+    // per group, map-side combine, no shuffle of distinct values).
+    Q("q128_approx_distinct",
+      (s, dir) => {
+        val est = graft.functions.Sketches.approxDistinct(col("user_id"), rsd = 0.02)
+          .cast("double")
+        val exact = count_distinct(col("user_id")).cast("double")
+        Tables.events(s, dir).groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("n_exact"),
+            (abs(est - exact) <= exact * 0.08).cast("long").as("within_bound"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+             |  CAST(1 AS BIGINT) AS within_bound, COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

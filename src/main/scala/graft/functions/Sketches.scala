@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{col, count, expr, greatest, isnan, least, lit, max, min, sum, udaf, when}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, expr, greatest, isnan, least, lit, max, min, sum, udaf, when}
 
 /** OnlineStats-style mergeable aggregators (reference §2.4: `Mean`,
   * `Variance`, `Extrema`, `CountMap`, `Hist`, `KHist`; copy-per-chunk +
@@ -43,6 +43,22 @@ object Sketches {
     def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
     def outputEncoder: Encoder[MomentsOut] = Encoders.product[MomentsOut]
   }
+
+  /** Approximate distinct count (OnlineStats `HyperLogLog`; reference
+    * integration surface `src/JuliaDB.jl` reduce/groupreduce over
+    * OnlineStats objects): Spark's native HLL++ aggregate
+    * (`approx_count_distinct`), which IS the 100 TB shape — a fixed
+    * 2^p-register buffer per group, order-independent register-max merge
+    * (deterministic under any partitioning — spec'd by partition sweep),
+    * map-side partial aggregation, no shuffle of distinct values. `rsd`
+    * is the target relative standard deviation (Spark sizes p from it).
+    * Like the KHist quantile gate (q43), the estimator is oracle-gated
+    * by its ERROR CONTRACT: q128 emits exact distinct + an in-query
+    * within-bound flag the SQL oracle asserts is 1 — no engine can
+    * recompute another engine's HLL registers, but any engine can check
+    * the estimate's contract against the exact answer. */
+  def approxDistinct(c: Column, rsd: Double = 0.02): Column =
+    approx_count_distinct(c, rsd)
 
   /** Fixed-range histogram (OnlineStats `Hist`): `nbins` equal bins over
     * [lo, hi); out-of-range clamps to edge bins; NaN inputs are skipped

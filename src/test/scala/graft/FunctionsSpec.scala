@@ -1150,6 +1150,22 @@ class FunctionsSpec extends SparkSpec {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("approxDistinct (HLL++): partition-invariant estimate within 4·rsd of exact") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(count_distinct(col("user_id"))).head().getLong(0)
+    // register-max merge is order/partitioning-independent: the estimate
+    // must be IDENTICAL at every partitioning (the OnlineStats
+    // copy-per-chunk + merge contract, like the other sketches)
+    val ests = (1 to 5).map { n =>
+      ev.repartition(n).select(
+        graft.functions.Sketches.approxDistinct(col("user_id"), rsd = 0.02))
+        .head().getLong(0)
+    }
+    assert(ests.distinct.size == 1, s"estimate moved with partitioning: $ests")
+    val err = math.abs(ests.head.toDouble - exact) / exact
+    assert(err <= 0.08, s"HLL err $err > 4·rsd (exact $exact, est ${ests.head})")
+  }
+
   test("contaminationScoresBloom == contaminationScores (verify kills FPs, even at fpp 0.5); native probe in plan") {
     val d = Tables.documents(spark, sf)
     val bench = d.filter(pmod(col("doc_id"), lit(20L)) === 0)
