@@ -97,7 +97,12 @@ object Dedup {
     * [[minhashLSH]]'s signature table
     * qualifies — k hashes per token make the signature pass the
     * operator's dominant cost, and sharing it measured 58.6 → 47.7 s
-    * under the stress harness arms (disjoint bands). Everywhere else the same change measured
+    * under the stress harness arms (disjoint bands). Round-11 re-measure
+    * on the REGENERATED stress corpus: parity (shared 47.8 [41.4, 52.6]
+    * vs recompute 48.4 [43.9, 60.5], overlapping bands) — the win's size
+    * tracks how much the k-hash pass dominates for the corpus's text
+    * distribution; sharing keeps the tighter band and never measured
+    * slower here, so it stays the default. Everywhere else the same change measured
     * SLOWER and was reverted: simhash's one-pass signature is cheaper to
     * recompute inside whole-stage codegen than to round-trip through the
     * cache layer (12.5 → 14.3 s), and the exploded inverted indexes
