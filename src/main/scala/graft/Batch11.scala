@@ -1,0 +1,98 @@
+package graft
+
+import graft.SparkEntry.Q
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 11 (round 11): sessionization — the event-log
+  * operator family — batch (single-shuffle window composition) and
+  * streaming (native session_window with cross-batch session merge), both
+  * under one gap-sessionization oracle.
+  */
+private[graft] object Batch11 {
+
+  private val GapUs = 12L * 3600L * 1000000L // 12 h — fixture median inter-event gap is ~7.7 h, so sessions are multi-event but plural per user
+
+  /** Gap-sessionization oracle: boundary lag → running-sum session index →
+    * per-session stats. Shared verbatim by q129 (batch) and q130
+    * (streaming) — the streaming result must be row-identical to batch. */
+  private val SessionSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      |b AS (SELECT user_id, ts_us, value,
+      |    CASE WHEN LAG(ts_us) OVER w IS NULL
+      |         OR ts_us - LAG(ts_us) OVER w >= 43200000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |s AS (SELECT user_id, ts_us, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM b)
+      |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Batch gap-sessionization under the oracle: Sessions.sessionStats —
+    // boundary lag + ROWS running-sum index + per-session aggregate, all
+    // clustered by a subset of (user_id, session_idx) so EnsureRequirements
+    // inserts exactly ONE hash Exchange (the 100 TB plan: shuffle once by
+    // key, then partition-local sorts; a hot key spills through the
+    // out-of-core sort, not OOM — see Sessions scaladoc). The sum rides
+    // the decimal discipline so the emitted value is order-independent.
+    Q("q129_sessionize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+        graft.operators.Sessions.sessionStats(ev, Seq("user_id"), "ts_us", GapUs,
+            "n_events" -> count(lit(1)),
+            "sum_value" -> sum(col("value").cast("decimal(18,4)")).cast("double"))
+          .withColumnRenamed("session_start", "session_start_us")
+          .withColumnRenamed("session_end", "session_end_us")
+          .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+          .orderBy("user_id", "session_start_us")
+      },
+      Some(SessionSql)),
+
+    // STREAMING sessionization under the same oracle verbatim — Spark's
+    // native session_window, driven through a REAL two-micro-batch
+    // MemoryStream split at the fixture's ts median: sessions that span
+    // the split must MERGE in the state store across batches (the
+    // mechanism that makes streaming sessions correct at all), and the
+    // ts-ordered split makes the drive safe by construction — a session
+    // still continuable in batch semantics is necessarily still OPEN in
+    // stream semantics (its last event is within gap of the split, hence
+    // of the watermark), so nothing a batch engine would merge can be
+    // dropped as late. Batch 2 ends with one flush row 4 gaps past the
+    // fixture max (sentinel user -1): it advances the watermark so every
+    // real session closes and append mode emits it exactly once; the
+    // flush row's own session never closes and is never emitted. Green
+    // certifies cross-batch merge, watermark close, exactly-once emit,
+    // and the batch-equal (count AND decimal-exact sum) per session.
+    Q("q130_stream_sessions",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.streaming.Streams
+        val rows = Tables.events(s, dir)
+          .select(expr("ts div 1000").as("ts_us"), col("user_id"), col("value"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val split = rows(rows.length / 2)._1
+        val (b1, b2) = rows.partition(_._1 <= split)
+        require(b1.nonEmpty && b2.nonEmpty, "split must leave two non-empty batches")
+        val flush = (rows.map(_._1).max + 4 * GapUs, -1L, 0.0)
+        val ms = MemoryStream[(Long, Long, Double)](s)
+        val out = Streams.sessionAgg(ms.toDS().toDF("ts_us", "user_id", "value"),
+          watermark = "0 seconds", gap = "12 hours")
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q130_sink").start()
+        try {
+          ms.addData(b1.toSeq); q.processAllAvailable()
+          ms.addData(b2.toSeq :+ flush); q.processAllAvailable()
+        } finally q.stop()
+        s.table("q130_sink").orderBy("user_id", "session_start_us")
+      },
+      Some(SessionSql))
+  )
+}

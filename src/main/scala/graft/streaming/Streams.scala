@@ -44,6 +44,33 @@ object Streams {
       .select(unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked SESSION-window aggregation — gap-based sessionization as
+    * an always-on query, via Spark's native `session_window` (the batch
+    * twin is [[graft.operators.Sessions]]; semantics match: a gap ≥
+    * `gap` starts a new session). Input shape: (ts_us long, user_id long,
+    * value double). Emits one row per closed session with its first/last
+    * event time and decimal-exact value sum.
+    *
+    * Scale notes: session state is per (key, open-session) and MERGEABLE —
+    * Spark's state store merges sessions across micro-batches when a new
+    * event bridges two open windows — and the watermark closes sessions
+    * (end + gap < watermark) so state stays bounded on an unbounded
+    * stream. `session_end_us` is read off as max(event time), not
+    * `session_window.end` (which is last + gap), so the emitted row equals
+    * the batch sessionStats row exactly — that identity is the q130 gate. */
+  def sessionAgg(events: DataFrame, watermark: String = "10 minutes",
+                 gap: String = "12 hours"): DataFrame =
+    events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(session_window(col("tstamp"), gap), col("user_id"))
+      .agg(max(unix_micros(col("tstamp"))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("session_end_us"), col("n_events"), col("sum_value"))
+
   /** Streaming running aggregate per key — the OnlineStats `reduce`
     * pattern as an always-on query (complete/update mode). */
   def runningStats(events: DataFrame): DataFrame =

@@ -599,6 +599,71 @@ class CoreSpec extends SparkSpec {
     assert(nd.lookup(3L).collect().map(_.getDouble(0)).toSeq == Seq(30.0))
   }
 
+  test("sessionize golden: gap ≥ threshold opens, ties share, keys independent") {
+    import graft.operators.Sessions
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 9L, 3.0), // gaps 5, 4 < 10 → one session
+      (1L, 19L, 4.0), // gap 10 ≥ 10 → new session (session_window semantics)
+      (1L, 19L, 5.0), // tied ts → same session regardless of tie order
+      (2L, 9L, 6.0)) // other key: independent; ts collision with key 1 irrelevant
+      .toDF("k", "t", "v")
+    val out = Sessions.sessionStats(df, Seq("k"), "t", gapUs = 10L,
+        "n" -> count(lit(1)), "sv" -> sum(col("v")))
+      .orderBy("k", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 0L, 9L, 3L, 6.0), (1L, 19L, 19L, 2L, 9.0), (2L, 9L, 9L, 1L, 6.0)))
+  }
+
+  test("sessionStats == sequential walk model on events (partition sweep)") {
+    import graft.operators.Sessions
+    val gap = 12L * 3600L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    // model: per-user sorted walk, split where the gap reaches the threshold
+    val model = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+          if (e._2 - acc.last.last._2 >= gap) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+        }
+        sessions.map(ss => (u, ss.head._2, ss.last._2, ss.length.toLong,
+          math.rint(ss.map(_._3).sum * 1e4) / 1e4))
+      }.sortBy(s => (s._1, s._2))
+    partitionSweep { n =>
+      Sessions.sessionStats(ev.repartition(n), Seq("user_id"), "ts_us", gap,
+          "n" -> count(lit(1)),
+          "sv" -> sum(col("value").cast("decimal(18,4)")).cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSeq.sortBy(s => (s._1, s._2))
+    }
+    val got = Sessions.sessionStats(ev, Seq("user_id"), "ts_us", gap,
+        "n" -> count(lit(1)),
+        "sv" -> sum(col("value").cast("decimal(18,4)")).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sortBy(s => (s._1, s._2))
+    assert(got.map(s => (s._1, s._2, s._3, s._4)) == model.map(s => (s._1, s._2, s._3, s._4)))
+    got.zip(model).foreach { case (g, m) =>
+      assert(math.abs(g._5 - m._5) < 1e-9, s"sum_value diverged: $g vs $m") }
+  }
+
+  test("sessionStats plan: ONE exchange — windows and final agg reuse the key hash") {
+    import graft.operators.Sessions
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    val out = Sessions.sessionStats(ev, Seq("user_id"), "ts_us",
+      12L * 3600L * 1000000L, "n" -> count(lit(1)))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 1,
+      s"boundary window, session-start window and per-session agg should share one hash exchange, got $exchanges:\n$plan")
+  }
+
   test("broadcastOp keeps B-only dims (reference join.jl:286-322)") {
     val a = NDSparse(Seq((1L, 10.0), (2L, 20.0)).toDF("x", "va"), Seq("x"), Seq("va"))
     val b = NDSparse(Seq((1L, "p", 1.0), (1L, "q", 2.0), (2L, "p", 3.0))

@@ -411,6 +411,33 @@ class IOStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionAgg: session MERGES across micro-batches, watermark closes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val h = 3600L * 1000000L // 1 h in µs; gap = 12 h
+    val ms = MemoryStream[(Long, Long, Double)](spark)
+    val out = Streams.sessionAgg(ms.toDS().toDF("ts_us", "user_id", "value"),
+      watermark = "0 seconds", gap = "12 hours")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_test").start()
+    try {
+      // batch 1: user 1 session open (0 h, 6 h); user 2 singleton at 1 h
+      ms.addData(Seq((0L, 1L, 1.0), (6 * h, 1L, 2.0), (1 * h, 2L, 5.0)))
+      q.processAllAvailable()
+      // batch 2: 10 h is within 12 h of 6 h → must MERGE into the open
+      // session in the state store (not start a new one); flush at +4 gaps
+      // advances the watermark so both real sessions close and emit
+      ms.addData(Seq((10 * h, 1L, 4.0), (10 * h + 48 * h, -1L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions_test").orderBy("user_id", "session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(rows == Seq(
+      (1L, 0L, 10 * h, 3L, 7.0),
+      (2L, 1 * h, 1 * h, 1L, 5.0)))
+  }
+
   test("streamingDedup emits first occurrence per key only") {
     val dir = Files.createTempDirectory("graft_dedup").toFile.getPath
     Seq(Streams.Keyed("a", 1L), Streams.Keyed("a", 2L), Streams.Keyed("b", 3L))
