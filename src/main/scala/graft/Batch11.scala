@@ -31,6 +31,36 @@ private[graft] object Batch11 {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Per-dir range-layout copy of events (q131) — built once per JVM,
+    * IvfSq8Index's caching pattern: the write is the one-time layout cost
+    * the operator exists to amortize; the measured query is the read. */
+  private object SortedEvents {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def forDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files.createTempDirectory("graft-evsorted-")
+          .toAbsolutePath.toString + "/events_sorted"
+        graft.sources.IO.saveSorted(Tables.events(s, dir), path,
+          numFiles = 8, sortCols = Seq("ts"))
+        path
+      })
+  }
+
+  /** Per-dir hive day-partitioned copy of events (q132). */
+  private object HiveEvents {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def forDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files.createTempDirectory("graft-evhive-")
+          .toAbsolutePath.toString + "/events_by_day"
+        graft.sources.IO.savePartitioned(
+          Tables.events(s, dir).withColumn("day",
+            to_date(timestamp_micros(expr("ts div 1000")))),
+          path, partCols = Seq("day"), sortCols = Seq("ts"))
+        path
+      })
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Batch gap-sessionization under the oracle: Sessions.sessionStats —
@@ -93,6 +123,62 @@ private[graft] object Batch11 {
         } finally q.stop()
         s.table("q130_sink").orderBy("user_id", "session_start_us")
       },
-      Some(SessionSql))
+      Some(SessionSql)),
+
+    // Range-layout scan under the oracle: a 1-day window aggregate read
+    // THROUGH an IO.saveSorted copy of events (range-partitioned by ts,
+    // sorted within files). The result must equal the same aggregate over
+    // the original table — green certifies the layout round-trip (no row
+    // lost/duplicated/reordered into the wrong file by repartitionByRange
+    // + partition-local sort) and the pushed range predicate's bounds.
+    // The SCALE story — the sorted copy's scan reads ~1/30th of the rows
+    // the unsorted one does — is pinned by scan-node metrics in
+    // IOStreamsSpec and measured at 10M rows by the StressBench
+    // scan_sorted/scan_unsorted arms; a hash gate can only see values.
+    Q("q131_sorted_scan",
+      (s, dir) => {
+        // 2024-01-15 UTC, [00:00, 24:00) in ns — ~3.3% of the 30-day span
+        val loNs = 1705276800000000L * 1000L
+        val hiNs = 1705363200000000L * 1000L
+        val sorted = s.read.parquet(SortedEvents.forDir(s, dir))
+        sorted.filter(col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE epoch_us(ts) >= 1705276800000000 AND epoch_us(ts) < 1705363200000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HIVE day-partition layout under the oracle — q131's sibling for the
+    // strongest skip lever: IO.savePartitioned writes events as
+    // day=YYYY-MM-DD directories (ts-sorted within), and the day
+    // predicate prunes STATICALLY — non-matching directories are never
+    // listed, no footer opened, no row decoded (the IOStreamsSpec
+    // partition-pruning assert pins the mechanism; the StressBench hive
+    // arms measure it at 100M rows). Same oracle as q131 VERBATIM: the
+    // day dir + in-day ts range must reproduce the plain table's answer
+    // exactly — green certifies the partition derivation (UTC day from
+    // int64 ns), the dynamic-partition write, and the pruned read.
+    Q("q132_hive_scan",
+      (s, dir) => {
+        val loNs = 1705276800000000L * 1000L
+        val hiNs = 1705363200000000L * 1000L
+        val hive = s.read.parquet(HiveEvents.forDir(s, dir))
+        hive.filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")) &&
+            col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE epoch_us(ts) >= 1705276800000000 AND epoch_us(ts) < 1705363200000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

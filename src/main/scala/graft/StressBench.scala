@@ -50,6 +50,35 @@ object StressBench {
       ids = Seq.empty, pointCol = "p", loCol = "lo", hiCol = "hi",
       bucketWidth = width)
 
+  /** Data-skipping arm: 1-day ts-window aggregate; the layout under `dir`
+    * is the ONLY variable between paired arms. `wide = true` additionally
+    * aggregates over the fat `props` JSON string — the realistic
+    * document-table shape, where the un-skipped scan must DECODE the
+    * payload column of every row its row-group stats failed to exclude
+    * (column pruning protects the narrow arms from that cost, job fixed
+    * overhead ~0.45 s floors both, and 32 warm cores decode 100M narrow
+    * rows inside that floor — so only the wide shape can show the knob
+    * in local wall-time; the narrow pair is kept as the recorded
+    * overhead-bound negative result). */
+  private def scanArm(spark: SparkSession, dir: String, wide: Boolean = false,
+                      hive: Boolean = false): DataFrame = {
+    val loNs = 1705276800000000L * 1000L // 2024-01-15 UTC
+    val hiNs = 1705363200000000L * 1000L
+    val read = spark.read.parquet(dir)
+    val filtered =
+      if (hive) read.filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")) &&
+        col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
+      else read.filter(col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
+    val base = filtered.groupBy("event_type")
+    if (wide)
+      base.agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(length(col("props"))).as("max_props"))
+    else
+      base.agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
   /** The two groupjoin payload arms share this input split: per-user
     * purchase summaries grouped-join clicks by user_id, on the hot-user
     * event fixture. The left side is pre-aggregated to ONE row per user
@@ -138,6 +167,52 @@ object StressBench {
             .otherwise(col("user_id") + 1).as("user_id"),
           (col("ts") + col("rep")).as("ts"), col("event_type"), col("value"))
       stressEv.repartition(32).write.mode("overwrite").parquet(s"$root/events_stress")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("events_sorted_stress/_SUCCESS"))) {
+      // range-layout copy of events_stress (same 10M rows, same 32-file
+      // count): the scan_sorted/scan_unsorted contrast is then purely the
+      // LAYOUT — events_stress's round-robin files each span the whole
+      // 30-day range (row-group stats exclude nothing), the sorted copy's
+      // files each own ~1/32nd of it. Side effect worth its own note:
+      // the sorted copy is 81 MB vs the control's 164 MB — identical
+      // rows, 2× compression, because clustering makes ts delta-encode
+      // and the other columns' dictionaries local.
+      graft.sources.IO.saveSorted(spark.read.parquet(s"$root/events_stress"),
+        s"$root/events_sorted_stress", numFiles = 32, sortCols = Seq("ts"))
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("events_stress100/_SUCCESS"))) {
+      // 100M-row pair for the DECODE-BOUND regime: at 10M cache-warm rows
+      // the whole scan hides under job fixed costs, so the layout contrast
+      // measures nothing (recorded as the negative arm). At 100M the
+      // unsorted scan must decode ~3.1M rows per task on 32 cores while
+      // the sorted copy's window decodes ~3.3M rows TOTAL. Both copies
+      // get the SAME 32-file count so the pair differs in layout alone
+      // (a 256-file sorted variant was measured and rejected: 256 cold
+      // footer opens cost as much as the control's whole 1.8 GB
+      // sequential read on local NVMe, hiding the skip win behind
+      // metadata latency — the small-files tax, itself a scale lesson).
+      val ev100 = Tables.events(spark, sfDir)
+      val reps1k = explode(sequence(lit(0), lit(999))).as("rep")
+      val big = ev100.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"), col("props"), reps1k)
+        .select((col("event_id") * 1000 + col("rep")).as("event_id"),
+          col("user_id"), (col("ts") + col("rep")).as("ts"),
+          col("event_type"), col("value"), col("props"))
+      big.repartition(32).write.mode("overwrite").parquet(s"$root/events_stress100")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("events_sorted_stress100/_SUCCESS"))) {
+      graft.sources.IO.saveSorted(spark.read.parquet(s"$root/events_stress100"),
+        s"$root/events_sorted_stress100", numFiles = 32, sortCols = Seq("ts"))
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("events_hive_stress100/_SUCCESS"))) {
+      // the production layout: day=YYYY-MM-DD directories, ts-sorted
+      // within — the day predicate prunes directories STATICALLY (no
+      // listing, no footers, no decode outside the day)
+      graft.sources.IO.savePartitioned(
+        spark.read.parquet(s"$root/events_stress100").withColumn("day",
+          to_date(timestamp_micros(expr("ts div 1000")))),
+        s"$root/events_hive_stress100", partCols = Seq("day"), sortCols = Seq("ts"),
+        filesPerPartition = 16)
     }
     if (!java.nio.file.Files.exists(fs.resolve("range_points_stress/_SUCCESS"))) {
       // rangeJoin hot-BUCKET fixture: 10M points over a 30-day ns span,
@@ -366,23 +441,65 @@ object StressBench {
       "decontam_big_bloom" -> (() => graft.functions.Dedup.contaminationScoresBloom(
         spark.read.parquet(s"$root/docs_stress100"), "doc_id", "text",
         spark.read.parquet(s"$root/bench_sparse"), "text",
-        n = 3, fpp = 0.01)))
+        n = 3, fpp = 0.01)),
+      // range-layout data skipping (round 11): a 1-day window aggregate
+      // (~3.3% of the 30-day span, ~330k of 10M rows) over the SAME data
+      // in two layouts — IO.saveSorted's ts-range files vs the
+      // round-robin control. Both are 32 files; the only variable is
+      // whether parquet row-group stats can exclude anything. This is
+      // the scan-side analog of the bucketing arms: the sort is paid
+      // once at write, every window query after it reads ~selectivity
+      // instead of the corpus.
+      "scan_sorted" -> (() => scanArm(spark, s"$root/events_sorted_stress")),
+      "scan_unsorted" -> (() => scanArm(spark, s"$root/events_stress")),
+      // the 100M-row pair, warm cache: RECORDED NEGATIVE RESULT — the
+      // scan metrics show 3.32M vs 100M rows decoded (30×), but 32 warm
+      // cores decode 100M narrow rows inside the ~0.6 s job floor, so
+      // wall-time cannot see the layout. The regime where it can is the
+      // cold/IO-bound one below.
+      "scan100_sorted" -> (() => scanArm(spark, s"$root/events_sorted_stress100", wide = true)),
+      "scan100_unsorted" -> (() => scanArm(spark, s"$root/events_stress100", wide = true)),
+      "scan100_hive" -> (() => scanArm(spark, s"$root/events_hive_stress100",
+        wide = true, hive = true)))
+
+    // Cold-cache arms: page cache dropped before EVERY iteration
+    // (warmup included), making the scan IO-bound — the local analog of
+    // the 100 TB regime, where the table does not fit any cache and the
+    // bill is bytes read from storage. Here the layout is the whole
+    // game: the sorted copy reads the 1-2 files owning the window range
+    // (~60 MB) against the control's full 1.8 GB.
+    val coldCases: Seq[(String, () => DataFrame)] = Seq(
+      "scan100cold_sorted" -> (() => scanArm(spark, s"$root/events_sorted_stress100", wide = true)),
+      "scan100cold_unsorted" -> (() => scanArm(spark, s"$root/events_stress100", wide = true)),
+      "scan100cold_hive" -> (() => scanArm(spark, s"$root/events_hive_stress100",
+        wide = true, hive = true)))
 
     // optional arg: substring filter over arm names (comma-separated),
     // for iterating on one knob without re-measuring the whole suite
+    val allCases: Seq[(String, () => DataFrame, Boolean)] =
+      cases.map { case (n, mk) => (n, mk, false) } ++
+        coldCases.map { case (n, mk) => (n, mk, true) }
     val selected = args.headOption match {
       case Some(f) =>
         val subs = f.split(",").map(_.trim).filter(_.nonEmpty)
-        cases.filter { case (n, _) => subs.exists(n.contains) }
-      case None => cases
+        allCases.filter { case (n, _, _) => subs.exists(n.contains) }
+      case None => allCases
     }
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val results = selected.map { case (name, mk) =>
-      run(mk()) // warmup, excluded
+    def dropPageCache(): Unit = {
+      val rc = new ProcessBuilder("sh", "-c",
+        "sync; echo 3 > /proc/sys/vm/drop_caches").start().waitFor()
+      if (rc != 0) System.err.println(
+        s"[stress] drop_caches failed (rc=$rc) — cold arms are measuring WARM cache")
+    }
+    val results = selected.map { case (name, mk, cold) =>
+      if (cold) dropPageCache()
+      run(mk()) // warmup, excluded (for cold arms: JIT/plan warm, cache still dropped per iter)
       val times = (1 to iters).map { _ =>
+        if (cold) dropPageCache()
         val t0 = System.nanoTime(); run(mk()); (System.nanoTime() - t0) / 1e9
       }.sorted
       val med = if (times.length % 2 == 1) times(times.length / 2)

@@ -196,6 +196,74 @@ object IO {
   def load(spark: SparkSession, dir: String, pkey: Seq[String] = Nil): JTable =
     JTable(spark.read.parquet(dir), pkey)
 
+  /** Persist with a RANGE layout on `sortCols`: repartitionByRange (each
+    * file owns a disjoint key range) + a partition-local sort (tight
+    * parquet row-group/page min/max stats) + plain parquet. This is the
+    * reference's sorted-chunk layout (`src/io.jl:167-236` — chunks carry
+    * an IndexSpace and lookups prune whole chunks) re-expressed as
+    * Spark's DATA-SKIPPING lever: a range predicate on `sortCols` is
+    * pushed into the parquet reader, whose row-group stats now exclude
+    * every group outside the range — the scan reads ~selectivity×data
+    * instead of all of it. At 100 TB this is THE difference between a
+    * time-window query costing a full-corpus scan and costing only the
+    * window (the sort is paid once at write; StressBench's
+    * scan_sorted/scan_unsorted arms measure the read-side contrast, and
+    * IOStreamsSpec pins the mechanism via scan-node output-row metrics).
+    * Complements [[saveBucketed]]: bucketing kills the JOIN shuffle for
+    * equality keys, the range layout kills the SCAN for range keys. */
+  def saveSorted(df: org.apache.spark.sql.DataFrame, dir: String,
+                 numFiles: Int, sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Persist with a HIVE partition layout: `partCols` become directory
+    * keys (`dir/col=value/...`), optional `sortCols` sort rows within
+    * each partition's files. Queries filtering on `partCols` prune
+    * STATICALLY — matching directories are the only thing even LISTED;
+    * no footer is opened, no row decoded outside them — which is the
+    * strongest of the three skip levers and the canonical events-table
+    * layout at 100 TB (partition by day, sort by ts within; saveSorted's
+    * row-group stats then serve sub-partition ranges). The repartition
+    * on `partCols` gives one writer task per partition value — without
+    * it every input task writes a file into every partition directory
+    * (the small-files explosion, measured as the 256-footer cold-read
+    * tax in StressBench's scan arms).
+    *
+    * Keep partition values low-cardinality and coarse (a DAY of events,
+    * not a user id): each value is a directory, and a 100 TB table with
+    * millions of tiny partitions moves the cost into the metadata
+    * listing instead of the scan. */
+  def savePartitioned(df: org.apache.spark.sql.DataFrame, dir: String,
+                      partCols: Seq[String], sortCols: Seq[String] = Nil,
+                      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(filesPerPartition >= 1, s"filesPerPartition must be ≥ 1, got $filesPerPartition")
+    // filesPerPartition > 1 splits each partition VALUE across that many
+    // files via a deterministic salt hashed from the sort key — a window
+    // query inside one partition then parallelizes across that many
+    // tasks instead of funneling into one (measured: the 1-file-per-day
+    // hive arm decodes its whole window in a single task, losing to a
+    // full unsorted scan's 32-way spread on local wall-time). Each file
+    // still ts-sorts internally, so row-group stats keep serving
+    // sub-partition ranges.
+    val (salted, reKeys) =
+      if (filesPerPartition == 1) (df, partCols)
+      else {
+        require(sortCols.nonEmpty,
+          "filesPerPartition > 1 derives the file salt from sortCols — provide at least one")
+        (df.withColumn("__file_salt",
+          pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))),
+          partCols :+ "__file_salt")
+      }
+    salted.repartition(reKeys.map(col): _*)
+      .sortWithinPartitions((reKeys ++ sortCols).map(col): _*)
+      .drop("__file_salt")
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
+  }
+
   /** Persist with the pkey baked into the physical layout: bucketed +
     * sorted by the pkey. This is the cluster-scale form of the reference's
     * saved sorted chunks (`src/io.jl:167-236`) — every later join/groupBy

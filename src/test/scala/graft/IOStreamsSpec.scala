@@ -3,6 +3,7 @@ package graft
 import graft.core.JTable
 import graft.sources.IO
 import graft.streaming.Streams
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -409,6 +410,87 @@ class IOStreamsSpec extends SparkSpec {
       // normalized-content dup of 1; 4 is distinct content
       assert(ids == Seq(1L, 4L), s"got $ids")
     } finally q.stop()
+  }
+
+  /** (rows emitted by the parquet scans, files read) of an ALREADY
+    * EXECUTED df — recursing through AQE roots and materialized query
+    * stages, which collectLeaves treats as leaves. */
+  private def scanMetrics(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f }
+    (scans.map(_.metrics("numOutputRows").value).sum,
+      scans.map(_.metrics("numFiles").value).sum)
+  }
+
+  test("saveSorted: range predicate SKIPS row groups (scan metrics), unsorted reads all") {
+    import graft.sources.IO
+    val ev = Tables.events(spark, sf) // 1000 rows, ts spans 30 days of ns
+    val total = ev.count()
+    val base = Files.createTempDirectory("graft_sorted").toFile.getPath
+    IO.saveSorted(ev, s"$base/sorted", numFiles = 8, sortCols = Seq("ts"))
+    // unsorted control: same data, same file count, round-robin layout —
+    // every file spans the whole ts range, so its stats exclude nothing
+    ev.repartition(8).write.mode("overwrite").parquet(s"$base/unsorted")
+    val loNs = 1705276800000000L * 1000L // 2024-01-15 UTC, 1-day window
+    val hiNs = 1705363200000000L * 1000L
+    def scannedRows(dir: String): (Long, Seq[Row]) = {
+      val df = spark.read.parquet(dir)
+        .filter(col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+        .orderBy("event_type")
+      val rows = df.collect().toSeq
+      (scanMetrics(df)._1, rows)
+    }
+    val (sortedScan, sortedRows) = scannedRows(s"$base/sorted")
+    val (unsortedScan, unsortedRows) = scannedRows(s"$base/unsorted")
+    assert(sortedRows == unsortedRows, "layout changed query results")
+    assert(sortedRows.nonEmpty, "window must hit rows for the test to mean anything")
+    // unsorted: every file's row group overlaps the window → reader emits
+    // everything; sorted: only the 1-2 files owning the window's range
+    assert(unsortedScan == total, s"control should read all $total rows, read $unsortedScan")
+    assert(sortedScan <= total / 4,
+      s"sorted layout should skip most row groups: scanned $sortedScan of $total")
+  }
+
+  test("savePartitioned: day predicate prunes directories STATICALLY; roundtrip exact") {
+    import graft.sources.IO
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    val base = Files.createTempDirectory("graft_hive").toFile.getPath
+    IO.savePartitioned(ev.drop("day").withColumn("day",
+        to_date(timestamp_micros(expr("ts div 1000")))),
+      s"$base/by_day", partCols = Seq("day"), sortCols = Seq("ts"))
+    val day = java.sql.Date.valueOf("2024-01-15")
+    val dayRows = ev.filter(col("day") === lit(day)).count()
+    assert(dayRows > 0 && dayRows < ev.count(), "fixture must spread across days")
+    // roundtrip: the day's rows through the hive layout == through the table
+    val hive = spark.read.parquet(s"$base/by_day").filter(col("day") === lit(day))
+      .select(col("event_id"), col("ts"), col("value"))
+    val direct = ev.filter(col("day") === lit(day))
+      .select(col("event_id"), col("ts"), col("value"))
+    assert(hive.collect().sortBy(_.getLong(0)).toSeq ==
+      direct.collect().sortBy(_.getLong(0)).toSeq)
+    // pruning is STATIC: the plan carries the day as a PartitionFilter and
+    // the executed scan touches only that day's rows/files
+    val agg = spark.read.parquet(s"$base/by_day").filter(col("day") === lit(day))
+      .agg(count(lit(1))).toDF("n")
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"day predicate should be a partition filter:\n$plan")
+    val (scanned, files) = scanMetrics(agg)
+    assert(scanned == dayRows, s"scan should emit only the day's $dayRows rows, got $scanned")
+    val nDays = ev.select("day").distinct().count()
+    assert(files < nDays, s"should read fewer files ($files) than partition dirs ($nDays)")
   }
 
   test("streaming sessionAgg: session MERGES across micro-batches, watermark closes") {
