@@ -179,6 +179,63 @@ private[graft] object Batch11 {
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM events
              |WHERE epoch_us(ts) >= 1705276800000000 AND epoch_us(ts) < 1705363200000000
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Product-quantization ANN under the oracle — the q119 pattern applied
+    // to PQ: the gate pins the MACHINERY (subspace L2-argmin encode with
+    // lowest-index ties, reconstructed norms, per-query ADC lookup tables,
+    // m-lookup scoring, ranking) with every quantity EXACT by
+    // construction, so the DuckDB oracle re-derives the entire pipeline:
+    // vectors are floored to integer grids (floor(v·512) — ·2^9 is an
+    // exponent shift, floor exact in both engines) and the codebook is a
+    // closed-form integer lattice, making all distances/dots exact
+    // integer sums (order-independent in ANY engine) and cos one shared
+    // double rounding. Codebook QUALITY is deliberately out of the gate —
+    // k-means luck on regenerating fixtures is what broke round 10 — and
+    // lives in FunctionsSpec instead (trained recall floor, centroid-
+    // fixpoint roundtrip, rerank == exact under full coverage).
+    Q("q133_ann_pq",
+      (s, dir) => {
+        import graft.functions.Similarity
+        val wcol = transform(col("embedding"),
+          x => floor(x.cast("double") * lit(512.0)).cast("double"))
+        val wdf = Tables.embeddings(s, dir).select(col("vec_id"), wcol.as("wvec"))
+        val model = Similarity.PqModel(subDim = 8,
+          Array.tabulate(8, 16, 8)((j, i, t) =>
+            (((i * 31 + t * 7 + j * 13) % 17) - 8).toDouble * 16.0))
+        Similarity.pqTopK(wdf, wdf.filter(col("vec_id") < 5),
+            "vec_id", "wvec", model, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH w AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    FLOOR(CAST(unnest(embedding) AS DOUBLE) * 512) AS v FROM embeddings),
+             |cb AS (SELECT gj.j, gi.i, gt.t,
+             |    CAST(((gi.i*31 + gt.t*7 + gj.j*13) % 17 - 8) * 16 AS DOUBLE) AS cv
+             |  FROM generate_series(0, 7) AS gj(j), generate_series(0, 15) AS gi(i),
+             |       generate_series(0, 7) AS gt(t)),
+             |d AS (SELECT w.id, cb.j, cb.i, SUM((w.v - cb.cv) * (w.v - cb.cv)) AS d2
+             |  FROM w JOIN cb ON cb.j = w.pos // 8 AND cb.t = w.pos % 8
+             |  GROUP BY 1, 2, 3),
+             |codes AS (SELECT id, j, i AS code FROM (
+             |    SELECT id, j, i, ROW_NUMBER() OVER (PARTITION BY id, j
+             |      ORDER BY d2 ASC, i ASC) AS rn FROM d) WHERE rn = 1),
+             |cn AS (SELECT codes.id, sqrt(SUM(cv * cv)) AS cnorm
+             |  FROM codes JOIN cb ON cb.j = codes.j AND cb.i = codes.code GROUP BY 1),
+             |qn AS (SELECT id, sqrt(SUM(v * v)) AS qnrm FROM w WHERE id < 5 GROUP BY 1),
+             |dots AS (SELECT q.id AS query_id, c.id AS id, SUM(q.v * cb.cv) AS dotpq
+             |  FROM w q
+             |  JOIN codes c ON c.j = q.pos // 8 AND c.id <> q.id
+             |  JOIN cb ON cb.j = c.j AND cb.i = c.code AND cb.t = q.pos % 8
+             |  WHERE q.id < 5 GROUP BY 1, 2),
+             |scored AS (SELECT dots.query_id, dots.id,
+             |    CAST(dotpq AS DOUBLE) / (qn.qnrm * cn.cnorm) AS cos
+             |  FROM dots JOIN qn ON qn.id = dots.query_id
+             |  JOIN cn ON cn.id = dots.id),
+             |ranked AS (SELECT query_id, id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin))
   )
 }

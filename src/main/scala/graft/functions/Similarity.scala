@@ -652,4 +652,151 @@ object Similarity {
       .withColumn("cn", nrm(col("cv")))
     rankProbed(c, q, k, excludeSelf, dotF)
   }
+
+  // ----------------------------------------------------------------- PQ ANN
+
+  /** Product-quantization codebook: `m` disjoint subspaces of `subDim`
+    * dims, each with its own k-means codebook — a vector becomes `m`
+    * small-int codes. Completes the compression family: SQ8 is 4× with
+    * per-dim grids; PQ at m=8, k=16 stores 64-dim float32 vectors in
+    * 8 nibble-codes (~64×; 4 B with a norm float) because it quantizes
+    * SUBVECTORS jointly instead of dims independently. Tiny by
+    * construction (m·k·subDim doubles) — rides broadcasts/literals. */
+  final case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dim: Int = m * subDim
+    /** ‖codebook[j][c]‖² — reconstructed corpus norms are
+      * sqrt(Σ_j norm2(j, code_j)) since subspaces are disjoint coords. */
+    lazy val centroidNorm2: Array[Array[Double]] =
+      codebooks.map(_.map(c => c.map(x => x * x).sum))
+  }
+
+  /** Train the PQ codebooks: EUCLIDEAN k-means per subspace (PQ minimizes
+    * reconstruction MSE — spherical k-means is the coarse ROUTING
+    * quantizer's job, see [[trainIvf]]). `m` small training jobs over one
+    * persisted slice projection; at 100 TB train on a sample
+    * (`sampleFraction`), like the IVF trainer. */
+  def trainPq(corpus: DataFrame, vecCol: String, m: Int, k: Int = 16,
+              seed: Long = 42L, maxIter: Int = 20,
+              sampleFraction: Double = 1.0): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base =
+      if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus
+    val dim = base.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val slices = base.select((0 until m).map(j =>
+      array_to_vector(slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim))
+        .as(s"s$j")): _*).persist()
+    try {
+      val cbs = (0 until m).map { j =>
+        new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+          .setFeaturesCol(s"s$j").fit(slices)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+      PqModel(subDim, cbs)
+    } finally { slices.unpersist(); () }
+  }
+
+  /** codes(vec): the m nearest-centroid indices, L2 per subspace (ties →
+    * lowest index: array_position returns the first minimum). Pure Column
+    * composition over the literal codebook — fixture-scale encode; the
+    * native-expression upgrade (the NearestCell pattern with an L2 bias
+    * term) is the known next step if PQ ever becomes the scale path —
+    * the measured scale path remains IVF×SQ8 (q125). */
+  def pqEncode(vec: Column, model: PqModel): Column = {
+    val v = vec.cast("array<double>")
+    array((0 until model.m).map { j =>
+      val sub = slice(v, j * model.subDim + 1, model.subDim)
+      val cb = typedLit(model.codebooks(j).map(_.toSeq).toSeq)
+      val dists = transform(cb, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, d) => a + d))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** The persistable PQ corpus: (id, codes array<int>[m], cnorm) — the
+    * reconstructed norm is precomputed at encode so ADC scoring never
+    * touches the codebook's vectors again. */
+  def pqEncodeTable(df: DataFrame, idCol: String, vecCol: String,
+                    model: PqModel): DataFrame = {
+    val nrm2 = typedLit(model.centroidNorm2.map(_.toSeq).toSeq)
+    df.select(col(idCol).as("id"), pqEncode(col(vecCol), model).as("codes"))
+      .withColumn("cnorm", sqrt(aggregate(
+        zip_with(col("codes"), nrm2, (c, t) => element_at(t, c + 1)),
+        lit(0.0), (a, v) => a + v)))
+  }
+
+  /** PQ cosine top-k via ADC (asymmetric distance computation): each query
+    * precomputes its m×k dot-product lookup table against the codebook
+    * driver-side (queries are driver-small by the ANN broadcast-query
+    * contract), and scoring a corpus vector is m table lookups — no
+    * decode, no per-dim work. `rerank = Some(n)` is the production
+    * composition: ADC shortlists n candidates, the exact decimal scorer
+    * re-ranks the shortlist from the RAW vectors — when the shortlist
+    * covers the true top-k the result is bit-identical to
+    * [[bruteForceTopK]](exact = true) at a fraction of its scoring cost. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, model: PqModel, k: Int,
+             excludeSelf: Boolean = true,
+             codes: Option[DataFrame] = None,
+             rerank: Option[Int] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val enc = codes.getOrElse(pqEncodeTable(corpus, idCol, vecCol, model))
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
+    val qTab = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      require(q.length == model.dim,
+        s"query dim ${q.length} != model dim ${model.dim}")
+      val table = Array.tabulate(model.m, model.k) { (j, c) =>
+        var s = 0.0; var t = 0
+        while (t < model.subDim) {
+          s += q(j * model.subDim + t) * model.codebooks(j)(c)(t); t += 1
+        }
+        s
+      }
+      (qid, table.map(_.toSeq).toSeq, math.sqrt(q.map(x => x * x).sum))
+    }.toDF("query_id", "qtab", "qn")
+    val cond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
+    val shortK = rerank.map(n => math.max(n, k)).getOrElse(k)
+    val scored = enc.join(broadcast(qTab), cond)
+      .withColumn("dotpq", aggregate(
+        zip_with(col("codes"), col("qtab"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("cos", col("dotpq") / (col("qn") * col("cnorm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
+    val short = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= shortK)
+      .select(col("query_id"), col("rank"), col("id"), col("cos"))
+    rerank match {
+      case None => short
+      case Some(_) =>
+        // exact re-score of the shortlist from raw vectors: shortlist ids
+        // join back to the corpus (broadcast — shortlist is |queries|·n
+        // rows), then the fix9 exact scorer and a fresh ranking
+        import graft.plans.HashExpressions.{dotFix9, fix9}
+        val raw = corpus.select(col(idCol).as("id"), fix9(col(vecCol)).as("cv"))
+          .withColumn("cn", sqrt(dotFix9(col("cv"), col("cv"))))
+        val qRaw = queries
+          .select(col(idCol).as("query_id"), fix9(col(vecCol)).as("qv"))
+          .withColumn("qn2", sqrt(dotFix9(col("qv"), col("qv"))))
+        val rescored = short.select(col("query_id"), col("id"))
+          .join(raw, Seq("id"))
+          .join(broadcast(qRaw), Seq("query_id"))
+          .withColumn("cos", dotFix9(col("qv"), col("cv")) / (col("qn2") * col("cn")))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id").asc)
+        rescored.withColumn("rank", row_number().over(w2).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("id"), col("cos"))
+    }
+  }
 }

@@ -683,6 +683,67 @@ class FunctionsSpec extends SparkSpec {
       s"ADC mean |cos err| $adcErr should not exceed symmetric's $symErr")
   }
 
+  test("pq: centroid fixpoint + exact-reconstruction ADC; trained recall; rerank") {
+    // 1) centroid fixpoint: vectors placed EXACTLY at codebook entries
+    //    must encode to those indices, cnorm must equal the true norm, and
+    //    ADC scores equal exact cosines (reconstruction is lossless here)
+    val model = Similarity.PqModel(subDim = 2, Array.tabulate(2, 3, 2)(
+      (j, i, t) => (j * 10 + i * 3 + t + 1).toDouble))
+    def cat(j0: Int, j1: Int): Seq[Double] =
+      (model.codebooks(0)(j0) ++ model.codebooks(1)(j1)).toSeq
+    val fix = Seq((0L, cat(0, 2)), (1L, cat(2, 0)), (2L, cat(1, 1)))
+      .toDF("vec_id", "v")
+    val enc = Similarity.pqEncodeTable(fix, "vec_id", "v", model)
+      .orderBy("id").collect()
+    assert(enc.map(_.getSeq[Int](1).toSeq).toSeq ==
+      Seq(Seq(0, 2), Seq(2, 0), Seq(1, 1)))
+    enc.zip(Seq(cat(0, 2), cat(2, 0), cat(1, 1))).foreach { case (r, v) =>
+      assert(math.abs(r.getDouble(2) - math.sqrt(v.map(x => x * x).sum)) < 1e-12) }
+    val adc = Similarity.pqTopK(fix, fix.filter(col("vec_id") === 0L),
+        "vec_id", "v", model, k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ex = Similarity.bruteForceTopK(fix, fix.filter(col("vec_id") === 0L),
+        "vec_id", "v", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(adc.keySet == ex.keySet)
+    adc.keys.foreach(k2 => assert(math.abs(adc(k2) - ex(k2)) < 1e-9,
+      s"lossless reconstruction must score exactly: $k2 ${adc(k2)} vs ${ex(k2)}"))
+
+    // 2) trained recall floor on the real fixture (PQ is the aggressive
+    //    end of the family — 64-dim floats → 16 codes — so the floor is
+    //    honest, not flattering; the near-perfect preselector in this
+    //    corpus is SQ8/IVF, and q133 gates PQ's machinery exactly)
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val trained = Similarity.trainPq(emb, "embedding", m = 16, k = 16)
+    val bfe = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 10, excludeSelf = true, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val plain = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        trained, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rc = bfe.intersect(plain).size.toDouble / bfe.size
+    assert(rc >= 0.3, s"trained PQ recall@10 $rc vs exact baseline")
+
+    // 3) rerank: full-coverage shortlist == bruteForceTopK(exact) BIT-FOR-
+    //    BIT (the shortlist contains everything, so the exact re-scorer
+    //    must reproduce q37's rows), and a moderate shortlist dominates
+    //    plain ADC
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        trained, k = 10, rerank = Some(n))
+      .orderBy("query_id", "rank").collect().toSeq
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 10, excludeSelf = true, exact = true)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(full == exact, "full-coverage rerank must equal the exact baseline")
+    val rr64 = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        trained, k = 10, rerank = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rcRr = bfe.intersect(rr64).size.toDouble / bfe.size
+    assert(rcRr >= rc, s"rerank recall $rcRr must dominate plain ADC's $rc")
+  }
+
   test("multimodal: stub features match byte-level recompute") {
     val media = Multimodal.mediaFromDocuments(spark,
       Tables.documents(spark, sf).limit(20))
