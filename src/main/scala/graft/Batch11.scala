@@ -236,6 +236,54 @@ private[graft] object Batch11 {
              |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
              |  FROM scored)
              |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // Partition-targeted CDC upsert under the oracle: events persisted as
+    // a day-partitioned table, then one day's purchases are UPDATED
+    // (value doubled) and a backfill batch INSERTED (new keys), through
+    // IO.upsertPartitions — which reads and rewrites ONLY the touched
+    // day directory (dynamic partition overwrite; the untouched-dirs
+    // claim is spec-pinned by file mtimes in IOStreamsSpec). The final
+    // per-day aggregate over the whole table must equal the oracle's
+    // re-derivation of the merge (base minus replaced keys, plus
+    // updates) — green certifies replace-by-key, insert, untouched-day
+    // preservation, and the round-trip through the hive layout. Fresh
+    // temp dir per run: the mutation is part of the operator under test.
+    Q("q134_partition_upsert",
+      (s, dir) => {
+        import graft.sources.IO
+        val path = java.nio.file.Files.createTempDirectory("graft-upsert-")
+          .toAbsolutePath.toString + "/events_cdc"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+          .select("event_id", "day", "event_type", "value")
+        IO.savePartitioned(ev, path, partCols = Seq("day"), sortCols = Seq("event_id"))
+        val day15 = ev.filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")) &&
+          col("event_type") === "purchase")
+        val upd = day15.withColumn("value", col("value") * 2)
+          .unionByName(day15.select(
+            (col("event_id") + 1000000000L).as("event_id"), col("day"),
+            lit("backfill").as("event_type"), (col("value") + 1).as("value")))
+        IO.upsertPartitions(s, path, upd,
+          partCols = Seq("day"), keyCols = Seq("event_id"), sortCols = Seq("event_id"))
+        s.read.parquet(path).groupBy("day")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .orderBy("day")
+      },
+      Some("""WITH base AS (SELECT event_id, CAST(ts AS DATE) AS day, event_type, value
+             |  FROM events),
+             |upd AS (
+             |  SELECT event_id, day, event_type, value * 2 AS value
+             |  FROM base WHERE day = DATE '2024-01-15' AND event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT event_id + 1000000000, day, 'backfill', value + 1
+             |  FROM base WHERE day = DATE '2024-01-15' AND event_type = 'purchase'),
+             |merged AS (
+             |  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+             |  UNION ALL SELECT * FROM upd)
+             |SELECT day, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -355,7 +355,9 @@ object SparkEntry {
     // ML featurization pipeline (q105)
     "q104_dedup_jaccard_capped", "q67_embed_pairs_lsh", "q84_ivf_topk",
     "q105_featuremat",
-    // round-11 addition: the SQ8-quantized ANN path (train + encode +
-    // decode + exact-decimal scoring, end-to-end per run)
-    "q124_ann_sq8")
+    // round-11 additions: the SQ8-quantized ANN path (train + encode +
+    // decode + exact-decimal scoring, end-to-end per run) and the
+    // single-shuffle sessionization pipeline (boundary window + running
+    // index + per-session agg sharing one hash exchange)
+    "q124_ann_sq8", "q129_sessionize")
 }

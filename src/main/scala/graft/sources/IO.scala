@@ -238,7 +238,12 @@ object IO {
     * listing instead of the scan. */
   def savePartitioned(df: org.apache.spark.sql.DataFrame, dir: String,
                       partCols: Seq[String], sortCols: Seq[String] = Nil,
-                      filesPerPartition: Int = 1): Unit = {
+                      filesPerPartition: Int = 1): Unit =
+    writePartitioned(df, dir, partCols, sortCols, filesPerPartition, dynamic = false)
+
+  private def writePartitioned(df: org.apache.spark.sql.DataFrame, dir: String,
+                               partCols: Seq[String], sortCols: Seq[String],
+                               filesPerPartition: Int, dynamic: Boolean): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(filesPerPartition >= 1, s"filesPerPartition must be ≥ 1, got $filesPerPartition")
     // filesPerPartition > 1 splits each partition VALUE across that many
@@ -258,10 +263,55 @@ object IO {
           pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))),
           partCols :+ "__file_salt")
       }
-    salted.repartition(reKeys.map(col): _*)
+    val w = salted.repartition(reKeys.map(col): _*)
       .sortWithinPartitions((reKeys ++ sortCols).map(col): _*)
       .drop("__file_salt")
-      .write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
+      .write.mode("overwrite")
+    // dynamic mode replaces ONLY the partition directories present in the
+    // data — the mechanism upsertPartitions rides; static overwrite (the
+    // default) clears the whole dir first
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy(partCols: _*).parquet(dir)
+  }
+
+  /** Partition-targeted CDC upsert into a [[savePartitioned]] table: rows
+    * in `updates` replace same-key rows, new keys append — and ONLY the
+    * partition directories `updates` touches are read and rewritten
+    * (dynamic partition overwrite), so maintenance cost scales with the
+    * day's delta, not the 100 TB table. This is the incremental-
+    * maintenance form of the reference's `setindex!`/keyed upsert
+    * (`src/indexing.jl:70-103`, q80 gates the in-memory operator).
+    *
+    * Contract: the partition columns are part of the logical key — an
+    * update that MOVES a key to a different partition value must be a
+    * delete+insert (the old partition is not touched and would keep the
+    * stale row); duplicate keys within `updates` are kept as-is (dedupe
+    * upstream). The merged delta is localCheckpoint-materialized before
+    * the write because it reads the very directories it overwrites —
+    * proportionate to the touched partitions, never the table. */
+  def upsertPartitions(spark: SparkSession, dir: String,
+                       updates: org.apache.spark.sql.DataFrame,
+                       partCols: Seq[String], keyCols: Seq[String],
+                       sortCols: Seq[String] = Nil,
+                       filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(partCols.nonEmpty, "upsertPartitions needs partition columns")
+    require(keyCols.nonEmpty, "upsertPartitions needs key columns")
+    // touched partition VALUES are driver-small by definition (each is a
+    // directory of the table)
+    val touched = updates.select(partCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+    val pFilter = touched.map { r =>
+      partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = spark.read.parquet(dir).filter(pFilter)
+    val merged = existing
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+      .localCheckpoint(true)
+    writePartitioned(merged, dir, partCols, sortCols, filesPerPartition,
+      dynamic = true)
   }
 
   /** Persist with the pkey baked into the physical layout: bucketed +

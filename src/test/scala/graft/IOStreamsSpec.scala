@@ -493,6 +493,41 @@ class IOStreamsSpec extends SparkSpec {
     assert(files < nDays, s"should read fewer files ($files) than partition dirs ($nDays)")
   }
 
+  test("upsertPartitions: replace/insert/new-partition; untouched dirs NOT rewritten") {
+    import graft.sources.IO
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = Files.createTempDirectory("graft_cdc").toFile.getPath + "/t"
+    val t0 = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), // partition a
+      (3L, "b", 30.0)) // partition b — never touched
+      .toDF("k", "p", "v")
+    IO.savePartitioned(t0, base, partCols = Seq("p"), sortCols = Seq("k"))
+    def filesOf(p: String): Map[String, Long] = {
+      val d = Paths.get(s"$base/p=$p")
+      if (!JFiles.exists(d)) Map.empty
+      else JFiles.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .map(f => f -> JFiles.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    }
+    val bBefore = filesOf("b")
+    assert(bBefore.nonEmpty)
+    // update k=1, insert k=9 into partition a, open NEW partition c
+    val upd = Seq((1L, "a", 11.0), (9L, "a", 90.0), (7L, "c", 70.0))
+      .toDF("k", "p", "v")
+    IO.upsertPartitions(spark, base, upd, partCols = Seq("p"), keyCols = Seq("k"),
+      sortCols = Seq("k"))
+    val got = spark.read.parquet(base).select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 11.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (7L, "c", 70.0), (9L, "a", 90.0)))
+    // the untouched partition's files are byte-for-byte the ones written
+    // at save time — same paths, same mtimes (dynamic overwrite never
+    // visited the directory)
+    assert(filesOf("b") == bBefore,
+      s"untouched partition rewritten: $bBefore -> ${filesOf("b")}")
+    assert(filesOf("c").nonEmpty, "new partition directory must be created")
+  }
+
   test("streaming sessionAgg: session MERGES across micro-batches, watermark closes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streams
