@@ -238,6 +238,58 @@ private[graft] object Batch11 {
              |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // Watermarked STREAM-STREAM join under the oracle — the last
+    // Structured Streaming idiom without a gate (windowed agg q121,
+    // quantile state q122, sessions q130, TTL dedup q107 all have one):
+    // purchases and clicks arrive as two REAL MemoryStreams, and each
+    // purchase joins the same user's clicks from the trailing 24 h of
+    // EVENT time. The clicks stream is fed FIRST and the purchases only
+    // in a second round of batches, so every match is found against
+    // buffered right-side STATE — the mechanism that makes stream-stream
+    // joins work at all. The oracle is the equivalent batch interval
+    // join over the events table verbatim: green certifies the time-
+    // bound condition (closed [t−24h, t] interval), key equality, state
+    // buffering across batches, and exactly-once match emission.
+    Q("q135_stream_join",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.streaming.Streams
+        val ev = Tables.events(s, dir)
+          .select(expr("ts div 1000").as("ts_us"), col("user_id"),
+            col("event_type"), col("event_id"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("ts_us", "user_id", "event_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("ts_us", "user_id", "event_id", "value").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val msL = MemoryStream[(Long, Long, Long)](s)
+        val msR = MemoryStream[(Long, Long, Long, Double)](s)
+        val out = Streams.enrichJoin(
+          msL.toDS().toDF("ts_us", "user_id", "purchase_id"),
+          msR.toDS().toDF("click_ts_us", "user_id", "click_id", "click_value"),
+          key = "user_id", lTime = "ts_us", rTime = "click_ts_us",
+          watermark = "0 seconds", lookback = "24 hours")
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q135_sink").start()
+        try {
+          msR.addData(clicks.toSeq); q.processAllAvailable()
+          msL.addData(purchases.toSeq); q.processAllAvailable()
+        } finally q.stop()
+        s.table("q135_sink")
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+            col("click_value"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+             |  l.user_id, r.value AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id
+             |  AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 86400000000 AND epoch_us(l.ts)
+             |ORDER BY purchase_id, click_id""".stripMargin)),
+
     // Partition-targeted CDC upsert under the oracle: events persisted as
     // a day-partitioned table, then one day's purchases are UPDATED
     // (value doubled) and a backfill batch INSERTED (new keys), through

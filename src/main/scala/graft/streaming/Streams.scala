@@ -71,6 +71,35 @@ object Streams {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("session_end_us"), col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream INNER join — the streaming enrichment
+    * idiom: each left event joins the right events of the same key whose
+    * event time falls in [left − lookback, left]. Both sides carry
+    * watermarks and the join condition carries the time bound, which is
+    * what lets Spark DERIVE per-side state watermarks and evict buffered
+    * rows — without the bound, both join states grow forever on an
+    * unbounded stream. Inner matches emit as soon as both rows exist
+    * (no watermark wait); the watermark only governs state cleanup and
+    * late-row admission.
+    *
+    * Column contract: `key` exists on both sides (the right copy is
+    * dropped from the output); all other column names must be disjoint
+    * (rename upstream — q135 does). Time columns are µs-since-epoch
+    * longs, the engine-wide convention. */
+  def enrichJoin(left: DataFrame, right: DataFrame, key: String,
+                 lTime: String, rTime: String,
+                 watermark: String, lookback: String): DataFrame = {
+    val l = left.withColumn("__lt", timestamp_micros(col(lTime)))
+      .withWatermark("__lt", watermark)
+    val r = right.withColumn("__rt", timestamp_micros(col(rTime)))
+      .withWatermark("__rt", watermark)
+    l.join(r,
+        l(key) === r(key) &&
+          col("__rt") >= col("__lt") - expr(s"INTERVAL $lookback") &&
+          col("__rt") <= col("__lt"),
+        "inner")
+      .drop(r(key)).drop("__lt", "__rt")
+  }
+
   /** Streaming running aggregate per key — the OnlineStats `reduce`
     * pattern as an always-on query (complete/update mode). */
   def runningStats(events: DataFrame): DataFrame =

@@ -555,6 +555,37 @@ class IOStreamsSpec extends SparkSpec {
       (2L, 1 * h, 1 * h, 1L, 5.0)))
   }
 
+  test("enrichJoin: interval bounds inclusive, cross-batch state, wrong-key/outside excluded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val h = 3600L * 1000000L
+    val msL = MemoryStream[(Long, Long, Long)](spark)
+    val msR = MemoryStream[(Long, Long, Long)](spark)
+    val out = Streams.enrichJoin(
+      msL.toDS().toDF("ts_us", "k", "lid"),
+      msR.toDS().toDF("rts_us", "k", "rid"),
+      key = "k", lTime = "ts_us", rTime = "rts_us",
+      watermark = "0 seconds", lookback = "2 hours")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_test").start()
+    try {
+      // batch 1: only right rows — they must be BUFFERED as state
+      msR.addData(Seq(
+        (10 * h, 1L, 100L), // exactly at lookback edge of the 12h purchase → inclusive
+        (12 * h, 1L, 101L), // exactly at purchase time → inclusive
+        (13 * h, 1L, 102L), // after the purchase → excluded
+        (11 * h, 2L, 103L), // wrong key → excluded
+        (10 * h - 1, 1L, 104L))) // 1 µs before the window → excluded
+      q.processAllAvailable()
+      // batch 2: the purchase arrives — matches come from buffered state
+      msL.addData(Seq((12 * h, 1L, 7L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_test").select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((7L, 100L), (7L, 101L)), got.mkString(","))
+  }
+
   test("streamingDedup emits first occurrence per key only") {
     val dir = Files.createTempDirectory("graft_dedup").toFile.getPath
     Seq(Streams.Keyed("a", 1L), Streams.Keyed("a", 2L), Streams.Keyed("b", 3L))
