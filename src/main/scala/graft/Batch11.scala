@@ -61,6 +61,19 @@ private[graft] object Batch11 {
       })
   }
 
+  /** Per-dir z-ordered copy of events (q136). */
+  private object ZEvents {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def forDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files.createTempDirectory("graft-evz-")
+          .toAbsolutePath.toString + "/events_z"
+        graft.sources.IO.saveZOrdered(Tables.events(s, dir), path,
+          numFiles = 8, zCols = ("user_id", "ts"))
+        path
+      })
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Batch gap-sessionization under the oracle: Sessions.sessionStats —
@@ -334,6 +347,77 @@ private[graft] object Batch11 {
              |merged AS (
              |  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
              |  UNION ALL SELECT * FROM upd)
+             |SELECT day, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Z-ORDER layout under the oracle — the third skip lever: events laid
+    // out along a Morton curve over (user_id, ts), so row-group stats
+    // stay tight on BOTH dimensions and a 2-D predicate (a user band ×
+    // a 1-day window) prunes on each — where saveSorted's 1-D layout
+    // serves only its leading column (the IOStreamsSpec metrics pin
+    // the both-dims pruning). Oracle = the same aggregate over the
+    // plain table: green certifies the curve layout is a pure relayout
+    // (no row lost/duplicated through bucketing, bit interleave, range
+    // partition, sort, and the dropped-column write).
+    Q("q136_zorder_scan",
+      (s, dir) => {
+        val loNs = 1705276800000000L * 1000L
+        val hiNs = 1705363200000000L * 1000L
+        s.read.parquet(ZEvents.forDir(s, dir))
+          .filter(col("user_id") >= 10 && col("user_id") <= 40 &&
+            col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE user_id BETWEEN 10 AND 40
+             |  AND epoch_us(ts) >= 1705276800000000 AND epoch_us(ts) < 1705363200000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Append-ingest + targeted compaction under the oracle: a partitioned
+    // table takes two APPEND batches into one day (the file-accumulation
+    // regime — streaming ingest and micro-batch backfills append files;
+    // the dynamic-overwrite upsert does not), then IO.compactPartitions
+    // rewrites ONLY the oversized day back to one file. The aggregate
+    // after compaction must equal the SQL union re-derivation — green
+    // certifies append-mode partitioned writes, oversized-partition
+    // detection from the directory listing, and content-preserving
+    // rewrite. The untouched-dir and file-count mechanics are spec-pinned
+    // (IOStreamsSpec mtimes + counts).
+    Q("q137_ingest_compact",
+      (s, dir) => {
+        import graft.sources.IO
+        val path = java.nio.file.Files.createTempDirectory("graft-compact-")
+          .toAbsolutePath.toString + "/events_ing"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+          .select("event_id", "day", "event_type", "value")
+        IO.savePartitioned(ev, path, partCols = Seq("day"), sortCols = Seq("event_id"))
+        val day15 = ev.filter(col("day") === lit(java.sql.Date.valueOf("2024-01-15")) &&
+          col("event_type") === "purchase")
+        val backfill = day15.select(
+          (col("event_id") + 1000000000L).as("event_id"), col("day"),
+          lit("backfill").as("event_type"), (col("value") + 1).as("value"))
+        for (parity <- 0 to 1)
+          backfill.filter(pmod(col("event_id"), lit(2)) === parity)
+            .write.mode("append").partitionBy("day").parquet(path)
+        IO.compactPartitions(s, path, "day", sortCols = Seq("event_id"))
+        s.read.parquet(path).groupBy("day")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .orderBy("day")
+      },
+      Some("""WITH base AS (SELECT event_id, CAST(ts AS DATE) AS day, event_type, value
+             |  FROM events),
+             |backfill AS (
+             |  SELECT event_id + 1000000000 AS event_id, day, 'backfill', value + 1
+             |  FROM base WHERE day = DATE '2024-01-15' AND event_type = 'purchase'),
+             |merged AS (SELECT * FROM base UNION ALL SELECT * FROM backfill)
              |SELECT day, COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))

@@ -274,6 +274,74 @@ object IO {
       .partitionBy(partCols: _*).parquet(dir)
   }
 
+  /** Persist with a Z-ORDER layout: rows sorted along a 2-D Morton curve
+    * over `zCols`, so row-group min/max stats stay tight on BOTH columns
+    * at once — a range predicate on EITHER dimension skips most groups,
+    * where [[saveSorted]] serves only its leading column. The classic
+    * lakehouse layout for tables queried by more than one key (events by
+    * user AND by time). Implementation: one aggregate pass collects each
+    * column's [min,max] (driver-tiny, the sq8Train pattern), values map
+    * to 16-bit buckets, bucket bits interleave into the Morton value,
+    * range-partition + sort on it, drop it before writing — the
+    * clustering lives in the LAYOUT, not in a stored column. */
+  def saveZOrdered(df: org.apache.spark.sql.DataFrame, dir: String,
+                   numFiles: Int, zCols: (String, String)): Unit = {
+    import org.apache.spark.sql.functions._
+    val (a, b) = zCols
+    val mm = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+      min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+    require(!mm.anyNull, s"saveZOrdered: all-null z column among $zCols")
+    def bucket(c: String, lo: Double, hi: Double): org.apache.spark.sql.Column =
+      if (hi == lo) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)))
+    val ba = bucket(a, mm.getDouble(0), mm.getDouble(1))
+    val bb = bucket(b, mm.getDouble(2), mm.getDouble(3))
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(ba, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(bb, i).bitwiseAND(lit(1L)), 2 * i)
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Compact a [[savePartitioned]] table's oversized partitions — the
+    * maintenance companion of [[upsertPartitions]], whose repeated deltas
+    * accumulate small files (each upsert writes ≥ 1 file per touched
+    * partition; the cold-read cost of small files is MEASURED — the
+    * 256-footer arm in StressBench ≈ one full sequential scan). Only
+    * partitions holding more than `filesPerPartition` parquet files are
+    * read and rewritten (dynamic overwrite), so steady-state compaction
+    * cost follows churn, not table size. Single partition column (the
+    * day-layout case); values are parsed from the directory names. */
+  def compactPartitions(spark: SparkSession, dir: String, partCol: String,
+                        sortCols: Seq[String] = Nil,
+                        filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Paths.get(dir)
+    val oversized = java.nio.file.Files.list(root).toArray.map(_.toString)
+      .map(java.nio.file.Paths.get(_))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$partCol="))
+      .filter { p =>
+        java.nio.file.Files.list(p).toArray.map(_.toString)
+          .count(_.endsWith(".parquet")) > filesPerPartition
+      }
+      .map(_.getFileName.toString.stripPrefix(s"$partCol="))
+    if (oversized.isEmpty) return
+    val subset = spark.read.parquet(dir)
+      // string values coerce against the inferred partition type (date,
+      // int, …) — the same comparison the user's own filters make
+      .filter(oversized.map(v => col(partCol) === lit(v)).reduce(_ || _))
+      .localCheckpoint(true) // reads the directories the write replaces
+    writePartitioned(subset, dir, Seq(partCol), sortCols, filesPerPartition,
+      dynamic = true)
+  }
+
   /** Partition-targeted CDC upsert into a [[savePartitioned]] table: rows
     * in `updates` replace same-key rows, new keys append — and ONLY the
     * partition directories `updates` touches are read and rewritten

@@ -493,6 +493,56 @@ class IOStreamsSpec extends SparkSpec {
     assert(files < nDays, s"should read fewer files ($files) than partition dirs ($nDays)")
   }
 
+  test("saveZOrdered: row-group stats prune on BOTH dimensions; roundtrip exact") {
+    import graft.sources.IO
+    val ev = Tables.events(spark, sf) // 1000 rows, 15 users, 30 days
+    val total = ev.count()
+    val base = Files.createTempDirectory("graft_z").toFile.getPath
+    IO.saveZOrdered(ev, s"$base/z", numFiles = 8, zCols = ("user_id", "ts"))
+    def scan(filter: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(s"$base/z").filter(filter)
+        .agg(count(lit(1)), sum(col("value").cast("decimal(18,4)")))
+      df.collect()
+      (scanMetrics(df)._1,
+        ev.filter(filter).count())
+    }
+    // roundtrip: full content preserved through the relayout
+    assert(spark.read.parquet(s"$base/z").count() == total)
+    // a predicate on EITHER z dimension alone prunes row groups — the
+    // property a 1-D sort cannot give its trailing column
+    val (uScan, uRows) = scan(col("user_id") <= 2)
+    val loNs = 1705276800000000L * 1000L
+    val (tScan, tRows) = scan(col("ts") >= lit(loNs) && col("ts") < lit(loNs + 86400000000L * 1000L))
+    assert(uRows > 0 && tRows > 0, "both predicates must select rows")
+    assert(uScan < total, s"user_id predicate should skip row groups: scanned $uScan of $total")
+    assert(tScan < total, s"ts predicate should skip row groups: scanned $tScan of $total")
+  }
+
+  test("compactPartitions: oversized day rewritten to one file, others untouched") {
+    import graft.sources.IO
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = Files.createTempDirectory("graft_compact").toFile.getPath + "/t"
+    val t0 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v")
+    IO.savePartitioned(t0, base, partCols = Seq("p"), sortCols = Seq("k"))
+    // the append-ingest regime: two more batches land in partition a
+    Seq((3L, "a", 3.0)).toDF("k", "p", "v")
+      .write.mode("append").partitionBy("p").parquet(base)
+    Seq((4L, "a", 4.0)).toDF("k", "p", "v")
+      .write.mode("append").partitionBy("p").parquet(base)
+    def files(p: String): Map[String, Long] =
+      JFiles.list(Paths.get(s"$base/p=$p")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .map(f => f -> JFiles.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    assert(files("a").size == 3, s"append should accumulate files: ${files("a")}")
+    val bBefore = files("b")
+    IO.compactPartitions(spark, base, "p", sortCols = Seq("k"))
+    assert(files("a").size == 1, s"compaction should leave one file: ${files("a")}")
+    assert(files("b") == bBefore, "partition within bound must not be rewritten")
+    val got = spark.read.parquet(base).select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "a", 4.0)))
+  }
+
   test("upsertPartitions: replace/insert/new-partition; untouched dirs NOT rewritten") {
     import graft.sources.IO
     import java.nio.file.{Files => JFiles, Paths}
