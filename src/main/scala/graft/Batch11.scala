@@ -420,6 +420,32 @@ private[graft] object Batch11 {
              |merged AS (SELECT * FROM base UNION ALL SELECT * FROM backfill)
              |SELECT day, COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Importance-weighted sampling under the oracle: keep probability ∝ a
+    // per-doc weight (length/2000, clamped) × base fraction 0.5 — the
+    // "keep more of what scores higher" curation step, reproducible
+    // because membership is the salted-md5 threshold everywhere in the
+    // Sampling module and the per-row boundary is two IEEE ops + floor
+    // (the exponential-key formulation was rejected: libm ln() rounding
+    // must not decide a hash gate). Row-level gate: the kept doc ids and
+    // their weights, verbatim.
+    Q("q138_weighted_sample",
+      (s, dir) => {
+        import graft.functions.Sampling
+        val w = length(col("text")).cast("double") / lit(2000.0)
+        Sampling.weightedSampleByHash(Tables.documents(s, dir), "doc_id", w,
+            fraction = 0.5, salt = "w1")
+          .select(col("doc_id"),
+            least(greatest(w, lit(0.0)), lit(1.0)).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  LEAST(GREATEST(CAST(length(text) AS DOUBLE) / 2000.0, 0.0), 1.0) AS weight
+             |FROM documents
+             |WHERE CAST('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |  < FLOOR(LEAST(GREATEST(CAST(length(text) AS DOUBLE) / 2000.0, 0.0), 1.0)
+             |          * 0.5 * 4294967296.0)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

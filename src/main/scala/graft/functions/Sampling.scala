@@ -129,4 +129,23 @@ object Sampling {
       df.filter(hashU32(col(keyCol), salt) < thr)
     }
   }
+
+  /** Deterministic WEIGHTED Bernoulli sample: each row keeps with
+    * probability `fraction · clamp(weight, 0, 1)` — importance sampling
+    * by a per-row score (quality, recency, length), the curation step
+    * "keep more of what scores higher" made reproducible. Membership is
+    * the same pure function of (salt, key) as everywhere in this module;
+    * the per-row threshold is `floor(fraction · w · 2^32)` — two IEEE
+    * double ops + floor, so any engine reproduces the exact integer
+    * boundary (no transcendental tricks: the Efraimidis–Spirakis
+    * exponential-key form was deliberately rejected because its ln() is
+    * libm-rounding-dependent — the r10 lesson says fixture luck and
+    * rounding luck cannot sit under a hash gate). Narrow: computed in
+    * the scan, no shuffle, no state. */
+  def weightedSampleByHash(df: DataFrame, keyCol: String, weight: Column,
+                           fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction ∉ [0,1]")
+    val p = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * lit(fraction)
+    df.filter(hashU32(col(keyCol), salt) < floor(p * lit(4294967296.0)))
+  }
 }

@@ -683,6 +683,32 @@ class FunctionsSpec extends SparkSpec {
       s"ADC mean |cos err| $adcErr should not exceed symmetric's $symErr")
   }
 
+  test("weightedSampleByHash: rate tracks weight, clamps, edges, determinism") {
+    import graft.functions.Sampling
+    val n = 4000
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 4).cast("double").as("wbase")) // weights 0, 1, 2(→1), 3(→1)
+    def kept(fraction: Double, weight: org.apache.spark.sql.Column): Long =
+      Sampling.weightedSampleByHash(df, "id", weight, fraction, salt = "t").count()
+    // weight 0 → never kept; weight ≥ 1 clamps to the plain Bernoulli rate
+    assert(kept(0.5, lit(0.0)) == 0)
+    val plain = Sampling.sampleByHash(df, "id", 0.5, salt = "t").count()
+    assert(kept(0.5, lit(5.0)) == plain, "clamped weight must equal unweighted sample")
+    // rate tracks weight: w=0.25 keeps ~half of w=0.5's rows (±30% slack)
+    val k25 = kept(0.8, lit(0.25)).toDouble
+    val k50 = kept(0.8, lit(0.5)).toDouble
+    assert(k25 > 0 && math.abs(k25 / k50 - 0.5) < 0.15,
+      s"keep rates $k25 vs $k50 should be ~1:2")
+    // fraction edges + determinism across partitionings
+    assert(kept(0.0, lit(1.0)) == 0)
+    assert(kept(1.0, lit(1.0)) == n)
+    partitionSweep { p =>
+      Sampling.weightedSampleByHash(df.repartition(p), "id",
+          col("wbase") / 4.0, 0.6, salt = "t")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+  }
+
   test("pq: centroid fixpoint + exact-reconstruction ADC; trained recall; rerank") {
     // 1) centroid fixpoint: vectors placed EXACTLY at codebook entries
     //    must encode to those indices, cnorm must equal the true norm, and
