@@ -446,6 +446,26 @@ private[graft] object Batch11 {
              |WHERE CAST('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
              |  < FLOOR(LEAST(GREATEST(CAST(length(text) AS DOUBLE) / 2000.0, 0.0), 1.0)
              |          * 0.5 * 4294967296.0)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The SALTED sessionization under the oracle — q129's semantics
+    // through the two-level segmented gap-merge (partial sessions per
+    // (key, 1 h bucket), then the same gap rule over the partials), which
+    // is what breaks the hot key's sequential sort (measured ~10× on the
+    // 50%-hot stress fixture). Gated by q129's SessionSql VERBATIM: the
+    // salted plan must reproduce the plain operator's sessions
+    // bit-for-bit, bucket width notwithstanding (width-invariance is
+    // additionally spec-swept in CoreSpec).
+    Q("q139_sessionize_salted",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+        graft.operators.Sessions.sessionStatsSalted(ev, Seq("user_id"), "ts_us",
+            GapUs, bucketUs = 3600L * 1000000L, valueCol = "value")
+          .withColumnRenamed("session_start", "session_start_us")
+          .withColumnRenamed("session_end", "session_end_us")
+          .orderBy("user_id", "session_start_us")
+      },
+      Some(SessionSql))
   )
 }

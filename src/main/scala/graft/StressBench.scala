@@ -79,6 +79,28 @@ object StressBench {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
   }
 
+  /** Sessionization arm: per-key gap sessions over the 10M-row hot-user
+    * fixture; `hot = false` re-keys the SAME rows uniformly so the pair
+    * isolates the hot key's sequential cost. */
+  private def sessionsArm(spark: SparkSession, hot: Boolean): DataFrame = {
+    val ev = spark.read.parquet(s"$root/events_stress")
+      .select(
+        (if (hot) col("user_id") else pmod(col("event_id"), lit(100000L))).as("k"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+    graft.operators.Sessions.sessionStats(ev, Seq("k"), "ts_us",
+      12L * 3600L * 1000000L,
+      "n" -> count(lit(1)),
+      "sv" -> sum(col("value").cast("decimal(18,4)")).cast("double"))
+  }
+
+  private def sessionsSaltedArm(spark: SparkSession): DataFrame = {
+    val ev = spark.read.parquet(s"$root/events_stress")
+      .select(col("user_id").as("k"), expr("ts div 1000").as("ts_us"), col("value"))
+    graft.operators.Sessions.sessionStatsSalted(ev, Seq("k"), "ts_us",
+      gapUs = 12L * 3600L * 1000000L, bucketUs = 3600L * 1000000L,
+      valueCol = "value")
+  }
+
   /** The two groupjoin payload arms share this input split: per-user
     * purchase summaries grouped-join clicks by user_id, on the hot-user
     * event fixture. The left side is pre-aggregated to ONE row per user
@@ -460,7 +482,20 @@ object StressBench {
       "scan100_sorted" -> (() => scanArm(spark, s"$root/events_sorted_stress100", wide = true)),
       "scan100_unsorted" -> (() => scanArm(spark, s"$root/events_stress100", wide = true)),
       "scan100_hive" -> (() => scanArm(spark, s"$root/events_hive_stress100",
-        wide = true, hive = true)))
+        wide = true, hive = true)),
+      // sessionization hot-key cost (round 11): the Sessions scaladoc
+      // documents the per-key sequential bound (the running index is a
+      // prefix sum — unsaltable without a carry chain); these arms put a
+      // NUMBER on it: 10M events with 50% on ONE key vs the same rows
+      // re-keyed uniformly (~100 rows/key). The hot arm's wall time is
+      // one task sorting+walking 5M rows; the contrast is the measured
+      // price the documented upstream levers (dedup/bounding) exist for.
+      "sessions_hot" -> (() => sessionsArm(spark, hot = true)),
+      "sessions_uniform" -> (() => sessionsArm(spark, hot = false)),
+      // the salted fix in its regime: same hot fixture, 1 h buckets →
+      // the hot key's sort spreads across ~720 bucket tasks and the
+      // sequential part shrinks to the per-key partial-merge
+      "sessions_hot_salted" -> (() => sessionsSaltedArm(spark)))
 
     // Cold-cache arms: page cache dropped before EVERY iteration
     // (warmup included), making the scan IO-bound — the local analog of

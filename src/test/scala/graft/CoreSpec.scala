@@ -651,6 +651,37 @@ class CoreSpec extends SparkSpec {
       assert(math.abs(g._5 - m._5) < 1e-9, s"sum_value diverged: $g vs $m") }
   }
 
+  test("sessionStatsSalted == sessionStats across bucket widths (hot-key fallback)") {
+    import graft.operators.Sessions
+    val gap = 12L * 3600L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    val plain = Sessions.sessionStats(ev, Seq("user_id"), "ts_us", gap,
+        "n_events" -> count(lit(1)),
+        "sum_value" -> sum(col("value").cast("decimal(18,4)")).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sortBy(s => (s._1, s._2))
+    // widths below, equal to, a non-divisor of, and far above the gap —
+    // correctness must be width-invariant (partials merge in pass 2)
+    for (bucket <- Seq(gap / 12, gap, gap * 7 / 3, gap * 40)) {
+      val salted = Sessions.sessionStatsSalted(ev, Seq("user_id"), "ts_us",
+          gap, bucket, "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSeq.sortBy(s => (s._1, s._2))
+      assert(salted == plain, s"bucketUs=$bucket diverged")
+    }
+    // golden: a session spanning three buckets must chain-merge
+    val chain = Seq((1L, 0L, 1.0), (1L, 9L, 1.0), (1L, 19L, 1.0), (1L, 40L, 2.0))
+      .toDF("user_id", "ts_us", "value") // gap 12: 0-9-19 chain, 40 new
+    val got = Sessions.sessionStatsSalted(chain, Seq("user_id"), "ts_us",
+        gapUs = 12L, bucketUs = 10L, valueCol = "value")
+      .orderBy("session_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq((0L, 19L, 3L, 3.0), (40L, 40L, 1L, 2.0)), got.mkString(","))
+  }
+
   test("sessionStats plan: ONE exchange — windows and final agg reuse the key hash") {
     import graft.operators.Sessions
     val ev = Tables.events(spark, sf)
