@@ -31,6 +31,25 @@ private[graft] object Batch11 {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** CDC-merge oracle (q134 batch upsert, q140 streaming cdcSink): base
+    * events, day-15 purchases replaced with doubled values, backfill rows
+    * inserted — the final table both operators must converge to. */
+  private val CdcSql =
+    """WITH base AS (SELECT event_id, CAST(ts AS DATE) AS day, event_type, value
+      |  FROM events),
+      |upd AS (
+      |  SELECT event_id, day, event_type, value * 2 AS value
+      |  FROM base WHERE day = DATE '2024-01-15' AND event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT event_id + 1000000000, day, 'backfill', value + 1
+      |  FROM base WHERE day = DATE '2024-01-15' AND event_type = 'purchase'),
+      |merged AS (
+      |  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT day, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-dir range-layout copy of events (q131) — built once per JVM,
     * IvfSq8Index's caching pattern: the write is the one-time layout cost
     * the operator exists to amortize; the measured query is the read. */
@@ -336,20 +355,7 @@ private[graft] object Batch11 {
             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
           .orderBy("day")
       },
-      Some("""WITH base AS (SELECT event_id, CAST(ts AS DATE) AS day, event_type, value
-             |  FROM events),
-             |upd AS (
-             |  SELECT event_id, day, event_type, value * 2 AS value
-             |  FROM base WHERE day = DATE '2024-01-15' AND event_type = 'purchase'
-             |  UNION ALL
-             |  SELECT event_id + 1000000000, day, 'backfill', value + 1
-             |  FROM base WHERE day = DATE '2024-01-15' AND event_type = 'purchase'),
-             |merged AS (
-             |  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
-             |  UNION ALL SELECT * FROM upd)
-             |SELECT day, COUNT(*) AS n,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(CdcSql)),
 
     // Z-ORDER layout under the oracle — the third skip lever: events laid
     // out along a Morton curve over (user_id, ts), so row-group stats
@@ -466,6 +472,49 @@ private[graft] object Batch11 {
           .withColumnRenamed("session_end", "session_end_us")
           .orderBy("user_id", "session_start_us")
       },
-      Some(SessionSql))
+      Some(SessionSql)),
+
+    // STREAMING CDC pipeline under the oracle — the ingest loop closed:
+    // a MemoryStream of keyed deltas drives Streams.cdcSink (foreachBatch
+    // → IO.upsertPartitions), bootstrap included (batch 1 creates the
+    // table — the not-yet-existing-dir path). Batch 1 is the full events
+    // feed; batch 2 re-sends day-15's purchase keys with doubled values
+    // plus backfill inserts — the LATER batch must win per key
+    // (foreachBatch runs micro-batches sequentially, which is the CDC
+    // ordering guarantee). The final table must equal q134's batch
+    // upsert result — CdcSql VERBATIM — so green certifies bootstrap,
+    // sequential replace-by-key across micro-batches, insert, and
+    // untouched-day preservation through the streaming path.
+    Q("q140_stream_cdc",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.streaming.Streams
+        val path = java.nio.file.Files.createTempDirectory("graft-cdcsink-")
+          .toAbsolutePath.toString + "/events_cdc_stream"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+            col("event_type"), col("value"))
+        val base = ev.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        val d15 = base.filter { case (_, ts, tpe, _) =>
+          ts >= 1705276800000000L && ts < 1705363200000000L && tpe == "purchase" }
+        val delta = d15.map { case (id, ts, tpe, v) => (id, ts, tpe, v * 2) } ++
+          d15.map { case (id, ts, _, v) => (id + 1000000000L, ts, "backfill", v + 1) }
+        val ms = MemoryStream[(Long, Long, String, Double)](s)
+        val upd = ms.toDS().toDF("event_id", "ts_us", "event_type", "value")
+          .withColumn("day", to_date(timestamp_micros(col("ts_us")))).drop("ts_us")
+        val q = Streams.cdcSink(upd, path, partCols = Seq("day"),
+          keyCols = Seq("event_id"), sortCols = Seq("event_id")).start()
+        try {
+          ms.addData(base.toSeq); q.processAllAvailable()
+          ms.addData(delta.toSeq); q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(path).groupBy("day")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .orderBy("day")
+      },
+      Some(CdcSql))
   )
 }

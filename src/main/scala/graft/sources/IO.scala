@@ -365,6 +365,13 @@ object IO {
     import org.apache.spark.sql.functions.{col, lit}
     require(partCols.nonEmpty, "upsertPartitions needs partition columns")
     require(keyCols.nonEmpty, "upsertPartitions needs key columns")
+    // first delta against a not-yet-existing table: nothing to merge —
+    // the updates ARE the table (cdcSink's bootstrap case)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+      writePartitioned(updates, dir, partCols, sortCols, filesPerPartition,
+        dynamic = true)
+      return
+    }
     // touched partition VALUES are driver-small by definition (each is a
     // directory of the table)
     val touched = updates.select(partCols.map(col): _*).distinct().collect()

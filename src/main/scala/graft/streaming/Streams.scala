@@ -100,6 +100,26 @@ object Streams {
       .drop(r(key)).drop("__lt", "__rt")
   }
 
+  /** Streaming CDC sink: every micro-batch of keyed updates merges into a
+    * day-partitioned table via [[graft.sources.IO.upsertPartitions]] —
+    * the always-on form of incremental maintenance (ingest feeds deltas,
+    * only touched partition dirs rewrite, cost ∝ churn). foreachBatch
+    * runs batches SEQUENTIALLY, so later batches win over earlier ones
+    * per key — CDC ordering for free. Contract per batch: keys unique
+    * within the batch (dedupe upstream — flatMapGroups/last-wins — as
+    * with the underlying upsert); exactly-once across restarts comes
+    * from pairing a checkpointLocation with the idempotence of
+    * replace-by-key (a replayed delta rewrites the same rows). */
+  def cdcSink(updates: DataFrame, dir: String, partCols: Seq[String],
+              keyCols: Seq[String], sortCols: Seq[String] = Nil,
+              filesPerPartition: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.IO.upsertPartitions(batch.sparkSession, dir, batch,
+            partCols, keyCols, sortCols, filesPerPartition)
+      }
+
   /** Streaming running aggregate per key — the OnlineStats `reduce`
     * pattern as an always-on query (complete/update mode). */
   def runningStats(events: DataFrame): DataFrame =

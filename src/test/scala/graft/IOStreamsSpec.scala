@@ -543,6 +543,25 @@ class IOStreamsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "a", 4.0)))
   }
 
+  test("cdcSink: bootstrap creates the table; later micro-batches win per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val base = Files.createTempDirectory("graft_cdcsink").toFile.getPath + "/t"
+    val ms = MemoryStream[(Long, String, Double)](spark)
+    val upd = ms.toDS().toDF("k", "p", "v")
+    val q = Streams.cdcSink(upd, base, partCols = Seq("p"), keyCols = Seq("k"),
+      sortCols = Seq("k")).start()
+    try {
+      ms.addData(Seq((1L, "a", 1.0), (2L, "b", 2.0))) // bootstrap: no dir yet
+      q.processAllAvailable()
+      ms.addData(Seq((1L, "a", 10.0), (3L, "a", 3.0))) // replace k=1, insert k=3
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(base).select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b", 2.0), (3L, "a", 3.0)))
+  }
+
   test("upsertPartitions: replace/insert/new-partition; untouched dirs NOT rewritten") {
     import graft.sources.IO
     import java.nio.file.{Files => JFiles, Paths}
