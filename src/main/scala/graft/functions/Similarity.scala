@@ -702,12 +702,19 @@ object Similarity {
   }
 
   /** codes(vec): the m nearest-centroid indices, L2 per subspace (ties →
-    * lowest index: array_position returns the first minimum). Pure Column
-    * composition over the literal codebook — fixture-scale encode; the
-    * native-expression upgrade (the NearestCell pattern with an L2 bias
-    * term) is the known next step if PQ ever becomes the scale path —
-    * the measured scale path remains IVF×SQ8 (q125). */
-  def pqEncode(vec: Column, model: PqModel): Column = {
+    * lowest index). Native codegen'd expression (plans.PqCodes) — one
+    * pass per row with the codebook riding the codegen reference array;
+    * the HOF formulation it replaced ([[pqEncodeHof]]) evaluated k
+    * interpreted aggregate lambdas per subspace per row and is kept only
+    * as the spec's bit-identity reference model. */
+  def pqEncode(vec: Column, model: PqModel): Column =
+    graft.plans.HashExpressions.pqCodes(vec, model.codebooks, model.subDim)
+
+  /** The pre-native Column formulation of [[pqEncode]] — retained as the
+    * independent reference the FunctionsSpec bit-identity test compares
+    * the native expression against (the MinHashSig/RhpSignature
+    * discipline). Same distance fold order, same first-minimum tie rule. */
+  private[graft] def pqEncodeHof(vec: Column, model: PqModel): Column = {
     val v = vec.cast("array<double>")
     array((0 until model.m).map { j =>
       val sub = slice(v, j * model.subDim + 1, model.subDim)

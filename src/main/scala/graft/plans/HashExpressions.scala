@@ -530,6 +530,33 @@ object HashOps {
     val order = Array.tabulate(n)(identity).sortBy(i => (-dots(i), i))
     new GenericArrayData(order.take(math.min(nprobe, n)))
   }
+
+  /** PQ codes: per subspace, L2-nearest codebook entry (strict `<` keeps
+    * the LOWEST index on ties — the same rule as the HOF formulation's
+    * array_position-of-first-minimum); distances accumulate in ascending
+    * t order, so the doubles are bit-identical to the zip_with fold. */
+  def pqCodesJava(arr: ArrayData, isFloat: Boolean,
+                  codebooks: Array[Array[Array[Double]]],
+                  subDim: Int): ArrayData = {
+    val v = vecDoubles(arr, isFloat)
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j); val off = j * subDim
+      var best = 0; var bestD = Double.PositiveInfinity; var ci = 0
+      while (ci < cb.length) {
+        val c = cb(ci)
+        var d = 0.0; var t = 0
+        val len = math.min(subDim, math.max(v.length - off, 0))
+        while (t < len) { val x = v(off + t) - c(t); d += x * x; t += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      out(j) = best; j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** minhash_sig(text): k-permutation MinHash signature over word n-gram
@@ -893,6 +920,42 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "nearest_cell"
 }
 
+/** pq_codes(vec): the m per-subspace L2-nearest codebook indices — PQ
+  * encode as ONE codegen'd pass per row (the HOF formulation evaluates
+  * k aggregate lambdas per subspace per row, interpreted). Codebooks ride
+  * the codegen reference array like [[NearestCell]]'s centroids; output
+  * doubles and tie-breaks are bit-identical to the HOF form
+  * (spec-pinned). */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]],
+                   subDim: Int)
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && subDim >= 1,
+    s"pq_codes needs ≥1 subspace codebook and subDim ≥ 1, got " +
+      s"${codebooks.length} and $subDim")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_codes expects array<float> or array<double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.pqCodesJava(input.asInstanceOf[ArrayData], isFloat, codebooks, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.pqCodesJava($c, $isFloat, $cbRef, $subDim);")
+  }
+  override protected def withNewChildInternal(c: Expression): PqCodes = copy(child = c)
+  override def prettyName: String = "pq_codes"
+}
+
 /** top_cells(vec): the `nprobe` cell ids nearest a query vector (centroid
   * dot descending, ties → lowest cell) — the IVF probe list. Same
   * reference-object centroid transport as [[NearestCell]]. */
@@ -931,6 +994,8 @@ object HashExpressions {
     column(NearestCell(expression(c), centroids))
   def topCells(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     column(TopCells(expression(c), centroids, nprobe))
+  def pqCodes(c: Column, codebooks: Array[Array[Array[Double]]], subDim: Int): Column =
+    column(PqCodes(expression(c), codebooks, subDim))
   def minhashSig(c: Column, n: Int, k: Int): Column = column(MinHashSig(expression(c), n, k))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def shingleHashes(c: Column, n: Int, wide: Boolean = false): Column =

@@ -735,6 +735,19 @@ class FunctionsSpec extends SparkSpec {
     adc.keys.foreach(k2 => assert(math.abs(adc(k2) - ex(k2)) < 1e-9,
       s"lossless reconstruction must score exactly: $k2 ${adc(k2)} vs ${ex(k2)}"))
 
+    // 1b) native pq_codes expression == the HOF reference model BIT-FOR-
+    //     BIT on real float vectors (the MinHashSig discipline: same
+    //     fold order, same first-minimum ties)
+    val embAll = Tables.embeddings(spark, sf)
+    val mNat = Similarity.trainPq(embAll, "embedding", m = 8, k = 16)
+    val pairs = embAll.select(
+        Similarity.pqEncode(col("embedding"), mNat).as("nat"),
+        Similarity.pqEncodeHof(col("embedding"), mNat).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+      s"native/HOF encode diverged: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}"))
+
     // 2) trained recall floor on the real fixture (PQ is the aggressive
     //    end of the family — 64-dim floats → 16 codes — so the floor is
     //    honest, not flattering; the near-perfect preselector in this
