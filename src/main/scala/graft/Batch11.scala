@@ -50,6 +50,67 @@ private[graft] object Batch11 {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+
+  /** q133/q141 shared oracle: the full PQ pipeline re-derived in SQL
+    * over the integer grid. */
+  private val PqSql =
+    """WITH w AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    FLOOR(CAST(unnest(embedding) AS DOUBLE) * 512) AS v FROM embeddings),
+             |cb AS (SELECT gj.j, gi.i, gt.t,
+             |    CAST(((gi.i*31 + gt.t*7 + gj.j*13) % 17 - 8) * 16 AS DOUBLE) AS cv
+             |  FROM generate_series(0, 7) AS gj(j), generate_series(0, 15) AS gi(i),
+             |       generate_series(0, 7) AS gt(t)),
+             |d AS (SELECT w.id, cb.j, cb.i, SUM((w.v - cb.cv) * (w.v - cb.cv)) AS d2
+             |  FROM w JOIN cb ON cb.j = w.pos // 8 AND cb.t = w.pos % 8
+             |  GROUP BY 1, 2, 3),
+             |codes AS (SELECT id, j, i AS code FROM (
+             |    SELECT id, j, i, ROW_NUMBER() OVER (PARTITION BY id, j
+             |      ORDER BY d2 ASC, i ASC) AS rn FROM d) WHERE rn = 1),
+             |cn AS (SELECT codes.id, sqrt(SUM(cv * cv)) AS cnorm
+             |  FROM codes JOIN cb ON cb.j = codes.j AND cb.i = codes.code GROUP BY 1),
+             |qn AS (SELECT id, sqrt(SUM(v * v)) AS qnrm FROM w WHERE id < 5 GROUP BY 1),
+             |dots AS (SELECT q.id AS query_id, c.id AS id, SUM(q.v * cb.cv) AS dotpq
+             |  FROM w q
+             |  JOIN codes c ON c.j = q.pos // 8 AND c.id <> q.id
+             |  JOIN cb ON cb.j = c.j AND cb.i = c.code AND cb.t = q.pos % 8
+             |  WHERE q.id < 5 GROUP BY 1, 2),
+             |scored AS (SELECT dots.query_id, dots.id,
+             |    CAST(dotpq AS DOUBLE) / (qn.qnrm * cn.cnorm) AS cos
+             |  FROM dots JOIN qn ON qn.id = dots.query_id
+             |  JOIN cn ON cn.id = dots.id),
+             |ranked AS (SELECT query_id, id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin
+
+  /** q133/q141 shared PQ fixtures: integer-grid vectors (floor(v·512))
+    * and the closed-form integer codebook — every distance/dot exact. */
+  private def pqW(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val wcol = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(512.0)).cast("double"))
+    Tables.embeddings(s, dir).select(col("vec_id"), wcol.as("wvec"))
+  }
+  private def pqModel = graft.functions.Similarity.PqModel(subDim = 8,
+    Array.tabulate(8, 16, 8)((j, i, t) =>
+      (((i * 31 + t * 7 + j * 13) % 17) - 8).toDouble * 16.0))
+
+  /** Per-dir IVF×PQ code-index fixture (q141) — IvfSq8Index's pattern. */
+  private object IvfPqIndex {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, (graft.functions.Similarity.IvfModel, String)]
+    def forDir(s: org.apache.spark.sql.SparkSession, dir: String): (graft.functions.Similarity.IvfModel, String) =
+      cache.getOrElseUpdate(dir, {
+        val w = pqW(s, dir)
+        val ivf = graft.functions.Similarity.trainIvf(w, "wvec", nlist = 4, maxIter = 3)
+        val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+          .toAbsolutePath.toString + "/codes"
+        graft.functions.Similarity.writeIvfCorpusPq(w, "vec_id", "wvec", ivf, pqModel, path)
+        (ivf, path)
+      })
+  }
+
   /** Per-dir range-layout copy of events (q131) — built once per JVM,
     * IvfSq8Index's caching pattern: the write is the one-time layout cost
     * the operator exists to amortize; the measured query is the read. */
@@ -228,47 +289,12 @@ private[graft] object Batch11 {
     // fixpoint roundtrip, rerank == exact under full coverage).
     Q("q133_ann_pq",
       (s, dir) => {
-        import graft.functions.Similarity
-        val wcol = transform(col("embedding"),
-          x => floor(x.cast("double") * lit(512.0)).cast("double"))
-        val wdf = Tables.embeddings(s, dir).select(col("vec_id"), wcol.as("wvec"))
-        val model = Similarity.PqModel(subDim = 8,
-          Array.tabulate(8, 16, 8)((j, i, t) =>
-            (((i * 31 + t * 7 + j * 13) % 17) - 8).toDouble * 16.0))
-        Similarity.pqTopK(wdf, wdf.filter(col("vec_id") < 5),
-            "vec_id", "wvec", model, k = 10)
+        val wdf = pqW(s, dir)
+        graft.functions.Similarity.pqTopK(wdf, wdf.filter(col("vec_id") < 5),
+            "vec_id", "wvec", pqModel, k = 10)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH w AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
-             |    FLOOR(CAST(unnest(embedding) AS DOUBLE) * 512) AS v FROM embeddings),
-             |cb AS (SELECT gj.j, gi.i, gt.t,
-             |    CAST(((gi.i*31 + gt.t*7 + gj.j*13) % 17 - 8) * 16 AS DOUBLE) AS cv
-             |  FROM generate_series(0, 7) AS gj(j), generate_series(0, 15) AS gi(i),
-             |       generate_series(0, 7) AS gt(t)),
-             |d AS (SELECT w.id, cb.j, cb.i, SUM((w.v - cb.cv) * (w.v - cb.cv)) AS d2
-             |  FROM w JOIN cb ON cb.j = w.pos // 8 AND cb.t = w.pos % 8
-             |  GROUP BY 1, 2, 3),
-             |codes AS (SELECT id, j, i AS code FROM (
-             |    SELECT id, j, i, ROW_NUMBER() OVER (PARTITION BY id, j
-             |      ORDER BY d2 ASC, i ASC) AS rn FROM d) WHERE rn = 1),
-             |cn AS (SELECT codes.id, sqrt(SUM(cv * cv)) AS cnorm
-             |  FROM codes JOIN cb ON cb.j = codes.j AND cb.i = codes.code GROUP BY 1),
-             |qn AS (SELECT id, sqrt(SUM(v * v)) AS qnrm FROM w WHERE id < 5 GROUP BY 1),
-             |dots AS (SELECT q.id AS query_id, c.id AS id, SUM(q.v * cb.cv) AS dotpq
-             |  FROM w q
-             |  JOIN codes c ON c.j = q.pos // 8 AND c.id <> q.id
-             |  JOIN cb ON cb.j = c.j AND cb.i = c.code AND cb.t = q.pos % 8
-             |  WHERE q.id < 5 GROUP BY 1, 2),
-             |scored AS (SELECT dots.query_id, dots.id,
-             |    CAST(dotpq AS DOUBLE) / (qn.qnrm * cn.cnorm) AS cos
-             |  FROM dots JOIN qn ON qn.id = dots.query_id
-             |  JOIN cn ON cn.id = dots.id),
-             |ranked AS (SELECT query_id, id, cos,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-             |      ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
-             |  FROM scored)
-             |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 10
-             |ORDER BY query_id, rank""".stripMargin)),
+      Some(PqSql)),
 
     // Watermarked STREAM-STREAM join under the oracle — the last
     // Structured Streaming idiom without a gate (windowed agg q121,
@@ -515,6 +541,25 @@ private[graft] object Batch11 {
             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
           .orderBy("day")
       },
-      Some(CdcSql))
+      Some(CdcSql)),
+
+    // IVF×PQ composed index under the oracle — q125's pattern at the
+    // memory floor: the closed-form-codebook PQ corpus persisted as a
+    // cell-partitioned CODE table (assignment on the raw vector), read
+    // back isin-pruned and ADC-scored identically to pqTopK. nprobe =
+    // nlist probes every cell, so the result must be bit-identical to
+    // q133's and PqSql gates the whole persisted pipeline: encode at
+    // write, hive cell layout, pruned read, lookup-table scoring.
+    // Partial-probe recall + actual partition pruning are FunctionsSpec's.
+    Q("q141_ann_ivf_pq",
+      (s, dir) => {
+        val wdf = pqW(s, dir)
+        val (ivf, path) = IvfPqIndex.forDir(s, dir)
+        graft.functions.Similarity.ivfTopKIndexedPq(path,
+            wdf.filter(col("vec_id") < 5), "vec_id", "wvec",
+            k = 10, nprobe = 4, ivf = ivf, pq = pqModel)
+          .orderBy("query_id", "rank")
+      },
+      Some(PqSql))
   )
 }

@@ -726,16 +726,55 @@ object Similarity {
     }: _*)
   }
 
+  /** Reconstructed norm from a codes column: sqrt of the per-subspace
+    * centroid-norm² lookups (subspaces are disjoint coordinates). */
+  private def pqCnormCol(codes: Column, model: PqModel): Column = {
+    val nrm2 = typedLit(model.centroidNorm2.map(_.toSeq).toSeq)
+    sqrt(aggregate(zip_with(codes, nrm2, (c, t) => element_at(t, c + 1)),
+      lit(0.0), (a, v) => a + v))
+  }
+
   /** The persistable PQ corpus: (id, codes array<int>[m], cnorm) — the
     * reconstructed norm is precomputed at encode so ADC scoring never
     * touches the codebook's vectors again. */
   def pqEncodeTable(df: DataFrame, idCol: String, vecCol: String,
-                    model: PqModel): DataFrame = {
-    val nrm2 = typedLit(model.centroidNorm2.map(_.toSeq).toSeq)
+                    model: PqModel): DataFrame =
     df.select(col(idCol).as("id"), pqEncode(col(vecCol), model).as("codes"))
-      .withColumn("cnorm", sqrt(aggregate(
-        zip_with(col("codes"), nrm2, (c, t) => element_at(t, c + 1)),
-        lit(0.0), (a, v) => a + v)))
+      .withColumn("cnorm", pqCnormCol(col("codes"), model))
+
+  /** IVF×PQ composed index: the routing lever (cell directories, probe
+    * pruning) over the memory FLOOR (m codes + a norm per vector).
+    * Assignment stays on the raw vector, so routing quality is
+    * unquantized — the q125 (IVF×SQ8) design point at ~4× less storage
+    * still. */
+  def writeIvfCorpusPq(corpus: DataFrame, idCol: String, vecCol: String,
+                       ivf: IvfModel, pq: PqModel, path: String): Unit =
+    corpus.select(col(idCol).as("id"),
+        pqEncode(col(vecCol), pq).as("codes"),
+        graft.plans.HashExpressions.nearestCell(vecInput(corpus, vecCol),
+          ivf.unitCentroids).as("cell"))
+      .withColumn("cnorm", pqCnormCol(col("codes"), pq))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Query the PQ code index: probe cells by the raw query vector, prune
+    * to the probed `cell=` directories, and ADC-score the candidate codes
+    * exactly like [[pqTopK]] — at `nprobe = nlist` the result is
+    * bit-identical to pqTopK over the same model, which is how the q141
+    * gate runs q133's oracle verbatim through the persisted index. */
+  def ivfTopKIndexedPq(corpusPath: String, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nprobe: Int, ivf: IvfModel,
+                       pq: PqModel, excludeSelf: Boolean = true): DataFrame = {
+    import graft.plans.HashExpressions.topCells
+    val spark = queries.sparkSession
+    val probed = queries.select(
+        explode(topCells(vecInput(queries, vecCol), ivf.unitCentroids,
+          math.min(nprobe, ivf.nlist))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(corpusPath)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id"), col("codes"), col("cnorm"))
+    pqTopK(queries, queries, idCol, vecCol, pq, k, excludeSelf,
+      codes = Some(codes))
   }
 
   /** PQ cosine top-k via ADC (asymmetric distance computation): each query

@@ -1171,6 +1171,33 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF×SQ8 recall@10 at nprobe 2/8: $recall")
   }
 
+  test("IVF×PQ code index: nprobe=nlist == pqTopK bit-for-bit; pruning; partial probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 8, maxIter = 10)
+    val pq = Similarity.trainPq(emb, "embedding", m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toFile.getPath + "/codes"
+    Similarity.writeIvfCorpusPq(emb, "vec_id", "embedding", ivf, pq, dir)
+    // the persisted table carries m codes + a norm, not vectors
+    val sch = spark.read.parquet(dir).schema
+    assert(sch.fieldNames.toSet == Set("id", "codes", "cnorm", "cell"), sch.fieldNames.toSeq)
+    val queries = emb.filter(col("vec_id") < 5)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = Similarity.ivfTopKIndexedPq(dir, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8, ivf = ivf, pq = pq)
+    val mem = Similarity.pqTopK(emb, queries, "vec_id", "embedding", pq, k = 10)
+    assert(keyed(full) == keyed(mem), "full probe must equal the in-memory ADC scorer exactly")
+    val part = Similarity.ivfTopKIndexedPq(dir, queries, "vec_id", "embedding",
+      k = 10, nprobe = 2, ivf = ivf, pq = pq)
+    val scanPlan = part.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters: [") && scanPlan.contains("cell"),
+      s"cell predicate not pushed:\n$scanPlan")
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ids(part).intersect(ids(mem)).size.toDouble / ids(mem).size
+    assert(recall >= 0.5, s"IVF×PQ recall@10 at nprobe 2/8: $recall")
+  }
+
   test("ivfTopK plan: broadcast probe join and NO dedup aggregate (cells partition the corpus)") {
     val emb = Tables.embeddings(spark, sf)
     val model = Similarity.trainIvf(emb, "embedding", nlist = 4, maxIter = 3)
