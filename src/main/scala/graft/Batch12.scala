@@ -1,0 +1,219 @@
+package graft
+
+import graft.SparkEntry.Q
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 12 (round 11, third session): corpus-pipeline
+  * completions — chunk-level ("line-level") corpus dedup with document
+  * reconstruction, feature-hashed linear classifier inference, the JSONL
+  * source/sink round trip, incremental IVF index maintenance (append a
+  * delta through saved centroids), and incremental exact dedup against a
+  * persisted digest index.
+  */
+private[graft] object Batch12 {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** DuckDB tokenization CTE (Batch8's formulation verbatim — the oracle
+    * image of Text.normalize + Text.tokens). */
+  private val toksCte =
+    """toks AS (SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |    x -> length(x) > 0) AS t
+      |  FROM documents)""".stripMargin
+
+  /** One JSONL copy of documents per fixture dir per JVM (the q131/q136
+    * layout-fixture pattern): saveJsonl once, every q144 run reads it. */
+  private object JsonlDocs {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def forDir(s: SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files.createTempDirectory("graft-jsonl-")
+          .toAbsolutePath.toString + "/documents_jsonl"
+        graft.sources.IO.saveJsonl(Tables.documents(s, dir), path)
+        path
+      })
+  }
+
+  /** One appended IVF index per fixture dir per JVM: train on the full
+    * corpus (deterministic seed), BUILD the index from the even half,
+    * APPEND the odd half through the saved model — the incremental-
+    * maintenance drive q145 queries. */
+  private object AppendedIvf {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    def forDir(s: SparkSession, dir: String): (String, String) =
+      cache.getOrElseUpdate(dir, {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.functions.Similarity.trainIvf(
+          emb, "embedding", nlist = 4, maxIter = 3)
+        val root = java.nio.file.Files.createTempDirectory("graft-ivfapp-")
+          .toAbsolutePath.toString
+        val modelPath = s"$root/model"
+        val corpusPath = s"$root/corpus"
+        graft.functions.Similarity.saveIvf(model, modelPath, s)
+        graft.functions.Similarity.writeIvfCorpus(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          model, corpusPath)
+        val loaded = graft.functions.Similarity.loadIvf(s, modelPath)
+        graft.functions.Similarity.ivfAppendCorpus(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          loaded, corpusPath)
+        (modelPath, corpusPath)
+      })
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Chunk-level corpus dedup (MassiveText/RefinedWeb line-level dedup,
+    // with 16-token windows standing in for lines): any chunk content
+    // seen earlier in the corpus — (doc_id, chunk_id) order — is removed
+    // and each document reconstructed from its survivors. The oracle
+    // re-derives the whole pipeline (q100's chunk grid at stride 16,
+    // first-occurrence window, ordered string_agg reconstruction), so
+    // the gate pins chunk boundaries, the global keep rule, within-doc
+    // repeats, and the reconstruction order; all-dup docs collapse to ''
+    // and zero-token docs pass through with 0 chunks.
+    Q("q142_dedup_chunks",
+      (s, dir) => graft.functions.Dedup.dedupChunks(docs(s, dir),
+          "doc_id", "text", chunkSize = 16)
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+             |meta AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+             |  FROM toks WHERE len(t) > 0),
+             |grid AS (SELECT doc_id, t, n,
+             |    unnest(range(0, GREATEST((n + 15) // 16, 1))) AS chunk_id
+             |  FROM meta),
+             |chunks AS (SELECT doc_id, chunk_id,
+             |    array_to_string(t[chunk_id * 16 + 1 : LEAST(chunk_id * 16 + 16, n)], ' ') AS ct
+             |  FROM grid),
+             |kept AS (SELECT doc_id, chunk_id, ct FROM (
+             |    SELECT doc_id, chunk_id, ct, ROW_NUMBER() OVER (
+             |      PARTITION BY ct ORDER BY doc_id, chunk_id) AS rn FROM chunks)
+             |  WHERE rn = 1),
+             |recon AS (SELECT doc_id,
+             |    string_agg(ct, ' ' ORDER BY chunk_id) AS clean_text,
+             |    CAST(COUNT(*) AS BIGINT) AS n_kept
+             |  FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+             |  FROM chunks GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+             |  COALESCE(tot.n_chunks, 0) AS n_chunks,
+             |  COALESCE(r.n_kept, 0) AS n_kept
+             |FROM documents d
+             |LEFT JOIN tot ON tot.doc_id = d.doc_id
+             |LEFT JOIN recon r ON r.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Feature-hashed linear classifier INFERENCE (the fastText-style
+    // quality-filter shape): each token hashes into one of 2^16 buckets
+    // (salted md5 — the module's portable hash), bucket weights derive by
+    // exact integer arithmetic, the doc score is the exact milli-unit sum
+    // over tokens divided once at the end. The oracle recomputes hash,
+    // bucket, weight, sum, division, and threshold — the entire inference
+    // path is under the gate, not just the decision.
+    Q("q143_hashed_classifier",
+      (s, dir) => {
+        val sc = graft.functions.ML.hashedLinearScore(col("text"),
+          dim = 65536, salt = "m7")
+        docs(s, dir).select(col("doc_id"),
+            sc.getField("n_tokens").as("n_tokens"),
+            sc.getField("w_sum").as("w_sum"),
+            sc.getField("score").as("score"),
+            (sc.getField("score") > 0.0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte,
+             |tw AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+             |w AS (SELECT doc_id,
+             |    (CAST('0x' || substr(md5('m7' || tok), 1, 8) AS BIGINT) % 65536)
+             |      % 100000 * 2654435761 % 1001 - 500 AS wt
+             |  FROM tw),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(wt) AS BIGINT) AS s FROM w GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens,
+             |  COALESCE(a.s, 0) AS w_sum,
+             |  CASE WHEN a.n IS NULL THEN 0.0
+             |       ELSE CAST(a.s AS DOUBLE) / (1000.0 * CAST(a.n AS DOUBLE)) END AS score,
+             |  CASE WHEN a.n IS NULL THEN FALSE
+             |       ELSE CAST(a.s AS DOUBLE) / (1000.0 * CAST(a.n AS DOUBLE)) > 0.0 END AS keep
+             |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // JSONL round trip: documents → saveJsonl → loadJsonl (explicit
+    // schema, PERMISSIVE corrupt-record column) → per-lang aggregate with
+    // a content signature (sum of each text's md5-u32 — order-independent
+    // exact integers), vs the same aggregate over the parquet original.
+    // Green certifies byte-exact text round-tripping through JSON
+    // escaping, schema application, and zero corrupt rows; corrupt-line
+    // HANDLING (a planted bad line landing in the corrupt column, not
+    // killing the read) is IOStreamsSpec's job — no oracle can see a row
+    // the fixture doesn't have.
+    Q("q144_jsonl_roundtrip",
+      (s, dir) => {
+        val path = JsonlDocs.forDir(s, dir)
+        val schema = Tables.documents(s, dir).schema
+        val back = graft.sources.IO.loadJsonl(s, Seq(path), schema)
+        back.groupBy("lang").agg(
+            count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(graft.functions.Sampling.hashU32(col("text"), "")).as("text_sig"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(SUM(CAST('0x' || substr(md5('' || text), 1, 8) AS BIGINT)) AS BIGINT) AS text_sig,
+             |  CAST(0 AS BIGINT) AS n_corrupt
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Incremental IVF index maintenance: the index is BUILT from the even
+    // vec_ids and the odd half APPENDED through the persisted centroids
+    // (ivfAppendCorpus — append-mode write into the cell layout, resident
+    // files untouched; mtime-pinned in FunctionsSpec). nprobe = nlist +
+    // exact scoring make the query exact, so the appended index must
+    // answer q84's full-rebuild oracle VERBATIM — green certifies that
+    // routing a delta through saved centroids lands every row in the cell
+    // a rebuild would give it, end-to-end through the persisted layout.
+    Q("q145_ivf_append",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (modelPath, corpusPath) = AppendedIvf.forDir(s, dir)
+        val model = graft.functions.Similarity.loadIvf(s, modelPath)
+        graft.functions.Similarity.ivfTopKIndexed(corpusPath,
+            emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+            "vec_id", "embedding", k = 7, nprobe = 4, model = model,
+            excludeSelf = true, exact = true)
+          .orderBy("query_id", "rank")
+      },
+      Some(Batch6.IvfExactSql)),
+
+    // Incremental exact dedup against a persisted digest index: batch 1 =
+    // the corpus, batch 2 = the corpus RE-KEYED (doc_id + 10000 — every
+    // text a duplicate of something already admitted). Batch 1 must keep
+    // exactly the one-shot first-occurrence set; batch 2 must come back
+    // EMPTY — every decision made against the 32-byte digest index, the
+    // corpus text never re-read. A fresh index per invocation keeps the
+    // query self-contained (re-runs don't see a grown index).
+    Q("q146_dedup_incremental",
+      (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("graft-dedupidx-")
+          .toAbsolutePath.toString + "/digests"
+        val d = docs(s, dir)
+        val s1 = graft.functions.Dedup.exactIncremental(
+          d, "doc_id", "text", idx)
+        val s2 = graft.functions.Dedup.exactIncremental(
+          d.withColumn("doc_id", col("doc_id") + 10000), "doc_id", "text", idx)
+        s1.select(lit(1L).as("batch"), col("doc_id"))
+          .union(s2.select(lit(2L).as("batch"), col("doc_id")))
+          .orderBy("batch", "doc_id")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM (
+             |  SELECT doc_id, ROW_NUMBER() OVER (
+             |    PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+             |    ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn = 1
+             |ORDER BY batch, doc_id""".stripMargin))
+  )
+}

@@ -14,6 +14,29 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Batch6 {
 
+  /** q84's exact-IVF oracle (nprobe = nlist degenerates the index to
+    * brute-force over the fix9/decimal image). Shared verbatim by q145:
+    * an index built on half the corpus and APPENDED with the other half
+    * must answer identically to this full-rebuild derivation. */
+  private[graft] val IvfExactSql: String =
+    """WITH e AS (SELECT vec_id AS id,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
+      |  FROM embeddings),
+      |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm FROM e GROUP BY 1),
+      |dots AS (SELECT q.id AS query_id, c.id AS id, SUM(q.vd * c.vd) AS dotd
+      |  FROM e q JOIN e c ON q.pos = c.pos AND q.id >= 5 AND q.id < 10 AND c.id <> q.id
+      |  GROUP BY 1, 2),
+      |scored AS (SELECT dots.query_id, dots.id,
+      |    CAST(dotd AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+      |  FROM dots JOIN norms nq ON nq.id = dots.query_id
+      |  JOIN norms nc ON nc.id = dots.id),
+      |ranked AS (SELECT query_id, id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 7
+      |ORDER BY query_id, rank""".stripMargin
+
   /** One persisted IVF index per fixture dir per JVM — the "train once,
     * query forever" production shape q84 exercises: trainIvf → saveIvf +
     * writeIvfCorpus into a temp dir at first use; every subsequent q84
@@ -209,23 +232,7 @@ private[graft] object Batch6 {
             excludeSelf = true, exact = true)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id AS id,
-             |    generate_subscripts(embedding, 1) - 1 AS pos,
-             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
-             |  FROM embeddings),
-             |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm FROM e GROUP BY 1),
-             |dots AS (SELECT q.id AS query_id, c.id AS id, SUM(q.vd * c.vd) AS dotd
-             |  FROM e q JOIN e c ON q.pos = c.pos AND q.id >= 5 AND q.id < 10 AND c.id <> q.id
-             |  GROUP BY 1, 2),
-             |scored AS (SELECT dots.query_id, dots.id,
-             |    CAST(dotd AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
-             |  FROM dots JOIN norms nq ON nq.id = dots.query_id
-             |  JOIN norms nc ON nc.id = dots.id),
-             |ranked AS (SELECT query_id, id, cos,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
-             |  FROM scored)
-             |SELECT query_id, rank, id, cos FROM ranked WHERE rank <= 7
-             |ORDER BY query_id, rank""".stripMargin)),
+      Some(IvfExactSql)),
 
     // Multimodal frame sampling THROUGH the flatMap/UDTF shape: payloads
     // chunked into 256-byte frames, every 2nd frame emitted with its

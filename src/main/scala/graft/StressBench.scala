@@ -312,6 +312,32 @@ object StressBench {
           lit(" hotaa hotbb hotcc")).as("text"))
       bench.repartition(8).write.mode("overwrite").parquet(s"$root/bench_sparse")
     }
+    if (!java.nio.file.Files.exists(fs.resolve("docs_chunkhot/_SUCCESS"))) {
+      // chunk-dedup hot-chunk fixture: 1M docs that all OPEN with the same
+      // 16-token boilerplate header (aligned at chunk 0 — the realistic
+      // shape: licenses, nav bars, scraper banners), followed by 8
+      // hash-unique tokens. At chunkSize=16 the header is ONE chunk with
+      // df = 1M while every tail chunk is unique — the output-skew shape
+      // the firsts-selection strategy has to survive (2M chunk rows, half
+      // of them landing on a single digest).
+      val header = (0 until 16).map(i => f"boiler$i%02d").mkString(" ")
+      val hot = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat(lit(header), lit(" "),
+          concat_ws(" ", (0 until 8).map(p =>
+            hex(xxhash64(col("id"), lit(p)))): _*)).as("text"))
+      hot.repartition(32).write.mode("overwrite").parquet(s"$root/docs_chunkhot")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("docs_chunkhot2/_SUCCESS"))) {
+      // the PATHOLOGICAL profile: 8M docs that are NOTHING BUT the same
+      // 16-token boilerplate — one digest owning all 8M chunk rows. This
+      // is the pure-skew bracket for the firsts-selection strategy: the
+      // window formulation must sort all 8M occurrences in ONE task,
+      // while the aggregate collapses them map-side and the join's hot
+      // probe partition is AQE-splittable.
+      val header = (0 until 16).map(i => f"boiler$i%02d").mkString(" ")
+      spark.range(8000000L).select(col("id").as("doc_id"), lit(header).as("text"))
+        .repartition(32).write.mode("overwrite").parquet(s"$root/docs_chunkhot2")
+    }
     if (!java.nio.file.Files.exists(fs.resolve("edges_stress/_SUCCESS"))) {
       // 4M edges just inside the 5M driver-union-find gate: 8-node chain
       // blocks (7 edges each, diameter 7), so the distributed path pays
@@ -495,7 +521,27 @@ object StressBench {
       // the salted fix in its regime: same hot fixture, 1 h buckets →
       // the hot key's sort spreads across ~720 bucket tasks and the
       // sequential part shrinks to the per-key partial-merge
-      "sessions_hot_salted" -> (() => sessionsSaltedArm(spark)))
+      "sessions_hot_salted" -> (() => sessionsSaltedArm(spark)),
+      // chunk-dedup firsts-selection strategy on the boilerplate-header
+      // fixture (round 11): the aggregate+join form (hot digest collapses
+      // map-side; the residual skewed join partition is AQE-splittable)
+      // vs the window-over-digest (hot chunk's occurrence list sorts in
+      // ONE task). The window WON both profiles locally — including the
+      // 8M-deep pure-skew bracket — so it is the operator default and
+      // aggFirsts is the documented beyond-local escape hatch.
+      "chunkdedup_agg" -> (() => graft.functions.Dedup.dedupChunks(
+        spark.read.parquet(s"$root/docs_chunkhot"), "doc_id", "text",
+        chunkSize = 16, aggFirsts = true)),
+      "chunkdedup_window" -> (() => graft.functions.Dedup.dedupChunks(
+        spark.read.parquet(s"$root/docs_chunkhot"), "doc_id", "text",
+        chunkSize = 16)),
+      // the pure-skew bracket: one digest owns ALL 8M chunk rows
+      "chunkdedup_allhot_agg" -> (() => graft.functions.Dedup.dedupChunks(
+        spark.read.parquet(s"$root/docs_chunkhot2"), "doc_id", "text",
+        chunkSize = 16, aggFirsts = true)),
+      "chunkdedup_allhot_window" -> (() => graft.functions.Dedup.dedupChunks(
+        spark.read.parquet(s"$root/docs_chunkhot2"), "doc_id", "text",
+        chunkSize = 16)))
 
     // Cold-cache arms: page cache dropped before EVERY iteration
     // (warmup included), making the scan IO-bound — the local analog of

@@ -20,6 +20,126 @@ object Dedup {
       .groupBy(sha2(col("__norm"), 256).as("text_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** Chunk-level exact dedup across the whole corpus — the MassiveText /
+    * RefinedWeb "line-level dedup" shape, with fixed `chunkSize`-token
+    * windows (stride = chunkSize, via [[Text.chunkTokens]]) standing in
+    * for lines (this corpus has no line structure). Any chunk whose
+    * content appeared EARLIER in the corpus — earlier = smaller
+    * (id, chunk_id), a total order — is removed (within-doc repeats
+    * included), and each document's text is reconstructed from its
+    * surviving chunks in order. Returns (id, clean_text, n_chunks,
+    * n_kept); docs whose every chunk was seen before collapse to "".
+    *
+    * Scale shape: chunking is a narrow flatMap riding the scan, and the
+    * only wide exchange carries (digest, id, chunk_id) — small fixed-size
+    * rows, never the text. Chunk identity is a 256-bit digest (collisions
+    * cryptographically impossible — the [[exact]] argument).
+    *
+    * First-occurrence selection — MEASURED choice (chunkdedup stress
+    * arms, 2M/8M chunk rows, median of 5): the default is a ROW_NUMBER
+    * window over the digest (one exchange + one sort), which beat the
+    * skew-safe aggregate+join formulation on BOTH measured profiles —
+    * zipf-ish (1M unique + 1M-deep hot chunk): 3.21 vs 3.85 s; pure-skew
+    * (ONE digest owning all 8M rows): 7.51 vs 9.02 s, disjoint bands.
+    * Even an 8M-deep hot partition sorts in one task faster than the
+    * aggregate branch pays for its checkpoint + join-back. `aggFirsts =
+    * true` keeps the aggregate+join form (map-side-combined
+    * `groupBy(digest).min(struct)` + AQE-splittable join) for the regime
+    * local hardware cannot bracket: a boilerplate chunk whose occurrence
+    * list exceeds what one task can sort/spill in acceptable time
+    * (10⁸–10⁹ df at 100 TB — the same output-skew family as `maxDF`,
+    * but here the local crossover was never reached, so the window
+    * stays the default; contrast with asofJoinSalted, whose crossover
+    * IS locally bracketed). */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, aggFirsts: Boolean = false): DataFrame = {
+    val id = col(idCol)
+    val narrowPlan = Text.chunkTokens(df, idCol, textCol, chunkSize)
+      .select(id, col("chunk_id"), sha2(col("chunk_text"), 256).as("__h"))
+    val kept =
+      if (!aggFirsts) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h")).orderBy(id.asc, col("chunk_id").asc)
+        narrowPlan.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select(id, col("chunk_id"))
+      } else {
+        // shared: this branch references the chunk+digest pass twice
+        // (firsts build + join probe) with NO exchange between them, so
+        // without the checkpoint the whole projection runs twice
+        // end-to-end (ReuseExchange has nothing to reuse) — measured
+        // 15.3 → 10.3 s on the all-hot stress arm (pre-fusion numbers);
+        // the window branch reads the pass once and is NOT checkpointed
+        val narrow = shared(narrowPlan)
+        val firsts = narrow.groupBy(col("__h"))
+          .agg(min(struct(id.as("i"), col("chunk_id").as("c"))).as("__first"))
+        narrow.join(firsts, "__h")
+          .filter(id === col("__first.i") && col("chunk_id") === col("__first.c"))
+          .select(id, col("chunk_id"))
+      }
+    // fused assembly: ONE re-chunk pass, flagged by a left join against
+    // the kept set, then ONE groupBy(id) computing totals, kept count,
+    // and the reconstruction together (collect_list drops the null
+    // entries the `when` leaves on removed chunks). The first draft ran
+    // a semi-join reconstruction plus a SEPARATE totals pass and a
+    // three-way assembly join — two extra chunk passes/exchanges;
+    // fusing measured 3.39 → 3.05 s (zipf) / 9.88 → 7.11 s (all-hot)
+    // on the window path of the chunkdedup stress arms (5.38 → 3.56 /
+    // 10.28 → 8.85 on the aggFirsts path).
+    val rechunk = Text.chunkTokens(df, idCol, textCol, chunkSize)
+    val flagged = rechunk.join(kept.withColumn("__keep", lit(1)),
+      Seq(idCol, "chunk_id"), "left")
+    val perDoc = flagged.groupBy(id).agg(
+      count(lit(1)).as("n_chunks"),
+      coalesce(sum(col("__keep")), lit(0)).cast("long").as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("__keep") === 1,
+          struct(col("chunk_id"), col("chunk_text"))))),
+        s => s.getField("chunk_text"))).as("clean_text"))
+    df.select(id)
+      .join(perDoc, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Incremental exact dedup — the continuous-ingest production shape:
+    * dedup a DELTA batch against a persisted DIGEST index instead of
+    * re-scanning corpus text (a one-shot [[exact]] over corpus+delta
+    * re-reads 100 TB to admit a 100 GB day; this reads only the delta and
+    * an index of 32-byte digests, ~10⁻⁴ of the corpus bytes). Two stages:
+    * within-batch first-occurrence (map-side-combined groupBy(digest) →
+    * min id, the [[exact]] shuffle at delta size) then a LEFT ANTI join
+    * against the index — survivors keep every delta column, and their
+    * digests are APPENDED to the index so the next delta sees them
+    * (bootstrap: a missing index admits everything). At 100 TB store the
+    * index bucketed by digest ([[graft.sources.IO.saveBucketed]]) and the
+    * anti-join's index side needs no shuffle; plain parquet keeps this
+    * operator path-only. The result is local-checkpointed BEFORE the
+    * index append — the returned frame must not lazily re-read the index
+    * it just grew (re-evaluation would anti-join survivors against their
+    * own digests and return nothing). Processing batches in id order
+    * makes the keep-set identical to one-shot [[exact]] over the
+    * concatenation — q146's gate. */
+  def exactIncremental(delta: DataFrame, idCol: String, textCol: String,
+                       indexPath: String): DataFrame = {
+    val spark = delta.sparkSession
+    val d = delta.withColumn("__h", sha2(Text.normalize(col(textCol)), 256))
+    val firsts = d.groupBy(col("__h")).agg(min(col(idCol)).as("__first_id"))
+    val within = d.join(firsts, "__h")
+      .filter(col(idCol) === col("__first_id")).drop("__first_id")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+    val survivors =
+      if (hasIndex)
+        within.join(spark.read.parquet(indexPath), Seq("__h"), "left_anti")
+      else within
+    val out = survivors.localCheckpoint()
+    out.select(col("__h")).write.mode("append").parquet(indexPath)
+    out.drop("__h")
+  }
+
   /** Word n-gram shingles of the normalized text (distinct set,
     * first-occurrence order). Docs with fewer than n tokens yield no
     * shingles. Native one-pass expression: the HOF formulation (kept below

@@ -131,4 +131,42 @@ object ML {
     if (cat.nonEmpty) input = input.na.fill(MissingCategory, cat)
     featurePipeline(input, hints).fit(input).transform(input)
   }
+
+  /** Weight of one token under the feature-hashed linear model: the token
+    * hashes into one of `dim` buckets (salted md5, [[Sampling.hashU32]] —
+    * the engine-portable hash this module uses for every deterministic
+    * gate), and the bucket's weight is derived by exact integer
+    * arithmetic, in [-500, 500] milli-units. A deployed model would load
+    * trained bucket weights from a table instead; the derived weights
+    * keep the INFERENCE path — hash, bucket, weight lookup, exact
+    * accumulation — fully oracle-checkable. */
+  def hashedTokenWeight(tok: org.apache.spark.sql.Column, dim: Int,
+                        salt: String): org.apache.spark.sql.Column = {
+    val b = Sampling.hashU32(tok, salt) % dim
+    (b % 100000L) * 2654435761L % 1001L - 500L
+  }
+
+  /** Feature-hashed linear text classifier INFERENCE — the fastText-style
+    * quality-filter shape every large curation pipeline runs (hash each
+    * token into a fixed-dim bucket, sum the bucket weights, threshold the
+    * mean): returns struct(n_tokens, w_sum, score) where `score` =
+    * w_sum / (1000·n_tokens) ∈ [-0.5, 0.5] (0.0 for empty docs).
+    *
+    * Pure per-row Column expression — no shuffle, no model broadcast,
+    * rides the scan at 100 TB. Accumulation is exact integer milli-units
+    * (a double sum would be order-dependent); the score's only rounding
+    * is the final single division, identical in any IEEE engine. At
+    * production scale the md5 bucket hash would be swapped for xxhash64
+    * (~6× cheaper, engine-specific); md5 is the cross-engine contract the
+    * correctness gate needs. */
+  def hashedLinearScore(text: org.apache.spark.sql.Column, dim: Int,
+                        salt: String): org.apache.spark.sql.Column = {
+    val t = Text.tokens(text)
+    val n = size(t).cast("long")
+    val s = aggregate(t, lit(0L), (acc, tok) => acc + hashedTokenWeight(tok, dim, salt))
+    struct(n.as("n_tokens"), s.as("w_sum"),
+      when(n === 0L, lit(0.0))
+        .otherwise(s.cast("double") / (lit(1000.0) * n.cast("double")))
+        .as("score"))
+  }
 }

@@ -582,6 +582,30 @@ object Similarity {
           model.unitCentroids).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental index MAINTENANCE: route and append a delta batch into an
+    * existing [[writeIvfCorpus]] layout without touching resident data —
+    * the delta's rows are assigned cells and written in append mode, so
+    * new files land inside (or create) exactly the `cell=` directories the
+    * delta routes to and existing files are never read or rewritten:
+    * maintenance cost ∝ delta, not corpus (the CDC-upsert argument, q134,
+    * applied to the ANN index). Cell assignment is a pure function of
+    * (vector, centroids), so an appended row lands in the cell a full
+    * rebuild would give it and a query through [[ivfTopKIndexed]] cannot
+    * distinguish appended from rebuilt (q145 gates build-half +
+    * append-half against q84's full-rebuild oracle verbatim; the
+    * untouched-file claim is mtime-pinned in FunctionsSpec). Contract:
+    * `model` MUST be the centroids the index was built with — routing a
+    * delta through retrained centroids splits the index across two
+    * clusterings; persist the model next to the index ([[saveIvf]]) and
+    * load it for every delta. Compaction of append-accumulated small
+    * files is [[graft.sources.IO.compactPartitions]]. */
+  def ivfAppendCorpus(delta: DataFrame, idCol: String, vecCol: String,
+                      model: IvfModel, path: String): Unit =
+    delta.select(col(idCol).as("id"), col(vecCol).as("cv"),
+        graft.plans.HashExpressions.nearestCell(vecInput(delta, vecCol),
+          model.unitCentroids).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Query the written IVF index: the probed-cell set across the query set
     * (≤ nlist ints — driver-safe by construction) becomes ONE `isin`
     * partition predicate, so the scan reads only the probed `cell=`

@@ -184,6 +184,36 @@ object IO {
     paths.map(p => loadtable(spark, Seq(p), opts).df)
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** JSON-lines source — one JSON object per line, the de-facto
+    * interchange format of LLM corpus pipelines (each line a document).
+    * Schema is caller-supplied (an inference pass over 100 TB of JSONL
+    * would read everything twice); reads are PERMISSIVE with a corrupt-
+    * record column, so a malformed line lands as a row with `corruptCol`
+    * set instead of failing the job — at corpus scale some lines are
+    * always broken, and dropping them must be an explicit, countable
+    * filter, not a crash or a silent skip. Like all Spark file sources
+    * the scan splits by file (and within uncompressed files by range), so
+    * a directory of .jsonl shards parallelizes across the cluster. */
+  def loadJsonl(spark: SparkSession, paths: Seq[String],
+                schema: org.apache.spark.sql.types.StructType,
+                corruptCol: String = "_corrupt_record"): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains(corruptCol)) schema
+      else schema.add(corruptCol, org.apache.spark.sql.types.StringType, nullable = true)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(paths: _*)
+  }
+
+  /** JSON-lines sink (one object per line, UTF-8; keys = column names).
+    * Standard JSON string escaping round-trips any text byte-exactly —
+    * q144 gates the full parquet→jsonl→parquet round trip by content
+    * hash. */
+  def saveJsonl(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").json(dir)
+
   /** `save(t, dir)` — columnar persist. The pkey sort order is preserved
     * within files; at cluster scale add `.bucketBy` on the pkey to make
     * re-reads shuffle-free for pkey joins/groupBys. */

@@ -1603,4 +1603,126 @@ class FunctionsSpec extends SparkSpec {
       (3L, "apple", 1L, 2L, 1.5), (3L, "cherry", 3L, 2L, 4.5))
     assert(got.toSeq == want, got.mkString("; "))
   }
+
+  test("dedupChunks: golden keep-first, within-doc repeats, all-dup collapse, empty doc") {
+    val docs = Seq(
+      (1L, "a b c d"),    // chunks [a b][c d] — both first occurrences
+      (2L, "a b x y"),    // [a b] seen in doc 1 → removed; [x y] kept
+      (3L, "c d"),        // [c d] seen → collapses to ""
+      (4L, ""),           // zero tokens → 0 chunks, ""
+      (5L, "p q p q"),    // within-doc repeat: 2nd [p q] removed
+      (6L, "z")           // short tail chunk, unique
+    ).toDF("doc_id", "text")
+    partitionSweep { n =>
+      val got = Dedup.dedupChunks(docs.repartition(n), "doc_id", "text", chunkSize = 2)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == Seq(
+        (1L, "a b c d", 2L, 2L),
+        (2L, "x y", 2L, 1L),
+        (3L, "", 1L, 0L),
+        (4L, "", 0L, 0L),
+        (5L, "p q", 2L, 1L),
+        (6L, "z", 1L, 1L)), got.mkString("; "))
+      // the aggregate+join formulation (the beyond-local-skew escape
+      // hatch; StressBench contrast arm) is semantically identical
+      val agg = Dedup.dedupChunks(docs.repartition(n), "doc_id", "text",
+          chunkSize = 2, aggFirsts = true)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(agg == got, "aggFirsts diverged from the window default")
+      got
+    }
+  }
+
+  test("hashedLinearScore: exact vs a driver-side model; bounds; discrimination") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val got = docs.select(col("doc_id"), col("text"),
+        ML.hashedLinearScore(col("text"), dim = 65536, salt = "m7").as("r"))
+      .select(col("doc_id"), col("text"), col("r.n_tokens"), col("r.w_sum"), col("r.score"))
+      .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(s: String): Long = {
+      val h = md.digest(("m7" + s).getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    var kept, dropped = 0
+    got.foreach { r =>
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val ws = toks.map(t => (u32(t) % 65536) % 100000L * 2654435761L % 1001L - 500L).sum
+      assert(r.getLong(2) == toks.length, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getLong(3) == ws, s"doc ${r.getLong(0)} w_sum ${r.getLong(3)} vs $ws")
+      val score = r.getDouble(4)
+      assert(math.abs(score) <= 0.5)
+      if (toks.nonEmpty)
+        assert(score == ws.toDouble / (1000.0 * toks.length), s"doc ${r.getLong(0)} score")
+      if (score > 0.0) kept += 1 else dropped += 1
+    }
+    // a mean-zero hashed model must split a 100-doc corpus, not rubber-stamp it
+    assert(kept > 10 && dropped > 10, s"no discrimination: $kept kept, $dropped dropped")
+    // empty text scores 0 with 0 tokens
+    val e = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+      .select(ML.hashedLinearScore(col("text"), 65536, "m7").as("r"))
+      .select(col("r.n_tokens"), col("r.w_sum"), col("r.score")).collect()
+    e.foreach(r => assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((0L, 0L, 0.0))))
+  }
+
+  test("ivfAppendCorpus: resident files untouched (mtime/length), appended index == rebuilt") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.trainIvf(emb, "embedding", nlist = 4, maxIter = 3)
+    val root = java.nio.file.Files.createTempDirectory("ivfapp-spec-").toFile
+    val appended = s"${root.getAbsolutePath}/appended"
+    val rebuilt = s"${root.getAbsolutePath}/rebuilt"
+    Similarity.writeIvfCorpus(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", model, appended)
+    def files(dir: String): Map[String, (Long, Long)] = {
+      val b = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(b).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (b.relativize(p).toString,
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis, java.nio.file.Files.size(p))))
+        .toMap
+    }
+    val before = files(appended)
+    assert(before.nonEmpty)
+    Thread.sleep(20) // make an illegal rewrite visible in mtime
+    Similarity.ivfAppendCorpus(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", model, appended)
+    val after = files(appended)
+    // every pre-append file still present, byte-identical metadata
+    before.foreach { case (name, meta) =>
+      assert(after.get(name).contains(meta), s"resident file $name was rewritten") }
+    assert(after.size > before.size, "append added no files")
+    // the appended index answers exactly like a from-scratch build
+    Similarity.writeIvfCorpus(emb, "vec_id", "embedding", model, rebuilt)
+    val q = emb.filter(col("vec_id") < 5)
+    def top(path: String) = Similarity.ivfTopKIndexed(path, q, "vec_id", "embedding",
+        k = 5, nprobe = 4, model = model, exact = true)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(top(appended) == top(rebuilt))
+  }
+
+  test("exactIncremental: within-batch min-id, index lookups, append survives re-read") {
+    val idx = java.nio.file.Files.createTempDirectory("dedupidx-spec-")
+      .toAbsolutePath.toString + "/digests"
+    val b1 = Seq((3L, "Hello  World"), (1L, "hello world"), (2L, "fresh one"))
+      .toDF("id", "text") // ids 1,3 normalize equal → min id 1 survives
+    val s1 = Dedup.exactIncremental(b1, "id", "text", idx)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(s1.toSeq == Seq(1L, 2L))
+    val b2 = Seq((10L, "HELLO WORLD"), (11L, "brand new"), (12L, "fresh one"))
+      .toDF("id", "text") // 10, 12 already indexed; 11 is new
+    val s2 = Dedup.exactIncremental(b2, "id", "text", idx)
+    assert(s2.select("id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    // the checkpoint guard: s2 must stay stable AFTER its own digests were
+    // appended (a lazy plan would anti-join them against themselves → empty)
+    val b3 = Seq((20L, "brand new")).toDF("id", "text")
+    assert(Dedup.exactIncremental(b3, "id", "text", idx).count() == 0L)
+    assert(s2.count() == 1L)
+    // index holds one digest per distinct text, nothing double-counted
+    val distinctDigests = spark.read.parquet(idx).distinct().count()
+    assert(spark.read.parquet(idx).count() == 3L && distinctDigests == 3L)
+  }
 }

@@ -666,4 +666,41 @@ class IOStreamsSpec extends SparkSpec {
     val keys = out.collect().map(_.getString(0)).sorted.toSeq
     assert(keys == Seq("a", "b"))
   }
+
+  test("loadJsonl: corrupt line isolated, not fatal; adversarial text round-trips byte-exact") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toFile
+    // hand-authored shard: 2 good lines, 1 broken line in the middle
+    val f = new java.io.File(dir, "part-0.jsonl")
+    Files.writeString(f.toPath,
+      """{"id": 1, "text": "ok line"}
+        |{"id": 2, "text": BROKEN
+        |{"id": 3, "text": "also ok"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val got = IO.loadJsonl(spark, Seq(f.getAbsolutePath), schema)
+      .orderBy("id").collect()
+    assert(got.length == 3)
+    val corrupt = got.filter(!_.isNullAt(2))
+    assert(corrupt.length == 1 && corrupt.head.getString(2).contains("BROKEN"),
+      "broken line must land in _corrupt_record, not kill the read")
+    assert(got.filter(_.isNullAt(2)).map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "ok line"), (3L, "also ok")))
+    // save→load round trip of text JSON must escape: quotes, backslashes,
+    // newlines/tabs, unicode, control chars
+    val nasty = Seq(
+      (1L, "plain"),
+      (2L, "with \"quotes\" and \\backslash\\"),
+      (3L, "line\nbreak\tand tab"),
+      (4L, "unicode: é中文 😀"),
+      (5L, "ctrl: end")).toDF("id", "text")
+    val rt = new java.io.File(dir, "roundtrip").getAbsolutePath
+    IO.saveJsonl(nasty, rt)
+    val back = IO.loadJsonl(spark, Seq(rt),
+        StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == nasty.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
 }
