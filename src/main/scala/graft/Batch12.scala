@@ -208,12 +208,93 @@ private[graft] object Batch12 {
           .union(s2.select(lit(2L).as("batch"), col("doc_id")))
           .orderBy("batch", "doc_id")
       },
-      Some("""SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM (
-             |  SELECT doc_id, ROW_NUMBER() OVER (
-             |    PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
-             |    ORDER BY doc_id) AS rn
-             |  FROM documents)
-             |WHERE rn = 1
-             |ORDER BY batch, doc_id""".stripMargin))
+      Some(IncrementalSql)),
+
+    // TRUE line-level dedup (alignment-free — the fixed-window q142 form
+    // only catches chunk-aligned duplicates): the corpus has no line
+    // structure, so the fixture synthesizes it deterministically in BOTH
+    // engines — every standalone token "the" becomes a newline — and
+    // dedupLines removes every line whose exact content appeared earlier
+    // anywhere in the corpus, then reassembles with the delimiter. The
+    // md5 gate (q94 precedent: the driver's row hash mishandles embedded
+    // newlines) pins the surviving line set, their order, and the
+    // delimiter placement.
+    Q("q147_dedup_lines",
+      (s, dir) => {
+        val lined = docs(s, dir).withColumn("text",
+          regexp_replace(col("text"), "\\bthe\\b", "\n"))
+        graft.functions.Dedup.dedupLines(lined, "doc_id", "text", delim = "\n")
+          .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+            col("n_chunks"), col("n_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH lined AS (SELECT doc_id,
+             |    regexp_replace(text, '\bthe\b', chr(10), 'g') AS text FROM documents),
+             |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined),
+             |raw AS (SELECT doc_id, unnest(arr) AS line,
+             |    generate_subscripts(arr, 1) AS pos FROM ls),
+             |lines AS (SELECT doc_id, line,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS line_id
+             |  FROM raw WHERE length(line) > 0),
+             |kept AS (SELECT doc_id, line_id, line FROM (
+             |    SELECT doc_id, line_id, line, ROW_NUMBER() OVER (
+             |      PARTITION BY line ORDER BY doc_id, line_id) AS rn FROM lines)
+             |  WHERE rn = 1),
+             |recon AS (SELECT doc_id,
+             |    string_agg(line, chr(10) ORDER BY line_id) AS clean_text,
+             |    CAST(COUNT(*) AS BIGINT) AS n_kept
+             |  FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+             |  FROM lines GROUP BY doc_id)
+             |SELECT d.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_md5,
+             |  COALESCE(tot.n_chunks, 0) AS n_chunks,
+             |  COALESCE(r.n_kept, 0) AS n_kept
+             |FROM documents d
+             |LEFT JOIN tot ON tot.doc_id = d.doc_id
+             |LEFT JOIN recon r ON r.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // STREAMING incremental dedup under q146's oracle verbatim: the same
+    // two-batch drive (corpus, then the re-keyed corpus) delivered as
+    // MemoryStream micro-batches through Streams.dedupSink — foreachBatch
+    // runs exactIncremental against the PERSISTED digest index and lands
+    // survivors tagged with their batch number. Green certifies the
+    // batch/stream paths share one semantics: batch 1 keeps the one-shot
+    // first-occurrence set, batch 2 is rejected row-for-row by index
+    // lookups that survived the micro-batch boundary on disk.
+    Q("q148_stream_dedup_sink",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        val root = java.nio.file.Files.createTempDirectory("graft-sdedup-")
+          .toAbsolutePath.toString
+        val rows = docs(s, dir).select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val ms = MemoryStream[(Long, String)](s)
+        val q = graft.streaming.Streams.dedupSink(
+            ms.toDS().toDF("doc_id", "text"), "doc_id", "text",
+            s"$root/digests", s"$root/survivors")
+          .option("checkpointLocation", s"$root/ckpt").start()
+        try {
+          ms.addData(rows.toSeq); q.processAllAvailable()
+          ms.addData(rows.toSeq.map { case (id, t) => (id + 10000L, t) })
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(s"$root/survivors")
+          .select(col("batch"), col("doc_id")).orderBy("batch", "doc_id")
+      },
+      Some(IncrementalSql))
   )
+
+  /** q146/q148 shared oracle: the one-shot first-occurrence keep set,
+    * batch-1-tagged (the re-keyed second batch must contribute nothing).
+    * A def: referenced from `queries`, which initializes first. */
+  private def IncrementalSql: String =
+    """SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (
+      |    PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |    ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1
+      |ORDER BY batch, doc_id""".stripMargin
 }

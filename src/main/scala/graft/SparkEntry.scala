@@ -356,8 +356,11 @@ object SparkEntry {
     "q104_dedup_jaccard_capped", "q67_embed_pairs_lsh", "q84_ivf_topk",
     "q105_featuremat",
     // round-11 additions: the SQ8-quantized ANN path (train + encode +
-    // decode + exact-decimal scoring, end-to-end per run) and the
+    // decode + exact-decimal scoring, end-to-end per run), the
     // single-shuffle sessionization pipeline (boundary window + running
-    // index + per-session agg sharing one hash exchange)
-    "q124_ann_sq8", "q129_sessionize")
+    // index + per-session agg sharing one hash exchange), and the
+    // chunk-level corpus dedup + reconstruction (q142 — the line-dedup
+    // family's bench line, covering the digest window, the flagged
+    // re-chunk join, and the fused reconstruction aggregate)
+    "q124_ann_sq8", "q129_sessionize", "q142_dedup_chunks")
 }

@@ -52,9 +52,37 @@ object Dedup {
     * stays the default; contrast with asofJoinSalted, whose crossover
     * IS locally bracketed). */
   def dedupChunks(df: DataFrame, idCol: String, textCol: String,
-                  chunkSize: Int, aggFirsts: Boolean = false): DataFrame = {
+                  chunkSize: Int, aggFirsts: Boolean = false): DataFrame =
+    dedupUnits(df, d => Text.chunkTokens(d, idCol, textCol, chunkSize),
+      idCol, sep = " ", aggFirsts)
+
+  /** TRUE line-level dedup — [[dedupChunks]]'s semantics over natural
+    * units: the text splits on a literal `delim` (newline for real line
+    * structure; any document separator works), empty units drop, and
+    * every line whose exact content appeared earlier in the corpus is
+    * removed before the document is reassembled with the same delimiter.
+    * Unlike the fixed-window form this is alignment-free — a duplicated
+    * line is caught wherever it sits in the document — which is why
+    * MassiveText-style pipelines run line-level first and fixed windows
+    * only where line structure is absent. Same engine, same measured
+    * firsts-selection default, same gates ([[dedupChunks]] scaladoc). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 delim: String = "\n", aggFirsts: Boolean = false): DataFrame =
+    dedupUnits(df, { d =>
+      val arr = filter(split(col(textCol),
+        java.util.regex.Pattern.quote(delim)), l => length(l) > 0)
+      d.select(col(idCol), posexplode(arr))
+        .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+          col("col").as("chunk_text"))
+    }, idCol, sep = delim, aggFirsts)
+
+  /** Shared engine of [[dedupChunks]]/[[dedupLines]]: `unitsOf` must
+    * produce (idCol, chunk_id: long, chunk_text) rows from the source. */
+  private def dedupUnits(df: DataFrame, unitsOf: DataFrame => DataFrame,
+                         idCol: String, sep: String,
+                         aggFirsts: Boolean): DataFrame = {
     val id = col(idCol)
-    val narrowPlan = Text.chunkTokens(df, idCol, textCol, chunkSize)
+    val narrowPlan = unitsOf(df)
       .select(id, col("chunk_id"), sha2(col("chunk_text"), 256).as("__h"))
     val kept =
       if (!aggFirsts) {
@@ -85,13 +113,13 @@ object Dedup {
     // fusing measured 3.39 → 3.05 s (zipf) / 9.88 → 7.11 s (all-hot)
     // on the window path of the chunkdedup stress arms (5.38 → 3.56 /
     // 10.28 → 8.85 on the aggFirsts path).
-    val rechunk = Text.chunkTokens(df, idCol, textCol, chunkSize)
+    val rechunk = unitsOf(df)
     val flagged = rechunk.join(kept.withColumn("__keep", lit(1)),
       Seq(idCol, "chunk_id"), "left")
     val perDoc = flagged.groupBy(id).agg(
       count(lit(1)).as("n_chunks"),
       coalesce(sum(col("__keep")), lit(0)).cast("long").as("n_kept"),
-      concat_ws(" ", transform(
+      concat_ws(sep, transform(
         array_sort(collect_list(when(col("__keep") === 1,
           struct(col("chunk_id"), col("chunk_text"))))),
         s => s.getField("chunk_text"))).as("clean_text"))

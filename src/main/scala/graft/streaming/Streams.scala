@@ -120,6 +120,28 @@ object Streams {
             partCols, keyCols, sortCols, filesPerPartition)
       }
 
+  /** Streaming incremental exact dedup — [[graft.functions.Dedup.exactIncremental]]
+    * as an always-on sink: each micro-batch dedups against the PERSISTED
+    * digest index (within-batch min-id first, then the anti-join; the
+    * index grows by the survivors), and survivors land in `outPath`
+    * tagged with their 1-based batch number. Unlike [[streamingDedup]]
+    * (state-store digests, TTL-bounded, lost with the checkpoint) the
+    * index here is a plain parquet table: it survives restarts, is
+    * shared with BATCH ingest of the same corpus (q146 and q148 gate the
+    * two paths against the same oracle), and is queryable/compactable
+    * like any table. Micro-batch sequencing provides the cross-batch
+    * ordering; within a batch the min-id rule decides, as in batch. */
+  def dedupSink(docs: DataFrame, idCol: String, textCol: String,
+                indexPath: String, outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.Dedup.exactIncremental(batch, idCol, textCol, indexPath)
+            .withColumn("batch", lit(batchId + 1L))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+
   /** Streaming running aggregate per key — the OnlineStats `reduce`
     * pattern as an always-on query (complete/update mode). */
   def runningStats(events: DataFrame): DataFrame =

@@ -1635,6 +1635,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("dedupLines: alignment-free removal, empty lines dropped, delimiter reassembly") {
+    val docs = Seq(
+      (1L, "x\ny"),     // both first occurrences
+      (2L, "y\nz\n"),   // y seen in doc 1 (different position — alignment-free) → "z"
+      (3L, "x"),        // whole doc seen → ""
+      (4L, "q\nq"),     // within-doc repeat → "q"
+      (5L, "\n\n")      // only empty lines → 0 units
+    ).toDF("doc_id", "text")
+    partitionSweep { n =>
+      val got = Dedup.dedupLines(docs.repartition(n), "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == Seq(
+        (1L, "x\ny", 2L, 2L),
+        (2L, "z", 2L, 1L),
+        (3L, "", 1L, 0L),
+        (4L, "q", 2L, 1L),
+        (5L, "", 0L, 0L)), got.mkString("; "))
+      got
+    }
+  }
+
   test("hashedLinearScore: exact vs a driver-side model; bounds; discrimination") {
     val docs = Tables.documents(spark, sf).limit(100)
     val got = docs.select(col("doc_id"), col("text"),

@@ -667,6 +667,25 @@ class IOStreamsSpec extends SparkSpec {
     assert(keys == Seq("a", "b"))
   }
 
+  test("dedupSink: digest index survives a query RESTART (unlike state-store dedup)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_sdedup").toFile.getPath
+    def drive(ckpt: String, rows: Seq[(Long, String)]): Unit = {
+      val ms = MemoryStream[(Long, String)](spark)
+      val q = Streams.dedupSink(ms.toDS().toDF("id", "text"), "id", "text",
+          s"$root/digests", s"$root/out")
+        .option("checkpointLocation", s"$root/$ckpt").start()
+      try { ms.addData(rows); q.processAllAvailable() } finally q.stop()
+    }
+    drive("ckpt1", Seq((1L, "alpha"), (2L, "beta")))
+    // a brand-new query (fresh checkpoint, fresh source — nothing shared
+    // but the index path) must still reject the already-admitted texts
+    drive("ckpt2", Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta")))
+    val got = spark.read.parquet(s"$root/out")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 11L), got.mkString(","))
+  }
+
   test("loadJsonl: corrupt line isolated, not fatal; adversarial text round-trips byte-exact") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_jsonl").toFile
