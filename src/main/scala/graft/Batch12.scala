@@ -283,7 +283,111 @@ private[graft] object Batch12 {
         s.read.parquet(s"$root/survivors")
           .select(col("batch"), col("doc_id")).orderBy("batch", "doc_id")
       },
-      Some(IncrementalSql))
+      Some(IncrementalSql)),
+
+    // The END-TO-END curation pipeline as ONE gated query — the composition
+    // a user of this library actually runs: Gopher quality gate (q97's
+    // thresholds) → exact-dedup first-occurrence keep (q32's rule) →
+    // benchmark decontamination (q87's bench set and ≥5-shingle rule,
+    // bench members themselves excluded) → deterministic train/val/test
+    // split (q88's salted-md5 bands) → per-(split, lang) corpus stats.
+    // Each stage is individually gated elsewhere; this row gates their
+    // COMPOSITION (operator chaining, no stage leaking rows into the
+    // next), with the oracle re-deriving all four stages in one SQL chain.
+    Q("q149_curation_pipeline",
+      (s, dir) => {
+        import graft.functions.{Dedup, Sampling, Text}
+        val d = docs(s, dir)
+        val gated = d.filter(Text.gopherKeep(col("text"),
+          minTokens = 40, maxTokens = 100000, minMeanLen = 3.0,
+          maxMeanLen = 10.0, minStopRatio = 0.02, maxDupFrac = 0.05))
+        val firstIds = Dedup.exact(gated, "doc_id", "text")
+          .select(col("rep_id").as("doc_id"))
+        val deduped = gated.join(firstIds, Seq("doc_id"), "left_semi")
+        val bench = d.filter(pmod(col("doc_id"), lit(20L)) === 0)
+        val clean = Dedup.decontaminate(
+          deduped.filter(pmod(col("doc_id"), lit(20L)) =!= 0), "doc_id", "text",
+          bench, "text", n = 3, minShared = 5)
+        Sampling.splitByHash(clean, "doc_id",
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "pipe")
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n"),
+            sum(Text.tokenCount(col("text"))).as("sum_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |    x -> length(x) > 0) AS t
+             |  FROM documents),
+             |grams AS (SELECT doc_id, unnest(list_transform(
+             |    range(1, GREATEST(len(t) - 1, 0) + 1), i -> t[i] || ' ' || t[i+1])) AS g
+             |  FROM toks),
+             |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+             |rep AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist FROM cnt GROUP BY 1),
+             |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |    CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) ELSE 0.0 END AS mean_wlen,
+             |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it'))) AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio
+             |  FROM toks),
+             |gated AS (SELECT b.doc_id FROM base b LEFT JOIN rep r USING (doc_id)
+             |  WHERE b.n_tokens >= 40 AND b.n_tokens <= 100000
+             |    AND b.mean_wlen >= 3.0 AND b.mean_wlen <= 10.0
+             |    AND b.stop_ratio >= 0.02
+             |    AND (CASE WHEN COALESCE(r.total, 0) > 0
+             |      THEN CAST(r.total - r.dist AS DOUBLE) / r.total ELSE 0.0 END) <= 0.05),
+             |deduped AS (SELECT doc_id FROM (
+             |    SELECT d.doc_id, ROW_NUMBER() OVER (
+             |      PARTITION BY trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))
+             |      ORDER BY d.doc_id) AS rn
+             |    FROM documents d JOIN gated g ON g.doc_id = d.doc_id)
+             |  WHERE rn = 1),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, GREATEST(len(t) - 2, 0) + 1),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+             |  FROM (SELECT doc_id,
+             |      string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+             |    FROM documents)),
+             |benchsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+             |contaminated AS (SELECT doc_id FROM sh JOIN benchsh USING (s)
+             |  WHERE doc_id % 20 <> 0 GROUP BY doc_id HAVING COUNT(*) >= 5),
+             |kept AS (SELECT doc_id FROM deduped
+             |  WHERE doc_id % 20 <> 0
+             |    AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+             |SELECT CASE WHEN u < 3865470566 THEN 'train'
+             |       WHEN u < 4080218931 THEN 'val' ELSE 'test' END AS split,
+             |  lang, COUNT(*) AS n, CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+             |FROM (SELECT t.doc_id, t.lang, CAST(len(t.t) AS BIGINT) AS ntok,
+             |    CAST('0x' || substr(md5('pipe' || CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS u
+             |  FROM toks t JOIN kept k ON k.doc_id = t.doc_id)
+             |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
+    // Count-Min point-frequency estimates under the q43/q128 estimator
+    // gate: the query builds the sketch (native mergeable aggregate),
+    // probes every user id, and emits EXACT per-key counts plus an
+    // in-query within-bound flag (est ≥ exact always; est ≤ exact +
+    // eps·N — deterministic for a fixed seed and fixture); the oracle
+    // recomputes the exact counts and asserts the flag. No engine can
+    // replay another's counter grid; any engine can check the contract.
+    Q("q150_countmin",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val est = graft.functions.Sketches.countMinEstimates(ev, "user_id",
+          eps = 0.001, confidence = 0.999, seed = 42, keys = 0L until 150L)
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        est.join(exact, Seq("user_id"), "left")
+          .select(col("user_id"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            (col("est") >= coalesce(col("n_exact"), lit(0L)) &&
+              col("est") <= coalesce(col("n_exact"), lit(0L)) +
+                ceil(col("total") * lit(0.001))).as("within_bound"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ks AS (SELECT generate_series AS user_id FROM generate_series(0, 149)),
+             |ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+             |  FROM events GROUP BY 1)
+             |SELECT k.user_id, COALESCE(ex.n_exact, 0) AS n_exact,
+             |  TRUE AS within_bound
+             |FROM ks k LEFT JOIN ex ON ex.user_id = k.user_id
+             |ORDER BY k.user_id""".stripMargin))
   )
 
   /** q146/q148 shared oracle: the one-shot first-occurrence keep set,

@@ -60,6 +60,41 @@ object Sketches {
   def approxDistinct(c: Column, rsd: Double = 0.02): Column =
     approx_count_distinct(c, rsd)
 
+  /** Count-Min sketch over a long key column — the point-frequency
+    * estimator completing the sketch family (CountMap/SpaceSaving answer
+    * "which keys are heavy"; CM answers "how often is THIS key" in fixed
+    * memory): Spark's native `count_min_sketch` aggregate builds a d×w
+    * counter grid (d = ⌈ln(1/(1−confidence))⌉, w = ⌈e/eps⌉) with map-side
+    * partial merge — counter addition is commutative, so the sketch is
+    * identical under ANY partitioning (spec-pinned), and at 100 TB the
+    * exchange carries one O(d·w) buffer per group, never the keys.
+    * Returns the serialized sketch. */
+  def countMinAgg(c: Column, eps: Double, confidence: Double,
+                  seed: Int): Column =
+    org.apache.spark.sql.functions.count_min_sketch(
+      c, lit(eps), lit(confidence), lit(seed))
+
+  /** Probe `keys` against a sketch built over `df[keyCol]`: returns
+    * (keyCol, est, total). The collect is the sketch ITSELF — O(d·w)
+    * bytes regardless of data size (the IVF-centroid pattern), probed
+    * driver-side because no SQL surface exists for point queries into a
+    * serialized sketch. Contract (the q43/q128 estimator-gate pattern):
+    * est ≥ true always, and est ≤ true + eps·total with per-key
+    * probability ≥ confidence — q150 emits exact counts plus an in-query
+    * within-bound flag the oracle asserts. */
+  def countMinEstimates(df: DataFrame, keyCol: String, eps: Double,
+                        confidence: Double, seed: Int,
+                        keys: Seq[Long]): DataFrame = {
+    val bin = df.agg(countMinAgg(col(keyCol), eps, confidence, seed).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bin))
+    val spark = df.sparkSession
+    import spark.implicits._
+    keys.map(k => (k, cms.estimateCount(Long.box(k)), cms.totalCount()))
+      .toDF(keyCol, "est", "total")
+  }
+
   /** Fixed-range histogram (OnlineStats `Hist`): `nbins` equal bins over
     * [lo, hi); out-of-range clamps to edge bins; NaN inputs are skipped
     * (a NaN would otherwise cast to bin 0 and silently pollute it). */

@@ -1635,6 +1635,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("countMin: estimates partition-invariant, never undercount, bound holds") {
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val keys = exact.keys.toSeq.sorted
+    partitionSweep { p =>
+      val est = Sketches.countMinEstimates(ev.repartition(p), "user_id",
+          eps = 0.001, confidence = 0.999, seed = 42, keys = keys)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      est.foreach { case (k, e) =>
+        assert(e >= exact(k), s"undercount at $k: $e < ${exact(k)}")
+        assert(e <= exact(k) + math.ceil(0.001 * n).toLong,
+          s"bound violated at $k: $e vs ${exact(k)}")
+      }
+      est
+    }
+  }
+
   test("dedupLines: alignment-free removal, empty lines dropped, delimiter reassembly") {
     val docs = Seq(
       (1L, "x\ny"),     // both first occurrences
