@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword / hybrid retrieval over a document corpus — the search-side
+  * complement of the ANN family in [[Similarity]]: BM25 term scoring
+  * (Robertson/Spärck Jones probabilistic ranking, the default scoring
+  * function of every production text index) and reciprocal-rank fusion
+  * (Cormack et al. 2009) to combine a lexical ranking with a vector
+  * ranking into one hybrid result.
+  *
+  * Reference anchor: the reference's query surface is `filter`/`groupby`
+  * over indexed tables (src/indexing.jl); full-text relevance ranking is
+  * parity-plus for the training-data pipeline (corpus search, eval-set
+  * mining, hard-negative mining for retrieval training).
+  *
+  * Determinism contract (what lets the DuckDB oracle re-derive scores
+  * bit-for-bit):
+  *  - idf is the LOG-FREE Robertson form `(N - df + 0.5) / (df + 0.5)` —
+  *    per-term monotone in df like the classic `ln(1 + ...)` form, but two
+  *    exact IEEE ops instead of a libm call whose last-ulp rounding is
+  *    platform-dependent (the q98 tf·idf precedent; documented divergence:
+  *    without the log, high-idf terms weigh RELATIVELY more than in
+  *    Lucene's BM25 — the tradeoff is an oracle-checkable score);
+  *  - every per-row float step is a pinned sequence of IEEE double ops
+  *    (bit-identical across engines — see SparkEntry's oracle notes);
+  *  - the per-document SUM over matched terms goes through an exact
+  *    decimal(25,12) cast (double aggregation is order-dependent);
+  *  - ranking ties break on ascending doc id.
+  *
+  * Shuffle shape at 100 TB: the corpus is tokenized in the scan and
+  * aggregated once keyed on (doc, term) — map-side combined; the query
+  * term set (small by definition) broadcasts into every subsequent join,
+  * so the corpus-side tf table is filtered to query terms BEFORE the df
+  * aggregate and the scoring join — nothing vocabulary-sized ever
+  * shuffles. The corpus-stats pass (N, Σdl) is a second scan of the
+  * corpus (one row out, broadcast back); a repeated-query deployment
+  * would persist the tf table + stats once (the [[Dedup.jaccardIndex]]
+  * persisted-index pattern) and skip both corpus scans per query.
+  */
+object Retrieval {
+
+  /** BM25 relevance of every (query, document) pair with at least one
+    * shared term: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    * Output: (query_id, id, n_terms, score). Documents matching no query
+    * term are absent (their score is 0 — the standard sparse contract). */
+  def bm25Scores(corpus: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qidCol: String, qtextCol: String,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docToks = corpus.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("__t"))
+    // N counts ALL corpus rows (token-less docs included — they dilute
+    // avgdl exactly as in a real index); one row, broadcast.
+    val stats = docToks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__t")).cast("long")).as("sum_dl"))
+    val tf = docToks
+      .select(col("id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // per-query DISTINCT terms (a term repeated in the query text scores
+    // once — the standard bag-of-terms query model)
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(Text.tokens(col(qtextCol)))).as("term"))
+    val qtermSet = qterms.select("term").distinct()
+    // corpus tf restricted to query terms FIRST: df aggregates and the
+    // scoring join run over matched rows only, never the full vocabulary
+    val tfq = tf.join(broadcast(qtermSet), Seq("term"))
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    // Pinned IEEE order — mirrored token-for-token by the oracle SQL:
+    //   idf   = (N − df + 0.5) / (df + 0.5)          [long − long, then +0.5]
+    //   ratio = dl / (Σdl / N)
+    //   tfc   = tf·(k1+1) / (tf + k1·((1−b) + b·ratio))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val ratio = col("dl").cast("double") /
+      (col("sum_dl").cast("double") / col("n_docs"))
+    val tfc = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * ratio))
+    tfq.join(broadcast(dfq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats)) // one row — scale-safe (q98 precedent)
+      .select(col("query_id"), col("id"), (idf * tfc).as("s_term"))
+      .groupBy("query_id", "id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("s_term").cast("decimal(25,12)")).cast("double").as("score"))
+  }
+
+  /** Per-query top-k by BM25: ranking window over [[bm25Scores]] — the
+    * WindowGroupLimit pushdown keeps ≤ k rows per query per partition
+    * ahead of the final exchange. Output: (query_id, rank, id, score). */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("id").asc)
+    bm25Scores(corpus, idCol, textCol, queries, qidCol, qtextCol, k1, b)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion of N ranked lists (each `(query_id, rank, id,
+    * …)`-shaped, rank 1-based): fused(d) = Σ_lists 1/(c0 + rank_list(d)),
+    * missing-from-a-list contributing 0. RRF is the standard hybrid-search
+    * combiner precisely because it needs NO score calibration between
+    * lists (BM25 scores and cosines live on unrelated scales; ranks are
+    * comparable by construction). c0=60 is the constant from the RRF
+    * paper. Exactness: each term is one double division on small exact
+    * integers, summed in FIXED list order (a fold over the input Seq, not
+    * a data-dependent aggregation) — bit-reproducible in any engine.
+    *
+    * Scale: each input list is already ≤ k rows per query (the top-k
+    * operators' output), so every join here is between per-query top-k
+    * sets — driver-of-magnitude smaller than the corpus; the full-outer
+    * join chain keys on (query_id, id) with AQE free to broadcast.
+    * Output: (query_id, rank, id, fused) — re-ranked by fused score desc,
+    * id asc, top `k`. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("id"), col("rank").as(s"__r$i"))
+    }
+    val joined = tagged.reduce((a, b) =>
+      a.join(b, Seq("query_id", "id"), "full_outer"))
+    // fixed-order fold: contribution_i added left-to-right, i = 0..n-1
+    val fused = tagged.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      acc + coalesce(lit(1.0) / (lit(c0.toDouble) + col(s"__r$i")), lit(0.0))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("fused").desc, col("id").asc)
+    joined.withColumn("fused", fused)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("fused"))
+  }
+}

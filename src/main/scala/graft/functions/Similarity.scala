@@ -869,4 +869,92 @@ object Similarity {
           .select(col("query_id"), col("rank"), col("id"), col("cos"))
     }
   }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** Deterministic k-center seeding: the vectors of the `k` smallest ids
+    * become the centroids, in id order (centroid i = i-th smallest id).
+    * This is the oracle-checkable model the q153 gate runs — any engine
+    * can re-derive "first k by id"; a production run passes [[trainIvf]]'s
+    * k-means model instead (same [[IvfModel]] type, same downstream code —
+    * the q84 pattern: the MACHINERY is gated with closed-form centroids,
+    * centroid QUALITY is a spec concern). */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): IvfModel = {
+    val rows = corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(rows.length == k, s"seedCentroids: corpus has ${rows.length} < $k rows")
+    IvfModel(rows.map(_.getSeq[Double](0).toArray))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering —
+    * assign every vector to its nearest centroid (cosine), then within
+    * each cluster drop any vector whose cosine to an EARLIER-id cluster
+    * member is ≥ `tau`. Candidate generation is cluster-local (the whole
+    * point: pair volume is Σ|cell|² instead of |corpus|², and nlist is
+    * the knob that bounds cell size at scale — same role as
+    * [[cosinePairsLSH]]'s measured `maxBucket` for a pathological hot
+    * cluster). The earlier-wins ε-neighbor keep rule is the module's
+    * standard pair semantics (q32/q36): one pass, no iteration; full
+    * transitive clustering composes [[cosinePairsLSH]] + Dedup.clusters.
+    *
+    * `exact = true` (the gated configuration) does assignment AND pair
+    * scoring on the fix9 fixed-point image — decimal-exact dots, one
+    * double rounding, one division — so a relational oracle re-derives
+    * cell assignment, every within-cell cosine, and the keep set
+    * bit-for-bit. `exact = false` is the scale path: native
+    * `nearest_cell` routing (centroids on the codegen reference array)
+    * and double-fold cosines — same plan shape, cheaper arithmetic, spec'd
+    * to agree with the exact path on the fixture.
+    *
+    * Shuffle shape at 100 TB: assignment is narrow (rides the scan); ONE
+    * hash exchange on `cell` feeds the self-join; the drop set (distinct
+    * dropped ids) joins back to the assigned frame. The assigned
+    * projection is evaluated once per side of the self-join — a repeated-
+    * run deployment persists it `cell=`-partitioned ([[writeIvfCorpus]])
+    * and reads both sides exchange-free.
+    *
+    * Output: (id, cell, kept) for EVERY corpus row — kept=false marks
+    * semantic duplicates; callers filter or anti-join as needed. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    model: IvfModel, tau: Double,
+                    exact: Boolean = true): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9, nearestCell}
+    val asg =
+      if (exact) {
+        // fix9 images of the centroids are computed BY the fix9 expression
+        // over literal double arrays — the exact snap the corpus side gets,
+        // so assignment arithmetic is the oracle's arithmetic (decimal-
+        // exact dot, one double per cos, argmax with earliest-cell ties)
+        val cents = model.centroids.map(c =>
+          fix9(array(c.map(lit(_)): _*).cast("array<double>")))
+        val base = corpus.select(col(idCol).as("id"),
+            fix9(vecInput(corpus, vecCol)).as("vf"))
+          .withColumn("vn", sqrt(dotFix9(col("vf"), col("vf"))))
+        val cos = cents.map(cf =>
+          dotFix9(col("vf"), cf) / (col("vn") * sqrt(dotFix9(cf, cf))))
+        val best = cos.zipWithIndex.tail.foldLeft((lit(0), cos.head)) {
+          case ((bc, bs), (s, i)) =>
+            (when(s > bs, lit(i)).otherwise(bc), greatest(s, bs))
+        }
+        base.select(col("id"), col("vf"), col("vn"), best._1.as("cell"))
+      } else {
+        val base = corpus.select(col(idCol).as("id"),
+            fix9(vecInput(corpus, vecCol)).as("vf"),
+            nearestCell(vecInput(corpus, vecCol), model.unitCentroids).as("cell"))
+        base.withColumn("vn", sqrt(dotFix9(col("vf"), col("vf"))))
+      }
+    val a = asg.select(col("id").as("i"), col("vf").as("avf"),
+      col("vn").as("avn"), col("cell"))
+    val b = asg.select(col("id").as("j"), col("vf").as("bvf"),
+      col("vn").as("bvn"), col("cell"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("j") < col("i") &&
+        dotFix9(col("avf"), col("bvf")) / (col("avn") * col("bvn")) >= tau)
+      .select(col("i").as("id")).distinct()
+      .withColumn("__drop", lit(true))
+    asg.select(col("id"), col("cell").cast("long").as("cell"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("__drop").isNull.as("kept"))
+  }
 }

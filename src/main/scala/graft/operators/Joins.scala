@@ -44,6 +44,40 @@ object Joins {
                     how: String = "inner"): DataFrame =
     l.df.join(broadcast(r.df), key, if (how == "left") "left_outer" else how)
 
+  /** Salted inner equi-join — the general-join analog of
+    * [[asofJoinSalted]]'s hot-key knob: when one join key owns a large
+    * fraction of the LEFT side (and the right side is too big to
+    * broadcast), a plain shuffle join lands the hot key's every row in
+    * one task. Salting splits it `salts` ways: the left side gets a
+    * deterministic per-row salt (hash of `saltBy`, so re-runs are
+    * identical), the right side is replicated once per salt bucket, and
+    * the join keys on (key, salt). Result is EXACTLY the plain inner
+    * join — each left row meets each matching right row in precisely its
+    * one salt bucket (gated by the plain join's oracle, q155).
+    *
+    * Cost model (when to reach for it): right-side shuffle volume grows
+    * `salts`×, so the knob pays when the hot key's single-task time
+    * dominates that extra exchange — the same crossover
+    * [[asofJoinSalted]]'s stress arms measured from both sides. Note
+    * AQE's skew-join split handles INPUT-byte skew on SMJ already; this
+    * operator is for the regimes AQE can't see (hot key hidden by
+    * compression, or a build-side hash join where AQE's split doesn't
+    * apply) — the same blind spot the round-8 maxDF finding pinned. */
+  def saltedEquiJoin(l: DataFrame, r: DataFrame, lkey: Seq[String],
+                     rkey: Seq[String], salts: Int,
+                     saltBy: Seq[String]): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(saltBy.nonEmpty, "saltBy needs at least one left-side column")
+    val ls = l.withColumn("__salt",
+      pmod(xxhash64(saltBy.map(col): _*), lit(salts.toLong)))
+    val rs = r.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    val keyCond = lkey.zip(rkey).map { case (a, b) => ls(a) === rs(b) }
+      .reduce(_ && _)
+    ls.join(rs, keyCond && (ls("__salt") === rs("__salt")))
+      .drop("__salt")
+  }
+
   /** `groupjoin(l, r; how)` — matching right rows grouped into a nested
     * `groups` column (reference `src/join.jl:120-126`, `test/test_table.jl:117-122`).
     * Lowered as: pre-aggregate the right side per key (one shuffle of r,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series operators: resample an irregular event stream
+  * onto a fixed bucket grid with gap filling (last-observation-carried-
+  * forward) — the reference's time-indexed tables (`loadndsparse` with a
+  * time dimension, reference src/indexing.jl) answer "value at/until t"
+  * queries, and a regular resample is the canonical preparation for them.
+  *
+  * Design for scale: the naive formulation (per-key calendar grid, left
+  * join to observed buckets, then a forward-fill window over the filled
+  * frame) costs a join plus TWO exchanges of the grid-sized frame. This
+  * implementation never materializes a join: after the per-bucket
+  * aggregate, one `lead` window finds each observed bucket's successor,
+  * and the gap rows are GENERATED from the predecessor row itself
+  * (explode of `sequence(bucket, next−1)`) — which carries the filled
+  * values by construction. Aggregate exchange + one window exchange,
+  * explode is narrow.
+  */
+object TimeSeries {
+
+  /** Resample `df` onto a fixed-width grid per key: one row per (key,
+    * bucket) from each key's first observed bucket to its last, where
+    * `bucket = tsCol div width` (both engines truncate non-negative
+    * integral division identically; timestamps are the module's usual
+    * int64 epoch values). Missing buckets carry the PREVIOUS observed
+    * bucket's aggregate values forward, flagged `present = false`.
+    *
+    * `aggs` are the per-bucket aggregates ((name, expr), evaluated over
+    * each (key, bucket) group). Gap length per observed row is bounded by
+    * Spark's sequence-length cap (~10M elements) — a key silent for
+    * longer than 10M buckets fails loudly rather than degrading; widen
+    * `width` for sparser series. */
+  def resampleFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   width: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    require(aggs.nonEmpty, "resampleFill needs at least one aggregate")
+    val keys = keyCols.map(col)
+    val bucketed = df
+      .withColumn("bucket", expr(s"$tsCol div ${width}L"))
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
+    val withNext = bucketed.withColumn("__next", lead(col("bucket"), 1).over(w))
+    // each observed row emits itself (present) plus its gap successors
+    // (absent, carrying this row's values) up to the next observed bucket
+    val gridEnd = when(col("__next").isNotNull, col("__next") - 1L)
+      .otherwise(col("bucket"))
+    withNext
+      .withColumn("__g", explode(sequence(col("bucket"), gridEnd)))
+      .select(keys ++
+        Seq(col("__g").as("bucket"), (col("__g") === col("bucket")).as("present")) ++
+        aggs.map { case (n, _) => col(n) }: _*)
+  }
+}

@@ -419,6 +419,61 @@ object IO {
       dynamic = true)
   }
 
+  /** Incremental aggregate maintenance (materialized-view upsert): merge a
+    * DELTA's per-key partial aggregates into a persisted agg table,
+    * rewriting ONLY the partition directories the delta touches — the
+    * aggregation-state analog of [[upsertPartitions]] (which replaces
+    * whole rows; here matching keys MERGE via `mergeFns`). This is what
+    * keeps a 100 TB-corpus rollup queryable without nightly recompute:
+    * maintenance cost ∝ delta × touched partitions, and a full recompute
+    * equals the maintained table exactly whenever every aggregate is
+    * mergeable and exact — counts, longs, DECIMAL sums (addition is
+    * associative+commutative), min/max. Double sums are NOT exact under
+    * regrouping — route them through a decimal cast (the dsum/FixedPoint
+    * contract), which q156 gates end-to-end against a from-scratch oracle.
+    *
+    * `delta` must already be aggregated to one row per (partCols ++
+    * keyCols) — callers hold the agg exprs, this function holds the merge
+    * algebra: for each (name, fn) in `mergeFns`, merged = fn(existing,
+    * incoming) when both sides have the key, the surviving side verbatim
+    * otherwise. Schema: partCols ++ keyCols ++ mergeFns.map(_._1). */
+  def upsertAggregate(spark: SparkSession, dir: String,
+                      delta: org.apache.spark.sql.DataFrame,
+                      partCols: Seq[String], keyCols: Seq[String],
+                      mergeFns: Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)],
+                      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(partCols.nonEmpty, "upsertAggregate needs partition columns")
+    require(keyCols.nonEmpty, "upsertAggregate needs key columns")
+    require(mergeFns.nonEmpty, "upsertAggregate needs at least one aggregate column")
+    val cols = partCols ++ keyCols ++ mergeFns.map(_._1)
+    val deltaC = delta.select(cols.map(col): _*)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+      writePartitioned(deltaC, dir, partCols, Nil, filesPerPartition,
+        dynamic = true)
+      return
+    }
+    val touched = deltaC.select(partCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+    val pFilter = touched.map { r =>
+      partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = spark.read.parquet(dir).filter(pFilter)
+    val incoming = mergeFns.foldLeft(deltaC) { case (df, (n, _)) =>
+      df.withColumnRenamed(n, s"__in_$n")
+    }
+    val joinKeys = partCols ++ keyCols
+    val merged = existing.join(incoming, joinKeys, "full_outer")
+      .select(joinKeys.map(col) ++ mergeFns.map { case (n, fn) =>
+        val (e, i) = (col(n), col(s"__in_$n"))
+        when(e.isNull, i).when(i.isNull, e).otherwise(fn(e, i)).as(n)
+      }: _*)
+      .localCheckpoint(true) // reads the directories the write replaces
+    writePartitioned(merged, dir, partCols, Nil, filesPerPartition,
+      dynamic = true)
+  }
+
   /** Persist with the pkey baked into the physical layout: bucketed +
     * sorted by the pkey. This is the cluster-scale form of the reference's
     * saved sorted chunks (`src/io.jl:167-236`) — every later join/groupBy

@@ -120,6 +120,34 @@ object Streams {
             partCols, keyCols, sortCols, filesPerPartition)
       }
 
+  /** Streaming incremental-view-maintenance sink: each micro-batch is
+    * pre-aggregated to per-key partials (`aggExprs`, map-side combined —
+    * the only thing that shuffles is one row per key per batch) and merged
+    * into the persisted rollup via [[graft.sources.IO.upsertAggregate]] —
+    * the always-on form of materialized-view maintenance. Exactness
+    * contract (and the q157 gate): every aggregate must be mergeable and
+    * order-independent — counts/longs/decimal sums/min/max — so that ANY
+    * micro-batch slicing of the stream converges to the from-scratch
+    * aggregate; replays after a restart re-merge, so pair a checkpoint
+    * with idempotent upstream batching (e.g. file sources), as with
+    * [[cdcSink]]. */
+  def aggSink(updates: DataFrame, dir: String, partCols: Seq[String],
+              keyCols: Seq[String],
+              aggExprs: Seq[(String, org.apache.spark.sql.Column)],
+              mergeFns: Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)],
+              filesPerPartition: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val partial = batch
+            .groupBy((partCols ++ keyCols).map(col): _*)
+            .agg(aggExprs.head._2.as(aggExprs.head._1),
+              aggExprs.tail.map { case (n, c) => c.as(n) }: _*)
+          graft.sources.IO.upsertAggregate(batch.sparkSession, dir, partial,
+            partCols, keyCols, mergeFns, filesPerPartition)
+        }
+      }
+
   /** Streaming incremental exact dedup — [[graft.functions.Dedup.exactIncremental]]
     * as an always-on sink: each micro-batch dedups against the PERSISTED
     * digest index (within-batch min-id first, then the anti-join; the

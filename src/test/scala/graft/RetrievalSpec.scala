@@ -1,0 +1,203 @@
+package graft
+
+import graft.functions.{Retrieval, Similarity}
+import graft.operators.{Joins, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Batch-13 operators: BM25 / RRF retrieval, SemDeDup, resampleFill,
+  * saltedEquiJoin, upsertAggregate. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("bm25Scores == driver-side model over the fixture corpus") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val qs = Seq((1L, "spark window merge"), (2L, "the customer stream"))
+    val got = Retrieval.bm25Scores(docs, "doc_id", "text",
+        qs.toDF("query_id", "qtext"), "query_id", "qtext")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    // driver model: same tokenization, same op order, exact decimal sum
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val tokenized = corpus.map { case (id, t) => id -> toks(t) }
+    val nDocs = tokenized.length.toLong
+    val sumDl = tokenized.map(_._2.length.toLong).sum
+    val tf = tokenized.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (term, o) => (id, term, o.length.toLong, ts.length.toLong) }
+    }
+    val want = qs.flatMap { case (qid, qt) =>
+      val terms = toks(qt).distinct
+      val byDoc = terms.flatMap { term =>
+        val matches = tf.filter(_._2 == term)
+        val df = matches.length.toLong
+        matches.map { case (id, _, tfv, dl) =>
+          val idf = (nDocs - df + 0.5) / (df + 0.5)
+          val ratio = dl.toDouble / (sumDl.toDouble / nDocs)
+          val tfc = (tfv * (1.2 + 1.0)) / (tfv + 1.2 * ((1.0 - 0.75) + 0.75 * ratio))
+          (id, idf * tfc)
+        }
+      }.groupBy(_._1)
+      byDoc.map { case (id, ss) =>
+        val sum = ss.map(s => BigDecimal(s._2).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        ((qid, id), (ss.length.toLong, sum.toDouble))
+      }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(want(k)._1 == n, s"n_terms at $k")
+      assert(want(k)._2 == s, s"score at $k: got $s want ${want(k)._2}")
+    }
+  }
+
+  test("bm25TopK: ranks by score desc with id tiebreak; unknown terms match nothing") {
+    val tiny = Seq(
+      (1L, "alpha beta beta"), (2L, "alpha beta"), (3L, "alpha"),
+      (4L, "gamma gamma gamma")).toDF("id", "text")
+    val q = Seq((7L, "beta")).toDF("qid", "qt")
+    val got = Retrieval.bm25TopK(tiny, "id", "text", q, "qid", "qt", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // docs 1 and 2 contain beta; doc 1 has higher tf but longer dl — with
+    // k1=1.2, b=0.75: doc1 tf=2 dl=3, doc2 tf=1 dl=2, avgdl=9/4
+    // doc1 tfc = 2*2.2/(2+1.2*(0.25+0.75*3/2.25)) = 4.4/(2+1.5) = 1.257
+    // doc2 tfc = 2.2/(1+1.2*(0.25+0.75*2/2.25)) = 2.2/(1+1.1) = 1.048
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+    val none = Retrieval.bm25TopK(tiny, "id", "text",
+      Seq((8L, "zeta")).toDF("qid", "qt"), "qid", "qt", k = 5)
+    assert(none.count() == 0)
+  }
+
+  test("rrfFuse: golden fusion; single-list membership contributes once") {
+    val a = Seq((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L))
+      .toDF("query_id", "rank", "id")
+    val b = Seq((0L, 1L, 20L), (0L, 2L, 40L))
+      .toDF("query_id", "rank", "id")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def f(r: Long) = 1.0 / (60.0 + r)
+    val want = Seq(
+      (20L, 0.0 + f(2) + f(1)), // in both lists
+      (10L, 0.0 + f(1)), (40L, 0.0 + f(2)), (30L, 0.0 + f(3)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+    assert(got == want)
+  }
+
+  test("semanticDedup: earlier-wins rule on a golden micro-corpus") {
+    // 2-d vectors: centroids = ids 0,1. Cluster axis-x: {0,2,3}, axis-y: {1,4}.
+    // tau=0.9: 2 and 3 are near-parallel to 0 (dropped); 4 lands in cell 1
+    // (cos 0.8 vs (0,1) > 0.6 vs (1,0)) but under tau vs vector 1 (kept).
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.99f, 0.1f)), (3L, Seq(0.98f, -0.05f)),
+      (4L, Seq(0.6f, 0.8f))).toDF("id", "v")
+    val model = Similarity.seedCentroids(vecs, "id", "v", k = 2)
+    for (exact <- Seq(true, false)) {
+      val got = Similarity.semanticDedup(vecs, "id", "v", model, tau = 0.9,
+          exact = exact)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq((0L, 0L, true), (1L, 1L, true), (2L, 0L, false),
+        (3L, 0L, false), (4L, 1L, true)), s"exact=$exact")
+    }
+  }
+
+  test("semanticDedup: exact and fast paths agree on the fixture embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.seedCentroids(emb, "vec_id", "embedding", k = 4)
+    def run(exact: Boolean) =
+      Similarity.semanticDedup(emb, "vec_id", "embedding", model,
+          tau = 0.25, exact = exact)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val e = run(exact = true)
+    assert(run(exact = false) == e)
+    assert(e.exists(!_._3) && e.exists(_._3), "both branches populated")
+    // trained-model path: same machinery, different centroids — sane shape
+    val trained = Similarity.trainIvf(emb, "embedding", nlist = 4, maxIter = 3)
+    val t = Similarity.semanticDedup(emb, "vec_id", "embedding", trained,
+      tau = 0.25, exact = false).collect()
+    assert(t.length == e.length)
+  }
+
+  test("resampleFill: golden gap fill, single-point keys, partition sweep") {
+    def mk(parts: Int) = TimeSeries.resampleFill(
+      Seq((1L, 100L, 5.0), (1L, 135L, 7.0), (1L, 141L, 1.0), (2L, 77L, 2.0))
+        .toDF("k", "ts", "v").repartition(parts),
+      Seq("k"), "ts", width = 10L,
+      aggs = Seq("n" -> count(lit(1)), "sv" -> sum(col("v").cast("decimal(18,4)")).cast("double")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = Seq(
+      (1L, 10L, true, 1L, 5.0),
+      (1L, 11L, false, 1L, 5.0), (1L, 12L, false, 1L, 5.0),
+      (1L, 13L, true, 1L, 7.0),
+      (1L, 14L, true, 1L, 1.0),
+      (2L, 7L, true, 1L, 2.0))
+    assert(mk(1) == want)
+    partitionSweep(mk)
+  }
+
+  test("saltedEquiJoin == plain inner join (fixture + salts sweep)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sorted.toSeq
+    for (salts <- Seq(1, 3, 8)) {
+      val got = Joins.saltedEquiJoin(li, ord, Seq("l_orderkey"), Seq("o_orderkey"),
+          salts, saltBy = Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "o_orderpriority")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sorted.toSeq
+      assert(got == plain, s"salts=$salts")
+    }
+  }
+
+  test("upsertAggregate: any slicing converges to the from-scratch rollup; untouched partitions untouched") {
+    import java.nio.file.{Files, Paths}
+    val ev = Tables.events(spark, sf)
+    def partial(f: org.apache.spark.sql.Column) = ev.filter(f)
+      .withColumn("day", expr("ts div 86400000000000L"))
+      .groupBy("day", "user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("sv"))
+    val merge: Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)] =
+      Seq("n" -> (_ + _), "sv" -> ((a, b) => (a + b).cast("decimal(18,4)")))
+    val full = partial(lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // three uneven slices by event_id mod 3
+    val dir = Files.createTempDirectory("graft-ivmspec-").toString + "/t"
+    for (m <- 0 to 2)
+      graft.sources.IO.upsertAggregate(spark, dir,
+        partial(pmod(col("event_id"), lit(3L)) === m),
+        Seq("day"), Seq("user_id"), merge)
+    val got = spark.read.parquet(dir)
+      .select(col("day").cast("long"), col("user_id"), col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == full)
+
+    // delta touching ONE day must leave every other day's files untouched
+    val days = got.map(_._1).distinct.sorted
+    val hot = days.head
+    def filesOf(d: Long) = {
+      val p = Paths.get(dir, s"day=$d")
+      Files.list(p).toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+        .map(f => (f, Files.getLastModifiedTime(Paths.get(f)).toMillis))
+    }
+    val before = days.tail.map(d => d -> filesOf(d).toSeq).toMap
+    val delta = Seq((hot, 99999L, 5L, new java.math.BigDecimal("1.5000")))
+      .toDF("day", "user_id", "n", "sv")
+      .select(col("day"), col("user_id"), col("n"), col("sv").cast("decimal(18,4)"))
+    graft.sources.IO.upsertAggregate(spark, dir, delta, Seq("day"), Seq("user_id"), merge)
+    days.tail.foreach(d => assert(filesOf(d).toSeq == before(d), s"day=$d rewritten"))
+    val merged = spark.read.parquet(dir).filter(col("user_id") === 99999L).count()
+    assert(merged == 1L)
+  }
+}
