@@ -296,6 +296,120 @@ private[graft] object Batch13 {
         } finally q.stop()
         readRollup(s, dirP)
       },
-      Some(IvmSql))
+      Some(IvmSql)),
+
+    // Persisted BM25 index under q151's oracle VERBATIM (the q123/q125
+    // persisted-index gate pattern): the inverted tf table is written
+    // ONCE into tb= term-hash buckets + one-row stats, and the query
+    // reads only the buckets its terms hash into (isin partition
+    // pruning) with zero corpus scans. Green certifies the index build
+    // (tokenize/tf/dl/stats at write time), the bucket layout, the
+    // pruned read, and the indexed scoring path are bit-identical to
+    // the scan-time operator.
+    Q("q158_bm25_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val path = Bm25Index.forDir(s, dir)
+        val qs = Seq((1L, "spark window merge"),
+          (2L, "customer query stream table")).toDF("query_id", "qtext")
+        Retrieval.bm25TopKIndexed(path, qs, "query_id", "qtext", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25Sql(
+        "(CAST(1 AS BIGINT), 'spark window merge'), " +
+          "(CAST(2 AS BIGINT), 'customer query stream table')", 10) +
+        "\nSELECT query_id, rank, id, score FROM ranked WHERE rank <= 10" +
+        "\nORDER BY query_id, rank")),
+
+    // Trailing 7-day rolling activity per user — the time-RANGE window
+    // frame (every row aggregates its key's rows in [ts−7d, ts], both
+    // ends inclusive, equal-ts peers in frame). The oracle re-derives
+    // the frame semantics at µs granularity (the ns/µs boundary
+    // arithmetic is exact: both bounds are ×1000 multiples).
+    Q("q159_rolling_window",
+      (s, dir) => {
+        graft.operators.TimeSeries.rollingAgg(Tables.events(s, dir),
+            Seq("user_id"), "ts", lookback = 604800000000000L,
+            aggs = Seq(
+              "n_7d" -> count(lit(1)),
+              "sum_7d" -> sum(col("value").cast("decimal(18,4)"))))
+          .select(col("event_id"), col("user_id"), col("n_7d"),
+            col("sum_7d").cast("double").as("sum_7d"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Fixed-iteration PageRank over the user→page interaction graph
+    // (distinct edges, 3 iterations, d=0.85), exact-reproducible per the
+    // Graphs.pageRank contract: per-edge contribution = one double
+    // division + decimal(28,15) cast, per-node sums exact, one pinned
+    // double expression per iteration. The oracle replays all three
+    // iterations — join, out-degree normalization, damping, and the
+    // dangling-leak convention are all under the gate.
+    Q("q160_pagerank",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val edges = ev.select(
+          concat(lit("u"), col("user_id").cast("string")).as("src"),
+          concat(lit("p"), pmod(col("event_id"), lit(100L)).cast("string")).as("dst"))
+        graft.functions.Graphs.pageRank(edges, "src", "dst", iters = 3)
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+             |    'p' || CAST(event_id % 100 AS VARCHAR) AS dst FROM events),
+             |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+             |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+             |c1 AS (SELECT e.dst AS node, SUM(CAST(r.rank / od.outdeg AS DECIMAL(28,15))) AS s
+             |  FROM e JOIN r0 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+             |r1 AS (SELECT n.node, (1.0 - 0.85) + 0.85 * COALESCE(CAST(c1.s AS DOUBLE), 0.0) AS rank
+             |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+             |c2 AS (SELECT e.dst AS node, SUM(CAST(r.rank / od.outdeg AS DECIMAL(28,15))) AS s
+             |  FROM e JOIN r1 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+             |r2 AS (SELECT n.node, (1.0 - 0.85) + 0.85 * COALESCE(CAST(c2.s AS DOUBLE), 0.0) AS rank
+             |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+             |c3 AS (SELECT e.dst AS node, SUM(CAST(r.rank / od.outdeg AS DECIMAL(28,15))) AS s
+             |  FROM e JOIN r2 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+             |r3 AS (SELECT n.node, (1.0 - 0.85) + 0.85 * COALESCE(CAST(c3.s AS DOUBLE), 0.0) AS rank
+             |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+             |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)),
+
+    // EXACT per-group median (quantile_disc semantics — an actual group
+    // member at lower rank ⌊q·(n−1)⌋+1, no interpolation), next to the
+    // KHist approximate quantiles the sketch family serves at scale.
+    // Ties in the value order can permute rows, never the selected
+    // value — which is what makes the gate exact.
+    Q("q161_quantile_exact",
+      (s, dir) => {
+        graft.operators.Aggregations.quantileDisc(Tables.events(s, dir),
+            Seq("user_id"), "value", q = 0.5, outCol = "median_value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, n, value AS median_value FROM (
+             |  SELECT user_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC) AS rn,
+             |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+             |  FROM events)
+             |WHERE rn = FLOOR(0.5 * (n - 1)) + 1
+             |ORDER BY user_id""".stripMargin))
   )
+
+  /** One persisted BM25 index per fixture dir per JVM (the Batch6
+    * IvfIndex pattern): built at first use, every q158 run reads it. */
+  private object Bm25Index {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def forDir(s: SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files.createTempDirectory("graft-bm25-")
+          .toAbsolutePath.toString + "/index"
+        Retrieval.writeBm25Index(docs(s, dir), "doc_id", "text", path)
+        path
+      })
+  }
 }

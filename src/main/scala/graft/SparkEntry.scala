@@ -316,7 +316,7 @@ object SparkEntry {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
-  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries ++ Batch9.queries ++ Batch10.queries ++ Batch11.queries ++ Batch12.queries ++ Batch13.queries
+  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries ++ Batch9.queries ++ Batch10.queries ++ Batch11.queries ++ Batch12.queries ++ Batch13.queries ++ Batch14.queries
 
   // ---------------------------------------------------------------------------
 
@@ -362,5 +362,10 @@ object SparkEntry {
     // chunk-level corpus dedup + reconstruction (q142 — the line-dedup
     // family's bench line, covering the digest window, the flagged
     // re-chunk join, and the fused reconstruction aggregate)
-    "q124_ann_sq8", "q129_sessionize", "q142_dedup_chunks")
+    "q124_ann_sq8", "q129_sessionize", "q142_dedup_chunks",
+    // round-11 session-4 additions: BM25 keyword search (two corpus
+    // passes + broadcast-joined scoring + grouped top-k), SemDeDup
+    // (exact-decimal assignment + cluster-local pair join), and the
+    // LOCF resample (agg + lead window + gap generation)
+    "q151_bm25_topk", "q153_semdedup", "q154_resample_fill")
 }

@@ -156,6 +156,20 @@ object StressBench {
       threshold = 0.9, dim = 64, bits = bits, tables = 24,
       dedupFirst = dedupFirst, maxBucket = maxBucket)
 
+  /** Equi-join arm over the output-skew fixture: salts=0 is the plain
+    * join; the decimal-cast sum keeps the aggregate order-independent so
+    * all arms produce byte-identical results. */
+  private def equijoinArm(spark: SparkSession, salts: Int): DataFrame = {
+    val jl = spark.read.parquet(s"$root/join_left_stress")
+    val jr = spark.read.parquet(s"$root/join_right_stress")
+    val joined =
+      if (salts == 0) jl.join(jr, "k")
+      else graft.operators.Joins.saltedEquiJoin(jl, jr, Seq("k"), Seq("k"),
+        salts, saltBy = Seq("id"))
+    joined.agg(count(lit(1)).as("n"),
+      sum((col("v") * col("w")).cast("decimal(18,4)")).as("s"))
+  }
+
   private def buildFixtures(spark: SparkSession, sfDir: String): Unit = {
     val fs = java.nio.file.Paths.get(root)
     val t0 = System.nanoTime()
@@ -337,6 +351,27 @@ object StressBench {
       val header = (0 until 16).map(i => f"boiler$i%02d").mkString(" ")
       spark.range(8000000L).select(col("id").as("doc_id"), lit(header).as("text"))
         .repartition(32).write.mode("overwrite").parquet(s"$root/docs_chunkhot2")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("join_left_stress/_SUCCESS"))) {
+      // saltedEquiJoin OUTPUT-skew fixture (round 11, session 4): the
+      // general-join analog of the round-8 maxDF finding. Left: 2M rows,
+      // HALF on key 0; right: 5M uniform keys (one row each — too big to
+      // broadcast at ~80 MB, so the join must shuffle) plus 256 rows on
+      // key 0. Plain SMJ puts key 0's partition in ONE task computing
+      // 1M × 256 = 256M pairs from ~24 MB of input — far under AQE's
+      // 256 MB skew threshold, so the split never fires: input-byte skew
+      // detection is blind to multiplicative output, exactly as with the
+      // hot shingle. Salting splits the pair work `salts` ways at the
+      // price of replicating the 5M-row right side per salt.
+      val jl = spark.range(2000000L).select(col("id"),
+        when(pmod(col("id"), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(5000000L)) + 1).as("k"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000L)) / 10.0).as("v"))
+      jl.repartition(32).write.mode("overwrite").parquet(s"$root/join_left_stress")
+      val jr = spark.range(5000256L).select(
+        when(col("id") < 256, lit(0L)).otherwise(col("id") - 255).as("k"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(1000L)) / 10.0).as("w"))
+      jr.repartition(32).write.mode("overwrite").parquet(s"$root/join_right_stress")
     }
     if (!java.nio.file.Files.exists(fs.resolve("edges_stress/_SUCCESS"))) {
       // 4M edges just inside the 5M driver-union-find gate: 8-node chain
@@ -541,7 +576,18 @@ object StressBench {
         chunkSize = 16, aggFirsts = true)),
       "chunkdedup_allhot_window" -> (() => graft.functions.Dedup.dedupChunks(
         spark.read.parquet(s"$root/docs_chunkhot2"), "doc_id", "text",
-        chunkSize = 16)))
+        chunkSize = 16)),
+      // saltedEquiJoin on the output-skew fixture (round 11, session 4):
+      // plain SMJ — one task enumerates the hot key's 256M pairs (input
+      // bytes far below AQE's skew threshold; the split never fires) —
+      // vs salts=8 (pair work ÷8, right side replicated 8×) and
+      // salts=32 (the replication-tax side of the crossover: 160M
+      // replicated right rows vs a 32M-pair hot task). The aggregate
+      // rides the join stage, so the measured cost is pair enumeration
+      // + the salt machinery, not result materialization.
+      "equijoin_plain" -> (() => equijoinArm(spark, salts = 0)),
+      "equijoin_salted8" -> (() => equijoinArm(spark, salts = 8)),
+      "equijoin_salted32" -> (() => equijoinArm(spark, salts = 32)))
 
     // Cold-cache arms: page cache dropped before EVERY iteration
     // (warmup included), making the scan IO-bound — the local analog of

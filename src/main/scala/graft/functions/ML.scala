@@ -169,4 +169,63 @@ object ML {
         .otherwise(s.cast("double") / (lit(1000.0) * n.cast("double")))
         .as("score"))
   }
+
+  /** Grouped RANK features — the standard order-statistic featurization
+    * (rank-transform normalization is scale/outlier-proof where z-scores
+    * are not): per key group over `valueCol`,
+    *   pct_rank = (rank − 1)/(n − 1)   (0.0 for singleton groups — both
+    *     engines define percent_rank that way),
+    *   decile   = ntile(10)            (balanced buckets in rank order).
+    * Ties: rank (not row_number) for pct_rank — equal values get equal
+    * feature values, which is what makes the output deterministic (and
+    * engine-exact: one integer subtraction + one division); ntile runs on
+    * a unique-tiebroken order (`tieCols`) so bucket boundaries are
+    * deterministic too. One exchange + one in-partition sort; both
+    * functions ride the SAME window sort. */
+  def rankFeatures(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                   tieCols: Seq[String], buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(tieCols.nonEmpty, "rankFeatures needs unique tiebreak columns for ntile")
+    val keys = keyCols.map(col)
+    val wRank = Window.partitionBy(keys: _*).orderBy(col(valueCol).asc)
+    val wTie = Window.partitionBy(keys: _*)
+      .orderBy(col(valueCol).asc +: tieCols.map(col(_).asc): _*)
+    val wAll = Window.partitionBy(keys: _*)
+    df.withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("pct_rank",
+        when(col("__n") === 1L, lit(0.0)).otherwise(
+          (rank().over(wRank) - 1).cast("double") / (col("__n") - 1)))
+      .withColumn("decile", ntile(buckets).over(wTie).cast("long"))
+      .drop("__n")
+  }
+
+  /** Leave-one-out target encoding — the category→number featurization
+    * that avoids self-leakage: each row's encoding is the mean target of
+    * the OTHER rows of its category, (Σ_cat − own)/(n_cat − 1); singleton
+    * categories fall back to the GLOBAL mean of the other rows,
+    * (Σ_all − own)/(N − 1). Exactness contract: target sums accumulate in
+    * decimal (order-independent), each row's encoding is then one
+    * subtraction + one division on doubles — engine-exact, which is what
+    * lets the q163 oracle re-derive every encoded value.
+    *
+    * Shuffle shape: one map-side-combined aggregate per category (tiny
+    * result, broadcast back) + one single-row global aggregate — the
+    * corpus itself is never shuffled. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      outCol: String = "te"): DataFrame = {
+    val t = col(targetCol).cast("decimal(18,4)")
+    val perCat = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__cn"), sum(t).as("__cs"))
+    val global = df.agg(count(lit(1)).as("__gn"), sum(t).as("__gs"))
+    df.join(broadcast(perCat), Seq(catCol))
+      .crossJoin(broadcast(global)) // one row — scale-safe
+      .withColumn(outCol,
+        when(col("__cn") > 1L,
+          (col("__cs") - t).cast("double") / (col("__cn") - 1))
+        .when(col("__gn") > 1L,
+          (col("__gs") - t).cast("double") / (col("__gn") - 1))
+        .otherwise(lit(0.0)))
+      .drop("__cn", "__cs", "__gn", "__gs")
+  }
 }

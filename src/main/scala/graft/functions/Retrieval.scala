@@ -64,8 +64,13 @@ object Retrieval {
       explode(array_distinct(Text.tokens(col(qtextCol)))).as("term"))
     val qtermSet = qterms.select("term").distinct()
     // corpus tf restricted to query terms FIRST: df aggregates and the
-    // scoring join run over matched rows only, never the full vocabulary
-    val tfq = tf.join(broadcast(qtermSet), Seq("term"))
+    // scoring join run over matched rows only, never the full vocabulary.
+    // The matched set is shared (lazy localCheckpoint — the Dedup.shared
+    // pattern): dfq and the scoring join both read it, and without the
+    // checkpoint the whole scan→tokenize→tf pipeline runs TWICE (the df
+    // branch has no exchange for ReuseExchange to hold on to — plan-
+    // audited: three corpus scans collapsed to two, stats + tf)
+    val tfq = Dedup.shared(tf.join(broadcast(qtermSet), Seq("term")))
     val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
     // Pinned IEEE order — mirrored token-for-token by the oracle SQL:
     //   idf   = (N − df + 0.5) / (df + 0.5)          [long − long, then +0.5]
@@ -97,6 +102,134 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("score"))
+  }
+
+  /** Persist the BM25 index: the tokenize→tf table hive-partitioned into
+    * `tb=` term-hash buckets (pmod(xxhash64(term), buckets)), plus the
+    * one-row corpus stats. This is the "build once, query forever"
+    * production shape (the jaccardIndex / writeIvfCorpus pattern): both
+    * corpus scans are paid at build time, and a query reads ONLY the
+    * `tb=` directories its terms hash into — directory-level partition
+    * pruning, never a full index scan. Storage is one row per (doc,
+    * term) — the classic inverted-index size. */
+  def writeBm25Index(corpus: DataFrame, idCol: String, textCol: String,
+                     path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val docToks = corpus.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("__t"))
+    docToks.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__t")).cast("long")).as("sum_dl"))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    docToks
+      .select(col("id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/tf")
+  }
+
+  /** Query the persisted index: per-query top-k BM25 with ZERO corpus
+    * scans — the tf read is pruned to the query terms' hash buckets (an
+    * `isin` over the `tb` partition column, driver-computed from the
+    * query set, which is broadcast-small by contract), and everything
+    * downstream is [[bm25Scores]]' arithmetic verbatim — at matching
+    * (k1, b) the result is bit-identical to the scan-time operator,
+    * which is how the q158 gate runs q151's oracle against the index. */
+  def bm25TopKIndexed(indexPath: String, queries: DataFrame,
+                      qidCol: String, qtextCol: String, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      buckets: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(Text.tokens(col(qtextCol)))).as("term"))
+    val qtermSet = qterms.select("term").distinct()
+    val qbuckets = qtermSet
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tf = spark.read.parquet(s"$indexPath/tf")
+      .filter(col("tb").isin(qbuckets: _*))
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val tfq = tf.join(broadcast(qtermSet), Seq("term"))
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val ratio = col("dl").cast("double") /
+      (col("sum_dl").cast("double") / col("n_docs"))
+    val tfc = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * ratio))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("id").asc)
+    tfq.join(broadcast(dfq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"), (idf * tfc).as("s_term"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("s_term").cast("decimal(25,12)")).cast("double").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("score"))
+  }
+
+  /** Sparse tf·idf cosine document-pair similarity — the lexical
+    * ("soft-Jaccard") member of the near-dup scoring family, next to the
+    * set-based [[Dedup.jaccardPairs]] and the dense
+    * [[Similarity.cosinePairsExact]]: documents are tf·idf-weighted
+    * sparse vectors over word `gram`-grams (gram=1 → words; gram≥2 →
+    * shingles, whose long-tail df makes the inverted index sparse), and
+    * pair dots ride the inverted index — only pairs SHARING a term are
+    * ever scored, never all pairs.
+    *
+    * Exactness contract (the q164 gate): w = tf·N/df is the q98 log-free
+    * idf weighting (two IEEE ops, pinned order); every w·w and wₐ·w_b
+    * product rounds once to decimal(28,10) and sums exactly, one double
+    * per norm/dot, one division per cosine.
+    *
+    * Scale: `maxDF` drops terms in more than maxDF docs from the
+    * similarity (the [[Dedup]] cap semantics — a df-hot term contributes
+    * O(df²) pairs AND ~zero idf weight, so the cap removes quadratic
+    * work the scoring barely sees; same AQE-blind output-skew story,
+    * measured there). The weighted index is built once and shared (lazy
+    * localCheckpoint) across its three consumers (norms, both join
+    * sides). */
+  def tfidfCosinePairs(corpus: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, gram: Int = 1,
+                       maxDF: Long = 0L): DataFrame = {
+    require(gram >= 1, s"gram must be >= 1, got $gram")
+    // NON-distinct grams (true tf — the plans.ShingleStrings native is
+    // per-doc distinct by contract, which would flatten tf to presence):
+    // the repetitionStatsHof gram formulation, ordered, one per position
+    val terms =
+      if (gram == 1) explode(Text.tokens(col(textCol)))
+      else {
+        val t = Text.tokens(col(textCol))
+        val g = transform(sequence(lit(1), size(t) - (gram - 1)),
+          i => concat_ws(" ", (0 until gram).map(k => element_at(t, i + k)): _*))
+        explode(when(size(t) >= gram, g).otherwise(array().cast("array<string>")))
+      }
+    val docTerms = corpus.select(col(idCol).as("id"), terms.as("term"))
+    val stats = corpus.agg(count(lit(1)).as("n_docs"))
+    val tf = docTerms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfKept = if (maxDF > 0L) dfAll.filter(col("df") <= maxDF) else dfAll
+    val weighted = Dedup.shared(
+      tf.join(dfKept, Seq("term"))
+        .crossJoin(broadcast(stats)) // one row — scale-safe
+        .select(col("id"), col("term"),
+          (col("tf").cast("double") * col("n_docs") / col("df")).as("w")))
+    val norms = weighted.groupBy("id")
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,10)"))
+        .cast("double")).as("nrm"))
+    val a = weighted.select(col("id").as("i"), col("term"), col("w").as("wa"))
+    val b = weighted.select(col("id").as("j"), col("term"), col("w").as("wb"))
+    a.join(b, Seq("term")).filter(col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(sum((col("wa") * col("wb")).cast("decimal(28,10)"))
+        .cast("double").as("__dot"))
+      .join(norms.select(col("id").as("i"), col("nrm").as("__ni")), Seq("i"))
+      .join(norms.select(col("id").as("j"), col("nrm").as("__nj")), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("__dot") / (col("__ni") * col("__nj"))).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Reciprocal-rank fusion of N ranked lists (each `(query_id, rank, id,

@@ -110,4 +110,29 @@ object Aggregations {
       .agg(aggs.head._3(col(aggs.head._1)).as(aggs.head._1),
         aggs.tail.map { case (n, _, m) => m(col(n)).as(n) }: _*)
   }
+
+  /** EXACT discrete per-group quantile — the companion of the KHist
+    * APPROXIMATE quantiles (q43's sketch): returns, per key group, the
+    * group's n and the element at lower rank ⌊q·(n−1)⌋+1 in value order
+    * (quantile_disc semantics: an actual member of the group, no
+    * interpolation — which is also what makes the result engine-exact:
+    * ties in the value order can permute ROWS but never the selected
+    * VALUE). One exchange + one in-partition sort; the per-key
+    * sequential bound of the ranking window is the usual one — at scale
+    * the sketch path is the bounded-memory answer and this is the exact
+    * small-group/final-mile answer. */
+  def quantileDisc(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                   valueCol: String, q: Double,
+                   outCol: String = "q_value"): org.apache.spark.sql.DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(valueCol).asc)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    df.select(keyCols.map(col) :+ col(valueCol): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn).cast("long"))
+      .filter(col("__rn") === floor(lit(q) * (col("n") - 1)) + 1)
+      .select(keyCols.map(col) ++ Seq(col("n"), col(valueCol).as(outCol)): _*)
+  }
 }

@@ -55,14 +55,20 @@ object Joins {
     * join — each left row meets each matching right row in precisely its
     * one salt bucket (gated by the plain join's oracle, q155).
     *
-    * Cost model (when to reach for it): right-side shuffle volume grows
-    * `salts`×, so the knob pays when the hot key's single-task time
-    * dominates that extra exchange — the same crossover
-    * [[asofJoinSalted]]'s stress arms measured from both sides. Note
-    * AQE's skew-join split handles INPUT-byte skew on SMJ already; this
-    * operator is for the regimes AQE can't see (hot key hidden by
-    * compression, or a build-side hash join where AQE's split doesn't
-    * apply) — the same blind spot the round-8 maxDF finding pinned. */
+    * Cost model — MEASURED (StressBench equijoin arms, round 11 s4, on
+    * the output-skew fixture: 2M-row left with 50% on one key × 5M-row
+    * unbroadcastable right with 256 rows on that key → the hot SMJ task
+    * enumerates 256M pairs from ~24 MB of input, far under AQE's 256 MB
+    * skew threshold, so the split never fires — the round-8
+    * output-skew-is-AQE-blind finding generalized to joins): plain
+    * 105.2 s [104.6, 108.5] vs salts=8 28.3 s [28.1, 30.5] (3.7×,
+    * disjoint bands) vs salts=32 23.0 s [22.3, 39.4] (4.6× — the 4×
+    * bigger right-side replication mostly cancels the 4× smaller hot
+    * task; past ~salts=cores the knob is spent). When the hot key is
+    * visible to AQE as INPUT bytes (plain size skew, no multiplicative
+    * output), prefer letting AQE split; when the right side broadcasts,
+    * there is no skew problem at all — salt only the genuinely
+    * unbroadcastable output-skew regime this fixture models. */
   def saltedEquiJoin(l: DataFrame, r: DataFrame, lkey: Seq[String],
                      rkey: Seq[String], salts: Int,
                      saltBy: Seq[String]): DataFrame = {

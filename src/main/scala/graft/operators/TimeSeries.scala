@@ -56,4 +56,29 @@ object TimeSeries {
         Seq(col("__g").as("bucket"), (col("__g") === col("bucket")).as("present")) ++
         aggs.map { case (n, _) => col(n) }: _*)
   }
+
+  /** Trailing time-range rolling aggregates: for every input row, `aggs`
+    * evaluated over the key's rows with `tsCol` in [ts − lookback, ts]
+    * (both ends inclusive; equal-timestamp peers are all in frame — the
+    * standard RANGE-frame semantics in any engine). The canonical
+    * "7-day trailing activity" feature shape.
+    *
+    * One exchange (hash on the key) + one in-partition sort; the frame
+    * is evaluated by Spark's sliding WindowExec — no self-join, no
+    * explode. The per-key sequential bound of a window sort applies as
+    * with Sessions (documented there; the salted two-level trick does
+    * NOT compose with arbitrary range frames, so hot keys here take the
+    * upstream levers: dedup/bounding). Each agg expression must be a
+    * BARE aggregate function (`.over` attaches to it directly — a cast
+    * wrapped around the aggregate breaks window resolution; cast the
+    * output column afterwards), and should be exact-mergeable (counts,
+    * decimal sums) for engine-portable results. */
+  def rollingAgg(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 lookback: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    require(lookback >= 0, s"lookback must be non-negative, got $lookback")
+    require(aggs.nonEmpty, "rollingAgg needs at least one aggregate")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc).rangeBetween(-lookback, 0)
+    aggs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c.over(w)) }
+  }
 }

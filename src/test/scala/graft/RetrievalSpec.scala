@@ -159,6 +159,113 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKIndexed == bm25TopK bit-for-bit; read prunes to query-term buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25spec-")
+      .toString + "/idx"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, buckets = 16)
+    val qs = Seq((1L, "spark window merge"), (2L, "the customer stream"))
+      .toDF("query_id", "qtext")
+    val scan = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val idx = Retrieval.bm25TopKIndexed(dir, qs, "query_id", "qtext", k = 8, buckets = 16)
+    val got = idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(got == scan)
+    // partition pruning: the tf scan's partition filter carries the tb isin
+    val scanPlan = idx.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters: [") && scanPlan.contains("tb"),
+      scanPlan)
+  }
+
+  test("pageRank: golden 4-node graph, 2 iterations, hand-computed") {
+    // edges: a->b, a->c, b->c, c->a  (out: a=2, b=1, c=1; d dangling-free)
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    def dec(x: Double) = BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    val base = 1.0 - 0.85 // the operator's exact expression, NOT a 0.15 literal
+    // iter1 from rank 1.0: contrib b = 1/2, c = 1/2 + 1/1, a = 1/1
+    val r1 = Map(
+      "a" -> (base + 0.85 * dec(1.0).toDouble),
+      "b" -> (base + 0.85 * dec(0.5).toDouble),
+      "c" -> (base + 0.85 * (dec(0.5) + dec(1.0)).toDouble))
+    val r2 = Map(
+      "a" -> (base + 0.85 * dec(r1("c") / 1).toDouble),
+      "b" -> (base + 0.85 * dec(r1("a") / 2).toDouble),
+      "c" -> (base + 0.85 * (dec(r1("a") / 2) + dec(r1("b") / 1)).toDouble))
+    val got = graft.functions.Graphs.pageRank(e, "s", "d", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == r2, s"got $got want $r2")
+    // rank conservation sanity on the fixture graph shape: every node ≥ 1−d
+    assert(got.values.forall(_ >= base))
+  }
+
+  test("rollingAgg: golden trailing frame (inclusive bounds, equal-ts peers)") {
+    val rows = Seq(
+      (1L, 0L, 10L, 1.0), (2L, 0L, 15L, 2.0), (3L, 0L, 20L, 4.0),
+      (4L, 0L, 20L, 8.0), // equal-ts peer: in 3's frame and vice versa
+      (5L, 0L, 31L, 16.0), // 31−10=21 > 10: row 1 out of frame
+      (6L, 9L, 10L, 32.0)).toDF("id", "k", "ts", "v")
+    val got = graft.operators.TimeSeries.rollingAgg(rows, Seq("k"), "ts",
+        lookback = 10L, aggs = Seq("n" -> count(lit(1)), "sv" -> sum(col("v"))))
+      .select(col("id"), col("n"), col("sv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1.0), (2L, 2L, 3.0),
+      (3L, 4L, 15.0), (4L, 4L, 15.0), // both peers see rows 1..4 (20−10=10 inclusive)
+      (5L, 1L, 16.0), // frame [21,31]: the ts-20 peers fall out, only row 5 remains
+      (6L, 1L, 32.0)))
+  }
+
+  test("quantileDisc: golden selection + partition sweep") {
+    val rows = Seq((0L, 5.0), (0L, 1.0), (0L, 3.0), (0L, 9.0), // n=4: rn=floor(.5*3)+1=2 → 3.0
+      (1L, 7.0), (1L, 2.0), (1L, 4.0), // n=3: rn=2 → 4.0
+      (2L, 6.0)).toDF("k", "v") // n=1: rn=1 → 6.0
+    def mk(parts: Int) = graft.operators.Aggregations.quantileDisc(
+      rows.repartition(parts).toDF, Seq("k"), "v", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(mk(1) == Seq((0L, 4L, 3.0), (1L, 3L, 4.0), (2L, 1L, 6.0)))
+    partitionSweep(mk)
+  }
+
+  test("rankFeatures: golden ranks with ties; deciles balanced and deterministic") {
+    // group g: values 1,2,2,4 -> rank 1,2,2,4; n=4; pct = 0,1/3,1/3,1
+    val rows = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 2.0), (4L, "g", 4.0),
+      (5L, "h", 7.0)).toDF("id", "grp", "v")
+    val got = graft.functions.ML.rankFeatures(rows, Seq("grp"), "v",
+        tieCols = Seq("id"), buckets = 2)
+      .select(col("id"), col("pct_rank"), col("decile"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0.0, 1L), (2L, 1.0 / 3, 1L), (3L, 1.0 / 3, 2L), (4L, 1.0, 2L),
+      (5L, 0.0, 1L))) // singleton group: pct 0.0 by contract
+  }
+
+  test("targetEncodeLoo: golden LOO means; singleton falls back to global-minus-own") {
+    val rows = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 60.0),
+      (4L, "b", 100.0)).toDF("id", "cat", "y")
+    val got = graft.functions.ML.targetEncodeLoo(rows, "cat", "y")
+      .select(col("id"), col("te")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 40.0), (2L, 35.0), (3L, 15.0), // (90-own)/2
+      (4L, 30.0))) // singleton 'b': (190-100)/3
+  }
+
+  test("tfidfCosinePairs: identical docs cos 1.0; disjoint docs absent; maxDF drops hot terms") {
+    val rows = Seq(
+      (1L, "red green blue red green blue"), // true tf=2 per gram matters
+      (2L, "red green blue red green blue"),
+      (3L, "cyan teal pink onyx"),
+      (4L, "wheat maize corn oats")).toDF("id", "text")
+    val got = Retrieval.tfidfCosinePairs(rows, "id", "text", threshold = 0.0,
+        gram = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+    assert(math.abs(got.head._3 - 1.0) < 1e-12)
+    // cap at maxDF=1: every shared gram (df=2) is dropped -> no pairs
+    assert(Retrieval.tfidfCosinePairs(rows, "id", "text", 0.0, gram = 2,
+      maxDF = 1L).count() == 0)
+  }
+
   test("upsertAggregate: any slicing converges to the from-scratch rollup; untouched partitions untouched") {
     import java.nio.file.{Files, Paths}
     val ev = Tables.events(spark, sf)
