@@ -20,6 +20,28 @@ object Dedup {
       .groupBy(sha2(col("__norm"), 256).as("text_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus DIFF between two snapshots of a keyed document table — the
+    * ops companion of [[exactIncremental]] (what changed between crawls /
+    * ingest runs): full outer comparison on the id, content compared by
+    * the module's normalized digest, classified
+    * `added | removed | changed | unchanged`. The exchange carries
+    * (id, 32-byte digest) rows only — the text never shuffles, so at
+    * 100 TB the diff costs two scans + one digest-row join (and both
+    * sides pre-aggregate nothing: ids are unique per snapshot by
+    * contract — dedupe upstream with [[exact]]). */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def digests(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol),
+        sha2(Text.normalize(col(textCol)), 256).as(s"__h_$side"))
+    digests(a, "a").join(digests(b, "b"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_a").isNull, "added")
+          .when(col("__h_b").isNull, "removed")
+          .when(col("__h_a") === col("__h_b"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Chunk-level exact dedup across the whole corpus — the MassiveText /
     * RefinedWeb "line-level dedup" shape, with fixed `chunkSize`-token
     * windows (stride = chunkSize, via [[Text.chunkTokens]]) standing in

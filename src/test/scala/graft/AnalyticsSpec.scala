@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Batch-15 operators: funnel, cohort retention, corpus diff. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel: strict ordering, partial depths, window boundary") {
+    // u1: full chain inside window; u2: simultaneous B does NOT advance;
+    // u3: depth 2 only; u4: completes but outside window; u5: no step A.
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "A", 10L), (2L, "B", 10L), (2L, "C", 30L), // B at t=10 not > 10
+      (3L, "A", 10L), (3L, "B", 15L),
+      (4L, "A", 10L), (4L, "B", 20L), (4L, "C", 200L),
+      (5L, "B", 10L), (5L, "C", 20L)).toDF("u", "et", "ts")
+    val got = Analytics.funnel(ev, "u", "ts", "et", Seq("A", "B", "C"),
+        within = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 10L, 30L, true),
+      (2L, 1L, 10L, 10L, false), // simultaneous B never advances: depth 1
+      (3L, 2L, 10L, 15L, false),
+      (4L, 3L, 10L, 200L, false))) // completed but 190 > 50
+  }
+
+  test("funnel: greedy earliest-first maximizes completion") {
+    // A at 10 and 50; B only at 20. Greedy takes A@10 -> B@20 completes;
+    // an A@50 anchor would fail.
+    val ev = Seq((1L, "A", 10L), (1L, "A", 50L), (1L, "B", 20L)).toDF("u", "et", "ts")
+    val got = Analytics.funnel(ev, "u", "ts", "et", Seq("A", "B"), within = 100L)
+      .collect().map(r => (r.getLong(1), r.getBoolean(4))).toSeq
+    assert(got == Seq((2L, true)))
+  }
+
+  test("cohortRetention: golden triangle + partition sweep") {
+    val ev = Seq(
+      (1L, 0L), (1L, 10L), (1L, 20L), // cohort 0, offsets 0,1,2
+      (2L, 0L), (2L, 20L),            // cohort 0, offsets 0,2
+      (3L, 10L), (3L, 15L)            // cohort 1, offset 0 (two events, one bucket)
+    ).toDF("u", "ts")
+    def mk(parts: Int) = Analytics.cohortRetention(ev.repartition(parts), "u", "ts", width = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(mk(1) == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L), (1L, 0L, 1L)))
+    partitionSweep(mk)
+  }
+
+  test("corpusDiff: four statuses; whitespace-only change is unchanged") {
+    val a = Seq((1L, "alpha beta"), (2L, "keep me"), (3L, "gone soon")).toDF("id", "text")
+    val b = Seq((1L, "alpha  BETA "), // normalizes equal
+      (2L, "keep me now"), (4L, "brand new")).toDF("id", "text")
+    val got = graft.functions.Dedup.corpusDiff(a, b, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+}
