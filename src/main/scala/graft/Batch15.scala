@@ -103,6 +103,93 @@ private[graft] object Batch15 {
              |       WHEN an.n = bn.n THEN 'unchanged'
              |       ELSE 'changed' END AS status
              |FROM an FULL OUTER JOIN bn ON an.doc_id = bn.doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Fuzzy record linkage: every customer name corrupted in its last
+    // digit ((d+1) mod 10 — Levenshtein distance 1 from its original),
+    // matched back against the clean table blocked on nationkey, best
+    // candidate per dirty record by (distance, id). The oracle
+    // re-derives the corruption, the blocked candidate set, every edit
+    // distance, and the ranking — unit-cost Levenshtein is
+    // engine-identical by definition.
+    Q("q168_fuzzy_linkage",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val dirty = c.select(col("c_custkey").as("d_id"), col("c_nationkey"),
+          expr("concat(substring(c_name, 1, length(c_name)-1), " +
+            "cast((cast(substring(c_name, length(c_name), 1) as int) + 1) % 10 as string))")
+            .as("d_name"))
+        graft.operators.Joins.fuzzyJoin(dirty,
+            c.select(col("c_custkey").as("r_id"), col("c_nationkey"), col("c_name")),
+            "d_id", "r_id", Seq("c_nationkey"), "d_name", "c_name",
+            maxDist = 2, topPerLeft = 1)
+          .orderBy("d_id")
+      },
+      Some("""WITH dirty AS (SELECT c_custkey AS d_id, c_nationkey,
+             |    substr(c_name, 1, length(c_name) - 1) ||
+             |      CAST((CAST(substr(c_name, length(c_name), 1) AS INT) + 1) % 10 AS VARCHAR) AS d_name
+             |  FROM customer),
+             |cand AS (SELECT d.d_id, c.c_custkey AS r_id,
+             |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
+             |  FROM dirty d JOIN customer c ON c.c_nationkey = d.c_nationkey
+             |  WHERE levenshtein(d.d_name, c.c_name) <= 2)
+             |SELECT d_id, r_id, dist, rank FROM (
+             |  SELECT d_id, r_id, dist, CAST(ROW_NUMBER() OVER (
+             |      PARTITION BY d_id ORDER BY dist ASC, r_id ASC) AS BIGINT) AS rank
+             |  FROM cand)
+             |WHERE rank <= 1 ORDER BY d_id""".stripMargin)),
+
+    // Data-quality validation suite over a deliberately dirtied
+    // lineitem (negative quantities re-using real rows → range + pk-dup
+    // violations; re-keyed rows with discount 1.5 → range + orphan-FK
+    // violations): all four rule kinds — predicate window, predicate
+    // range, key uniqueness, referential integrity — each violation
+    // count re-derived by the oracle over the identically-constructed
+    // dirty table.
+    Q("q169_validate",
+      (s, dir) => {
+        import graft.functions.Validation._
+        val base = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount"))
+        val d1 = base.filter(pmod(col("l_orderkey"), lit(997L)) === 0)
+          .withColumn("l_quantity", lit(-5.0))
+        val d2 = base.filter(pmod(col("l_orderkey"), lit(499L)) === 0)
+          .withColumn("l_orderkey", col("l_orderkey") + 9000000L)
+          .withColumn("l_discount", lit(1.5))
+        val dirty = base.unionByName(d1).unionByName(d2)
+        validate(dirty, Seq(
+          Check("qty_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          Check("discount_range", col("l_discount") >= 0 && col("l_discount") <= 1),
+          Unique("pk_unique", Seq("l_orderkey", "l_linenumber")),
+          ForeignKey("order_fk", Seq("l_orderkey"),
+            Tables.orders(s, dir), Seq("o_orderkey"))))
+          .orderBy("rule_id")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, -5.0, l_discount FROM lineitem
+             |  WHERE l_orderkey % 997 = 0
+             |  UNION ALL
+             |  SELECT l_orderkey + 9000000, l_linenumber, l_quantity, 1.5 FROM lineitem
+             |  WHERE l_orderkey % 499 = 0)
+             |SELECT CAST(0 AS BIGINT) AS rule_id, 'qty_range' AS rule,
+             |  CAST(COUNT(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 END) AS BIGINT) AS n_violations
+             |FROM dirty
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), 'discount_range',
+             |  CAST(COUNT(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1) THEN 1 END) AS BIGINT)
+             |FROM dirty
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'pk_unique',
+             |  COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM (
+             |    SELECT COUNT(*) AS n FROM dirty
+             |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), 0)
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 'order_fk',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty d
+             |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = d.l_orderkey))
+             |ORDER BY rule_id""".stripMargin))
   )
 }

@@ -84,6 +84,34 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Fuzzy record linkage: blocked edit-distance join — the classic
+    * dedup/linkage shape (match dirty records to a reference table).
+    * Candidates are generated ONLY within equal `blockCols` groups (the
+    * "blocking key" — without it linkage is an all-pairs cross join; with
+    * it pair volume is Σ|block|², the SemDeDup/LSH-bucket argument with
+    * the same hot-block caveat), scored by Levenshtein distance (unit
+    * edit costs — identical semantics in any engine), kept at distance ≤
+    * `maxDist`, and ranked per left record (distance, then right id) to
+    * `topPerLeft`. Output: (lId, rId, dist, rank); unmatched left
+    * records are absent (anti-join upstream to count them). */
+  def fuzzyJoin(l: DataFrame, r: DataFrame, lId: String, rId: String,
+                blockCols: Seq[String], lStr: String, rStr: String,
+                maxDist: Int, topPerLeft: Int = 1): DataFrame = {
+    require(blockCols.nonEmpty,
+      "fuzzyJoin requires blocking columns (unblocked linkage is a cross join)")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val lk = l.select((blockCols :+ lId :+ lStr).distinct.map(col): _*)
+    val rk = r.select((blockCols :+ rId :+ rStr).distinct.map(col): _*)
+    val w = Window.partitionBy(col(lId))
+      .orderBy(col("dist").asc, col(rId).asc)
+    lk.join(rk, blockCols)
+      .withColumn("dist", levenshtein(col(lStr), col(rStr)).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topPerLeft)
+      .select(col(lId), col(rId), col("dist"), col("rank"))
+  }
+
   /** `groupjoin(l, r; how)` — matching right rows grouped into a nested
     * `groups` column (reference `src/join.jl:120-126`, `test/test_table.jl:117-122`).
     * Lowered as: pre-aggregate the right side per key (one shuffle of r,

@@ -57,4 +57,37 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     assert(got == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added")))
   }
+
+  test("fuzzyJoin: blocked candidates, distance cap, best-per-left ranking") {
+    val dirty = Seq((1L, "blk", "kitten"), (2L, "blk", "zzzzz"), (3L, "oth", "kitten"))
+      .toDF("d_id", "b", "d_name")
+    val ref = Seq((10L, "blk", "sitten"), (11L, "blk", "sittin"), (12L, "oth", "mitten"))
+      .toDF("r_id", "b", "r_name")
+    val got = graft.operators.Joins.fuzzyJoin(dirty, ref, "d_id", "r_id",
+        Seq("b"), "d_name", "r_name", maxDist = 2, topPerLeft = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // kitten->sitten d1, kitten->sittin d2; zzzzz matches nothing;
+    // cross-block kitten->mitten d1 only within its own block
+    assert(got == Seq((1L, 10L, 1L, 1L), (1L, 11L, 2L, 2L), (3L, 12L, 1L, 1L)))
+  }
+
+  test("validate: all rule kinds, zero-violation rules report 0, null counts as violation") {
+    import graft.functions.Validation._
+    val df = Seq(
+      (1L, 10.0), (2L, 20.0), (2L, 30.0), // dup key 2
+      (3L, -1.0),                          // range violation
+      (9L, 5.0)                            // orphan vs ref
+    ).toDF("k", "v").withColumn("v",
+      when(col("k") === 1L, lit(null).cast("double")).otherwise(col("v")))
+    val ref = Seq(1L, 2L, 3L).toDF("rk")
+    val got = validate(df, Seq(
+      Check("v_pos", col("v") >= 0),        // null v (k=1) + -1.0 => 2
+      Check("k_pos", col("k") >= 1),        // 0
+      Unique("k_unique", Seq("k")),         // the two k=2 rows => 2
+      ForeignKey("k_fk", Seq("k"), ref, Seq("rk")))) // k=9 => 1
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, "v_pos", 2L), (1L, "k_pos", 0L),
+      (2L, "k_unique", 2L), (3L, "k_fk", 1L)))
+  }
 }
