@@ -276,6 +276,32 @@ object Text {
         concat_ws(" ", slice(col("__t"), start + 1, lit(chunkSize))).as("chunk_text"))
   }
 
+  /** Corpus-wide skip-gram co-occurrence counts — the word2vec /
+    * GloVe training-pair preparation: for every token position i, every
+    * position j with 0 < |i−j| ≤ `window` in the same document yields a
+    * (center, context) pair; pairs aggregate to (center, context, n)
+    * over the whole corpus. Pair generation is a pure Column expression
+    * riding the scan (positions × offsets via element_at — O(1) array
+    * access, no self-join, no positional shuffle); the only exchange is
+    * the map-side-combined count keyed on the pair, the word-count skew
+    * profile (hot function words absorbed by the partials). */
+  def skipgramPairs(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val t = tokens(col(textCol))
+    val pairs = flatten(transform(sequence(lit(1), size(t)), i =>
+      filter(
+        transform(sequence(greatest(i - window, lit(1)),
+            least(i + window, size(t))),
+          j => when(j =!= i,
+            struct(element_at(t, i).as("center"), element_at(t, j).as("context")))),
+        p => p.isNotNull)))
+    df.select(explode(when(size(t) > 0, pairs)
+        .otherwise(array().cast("array<struct<center:string,context:string>>"))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
+
   /** Per-document top-k terms by tf·idf, with idf = N/df (the inverse
     * document frequency WITHOUT the log: per-document ranking is invariant
     * under the monotone log, and tf·N/df is two exact IEEE double ops —

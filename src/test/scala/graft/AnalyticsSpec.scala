@@ -90,4 +90,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq((0L, "v_pos", 2L), (1L, "k_pos", 0L),
       (2L, "k_unique", 2L), (3L, "k_fk", 1L)))
   }
+
+  test("skipgramPairs: golden window pairs, edges, empty docs") {
+    val df = Seq((1L, "a b c d"), (2L, ""), (3L, "x")).toDF("id", "text")
+    val got = graft.functions.Text.skipgramPairs(df, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // positions: a1 b2 c3 d4, window 2 — model by brute force
+    val toks = Seq("a", "b", "c", "d")
+    val want = (for {
+      i <- toks.indices; j <- toks.indices
+      if i != j && math.abs(i - j) <= 2
+    } yield (toks(i), toks(j))).groupBy(identity).map { case (k, v) =>
+      (k._1, k._2, v.size.toLong) }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == want) // singleton doc 3 and empty doc 2 contribute nothing
+  }
+
+  test("ORC round trip is byte-exact on adversarial strings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orcspec-").toString + "/t"
+    val rows = Seq((1L, "plain"), (2L, "quo\"te"), (3L, "back\\slash"),
+      (4L, "new\nline\ttab"), (5L, "unicode \u00e9\u4e2d\ud83d\ude00"))
+    rows.toDF("id", "text").write.orc(dir)
+    val back = spark.read.orc(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(back == rows)
+  }
 }
