@@ -429,6 +429,21 @@ object StressBench {
     val cases: Seq[(String, () => DataFrame)] = Seq(
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
+      // prefix filtering (round 11, session 5): the LOSSLESS pruning
+      // lever vs the two points above — candidate generation joins only
+      // each doc's ascending-df (|d|−⌈t·|d|⌉+1)-prefix, so df-hot
+      // shingles (which sort LAST) never collide unless a doc is nearly
+      // all boilerplate. Identical output to jaccard_uncapped (the
+      // FunctionsSpec sweep pins it); the arm measures what that
+      // losslessness costs/buys vs the lossy cap. The noshare arm
+      // isolates the index localCheckpoint: FOUR consumers read the
+      // exploded index here (df agg, rank join, both verify sides) vs
+      // jaccardPairs' two
+      "jaccard_prefix" -> (() => Dedup.jaccardPairsPrefix(docs, "doc_id",
+        "text", n = 3, threshold = 0.8, hashShingles = true)),
+      "jaccard_prefix_noshare" -> (() => Dedup.jaccardPairsPrefix(docs,
+        "doc_id", "text", n = 3, threshold = 0.8, hashShingles = true,
+        shareIndex = false)),
       "jaccard_capped_broadcast" -> (() => jaccard(100, "broadcast")),
       "jaccard_uncapped_broadcast" -> (() => jaccard(0, "broadcast")),
       "asof_plain" -> (() => Joins.asofJoin(l, r, Seq("user_id"), "ts", "ts",

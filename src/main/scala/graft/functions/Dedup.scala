@@ -414,6 +414,87 @@ object Dedup {
         explode(col("__arr")).as("s"))
   }
 
+  /** Prefix-filtered exact-Jaccard pairs — the LOSSLESS candidate-pruning
+    * complement of `maxDF` (prefix filtering from the published
+    * set-similarity-join literature: SSJoin, Chaudhuri et al. ICDE'06;
+    * PPJoin, Xiao et al. WWW'08). Identical output to [[jaccardPairs]]
+    * (same exact verification), different candidate generator:
+    *
+    * Order every doc's shingles by a GLOBAL canonical order (ascending
+    * document frequency, shingle value as tiebreak) and index only each
+    * doc's first `|d| − ⌈t·|d|⌉ + 1` shingles. Theorem (prefix filter):
+    * any pair with J ≥ t shares at least one shingle inside both
+    * prefixes — because J(A,B) ≥ t implies |A∩B| ≥ t·|A| (from
+    * c(1+t) ≥ t(a+b) and b ≥ c), so A's last ⌈t·|A|⌉ shingles cannot
+    * cover A∩B alone. Candidate generation therefore joins on ~(1−t) of
+    * the index rows, and — the scale point — the HOTTEST shingles sort
+    * LAST in the canonical order, so a df-hot boilerplate shingle never
+    * enters a prefix once a doc has enough rarer shingles to fill it:
+    * the O(df²) pair blowup the maxDF cap removes LOSSILY, the prefix
+    * removes losslessly for every doc whose prefix misses the hot
+    * shingle. (A corpus where the hot shingle IS the prefix — tiny docs
+    * of only boilerplate — still needs the cap; the knobs compose.)
+    *
+    * Numeric safety: the prefix length uses `ceil(t·sz − 1e-9)` — the
+    * 1e-9 slack makes double rounding err toward a LONGER prefix, never
+    * a shorter one, so the filter stays lossless at every (t, sz). The
+    * same slack loosens the size filter (t·max(szA,szB) ≤ min+ε, implied
+    * by c ≥ t·max and c ≤ min). Verification is exact: candidates join
+    * back to the FULL index and re-count |A∩B|; every emitted pair
+    * carries true n_common/jaccard, so a too-loose prefix or size filter
+    * can only cost time, never correctness.
+    *
+    * 100 TB: three shuffles beyond [[jaccardPairs]]'s (df count, the
+    * per-doc rank window — bounded by doc size, no hot-shingle skew —
+    * and the verify join) in exchange for a candidate set that no longer
+    * scales with Σdf². The index is `shared()` (lazy localCheckpoint):
+    * unlike jaccardPairs' 2-scan shape, FOUR consumers read it (df agg,
+    * rank join, both verify sides) — recomputing the explode per
+    * consumer measured slower (see StressBench prefix arms). */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double,
+                         hashShingles: Boolean = false,
+                         joinStrategy: String = "shuffle_hash",
+                         shareIndex: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(Set("shuffle_hash", "merge", "broadcast").contains(joinStrategy),
+      s"joinStrategy must be shuffle_hash|merge|broadcast, got: $joinStrategy")
+    val rawIdx = jaccardIndex(df, idCol, textCol, n, hashShingles)
+    val idx = if (shareIndex) shared(rawIdx) else rawIdx
+    // global canonical order: ascending df, shingle value as tiebreak.
+    // The df join keys on s — input skew on a hot shingle is 1:1 output
+    // (AQE-visible, no blowup), unlike the pair join it replaces.
+    val dfCount = idx.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__df").asc, col("s").asc)
+    val prefix = idx.join(dfCount, Seq("s"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1))
+      .select(col("id"), col("sz"), col("s"))
+    // candidates: prefix-token collision + conservative size filter
+    val cand = prefix.hint(joinStrategy).as("a")
+      .join(prefix.hint(joinStrategy).as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")) <=
+            least(col("a.sz"), col("b.sz")).cast("double") + lit(1e-9))
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+    // exact verification against the FULL index (n_common ≥ 1 holds for
+    // every candidate: the colliding prefix shingle is itself common)
+    val ai = idx.select(col("id").as("i"), col("sz").as("sz_i"), col("s"))
+    val bj = idx.select(col("id").as("j"), col("sz").as("sz_j"), col("s"))
+    cand.join(ai, Seq("i")).join(bj, Seq("j", "s"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_common"),
+        min(col("sz_i")).as("sz_i"), min(col("sz_j")).as("sz_j"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_i") + col("sz_j") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("n_common"), col("jaccard"))
+  }
+
   /** MinHash signatures: k universal-hash permutations h_i(x)=(a_i·x+b_i)
     * mod p over the shingle-hash set; signature element i = min over
     * shingles. Deterministic seeds. One narrow pass — no shuffle.

@@ -228,4 +228,44 @@ object ML {
         .otherwise(lit(0.0)))
       .drop("__cn", "__cs", "__gn", "__gs")
   }
+
+  /** Per-group simple linear regression + Pearson correlation in ONE
+    * aggregate pass: emits `n`, OLS `slope`/`intercept` (y = a + b·x)
+    * and `r` from the five classic sufficient statistics
+    * (Σx, Σy, Σxy, Σx², Σy²), each accumulated EXACTLY in decimal
+    * (order-independent — a double sum would make the result depend on
+    * partitioning) and only then combined in double with a pinned
+    * operation order, so an oracle replays every output bit-for-bit.
+    * sqrt is IEEE-correctly-rounded in both engines (the q164 norm
+    * precedent), so `r` is gateable too.
+    *
+    * 100 TB: one map-side-combined aggregate — sufficient statistics
+    * are the textbook mergeable form, so the corpus never shuffles;
+    * the per-group result is 6 numbers. Degenerate groups (n = 1 or
+    * zero x-variance) emit NULL slope/intercept/r rather than ±Inf:
+    * the caller decides, the engine doesn't guess. */
+  def olsFit(df: DataFrame, keyCols: Seq[String], xCol: String, yCol: String,
+             xScale: Int = 2, yScale: Int = 2): DataFrame = {
+    val x = col(xCol).cast(s"decimal(18,$xScale)")
+    val y = col(yCol).cast(s"decimal(18,$yScale)")
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"),
+        sum(y).cast("double").as("__sy"),
+        sum(x * y).cast("double").as("__sxy"),
+        sum(x * x).cast("double").as("__sxx"),
+        sum(y * y).cast("double").as("__syy"))
+    // pinned double arithmetic: numerator/denominators written once and
+    // reused so Spark and the oracle evaluate the same expression tree
+    val sxx = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val syy = col("n") * col("__syy") - col("__sy") * col("__sy")
+    val sxy = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    agg
+      .withColumn("slope", when(sxx > 0.0, sxy / sxx))
+      .withColumn("intercept",
+        when(sxx > 0.0, (col("__sy") - (sxy / sxx) * col("__sx")) / col("n")))
+      .withColumn("r",
+        when(sxx > 0.0 && syy > 0.0, sxy / (sqrt(sxx) * sqrt(syy))))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
 }

@@ -80,4 +80,35 @@ object Analytics {
       .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-group z-score outlier detection: rows with
+    * `|x − mean| > k·std` (population std), annotated with the group
+    * `mean`/`std` and the row's `z`. The moments accumulate EXACTLY in
+    * decimal (order-independent), the flag arithmetic is then plain
+    * double with a pinned order (`std = sqrt((Σx² − Σx·Σx/n)/n)`) — the
+    * same ops in any engine, so every emitted row AND the threshold
+    * decision itself are oracle-replayable. A zero-variance group emits
+    * nothing (`|x−mean| > 0` is false), and `z` is only computed on
+    * emitted rows, so no division by zero exists.
+    *
+    * 100 TB: one map-side-combined moment aggregate (per-group result =
+    * 3 numbers, broadcast back) + one scan with a per-row filter — the
+    * corpus is never shuffled, no window anywhere. The practical use in
+    * a curation pipeline: flag length/score anomalies per (source,
+    * lang) slice without a quantile pass. */
+  def outliersZ(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                k: Double, scale: Int = 2): DataFrame = {
+    require(k >= 0, s"k must be non-negative, got $k")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(v).cast("double").as("__s"),
+        sum(v * v).cast("double").as("__ss"))
+    df.join(broadcast(stats), keyCols)
+      .withColumn("mean", col("__s") / col("__n"))
+      .withColumn("std",
+        sqrt((col("__ss") - col("__s") * col("__s") / col("__n")) / col("__n")))
+      .filter(abs(col(valueCol) - col("mean")) > lit(k) * col("std"))
+      .withColumn("z", (col(valueCol) - col("mean")) / col("std"))
+      .drop("__n", "__s", "__ss")
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.ML
 import graft.operators.Analytics
 import org.apache.spark.sql.functions._
 
@@ -114,5 +115,59 @@ class AnalyticsSpec extends SparkSpec {
     val back = spark.read.orc(dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     assert(back == rows)
+  }
+
+  test("olsFit: perfect line recovered exactly; degenerate groups NULL; partition-invariant") {
+    val pts = Seq(
+      // g1: y = 2x + 1 exactly — slope/intercept recovered to double exact
+      ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0), ("g1", 4.0, 9.0),
+      // g2: anti-correlated line y = 10 - x
+      ("g2", 1.0, 9.0), ("g2", 2.0, 8.0), ("g2", 3.0, 7.0),
+      // g3: singleton — slope/intercept/r NULL, not ±Inf
+      ("g3", 5.0, 5.0),
+      // g4: zero x-variance — NULL
+      ("g4", 2.0, 1.0), ("g4", 2.0, 9.0))
+    def run(parts: Int) = {
+      import spark.implicits._
+      val df = spark.createDataset(pts).toDF("g", "x", "y").repartition(parts)
+      ML.olsFit(df, Seq("g"), "x", "y")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+        .sortBy(_._1).toSeq
+    }
+    val base = run(1)
+    val byG = base.map(t => t._1 -> t).toMap
+    assert(byG("g1")._3.contains(2.0) && byG("g1")._4.contains(1.0))
+    assert(math.abs(byG("g1")._5.get.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(byG("g2")._3.contains(-1.0) && byG("g2")._4.contains(10.0))
+    assert(math.abs(byG("g2")._5.get.asInstanceOf[Double] + 1.0) < 1e-12)
+    assert(byG("g3")._3.isEmpty && byG("g3")._4.isEmpty && byG("g3")._5.isEmpty)
+    assert(byG("g4")._3.isEmpty && byG("g4")._4.isEmpty && byG("g4")._5.isEmpty)
+    // decimal sufficient statistics ⇒ identical at any partitioning
+    partitionSweep(run)
+  }
+
+  test("outliersZ: flags exactly the model's rows; zero-variance group empty") {
+    val rows = Seq(
+      // g1: mean 10, values ±spread — model computed below
+      ("g1", 1L, 4.0), ("g1", 2L, 9.0), ("g1", 3L, 10.0),
+      ("g1", 4L, 11.0), ("g1", 5L, 16.0),
+      // g2: constant — std 0, nothing can exceed k·0
+      ("g2", 6L, 7.0), ("g2", 7L, 7.0), ("g2", 8L, 7.0))
+    import spark.implicits._
+    val df = spark.createDataset(rows).toDF("g", "id", "v")
+    val got = Analytics.outliersZ(df, Seq("g"), "v", k = 1.2)
+      .select("id", "z").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1)
+    // driver model with the operator's pinned formula
+    val g1 = rows.filter(_._1 == "g1").map(_._3)
+    val (n, s, ss) = (g1.size.toDouble, g1.sum, g1.map(v => v * v).sum)
+    val mean = s / n
+    val std = math.sqrt((ss - s * s / n) / n)
+    val want = rows.filter(_._1 == "g1")
+      .filter(r => math.abs(r._3 - mean) > 1.2 * std)
+      .map(r => (r._2, (r._3 - mean) / std)).sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(want.nonEmpty && want.size < g1.size) // the test discriminates
   }
 }

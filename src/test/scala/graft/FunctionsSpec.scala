@@ -486,6 +486,44 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(jac - 0.75) < 1e-12)
   }
 
+  test("jaccardPairsPrefix == jaccardPairs: fixture sweep + prefix-edge docs") {
+    import spark.implicits._
+    // threshold sweep on the real fixture: the prefix filter is lossless
+    // by theorem, so output must be BIT-identical to the full
+    // inverted-index operator at every t (including a low t where the
+    // prefix is most of the doc and a high t where it is a single token)
+    val docs = Tables.documents(spark, sf)
+    for (t <- Seq(0.15, 0.3, 0.7)) {
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(p => (p._1, p._2))
+      val pre = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(p => (p._1, p._2))
+      assert(pre.sameElements(full), s"prefix diverged from full at t=$t")
+    }
+    // edge shapes the fixture may miss: single-shingle docs (prefix = the
+    // whole set), exact duplicates (J=1 must survive t=1.0's 1-prefix),
+    // and a boundary pair whose jaccard equals the threshold exactly
+    val edge = Seq(
+      (1L, "a b c"),                 // 1 shingle
+      (2L, "a b c"),                 // dup of 1 — J=1
+      (3L, "a b c d"),               // 2 shingles, J(1,3)=0.5
+      (4L, "x y z w v u t s")).toDF("id", "text")
+    for (t <- Seq(0.5, 1.0)) {
+      val full = Dedup.jaccardPairs(edge, "id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val pre = Dedup.jaccardPairsPrefix(edge, "id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(pre.sameElements(full), s"edge diverged at t=$t")
+    }
+    // t=0.5 must include the boundary pair (1,3) at exactly J=0.5
+    val b = Dedup.jaccardPairsPrefix(edge, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(b.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0.5))
+    assert(b.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
   test("minhashLSH finds the high-jaccard pairs (recall vs exact)") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
