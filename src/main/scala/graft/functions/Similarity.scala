@@ -919,31 +919,8 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     model: IvfModel, tau: Double,
                     exact: Boolean = true): DataFrame = {
-    import graft.plans.HashExpressions.{dotFix9, fix9, nearestCell}
-    val asg =
-      if (exact) {
-        // fix9 images of the centroids are computed BY the fix9 expression
-        // over literal double arrays — the exact snap the corpus side gets,
-        // so assignment arithmetic is the oracle's arithmetic (decimal-
-        // exact dot, one double per cos, argmax with earliest-cell ties)
-        val cents = model.centroids.map(c =>
-          fix9(array(c.map(lit(_)): _*).cast("array<double>")))
-        val base = corpus.select(col(idCol).as("id"),
-            fix9(vecInput(corpus, vecCol)).as("vf"))
-          .withColumn("vn", sqrt(dotFix9(col("vf"), col("vf"))))
-        val cos = cents.map(cf =>
-          dotFix9(col("vf"), cf) / (col("vn") * sqrt(dotFix9(cf, cf))))
-        val best = cos.zipWithIndex.tail.foldLeft((lit(0), cos.head)) {
-          case ((bc, bs), (s, i)) =>
-            (when(s > bs, lit(i)).otherwise(bc), greatest(s, bs))
-        }
-        base.select(col("id"), col("vf"), col("vn"), best._1.as("cell"))
-      } else {
-        val base = corpus.select(col(idCol).as("id"),
-            fix9(vecInput(corpus, vecCol)).as("vf"),
-            nearestCell(vecInput(corpus, vecCol), model.unitCentroids).as("cell"))
-        base.withColumn("vn", sqrt(dotFix9(col("vf"), col("vf"))))
-      }
+    import graft.plans.HashExpressions.dotFix9
+    val asg = assignCells(corpus, idCol, vecCol, model, exact)
     val a = asg.select(col("id").as("i"), col("vf").as("avf"),
       col("vn").as("avn"), col("cell"))
     val b = asg.select(col("id").as("j"), col("vf").as("bvf"),
@@ -956,5 +933,77 @@ object Similarity {
     asg.select(col("id"), col("cell").cast("long").as("cell"))
       .join(dropped, Seq("id"), "left")
       .select(col("id"), col("cell"), col("__drop").isNull.as("kept"))
+  }
+
+  /** Nearest-centroid assignment shared by [[semanticDedup]] and
+    * [[knnJoinCells]] — returns (id, vf, vn, cell). `exact = true` is
+    * the oracle-replayable arithmetic (fix9 images of the centroids
+    * computed BY the fix9 expression over literal double arrays — the
+    * exact snap the corpus side gets — decimal-exact dots, one double
+    * per cos, argmax with earliest-cell ties); `exact = false` is the
+    * native `nearest_cell` codegen routing, the scale path. */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                          model: IvfModel, exact: Boolean): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9, nearestCell}
+    if (exact) {
+      val cents = model.centroids.map(c =>
+        fix9(array(c.map(lit(_)): _*).cast("array<double>")))
+      val base = df.select(col(idCol).as("id"),
+          fix9(vecInput(df, vecCol)).as("vf"))
+        .withColumn("vn", sqrt(dotFix9(col("vf"), col("vf"))))
+      val cos = cents.map(cf =>
+        dotFix9(col("vf"), cf) / (col("vn") * sqrt(dotFix9(cf, cf))))
+      val best = cos.zipWithIndex.tail.foldLeft((lit(0), cos.head)) {
+        case ((bc, bs), (s, i)) =>
+          (when(s > bs, lit(i)).otherwise(bc), greatest(s, bs))
+      }
+      base.select(col("id"), col("vf"), col("vn"), best._1.as("cell"))
+    } else {
+      df.select(col(idCol).as("id"),
+          fix9(vecInput(df, vecCol)).as("vf"),
+          nearestCell(vecInput(df, vecCol), model.unitCentroids).as("cell"))
+        .withColumn("vn", sqrt(dotFix9(col("vf"), col("vf"))))
+    }
+  }
+
+  /** k-NN JOIN — both sides large: top-k corpus neighbors for EVERY
+    * query row, with candidates bounded by shared-centroid cell
+    * co-location. The broadcast-queries shape ([[bruteForceTopK]] and
+    * the whole persisted-index family) assumes the query side fits a
+    * broadcast; when BOTH sides are corpus-scale (cross-snapshot linking,
+    * embedding-join of two crawls), the join must be an equi-join on a
+    * routing key — here the nearest cell under ONE shared model, so
+    * co-membership is decided by the same arithmetic on both sides.
+    *
+    * Pair volume is Σ|q_cell|·|c_cell| (nlist bounds it — semanticDedup's
+    * knob, measured there); ranking is the module's WindowGroupLimit
+    * top-k per query. Like IVF at nprobe=1, a neighbor routed to a
+    * different cell is MISSED — the documented recall trade; raise
+    * nlist quality with [[trainIvf]] or union multi-probe assignments.
+    * `exact = true` is the gated configuration (decimal-exact
+    * assignment AND scoring — an oracle re-derives every cell, cosine,
+    * and rank); `exact = false` swaps in native cell routing.
+    *
+    * Output: (q_id, c_id, cell, cos, rank) with rank ≤ k per query. */
+  def knnJoinCells(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, model: IvfModel, k: Int,
+                   exact: Boolean = true): DataFrame = {
+    import graft.plans.HashExpressions.dotFix9
+    require(k > 0, s"k must be positive, got $k")
+    val q = assignCells(queries, idCol, vecCol, model, exact)
+      .select(col("id").as("q_id"), col("vf").as("qvf"),
+        col("vn").as("qvn"), col("cell"))
+    val c = assignCells(corpus, idCol, vecCol, model, exact)
+      .select(col("id").as("c_id"), col("vf").as("cvf"),
+        col("vn").as("cvn"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    q.join(c, Seq("cell"))
+      .withColumn("cos",
+        dotFix9(col("qvf"), col("cvf")) / (col("qvn") * col("cvn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cell").cast("long").as("cell"),
+        col("cos"), col("rank"))
   }
 }

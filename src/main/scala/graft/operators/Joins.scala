@@ -368,6 +368,75 @@ object Joins {
       .drop("__b")
   }
 
+  /** Interval×interval overlap join — the two-sided sibling of
+    * [[rangeJoin]]: pairs of same-key rows whose CLOSED intervals
+    * `[lLo,lHi]`, `[rLo,rHi]` overlap (`lLo ≤ rHi ∧ rLo ≤ lHi`). Naive
+    * plans are the same trap as rangeJoin's (a per-key cartesian with a
+    * post-filter); this lowers to an equi-join on coarse buckets of
+    * `bucketWidth`, with BOTH sides exploding to the buckets they span.
+    *
+    * A candidate pair now meets in EVERY bucket both intervals cover —
+    * so instead of a distinct pass (an extra full shuffle of the
+    * candidate set), each pair is kept exactly once by the canonical-
+    * bucket rule: only the joined row whose bucket equals
+    * `bucket(greatest(lLo, rLo))` survives. That bucket provably lies
+    * in both intervals' covered ranges whenever the pair overlaps
+    * (max(starts) ≤ min(ends) bounds it into every side's span), so
+    * the rule never drops a true pair, and it is a plain per-row
+    * filter — no exchange.
+    *
+    * Bucket columns must be INTEGRAL (long/int/...): integral
+    * bucketing is exact (the rangeJoin remainder-subtract form), which
+    * is what makes the canonical-bucket membership argument airtight.
+    * A fractional interval column would need rangeJoin's ±1 pad AND a
+    * pad-aware canonical rule — refuse loudly rather than quietly
+    * approximate. Same span guard as rangeJoin: an interval spanning
+    * >1M buckets fails with the bucketWidth knob named, before
+    * sequence() can fail opaquely or the shuffle silently blows up.
+    *
+    * Scale: shuffle = Σ(spans)/width rows per side on (ids, bucket)
+    * keys; width tunes replication vs false candidates exactly like
+    * rangeJoin (whose measured hot-burst numbers — and AQE's blindness
+    * to candidate amplification — carry over unchanged; the same
+    * salting escape applies if one bucket×key goes hot). */
+  def intervalJoin(l: DataFrame, r: DataFrame, ids: Seq[String],
+                   lLo: String, lHi: String, rLo: String, rHi: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import org.apache.spark.sql.types._
+    def requireIntegral(df: DataFrame, c: String): Unit = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"intervalJoin: bucket column $c must be integral, got $other " +
+          "(fractional intervals need a pad-aware canonical rule — cast " +
+          "to a fixed-point long first)")
+    }
+    Seq(lLo, lHi).foreach(requireIntegral(l, _))
+    Seq(rLo, rHi).foreach(requireIntegral(r, _))
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))).cast("decimal(38,0)") / bucketWidth)
+        .cast("long")
+    val maxBucketsPerInterval = 1000000L
+    def explodeSide(df: DataFrame, loCol: String, hiCol: String): DataFrame = {
+      val nBuckets = try_add(
+        try_subtract(bucketOf(col(hiCol)), bucketOf(col(loCol))), lit(1L))
+      val guard = assert_true(nBuckets.between(0L, maxBucketsPerInterval),
+        concat(lit(s"intervalJoin: an interval spans more than " +
+            s"$maxBucketsPerInterval buckets of width $bucketWidth ("),
+          coalesce(nBuckets.cast("string"), lit("overflowed-64-bit")),
+          lit(" buckets — interval ["), col(loCol), lit(", "), col(hiCol),
+          lit("]) — raise bucketWidth toward the typical interval span")))
+      df.filter(col(hiCol) >= col(loCol))
+        .withColumn("__b", explode(sequence(bucketOf(col(loCol)),
+          coalesce(guard.cast("long"), bucketOf(col(hiCol))))))
+    }
+    explodeSide(l, lLo, lHi)
+      .join(explodeSide(r, rLo, rHi), ids :+ "__b", "inner")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__b") === bucketOf(greatest(col(lLo), col(rLo))))
+      .drop("__b")
+  }
+
   /** `leftjoin(op, l, r)` (reference `src/join.jl:192-230`): keep the left
     * index set; where a right value exists, combine with `op`, else keep
     * the left value. */

@@ -57,6 +57,53 @@ object TimeSeries {
         aggs.map { case (n, _) => col(n) }: _*)
   }
 
+  /** Linear-interpolation resample — [[resampleFill]]'s numeric sibling:
+    * same per-key grid (first to last observed bucket, `bucket = ts div
+    * width`), but gap rows INTERPOLATE between the surrounding observed
+    * aggregates instead of carrying the left one forward:
+    * `v(g) = v₀ + (v₁ − v₀) · ((g − b₀)/(b₁ − b₀))` — the standard
+    * time-series upsampling rule. All agg values are cast to double;
+    * the interpolation is row-level double arithmetic with a pinned
+    * operation order (the module exactness contract: exact where sums
+    * accumulate, engine-identical IEEE where rows compute), so every
+    * generated value is oracle-replayable.
+    *
+    * Plan shape is resampleFill's exactly: aggregate exchange + ONE
+    * window exchange (lead of bucket AND of each value rides the same
+    * sort), narrow explode — no grid join, no second pass. Observed
+    * rows emit their aggregate verbatim (`present = true`); the g = b₀
+    * case of the formula would equal it bit-for-bit anyway (`+ 0·Δ`),
+    * the explicit branch just keeps the intent obvious. */
+  def resampleInterp(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     width: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    require(aggs.nonEmpty, "resampleInterp needs at least one aggregate")
+    val keys = keyCols.map(col)
+    val names = aggs.map(_._1)
+    val bucketed = df
+      .withColumn("bucket", expr(s"$tsCol div ${width}L"))
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(aggs.head._2.cast("double").as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.cast("double").as(n) }: _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("bucket").asc)
+    val withNext = names.foldLeft(
+        bucketed.withColumn("__next", lead(col("bucket"), 1).over(w))) {
+      case (d, n) => d.withColumn(s"__nx_$n", lead(col(n), 1).over(w))
+    }
+    val gridEnd = when(col("__next").isNotNull, col("__next") - 1L)
+      .otherwise(col("bucket"))
+    val frac = (col("__g") - col("bucket")).cast("double") /
+      (col("__next") - col("bucket")).cast("double")
+    withNext
+      .withColumn("__g", explode(sequence(col("bucket"), gridEnd)))
+      .select(keys ++
+        Seq(col("__g").as("bucket"), (col("__g") === col("bucket")).as("present")) ++
+        names.map { n =>
+          when(col("__g") === col("bucket"), col(n))
+            .otherwise(col(n) + (col(s"__nx_$n") - col(n)) * frac).as(n)
+        }: _*)
+  }
+
   /** Trailing time-range rolling aggregates: for every input row, `aggs`
     * evaluated over the key's rows with `tsCol` in [ts − lookback, ts]
     * (both ends inclusive; equal-timestamp peers are all in frame — the

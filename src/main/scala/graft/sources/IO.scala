@@ -474,6 +474,74 @@ object IO {
       dynamic = true)
   }
 
+  /** Slowly-changing-dimension TYPE-2 merge — the warehouse-maintenance
+    * companion of [[upsertPartitions]] (which is SCD type 1: overwrite in
+    * place). A versioned dimension row is (key, tracked attrs,
+    * `valid_from`, `valid_to`), with `valid_to IS NULL` marking the
+    * current version. Applying a delta snapshot at `batchTs`:
+    *
+    *  - closed (historical) rows pass through untouched;
+    *  - an open row whose delta attrs DIFFER (null-safe comparison)
+    *    closes at `batchTs` and a new open version is inserted;
+    *  - an open row whose delta attrs match stays as-is (no spurious
+    *    version — re-feeding the same snapshot is idempotent);
+    *  - a delta key with no open row inserts a first open version;
+    *  - an open row with no delta row stays open: the delta is an
+    *    UPSERT feed, not a full snapshot (deletions are out of scope —
+    *    model them as a tombstone attribute).
+    *
+    * Monotonicity contract: `batchTs` must exceed every `valid_from`
+    * already open — checked per matched row (fails loudly rather than
+    * emitting a version whose interval would be inverted; an
+    * equal-timestamp re-feed is the idempotent case above, legal).
+    *
+    * Shuffle shape: ONE equi-join of open rows × delta on the dimension
+    * key, plus the pass-through union of closed rows (at rest, split
+    * storage by `valid_to IS NULL` so the closed majority is never even
+    * read — the open fraction of a 100 TB dimension is what joins).
+    * Returns the merged versioned table; persistence is the caller's
+    * (pair with [[savePartitioned]]/[[upsertPartitions]]). */
+  def scdMerge(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
+               trackedCols: Seq[String], batchTs: Long,
+               fromCol: String = "valid_from",
+               toCol: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty, "scdMerge needs key columns")
+    require(trackedCols.nonEmpty, "scdMerge needs tracked columns")
+    val outCols = (keyCols ++ trackedCols).map(col) ++
+      Seq(col(fromCol), col(toCol))
+    val closed = current.filter(col(toCol).isNotNull).select(outCols: _*)
+    val open = current.filter(col(toCol).isNull)
+    val d = delta.select((keyCols ++ trackedCols).map(col): _*)
+      .withColumn("__present", lit(true))
+    val dRenamed = trackedCols.foldLeft(d) { case (df, c) =>
+      df.withColumnRenamed(c, s"__d_$c")
+    }
+    val j = open.join(dRenamed, keyCols, "full_outer")
+    val changed = trackedCols.map(c => !(col(c) <=> col(s"__d_$c")))
+      .reduce(_ || _)
+    val tsGuard = assert_true(col(fromCol) <= batchTs,
+      concat(lit(s"scdMerge: batchTs $batchTs precedes an open version's " +
+        s"$fromCol ("), col(fromCol),
+        lit(") — feed batches in timestamp order")))
+    // open × delta outcomes, each branch a filter over the ONE join:
+    //  survivors: open rows that stay open (no delta, or delta equal)
+    val surviving = j.filter(col(fromCol).isNotNull &&
+        (col("__present").isNull || (!changed)))
+      .select(outCols: _*)
+    //  closures: open rows whose delta differs → valid_to = batchTs
+    val closedNow = j.filter(col(fromCol).isNotNull &&
+        col("__present").isNotNull && changed)
+      .withColumn(toCol, coalesce(tsGuard.cast("long"), lit(batchTs)))
+      .select(outCols: _*)
+    //  inserts: new version for changed keys + first version for new keys
+    val inserted = j.filter(col("__present").isNotNull &&
+        (col(fromCol).isNull || changed))
+      .select((keyCols.map(col) ++
+        trackedCols.map(c => col(s"__d_$c").as(c)) ++
+        Seq(lit(batchTs).as(fromCol), lit(null).cast("long").as(toCol))): _*)
+    closed.union(surviving).union(closedNow).union(inserted)
+  }
+
   /** Persist with the pkey baked into the physical layout: bucketed +
     * sorted by the pkey. This is the cluster-scale form of the reference's
     * saved sorted chunks (`src/io.jl:167-236`) — every later join/groupBy

@@ -705,4 +705,80 @@ class CoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(rows == Seq((1L, "p", 10.0), (1L, "q", 20.0), (2L, "p", 60.0)))
   }
+
+  test("intervalJoin: golden semantics, width sweep, guard rails") {
+    import spark.implicits._
+    // k1: [0,10]×[5,20] overlap; [0,10]×[10,30] TOUCH at the closed
+    // endpoint (must match); [0,10]×[11,12] disjoint. k2: key isolation
+    // (identical intervals, different key — no cross match). l2 [100,400]
+    // spans many buckets at width 7 — the canonical rule must keep the
+    // pair exactly ONCE despite meeting in dozens of buckets.
+    val l = Seq((1L, 100L, 0L, 10L), (1L, 101L, 100L, 400L),
+      (2L, 102L, 0L, 10L)).toDF("k", "lid", "lo", "hi")
+    val r = Seq((1L, 200L, 5L, 20L), (1L, 201L, 10L, 30L),
+      (1L, 202L, 11L, 12L), (1L, 203L, 150L, 160L),
+      (3L, 204L, 0L, 10L)).toDF("k", "rid", "rlo", "rhi")
+    def run(width: Long) =
+      Joins.intervalJoin(l, r, Seq("k"), "lo", "hi", "rlo", "rhi", width)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .sorted.toSeq
+    val want = Seq((100L, 200L), (100L, 201L), (101L, 203L))
+    // width sweep: tiny (heavy replication), near-span, and huge (all in
+    // one bucket) must agree bit-for-bit — the width is a cost knob only
+    for (wd <- Seq(1L, 7L, 16L, 1000000000L))
+      assert(run(wd) == want, s"width=$wd")
+    // non-integral interval column refuses loudly
+    val frac = Seq((1L, 1L, 0.5, 2.5)).toDF("k", "lid", "lo", "hi")
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.intervalJoin(frac, r, Seq("k"), "lo", "hi", "rlo", "rhi", 7L)
+    }
+    assert(e1.getMessage.contains("must be integral"))
+    // span guard: one absurd interval at width 1 names the knob
+    val wide = Seq((1L, 1L, 0L, 2000000000L)).toDF("k", "rid2", "rlo", "rhi")
+    val e2 = intercept[Exception] {
+      Joins.intervalJoin(l, wide, Seq("k"), "lo", "hi", "rlo", "rhi", 1L)
+        .count()
+    }
+    assert(e2.getMessage.contains("raise bucketWidth"))
+    // inverted interval (hi < lo) is empty, dropped silently
+    val inv = Seq((1L, 300L, 10L, 0L)).toDF("k", "rid", "rlo", "rhi")
+    assert(Joins.intervalJoin(l, inv, Seq("k"), "lo", "hi", "rlo", "rhi", 7L)
+      .count() == 0L)
+  }
+
+  test("triangleCount: golden graphs, raw-edge normalization, naive-model equality") {
+    import graft.functions.Graphs
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("i","j")
+    val gotK4 = Graphs.triangleCount(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotK4 == Seq((1L,3L),(2L,3L),(3L,3L),(4L,3L)))
+    // star K1,5 has no triangles → empty output
+    val star = (2L to 6L).map(x => (1L, x)).toDF("i","j")
+    assert(Graphs.triangleCount(star).count() == 0L)
+    // raw edges: duplicates, reversed duplicates, self-loops — all
+    // normalized away; triangle (1,2,3) counted once per corner
+    val raw = Seq((1L,2L),(2L,1L),(1L,1L),(2L,3L),(3L,2L),(1L,3L),(3L,3L))
+      .toDF("i","j")
+    val gotRaw = Graphs.triangleCount(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotRaw == Seq((1L,1L),(2L,1L),(3L,1L)))
+    // hub graph (one node on every edge — the orientation's worst enemy):
+    // hub 0 connects to 1..20, ring edges (1,2),(2,3),...: triangles are
+    // exactly (0, i, i+1). Compare against the naive driver model.
+    val hub = (1L to 20L).map(x => (0L, x)) ++ (1L until 20L).map(x => (x, x+1))
+    val hubDf = hub.toDF("i","j")
+    val got = Graphs.triangleCount(hubDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val edges = hub.map(e => (math.min(e._1,e._2), math.max(e._1,e._2))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triples = for {
+      a <- nodes; b <- nodes if b > a; c <- nodes if c > b
+      if edges((a,b)) && edges((a,c)) && edges((b,c))
+    } yield Seq(a, b, c)
+    val wantCounts = triples.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.map { case (n, c) => (n, c) }.sorted
+    assert(got == wantCounts)
+  }
 }

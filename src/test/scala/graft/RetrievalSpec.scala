@@ -124,6 +124,56 @@ class RetrievalSpec extends SparkSpec {
     assert(t.length == e.length)
   }
 
+  test("knnJoinCells == driver fixed-point model; exact == native; k-truncation") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") % 2 === 0)
+    val cs = emb.filter(col("vec_id") % 2 === 1)
+    val model = Similarity.seedCentroids(cs, "vec_id", "embedding", k = 4)
+    val got = Similarity.knnJoinCells(qs, cs, "vec_id", "embedding", model,
+        k = 3, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // driver model of the exact arithmetic: decimal(·,9) snap per
+    // component, exact BigDecimal dot, one double division
+    def snap(v: Array[Float]): Array[BigDecimal] =
+      v.map(x => BigDecimal(x.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    def cosOf(a: Array[BigDecimal], b: Array[BigDecimal]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      d / (na * nb)
+    }
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> snap(r.getSeq[Float](1).toArray)).toMap
+    val cents = all.keys.filter(_ % 2 == 1).toSeq.sorted.take(4).map(all)
+    def cellOf(v: Array[BigDecimal]): Int =
+      cents.zipWithIndex.map { case (c, i) => (cosOf(v, c), i) }
+        .reduceLeft((a, b) => if (b._1 > a._1) b else a)._2 // earliest-cell ties
+    val qCells = all.filter(_._1 % 2 == 0).map { case (id, v) => id -> cellOf(v) }
+    val cCells = all.filter(_._1 % 2 == 1).map { case (id, v) => id -> cellOf(v) }
+    val want = qCells.toSeq.flatMap { case (qid, qc) =>
+      cCells.filter(_._2 == qc).keys.toSeq
+        .map(cid => (qid, cid, cosOf(all(qid), all(cid))))
+        .sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+        .map { case ((_, cid, cos), i) => (qid, cid, (i + 1).toLong, cos) }
+    }.sortBy(t => (t._1, t._3))
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-12, s"cos mismatch at ${g._1}") }
+    // native routing agrees on the fixture (the q153 trained-path check)
+    val nat = Similarity.knnJoinCells(qs, cs, "vec_id", "embedding", model,
+        k = 3, exact = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(nat == got.map(t => (t._1, t._2, t._3)))
+    // k beyond any cell population truncates without padding
+    val big = Similarity.knnJoinCells(qs, cs, "vec_id", "embedding", model,
+      k = 1000000, exact = true)
+    val perQ = big.groupBy("q_id").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect().head.getLong(0)
+    assert(perQ <= cCells.size)
+  }
+
   test("resampleFill: golden gap fill, single-point keys, partition sweep") {
     def mk(parts: Int) = TimeSeries.resampleFill(
       Seq((1L, 100L, 5.0), (1L, 135L, 7.0), (1L, 141L, 1.0), (2L, 77L, 2.0))
@@ -140,6 +190,67 @@ class RetrievalSpec extends SparkSpec {
       (2L, 7L, true, 1L, 2.0))
     assert(mk(1) == want)
     partitionSweep(mk)
+  }
+
+  test("resampleInterp: golden linear fill, endpoints exact, partition sweep") {
+    // k=1: observed buckets 10 (v 6.0) and 13 (v 12.0) → gaps 11, 12
+    // interpolate to 8.0, 10.0; count interpolates fractionally (2 obs at
+    // bucket 10, 1 at 13 → 5/3-ish grid values). k=2: single point —
+    // exactly one row, no interpolation partner needed.
+    def mk(parts: Int) = TimeSeries.resampleInterp(
+      Seq((1L, 100L, 2.0), (1L, 105L, 4.0), (1L, 135L, 12.0), (2L, 77L, 9.0))
+        .toDF("k", "ts", "v").repartition(parts),
+      Seq("k"), "ts", width = 10L,
+      aggs = Seq("n" -> count(lit(1)), "sv" -> sum(col("v").cast("decimal(18,4)"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = Seq(
+      (1L, 10L, true, 2.0, 6.0),
+      (1L, 11L, false, 2.0 + (1.0 - 2.0) * (1.0 / 3.0), 6.0 + (12.0 - 6.0) * (1.0 / 3.0)),
+      (1L, 12L, false, 2.0 + (1.0 - 2.0) * (2.0 / 3.0), 6.0 + (12.0 - 6.0) * (2.0 / 3.0)),
+      (1L, 13L, true, 1.0, 12.0),
+      (2L, 7L, true, 1.0, 9.0))
+    assert(mk(1) == want)
+    partitionSweep(mk)
+  }
+
+  test("scdMerge: change/unchanged/new/absent outcomes, idempotent re-feed, ts guard") {
+    import graft.sources.IO
+    val v0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "seg", "bal")
+      .withColumn("valid_from", lit(100L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    // delta: k=1 changed, k=2 identical (no new version), k=4 new;
+    // k=3 absent (stays open)
+    val d = Seq((1L, "a2", 11.0), (2L, "b", 20.0), (4L, "d", 40.0))
+      .toDF("k", "seg", "bal")
+    val t1 = IO.scdMerge(v0, d, Seq("k"), Seq("seg", "bal"), batchTs = 200L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .sortBy(t => (t._1, t._4, t._5)).toSeq
+    assert(rows(t1) == Seq(
+      (1L, "a", 10.0, 100L, 200L), (1L, "a2", 11.0, 200L, -1L),
+      (2L, "b", 20.0, 100L, -1L),
+      (3L, "c", 30.0, 100L, -1L),
+      (4L, "d", 40.0, 200L, -1L)))
+    // re-feeding the SAME delta is a no-op (idempotence)
+    val t2 = IO.scdMerge(t1, d, Seq("k"), Seq("seg", "bal"), batchTs = 300L)
+    assert(rows(t2) == rows(t1))
+    // null-safe change detection: null → value and value → null both version
+    val vN = Seq((7L, null.asInstanceOf[String], 1.0)).toDF("k", "seg", "bal")
+      .withColumn("valid_from", lit(100L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val dN = Seq((7L, "x", 1.0)).toDF("k", "seg", "bal")
+    assert(IO.scdMerge(vN, dN, Seq("k"), Seq("seg", "bal"), 200L).count() == 2L)
+    // time-order guard: a batch OLDER than an open version fails loudly
+    // collect (not count): the guard rides the valid_to column, which any
+    // real write evaluates — count() would prune it away
+    val e = intercept[Exception] {
+      IO.scdMerge(t1, Seq((1L, "zz", 0.0)).toDF("k", "seg", "bal"),
+        Seq("k"), Seq("seg", "bal"), batchTs = 150L).collect()
+    }
+    assert(e.getMessage.contains("timestamp order"))
   }
 
   test("saltedEquiJoin == plain inner join (fixture + salts sweep)") {
