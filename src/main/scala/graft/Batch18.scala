@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Batch18 {
 
+  /** One persisted kNN corpus index (odd vec_ids routed through the seed
+    * model) per fixture dir per JVM — the OrcDocs/IvfPqIndex pattern. */
+  private object KnnIndex {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, (Similarity.IvfModel, String)]
+    def forDir(s: org.apache.spark.sql.SparkSession,
+               dir: String): (Similarity.IvfModel, String) =
+      cache.getOrElseUpdate(dir, {
+        val cs = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 1)
+        val model = Similarity.seedCentroids(cs, "vec_id", "embedding", k = 4)
+        val path = java.nio.file.Files.createTempDirectory("graft-knnidx-")
+          .toAbsolutePath.toString + "/corpus"
+        Similarity.writeIvfCorpus(cs, "vec_id", "embedding", model, path)
+        (model, path)
+      })
+  }
+
   val queries: Seq[Q] = Seq(
 
     // k-NN JOIN with both sides corpus-scale (even vec_ids query the odd
@@ -63,6 +80,290 @@ private[graft] object Batch18 {
              |SELECT q_id, c_id, cell, cos, rank FROM (
              |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
              |    ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rank FROM scored)
-             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Adjacent-bigram collocation lift — exp(PMI) in its libm-free
+    // ratio form (n_ab·N)/(n_a·n_b): bigram generation is a narrow
+    // element_at expression; the oracle re-derives it with the
+    // positional self-join (kept only as oracle SQL), both count
+    // tables, the total, and the pinned double ratio.
+    Q("q180_collocations",
+      (s, dir) => {
+        graft.functions.Text.collocations(
+            Tables.documents(s, dir), "text", minCount = 5L)
+          .orderBy("a", "b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |    x -> length(x) > 0) AS t FROM documents),
+             |p AS (SELECT doc_id, unnest(t) AS tok,
+             |    generate_subscripts(t, 1) AS i FROM toks),
+             |uc AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS n_w
+             |  FROM p GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uc),
+             |bc AS (SELECT x.tok AS a, y.tok AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+             |  FROM p x JOIN p y ON y.doc_id = x.doc_id AND y.i = x.i + 1
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT a, b, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+             |  (CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+             |    (CAST(ua.n_w AS DOUBLE) * CAST(ub.n_w AS DOUBLE)) AS lift
+             |FROM bc JOIN uc ua ON ua.w = bc.a JOIN uc ub ON ub.w = bc.b
+             |CROSS JOIN tot ORDER BY a, b""".stripMargin)),
+
+    // Exact per-group mode with the deterministic tie-break (highest
+    // count, then smallest value): the oracle replays the two-level
+    // count + argmax, so the tie rule itself is gated.
+    Q("q181_group_mode",
+      (s, dir) => {
+        graft.operators.Aggregations.modeExact(Tables.orders(s, dir),
+            Seq("o_orderstatus"), "o_orderpriority")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority AS mode,
+             |  CAST(n_mode AS BIGINT) AS n_mode FROM (
+             |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_mode,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+             |  FROM orders GROUP BY 1, 2)
+             |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Robust median/MAD outliers (k=1.9 — the MAD analog of q174's
+    // tuned k; a uniform distribution caps dev/MAD at ~2): both median
+    // selections, the deviation arithmetic, and the threshold decision
+    // are re-derived by the oracle — no variance formula anywhere,
+    // only member values and pinned subtract/abs/divide.
+    Q("q182_outliers_mad",
+      (s, dir) => {
+        graft.operators.Analytics.outliersMad(Tables.orders(s, dir),
+            Seq("o_orderpriority"), "o_totalprice", k = 1.9)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("med"), col("mad"), col("z_mad"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH med AS (SELECT o_orderpriority, o_totalprice AS med FROM (
+             |    SELECT o_orderpriority, o_totalprice,
+             |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |        ORDER BY o_totalprice ASC) AS rn,
+             |      COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |    FROM orders) t
+             |  WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1),
+             |dev AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+             |    m.med, abs(o.o_totalprice - m.med) AS dv
+             |  FROM orders o JOIN med m USING (o_orderpriority)),
+             |mad AS (SELECT o_orderpriority, dv AS mad FROM (
+             |    SELECT o_orderpriority, dv,
+             |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |        ORDER BY dv ASC) AS rn,
+             |      COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |    FROM dev) t
+             |  WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1)
+             |SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice, d.med,
+             |  m.mad, d.dv / m.mad AS z_mad
+             |FROM dev d JOIN mad m USING (o_orderpriority)
+             |WHERE d.dv > 1.9 * m.mad
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // First-order transition counts + conditional probabilities over
+    // each user's event sequence (ts order, event_id tiebreak): the
+    // oracle replays the lead window, every pair count, the per-from
+    // totals, and the pinned division.
+    Q("q183_transitions",
+      (s, dir) => {
+        graft.operators.Analytics.transitions(Tables.events(s, dir),
+            Seq("user_id"), "ts", "event_type", tieCols = Seq("event_id"))
+          .orderBy("from_state", "to_state")
+      },
+      Some("""WITH nx AS (SELECT event_type AS from_state,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts ASC, event_id ASC) AS to_state
+             |  FROM events),
+             |c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM nx WHERE to_state IS NOT NULL GROUP BY 1, 2),
+             |ft AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
+             |  FROM c GROUP BY 1)
+             |SELECT from_state, to_state, n, n_from,
+             |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+             |FROM c JOIN ft USING (from_state)
+             |ORDER BY from_state, to_state""".stripMargin)),
+
+    // Per-source language diversity as Gini impurity — the libm-free
+    // diversity measure (1 − Σ(n_v/n)²: exact integer counts, decimal
+    // square sum, ONE division). Oracle replays counts and the ratio.
+    Q("q184_gini",
+      (s, dir) => {
+        graft.operators.Analytics.giniImpurity(Tables.documents(s, dir),
+            Seq("source"), "lang")
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nv
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(nv) AS BIGINT) AS n,
+             |  1.0 - CAST(SUM(CAST(nv * nv AS DECIMAL(38,0))) AS DOUBLE) /
+             |    (CAST(SUM(nv) AS DOUBLE) * CAST(SUM(nv) AS DOUBLE)) AS gini
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Multi-probe kNN join (nprobe=2): the recall lever — each QUERY
+    // row probes its two nearest cells (ordered by the same cos-desc /
+    // cell-asc rule as the argmax, so nprobe=1 agrees bit-for-bit)
+    // while the corpus stays single-cell, so a pair still meets at most
+    // once and no dedup pass exists. The oracle extends q179's: the
+    // assignment rank window keeps rn ≤ 2 on the query side, rn = 1 on
+    // the corpus side; candidates, cosines, and the per-query ranking
+    // are re-derived as before.
+    Q("q185_knn_join_probe2",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") % 2 === 0)
+        val cs = emb.filter(col("vec_id") % 2 === 1)
+        val model = Similarity.seedCentroids(cs, "vec_id", "embedding", k = 4)
+        Similarity.knnJoinCells(qs, cs, "vec_id", "embedding", model,
+            k = 5, exact = true, nprobe = 2)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id,
+             |    generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
+             |  FROM embeddings),
+             |cents AS (SELECT id AS cid,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell
+             |  FROM (SELECT DISTINCT id FROM e WHERE id % 2 = 1
+             |        ORDER BY id LIMIT 4)),
+             |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm
+             |  FROM e GROUP BY 1),
+             |cdots AS (SELECT v.id, ct.cell, SUM(v.vd * c.vd) AS dotd
+             |  FROM e v JOIN e c ON c.pos = v.pos
+             |  JOIN cents ct ON ct.cid = c.id GROUP BY 1, 2),
+             |ccos AS (SELECT cdots.id, cdots.cell,
+             |    CAST(dotd AS DOUBLE) / (nv.nrm * nc.nrm) AS cos
+             |  FROM cdots JOIN norms nv ON nv.id = cdots.id
+             |  JOIN cents ct ON ct.cell = cdots.cell
+             |  JOIN norms nc ON nc.id = ct.cid),
+             |asgr AS (SELECT id, cell, ROW_NUMBER() OVER (
+             |    PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM ccos),
+             |pairs AS (SELECT qa.id AS q_id, ca.id AS c_id, qa.cell
+             |  FROM (SELECT id, cell FROM asgr WHERE id % 2 = 0 AND rn <= 2) qa
+             |  JOIN (SELECT id, cell FROM asgr WHERE id % 2 = 1 AND rn = 1) ca
+             |    USING (cell)),
+             |pdots AS (SELECT p.q_id, p.c_id, p.cell, SUM(x.vd * y.vd) AS dotd
+             |  FROM pairs p JOIN e x ON x.id = p.q_id
+             |  JOIN e y ON y.id = p.c_id AND y.pos = x.pos GROUP BY 1, 2, 3),
+             |scored AS (SELECT q_id, c_id, CAST(cell AS BIGINT) AS cell,
+             |    CAST(dotd AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+             |  FROM pdots JOIN norms nq ON nq.id = q_id
+             |  JOIN norms nc ON nc.id = c_id)
+             |SELECT q_id, c_id, cell, cos, rank FROM (
+             |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             |    ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rank FROM scored)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // kNN join against the PERSISTED cell-partitioned corpus index —
+    // the q123/q158 persisted-index pattern applied to q179: corpus
+    // assignment paid once at write (native cell routing into cell=
+    // dirs), each run assigns only the query side and reads the probed
+    // directories isin-pruned. Gated by q179's oracle VERBATIM — green
+    // certifies write-time routing, the hive layout, the pruned read,
+    // and the exact scoring agree with the lazy two-table operator
+    // bit-for-bit.
+    Q("q186_knn_join_indexed",
+      (s, dir) => {
+        val (model, path) = KnnIndex.forDir(s, dir)
+        val qs = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
+        Similarity.knnJoinCellsIndexed(path, qs, "vec_id", "embedding",
+            model, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id,
+             |    generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
+             |  FROM embeddings),
+             |cents AS (SELECT id AS cid,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell
+             |  FROM (SELECT DISTINCT id FROM e WHERE id % 2 = 1
+             |        ORDER BY id LIMIT 4)),
+             |norms AS (SELECT id, sqrt(CAST(SUM(vd * vd) AS DOUBLE)) AS nrm
+             |  FROM e GROUP BY 1),
+             |cdots AS (SELECT v.id, ct.cell, SUM(v.vd * c.vd) AS dotd
+             |  FROM e v JOIN e c ON c.pos = v.pos
+             |  JOIN cents ct ON ct.cid = c.id GROUP BY 1, 2),
+             |ccos AS (SELECT cdots.id, cdots.cell,
+             |    CAST(dotd AS DOUBLE) / (nv.nrm * nc.nrm) AS cos
+             |  FROM cdots JOIN norms nv ON nv.id = cdots.id
+             |  JOIN cents ct ON ct.cell = cdots.cell
+             |  JOIN norms nc ON nc.id = ct.cid),
+             |asg AS (SELECT id, cell FROM (
+             |    SELECT id, cell, ROW_NUMBER() OVER (
+             |      PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn FROM ccos)
+             |  WHERE rn = 1),
+             |pairs AS (SELECT qa.id AS q_id, ca.id AS c_id, qa.cell
+             |  FROM (SELECT * FROM asg WHERE id % 2 = 0) qa
+             |  JOIN (SELECT * FROM asg WHERE id % 2 = 1) ca USING (cell)),
+             |pdots AS (SELECT p.q_id, p.c_id, p.cell, SUM(x.vd * y.vd) AS dotd
+             |  FROM pairs p JOIN e x ON x.id = p.q_id
+             |  JOIN e y ON y.id = p.c_id AND y.pos = x.pos GROUP BY 1, 2, 3),
+             |scored AS (SELECT q_id, c_id, CAST(cell AS BIGINT) AS cell,
+             |    CAST(dotd AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+             |  FROM pdots JOIN norms nq ON nq.id = q_id
+             |  JOIN norms nc ON nc.id = c_id)
+             |SELECT q_id, c_id, cell, cos, rank FROM (
+             |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             |    ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rank FROM scored)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // STREAMING SCD type-2 under q178's oracle VERBATIM: the same two
+    // dimension batches arrive as micro-batches through Streams.scdSink
+    // (foreachBatch → IO.scdMerge, batch id → version timestamp), and
+    // the persisted version table must converge to the batch operator's
+    // result row-for-row — the q140/q148/q157 streaming-twin pattern
+    // applied to versioned dimension maintenance.
+    Q("q187_stream_scd",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.streaming.Streams
+        val path = java.nio.file.Files.createTempDirectory("graft-scdsink-")
+          .toAbsolutePath.toString + "/customer_scd"
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        val delta = base.collect {
+          case (k, seg, bal) if k % 7 == 0 || k % 11 == 0 || k % 13 == 0 =>
+            (k, if (k % 7 == 0) "MOVED" else seg,
+              if (k % 11 == 0) bal + 100.0 else bal)
+        } ++ base.collect { case (k, _, _) if k % 97 == 0 =>
+          (k + 1000000L, "FRESH", 0.0) }
+        val ms = MemoryStream[(Long, String, Double)](s)
+        val upd = ms.toDS().toDF("c_custkey", "c_mktsegment", "c_acctbal")
+        val q = Streams.scdSink(upd, path, Seq("c_custkey"),
+          Seq("c_mktsegment", "c_acctbal"),
+          tsOfBatch = id => 1000L * (id + 1)).start()
+        try {
+          ms.addData(base.toSeq); q.processAllAvailable()
+          ms.addData(delta.toSeq); q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(path).orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+             |d2 AS (SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS m,
+             |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS a
+             |  FROM base
+             |  WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0 OR c_custkey % 13 = 0),
+             |chg AS (SELECT b.c_custkey, b.c_mktsegment AS m0, b.c_acctbal AS a0,
+             |    d2.m, d2.a
+             |  FROM base b JOIN d2 ON b.c_custkey = d2.c_custkey
+             |  WHERE d2.m IS DISTINCT FROM b.c_mktsegment
+             |     OR d2.a IS DISTINCT FROM b.c_acctbal)
+             |SELECT * FROM (
+             |  SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal,
+             |      CAST(1000 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+             |    FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM chg)
+             |  UNION ALL
+             |  SELECT c_custkey, m0, a0, 1000, 2000 FROM chg
+             |  UNION ALL
+             |  SELECT c_custkey, m, a, 2000, NULL FROM chg
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'FRESH', 0.0, 2000, NULL
+             |    FROM base WHERE c_custkey % 97 = 0)
+             |ORDER BY c_custkey, valid_from""".stripMargin))
   )
 }

@@ -367,5 +367,16 @@ object SparkEntry {
     // passes + broadcast-joined scoring + grouped top-k), SemDeDup
     // (exact-decimal assignment + cluster-local pair join), and the
     // LOCF resample (agg + lead window + gap generation)
-    "q151_bm25_topk", "q153_semdedup", "q154_resample_fill")
+    "q151_bm25_topk", "q153_semdedup", "q154_resample_fill",
+    // round-11 session-5 additions: degree-oriented triangle counting
+    // (edge normalize + orient + wedge join + closing join — a real
+    // ~1M-edge graph workload at sf0.1, the heaviest headline line by
+    // design) and the cell-routed both-sides-large kNN join (two exact
+    // assignments + cell join + per-query ranking). q172 (prefix
+    // jaccard) is deliberately NOT a headline line: its gate runs at
+    // q33's t=0.3 for oracle identity, far below the prefix filter's
+    // design regime (high thresholds, where the prefix is short) — its
+    // measured perf story lives in the StressBench jaccard_prefix /
+    // jaccard_boiler arms at t=0.8, where regression would show
+    "q176_triangles", "q179_knn_join")
 }

@@ -444,6 +444,18 @@ object StressBench {
       "jaccard_prefix_noshare" -> (() => Dedup.jaccardPairsPrefix(docs,
         "doc_id", "text", n = 3, threshold = 0.8, hashShingles = true,
         shareIndex = false)),
+      // the boilerplate regime (1M docs sharing a 16-token header): the
+      // header shingles have df=1M, so the UNCAPPED inverted index owes
+      // ~10¹² pairs — that arm cannot run at all. The prefix excludes
+      // the hot shingles losslessly (they sort last; every doc's prefix
+      // fills from its unique tail), so the EXACT operator enters the
+      // regime that previously only the lossy cap could
+      "jaccard_boiler_prefix" -> (() => Dedup.jaccardPairsPrefix(
+        spark.read.parquet(s"$root/docs_chunkhot"), "doc_id", "text",
+        n = 3, threshold = 0.8, hashShingles = true)),
+      "jaccard_boiler_capped" -> (() => Dedup.jaccardPairs(
+        spark.read.parquet(s"$root/docs_chunkhot"), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDF = 100, hashShingles = true)),
       "jaccard_capped_broadcast" -> (() => jaccard(100, "broadcast")),
       "jaccard_uncapped_broadcast" -> (() => jaccard(0, "broadcast")),
       "asof_plain" -> (() => Joins.asofJoin(l, r, Seq("user_id"), "ts", "ts",

@@ -966,6 +966,31 @@ object Similarity {
     }
   }
 
+  /** Top-`nprobe` cell assignment (exact arithmetic): one row per
+    * (vector, probed cell), probes ordered by (cos desc, cell asc) —
+    * the same tie rule as [[assignCells]]' argmax, so nprobe=1 agrees
+    * bit-for-bit. The (cos, −cell) struct sort makes the tiebreak ride
+    * the one descending sort_array. */
+  private def assignCellsMulti(df: DataFrame, idCol: String, vecCol: String,
+                               model: IvfModel, nprobe: Int): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9}
+    val cents = model.centroids.map(c =>
+      fix9(array(c.map(lit(_)): _*).cast("array<double>")))
+    val base = df.select(col(idCol).as("id"),
+        fix9(vecInput(df, vecCol)).as("vf"))
+      .withColumn("vn", sqrt(dotFix9(col("vf"), col("vf"))))
+    val scored = cents.zipWithIndex.map { case (cf, i) =>
+      struct((dotFix9(col("vf"), cf) /
+        (col("vn") * sqrt(dotFix9(cf, cf)))).as("cos"),
+        lit(-i).as("negcell"))
+    }
+    base
+      .withColumn("__probe",
+        explode(slice(sort_array(array(scored: _*), asc = false), 1, nprobe)))
+      .select(col("id"), col("vf"), col("vn"),
+        (-col("__probe.negcell")).as("cell"))
+  }
+
   /** k-NN JOIN — both sides large: top-k corpus neighbors for EVERY
     * query row, with candidates bounded by shared-centroid cell
     * co-location. The broadcast-queries shape ([[bruteForceTopK]] and
@@ -987,15 +1012,35 @@ object Similarity {
     * Output: (q_id, c_id, cell, cos, rank) with rank ≤ k per query. */
   def knnJoinCells(queries: DataFrame, corpus: DataFrame, idCol: String,
                    vecCol: String, model: IvfModel, k: Int,
-                   exact: Boolean = true): DataFrame = {
+                   exact: Boolean = true, nprobe: Int = 1): DataFrame = {
     import graft.plans.HashExpressions.dotFix9
     require(k > 0, s"k must be positive, got $k")
-    val q = assignCells(queries, idCol, vecCol, model, exact)
+    require(nprobe >= 1 && nprobe <= model.nlist,
+      s"nprobe must be in [1, ${model.nlist}], got $nprobe")
+    // multi-probe rides the exact-cos expressions (the all-cells cos
+    // vector is computed anyway to rank probes); the native nearest_cell
+    // routing is inherently single-probe — the scale path for nprobe>1
+    // is to persist a multi-probed assignment next to the index
+    require(nprobe == 1 || exact,
+      "nprobe > 1 requires exact = true (native routing is single-probe)")
+    // QUERY side probes its nprobe nearest cells (recall lever — the
+    // IVF nprobe semantics); the corpus stays single-cell, so a pair
+    // can meet in at most one cell and no dedup pass is needed
+    val q = (if (nprobe == 1) assignCells(queries, idCol, vecCol, model, exact)
+             else assignCellsMulti(queries, idCol, vecCol, model, nprobe))
       .select(col("id").as("q_id"), col("vf").as("qvf"),
         col("vn").as("qvn"), col("cell"))
     val c = assignCells(corpus, idCol, vecCol, model, exact)
       .select(col("id").as("c_id"), col("vf").as("cvf"),
         col("vn").as("cvn"), col("cell"))
+    knnRank(q, c, k)
+  }
+
+  /** The cell-join + per-query ranking stage shared by [[knnJoinCells]]
+    * and [[knnJoinCellsIndexed]] — one implementation, so the lazy and
+    * persisted forms can never drift. */
+  private def knnRank(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
+    import graft.plans.HashExpressions.dotFix9
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     q.join(c, Seq("cell"))
@@ -1005,5 +1050,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cell").cast("long").as("cell"),
         col("cos"), col("rank"))
+  }
+
+  /** [[knnJoinCells]] against a PERSISTED [[writeIvfCorpus]] layout — the
+    * repeated-run form (the q123/q158 persisted-index pattern applied to
+    * the kNN join): the corpus side's assignment was paid ONCE at index
+    * build; each run assigns only the query side, collects the probed
+    * cell set (≤ nlist ints — driver-safe by construction), and reads
+    * only those `cell=` directories via an isin partition predicate.
+    * At 100 TB this removes the full corpus scan+assignment from every
+    * recurring join (new-crawl-vs-index linking) — the query side's
+    * scan is the whole per-run cost.
+    *
+    * Arithmetic is the exact path ([[assignCells]] exact / fix9 pair
+    * cosines), so results are bit-identical to the lazy operator when
+    * the index was routed consistently (native nearest_cell at write —
+    * spec-pinned to agree with exact assignment on the fixture; ties
+    * between equal-cos cells are the only possible divergence, and the
+    * q186 gate would catch one). `model` must be the centroids the
+    * index was written with ([[ivfAppendCorpus]]'s contract). */
+  def knnJoinCellsIndexed(corpusPath: String, queries: DataFrame,
+                          idCol: String, vecCol: String, model: IvfModel,
+                          k: Int, nprobe: Int = 1): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9}
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe >= 1 && nprobe <= model.nlist,
+      s"nprobe must be in [1, ${model.nlist}], got $nprobe")
+    val spark = queries.sparkSession
+    val q = (if (nprobe == 1) assignCells(queries, idCol, vecCol, model, exact = true)
+             else assignCellsMulti(queries, idCol, vecCol, model, nprobe))
+      .select(col("id").as("q_id"), col("vf").as("qvf"),
+        col("vn").as("qvn"), col("cell").cast("int").as("cell"))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(corpusPath)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id").as("c_id"), fix9(col("cv")).as("cvf"), col("cell"))
+      .withColumn("cvn", sqrt(dotFix9(col("cvf"), col("cvf"))))
+    knnRank(q, c, k)
   }
 }

@@ -302,6 +302,49 @@ object Text {
       .groupBy("center", "context").agg(count(lit(1)).as("n"))
   }
 
+  /** Adjacent-bigram collocation scores — the PMI-family association
+    * measure in its libm-free form: `lift = (n_ab · N) / (n_a · n_b)`
+    * (= exp(PMI) under the N-token normalization; per-pair MONOTONE in
+    * PMI, so ranking and thresholding are unchanged — the q98/q151
+    * log-free discipline: two exact-integer casts, one multiply each
+    * side, one division, engine-identical doubles). `n_ab` counts the
+    * adjacent pair, `n_a`/`n_b` the unigrams, `N` total tokens.
+    *
+    * Shuffle shape at 100 TB: bigram generation is a narrow expression
+    * on the scan (element_at pairs — no positional self-join; that
+    * formulation exists only as the oracle); one map-side-combined
+    * count per table (bigrams, unigrams — both word-count skew
+    * profiles, hot function words absorbed by partials), two joins of
+    * the bigram table against the unigram counts keyed on a word (AQE
+    * broadcasts the vocab when it fits), and N as a single-row
+    * broadcast. `minCount` prunes the long bigram tail BEFORE the
+    * joins — at web scale most bigrams are hapax junk and the filter
+    * rides the first aggregate. */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val t = tokens(col(textCol))
+    // size(t) >= 2 guard is load-bearing: sequence(1, 0) would DESCEND
+    val bi = transform(sequence(lit(1), size(t) - 1), i =>
+      struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b")))
+    val pairs = df.select(explode(when(size(t) >= 2, bi)
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bc = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = df.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum(col("n_w")).as("n_total")) // one row — scale-safe
+    bc.join(uni.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_ab").cast("double") * col("n_total").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift"))
+  }
+
   /** Per-document top-k terms by tf·idf, with idf = N/df (the inverse
     * document frequency WITHOUT the log: per-document ranking is invariant
     * under the monotone log, and tf·N/df is two exact IEEE double ops —

@@ -135,4 +135,25 @@ object Aggregations {
       .filter(col("__rn") === floor(lit(q) * (col("n") - 1)) + 1)
       .select(keyCols.map(col) ++ Seq(col("n"), col(valueCol).as(outCol)): _*)
   }
+
+  /** Exact per-group mode with a deterministic tie-break (highest count,
+    * then smallest value): the categorical companion of [[quantileDisc]].
+    * Two-level shape is the scale story — the first aggregate collapses
+    * the corpus to (key, value) pairs with map-side combine (a hot value
+    * is absorbed in the partials), and the argmax window then runs over
+    * per-key DISTINCT VALUE counts, bounded by the value cardinality,
+    * never by row count. Output: key columns + `mode` + `n_mode`. */
+  def modeExact(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                valueCol: String): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "modeExact needs key columns")
+    val counts = df.groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("n_mode"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("n_mode").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(keyCols.map(col) ++
+        Seq(col(valueCol).as("mode"), col("n_mode")): _*)
+  }
 }

@@ -96,6 +96,90 @@ object Analytics {
     * corpus is never shuffled, no window anywhere. The practical use in
     * a curation pipeline: flag length/score anomalies per (source,
     * lang) slice without a quantile pass. */
+  /** Robust (median/MAD) outlier detection — [[outliersZ]]'s companion
+    * for heavy-tailed data, where the mean/std themselves are dragged by
+    * the outliers they're meant to find: flag rows with
+    * `|x − median| > k·MAD` (MAD = median absolute deviation), annotated
+    * with `med`, `mad`, and the robust score `z_mad = |x−med|/mad`.
+    * Built on [[Aggregations.quantileDisc]]'s lower-rank selection, so
+    * every statistic is an actual member value and the only arithmetic
+    * is subtract/abs/multiply/compare on doubles — fully
+    * oracle-replayable, no variance formula at all.
+    *
+    * Cost shape: TWO per-key window sorts (the median passes) + two
+    * broadcast joins of the tiny per-key stat frames — the price of
+    * robustness over outliersZ's single moment aggregate; the
+    * hot-key window caveat is Sessions'/quantileDisc's, documented
+    * there. Zero-MAD groups (>50% identical values) emit nothing, same
+    * contract as outliersZ's zero-variance case. */
+  def outliersMad(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  k: Double): DataFrame = {
+    require(k >= 0, s"k must be non-negative, got $k")
+    val med = Aggregations.quantileDisc(df, keyCols, valueCol, 0.5, "med")
+      .drop("n")
+    val withDev = df.join(broadcast(med), keyCols)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = Aggregations.quantileDisc(
+        withDev.select((keyCols.map(col) :+ col("__dev")): _*),
+        keyCols, "__dev", 0.5, "mad")
+      .drop("n")
+    withDev.join(broadcast(mad), keyCols)
+      .filter(col("__dev") > lit(k) * col("mad"))
+      .withColumn("z_mad", col("__dev") / col("mad"))
+      .drop("__dev")
+  }
+
+  /** First-order (Markov) transition counts over a keyed event sequence:
+    * for every key's events ordered by (`tsCol`, `tieCols`), each
+    * consecutive (state, next state) pair is counted corpus-wide, with
+    * `p = n / n_from` (the row-conditional transition probability, one
+    * pinned division). The training-data use: behavioral-sequence
+    * features and next-event models start from exactly this table.
+    *
+    * ONE window exchange (the per-key sort — lead rides it) + one
+    * map-side-combined count keyed on the (from, to) pair (state-pair
+    * cardinality, not event cardinality) + a broadcast-sized per-from
+    * aggregate joined back. Events never shuffle twice. */
+  def transitions(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  stateCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).asc +: tieCols.map(col(_).asc)): _*)
+    val pairs = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(stateCol).as("from_state"), col("__next").as("to_state"))
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy("from_state")
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(fromTotals), Seq("from_state"))
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+  }
+
+  /** Per-group Gini impurity of a categorical column —
+    * `1 − Σ_v (n_v/n)²` — the libm-free diversity measure (entropy needs
+    * log; Gini is exact integer counts + ONE division, so the oracle
+    * replays it bit-for-bit). Curation use: source/language diversity of
+    * a corpus slice, mixture monitoring.
+    *
+    * Two map-side-combined aggregates ((key, value) counts, then per-key
+    * Σn_v and Σn_v²) — no window, value-cardinality bounded. n_v² sums
+    * accumulate in decimal(38,0): at 100 TB a hot value's count² passes
+    * 2^63 long overflow. */
+  def giniImpurity(df: DataFrame, keyCols: Seq[String],
+                   valueCol: String): DataFrame = {
+    val counts = df.groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__nv"))
+    counts.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__nv")).as("n"),
+        sum((col("__nv") * col("__nv")).cast("decimal(38,0)")).as("__ss"))
+      .withColumn("gini",
+        lit(1.0) - col("__ss").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+      .drop("__ss")
+  }
+
   def outliersZ(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 k: Double, scale: Int = 2): DataFrame = {
     require(k >= 0, s"k must be non-negative, got $k")

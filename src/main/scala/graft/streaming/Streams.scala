@@ -281,6 +281,40 @@ object Streams {
     streamingDedupBounded(keyed, watermarkDelay, ttlMs)
   }
 
+  /** Streaming SCD type-2 sink — [[graft.sources.IO.scdMerge]] as a
+    * foreachBatch sink (the [[cdcSink]] pattern for VERSIONED dimension
+    * maintenance): each micro-batch of dimension updates merges into the
+    * persisted version table — changed keys close + reopen, unchanged
+    * keys stay put (idempotent re-feeds), new keys insert, absent keys
+    * stay open. The first batch bootstraps the table. `tsOfBatch` maps
+    * the micro-batch id to the version timestamp (monotone by scdMerge's
+    * guard — replays of an already-applied batch are the idempotent
+    * case, consistent with checkpoint-replay semantics as long as the
+    * feed is batch-deterministic, the [[aggSink]] contract). The write
+    * is a localCheckpoint + full overwrite of the version table: a
+    * dimension is small next to its fact tables; a partition-targeted
+    * variant would compose [[graft.sources.IO.upsertPartitions]] on a
+    * key-bucket column. */
+  def scdSink(updates: DataFrame, dir: String, keyCols: Seq[String],
+              trackedCols: Seq[String], tsOfBatch: Long => Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val current =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+              spark.read.parquet(dir)
+            else batch.select((keyCols ++ trackedCols).map(col): _*)
+              .withColumn("valid_from", lit(0L))
+              .withColumn("valid_to", lit(null).cast("long")).limit(0)
+          val merged = graft.sources.IO.scdMerge(current, batch, keyCols,
+              trackedCols, tsOfBatch(id))
+            .localCheckpoint(true) // reads the files the write replaces
+          merged.write.mode("overwrite").parquet(dir)
+        }
+      }
+
   /** Drive a streaming query synchronously over whatever is currently in
     * the source (for tests and batch-parity checks). Note on modes: with a
     * watermarked aggregation, "append" only emits windows already closed

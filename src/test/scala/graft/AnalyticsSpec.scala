@@ -117,6 +117,88 @@ class AnalyticsSpec extends SparkSpec {
     assert(back == rows)
   }
 
+  test("outliersMad: golden flags; zero-MAD group empty") {
+    // g1: values 1..7 plus 100 → med=4 (rank ⌊.5·7⌋+1=4), devs
+    // {3,2,1,0,1,2,3,96} → mad = 2 (rank 4 of sorted devs 0,1,1,2,2,3,3,96)
+    // → k=3: flags only 100 (dev 96 > 6); 7 has dev 3 ≤ 6
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("g1", i.toLong, v) } ++
+      Seq(("g2", 100L, 5.0), ("g2", 101L, 5.0), ("g2", 102L, 5.0)))
+    import spark.implicits._
+    val got = Analytics.outliersMad(
+        spark.createDataset(rows).toDF("g", "id", "v"), Seq("g"), "v", k = 3.0)
+      .select("id", "med", "mad", "z_mad").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((7L, 4.0, 2.0, 48.0)))
+  }
+
+  test("transitions: golden pairs, tie order, probabilities sum to 1 per from") {
+    val ev = Seq(
+      // u1: a→b→b→c ; u2: a→c ; tie at ts=5 broken by id (b before c)
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "c"),
+      (3L, 5L, "b"), (3L, 5L, "c")) // tie: id 6 vs 7 decides b→c
+      .zipWithIndex.map { case ((u, t, s), i) => (u, t, i.toLong, s) }
+    import spark.implicits._
+    val got = Analytics.transitions(
+        spark.createDataset(ev).toDF("u", "ts", "id", "st"),
+        Seq("u"), "ts", "st", tieCols = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "b", 1L, 1.0 / 3.0), ("b", "c", 2L, 2.0 / 3.0))
+    assert(got == want)
+  }
+
+  test("giniImpurity: pure group 0, uniform 2-class 0.5, skewed exact") {
+    val rows = Seq(
+      ("pure", "x"), ("pure", "x"), ("pure", "x"),
+      ("half", "x"), ("half", "y"),
+      ("skew", "x"), ("skew", "x"), ("skew", "x"), ("skew", "y"))
+    import spark.implicits._
+    val got = Analytics.giniImpurity(
+        spark.createDataset(rows).toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("half", 2L, 0.5),
+      ("pure", 3L, 0.0),
+      ("skew", 4L, 1.0 - 10.0 / 16.0)))
+  }
+
+  test("collocations: golden counts and lift; single-token docs; minCount prunes") {
+    import graft.functions.Text
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "york new"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = Text.collocations(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    // tokens: doc1 [new york new york], doc2 [york new], doc3 [solo] → N=7
+    // bigrams: (new,york)×2, (york,new)×1 (doc1) + (york,new)×1 (doc2)
+    // unigrams: new=3, york=3, solo=1
+    val want = Seq(
+      ("new", "york", 2L, 3L, 3L, 2.0 * 7.0 / (3.0 * 3.0)),
+      ("york", "new", 2L, 3L, 3L, 2.0 * 7.0 / (3.0 * 3.0)))
+    assert(got == want)
+    // minCount=2 keeps both here; minCount=3 prunes everything
+    assert(Text.collocations(docs, "text", minCount = 3L).count() == 0L)
+  }
+
+  test("modeExact: tie breaks to smallest value; partition sweep") {
+    def mk(parts: Int) = graft.operators.Aggregations.modeExact(
+        Seq(("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+          ("g2", "z")).toDF("g", "v").repartition(parts),
+        Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // g1: a and b tie at 2 → "a" (smallest) wins; g2 singleton
+    assert(mk(1) == Seq(("g1", "a", 2L), ("g2", "z", 1L)))
+    partitionSweep(mk)
+  }
+
   test("olsFit: perfect line recovered exactly; degenerate groups NULL; partition-invariant") {
     val pts = Seq(
       // g1: y = 2x + 1 exactly — slope/intercept recovered to double exact

@@ -172,6 +172,83 @@ class RetrievalSpec extends SparkSpec {
     val perQ = big.groupBy("q_id").agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).collect().head.getLong(0)
     assert(perQ <= cCells.size)
+    // multi-probe: nprobe = nlist sees EVERY corpus row → equals the
+    // global driver model exactly (assignment stops mattering)
+    val full = Similarity.knnJoinCells(qs, cs, "vec_id", "embedding", model,
+        k = 3, exact = true, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val wantFull = qCells.keys.toSeq.flatMap { qid =>
+      cCells.keys.toSeq.map(cid => (qid, cid, cosOf(all(qid), all(cid))))
+        .sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+        .map { case ((_, cid, _), i) => (qid, cid, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._3))
+    assert(full == wantFull)
+    // recall is monotone in nprobe (vs the full-probe truth)
+    def recall(res: Seq[(Long, Long, Long)]) =
+      res.toSet.intersect(wantFull.toSet).size.toDouble / wantFull.size
+    val r1 = recall(got.map(t => (t._1, t._2, t._3)))
+    val r2 = recall(Similarity.knnJoinCells(qs, cs, "vec_id", "embedding",
+        model, k = 3, exact = true, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .sortBy(t => (t._1, t._3)).toSeq)
+    assert(r2 >= r1, s"recall regressed: nprobe2 $r2 < nprobe1 $r1")
+  }
+
+  test("knnJoinCellsIndexed == lazy operator bit-for-bit; cell= dirs pruned") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") % 2 === 0)
+    val cs = emb.filter(col("vec_id") % 2 === 1)
+    val model = Similarity.seedCentroids(cs, "vec_id", "embedding", k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-knnidx-spec")
+      .toFile.getPath + "/corpus"
+    Similarity.writeIvfCorpus(cs, "vec_id", "embedding", model, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._5)).toSeq
+    val lazyRows = rows(Similarity.knnJoinCells(qs, cs, "vec_id", "embedding",
+      model, k = 3, exact = true))
+    val idx = Similarity.knnJoinCellsIndexed(dir, qs, "vec_id", "embedding",
+      model, k = 3)
+    assert(rows(idx) == lazyRows)
+    // the probed cell= directories are the only ones read
+    val scanPlan = idx.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters: [") && scanPlan.contains("cell"),
+      scanPlan.take(2000))
+    // multi-probe through the index agrees with the lazy multi-probe
+    val lazy2 = rows(Similarity.knnJoinCells(qs, cs, "vec_id", "embedding",
+      model, k = 3, exact = true, nprobe = 2))
+    val idx2 = rows(Similarity.knnJoinCellsIndexed(dir, qs, "vec_id",
+      "embedding", model, k = 3, nprobe = 2))
+    assert(idx2 == lazy2)
+  }
+
+  test("scdSink: restart with a fresh query continues from the persisted version table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdsink-spec")
+      .toFile.getPath + "/dim"
+    // query 1: initial load
+    val ms1 = MemoryStream[(Long, String)](spark)
+    val q1 = Streams.scdSink(ms1.toDS().toDF("k", "seg"), dir, Seq("k"),
+      Seq("seg"), tsOfBatch = id => 100L * (id + 1)).start()
+    try { ms1.addData(Seq((1L, "a"), (2L, "b"))); q1.processAllAvailable() }
+    finally q1.stop()
+    // query 2 — a brand-new stream (restart): k=1 changes, k=3 inserts
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q2 = Streams.scdSink(ms2.toDS().toDF("k", "seg"), dir, Seq("k"),
+      Seq("seg"), tsOfBatch = id => 200L + 100L * id).start()
+    try { ms2.addData(Seq((1L, "a2"), (3L, "c"))); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got == Seq(
+      (1L, "a", 100L, 200L), (1L, "a2", 200L, -1L),
+      (2L, "b", 100L, -1L),
+      (3L, "c", 200L, -1L)))
   }
 
   test("resampleFill: golden gap fill, single-point keys, partition sweep") {
