@@ -364,6 +364,138 @@ private[graft] object Batch18 {
              |  UNION ALL
              |  SELECT c_custkey + 1000000, 'FRESH', 0.0, 2000, NULL
              |    FROM base WHERE c_custkey % 97 = 0)
-             |ORDER BY c_custkey, valid_from""".stripMargin))
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // asofJoin with a match tolerance (the pandas merge_asof / polars
+    // join_asof `tolerance` semantics): a click older than 1 h before
+    // the purchase is rejected — left row kept, right values nulled.
+    // The oracle runs DuckDB's native ASOF join and applies the same
+    // staleness predicate, so the carried match-timestamp mechanics are
+    // gated against an independent implementation of the semantics.
+    Q("q188_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val l = ev.filter(col("event_type") === "purchase")
+        val r = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        graft.operators.Joins.asofJoinTolerance(l, r, Seq("user_id"),
+            "ts", "ts", lCols = Seq("event_id", "value"),
+            rValueCols = Seq("click_id", "click_value"),
+            tolerance = 3600000000000L) // 1 h in ns
+          .select(col("event_id"), col("user_id"), col("click_id"),
+            col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id,
+             |  CASE WHEN r.ts IS NOT NULL AND epoch_us(r.ts)*1000 >= epoch_us(l.ts)*1000 - 3600000000000
+             |       THEN r.event_id END AS click_id,
+             |  CASE WHEN r.ts IS NOT NULL AND epoch_us(r.ts)*1000 >= epoch_us(l.ts)*1000 - 3600000000000
+             |       THEN r.value END AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Local clustering coefficient on the co-purchase graph: q176's
+    // triangle machinery + the degree aggregate + one pinned ratio; the
+    // oracle re-derives degrees, triangles (naive 3-way join), the
+    // deg<2 convention, and the double formula.
+    Q("q189_clustering_coeff",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+        graft.functions.Graphs.clusteringCoefficient(e).orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+             |  (SELECT i AS node FROM e UNION ALL SELECT j FROM e)
+             |  GROUP BY 1),
+             |tri AS (SELECT ab.i AS a, ab.j AS b, ac.j AS c FROM e ab
+             |  JOIN e ac ON ab.i = ac.i AND ab.j < ac.j
+             |  JOIN e bc ON bc.i = ab.j AND bc.j = ac.j),
+             |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+             |  FROM (SELECT a AS node FROM tri
+             |        UNION ALL SELECT b FROM tri
+             |        UNION ALL SELECT c FROM tri) GROUP BY 1)
+             |SELECT d.node, d.degree, COALESCE(tc.n_triangles, 0) AS n_triangles,
+             |  CASE WHEN d.degree >= 2 THEN
+             |    (2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)) /
+             |      (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+             |  ELSE 0.0 END AS lcc
+             |FROM deg d LEFT JOIN tc USING (node)
+             |ORDER BY node""".stripMargin)),
+
+    // Per-user time-weighted average event value: each observation is
+    // weighted by its holding duration (decimal-exact v·Δt products,
+    // one final division) — the irregular-sampling mean a plain AVG
+    // gets wrong. Oracle replays the lead window, every product, and
+    // the guard.
+    Q("q190_twap",
+      (s, dir) => {
+        graft.operators.TimeSeries.twap(Tables.events(s, dir),
+            Seq("user_id"), "ts", "value", tieCols = Seq("event_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH nx AS (SELECT user_id, epoch_us(ts)*1000 AS t, value,
+             |    LEAD(epoch_us(ts)*1000) OVER (PARTITION BY user_id
+             |      ORDER BY ts ASC, event_id ASC) AS nt
+             |  FROM events)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             |  MIN(t) AS t_first, MAX(t) AS t_last,
+             |  CASE WHEN MAX(t) > MIN(t) THEN
+             |    CAST(SUM(CASE WHEN nt IS NOT NULL THEN
+             |      CAST(value AS DECIMAL(18,4)) * CAST(nt - t AS DECIMAL(20,0))
+             |      END) AS DOUBLE) / CAST(MAX(t) - MIN(t) AS DOUBLE)
+             |  END AS twap
+             |FROM nx GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Binary-file ingestion — the door into the multimodal column
+    // family: every document written as a raw .bin file, read back via
+    // the binaryFile source, doc id parsed from the path, and the
+    // (count, byte-length sum, content signature) per id-decade gated
+    // against the parquet original. Green certifies the source
+    // round-trips bytes exactly and the path metadata is usable as a
+    // key. (ASCII corpus: char length == byte length, which is what
+    // lets the oracle compare lengths engine-side.)
+    Q("q191_binary_files",
+      (s, dir) => {
+        val path = BinDocs.forDir(s, dir)
+        graft.sources.IO.loadBinary(s, path, globFilter = Some("*.bin"))
+          .select(
+            (regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast("long") % 10L).as("bucket_id"),
+            length(col("content")).cast("long").as("n_bytes"),
+            graft.functions.Sampling.hashU32(col("content").cast("string"), "")
+              .as("sig"))
+          .groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("sum_bytes"),
+            sum(col("sig")).as("text_sig"))
+          .orderBy("bucket_id")
+      },
+      Some("""SELECT doc_id % 10 AS bucket_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+             |  CAST(SUM(CAST('0x' || substr(md5('' || text), 1, 8) AS BIGINT)) AS BIGINT) AS text_sig
+             |FROM documents GROUP BY 1 ORDER BY bucket_id""".stripMargin))
   )
+
+  /** One on-disk .bin dump of documents per fixture dir per JVM. */
+  private object BinDocs {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def forDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-bindocs-")
+        Tables.documents(s, dir).select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(root.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        root.toAbsolutePath.toString
+      })
+  }
 }

@@ -524,19 +524,8 @@ object Dedup {
     // `shareSignatures = false` keeps the recompute-per-side plan
     // selectable so the stress bench measures the exact alternative
     // (the joinStrategy precedent) — never the production choice.
-    val sigsPlain = df.filter(Text.tokenCount(col(textCol)) >= n)
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), n, k).as("sig"))
-    val sigs = if (shareSignatures) shared(sigsPlain) else sigsPlain
-    // each band's slice is packed to ONE 64-bit bucket key (xxhash64 over
-    // band index + slice values): the bucket-join shuffle then carries an
-    // 8-byte key instead of an array<long>, and the join is a plain long
-    // equi-join. A 2^-64 hash collision only ADDS a candidate pair, which
-    // the est_sim verification below filters — never a missed pair.
-    val bandRows = sigs.select(col("id"), col("sig"),
-      explode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-        .as("bucket"))
+    val bandRows = bandedSignatures(df, idCol, textCol, n, bands,
+      rowsPerBand, shareSignatures)
     // SHUFFLE_HASH: the banded signature table is corpus-sized — never a
     // broadcast candidate at scale (see jaccardPairs), and hash beats
     // sort-merge on the 8-byte bucket key
@@ -554,6 +543,63 @@ object Dedup {
         graft.plans.HashExpressions.eqFrac(col("a.sig"), col("b.sig")).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
     cand.dropDuplicates("i", "j")
+      .select(col("i"), col("j"), col("est_sim"))
+  }
+
+  /** The (id, sig, bucket) banded-signature rows [[minhashLSH]] and
+    * [[minhashJoinAcross]] share — one implementation of the signature
+    * pass, the per-band slice packing, and the short-doc eligibility
+    * rule, so the self-join and cross-corpus forms can never drift.
+    * Each band's slice packs to ONE 64-bit bucket key (xxhash64 over
+    * band index + slice values): the bucket-join shuffle carries an
+    * 8-byte key instead of an array<long>. A 2^-64 hash collision only
+    * ADDS a candidate pair, which est_sim verification filters — never
+    * a missed pair. `share` lazily localCheckpoints the signature pass
+    * (the measured minhash_shared rationale). */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, bands: Int, rowsPerBand: Int,
+                               share: Boolean): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigsPlain = df.filter(Text.tokenCount(col(textCol)) >= n)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), n, k).as("sig"))
+    val sigs = if (share) shared(sigsPlain) else sigsPlain
+    sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as("bucket"))
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup JOIN — dedup a DELTA against an
+    * existing corpus (new-crawl-vs-corpus, the continuous-ingest shape
+    * [[exactIncremental]] serves for EXACT duplicates, here for NEAR
+    * duplicates): both tables run the same signature + banding pass
+    * ([[bandedSignatures]] — one implementation), candidates form on the
+    * band-bucket equi-join BETWEEN the tables (never within one), and
+    * est_sim verification + dedup mirror [[minhashLSH]]. Output:
+    * (i = left id, j = right id, est_sim ≥ minEstSim).
+    *
+    * 100 TB: the corpus side's banded rows are O(bands·|corpus|) — at
+    * scale, persist them once (bucketed by `bucket`) and band only the
+    * delta per run, the jaccardPairsFromIndex argument; the lazy form
+    * here recomputes both sides. Skew: a boilerplate band bucket hot on
+    * BOTH sides multiplies — the same output-skew class as maxDF;
+    * bands/rowsPerBand set collision selectivity, and upstream
+    * boilerplate stripping ([[dedupLines]]/[[stripPassages]]) is the
+    * structural fix. */
+  def minhashJoinAcross(l: DataFrame, r: DataFrame, idCol: String,
+                        textCol: String, n: Int, bands: Int,
+                        rowsPerBand: Int, minEstSim: Double): DataFrame = {
+    val lb = bandedSignatures(l, idCol, textCol, n, bands, rowsPerBand,
+      share = true).as("a")
+    val rb = bandedSignatures(r, idCol, textCol, n, bands, rowsPerBand,
+      share = true).as("b")
+    lb.hint("shuffle_hash").join(rb.hint("shuffle_hash"),
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        graft.plans.HashExpressions.eqFrac(col("a.sig"), col("b.sig")).as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+      .dropDuplicates("i", "j")
       .select(col("i"), col("j"), col("est_sim"))
   }
 

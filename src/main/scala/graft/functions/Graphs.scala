@@ -119,6 +119,31 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node —
+    * `lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))` for deg ≥ 2, else 0.0:
+    * how close a node's neighborhood is to a clique, the standard
+    * community-structure signal next to [[triangleCount]] (which does
+    * the heavy lifting; this adds the degree aggregate and one pinned
+    * double ratio). Output: (node, degree, n_triangles, lcc) for every
+    * node of the normalized graph. */
+  def clusteringCoefficient(edges: DataFrame, iCol: String = "i",
+                            jCol: String = "j"): DataFrame = {
+    val und = edges
+      .filter(col(iCol) =!= col(jCol))
+      .select(least(col(iCol), col(jCol)).as("u"),
+        greatest(col(iCol), col(jCol)).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCount(edges, iCol, jCol), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          (lit(2.0) * col("n_triangles").cast("double")) /
+            (col("degree").cast("double") * (col("degree").cast("double") - 1.0)))
+          .otherwise(lit(0.0)))
+  }
+
   private def shared(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 }

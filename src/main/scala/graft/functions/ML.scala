@@ -229,6 +229,26 @@ object ML {
       .drop("__cn", "__cs", "__gn", "__gs")
   }
 
+  /** Per-group winsorization — clamp a feature to its group's
+    * [qLo, qHi] quantile band, the standard outlier-robust featurization
+    * (the TRANSFORM companion of Analytics' outlier DETECTORS). Bounds
+    * come from [[graft.operators.Aggregations.quantileDisc]]'s lower-rank
+    * selection, so they are actual member values and the clamp is pure
+    * comparison — no arithmetic at all, fully oracle-replayable. Two
+    * quantile window passes + one broadcast join of the tiny per-group
+    * bounds frame; output adds `lo`, `hi`, and `<valueCol>_w`. */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                qLo: Double, qHi: Double): DataFrame = {
+    require(qLo >= 0 && qHi <= 1 && qLo <= qHi,
+      s"need 0 <= qLo <= qHi <= 1, got ($qLo, $qHi)")
+    import graft.operators.Aggregations
+    val lo = Aggregations.quantileDisc(df, keyCols, valueCol, qLo, "lo").drop("n")
+    val hi = Aggregations.quantileDisc(df, keyCols, valueCol, qHi, "hi").drop("n")
+    df.join(broadcast(lo), keyCols).join(broadcast(hi), keyCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
+
   /** Per-group simple linear regression + Pearson correlation in ONE
     * aggregate pass: emits `n`, OLS `slope`/`intercept` (y = a + b·x)
     * and `r` from the five classic sufficient statistics

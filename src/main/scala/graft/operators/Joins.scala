@@ -209,6 +209,29 @@ object Joins {
         rValueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
+  /** [[asofJoin]] with a MATCH TOLERANCE (the pandas `merge_asof
+    * tolerance` / polars `join_asof tolerance` semantics): a right match
+    * older than `ltime − tolerance` is rejected — the left row keeps its
+    * place with all right values null, exactly as if no match existed.
+    * The window fill cannot express this directly (its `last(...,
+    * ignoreNulls)` carries matches arbitrarily far forward), so the
+    * match's own timestamp rides through the fill inside the value
+    * struct and one per-row predicate invalidates stale matches after —
+    * same single-shuffle plan, one extra 8-byte struct field.
+    * Time columns must be numeric (the module's usual int64 epoch
+    * values); `tolerance` is in the same unit. */
+  def asofJoinTolerance(l: DataFrame, r: DataFrame, ids: Seq[String],
+                        ltime: String, rtime: String, lCols: Seq[String],
+                        rValueCols: Seq[String], tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be non-negative, got $tolerance")
+    val withRt = asofJoin(l, r.withColumn("__rt", col(rtime)), ids, ltime,
+      rtime, lCols, rValueCols :+ "__rt")
+    val ok = col("__rt").isNotNull && col("__rt") >= col(ltime) - tolerance
+    rValueCols.foldLeft(withRt) { case (d, c) =>
+      d.withColumn(c, when(ok, col(c)))
+    }.drop("__rt")
+  }
+
   /** Skew-hardened asofjoin — the hot-id fallback [[asofJoin]]'s doc
     * names, implemented. Same semantics, but the per-id window is split
     * by a coarse time bucket (`bucketOf`, any monotone coarsening of the

@@ -104,6 +104,44 @@ object TimeSeries {
         }: _*)
   }
 
+  /** Time-weighted average per key — the step-function mean between each
+    * key's first and last observation:
+    * `twap = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)` (the last
+    * observation closes the integral and contributes no interval — the
+    * standard TWAP/asset-mark convention). A plain AVG over irregular
+    * observations over-weights bursts; the duration weighting is what
+    * monitoring/finance pipelines actually want.
+    *
+    * Exactness: each v·Δt product is decimal(18,4)×decimal(20,0) —
+    * EXACT — and the sum accumulates in decimal, so the result is
+    * order-independent with ONE double division at the end (the module
+    * contract; the oracle replays it). Keys with a single observation
+    * (zero total duration) emit NULL twap rather than 0/0. One window
+    * exchange (lead rides the per-key sort) + one aggregate. */
+  def twap(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val keys = keyCols.map(col)
+    // tieCols pin the lead order under equal timestamps (equal-ts pairs
+    // contribute Δt = 0 either way, but WHICH value closes the integral
+    // segment after the tie must be deterministic)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy((col(tsCol).asc +: tieCols.map(col(_).asc)): _*)
+    df.withColumn("__nt", lead(col(tsCol), 1).over(w))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min(col(tsCol)).as("t_first"),
+        max(col(tsCol)).as("t_last"),
+        sum(when(col("__nt").isNotNull,
+          col(valueCol).cast("decimal(18,4)") *
+            (col("__nt") - col(tsCol)).cast("decimal(20,0)"))).as("__wsum"))
+      .withColumn("twap",
+        when(col("t_last") > col("t_first"),
+          col("__wsum").cast("double") /
+            (col("t_last") - col("t_first")).cast("double")))
+      .drop("__wsum")
+  } // the t_last > t_first guard also covers the all-equal-ts key (0/0)
+
   /** Trailing time-range rolling aggregates: for every input row, `aggs`
     * evaluated over the key's rows with `tsCol` in [ts − lookback, ts]
     * (both ends inclusive; equal-timestamp peers are all in frame — the

@@ -419,6 +419,68 @@ object IO {
       dynamic = true)
   }
 
+  /** Delete-aware CDC merge — [[upsertPartitions]] plus tombstones (the
+    * WHEN MATCHED DELETE half of a MERGE statement): `changes` carries an
+    * `opCol` of "upsert" | "delete"; upserts replace by key, delete keys
+    * are removed, and both only touch the partition directories the
+    * change batch names. A partition whose every row is deleted is
+    * removed from disk (dynamic overwrite alone would leave its stale
+    * files — the write only replaces partitions PRESENT in the output;
+    * the directory delete closes that hole, spec-pinned). Delete rows
+    * need only (partCols ++ keyCols ++ opCol); other columns are
+    * ignored. Partition values are part of the logical key, as with
+    * upsertPartitions. Any other opCol value fails loudly per row. */
+  def upsertPartitionsCdc(spark: SparkSession, dir: String,
+                          changes: org.apache.spark.sql.DataFrame,
+                          partCols: Seq[String], keyCols: Seq[String],
+                          opCol: String, sortCols: Seq[String] = Nil,
+                          filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, assert_true, coalesce, concat}
+    require(partCols.nonEmpty, "upsertPartitionsCdc needs partition columns")
+    require(keyCols.nonEmpty, "upsertPartitionsCdc needs key columns")
+    val opGuard = assert_true(col(opCol).isin("upsert", "delete"),
+      concat(lit(s"upsertPartitionsCdc: $opCol must be 'upsert' or " +
+        "'delete', got: "), coalesce(col(opCol), lit("null"))))
+    val checked = changes.withColumn(opCol,
+      coalesce(opGuard.cast("string"), col(opCol)))
+    val ups = checked.filter(col(opCol) === "upsert").drop(opCol)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+      // bootstrap: deletes against an empty table are no-ops
+      writePartitioned(ups, dir, partCols, sortCols, filesPerPartition,
+        dynamic = true)
+      return
+    }
+    val touched = checked.select(partCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+    val pFilter = touched.map { r =>
+      partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = spark.read.parquet(dir).filter(pFilter)
+    // both ops displace the existing key; only upserts re-insert
+    val merged = existing
+      .join(checked.select((partCols ++ keyCols).map(col): _*),
+        partCols ++ keyCols, "left_anti")
+      .unionByName(ups.select(existing.columns.map(col): _*))
+      .localCheckpoint(true)
+    writePartitioned(merged, dir, partCols, sortCols, filesPerPartition,
+      dynamic = true)
+    // fully-deleted partitions: present in `touched`, absent from the
+    // rewritten output — their directories must go (see scaladoc)
+    val survivors = merged.select(partCols.map(col): _*).distinct().collect()
+      .map(_.toSeq).toSet
+    touched.filterNot(r => survivors.contains(r.toSeq)).foreach { r =>
+      val sub = partCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      val p = java.nio.file.Paths.get(dir, sub)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+  }
+
   /** Incremental aggregate maintenance (materialized-view upsert): merge a
     * DELTA's per-key partial aggregates into a persisted agg table,
     * rewriting ONLY the partition directories the delta touches — the
@@ -472,6 +534,26 @@ object IO {
       .localCheckpoint(true) // reads the directories the write replaces
     writePartitioned(merged, dir, partCols, Nil, filesPerPartition,
       dynamic = true)
+  }
+
+  /** Raw binary-file source — the ingestion door for the multimodal
+    * column family ([[graft.functions.Multimodal]] operates on `binary`
+    * columns; this is where they come from): every file under `path`
+    * (non-recursive glob semantics are Spark's `binaryFile` source's)
+    * becomes a row of (path, modificationTime, length, content). Schema
+    * is fixed by the source — no inference pass. ZERO-LENGTH files are
+    * skipped by Spark's file listing (spec-pinned): an empty media blob
+    * is not a row, so count reconciliation against a manifest must
+    * exclude empties. At scale the source
+    * parallelizes by files; pair with `pathGlobFilter` for extension
+    * routing and compact small files into parquet binary columns early
+    * (one 100 TB table of (id, media, metadata) beats 10⁹ small files —
+    * the recommended pipeline is load → project → write parquet, then
+    * everything downstream reads the columnar form). */
+  def loadBinary(spark: SparkSession, path: String,
+                 globFilter: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
   }
 
   /** Slowly-changing-dimension TYPE-2 merge — the warehouse-maintenance

@@ -117,6 +117,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(back == rows)
   }
 
+  test("winsorize: golden bounds and clamps; degenerate full-range band") {
+    import spark.implicits._
+    // values 0..10 → q0.1 bound = rank ⌊0.1·10⌋+1 = 2nd smallest = 1.0;
+    // q0.9 = rank 10 = 9.0; clamp pins 0→1 and 10→9, middle unchanged
+    val df = (0 to 10).map(v => ("g", v.toLong, v.toDouble)).toDF("g", "id", "v")
+    val got = ML.winsorize(df, Seq("g"), "v", 0.1, 0.9)
+      .select("id", "lo", "hi", "v_w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.forall(t => t._2 == 1.0 && t._3 == 9.0))
+    assert(got.head == (0L, 1.0, 9.0, 1.0) && got.last == (10L, 1.0, 9.0, 9.0))
+    assert(got(5) == (5L, 1.0, 9.0, 5.0))
+    // [0,1] band = identity transform
+    val id = ML.winsorize(df, Seq("g"), "v", 0.0, 1.0)
+      .select("v", "v_w").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(id.forall(t => t._1 == t._2))
+  }
+
   test("outliersMad: golden flags; zero-MAD group empty") {
     // g1: values 1..7 plus 100 → med=4 (rank ⌊.5·7⌋+1=4), devs
     // {3,2,1,0,1,2,3,96} → mad = 2 (rank 4 of sorted devs 0,1,1,2,2,3,3,96)

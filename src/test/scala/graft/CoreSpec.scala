@@ -746,6 +746,50 @@ class CoreSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("asofJoinTolerance: stale match nulled, row kept; boundary inclusive; huge tol == plain") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 101L, 50L), (1L, 102L, 200L))
+      .toDF("u", "lid", "ts")
+    val r = Seq((1L, 900L, 5L, 1.0), (1L, 901L, 40L, 2.0))
+      .toDF("u", "rid", "ts", "v")
+      .select(col("u"), col("ts"), col("rid"), col("v"))
+    def run(tol: Long) = Joins.asofJoinTolerance(l, r, Seq("u"), "ts", "ts",
+        lCols = Seq("lid"), rValueCols = Seq("rid", "v"), tolerance = tol)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .sortBy(_._1).toSeq
+    // tol=10: lid 100 (ts 10) matches rid 900 (ts 5, age 5 ≤ 10) — the
+    // boundary-inclusive case is lid 101 (ts 50) vs rid 901 (ts 40,
+    // age exactly 10); lid 102 (ts 200)'s best match is age 160 → nulled
+    assert(run(10L) == Seq((100L, 900L), (101L, 901L), (102L, -1L)))
+    // huge tolerance degenerates to plain asofJoin
+    val plain = Joins.asofJoin(l, r, Seq("u"), "ts", "ts",
+        lCols = Seq("lid"), rValueCols = Seq("rid", "v"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(run(Long.MaxValue / 4) == plain)
+  }
+
+  test("clusteringCoefficient: clique 1.0, star 0.0, path middle 0.0") {
+    import graft.functions.Graphs
+    import spark.implicits._
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("i","j")
+    val lccK4 = Graphs.clusteringCoefficient(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sorted.toSeq
+    assert(lccK4 == (1L to 4L).map(n => (n, 3L, 1.0)))
+    // star: hub degree 5, no closing edges → 0.0 everywhere; leaves deg 1
+    val star = (2L to 6L).map(x => (1L, x)).toDF("i","j")
+    val lccStar = Graphs.clusteringCoefficient(star).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).sorted.toSeq
+    assert(lccStar == Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 0.0), (5L, 0.0), (6L, 0.0)))
+    // path 1-2-3: middle node deg 2, no triangle → 0.0
+    val path = Seq((1L,2L),(2L,3L)).toDF("i","j")
+    val mid = Graphs.clusteringCoefficient(path)
+      .filter(col("node") === 2L).collect().head
+    assert(mid.getLong(1) == 2L && mid.getDouble(3) == 0.0)
+  }
+
   test("triangleCount: golden graphs, raw-edge normalization, naive-model equality") {
     import graft.functions.Graphs
     import spark.implicits._

@@ -524,6 +524,28 @@ class FunctionsSpec extends SparkSpec {
     assert(b.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("minhashJoinAcross == minhashLSH pairs restricted to cross-side") {
+    val d = Tables.documents(spark, sf)
+    val self = Dedup.minhashLSH(d, "doc_id", "text", n = 3, bands = 8,
+        rowsPerBand = 2, minEstSim = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the cross-corpus join over the %3 split must produce exactly the
+    // self-join pairs with one endpoint on each side, re-oriented
+    // (left id first) — same signatures, same banding, same threshold
+    val want = self.flatMap { case (i, j, s) =>
+      if (i % 3 == 0 && j % 3 != 0) Some((i, j, s))
+      else if (j % 3 == 0 && i % 3 != 0) Some((j, i, s))
+      else None
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Dedup.minhashJoinAcross(
+        d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 2, minEstSim = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty) // the fixture has cross-side near-dups
+  }
+
   test("minhashLSH finds the high-jaccard pairs (recall vs exact)") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)

@@ -269,6 +269,26 @@ class RetrievalSpec extends SparkSpec {
     partitionSweep(mk)
   }
 
+  test("twap: golden step integral; single obs NULL; all-equal-ts NULL; partition sweep") {
+    // k=1: v=10 over [0,100), v=30 over [100,400) → twap = (10·100 +
+    // 30·300)/400 = 25.0; k=2 single obs → NULL; k=3 two obs same ts →
+    // zero duration → NULL (not NaN)
+    def mk(parts: Int) = TimeSeries.twap(
+      Seq((1L, 0L, 5L, 10.0), (1L, 100L, 6L, 30.0), (1L, 400L, 7L, 99.0),
+        (2L, 50L, 8L, 7.0), (3L, 60L, 9L, 1.0), (3L, 60L, 10L, 2.0))
+        .toDF("k", "ts", "id", "v").repartition(parts),
+      Seq("k"), "ts", "v", tieCols = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    val base = mk(1)
+    assert(base.map(_._1) == Seq(1L, 2L, 3L))
+    assert(base(0)._2 == 3L && base(0)._3 == 25.0)
+    assert(base(1)._2 == 1L && base(1)._3.isNaN)
+    assert(base(2)._2 == 2L && base(2)._3.isNaN)
+    partitionSweep(mk(_).map(t => (t._1, t._2, t._3.toString)))
+  }
+
   test("resampleInterp: golden linear fill, endpoints exact, partition sweep") {
     // k=1: observed buckets 10 (v 6.0) and 13 (v 12.0) → gaps 11, 12
     // interpolate to 8.0, 10.0; count interpolates fractionally (2 obs at
