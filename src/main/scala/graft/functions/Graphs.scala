@@ -144,6 +144,50 @@ object Graphs {
           .otherwise(lit(0.0)))
   }
 
+  /** Multi-source BFS shortest-path distances, bounded at `maxHops`:
+    * dist(v) = the fewest edges from any seed to v (seeds at 0), nodes
+    * unreached within the bound absent from the output. Classic BSP
+    * frontier expansion — iteration h is ONE shuffle join
+    * (frontier ⋈ edges on the node id) plus one LEFT ANTI against the
+    * settled set, so per-iteration cost ∝ |frontier|·avg-degree, never
+    * the whole graph; localCheckpoint bounds plan depth (the pageRank
+    * pattern) and keeps the settled set from re-deriving the whole
+    * prefix each round. The frontier-only expansion is what survives
+    * 100×: a saturating graph's late iterations join near-empty
+    * frontiers, not the full distance table.
+    *
+    * Input edges are treated as UNDIRECTED (normalized + symmetric
+    * closure); `seeds` is any one-column frame of node ids (duplicates
+    * fine). Output: (node, dist). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                   iCol: String = "i", jCol: String = "j"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val und = edges
+      .filter(col(iCol) =!= col(jCol))
+      .select(least(col(iCol), col(jCol)).as("u"),
+        greatest(col(iCol), col(jCol)).as("v"))
+      .distinct()
+    val e = und.select(col("u").as("s"), col("v").as("t"))
+      .union(und.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(false)
+    var settled = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(false)
+    var frontier = settled
+    var h = 1L
+    while (h <= maxHops) {
+      val next = frontier.join(e, frontier("node") === e("s"))
+        .select(col("t").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(false)
+      settled = settled.union(next).localCheckpoint(false)
+      frontier = next
+      h += 1L
+    }
+    settled
+  }
+
   private def shared(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 }

@@ -229,6 +229,47 @@ object ML {
       .drop("__cn", "__cs", "__gn", "__gs")
   }
 
+  /** Deterministic sparse ±1 sign matrix (Achlioptas, JCSS'03: entries
+    * +1/0/−1 with probabilities 1/6, 2/3, 1/6) derived from the module's
+    * salted-md5 hash — sign(j,i) = hashU32("salt:j:i") mod 6 mapped
+    * {0→+1, 5→−1, else 0} — so ANY engine with md5 re-derives the exact
+    * matrix (the correctness oracle does, in SQL). */
+  def sparseSignMatrix(k: Int, dim: Int, salt: String): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dim) { (j, i) =>
+      val hex = md.digest(s"$salt:$j:$i".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 6L) match {
+        case 0L => 1
+        case 5L => -1
+        case _ => 0
+      }
+    }
+  }
+
+  /** Sparse random projection of an embedding column to `k` dims
+    * (Johnson–Lindenstrauss via the Achlioptas ±1 sparse matrix):
+    * proj_j = Σ_i sign(j,i)·v_i, computed EXACTLY on the fix9
+    * fixed-point image in one native codegen'd pass per row
+    * (plans.SparseSignProject — the matrix rides as a codegen reference
+    * object, 2/3 of entries skip arithmetic entirely). The projection is
+    * unscaled (distance ratios are preserved up to the constant √(3/k);
+    * apply it downstream if absolute distances matter).
+    *
+    * This is the 100 TB dimensionality lever COMPLEMENTARY to SQ8/PQ:
+    * quantization shrinks bytes-per-dim, projection shrinks DIMS — a
+    * 1024-dim float corpus projected to 64 dims is 16× fewer bytes
+    * before any quantizer runs, and the deterministic matrix means the
+    * projection needs no training pass and no model artifact. Zero
+    * exchanges: rides the scan. */
+  def randomProjectSparse(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, k: Int, salt: String = "rp"): DataFrame = {
+    require(k >= 1 && dim >= 1, s"need k, dim >= 1, got ($k, $dim)")
+    val signs = sparseSignMatrix(k, dim, salt)
+    df.select(col(idCol),
+      graft.plans.HashExpressions.sparseProject(col(vecCol), signs).as("proj"))
+  }
+
   /** Per-group winsorization — clamp a feature to its group's
     * [qLo, qHi] quantile band, the standard outlier-robust featurization
     * (the TRANSFORM companion of Analytics' outlier DETECTORS). Bounds

@@ -22,6 +22,21 @@ object Text {
   def normalize(text: Column): Column =
     graft.plans.HashExpressions.normalizeWs(text)
 
+  /** Unicode accent folding (NFD → strip `\p{M}` marks → NFC): 'café' →
+    * 'cafe', 'ñ' → 'n'. Native expression (plans.FoldAccents) with an
+    * allocation-free ASCII fast path; chars with no canonical
+    * decomposition (ø, đ) pass through — the same contract as DuckDB's
+    * `strip_accents`, which is the oracle formulation. */
+  def foldAccents(text: Column): Column =
+    graft.plans.HashExpressions.foldAccents(text)
+
+  /** Canonical dedup key: accent-fold, then lowercase + collapse
+    * whitespace + trim. The standard key under cross-encoding exact
+    * dedup — two scans of the same page that differ only in diacritic
+    * encoding or spacing collapse to one key. Pure per-row expression:
+    * rides the scan, no exchange. */
+  def canonicalKey(text: Column): Column = normalize(foldAccents(text))
+
   /** Whitespace tokens of the normalized text. Empty/whitespace-only text
     * yields an empty array (Spark's split of "" returns [""], which would
     * count as one token). */
@@ -30,6 +45,41 @@ object Text {
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Unicode-script ranges for [[scriptProfile]] — BMP block ranges, so
+    * counts are identical under UTF-16 (Java regex) and codepoint (RE2)
+    * engines. Exposed so callers and the oracle share one table. */
+  val scriptRanges: Seq[(String, String, String)] = Seq(
+    // (name, java-regex class, RE2/duckdb-regex class)
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\u0370-\\u03FF]", "[\\x{0370}-\\x{03FF}]"),
+    ("cjk", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("arabic", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
+    ("digit", "[0-9]", "[0-9]"))
+
+  /** Per-document script profile — the multilingual curation signal next
+    * to [[langId]] (which only separates European stopword sets): counts
+    * of codepoints per major Unicode script block plus the dominant
+    * script's fraction of all counted script chars. Pure per-row
+    * regexp_count expressions — rides the scan, no exchange; fractions
+    * are single pinned divisions. Returns struct(n_latin, n_cyrillic,
+    * n_greek, n_cjk, n_arabic, n_digit, n_script, main_frac) where
+    * n_script excludes digits and main_frac is NULL for script-less
+    * text. */
+  def scriptProfile(text: Column): Column = {
+    val counts = scriptRanges.map { case (n, jre, _) =>
+      n -> regexp_count(text, lit(jre)).cast("long")
+    }
+    val scriptOnly = counts.filter(_._1 != "digit").map(_._2)
+    val total = scriptOnly.reduce(_ + _)
+    val maxC = scriptOnly.reduce((a, b) => greatest(a, b))
+    struct(
+      counts.map { case (n, c) => c.as(s"n_$n") } ++ Seq(
+        total.as("n_script"),
+        when(total > 0, maxC.cast("double") / total.cast("double"))
+          .as("main_frac")): _*)
+  }
 
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * other non-space chars — a cheap stand-in for a real tokenizer's

@@ -136,6 +136,39 @@ object Aggregations {
       .select(keyCols.map(col) ++ Seq(col("n"), col(valueCol).as(outCol)): _*)
   }
 
+  /** EXACT continuous (linearly interpolated) per-group quantile — the
+    * SQL `quantile_cont` / numpy default ("type 7") companion of
+    * [[quantileDisc]]'s member-value selection: with h = q·(n−1), the
+    * result is v[⌊h⌋] + (h − ⌊h⌋)·(v[⌈h⌉] − v[⌊h⌋]) over the ascending
+    * value order (0-based ranks). The two bracket values are selected
+    * (never computed), h and the interpolation are a PINNED double
+    * sequence replayed by the oracle — when h is integral the fraction
+    * is exactly 0 and the result is the member value itself. Same plan
+    * shape as quantileDisc: one exchange + in-partition sort; ties
+    * permute rows but the selected bracket VALUES are invariant. */
+  def quantileCont(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                   valueCol: String, q: Double,
+                   outCol: String = "q_value"): org.apache.spark.sql.DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(valueCol).asc)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val h = lit(q) * (col("n").cast("double") - lit(1.0))
+    df.select(keyCols.map(col) :+ col(valueCol): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn).cast("long"))
+      .filter(col("__rn") - 1 === floor(h) || col("__rn") - 1 === ceil(h))
+      .groupBy((keyCols.map(col) :+ col("n")): _*)
+      .agg(
+        min(when(col("__rn") - 1 === floor(h), col(valueCol))).as("__lo"),
+        min(when(col("__rn") - 1 === ceil(h), col(valueCol))).as("__hi"))
+      .withColumn(outCol,
+        col("__lo").cast("double") + (h - floor(h).cast("double")) *
+          (col("__hi").cast("double") - col("__lo").cast("double")))
+      .drop("__lo", "__hi")
+  }
+
   /** Exact per-group mode with a deterministic tie-break (highest count,
     * then smallest value): the categorical companion of [[quantileDisc]].
     * Two-level shape is the scale story — the first aggregate collapses

@@ -180,6 +180,98 @@ object Analytics {
       .drop("__ss")
   }
 
+  /** Pearson chi-square drift statistic between a reference snapshot and
+    * a current snapshot of a categorical column — the standard
+    * distribution-drift monitor for training-data pipelines (PSI needs
+    * log; chi² is exact counts + pinned ratios, so it hash-gates).
+    *
+    * For each category c present in `ref`:
+    *   exp_c  = n_cur_total · n_ref_c / n_ref_total   (pinned doubles)
+    *   term_c = (n_cur_c − exp_c)² / exp_c
+    * and chi2 = Σ term_c, accumulated via an exact decimal(28,12) cast
+    * of the per-category double terms (order-independent — the module's
+    * dsum discipline). Categories present ONLY in `cur` have exp = 0
+    * (the statistic is undefined there); they are returned with
+    * null expected/term and EXCLUDED from chi2 — `n_unseen` counts them
+    * so a caller alerting on drift can alert on novel categories too.
+    *
+    * Output: one row per category — (cat, n_ref, n_cur, expected, term)
+    * — plus the constant columns (chi2, dof, n_unseen) for the verdict.
+    * Scale shape: two map-side-combined count aggregates (category
+    * cardinality rows each) + a full outer join and windows over the
+    * tiny category frame. The corpus is scanned once per side; nothing
+    * corpus-sized shuffles. */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    val r = ref.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val withTotals = joined
+      .withColumn("__ref_tot", sum(col("n_ref")).over(w))
+      .withColumn("__cur_tot", sum(col("n_cur")).over(w))
+      .withColumn("expected",
+        when(col("n_ref") > 0,
+          col("__cur_tot").cast("double") * col("n_ref").cast("double") /
+            col("__ref_tot").cast("double")))
+      .withColumn("term",
+        when(col("n_ref") > 0,
+          (col("n_cur").cast("double") - col("expected")) *
+            (col("n_cur").cast("double") - col("expected")) / col("expected")))
+    withTotals
+      .withColumn("chi2",
+        sum(col("term").cast("decimal(28,12)")).over(w).cast("double"))
+      .withColumn("dof",
+        sum(when(col("n_ref") > 0, 1L).otherwise(0L)).over(w) - lit(1L))
+      .withColumn("n_unseen",
+        sum(when(col("n_ref") === 0, 1L).otherwise(0L)).over(w))
+      .drop("__ref_tot", "__cur_tot")
+  }
+
+  /** Welch's unequal-variance t-test between two groups of `valueCol`,
+    * from exact sufficient statistics: per-group n, Σx, Σx² accumulate
+    * in decimal (order-independent), then mean / sample variance /
+    * t / t² / Welch–Satterthwaite dof are a PINNED sequence of double
+    * ops any engine replays bit-for-bit (sqrt is IEEE
+    * correctly-rounded — the outliersZ precedent). One map-side-combined
+    * aggregate over the corpus; the comparison itself is a one-row
+    * frame. Output: one row — (n_a, n_b, mean_a, mean_b, var_a, var_b,
+    * t, t2, dof). Groups with n < 2 yield null variance columns (the
+    * test is undefined). */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String, scale: Int = 2): DataFrame = {
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    def side(g: String, suffix: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n_$suffix"),
+      sum(when(col(groupCol) === g, v)).cast("double").as(s"__s_$suffix"),
+      sum(when(col(groupCol) === g, v * v)).cast("double").as(s"__ss_$suffix"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    def mean(s: String) = col(s"__s_$s") / col(s"n_$s").cast("double")
+    def variance(s: String) =
+      when(col(s"n_$s") >= 2,
+        (col(s"__ss_$s") - col(s"__s_$s") * col(s"__s_$s") / col(s"n_$s").cast("double")) /
+          (col(s"n_$s").cast("double") - lit(1.0)))
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_a", mean("a")).withColumn("mean_b", mean("b"))
+      .withColumn("var_a", variance("a")).withColumn("var_b", variance("b"))
+      .withColumn("__se2",
+        col("var_a") / col("n_a").cast("double") +
+          col("var_b") / col("n_b").cast("double"))
+      .withColumn("t", (col("mean_a") - col("mean_b")) / sqrt(col("__se2")))
+      .withColumn("t2",
+        (col("mean_a") - col("mean_b")) * (col("mean_a") - col("mean_b")) / col("__se2"))
+      .withColumn("dof",
+        col("__se2") * col("__se2") /
+          ((col("var_a") / col("n_a").cast("double")) * (col("var_a") / col("n_a").cast("double")) /
+            (col("n_a").cast("double") - lit(1.0)) +
+           (col("var_b") / col("n_b").cast("double")) * (col("var_b") / col("n_b").cast("double")) /
+            (col("n_b").cast("double") - lit(1.0))))
+      .drop("__s_a", "__ss_a", "__s_b", "__ss_b", "__se2")
+  }
+
   def outliersZ(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 k: Double, scale: Int = 2): DataFrame = {
     require(k >= 0, s"k must be non-negative, got $k")

@@ -84,6 +84,38 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Bloom-prefiltered equi-join: probe the FACT side against a bloom
+    * filter of the (selective) dim side's join keys IN THE SCAN, so only
+    * probable matches reach the shuffle — the generalization of the
+    * decontamination bloom (Dedup.contaminationScoresBloom) to arbitrary
+    * fact ⋈ dim joins, and the manual form of Spark's runtime row-group
+    * filters with an explicit size/fpp contract. The exact join after
+    * the probe removes every false positive, so the result is IDENTICAL
+    * to the plain join (q201 is gated on exactly that) — the filter only
+    * sizes the exchange.
+    *
+    * Regime (the decontam stress finding carries over): wins when the
+    * dim side is too big to broadcast as ROWS but its ~1.2 MB/M-keys
+    * bloom IMAGE broadcasts fine, AND dim is selective against fact
+    * (most fact rows miss) — the canonical 100 TB fact ⋈ filtered-dim
+    * shape, where the fact-side shuffle dominates everything. When most
+    * fact rows match, or the dim broadcasts as rows anyway, the probe is
+    * pure overhead — measured in the StressBench decontam arms; same
+    * verdict here. Native codegen probe (`bloom_might_contain` on the
+    * long or UTF-8 image — matching `stat.bloomFilter`'s insertion
+    * domain), never a ScalaUDF. */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
+                           factKey: String, dimKey: String,
+                           fpp: Double = 0.01,
+                           expectedKeys: Long = 0L): DataFrame = {
+    val keys = dim.select(col(dimKey)).distinct()
+    val items = if (expectedKeys > 0L) expectedKeys
+      else math.max(keys.count(), 1L)
+    val bf = keys.stat.bloomFilter(dimKey, items, fpp)
+    fact.filter(graft.plans.HashExpressions.bloomMightContain(col(factKey), bf))
+      .join(dim, col(factKey) === dim(dimKey))
+  }
+
   /** Fuzzy record linkage: blocked edit-distance join — the classic
     * dedup/linkage shape (match dirty records to a reference table).
     * Candidates are generated ONLY within equal `blockCols` groups (the

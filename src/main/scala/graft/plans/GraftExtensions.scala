@@ -47,6 +47,10 @@ object GraftExtensions {
       require(args.length == 1, "normalize_ws(text)")
       NormalizeWs(args(0))
     },
+    "fold_accents" -> { args =>
+      require(args.length == 1, "fold_accents(text)")
+      FoldAccents(args(0))
+    },
     "shingle_hashes" -> { args =>
       require(args.length == 2, "shingle_hashes(text, n)")
       ShingleHashes(args(0), intLit(args(1)))

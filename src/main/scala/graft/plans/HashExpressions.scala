@@ -453,6 +453,66 @@ object HashOps {
     }
   }
 
+  /** Unicode accent folding: NFD-decompose, drop every combining mark
+    * (categories Mn/Mc/Me — Java-regex `\p{M}`), NFC-recompose. Matches
+    * DuckDB's `strip_accents` (utf8proc decompose + STRIPMARK) on every
+    * decomposable Latin/Greek/Cyrillic accent; chars with no canonical
+    * decomposition (ø, đ, …) pass through unchanged in BOTH engines.
+    * ASCII fast path returns the input UTF8String without allocating. */
+  def foldAccentsJava(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) {
+        val str = s.toString
+        val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(nfd.length)
+        var j = 0
+        while (j < nfd.length) {
+          val c = nfd.charAt(j)
+          val t = Character.getType(c)
+          if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+              t != Character.ENCLOSING_MARK) sb.append(c)
+          j += 1
+        }
+        return UTF8String.fromString(
+          java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    s // pure ASCII: no mark can exist, input returned as-is
+  }
+
+  /** Sparse ±1 sign projection of a fix9 vector image: out_j =
+    * Σ_i sign(j,i)·fix9(v_i), accumulated EXACTLY in long arithmetic
+    * (|fix9| ≤ 1e12 and dims ≤ ~10⁵ keep the sum far inside 2^63 — the
+    * require below guards the bound), then ONE correctly-rounded
+    * conversion to double per output dim — bit-identical to any engine's
+    * `cast(sum(sign * cast(v as decimal(12,9))) as double)`. */
+  def sparseProjectJava(arr: ArrayData, signs: Array[Array[Int]],
+                        isFloat: Boolean): ArrayData = {
+    val dim = if (signs.length > 0) signs(0).length else 0
+    require(arr.numElements() == dim,
+      s"sparse_project dim mismatch: vector has ${arr.numElements()} elements, expected $dim")
+    require(dim <= 1000000, s"sparse_project: dim $dim could overflow the long accumulator")
+    val img = fix9Java(arr, isFloat)
+    val out = new Array[Double](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      var sum = 0L
+      var i = 0
+      while (i < dim) {
+        val sg = row(i)
+        if (sg != 0) sum += (if (sg > 0) img.getLong(i) else -img.getLong(i))
+        i += 1
+      }
+      out(j) = new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 9).doubleValue()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def rhpSigJava(arr: ArrayData, coeffs: Array[Array[Double]], isFloat: Boolean): Long = {
     val bits = coeffs.length
     val dim = if (bits > 0) coeffs(0).length else 0
@@ -495,6 +555,12 @@ object HashOps {
   def bloomContainsJava(s: UTF8String,
                         bf: org.apache.spark.util.sketch.BloomFilter): Boolean =
     bf.mightContainBinary(s.getBytes)
+
+  /** Bloom probe on the long image — the insertion domain of
+    * `stat.bloomFilter` over an integral column (BloomFilterImpl.putLong). */
+  def bloomContainsLongJava(v: Long,
+                            bf: org.apache.spark.util.sketch.BloomFilter): Boolean =
+    bf.mightContainLong(v)
 
   def nearestCellJava(arr: ArrayData, isFloat: Boolean,
                       centroids: Array[Array[Double]]): Int = {
@@ -807,6 +873,55 @@ case class NormalizeWs(child: Expression)
   override def prettyName: String = "normalize_ws"
 }
 
+/** fold_accents(text): NFD → strip combining marks (`\p{M}`) → NFC —
+  * the canonical-key normalization under cross-script dedup. Matches
+  * DuckDB `strip_accents` on decomposable accents (see
+  * HashOps.foldAccentsJava); the ASCII fast path makes the common case
+  * (clean web text) allocation-free. */
+case class FoldAccents(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.foldAccentsJava(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.foldAccentsJava($c);")
+  override protected def withNewChildInternal(c: Expression): FoldAccents = copy(child = c)
+  override def prettyName: String = "fold_accents"
+}
+
+/** sparse_project(vec): k exact sign-projection sums of the fix9 image —
+  * Achlioptas-style random projection with the ±1/0 matrix attached as a
+  * codegen REFERENCE object (the NearestCell pattern: never inlined into
+  * generated source). One pass per row; each output dim is a long sum +
+  * one rounding (see HashOps.sparseProjectJava). */
+case class SparseSignProject(child: Expression, signs: Array[Array[Int]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sparse_project expects array<float> or array<double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.sparseProjectJava(input.asInstanceOf[ArrayData], signs, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("projSigns", signs, "int[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.sparseProjectJava($c, $signsRef, $isFloat);")
+  }
+  override protected def withNewChildInternal(c: Expression): SparseSignProject = copy(child = c)
+  override def prettyName: String = "sparse_project"
+}
+
 /** rhp_signature(vec): b sign-bits of deterministic pseudo-random
   * hyperplane projections, packed into a long — the ANN bucketing hash.
   * One pass over the vector per row (the Column formulation builds a
@@ -872,21 +987,25 @@ case class BloomMightContain(child: Expression,
     extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType =>
+      case StringType | LongType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bloom_might_contain expects string, got $other")
+          s"bloom_might_contain expects string or bigint (the two insertion " +
+            s"domains of stat.bloomFilter), got $other")
     }
   override def dataType: DataType = BooleanType
+  private def isLong: Boolean = child.dataType == LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Boolean.valueOf(
-      HashOps.bloomContainsJava(input.asInstanceOf[UTF8String], filter))
+      if (isLong) HashOps.bloomContainsLongJava(input.asInstanceOf[Long], filter)
+      else HashOps.bloomContainsJava(input.asInstanceOf[UTF8String], filter))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fRef = ctx.addReferenceObj("bloomFilter", filter,
       "org.apache.spark.util.sketch.BloomFilter")
+    val fn = if (isLong) "bloomContainsLongJava" else "bloomContainsJava"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.HashOps.bloomContainsJava($c, $fRef);")
+      s"${ev.value} = graft.plans.HashOps.$fn($c, $fRef);")
   }
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
@@ -1011,6 +1130,9 @@ object HashExpressions {
   def shingleHashesAll(c: Column, n: Int): Column =
     column(ShingleHashesAll(expression(c), n))
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
+  def foldAccents(c: Column): Column = column(FoldAccents(expression(c)))
+  def sparseProject(c: Column, signs: Array[Array[Int]]): Column =
+    column(SparseSignProject(expression(c), signs))
   def fix9(c: Column): Column = column(Fix9(expression(c)))
   def dotFix9(a: Column, b: Column): Column = column(DotFix9(expression(a), expression(b)))
   def eqFrac(a: Column, b: Column): Column = column(EqFrac(expression(a), expression(b)))

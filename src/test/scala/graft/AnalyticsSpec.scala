@@ -270,4 +270,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == want)
     assert(want.nonEmpty && want.size < g1.size) // the test discriminates
   }
+
+  test("chiSquareDrift: golden terms, unseen category excluded from chi2") {
+    import spark.implicits._
+    // ref: a=50, b=30, c=20 (tot 100); cur: a=40, b=40, z=20 (tot 100).
+    // c vanished (obs 0 vs exp 20 -> term 20); z is ref-unseen (no term).
+    def rep(cat: String, n: Int) = Seq.fill(n)(cat)
+    val ref = (rep("a", 50) ++ rep("b", 30) ++ rep("c", 20)).toDF("lang")
+    val cur = (rep("a", 40) ++ rep("b", 40) ++ rep("z", 20)).toDF("lang")
+    val got = Analytics.chiSquareDrift(ref, cur, "lang")
+      .orderBy("cat").collect()
+    val byCat = got.map(r => r.getString(0) -> r).toMap
+    assert(byCat.keySet == Set("a", "b", "c", "z"))
+    // expected under ref proportions scaled to cur total 100: a 50, b 30, c 20
+    assert(byCat("a").getAs[Double]("expected") == 50.0)
+    assert(byCat("a").getAs[Double]("term") == 2.0)   // (40-50)^2/50
+    assert(byCat("b").getAs[Double]("term") == (10.0 * 10.0) / 30.0)
+    assert(byCat("c").getAs[Double]("term") == 20.0)  // (0-20)^2/20
+    assert(byCat("z").isNullAt(byCat("z").fieldIndex("term")))
+    val chi2 = got.head.getAs[Double]("chi2")
+    assert(math.abs(chi2 - (2.0 + 100.0 / 30.0 + 20.0)) < 1e-9)
+    assert(got.head.getAs[Long]("dof") == 2L)      // 3 ref categories - 1
+    assert(got.head.getAs[Long]("n_unseen") == 1L) // z
+    // no drift => chi2 == 0 exactly (counts equal, terms all zero)
+    val same = Analytics.chiSquareDrift(ref, ref, "lang").collect()
+    assert(same.head.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("welchT: exact vs driver model; n<2 side yields nulls") {
+    import spark.implicits._
+    val a = Seq(10.0, 12.0, 11.0, 13.0, 9.0)
+    val b = Seq(14.0, 15.0, 13.5, 16.0)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("grp", "v")
+    val r = Analytics.welchT(df, "grp", "v", "A", "B").collect().head
+    // driver model with the operator's pinned op order (scale-2 decimals
+    // are exact for these literals)
+    def stats(xs: Seq[Double]) = {
+      val n = xs.size.toDouble
+      val s = xs.sum; val ss = xs.map(x => x * x).sum
+      (n, s / n, (ss - s * s / n) / (n - 1.0))
+    }
+    val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+    val se2 = va / na + vb / nb
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("mean_a") == ma && r.getAs[Double]("mean_b") == mb)
+    assert(math.abs(r.getAs[Double]("var_a") - va) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t") - (ma - mb) / math.sqrt(se2)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t2") -
+      (ma - mb) * (ma - mb) / se2) < 1e-12)
+    val dofW = se2 * se2 / ((va / na) * (va / na) / (na - 1.0) +
+      (vb / nb) * (vb / nb) / (nb - 1.0))
+    assert(math.abs(r.getAs[Double]("dof") - dofW) < 1e-12)
+    // a 1-row side: variance undefined -> null var/t/dof, counts intact
+    val tiny = (Seq(("A", 1.0)) ++ b.map(("B", _))).toDF("grp", "v")
+    val r2 = Analytics.welchT(tiny, "grp", "v", "A", "B").collect().head
+    assert(r2.getAs[Long]("n_a") == 1L)
+    assert(r2.isNullAt(r2.fieldIndex("var_a")) && r2.isNullAt(r2.fieldIndex("t")))
+  }
 }

@@ -825,4 +825,57 @@ class CoreSpec extends SparkSpec {
       .mapValues(_.size.toLong).toSeq.map { case (n, c) => (n, c) }.sorted
     assert(got == wantCounts)
   }
+
+  test("bloomPrefilteredJoin: identical to the plain join at any fpp") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (6L, "f"), (2L, "g")).toDF("k", "payload")
+    val dim = Seq((2L, "x"), (4L, "y"), (9L, "z")).toDF("dk", "dval")
+    def plain = fact.join(dim, fact("k") === dim("dk"))
+      .select("k", "payload", "dval").collect().map(_.toSeq).toSet
+    for (fpp <- Seq(0.01, 0.5)) { // adversarial fpp: exactness never depends on filter quality
+      val got = Joins.bloomPrefilteredJoin(fact, dim, "k", "dk", fpp = fpp)
+        .select("k", "payload", "dval").collect().map(_.toSeq).toSet
+      assert(got == plain, s"bloom join diverged at fpp=$fpp")
+    }
+    // string keys use the UTF-8 probe domain
+    val factS = Seq(("aa", 1L), ("bb", 2L), ("cc", 3L)).toDF("k", "v")
+    val dimS = Seq(("bb", 10L)).toDF("dk", "w")
+    val gotS = Joins.bloomPrefilteredJoin(factS, dimS, "k", "dk")
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    assert(gotS == Set(Seq("bb", 2L, 10L)))
+    // the probe is native codegen, never a ScalaUDF
+    val plan = Joins.bloomPrefilteredJoin(fact, dim, "k", "dk")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("quantileCont: interpolation golden, integral-h member value, sweep") {
+    import spark.implicits._
+    // g1: values 10,20,30,40 -> q=0.25: h=0.75, lo=10, hi=20 -> 17.5
+    // g2: values 1,2,3 -> q=0.5: h=1.0 integral -> exactly 2.0
+    val df = (Seq(10.0, 20.0, 30.0, 40.0).map(("g1", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("g2", _))).toDF("g", "v")
+    val q25 = A.quantileCont(df, Seq("g"), "v", 0.25)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(q25("g1") == 10.0 + 0.75 * 10.0)
+    assert(q25("g2") == 1.0 + 0.5 * 1.0)
+    val q50 = A.quantileCont(df, Seq("g"), "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(q50("g2") == 2.0) // integral h: the member value, no rounding
+    assert(q50("g1") == 25.0)
+    // q=0 / q=1: the extremes exactly
+    assert(A.quantileCont(df, Seq("g"), "v", 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap ==
+      Map("g1" -> 10.0, "g2" -> 1.0))
+    assert(A.quantileCont(df, Seq("g"), "v", 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap ==
+      Map("g1" -> 40.0, "g2" -> 3.0))
+    // partition sweep: result invariant to input partitioning
+    partitionSweep { n =>
+      A.quantileCont(df.repartition(n), Seq("g"), "v", 0.25)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    }
+  }
 }

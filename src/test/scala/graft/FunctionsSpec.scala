@@ -1826,4 +1826,115 @@ class FunctionsSpec extends SparkSpec {
     val distinctDigests = spark.read.parquet(idx).distinct().count()
     assert(spark.read.parquet(idx).count() == 3L && distinctDigests == 3L)
   }
+
+  test("foldAccents: golden folds, non-decomposable passthrough, canonicalKey") {
+    val rows = Seq(
+      ("café", "cafe"), ("El Niño", "El Nino"), ("Mühleisen", "Muhleisen"),
+      ("Ångström", "Angstrom"),
+      ("søren", "søren"),      // ø has no canonical decomposition: passthrough
+      ("plain ascii!", "plain ascii!"), ("", ""))
+      .toDF("in", "want")
+    val got = rows.select(col("want"), Text.foldAccents(col("in")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"foldAccents mismatch: got ${r.getString(1)}, want ${r.getString(0)}"))
+    // matches the reference formulation: Java Normalizer NFD → strip \p{M} → NFC
+    val texts = Seq("Über straße", "naïve — déjà vu", "ASCII only", "ñçõâęł")
+    val ref = texts.map { s =>
+      val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      java.text.Normalizer.normalize(nfd.replaceAll("\\p{M}+", ""),
+        java.text.Normalizer.Form.NFC)
+    }
+    val out = texts.toDF("t").select(Text.foldAccents(col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == ref)
+    // canonicalKey collapses encoding variants of the same page to one key
+    val variants = Seq("Quick  Brown\tFox", "qüíck brówn fóx ", "QUICK BROWN FOX")
+      .toDF("t").select(Text.canonicalKey(col("t")).as("k"))
+      .distinct().collect().map(_.getString(0))
+    assert(variants.toSeq == Seq("quick brown fox"))
+    // null in, null out
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(Text.foldAccents(col("t"))).collect().head.isNullAt(0))
+  }
+
+  test("scriptProfile: per-block counts, dominant fraction, edge cases") {
+    val rows = Seq(
+      "hello мир 123",      // 5 latin, 3 cyrillic, 3 digits
+      "αβγ 中文 test",       // 3 greek, 2 cjk, 4 latin
+      "مرحبا",              // 5 arabic
+      "12345 .,;!",         // digits + punctuation only: no script chars
+      "").toDF("t")
+    val got = rows.select(Text.scriptProfile(col("t")).as("p"))
+      .select("p.*").collect()
+    def r(i: Int) = got(i)
+    assert(r(0).getAs[Long]("n_latin") == 5 && r(0).getAs[Long]("n_cyrillic") == 3
+      && r(0).getAs[Long]("n_digit") == 3 && r(0).getAs[Long]("n_script") == 8)
+    assert(r(0).getAs[Double]("main_frac") == 5.0 / 8.0)
+    assert(r(1).getAs[Long]("n_greek") == 3 && r(1).getAs[Long]("n_cjk") == 2
+      && r(1).getAs[Long]("n_latin") == 4)
+    assert(r(2).getAs[Long]("n_arabic") == 5 &&
+      r(2).getAs[Double]("main_frac") == 1.0)
+    // script-less text: zero counts, NULL fraction (not NaN, not 0/0)
+    assert(r(3).getAs[Long]("n_script") == 0 &&
+      r(3).isNullAt(r(3).fieldIndex("main_frac")))
+    assert(r(4).getAs[Long]("n_script") == 0)
+  }
+
+  test("bfsDistances: golden chain, hop bound, symmetric closure, multi-seed") {
+    import graft.functions.Graphs
+    // chain 1-2-3-4-5, branch 3-6, island 7-8 (unreachable from seed 1)
+    val e = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 5L), (3L, 6L), (7L, 8L))
+      .toDF("i", "j")
+    val seeds1 = Seq(1L).toDF("node")
+    val d3 = Graphs.bfsDistances(e, seeds1, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // edge (3,2) is undirected: 2->3 traversal must work
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 6L -> 3L))
+    val d9 = Graphs.bfsDistances(e, seeds1, maxHops = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d9(5L) == 4L && !d9.contains(7L) && !d9.contains(8L))
+    // multi-source: min distance over seeds; seed duplicates harmless
+    val d2 = Graphs.bfsDistances(e, Seq(1L, 5L, 5L).toDF("node"), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d2 == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    // maxHops=0: just the seeds
+    assert(Graphs.bfsDistances(e, seeds1, 0).collect().map(
+      r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+  }
+
+  test("randomProjectSparse: exact vs driver model, matrix contract") {
+    val signs = ML.sparseSignMatrix(k = 8, dim = 16, salt = "spec")
+    assert(signs.length == 8 && signs.forall(_.length == 16))
+    assert(signs.flatten.forall(s => s == -1 || s == 0 || s == 1))
+    val flat = signs.flatten
+    // Achlioptas density: ~1/3 nonzero (loose band; 128 entries)
+    val nz = flat.count(_ != 0)
+    assert(nz > 20 && nz < 70, s"suspicious sign density: $nz/128 nonzero")
+    val vecs = Seq(
+      (1L, Array.tabulate(16)(i => (i + 1) * 0.125f)),
+      (2L, Array.fill(16)(0.0f)),
+      (3L, Array.tabulate(16)(i => if (i % 2 == 0) -1.5f else 2.25f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = ML.randomProjectSparse(df, "vec_id", "embedding",
+        dim = 16, k = 8, salt = "spec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // driver model: exact decimal(12,9) signed sums, one rounding at the end
+    vecs.foreach { case (id, v) =>
+      val want = (0 until 8).map { j =>
+        var sum = BigDecimal(0)
+        for (i <- 0 until 16)
+          sum += BigDecimal(v(i).toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP) * signs(j)(i)
+        sum.toDouble
+      }
+      assert(got(id) == want, s"projection mismatch for vec $id")
+    }
+    // zero vector projects to exact zeros
+    assert(got(2L).forall(_ == 0.0))
+    // dim mismatch fails loudly, never truncates
+    intercept[Exception] {
+      ML.randomProjectSparse(df, "vec_id", "embedding", dim = 12, k = 4,
+        salt = "spec").collect()
+    }
+  }
 }
