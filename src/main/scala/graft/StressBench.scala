@@ -170,6 +170,30 @@ object StressBench {
       sum((col("v") * col("w")).cast("decimal(18,4)")).as("s"))
   }
 
+  /** Bloom-join arm: fact ⋈ dim with the aggregate forcing both sides'
+    * payloads through the join; the ONLY variable is whether the fact
+    * scan probes the dim-key bloom before the exchange. */
+  private def bloomJoinArm(spark: SparkSession, bloom: Boolean): DataFrame = {
+    val fact = spark.read.parquet(s"$root/events_stress100")
+    val dim = spark.read.parquet(s"$root/dim_stress")
+    val joined =
+      if (bloom) graft.operators.Joins.bloomPrefilteredJoin(
+        fact, dim, "event_id", "dk")
+      else fact.join(dim, col("event_id") === dim("dk"))
+    joined.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sv"),
+        sum(length(col("dpayload"))).as("sp"))
+  }
+
+  /** The MV arm's query — the raw-vs-rewritten pair runs THIS verbatim;
+    * only the registration state differs. */
+  private def mvQuery(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/events_stress100")
+      .groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        count(lit(1)).as("cnt"))
+
   private def buildFixtures(spark: SparkSession, sfDir: String): Unit = {
     val fs = java.nio.file.Paths.get(root)
     val t0 = System.nanoTime()
@@ -235,6 +259,32 @@ object StressBench {
           col("user_id"), (col("ts") + col("rep")).as("ts"),
           col("event_type"), col("value"), col("props"))
       big.repartition(32).write.mode("overwrite").parquet(s"$root/events_stress100")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("dim_stress/_SUCCESS"))) {
+      // bloom-join dim fixture: 5M keys (every 20th event id → 5% of the
+      // 100M-row fact matches) with an INCOMPRESSIBLE 128-hex payload so
+      // the on-disk relation sizes far above any broadcast threshold —
+      // the unbroadcastable-but-selective dim regime the bloom exists for
+      spark.read.parquet(s"$root/events_stress100")
+        .select(col("event_id").as("dk"))
+        .filter(pmod(col("dk"), lit(20L)) === 0)
+        .withColumn("dpayload", concat_ws("",
+          (0 until 8).map(i => hex(xxhash64(col("dk"), lit(i)))): _*))
+        .repartition(32).write.mode("overwrite").parquet(s"$root/dim_stress")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("mv_rollup_stress/_SUCCESS"))) {
+      // MV-rewrite rollup fixture: the (event_type, user_id) rollup of
+      // the 100M-row fact, maintained by the upsertAggregate algebra —
+      // ~100k rows standing in for the raw scan in the rewritten arm
+      graft.sources.IO.upsertAggregate(spark, s"$root/mv_rollup_stress",
+        spark.read.parquet(s"$root/events_stress100")
+          .groupBy("event_type", "user_id")
+          .agg(sum(col("value").cast("decimal(18,4)"))
+              .cast("decimal(18,4)").as("sum_value"),
+            count(lit(1)).as("cnt")),
+        Seq("event_type"), Seq("user_id"),
+        Seq("sum_value" -> ((a: Column, b: Column) => (a + b).cast("decimal(18,4)")),
+          "cnt" -> ((a: Column, b: Column) => a + b)))
     }
     if (!java.nio.file.Files.exists(fs.resolve("events_sorted_stress100/_SUCCESS"))) {
       graft.sources.IO.saveSorted(spark.read.parquet(s"$root/events_stress100"),
@@ -614,7 +664,36 @@ object StressBench {
       // + the salt machinery, not result materialization.
       "equijoin_plain" -> (() => equijoinArm(spark, salts = 0)),
       "equijoin_salted8" -> (() => equijoinArm(spark, salts = 8)),
-      "equijoin_salted32" -> (() => equijoinArm(spark, salts = 32)))
+      "equijoin_salted32" -> (() => equijoinArm(spark, salts = 32)),
+      // bloom-prefiltered join in ITS regime (round 11, session 6): a
+      // 100M-row fact ⋈ 5M-key incompressible-payload dim (5% selective,
+      // far above broadcast size) — the plain SMJ shuffles the whole
+      // fact stream; the bloom arm probes a ~6 MB filter IN the fact
+      // scan so ~94% of rows never reach the exchange. The bloom arm's
+      // time INCLUDES the per-iteration dim distinct + filter build
+      // (the decontam arms' honest-cost discipline).
+      "bloomjoin_plain" -> (() => bloomJoinArm(spark, bloom = false)),
+      "bloomjoin_bloom" -> (() => bloomJoinArm(spark, bloom = true)),
+      // MV rewrite (round 11, session 6): the IDENTICAL aggregate over
+      // the 100M-row fact, answered from the raw scan vs silently
+      // rewritten onto the ~100k-row (event_type, user_id) rollup. The
+      // raw arm defensively deregisters so filtered/reordered runs can
+      // never leak the rule into it; the rewritten arm registers inside
+      // its closure (both are per-iteration, so each timed run carries
+      // its own registration cost — negligible, and honest).
+      "mv_raw" -> (() => {
+        graft.plans.MvRewrite.deregister(s"$root/events_stress100")
+        mvQuery(spark)
+      }),
+      "mv_rewritten" -> (() => {
+        graft.plans.MvRewrite.register(spark, graft.plans.MvRewrite.MvDef(
+          rawPath = s"$root/events_stress100",
+          rollupPath = s"$root/mv_rollup_stress",
+          keyCols = Set("event_type", "user_id"),
+          sumCols = Map("value" -> "sum_value"),
+          countCol = Some("cnt")))
+        mvQuery(spark)
+      }))
 
     // Cold-cache arms: page cache dropped before EVERY iteration
     // (warmup included), making the scan IO-bound — the local analog of

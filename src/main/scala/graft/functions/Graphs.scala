@@ -188,6 +188,33 @@ object Graphs {
     settled
   }
 
+  /** One-hop neighbor aggregation — the message-passing / GNN-feature
+    * primitive: for each node of the (undirected, normalized) graph,
+    * aggregate the given expressions over its NEIGHBORS' attribute rows.
+    * `nodeAttrs` is keyed by `nodeCol`; output is (node, n_neighbors,
+    * <one column per agg>). Plan: symmetric edge closure ⋈ attrs on the
+    * neighbor endpoint (the one exchange that matters — co-partitioning
+    * edges and attrs on the node id makes it local at scale), then a
+    * map-side-combined aggregate on the node endpoint. A hot node's
+    * neighbor list lands in partial aggregation, not a window — the
+    * star-node case costs its degree, never degree². */
+  def neighborAgg(edges: DataFrame, nodeAttrs: DataFrame, nodeCol: String,
+                  aggs: Seq[(String, Column)], iCol: String = "i",
+                  jCol: String = "j"): DataFrame = {
+    require(aggs.nonEmpty, "neighborAgg needs at least one aggregate")
+    val und = edges
+      .filter(col(iCol) =!= col(jCol))
+      .select(least(col(iCol), col(jCol)).as("u"),
+        greatest(col(iCol), col(jCol)).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    sym.join(nodeAttrs.withColumnRenamed(nodeCol, "nbr"), Seq("nbr"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_neighbors"),
+        aggs.map { case (n, c) => c.as(n) }: _*)
+  }
+
   private def shared(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 }

@@ -264,6 +264,89 @@ object Joins {
     }.drop("__rt")
   }
 
+  /** Tag l ∪ r with the right-value struct CARRYING the match timestamp
+    * (shared by the forward/nearest variants — the rider is what makes
+    * tolerance and distance comparisons per-row decidable after the
+    * fill). */
+  private def asofTagged(l: DataFrame, r: DataFrame, ids: Seq[String],
+                         ltime: String, rtime: String, lCols: Seq[String],
+                         rValueCols: Seq[String]): DataFrame = {
+    val rStruct = struct(col(rtime).as("__rt") +: rValueCols.map(col): _*)
+    val rStructType = r.select(rStruct).schema.head.dataType
+    val lTagged = l.select(
+      (ids.map(col) :+ col(ltime).as("__t") :+ lit(1).as("__side")) ++
+        lCols.map(col) :+ lit(null).cast(rStructType).as("__rv"): _*)
+    val rTagged = r.select(
+      (ids.map(col) :+ col(rtime).as("__t") :+ lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(l.schema(c).dataType).as(c)) :+
+        rStruct.as("__rv"): _*)
+    lTagged.unionByName(rTagged)
+  }
+
+  /** FORWARD asof join (pandas `merge_asof direction="forward"`): each
+    * left row takes the EARLIEST right row with `rtime ≥ ltime`
+    * (inclusive), optionally within `ltime + tolerance`. Same
+    * single-shuffle union-window plan as [[asofJoin]], with the fill
+    * running first(…) over the FOLLOWING frame (sides ordered so a right
+    * row at the exact left timestamp is inside the frame). Duplicate
+    * right (ids, time) rows resolve to the SMALLEST value struct —
+    * the mirror of asofJoin's largest-struct rule, equally deterministic.
+    * Time columns must be numeric (int64 epoch values). */
+  def asofJoinForward(l: DataFrame, r: DataFrame, ids: Seq[String],
+                      ltime: String, rtime: String, lCols: Seq[String],
+                      rValueCols: Seq[String],
+                      tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0), s"tolerance must be non-negative")
+    val unioned = asofTagged(l, r, ids, ltime, rtime, lCols, rValueCols)
+    val w = Window.partitionBy(ids.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc, col("__rv").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn("__rv", first(col("__rv"), ignoreNulls = true).over(w))
+    val ok = tolerance match {
+      case Some(tol) => col("__rv").isNotNull &&
+        col("__rv").getField("__rt") <= col("__t") + tol
+      case None => col("__rv").isNotNull
+    }
+    filled.filter(col("__side") === 1)
+      .select((ids.map(col) :+ col("__t").as(ltime)) ++ lCols.map(col) ++
+        rValueCols.map(c => when(ok, col("__rv").getField(c)).as(c)): _*)
+  }
+
+  /** NEAREST asof join (pandas `merge_asof direction="nearest"`): each
+    * left row takes whichever of its backward / forward matches is
+    * closer in time — exact ties go BACKWARD (the documented rule; the
+    * oracle replays it). `tolerance` bounds the distance on BOTH sides.
+    * ONE shuffle, TWO in-partition sorts (the backward and forward fills
+    * share the hash exchange; Spark inserts the second sort only), so
+    * the plan costs one extra sort over plain [[asofJoin]] — never a
+    * second exchange, never a self-join. */
+  def asofJoinNearest(l: DataFrame, r: DataFrame, ids: Seq[String],
+                      ltime: String, rtime: String, lCols: Seq[String],
+                      rValueCols: Seq[String],
+                      tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0), s"tolerance must be non-negative")
+    val unioned = asofTagged(l, r, ids, ltime, rtime, lCols, rValueCols)
+    val wb = Window.partitionBy(ids.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(ids.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc, col("__rv").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn("__bv", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__fv", first(col("__rv"), ignoreNulls = true).over(wf))
+    val bd = col("__t") - col("__bv").getField("__rt") // ≥ 0 by construction
+    val fd = col("__fv").getField("__rt") - col("__t")
+    val bOk = col("__bv").isNotNull && tolerance.map(t => bd <= t).getOrElse(lit(true))
+    val fOk = col("__fv").isNotNull && tolerance.map(t => fd <= t).getOrElse(lit(true))
+    val chosen = when(bOk && (!fOk || bd <= fd), col("__bv"))
+      .when(fOk, col("__fv"))
+    filled.filter(col("__side") === 1)
+      .select((ids.map(col) :+ col("__t").as(ltime)) ++ lCols.map(col) ++
+        rValueCols.map(c => chosen.getField(c).as(c)): _*)
+  }
+
   /** Skew-hardened asofjoin — the hot-id fallback [[asofJoin]]'s doc
     * names, implemented. Same semantics, but the per-id window is split
     * by a coarse time bucket (`bucketOf`, any monotone coarsening of the

@@ -878,4 +878,52 @@ class CoreSpec extends SparkSpec {
         .sortBy(_._1).toSeq
     }
   }
+
+  test("asofJoinForward/Nearest: goldens, boundary, tie rule, tolerance") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L), (2L, 1L, 25L), (3L, 1L, 50L), (4L, 2L, 5L))
+      .toDF("eid", "id", "t")
+    val r = Seq((1L, 12L, "a"), (1L, 20L, "b"), (1L, 25L, "c"), (1L, 30L, "d"))
+      .toDF("id", "t", "v")
+    def fwd(tol: Option[Long]) = Joins.asofJoinForward(l, r, Seq("id"),
+        "t", "t", Seq("eid"), Seq("v"), tol)
+      .collect().map(x => x.getLong(2) -> Option(x.getString(3))).toMap
+    // forward: earliest rt >= lt; boundary INCLUSIVE (eid 2 at t=25 -> c)
+    assert(fwd(None) == Map(1L -> Some("a"), 2L -> Some("c"), 3L -> None,
+      4L -> None))
+    // tolerance: eid 1 (gap 2) keeps, eid 2 (gap 0) keeps under tol=1
+    assert(fwd(Some(1L)) == Map(1L -> None, 2L -> Some("c"), 3L -> None,
+      4L -> None))
+    def near(tol: Option[Long]) = Joins.asofJoinNearest(l, r, Seq("id"),
+        "t", "t", Seq("eid"), Seq("v"), tol)
+      .collect().map(x => x.getLong(2) -> Option(x.getString(3))).toMap
+    // eid1 t=10: back none, fwd a(d2) -> a; eid2 t=25: back c(d0) beats
+    // fwd c; eid3 t=50: back d(d20) only -> d; eid4: no rows for id 2
+    assert(near(None) == Map(1L -> Some("a"), 2L -> Some("c"),
+      3L -> Some("d"), 4L -> None))
+    assert(near(Some(5L)) == Map(1L -> Some("a"), 2L -> Some("c"),
+      3L -> None, 4L -> None))
+    // exact tie goes BACKWARD: l at 16 sits between 12 and 20 (dist 4 both)
+    val lt = Seq((9L, 1L, 16L)).toDF("eid", "id", "t")
+    val tie = Joins.asofJoinNearest(lt, r, Seq("id"), "t", "t",
+      Seq("eid"), Seq("v")).collect().head.getString(3)
+    assert(tie == "a")
+    // vs brute-force driver model on the fixture rows
+    val rs = Seq((12L, "a"), (20L, "b"), (25L, "c"), (30L, "d"))
+    def model(t: Long): Option[String] = {
+      val back = rs.filter(_._1 <= t).sortBy(x => (x._1, x._2)).lastOption
+      val forw = rs.filter(_._1 >= t).sortBy(x => (x._1, x._2)).headOption
+      (back, forw) match {
+        case (Some(bv), Some(fv)) =>
+          if (t - bv._1 <= fv._1 - t) Some(bv._2) else Some(fv._2)
+        case (b, f) => b.orElse(f).map(_._2)
+      }
+    }
+    val all = Joins.asofJoinNearest(
+        Seq.tabulate(40)(i => (i.toLong, 1L, i.toLong + 5L)).toDF("eid", "id", "t"),
+        r, Seq("id"), "t", "t", Seq("eid"), Seq("v"))
+      .collect().map(x => x.getLong(2) -> Option(x.getString(3))).toMap
+    (0 until 40).foreach(i => assert(all(i.toLong) == model(i.toLong + 5L),
+      s"nearest mismatch at t=${i + 5}"))
+  }
 }

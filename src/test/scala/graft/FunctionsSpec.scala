@@ -1903,6 +1903,29 @@ class FunctionsSpec extends SparkSpec {
       r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
   }
 
+  test("neighborAgg: golden stats, normalization, star node, missing attrs") {
+    import graft.functions.Graphs
+    // raw edges carry duplicates, a self-loop, and both orientations;
+    // normalized graph: 1-2, 1-3, 2-3, 3-4
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 4L),
+      (1L, 2L)).toDF("i", "j")
+    val attrs = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("nid", "price")
+    val byNode = Graphs.neighborAgg(e, attrs, "nid",
+        aggs = Seq("s" -> sum(col("price").cast("decimal(18,2)")).cast("double")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byNode == Map(
+      1L -> (2L, 50.0),   // nbrs 2, 3
+      2L -> (2L, 40.0),   // nbrs 1, 3
+      3L -> (3L, 70.0),   // nbrs 1, 2, 4
+      4L -> (1L, 30.0)))  // nbr 3 (self-loop dropped)
+    // a neighbor without an attribute row contributes nothing (inner join)
+    val sparse = Graphs.neighborAgg(e, attrs.filter(col("nid") =!= 3),
+        "nid", aggs = Seq("s" -> sum(col("price")).cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparse(1L) == 1L && sparse(3L) == 3L) // node 3 still aggregates ITS nbrs
+  }
+
   test("randomProjectSparse: exact vs driver model, matrix contract") {
     val signs = ML.sparseSignMatrix(k = 8, dim = 16, salt = "spec")
     assert(signs.length == 8 && signs.forall(_.length == 16))

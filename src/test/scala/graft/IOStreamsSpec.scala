@@ -779,4 +779,36 @@ class IOStreamsSpec extends SparkSpec {
     assert(back == nasty.orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
+
+  test("snapshots: versioned reads, reader isolation, pointer is the commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap-spec-").toAbsolutePath
+      .toString + "/t"
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"row$i")).toDF("id", "s")
+    assert(IO.saveSnapshot(slice(0, 5), dir) == 1)
+    // a reader planned on v1 BEFORE v2 exists...
+    val v1Reader = IO.loadSnapshot(spark, dir)
+    assert(IO.saveSnapshot(slice(100, 108), dir) == 2)
+    assert(IO.saveSnapshot(slice(200, 201), dir) == 3)
+    // ...is undisturbed by the later commits (immutable files)
+    assert(v1Reader.collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
+    // time travel: every version exact
+    assert(IO.loadSnapshot(spark, dir, 1).count() == 5)
+    assert(IO.loadSnapshot(spark, dir, 2)
+      .collect().map(_.getLong(0)).sorted.toSeq == (100L until 108L))
+    assert(IO.loadSnapshot(spark, dir, 3).count() == 1)
+    // latest follows the pointer
+    assert(IO.loadSnapshot(spark, dir).collect().map(_.getLong(0)).toSeq
+      == Seq(200L))
+    assert(IO.snapshotVersions(spark, dir) == Seq(1, 2, 3))
+    // a crashed save (manifest written, pointer never flipped) must NOT
+    // become latest — the flip is the commit point
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_manifests/v9.manifest"),
+      s"$dir/v1/nonexistent.parquet")
+    assert(IO.loadSnapshot(spark, dir).collect().map(_.getLong(0)).toSeq
+      == Seq(200L))
+    // unknown explicit version fails loudly
+    intercept[IllegalArgumentException] { IO.loadSnapshot(spark, dir, 7) }
+  }
 }
