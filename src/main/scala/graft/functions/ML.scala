@@ -270,6 +270,36 @@ object ML {
       graft.plans.HashExpressions.sparseProject(col(vecCol), signs).as("proj"))
   }
 
+  /** Binary-classifier evaluation from (actual, predicted) boolean
+    * columns, per group: the confusion counts plus precision / recall /
+    * F1 as pinned double ratios (F1 in the 2tp/(2tp+fp+fn) form — one
+    * division, no harmonic-mean intermediate rounding). Degenerate
+    * denominators yield NULL, not NaN. ONE map-side-combined aggregate —
+    * the evaluation costs a scan, nothing else; this is how a trained
+    * quality filter (hashedLinearScore, gopherKeep) gets scored against
+    * labels at corpus scale. */
+  def confusionMetrics(df: DataFrame, keyCols: Seq[String],
+                       actual: org.apache.spark.sql.Column,
+                       predicted: org.apache.spark.sql.Column): DataFrame = {
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val base = if (keyCols.isEmpty) df.groupBy()
+      else df.groupBy(keyCols.map(col): _*)
+    base.agg(cnt(actual && predicted).as("tp"),
+        cnt(!actual && predicted).as("fp"),
+        cnt(actual && !predicted).as("fn"),
+        cnt(!actual && !predicted).as("tn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0, col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0, col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2.0) * col("tp").cast("double")) /
+            (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
+  }
+
   /** Per-group winsorization — clamp a feature to its group's
     * [qLo, qHi] quantile band, the standard outlier-robust featurization
     * (the TRANSFORM companion of Analytics' outlier DETECTORS). Bounds

@@ -46,6 +46,40 @@ object Text {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** URL canonicalization — the key normalization under web-corpus URL
+    * dedup (one page, many crawl spellings): lowercase scheme + host,
+    * strip default ports (http:80 / https:443), drop the fragment, drop
+    * tracking params (utm_*, fbclid, gclid), SORT the surviving query
+    * params, normalize the empty path to "/" and strip one trailing
+    * slash elsewhere. Pure Column expressions (regexp + array ops) —
+    * rides the scan; the oracle replays every step with the same
+    * regexes. Non-URL strings yield "://…" garbage rather than nulls —
+    * filter upstream (the scheme regex is exposed for that). */
+  val urlSchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, urlSchemeRe, 1))
+    val authority = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val hostC = when(scheme === "http" && authority.endsWith(":80"),
+        authority.substr(lit(1), length(authority) - 3))
+      .when(scheme === "https" && authority.endsWith(":443"),
+        authority.substr(lit(1), length(authority) - 4))
+      .otherwise(authority)
+    val cpath = when(path === "", lit("/"))
+      .when(path =!= "/" && path.endsWith("/"),
+        path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    val cquery = array_join(kept, "&")
+    concat(scheme, lit("://"), hostC, cpath,
+      when(cquery === "", lit("")).otherwise(concat(lit("?"), cquery)))
+  }
+
   /** Unicode-script ranges for [[scriptProfile]] — BMP block ranges, so
     * counts are identical under UTF-16 (Java regex) and codepoint (RE2)
     * engines. Exposed so callers and the oracle share one table. */

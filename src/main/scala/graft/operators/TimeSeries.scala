@@ -166,4 +166,28 @@ object TimeSeries {
       .orderBy(col(tsCol).asc).rangeBetween(-lookback, 0)
     aggs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c.over(w)) }
   }
+
+  /** Per-bucket OHLC downsample — the classic market-data reduction
+    * (open / high / low / close / count / exact volume per fixed time
+    * bucket). Open and close are SELECTED deterministically via
+    * min_by/max_by on the unique (ts, tie) order — ties in ts alone
+    * would otherwise resolve by shuffle arrival; high/low/volume are
+    * plain min/max/decimal-sum. ONE map-side-combined aggregate: each
+    * partial carries six small values per open bucket, so the reduction
+    * is scan-bound at any scale (the 100 TB tick-data shape). */
+  def ohlc(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCol: String, tieCol: String, width: Long,
+           volumeScale: Int = 4): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val ord = struct(col(tsCol), col(tieCol))
+    df.withColumn("bucket", expr(s"$tsCol div ${width}L"))
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        sum(col(valueCol).cast(s"decimal(18,$volumeScale)"))
+          .cast("double").as("volume"))
+  }
 }

@@ -794,4 +794,30 @@ object IO {
       .split("\n").toSeq.filter(_.nonEmpty)
     spark.read.parquet(files: _*)
   }
+
+  /** Delete snapshots older than the last `keepLast` (the LATEST pointer
+    * target always survives regardless). Returns the dropped versions.
+    * The maintenance half of the snapshot contract: history is
+    * queryable until vacuumed, and vacuuming is an explicit, logged
+    * act — never a side effect of writing. */
+  def vacuumSnapshots(spark: SparkSession, dir: String,
+                      keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val versions = snapshotVersions(spark, dir)
+    val latest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(snapshotManifestDir(dir), "_latest")).trim.toInt
+    val keep = versions.takeRight(keepLast).toSet + latest
+    val dropped = versions.filterNot(keep)
+    dropped.foreach { v =>
+      val dataDir = java.nio.file.Paths.get(dir, s"v$v")
+      if (java.nio.file.Files.exists(dataDir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dataDir).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(snapshotManifestDir(dir), s"v$v.manifest"))
+    }
+    dropped
+  }
 }

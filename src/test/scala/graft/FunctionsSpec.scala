@@ -1903,6 +1903,49 @@ class FunctionsSpec extends SparkSpec {
       r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
   }
 
+  test("canonicalizeUrl: ports, params, fragments, slashes, idempotence") {
+    val cases = Seq(
+      ("HTTPS://Example.COM:443/Path/Sub/?b=2&utm_source=x&a=1#frag",
+        "https://example.com/Path/Sub?a=1&b=2"),
+      ("http://site.org:8080/a//b?z=9&y=8&fbclid=abc",
+        "http://site.org:8080/a//b?y=8&z=9"),
+      ("https://plain.net/", "https://plain.net/"),
+      ("http://Host.com:80?utm_campaign=c", "http://host.com/"),
+      ("http://h.io/x?", "http://h.io/x"),
+      ("https://h.io/deep/?gclid=1&B=2&a=1", "https://h.io/deep?B=2&a=1"))
+      .toDF("in", "want")
+    cases.select(col("want"), Text.canonicalizeUrl(col("in")).as("got"))
+      .collect().foreach(r => assert(r.getString(1) == r.getString(0),
+        s"got ${r.getString(1)}, want ${r.getString(0)}"))
+    // canonicalization is idempotent: canon(canon(u)) == canon(u)
+    val once = cases.select(Text.canonicalizeUrl(col("in")).as("c"))
+    val twice = once.select(Text.canonicalizeUrl(col("c")))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == once.collect().map(_.getString(0)).toSeq)
+  }
+
+  test("confusionMetrics: exact counts and pinned ratios vs driver model") {
+    val rows = Seq( // (grp, actual, predicted)
+      ("g", true, true), ("g", true, true), ("g", true, false),
+      ("g", false, true), ("g", false, false), ("g", false, false),
+      ("h", true, false), ("h", false, false)) // h: tp=0 -> null precision
+    val df = rows.toDF("grp", "a", "p")
+    val got = ML.confusionMetrics(df, Seq("grp"), col("a"), col("p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert((g.getAs[Long]("tp"), g.getAs[Long]("fp"), g.getAs[Long]("fn"),
+      g.getAs[Long]("tn")) == (2L, 1L, 1L, 2L))
+    assert(g.getAs[Double]("precision") == 2.0 / 3.0)
+    assert(g.getAs[Double]("recall") == 2.0 / 3.0)
+    assert(g.getAs[Double]("f1") == 4.0 / 6.0)
+    val h = got("h")
+    assert(h.isNullAt(h.fieldIndex("precision")), "0-denominator must be NULL")
+    assert(h.getAs[Double]("recall") == 0.0 && h.getAs[Double]("f1") == 0.0)
+    // global (no keys) variant
+    val all = ML.confusionMetrics(df, Seq.empty, col("a"), col("p")).collect().head
+    assert(all.getAs[Long]("tp") == 2L && all.getAs[Long]("tn") == 3L)
+  }
+
   test("neighborAgg: golden stats, normalization, star node, missing attrs") {
     import graft.functions.Graphs
     // raw edges carry duplicates, a self-loop, and both orientations;

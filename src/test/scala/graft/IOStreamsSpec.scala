@@ -811,4 +811,42 @@ class IOStreamsSpec extends SparkSpec {
     // unknown explicit version fails loudly
     intercept[IllegalArgumentException] { IO.loadSnapshot(spark, dir, 7) }
   }
+
+  test("vacuumSnapshots: drops old versions, latest always survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vac-spec-").toAbsolutePath
+      .toString + "/t"
+    (1 to 4).foreach(i => IO.saveSnapshot(
+      Seq((i.toLong, s"v$i")).toDF("id", "s"), dir))
+    val dropped = IO.vacuumSnapshots(spark, dir, keepLast = 2)
+    assert(dropped == Seq(1, 2))
+    assert(IO.snapshotVersions(spark, dir) == Seq(3, 4))
+    assert(!new java.io.File(s"$dir/v1").exists())
+    assert(IO.loadSnapshot(spark, dir).collect().head.getString(1) == "v4")
+    assert(IO.loadSnapshot(spark, dir, 3).collect().head.getString(1) == "v3")
+    intercept[IllegalArgumentException] { IO.loadSnapshot(spark, dir, 1) }
+    // keepLast larger than history: no-op
+    assert(IO.vacuumSnapshots(spark, dir, keepLast = 10) == Seq.empty)
+  }
+
+  test("ohlc: deterministic open/close on ts ties, exact volume") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // bucket width 100: rows at ts 10,10,50 (bucket 0) + 110 (bucket 1);
+    // ts tie at 10 resolved by tie id: open = id 1's value
+    val df = Seq((1L, 10L, 5.0), (2L, 10L, 9.0), (3L, 50L, 1.0),
+      (4L, 110L, 7.0)).toDF("eid", "t", "v").withColumn("k", lit("a"))
+    val got = TimeSeries.ohlc(df, Seq("k"), "t", "v", "eid", width = 100L)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Double]("volume"))).toMap
+    assert(got(0L) == (3L, 5.0, 9.0, 1.0, 1.0, 15.0))
+    assert(got(1L) == (1L, 7.0, 7.0, 7.0, 7.0, 7.0))
+    // partition sweep: open/close invariant to shuffling
+    partitionSweep { n =>
+      TimeSeries.ohlc(df.repartition(n), Seq("k"), "t", "v", "eid", 100L)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+    }
+  }
 }
