@@ -188,6 +188,51 @@ object Graphs {
     settled
   }
 
+  /** Common-neighbor node similarity — the link-prediction primitive:
+    * for node pairs sharing ≥ `minCommon` neighbors, the common count,
+    * both degrees, and the neighborhood Jaccard
+    * common / (deg_a + deg_b − common) as one pinned division.
+    *
+    * Pair generation enumerates, per node w, all pairs of w's
+    * neighbors — inherently Σ C(deg(w), 2), the SAME quadratic-output
+    * shape as the dedup inverted index (and equally invisible to AQE's
+    * byte-based skew detection: a degree-10⁵ hub owes 5·10⁹ pairs from
+    * kilobytes of input). `maxDegree` is the maxDF-analog knob: nodes
+    * above it are excluded from WEDGE GENERATION (their pairs are
+    * dropped — documented lossy contract; a hub this hot links
+    * everything to everything and carries no similarity signal), while
+    * still counting toward degrees. 0 = uncapped. */
+  def nodeSimilarity(edges: DataFrame, minCommon: Long = 1L,
+                     maxDegree: Long = 0L, iCol: String = "i",
+                     jCol: String = "j"): DataFrame = {
+    val und = edges
+      .filter(col(iCol) =!= col(jCol))
+      .select(least(col(iCol), col(jCol)).as("u"),
+        greatest(col(iCol), col(jCol)).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("w"), col("v").as("n"))
+      .union(und.select(col("v").as("w"), col("u").as("n")))
+      .localCheckpoint(false) // two wedge sides + the degree aggregate
+    val deg = sym.groupBy(col("n").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val wedgeSrc = if (maxDegree > 0L) {
+      val hot = deg.filter(col("degree") > maxDegree)
+        .select(col("node").as("w"))
+      sym.join(broadcast(hot), Seq("w"), "left_anti")
+    } else sym
+    val common = wedgeSrc.as("x").join(wedgeSrc.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(deg.select(col("node").as("a"), col("degree").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("deg_b")), Seq("b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+      .select("a", "b", "common", "deg_a", "deg_b", "jaccard")
+  }
+
   /** One-hop neighbor aggregation — the message-passing / GNN-feature
     * primitive: for each node of the (undirected, normalized) graph,
     * aggregate the given expressions over its NEIGHBORS' attribute rows.

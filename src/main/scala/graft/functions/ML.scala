@@ -270,6 +270,29 @@ object ML {
       graft.plans.HashExpressions.sparseProject(col(vecCol), signs).as("proj"))
   }
 
+  /** Deterministic stratified k-fold assignment: within each stratum,
+    * rows are ordered by (salted hash, key) — a stable pseudo-random
+    * shuffle — and dealt round-robin, so fold sizes differ by AT MOST
+    * one per stratum (exact balance, which plain hash-mod sampling
+    * cannot promise) and membership is a pure function of the key:
+    * stable across runs, retries, and engines. One window exchange per
+    * call; for hash-mod "good enough" balance at extreme scale use
+    * [[Sampling.splitByHash]] instead — this is the exact-balance
+    * final-mile form (cross-validation folds, eval splits). */
+  def kfoldAssign(df: DataFrame, keyCol: String, k: Int,
+                  strataCols: Seq[String] = Nil,
+                  salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val parts: Seq[org.apache.spark.sql.Column] =
+      if (strataCols.isEmpty) Seq(lit(1)) else strataCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(parts: _*)
+      .orderBy(Sampling.hashU32(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("fold",
+      ((org.apache.spark.sql.functions.row_number().over(w) - 1) % k)
+        .cast("long"))
+  }
+
   /** Binary-classifier evaluation from (actual, predicted) boolean
     * columns, per group: the confusion counts plus precision / recall /
     * F1 as pinned double ratios (F1 in the 2tp/(2tp+fp+fn) form — one

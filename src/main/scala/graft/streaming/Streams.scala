@@ -315,6 +315,24 @@ object Streams {
         }
       }
 
+  /** Streaming snapshot publisher — [[graft.sources.IO.saveSnapshot]] per
+    * micro-batch: every non-empty batch commits a NEW isolated snapshot
+    * version (immutable data dir + manifest + atomic pointer flip), so
+    * downstream batch readers always see a complete, consistent version
+    * while the stream keeps publishing — continuous publication without
+    * ever exposing a partial write (the q207 isolation contract driven
+    * from a stream). History retention is [[graft.sources.IO.vacuumSnapshots]]'s
+    * job, on the consumer's schedule. */
+  def snapshotSink(updates: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.IO.saveSnapshot(batch, dir)
+          ()
+        }
+      }
+
   /** Drive a streaming query synchronously over whatever is currently in
     * the source (for tests and batch-parity checks). Note on modes: with a
     * watermarked aggregation, "append" only emits windows already closed

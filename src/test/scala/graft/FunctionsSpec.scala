@@ -1903,6 +1903,60 @@ class FunctionsSpec extends SparkSpec {
       r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
   }
 
+  test("kfoldAssign: exact balance per stratum, determinism, key-stability") {
+    val df = (0 until 103).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "strata")
+    val folds = ML.kfoldAssign(df, "id", k = 4, strataCols = Seq("strata"))
+    // exact balance: per stratum, fold sizes differ by at most 1
+    val sizes = folds.groupBy("strata", "fold").count()
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    sizes.foreach { case (s, ns) =>
+      assert(ns.max - ns.min <= 1, s"stratum $s unbalanced: ${ns.toSeq}")
+      assert(ns.length == 4, s"stratum $s missing folds")
+    }
+    // deterministic: same assignment on re-run and under repartitioning
+    val a1 = folds.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a2 = ML.kfoldAssign(df.repartition(5), "id", 4, Seq("strata"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a1 == a2)
+    // a row's fold depends only on its stratum's key population —
+    // adding rows to ANOTHER stratum never moves it
+    val grown = ML.kfoldAssign(
+      df.union(Seq((1000L, "c"), (1001L, "c")).toDF("id", "strata")),
+      "id", 4, Seq("strata"))
+      .filter(col("strata") =!= "c")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(grown == a1)
+  }
+
+  test("nodeSimilarity: golden jaccard, minCommon, maxDegree cap") {
+    import graft.functions.Graphs
+    // K4 on {1,2,3,4} plus pendant 5-1: every K4 pair shares the other
+    // two; pair (2,3) common = {1,4}; degrees: 1->4, 2,3,4->3, 5->1
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L)).toDF("i", "j")
+    val got = Graphs.nodeSimilarity(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got((2L, 3L)) == (2L, 3L, 3L, 2.0 / 4.0))
+    assert(got((1L, 2L)) == (2L, 4L, 3L, 2.0 / 5.0))
+    // pendant 5 shares neighbor 1 with 2,3,4 (via wedge at 1)
+    assert(got((2L, 5L)) == (1L, 3L, 1L, 1.0 / 3.0))
+    // minCommon prunes
+    val mc = Graphs.nodeSimilarity(e, minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mc == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // maxDegree: node 1 (deg 4) excluded from wedge generation -> pairs
+    // through it vanish; pairs through other wedges survive with the
+    // SAME degrees (the cap affects candidate generation only)
+    val capped = Graphs.nodeSimilarity(e, maxDegree = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!capped.contains((2L, 5L))) // only wedge was at node 1
+    assert(capped((2L, 3L)) == 1L)     // {1,4} -> {4}
+    assert(capped((1L, 2L)) == 2L)     // wedges at 3,4 survive
+  }
+
   test("canonicalizeUrl: ports, params, fragments, slashes, idempotence") {
     val cases = Seq(
       ("HTTPS://Example.COM:443/Path/Sub/?b=2&utm_source=x&a=1#frag",

@@ -829,6 +829,30 @@ class IOStreamsSpec extends SparkSpec {
     assert(IO.vacuumSnapshots(spark, dir, keepLast = 10) == Seq.empty)
   }
 
+  test("snapshotSink: one version per batch, publication survives restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("ssnap-spec-").toAbsolutePath
+      .toString + "/t"
+    val ms1 = MemoryStream[(Long, String)](spark)
+    val q1 = Streams.snapshotSink(ms1.toDS().toDF("id", "s"), dir)
+      .option("checkpointLocation", dir + "-ck1").start()
+    try { ms1.addData(Seq((1L, "a"), (2L, "b"))); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(IO.snapshotVersions(spark, dir) == Seq(1))
+    // a BRAND-NEW query (fresh checkpoint) keeps publishing into the
+    // same table — the state is the table, not the stream
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q2 = Streams.snapshotSink(ms2.toDS().toDF("id", "s"), dir)
+      .option("checkpointLocation", dir + "-ck2").start()
+    try { ms2.addData(Seq((3L, "c"))); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(IO.snapshotVersions(spark, dir) == Seq(1, 2))
+    assert(IO.loadSnapshot(spark, dir).collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+    assert(IO.loadSnapshot(spark, dir, 1).count() == 2)
+  }
+
   test("ohlc: deterministic open/close on ts ties, exact volume") {
     import spark.implicits._
     import graft.operators.TimeSeries
