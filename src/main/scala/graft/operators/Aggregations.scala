@@ -136,6 +136,28 @@ object Aggregations {
       .select(keyCols.map(col) ++ Seq(col("n"), col(valueCol).as(outCol)): _*)
   }
 
+  /** Exact per-group weighted mean — importance-weighted statistics
+    * (mixture weighting, propensity weighting): Σw and Σw·x accumulate
+    * as exact decimals (the product at (18,s)×(18,s) → (37,2s), summed
+    * in decimal(38,2s) — exact to ~10²⁴ weight-value mass, far past any
+    * corpus), and the mean is ONE pinned double division. One
+    * map-side-combined aggregate. Zero total weight yields NULL. */
+  def weightedMean(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                   valueCol: String, weightCol: String,
+                   scale: Int = 4): org.apache.spark.sql.DataFrame = {
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val w = col(weightCol).cast(s"decimal(18,$scale)")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(w).as("__sw"),
+        sum(v * w).as("__swx"))
+      .withColumn("sum_w", col("__sw").cast("double"))
+      .withColumn("wmean",
+        when(col("__sw") =!= 0,
+          col("__swx").cast("double") / col("__sw").cast("double")))
+      .drop("__sw", "__swx")
+  }
+
   /** EXACT continuous (linearly interpolated) per-group quantile — the
     * SQL `quantile_cont` / numpy default ("type 7") companion of
     * [[quantileDisc]]'s member-value selection: with h = q·(n−1), the

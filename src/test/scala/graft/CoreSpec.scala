@@ -926,4 +926,19 @@ class CoreSpec extends SparkSpec {
     (0 until 40).foreach(i => assert(all(i.toLong) == model(i.toLong + 5L),
       s"nearest mismatch at t=${i + 5}"))
   }
+
+  test("weightedMean: exact decimal accumulation, zero-weight NULL") {
+    import spark.implicits._
+    val df = Seq(("g", 10.0, 1.0), ("g", 20.0, 3.0), ("g", 100.0, 0.0),
+      ("z", 5.0, 0.0), ("z", 7.0, 0.0)).toDF("k", "v", "w")
+    val got = A.weightedMean(df, Seq("k"), "v", "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("g") == (3L, 4.0, Some((10.0 + 60.0) / 4.0)))
+    assert(got("z") == (2L, 0.0, None)) // zero total weight: NULL, not NaN
+    partitionSweep { n =>
+      A.weightedMean(df.repartition(n), Seq("k"), "v", "w")
+        .orderBy("k").collect().map(_.toSeq).toSeq
+    }
+  }
 }
