@@ -270,6 +270,40 @@ object ML {
       graft.plans.HashExpressions.sparseProject(col(vecCol), signs).as("proj"))
   }
 
+  /** Exact AUC-ROC of a score column against a boolean label — the
+    * rank-sum (Mann–Whitney) form with average ranks for ties, kept in
+    * INTEGER arithmetic end to end:
+    *   2·R_pos = Σ_s pos_s · (2·cum_before(s) + tot_s + 1)
+    *   AUC = (2·R_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+    * — one (score)-grouped count aggregate, one single-task window over
+    * the DISTINCT scores (value-cardinality bound, same contract as
+    * ksTest), decimal(38,0) accumulation, ONE final division. Degenerate
+    * single-class inputs yield NULL. The exact companion of
+    * [[confusionMetrics]]: threshold-free filter evaluation at corpus
+    * scale. */
+  def aucRoc(df: DataFrame, scoreCol: String,
+             label: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__pos"),
+        count(lit(1)).as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").asc).rowsBetween(Long.MinValue, -1)
+    counts
+      .withColumn("__before", coalesce(sum(col("__tot")).over(w), lit(0L)))
+      .agg(
+        sum(col("__pos")).as("n_pos"),
+        (sum(col("__tot")) - sum(col("__pos"))).as("n_neg"),
+        sum(col("__pos").cast("decimal(38,0)") *
+          (lit(2) * col("__before") + col("__tot") + 1)).as("__r2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__r2") - col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1))
+            .cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+      .drop("__r2")
+  }
+
   /** Deterministic stratified k-fold assignment: within each stratum,
     * rows are ordered by (salted hash, key) — a stable pseudo-random
     * shuffle — and dealt round-robin, so fold sizes differ by AT MOST

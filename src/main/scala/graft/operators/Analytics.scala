@@ -231,6 +231,46 @@ object Analytics {
       .drop("__ref_tot", "__cur_tot")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between groups `a` and `b`
+    * of `valueCol` — the distribution-drift test for CONTINUOUS columns
+    * (chiSquareDrift's categorical complement), computed EXACTLY:
+    * D = max_x |F_a(x) − F_b(x)| evaluated on the pooled distinct
+    * values via the integer cross-product form
+    * |cum_a·n_b − cum_b·n_a| (decimal(38,0) — no rounding enters the
+    * argmax), then ONE division for D. `d_at` reports the smallest
+    * value attaining the max (deterministic tie-break). Plan: one
+    * (value)-grouped count aggregate, then ONE single-task window over
+    * the DISTINCT values — bounded by value cardinality, not rows (at
+    * unbounded cardinality the KHist-sketch ECDF is the scale path;
+    * this is the exact form). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__num",
+        abs(col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na")))
+      .withColumn("__mx", max(col("__num")).over(wAll))
+      .filter(col("__num") === col("__mx"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(min(col("__v")).as("d_at"), max(col("__mx")).as("__m"))
+      .withColumn("d", col("__m").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+      .drop("__m")
+  }
+
   /** Welch's unequal-variance t-test between two groups of `valueCol`,
     * from exact sufficient statistics: per-group n, Σx, Σx² accumulate
     * in decimal (order-independent), then mean / sample variance /

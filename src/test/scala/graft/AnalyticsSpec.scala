@@ -327,4 +327,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_a") == 1L)
     assert(r2.isNullAt(r2.fieldIndex("var_a")) && r2.isNullAt(r2.fieldIndex("t")))
   }
+
+  test("ksTest: golden D vs driver ECDF model, identical-distribution zero") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 2L, 3L, 5L)
+    val b = Seq(2L, 4L, 4L, 6L)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val r = Analytics.ksTest(df, "g", "v", "A", "B").collect().head
+    // driver model
+    val pool = (a ++ b).distinct.sorted
+    val ds = pool.map(x => (x, math.abs(
+      a.count(_ <= x).toDouble / a.size - b.count(_ <= x).toDouble / b.size)))
+    val dMax = ds.map(_._2).max
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 4L)
+    assert(math.abs(r.getAs[Double]("d") - dMax) < 1e-12)
+    assert(r.getAs[Long]("d_at") == ds.filter(_._2 == dMax).map(_._1).min)
+    // identical distributions: D == 0 exactly
+    val same = (a.map(("A", _)) ++ a.map(("B", _))).toDF("g", "v")
+    assert(Analytics.ksTest(same, "g", "v", "A", "B")
+      .collect().head.getAs[Double]("d") == 0.0)
+  }
 }

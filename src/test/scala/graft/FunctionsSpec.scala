@@ -2057,4 +2057,26 @@ class FunctionsSpec extends SparkSpec {
         salt = "spec").collect()
     }
   }
+
+  test("aucRoc: exact vs driver pairwise model, ties, degenerate NULL") {
+    // scores with ties; labels mixed within a tie group
+    val rows = Seq((1L, false), (1L, true), (2L, false), (3L, true),
+      (3L, true), (3L, false), (5L, true))
+    val df = rows.toDF("score", "lab")
+    val r = ML.aucRoc(df, "score", col("lab")).collect().head
+    // pairwise model: P(pos > neg) + 0.5 P(pos == neg)
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val pairs = for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val want = pairs.sum / (pos.size * neg.size)
+    assert(r.getAs[Long]("n_pos") == 4L && r.getAs[Long]("n_neg") == 3L)
+    assert(math.abs(r.getAs[Double]("auc") - want) < 1e-12)
+    // perfect separation -> exactly 1; reversed -> exactly 0
+    val perfect = Seq((1L, false), (2L, false), (9L, true), (8L, true)).toDF("score", "lab")
+    assert(ML.aucRoc(perfect, "score", col("lab")).collect().head.getAs[Double]("auc") == 1.0)
+    // single-class: NULL, not NaN
+    val one = Seq((1L, true), (2L, true)).toDF("score", "lab")
+    val r1 = ML.aucRoc(one, "score", col("lab")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("auc")))
+  }
 }
