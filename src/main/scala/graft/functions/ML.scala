@@ -270,6 +270,33 @@ object ML {
       graft.plans.HashExpressions.sparseProject(col(vecCol), signs).as("proj"))
   }
 
+  /** Calibration (reliability-diagram) bins: scores bucketed into
+    * `bins` equal-WIDTH bins over [lo, hi), each reporting its exact
+    * count, mean score, and positive rate — whether "0.8 means 80%".
+    * Mean score accumulates in decimal; rates are single pinned
+    * divisions. ONE map-side-combined aggregate (bins are a per-row
+    * expression, never a window) — the [[aucRoc]] companion: AUC says
+    * the ranking is right, calibration says the VALUES are. */
+  def calibrationBins(df: DataFrame, scoreCol: String,
+                      label: org.apache.spark.sql.Column, bins: Int,
+                      lo: Double = 0.0, hi: Double = 1.0,
+                      scale: Int = 6): DataFrame = {
+    require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(scoreCol) - lo) / width).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(scoreCol).cast(s"decimal(18,$scale)")).as("__ss"),
+        sum(when(label, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("mean_score",
+        col("__ss").cast("double") / col("n").cast("double"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .drop("__ss")
+  }
+
   /** Exact AUC-ROC of a score column against a boolean label — the
     * rank-sum (Mann–Whitney) form with average ranks for ties, kept in
     * INTEGER arithmetic end to end:

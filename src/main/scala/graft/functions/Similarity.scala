@@ -96,6 +96,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id"), col("cos"))
   }
 
+  /** Exact max-inner-product top-k (MIPS) — recommendation-model scoring,
+    * where magnitude matters and cosine is the WRONG metric (a retrieval
+    * model's item norms encode popularity): rank by the raw dot product
+    * on the fix9 exact path (each pair ONE native long-loop dot, no
+    * norms at all — a third of bruteForceTopK's per-pair work). Same
+    * broadcast-queries single-scan plan and (score desc, id asc)
+    * deterministic ranking. */
+  def dotTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int,
+              excludeSelf: Boolean = true): DataFrame = {
+    import graft.plans.HashExpressions.{dotFix9, fix9}
+    val q = queries.select(col(idCol).as("query_id"), fix9(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("id"), fix9(col(vecCol)).as("cv"))
+    val cond = if (excludeSelf) col("query_id") =!= col("id") else lit(true)
+    val scored = c.join(broadcast(q), cond)
+      .withColumn("dot", dotFix9(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dot").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dot"))
+  }
+
   /** Random-hyperplane signature: b deterministic pseudo-random hyperplanes
     * (hash-derived coefficients in [-1,1]), sign bits packed into a long.
     * Native Catalyst expression (plans.RhpSignature) — one pass over the

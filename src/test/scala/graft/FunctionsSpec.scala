@@ -1903,6 +1903,44 @@ class FunctionsSpec extends SparkSpec {
       r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
   }
 
+  test("dotTopK: exact MIPS vs driver model; magnitude beats direction") {
+    import graft.functions.Similarity
+    // c2 points the same way as q but c3 is longer: MIPS must prefer c3,
+    // cosine would prefer c2 — the metric difference is the point
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),        // query
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(5.0f, -2.0f)),
+      (4L, Array(-1.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.dotTopK(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(_._2) == Seq(3L, 2L, 4L)) // 5.0 > 0.9 > -1.0
+    // exact decimal model
+    def d9(x: Float) = BigDecimal(x.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def dotM(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => d9(x) * d9(y) }.sum.toDouble
+    got.foreach { case (_, id, dv) =>
+      assert(dv == dotM(vecs.head._2, vecs.find(_._1 == id).get._2))
+    }
+  }
+
+  test("calibrationBins: bin edges, clamping, exact rates") {
+    val rows = Seq((0.05, true), (0.05, false), (0.14, false), // bin 0, 1
+      (0.95, true), (0.95, true),                              // bin 9
+      (-0.3, false), (1.7, true))                              // clamped 0 / 9
+      .toDF("s", "lab")
+    val got = ML.calibrationBins(rows, "s", col("lab"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L)._1 == 3L && got(0L)._2 == 1L) // two 0.05s + clamped -0.3
+    assert(got(0L)._4 == 1.0 / 3.0)
+    assert(got(1L) == (1L, 0L, 0.14, 0.0))
+    assert(got(9L)._1 == 3L && got(9L)._2 == 3L && got(9L)._4 == 1.0)
+    assert(got.keySet == Set(0L, 1L, 9L)) // empty bins absent by design
+  }
+
   test("kfoldAssign: exact balance per stratum, determinism, key-stability") {
     val df = (0 until 103).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "strata")
