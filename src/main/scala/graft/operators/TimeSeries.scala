@@ -167,6 +167,52 @@ object TimeSeries {
     aggs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c.over(w)) }
   }
 
+  /** Seasonal-naive forecast evaluation — the standard forecasting
+    * BASELINE (predict bucket d with the observed value at d − period)
+    * and its exact error summary: per key, the evaluated-bucket count
+    * and the mean absolute error (|err| sums in decimal, ONE division).
+    * Buckets whose seasonal ancestor is unobserved are skipped (no
+    * forecast), spanned via the bucket-keyed self-match — one extra
+    * hash join of the aggregate against itself, everything else
+    * map-combined. A model that cannot beat this number is not a model;
+    * the operator makes the bar exact and cheap at corpus scale. */
+  def seasonalNaiveError(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                         valueCol: Column, width: Long, period: Long,
+                         scale: Int = 4): DataFrame = {
+    require(width > 0 && period > 0, "width and period must be positive")
+    val obs = df.withColumn("bucket", expr(s"$tsCol div ${width}L"))
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(valueCol.cast(s"decimal(18,$scale)").as("__v"))
+    val prev = obs.select(keyCols.map(col) :+
+      (col("bucket") + period).as("bucket") :+ col("__v").as("__pred"): _*)
+    obs.join(prev, keyCols :+ "bucket")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("__v") - col("__pred"))).as("__sae"))
+      .withColumn("mae",
+        col("__sae").cast("double") / col("n_eval").cast("double"))
+      .drop("__sae")
+  }
+
+  /** Per-key first difference and percent change over the (ts, tie)
+    * order — the pandas `diff`/`pct_change` pair: one window exchange,
+    * NULL for each key's first row and NULL pct where the previous
+    * value is 0 (no NaN/Inf channel). Differences are exact decimals;
+    * pct is one pinned double division. */
+  def pctChange(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                valueCol: String, tieCol: String,
+                scale: Int = 4): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    df.withColumn("__prev", lag(v, 1).over(w))
+      .withColumn("diff", (v - col("__prev")).cast("double"))
+      .withColumn("pct_change",
+        when(col("__prev").isNotNull && col("__prev") =!= 0,
+          (v - col("__prev")).cast("double") / col("__prev").cast("double")))
+      .drop("__prev")
+  }
+
   /** Per-bucket OHLC downsample — the classic market-data reduction
     * (open / high / low / close / count / exact volume per fixed time
     * bucket). Open and close are SELECTED deterministically via

@@ -515,4 +515,36 @@ class RetrievalSpec extends SparkSpec {
     val merged = spark.read.parquet(dir).filter(col("user_id") === 99999L).count()
     assert(merged == 1L)
   }
+
+  test("seasonalNaiveError: golden MAE, unmatched buckets skipped") {
+    import spark.implicits._
+    // user 1: buckets 0,1,7,8 with totals 10,20,13,26 -> eval pairs
+    // (7 vs 0: |13-10|=3) and (8 vs 1: |26-20|=6) -> mae 4.5;
+    // user 2: only bucket 0 -> no evaluable bucket, absent
+    val rows = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 7L, 13.0),
+      (1L, 8L, 26.0), (2L, 0L, 5.0))
+      .flatMap { case (u, b, v) => Seq((u, b * 100L, v)) }
+      .toDF("u", "t", "v")
+    val got = graft.operators.TimeSeries.seasonalNaiveError(rows,
+        Seq("u"), "t", org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("v").cast("decimal(18,4)")),
+        width = 100L, period = 7L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> (2L, 4.5)))
+  }
+
+  test("pctChange: first-row NULL, zero-prev NULL, exact diffs") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L, 4.0), (1L, 20L, 2L, 6.0), (1L, 30L, 3L, 0.0),
+      (1L, 40L, 4L, 5.0), (2L, 10L, 9L, 7.0)).toDF("u", "t", "id", "v")
+    val got = graft.operators.TimeSeries.pctChange(df, Seq("u"), "t", "v", "id")
+      .collect().map(r => r.getLong(2) -> (
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(got(1L) == (None, None))                 // first row
+    assert(got(2L) == (Some(2.0), Some(0.5)))
+    assert(got(3L) == (Some(-6.0), Some(-1.0)))
+    assert(got(4L) == (Some(5.0), None))            // prev == 0: NULL pct
+    assert(got(9L) == (None, None))                 // other key's first row
+  }
 }
