@@ -231,6 +231,46 @@ object Analytics {
       .drop("__ref_tot", "__cur_tot")
   }
 
+  /** Spearman rank correlation of two columns — the monotone-association
+    * complement of olsFit's Pearson r, exact up to the final formula:
+    * average ranks for ties are kept as INTEGER doubled-ranks
+    * r2 = 2·(rank−1) + tied + 1 (the ×2 cancels in ρ), the five
+    * sufficient statistics accumulate in decimal(38,0), and
+    * ρ = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)) is a
+    * pinned double chain (IEEE sqrt). Two full-table ranking windows —
+    * the single-task-window contract shared with ksTest/aucRoc
+    * (documented; rank-sketches are the unbounded path). NULL for
+    * degenerate (constant) columns. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def r2(c: String) = {
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col(c).asc)
+      val wVal = org.apache.spark.sql.expressions.Window.partitionBy(col(c))
+      (lit(2) * (rank().over(wOrd) - 1) + count(lit(1)).over(wVal) + 1)
+        .cast("long")
+    }
+    df.select(col(xCol), col(yCol))
+      .withColumn("__rx", r2(xCol))
+      .withColumn("__ry", r2(yCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
+        sum((col("__rx") * col("__ry")).cast("decimal(38,0)")).as("__sxy"),
+        sum((col("__rx") * col("__rx")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__ry") * col("__ry")).cast("decimal(38,0)")).as("__syy"))
+      .withColumn("__vx",
+        col("n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__vy",
+        col("n").cast("double") * col("__syy").cast("double") -
+          col("__sy").cast("double") * col("__sy").cast("double"))
+      .withColumn("rho",
+        when(col("__vx") > 0 && col("__vy") > 0,
+          (col("n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            (sqrt(col("__vx")) * sqrt(col("__vy")))))
+      .select("n", "rho")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between groups `a` and `b`
     * of `valueCol` — the distribution-drift test for CONTINUOUS columns
     * (chiSquareDrift's categorical complement), computed EXACTLY:

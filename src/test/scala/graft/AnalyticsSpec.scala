@@ -347,4 +347,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.ksTest(same, "g", "v", "A", "B")
       .collect().head.getAs[Double]("d") == 0.0)
   }
+
+  test("spearman: exact vs driver model with ties, monotone 1, constant NULL") {
+    import spark.implicits._
+    val xs = Seq(1L, 2L, 2L, 4L, 7L, 7L, 7L, 9L)
+    val ys = Seq(3L, 1L, 4L, 4L, 8L, 2L, 9L, 9L)
+    val df = xs.zip(ys).toDF("x", "y")
+    val r = Analytics.spearman(df, "x", "y").collect().head
+    // driver model: average ranks, then Pearson
+    def ranks(v: Seq[Long]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map(x => (sorted.indexOf(x) + 1 + sorted.lastIndexOf(x) + 1) / 2.0)
+    }
+    val (rx, ry) = (ranks(xs), ranks(ys))
+    val n = xs.size.toDouble
+    def s(a: Seq[Double]) = a.sum
+    def sp(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    val want = (n * sp(rx, ry) - s(rx) * s(ry)) /
+      (math.sqrt(n * sp(rx, rx) - s(rx) * s(rx)) *
+        math.sqrt(n * sp(ry, ry) - s(ry) * s(ry)))
+    assert(r.getAs[Long]("n") == 8L)
+    assert(math.abs(r.getAs[Double]("rho") - want) < 1e-12)
+    // strictly monotone relation: 1 up to the formula's last-ulp rounding
+    // (sqrt(vx)*sqrt(vy) vs the exact product — not guaranteed exact)
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 21L)).toDF("x", "y")
+    assert(math.abs(Analytics.spearman(mono, "x", "y")
+      .collect().head.getAs[Double]("rho") - 1.0) < 1e-12)
+    // constant column: NULL, not NaN
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val rc = Analytics.spearman(const, "x", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("rho")))
+  }
 }
