@@ -46,6 +46,31 @@ private[graft] object Batch30 {
              |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // 2-D histogram of (order total, line count) — both floor bins with
+    // edge clamps and every cell count replayed; the width divisions are
+    // the same pinned double arithmetic on both sides.
+    Q("q224_histogram2d",
+      (s, dir) => {
+        val nl = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).cast("double").as("n_lines"))
+        val o = Tables.orders(s, dir).join(nl, Seq("o_orderkey"))
+        graft.operators.Analytics.histogram2d(o,
+            "o_totalprice", "n_lines",
+            xLo = 0.0, xHi = 400000.0, binsX = 20,
+            yLo = 0.0, yHi = 8.0, binsY = 8)
+          .orderBy("bx", "by")
+      },
+      Some("""WITH j AS (SELECT o.o_totalprice,
+             |    CAST(n.n_lines AS DOUBLE) AS n_lines
+             |  FROM orders o JOIN (SELECT l_orderkey, COUNT(*) AS n_lines
+             |    FROM lineitem GROUP BY 1) n ON n.l_orderkey = o.o_orderkey)
+             |SELECT
+             |  LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / (400000.0 / 20)) AS BIGINT), 0), 19) AS bx,
+             |  LEAST(GREATEST(CAST(FLOOR((n_lines - 0.0) / (8.0 / 8)) AS BIGINT), 0), 7) AS by,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

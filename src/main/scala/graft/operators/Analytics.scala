@@ -231,6 +231,25 @@ object Analytics {
       .drop("__ref_tot", "__cur_tot")
   }
 
+  /** 2-D equal-width histogram — the density-heatmap reduction (EDA over
+    * a joint distribution at any scale): both bins are per-row floor
+    * expressions with edge clamping into [0, bins), the count is ONE
+    * map-side-combined aggregate — the whole heatmap costs a scan and
+    * ships bins_x·bins_y partial rows per task. Empty cells are absent
+    * (sparse output; densify downstream if a full grid is needed). */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+                  xLo: Double, xHi: Double, binsX: Int,
+                  yLo: Double, yHi: Double, binsY: Int): DataFrame = {
+    require(binsX >= 1 && binsY >= 1 && xHi > xLo && yHi > yLo,
+      "need positive bin counts and hi > lo on both axes")
+    def bin(c: String, lo: Double, hi: Double, n: Int) =
+      least(greatest(floor((col(c) - lo) / ((hi - lo) / n)).cast("long"),
+        lit(0L)), lit(n.toLong - 1))
+    df.groupBy(bin(xCol, xLo, xHi, binsX).as("bx"),
+        bin(yCol, yLo, yHi, binsY).as("by"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Spearman rank correlation of two columns — the monotone-association
     * complement of olsFit's Pearson r, exact up to the final formula:
     * average ranks for ties are kept as INTEGER doubled-ranks

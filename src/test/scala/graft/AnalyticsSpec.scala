@@ -378,4 +378,22 @@ class AnalyticsSpec extends SparkSpec {
     val rc = Analytics.spearman(const, "x", "y").collect().head
     assert(rc.isNullAt(rc.fieldIndex("rho")))
   }
+
+  test("histogram2d: bin edges, clamping, sparse cells, exact counts") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (0.5, 0.5), (0.999, 1.5), (1.0, 1.0),
+      (-5.0, 9.0), (3.0, -1.0)).toDF("x", "y")
+    val got = Analytics.histogram2d(df, "x", "y",
+        xLo = 0.0, xHi = 1.0, binsX = 2, yLo = 0.0, yHi = 2.0, binsY = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (0,0): (0,0); (0.5,0.5): bin (1,0); (0.999,1.5): (1,1);
+    // (1.0,1.0): clamps x to 1, y bin 1; (-5,9): clamps to (0,1);
+    // (3,-1): clamps to (1,0)
+    assert(got == Map((0L, 0L) -> 1L, (1L, 0L) -> 2L, (1L, 1L) -> 2L,
+      (0L, 1L) -> 1L))
+    partitionSweep { n =>
+      Analytics.histogram2d(df.repartition(n), "x", "y", 0.0, 1.0, 2, 0.0, 2.0, 2)
+        .orderBy("bx", "by").collect().map(_.toSeq).toSeq
+    }
+  }
 }
