@@ -163,12 +163,18 @@ private[graft] object Batch20 {
     // md5 (sign = u mod 6 → {0:+1, 5:−1}), and each projected coordinate
     // is an exact decimal(12,9) signed sum — so the matrix derivation,
     // the fix9 image, and the projection sums are ALL under the gate.
+    // Output is FLAT (vec_id, j, pv) scalar rows — the driver's pandas
+    // oracle compare cannot hash array cells (registry-wide contract,
+    // pinned by FlatOutputSpec), so the projected vector is exploded to
+    // one row per coordinate rather than regrouped into a list.
     Q("q199_random_projection",
       (s, dir) => {
         graft.functions.ML.randomProjectSparse(
             Tables.embeddings(s, dir), "vec_id", "embedding",
             dim = 64, k = 8, salt = "rp")
-          .orderBy("vec_id")
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "pv")))
+          .withColumn("j", col("j").cast("long"))
+          .orderBy("vec_id", "j")
       },
       Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
              |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
@@ -178,10 +184,9 @@ private[graft] object Batch20 {
              |        || CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT) % 6)
              |      WHEN 0 THEN 1 WHEN 5 THEN -1 ELSE 0 END AS sg
              |  FROM (SELECT unnest(range(0, 8)) AS j) j
-             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
-             |p AS (SELECT e.vec_id, s.j, CAST(SUM(e.vd * s.sg) AS DOUBLE) AS pv
-             |  FROM e JOIN s ON e.i = s.i GROUP BY 1, 2)
-             |SELECT vec_id, list(pv ORDER BY j) AS proj
-             |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i)
+             |SELECT e.vec_id, s.j, CAST(SUM(e.vd * s.sg) AS DOUBLE) AS pv
+             |FROM e JOIN s ON e.i = s.i GROUP BY 1, 2
+             |ORDER BY vec_id, j""".stripMargin))
   )
 }

@@ -41,7 +41,7 @@ private[graft] object Batch24 {
              |  lower(COALESCE(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
              |  lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS authority,
              |  COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path,
-             |  COALESCE(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+             |  COALESCE(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '') AS query
              | FROM u),
              |norm AS (SELECT doc_id, url, scheme,
              |  CASE WHEN scheme = 'http' AND authority LIKE '%:80'

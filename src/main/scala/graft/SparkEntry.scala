@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** One registry entry. OUTPUT CONTRACT: every column of `fn`'s result
+    * must be an ATOMIC type — no Array/Map/Struct. The driver's oracle
+    * harness hashes results through pandas `sort_values`, which crashes
+    * on nested cells (the round-11 q199 incident: its array `proj`
+    * column was the registry's only non-green row). Reduce nested
+    * payloads to scalars or explode them to one row per element before
+    * returning. Enforced registry-wide by FlatOutputSpec. */
   private[graft] case class Q(name: String,
                               fn: (SparkSession, String) => DataFrame,
                               sql: Option[String])
@@ -316,7 +323,7 @@ object SparkEntry {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
-  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries ++ Batch9.queries ++ Batch10.queries ++ Batch11.queries ++ Batch12.queries ++ Batch13.queries ++ Batch14.queries ++ Batch15.queries ++ Batch16.queries ++ Batch17.queries ++ Batch18.queries ++ Batch19.queries ++ Batch20.queries ++ Batch21.queries ++ Batch22.queries ++ Batch23.queries ++ Batch24.queries ++ Batch25.queries ++ Batch26.queries ++ Batch27.queries ++ Batch28.queries ++ Batch29.queries ++ Batch30.queries
+  private val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries ++ Batch9.queries ++ Batch10.queries ++ Batch11.queries ++ Batch12.queries ++ Batch13.queries ++ Batch14.queries ++ Batch15.queries ++ Batch16.queries ++ Batch17.queries ++ Batch18.queries ++ Batch19.queries ++ Batch20.queries ++ Batch21.queries ++ Batch22.queries ++ Batch23.queries ++ Batch24.queries ++ Batch25.queries ++ Batch26.queries ++ Batch27.queries ++ Batch28.queries ++ Batch29.queries ++ Batch30.queries ++ Batch31.queries ++ Batch32.queries
 
   // ---------------------------------------------------------------------------
 
@@ -378,5 +385,13 @@ object SparkEntry {
     // design regime (high thresholds, where the prefix is short) — its
     // measured perf story lives in the StressBench jaccard_prefix /
     // jaccard_boiler arms at t=0.8, where regression would show
-    "q176_triangles", "q179_knn_join")
+    "q176_triangles", "q179_knn_join",
+    // round-12 additions (VERDICT r11 #4): the iterative-fixed-point
+    // graph family — PageRank (rounds of degree-normalized contribution
+    // shuffles) and multi-source BFS (frontier-expansion joins) — and
+    // the MV-rewrite query (rollup-scan substitution; a regression here
+    // means the optimizer rule stopped firing and the raw fact scan
+    // silently returned). Previously none had a headline line, so a
+    // plan regression in any was invisible between rounds.
+    "q160_pagerank", "q196_bfs_distances", "q200_mv_rewrite")
 }

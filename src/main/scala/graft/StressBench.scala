@@ -433,6 +433,67 @@ object StressBench {
         .select(col("i"), (col("i") + 1).as("j"))
       edges.repartition(32).write.mode("overwrite").parquet(s"$root/edges_stress")
     }
+    if (!java.nio.file.Files.exists(fs.resolve("bm25_idx_b16/tf/_SUCCESS"))) {
+      // BM25 persisted-index pair (round 12, cold arms): the SAME 500k-doc
+      // corpus indexed at buckets=16 vs buckets=256 — the tb= directory
+      // count is the ONLY variable. Per query the pruned read touches the
+      // ≤|terms| directories its terms hash into: at b=16 each directory
+      // owns ~1/16 of the ~22M-row tf table (coarse pruning, big
+      // sequential reads), at b=256 ~1/256 (fine pruning, but 16× more
+      // directories/footers at build and maintenance). The cold arms put
+      // numbers on that trade.
+      val docs = spark.read.parquet(s"$root/docs_stress100")
+      graft.functions.Retrieval.writeBm25Index(docs, "doc_id", "text",
+        s"$root/bm25_idx_b16", buckets = 16)
+      graft.functions.Retrieval.writeBm25Index(docs, "doc_id", "text",
+        s"$root/bm25_idx_b256", buckets = 256)
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("bm25_queries/_SUCCESS"))) {
+      // 32 realistic queries: the first 4 tokens of every 15625th doc —
+      // multi-term, guaranteed nonzero df, deterministic
+      spark.read.parquet(s"$root/docs_stress100")
+        .filter(pmod(col("doc_id"), lit(15625L)) === 7)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(graft.functions.Text.tokens(col("text")), 1, 4))
+            .as("qtext"))
+        .repartition(1).write.mode("overwrite").parquet(s"$root/bm25_queries")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("vectors_big_stress/_SUCCESS"))) {
+      // 1M×64-dim float corpus (~260 MB) for the cell= index cold arms —
+      // big enough that directory pruning, not job fixed cost, sets the
+      // cold read bill; hash-derived, deterministic
+      val dim = 64
+      def vcomp(seedCol: Column, pos: Int) =
+        (pmod(xxhash64(seedCol, lit(pos)), lit(2000001L)) - 1000000L) / 1e6
+      spark.range(1000000L).select(col("id").as("vec_id"),
+          array((0 until dim).map(p => vcomp(col("id"), p)): _*)
+            .cast("array<float>").as("emb"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$root/vectors_big_stress")
+      spark.range(2000000L, 2000064L).select(col("id").as("vec_id"),
+          array((0 until dim).map(p => vcomp(col("id"), p)): _*)
+            .cast("array<float>").as("emb"))
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$root/ann_queries_stress")
+    }
+    if (!java.nio.file.Files.exists(fs.resolve("ivf_idx_n16/_SUCCESS"))) {
+      // IVF cell= index pair at nlist=16 vs nlist=256 over the SAME 1M
+      // vectors. The arms probe nprobe = nlist/16 on both (1 vs 16), so
+      // each query touches the SAME ~1/16 expected fraction of the corpus
+      // — the contrast isolates directory GRANULARITY at constant data
+      // fraction: n16 reads 1 big directory per query-cell, n256 reads 16
+      // small ones (more footers, tighter candidate sets). Models are
+      // persisted next to the index (the saveIvf production shape) and
+      // loaded per arm iteration — honest query-session cost.
+      val vb = spark.read.parquet(s"$root/vectors_big_stress")
+      for (nlist <- Seq(16, 256)) {
+        val m = graft.functions.Similarity.trainIvf(vb, "emb", nlist,
+          sampleFraction = 0.05)
+        graft.functions.Similarity.saveIvf(m, s"$root/ivf_model_n$nlist", spark)
+        graft.functions.Similarity.writeIvfCorpus(vb, "vec_id", "emb", m,
+          s"$root/ivf_idx_n$nlist")
+      }
+    }
     System.err.println(f"[stress] fixtures ready in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 
@@ -476,6 +537,16 @@ object StressBench {
     def jaccard(maxDF: Long, strategy: String): DataFrame =
       Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8,
         maxDF = maxDF, hashShingles = true, joinStrategy = strategy)
+    def bm25Arm(buckets: Int): DataFrame =
+      graft.functions.Retrieval.bm25TopKIndexed(s"$root/bm25_idx_b$buckets",
+        spark.read.parquet(s"$root/bm25_queries"), "query_id", "qtext",
+        k = 10, buckets = buckets)
+    def ivfArm(nlist: Int): DataFrame = {
+      val m = graft.functions.Similarity.loadIvf(spark, s"$root/ivf_model_n$nlist")
+      graft.functions.Similarity.ivfTopKIndexed(s"$root/ivf_idx_n$nlist",
+        spark.read.parquet(s"$root/ann_queries_stress"), "vec_id", "emb",
+        k = 10, nprobe = nlist / 16, model = m, excludeSelf = false)
+    }
     val cases: Seq[(String, () => DataFrame)] = Seq(
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
@@ -693,7 +764,13 @@ object StressBench {
           sumCols = Map("value" -> "sum_value"),
           countCol = Some("cnt")))
         mvQuery(spark)
-      }))
+      }),
+      // warm twins of the round-12 index cold arms: the compute-bound
+      // floor the cold deltas are read against
+      "bm25warm_b16" -> (() => bm25Arm(16)),
+      "bm25warm_b256" -> (() => bm25Arm(256)),
+      "ivfwarm_n16" -> (() => ivfArm(16)),
+      "ivfwarm_n256" -> (() => ivfArm(256)))
 
     // Cold-cache arms: page cache dropped before EVERY iteration
     // (warmup included), making the scan IO-bound — the local analog of
@@ -705,7 +782,22 @@ object StressBench {
       "scan100cold_sorted" -> (() => scanArm(spark, s"$root/events_sorted_stress100", wide = true)),
       "scan100cold_unsorted" -> (() => scanArm(spark, s"$root/events_stress100", wide = true)),
       "scan100cold_hive" -> (() => scanArm(spark, s"$root/events_hive_stress100",
-        wide = true, hive = true)))
+        wide = true, hive = true)),
+      // persisted-index query paths, cold (round 12): the r11 layout
+      // campaign measured cold only for the generic scan layouts; these
+      // put cold numbers on the tb= BM25 index and the cell= IVF index
+      // with BUCKET COUNT as the knob. BM25: per query the read is the
+      // ≤|terms| term-hash directories — b=16 drags ~1/16 of the tf
+      // table per term, b=256 ~1/256 (warm twins below for the
+      // compute-bound floor). IVF: nprobe scales with nlist (1/16 of
+      // cells both) so the scanned FRACTION is constant and the contrast
+      // is directory granularity alone — coarse few-big-files reads vs
+      // fine many-small-files reads (the 256-footer small-files tax,
+      // re-tested on a query path that PRUNES).
+      "bm25cold_b16" -> (() => bm25Arm(16)),
+      "bm25cold_b256" -> (() => bm25Arm(256)),
+      "ivfcold_n16" -> (() => ivfArm(16)),
+      "ivfcold_n256" -> (() => ivfArm(256)))
 
     // optional arg: substring filter over arm names (comma-separated),
     // for iterating on one knob without re-measuring the whole suite

@@ -148,4 +148,32 @@ object Sampling {
     val p = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * lit(fraction)
     df.filter(hashU32(col(keyCol), salt) < floor(p * lit(4294967296.0)))
   }
+
+  /** Weighted reservoir sample WITHOUT replacement of exactly `k` rows
+    * (Efraimidis–Spirakis A-Res): each row draws the deterministic
+    * uniform u = (hashU32(key)+1)/2^32 ∈ (0,1] and the sample is the
+    * top-k rows by priority u^(1/w) — computed as the monotone-
+    * equivalent ln(u)/w (maximized), which avoids the pow-underflow at
+    * large weights. Inclusion probability is proportional-to-weight
+    * without replacement, the property mixture builders need that
+    * per-row Bernoulli ([[weightedSampleByHash]]) can't give: an EXACT
+    * sample size. Deterministic: priorities are a pure function of
+    * (key, salt, weight), so the sample is stable across runs, retries,
+    * partitionings, and engines (the oracle recomputes md5 + ln in
+    * SQL). Plan: priorities ride the scan, the top-k is Spark's
+    * TakeOrderedAndProject (per-partition heaps + one k-row merge —
+    * never a global sort; the q13 contract). Non-positive weights are
+    * excluded (priority undefined). Ties (possible only via hash
+    * collision) break by key ascending. */
+  def weightedReservoir(df: DataFrame, keyCol: String, weight: Column,
+                        k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (hashU32(col(keyCol), salt) + 1).cast("double") / 4294967296.0
+    df.withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0.0)
+      .withColumn("priority", log(u) / col("__w"))
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(k)
+      .drop("__w")
+  }
 }

@@ -63,7 +63,10 @@ object Text {
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val path = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // query: the first '?' BEFORE any '#' — anchoring through [^#]*?
+    // keeps a fragment-only '?' (http://x/p#s?a=1) from leaking a bogus
+    // query past the fragment drop
+    val query = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val hostC = when(scheme === "http" && authority.endsWith(":80"),
         authority.substr(lit(1), length(authority) - 3))
       .when(scheme === "https" && authority.endsWith(":443"),

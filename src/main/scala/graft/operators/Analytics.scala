@@ -253,14 +253,69 @@ object Analytics {
   /** Spearman rank correlation of two columns — the monotone-association
     * complement of olsFit's Pearson r, exact up to the final formula:
     * average ranks for ties are kept as INTEGER doubled-ranks
-    * r2 = 2·(rank−1) + tied + 1 (the ×2 cancels in ρ), the five
-    * sufficient statistics accumulate in decimal(38,0), and
+    * r2(v) = 2·cum_before(v) + tied(v) + 1 (the ×2 cancels in ρ), the
+    * five sufficient statistics accumulate in decimal, and
     * ρ = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)) is a
-    * pinned double chain (IEEE sqrt). Two full-table ranking windows —
-    * the single-task-window contract shared with ksTest/aucRoc
-    * (documented; rank-sketches are the unbounded path). NULL for
+    * pinned double chain (IEEE sqrt). DISTINCT-VALUE-BOUNDED plan (the
+    * ksTest/aucRoc contract): one (x,y)-pair count aggregate over the
+    * corpus, one cumulative-count window over the distinct values of
+    * EACH marginal (single-task, but sized by value cardinality, not
+    * rows), two key joins back onto the pair counts, one final
+    * map-side-combined fold of the weighted statistics — no row-level
+    * global window anywhere. Each decimal factor is cast BEFORE the
+    * multiply (decimal(20,0)·decimal(20,0)·decimal(20,0) → the Σ c·r·r
+    * accumulator holds exactly to n ≈ 3·10¹¹ rows, vs Long overflow at
+    * n ≈ 1.5·10⁹ in the row-window form). Bit-identical to the
+    * row-level-window formulation (AnalyticsSpec pins it). NULL for
     * degenerate (constant) columns. */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pairs = df
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def marginal(key: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
+      pairs.groupBy(col(key).as("__v")).agg(sum(col("__c")).as("__cv"))
+        .withColumn(out,
+          lit(2) * coalesce(sum(col("__cv")).over(w), lit(0L)) +
+            col("__cv") + 1)
+        .select(col("__v").as(key), col(out))
+    }
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(20,0)")
+    pairs
+      .join(marginal("__x", "__rx").withColumnRenamed("__x", "__kx"),
+        col("__x") <=> col("__kx"))
+      .join(marginal("__y", "__ry").withColumnRenamed("__y", "__ky"),
+        col("__y") <=> col("__ky"))
+      .agg(sum(col("__c")).as("n"),
+        sum(d(col("__c")) * d(col("__rx"))).cast("decimal(38,0)").as("__sx"),
+        sum(d(col("__c")) * d(col("__ry"))).cast("decimal(38,0)").as("__sy"),
+        sum(d(col("__c")) * d(col("__rx")) * d(col("__ry")))
+          .cast("decimal(38,0)").as("__sxy"),
+        sum(d(col("__c")) * d(col("__rx")) * d(col("__rx")))
+          .cast("decimal(38,0)").as("__sxx"),
+        sum(d(col("__c")) * d(col("__ry")) * d(col("__ry")))
+          .cast("decimal(38,0)").as("__syy"))
+      .withColumn("__vx",
+        col("n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__vy",
+        col("n").cast("double") * col("__syy").cast("double") -
+          col("__sy").cast("double") * col("__sy").cast("double"))
+      .withColumn("rho",
+        when(col("__vx") > 0 && col("__vy") > 0,
+          (col("n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            (sqrt(col("__vx")) * sqrt(col("__vy")))))
+      .select("n", "rho")
+  }
+
+  /** Row-level-window Spearman — the formulation [[spearman]] replaced
+    * (two full-table ranking windows, Long rank products). Retained
+    * ONLY as the bit-equality reference for AnalyticsSpec; the public
+    * operator is the distinct-value-bounded form above. */
+  private[graft] def spearmanRowWindow(df: DataFrame, xCol: String,
+                                       yCol: String): DataFrame = {
     def r2(c: String) = {
       val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col(c).asc)
       val wVal = org.apache.spark.sql.expressions.Window.partitionBy(col(c))
@@ -330,6 +385,60 @@ object Analytics {
       .drop("__m")
   }
 
+  /** Sketch-ECDF two-sample KS — [[ksTest]]'s UNBOUNDED-cardinality
+    * scale path: each group's distribution is reduced to a ≤k-centroid
+    * KHist sketch ([[graft.functions.Sketches.KHistAgg]] — mergeable,
+    * map-side combined, ONE corpus pass, one 2-row exchange), then
+    * D̂ = max over the pooled centroid positions of |F̂_a − F̂_b| is a
+    * driver-side walk over ≤2k points (the collect is the SKETCHES,
+    * never the data — the q43/q128 estimator contract). While neither
+    * sketch has compressed (k ≥ per-group distinct values) every
+    * centroid is an exact (value, count) pair, the step-ECDFs are the
+    * exact ECDFs, and D̂ == ksTest's D bit-for-bit (AnalyticsSpec pins
+    * it); after compression centroids move to weighted means and D̂ is
+    * the usual t-digest-style approximation (spec bounds the error on a
+    * compressed fixture). Output matches ksTest: one row
+    * (n_a, n_b, d_at, d); `d_at` is the smallest pooled centroid
+    * attaining the max. Either group empty → require fails (the test is
+    * undefined). */
+  def ksTestSketch(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2 centroids, got $k")
+    val rows = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(graft.functions.Sketches.khistCol(k)(
+        col(valueCol).cast("double")).as("__sk"))
+      .collect()
+    def centers(g: String): Seq[(Double, Long)] = rows
+      .find(_.getString(0) == g)
+      .map(_.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1))).toSeq)
+      .getOrElse(Seq.empty)
+    val ca = centers(groupA)
+    val cb = centers(groupB)
+    require(ca.nonEmpty && cb.nonEmpty,
+      s"ksTestSketch: empty group ($groupA: ${ca.size} centroids, " +
+        s"$groupB: ${cb.size})")
+    val na = ca.map(_._2).sum
+    val nb = cb.map(_._2).sum
+    val xs = (ca.map(_._1) ++ cb.map(_._1)).distinct.sorted
+    // the same integer cross-product argmax + ONE final division as
+    // ksTest (|cum_a·n_b − cum_b·n_a|, first value attaining the max) —
+    // so the uncompressed case reproduces the exact form bit-for-bit
+    var ia = 0; var ib = 0; var cuma = 0L; var cumb = 0L
+    var best = BigInt(-1); var bestAt = Double.NaN
+    xs.foreach { x =>
+      while (ia < ca.size && ca(ia)._1 <= x) { cuma += ca(ia)._2; ia += 1 }
+      while (ib < cb.size && cb(ib)._1 <= x) { cumb += cb(ib)._2; ib += 1 }
+      val num = (BigInt(cuma) * nb - BigInt(cumb) * na).abs
+      if (num > best) { best = num; bestAt = x }
+    }
+    val d = best.toDouble / (na.toDouble * nb.toDouble)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((na, nb, bestAt, d)).toDF("n_a", "n_b", "d_at", "d")
+  }
+
   /** Welch's unequal-variance t-test between two groups of `valueCol`,
     * from exact sufficient statistics: per-group n, Σx, Σx² accumulate
     * in decimal (order-independent), then mean / sample variance /
@@ -385,5 +494,181 @@ object Analytics {
       .filter(abs(col(valueCol) - col("mean")) > lit(k) * col("std"))
       .withColumn("z", (col(valueCol) - col("mean")) / col("std"))
       .drop("__n", "__s", "__ss")
+  }
+
+  /** Population Stability Index between two groups of a continuous
+    * column — the standard ML-monitoring drift score (the thresholded
+    * cousin of [[ksTest]]: KS answers "are they different", PSI's
+    * 0.1/0.25 bands answer "how much, in the units modelers alarm
+    * on"): equal-width bins over [lo, hi) with edge clamping (the
+    * histogram2d convention), Laplace-smoothed shares
+    * p = (c+1)/(n+bins) so empty bins are defined, and
+    * PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b). Exact to the formula: bin
+    * counts are ONE map-side-combined aggregate (never a per-row
+    * window), the bin spine is a generated `bins`-row frame so silent
+    * bin dropout cannot skew the sum, each per-bin double term is
+    * pinned arithmetic, and terms accumulate through decimal(28,12)
+    * (order-independent — the chiSquareDrift precedent). Output: one
+    * row (n_a, n_b, psi). */
+  def psi(df: DataFrame, groupCol: String, valueCol: String,
+          groupA: String, groupB: String,
+          lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / width).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val spine = df.sparkSession.range(bins).select(col("id").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val pa = (col("__ca") + 1).cast("double") /
+      (col("__na") + bins).cast("double")
+    val pb = (col("__cb") + 1).cast("double") /
+      (col("__nb") + bins).cast("double")
+    full
+      .withColumn("__na", sum(col("__ca")).over(w))
+      .withColumn("__nb", sum(col("__cb")).over(w))
+      .withColumn("__term", (pa - pb) * log(pa / pb))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("psi"))
+  }
+
+  /** Mutual information between two CATEGORICAL columns — the
+    * dependence signal feature selection and leakage checks run at
+    * corpus scale: I(X;Y) = Σ_xy (c_xy/n)·ln(n·c_xy/(c_x·c_y)) over
+    * the OBSERVED pairs (absent pairs contribute exactly 0), with
+    * marginal entropies H(X), H(Y) and the normalized
+    * NMI = I/√(H(X)·H(Y)). Plan: the [[spearman]] distinct-bounded
+    * shape — one (x,y)-pair count aggregate over the corpus, two
+    * marginal aggregates OF the pair table (cardinality-bounded), two
+    * null-safe key joins back, decimal(28,12) term accumulation, and a
+    * pinned double chain for the final row. Degenerate single-category
+    * inputs give H = 0 → NMI is NULL. Output: one row
+    * (n, mi, h_x, h_y, nmi). */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val pairs = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = pairs.groupBy(col("__x").as("__kx")).agg(sum("__c").as("__cx"))
+    val my = pairs.groupBy(col("__y").as("__ky")).agg(sum("__c").as("__cy"))
+    val joined = pairs
+      .join(mx, col("__x") <=> col("__kx"))
+      .join(my, col("__y") <=> col("__ky"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    // n appears inside every term, so compute it first and broadcast it
+    // back in: one-row frame, driver-free
+    val tot = pairs.agg(sum(col("__c")).as("__n"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .agg((-sum(((d(col(cnt)) / d(col("__n"))) *
+          log(d(col(cnt)) / d(col("__n")))).cast("decimal(28,12)")))
+          .cast("double").as(out))
+    val mi = joined.crossJoin(broadcast(tot))
+      .agg(sum(col("__c")).as("n"),
+        sum(((d(col("__c")) / d(col("__n"))) *
+          log(d(col("__n")) * d(col("__c")) /
+            (d(col("__cx")) * d(col("__cy")))))
+          .cast("decimal(28,12)")).cast("double").as("mi"))
+    mi.crossJoin(entropy(mx, "__cx", "h_x"))
+      .crossJoin(entropy(my, "__cy", "h_y"))
+      .withColumn("nmi",
+        when(col("h_x") > 0 && col("h_y") > 0,
+          col("mi") / sqrt(col("h_x") * col("h_y"))))
+  }
+
+  /** Cramér's V association between two categorical columns — the
+    * bounded-[0,1] effect size chi² lacks: χ² over the FULL contingency
+    * table via the zero-cell-free identity
+    * χ² = n·Σ_observed c_xy²/(c_x·c_y) − n (absent cells enter exactly
+    * through the −n term), V = √(χ²/(n·min(r−1, k−1))). Same
+    * distinct-bounded plan as [[mutualInformation]]; r and k ride the
+    * marginal aggregates. 1×m tables give V = NULL (undefined).
+    * Output: one row (n, r_x, r_y, chi2, v). */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pairs = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = pairs.groupBy(col("__x").as("__kx")).agg(sum("__c").as("__cx"))
+    val my = pairs.groupBy(col("__y").as("__ky")).agg(sum("__c").as("__cy"))
+    val tot = pairs.agg(sum(col("__c")).as("__n"),
+      countDistinct(col("__x")).as("__rx"),
+      countDistinct(col("__y")).as("__ry"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pairs
+      .join(mx, col("__x") <=> col("__kx"))
+      .join(my, col("__y") <=> col("__ky"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("__c")).as("n"),
+        first(col("__rx")).as("r_x"), first(col("__ry")).as("r_y"),
+        sum((d(col("__c")) * d(col("__c")) /
+          (d(col("__cx")) * d(col("__cy"))))
+          .cast("decimal(28,12)")).as("__s"))
+      // χ² ≥ 0 mathematically; the decimal rounding of Σc²/(cx·cy) can
+      // leave an O(ulp) negative residue at exact independence, which
+      // sqrt would turn into NaN — clamp (the oracle replays the clamp)
+      .withColumn("chi2",
+        greatest(col("n").cast("double") * col("__s").cast("double") -
+          col("n").cast("double"), lit(0.0)))
+      .withColumn("v",
+        when(least(col("r_x"), col("r_y")) > 1,
+          sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("r_x"), col("r_y")) - 1).cast("double")))))
+      .drop("__s")
+  }
+
+  /** Mann–Whitney U test between two groups — the rank-sum
+    * location-shift test ([[welchT]]'s distribution-free complement,
+    * sharing [[graft.functions.ML.aucRoc]]'s doubled-rank machinery):
+    * 2R_a = Σ_v ca_v·(2·cum_before(v) + tot_v + 1) over the DISTINCT
+    * pooled values (integer, average ranks for ties), U_a/U_b from the
+    * rank-sum identities, and the tie-corrected normal approximation
+    * z = (U_a − n_a·n_b/2)/√(n_a·n_b/12·((n+1) − Σ(t³−t)/(n·(n−1)))).
+    * Integer/decimal arithmetic up to the pinned final chain; the one
+    * window runs over distinct values (the ksTest contract). Degenerate
+    * inputs (all ties, or an empty group) give z NULL. Output: one row
+    * (n_a, n_b, u_a, u_b, z). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val agg = counts
+      .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(dec(col("__ca")) *
+          (lit(2) * col("__before") + col("__t") + 1)).as("__r2a"),
+        sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+          dec(col("__t"))).as("__ties"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg
+      // 2R_a = __r2a (doubled rank-sum); U_a = R_a − n_a(n_a+1)/2, so
+      // U_a = (2R_a − n_a(n_a+1))/2 — one pinned double chain
+      .withColumn("u_a",
+        (d(col("__r2a")) - d(col("n_a")) * (d(col("n_a")) + 1)) / 2.0)
+      .withColumn("u_b",
+        d(col("n_a")) * d(col("n_b")) - col("u_a"))
+      .withColumn("__nn", d(col("n_a")) + d(col("n_b")))
+      .withColumn("__var",
+        when(col("n_a") > 0 && col("n_b") > 0 && col("__nn") > 1,
+          d(col("n_a")) * d(col("n_b")) / 12.0 *
+            ((col("__nn") + 1) - d(col("__ties")) /
+              (col("__nn") * (col("__nn") - 1)))))
+      .withColumn("z",
+        when(col("__var") > 0,
+          (col("u_a") - d(col("n_a")) * d(col("n_b")) / 2.0) /
+            sqrt(col("__var"))))
+      .select("n_a", "n_b", "u_a", "u_b", "z")
   }
 }

@@ -130,6 +130,15 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val rollup = spark.read.parquet(d.rollupPath).queryExecution.analyzed
     val rAttr: Map[String, Attribute] = rollup.output.map(a => a.name -> a).toMap
 
+    // misregistration guard: every declared key column and every mapped
+    // rollup column must actually exist in the rollup schema — a stale
+    // or mistyped MvDef must mean "no rewrite", never an optimizer-time
+    // NoSuchElementException that fails the whole query
+    val declared = d.keyCols.iterator ++ d.sumCols.valuesIterator ++
+      d.countCol.iterator ++ d.minCols.valuesIterator ++
+      d.maxCols.valuesIterator
+    if (!declared.forall(rAttr.contains)) return None
+
     def mappedKey(a: AttributeReference): Option[Attribute] =
       rAttr.get(a.name).filter(_.dataType == a.dataType)
 
@@ -152,36 +161,46 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val AggregateExpression(fn, _, isDistinct, filterOpt, _) = ae
         if (isDistinct || filterOpt.nonEmpty) None
         else {
-          val newFn: Option[AggregateFunction] = fn match {
+          val newExpr: Option[Expression] = fn match {
             case s: Sum => s.child match {
               // sum(cast(raw as T)): rollup column must be exactly T
               case c: Cast => c.child match {
                 case a: AttributeReference =>
                   d.sumCols.get(a.name).flatMap(rAttr.get)
-                    .filter(_.dataType == c.dataType).map(Sum(_))
+                    .filter(_.dataType == c.dataType)
+                    .map(Sum(_).toAggregateExpression())
                 case _ => None
               }
               case a: AttributeReference =>
                 d.sumCols.get(a.name).flatMap(rAttr.get)
-                  .filter(_.dataType == a.dataType).map(Sum(_))
+                  .filter(_.dataType == a.dataType)
+                  .map(Sum(_).toAggregateExpression())
               case _ => None
             }
             case c: Count => c.children match {
-              // count(*) / count(lit): partial counts SUM together
+              // count(*) / count(lit): partial counts SUM together.
+              // Coalesce to 0: a GLOBAL aggregate over an empty rollup
+              // scan yields Sum=NULL where count(*)=0 — the one case
+              // where the raw algebra and the partial algebra differ
+              // (no-op for grouped aggregates, whose partials are ≥1)
               case Seq(l: Literal) if l.value != null =>
-                d.countCol.flatMap(rAttr.get).map(Sum(_))
+                d.countCol.flatMap(rAttr.get).map(a =>
+                  Coalesce(Seq(Sum(a).toAggregateExpression(),
+                    Literal(0L))))
               case _ => None
             }
             case m: Min => m.child match {
               case a: AttributeReference =>
                 d.minCols.get(a.name).flatMap(rAttr.get)
-                  .filter(_.dataType == a.dataType).map(Min(_))
+                  .filter(_.dataType == a.dataType)
+                  .map(Min(_).toAggregateExpression())
               case _ => None
             }
             case m: Max => m.child match {
               case a: AttributeReference =>
                 d.maxCols.get(a.name).flatMap(rAttr.get)
-                  .filter(_.dataType == a.dataType).map(Max(_))
+                  .filter(_.dataType == a.dataType)
+                  .map(Max(_).toAggregateExpression())
               case _ => None
             }
             case _ => None
@@ -190,8 +209,8 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // result type exactly (Sum(long)→long, Sum(dec(p,s))→
           // dec(p+10,s) == original Sum(cast)→same), so any peeled cast
           // chain re-applies with identical semantics
-          newFn.filter(_.toAggregateExpression().dataType == ae.dataType)
-            .map(f => Alias(rewrap(f.toAggregateExpression()), name)())
+          newExpr.filter(_.dataType == ae.dataType)
+            .map(e => Alias(rewrap(e), name)())
         }
       case _ => None
     }

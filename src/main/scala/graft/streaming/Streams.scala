@@ -322,13 +322,39 @@ object Streams {
     * while the stream keeps publishing — continuous publication without
     * ever exposing a partial write (the q207 isolation contract driven
     * from a stream). History retention is [[graft.sources.IO.vacuumSnapshots]]'s
-    * job, on the consumer's schedule. */
+    * job, on the consumer's schedule. Replay-idempotent: the last
+    * published (queryId, batchId) is recorded (atomic move) next to the
+    * manifests, and a retried micro-batch with an already-committed id
+    * is skipped — under at-least-once foreachBatch semantics a crash
+    * between saveSnapshot and the checkpoint commit would otherwise
+    * publish a duplicate version (the [[aggSink]]/[[cdcSink]]
+    * idempotence contract). The marker is SCOPED by the streaming
+    * queryId (stable across restarts of one checkpoint, fresh for a new
+    * checkpoint — Spark's transactional-sink identity), so replays of
+    * the same query dedupe while a brand-new query publishing into the
+    * same table starts clean. */
   def snapshotSink(updates: DataFrame, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          graft.sources.IO.saveSnapshot(batch, dir)
+          // foreachBatch runs on the stream-execution driver thread,
+          // which carries the queryId as a local property
+          val qid = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")).getOrElse("default")
+          val marker = java.nio.file.Paths.get(dir, "_manifests",
+            s"_last_batch_$qid")
+          val committed = java.nio.file.Files.exists(marker) &&
+            java.nio.file.Files.readString(marker).trim.toLong >= id
+          if (!committed) {
+            graft.sources.IO.saveSnapshot(batch, dir)
+            java.nio.file.Files.createDirectories(marker.getParent)
+            val tmp = marker.resolveSibling(s"_last_batch_$qid.tmp$id")
+            java.nio.file.Files.writeString(tmp, id.toString)
+            java.nio.file.Files.move(tmp, marker,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
           ()
         }
       }

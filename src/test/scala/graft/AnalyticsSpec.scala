@@ -396,4 +396,183 @@ class AnalyticsSpec extends SparkSpec {
         .orderBy("bx", "by").collect().map(_.toSeq).toSeq
     }
   }
+
+  test("spearman: distinct-bounded form bit-equal to row-window form; " +
+      "windows only over aggregated rows") {
+    import spark.implicits._
+    // heavy ties on both sides + an asymmetric tail — the shapes where
+    // average-rank arithmetic differs from dense/min ranks
+    val df = Seq((1L, 9L), (1L, 9L), (1L, 7L), (2L, 9L), (2L, 5L),
+      (3L, 5L), (3L, 3L), (7L, 1L), (7L, 1L), (9L, 1L)).toDF("x", "y")
+    val a = Analytics.spearman(df, "x", "y").collect().head
+    val b = Analytics.spearmanRowWindow(df, "x", "y").collect().head
+    assert(a.getAs[Long]("n") == b.getAs[Long]("n"))
+    // bit-equality: identical integer doubled-ranks → identical decimal
+    // sufficient statistics → the identical pinned double chain
+    assert(java.lang.Double.doubleToLongBits(a.getAs[Double]("rho")) ==
+      java.lang.Double.doubleToLongBits(b.getAs[Double]("rho")))
+    partitionSweep { n =>
+      Analytics.spearman(df.repartition(n), "x", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+    // the r11 VERDICT contract: no window over ROW-level data — every
+    // logical Window's input subtree must contain an Aggregate (the
+    // distinct-value marginal), so window size is bounded by value
+    // cardinality, never by corpus rows
+    import org.apache.spark.sql.catalyst.plans.logical
+    val lp = Analytics.spearman(df, "x", "y").queryExecution.optimizedPlan
+    val wins = lp.collect { case w: logical.Window => w }
+    assert(wins.nonEmpty, "expected the two marginal cumulative windows")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: logical.Aggregate => a }.isDefined,
+        s"row-level window found (no Aggregate beneath):\n$w")
+    }
+  }
+
+  test("ksTestSketch: uncompressed == exact ksTest bit-for-bit; " +
+      "compressed D within sketch error on a shifted fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // group A: values on a 40-point grid; B: the same grid shifted — a
+    // real distribution difference with plenty of ties
+    val rows = (1 to 400).map(_ => ("A", (rnd.nextInt(40) * 0.5))) ++
+      (1 to 300).map(_ => ("B", (rnd.nextInt(40) * 0.5 + 2.0)))
+    val df = rnd.shuffle(rows).toDF("g", "v")
+    val exact = Analytics.ksTest(df, "g", "v", "A", "B").collect().head
+    // k=256 ≥ 40+40 distinct values → no compression → exact centroids
+    val skE = Analytics.ksTestSketch(df, "g", "v", "A", "B", k = 256)
+      .collect().head
+    assert(skE.getAs[Long]("n_a") == exact.getAs[Long]("n_a"))
+    assert(skE.getAs[Long]("n_b") == exact.getAs[Long]("n_b"))
+    assert(java.lang.Double.doubleToLongBits(skE.getAs[Double]("d")) ==
+      java.lang.Double.doubleToLongBits(exact.getAs[Double]("d")))
+    assert(skE.getAs[Double]("d_at") == exact.getAs[Double]("d_at"))
+    // k=16 compresses 40 distinct values per group: D̂ approximates D
+    // (centroid mass moves by at most a few grid steps; bound is loose
+    // but pins that compression degrades gracefully, not catastrophically)
+    val skC = Analytics.ksTestSketch(df, "g", "v", "A", "B", k = 16)
+      .collect().head
+    assert(math.abs(skC.getAs[Double]("d") - exact.getAs[Double]("d")) < 0.1,
+      s"compressed D ${skC.getAs[Double]("d")} vs exact ${exact.getAs[Double]("d")}")
+    // identical distributions → D = 0 at any k
+    val same = ((1 to 200).map(_ => ("A", rnd.nextInt(20).toDouble)) ++
+      (1 to 200).map(_ => ("B", rnd.nextInt(20).toDouble))).toDF("g", "v")
+    assert(Analytics.ksTestSketch(same, "g", "v", "A", "B", k = 64)
+      .collect().head.getAs[Double]("d") < 0.15)
+  }
+
+  test("psi: identical groups → exactly 0; shift raises it; " +
+      "empty bins stay in the sum; driver model") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => ("A", (i % 10).toDouble))
+    val b = (1 to 100).map(i => ("B", (i % 10).toDouble))
+    val same = (a ++ b).toDF("g", "v")
+    // identical counts bin-for-bin → every term is (p−p)·ln(1) = 0
+    assert(Analytics.psi(same, "g", "v", "A", "B", 0.0, 10.0, 10)
+      .collect().head.getAs[Double]("psi") == 0.0)
+    // shifted current → positive PSI matching the driver model (Laplace
+    // smoothing keeps the vacated and newly-hit bins in the sum)
+    val shifted = (a ++ (1 to 100).map(i => ("B", (i % 10 + 3).toDouble)))
+      .toDF("g", "v")
+    val r = Analytics.psi(shifted, "g", "v", "A", "B", 0.0, 13.0, 13)
+      .collect().head
+    val ca = Array.tabulate(13)(bin => a.count(_._2.toInt == bin))
+    val cb = Array.tabulate(13)(bin => (1 to 100).count(i => i % 10 + 3 == bin))
+    val want = (0 until 13).map { i =>
+      val pa = (ca(i) + 1.0) / (100 + 13)
+      val pb = (cb(i) + 1.0) / (100 + 13)
+      BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(math.abs(r.getAs[Double]("psi") - want) < 1e-12,
+      s"psi ${r.getAs[Double]("psi")} vs model $want")
+    assert(r.getAs[Double]("psi") > 0.25, "a 3-bin shift should alarm")
+    partitionSweep { n =>
+      Analytics.psi(shifted.repartition(n), "g", "v", "A", "B", 0.0, 13.0, 13)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("mutualInformation: independence → 0, identity → H, " +
+      "constant column → NULL nmi") {
+    import spark.implicits._
+    // x ⟂ y (full factorial, uniform): every term ln(1) = 0
+    val indep = (for { x <- 0 until 4; y <- 0 until 3; _ <- 0 until 5 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val ri = Analytics.mutualInformation(indep, "x", "y").collect().head
+    assert(ri.getAs[Double]("mi") == 0.0)
+    assert(math.abs(ri.getAs[Double]("nmi")) < 1e-12)
+    // y == x uniform over 4 values: MI = H(X) = ln 4, NMI = 1
+    val ident = (for { x <- 0 until 4; _ <- 0 until 10 }
+      yield (x.toLong, x.toLong)).toDF("x", "y")
+    val rd = Analytics.mutualInformation(ident, "x", "y").collect().head
+    assert(math.abs(rd.getAs[Double]("mi") - math.log(4)) < 1e-9)
+    assert(math.abs(rd.getAs[Double]("h_x") - math.log(4)) < 1e-9)
+    assert(math.abs(rd.getAs[Double]("nmi") - 1.0) < 1e-9)
+    // constant y: H(Y) = 0 → nmi NULL, mi 0
+    val const = (1 to 20).map(i => (i.toLong % 3, 7L)).toDF("x", "y")
+    val rc = Analytics.mutualInformation(const, "x", "y").collect().head
+    assert(rc.getAs[Double]("mi") == 0.0)
+    assert(rc.isNullAt(rc.fieldIndex("nmi")))
+    partitionSweep { n =>
+      Analytics.mutualInformation(ident.repartition(n), "x", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("cramersV: perfect association → 1, independence → 0, 1×m → NULL") {
+    import spark.implicits._
+    val perfect = (for { x <- 0 until 3; _ <- 0 until 7 }
+      yield (x.toLong, x.toLong)).toDF("x", "y")
+    val rp = Analytics.cramersV(perfect, "x", "y").collect().head
+    assert(math.abs(rp.getAs[Double]("v") - 1.0) < 1e-9)
+    assert(rp.getAs[Long]("r_x") == 3L && rp.getAs[Long]("r_y") == 3L)
+    val indep = (for { x <- 0 until 3; y <- 0 until 4; _ <- 0 until 5 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val ri = Analytics.cramersV(indep, "x", "y").collect().head
+    assert(math.abs(ri.getAs[Double]("chi2")) < 1e-9)
+    assert(math.abs(ri.getAs[Double]("v")) < 1e-9)
+    val oneRow = (1 to 12).map(i => (1L, i.toLong % 4)).toDF("x", "y")
+    val r1 = Analytics.cramersV(oneRow, "x", "y").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("v")))
+  }
+
+  test("mannWhitneyU: golden vs driver rank model with ties; " +
+      "symmetric fixture → z 0; U identities") {
+    import spark.implicits._
+    // ties across and within groups
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 2L), ("A", 5L),
+      ("B", 2L), ("B", 3L), ("B", 5L), ("B", 7L), ("B", 7L)).toDF("g", "v")
+    val r = Analytics.mannWhitneyU(df, "g", "v", "A", "B").collect().head
+    // driver model: average ranks over the pooled sorted values
+    val xs = Seq(("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 5.0),
+      ("B", 2.0), ("B", 3.0), ("B", 5.0), ("B", 7.0), ("B", 7.0))
+    val sorted = xs.map(_._2).sorted
+    def rank(v: Double) =
+      (sorted.indexOf(v) + 1 + sorted.lastIndexOf(v) + 1) / 2.0
+    val ra = xs.filter(_._1 == "A").map(t => rank(t._2)).sum
+    val na = 4.0; val nb = 5.0
+    val uA = ra - na * (na + 1) / 2
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 5L)
+    assert(math.abs(r.getAs[Double]("u_a") - uA) < 1e-12)
+    assert(math.abs(r.getAs[Double]("u_b") - (na * nb - uA)) < 1e-12)
+    // tie-corrected z matches the model formula
+    val tieGroups = xs.map(_._2).groupBy(identity).values.map(_.size.toLong)
+    val ties = tieGroups.map(t => t * t * t - t).sum.toDouble
+    val nn = na + nb
+    val varU = na * nb / 12.0 * ((nn + 1) - ties / (nn * (nn - 1)))
+    val zWant = (uA - na * nb / 2.0) / math.sqrt(varU)
+    assert(math.abs(r.getAs[Double]("z") - zWant) < 1e-12)
+    // identical groups → U_a == U_b and z == 0
+    val sym = (1 to 50).flatMap(i =>
+      Seq(("A", (i % 7).toLong), ("B", (i % 7).toLong))).toDF("g", "v")
+    val rs = Analytics.mannWhitneyU(sym, "g", "v", "A", "B").collect().head
+    assert(rs.getAs[Double]("u_a") == rs.getAs[Double]("u_b"))
+    assert(math.abs(rs.getAs[Double]("z")) < 1e-12)
+    partitionSweep { n =>
+      Analytics.mannWhitneyU(df.repartition(n), "g", "v", "A", "B")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }

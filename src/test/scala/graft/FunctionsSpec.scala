@@ -769,6 +769,36 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("weightedReservoir: exact k, weight-proportional inclusion, " +
+      "nonpositive excluded, top-k plan, determinism") {
+    import graft.functions.Sampling
+    // 500 heavy (w=10) + 500 light (w=1) rows
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") < 500, 10.0).otherwise(1.0).as("w"))
+    val got = Sampling.weightedReservoir(df, "id", col("w"), k = 100,
+      salt = "res")
+    val rows = got.collect()
+    assert(rows.length == 100, s"expected exactly k rows, got ${rows.length}")
+    // proportional-to-weight: heavy ids (w=10) should dominate the sample
+    val heavy = rows.count(_.getLong(0) < 500)
+    assert(heavy > 65, s"heavy class underrepresented: $heavy/100")
+    // nonpositive weights can never be drawn
+    val withZero = spark.range(1000).select(col("id"),
+      when(col("id") % 2 === 0, 0.0).otherwise(1.0).as("w"))
+    val drawn = Sampling.weightedReservoir(withZero, "id", col("w"),
+      k = 400, salt = "res").collect()
+    assert(drawn.length == 400 && drawn.forall(_.getLong(0) % 2 == 1),
+      "zero-weight rows drawn")
+    // scale contract: per-partition heaps + k-row merge, never a global sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    partitionSweep { p =>
+      Sampling.weightedReservoir(df.repartition(p), "id", col("w"),
+          k = 50, salt = "res")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+  }
+
   test("pq: centroid fixpoint + exact-reconstruction ADC; trained recall; rerank") {
     // 1) centroid fixpoint: vectors placed EXACTLY at codebook entries
     //    must encode to those indices, cnorm must equal the true norm, and

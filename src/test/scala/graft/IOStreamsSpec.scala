@@ -851,6 +851,26 @@ class IOStreamsSpec extends SparkSpec {
     assert(IO.loadSnapshot(spark, dir).collect().map(_.getLong(0)).toSeq
       == Seq(3L))
     assert(IO.loadSnapshot(spark, dir, 1).count() == 2)
+    // the replay-idempotence marker is scoped per queryId: both queries
+    // recorded their last batch, and a restart from ck2 (same queryId,
+    // batch ids continue) publishes exactly one more version — the
+    // marker skips only REPLAYED ids, never new ones
+    val markers = new java.io.File(s"$dir/_manifests").listFiles()
+      .map(_.getName).filter(_.startsWith("_last_batch_"))
+    assert(markers.length == 2, s"markers: ${markers.toSeq}")
+    // (a fresh MemoryStream starts at offset 0, but ck2 already
+    // committed through offset 1 — so the first row is swallowed by the
+    // restored source position and batch 1 carries only the second)
+    val ms3 = MemoryStream[(Long, String)](spark)
+    val q3 = Streams.snapshotSink(ms3.toDS().toDF("id", "s"), dir)
+      .option("checkpointLocation", dir + "-ck2").start()
+    try {
+      ms3.addData(Seq((4L, "d"))); ms3.addData(Seq((5L, "e")))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(IO.snapshotVersions(spark, dir) == Seq(1, 2, 3))
+    assert(IO.loadSnapshot(spark, dir).collect().map(_.getLong(0)).toSeq
+      == Seq(5L))
   }
 
   test("ohlc: deterministic open/close on ts ties, exact volume") {
