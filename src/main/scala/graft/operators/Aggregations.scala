@@ -211,4 +211,54 @@ object Aggregations {
       .select(keyCols.map(col) ++
         Seq(col(valueCol).as("mode"), col("n_mode")): _*)
   }
+
+  /** EXACT global continuous percentiles (SQL `percentile_cont`
+    * semantics: target rank t = p·(n−1), linear interpolation between
+    * the bracketing order statistics) — DISTINCT-VALUE-BOUNDED, so
+    * "exact median of 100 TB" never sorts rows: one (value)-grouped
+    * count aggregate over the corpus, ONE single-task cumulative window
+    * over the DISTINCT values (the ksTest contract), then each
+    * requested p finds its two bracketing values by rank-interval
+    * containment against the broadcast p-list (distinct-values × |ps|
+    * comparisons). The interpolation
+    * v = v_lo + (t − ⌊t⌋)·(v_hi − v_lo) is a pinned double chain.
+    * [[quantileDisc]] is the per-KEY discrete form (per-group window);
+    * this is the global continuous form whose row sort would otherwise
+    * be the single-task scale killer; KHist (q43) is the
+    * sketch-accuracy tier. Output: one row per p — (p, n, value),
+    * ordered by p. Null values are excluded (SQL convention). */
+  def quantilesCont(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                    ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles $ps must be in [0,1]")
+    require(ps.distinct.length == ps.length, s"duplicate percentiles in $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = counts
+      .withColumn("__s", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val pdf = ps.toDF("p")
+    val t = col("p") * (col("__n") - 1).cast("double")
+    val k = floor(t).cast("long")
+    val kHi = least(k + 1, col("__n") - 1)
+    val lower = cum.join(broadcast(pdf),
+        col("__s") <= k && k < col("__s") + col("__c"))
+      .select(col("p"), col("__n").as("n"), col("__v").as("__vlo"),
+        (t - floor(t)).as("__frac"))
+    val upper = cum.join(broadcast(pdf),
+        col("__s") <= kHi && kHi < col("__s") + col("__c"))
+      .select(col("p").as("__p2"), col("__v").as("__vhi"))
+    lower.join(upper, col("p") === col("__p2"))
+      .select(col("p"), col("n"),
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo")))
+          .as("value"))
+      .orderBy("p")
+  }
 }

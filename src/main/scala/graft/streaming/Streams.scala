@@ -206,6 +206,52 @@ object Streams {
         col("n") +: names.map(col): _*)
   }
 
+  /** Streaming windowed PSI drift monitor — the
+    * [[graft.operators.Analytics.psi]] batch operator as a live gauge:
+    * per event-time window, bin `value` into the FIXED reference grid
+    * (the mergeable [[graft.functions.Sketches.HistAgg]] array — O(bins)
+    * state per open window), then score the window's distribution
+    * against the broadcast reference counts with the exact PSI formula
+    * (Laplace-smoothed shares, per-bin pinned double terms, exact
+    * decimal term accumulation — addition of decimals is associative,
+    * so the streaming merge order cannot change the result). The
+    * reference side is a CONSTANT per bin (count snapshot taken when
+    * the monitor starts — refresh by restarting with new counts), so
+    * each emitted row is deterministic given the window's rows: unlike
+    * the sketch-quantile monitor this gate is EXACT, and q232 runs it
+    * under the full SQL oracle. Append mode emits each window once when
+    * the watermark closes it; state is bins+1 longs per open window. */
+  def windowedPsi(events: DataFrame, refCounts: Seq[Long],
+                  lo: Double, hi: Double,
+                  watermark: String = "0 seconds",
+                  window_ : String = "1 hour"): DataFrame = {
+    import graft.functions.Sketches
+    val bins = refCounts.length
+    require(bins >= 1 && hi > lo, "need >= 1 reference bin and hi > lo")
+    require(refCounts.forall(_ >= 0), "negative reference count")
+    val nr = refCounts.sum
+    val base = events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(count(lit(1)).as("n"),
+        Sketches.histCol(lo, hi, bins)(col("value")).as("counts"))
+    val terms = (0 until bins).map { i =>
+      val pb = (element_at(col("counts"), i + 1) + 1).cast("double") /
+        (col("n") + bins).cast("double")
+      val pa = lit((refCounts(i) + 1).toDouble / (nr + bins).toDouble)
+      ((pb - pa) * log(pb / pa)).cast("decimal(28,12)")
+    }
+    // re-cast after every add: naive chaining grows decimal precision
+    // by 1 per term, hits the 38 cap around 10 bins, and Spark then
+    // SACRIFICES SCALE to fit (observed: psi rounded to 6 dp at 20
+    // bins). Inputs are exact at scale 12 and |psi| bounded, so the
+    // re-cast is lossless and the chain equals the oracle's SUM
+    val psiSum = terms.reduce((a, b) => (a + b).cast("decimal(28,12)"))
+    base.select(unix_micros(col("window.start")).as("bucket_us"),
+      col("n"), psiSum.cast("double").as("psi"))
+  }
+
   /** Stateful streaming dedup: emit each key's row only the first time it
     * is seen (training-data pipelines run exactly this to dedup an
     * unbounded crawl). State = one boolean per key. In production, bound

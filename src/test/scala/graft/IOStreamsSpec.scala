@@ -266,6 +266,46 @@ class IOStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowedPsi: per-window PSI bit-equal to the batch " +
+      "formula; zero drift → exactly 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hourUs = 3600L * 1000000L
+    // reference: uniform over bins 0..3 (40 each); window 1: same shape
+    // (→ PSI exactly 0: identical smoothed shares); window 2: all mass
+    // in bin 0 (→ the batch formula's value, recomputed here)
+    val refCounts = Seq(40L, 40L, 40L, 40L)
+    val w1 = (0 until 40).flatMap(i => Seq(0.5, 1.5, 2.5, 3.5).map(v => (i * 1000L, v)))
+    val w2 = (0 until 80).map(i => (hourUs + i * 1000L, 0.5))
+    val flush = (10L * hourUs, 0.5)
+    val ms = MemoryStream[(Long, Double)](spark)
+    val out = Streams.windowedPsi(ms.toDS().toDF("ts_us", "value"),
+      refCounts, lo = 0.0, hi = 4.0, watermark = "0 seconds",
+      window_ = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("psi_spec_sink").start()
+    try {
+      ms.addData(w1 ++ w2); q.processAllAvailable()
+      ms.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("psi_spec_sink")
+      .filter(col("bucket_us") < 2 * hourUs).orderBy("bucket_us").collect()
+    assert(rows.length == 2, s"expected 2 closed windows, got ${rows.length}")
+    assert(rows(0).getLong(1) == 160L && rows(0).getDouble(2) == 0.0,
+      s"identical-shape window must score exactly 0, got ${rows(0)}")
+    // batch model for window 2 (n=80, all in bin 0), same smoothing +
+    // scale-12 term rounding as the operator
+    val want = (0 until 4).map { i =>
+      val pb = (if (i == 0) 81.0 else 1.0) / 84.0
+      val pa = 41.0 / 164.0
+      BigDecimal((pb - pa) * math.log(pb / pa))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(rows(1).getLong(1) == 80L &&
+      math.abs(rows(1).getDouble(2) - want) < 1e-12,
+      s"drifted window ${rows(1).getDouble(2)} vs model $want")
+  }
+
   test("Moments sketch runs under Structured Streaming == batch result") {
     val dir = Files.createTempDirectory("graft_skstream").toFile.getPath
     val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))

@@ -433,6 +433,35 @@ class RetrievalSpec extends SparkSpec {
     partitionSweep(mk)
   }
 
+  test("quantilesCont: percentile_cont semantics with ties; edges; " +
+      "matches Spark's own percentile; partition sweep") {
+    // values with heavy ties: 1,1,1,2,5,5,9 (n=7)
+    val df = Seq(1.0, 1.0, 1.0, 2.0, 5.0, 5.0, 9.0).toDF("v")
+    val got = graft.operators.Aggregations.quantilesCont(df, "v",
+        Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    // t = p·6: p=0→v[0]=1; p=.25→t=1.5→1+0.5·(1−1)=1; p=.5→t=3→2;
+    // p=.75→t=4.5→5+0.5·(5−5)=5; p=1→t=6→9 (kHi clamps to n−1)
+    assert(got == Map(0.0 -> 1.0, 0.25 -> 1.0, 0.5 -> 2.0,
+      0.75 -> 5.0, 1.0 -> 9.0))
+    // interpolating case + cross-check against Spark's percentile()
+    val df2 = Seq(10.0, 20.0, 40.0, 80.0).toDF("v")
+    val mine = graft.operators.Aggregations.quantilesCont(df2, "v",
+        Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val ref = df2.agg(
+        percentile(col("v"), lit(0.1)), percentile(col("v"), lit(0.5)),
+        percentile(col("v"), lit(0.9)))
+      .collect().head
+    assert(mine(0.1) == ref.getDouble(0) && mine(0.5) == ref.getDouble(1) &&
+      mine(0.9) == ref.getDouble(2),
+      s"$mine vs (${ref.getDouble(0)}, ${ref.getDouble(1)}, ${ref.getDouble(2)})")
+    partitionSweep { p =>
+      graft.operators.Aggregations.quantilesCont(df.repartition(p), "v",
+        Seq(0.25, 0.5, 0.75)).collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("rankFeatures: golden ranks with ties; deciles balanced and deterministic") {
     // group g: values 1,2,2,4 -> rank 1,2,2,4; n=4; pct = 0,1/3,1/3,1
     val rows = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 2.0), (4L, "g", 4.0),
