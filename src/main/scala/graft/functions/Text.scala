@@ -463,4 +463,65 @@ object Text {
       .filter(col("__rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** PII patterns for [[redactPii]] — (name, regex, replacement), in
+    * REDACTION ORDER (emails first: an email contains dots that the IP
+    * pattern could otherwise nibble). The regex subset is chosen to mean
+    * the same thing under Java regex (Spark) and RE2 (DuckDB — the
+    * oracle replays redaction verbatim): character classes, bounded
+    * counts, and \b only. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b555-[0-9]{4}\\b", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Redact PII spans (emails, phone numbers, IPv4 addresses) — the
+    * scrubbing pass every training-data pipeline runs before release:
+    * each pattern is replaced by its tag, in [[piiPatterns]] order. Pure
+    * chained regexp_replace — rides the scan, no exchange; pair with
+    * [[piiCounts]] for the audit trail. The pattern list is a
+    * starting-set, not a compliance claim: extend piiPatterns for a
+    * deployment's jurisdiction (the mechanism, order semantics, and
+    * engine-portable regex subset are the contract here). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Per-pattern PII match counts (columns `n_<name>`), for redaction
+    * audits and corpus-level PII prevalence stats. Counted on the GIVEN
+    * text — call on the original, not the redacted output. */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+        .as(s"n_$name")
+    }
+
+  /** Per-document unigram LM negative log-likelihood — the CCNet-style
+    * quality signal "how surprising is this doc under the corpus's own
+    * token distribution" (high avg-NLL → rare-token noise; low → boilerplate):
+    * the LM is the corpus token frequency table p(t) = c_t/N, each
+    * token's −ln p is a pinned double, and per-doc accumulation goes
+    * through decimal(28,12) (order-independent — the chiSquareDrift
+    * discipline), with ONE final division by the token count. Plan: one
+    * tokenize pass, a (token) count aggregate (vocabulary-bounded), a
+    * token-keyed join back (AQE broadcasts small vocabularies), the
+    * 1-row N as a broadcast cross join, one (doc) aggregate. Output:
+    * (id, n_tok, avg_nll); empty docs are absent (no tokens to score). */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val lm = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val n = lm.agg(sum(col("__c")).as("__n"))
+    toks.join(lm, "__tok")
+      .crossJoin(broadcast(n))
+      .select(col(idCol),
+        (-log(col("__c").cast("double") / col("__n").cast("double")))
+          .cast("decimal(28,12)").as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("__nll")).as("__s"))
+      .select(col(idCol), col("n_tok"),
+        (col("__s").cast("double") / col("n_tok").cast("double"))
+          .as("avg_nll"))
+  }
 }

@@ -769,6 +769,54 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii/piiCounts: every class redacted and counted, " +
+      "multiples handled, clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach alice.smith+x@sub.example.org or 555-1234 from 192.168.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "a@b.co c.d@e.f.gg twice 555-0000 555-9999 10.0.0.1 8.8.8.8"))
+      .toDF("id", "t")
+    val out = df.select((col("id") +: Text.piiCounts(col("t"))) :+
+        Text.redactPii(col("t")).as("r"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == (1L, 1L, 1L,
+      "reach <EMAIL> or <PHONE> from <IP>"))
+    assert(out(2L) == (0L, 0L, 0L, "no pii here at all"))
+    assert(out(3L) == (2L, 2L, 2L,
+      "<EMAIL> <EMAIL> twice <PHONE> <PHONE> <IP> <IP>"))
+  }
+
+  test("unigramNll: golden model; uniform corpus scores exactly ln V; " +
+      "rare tokens raise the score; partition sweep") {
+    import spark.implicits._
+    // uniform LM: tokens a,b each appear twice → p = 1/2 → every doc's
+    // avg_nll is ln 2 (up to the scale-12 term rounding)
+    val uni = Seq((1L, "a a b"), (2L, "b")).toDF("id", "t")
+    val ru = graft.functions.Text.unigramNll(uni, "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ru(1L)._1 == 3L && ru(2L)._1 == 1L)
+    assert(math.abs(ru(1L)._2 - math.log(2)) < 1e-11)
+    assert(math.abs(ru(2L)._2 - math.log(2)) < 1e-11)
+    // rare token: doc 2's singleton 'z' must score above doc 1's
+    // all-common tokens; golden value from the driver model with the
+    // operator's exact scale-12 term rounding
+    val df = Seq((1L, "a a a"), (2L, "a z")).toDF("id", "t")
+    val r = graft.functions.Text.unigramNll(df, "id", "t")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    def term(c: Long, n: Long) = BigDecimal(-math.log(c.toDouble / n))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val w1 = (term(4, 5) + term(4, 5) + term(4, 5)).toDouble / 3
+    val w2 = (term(4, 5) + term(1, 5)).toDouble / 2
+    assert(math.abs(r(1L) - w1) < 1e-12 && math.abs(r(2L) - w2) < 1e-12)
+    assert(r(2L) > r(1L), "rare-token doc must score higher")
+    partitionSweep { p =>
+      graft.functions.Text.unigramNll(df.repartition(p), "id", "t")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("weightedReservoir: exact k, weight-proportional inclusion, " +
       "nonpositive excluded, top-k plan, determinism") {
     import graft.functions.Sampling
