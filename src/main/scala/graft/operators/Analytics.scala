@@ -671,4 +671,68 @@ object Analytics {
             sqrt(col("__var"))))
       .select("n_a", "n_b", "u_a", "u_b", "z")
   }
+
+  /** Laplace-noised group counts — the ε-differential-privacy RELEASE
+    * mechanism (count sensitivity 1, noise Lap(1/ε) via the inverse
+    * CDF): noisy = n − (1/ε)·sgn(u−½)·ln(1−2|u−½|) with
+    * u = hashU32(key)/2³² the SALT-DERIVED uniform. The deterministic
+    * salt is what makes the mechanism TESTABLE (the oracle replays
+    * every draw bit-for-bit) — and is also the honest caveat: real DP
+    * requires the seed to be secret and fresh per release; pass a
+    * run-unique secret salt in production, the mechanism is unchanged.
+    * One map-side-combined count aggregate; the noise is a per-GROUP
+    * row expression. u = 0 exactly (probability 2⁻³²·|groups|) would
+    * give −∞; guarded to NULL rather than a silent infinity. Output:
+    * key cols + (n, noisy). */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
+                    salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(keyCols.nonEmpty, "need at least one key column")
+    val key = concat_ws("|", keyCols.map(col): _*)
+    val c = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val u = graft.functions.Sampling.hashU32(key, salt)
+      .cast("double") / lit(4294967296.0)
+    c.withColumn("noisy",
+      when(u > 0,
+        col("n").cast("double") - lit(1.0 / epsilon) *
+          signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))))
+  }
+
+  /** Gini coefficient of a non-negative value column — the inequality
+    * summary (token-frequency concentration, spend concentration) in
+    * its rank formulation G = Σᵢ(2i − n − 1)vᵢ / (n·Σv), computed
+    * DISTINCT-VALUE-BOUNDED with the doubled-average-rank identity
+    * Σ_block 2i = c·r2 (r2 = 2·cum_before + c + 1, the spearman/aucRoc
+    * machinery): one (value)-count aggregate, one distinct-value
+    * cumulative window, decimal products end to end
+    * (Σ v·c·r2 exact to ~10³⁸), ONE pinned double chain. Ties
+    * contribute exactly as the sorted-row formula does (the block
+    * identity is algebraic, not an approximation). Output: one row
+    * (n, gini); zero total value (all zeros) yields NULL. */
+  def gini(df: DataFrame, valueCol: String, scale: Int = 2): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("__b", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .agg(max(col("__n")).as("n"),
+        sum(col("__v").cast(s"decimal(20,$scale)") *
+          col("__c").cast("decimal(19,0)") *
+          (lit(2) * col("__b") + col("__c") + 1).cast("decimal(19,0)"))
+          .as("__s1"),
+        sum(col("__v").cast(s"decimal(20,$scale)") *
+          col("__c").cast("decimal(19,0)")).as("__sv"))
+      .withColumn("gini",
+        when(col("__sv").cast("double") =!= 0.0,
+          (col("__s1").cast("double") -
+            (col("n").cast("double") + 1.0) * col("__sv").cast("double")) /
+            (col("n").cast("double") * col("__sv").cast("double"))))
+      .select("n", "gini")
+  }
 }

@@ -236,4 +236,49 @@ object TimeSeries {
         sum(col(valueCol).cast(s"decimal(18,$volumeScale)"))
           .cast("double").as("volume"))
   }
+
+  /** Autocorrelation function of a REGULAR series (one row per integer
+    * time step `tCol`) at lags 1..maxLag:
+    * r_k = Σ_t (v_t − v̄)(v_{t+k} − v̄) / Σ_t (v_t − v̄)² — the
+    * seasonality/periodicity detector behind [[seasonalNaiveError]]'s
+    * lag choice. Exact to the formula: the mean accumulates in decimal
+    * (order-independent) with ONE pinned division, each centered
+    * product is pinned double arithmetic decimal-cast before its sum,
+    * and the lag pairing is an equi-join on t+k (never a window). The
+    * series is normally an AGGREGATE of the corpus (e.g. daily counts —
+    * map-combined, cardinality = time steps), so the ACF's own cost is
+    * series-length-bounded: the lag spine (maxLag rows) joins the
+    * series against its shifted self, broadcast when small. Gaps in t
+    * simply produce fewer pairs at the affected lags (reported as
+    * n_pairs); resample first ([[resampleFill]]) for strict regularity.
+    * Output: (lag, n_pairs, acf), lags ascending; a constant series
+    * (zero variance) yields NULL acf. */
+  def acf(df: DataFrame, tCol: String, valueCol: String,
+          maxLag: Int, meanScale: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = df.select(col(tCol).cast("long").as("__t"),
+      col(valueCol).cast("double").as("__v"))
+    val m = s.agg(
+      (sum(col("__v").cast(s"decimal(18,$meanScale)")).cast("double") /
+        count(lit(1)).cast("double")).as("__mean"))
+    val centered = s.crossJoin(broadcast(m))
+    val den = centered.agg(
+      sum(((col("__v") - col("__mean")) * (col("__v") - col("__mean")))
+        .cast("decimal(28,12)")).cast("double").as("__den"))
+    val lags = df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val a = centered.select(col("__t"), col("__v"), col("__mean"))
+    val b = centered.select(col("__t").as("__tb"), col("__v").as("__vb"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("__tb") === col("__t") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(((col("__v") - col("__mean")) * (col("__vb") - col("__mean")))
+          .cast("decimal(28,12)")).cast("double").as("__num"))
+      .crossJoin(broadcast(den))
+      .withColumn("acf",
+        when(col("__den") > 0, col("__num") / col("__den")))
+      .select("lag", "n_pairs", "acf")
+      .orderBy("lag")
+  }
 }

@@ -538,6 +538,92 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.isNullAt(r1.fieldIndex("v")))
   }
 
+  test("dpNoisyCounts: exact counts, deterministic replayable noise, " +
+      "epsilon scales the noise, salt decorrelates") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (if (i <= 60) "a" else "b", i)).toDF("k", "x")
+    def run(eps: Double, salt: String) =
+      Analytics.dpNoisyCounts(df, Seq("k"), eps, salt)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val r1 = run(1.0, "s1")
+    assert(r1("a")._1 == 60L && r1("b")._1 == 40L)
+    // driver model: same md5 uniform, same inverse-CDF chain
+    def model(key: String, n: Long, eps: Double, salt: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + key).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      n.toDouble - (1.0 / eps) * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    assert(r1("a")._2 == model("a", 60, 1.0, "s1"))
+    assert(r1("b")._2 == model("b", 40, 1.0, "s1"))
+    // determinism + epsilon scaling: noise at eps=0.5 is exactly 2× eps=1's
+    val r2 = run(0.5, "s1")
+    assert(math.abs((r2("a")._2 - 60.0) - 2.0 * (r1("a")._2 - 60.0)) < 1e-12)
+    // a different salt draws different noise
+    assert(run(1.0, "s2")("a")._2 != r1("a")._2)
+    partitionSweep { n =>
+      Analytics.dpNoisyCounts(df.repartition(n), Seq("k"), 1.0, "s1")
+        .orderBy("k").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("gini: perfect equality 0, extreme concentration → (n-1)/n, " +
+      "ties match the sorted-row formula, zero-total NULL") {
+    import spark.implicits._
+    val equal = (1 to 10).map(_ => 5.0).toDF("v")
+    assert(Analytics.gini(equal, "v").collect().head.getAs[Double]("gini")
+      == 0.0)
+    // one holder owns everything: G = (n−1)/n
+    val conc = (0.0 +: Seq.fill(9)(0.0) :+ 100.0).toDF("v")
+    val rc = Analytics.gini(conc, "v").collect().head
+    assert(math.abs(rc.getAs[Double]("gini") - 10.0 / 11.0) < 1e-12)
+    // ties: driver model on the sorted-row formula Σ(2i−n−1)v/(n·Σv)
+    val vs = Seq(1.0, 1.0, 2.0, 4.0, 4.0, 8.0)
+    val rt = Analytics.gini(vs.toDF("v"), "v").collect().head
+    val sorted = vs.sorted
+    val n = sorted.size
+    val want = sorted.zipWithIndex
+      .map { case (v, i) => (2 * (i + 1) - n - 1) * v }.sum /
+      (n * sorted.sum)
+    assert(math.abs(rt.getAs[Double]("gini") - want) < 1e-12)
+    val zeros = Seq(0.0, 0.0).toDF("v")
+    val rz = Analytics.gini(zeros, "v").collect().head
+    assert(rz.isNullAt(rz.fieldIndex("gini")))
+  }
+
+  test("acf: exact sine-free golden on a short series; lag-period peak; " +
+      "constant series NULL; gaps shrink n_pairs") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // period-2 alternation: acf(1) < 0, acf(2) > 0, and the exact values
+    // follow the driver model with the operator's decimal mean
+    val vs = Seq(1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0)
+    val df = vs.zipWithIndex.map { case (v, t) => (t.toLong, v) }.toDF("t", "v")
+    val got = TimeSeries.acf(df, "t", "v", maxLag = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val mean = vs.sum / vs.size // exact at scale 6 (values are integral)
+    def model(k: Int): Double = {
+      def term(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val num = (0 until vs.size - k)
+        .map(t => term((vs(t) - mean) * (vs(t + k) - mean))).sum.toDouble
+      val den = vs.map(v => term((v - mean) * (v - mean))).sum.toDouble
+      num / den
+    }
+    assert(got(1L)._1 == 7L && math.abs(got(1L)._2 - model(1)) < 1e-12)
+    assert(got(2L)._1 == 6L && math.abs(got(2L)._2 - model(2)) < 1e-12)
+    assert(got(1L)._2 < 0 && got(2L)._2 > 0, s"alternation signs: $got")
+    // constant series: zero variance → NULL
+    val const = (0 until 5).map(t => (t.toLong, 3.0)).toDF("t", "v")
+    val rc = TimeSeries.acf(const, "t", "v", 1).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("acf")))
+    // a gap at t=2 removes the pairs touching it
+    val gap = Seq((0L, 1.0), (1L, 2.0), (3L, 4.0), (4L, 5.0)).toDF("t", "v")
+    assert(TimeSeries.acf(gap, "t", "v", 1).collect().head.getLong(1) == 2L)
+  }
+
   test("mannWhitneyU: golden vs driver rank model with ties; " +
       "symmetric fixture → z 0; U identities") {
     import spark.implicits._
