@@ -54,6 +54,49 @@ object Graphs {
     rank
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * concentrated on a SEED set (the relevance-propagation primitive:
+    * "what is near these trusted/curated nodes"): r⁰ = 1 on seeds / 0
+    * elsewhere, and each iteration teleports (1−d) back to the seeds
+    * only — rᵏ(v) = (1−d)·1[v∈seeds] + d·Σ contributions. Same exact
+    * arithmetic contract as pageRank (per-edge double division,
+    * decimal(28,15) contribution sums, one pinned double per
+    * iteration), so the unrolled-iteration SQL oracle replays it
+    * bit-for-bit (q239). Seeds are a driver-side list by contract
+    * (curated sets are small); unknown seed names simply contribute
+    * nothing. Scale shape is pageRank's: per-iteration cost = one
+    * edge⋈rank join keyed on src + one per-node sum — the seed
+    * restriction changes the VALUES, not the plan. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[String], iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(seeds.nonEmpty, "need at least one seed node")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val isSeed = col("node").isin(seeds: _*)
+    var rank = nodes.withColumn("rank",
+      when(isSeed, lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).cast("decimal(28,15)").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__s"))
+      rank = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(1.0) - lit(damping)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(false)
+    }
+    rank
+  }
+
   /** Per-node triangle counts by degree-ordered edge orientation — the
     * published MapReduce triangle-counting shape (Suri & Vassilvitskii,
     * WWW'11; the orientation trick is Chiba–Nishizeki): orient every

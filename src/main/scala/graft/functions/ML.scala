@@ -443,4 +443,53 @@ object ML {
         when(sxx > 0.0 && syy > 0.0, sxy / (sqrt(sxx) * sqrt(syy))))
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
+
+  /** Poisson(1) CDF thresholds for [[bootstrapMeans]]' inverse-CDF draw
+    * (k = first index with u < cdf(k), else 8). Written as explicit
+    * 17-significant-digit literals so the SQL oracle parses the SAME
+    * doubles — never recomputed at runtime. */
+  val poisson1Cdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Poisson bootstrap of a mean — the ONLINE bootstrap (Chamandy et
+    * al.'s Poisson approximation of multinomial resampling): replicate
+    * j weights each row by a deterministic Poisson(1) draw
+    * w = F⁻¹(u_j) with u_j the salt-derived uniform of (id, j), and the
+    * replicate mean is Σw·v / Σw — so B resampled means come out of ONE
+    * corpus scan (2B map-side-combined aggregate expressions — the
+    * OnlineStats Series contract — never B shuffles, never a B×
+    * materialized resample). Deterministic end to end: the md5 uniform,
+    * the 8-step CDF inversion, the decimal Σw·v, and the final division
+    * are all engine-replayable (q240). Downstream CI = quantiles of the
+    * B means (B rows — driver-trivial). Output: (rep, n_eff, mean_rep),
+    * rep ascending; a replicate that draws all-zero weights (p ≈ e⁻ⁿ)
+    * yields NULL mean. */
+  def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                     b: Int, salt: String, scale: Int = 4): DataFrame = {
+    require(b >= 1 && b <= 64, s"b must be in [1,64], got $b")
+    val aggs = (0 until b).flatMap { j =>
+      val u = graft.functions.Sampling.hashU32(
+          concat(col(idCol).cast("string"), lit(s":$j")), salt)
+        .cast("double") / lit(4294967296.0)
+      val w = poisson1Cdf.zipWithIndex
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (acc, (t, k)) =>
+            Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
+        }.get.otherwise(poisson1Cdf.length).cast("long")
+      Seq(sum(w).as(s"__n$j"),
+        sum(w.cast("decimal(19,0)") *
+          col(valueCol).cast(s"decimal(18,$scale)")).as(s"__s$j"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until b)
+      .map(j => s"${j}L, __n$j, __s$j").mkString(", ")
+    one.select(expr(s"stack($b, $stackArgs) as (rep, n_eff, __s)"))
+      .select(col("rep"), col("n_eff"),
+        when(col("n_eff") > 0,
+          col("__s").cast("double") / col("n_eff").cast("double"))
+          .as("mean_rep"))
+      .orderBy("rep")
+  }
 }

@@ -405,6 +405,62 @@ class RetrievalSpec extends SparkSpec {
     assert(got.values.forall(_ >= base))
   }
 
+  test("personalizedPageRank: seed-restricted teleport on a ring golden; " +
+      "non-seed components stay at zero") {
+    import spark.implicits._
+    // ring a→b→c→a plus a detached pair x→y; seed = a
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("x", "y")).toDF("s", "d")
+    val got = graft.functions.Graphs.personalizedPageRank(e, "s", "d",
+        seeds = Seq("a"), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // outdegs all 1, so each contribution is the rank itself through the
+    // operator's decimal(28,15) cast; r0 = (1,0,0,0,0)
+    def dec(x: Double) = BigDecimal(x)
+      .setScale(15, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = 1.0 - 0.85
+    val r1 = Map("a" -> (base + 0.85 * dec(0.0)),
+      "b" -> (0.0 + 0.85 * dec(1.0)), "c" -> (0.0 + 0.85 * dec(0.0)))
+    val want = Map("a" -> (base + 0.85 * dec(r1("c"))),
+      "b" -> (0.0 + 0.85 * dec(r1("a"))),
+      "c" -> (0.0 + 0.85 * dec(r1("b"))),
+      "x" -> 0.0, "y" -> 0.0)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("bootstrapMeans: exact md5 driver model per replicate; " +
+      "means concentrate near the true mean; partition sweep") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (s"r$i", i.toDouble)).toDF("rid", "v")
+    val got = graft.functions.ML.bootstrapMeans(df, "rid", "v",
+        b = 8, salt = "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == 8)
+    // driver model for replicate 0: same md5 uniform, same CDF chain,
+    // same decimal(18,4) weighted sum and division
+    def weight(id: String, rep: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("t" + id + s":$rep").getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      graft.functions.ML.poisson1Cdf.indexWhere(u < _) match {
+        case -1 => 8L case k => k.toLong
+      }
+    }
+    val ws = (1 to 200).map(i => (weight(s"r$i", 0), i.toDouble))
+    val nEff = ws.map(_._1).sum
+    val sum = ws.map { case (w, v) =>
+      BigDecimal(w) * BigDecimal(v).setScale(4) }.sum
+    assert(got(0L)._1 == nEff)
+    assert(got(0L)._2 == sum.toDouble / nEff.toDouble)
+    // all replicate means within a loose band of the true mean 100.5
+    assert(got.values.forall(m => math.abs(m._2 - 100.5) < 15),
+      s"bootstrap means drifted: $got")
+    partitionSweep { p =>
+      graft.functions.ML.bootstrapMeans(df.repartition(p), "rid", "v",
+        b = 4, salt = "t").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("rollingAgg: golden trailing frame (inclusive bounds, equal-ts peers)") {
     val rows = Seq(
       (1L, 0L, 10L, 1.0), (2L, 0L, 15L, 2.0), (3L, 0L, 20L, 4.0),
