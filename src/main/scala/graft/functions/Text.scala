@@ -497,6 +497,62 @@ object Text {
         .as(s"n_$name")
     }
 
+  /** Two-level public suffixes [[registrableDomain]] recognizes — a
+    * deliberately SMALL shared list (the mechanism under test is the
+    * label arithmetic; a deployment swaps in the full Public Suffix
+    * List, same code path). Shared with the SQL oracle. */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "com.au", "co.jp", "org.uk", "ac.uk", "gov.uk", "com.br")
+
+  /** Registrable domain of a hostname — THE grouping key of web-corpus
+    * curation (domain quotas, per-site caps, blocklists): subdomains
+    * collapse (`a.b.site.co.uk` → `site.co.uk`) by taking the last two
+    * labels, or three when the last two are a recognized two-level
+    * public suffix. Pure per-row array arithmetic — rides the scan.
+    * Hostnames with fewer than two labels pass through unchanged. */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3),
+      element_at(parts, -2), element_at(parts, -1))
+    when(size(parts) >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
+      .when(size(parts) >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** KL divergence between two slices' unigram LMs,
+    * KL(P_a ‖ P_b) = Σ_vocab p·ln(p/q) with Laplace smoothing over the
+    * UNION vocabulary (q defined everywhere P is) — the text-domain
+    * drift detector ([[graft.operators.Analytics.psi]]'s cousin for
+    * token distributions; asymmetric by design: "how surprised is a
+    * B-trained model reading A"). Exact: one token-count aggregate
+    * keyed by token with both groups as conditional sums
+    * (vocabulary-bounded), a broadcast 1-row totals frame, pinned
+    * per-token terms, decimal(28,12) accumulation. Output: one row
+    * (n_a, n_b, vocab, kl). */
+  def unigramKl(df: org.apache.spark.sql.DataFrame, textCol: String,
+                groupCol: String, groupA: String, groupB: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"),
+        explode(tokens(col(textCol))).as("__tok"))
+    val c = toks.groupBy(col("__tok"))
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+    val tot = c.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      count(lit(1)).as("__v"))
+    val p = (col("__ca") + 1).cast("double") /
+      (col("__na") + col("__v")).cast("double")
+    val q = (col("__cb") + 1).cast("double") /
+      (col("__nb") + col("__v")).cast("double")
+    c.crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"), col("__v"),
+        (p * log(p / q)).cast("decimal(28,12)").as("__term"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__v").as("vocab"))
+      .agg(sum(col("__term")).cast("double").as("kl"))
+  }
+
   /** Per-document unigram LM negative log-likelihood — the CCNet-style
     * quality signal "how surprising is this doc under the corpus's own
     * token distribution" (high avg-NLL → rare-token noise; low → boilerplate):

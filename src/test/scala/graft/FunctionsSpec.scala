@@ -769,6 +769,55 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("registrableDomain: subdomain collapse, two-level suffixes, " +
+      "short hosts pass through") {
+    import spark.implicits._
+    val cases = Seq(
+      "www.example.com" -> "example.com",
+      "a.b.c.example.co.uk" -> "example.co.uk",
+      "example.com.au" -> "example.com.au",
+      "deep.example.com.au" -> "example.com.au",
+      "example.org" -> "example.org",
+      "localhost" -> "localhost",
+      "co.uk" -> "co.uk") // two labels that ARE a suffix: nothing above them
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), Text.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"$h → ${got(h)}, want $want")
+    }
+  }
+
+  test("unigramKl: identical slices → exactly 0; disjoint vocab raises " +
+      "it; asymmetry; driver model") {
+    import spark.implicits._
+    // identical token distributions → p == q per token → kl == 0
+    val same = Seq(("a", "x y x"), ("b", "x y x")).toDF("g", "t")
+    val r0 = graft.functions.Text.unigramKl(same, "t", "g", "a", "b")
+      .collect().head
+    assert(r0.getAs[Double]("kl") == 0.0 && r0.getAs[Long]("vocab") == 2L)
+    // drifted: driver model with the operator's smoothing + rounding
+    val df = Seq(("a", "x x y"), ("b", "x z z z")).toDF("g", "t")
+    val r = graft.functions.Text.unigramKl(df, "t", "g", "a", "b")
+      .collect().head
+    val counts = Map("x" -> (2L, 1L), "y" -> (1L, 0L), "z" -> (0L, 3L))
+    val (na, nb, v) = (3L, 4L, 3L)
+    val want = counts.values.map { case (ca, cb) =>
+      val p = (ca + 1).toDouble / (na + v).toDouble
+      val q = (cb + 1).toDouble / (nb + v).toDouble
+      BigDecimal(p * math.log(p / q))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb &&
+      r.getAs[Long]("vocab") == v)
+    assert(math.abs(r.getAs[Double]("kl") - want) < 1e-12)
+    assert(r.getAs[Double]("kl") > 0.0)
+    // asymmetry: KL(a‖b) != KL(b‖a) on this fixture
+    val rev = graft.functions.Text.unigramKl(df, "t", "g", "b", "a")
+      .collect().head.getAs[Double]("kl")
+    assert(rev != r.getAs[Double]("kl"))
+  }
+
   test("redactPii/piiCounts: every class redacted and counted, " +
       "multiples handled, clean text untouched") {
     import spark.implicits._
