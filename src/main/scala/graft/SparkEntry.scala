@@ -393,5 +393,11 @@ object SparkEntry {
     // means the optimizer rule stopped firing and the raw fact scan
     // silently returned). Previously none had a headline line, so a
     // plan regression in any was invisible between rounds.
-    "q160_pagerank", "q196_bfs_distances", "q200_mv_rewrite")
+    "q160_pagerank", "q196_bfs_distances", "q200_mv_rewrite",
+    // round-12 operator additions with non-trivial plans: the unigram-LM
+    // scorer (tokenize + vocab aggregate + token join + doc aggregate)
+    // and the Poisson bootstrap (one scan fanned into 2B combined
+    // aggregate expressions — a regression in the single-exchange
+    // Series contract would show here)
+    "q234_unigram_nll", "q240_bootstrap_means")
 }

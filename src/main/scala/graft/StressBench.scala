@@ -770,7 +770,23 @@ object StressBench {
       "bm25warm_b16" -> (() => bm25Arm(16)),
       "bm25warm_b256" -> (() => bm25Arm(256)),
       "ivfwarm_n16" -> (() => ivfArm(16)),
-      "ivfwarm_n256" -> (() => ivfArm(256)))
+      "ivfwarm_n256" -> (() => ivfArm(256)),
+      // Spearman formulation A/B (round 12): the r11 VERDICT flagged the
+      // row-window form (two full-table ranking windows — every row
+      // through ONE task) as the registry's perf-weak spot; the rework
+      // is distinct-value-bounded. Same 10M-row input, ~370 x-values ×
+      // 1k y-values: the window arm sorts 10M rows in one task twice,
+      // the distinct arm's single-task windows see ≤1k rows. Bit-equal
+      // results (spec-pinned) — this pair measures the plan difference
+      // alone.
+      "spearman_rowwindow" -> (() => graft.operators.Analytics.spearmanRowWindow(
+        spark.read.parquet(s"$root/events_stress")
+          .select(floor(col("value")).as("x"), pmod(col("user_id"), lit(997L)).as("y")),
+        "x", "y")),
+      "spearman_distinct" -> (() => graft.operators.Analytics.spearman(
+        spark.read.parquet(s"$root/events_stress")
+          .select(floor(col("value")).as("x"), pmod(col("user_id"), lit(997L)).as("y")),
+        "x", "y")))
 
     // Cold-cache arms: page cache dropped before EVERY iteration
     // (warmup included), making the scan IO-bound — the local analog of
