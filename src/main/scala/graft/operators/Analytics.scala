@@ -699,6 +699,51 @@ object Analytics {
           signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))))
   }
 
+  /** Kendall τ-b rank correlation — the concordance-based complement of
+    * [[spearman]] (τ weights pair AGREEMENT, ρ weights rank distance;
+    * τ-b is the tie-corrected form): from the (x,y)-pair count table,
+    * concordant/discordant mass is a self-join on x₂ > x₁ with c₁·c₂
+    * weights in decimal(38,0), tie corrections n₁ = Σ_x tx(tx−1)/2 and
+    * n₂ ride the marginal aggregates, and
+    * τ_b = (nc − nd)/√((n₀−n₁)(n₀−n₂)) is one pinned double chain.
+    * Plan contract: everything after the first aggregate is bounded by
+    * DISTINCT-PAIR cardinality — the self-join compares
+    * |pairs|² ≪ n² cells (the documented gate: τ over raw continuous
+    * columns should be bucketed first, exactly like ksTest's
+    * distinct-value contract). Output: one row (n, nc, nd, tau_b);
+    * all-tied axes give NULL. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pairs = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val a = pairs.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").as("__ca"))
+    val b = pairs.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").as("__cb"))
+    val cd = a.join(b, col("__xb") > col("__xa"))
+      .agg(
+        sum(when(col("__yb") > col("__ya"), dec(col("__ca")) * col("__cb"))
+          .otherwise(dec(lit(0)))).as("__nc"),
+        sum(when(col("__yb") < col("__ya"), dec(col("__ca")) * col("__cb"))
+          .otherwise(dec(lit(0)))).as("__nd"))
+    def tieSum(key: String) = pairs.groupBy(col(key))
+      .agg(sum(col("__c")).as("__s"))
+      .agg(sum(dec(col("__s")) * (col("__s") - 1)).as("__t"))
+    val tx = tieSum("__x").select(col("__t").as("__tx"))
+    val ty = tieSum("__y").select(col("__t").as("__ty"))
+    val tot = pairs.agg(sum(col("__c")).as("n"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(tot))
+      .withColumn("__n0", d(col("n")) * (d(col("n")) - 1) / 2.0)
+      .withColumn("__d1", col("__n0") - d(col("__tx")) / 2.0)
+      .withColumn("__d2", col("__n0") - d(col("__ty")) / 2.0)
+      .select(col("n"), d(col("__nc")).as("nc"), d(col("__nd")).as("nd"),
+        when(col("__d1") > 0 && col("__d2") > 0,
+          (d(col("__nc")) - d(col("__nd"))) /
+            sqrt(col("__d1") * col("__d2"))).as("tau_b"))
+  }
+
   /** Gini coefficient of a non-negative value column — the inequality
     * summary (token-frequency concentration, spend concentration) in
     * its rank formulation G = Σᵢ(2i − n − 1)vᵢ / (n·Σv), computed

@@ -146,4 +146,31 @@ object Sessions {
       .select((keyCols :+ "session_start" :+ "session_end" :+
         "n_events" :+ "sum_value").map(col): _*)
   }
+
+  /** First-order Markov transition matrix of a per-key event sequence —
+    * the behavioral model behind next-event prediction and anomaly
+    * scoring ("this session's transitions are improbable"): each key's
+    * events are ordered by (ts, tie) and every consecutive (prev → next)
+    * type pair is counted; P(next | prev) = c / Σ_next c is ONE pinned
+    * division per cell. Plan: one per-KEY lag window (per-key sequential
+    * bound — the sessionization contract; sequences are bounded per key,
+    * never corpus-length), then a map-side-combined (prev, next) count
+    * aggregate whose cardinality is |types|², and a broadcast-joined
+    * per-prev marginal. Output: (prev, next, c, p). First events (no
+    * predecessor) are excluded by definition. */
+  def markovTransitions(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val t = df
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev"), col(typeCol).as("next"))
+      .agg(count(lit(1)).as("c"))
+    val tot = t.groupBy(col("prev").as("__p2")).agg(sum(col("c")).as("__n"))
+    t.join(broadcast(tot), col("prev") === col("__p2"))
+      .select(col("prev"), col("next"), col("c"),
+        (col("c").cast("double") / col("__n").cast("double")).as("p"))
+  }
 }

@@ -538,6 +538,80 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.isNullAt(r1.fieldIndex("v")))
   }
 
+  test("kendallTau: perfect concordance/discordance, golden tie model, " +
+      "all-tied NULL, partition sweep") {
+    import spark.implicits._
+    val up = (1L to 6L).map(i => (i, i * 10)).toDF("x", "y")
+    assert(Analytics.kendallTau(up, "x", "y").collect().head
+      .getAs[Double]("tau_b") == 1.0)
+    val down = (1L to 6L).map(i => (i, -i)).toDF("x", "y")
+    assert(Analytics.kendallTau(down, "x", "y").collect().head
+      .getAs[Double]("tau_b") == -1.0)
+    // ties on both axes: driver pairwise model
+    val xs = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 1L), (3L, 2L),
+      (3L, 3L), (3L, 3L))
+    val r = Analytics.kendallTau(xs.toDF("x", "y"), "x", "y").collect().head
+    val pairsIdx = for {
+      i <- xs.indices; j <- xs.indices if i < j
+    } yield (xs(i), xs(j))
+    val nc = pairsIdx.count { case ((x1, y1), (x2, y2)) =>
+      (x1 - x2) * (y1 - y2) > 0 }
+    val nd = pairsIdx.count { case ((x1, y1), (x2, y2)) =>
+      (x1 - x2) * (y1 - y2) < 0 }
+    val n = xs.size.toDouble
+    def tie(vs: Seq[Long]) = vs.groupBy(identity).values
+      .map(g => g.size.toDouble * (g.size - 1) / 2).sum
+    val n0 = n * (n - 1) / 2
+    val want = (nc - nd) /
+      math.sqrt((n0 - tie(xs.map(_._1))) * (n0 - tie(xs.map(_._2))))
+    assert(r.getAs[Double]("nc") == nc.toDouble)
+    assert(r.getAs[Double]("nd") == nd.toDouble)
+    assert(math.abs(r.getAs[Double]("tau_b") - want) < 1e-12)
+    // constant x: every pair tied → denominator 0 → NULL
+    val flat = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("x", "y")
+    val rf = Analytics.kendallTau(flat, "x", "y").collect().head
+    assert(rf.isNullAt(rf.fieldIndex("tau_b")))
+    partitionSweep { p =>
+      Analytics.kendallTau(xs.toDF("x", "y").repartition(p), "x", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("markovTransitions: golden chain with ts tiebreak; first events " +
+      "excluded; rows sum to 1 per prev; partition sweep") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    // u1: A→B→A (ordered by ts); u2: ts tie at 5 broken by id (3 before
+    // 4): A→B; u3: singleton, contributes nothing
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (2L, 1L, 20L, "B"), (3L, 1L, 30L, "A"),
+      (4L, 2L, 5L, "A"), (5L, 2L, 5L, "B"),
+      (6L, 3L, 1L, "C")).toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Sessions.markovTransitions(ev, Seq("user_id"), "ts_us",
+        "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // transitions: A→B (u1), B→A (u1), A→B (u2) — no C rows
+    assert(got == Map(
+      ("A", "B") -> (2L, 1.0),
+      ("B", "A") -> (1L, 1.0)))
+    // per-prev probabilities always sum to 1
+    val ev2 = Seq(
+      (1L, 1L, 1L, "A"), (2L, 1L, 2L, "B"), (3L, 1L, 3L, "A"),
+      (4L, 1L, 4L, "C"), (5L, 1L, 5L, "A"), (6L, 1L, 6L, "B"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val byPrev = Sessions.markovTransitions(ev2, Seq("user_id"), "ts_us",
+        "event_type", "event_id")
+      .collect().groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(_.getDouble(3)).sum }
+    assert(byPrev.values.forall(s => math.abs(s - 1.0) < 1e-12), s"$byPrev")
+    partitionSweep { p =>
+      Sessions.markovTransitions(ev.repartition(p), Seq("user_id"),
+          "ts_us", "event_type", "event_id")
+        .orderBy("prev", "next").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("dpNoisyCounts: exact counts, deterministic replayable noise, " +
       "epsilon scales the noise, salt decorrelates") {
     import spark.implicits._
