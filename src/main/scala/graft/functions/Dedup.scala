@@ -360,6 +360,46 @@ object Dedup {
     pairStage(shFiltered, threshold, joinStrategy)
   }
 
+  /** Shingle CONTAINMENT pairs — the asymmetric near-dup Jaccard
+    * misses: a short doc quoted inside a long one has
+    * J = |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment
+    * C(A→B) = |A∩B|/|A| ≈ 1 — exactly the quote/excerpt/boilerplate-
+    * subset relation corpus curation wants to catch ([[exactSubstr]]
+    * finds verbatim shared passages; this finds shingle-SET inclusion,
+    * robust to small edits inside the quote). Same machinery and scale
+    * contracts as [[jaccardPairs]] — the (id, sz, s) inverted index,
+    * the optional maxDF hot-shingle cap (containment is then defined
+    * over the surviving sets, sizes recounted), SHUFFLE_HASH on the
+    * self-join — with BOTH directions reported per pair
+    * (c_ij = n/|Sᵢ|, c_ji = n/|Sⱼ|) and the pair kept when either
+    * reaches the threshold. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double, maxDF: Long = 0L,
+                       hashShingles: Boolean = false,
+                       joinStrategy: String = "shuffle_hash"): DataFrame = {
+    require(Set("shuffle_hash", "merge", "broadcast").contains(joinStrategy),
+      s"joinStrategy must be shuffle_hash|merge|broadcast, got: $joinStrategy")
+    val sh = jaccardIndex(df, idCol, textCol, n, hashShingles)
+    val shFiltered =
+      if (maxDF > 0) {
+        capHotKeys(sh, "s", "id", maxDF, distinctPerDoc = true)
+          .withColumn("sz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      } else sh
+    val a = shFiltered.hint(joinStrategy).as("a")
+    val b = shFiltered.hint(joinStrategy).as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("n_common"),
+        min(col("a.sz")).as("sz_i"), min(col("b.sz")).as("sz_j"))
+      .withColumn("c_ij",
+        col("n_common").cast("double") / col("sz_i").cast("double"))
+      .withColumn("c_ji",
+        col("n_common").cast("double") / col("sz_j").cast("double"))
+      .filter(greatest(col("c_ij"), col("c_ji")) >= threshold)
+      .select(col("i"), col("j"), col("n_common"), col("c_ij"), col("c_ji"))
+  }
+
   /** The self-join + intersection + Jaccard stage over an (id, sz, s)
     * inverted index — ONE implementation shared by the lazy operator
     * ([[jaccardPairs]]) and the persisted-index form

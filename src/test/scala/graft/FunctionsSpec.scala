@@ -769,6 +769,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: catches the quote relation Jaccard misses; " +
+      "directionality; threshold; capped path defined") {
+    import spark.implicits._
+    val long = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15"
+    val quote = "t0 t1 t2 t3 t4 t5" // first 6 tokens → 4 shingles, all in long
+    val other = "u0 u1 u2 u3 u4 u5 u6 u7"
+    val df = Seq((1L, long), (2L, quote), (3L, other)).toDF("id", "t")
+    val got = Dedup.containmentPairs(df, "id", "t", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // (1,2): quote's 4 shingles all inside long's 14 → c_ji = 1.0,
+    // c_ij = 4/14; Jaccard = 4/14 ≈ 0.29 would never pass 0.9
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == ((4L, 4.0 / 14.0, 1.0)))
+    val jac = Dedup.jaccardPairs(df, "id", "t", n = 3, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at the same threshold must miss the quote")
+    // below threshold: nothing survives
+    assert(Dedup.containmentPairs(df, "id", "t", n = 3, threshold = 1.01)
+      .collect().isEmpty)
+    // capped path: containment recomputed over surviving sets stays
+    // defined and deterministic
+    partitionSweep { p =>
+      Dedup.containmentPairs(df.repartition(p), "id", "t", n = 3,
+          threshold = 0.9, maxDF = 10)
+        .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("registrableDomain: subdomain collapse, two-level suffixes, " +
       "short hosts pass through") {
     import spark.implicits._
