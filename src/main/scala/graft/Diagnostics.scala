@@ -179,4 +179,35 @@ object Diagnostics {
       spark.sparkContext.removeSparkListener(sl)
     }
   }
+
+  /** One-pass column profiler — the `describe`-style EDA table (count /
+    * nulls / exact distinct / min / max per column) as ONE aggregate:
+    * 5·k expressions over a single scan (multiple exact distincts plan
+    * through Spark's Expand — one exchange carries every column's
+    * partials), then a stack to one row per column. min/max are cast to
+    * string AFTER aggregating in the native type, so ordering semantics
+    * are the column's own; callers comparing across engines should
+    * profile integer/string columns (float → string formatting is
+    * engine-specific). Output: (col_name, n, n_null, n_distinct,
+    * min_v, max_v), one row per requested column. */
+  def profile(df: org.apache.spark.sql.DataFrame,
+              cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(lit(1)).as(s"__n$i"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn$i"),
+        countDistinct(col(c)).as(s"__nd$i"),
+        min(col(c)).cast("string").as(s"__mn$i"),
+        max(col(c)).cast("string").as(s"__mx$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'$c', __n$i, __nn$i, __nd$i, __mn$i, __mx$i" }
+      .mkString(", ")
+    one.select(expr(
+        s"stack(${cols.length}, $stackArgs) as " +
+          "(col_name, n, n_null, n_distinct, min_v, max_v)"))
+      .orderBy("col_name")
+  }
 }

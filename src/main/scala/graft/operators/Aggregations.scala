@@ -227,6 +227,42 @@ object Aggregations {
     * be the single-task scale killer; KHist (q43) is the
     * sketch-accuracy tier. Output: one row per p — (p, n, value),
     * ordered by p. Null values are excluded (SQL convention). */
+  /** Exact α-trimmed mean — the robust location estimate (outlier-
+    * resistant where the plain mean is one corrupt row away from
+    * garbage), DISTINCT-VALUE-BOUNDED like [[quantilesCont]]: k =
+    * ⌊α·n⌋ rows are dropped from EACH tail by rank-interval overlap
+    * (per distinct value, kept weight = |[s, s+c) ∩ [k, n−k)| — partial
+    * boundary blocks contribute exactly their surviving multiplicity),
+    * the kept mass sums in decimal, and the mean is ONE pinned
+    * division. No row sort anywhere. Output: one row
+    * (n, n_kept, mean); α must leave at least one row. */
+  def trimmedMean(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                  alpha: Double, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0.0 && alpha < 0.5, s"alpha $alpha must be in [0, 0.5)")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
+    counts
+      .withColumn("__s", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__w", greatest(lit(0L),
+        least(col("__s") + col("__c"), col("__n") - k) -
+          greatest(col("__s"), k)))
+      .filter(col("__w") > 0)
+      .agg(max(col("__n")).as("n"),
+        (max(col("__n")) - lit(2) * max(k)).as("n_kept"),
+        sum(col("__w").cast("decimal(19,0)") * col("__v")).as("__sum"))
+      .withColumn("mean",
+        col("__sum").cast("double") / col("n_kept").cast("double"))
+      .select("n", "n_kept", "mean")
+  }
+
   def quantilesCont(df: org.apache.spark.sql.DataFrame, valueCol: String,
                     ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),

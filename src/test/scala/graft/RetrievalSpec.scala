@@ -518,6 +518,45 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("trimmedMean: golden with boundary-splitting ties; alpha=0 is the " +
+      "plain mean; outlier resistance; partition sweep") {
+    import graft.operators.Aggregations
+    // 10 values, alpha=0.2 → k=2: drop {1,1} and {90,100};
+    // the tie block {5,5,5} is INSIDE; boundary block {2,2} is split
+    // (one of the two 2s survives at rank 2): kept = 2,3,4,5,5,5 → wait
+    // values: 1,1,2,3,4,5,5,5,90,100 → ranks 0..9, keep [2,8) =
+    // 2,3,4,5,5,5 → mean 4.0
+    val vs = Seq(1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0, 90.0, 100.0)
+    val df = vs.toDF("v")
+    val r = Aggregations.trimmedMean(df, "v", alpha = 0.2).collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 4.0)
+    // alpha 0: exactly the decimal mean
+    val r0 = Aggregations.trimmedMean(df, "v", alpha = 0.0).collect().head
+    assert(r0.getLong(1) == 10L && r0.getDouble(2) == vs.sum / 10)
+    // robustness: a huge outlier moves the mean, not the trimmed mean
+    val poisoned = (vs.dropRight(1) :+ 1.0e9).toDF("v")
+    assert(Aggregations.trimmedMean(poisoned, "v", 0.2)
+      .collect().head.getDouble(2) == 4.0)
+    partitionSweep { p =>
+      Aggregations.trimmedMean(df.repartition(p), "v", 0.2)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("profile: exact per-column stats incl. boundary-split ties and nulls") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (3L, Some("a"))).toDF("id", "s")
+    val got = Diagnostics.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("id") == (4L, 0L, 3L, "1", "3"))
+    // countDistinct and min/max ignore nulls; n_null counts them
+    assert(got("s") == (4L, 1L, 2L, "a", "b"))
+  }
+
   test("rankFeatures: golden ranks with ties; deciles balanced and deterministic") {
     // group g: values 1,2,2,4 -> rank 1,2,2,4; n=4; pct = 0,1/3,1/3,1
     val rows = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 2.0), (4L, "g", 4.0),
