@@ -273,6 +273,48 @@ object Streams {
       }
   }
 
+  /** Per-key state of [[streamingTransitions]]: the last event seen, so
+    * a transition spanning a micro-batch boundary is emitted when its
+    * successor arrives. */
+  final case class SeqEvent(key: Long, tsUs: Long, eventId: Long,
+                            eventType: String)
+  final case class LastEvent(eventType: String, tsUs: Long, eventId: Long)
+
+  /** Streaming Markov transitions — the live twin of
+    * [[graft.operators.Sessions.markovTransitions]]: per key, each
+    * micro-batch's events are sorted by (ts, id) (the in-batch iterator
+    * order is NOT guaranteed — sorting inside the group restores the
+    * batch operator's window order), every consecutive (prev → next)
+    * pair is emitted INCLUDING the pair that spans the previous batch
+    * (state = the key's last event), and state advances to the batch's
+    * last event. Counting/normalizing is the consumer's aggregate over
+    * the emitted pair stream (q249 drives two batches and gates the
+    * final matrix against the batch oracle VERBATIM). State is O(1) per
+    * key; in production bound it with EventTimeTimeout exactly as
+    * [[streamingDedupBounded]] does — unbounded keys, bounded state.
+    * CONTRACT: correctness of cross-batch transitions assumes per-key
+    * event-time ordering ACROSS batches (replay/backfill in order, the
+    * cdcSink sequencing argument); late events inside one batch are
+    * repaired by the sort, late events across batches would need a
+    * watermark-buffered variant. */
+  def streamingTransitions(ds: Dataset[SeqEvent]): Dataset[(Long, String, String)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[LastEvent, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[SeqEvent], state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += ((key, p.eventType, e.eventType)))
+            prev = Some(LastEvent(e.eventType, e.tsUs, e.eventId))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Bounded-state streaming dedup — the form that runs indefinitely at
     * 100 TB. State per key = last-seen event time; a key expires once the
     * watermark passes last-seen + `ttlMs` (EventTimeTimeout fires, state

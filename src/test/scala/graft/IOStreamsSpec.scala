@@ -306,6 +306,32 @@ class IOStreamsSpec extends SparkSpec {
       s"drifted window ${rows(1).getDouble(2)} vs model $want")
   }
 
+  test("streamingTransitions: cross-batch boundary pair from state, " +
+      "in-batch disorder repaired by the group sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[Streams.SeqEvent](spark)
+    val q = Streams.streamingTransitions(ms.toDS())
+      .toDF("k", "prev", "next")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st_spec_sink").start()
+    try {
+      // batch 1, user 7: events delivered OUT of ts order (30 before 10)
+      ms.addData(Seq(Streams.SeqEvent(7L, 30L, 3L, "C"),
+        Streams.SeqEvent(7L, 10L, 1L, "A"), Streams.SeqEvent(7L, 20L, 2L, "B")))
+      q.processAllAvailable()
+      // batch 2: the boundary transition C→D must come out of state
+      ms.addData(Seq(Streams.SeqEvent(7L, 40L, 4L, "D"),
+        Streams.SeqEvent(8L, 5L, 5L, "X"))) // fresh key: no transition yet
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq((7L, "A", "B"), (7L, "B", "C"), (7L, "C", "D")),
+      s"got $got")
+  }
+
   test("Moments sketch runs under Structured Streaming == batch result") {
     val dir = Files.createTempDirectory("graft_skstream").toFile.getPath
     val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
