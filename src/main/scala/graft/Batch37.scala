@@ -13,7 +13,7 @@ private[graft] object Batch37 {
     * spellings covering plain 2-label hosts, www/cdn/deep subdomains,
     * and two-level public suffixes — the shapes registrableDomain must
     * collapse correctly. Shared by q241/q242 and their oracles. */
-  private def hosts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def hosts(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val id = col("doc_id")
     val site = concat(lit("site"), (id % 7).cast("string"))
     Tables.documents(s, dir).select(id,
@@ -24,7 +24,7 @@ private[graft] object Batch37 {
         .otherwise(concat(site, lit(".net"))).as("host"))
   }
 
-  private val hostsSql =
+  private[graft] val hostsSql =
     """SELECT doc_id,
       |    CASE CAST(doc_id % 5 AS INTEGER)
       |      WHEN 0 THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
@@ -34,7 +34,7 @@ private[graft] object Batch37 {
       |      ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.net' END AS host
       |  FROM documents""".stripMargin
 
-  private val domainSql =
+  private[graft] val domainSql =
     """CASE WHEN len(parts) >= 3 AND
       |      (parts[-2] || '.' || parts[-1]) IN ('co.uk', 'com.au', 'co.jp', 'org.uk', 'ac.uk', 'gov.uk', 'com.br')
       |    THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]

@@ -176,4 +176,32 @@ object Sampling {
       .limit(k)
       .drop("__w")
   }
+
+  /** Per-GROUP weighted reservoir — the QUOTA sampler ("at most k docs
+    * per domain, drawn proportional-to-weight"): [[weightedReservoir]]'s
+    * deterministic A-Res priorities ranked inside each group by a
+    * window, keeping `rank ≤ k`. The canonical domain-cap pass of
+    * web-corpus curation (boilerplate farms contribute k docs, not
+    * millions), composing with [[graft.functions.Text.registrableDomain]]
+    * as the group key. Scale shape: ONE window exchange keyed on the
+    * group; WindowGroupLimit pushes per-partition top-k, so the
+    * exchange carries ≤ k rows per group, not the corpus — groups with
+    * fewer than k positive-weight rows keep them all. Output: the kept
+    * rows + (priority, rank). */
+  def weightedReservoirByKey(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, weight: Column, k: Int,
+                             salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val u = (hashU32(col(idCol), salt) + 1).cast("double") / 4294967296.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("priority").desc, col(idCol).asc)
+    df.withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0.0)
+      .withColumn("priority", log(u) / col("__w"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__w")
+  }
 }

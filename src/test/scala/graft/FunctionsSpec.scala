@@ -925,6 +925,47 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("weightedReservoirByKey: per-group cap, small groups kept whole, " +
+      "nonpositive excluded, WindowGroupLimit plan, determinism") {
+    import graft.functions.Sampling
+    // 4 groups: g0 has 100 rows, g1 has 50, g2 has 2 (< k), g3 all zero-weight
+    val df = spark.range(160).select(col("id"),
+      when(col("id") < 100, "g0").when(col("id") < 150, "g1")
+        .when(col("id") < 152, "g2").otherwise("g3").as("g"),
+      when(col("id") >= 152, 0.0).otherwise((col("id") % 7 + 1).cast("double")).as("w"))
+    val got = Sampling.weightedReservoirByKey(df, Seq("g"), "id", col("w"),
+      k = 5, salt = "byk")
+    val rows = got.collect()
+    val byG = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // full groups capped at exactly k; the 2-row group keeps both;
+    // the all-zero-weight group vanishes entirely
+    assert(byG == Map("g0" -> 5, "g1" -> 5, "g2" -> 2), s"group sizes: $byG")
+    // rank is 1..n by priority desc within each group
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length).toSeq)
+      val pr = sorted.map(_.getAs[Double]("priority")).toSeq
+      assert(pr == pr.sorted.reverse, s"rank order != priority desc: $pr")
+    }
+    // same (salt, id, w) ⇒ same priority as the global sampler's formula:
+    // keep-set of the global form restricted to one group equals the
+    // per-key form on that group (both are A-Res top-k by priority)
+    val g0 = df.filter(col("g") === "g0")
+    val global = Sampling.weightedReservoir(g0, "id", col("w"), k = 5,
+      salt = "byk").select("id").collect().map(_.getLong(0)).toSet
+    val perKey = rows.filter(_.getString(1) == "g0").map(_.getLong(0)).toSet
+    assert(global == perKey, s"per-key keep-set diverges from global: $global vs $perKey")
+    // scale contract: per-partition group-limit pushdown, ONE exchange on g
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit pushdown:\n$plan")
+    partitionSweep { p =>
+      Sampling.weightedReservoirByKey(df.repartition(p), Seq("g"), "id",
+          col("w"), k = 3, salt = "byk")
+        .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+        .sorted.toSeq
+    }
+  }
+
   test("pq: centroid fixpoint + exact-reconstruction ADC; trained recall; rerank") {
     // 1) centroid fixpoint: vectors placed EXACTLY at codebook entries
     //    must encode to those indices, cnorm must equal the true norm, and
