@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.feature.{Imputer, OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -442,6 +442,73 @@ object ML {
       .withColumn("r",
         when(sxx > 0.0 && syy > 0.0, sxy / (sqrt(sxx) * sqrt(syy))))
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /** Per-group TWO-feature ridge regression by the normal equations —
+    * the multi-feature step past [[olsFit]]: solve
+    * (X'X + λ·diag(0,1,1)) β = X'y for β = (b0, b1, b2) with an
+    * intercept column and λ penalizing the two slopes only (the
+    * standard convention — shrinking the intercept would make the fit
+    * depend on the y origin). One pass builds the 3×3 Gram matrix as
+    * map-side-combined DECIMAL sufficient statistics (order-independent,
+    * engine-replayable — the olsFit contract), then Cramér's rule
+    * expands the solve into a PINNED double expression tree the SQL
+    * oracle evaluates verbatim (no iterative solver, no
+    * nondeterministic factorization).
+    *
+    * 100 TB: the corpus never shuffles — one aggregate with 9 decimal
+    * expressions, partial-combined per partition; the per-group result
+    * is the 3-coefficient row. p features would need (p²+3p)/2 sums and
+    * a driver-side solve; at p = 2 the closed form keeps the entire fit
+    * inside the gate. λ = 0 reduces to exact unpenalized OLS. Groups
+    * with a singular (penalized) Gram matrix — n < 3 or collinear
+    * features at λ = 0 — emit NULL coefficients rather than ±Inf. */
+  def ridgeFit(df: DataFrame, keyCols: Seq[String], x1Col: String,
+               x2Col: String, yCol: String, lambda: Double,
+               scale: Int = 2): DataFrame = {
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val x1 = col(x1Col).cast(s"decimal(18,$scale)")
+    val x2 = col(x2Col).cast(s"decimal(18,$scale)")
+    val y = col(yCol).cast(s"decimal(18,$scale)")
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x1).cast("double").as("__s1"),
+        sum(x2).cast("double").as("__s2"),
+        sum(y).cast("double").as("__sy"),
+        sum(x1 * x1).cast("double").as("__s11"),
+        sum(x1 * x2).cast("double").as("__s12"),
+        sum(x2 * x2).cast("double").as("__s22"),
+        sum(x1 * y).cast("double").as("__s1y"),
+        sum(x2 * y).cast("double").as("__s2y"))
+    // A = [[n, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]], b = (sy, s1y, s2y).
+    // Cramér: βi = det(A with column i replaced by b) / det(A). Every det
+    // is written as ONE pinned a·(ei−fh) − b·(di−fg) + c·(dh−eg) expansion
+    // so both engines evaluate the identical tree.
+    val l = lit(lambda)
+    val a11 = col("__s11") + l
+    val a22 = col("__s22") + l
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+             f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val det = det3(col("__n"), col("__s1"), col("__s2"),
+      col("__s1"), a11, col("__s12"),
+      col("__s2"), col("__s12"), a22)
+    val d0 = det3(col("__sy"), col("__s1"), col("__s2"),
+      col("__s1y"), a11, col("__s12"),
+      col("__s2y"), col("__s12"), a22)
+    val d1 = det3(col("__n"), col("__sy"), col("__s2"),
+      col("__s1"), col("__s1y"), col("__s12"),
+      col("__s2"), col("__s2y"), a22)
+    val d2 = det3(col("__n"), col("__s1"), col("__sy"),
+      col("__s1"), a11, col("__s1y"),
+      col("__s2"), col("__s12"), col("__s2y"))
+    agg
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("b0", when(det =!= 0.0, d0 / det))
+      .withColumn("b1", when(det =!= 0.0, d1 / det))
+      .withColumn("b2", when(det =!= 0.0, d2 / det))
+      .drop("__n", "__s1", "__s2", "__sy", "__s11", "__s12", "__s22",
+        "__s1y", "__s2y")
   }
 
   /** Poisson(1) CDF thresholds for [[bootstrapMeans]]' inverse-CDF draw

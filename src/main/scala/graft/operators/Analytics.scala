@@ -780,4 +780,48 @@ object Analytics {
             (col("n").cast("double") * col("__sv").cast("double"))))
       .select("n", "gini")
   }
+
+  /** First-significant-digit distribution of a positive numeric column
+    * against Benford's law — the classic fabricated-data / synthetic-
+    * leak screen for financial-style columns. Values are restricted to
+    * ≥ 1 (price-like data; sub-unit values would need mantissa
+    * normalization), the leading digit read from the DECIMAL string
+    * form (pure integer/string work — never floor(log10(x)), whose
+    * last-ulp behavior at exact powers of 10 differs across engines),
+    * and the nine expected proportions are PINNED 17-significant-digit
+    * literals of log10(1+1/d) (the poisson1Cdf precedent) so the χ²
+    * terms are bit-replayable. Output: one row per digit 1–9 with
+    * observed, expected = N·p_d, and the (o−e)²/e term — per-digit, so
+    * no 9-term double sum whose order could drift; the caller (or a
+    * decimal-cast sum) totals χ² with 8 degrees of freedom.
+    *
+    * 100 TB: one map-combined 9-group aggregate over a scan — the
+    * digit extraction is codegen'd string work in the scan projection;
+    * nothing shuffles but 9 rows. */
+  val benfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  def benfordDigits(df: DataFrame, valueCol: String,
+                    scale: Int = 2): DataFrame = {
+    val obs = df.filter(col(valueCol) >= 1)
+      .select(substring(col(valueCol).cast(s"decimal(18,$scale)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(array(benfordP.map(lit): _*), col("id").cast("int"))
+          .as("__p"))
+    val n = obs.agg(sum(col("observed")).as("__n"))
+    spine.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("observed"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected", col("__n").cast("double") * col("__p"))
+      .withColumn("chi2_term",
+        (col("observed").cast("double") - col("expected")) *
+          (col("observed").cast("double") - col("expected")) / col("expected"))
+      .select("digit", "observed", "expected", "chi2_term")
+      .orderBy("digit")
+  }
 }

@@ -630,4 +630,36 @@ object Joins {
         .sortWithinPartitions(l.pkey.map(col): _*),
       l.pkey)
   }
+
+  /** Pre-join skew diagnostic: per-key multiplicities of both sides, the
+    * output-row count their product, and the skew factor vs the MEAN
+    * output per key — the planning probe run BEFORE a big join to decide
+    * salting ([[saltedJoin]]), broadcasting, or a hot-key split. The
+    * quadratic-blowup case (self-join pair generation: dedup candidate
+    * pairs, sessions × sessions) is `right = left`. Everything is
+    * integer counting — two map-combined aggregates, a key-equi join of
+    * key-cardinality-sized sides, one scalar total broadcast back — so
+    * the report costs two scans however large the join WOULD be; the
+    * keys it flags are exactly the ones whose single shuffle partition
+    * would receive lcnt·rcnt rows. Output: top-`topN` keys by
+    * `out_rows` desc (key asc tiebreak) with (key, lcnt, rcnt,
+    * out_rows, skew). */
+  def joinSkewReport(left: DataFrame, right: DataFrame, leftKey: String,
+                     rightKey: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("lcnt"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("rcnt"))
+    val per = lc.join(rc, Seq("key"))
+      .withColumn("out_rows", col("lcnt") * col("rcnt"))
+    val tot = per.agg(sum(col("out_rows")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("skew", col("out_rows").cast("double") /
+        (col("__total").cast("double") / col("__nkeys").cast("double")))
+      .drop("__total", "__nkeys")
+      .orderBy(col("out_rows").desc, col("key").asc)
+      .limit(topN)
+  }
 }

@@ -281,4 +281,83 @@ object TimeSeries {
       .select("lag", "n_pairs", "acf")
       .orderBy("lag")
   }
+
+  /** Exponentially weighted moving average with α = 1/2 over a per-key
+    * INTEGER series, EXACT end to end — the dyadic-weight trick: with
+    * α = 1/2 the adjusted EWMA is
+    * y_t = Σ_{i≤t} 2^i·x_i / (2^{t+1} − 1) (weights (1−α)^{t−i}
+    * rescaled by 2^t), so numerator and denominator are plain BIGINT
+    * arithmetic — shiftleft + a prefix sum — and the one final division
+    * is between two integers exactly representable in double. No
+    * floating-point accumulation anywhere, so the result is
+    * bit-replayable on any engine (the q252 gate) — unlike a
+    * general-α EWMA, whose pow()-weighted running sums drift with
+    * summation order. The exactness bound is numerator < 2^53:
+    * series up to ~50 steps with step values ≤ ~2^(52−len). Longer
+    * series or non-integer values ⇒ use the decimal variant of the
+    * same identity or accept double drift.
+    *
+    * Scale shape: the input is normally a per-key per-bucket AGGREGATE
+    * (cardinality = keys × time steps, map-combined), so the window's
+    * exchange carries the series, not the corpus; ONE hash exchange on
+    * the key, prefix sums per key. Output: input rows + (i, ewma). */
+  def dyadicEwma(df: DataFrame, keyCols: Seq[String], tCol: String,
+                 valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tCol).asc)
+    df.withColumn("i",
+        (row_number().over(w) - 1).cast("long"))
+      .withColumn("__num",
+        sum(col(valueCol).cast("long") *
+            expr("shiftleft(1L, CAST(i AS INT))"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ewma",
+        col("__num").cast("double") /
+          (expr("shiftleft(1L, CAST(i + 1 AS INT))") - lit(1L)).cast("double"))
+      .drop("__num")
+  }
+
+  /** CUSUM changepoint per key: the step t* maximizing |S_t| where
+    * S_t = Σ_{i≤t}(x_i − x̄) — the classic single-changepoint locator
+    * for a level shift (Page's statistic at its argmax). Exact without
+    * ever dividing by n inside the scan: S_t·n = n·P_t − r_t·G for
+    * P_t the prefix sum, G the key's grand total, and r_t the 1-based
+    * step rank — all integer arithmetic on an integer series, so the
+    * argmax (and the tie-break: EARLIEST maximizing step) is
+    * bit-deterministic. Output per key: n, the changepoint's rank
+    * `cp_rank` (1-based; NULL-free — a constant series maximizes at
+    * rank 1 with shift 0), its `tCol` value `cp_t`, and the shift
+    * magnitude `shift = |S_{t*}| = |n·P − r·G| / n` with the single
+    * division done once in double.
+    *
+    * Scale shape: same as [[dyadicEwma]] — runs over the per-key
+    * aggregate series, one exchange on the key; the argmax is a
+    * max_by over the series rows (map-combined), never a second
+    * window. The exactness bound is |n·P| < 2^63 (long). */
+  def cusumChangepoint(df: DataFrame, keyCols: Seq[String], tCol: String,
+                       valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val keyed = df
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__p",
+        sum(col(valueCol).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("__g", sum(col(valueCol).cast("long")).over(wAll))
+      // |n·S_t| scaled by n; earliest-argmax via (−|T|, r) lexicographic min
+      .withColumn("__t_abs",
+        abs(col("__n") * col("__p") - col("__r") * col("__g")))
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        min(struct((-col("__t_abs")).as("neg"), col("__r").as("r"),
+          col(tCol).as("t"))).as("__best"))
+      .withColumn("cp_rank", col("__best.r"))
+      .withColumn("cp_t", col("__best.t"))
+      .withColumn("shift",
+        (-col("__best.neg")).cast("double") / col("n").cast("double"))
+      .drop("__best")
+  }
 }
