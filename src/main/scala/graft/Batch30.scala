@@ -49,8 +49,8 @@ private[graft] object Batch30 {
              |FROM s""".stripMargin)),
 
     // 2-D histogram of (order total, line count) — both floor bins with
-    // edge clamps and every cell count replayed; the width divisions are
-    // the same pinned double arithmetic on both sides.
+    // edge clamps and every cell count replayed; the (v−lo)/(hi−lo)·n
+    // binning tree is the repo-wide one, pinned on both sides.
     Q("q224_histogram2d",
       (s, dir) => {
         val nl = Tables.lineitem(s, dir)
@@ -68,8 +68,8 @@ private[graft] object Batch30 {
              |  FROM orders o JOIN (SELECT l_orderkey, COUNT(*) AS n_lines
              |    FROM lineitem GROUP BY 1) n ON n.l_orderkey = o.o_orderkey)
              |SELECT
-             |  LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / (400000.0 / 20)) AS BIGINT), 0), 19) AS bx,
-             |  LEAST(GREATEST(CAST(FLOOR((n_lines - 0.0) / (8.0 / 8)) AS BIGINT), 0), 7) AS by,
+             |  LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / (400000.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bx,
+             |  LEAST(GREATEST(CAST(FLOOR((n_lines - 0.0) / (8.0 - 0.0) * 8) AS BIGINT), 0), 7) AS by,
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )

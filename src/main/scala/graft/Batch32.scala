@@ -39,7 +39,7 @@ private[graft] object Batch32 {
              |  FROM events WHERE event_type = 'purchase'),
              |vals AS (SELECT grp, CASE WHEN grp = 'cur' AND event_id % 3 = 0
              |    THEN value * 2 ELSE value END AS v FROM g),
-             |b AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / (400.0 / 20)) AS BIGINT), 0), 19) AS bin, grp FROM vals),
+             |b AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin, grp FROM vals),
              |c AS (SELECT bin,
              |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
              |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb

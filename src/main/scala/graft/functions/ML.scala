@@ -462,7 +462,10 @@ object ML {
     * a driver-side solve; at p = 2 the closed form keeps the entire fit
     * inside the gate. λ = 0 reduces to exact unpenalized OLS. Groups
     * with a singular (penalized) Gram matrix — n < 3 or collinear
-    * features at λ = 0 — emit NULL coefficients rather than ±Inf. */
+    * features at λ = 0 — emit NULL coefficients rather than ±Inf or
+    * rounding garbage: singularity is |det| ≤ 1e-9·max(Gram entry)³, a
+    * relative tolerance, because a collinear group's double determinant
+    * cancels only up to rounding. */
   def ridgeFit(df: DataFrame, keyCols: Seq[String], x1Col: String,
                x2Col: String, yCol: String, lambda: Double,
                scale: Int = 2): DataFrame = {
@@ -502,11 +505,20 @@ object ML {
     val d2 = det3(col("__n"), col("__s1"), col("__sy"),
       col("__s1"), a11, col("__s1y"),
       col("__s2"), col("__s12"), col("__s2y"))
+    // Singularity gate on a RELATIVE tolerance: a collinear group's
+    // determinant cancels only up to double rounding, so det =!= 0.0
+    // alone would pass a ~1e-10·scale³ residue and emit enormous
+    // garbage coefficients. |det| is compared to 1e-9 × (the largest
+    // Gram entry)³ — the natural scale of a 3×3 determinant — as a
+    // pinned expression the SQL oracle replays verbatim.
+    val gramScale = greatest(col("__n"), abs(col("__s1")), abs(col("__s2")),
+      abs(a11), abs(col("__s12")), abs(a22))
+    val nonSingular = abs(det) > lit(1e-9) * gramScale * gramScale * gramScale
     agg
       .withColumn("n", col("__n").cast("long"))
-      .withColumn("b0", when(det =!= 0.0, d0 / det))
-      .withColumn("b1", when(det =!= 0.0, d1 / det))
-      .withColumn("b2", when(det =!= 0.0, d2 / det))
+      .withColumn("b0", when(nonSingular, d0 / det))
+      .withColumn("b1", when(nonSingular, d1 / det))
+      .withColumn("b2", when(nonSingular, d2 / det))
       .drop("__n", "__s1", "__s2", "__sy", "__s11", "__s12", "__s22",
         "__s1y", "__s2y")
   }

@@ -242,8 +242,11 @@ object Analytics {
                   yLo: Double, yHi: Double, binsY: Int): DataFrame = {
     require(binsX >= 1 && binsY >= 1 && xHi > xLo && yHi > yLo,
       "need positive bin counts and hi > lo on both axes")
+    // (v−lo)/(hi−lo)·n truncated — the one repo-wide binning tree (same
+    // as HistAgg / IndexedPartitionAgg / psi), so sketch and exact
+    // histograms agree at bin boundaries to the last ulp.
     def bin(c: String, lo: Double, hi: Double, n: Int) =
-      least(greatest(floor((col(c) - lo) / ((hi - lo) / n)).cast("long"),
+      least(greatest(floor((col(c) - lo) / (hi - lo) * n).cast("long"),
         lit(0L)), lit(n.toLong - 1))
     df.groupBy(bin(xCol, xLo, xHi, binsX).as("bx"),
         bin(yCol, yLo, yHi, binsY).as("by"))
@@ -514,9 +517,13 @@ object Analytics {
           groupA: String, groupB: String,
           lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
-    val width = (hi - lo) / bins
+    // Binning expression is (v−lo)/(hi−lo)·bins truncated — the SAME
+    // double tree as the streaming twin's HistAgg (Sketches.scala), not
+    // the algebraically-equal (v−lo)/width form whose division-first
+    // rounding can disagree by one ulp at bin boundaries and make batch
+    // and streaming PSI differ on identical data.
     val bin = least(greatest(
-      floor((col(valueCol) - lo) / width).cast("long"), lit(0L)),
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("long"), lit(0L)),
       lit(bins.toLong - 1))
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
       .groupBy(bin.as("bin"))

@@ -637,7 +637,9 @@ object Joins {
     * salting ([[saltedJoin]]), broadcasting, or a hot-key split. The
     * quadratic-blowup case (self-join pair generation: dedup candidate
     * pairs, sessions × sessions) is `right = left`. Everything is
-    * integer counting — two map-combined aggregates, a key-equi join of
+    * exact integer/decimal counting (`out_rows` is decimal(38,0), so a
+    * 3e9×3e9 hot key ranks first instead of wrapping negative) — two
+    * map-combined aggregates, a key-equi join of
     * key-cardinality-sized sides, one scalar total broadcast back — so
     * the report costs two scans however large the join WOULD be; the
     * keys it flags are exactly the ones whose single shuffle partition
@@ -651,8 +653,13 @@ object Joins {
       .agg(count(lit(1)).as("lcnt"))
     val rc = right.groupBy(col(rightKey).as("key"))
       .agg(count(lit(1)).as("rcnt"))
+    // decimal(19,0)×decimal(19,0) → decimal(38,0): the product of two
+    // ≳3e9-row hot keys (exactly the quadratic-blowup regime this probe
+    // exists for) would wrap negative in long and the hottest key would
+    // sort LAST and drop out of the report.
     val per = lc.join(rc, Seq("key"))
-      .withColumn("out_rows", col("lcnt") * col("rcnt"))
+      .withColumn("out_rows",
+        col("lcnt").cast("decimal(19,0)") * col("rcnt").cast("decimal(19,0)"))
     val tot = per.agg(sum(col("out_rows")).as("__total"),
       count(lit(1)).as("__nkeys"))
     per.crossJoin(broadcast(tot))

@@ -738,8 +738,15 @@ object IO {
   private def snapshotManifestDir(dir: String) = s"$dir/_manifests"
 
   /** Write `df` as the next snapshot version of `dir`; returns the new
-    * version number (1-based). */
-  def saveSnapshot(df: DataFrame, dir: String): Int = {
+    * version number (1-based). `sourceTag` (optional, no whitespace)
+    * rides the pointer file AFTER the version number — the publish and
+    * the publisher's replay marker then commit in the SAME atomic move,
+    * which is what lets [[graft.streaming.Streams.snapshotSink]] be
+    * replay-idempotent with no crash window between "version published"
+    * and "batch recorded". Readers parse only the first token. */
+  def saveSnapshot(df: DataFrame, dir: String, sourceTag: String = ""): Int = {
+    require(!sourceTag.exists(_.isWhitespace),
+      s"sourceTag must not contain whitespace: '$sourceTag'")
     val spark = df.sparkSession
     val next = snapshotVersions(spark, dir).lastOption.getOrElse(0) + 1
     val dataDir = s"$dir/v$next"
@@ -755,11 +762,21 @@ object IO {
     // atomic pointer flip: readers either see the old version or the new,
     // never an in-between
     val tmp = mDir.resolve(s"_latest.tmp$next")
-    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.writeString(tmp,
+      if (sourceTag.isEmpty) next.toString else s"$next $sourceTag")
     java.nio.file.Files.move(tmp, mDir.resolve("_latest"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  /** The `sourceTag` committed with the current snapshot pointer of
+    * `dir`, if any — the atomic replay marker [[saveSnapshot]] wrote. */
+  def latestSnapshotTag(dir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(snapshotManifestDir(dir), "_latest")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).trim.split("\\s+").drop(1)
+      .headOption
   }
 
   /** Committed snapshot versions of `dir`, ascending. */
@@ -783,7 +800,7 @@ object IO {
       // the pointer, not max(versions): a crashed save may have left a
       // manifest without flipping the pointer — the commit point is the flip
       val p = java.nio.file.Paths.get(snapshotManifestDir(dir), "_latest")
-      java.nio.file.Files.readString(p).trim.toInt
+      java.nio.file.Files.readString(p).trim.split("\\s+")(0).toInt
     } else {
       require(versions.contains(version),
         s"snapshot v$version not found at $dir (have: ${versions.mkString(",")})")
@@ -805,7 +822,8 @@ object IO {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val versions = snapshotVersions(spark, dir)
     val latest = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(snapshotManifestDir(dir), "_latest")).trim.toInt
+      java.nio.file.Paths.get(snapshotManifestDir(dir), "_latest"))
+      .trim.split("\\s+")(0).toInt
     val keep = versions.takeRight(keepLast).toSet + latest
     val dropped = versions.filterNot(keep)
     dropped.foreach { v =>

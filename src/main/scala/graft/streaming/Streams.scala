@@ -410,14 +410,17 @@ object Streams {
     * while the stream keeps publishing — continuous publication without
     * ever exposing a partial write (the q207 isolation contract driven
     * from a stream). History retention is [[graft.sources.IO.vacuumSnapshots]]'s
-    * job, on the consumer's schedule. Replay-idempotent: the last
-    * published (queryId, batchId) is recorded (atomic move) next to the
-    * manifests, and a retried micro-batch with an already-committed id
-    * is skipped — under at-least-once foreachBatch semantics a crash
-    * between saveSnapshot and the checkpoint commit would otherwise
-    * publish a duplicate version (the [[aggSink]]/[[cdcSink]]
-    * idempotence contract). The marker is SCOPED by the streaming
-    * queryId (stable across restarts of one checkpoint, fresh for a new
+    * job, on the consumer's schedule. Replay-idempotent with NO crash
+    * window: the (queryId, batchId) rides the snapshot's `_latest`
+    * pointer file itself (saveSnapshot's `sourceTag`), so the publish
+    * and the replay marker commit in ONE atomic move — a crash at any
+    * point leaves either "not published" (retry republishes) or
+    * "published + recorded" (retry skips), never a recorded-but-
+    * unpublished or published-but-unrecorded state. A per-queryId side
+    * marker is ALSO kept (non-atomic, written after) so a table whose
+    * pointer was since advanced by a DIFFERENT publisher still dedupes
+    * this query's replays. The id is SCOPED by the streaming queryId
+    * (stable across restarts of one checkpoint, fresh for a new
     * checkpoint — Spark's transactional-sink identity), so replays of
     * the same query dedupe while a brand-new query publishing into the
     * same table starts clean. */
@@ -432,10 +435,18 @@ object Streams {
             .getLocalProperty("sql.streaming.queryId")).getOrElse("default")
           val marker = java.nio.file.Paths.get(dir, "_manifests",
             s"_last_batch_$qid")
-          val committed = java.nio.file.Files.exists(marker) &&
+          // committed = pointer-carried tag (atomic with the publish)
+          // OR the per-query side marker (survives another publisher
+          // advancing the pointer afterwards)
+          val tagCommitted = graft.sources.IO.latestSnapshotTag(dir)
+            .flatMap { t => t.split(":", 2) match {
+              case Array(q, b) if q == qid => b.toLongOption
+              case _ => None
+            } }.exists(_ >= id)
+          val markerCommitted = java.nio.file.Files.exists(marker) &&
             java.nio.file.Files.readString(marker).trim.toLong >= id
-          if (!committed) {
-            graft.sources.IO.saveSnapshot(batch, dir)
+          if (!tagCommitted && !markerCommitted) {
+            graft.sources.IO.saveSnapshot(batch, dir, s"$qid:$id")
             java.nio.file.Files.createDirectories(marker.getParent)
             val tmp = marker.resolveSibling(s"_last_batch_$qid.tmp$id")
             java.nio.file.Files.writeString(tmp, id.toString)

@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * scalars (or exploded to one row per element, q199's fix) BEFORE the
   * query returns.
   *
-  * The check is schema-level (plan construction only, no execution), so
-  * it covers all queries cheaply and fails with the full list of
-  * offending (query, column, type) triples — the lint a new batch hits
-  * at `sbt test` time instead of at the next round's driver gate.
+  * The check reads `.schema`, which for most queries is plan
+  * construction only — but a handful of registry entries are EAGER
+  * (they collect a sketch or drive a MemoryStream to build their
+  * result, e.g. q225/q232/q249), so building their DataFrame executes
+  * real work at sf0.001. The lint therefore costs a small sf0.001 run,
+  * not zero; in exchange it covers every query including the eager ones
+  * and fails with the full list of offending (query, column, type)
+  * triples — the lint a new batch hits at `sbt test` time instead of at
+  * the next round's driver gate.
   */
 class FlatOutputSpec extends SparkSpec {
 

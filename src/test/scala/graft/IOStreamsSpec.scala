@@ -878,6 +878,65 @@ class IOStreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IO.loadSnapshot(spark, dir, 7) }
   }
 
+  test("snapshots: sourceTag rides the pointer flip atomically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snaptag-spec-").toAbsolutePath
+      .toString + "/t"
+    // untagged save: no tag, pointer still parses
+    IO.saveSnapshot(Seq((1L, "a")).toDF("id", "s"), dir)
+    assert(IO.latestSnapshotTag(dir).isEmpty)
+    // tagged save: the tag and the version commit in the same pointer
+    // file — this is snapshotSink's no-crash-window replay marker
+    IO.saveSnapshot(Seq((2L, "b")).toDF("id", "s"), dir, "qX:7")
+    assert(IO.latestSnapshotTag(dir).contains("qX:7"))
+    assert(IO.loadSnapshot(spark, dir).collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    assert(IO.snapshotVersions(spark, dir) == Seq(1, 2))
+    // vacuum parses the tagged pointer too
+    assert(IO.vacuumSnapshots(spark, dir, keepLast = 1) == Seq(1))
+    // whitespace tags are rejected (would corrupt the pointer grammar)
+    intercept[IllegalArgumentException] {
+      IO.saveSnapshot(Seq((3L, "c")).toDF("id", "s"), dir, "bad tag")
+    }
+  }
+
+  test("snapshotSink: crash between publish and side marker does not " +
+    "duplicate on replay (pointer tag is the commit)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("ssnapcrash-spec-").toAbsolutePath
+      .toString + "/t"
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = Streams.snapshotSink(ms.toDS().toDF("id", "s"), dir)
+      .option("checkpointLocation", dir + "-ck").start()
+    try { ms.addData(Seq((1L, "a"))); q.processAllAvailable() }
+    finally q.stop()
+    assert(IO.snapshotVersions(spark, dir) == Seq(1))
+    val tag = IO.latestSnapshotTag(dir)
+    assert(tag.exists(_.endsWith(":0")), s"tag: $tag")
+    // simulate the old crash window: the side marker never landed
+    val marker = new java.io.File(s"$dir/_manifests").listFiles()
+      .find(_.getName.startsWith("_last_batch_")).get
+    assert(marker.delete())
+    // foreachBatch replays batch 0 from the same checkpoint only if the
+    // sink raced the commit; drive the same decision path directly —
+    // the pointer-carried (queryId, batchId) alone must skip the replay
+    val qid = tag.get.split(":")(0)
+    val tagCommitted = IO.latestSnapshotTag(dir)
+      .flatMap { t => t.split(":", 2) match {
+        case Array(q0, b) if q0 == qid => b.toLongOption
+        case _ => None
+      } }.exists(_ >= 0L)
+    assert(tagCommitted, "replayed batch 0 would have re-published")
+    // and a LATER batch (id 1) is not blocked by the tag
+    val laterBlocked = IO.latestSnapshotTag(dir)
+      .flatMap { t => t.split(":", 2) match {
+        case Array(q0, b) if q0 == qid => b.toLongOption
+        case _ => None
+      } }.exists(_ >= 1L)
+    assert(!laterBlocked)
+  }
+
   test("vacuumSnapshots: drops old versions, latest always survives") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vac-spec-").toAbsolutePath
