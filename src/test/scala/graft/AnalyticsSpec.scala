@@ -735,4 +735,94 @@ class AnalyticsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("dyadicEwma: golden integer series, exact dyadic weights, " +
+    "partition-invariant") {
+    val df = Seq(("k", 1L, 3L), ("k", 2L, 5L), ("k", 3L, 2L))
+      .toDF("g", "t", "v")
+    // weights 2^j: (3·1)/1, (3+10)/3, (3+10+8)/7 — all exact in double
+    val got = graft.operators.TimeSeries.dyadicEwma(df, Seq("g"), "t", "v")
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Double]("ewma"))).toSeq
+    assert(got == Seq((0L, 3.0), (1L, 13.0 / 3.0), (2L, 3.0)))
+    (1 to 3).foreach { n =>
+      val re = graft.operators.TimeSeries.dyadicEwma(df.repartition(n),
+        Seq("g"), "t", "v").orderBy("t").collect().map(_.getAs[Double]("ewma"))
+      assert(re.toSeq == got.map(_._2), s"repartition($n) drifted")
+    }
+  }
+
+  test("cusumChangepoint: level shift located at the last pre-shift step, " +
+    "earliest tie-break, constant series → rank 1 shift 0") {
+    val df = Seq(
+      ("A", 1L, 1L), ("A", 2L, 1L), ("A", 3L, 1L), ("A", 4L, 5L), ("A", 5L, 5L),
+      ("B", 1L, 2L), ("B", 2L, 2L)).toDF("g", "t", "v")
+    val got = graft.operators.TimeSeries.cusumChangepoint(df, Seq("g"), "t", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("cp_rank"),
+        r.getAs[Long]("cp_t"), r.getAs[Double]("shift"))).toSeq
+    // A: |n·P − r·G| peaks at r=3 (|15−39| = 24), shift = 24/5
+    // B: constant → every statistic 0, earliest rank wins
+    assert(got == Seq(("A", 5L, 3L, 3L, 4.8), ("B", 2L, 1L, 1L, 0.0)))
+  }
+
+  test("ridgeFit: λ=0 recovers an exact plane; collinear features at λ=0 " +
+    "→ NULL via the relative tolerance; λ>0 regularizes them non-null") {
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+      (2.0, 1.0), (1.0, 2.0))
+    val plane = pts.map { case (x1, x2) => ("g", x1, x2, 1.0 + 2 * x1 + 3 * x2) }
+      .toDF("g", "x1", "x2", "y")
+    val fit = ML.ridgeFit(plane, Seq("g"), "x1", "x2", "y", lambda = 0.0)
+      .collect().head
+    assert(math.abs(fit.getAs[Double]("b0") - 1.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("b1") - 2.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("b2") - 3.0) < 1e-9)
+    // x2 ≡ x1: the Gram matrix is singular at λ=0; the double
+    // determinant may not cancel EXACTLY, which is what the relative
+    // |det| ≤ 1e-9·maxEntry³ tolerance is for
+    val coll = Seq(1.0, 2.0, 3.0, 4.0)
+      .map(x => ("g", x, x, 2 * x)).toDF("g", "x1", "x2", "y")
+    val sing = ML.ridgeFit(coll, Seq("g"), "x1", "x2", "y", lambda = 0.0)
+      .collect().head
+    assert(sing.isNullAt(sing.fieldIndex("b0")))
+    assert(sing.isNullAt(sing.fieldIndex("b1")))
+    assert(sing.isNullAt(sing.fieldIndex("b2")))
+    val reg = ML.ridgeFit(coll, Seq("g"), "x1", "x2", "y", lambda = 1.0)
+      .collect().head
+    assert(!reg.isNullAt(reg.fieldIndex("b1")))
+    // symmetric columns + symmetric penalty → identical slopes
+    assert(math.abs(reg.getAs[Double]("b1") - reg.getAs[Double]("b2")) < 1e-12)
+  }
+
+  test("benfordDigits: digit extraction through the decimal cast, " +
+    "sub-1 filter, zero-filled spine, χ² terms") {
+    val df = Seq(1.0, 1.5, 19.0, 2.0, 300.0, 0.5, 9.99).toDF("v")
+    val got = Analytics.benfordDigits(df, "v").collect()
+      .map(r => (r.getAs[Int]("digit"), r.getAs[Long]("observed"),
+        r.getAs[Double]("expected"), r.getAs[Double]("chi2_term")))
+    assert(got.map(_._1).toSeq == (1 to 9))
+    assert(got.map(_._2).toSeq == Seq(3L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(got.map(_._2).sum == 6L) // 0.5 filtered out
+    assert(math.abs(got(0)._3 - 6 * 0.3010299956639812) < 1e-12)
+    // an empty digit's χ² term is exactly its expectation
+    assert(math.abs(got(3)._4 - got(3)._3) < 1e-12)
+  }
+
+  test("joinSkewReport: hot key ranks first, decimal(38,0) product " +
+    "(no long wrap at 3e9×3e9), mean-normalized skew, topN cut") {
+    val left = (Seq.fill(3)("a") ++ Seq("b") ++ Seq.fill(2)("c")).toDF("k")
+    val right = (Seq.fill(2)("a") ++ Seq.fill(5)("b") ++ Seq("d")).toDF("k")
+    val rep = graft.operators.Joins.joinSkewReport(left, right, "k", "k",
+      topN = 10)
+    assert(rep.schema("out_rows").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val rows = rep.collect().map(r => (r.getString(0),
+      r.getAs[java.math.BigDecimal]("out_rows").longValueExact(),
+      r.getAs[Double]("skew")))
+    // c and d never meet: inner key join — per = {a: 3·2=6, b: 1·5=5}
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq(("a", 6L), ("b", 5L)))
+    assert(math.abs(rows(0)._3 - 6.0 / 5.5) < 1e-12)
+    assert(graft.operators.Joins.joinSkewReport(left, right, "k", "k",
+      topN = 1).count() == 1)
+  }
 }
