@@ -155,6 +155,44 @@ private[graft] object Batch43 {
              |    CAST(COUNT(*) AS BIGINT) AS nk FROM per)
              |SELECT key, lcnt, rcnt, out_rows,
              |  CAST(out_rows AS DOUBLE) / (t / CAST(nk AS DOUBLE)) AS skew
-             |FROM per, tot ORDER BY out_rows DESC, key ASC LIMIT 15""".stripMargin))
+             |FROM per, tot ORDER BY out_rows DESC, key ASC LIMIT 15""".stripMargin)),
+
+    // Exact Kendall τ-b over RAW CONTINUOUS x (o_totalprice, ~14.7k
+    // distinct values — the regime q244's self-join gate forbids,
+    // where pre-bucketing would CHANGE the statistic): the Spark side
+    // is the distributed Knight plan (range-bucketed Fenwick sweeps +
+    // the cross-bucket marginal grid + the inclusion-exclusion nc);
+    // the oracle is the INDEPENDENT theta-join derivation — two
+    // different algorithms, one statistic, hash-green.
+    Q("q256_kendall_exact",
+      (s, dir) => {
+        val nl = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).as("n_lines"))
+        val o = Tables.orders(s, dir).join(nl, Seq("o_orderkey"))
+        graft.operators.Analytics.kendallTauExact(o, "o_totalprice",
+          "n_lines")
+      },
+      Some("""WITH j AS (SELECT o.o_orderkey, o.o_totalprice AS x,
+             |    n.n_lines AS y
+             |  FROM orders o JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+             |    FROM lineitem GROUP BY 1) n ON n.l_orderkey = o.o_orderkey),
+             |p AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+             |cd AS (SELECT
+             |    SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c ELSE CAST(0 AS DECIMAL(38,0)) END) AS nc,
+             |    SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c ELSE CAST(0 AS DECIMAL(38,0)) END) AS nd
+             |  FROM p a JOIN p b ON b.x > a.x),
+             |tx AS (SELECT SUM(CAST(s AS DECIMAL(38,0)) * (s - 1)) AS t1 FROM (SELECT CAST(SUM(c) AS BIGINT) AS s FROM p GROUP BY x)),
+             |ty AS (SELECT SUM(CAST(s AS DECIMAL(38,0)) * (s - 1)) AS t2 FROM (SELECT CAST(SUM(c) AS BIGINT) AS s FROM p GROUP BY y)),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM p),
+             |f AS (SELECT n.n, cd.nc, cd.nd,
+             |    CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1) / 2.0 AS n0,
+             |    CAST(tx.t1 AS DOUBLE) / 2.0 AS h1,
+             |    CAST(ty.t2 AS DOUBLE) / 2.0 AS h2
+             |  FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN n)
+             |SELECT n, CAST(nc AS DOUBLE) AS nc, CAST(nd AS DOUBLE) AS nd,
+             |  CASE WHEN n0 - h1 > 0 AND n0 - h2 > 0 THEN
+             |    (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)) / sqrt((n0 - h1) * (n0 - h2)) END AS tau_b
+             |FROM f""".stripMargin))
   )
 }

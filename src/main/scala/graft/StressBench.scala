@@ -547,7 +547,26 @@ object StressBench {
         spark.read.parquet(s"$root/ann_queries_stress"), "vec_id", "emb",
         k = 10, nprobe = nlist / 16, model = m, excludeSelf = false)
     }
+    // Kendall τ-b A/B (round 13): the self-join form costs |pairs|²
+    // cells; the Knight form is O(|pairs| log) sweeps + a B·|Y| grid.
+    // Same deterministic range-built fixture both sides (generation is
+    // identical overhead in each arm). The hicard arm (10M rows, 5M
+    // distinct x → ~1e14 self-join cells) has NO self-join twin — that
+    // infeasibility is the point; only the Knight plan can run it.
+    def kendallFixture(rows: Long, dx: Long, yv: Long): DataFrame =
+      spark.range(rows).select(
+        (col("id") % dx).cast("double").as("x"),
+        (((col("id") % dx) % 31) * 3 + col("id") % yv).cast("double").as("y"))
+    def kendallArm(exact: Boolean, rows: Long, dx: Long, yv: Long): DataFrame = {
+      val f = kendallFixture(rows, dx, yv)
+      if (exact) graft.operators.Analytics.kendallTauExact(f, "x", "y")
+      else graft.operators.Analytics.kendallTau(f, "x", "y")
+    }
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
+      "kendall_selfjoin" -> (() => kendallArm(exact = false, 1000000L, 10000L, 2L)),
+      "kendall_knight" -> (() => kendallArm(exact = true, 1000000L, 10000L, 2L)),
+      "kendall_knight_hicard" -> (() => kendallArm(exact = true, 10000000L, 5000000L, 3L)),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning

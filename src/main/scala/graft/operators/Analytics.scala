@@ -714,11 +714,14 @@ object Analytics {
     * n₂ ride the marginal aggregates, and
     * τ_b = (nc − nd)/√((n₀−n₁)(n₀−n₂)) is one pinned double chain.
     * Plan contract: everything after the first aggregate is bounded by
-    * DISTINCT-PAIR cardinality — the self-join compares
-    * |pairs|² ≪ n² cells (the documented gate: τ over raw continuous
-    * columns should be bucketed first, exactly like ksTest's
-    * distinct-value contract). Output: one row (n, nc, nd, tau_b);
-    * all-tied axes give NULL. */
+    * DISTINCT-PAIR cardinality — but the self-join compares |pairs|²
+    * cells, so this form is for LOW-cardinality (categorical/bucketed)
+    * axes only. For high-cardinality or raw continuous columns use
+    * [[kendallTauExact]] — the distributed Knight inversion count,
+    * which computes the SAME statistic (bit-equal, AnalyticsSpec) in
+    * O(|pairs| log) without manufacturing ties the way pre-bucketing
+    * would. Output: one row (n, nc, nd, tau_b); all-tied axes give
+    * NULL. */
   def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val pairs = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
       .agg(count(lit(1)).as("__c"))
@@ -748,6 +751,172 @@ object Analytics {
       .select(col("n"), d(col("__nc")).as("nc"), d(col("__nd")).as("nd"),
         when(col("__d1") > 0 && col("__d2") > 0,
           (d(col("__nc")) - d(col("__nd"))) /
+            sqrt(col("__d1") * col("__d2"))).as("tau_b"))
+  }
+
+  /** Exact Kendall τ-b at scale — Knight's O(n log n) inversion-count
+    * algorithm, distributed. [[kendallTau]]'s self-join compares
+    * |pairs|² cells — quadratic in distinct-pair cardinality — and
+    * pre-bucketing CHANGES τ-b (it manufactures ties), so
+    * high-cardinality continuous columns had no exact plan. This is it:
+    *
+    *  1. (x,y)-pair counts — one map-combined aggregate (Knight's sort
+    *     input, collapsed by multiplicity).
+    *  2. Dense ranks rx, ry from DISTINCT-value tables (the spearman
+    *     marginal machinery: single-task windows bounded by |X| / |Y|
+    *     distinct cardinality, joined back — never a row window).
+    *  3. x-RANGE buckets ⌊(rx−1)·B/|X|⌋ — monotone in x and equal x
+    *     never splits, so every cross-bucket pair is strictly x-ordered
+    *     by construction.
+    *  4. LOCAL discordance: per bucket, a weighted Fenwick sweep in x
+    *     order — query strictly-greater-y inserted mass, THEN insert
+    *     the whole equal-x group (same-x cells never count each
+    *     other); y compressed to bucket-local indices so the tree is
+    *     bucket-sized; per-cell c·mass products accumulate in
+    *     BigInteger (no 2^63 wrap), partials emitted as decimal(38,0).
+    *     The one mapPartitions in the statistics family — inversion
+    *     counting is genuinely imperative.
+    *  5. CROSS-bucket discordance: a (bucket × distinct-y) grid with
+    *     two PARTITIONED cumulative windows — S(b,y) = Σ_{y'>y} h(b,y')
+    *     within bucket, then A(b,y) = Σ_{b'<b} S(b',y) across buckets —
+    *     joined back to the cells: Σ c·A is exactly the strictly-
+    *     x-ordered, y-inverted cross-bucket mass. Grid size B·|Y|.
+    *  6. nd = local + cross; nc via the inclusion-exclusion identity
+    *     2(nc+nd) = n(n−1) − Σtx(tx−1) − Σty(ty−1) + Σc(c−1); the τ-b
+    *     chain is [[kendallTau]]'s verbatim.
+    *
+    * Cost: one pair aggregate, two distinct-value rank sorts, one
+    * bucket exchange + O(|pairs|·log) sweep, one B·|Y| grid — vs the
+    * self-join's |pairs|². Rows with a NULL in either column are
+    * excluded (listwise deletion). Output (n, nc, nd, tau_b) —
+    * [[kendallTau]]'s schema and bit-equal values (AnalyticsSpec pins
+    * the equality; q256 gates it against the theta-join oracle on RAW
+    * continuous x, the regime the self-join could not serve). */
+  def kendallTauExact(df: DataFrame, xCol: String, yCol: String,
+                      buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def rankTable(key: String, out: String) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(key).asc)
+      pairs.select(col(key)).distinct()
+        .withColumn(out, row_number().over(w).cast("long"))
+    }
+    val rx = rankTable("__x", "__rx").withColumnRenamed("__x", "__kx")
+    val ry = rankTable("__y", "__ry").withColumnRenamed("__y", "__ky")
+    val nx = rx.agg(max(col("__rx")).as("__nx"))
+    val ranked = pairs
+      .join(rx, col("__x") === col("__kx")).drop("__kx")
+      .join(ry, col("__y") === col("__ky")).drop("__ky")
+      .crossJoin(broadcast(nx))
+      .withColumn("__bx", // integer div: exact range bucketing, 0..B−1
+        expr(s"((__rx - 1) * $buckets) div __nx").cast("int"))
+      .select("__bx", "__rx", "__ry", "__c")
+    // 4. local sweep
+    val partials = ranked
+      .repartition(buckets, col("__bx"))
+      .sortWithinPartitions(col("__bx").asc, col("__rx").asc)
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        def sweep(rows: Array[(Long, Long, Long)]): java.math.BigInteger = {
+          val ys = rows.map(_._2).distinct.sorted
+          val fw = new Array[Long](ys.length + 1)
+          def add(i0: Int, v: Long): Unit = {
+            var i = i0 + 1
+            while (i <= ys.length) { fw(i) += v; i += i & (-i) }
+          }
+          def pref(i0: Int): Long = { // Σ mass at local y-index ≤ i0
+            var i = i0 + 1; var s = 0L
+            while (i > 0) { s += fw(i); i -= i & (-i) }
+            s
+          }
+          var inserted = 0L
+          var nd = java.math.BigInteger.ZERO
+          var i = 0
+          while (i < rows.length) {
+            var j = i // [i, j) = the equal-rx group
+            while (j < rows.length && rows(j)._1 == rows(i)._1) j += 1
+            var k = i
+            while (k < j) { // query BEFORE insert: strictly smaller x only
+              val yi = java.util.Arrays.binarySearch(ys, rows(k)._2)
+              val above = inserted - pref(yi) // strictly greater y
+              if (above > 0) nd = nd.add(java.math.BigInteger.valueOf(rows(k)._3)
+                .multiply(java.math.BigInteger.valueOf(above)))
+              k += 1
+            }
+            k = i
+            while (k < j) {
+              val yi = java.util.Arrays.binarySearch(ys, rows(k)._2)
+              add(yi, rows(k)._3)
+              inserted += rows(k)._3
+              k += 1
+            }
+            i = j
+          }
+          nd
+        }
+        var total = java.math.BigInteger.ZERO
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var curB = Int.MinValue
+        def flush(): Unit =
+          if (buf.nonEmpty) { total = total.add(sweep(buf.toArray)); buf.clear() }
+        it.foreach { case (b, rxv, ryv, c) =>
+          if (b != curB) { flush(); curB = b }
+          buf += ((rxv, ryv, c))
+        }
+        flush()
+        Iterator.single(total.toString)
+      }
+      .toDF("__ndStr")
+      .agg(coalesce(sum(col("__ndStr").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("__ndLocal"))
+    // 5. cross-bucket grid
+    val bList = spark.range(buckets).select(col("id").cast("int").as("__bx"))
+    val ysAll = ranked.select("__ry").distinct()
+    val h = ranked.groupBy(col("__bx"), col("__ry")).agg(sum("__c").as("__h"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bx")).orderBy(col("__ry").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ry")).orderBy(col("__bx").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val gridA = ysAll.crossJoin(broadcast(bList))
+      .join(h, Seq("__bx", "__ry"), "left")
+      .withColumn("__h0", coalesce(col("__h"), lit(0L)))
+      .withColumn("__S", coalesce(sum(col("__h0")).over(wS), lit(0L)))
+      .withColumn("__A", coalesce(sum(col("__S").cast("decimal(19,0)")).over(wA),
+        lit(0).cast("decimal(19,0)")))
+    val crossNd = ranked
+      .join(gridA.select(col("__bx"), col("__ry"), col("__A")),
+        Seq("__bx", "__ry"))
+      .agg(coalesce(sum(col("__c").cast("decimal(19,0)") *
+        col("__A").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .as("__ndCross"))
+    // 6. ties + identity + the kendallTau τ chain
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def tieSum(key: String) = pairs.groupBy(col(key))
+      .agg(sum(col("__c")).as("__s"))
+      .agg(sum(dec(col("__s")) * (col("__s") - 1)).as("__t"))
+    val tx = tieSum("__x").select(col("__t").as("__tx"))
+    val ty = tieSum("__y").select(col("__t").as("__ty"))
+    val tot = pairs.agg(sum(col("__c")).as("n"),
+      sum(dec(col("__c")) * (col("__c") - 1)).as("__txy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    partials.crossJoin(crossNd)
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(tot))
+      .withColumn("__nd", col("__ndLocal") + col("__ndCross"))
+      .withColumn("__n0", d(col("n")) * (d(col("n")) - 1) / 2.0)
+      .withColumn("__d1", col("__n0") - d(col("__tx")) / 2.0)
+      .withColumn("__d2", col("__n0") - d(col("__ty")) / 2.0)
+      .withColumn("__nc", col("__n0") - d(col("__tx")) / 2.0 -
+        d(col("__ty")) / 2.0 + d(col("__txy")) / 2.0 - d(col("__nd")))
+      .select(col("n"), col("__nc").as("nc"), d(col("__nd")).as("nd"),
+        when(col("__d1") > 0 && col("__d2") > 0,
+          (col("__nc") - d(col("__nd"))) /
             sqrt(col("__d1") * col("__d2"))).as("tau_b"))
   }
 

@@ -290,13 +290,14 @@ object Streams {
     * last event. Counting/normalizing is the consumer's aggregate over
     * the emitted pair stream (q249 drives two batches and gates the
     * final matrix against the batch oracle VERBATIM). State is O(1) per
-    * key; in production bound it with EventTimeTimeout exactly as
-    * [[streamingDedupBounded]] does — unbounded keys, bounded state.
+    * key but NEVER expires — this unbounded form is for finite
+    * backfills; the production form is [[streamingTransitionsBounded]]
+    * (EventTimeTimeout TTL — unbounded keys, bounded state).
     * CONTRACT: correctness of cross-batch transitions assumes per-key
     * event-time ordering ACROSS batches (replay/backfill in order, the
     * cdcSink sequencing argument); late events inside one batch are
-    * repaired by the sort, late events across batches would need a
-    * watermark-buffered variant. */
+    * repaired by the sort, late events across batches by
+    * [[streamingTransitionsLate]] (watermark-buffered). */
   def streamingTransitions(ds: Dataset[SeqEvent]): Dataset[(Long, String, String)] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
@@ -311,6 +312,112 @@ object Streams {
             prev = Some(LastEvent(e.eventType, e.tsUs, e.eventId))
           }
           prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** [[streamingTransitions]] input with a real event-time column, for
+    * the watermark-governed variants below. */
+  final case class SeqEventT(key: Long, eventTime: java.sql.Timestamp,
+                             eventId: Long, eventType: String)
+
+  /** TTL-bounded [[streamingTransitions]] — the form that runs
+    * indefinitely at 100 TB (the [[streamingDedupBounded]] contract
+    * applied to transition state): same per-key last-event semantics,
+    * but a key whose last event is older than `ttlMs` behind the
+    * watermark expires (EventTimeTimeout fires, state removed), so an
+    * unbounded key population (users churning forever) holds bounded
+    * state. A key that returns after expiry starts a fresh chain — its
+    * first post-expiry event emits no transition, exactly as a brand-new
+    * key. Cross-batch ORDER contract is [[streamingTransitions]]'s
+    * (in-order replay across batches); for late events across batches
+    * use [[streamingTransitionsLate]]. */
+  def streamingTransitionsBounded(ds: Dataset[SeqEventT],
+                                  watermarkDelay: String, ttlMs: Long)
+      : Dataset[(Long, String, String)] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LastEvent, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[SeqEventT], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (e.eventTime.getTime, e.eventId))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, String, String)]
+            var prev = state.getOption
+            sorted.foreach { e =>
+              prev.foreach(p => out += ((key, p.eventType, e.eventType)))
+              // NOTE: tsUs carries MILLIS here (setTimeoutTimestamp's
+              // unit), unlike the micros of the unbounded variant
+              prev = Some(LastEvent(e.eventType, e.eventTime.getTime, e.eventId))
+            }
+            prev.foreach { p =>
+              state.update(p)
+              // expiry slides with the last sighting; clamp above the
+              // watermark (the streamingDedupBounded guard)
+              state.setTimeoutTimestamp(math.max(p.tsUs + ttlMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Buffered per-key state of [[streamingTransitionsLate]]: the last
+    * FINALIZED event type (if any) plus the not-yet-finalized tail. */
+  final case class PendingEvent(eventType: String, tsMs: Long, eventId: Long)
+  final case class LateState(lastType: String, hasLast: Boolean,
+                             pending: Seq[PendingEvent])
+
+  /** Watermark-buffered streaming transitions — closes the one ordering
+    * hole [[streamingTransitions]] documents: a LATE event arriving in a
+    * later micro-batch than its successors. Events are held in per-key
+    * state until the watermark passes them; only then are transitions
+    * emitted, in full event-time order. Correctness argument: an event
+    * is FINAL once eventTime ≤ watermark (anything arriving later has a
+    * later eventTime, or is beyond the lateness bound), and every
+    * finalized prefix is emitted exactly once — so the emitted pair SET
+    * equals the batch operator's over the same (in-bound) events, no
+    * matter how arrivals interleave. State per key = last finalized
+    * type + the pending tail, bounded by rate × watermark delay; a key
+    * idle past `ttlMs` after its pending tail drains expires (the
+    * [[streamingTransitionsBounded]] TTL). The cost of the repair is
+    * LATENCY: transitions emit one watermark advance behind arrivals —
+    * the standard watermark trade. */
+  def streamingTransitionsLate(ds: Dataset[SeqEventT], watermarkDelay: String,
+                               ttlMs: Long): Dataset[(Long, String, String)] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LateState, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[SeqEventT], state: GroupState[LateState]) =>
+          val st = state.getOption.getOrElse(LateState(null, false, Nil))
+          val incoming = rows.map(e =>
+            PendingEvent(e.eventType, e.eventTime.getTime, e.eventId)).toSeq
+          val all = (st.pending ++ incoming).sortBy(p => (p.tsMs, p.eventId))
+          val w = state.getCurrentWatermarkMs()
+          // finality: nothing with eventTime ≤ watermark can still arrive
+          val (fin, pend) = all.partition(_.tsMs <= w)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, String)]
+          var prev = if (st.hasLast) Some(st.lastType) else None
+          fin.foreach { e =>
+            prev.foreach(p => out += ((key, p, e.eventType)))
+            prev = Some(e.eventType)
+          }
+          if (pend.isEmpty && state.hasTimedOut) state.remove()
+          else {
+            state.update(LateState(prev.orNull, prev.isDefined, pend))
+            // wake when the watermark passes the oldest pending event
+            // (to flush it), else TTL-expire the idle last-type memory
+            val nextFire =
+              if (pend.nonEmpty) pend.map(_.tsMs).min + 1
+              else fin.lastOption.map(_.tsMs).getOrElse(w) + ttlMs
+            state.setTimeoutTimestamp(math.max(nextFire, w + 1))
+          }
           out.iterator
       }
   }

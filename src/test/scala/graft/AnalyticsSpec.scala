@@ -736,6 +736,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kendallTauExact: bit-equal to the self-join form on tie-heavy, " +
+    "monotone, anti-monotone, and constant fixtures, across bucket " +
+    "counts and partitionings") {
+    def mk(rows: Seq[(Double, Double)]) = rows.toDF("x", "y")
+    // tie-heavy pseudo-random (deterministic arithmetic, no RNG)
+    val messy = mk((1 to 400).map(i =>
+      ((i * 7 % 13).toDouble, (i * 11 % 7).toDouble)))
+    // continuous x (all distinct — the regime the self-join gate forbids)
+    val cont = mk((1 to 300).map(i =>
+      (i * 1.7 + (i % 9) * 0.013, (i * 5 % 11).toDouble)))
+    val mono = mk((1 to 50).map(i => (i.toDouble, (i * 2).toDouble)))
+    val anti = mk((1 to 50).map(i => (i.toDouble, -i.toDouble)))
+    val allTied = mk(Seq.fill(10)((3.0, 7.0)))
+    for (df <- Seq(messy, cont, mono, anti, allTied)) {
+      val want = Analytics.kendallTau(df, "x", "y").collect().head
+      for (b <- Seq(1, 3, 32); p <- Seq(1, 7)) {
+        val got = Analytics.kendallTauExact(df.repartition(p), "x", "y",
+          buckets = b).collect().head
+        assert(got.getAs[Long]("n") == want.getAs[Long]("n"), s"n b=$b p=$p")
+        assert(got.getAs[Double]("nc") == want.getAs[Double]("nc"),
+          s"nc b=$b p=$p: ${got.getAs[Double]("nc")} vs ${want.getAs[Double]("nc")}")
+        assert(got.getAs[Double]("nd") == want.getAs[Double]("nd"),
+          s"nd b=$b p=$p")
+        val (gt, wt) = (got.getAs[java.lang.Double]("tau_b"),
+          want.getAs[java.lang.Double]("tau_b"))
+        assert(gt == wt || (gt != null && wt != null && gt.doubleValue ==
+          wt.doubleValue), s"tau b=$b p=$p: $gt vs $wt")
+      }
+    }
+    // sanity anchors: τ = +1 / −1 on the strict monotone fixtures
+    assert(Analytics.kendallTauExact(mono, "x", "y").collect()
+      .head.getAs[Double]("tau_b") == 1.0)
+    assert(Analytics.kendallTauExact(anti, "x", "y").collect()
+      .head.getAs[Double]("tau_b") == -1.0)
+  }
+
   test("dyadicEwma: golden integer series, exact dyadic weights, " +
     "partition-invariant") {
     val df = Seq(("k", 1L, 3L), ("k", 2L, 5L), ("k", 3L, 2L))

@@ -332,6 +332,74 @@ class IOStreamsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("streamingTransitionsBounded: transitions as unbounded, TTL expiry " +
+      "drops idle keys, returning key starts a fresh chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = MemoryStream[Streams.SeqEventT](spark)
+    val q = Streams.streamingTransitionsBounded(ms.toDS(),
+        watermarkDelay = "1 millisecond", ttlMs = 5000L)
+      .toDF("k", "prev", "next")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stb_spec_sink").start()
+    try {
+      // b1: key 7 chains A→B; expiry arms at 11s + 5s = 16s
+      ms.addData(Seq(Streams.SeqEventT(7L, t(10000), 1L, "A"),
+        Streams.SeqEventT(7L, t(11000), 2L, "B")))
+      q.processAllAvailable()
+      // b2: advance the watermark far past key 7's expiry
+      ms.addData(Seq(Streams.SeqEventT(8L, t(100000), 3L, "X")))
+      q.processAllAvailable()
+      // b3: watermark ≈ 100s > 16s → key 7's state expires THIS batch
+      ms.addData(Seq(Streams.SeqEventT(8L, t(101000), 4L, "Y")))
+      q.processAllAvailable()
+      // b4: key 7 returns AFTER expiry — must emit NO boundary pair
+      ms.addData(Seq(Streams.SeqEventT(7L, t(102000), 5L, "C")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stb_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq((7L, "A", "B"), (8L, "X", "Y")), s"got $got")
+  }
+
+  test("streamingTransitionsLate: a late cross-batch event is repaired " +
+      "into event-time order before its transitions emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = MemoryStream[Streams.SeqEventT](spark)
+    val q = Streams.streamingTransitionsLate(ms.toDS(),
+        watermarkDelay = "5 seconds", ttlMs = 60000L)
+      .toDF("k", "prev", "next")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stl_spec_sink").start()
+    try {
+      // b1: A@10s, C@12s — the naive per-batch walk would chain A→C
+      ms.addData(Seq(Streams.SeqEventT(1L, t(10000), 1L, "A"),
+        Streams.SeqEventT(1L, t(12000), 3L, "C")))
+      q.processAllAvailable()
+      // b2: B@11s arrives LATE (a batch after its successor C) but
+      // inside the 5s bound; D@30s advances the watermark
+      ms.addData(Seq(Streams.SeqEventT(1L, t(11000), 2L, "B"),
+        Streams.SeqEventT(1L, t(30000), 4L, "D")))
+      q.processAllAvailable()
+      // b3: watermark 25s finalizes A,B,C → A→B, B→C emit (repaired)
+      ms.addData(Seq(Streams.SeqEventT(1L, t(100000), 5L, "E")))
+      q.processAllAvailable()
+      // b4: watermark 95s finalizes D → C→D emits; then the no-data
+      // batch Spark runs after the watermark advances to 195s fires the
+      // pending-flush timeout and finalizes E → D→E (F stays pending)
+      ms.addData(Seq(Streams.SeqEventT(1L, t(200000), 6L, "F")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stl_spec_sink")
+      .collect().map(r => (r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E")),
+      s"got $got")
+  }
+
   test("Moments sketch runs under Structured Streaming == batch result") {
     val dir = Files.createTempDirectory("graft_skstream").toFile.getPath
     val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
