@@ -37,6 +37,35 @@ object Sampling {
   def thresholdU32(fraction: Double): Long =
     math.floor(fraction * 4294967296.0).toLong
 
+  /** The j-th derived 32-bit value from ONE 64-bit hash (h1, h2 = two
+    * md5 words) — the lever that turns "B md5 evaluations per row" into
+    * "one md5 + B cheap integer mixes" wherever a row needs a FAMILY of
+    * deterministic uniforms (Poisson bootstrap replicates, repeated
+    * trials). A murmur-style finalizer with every intermediate bounded
+    * below 2⁶³, so BOTH engines replay it in plain signed-BIGINT
+    * arithmetic with no wrap:
+    *   a = (h2 + j·2654435761) mod 2³²; x = h1 xor a;
+    *   x = (x·1597334677) mod 2³²  (multiplier < 2³¹ ⇒ product < 2⁶³);
+    *   x = x xor (x >> 16); x = (x·887987685) mod 2³²;
+    *   result = x xor (x >> 13), uniform over [0, 2³²).
+    * Rows collide only on the full 64-bit (h1, h2) — the same collision
+    * scope as one md5 per (row, j) for j ≤ 64. */
+  def mixU32(h1: Column, h2: Column, j: Int): Column = {
+    val a = (h2 + lit(j.toLong * 2654435761L)) % lit(4294967296L)
+    val x0 = h1.bitwiseXOR(a)
+    val x1 = (x0 * lit(1597334677L)) % lit(4294967296L)
+    val x2 = x1.bitwiseXOR(shiftright(x1, 16))
+    val x3 = (x2 * lit(887987685L)) % lit(4294967296L)
+    x3.bitwiseXOR(shiftright(x3, 13))
+  }
+
+  /** The two 32-bit words of md5(salt || key) — [[mixU32]]'s seed. */
+  def hash64Words(key: Column, salt: String): (Column, Column) = {
+    val md = md5(concat(lit(salt), key.cast("string")))
+    (conv(substring(md, 1, 8), 16, 10).cast("long"),
+      conv(substring(md, 9, 8), 16, 10).cast("long"))
+  }
+
   /** Deterministic Bernoulli sample: keep each row iff
     * hashU32(key) < fraction·2^32. Unlike `df.sample`, membership is a
     * function of the key — stable across runs, retries, and engines. */
