@@ -104,12 +104,14 @@ private[graft] object Batch43 {
              |    sy * (a11 * a22 - s12 * s12) - s1 * (s1y * a22 - s12 * s2y) + s2 * (s1y * s12 - a11 * s2y) AS d0,
              |    n * (s1y * a22 - s12 * s2y) - sy * (s1 * a22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS d1,
              |    n * (a11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - a11 * s2) AS d2,
-             |    GREATEST(n, abs(s1), abs(s2), abs(a11), abs(s12), abs(a22)) AS gs
+             |    GREATEST(n, abs(s1), abs(s2)) AS r0,
+             |    GREATEST(abs(s1), abs(a11), abs(s12)) AS r1,
+             |    GREATEST(abs(s2), abs(s12), abs(a22)) AS r2
              |  FROM d)
              |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-             |  CASE WHEN abs(det) > 1e-9 * gs * gs * gs THEN d0 / det END AS b0,
-             |  CASE WHEN abs(det) > 1e-9 * gs * gs * gs THEN d1 / det END AS b1,
-             |  CASE WHEN abs(det) > 1e-9 * gs * gs * gs THEN d2 / det END AS b2
+             |  CASE WHEN abs(det) > 1e-9 * r0 * r1 * r2 THEN d0 / det END AS b0,
+             |  CASE WHEN abs(det) > 1e-9 * r0 * r1 * r2 THEN d1 / det END AS b1,
+             |  CASE WHEN abs(det) > 1e-9 * r0 * r1 * r2 THEN d2 / det END AS b2
              |FROM e ORDER BY l_returnflag""".stripMargin)),
 
     // Benford leading-digit audit of line prices: the decimal-cast
@@ -153,9 +155,9 @@ private[graft] object Batch43 {
              |  FROM lc JOIN rc USING (key)),
              |tot AS (SELECT CAST(SUM(out_rows) AS DOUBLE) AS t,
              |    CAST(COUNT(*) AS BIGINT) AS nk FROM per)
-             |SELECT key, lcnt, rcnt, out_rows,
+             |SELECT key, lcnt, rcnt, CAST(out_rows AS DOUBLE) AS out_rows,
              |  CAST(out_rows AS DOUBLE) / (t / CAST(nk AS DOUBLE)) AS skew
-             |FROM per, tot ORDER BY out_rows DESC, key ASC LIMIT 15""".stripMargin)),
+             |FROM per, tot ORDER BY per.out_rows DESC, key ASC LIMIT 15""".stripMargin)),
 
     // Exact Kendall τ-b over RAW CONTINUOUS x (o_totalprice, ~14.7k
     // distinct values — the regime q244's self-join gate forbids,

@@ -463,9 +463,11 @@ object ML {
     * inside the gate. λ = 0 reduces to exact unpenalized OLS. Groups
     * with a singular (penalized) Gram matrix — n < 3 or collinear
     * features at λ = 0 — emit NULL coefficients rather than ±Inf or
-    * rounding garbage: singularity is |det| ≤ 1e-9·max(Gram entry)³, a
-    * relative tolerance, because a collinear group's double determinant
-    * cancels only up to rounding. */
+    * rounding garbage: singularity is |det| ≤ 1e-9·(product of the
+    * three Gram row ∞-norms), a relative tolerance that tracks the
+    * determinant's natural magnitude across feature scales, because a
+    * collinear group's double determinant cancels only up to
+    * rounding. */
   def ridgeFit(df: DataFrame, keyCols: Seq[String], x1Col: String,
                x2Col: String, yCol: String, lambda: Double,
                scale: Int = 2): DataFrame = {
@@ -508,12 +510,18 @@ object ML {
     // Singularity gate on a RELATIVE tolerance: a collinear group's
     // determinant cancels only up to double rounding, so det =!= 0.0
     // alone would pass a ~1e-10·scale³ residue and emit enormous
-    // garbage coefficients. |det| is compared to 1e-9 × (the largest
-    // Gram entry)³ — the natural scale of a 3×3 determinant — as a
-    // pinned expression the SQL oracle replays verbatim.
-    val gramScale = greatest(col("__n"), abs(col("__s1")), abs(col("__s2")),
-      abs(a11), abs(col("__s12")), abs(a22))
-    val nonSingular = abs(det) > lit(1e-9) * gramScale * gramScale * gramScale
+    // garbage coefficients. The scale estimate is the PRODUCT OF THE
+    // THREE ROW ∞-NORMS (Hadamard-style: |det| ≤ 3!·r0·r1·r2), which
+    // tracks the determinant's natural magnitude even when the rows
+    // live at wildly different scales — a max-entry³ bound would let n
+    // dominate when feature magnitudes are ≪ 1 (x ~ 1e-3, n = 1000:
+    // det ~ 1e-3 vs a max³ threshold ~ 1) and falsely NULL a
+    // well-conditioned group. Pinned expression; the SQL oracle
+    // replays it verbatim.
+    val r0 = greatest(col("__n"), abs(col("__s1")), abs(col("__s2")))
+    val r1 = greatest(abs(col("__s1")), abs(a11), abs(col("__s12")))
+    val r2 = greatest(abs(col("__s2")), abs(col("__s12")), abs(a22))
+    val nonSingular = abs(det) > lit(1e-9) * r0 * r1 * r2
     agg
       .withColumn("n", col("__n").cast("long"))
       .withColumn("b0", when(nonSingular, d0 / det))

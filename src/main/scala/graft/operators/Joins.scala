@@ -637,15 +637,18 @@ object Joins {
     * salting ([[saltedJoin]]), broadcasting, or a hot-key split. The
     * quadratic-blowup case (self-join pair generation: dedup candidate
     * pairs, sessions × sessions) is `right = left`. Everything is
-    * exact integer/decimal counting (`out_rows` is decimal(38,0), so a
-    * 3e9×3e9 hot key ranks first instead of wrapping negative) — two
-    * map-combined aggregates, a key-equi join of
-    * key-cardinality-sized sides, one scalar total broadcast back — so
-    * the report costs two scans however large the join WOULD be; the
-    * keys it flags are exactly the ones whose single shuffle partition
-    * would receive lcnt·rcnt rows. Output: top-`topN` keys by
-    * `out_rows` desc (key asc tiebreak) with (key, lcnt, rcnt,
-    * out_rows, skew). */
+    * exact integer/decimal counting INTERNALLY (the lcnt·rcnt product
+    * and the ORDER BY ride decimal(38,0), so a 3e9×3e9 hot key ranks
+    * first instead of wrapping negative) — two map-combined aggregates,
+    * a key-equi join of key-cardinality-sized sides, one scalar total
+    * broadcast back — so the report costs two scans however large the
+    * join WOULD be; the keys it flags are exactly the ones whose single
+    * shuffle partition would receive lcnt·rcnt rows. Output: top-`topN`
+    * keys by `out_rows` desc (key asc tiebreak) with (key, lcnt, rcnt,
+    * out_rows, skew); `out_rows` is EMITTED as double (the project-wide
+    * output convention — no raw decimal output columns; the ranking
+    * already happened exactly, and a diagnostic magnitude survives the
+    * 2^53 boundary as a rounded double just fine). */
   def joinSkewReport(left: DataFrame, right: DataFrame, leftKey: String,
                      rightKey: String, topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
@@ -668,5 +671,9 @@ object Joins {
       .drop("__total", "__nkeys")
       .orderBy(col("out_rows").desc, col("key").asc)
       .limit(topN)
+      // cast-at-the-boundary: the exact decimal already decided the
+      // ranking above; the emitted column follows the all-double/bigint
+      // output convention (a Project over the Sort+Limit — order kept)
+      .withColumn("out_rows", col("out_rows").cast("double"))
   }
 }

@@ -280,6 +280,13 @@ object Streams {
                             eventType: String)
   final case class LastEvent(eventType: String, tsUs: Long, eventId: Long)
 
+  /** [[streamingTransitionsBounded]]'s own state class — MILLIS, the
+    * unit `setTimeoutTimestamp` speaks. Deliberately distinct from
+    * [[LastEvent]] (micros) so the two variants can never share a
+    * checkpoint or helper with a silent 1000× TTL error: the field name
+    * carries the unit, not a comment. */
+  final case class LastEventMs(eventType: String, tsMs: Long, eventId: Long)
+
   /** Streaming Markov transitions — the live twin of
     * [[graft.operators.Sessions.markovTransitions]]: per key, each
     * micro-batch's events are sorted by (ts, id) (the in-batch iterator
@@ -338,9 +345,9 @@ object Streams {
     import ds.sparkSession.implicits._
     ds.withWatermark("eventTime", watermarkDelay)
       .groupByKey(_.key)
-      .flatMapGroupsWithState[LastEvent, (Long, String, String)](
+      .flatMapGroupsWithState[LastEventMs, (Long, String, String)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: Long, rows: Iterator[SeqEventT], state: GroupState[LastEvent]) =>
+        (key: Long, rows: Iterator[SeqEventT], state: GroupState[LastEventMs]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(e => (e.eventTime.getTime, e.eventId))
@@ -349,15 +356,13 @@ object Streams {
             var prev = state.getOption
             sorted.foreach { e =>
               prev.foreach(p => out += ((key, p.eventType, e.eventType)))
-              // NOTE: tsUs carries MILLIS here (setTimeoutTimestamp's
-              // unit), unlike the micros of the unbounded variant
-              prev = Some(LastEvent(e.eventType, e.eventTime.getTime, e.eventId))
+              prev = Some(LastEventMs(e.eventType, e.eventTime.getTime, e.eventId))
             }
             prev.foreach { p =>
               state.update(p)
               // expiry slides with the last sighting; clamp above the
               // watermark (the streamingDedupBounded guard)
-              state.setTimeoutTimestamp(math.max(p.tsUs + ttlMs,
+              state.setTimeoutTimestamp(math.max(p.tsMs + ttlMs,
                 state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
@@ -408,7 +413,12 @@ object Streams {
             prev.foreach(p => out += ((key, p, e.eventType)))
             prev = Some(e.eventType)
           }
-          if (pend.isEmpty && state.hasTimedOut) state.remove()
+          // remove ONLY on true TTL expiry — a timeout that just drained
+          // the pending tail (fin non-empty) must fall through to the
+          // update branch, which re-arms fin.last.tsMs + ttlMs; dropping
+          // lastType here would swallow the boundary transition of a key
+          // returning within TTL after a no-data flush batch
+          if (fin.isEmpty && pend.isEmpty && state.hasTimedOut) state.remove()
           else {
             state.update(LateState(prev.orNull, prev.isDefined, pend))
             // wake when the watermark passes the oldest pending event

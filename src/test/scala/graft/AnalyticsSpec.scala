@@ -815,7 +815,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(fit.getAs[Double]("b2") - 3.0) < 1e-9)
     // x2 ≡ x1: the Gram matrix is singular at λ=0; the double
     // determinant may not cancel EXACTLY, which is what the relative
-    // |det| ≤ 1e-9·maxEntry³ tolerance is for
+    // |det| ≤ 1e-9·(row-norm product) tolerance is for
     val coll = Seq(1.0, 2.0, 3.0, 4.0)
       .map(x => ("g", x, x, 2 * x)).toDF("g", "x1", "x2", "y")
     val sing = ML.ridgeFit(coll, Seq("g"), "x1", "x2", "y", lambda = 0.0)
@@ -828,6 +828,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(!reg.isNullAt(reg.fieldIndex("b1")))
     // symmetric columns + symmetric penalty → identical slopes
     assert(math.abs(reg.getAs[Double]("b1") - reg.getAs[Double]("b2")) < 1e-12)
+  }
+
+  test("ridgeFit: small-magnitude features (x ~ 1e-3, n = 1000) are NOT " +
+    "falsely singular — the row-norm-product tolerance tracks det's scale") {
+    // a max-entry³ gate would compare det ~ 0.07 against 1e-9·n³ = 1 and
+    // NULL this perfectly-conditioned group; the row-norm product
+    // threshold is 1e-9·n·max(s1,…)² ~ 2e-5
+    val rows = (0 until 1000).map { i =>
+      val x1 = (i % 10) * 1e-3
+      val x2 = ((i / 10) % 10) * 1e-3
+      ("g", x1, x2, 1.0 + x1 + x2)
+    }.toDF("g", "x1", "x2", "y")
+    val fit = ML.ridgeFit(rows, Seq("g"), "x1", "x2", "y", lambda = 0.0,
+      scale = 6).collect().head
+    assert(!fit.isNullAt(fit.fieldIndex("b0")))
+    assert(math.abs(fit.getAs[Double]("b0") - 1.0) < 1e-6)
+    assert(math.abs(fit.getAs[Double]("b1") - 1.0) < 1e-6)
+    assert(math.abs(fit.getAs[Double]("b2") - 1.0) < 1e-6)
   }
 
   test("benfordDigits: digit extraction through the decimal cast, " +
@@ -850,10 +868,19 @@ class AnalyticsSpec extends SparkSpec {
     val right = (Seq.fill(2)("a") ++ Seq.fill(5)("b") ++ Seq("d")).toDF("k")
     val rep = graft.operators.Joins.joinSkewReport(left, right, "k", "k",
       topN = 10)
+    // the EMITTED column follows the all-double output convention …
     assert(rep.schema("out_rows").dataType ==
-      org.apache.spark.sql.types.DecimalType(38, 0))
+      org.apache.spark.sql.types.DoubleType)
+    // … but the ORDER BY underneath rides the exact decimal(38,0)
+    // product (the anti-wrap ranking: 3e9×3e9 must sort first, not
+    // negative) — pin the internal sort key's type, not the output's
+    val sortKeyTypes = rep.queryExecution.analyzed.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+        s.order.head.child.dataType
+    }
+    assert(sortKeyTypes.contains(org.apache.spark.sql.types.DecimalType(38, 0)))
     val rows = rep.collect().map(r => (r.getString(0),
-      r.getAs[java.math.BigDecimal]("out_rows").longValueExact(),
+      r.getAs[Double]("out_rows").toLong,
       r.getAs[Double]("skew")))
     // c and d never meet: inner key join — per = {a: 3·2=6, b: 1·5=5}
     assert(rows.map(t => (t._1, t._2)).toSeq == Seq(("a", 6L), ("b", 5L)))

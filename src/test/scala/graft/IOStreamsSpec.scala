@@ -400,6 +400,41 @@ class IOStreamsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("streamingTransitionsLate: a flush timeout that drains the WHOLE " +
+      "pending tail keeps lastType for ttlMs — a key returning within TTL " +
+      "still emits its boundary transition") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = MemoryStream[Streams.SeqEventT](spark)
+    val q = Streams.streamingTransitionsLate(ms.toDS(),
+        watermarkDelay = "5 seconds", ttlMs = 500000L)
+      .toDF("k", "prev", "next")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stl_flush_sink").start()
+    try {
+      // b1: A@10s is key 1's ONLY pending event
+      ms.addData(Seq(Streams.SeqEventT(1L, t(10000), 1L, "A")))
+      q.processAllAvailable()
+      // b2: key 2 advances the watermark to 95s; the no-data batch then
+      // fires key 1's pending-flush timeout with fin=[A], pend=[] — the
+      // path that must KEEP lastType=A (TTL re-arms at 10s+500s), not
+      // remove the state with the finalized tail
+      ms.addData(Seq(Streams.SeqEventT(2L, t(100000), 2L, "X")))
+      q.processAllAvailable()
+      // b3: key 1 returns WITHIN TTL — B@101s buffers against lastType A
+      ms.addData(Seq(Streams.SeqEventT(1L, t(101000), 3L, "B")))
+      q.processAllAvailable()
+      // b4: watermark → 195s; the flush finalizes B → A→B must emit
+      ms.addData(Seq(Streams.SeqEventT(2L, t(200000), 4L, "Y")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stl_flush_sink")
+      .collect().filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq(("A", "B")), s"got $got")
+  }
+
   test("Moments sketch runs under Structured Streaming == batch result") {
     val dir = Files.createTempDirectory("graft_skstream").toFile.getPath
     val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
