@@ -49,9 +49,12 @@ private[graft] object Batch36 {
 
     // Poisson bootstrap: 16 deterministic resampled means of
     // l_quantity out of ONE scan (2×16 combined aggregate expressions).
-    // The md5 uniforms, the 8-step Poisson(1) CDF inversion (thresholds
-    // are shared 17-digit literals), the decimal Σw·v, and the final
-    // divisions are all replayed per replicate.
+    // ONE md5 per row (the two 32-bit words) fanned into 16 uniforms by
+    // the mixU32 integer finalizer — the oracle replays the full chain
+    // in signed-BIGINT arithmetic (every intermediate < 2⁶³ by
+    // construction), then the 8-step Poisson(1) CDF inversion
+    // (thresholds are shared 17-digit literals), the decimal Σw·v, and
+    // the final divisions per replicate.
     Q("q240_bootstrap_means",
       (s, dir) => {
         val li = Tables.lineitem(s, dir).withColumn("rid",
@@ -61,9 +64,17 @@ private[graft] object Batch36 {
           b = 16, salt = "bs")
       },
       Some("""WITH reps AS (SELECT unnest(range(0, 16)) AS rep),
-             |r AS (SELECT reps.rep, CAST(l_quantity AS DECIMAL(18,4)) AS v,
-             |    CAST(CAST('0x' || substr(md5('bs' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || ':' || CAST(reps.rep AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
-             |  FROM lineitem CROSS JOIN reps),
+             |h AS (SELECT CAST(l_quantity AS DECIMAL(18,4)) AS v,
+             |    CAST('0x' || substr(md5('bs' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+             |    CAST('0x' || substr(md5('bs' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+             |  FROM lineitem),
+             |m0 AS (SELECT reps.rep, h.v,
+             |    xor(h.h1, (h.h2 + reps.rep * 2654435761) % 4294967296) AS x0
+             |  FROM h CROSS JOIN reps),
+             |m1 AS (SELECT rep, v, (x0 * 1597334677) % 4294967296 AS x1 FROM m0),
+             |m2 AS (SELECT rep, v, (xor(x1, x1 >> 16) * 887987685) % 4294967296 AS x3 FROM m1),
+             |r AS (SELECT rep, v,
+             |    CAST(xor(x3, x3 >> 13) AS DOUBLE) / 4294967296.0 AS u FROM m2),
              |w AS (SELECT rep, v, CASE
              |    WHEN u < 0.36787944117144233 THEN 0
              |    WHEN u < 0.7357588823428847 THEN 1

@@ -553,6 +553,30 @@ object StressBench {
     // identical overhead in each arm). The hicard arm (10M rows, 5M
     // distinct x → ~1e14 self-join cells) has NO self-join twin — that
     // infeasibility is the point; only the Knight plan can run it.
+    // Poisson-bootstrap uniform-derivation A/B (round 14): the operator's
+    // ONE-md5 + B mixU32 fan-out vs the superseded B-md5s-per-row chain,
+    // reconstructed here verbatim as the baseline. Same 10M-row fixture,
+    // same 2B map-combined aggregate shape — the pair isolates the
+    // per-row hashing cost alone (at B=16: 1 digest + 16 integer mixes
+    // vs 16 digests of a widening concat string).
+    def bootstrapFixture: DataFrame =
+      spark.read.parquet(s"$root/events_stress")
+        .select(col("event_id").cast("string").as("rid"), col("value").as("v"))
+    def bootstrapMd5PerRep(df: DataFrame, b: Int): DataFrame = {
+      val aggs = (0 until b).flatMap { j =>
+        val u = graft.functions.Sampling.hashU32(
+            concat(col("rid"), lit(s":$j")), "bs")
+          .cast("double") / lit(4294967296.0)
+        val w = graft.functions.ML.poisson1Cdf.zipWithIndex
+          .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
+            Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
+          }.get.otherwise(graft.functions.ML.poisson1Cdf.length).cast("long")
+        Seq(sum(w).as(s"__n$j"),
+          sum(w.cast("decimal(19,0)") *
+            col("v").cast("decimal(18,4)")).as(s"__s$j"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
     def kendallFixture(rows: Long, dx: Long, yv: Long): DataFrame =
       spark.range(rows).select(
         (col("id") % dx).cast("double").as("x"),
@@ -564,6 +588,9 @@ object StressBench {
     }
 
     val cases: Seq[(String, () => DataFrame)] = Seq(
+      "bootstrap_mix" -> (() => graft.functions.ML.bootstrapMeans(
+        bootstrapFixture, "rid", "v", b = 16, salt = "bs")),
+      "bootstrap_md5perrep" -> (() => bootstrapMd5PerRep(bootstrapFixture, 16)),
       "kendall_selfjoin" -> (() => kendallArm(exact = false, 1000000L, 10000L, 2L)),
       "kendall_knight" -> (() => kendallArm(exact = true, 1000000L, 10000L, 2L)),
       "kendall_knight_hicard" -> (() => kendallArm(exact = true, 10000000L, 5000000L, 3L)),

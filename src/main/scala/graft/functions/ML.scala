@@ -547,18 +547,25 @@ object ML {
     * replicate mean is Σw·v / Σw — so B resampled means come out of ONE
     * corpus scan (2B map-side-combined aggregate expressions — the
     * OnlineStats Series contract — never B shuffles, never a B×
-    * materialized resample). Deterministic end to end: the md5 uniform,
-    * the 8-step CDF inversion, the decimal Σw·v, and the final division
-    * are all engine-replayable (q240). Downstream CI = quantiles of the
-    * B means (B rows — driver-trivial). Output: (rep, n_eff, mean_rep),
-    * rep ascending; a replicate that draws all-zero weights (p ≈ e⁻ⁿ)
+    * materialized resample). The B uniforms of a row come from ONE md5
+    * ([[graft.functions.Sampling.hash64Words]]) fanned out by B integer
+    * finalizer mixes ([[graft.functions.Sampling.mixU32]]) — not B md5
+    * evaluations: the hash is computed in a projection BEFORE the
+    * aggregate, so the per-row cost is one digest + B multiply/xor
+    * chains. Deterministic end to end: the md5 words, the mix chain
+    * (every intermediate < 2⁶³ — plain signed-BIGINT SQL), the 8-step
+    * CDF inversion, the decimal Σw·v, and the final division are all
+    * engine-replayable (q240). Downstream CI = quantiles of the B means
+    * (B rows — driver-trivial). Output: (rep, n_eff, mean_rep), rep
+    * ascending; a replicate that draws all-zero weights (p ≈ e⁻ⁿ)
     * yields NULL mean. */
   def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
                      b: Int, salt: String, scale: Int = 4): DataFrame = {
     require(b >= 1 && b <= 64, s"b must be in [1,64], got $b")
+    val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
+    val hashed = df.select(col(valueCol), h1.as("__h1"), h2.as("__h2"))
     val aggs = (0 until b).flatMap { j =>
-      val u = graft.functions.Sampling.hashU32(
-          concat(col(idCol).cast("string"), lit(s":$j")), salt)
+      val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
         .cast("double") / lit(4294967296.0)
       val w = poisson1Cdf.zipWithIndex
         .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
@@ -569,7 +576,7 @@ object ML {
         sum(w.cast("decimal(19,0)") *
           col(valueCol).cast(s"decimal(18,$scale)")).as(s"__s$j"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = hashed.agg(aggs.head, aggs.tail: _*)
     val stackArgs = (0 until b)
       .map(j => s"${j}L, __n$j, __s$j").mkString(", ")
     one.select(expr(s"stack($b, $stackArgs) as (rep, n_eff, __s)"))

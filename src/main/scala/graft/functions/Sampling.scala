@@ -40,8 +40,9 @@ object Sampling {
   /** The j-th derived 32-bit value from ONE 64-bit hash (h1, h2 = two
     * md5 words) — the lever that turns "B md5 evaluations per row" into
     * "one md5 + B cheap integer mixes" wherever a row needs a FAMILY of
-    * deterministic uniforms (Poisson bootstrap replicates, repeated
-    * trials). A murmur-style finalizer with every intermediate bounded
+    * deterministic uniforms (the [[graft.functions.ML.bootstrapMeans]]
+    * replicate draws, q240; repeated trials). A murmur-style finalizer
+    * with every intermediate bounded
     * below 2⁶³, so BOTH engines replay it in plain signed-BIGINT
     * arithmetic with no wrap:
     *   a = (h2 + j·2654435761) mod 2³²; x = h1 xor a;

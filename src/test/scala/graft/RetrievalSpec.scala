@@ -427,7 +427,26 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
-  test("bootstrapMeans: exact md5 driver model per replicate; " +
+  /** JVM twin of [[graft.functions.Sampling.mixU32]] — the golden model
+    * the Spark expression and the SQL oracle must both reproduce. */
+  private def mixModel(h1: Long, h2: Long, j: Int): Long = {
+    val a = (h2 + j.toLong * 2654435761L) % 4294967296L
+    val x0 = h1 ^ a
+    val x1 = (x0 * 1597334677L) % 4294967296L
+    val x2 = x1 ^ (x1 >> 16)
+    val x3 = (x2 * 887987685L) % 4294967296L
+    x3 ^ (x3 >> 13)
+  }
+
+  private def md5Words(s: String): (Long, Long) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+      java.lang.Long.parseLong(hex.substring(8, 16), 16))
+  }
+
+  test("bootstrapMeans: exact one-md5 + mixU32 driver model per replicate; " +
       "means concentrate near the true mean; partition sweep") {
     import spark.implicits._
     val df = (1 to 200).map(i => (s"r$i", i.toDouble)).toDF("rid", "v")
@@ -435,23 +454,25 @@ class RetrievalSpec extends SparkSpec {
         b = 8, salt = "t")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got.size == 8)
-    // driver model for replicate 0: same md5 uniform, same CDF chain,
-    // same decimal(18,4) weighted sum and division
+    // driver model: ONE md5 of salt||id, the mixU32 fan-out per
+    // replicate, the same CDF chain, the same decimal(18,4) weighted
+    // sum and division
     def weight(id: String, rep: Int): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(("t" + id + s":$rep").getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      val (h1, h2) = md5Words("t" + id)
+      val u = mixModel(h1, h2, rep).toDouble / 4294967296.0
       graft.functions.ML.poisson1Cdf.indexWhere(u < _) match {
         case -1 => 8L case k => k.toLong
       }
     }
-    val ws = (1 to 200).map(i => (weight(s"r$i", 0), i.toDouble))
-    val nEff = ws.map(_._1).sum
-    val sum = ws.map { case (w, v) =>
-      BigDecimal(w) * BigDecimal(v).setScale(4) }.sum
-    assert(got(0L)._1 == nEff)
-    assert(got(0L)._2 == sum.toDouble / nEff.toDouble)
+    (0 until 8).foreach { rep =>
+      val ws = (1 to 200).map(i => (weight(s"r$i", rep), i.toDouble))
+      val nEff = ws.map(_._1).sum
+      val sum = ws.map { case (w, v) =>
+        BigDecimal(w) * BigDecimal(v).setScale(4) }.sum
+      assert(got(rep.toLong)._1 == nEff, s"n_eff mismatch at rep $rep")
+      assert(got(rep.toLong)._2 == sum.toDouble / nEff.toDouble,
+        s"mean mismatch at rep $rep")
+    }
     // all replicate means within a loose band of the true mean 100.5
     assert(got.values.forall(m => math.abs(m._2 - 100.5) < 15),
       s"bootstrap means drifted: $got")
@@ -459,6 +480,41 @@ class RetrievalSpec extends SparkSpec {
       graft.functions.ML.bootstrapMeans(df.repartition(p), "rid", "v",
         b = 4, salt = "t").collect().map(_.toSeq).toSeq
     }
+  }
+
+  test("mixU32: Spark expression == JVM golden model; derived uniforms " +
+      "are distribution-sane across j and uncorrelated between j's") {
+    import spark.implicits._
+    val n = 4096
+    val ids = (0 until n).map(i => s"k$i").toDF("id")
+    val (h1, h2) = graft.functions.Sampling.hash64Words(col("id"), "s")
+    val out = ids.select(col("id"), h1.as("h1"), h2.as("h2"),
+        graft.functions.Sampling.mixU32(h1, h2, 0).as("m0"),
+        graft.functions.Sampling.mixU32(h1, h2, 7).as("m7"))
+      .collect()
+    out.foreach { r =>
+      val (g1, g2) = md5Words("s" + r.getString(0))
+      assert(r.getLong(1) == g1 && r.getLong(2) == g2,
+        s"hash64Words mismatch for ${r.getString(0)}")
+      assert(r.getLong(3) == mixModel(g1, g2, 0))
+      assert(r.getLong(4) == mixModel(g1, g2, 7))
+    }
+    // distribution sanity: every value in [0, 2^32); per-j mean near
+    // 0.5·2^32 (CLT band ~4σ = 4·2^32/√(12·4096) ≈ 0.018·2^32); the
+    // j=0 vs j=7 streams decorrelated (|r| ≪ 1)
+    val m0 = out.map(_.getLong(3).toDouble)
+    val m7 = out.map(_.getLong(4).toDouble)
+    val full = 4294967296.0
+    assert((m0 ++ m7).forall(v => v >= 0 && v < full))
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(math.abs(mean(m0) / full - 0.5) < 0.02)
+    assert(math.abs(mean(m7) / full - 0.5) < 0.02)
+    val (a0, a7) = (mean(m0), mean(m7))
+    val cov = m0.zip(m7).map { case (x, y) => (x - a0) * (y - a7) }.sum / n
+    val sd0 = math.sqrt(m0.map(x => (x - a0) * (x - a0)).sum / n)
+    val sd7 = math.sqrt(m7.map(x => (x - a7) * (x - a7)).sum / n)
+    assert(math.abs(cov / (sd0 * sd7)) < 0.05,
+      s"j-streams correlated: r=${cov / (sd0 * sd7)}")
   }
 
   test("rollingAgg: golden trailing frame (inclusive bounds, equal-ts peers)") {
