@@ -594,6 +594,11 @@ object StressBench {
       "kendall_selfjoin" -> (() => kendallArm(exact = false, 1000000L, 10000L, 2L)),
       "kendall_knight" -> (() => kendallArm(exact = true, 1000000L, 10000L, 2L)),
       "kendall_knight_hicard" -> (() => kendallArm(exact = true, 10000000L, 5000000L, 3L)),
+      // round 14: 50M rows, ALL x distinct — the raw-continuous regime
+      // the operator exists for. Exercises the distributed dense rank
+      // (the r13 single-task row_number ceiling) and the auto-scaled
+      // bucket count (50M/250k → 200 sweep buckets) in one arm.
+      "kendall_knight_50m" -> (() => kendallArm(exact = true, 50000000L, 50000000L, 3L)),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning

@@ -261,9 +261,9 @@ object Analytics {
     * ρ = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)) is a
     * pinned double chain (IEEE sqrt). DISTINCT-VALUE-BOUNDED plan (the
     * ksTest/aucRoc contract): one (x,y)-pair count aggregate over the
-    * corpus, one cumulative-count window over the distinct values of
-    * EACH marginal (single-task, but sized by value cardinality, not
-    * rows), two key joins back onto the pair counts, one final
+    * corpus, one DISTRIBUTED cumulative count over the distinct values
+    * of EACH marginal ([[prefixBefore]] — range slices in parallel, no
+    * single-task sort), two key joins back onto the pair counts, one final
     * map-side-combined fold of the weighted statistics — no row-level
     * global window anywhere. Each decimal factor is cast BEFORE the
     * multiply (decimal(20,0)·decimal(20,0)·decimal(20,0) → the Σ c·r·r
@@ -271,17 +271,48 @@ object Analytics {
     * n ≈ 1.5·10⁹ in the row-window form). Bit-identical to the
     * row-level-window formulation (AnalyticsSpec pins it). NULL for
     * degenerate (constant) columns. */
+  /** Strictly-before prefix sum over a DISTINCT-key table, distributed —
+    * the rank machinery of the exact-statistics family ([[spearman]],
+    * [[kendallTauExact]]): appends `__cum` = Σ weight over rows whose
+    * key sorts strictly earlier (NULLS FIRST, matching `orderBy(asc)`
+    * window semantics). The single-task global window this replaces
+    * serialized |distinct| values through one task — fine at 5M, a
+    * ceiling at 1e9+ raw continuous values. Plan: repartitionByRange on
+    * the key (contiguous ascending slices, ascending partition ids), a
+    * PARTITIONED cumulative window per slice (parallel across slices),
+    * and a #partitions-row offset table broadcast back. The sampled
+    * range bounds affect only WHERE a key lands, never its prefix mass
+    * (slices are contiguous and keys distinct), so the output is
+    * deterministic. Cost: two exchanges of the distinct-key table (one
+    * range, one pid-hash for the window) + a broadcast of #partitions
+    * rows — every stage bounded by |distinct| / #partitions. */
+  private[graft] def prefixBefore(dv: DataFrame, key: String,
+                                  weight: Column): DataFrame = {
+    val p = dv.repartitionByRange(col(key).asc)
+      .withColumn("__w", weight)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(key).asc)
+      .rowsBetween(Long.MinValue, -1)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid").asc).rowsBetween(Long.MinValue, -1)
+    val offs = p.groupBy(col("__pid")).agg(sum(col("__w")).as("__pw"))
+      .withColumn("__off", coalesce(sum(col("__pw")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    p.withColumn("__lc", coalesce(sum(col("__w")).over(wLocal), lit(0L)))
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn("__cum", col("__off") + col("__lc"))
+      .drop("__pid", "__w", "__lc", "__off")
+  }
+
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val pairs = df
       .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
       .agg(count(lit(1)).as("__c"))
     def marginal(key: String, out: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
-      pairs.groupBy(col(key).as("__v")).agg(sum(col("__c")).as("__cv"))
-        .withColumn(out,
-          lit(2) * coalesce(sum(col("__cv")).over(w), lit(0L)) +
-            col("__cv") + 1)
+      val cv = pairs.groupBy(col(key).as("__v")).agg(sum(col("__c")).as("__cv"))
+      prefixBefore(cv, "__v", col("__cv"))
+        .withColumn(out, lit(2) * col("__cum") + col("__cv") + 1)
         .select(col("__v").as(key), col(out))
     }
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(20,0)")
@@ -762,9 +793,10 @@ object Analytics {
     *
     *  1. (x,y)-pair counts — one map-combined aggregate (Knight's sort
     *     input, collapsed by multiplicity).
-    *  2. Dense ranks rx, ry from DISTINCT-value tables (the spearman
-    *     marginal machinery: single-task windows bounded by |X| / |Y|
-    *     distinct cardinality, joined back — never a row window).
+    *  2. Dense ranks rx, ry from DISTINCT-value tables via
+    *     [[prefixBefore]] (the spearman marginal machinery): range
+    *     slices ranked IN PARALLEL + a broadcast offset table — no
+    *     single-task sort even at 1e9+ raw continuous values.
     *  3. x-RANGE buckets ⌊(rx−1)·B/|X|⌋ — monotone in x and equal x
     *     never splits, so every cross-bucket pair is strictly x-ordered
     *     by construction.
@@ -785,26 +817,39 @@ object Analytics {
     *     2(nc+nd) = n(n−1) − Σtx(tx−1) − Σty(ty−1) + Σc(c−1); the τ-b
     *     chain is [[kendallTau]]'s verbatim.
     *
-    * Cost: one pair aggregate, two distinct-value rank sorts, one
-    * bucket exchange + O(|pairs|·log) sweep, one B·|Y| grid — vs the
-    * self-join's |pairs|². Rows with a NULL in either column are
+    * Cost: one pair aggregate, two distributed distinct-value ranks,
+    * one bucket exchange + O(|pairs|·log) sweep, one B·|Y| grid — vs
+    * the self-join's |pairs|². `buckets = 0` (default) auto-scales B
+    * from a row-count estimate so each bucket's in-memory sweep array
+    * stays ~250k cells. Rows with a NULL in either column are
     * excluded (listwise deletion). Output (n, nc, nd, tau_b) —
     * [[kendallTau]]'s schema and bit-equal values (AnalyticsSpec pins
     * the equality; q256 gates it against the theta-join oracle on RAW
     * continuous x, the regime the self-join could not serve). */
   def kendallTauExact(df: DataFrame, xCol: String, yCol: String,
-                      buckets: Int = 32): DataFrame = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+                      buckets: Int = 0): DataFrame = {
+    require(buckets >= 0, s"buckets must be >= 0 (0 = auto), got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val nonNull = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // auto-scale B from a row-count estimate (|pairs| ≤ rows) so the
+    // per-bucket in-memory sweep array stays bounded (~250k cells) no
+    // matter the input: B = clamp(rows/250k, 32, 4096). One extra
+    // map-combined count scan — negligible next to the sweep exchange;
+    // pass an explicit B to skip it.
+    val b = if (buckets > 0) buckets
+      else math.min(4096L, math.max(32L, (nonNull.count() + 249999L) / 250000L)).toInt
+    val pairs = nonNull
       .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
       .agg(count(lit(1)).as("__c"))
-    def rankTable(key: String, out: String) = {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(key).asc)
-      pairs.select(col(key)).distinct()
-        .withColumn(out, row_number().over(w).cast("long"))
-    }
+    // dense ranks from DISTINCT-value tables via the DISTRIBUTED prefix
+    // machinery ([[prefixBefore]]): rank = (# strictly-smaller distinct
+    // values) + 1 — no single-task sort anywhere; the |X|-distinct rank
+    // step parallelizes across range slices
+    def rankTable(key: String, out: String) =
+      prefixBefore(pairs.select(col(key)).distinct(), key, lit(1L))
+        .withColumn(out, (col("__cum") + 1).cast("long"))
+        .drop("__cum")
     val rx = rankTable("__x", "__rx").withColumnRenamed("__x", "__kx")
     val ry = rankTable("__y", "__ry").withColumnRenamed("__y", "__ky")
     val nx = rx.agg(max(col("__rx")).as("__nx"))
@@ -813,11 +858,11 @@ object Analytics {
       .join(ry, col("__y") === col("__ky")).drop("__ky")
       .crossJoin(broadcast(nx))
       .withColumn("__bx", // integer div: exact range bucketing, 0..B−1
-        expr(s"((__rx - 1) * $buckets) div __nx").cast("int"))
+        expr(s"((__rx - 1) * $b) div __nx").cast("int"))
       .select("__bx", "__rx", "__ry", "__c")
     // 4. local sweep
     val partials = ranked
-      .repartition(buckets, col("__bx"))
+      .repartition(b, col("__bx"))
       .sortWithinPartitions(col("__bx").asc, col("__rx").asc)
       .as[(Int, Long, Long, Long)]
       .mapPartitions { it =>
@@ -874,7 +919,7 @@ object Analytics {
       .agg(coalesce(sum(col("__ndStr").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("__ndLocal"))
     // 5. cross-bucket grid
-    val bList = spark.range(buckets).select(col("id").cast("int").as("__bx"))
+    val bList = spark.range(b).select(col("id").cast("int").as("__bx"))
     val ysAll = ranked.select("__ry").distinct()
     val h = ranked.groupBy(col("__bx"), col("__ry")).agg(sum("__c").as("__h"))
     val wS = org.apache.spark.sql.expressions.Window
@@ -887,13 +932,16 @@ object Analytics {
       .join(h, Seq("__bx", "__ry"), "left")
       .withColumn("__h0", coalesce(col("__h"), lit(0L)))
       .withColumn("__S", coalesce(sum(col("__h0")).over(wS), lit(0L)))
-      .withColumn("__A", coalesce(sum(col("__S").cast("decimal(19,0)")).over(wA),
-        lit(0).cast("decimal(19,0)")))
+      // __A ≤ n²/2: decimal(38,0) end to end — a 19-digit cast would
+      // overflow to NULL (non-ANSI) past n ≈ 4.5e9 and silently
+      // undercount nd in exactly the at-scale regime this form serves
+      .withColumn("__A", coalesce(sum(col("__S").cast("decimal(38,0)")).over(wA),
+        lit(0).cast("decimal(38,0)")))
     val crossNd = ranked
       .join(gridA.select(col("__bx"), col("__ry"), col("__A")),
         Seq("__bx", "__ry"))
-      .agg(coalesce(sum(col("__c").cast("decimal(19,0)") *
-        col("__A").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+      .agg(coalesce(sum(col("__c").cast("decimal(19,0)") * col("__A")),
+        lit(0).cast("decimal(38,0)"))
         .as("__ndCross"))
     // 6. ties + identity + the kendallTau τ chain
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
@@ -909,14 +957,25 @@ object Analytics {
       .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
       .crossJoin(broadcast(tot))
       .withColumn("__nd", col("__ndLocal") + col("__ndCross"))
+      // nc EXACTLY, in decimal(38,0): the inclusion-exclusion identity
+      // doubled — 2nc = n(n−1) − Σtx(tx−1) − Σty(ty−1) + Σc(c−1) − 2nd,
+      // every term even — then one exact halving. A double chain here
+      // would lose integer exactness once n(n−1) > 2^53 (n ≈ 1e8) while
+      // kendallTau and the q256 oracle carry exact decimals; cast-last
+      // keeps the two forms bit-equal at any n (exact while nc < 10^32,
+      // the decimal(38,6) halving intermediate).
+      .withColumn("__nn", dec(col("n")))
+      .withColumn("__nc2", col("__nn") * (col("__nn") - 1) -
+        dec(col("__tx")) - dec(col("__ty")) + dec(col("__txy")) -
+        lit(2) * col("__nd"))
+      .withColumn("__ncDec",
+        (col("__nc2") / lit(2).cast("decimal(1,0)")).cast("decimal(38,0)"))
       .withColumn("__n0", d(col("n")) * (d(col("n")) - 1) / 2.0)
       .withColumn("__d1", col("__n0") - d(col("__tx")) / 2.0)
       .withColumn("__d2", col("__n0") - d(col("__ty")) / 2.0)
-      .withColumn("__nc", col("__n0") - d(col("__tx")) / 2.0 -
-        d(col("__ty")) / 2.0 + d(col("__txy")) / 2.0 - d(col("__nd")))
-      .select(col("n"), col("__nc").as("nc"), d(col("__nd")).as("nd"),
+      .select(col("n"), d(col("__ncDec")).as("nc"), d(col("__nd")).as("nd"),
         when(col("__d1") > 0 && col("__d2") > 0,
-          (col("__nc") - d(col("__nd"))) /
+          (d(col("__ncDec")) - d(col("__nd"))) /
             sqrt(col("__d1") * col("__d2"))).as("tau_b"))
   }
 

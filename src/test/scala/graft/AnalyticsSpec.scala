@@ -736,6 +736,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("prefixBefore: distributed strictly-before prefix == the global " +
+    "window it replaces; NULL sorts first; weighted; partition sweep") {
+    import spark.implicits._
+    val dv = Seq(Option(5.0), Option(1.0), None, Option(3.0), Option(9.0),
+      Option(2.0)).toDF("v").withColumn("w", coalesce(col("v") * 10, lit(100.0))
+        .cast("long"))
+    // unit weight: __cum = dense-rank − 1, NULL FIRST (asc window order)
+    val got = Analytics.prefixBefore(dv, "v", lit(1L))
+      .collect().map(r => (Option(r.get(0)), r.getAs[Long]("__cum")))
+      .sortBy(_._2).toSeq
+    assert(got == Seq((None, 0L), (Some(1.0), 1L), (Some(2.0), 2L),
+      (Some(3.0), 3L), (Some(5.0), 4L), (Some(9.0), 5L)))
+    // weighted: cum of strictly-preceding w (null w=100 first)
+    val gw = Analytics.prefixBefore(dv, "v", col("w"))
+      .collect().map(r => (Option(r.get(0)), r.getAs[Long]("__cum"))).toMap
+    assert(gw(None) == 0L && gw(Some(1.0)) == 100L && gw(Some(2.0)) == 110L
+      && gw(Some(3.0)) == 130L && gw(Some(5.0)) == 160L
+      && gw(Some(9.0)) == 210L)
+    partitionSweep { p =>
+      Analytics.prefixBefore(dv.repartition(p), "v", col("w"))
+        .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse(""),
+          r.getAs[Long]("__cum"))).sortBy(_._1).toSeq
+    }
+  }
+
   test("kendallTauExact: bit-equal to the self-join form on tie-heavy, " +
     "monotone, anti-monotone, and constant fixtures, across bucket " +
     "counts and partitionings") {
