@@ -2314,4 +2314,29 @@ class FunctionsSpec extends SparkSpec {
     val r1 = ML.aucRoc(one, "score", col("lab")).collect().head
     assert(r1.isNullAt(r1.fieldIndex("auc")))
   }
+
+  test("Bench.priorMedians: bare payload, wrapper-parsed, and the " +
+    "r13 failure shape — a front-truncated tail starting mid-spread") {
+    val bare = """{"metric":"total","value":3.0,"unit":"sec","queries":{"q01":1.5,"q02":0.75},"spread":{"q01":{"min":1.4,"max":1.6,"med":1.5},"q02":{"min":0.7,"max":0.8,"med":0.75}},"sf":"x"}"""
+    assert(Bench.priorMedians(bare) == Map("q01" -> 1.5, "q02" -> 0.75))
+    val wrapped = s"""{"rc":0,"parsed":$bare,"tail":"ignored"}"""
+    assert(Bench.priorMedians(wrapped) == Map("q01" -> 1.5, "q02" -> 0.75))
+    // the r13 shape: parsed:null, tail front-truncated to start MID-
+    // spread — the queries map is gone entirely; med entries must carry
+    // the tripwire. Note q01's own entry is cut (its med is lost), q02
+    // onward survive.
+    val tail = """ax":1.6,"med":1.5},"q02":{"min":0.7,"max":0.8,"med":0.75},"q03":{"min":2.0,"max":2.2,"med":2.1}},"iters":5,"sanity":null,"errors":[],"sf":"x"}"""
+    val truncated = "{\"rc\":0,\"parsed\":null,\"tail\":\"" +
+      tail.replace("\"", "\\\"") + "\"}"
+    assert(Bench.priorMedians(truncated) ==
+      Map("q02" -> 0.75, "q03" -> 2.1))
+    // pre-r14 artifacts: spread has min/max only — priorMedians finds
+    // nothing, priorMins recovers the min bands (the sanity fallback)
+    val oldTail = """ax":1.6},"q02":{"min":0.7,"max":0.8},"q03":{"min":2.0,"max":2.2}},"iters":5,"sf":"x"}"""
+    val oldTrunc = "{\"rc\":0,\"parsed\":null,\"tail\":\"" +
+      oldTail.replace("\"", "\\\"") + "\"}"
+    assert(Bench.priorMedians(oldTrunc).isEmpty)
+    assert(Bench.priorMins(oldTrunc) == Map("q02" -> 0.7, "q03" -> 2.0))
+    assert(Bench.priorMins(bare) == Map("q01" -> 1.4, "q02" -> 0.7))
+  }
 }
