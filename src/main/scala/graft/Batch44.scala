@@ -1,0 +1,72 @@
+package graft
+
+import graft.SparkEntry.Q
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 44 (round 14): the compressed-regime gate for
+  * the sketch-ECDF KS — the half of the q225 contract the r12/r13
+  * agendas carried ("estimator-gate ksTestSketch's COMPRESSED regime").
+  */
+private[graft] object Batch44 {
+
+  val queries: Seq[Q] = Seq(
+
+    // Sketch-ECDF KS with compression FORCED (raw continuous purchase
+    // values — thousands of distinct doubles — through k = 32
+    // centroids), gated by the q43/q128 estimator pattern in its
+    // strongest form: the emitted row is the EXACT statistic (ksTest's
+    // n_a/n_b/d_at/d — replayed verbatim by the oracle) plus an
+    // in-query `within_bound` flag asserting |D̂ − D| ≤ the sketch's own
+    // a-priori error bound (2·Σ wmax/n — a compressed centroid can
+    // displace an ECDF evaluation by at most its weight). The oracle
+    // pins the flag TRUE: if KHist compression ever degrades past its
+    // contract, the flag flips and the row goes hash-red at the driver.
+    // The bound is sketch-derived, so the gate stays honest under any
+    // partitioning (D̂ itself is insertion-order dependent; the bound
+    // holds for every order).
+    Q("q257_ks_sketch_compressed",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ksc") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_id") % 3 === 0,
+              col("value") * 2).otherwise(col("value")))
+        val exact = graft.operators.Analytics.ksTest(ev, "grp", "v",
+          "ref", "cur")
+        val sk = graft.operators.Analytics.ksTestSketchBounded(ev, "grp",
+            "v", "ref", "cur", k = 32)
+          .select(col("d").as("__dsk"), col("err_bound").as("__eb"))
+        exact.crossJoin(sk)
+          .select(col("n_a"), col("n_b"), col("d_at"), col("d"),
+            (abs(col("__dsk") - col("d")) <= col("__eb")).as("within_bound"))
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ksc' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |vals AS (SELECT grp, CASE WHEN grp = 'cur' AND event_id % 3 = 0
+             |    THEN value * 2 ELSE value END AS v FROM g),
+             |c AS (SELECT v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM vals GROUP BY v),
+             |cum AS (SELECT v,
+             |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+             |  FROM c),
+             |num AS (SELECT v, na, nb,
+             |    ABS(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na) AS num
+             |  FROM cum),
+             |mx AS (SELECT v, na, nb, num, MAX(num) OVER () AS m FROM num)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  MIN(v) AS d_at,
+             |  CAST(MAX(m) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d,
+             |  TRUE AS within_bound
+             |FROM mx WHERE num = m GROUP BY na, nb""".stripMargin))
+  )
+}

@@ -437,6 +437,38 @@ object Analytics {
     * undefined). */
   def ksTestSketch(df: DataFrame, groupCol: String, valueCol: String,
                    groupA: String, groupB: String, k: Int = 256): DataFrame = {
+    val (na, nb, bestAt, d, _) =
+      ksSketchWalk(df, groupCol, valueCol, groupA, groupB, k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((na, nb, bestAt, d)).toDF("n_a", "n_b", "d_at", "d")
+  }
+
+  /** [[ksTestSketch]] plus its A-PRIORI compression error bound — the
+    * estimator-gate form (q257). A compressed KHist centroid of weight w
+    * concentrates mass that was spread over its span at one point, so
+    * any ECDF evaluation can be displaced by at most that centroid's
+    * weight; per group the pointwise ECDF error is ≤ wmax/n, and the
+    * sup-statistic error by ≤ the sum over both groups (×2 safety for
+    * the argmax landing between pooled points on both sides). The bound
+    * is sketch-DERIVED (wmax read off the centroids), so the gate query
+    * can assert |D̂ − D_exact| ≤ err_bound in-query against the exact
+    * oracle D — red at the driver if compression ever degrades beyond
+    * its contract. Output: (n_a, n_b, d_at, d, err_bound). */
+  def ksTestSketchBounded(df: DataFrame, groupCol: String, valueCol: String,
+                          groupA: String, groupB: String,
+                          k: Int = 256): DataFrame = {
+    val (na, nb, bestAt, d, bound) =
+      ksSketchWalk(df, groupCol, valueCol, groupA, groupB, k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((na, nb, bestAt, d, bound))
+      .toDF("n_a", "n_b", "d_at", "d", "err_bound")
+  }
+
+  private def ksSketchWalk(df: DataFrame, groupCol: String, valueCol: String,
+                           groupA: String, groupB: String, k: Int)
+      : (Long, Long, Double, Double, Double) = {
     require(k >= 2, s"need k >= 2 centroids, got $k")
     val rows = df.filter(col(groupCol).isin(groupA, groupB))
       .groupBy(col(groupCol).cast("string").as("__g"))
@@ -468,9 +500,9 @@ object Analytics {
       if (num > best) { best = num; bestAt = x }
     }
     val d = best.toDouble / (na.toDouble * nb.toDouble)
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((na, nb, bestAt, d)).toDF("n_a", "n_b", "d_at", "d")
+    val bound = 2.0 * (ca.map(_._2).max.toDouble / na.toDouble +
+      cb.map(_._2).max.toDouble / nb.toDouble)
+    (na, nb, bestAt, d, bound)
   }
 
   /** Welch's unequal-variance t-test between two groups of `valueCol`,

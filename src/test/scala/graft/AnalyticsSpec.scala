@@ -461,6 +461,29 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head.getAs[Double]("d") < 0.15)
   }
 
+  test("ksTestSketchBounded: |D̂ − D| ≤ the sketch-derived err_bound " +
+    "across compression levels on continuous fixtures (the q257 gate " +
+    "invariant); uncompressed bound still holds with D̂ == D") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // fully continuous values — every row a distinct double, so any
+    // k below group size forces real compression
+    val rows = (1 to 800).map(_ => ("A", rnd.nextDouble() * 10)) ++
+      (1 to 600).map(_ => ("B", rnd.nextDouble() * 10 + 1.7))
+    val df = rnd.shuffle(rows).toDF("g", "v")
+    val exact = Analytics.ksTest(df, "g", "v", "A", "B").collect()
+      .head.getAs[Double]("d")
+    for (k <- Seq(8, 16, 32, 64, 1024); p <- Seq(1, 5)) {
+      val r = Analytics.ksTestSketchBounded(df.repartition(p), "g", "v",
+        "A", "B", k = k).collect().head
+      val (dsk, eb) = (r.getAs[Double]("d"), r.getAs[Double]("err_bound"))
+      assert(math.abs(dsk - exact) <= eb,
+        s"k=$k p=$p: |${dsk} - $exact| > bound $eb")
+      if (k == 1024) // no compression: exact, and the bound is tiny
+        assert(dsk == exact, s"uncompressed mismatch at p=$p")
+    }
+  }
+
   test("psi: identical groups → exactly 0; shift raises it; " +
       "empty bins stay in the sum; driver model") {
     import spark.implicits._
