@@ -216,7 +216,8 @@ object Streams {
     * decimal term accumulation — addition of decimals is associative,
     * so the streaming merge order cannot change the result). The
     * reference side is a CONSTANT per bin (count snapshot taken when
-    * the monitor starts — refresh by restarting with new counts), so
+    * the monitor starts — for a mid-stream reference swap without a
+    * restart use [[windowedPsiLive]]), so
     * each emitted row is deterministic given the window's rows: unlike
     * the sketch-quantile monitor this gate is EXACT, and q232 runs it
     * under the full SQL oracle. Append mode emits each window once when
@@ -250,6 +251,94 @@ object Streams {
     val psiSum = terms.reduce((a, b) => (a + b).cast("decimal(28,12)"))
     base.select(unix_micros(col("window.start")).as("bucket_us"),
       col("n"), psiSum.cast("double").as("psi"))
+  }
+
+  /** [[windowedPsi]] with a LIVE reference refresh — closes the "refresh
+    * by restarting" caveat: the input stream carries ordinary data rows
+    * (`ref` null) and rare CONTROL rows (`ref` = the new per-bin
+    * reference counts; `value` ignored), and the monitor swaps its
+    * reference mid-stream without a restart. Two chained stateful
+    * stages (Spark 4 multi-stateful support, probed under test):
+    *
+    *  1. The DISTRIBUTED windowed aggregate — data-row count + the
+    *     fixed-grid histogram (control rows masked to NaN, which
+    *     [[graft.functions.Sketches.HistAgg]] skips) + the window's
+    *     latest control payload via max_by(ts). All heavy lifting,
+    *     identical to [[windowedPsi]]'s plan shape; watermark closes
+    *     windows exactly once (append).
+    *  2. A single-key flatMapGroupsWithState over the CLOSED-WINDOW
+    *     rows (one metadata-sized row per window — the raw stream never
+    *     passes through it), which walks windows in bucket order,
+    *     scores each against the reference IN STATE, then applies the
+    *     window's control — so a swap takes effect for windows strictly
+    *     AFTER the window containing it (the containing window mixes
+    *     pre/post-swap rows and is scored against the old reference).
+    *
+    * The per-term math mirrors [[windowedPsi]]'s pinned chain
+    * (double term → scale-12 HALF_UP decimal → exact sum → double), so
+    * a stream with no control rows emits windowedPsi's values
+    * bit-for-bit (spec-pinned). Windows holding ONLY control rows apply
+    * the swap but emit no score (n = 0 — PSI of an empty window is
+    * noise). State: stage 1 = bins+1 longs per OPEN window; stage 2 =
+    * one bins-long array, total. q232 (the fixed-reference monitor)
+    * is unchanged. */
+  def windowedPsiLive(events: DataFrame, initialRef: Seq[Long],
+                      lo: Double, hi: Double,
+                      watermark: String = "0 seconds",
+                      window_ : String = "1 hour"): DataFrame = {
+    import graft.functions.Sketches
+    val bins = initialRef.length
+    require(bins >= 1 && hi > lo, "need >= 1 reference bin and hi > lo")
+    require(initialRef.forall(_ >= 0), "negative reference count")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val isData = col("ref").isNull
+    val closed = events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(
+        sum(when(isData, 1L).otherwise(0L)).as("n"),
+        Sketches.histCol(lo, hi, bins)(
+          when(isData, col("value")).otherwise(lit(Double.NaN))).as("counts"),
+        max_by(col("ref"), when(!isData, col("ts_us"))).as("ctrl"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("n"), col("counts"), col("ctrl"))
+    closed.as[(Long, Long, Seq[Long], Option[Seq[Long]])]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, Seq[Long], Option[Seq[Long]])],
+         state: GroupState[Seq[Long]]) =>
+          var ref = state.getOption.getOrElse(initialRef)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          rows.toSeq.sortBy(_._1).foreach { case (b, n, counts, ctrl) =>
+            if (n > 0) {
+              val nr = ref.sum
+              // the windowedPsi term chain verbatim: double term,
+              // scale-12 HALF_UP decimal, exact sum, one final double
+              var acc = java.math.BigDecimal.ZERO
+              var i = 0
+              while (i < bins) {
+                val pb = (counts(i) + 1).toDouble / (n + bins).toDouble
+                val pa = (ref(i) + 1).toDouble / (nr + bins).toDouble
+                val t = (pb - pa) * math.log(pb / pa)
+                acc = acc.add(java.math.BigDecimal.valueOf(t)
+                  .setScale(12, java.math.RoundingMode.HALF_UP))
+                i += 1
+              }
+              out += ((b, n, acc.doubleValue))
+            }
+            ctrl.foreach { c =>
+              require(c.length == bins && c.forall(_ >= 0),
+                s"control row: need $bins non-negative counts, got $c")
+              ref = c
+            }
+          }
+          state.update(ref)
+          out.iterator
+      }
+      .toDF("bucket_us", "n", "psi")
   }
 
   /** Stateful streaming dedup: emit each key's row only the first time it

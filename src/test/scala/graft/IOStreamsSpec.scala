@@ -306,6 +306,68 @@ class IOStreamsSpec extends SparkSpec {
       s"drifted window ${rows(1).getDouble(2)} vs model $want")
   }
 
+  test("windowedPsiLive: mid-stream reference swap via a control row — " +
+      "effective strictly after its window; no-control windows bit-equal " +
+      "to windowedPsi; control-only windows emit nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hourUs = 3600L * 1000000L
+    val initRef = Seq(40L, 40L, 40L, 40L)
+    // w0: same shape as initRef → 0. w1: all mass in bin 0, PLUS a
+    // control row swapping the reference to (80,0,0,0) — w1 itself must
+    // still score against the OLD uniform reference. w2: all mass in
+    // bin 0 again → against the NEW reference that is a perfect match
+    // (exactly 0); without the swap it would repeat w1's drift score.
+    val w0 = (0 until 40).flatMap(i =>
+      Seq(0.5, 1.5, 2.5, 3.5).map(v => (i * 1000L, v, Option.empty[Seq[Long]])))
+    val w1 = (0 until 80).map(i =>
+      (hourUs + i * 1000L, 0.5, Option.empty[Seq[Long]]))
+    val ctrl = (hourUs + 500L, 0.0, Option(Seq(80L, 0L, 0L, 0L)))
+    val w2 = (0 until 80).map(i =>
+      (2 * hourUs + i * 1000L, 0.5, Option.empty[Seq[Long]]))
+    // w3 holds ONLY a second control row — swap applies, nothing emits
+    val ctrl2 = (3 * hourUs + 1L, 0.0, Option(Seq(0L, 99L, 0L, 0L)))
+    val flush = (10L * hourUs, 0.5, Option.empty[Seq[Long]])
+    val ms = MemoryStream[(Long, Double, Option[Seq[Long]])](spark)
+    val q = Streams.windowedPsiLive(ms.toDS().toDF("ts_us", "value", "ref"),
+        initRef, lo = 0.0, hi = 4.0, watermark = "0 seconds",
+        window_ = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("psilive_sink").start()
+    try {
+      ms.addData(w0 ++ w1 :+ ctrl); q.processAllAvailable()
+      ms.addData(w2 :+ ctrl2); q.processAllAvailable()
+      ms.addData(Seq(flush)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("psilive_sink")
+      .filter(col("bucket_us") < 4 * hourUs).orderBy("bucket_us").collect()
+    // three scored windows (w3 was control-only: swap, no emission)
+    assert(rows.length == 3, s"expected 3 scored windows, got ${rows.toSeq}")
+    assert(rows(0).getLong(1) == 160L && rows(0).getDouble(2) == 0.0)
+    assert(rows(2).getLong(1) == 80L && rows(2).getDouble(2) == 0.0,
+      s"post-swap perfect-match window must score exactly 0: ${rows(2)}")
+    // w1 against the OLD reference — and bit-equal to windowedPsi run
+    // over the same data rows with the same fixed reference
+    val ms2 = MemoryStream[(Long, Double)](spark)
+    val q2 = Streams.windowedPsi(ms2.toDS().toDF("ts_us", "value"), initRef,
+        lo = 0.0, hi = 4.0, watermark = "0 seconds", window_ = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("psilive_ref_sink").start()
+    try {
+      ms2.addData(w0.map(t => (t._1, t._2)) ++ w1.map(t => (t._1, t._2)))
+      q2.processAllAvailable()
+      ms2.addData(Seq((10L * hourUs, 0.5))); q2.processAllAvailable()
+    } finally q2.stop()
+    val fixed = spark.table("psilive_ref_sink")
+      .filter(col("bucket_us") < 2 * hourUs).orderBy("bucket_us").collect()
+    assert(fixed.length == 2)
+    (0 to 1).foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(rows(i).getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(fixed(i).getDouble(2)),
+        s"window $i: live ${rows(i).getDouble(2)} != fixed ${fixed(i).getDouble(2)}")
+    }
+  }
+
   test("streamingTransitions: cross-batch boundary pair from state, " +
       "in-batch disorder repaired by the group sort") {
     import spark.implicits._
