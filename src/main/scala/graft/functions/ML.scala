@@ -302,9 +302,10 @@ object ML {
     * INTEGER arithmetic end to end:
     *   2·R_pos = Σ_s pos_s · (2·cum_before(s) + tot_s + 1)
     *   AUC = (2·R_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
-    * — one (score)-grouped count aggregate, one single-task window over
-    * the DISTINCT scores (value-cardinality bound, same contract as
-    * ksTest), decimal(38,0) accumulation, ONE final division. Degenerate
+    * — one (score)-grouped count aggregate, one DISTRIBUTED prefix pass
+    * over the DISTINCT scores (the ksTest/spearman prefixBefore
+    * machinery — no single-task sort at any score cardinality),
+    * decimal(38,0) accumulation, ONE final division. Degenerate
     * single-class inputs yield NULL. The exact companion of
     * [[confusionMetrics]]: threshold-free filter evaluation at corpus
     * scale. */
@@ -314,10 +315,8 @@ object ML {
       .groupBy(col(scoreCol).as("__s"))
       .agg(sum(when(label, 1L).otherwise(0L)).as("__pos"),
         count(lit(1)).as("__tot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").asc).rowsBetween(Long.MinValue, -1)
-    counts
-      .withColumn("__before", coalesce(sum(col("__tot")).over(w), lit(0L)))
+    graft.operators.Analytics.prefixBefore(counts, "__s", col("__tot"))
+      .withColumnRenamed("__cum", "__before")
       .agg(
         sum(col("__pos")).as("n_pos"),
         (sum(col("__tot")) - sum(col("__pos"))).as("n_neg"),

@@ -216,8 +216,10 @@ object Aggregations {
     * semantics: target rank t = p·(n−1), linear interpolation between
     * the bracketing order statistics) — DISTINCT-VALUE-BOUNDED, so
     * "exact median of 100 TB" never sorts rows: one (value)-grouped
-    * count aggregate over the corpus, ONE single-task cumulative window
-    * over the DISTINCT values (the ksTest contract), then each
+    * count aggregate over the corpus, one DISTRIBUTED cumulative prefix
+    * over the DISTINCT values (the ksTest/spearman
+    * Analytics.prefixBefore machinery — parallel range slices, no
+    * single-task sort at any cardinality), then each
     * requested p finds its two bracketing values by rank-interval
     * containment against the broadcast p-list (distinct-values × |ps|
     * comparisons). The interpolation
@@ -243,14 +245,13 @@ object Aggregations {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
-    counts
-      .withColumn("__s", coalesce(sum(col("__c")).over(w), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    // distributed distinct-value prefix + a broadcast one-row total —
+    // no single-task window at any value cardinality (the
+    // Analytics.prefixBefore family contract)
+    graft.operators.Analytics.prefixBefore(counts, "__v", col("__c"))
+      .withColumnRenamed("__cum", "__s")
+      .crossJoin(broadcast(counts.agg(sum(col("__c")).as("__n"))))
       .withColumn("__w", greatest(lit(0L),
         least(col("__s") + col("__c"), col("__n") - k) -
           greatest(col("__s"), k)))
@@ -273,13 +274,10 @@ object Aggregations {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
-    val cum = counts
-      .withColumn("__s", coalesce(sum(col("__c")).over(w), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    // the trimmedMean plan shape: distributed prefix + broadcast total
+    val cum = graft.operators.Analytics.prefixBefore(counts, "__v", col("__c"))
+      .withColumnRenamed("__cum", "__s")
+      .crossJoin(broadcast(counts.agg(sum(col("__c")).as("__n"))))
     val pdf = ps.toDF("p")
     val t = col("p") * (col("__n") - 1).cast("double")
     val k = floor(t).cast("long")

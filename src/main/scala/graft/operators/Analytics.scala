@@ -287,22 +287,42 @@ object Analytics {
     * range, one pid-hash for the window) + a broadcast of #partitions
     * rows — every stage bounded by |distinct| / #partitions. */
   private[graft] def prefixBefore(dv: DataFrame, key: String,
-                                  weight: Column): DataFrame = {
-    val p = dv.repartitionByRange(col(key).asc)
-      .withColumn("__w", weight)
-      .withColumn("__pid", spark_partition_id())
+                                  weight: Column): DataFrame =
+    prefixBeforeMulti(dv, key, Seq("w" -> weight))
+      .withColumnRenamed("__cum_w", "__cum")
+
+  /** [[prefixBefore]] for SEVERAL weights in one pass (ksTest needs both
+    * groups' prefixes on the same distinct-value rows): appends
+    * `__cum_<name>` = Σ weight_<name> over strictly-preceding keys. One
+    * range exchange + one per-slice window + one broadcast offset table
+    * however many weights ride along. */
+  private[graft] def prefixBeforeMulti(dv: DataFrame, key: String,
+      weights: Seq[(String, Column)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one weight")
+    val p0 = weights.foldLeft(dv.repartitionByRange(col(key).asc)) {
+      case (d, (n, w)) => d.withColumn(s"__w_$n", w)
+    }
+    val p = p0.withColumn("__pid", spark_partition_id())
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col(key).asc)
       .rowsBetween(Long.MinValue, -1)
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy(col("__pid").asc).rowsBetween(Long.MinValue, -1)
-    val offs = p.groupBy(col("__pid")).agg(sum(col("__w")).as("__pw"))
-      .withColumn("__off", coalesce(sum(col("__pw")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    p.withColumn("__lc", coalesce(sum(col("__w")).over(wLocal), lit(0L)))
-      .join(broadcast(offs), Seq("__pid"))
-      .withColumn("__cum", col("__off") + col("__lc"))
-      .drop("__pid", "__w", "__lc", "__off")
+    val offAggs = weights.map { case (n, _) =>
+      sum(col(s"__w_$n")).as(s"__pw_$n") }
+    val offs = p.groupBy(col("__pid")).agg(offAggs.head, offAggs.tail: _*)
+      .select(col("__pid") +: weights.map { case (n, _) =>
+        coalesce(sum(col(s"__pw_$n")).over(wOff), lit(0L)).as(s"__off_$n") }: _*)
+    val local = weights.foldLeft(p) { case (d, (n, _)) =>
+      d.withColumn(s"__lc_$n",
+        coalesce(sum(col(s"__w_$n")).over(wLocal), lit(0L)))
+    }
+    val joined = local.join(broadcast(offs), Seq("__pid"))
+    val withCums = weights.foldLeft(joined) { case (d, (n, _)) =>
+      d.withColumn(s"__cum_$n", col(s"__off_$n") + col(s"__lc_$n"))
+    }
+    withCums.drop("__pid" +: weights.flatMap { case (n, _) =>
+      Seq(s"__w_$n", s"__lc_$n", s"__off_$n") }: _*)
   }
 
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
@@ -387,30 +407,32 @@ object Analytics {
     * |cum_a·n_b − cum_b·n_a| (decimal(38,0) — no rounding enters the
     * argmax), then ONE division for D. `d_at` reports the smallest
     * value attaining the max (deterministic tie-break). Plan: one
-    * (value)-grouped count aggregate, then ONE single-task window over
-    * the DISTINCT values — bounded by value cardinality, not rows (at
-    * unbounded cardinality the KHist-sketch ECDF is the scale path;
-    * this is the exact form). */
+    * (value)-grouped count aggregate, then the DISTRIBUTED prefix pass
+    * over the distinct values ([[prefixBeforeMulti]] — range slices in
+    * parallel, no single-task sort even at unbounded cardinality; the
+    * KHist-sketch ECDF remains the bounded-STATE path when even the
+    * distinct table is too big to exchange). */
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
              groupA: String, groupB: String): DataFrame = {
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v").asc)
-      .rowsBetween(Long.MinValue, 0)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
-    counts
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-      .withColumn("__na", sum(col("__ca")).over(wAll))
-      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    // both groups' inclusive cumulatives from ONE distributed prefix
+    // pass ([[prefixBeforeMulti]] — no single-task window over the
+    // distinct values); totals and the global max ride tiny one-row
+    // aggregates broadcast back (ReuseExchange dedupes the shared
+    // counts shuffle across the branches)
+    val cum = prefixBeforeMulti(counts, "__v",
+        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+      .crossJoin(broadcast(counts.agg(sum(col("__ca")).as("__na"),
+        sum(col("__cb")).as("__nb"))))
+      .withColumn("__cuma", col("__cum_a") + col("__ca"))
+      .withColumn("__cumb", col("__cum_b") + col("__cb"))
       .withColumn("__num",
         abs(col("__cuma").cast("decimal(38,0)") * col("__nb") -
           col("__cumb").cast("decimal(38,0)") * col("__na")))
-      .withColumn("__mx", max(col("__num")).over(wAll))
+    cum.crossJoin(broadcast(cum.agg(max(col("__num")).as("__mx"))))
       .filter(col("__num") === col("__mx"))
       .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
       .agg(min(col("__v")).as("d_at"), max(col("__mx")).as("__m"))
@@ -711,11 +733,9 @@ object Analytics {
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
       .withColumn("__t", col("__ca") + col("__cb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val agg = counts
-      .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
+    val agg = prefixBefore(counts, "__v", col("__t"))
+      .withColumnRenamed("__cum", "__before")
       .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
         sum(dec(col("__ca")) *
           (lit(2) * col("__before") + col("__t") + 1)).as("__r2a"),
@@ -1016,8 +1036,9 @@ object Analytics {
     * its rank formulation G = Σᵢ(2i − n − 1)vᵢ / (n·Σv), computed
     * DISTINCT-VALUE-BOUNDED with the doubled-average-rank identity
     * Σ_block 2i = c·r2 (r2 = 2·cum_before + c + 1, the spearman/aucRoc
-    * machinery): one (value)-count aggregate, one distinct-value
-    * cumulative window, decimal products end to end
+    * machinery): one (value)-count aggregate, one DISTRIBUTED
+    * distinct-value prefix pass ([[prefixBefore]]), decimal products
+    * end to end
     * (Σ v·c·r2 exact to ~10³⁸), ONE pinned double chain. Ties
     * contribute exactly as the sorted-row formula does (the block
     * identity is algebraic, not an approximation). Output: one row
@@ -1026,14 +1047,9 @@ object Analytics {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v").asc).rowsBetween(Long.MinValue, -1)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
-    counts
-      .withColumn("__b", coalesce(sum(col("__c")).over(w), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .agg(max(col("__n")).as("n"),
+    prefixBefore(counts, "__v", col("__c"))
+      .withColumnRenamed("__cum", "__b")
+      .agg(sum(col("__c")).as("n"),
         sum(col("__v").cast(s"decimal(20,$scale)") *
           col("__c").cast("decimal(19,0)") *
           (lit(2) * col("__b") + col("__c") + 1).cast("decimal(19,0)"))
