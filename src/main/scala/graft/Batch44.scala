@@ -67,6 +67,39 @@ private[graft] object Batch44 {
              |  MIN(v) AS d_at,
              |  CAST(MAX(m) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d,
              |  TRUE AS within_bound
-             |FROM mx WHERE num = m GROUP BY na, nb""".stripMargin))
+             |FROM mx WHERE num = m GROUP BY na, nb""".stripMargin)),
+
+    // One-pass Pearson correlation matrix over the four lineitem
+    // numerics: n + 4 decimal sums + 10 upper-triangle decimal product
+    // sums from ONE scan, then every r_ij as the pinned
+    // (n·Sij − Si·Sj)/(√·√) double chain — the oracle re-derives the
+    // identical 15-statistic aggregate and all 10 pair rows (generated
+    // from the same column list, so Spark and SQL can never disagree on
+    // pair enumeration or naming).
+    Q("q258_corr_matrix",
+      (s, dir) => graft.operators.Analytics.corrMatrix(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 2),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val idx = cols.indices
+        def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+        val sums = idx.map(i => s"CAST(SUM(${d(cols(i))}) AS DOUBLE) AS s$i")
+        val prods = for { i <- idx; j <- idx if j >= i } yield
+          s"CAST(SUM(${d(cols(i))} * ${d(cols(j))}) AS DOUBLE) AS p${i}_$j"
+        val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+        def vEx(i: Int) = s"(CAST(n AS DOUBLE) * p${i}_$i - s$i * s$i)"
+        val pairSelects = for { i <- idx; j <- idx if j >= i } yield
+          s"SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y, n, " +
+            s"CASE WHEN ${vEx(i)} > 0 AND ${vEx(j)} > 0 THEN " +
+            s"(CAST(n AS DOUBLE) * p${i}_$j - s$i * s$j) / " +
+            s"(sqrt(${vEx(i)}) * sqrt(${vEx(j)})) END AS corr FROM a"
+        s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    ${(sums ++ prods).mkString(",\n    ")}
+           |  FROM lineitem WHERE $notNull)
+           |${pairSelects.mkString("\nUNION ALL\n")}
+           |ORDER BY col_x, col_y""".stripMargin
+      })
   )
 }

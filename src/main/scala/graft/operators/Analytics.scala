@@ -633,6 +633,48 @@ object Analytics {
       .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("psi"))
   }
 
+  /** Pearson correlation matrix of p numeric columns in ONE pass — the
+    * feature-exploration screen (multicollinearity, leakage hints)
+    * before model fitting at corpus scale: n, the p column sums, and
+    * the p(p+1)/2 upper-triangle product sums accumulate as exact
+    * map-side-combined DECIMALS (the olsFit/ridgeFit sufficient-
+    * statistic contract — order-independent, engine-replayable), then
+    * every r_ij = (n·Sij − Si·Sj)/(√(n·Sii−Si²)·√(n·Sjj−Sj²)) is one
+    * pinned double chain over the single aggregated row. The corpus is
+    * scanned ONCE however many columns — p=20 is 230 combined aggregate
+    * expressions riding one exchange-free reduction, vs p·(p−1)/2
+    * separate corr() scans. Rows with a NULL in ANY listed column are
+    * excluded (listwise deletion / complete-case — the convention that
+    * keeps the matrix positive semi-definite). Output: one row per
+    * UPPER-TRIANGLE pair incl. the diagonal, (col_x, col_y, n, corr)
+    * ordered by (col_x, col_y); degenerate (constant) columns give NULL
+    * against everything including themselves. */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    val vs = cols.map(c => col(c).cast(s"decimal(18,$scale)"))
+    val idx = cols.indices
+    val aggs = (count(lit(1)).as("__n") +:
+      idx.map(i => sum(vs(i)).cast("double").as(s"__s$i"))) ++
+      (for { i <- idx; j <- idx if j >= i } yield
+        sum(vs(i) * vs(j)).cast("double").as(s"__p${i}_$j"))
+    val one = complete.agg(aggs.head, aggs.tail: _*)
+    def nD = col("__n").cast("double")
+    def variance(i: Int) =
+      nD * col(s"__p${i}_$i") - col(s"__s$i") * col(s"__s$i")
+    val pairRows = for { i <- idx; j <- idx if j >= i } yield
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        when(variance(i) > 0 && variance(j) > 0,
+          (nD * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j")) /
+            (sqrt(variance(i)) * sqrt(variance(j)))).as("corr"))
+    one.select(col("__n").as("n"), explode(array(pairRows: _*)).as("__pr"))
+      .select(col("__pr.col_x").as("col_x"), col("__pr.col_y").as("col_y"),
+        col("n"), col("__pr.corr").as("corr"))
+      .orderBy("col_x", "col_y")
+  }
+
   /** Mutual information between two CATEGORICAL columns — the
     * dependence signal feature selection and leakage checks run at
     * corpus scale: I(X;Y) = Σ_xy (c_xy/n)·ln(n·c_xy/(c_x·c_y)) over

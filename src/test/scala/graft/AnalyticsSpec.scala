@@ -759,6 +759,52 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix: golden vs driver Pearson model; perfect linear pair " +
+    "~1; constant column NULL everywhere incl. diagonal; listwise " +
+    "deletion; partition sweep") {
+    import spark.implicits._
+    val rows = (1 to 200).map { i =>
+      val x = (i % 17).toDouble
+      (x, 2 * x + 1,                      // y: exact linear in x
+        ((i * 7) % 13).toDouble,          // z: unrelated
+        3.0,                              // c: constant
+        if (i % 50 == 0) None else Some(x)) // w: nullable copy of x
+    }
+    val df = rows.toDF("x", "y", "z", "c", "w")
+    val got = Analytics.corrMatrix(df, Seq("x", "y", "z", "c"), scale = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("corr")))).toMap
+    assert(got.size == 10)
+    // upper triangle in INPUT-LIST order (not lexicographic)
+    val order = Seq("x", "y", "z", "c").zipWithIndex.toMap
+    assert(got.keys.forall { case (a, b) => order(a) <= order(b) })
+    assert(got(("x", "x"))._1 == 200L)
+    // driver Pearson over the same decimal-rounded values
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val num = n * a.zip(b).map { case (p, q) => p * q }.sum - sa * sb
+      val va = n * a.map(p => p * p).sum - sa * sa
+      val vb = n * b.map(q => q * q).sum - sb * sb
+      num / (math.sqrt(va) * math.sqrt(vb))
+    }
+    val xs = rows.map(_._1); val ys = rows.map(_._2); val zs = rows.map(_._3)
+    assert(math.abs(got(("x", "y"))._2.get - 1.0) < 1e-12)
+    assert(math.abs(got(("x", "x"))._2.get - 1.0) < 1e-12)
+    assert(math.abs(got(("x", "z"))._2.get - pearson(xs, zs)) < 1e-9)
+    assert(math.abs(got(("y", "z"))._2.get - pearson(ys, zs)) < 1e-9)
+    // constant column: NULL against everything, including itself
+    assert(got.filter(_._1.productIterator.contains("c"))
+      .forall(_._2._2.isEmpty))
+    // listwise deletion: any NULL in any listed column drops the row
+    val lw = Analytics.corrMatrix(df, Seq("x", "w"), scale = 4).collect()
+    assert(lw.forall(_.getAs[Long]("n") == 196L))
+    partitionSweep { p =>
+      Analytics.corrMatrix(df.repartition(p), Seq("x", "y", "z"), scale = 4)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("prefixBefore: distributed strictly-before prefix == the global " +
     "window it replaces; NULL sorts first; weighted; partition sweep") {
     import spark.implicits._
