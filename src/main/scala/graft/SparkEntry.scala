@@ -399,5 +399,12 @@ object SparkEntry {
     // and the Poisson bootstrap (one scan fanned into 2B combined
     // aggregate expressions — a regression in the single-exchange
     // Series contract would show here)
-    "q234_unigram_nll", "q240_bootstrap_means")
+    "q234_unigram_nll", "q240_bootstrap_means",
+    // round-14 additions: the distributed-Knight Kendall τ (rank +
+    // bucket-sweep + cross-bucket grid — a regression in the new
+    // prefixBefore rank machinery or the Fenwick exchange shows here)
+    // and the exact global percentiles (the prefixBefore + broadcast-
+    // total plan shape shared by ksTest/gini/aucRoc/trimmedMean — one
+    // line stands in for the family)
+    "q256_kendall_exact", "q233_quantiles_cont")
 }

@@ -599,6 +599,14 @@ object StressBench {
       // (the r13 single-task row_number ceiling) and the auto-scaled
       // bucket count (50M/250k → 200 sweep buckets) in one arm.
       "kendall_knight_50m" -> (() => kendallArm(exact = true, 50000000L, 50000000L, 3L)),
+      // round 14: exact p50/p90/p99 over 50M ALL-DISTINCT doubles — the
+      // prefixBefore family (quantilesCont/ksTest/gini/aucRoc/
+      // trimmedMean) at the cardinality where the old single-task
+      // distinct-value window serialized 50M rows through one task
+      "pctl_distinct_50m" -> (() => graft.operators.Aggregations.quantilesCont(
+        spark.range(50000000L).select(
+          ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
+        "v", Seq(0.5, 0.9, 0.99))),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning
