@@ -691,4 +691,26 @@ class PropertySpec extends SparkSpec {
         s"thresholds=($minT,$maxT,$minL,$maxL,$minS,$maxD) rows=${rows.toList} texts=$texts"
     }, minTests = 25)
   }
+
+  test("prefixBefore == sorted-scan model on random distinct keys + " +
+    "weights, across partitionings (the exact-statistics rank engine)") {
+    // random distinct doubles (some negative, some null-free — NULL is
+    // pinned by the fixed fixture), random long weights incl. zero
+    val entries: Gen[List[(Double, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      ks <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+      ws <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield ks.distinct.map(k => k / 7.0).zip(ws)
+    check(forAll(entries, Gen.choose(1, 6)) { (rows, parts) =>
+      // model: ascending scan, each key's value = Σ weights strictly before
+      val sorted = rows.sortBy(_._1)
+      val cums = sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+      val expect = sorted.map(_._1).zip(cums).toMap
+      val df = rows.toDF("k", "w").repartition(parts)
+      val got = graft.operators.Analytics
+        .prefixBefore(df, "k", col("w"))
+        .collect().map(r => r.getDouble(0) -> r.getAs[Long]("__cum")).toMap
+      Prop(got == expect) :| s"got=$got expect=$expect parts=$parts"
+    }, minTests = 25)
+  }
 }
