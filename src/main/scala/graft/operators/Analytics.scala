@@ -208,11 +208,15 @@ object Analytics {
       .select(col("cat"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    // totals and the global χ²/dof/unseen ride broadcast one-row
+    // aggregates instead of partition-less windows — the category table
+    // never funnels through a single window task however many distinct
+    // categories exist (the prefixBefore-family contract; decimal term
+    // summation is associative, so the values are unchanged)
     val withTotals = joined
-      .withColumn("__ref_tot", sum(col("n_ref")).over(w))
-      .withColumn("__cur_tot", sum(col("n_cur")).over(w))
+      .crossJoin(broadcast(joined.agg(
+        sum(col("n_ref")).as("__ref_tot"),
+        sum(col("n_cur")).as("__cur_tot"))))
       .withColumn("expected",
         when(col("n_ref") > 0,
           col("__cur_tot").cast("double") * col("n_ref").cast("double") /
@@ -222,13 +226,14 @@ object Analytics {
           (col("n_cur").cast("double") - col("expected")) *
             (col("n_cur").cast("double") - col("expected")) / col("expected")))
     withTotals
-      .withColumn("chi2",
-        sum(col("term").cast("decimal(28,12)")).over(w).cast("double"))
-      .withColumn("dof",
-        sum(when(col("n_ref") > 0, 1L).otherwise(0L)).over(w) - lit(1L))
-      .withColumn("n_unseen",
-        sum(when(col("n_ref") === 0, 1L).otherwise(0L)).over(w))
-      .drop("__ref_tot", "__cur_tot")
+      .crossJoin(broadcast(withTotals.agg(
+        sum(col("term").cast("decimal(28,12)")).cast("double").as("__g_chi2"),
+        (sum(when(col("n_ref") > 0, 1L).otherwise(0L)) - lit(1L)).as("__g_dof"),
+        sum(when(col("n_ref") === 0, 1L).otherwise(0L)).as("__g_unseen"))))
+      .withColumn("chi2", col("__g_chi2"))
+      .withColumn("dof", col("__g_dof"))
+      .withColumn("n_unseen", col("__g_unseen"))
+      .drop("__ref_tot", "__cur_tot", "__g_chi2", "__g_dof", "__g_unseen")
   }
 
   /** 2-D equal-width histogram — the density-heatmap reduction (EDA over
