@@ -100,6 +100,34 @@ private[graft] object Batch44 {
            |  FROM lineitem WHERE $notNull)
            |${pairSelects.mkString("\nUNION ALL\n")}
            |ORDER BY col_x, col_y""".stripMargin
-      })
+      }),
+
+    // Per-document code-point Shannon entropy (bits) — the native
+    // codegen'd compression-proxy quality signal. The oracle re-derives
+    // every document's distribution by unnesting character positions,
+    // grouping code points, and summing the identical
+    // −(c/n)·ln(c/n)/ln 2 terms through the same scale-12 decimal
+    // rounding (the psi term contract — the EXACT decimal sum makes
+    // per-code-point order irrelevant on both engines).
+    Q("q259_char_entropy",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          graft.functions.Text.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+             |pos AS (SELECT doc_id, text,
+             |    CAST(unnest(range(1, length(text) + 1)) AS INT) AS i FROM d),
+             |c AS (SELECT doc_id, unicode(substr(text, i, 1)) AS cp,
+             |    CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY 1, 2),
+             |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+             |t AS (SELECT c.doc_id, n.n,
+             |    CAST(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+             |      * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+             |      / ln(2.0) AS DECIMAL(28,12)) AS term
+             |  FROM c JOIN n ON c.doc_id = n.doc_id)
+             |SELECT doc_id, MAX(n) AS n_chars,
+             |  CAST(SUM(term) AS DOUBLE) AS entropy
+             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -160,6 +160,13 @@ object Text {
   /** Composite quality score in [0,1]: penalizes very short docs, extreme
     * punctuation, and stopword-free (unnatural) text. Single formula, two
     * divisions + one rounding — deterministic across engines. */
+  /** Code-point Shannon entropy (bits) — the compression-proxy quality
+    * signal (low ⇒ boilerplate/repetition, very high ⇒ noise); a native
+    * codegen'd expression, engine-replayable to the hash via scale-12
+    * decimal term rounding (q259). */
+  def charEntropy(text: Column): Column =
+    graft.plans.HashExpressions.charEntropy(text)
+
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(normalize(text)).cast("double") / 200.0, lit(1.0))
     val punct = punctRatio(text)

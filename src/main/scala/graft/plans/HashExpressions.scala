@@ -202,6 +202,42 @@ object HashOps {
     new GenericArrayData(Array(m.toLong, counts.size.toLong, top.toLong))
   }
 
+  /** Shannon entropy (bits) of the CODE-POINT distribution of a string —
+    * the compression-ratio-style quality signal (low ⇒ repetitive/
+    * boilerplate, very high ⇒ random noise; natural prose sits ~4–5
+    * bits). Engine-replayable to the hash: each term
+    * −(c/n)·ln(c/n)/ln 2 rounds to a scale-12 HALF_UP decimal (the
+    * psi/windowedPsi term contract — absorbs last-ulp libm divergence
+    * between JVM Math.log and SQL ln), the decimal sum is EXACT (so
+    * per-code-point iteration order cannot matter), one final double
+    * conversion closes. Empty strings score 0. One pass, no
+    * allocation beyond the distinct-code-point map. */
+  def charEntropyJava(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val a = counts.get(cp)
+      if (a == null) counts.put(cp, Array(1L)) else a(0) += 1
+    }
+    var acc = java.math.BigDecimal.ZERO
+    val ln2 = Math.log(2.0)
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      val p = c.toDouble / n.toDouble
+      val term = -(p * Math.log(p)) / ln2
+      acc = acc.add(java.math.BigDecimal.valueOf(term)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    acc.doubleValue
+  }
+
   /** Canonical stopword list — `functions.Text.stopwords` re-exports this
     * (single source of truth between the Column signals and the fused
     * native gate). */
@@ -709,6 +745,24 @@ case class RepStats(child: Expression, n: Int)
   override def prettyName: String = "rep_stats"
 }
 
+/** char_entropy(text): code-point Shannon entropy in bits (see
+  * HashOps.charEntropyJava) — the compression-proxy quality signal,
+  * codegen'd so it rides WholeStageCodegen in curation projections. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(
+      HashOps.charEntropyJava(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.charEntropyJava($c);")
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
+    copy(child = c)
+  override def prettyName: String = "char_entropy"
+}
+
 /** gopher_keep(text): the composite Gopher-style quality gate fused into
   * one codegen'd native expression (see HashOps.gopherKeepJava) — keeps a
   * curation projection inside WholeStageCodegen where the HOF-based
@@ -1122,6 +1176,7 @@ object HashExpressions {
   def shingleStrings(c: Column, n: Int): Column =
     column(ShingleStrings(expression(c), n))
   def repStats(c: Column, n: Int): Column = column(RepStats(expression(c), n))
+  def charEntropy(c: Column): Column = column(CharEntropy(expression(c)))
   def gopherKeep(c: Column, n: Int, minTokens: Long, maxTokens: Long,
                  minMeanLen: Double, maxMeanLen: Double,
                  minStopRatio: Double, maxDupFrac: Double): Column =

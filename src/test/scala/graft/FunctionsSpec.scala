@@ -2315,6 +2315,46 @@ class FunctionsSpec extends SparkSpec {
     assert(r1.isNullAt(r1.fieldIndex("auc")))
   }
 
+  test("charEntropy: golden bit values, unicode code points, null/empty " +
+    "contracts, matches a driver model with the decimal term rounding") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("aaaa")),            // one symbol → 0 bits
+      (2L, Some("ab")),              // two equiprobable → exactly 1 bit
+      (3L, Some("abcd")),            // four equiprobable → 2 bits
+      (4L, Some("aab")),             // 2/3, 1/3 → H ≈ 0.9183
+      (5L, Some("日本語テスト")),      // non-BMP-free CJK: 6 distinct cps
+      (6L, Some("𝄞𝄞a")),            // surrogate-pair code point counted ONCE
+      (7L, Some("")),                // empty → 0
+      (8L, None))                    // null in → null out
+    val got = docs.toDF("id", "t")
+      .select(col("id"), graft.functions.Text.charEntropy(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    def model(s: String): Double = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) return 0.0
+      val n = cps.length.toDouble
+      cps.groupBy(identity).values.map { g =>
+        val p = g.length / n
+        BigDecimal(-(p * math.log(p)) / math.log(2.0))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    }
+    assert(got(1L).get == 0.0)
+    assert(math.abs(got(2L).get - 1.0) < 1e-11)
+    assert(math.abs(got(3L).get - 2.0) < 1e-11)
+    assert(got(4L).get == model("aab"))
+    assert(math.abs(got(4L).get - 0.9182958340544896) < 1e-10)
+    assert(got(5L).get == model("日本語テスト"))
+    // 𝄞𝄞a = 3 code points: p = (2/3, 1/3) — the surrogate pair is ONE
+    // symbol, not two broken halves
+    assert(got(6L).get == model("𝄞𝄞a"))
+    assert(math.abs(got(6L).get - got(4L).get) < 1e-12)
+    assert(got(7L).get == 0.0)
+    assert(got(8L).isEmpty)
+  }
+
   test("Bench.priorMedians: bare payload, wrapper-parsed, and the " +
     "r13 failure shape — a front-truncated tail starting mid-spread") {
     val bare = """{"metric":"total","value":3.0,"unit":"sec","queries":{"q01":1.5,"q02":0.75},"spread":{"q01":{"min":1.4,"max":1.6,"med":1.5},"q02":{"min":0.7,"max":0.8,"med":0.75}},"sf":"x"}"""
