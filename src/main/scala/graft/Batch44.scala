@@ -128,6 +128,34 @@ private[graft] object Batch44 {
              |  FROM c JOIN n ON c.doc_id = n.doc_id)
              |SELECT doc_id, MAX(n) AS n_chars,
              |  CAST(SUM(term) AS DOUBLE) AS entropy
-             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Add-1-smoothed bigram LM self-scoring over the corpus: the oracle
+    // re-derives the tokenization (q234's replay), per-doc adjacent
+    // pairs via zipped position unnests, the bigram/context counts, the
+    // distinct-vocabulary scalar, and every −ln((c+1)/(cc+1·V))
+    // surprisal through the same decimal(28,12) accumulation.
+    Q("q260_bigram_nll",
+      (s, dir) => graft.functions.Text.bigramNll(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH lists AS (SELECT doc_id,
+             |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |      x -> length(x) > 0) AS l FROM documents),
+             |toks AS (SELECT doc_id, unnest(l) AS tok,
+             |    CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos FROM lists),
+             |bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+             |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+             |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM c12 GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+             |scored AS (SELECT bg.doc_id,
+             |    CAST(-ln((CAST(c12.c AS DOUBLE) + 1.0)
+             |      / (CAST(c1.cc AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE))) AS DECIMAL(28,12)) AS nll
+             |  FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+             |    JOIN c1 ON bg.w1 = c1.w1 CROSS JOIN v)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigram,
+             |  CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

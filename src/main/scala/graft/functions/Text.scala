@@ -571,6 +571,46 @@ object Text {
     * token-keyed join back (AQE broadcasts small vocabularies), the
     * 1-row N as a broadcast cross join, one (doc) aggregate. Output:
     * (id, n_tok, avg_nll); empty docs are absent (no tokens to score). */
+  /** Add-k-smoothed BIGRAM LM cross-entropy per document — the
+    * quality-outlier scorer one order above [[unigramNll]] (bigram
+    * surprisal catches scrambled/boilerplate text whose unigram profile
+    * looks normal): train on the corpus itself, score each document by
+    * avg −ln P(w_t | w_{t−1}) with
+    * P = (c(w₁,w₂) + k) / (c(w₁·) + k·V), c(w₁·) the bigram-context
+    * count and V the distinct unigram vocabulary. Plan: one tokenize
+    * pass (posexplode), a PER-DOC lag window (doc-length-bounded, the
+    * sessionization contract), bigram/context count aggregates
+    * (map-side combined, vocabulary-bounded), a broadcast V scalar, and
+    * decimal(28,12) surprisal accumulation (the q234 contract — exact
+    * sum, order-free). Documents with fewer than 2 tokens emit no row
+    * (no bigram events). Output: (id, n_bigram, avg_nll). */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Double = 1.0)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos").asc)
+    val bg = toks.withColumn("__w1", lag(col("__tok"), 1).over(w))
+      .filter(col("__w1").isNotNull)
+      .select(col(idCol), col("__w1"), col("__tok").as("__w2"))
+    val c12 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c"))
+    val c1 = c12.groupBy("__w1").agg(sum(col("__c")).as("__cc"))
+    val v = toks.agg(countDistinct(col("__tok")).as("__v"))
+    bg.join(c12, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        (-log((col("__c").cast("double") + lit(k)) /
+          (col("__cc").cast("double") + lit(k) * col("__v").cast("double"))))
+          .cast("decimal(28,12)").as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigram"), sum(col("__nll")).as("__s"))
+      .select(col(idCol), col("n_bigram"),
+        (col("__s").cast("double") / col("n_bigram").cast("double"))
+          .as("avg_nll"))
+  }
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))

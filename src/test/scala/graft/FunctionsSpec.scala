@@ -2355,6 +2355,42 @@ class FunctionsSpec extends SparkSpec {
     assert(got(8L).isEmpty)
   }
 
+  test("bigramNll: exact vs driver LM model; <2-token docs emit no row; " +
+    "repeated pattern scores lower surprisal than a scrambled one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat the cat the cat"),
+      (3L, "mat on sat cat the the"),
+      (4L, "solo"),
+      (5L, "THE  Cat\tsat")) // case-fold + whitespace normalization
+    val got = graft.functions.Text.bigramNll(docs.toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigram"), r.getAs[Double]("avg_nll"))).toMap
+    // driver model over the SAME corpus LM
+    val tokenized = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val bgs = tokenized.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(p => (id, p)) }
+    val c12 = bgs.groupBy(_._2).map { case (p, g) => p -> g.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val vocab = tokenized.flatMap(_._2).distinct.size.toDouble
+    def nll(p: (String, String)): BigDecimal =
+      BigDecimal(-math.log((c12(p) + 1.0) / (c1(p._1) + 1.0 * vocab)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val expect = bgs.groupBy(_._1).map { case (id, g) =>
+      // mirror the operator: EXACT decimal sum → double → one division
+      id -> (g.size.toLong, g.map(x => nll(x._2)).sum.toDouble / g.size) }
+    assert(!got.contains(4L)) // no bigram events
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    expect.filter(_._1 != 4L).foreach { case (id, (n, a)) =>
+      assert(got(id)._1 == n, s"n_bigram at $id")
+      assert(got(id)._2 == a, s"avg_nll at $id: ${got(id)._2} vs $a")
+    }
+    // the repeated pattern's bigrams are corpus-frequent → lower NLL
+    assert(got(2L)._2 < got(3L)._2)
+  }
+
   test("Bench.priorMedians: bare payload, wrapper-parsed, and the " +
     "r13 failure shape — a front-truncated tail starting mid-spread") {
     val bare = """{"metric":"total","value":3.0,"unit":"sec","queries":{"q01":1.5,"q02":0.75},"spread":{"q01":{"min":1.4,"max":1.6,"med":1.5},"q02":{"min":0.7,"max":0.8,"med":0.75}},"sf":"x"}"""
