@@ -156,6 +156,37 @@ private[graft] object Batch44 {
              |    JOIN c1 ON bg.w1 = c1.w1 CROSS JOIN v)
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigram,
              |  CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
-             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // 10%-winsorized mean of line-item prices: the q247 rank machinery
+    // plus the two rank-containment fence lookups and the
+    // kept-mass + k·(fence_lo + fence_hi) identity — counts, prefix
+    // ranks, fences, clamp weights, the exact decimal sum, and the one
+    // division all replayed.
+    Q("q261_winsorized_mean",
+      (s, dir) => graft.operators.Aggregations.winsorizedMean(
+        Tables.lineitem(s, dir), "l_extendedprice", alpha = 0.1),
+      Some("""WITH c AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+             |cum AS (SELECT v, c,
+             |  COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             |  SUM(c) OVER () AS n FROM c),
+             |k AS (SELECT CAST(FLOOR(0.1 * CAST(MAX(n) AS DOUBLE)) AS BIGINT) AS k, CAST(MAX(n) AS BIGINT) AS n FROM cum),
+             |fl AS (SELECT MIN(v) AS flo FROM cum CROSS JOIN k
+             |  WHERE cum.s <= k.k AND k.k < cum.s + cum.c),
+             |fh AS (SELECT MIN(v) AS fhi FROM cum CROSS JOIN k
+             |  WHERE cum.s <= k.n - k.k - 1 AND k.n - k.k - 1 < cum.s + cum.c),
+             |kept AS (SELECT cum.v,
+             |    GREATEST(0, LEAST(cum.s + cum.c, k.n - k.k) - GREATEST(cum.s, k.k)) AS w,
+             |    k.n, k.k
+             |  FROM cum CROSS JOIN k)
+             |SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+             |  CAST(fl.flo AS DOUBLE) AS fence_lo, CAST(fh.fhi AS DOUBLE) AS fence_hi,
+             |  CAST(SUM(CAST(w AS DECIMAL(19,0)) * v)
+             |    + CAST(MAX(k) AS DECIMAL(19,0)) * fl.flo
+             |    + CAST(MAX(k) AS DECIMAL(19,0)) * fh.fhi AS DOUBLE)
+             |    / CAST(MAX(n) AS DOUBLE) AS mean
+             |FROM kept CROSS JOIN fl CROSS JOIN fh
+             |WHERE w > 0 GROUP BY fl.flo, fh.fhi""".stripMargin))
   )
 }

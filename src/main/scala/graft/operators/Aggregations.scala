@@ -264,6 +264,51 @@ object Aggregations {
       .select("n", "n_kept", "mean")
   }
 
+  /** Exact α-winsorized mean — [[trimmedMean]]'s clamp-at-the-fences
+    * sibling: the k = ⌊α·n⌋ most extreme rows on EACH tail are REPLACED
+    * by the fence order statistics (0-based ranks k and n−k−1) instead
+    * of dropped, so the estimate keeps n's weight while capping
+    * influence — the robust mean preferred when tail MASS matters
+    * (payment amounts, token counts). Identity: winsorized sum =
+    * (trimmed kept-interval mass) + k·(fence_lo + fence_hi), everything
+    * decimal-exact with ONE final division. Same plan as trimmedMean:
+    * value counts → distributed prefix ([[graft.operators.Analytics.prefixBefore]])
+    * → broadcast total + two broadcast rank-containment fence rows — no
+    * row sort at any cardinality. Output: one row
+    * (n, k, fence_lo, fence_hi, mean); α = 0 reduces to the plain
+    * mean (fences = min/max, zero clamp weight). */
+  def winsorizedMean(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                     alpha: Double, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0.0 && alpha < 0.5, s"alpha $alpha must be in [0, 0.5)")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = graft.operators.Analytics.prefixBefore(counts, "__v", col("__c"))
+      .withColumnRenamed("__cum", "__s")
+      .crossJoin(broadcast(counts.agg(sum(col("__c")).as("__n"))))
+    val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
+    val rHi = col("__n") - k - 1
+    val lo = cum.filter(col("__s") <= k && k < col("__s") + col("__c"))
+      .select(col("__v").as("__flo"))
+    val hi = cum.filter(col("__s") <= rHi && rHi < col("__s") + col("__c"))
+      .select(col("__v").as("__fhi"))
+    def dk = col("__k").cast("decimal(19,0)")
+    cum
+      .withColumn("__w", greatest(lit(0L),
+        least(col("__s") + col("__c"), col("__n") - k) -
+          greatest(col("__s"), k)))
+      .filter(col("__w") > 0)
+      .agg(max(col("__n")).as("n"), max(k).as("__k"),
+        sum(col("__w").cast("decimal(19,0)") * col("__v")).as("__sum"))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n"), col("__k").as("k"),
+        col("__flo").cast("double").as("fence_lo"),
+        col("__fhi").cast("double").as("fence_hi"),
+        ((col("__sum") + dk * col("__flo") + dk * col("__fhi"))
+          .cast("double") / col("n").cast("double")).as("mean"))
+  }
+
   def quantilesCont(df: org.apache.spark.sql.DataFrame, valueCol: String,
                     ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),

@@ -600,6 +600,34 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("winsorizedMean: golden clamp at the fences; alpha=0 is the plain " +
+      "mean; outlier capped not dropped; partition sweep") {
+    import graft.operators.Aggregations
+    // 1,1,2,3,4,5,5,5,90,100; alpha=0.2 → k=2, fences = rank-2 (2.0)
+    // and rank-7 (5.0): winsorized set = 2,2,2,3,4,5,5,5,5,5 → mean 3.8
+    val vs = Seq(1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0, 90.0, 100.0)
+    val df = vs.toDF("v")
+    val r = Aggregations.winsorizedMean(df, "v", alpha = 0.2).collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("fence_lo") == 2.0)
+    assert(r.getAs[Double]("fence_hi") == 5.0)
+    assert(r.getAs[Double]("mean") == 3.8)
+    // alpha 0: fences are min/max, zero clamp weight → the plain mean
+    val r0 = Aggregations.winsorizedMean(df, "v", alpha = 0.0).collect().head
+    assert(r0.getAs[Long]("k") == 0L)
+    assert(r0.getAs[Double]("fence_lo") == 1.0 &&
+      r0.getAs[Double]("fence_hi") == 100.0)
+    assert(r0.getAs[Double]("mean") == vs.sum / 10)
+    // a huge outlier is CAPPED at the fence (contributes fence_hi, not 0)
+    val poisoned = (vs.dropRight(1) :+ 1.0e9).toDF("v")
+    assert(Aggregations.winsorizedMean(poisoned, "v", 0.2)
+      .collect().head.getAs[Double]("mean") == 3.8)
+    partitionSweep { p =>
+      Aggregations.winsorizedMean(df.repartition(p), "v", 0.2)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("profile: exact per-column stats incl. boundary-split ties and nulls") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
