@@ -187,6 +187,47 @@ private[graft] object Batch44 {
              |    + CAST(MAX(k) AS DECIMAL(19,0)) * fh.fhi AS DOUBLE)
              |    / CAST(MAX(n) AS DOUBLE) AS mean
              |FROM kept CROSS JOIN fl CROSS JOIN fh
-             |WHERE w > 0 GROUP BY fl.flo, fh.fhi""".stripMargin))
+             |WHERE w > 0 GROUP BY fl.flo, fh.fhi""".stripMargin)),
+
+    // Streaming windowed heavy hitters driven to completion inside the
+    // query (the q232 MemoryStream pattern): per-day top-3 event types
+    // from the mergeable SpaceSaving state. Capacity 64 ≫ the distinct
+    // type count, so the summary is EXACT (err 0) and the oracle is the
+    // full per-window groupBy ranking with the (count desc, key asc)
+    // tie-break — the estimator-gate discipline's exact regime.
+    Q("q262_stream_heavy_hitters",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        val rows = Tables.events(s, dir)
+          .select(expr("ts div 1000").as("ts_us"), col("event_type"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val dayUs = 86400L * 1000000L
+        val flush = (rows.map(_._1).max / dayUs + 4) * dayUs + 1L
+        val ms = MemoryStream[(Long, String)](s)
+        val out = graft.streaming.Streams.windowedHeavyHitters(
+          ms.toDS().toDF("ts_us", "key"), watermark = "0 seconds",
+          window_ = "1 day", capacity = 64, k = 3)
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q262_sink").start()
+        try {
+          ms.addData(rows.toSeq); q.processAllAvailable()
+          ms.addData((flush, "zz")); q.processAllAvailable()
+        } finally q.stop()
+        val maxBucket = rows.map(_._1 / dayUs * dayUs).max
+        s.table("q262_sink").filter(col("bucket_us") <= maxBucket)
+          .orderBy("bucket_us", "rank")
+      },
+      Some("""WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) * 86400000000 AS bucket_us,
+             |    event_type AS key FROM events),
+             |c AS (SELECT bucket_us, key, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+             |n AS (SELECT bucket_us, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+             |r AS (SELECT bucket_us, key, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY bucket_us ORDER BY cnt DESC, key ASC) AS rank
+             |  FROM c)
+             |SELECT r.bucket_us, n.n, CAST(r.rank AS BIGINT) AS rank, r.key, r.cnt,
+             |  CAST(0 AS BIGINT) AS err
+             |FROM r JOIN n ON r.bucket_us = n.bucket_us
+             |WHERE r.rank <= 3 ORDER BY r.bucket_us, r.rank""".stripMargin))
   )
 }

@@ -206,6 +206,42 @@ object Streams {
         col("n") +: names.map(col): _*)
   }
 
+  /** Streaming windowed heavy hitters — per event-time window, the
+    * top-k keys by count from a mergeable SpaceSaving summary
+    * ([[graft.functions.Sketches.SpaceSavingAgg]] — O(capacity) state
+    * per open window, the windowedQuantiles/windowedPsi sketch-state
+    * contract), so an unbounded key population (URLs, user agents,
+    * domains) monitors under bounded memory. While per-window distinct
+    * keys ≤ capacity the summary is EXACT (counts exact, err 0) and the
+    * emitted top-k equals the exact groupBy ranking with the
+    * (count desc, key asc) tie-break — q262 gates that regime under the
+    * full SQL oracle (the q225/q257 estimator discipline); beyond
+    * capacity the SpaceSaving overestimate invariant holds
+    * (true ≤ count ≤ true + err) and `err` is emitted per row. Append
+    * mode emits each window once when the watermark closes it. Output:
+    * (bucket_us, n, rank, key, cnt, err), rank 1..k. */
+  def windowedHeavyHitters(events: DataFrame,
+                           watermark: String = "0 seconds",
+                           window_ : String = "1 hour",
+                           capacity: Int = 64, k: Int = 10): DataFrame = {
+    import graft.functions.Sketches
+    require(k >= 1 && capacity >= k, s"need capacity >= k >= 1, got " +
+      s"capacity=$capacity k=$k")
+    events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(count(lit(1)).as("n"),
+        Sketches.spaceSavingCol(capacity)(col("key").cast("string"))
+          .as("__hh"))
+      .select(unix_micros(col("window.start")).as("bucket_us"), col("n"),
+        posexplode(slice(col("__hh"), 1, k)).as(Seq("__i", "__e")))
+      .select(col("bucket_us"), col("n"),
+        (col("__i") + 1).cast("long").as("rank"),
+        col("__e.key").as("key"), col("__e.count").as("cnt"),
+        col("__e.err").as("err"))
+  }
+
   /** Streaming windowed PSI drift monitor — the
     * [[graft.operators.Analytics.psi]] batch operator as a live gauge:
     * per event-time window, bin `value` into the FIXED reference grid

@@ -497,6 +497,56 @@ class IOStreamsSpec extends SparkSpec {
     assert(got == Seq(("A", "B")), s"got $got")
   }
 
+  test("windowedHeavyHitters: per-window top-k with tie-break; exact " +
+      "regime == batch groupBy; over-capacity keeps the overestimate " +
+      "invariant and emits err") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hourUs = 3600L * 1000000L
+    // w0: a×3, b×2, c×2 (b/c tie → key asc); w1: a×1, d×4
+    val w0 = Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c")
+    val w1 = Seq("a") ++ Seq.fill(4)("d")
+    val rows = w0.zipWithIndex.map { case (k, i) => (i * 1000L, k) } ++
+      w1.zipWithIndex.map { case (k, i) => (hourUs + i * 1000L, k) }
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = Streams.windowedHeavyHitters(ms.toDS().toDF("ts_us", "key"),
+        watermark = "0 seconds", window_ = "1 hour", capacity = 8, k = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hh_sink").start()
+    try {
+      ms.addData(rows); q.processAllAvailable()
+      ms.addData(Seq((10L * hourUs, "z"))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hh_sink")
+      .filter(col("bucket_us") < 2 * hourUs)
+      .orderBy("bucket_us", "rank").collect()
+      .map(r => (r.getLong(0) / hourUs, r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    // capacity 8 > distinct keys → EXACT: counts right, err 0, b beats
+    // c on the key tie-break
+    assert(got == Seq(
+      (0L, 7L, 1L, "a", 3L, 0L), (0L, 7L, 2L, "b", 2L, 0L),
+      (1L, 5L, 1L, "d", 4L, 0L), (1L, 5L, 2L, "a", 1L, 0L)), s"got $got")
+    // over-capacity: 5 distinct through capacity 2 — the top key's
+    // count may overestimate but never undercounts, err bounds the gap
+    val heavy = (Seq.fill(10)("hot") ++ Seq("x", "y", "u", "v"))
+      .zipWithIndex.map { case (k, i) => (i * 1000L, k) }
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q2 = Streams.windowedHeavyHitters(ms2.toDS().toDF("ts_us", "key"),
+        watermark = "0 seconds", window_ = "1 hour", capacity = 2, k = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hh_sink2").start()
+    try {
+      ms2.addData(heavy); q2.processAllAvailable()
+      ms2.addData(Seq((10L * hourUs, "z"))); q2.processAllAvailable()
+    } finally q2.stop()
+    val top = spark.table("hh_sink2").filter(col("bucket_us") === 0L)
+      .collect().map(r => (r.getString(3), r.getLong(4), r.getLong(5))).head
+    assert(top._1 == "hot")
+    assert(top._2 >= 10L && top._2 <= 10L + top._3,
+      s"overestimate invariant violated: $top")
+  }
+
   test("Moments sketch runs under Structured Streaming == batch result") {
     val dir = Files.createTempDirectory("graft_skstream").toFile.getPath
     val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
