@@ -228,6 +228,36 @@ private[graft] object Batch44 {
              |SELECT r.bucket_us, n.n, CAST(r.rank AS BIGINT) AS rank, r.key, r.cnt,
              |  CAST(0 AS BIGINT) AS err
              |FROM r JOIN n ON r.bucket_us = n.bucket_us
-             |WHERE r.rank <= 3 ORDER BY r.bucket_us, r.rank""".stripMargin))
+             |WHERE r.rank <= 3 ORDER BY r.bucket_us, r.rank""".stripMargin)),
+
+    // Per-group correlation matrices (one per return flag) off ONE
+    // scan: q258's 15-statistic aggregate with the group key, every
+    // group's 10 pair rows exploded from its aggregated row — oracle
+    // generated from the same column list, grouped.
+    Q("q263_corr_matrix_by",
+      (s, dir) => graft.operators.Analytics.corrMatrixBy(
+        Tables.lineitem(s, dir), Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 2),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val idx = cols.indices
+        def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+        val sums = idx.map(i => s"CAST(SUM(${d(cols(i))}) AS DOUBLE) AS s$i")
+        val prods = for { i <- idx; j <- idx if j >= i } yield
+          s"CAST(SUM(${d(cols(i))} * ${d(cols(j))}) AS DOUBLE) AS p${i}_$j"
+        val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+        def vEx(i: Int) = s"(CAST(n AS DOUBLE) * p${i}_$i - s$i * s$i)"
+        val pairSelects = for { i <- idx; j <- idx if j >= i } yield
+          s"SELECT l_returnflag, '${cols(i)}' AS col_x, '${cols(j)}' AS col_y, n, " +
+            s"CASE WHEN ${vEx(i)} > 0 AND ${vEx(j)} > 0 THEN " +
+            s"(CAST(n AS DOUBLE) * p${i}_$j - s$i * s$j) / " +
+            s"(sqrt(${vEx(i)}) * sqrt(${vEx(j)})) END AS corr FROM a"
+        s"""WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           |    ${(sums ++ prods).mkString(",\n    ")}
+           |  FROM lineitem WHERE $notNull GROUP BY l_returnflag)
+           |${pairSelects.mkString("\nUNION ALL\n")}
+           |ORDER BY l_returnflag, col_x, col_y""".stripMargin
+      })
   )
 }

@@ -655,7 +655,20 @@ object Analytics {
     * ordered by (col_x, col_y); degenerate (constant) columns give NULL
     * against everything including themselves. */
   def corrMatrix(df: DataFrame, cols: Seq[String],
-                 scale: Int = 4): DataFrame = {
+                 scale: Int = 4): DataFrame =
+    corrMatrixBy(df, Nil, cols, scale)
+      .select("col_x", "col_y", "n", "corr")
+      .orderBy("col_x", "col_y")
+
+  /** Per-GROUP [[corrMatrix]] — one correlation matrix per key (per
+    * language, per source, per day): identical single-scan sufficient-
+    * statistic plan with the group columns in the aggregate key; every
+    * group's p(p+1)/2 pairs explode from its one aggregated row, so the
+    * output is |groups|·pairs rows off ONE corpus pass. Output: key
+    * columns + (col_x, col_y, n, corr), ordered by (keys, col_x,
+    * col_y). */
+  def corrMatrixBy(df: DataFrame, keyCols: Seq[String], cols: Seq[String],
+                   scale: Int = 4): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got $cols")
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
@@ -665,7 +678,8 @@ object Analytics {
       idx.map(i => sum(vs(i)).cast("double").as(s"__s$i"))) ++
       (for { i <- idx; j <- idx if j >= i } yield
         sum(vs(i) * vs(j)).cast("double").as(s"__p${i}_$j"))
-    val one = complete.agg(aggs.head, aggs.tail: _*)
+    val one = complete.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
     def nD = col("__n").cast("double")
     def variance(i: Int) =
       nD * col(s"__p${i}_$i") - col(s"__s$i") * col(s"__s$i")
@@ -674,10 +688,12 @@ object Analytics {
         when(variance(i) > 0 && variance(j) > 0,
           (nD * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j")) /
             (sqrt(variance(i)) * sqrt(variance(j)))).as("corr"))
-    one.select(col("__n").as("n"), explode(array(pairRows: _*)).as("__pr"))
-      .select(col("__pr.col_x").as("col_x"), col("__pr.col_y").as("col_y"),
-        col("n"), col("__pr.corr").as("corr"))
-      .orderBy("col_x", "col_y")
+    one.select(keyCols.map(col) ++ Seq(col("__n").as("n"),
+        explode(array(pairRows: _*)).as("__pr")): _*)
+      .select(keyCols.map(col) ++ Seq(col("__pr.col_x").as("col_x"),
+        col("__pr.col_y").as("col_y"), col("n"),
+        col("__pr.corr").as("corr")): _*)
+      .orderBy(keyCols.map(col) ++ Seq(col("col_x"), col("col_y")): _*)
   }
 
   /** Mutual information between two CATEGORICAL columns — the

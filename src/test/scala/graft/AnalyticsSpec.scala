@@ -803,6 +803,23 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.corrMatrix(df.repartition(p), Seq("x", "y", "z"), scale = 4)
         .collect().map(_.toSeq).toSeq
     }
+    // grouped form: each group's matrix equals corrMatrix over that
+    // group's rows alone (same single-scan statistics, keyed)
+    val grouped = rows.zipWithIndex.map { case ((x, y, z, c, _), i) =>
+      (if (i % 2 == 0) "g0" else "g1", x, y, z) }
+      .toDF("g", "x", "y", "z")
+    val by = Analytics.corrMatrixBy(grouped, Seq("g"), Seq("x", "y", "z"),
+        scale = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("corr")))).toMap
+    Seq("g0", "g1").foreach { g =>
+      val solo = Analytics.corrMatrix(grouped.filter(col("g") === g),
+          Seq("x", "y", "z"), scale = 4).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("corr")))).toMap
+      solo.foreach { case ((a, b), v) =>
+        assert(by((g, a, b)) == v, s"group $g pair ($a,$b)") }
+    }
   }
 
   test("prefixBefore: distributed strictly-before prefix == the global " +
