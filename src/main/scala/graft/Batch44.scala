@@ -258,6 +258,53 @@ private[graft] object Batch44 {
            |  FROM lineitem WHERE $notNull GROUP BY l_returnflag)
            |${pairSelects.mkString("\nUNION ALL\n")}
            |ORDER BY l_returnflag, col_x, col_y""".stripMargin
-      })
+      }),
+
+    // Per-slice KS drift: the cur side is shifted for ONE event type
+    // only ('view'), so the pooled statistic dilutes while the per-type
+    // slices isolate it — the reason the sliced form exists. Cumulative
+    // ECDFs, cross-products, per-slice argmax, and tie-breaks all
+    // replayed with PARTITION BY event_type.
+    Q("q264_ks_test_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ksb") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            floor(when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 3).otherwise(col("value"))).cast("long"))
+        graft.operators.Analytics.ksTestBy(ev, Seq("event_type"), "grp",
+            "v", "ref", "cur")
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('ksb' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, value
+             |  FROM events),
+             |vals AS (SELECT event_type, grp,
+             |    CAST(FLOOR(CASE WHEN grp = 'cur' AND event_type = 'view'
+             |      THEN value * 3 ELSE value END) AS BIGINT) AS v FROM g),
+             |c AS (SELECT event_type, v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM vals GROUP BY 1, 2),
+             |cum AS (SELECT event_type, v,
+             |    SUM(ca) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             |    SUM(cb) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+             |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+             |  FROM c),
+             |num AS (SELECT event_type, v, na, nb,
+             |    ABS(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na) AS num
+             |  FROM cum),
+             |mx AS (SELECT event_type, v, na, nb, num,
+             |    MAX(num) OVER (PARTITION BY event_type) AS m FROM num)
+             |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(MIN(v) AS BIGINT) AS d_at,
+             |  CASE WHEN na > 0 AND nb > 0 THEN
+             |    CAST(MAX(m) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS d
+             |FROM mx WHERE num = m GROUP BY event_type, na, nb
+             |ORDER BY event_type""".stripMargin))
   )
 }

@@ -446,6 +446,49 @@ object Analytics {
       .drop("__m")
   }
 
+  /** Per-GROUP two-sample KS — [[ksTest]] sliced by key columns (per
+    * language, per source, per day): the drift monitor's per-slice form,
+    * where a distribution shift hiding inside one slice is invisible to
+    * the pooled statistic. Same exact integer cross-product argmax, but
+    * the cumulative windows are PARTITIONED by the keys (per-slice
+    * distinct-value cardinality bounds each window partition — the
+    * per-group analog of the prefixBefore contract; slices parallelize
+    * across the cluster). Slices missing either group emit NULL d (the
+    * test is undefined there, not zero). Output: key columns +
+    * (n_a, n_b, d_at, d). */
+  def ksTestBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+               valueCol: String, groupA: String, groupB: String)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "ksTestBy needs key columns; use ksTest")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__num",
+        abs(col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na")))
+      .withColumn("__mx", max(col("__num")).over(wAll))
+      .filter(col("__num") === col("__mx"))
+      .groupBy(keys :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(min(col("__v")).as("d_at"), max(col("__mx")).as("__m"))
+      .withColumn("d",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__m").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))))
+      .drop("__m")
+  }
+
   /** Sketch-ECDF two-sample KS — [[ksTest]]'s UNBOUNDED-cardinality
     * scale path: each group's distribution is reduced to a ≤k-centroid
     * KHist sketch ([[graft.functions.Sketches.KHistAgg]] — mergeable,

@@ -461,6 +461,35 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head.getAs[Double]("d") < 0.15)
   }
 
+  test("ksTestBy: each slice == global ksTest on that slice; the " +
+    "shifted slice alone lights up; missing-group slice yields NULL d") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows =
+      (1 to 300).map(_ => ("s1", "A", rnd.nextInt(30).toDouble)) ++
+      (1 to 250).map(_ => ("s1", "B", rnd.nextInt(30).toDouble)) ++     // same dist
+      (1 to 300).map(_ => ("s2", "A", rnd.nextInt(30).toDouble)) ++
+      (1 to 250).map(_ => ("s2", "B", rnd.nextInt(30).toDouble + 15)) ++ // shifted
+      (1 to 50).map(_ => ("s3", "A", rnd.nextInt(30).toDouble))          // B absent
+    val df = rnd.shuffle(rows).toDF("k", "g", "v")
+    val by = Analytics.ksTestBy(df, Seq("k"), "g", "v", "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by.keySet == Set("s1", "s2", "s3"))
+    Seq("s1", "s2").foreach { k =>
+      val solo = Analytics.ksTest(df.filter(col("k") === k), "g", "v",
+        "A", "B").collect().head
+      assert(by(k).getAs[Long]("n_a") == solo.getAs[Long]("n_a"))
+      assert(by(k).getAs[Long]("n_b") == solo.getAs[Long]("n_b"))
+      assert(by(k).getAs[Double]("d_at") == solo.getAs[Double]("d_at"))
+      assert(java.lang.Double.doubleToLongBits(by(k).getAs[Double]("d")) ==
+        java.lang.Double.doubleToLongBits(solo.getAs[Double]("d")), s"d at $k")
+    }
+    assert(by("s2").getAs[Double]("d") > by("s1").getAs[Double]("d") + 0.2,
+      "the shifted slice must dominate")
+    assert(by("s3").getAs[Long]("n_b") == 0L)
+    assert(by("s3").isNullAt(by("s3").fieldIndex("d")))
+  }
+
   test("ksTestSketchBounded: |D̂ − D| ≤ the sketch-derived err_bound " +
     "across compression levels on continuous fixtures (the q257 gate " +
     "invariant); uncompressed bound still holds with D̂ == D") {
