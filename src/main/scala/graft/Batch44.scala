@@ -305,6 +305,36 @@ private[graft] object Batch44 {
              |  CASE WHEN na > 0 AND nb > 0 THEN
              |    CAST(MAX(m) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS d
              |FROM mx WHERE num = m GROUP BY event_type, na, nb
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Partial correlation of price ~ quantity controlling for discount:
+    // the q258 sufficient statistics, the three pairwise r chains, and
+    // the (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) formula replayed
+    // term for term.
+    Q("q265_partial_corr",
+      (s, dir) => graft.operators.Analytics.partialCorr(
+        Tables.lineitem(s, dir), "l_extendedprice", "l_quantity",
+        "l_discount", scale = 2),
+      Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s0,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p00,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p01,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p02,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p11,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p12,
+             |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p22
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+             |r AS (SELECT n,
+             |    (CAST(n AS DOUBLE) * p01 - s0 * s1) / (sqrt(CAST(n AS DOUBLE) * p00 - s0 * s0) * sqrt(CAST(n AS DOUBLE) * p11 - s1 * s1)) AS r_xy,
+             |    (CAST(n AS DOUBLE) * p02 - s0 * s2) / (sqrt(CAST(n AS DOUBLE) * p00 - s0 * s0) * sqrt(CAST(n AS DOUBLE) * p22 - s2 * s2)) AS r_xz,
+             |    (CAST(n AS DOUBLE) * p12 - s1 * s2) / (sqrt(CAST(n AS DOUBLE) * p11 - s1 * s1) * sqrt(CAST(n AS DOUBLE) * p22 - s2 * s2)) AS r_yz
+             |  FROM a)
+             |SELECT n, r_xy, r_xz, r_yz,
+             |  CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 1e-12 THEN
+             |    (r_xy - r_xz * r_yz) / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) END AS pcorr
+             |FROM r""".stripMargin))
   )
 }

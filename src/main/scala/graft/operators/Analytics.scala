@@ -739,6 +739,50 @@ object Analytics {
       .orderBy(keyCols.map(col) ++ Seq(col("col_x"), col("col_y")): _*)
   }
 
+  /** First-order PARTIAL correlation r_{xy·z} — the association between
+    * x and y with the confounder z held fixed:
+    * (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). The spurious-
+    * correlation screen (does price correlate with quality once length
+    * is controlled for?) from the SAME one-scan sufficient statistics
+    * as [[corrMatrix]] (decimal sums, map-side combined), with all
+    * three pairwise r's and the partial as ONE pinned double chain over
+    * the aggregated row. Listwise deletion across the three columns.
+    * Degenerate inputs — zero variance, or (1−r_xz²)(1−r_yz²) ≤ 1e-12
+    * (exact collinearity lands at 1 ± ulp in double) — yield NULL, not
+    * an unstable ratio. Output: one row (n, r_xy, r_xz, r_yz, pcorr). */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String, zCol: String,
+                  scale: Int = 4): DataFrame = {
+    val cols = Seq(xCol, yCol, zCol)
+    require(cols.distinct.size == 3, s"x/y/z must be distinct, got $cols")
+    val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    val vs = cols.map(c => col(c).cast(s"decimal(18,$scale)"))
+    val idx = cols.indices
+    val aggs = (count(lit(1)).as("__n") +:
+      idx.map(i => sum(vs(i)).cast("double").as(s"__s$i"))) ++
+      (for { i <- idx; j <- idx if j >= i } yield
+        sum(vs(i) * vs(j)).cast("double").as(s"__p${i}_$j"))
+    def nD = col("__n").cast("double")
+    def vr(i: Int) = nD * col(s"__p${i}_$i") - col(s"__s$i") * col(s"__s$i")
+    def r(i: Int, j: Int) = when(vr(i) > 0 && vr(j) > 0,
+      (nD * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j")) /
+        (sqrt(vr(i)) * sqrt(vr(j))))
+    complete.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n").as("n"), r(0, 1).as("r_xy"), r(0, 2).as("r_xz"),
+        r(1, 2).as("r_yz"))
+      .withColumn("pcorr", {
+        // den ≤ 1e-12 is NULL, not garbage: an exactly-collinear pair's
+        // double r lands at 1 ± ulp (sqrt(v)² ≠ v), so `> 0` alone would
+        // pass rounding residue and emit a huge unstable ratio — the
+        // ridgeFit tolerance lesson; r is dimensionless so an absolute
+        // epsilon is principled. Pinned; the oracle replays it.
+        val den = (lit(1.0) - col("r_xz") * col("r_xz")) *
+          (lit(1.0) - col("r_yz") * col("r_yz"))
+        when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+          col("r_yz").isNotNull && den > 1e-12,
+          (col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(den))
+      })
+  }
+
   /** Mutual information between two CATEGORICAL columns — the
     * dependence signal feature selection and leakage checks run at
     * corpus scale: I(X;Y) = Σ_xy (c_xy/n)·ln(n·c_xy/(c_x·c_y)) over

@@ -851,6 +851,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("partialCorr: confounder-driven correlation vanishes when z is " +
+    "controlled; exact vs driver model; degenerate NULL") {
+    import spark.implicits._
+    // x and y both driven by z (plus independent wiggle): r_xy is large,
+    // r_xy·z collapses toward the wiggle-only association
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 400).map { i =>
+      val z = (i % 20).toDouble
+      // independent wiggles on a binary-exact 0.25 grid, so the
+      // decimal(18,4) cast is lossless and the driver model matches
+      val ex = (rnd.nextInt(17) - 8) * 0.25
+      val ey = (rnd.nextInt(17) - 8) * 0.25
+      (z + ex, 2 * z + ey, z)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val got = Analytics.partialCorr(df, "x", "y", "z").collect().head
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      ((n * a.zip(b).map { case (p, q) => p * q }.sum - sa * sb) /
+        (math.sqrt(n * a.map(p => p * p).sum - sa * sa) *
+          math.sqrt(n * b.map(q => q * q).sum - sb * sb)))
+    }
+    val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val (rxy, rxz, ryz) = (pearson(xs, ys), pearson(xs, zs), pearson(ys, zs))
+    val want = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(got.getAs[Double]("r_xy") - rxy) < 1e-9)
+    assert(math.abs(got.getAs[Double]("pcorr") - want) < 1e-9)
+    assert(got.getAs[Double]("r_xy") > 0.9, "confounded correlation high")
+    assert(math.abs(got.getAs[Double]("pcorr")) < 0.3,
+      s"controlled correlation should collapse: ${got.getAs[Double]("pcorr")}")
+    // x ≡ z: |r_xz| = 1 → denominator 0 → NULL, not Inf
+    val degen = rows.map { case (_, y, z) => (z, y, z) }.toDF("x", "y", "z")
+    val d = Analytics.partialCorr(degen, "x", "y", "z").collect().head
+    assert(d.isNullAt(d.fieldIndex("pcorr")))
+  }
+
   test("prefixBefore: distributed strictly-before prefix == the global " +
     "window it replaces; NULL sorts first; weighted; partition sweep") {
     import spark.implicits._
