@@ -335,6 +335,36 @@ private[graft] object Batch44 {
              |SELECT n, r_xy, r_xz, r_yz,
              |  CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 1e-12 THEN
              |    (r_xy - r_xz * r_yz) / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) END AS pcorr
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Theil's U on the q227 fixture: the same MI/entropy machinery, the
+    // two ASYMMETRIC normalizations replayed (which side predicts which
+    // — lang over length-bucket vs the reverse).
+    Q("q266_theils_u",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("lang"),
+          floor(length(col("text")) / 200).cast("long").as("lenb"))
+        graft.operators.Analytics.theilsU(d, "lang", "lenb")
+      },
+      Some("""WITH t AS (SELECT lang AS x, CAST(FLOOR(length(text) / 200) AS BIGINT) AS y FROM documents),
+             |p AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY x, y),
+             |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM p GROUP BY x),
+             |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM p GROUP BY y),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM p),
+             |mi AS (SELECT SUM(p.c) AS nn, CAST(SUM(CAST(
+             |    (CAST(p.c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+             |    ln(CAST(n.n AS DOUBLE) * CAST(p.c AS DOUBLE) / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)))
+             |  AS DECIMAL(28,12))) AS DOUBLE) AS mi
+             |  FROM p JOIN mx ON p.x = mx.x JOIN my ON p.y = my.y CROSS JOIN n),
+             |hx AS (SELECT CAST(-SUM(CAST((CAST(cx AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+             |    ln(CAST(cx AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h_x
+             |  FROM mx CROSS JOIN n),
+             |hy AS (SELECT CAST(-SUM(CAST((CAST(cy AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+             |    ln(CAST(cy AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h_y
+             |  FROM my CROSS JOIN n)
+             |SELECT CAST(nn AS BIGINT) AS n, mi, h_x, h_y,
+             |  CASE WHEN h_x > 0 THEN mi / h_x END AS u_x_given_y,
+             |  CASE WHEN h_y > 0 THEN mi / h_y END AS u_y_given_x
+             |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin))
   )
 }

@@ -739,6 +739,20 @@ object Analytics {
       .orderBy(keyCols.map(col) ++ Seq(col("col_x"), col("col_y")): _*)
   }
 
+  /** Theil's uncertainty coefficient — [[mutualInformation]]'s
+    * ASYMMETRIC normalization: U(X|Y) = I(X;Y)/H(X) is the fraction of
+    * X's uncertainty removed by knowing Y (and vice versa), the
+    * direction-aware association report (NMI's symmetric √ hides which
+    * side predicts which). Same plan as mutualInformation — the two
+    * ratios are one extra projection over its single row. Zero-entropy
+    * (constant) sides yield NULL. Output: one row
+    * (n, mi, h_x, h_y, u_x_given_y, u_y_given_x). */
+  def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    mutualInformation(df, xCol, yCol)
+      .select(col("n"), col("mi"), col("h_x"), col("h_y"),
+        when(col("h_x") > 0, col("mi") / col("h_x")).as("u_x_given_y"),
+        when(col("h_y") > 0, col("mi") / col("h_y")).as("u_y_given_x"))
+
   /** First-order PARTIAL correlation r_{xy·z} — the association between
     * x and y with the confounder z held fixed:
     * (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). The spurious-

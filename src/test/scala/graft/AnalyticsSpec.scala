@@ -851,6 +851,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("theilsU: deterministic Y|X → U(Y|X)=1 while U(X|Y)<1; " +
+    "independence → both ~0; constant side NULL") {
+    import spark.implicits._
+    // y = f(x) deterministically (knowing x removes ALL of y's
+    // uncertainty) but x is NOT a function of y (two x's share a y)
+    val det = Seq(("a", 1L), ("b", 1L), ("c", 2L), ("d", 2L), ("a", 1L),
+      ("b", 1L), ("c", 2L), ("d", 2L)).toDF("x", "y")
+    val r = Analytics.theilsU(det, "x", "y").collect().head
+    assert(math.abs(r.getAs[Double]("u_y_given_x") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("u_x_given_y") < 0.6)
+    // independent uniform grid: I ≈ 0 exactly (balanced counts)
+    val ind = (for { x <- Seq("p", "q"); y <- Seq(1L, 2L); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val ri = Analytics.theilsU(ind, "x", "y").collect().head
+    assert(math.abs(ri.getAs[Double]("u_x_given_y")) < 1e-12)
+    assert(math.abs(ri.getAs[Double]("u_y_given_x")) < 1e-12)
+    // constant x: H(X)=0 → U(X|Y) NULL
+    val const = Seq(("k", 1L), ("k", 2L)).toDF("x", "y")
+    val rc = Analytics.theilsU(const, "x", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("u_x_given_y")))
+  }
+
   test("partialCorr: confounder-driven correlation vanishes when z is " +
     "controlled; exact vs driver model; degenerate NULL") {
     import spark.implicits._
