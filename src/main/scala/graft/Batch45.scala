@@ -1,0 +1,171 @@
+package graft
+
+import graft.SparkEntry.Q
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 45 (round 15): per-group exact order statistics
+  * and the OVERFLOW-regime estimator gate for the streaming SpaceSaving
+  * heavy hitters (the r14 agenda's #3 and #4; #6 — a session_window
+  * streaming sessionization gate — already exists as q130, see
+  * Batch11.scala:196).
+  */
+private[graft] object Batch45 {
+
+  val queries: Seq[Q] = Seq(
+
+    // Per-group exact percentiles (percentile_cont semantics per
+    // l_returnflag) WITHOUT a row sort: the q233 plan with the
+    // distinct-value cumulative on per-key PARTITIONED windows (the
+    // ksTestBy contract — per-slice cardinality bounds each partition,
+    // slices parallelize). Counts, per-group cumulative ranks,
+    // bracketing values, and the interpolation are all replayed by the
+    // oracle with the same PARTITION BY.
+    Q("q267_quantiles_cont_by",
+      (s, dir) => graft.operators.Aggregations.quantilesContBy(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.9)),
+      Some("""WITH c AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+             |cum AS (SELECT l_returnflag, v, c,
+             |  COALESCE(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             |  SUM(c) OVER (PARTITION BY l_returnflag) AS n FROM c),
+             |p AS (SELECT unnest(CAST([0.25, 0.5, 0.9] AS DOUBLE[])) AS p),
+             |lo AS (SELECT cum.l_returnflag, p.p, cum.n, cum.v AS vlo,
+             |    p.p * (cum.n - 1) - FLOOR(p.p * (cum.n - 1)) AS frac
+             |  FROM cum JOIN p ON cum.s <= CAST(FLOOR(p.p * (cum.n - 1)) AS BIGINT)
+             |    AND CAST(FLOOR(p.p * (cum.n - 1)) AS BIGINT) < cum.s + cum.c),
+             |hi AS (SELECT cum.l_returnflag AS rf2, p.p AS p2, cum.v AS vhi
+             |  FROM cum JOIN p ON cum.s <= LEAST(CAST(FLOOR(p.p * (cum.n - 1)) AS BIGINT) + 1, cum.n - 1)
+             |    AND LEAST(CAST(FLOOR(p.p * (cum.n - 1)) AS BIGINT) + 1, cum.n - 1) < cum.s + cum.c)
+             |SELECT lo.l_returnflag, lo.p, CAST(lo.n AS BIGINT) AS n,
+             |  vlo + frac * (vhi - vlo) AS value
+             |FROM lo JOIN hi ON lo.l_returnflag = hi.rf2 AND lo.p = hi.p2
+             |ORDER BY l_returnflag, p""".stripMargin)),
+
+    // The q262 heavy-hitters gate in the OVERFLOW regime (the q257
+    // discipline): capacity 8 ≪ per-day distinct user_ids, so the
+    // SpaceSaving summary genuinely evicts and the surfaced keys /
+    // counts / errs are insertion-order-DEPENDENT — unhashable by a
+    // static oracle. What IS deterministic is the algorithm's
+    // invariant: for every surfaced key, true_cnt ≤ cnt ≤ true_cnt +
+    // err under ANY insertion/merge order. The query re-derives the
+    // exact per-(day, key) counts from the same fixture rows, joins
+    // the sink's top-8 against them, and emits one row per day:
+    // (n, distinct_keys) exactly replayable from the raw rows, plus
+    // `within_bound` = AND over the surfaced keys — which the oracle
+    // pins TRUE. If a merge ever breaks the overestimate invariant,
+    // the flag flips and the row goes hash-red at the driver.
+    Q("q268_hh_overflow_bound",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        val rows = Tables.events(s, dir)
+          .select(expr("ts div 1000").as("ts_us"),
+            col("user_id").cast("string").as("key"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val dayUs = 86400L * 1000000L
+        val flush = (rows.map(_._1).max / dayUs + 4) * dayUs + 1L
+        val ms = MemoryStream[(Long, String)](s)
+        val out = graft.streaming.Streams.windowedHeavyHitters(
+          ms.toDS().toDF("ts_us", "key"), watermark = "0 seconds",
+          window_ = "1 day", capacity = 8, k = 8)
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q268_sink").start()
+        try {
+          ms.addData(rows.toSeq); q.processAllAvailable()
+          ms.addData((flush, "zz")); q.processAllAvailable()
+        } finally q.stop()
+        val maxBucket = rows.map(_._1 / dayUs * dayUs).max
+        val raw = rows.toSeq.toDF("ts_us", "key")
+          .withColumn("bucket_us", expr(s"(ts_us div $dayUs) * $dayUs"))
+        val exact = raw.groupBy("bucket_us", "key")
+          .agg(count(lit(1)).as("true_cnt"))
+        val ok = s.table("q268_sink")
+          .filter(col("bucket_us") <= maxBucket)
+          .join(exact, Seq("bucket_us", "key"), "left")
+          .groupBy("bucket_us")
+          .agg(min(col("true_cnt").isNotNull &&
+            col("cnt") >= col("true_cnt") &&
+            col("cnt") <= col("true_cnt") + col("err")).as("within_bound"))
+        raw.groupBy("bucket_us")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("key")).as("distinct_keys"))
+          .join(ok, Seq("bucket_us"))
+          .select("bucket_us", "n", "distinct_keys", "within_bound")
+          .orderBy("bucket_us")
+      },
+      Some("""WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) * 86400000000 AS bucket_us,
+             |    CAST(user_id AS VARCHAR) AS key FROM events)
+             |SELECT bucket_us, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(COUNT(DISTINCT key) AS BIGINT) AS distinct_keys,
+             |  TRUE AS within_bound
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-language 10%-trimmed mean of document lengths — the robust
+    // per-slice location estimate a curation pipeline reads daily
+    // (outlier pages can't drag a language's length profile). q247's
+    // rank machinery with every window PARTITION BY lang; per-group k,
+    // kept weights, decimal mass, and the division all replayed.
+    Q("q269_trimmed_mean_by",
+      (s, dir) => graft.operators.Aggregations.trimmedMeanBy(
+          Tables.documents(s, dir), Seq("lang"), "n_chars", alpha = 0.1)
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, CAST(n_chars AS DECIMAL(18,2)) AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+             |cum AS (SELECT lang, v, c,
+             |  COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             |  SUM(c) OVER (PARTITION BY lang) AS n FROM c),
+             |k AS (SELECT lang, CAST(FLOOR(0.1 * CAST(MAX(n) AS DOUBLE)) AS BIGINT) AS k,
+             |    CAST(MAX(n) AS BIGINT) AS n FROM cum GROUP BY 1),
+             |kept AS (SELECT cum.lang, cum.v,
+             |    GREATEST(0, LEAST(cum.s + cum.c, k.n - k.k) - GREATEST(cum.s, k.k)) AS w,
+             |    k.n, k.k
+             |  FROM cum JOIN k ON cum.lang IS NOT DISTINCT FROM k.lang)
+             |SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+             |  CAST(MAX(n) - 2 * MAX(k) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CAST(w AS DECIMAL(19,0)) * v) AS DOUBLE)
+             |    / CAST(MAX(n) - 2 * MAX(k) AS DOUBLE) AS mean
+             |FROM kept WHERE w > 0 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Per-source 10%-winsorized mean of document lengths — q261's
+    // clamp-at-the-fences identity per slice: each source's k most
+    // extreme rows per tail are clamped to THAT source's fence order
+    // statistics (tail mass kept, influence capped). Fences found per
+    // group by rank containment; everything decimal until one division.
+    Q("q270_winsorized_mean_by",
+      (s, dir) => graft.operators.Aggregations.winsorizedMeanBy(
+          Tables.documents(s, dir), Seq("source"), "n_chars", alpha = 0.1)
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source, CAST(n_chars AS DECIMAL(18,2)) AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+             |cum AS (SELECT source, v, c,
+             |  COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             |  SUM(c) OVER (PARTITION BY source) AS n FROM c),
+             |k AS (SELECT source, CAST(FLOOR(0.1 * CAST(MAX(n) AS DOUBLE)) AS BIGINT) AS k,
+             |    CAST(MAX(n) AS BIGINT) AS n FROM cum GROUP BY 1),
+             |fl AS (SELECT cum.source, MIN(cum.v) AS flo
+             |  FROM cum JOIN k ON cum.source IS NOT DISTINCT FROM k.source
+             |  WHERE cum.s <= k.k AND k.k < cum.s + cum.c GROUP BY 1),
+             |fh AS (SELECT cum.source, MIN(cum.v) AS fhi
+             |  FROM cum JOIN k ON cum.source IS NOT DISTINCT FROM k.source
+             |  WHERE cum.s <= k.n - k.k - 1 AND k.n - k.k - 1 < cum.s + cum.c GROUP BY 1),
+             |kept AS (SELECT cum.source, cum.v,
+             |    GREATEST(0, LEAST(cum.s + cum.c, k.n - k.k) - GREATEST(cum.s, k.k)) AS w,
+             |    k.n, k.k
+             |  FROM cum JOIN k ON cum.source IS NOT DISTINCT FROM k.source)
+             |SELECT kept.source, CAST(MAX(kept.n) AS BIGINT) AS n,
+             |  CAST(MAX(kept.k) AS BIGINT) AS k,
+             |  CAST(fl.flo AS DOUBLE) AS fence_lo, CAST(fh.fhi AS DOUBLE) AS fence_hi,
+             |  CAST(SUM(CAST(w AS DECIMAL(19,0)) * v)
+             |      + CAST(MAX(kept.k) AS DECIMAL(19,0)) * fl.flo
+             |      + CAST(MAX(kept.k) AS DECIMAL(19,0)) * fh.fhi AS DOUBLE)
+             |    / CAST(MAX(kept.n) AS DOUBLE) AS mean
+             |FROM kept
+             |JOIN fl ON kept.source IS NOT DISTINCT FROM fl.source
+             |JOIN fh ON kept.source IS NOT DISTINCT FROM fh.source
+             |WHERE w > 0 GROUP BY kept.source, fl.flo, fh.fhi
+             |ORDER BY kept.source""".stripMargin))
+  )
+}

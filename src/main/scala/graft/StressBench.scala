@@ -599,6 +599,13 @@ object StressBench {
       // (the r13 single-task row_number ceiling) and the auto-scaled
       // bucket count (50M/250k → 200 sweep buckets) in one arm.
       "kendall_knight_50m" -> (() => kendallArm(exact = true, 50000000L, 50000000L, 3L)),
+      // round 15: BOTH axes all-distinct — the natural two-raw-doubles
+      // regime (50M distinct x × 50M distinct y). The r14 form owed a
+      // B·|Y| ≈ 10¹⁰-row zero-filled grid here; the non-empty-cells
+      // sweep pays O(|cells|·log B) + a ≤4.2M-row closing spine instead,
+      // so this arm must land in the same order of magnitude as the
+      // x-only arm above.
+      "kendall_knight_50m_xy" -> (() => kendallArm(exact = true, 50000000L, 50000000L, 50000000L)),
       // round 14: exact p50/p90/p99 over 50M ALL-DISTINCT doubles — the
       // prefixBefore family (quantilesCont/ksTest/gini/aucRoc/
       // trimmedMean) at the cardinality where the old single-task

@@ -309,6 +309,101 @@ object Aggregations {
           .cast("double") / col("n").cast("double")).as("mean"))
   }
 
+  /** Per-GROUP exact α-trimmed mean — [[trimmedMean]] sliced by key
+    * columns (per-language/per-source robust token-length means): k =
+    * ⌊α·n_g⌋ computed per group, rank-interval overlap per distinct
+    * value within its group, decimal kept-mass sum, one pinned division
+    * per group. The distinct-value cumulative rides per-key PARTITIONED
+    * windows (the ksTestBy/quantilesContBy contract — per-slice
+    * cardinality bounds each window partition, slices parallelize; no
+    * row sort, no single-task window). Output: key columns +
+    * (n, n_kept, mean). */
+  def trimmedMeanBy(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                    valueCol: String, alpha: Double, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "trimmedMeanBy needs keys; use trimmedMean")
+    require(alpha >= 0.0 && alpha < 0.5, s"alpha $alpha must be in [0, 0.5)")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys :+ col(valueCol).cast(s"decimal(18,$scale)").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).rowsBetween(Long.MinValue, Long.MaxValue)
+    val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
+    counts
+      .withColumn("__s", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__w", greatest(lit(0L),
+        least(col("__s") + col("__c"), col("__n") - k) -
+          greatest(col("__s"), k)))
+      .filter(col("__w") > 0)
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"),
+        (max(col("__n")) - lit(2) * max(k)).as("n_kept"),
+        sum(col("__w").cast("decimal(19,0)") * col("__v")).as("__sum"))
+      .withColumn("mean",
+        col("__sum").cast("double") / col("n_kept").cast("double"))
+      .select(keys ++ Seq(col("n"), col("n_kept"), col("mean")): _*)
+  }
+
+  /** Per-GROUP exact α-winsorized mean — [[winsorizedMean]] sliced by
+    * key columns: per group, the k = ⌊α·n_g⌋ most extreme rows on each
+    * tail are clamped to that GROUP's fence order statistics. Same
+    * identity as the global form (winsorized sum = kept-interval mass +
+    * k·(fence_lo + fence_hi), decimal-exact, one division), with the
+    * fences found per group by rank containment and joined back on the
+    * keys (null-safe — a NULL group is its own slice). Output: key
+    * columns + (n, k, fence_lo, fence_hi, mean). */
+  def winsorizedMeanBy(df: org.apache.spark.sql.DataFrame,
+                       keyCols: Seq[String], valueCol: String,
+                       alpha: Double, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "winsorizedMeanBy needs keys; use winsorizedMean")
+    require(alpha >= 0.0 && alpha < 0.5, s"alpha $alpha must be in [0, 0.5)")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys :+ col(valueCol).cast(s"decimal(18,$scale)").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).rowsBetween(Long.MinValue, Long.MaxValue)
+    val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
+    val rHi = col("__n") - k - 1
+    val cum = counts
+      .withColumn("__s", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val lo = cum.filter(col("__s") <= k && k < col("__s") + col("__c"))
+      .select(keyCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__kl$i") } :+ col("__v").as("__flo"): _*)
+    val hi = cum.filter(col("__s") <= rHi && rHi < col("__s") + col("__c"))
+      .select(keyCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__kh$i") } :+ col("__v").as("__fhi"): _*)
+    def dk = col("__k").cast("decimal(19,0)")
+    val kept = cum
+      .withColumn("__w", greatest(lit(0L),
+        least(col("__s") + col("__c"), col("__n") - k) -
+          greatest(col("__s"), k)))
+      .filter(col("__w") > 0)
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"), max(k).as("__k"),
+        sum(col("__w").cast("decimal(19,0)") * col("__v")).as("__sum"))
+    val loCond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__kl$i") }.reduce(_ && _)
+    val hiCond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__kh$i") }.reduce(_ && _)
+    kept.join(lo, loCond).join(hi, hiCond)
+      .select(keys ++ Seq(col("n"), col("__k").as("k"),
+        col("__flo").cast("double").as("fence_lo"),
+        col("__fhi").cast("double").as("fence_hi"),
+        ((col("__sum") + dk * col("__flo") + dk * col("__fhi"))
+          .cast("double") / col("n").cast("double")).as("mean")): _*)
+  }
+
   def quantilesCont(df: org.apache.spark.sql.DataFrame, valueCol: String,
                     ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
@@ -339,5 +434,60 @@ object Aggregations {
         (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo")))
           .as("value"))
       .orderBy("p")
+  }
+
+  /** Per-GROUP exact percentiles — [[quantilesCont]] sliced by key
+    * columns (per-language / per-source token-length percentiles, the
+    * daily pipeline ask): SQL `percentile_cont` semantics per group,
+    * WITHOUT a row sort. Same plan as the global form except the
+    * distinct-value cumulative rides per-key PARTITIONED windows (the
+    * ksTestBy contract: per-slice distinct-value cardinality bounds
+    * each window partition, slices parallelize across the cluster — no
+    * single-task window, no global exchange beyond the value-counts
+    * aggregate). The rank-interval containment joins carry the keys, so
+    * each group interpolates independently; a group with one distinct
+    * value emits that value at every p. Output: key columns +
+    * (p, n, value), one row per (group, p). */
+  def quantilesContBy(df: org.apache.spark.sql.DataFrame,
+                      keyCols: Seq[String], valueCol: String,
+                      ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "quantilesContBy needs keys; use quantilesCont")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles $ps must be in [0,1]")
+    require(ps.distinct.length == ps.length, s"duplicate percentiles in $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = counts
+      .withColumn("__s", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val pdf = ps.toDF("p")
+    val t = col("p") * (col("__n") - 1).cast("double")
+    val k = floor(t).cast("long")
+    val kHi = least(k + 1, col("__n") - 1)
+    val lower = cum.join(broadcast(pdf),
+        col("__s") <= k && k < col("__s") + col("__c"))
+      .select(keys ++ Seq(col("p"), col("__n").as("n"),
+        col("__v").as("__vlo"), (t - floor(t)).as("__frac")): _*)
+    val upper = cum.join(broadcast(pdf),
+        col("__s") <= kHi && kHi < col("__s") + col("__c"))
+      .select(keyCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__k$i") } ++ Seq(col("p").as("__p2"), col("__v").as("__vhi")): _*)
+    val joinCond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__k$i") }
+      .reduce(_ && _) && col("p") === col("__p2")
+    lower.join(upper, joinCond)
+      .select(keys ++ Seq(col("p"), col("n"),
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo")))
+          .as("value")): _*)
+      .orderBy(keys :+ col("p"): _*)
   }
 }

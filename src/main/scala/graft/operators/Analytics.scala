@@ -300,7 +300,24 @@ object Analytics {
     * groups' prefixes on the same distinct-value rows): appends
     * `__cum_<name>` = Σ weight_<name> over strictly-preceding keys. One
     * range exchange + one per-slice window + one broadcast offset table
-    * however many weights ride along. */
+    * however many weights ride along.
+    *
+    * CONSISTENCY CONTRACT: the offset-table branch and the local-window
+    * branch each re-derive `spark_partition_id()` over the SAME
+    * repartitionByRange subtree, and a RangePartitioner samples its
+    * bounds per exchange EXECUTION — the two branches agree because
+    * ReuseExchange/AQE dedupe the identical subtree (plan-asserted in
+    * AnalyticsSpec). That property is optimizer-dependent, so the plan
+    * carries a structural tripwire: the offset table records each
+    * slice's (min,max) key range from ITS execution, and every output
+    * row's cumulative is guarded by `key ∈ [min,max]` of the slice it
+    * joined — if the branches ever slice differently (exchange reuse
+    * disabled, a future edit breaking subtree canonicalization), at
+    * least one key lands outside its joined slice's range (slices are
+    * contiguous and membership differs), or joins no offset row at all,
+    * and the query FAILS LOUDLY via raise_error instead of returning a
+    * silently-wrong prefix. NULL keys skip the range check (they sort
+    * first into slice 0 under every sampling; min/max ignore them). */
   private[graft] def prefixBeforeMulti(dv: DataFrame, key: String,
       weights: Seq[(String, Column)]): DataFrame = {
     require(weights.nonEmpty, "need at least one weight")
@@ -314,20 +331,35 @@ object Analytics {
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy(col("__pid").asc).rowsBetween(Long.MinValue, -1)
     val offAggs = weights.map { case (n, _) =>
-      sum(col(s"__w_$n")).as(s"__pw_$n") }
+      sum(col(s"__w_$n")).as(s"__pw_$n") } ++
+      Seq(min(col(key)).as("__gmin"), max(col(key)).as("__gmax"))
     val offs = p.groupBy(col("__pid")).agg(offAggs.head, offAggs.tail: _*)
-      .select(col("__pid") +: weights.map { case (n, _) =>
-        coalesce(sum(col(s"__pw_$n")).over(wOff), lit(0L)).as(s"__off_$n") }: _*)
+      .select(col("__pid") +: col("__gmin") +: col("__gmax") +:
+        weights.map { case (n, _) =>
+          coalesce(sum(col(s"__pw_$n")).over(wOff), lit(0L)).as(s"__off_$n") }: _*)
     val local = weights.foldLeft(p) { case (d, (n, _)) =>
       d.withColumn(s"__lc_$n",
         coalesce(sum(col(s"__w_$n")).over(wLocal), lit(0L)))
     }
-    val joined = local.join(broadcast(offs), Seq("__pid"))
+    // LEFT join + guard: an inner join would silently DROP a slice whose
+    // pid is missing from a divergent offset table; the guard turns both
+    // divergence modes (missing pid, key outside its slice's recorded
+    // range) into a loud failure
+    val joined = local.join(broadcast(offs), Seq("__pid"), "left")
+    val consistent = col(key).isNull ||
+      (col("__gmin").isNotNull &&
+        col(key) >= col("__gmin") && col(key) <= col("__gmax"))
     val withCums = weights.foldLeft(joined) { case (d, (n, _)) =>
-      d.withColumn(s"__cum_$n", col(s"__off_$n") + col(s"__lc_$n"))
+      d.withColumn(s"__cum_$n",
+        when(consistent, col(s"__off_$n") + col(s"__lc_$n"))
+          .otherwise(raise_error(lit("prefixBeforeMulti: range-slice " +
+            "mismatch between the offset and window branches — exchange " +
+            "reuse is broken (spark.sql.exchange.reuse disabled, or the " +
+            "subtrees no longer canonicalize equal)"))))
     }
-    withCums.drop("__pid" +: weights.flatMap { case (n, _) =>
-      Seq(s"__w_$n", s"__lc_$n", s"__off_$n") }: _*)
+    withCums.drop("__pid" +: "__gmin" +: "__gmax" +:
+      weights.flatMap { case (n, _) =>
+        Seq(s"__w_$n", s"__lc_$n", s"__off_$n") }: _*)
   }
 
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
@@ -1024,20 +1056,36 @@ object Analytics {
     *     BigInteger (no 2^63 wrap), partials emitted as decimal(38,0).
     *     The one mapPartitions in the statistics family — inversion
     *     counting is genuinely imperative.
-    *  5. CROSS-bucket discordance: a (bucket × distinct-y) grid with
-    *     two PARTITIONED cumulative windows — S(b,y) = Σ_{y'>y} h(b,y')
-    *     within bucket, then A(b,y) = Σ_{b'<b} S(b',y) across buckets —
-    *     joined back to the cells: Σ c·A is exactly the strictly-
-    *     x-ordered, y-inverted cross-bucket mass. Grid size B·|Y|.
+    *  5. CROSS-bucket discordance over the NON-EMPTY (bx, ry) cells
+    *     only (|cells| ≤ |pairs|): the cross mass is ITSELF a weighted
+    *     inversion count over the cells — Σ h₁·h₂ over cell pairs with
+    *     bx₁ < bx₂ and ry₁ > ry₂ — so the same sweep machinery closes
+    *     it. Cells are sliced by a DETERMINISTIC dense-rank bucketing
+    *     of ry (⌊(ry−1)·S/|Y|⌋ — no sampled range exchange, so any
+    *     plan-branch re-execution reproduces the identical slicing);
+    *     each slice runs a B-sized Fenwick sweep in ry-descending
+    *     order (O(|cells|·log B) total, O(B) memory per task), and the
+    *     strictly-cross-slice pairs close over a (S × B) grid of
+    *     per-slice bucket masses — ≤ ~4.2M rows by construction,
+    *     INDEPENDENT of |Y| (the r14 form materialized the full
+    *     zero-filled B·|Y| grid: ~10¹⁰ rows at 50M both-axes-distinct).
     *  6. nd = local + cross; nc via the inclusion-exclusion identity
     *     2(nc+nd) = n(n−1) − Σtx(tx−1) − Σty(ty−1) + Σc(c−1); the τ-b
     *     chain is [[kendallTau]]'s verbatim.
     *
     * Cost: one pair aggregate, two distributed distinct-value ranks,
-    * one bucket exchange + O(|pairs|·log) sweep, one B·|Y| grid — vs
-    * the self-join's |pairs|². `buckets = 0` (default) auto-scales B
-    * from a row-count estimate so each bucket's in-memory sweep array
-    * stays ~250k cells. Rows with a NULL in either column are
+    * one bucket exchange + O(|pairs|·log) sweep, one cells exchange +
+    * O(|cells|·log B) cross sweep + a ≤(S·B) closing grid — vs the
+    * self-join's |pairs|². `buckets = 0` (default) auto-scales B from
+    * a row-count estimate so each bucket's in-memory sweep array stays
+    * ~250k cells; NOTE the auto path fires one EAGER count job at call
+    * time (B sizes JVM arrays and partition counts, so it cannot stay
+    * a lazy column) — pass an explicit `buckets` to keep construction
+    * fully lazy. B clamps at 4096: past ~10⁹ distinct pairs the
+    * per-x-bucket sweep buffer (≈24·|pairs|/B bytes per task) outgrows
+    * its ~6 MB design point — raise `buckets` explicitly to match the
+    * executor budget (SCALE.md's knob table has the arithmetic).
+    * Rows with a NULL in either column are
     * excluded (listwise deletion). Output (n, nc, nd, tau_b) —
     * [[kendallTau]]'s schema and bit-equal values (AnalyticsSpec pins
     * the equality; q256 gates it against the theta-join oracle on RAW
@@ -1069,15 +1117,26 @@ object Analytics {
     val rx = rankTable("__x", "__rx").withColumnRenamed("__x", "__kx")
     val ry = rankTable("__y", "__ry").withColumnRenamed("__y", "__ky")
     val nx = rx.agg(max(col("__rx")).as("__nx"))
+    val ny = ry.agg(max(col("__ry")).as("__ny"))
+    // y-slice count for the cross-bucket pass, capped so the closing
+    // (S × B) grid stays ≤ ~4.2M rows by construction
+    val nSlices = math.max(8, math.min(
+      spark.sessionState.conf.numShufflePartitions, 4194304 / b))
     val ranked = pairs
       .join(rx, col("__x") === col("__kx")).drop("__kx")
       .join(ry, col("__y") === col("__ky")).drop("__ky")
       .crossJoin(broadcast(nx))
+      .crossJoin(broadcast(ny))
       .withColumn("__bx", // integer div: exact range bucketing, 0..B−1
         expr(s"((__rx - 1) * $b) div __nx").cast("int"))
-      .select("__bx", "__rx", "__ry", "__c")
+      .withColumn("__by", // deterministic y slice: a pure function of the
+        // dense rank (NOT a sampled range exchange), so every plan branch
+        // that re-executes the cell pass reproduces the same slicing
+        expr(s"((__ry - 1) * $nSlices) div __ny").cast("int"))
+      .select("__bx", "__by", "__rx", "__ry", "__c")
     // 4. local sweep
     val partials = ranked
+      .select("__bx", "__rx", "__ry", "__c")
       .repartition(b, col("__bx"))
       .sortWithinPartitions(col("__bx").asc, col("__rx").asc)
       .as[(Int, Long, Long, Long)]
@@ -1134,31 +1193,107 @@ object Analytics {
       .toDF("__ndStr")
       .agg(coalesce(sum(col("__ndStr").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("__ndLocal"))
-    // 5. cross-bucket grid
-    val bList = spark.range(b).select(col("id").cast("int").as("__bx"))
-    val ysAll = ranked.select("__ry").distinct()
-    val h = ranked.groupBy(col("__bx"), col("__ry")).agg(sum("__c").as("__h"))
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__bx")).orderBy(col("__ry").desc)
+    // 5. cross-bucket discordance over the NON-EMPTY cells only: the
+    // cross mass is Σ h₁·h₂ over cell pairs with bx₁ < bx₂ AND
+    // ry₁ > ry₂ — a weighted inversion count over the (bx, ry) cell
+    // table (|cells| ≤ |pairs|), NOT a B·|Y| grid. Per y-slice (the
+    // deterministic __by bucketing above), a B-sized Fenwick sweep in
+    // ry-descending order counts the within-slice pairs; each slice
+    // also emits its per-x-bucket masses, and the strictly-cross-slice
+    // pairs (any cell in a higher slice has strictly greater ry) close
+    // over a bounded (S × B) grid below. The within-slice partial rides
+    // out as a virtual row at __sbx = B so ONE downstream aggregation
+    // consumes the pass exactly once — and the sweep itself is
+    // deterministic (hash partition on __by, total sort, order-free
+    // group logic), so even a plan-branch re-execution cannot disagree.
+    val cells = ranked.groupBy(col("__by"), col("__bx"), col("__ry"))
+      .agg(sum(col("__c")).as("__h"))
+      .select(col("__by").cast("int"), col("__bx"), col("__ry"),
+        col("__h").cast("long"))
+    val swept = cells
+      .repartition(nSlices, col("__by"))
+      .sortWithinPartitions(col("__by").asc, col("__ry").desc)
+      .as[(Int, Int, Long, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Long, String)]
+        val fw = new Array[Long](b + 1) // Fenwick over x-buckets, 1-based
+        val mass = new Array[Long](b)
+        def add(i0: Int, v: Long): Unit = {
+          var i = i0 + 1
+          while (i <= b) { fw(i) += v; i += i & (-i) }
+        }
+        def pref(i0: Int): Long = { // Σ inserted mass at buckets ≤ i0
+          var i = i0 + 1; var s = 0L
+          while (i > 0) { s += fw(i); i -= i & (-i) }
+          s
+        }
+        var nd = java.math.BigInteger.ZERO
+        var curBy = Int.MinValue
+        def flush(): Unit = if (curBy != Int.MinValue) {
+          out += ((curBy, b, 0L, nd.toString))
+          var i = 0
+          while (i < b) {
+            if (mass(i) != 0L) out += ((curBy, i, mass(i), null))
+            i += 1
+          }
+          java.util.Arrays.fill(fw, 0L); java.util.Arrays.fill(mass, 0L)
+          nd = java.math.BigInteger.ZERO
+        }
+        val grp = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var grpRy = Long.MinValue
+        def closeGrp(): Unit = { // query BEFORE insert: strictly greater
+          var i = 0                // ry only (ranks start at 1, sentinel safe)
+          while (i < grp.length) {
+            val (bx, h) = grp(i)
+            val below = if (bx > 0) pref(bx - 1) else 0L
+            if (below > 0) nd = nd.add(java.math.BigInteger.valueOf(h)
+              .multiply(java.math.BigInteger.valueOf(below)))
+            i += 1
+          }
+          i = 0
+          while (i < grp.length) {
+            val (bx, h) = grp(i); add(bx, h); mass(bx) += h; i += 1
+          }
+          grp.clear()
+        }
+        it.foreach { case (by, bx, ryv, h) =>
+          if (by != curBy) {
+            closeGrp(); flush(); curBy = by; grpRy = Long.MinValue
+          }
+          if (ryv != grpRy) { closeGrp(); grpRy = ryv }
+          grp += ((bx, h))
+        }
+        closeGrp(); flush()
+        out.iterator
+      }
+      .toDF("__sy", "__sbx", "__m", "__ndStr")
+    // close the strictly-cross-slice pairs on the bounded spine:
+    // R(s,b) = Σ_{s'>s} mass(s',b) (a higher slice is strictly greater
+    // ry by construction), W(s,b) = Σ_{b'<b} R(s,b') — evaluated over
+    // the full (S × B+1) spine so the prefixes see every bucket column;
+    // spine rows ≤ ~4.2M by the nSlices cap, independent of |Y|. The
+    // m·W products accumulate in decimal(38,0) (≤ n² — a Long would
+    // wrap past n ≈ 3e9, exactly the at-scale regime this form serves).
+    val spine = spark.range(nSlices)
+      .select(col("id").cast("int").as("__sy"))
+      .crossJoin(spark.range(b + 1).select(col("id").cast("int").as("__sbx")))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sbx")).orderBy(col("__sy").desc)
       .rowsBetween(Long.MinValue, -1)
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__ry")).orderBy(col("__bx").asc)
+    val wW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sy")).orderBy(col("__sbx").asc)
       .rowsBetween(Long.MinValue, -1)
-    val gridA = ysAll.crossJoin(broadcast(bList))
-      .join(h, Seq("__bx", "__ry"), "left")
-      .withColumn("__h0", coalesce(col("__h"), lit(0L)))
-      .withColumn("__S", coalesce(sum(col("__h0")).over(wS), lit(0L)))
-      // __A ≤ n²/2: decimal(38,0) end to end — a 19-digit cast would
-      // overflow to NULL (non-ANSI) past n ≈ 4.5e9 and silently
-      // undercount nd in exactly the at-scale regime this form serves
-      .withColumn("__A", coalesce(sum(col("__S").cast("decimal(38,0)")).over(wA),
-        lit(0).cast("decimal(38,0)")))
-    val crossNd = ranked
-      .join(gridA.select(col("__bx"), col("__ry"), col("__A")),
-        Seq("__bx", "__ry"))
-      .agg(coalesce(sum(col("__c").cast("decimal(19,0)") * col("__A")),
-        lit(0).cast("decimal(38,0)"))
-        .as("__ndCross"))
+    val crossNd = spine
+      .join(swept, Seq("__sy", "__sbx"), "left")
+      .withColumn("__m0", coalesce(col("__m"), lit(0L)))
+      .withColumn("__R", coalesce(sum(col("__m0")).over(wR), lit(0L)))
+      .withColumn("__W", coalesce(sum(col("__R")).over(wW), lit(0L)))
+      .agg((coalesce(sum(col("__m0").cast("decimal(19,0)") *
+          col("__W").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)")) +
+        coalesce(sum(col("__ndStr").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("__ndCross"))
     // 6. ties + identity + the kendallTau τ chain
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     def tieSum(key: String) = pairs.groupBy(col(key))

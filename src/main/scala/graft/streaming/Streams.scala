@@ -317,7 +317,21 @@ object Streams {
     * the swap but emit no score (n = 0 — PSI of an empty window is
     * noise). State: stage 1 = bins+1 longs per OPEN window; stage 2 =
     * one bins-long array, total. q232 (the fixed-reference monitor)
-    * is unchanged. */
+    * is unchanged.
+    *
+    * CONTRACT — stage 2 is a deliberate single-task serialization
+    * point with NEVER-EXPIRING state: every closed window of the
+    * stream's lifetime funnels through one groupByKey(_ => 1) group.
+    * That is acceptable BECAUSE of what flows through it — one
+    * (bucket, n, bins-long histogram) row per closed window (metadata,
+    * not data; at a 1-hour window that is 24 tiny rows/day) and the
+    * state is a single bins-long array regardless of uptime. It is NOT
+    * a pattern to copy for row-scale streams — the sequential walk is
+    * the price of a strictly-ordered reference swap, which a
+    * distributed stage cannot provide. Two control rows sharing one
+    * ts_us within a window tie-break DETERMINISTICALLY (max_by on a
+    * (ts_us, payload) struct — lexicographic array order), so the
+    * applied reference never depends on partition visit order. */
   def windowedPsiLive(events: DataFrame, initialRef: Seq[Long],
                       lo: Double, hi: Double,
                       watermark: String = "0 seconds",
@@ -337,7 +351,11 @@ object Streams {
         sum(when(isData, 1L).otherwise(0L)).as("n"),
         Sketches.histCol(lo, hi, bins)(
           when(isData, col("value")).otherwise(lit(Double.NaN))).as("counts"),
-        max_by(col("ref"), when(!isData, col("ts_us"))).as("ctrl"))
+        // tie-break deterministically: two control rows sharing a ts_us
+        // within one window order by payload (lexicographic array), so
+        // the applied reference never depends on partition visit order
+        max_by(col("ref"), when(!isData, struct(col("ts_us"), col("ref"))))
+          .as("ctrl"))
       .select(unix_micros(col("window.start")).as("bucket_us"),
         col("n"), col("counts"), col("ctrl"))
     closed.as[(Long, Long, Seq[Long], Option[Seq[Long]])]

@@ -936,6 +936,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("prefixBefore: the offset and window branches read ONE reused " +
+    "range exchange (the consistency the correctness rests on), and the " +
+    "range-guard tripwire fails loudly rather than silently when fed a " +
+    "divergent offset table") {
+    import spark.implicits._
+    // 1. plan assertion: the two spark_partition_id() derivations sit
+    //    above a single executed exchange — ReusedExchange must appear
+    //    in the FINAL adaptive plan (run the QE's own RDD; a collect-
+    //    path action finalizes this QueryExecution)
+    val dv = spark.range(0, 100000).select(col("id").cast("double").as("v"))
+    val pb = Analytics.prefixBefore(dv, "v", lit(1L))
+    spark.sparkContext.runJob(pb.queryExecution.toRdd,
+      (it: Iterator[_]) => it.foreach(_ => ()))
+    val plan = pb.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected the offset branch to reuse the window branch's range " +
+        s"exchange:\n$plan")
+    // the tripwire is WIRED: the operator's own plan carries the guard
+    val analyzed = pb.queryExecution.analyzed.toString
+    assert(analyzed.contains("raise_error"),
+      s"expected the range-guard raise_error in the operator plan:\n$analyzed")
+    // 2. the guard itself: simulate branch divergence by evaluating the
+    //    guarded cum expression against an offset row whose recorded
+    //    (min,max) range excludes the key — raise_error must fire (this
+    //    is the failure mode spark.sql.exchange.reuse=false would cause)
+    val guarded = when(lit(5.0).isNull ||
+        (lit(10.0).isNotNull && lit(5.0) >= lit(10.0) && lit(5.0) <= lit(20.0)),
+      lit(1L)).otherwise(raise_error(lit("prefixBeforeMulti: range-slice " +
+      "mismatch")))
+    val e = intercept[Exception] {
+      spark.range(1).select(guarded.as("c")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("range-slice mismatch"),
+      s"expected the raise_error message, got: ${e.getMessage}")
+  }
+
   test("kendallTauExact: bit-equal to the self-join form on tie-heavy, " +
     "monotone, anti-monotone, and constant fixtures, across bucket " +
     "counts and partitionings") {

@@ -574,6 +574,42 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("quantilesContBy: per-group percentile_cont == the global form " +
+      "run per slice; single-distinct-value group; NULL key group; " +
+      "partition sweep") {
+    import graft.operators.Aggregations
+    // three groups with different shapes: ties, interpolating, constant
+    val rows = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 5.0),
+      ("a", 5.0), ("a", 9.0), ("b", 10.0), ("b", 20.0), ("b", 40.0),
+      ("b", 80.0), ("c", 7.0), ("c", 7.0))
+    val df = rows.toDF("k", "v")
+    val ps = Seq(0.1, 0.5, 0.9)
+    val got = Aggregations.quantilesContBy(df, Seq("k"), "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // each group must equal the GLOBAL operator run on that slice alone
+    for (g <- Seq("a", "b", "c")) {
+      val slice = rows.filter(_._1 == g).map(_._2).toDF("v")
+      val want = Aggregations.quantilesCont(slice, "v", ps)
+        .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      for (p <- ps) assert(got((g, p)) == want(p),
+        s"group $g p=$p: ${got((g, p))} vs ${want(p)}")
+    }
+    assert(got(("c", 0.5)) == ((2L, 7.0))) // constant group: value at every p
+    // NULL group key: its rows form their own slice (the <=> join)
+    val withNull = rows.map { case (k, v) => (Option(k), v) } ++
+      Seq((Option.empty[String], 3.0), (Option.empty[String], 4.0))
+    val dfn = withNull.toDF("k", "v")
+    val gn = Aggregations.quantilesContBy(dfn, Seq("k"), "v", Seq(0.5))
+      .collect().map(r => Option(r.get(0)) -> r.getDouble(3)).toMap
+    assert(gn(None) == 3.5 && gn(Some("b")) == 30.0)
+    partitionSweep { p =>
+      Aggregations.quantilesContBy(df.repartition(p), Seq("k"), "v", ps)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("trimmedMean: golden with boundary-splitting ties; alpha=0 is the " +
       "plain mean; outlier resistance; partition sweep") {
     import graft.operators.Aggregations
