@@ -166,6 +166,68 @@ private[graft] object Batch45 {
              |JOIN fl ON kept.source IS NOT DISTINCT FROM fl.source
              |JOIN fh ON kept.source IS NOT DISTINCT FROM fh.source
              |WHERE w > 0 GROUP BY kept.source, fl.flo, fh.fhi
-             |ORDER BY kept.source""".stripMargin))
+             |ORDER BY kept.source""".stripMargin)),
+
+    // Per-language Gini of document lengths — the per-slice
+    // concentration screen (one language's corpus collapsing onto a few
+    // hot pages hides inside the pooled statistic). q238's rank
+    // formulation with the cumulative PARTITION BY lang; per-group
+    // decimal mass sums and the pinned division replayed.
+    Q("q271_gini_by",
+      (s, dir) => graft.operators.Analytics.giniBy(
+          Tables.documents(s, dir), Seq("lang"), "n_chars")
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, CAST(n_chars AS DECIMAL(18,2)) AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+             |cum AS (SELECT lang, v, c,
+             |  COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+             |  FROM c),
+             |agg AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+             |    SUM(CAST(v AS DECIMAL(20,2)) * CAST(c AS DECIMAL(19,0)) * CAST(2 * b + c + 1 AS DECIMAL(19,0))) AS s1,
+             |    SUM(CAST(v AS DECIMAL(20,2)) * CAST(c AS DECIMAL(19,0))) AS sv
+             |  FROM cum GROUP BY 1)
+             |SELECT lang, n,
+             |  CASE WHEN CAST(sv AS DOUBLE) <> 0.0 THEN
+             |    (CAST(s1 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sv AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)) END AS gini
+             |FROM agg ORDER BY lang""".stripMargin)),
+
+    // Per-return-flag Spearman ρ between price band and quantity — the
+    // Simpson's-paradox screen (a pooled monotone association can be a
+    // composition artifact; the sliced form asks each segment). q223's
+    // doubled-average-rank model and pinned ρ chain with every window
+    // PARTITION BY the key.
+    Q("q272_spearman_by",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .withColumn("tp", floor(col("l_extendedprice") / 1000).cast("long"))
+          .withColumn("q", col("l_quantity").cast("long"))
+        graft.operators.Analytics.spearmanBy(li, Seq("l_returnflag"),
+          "tp", "q").orderBy("l_returnflag")
+      },
+      Some("""WITH j AS (SELECT l_returnflag,
+             |    CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS tp,
+             |    CAST(l_quantity AS BIGINT) AS q
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag,
+             |    2 * (RANK() OVER (PARTITION BY l_returnflag ORDER BY tp ASC) - 1)
+             |      + COUNT(*) OVER (PARTITION BY l_returnflag, tp) + 1 AS rx,
+             |    2 * (RANK() OVER (PARTITION BY l_returnflag ORDER BY q ASC) - 1)
+             |      + COUNT(*) OVER (PARTITION BY l_returnflag, q) + 1 AS ry
+             |  FROM j),
+             |s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+             |    SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+             |    SUM(CAST(rx * ry AS DECIMAL(38,0))) AS sxy,
+             |    SUM(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+             |    SUM(CAST(ry * ry AS DECIMAL(38,0))) AS syy
+             |  FROM r GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho
+             |FROM s ORDER BY l_returnflag""".stripMargin))
   )
 }

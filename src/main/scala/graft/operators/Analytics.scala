@@ -401,6 +401,70 @@ object Analytics {
       .select("n", "rho")
   }
 
+  /** Per-GROUP Spearman ρ — [[spearman]] sliced by key columns (per
+    * language, per source: does doc length still track quality inside
+    * each slice, or is the pooled correlation a composition artifact —
+    * Simpson's-paradox screening, the reason the sliced form exists).
+    * Same doubled-average-rank model and pinned ρ chain, but the
+    * marginal cumulatives ride per-key PARTITIONED windows (the
+    * ksTestBy contract — per-slice distinct-value cardinality bounds
+    * each window partition, slices parallelize across the cluster) and
+    * the five decimal sufficient statistics aggregate per group.
+    * Degenerate (constant-column) groups emit NULL rho. Output: key
+    * columns + (n, rho). */
+  def spearmanBy(df: DataFrame, keyCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "spearmanBy needs key columns; use spearman")
+    val keys = keyCols.map(col)
+    val pairs = df
+      .groupBy(keys ++ Seq(col(xCol).as("__x"), col(yCol).as("__y")): _*)
+      .agg(count(lit(1)).as("__c"))
+    def marginal(key: String, out: String, tag: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys: _*).orderBy(col("__v").asc)
+        .rowsBetween(Long.MinValue, -1)
+      pairs.groupBy(keys :+ col(key).as("__v"): _*)
+        .agg(sum(col("__c")).as("__cv"))
+        .withColumn("__cum", coalesce(sum(col("__cv")).over(w), lit(0L)))
+        .withColumn(out, lit(2) * col("__cum") + col("__cv") + 1)
+        .select(keyCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__$tag$i") } ++
+          Seq(col("__v").as(s"__k$tag"), col(out)): _*)
+    }
+    val condX = keyCols.zipWithIndex.map { case (c, i) =>
+      col(c) <=> col(s"__mx$i") }.reduce(_ && _) &&
+      (col("__x") <=> col("__kmx"))
+    val condY = keyCols.zipWithIndex.map { case (c, i) =>
+      col(c) <=> col(s"__my$i") }.reduce(_ && _) &&
+      (col("__y") <=> col("__kmy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(20,0)")
+    pairs
+      .join(marginal("__x", "__rx", "mx"), condX)
+      .join(marginal("__y", "__ry", "my"), condY)
+      .groupBy(keys: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(d(col("__c")) * d(col("__rx"))).cast("decimal(38,0)").as("__sx"),
+        sum(d(col("__c")) * d(col("__ry"))).cast("decimal(38,0)").as("__sy"),
+        sum(d(col("__c")) * d(col("__rx")) * d(col("__ry")))
+          .cast("decimal(38,0)").as("__sxy"),
+        sum(d(col("__c")) * d(col("__rx")) * d(col("__rx")))
+          .cast("decimal(38,0)").as("__sxx"),
+        sum(d(col("__c")) * d(col("__ry")) * d(col("__ry")))
+          .cast("decimal(38,0)").as("__syy"))
+      .withColumn("__vx",
+        col("n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__vy",
+        col("n").cast("double") * col("__syy").cast("double") -
+          col("__sy").cast("double") * col("__sy").cast("double"))
+      .withColumn("rho",
+        when(col("__vx") > 0 && col("__vy") > 0,
+          (col("n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            (sqrt(col("__vx")) * sqrt(col("__vy")))))
+      .select(keys ++ Seq(col("n"), col("rho")): _*)
+  }
+
   /** Row-level-window Spearman — the formulation [[spearman]] replaced
     * (two full-table ranking windows, Long rank products). Retained
     * ONLY as the bit-equality reference for AnalyticsSpec; the public
@@ -1361,6 +1425,45 @@ object Analytics {
             (col("n").cast("double") + 1.0) * col("__sv").cast("double")) /
             (col("n").cast("double") * col("__sv").cast("double"))))
       .select("n", "gini")
+  }
+
+  /** Per-GROUP Gini coefficient — [[gini]] sliced by key columns (per
+    * domain/language token-mass concentration: one slice collapsing
+    * onto a handful of hot documents is invisible to the pooled
+    * statistic). Same rank formulation
+    * G = Σᵢ(2i − n − 1)vᵢ / (n·Σv) with average-rank tie handling and
+    * exact decimal accumulation, but the distinct-value cumulative
+    * rides per-key PARTITIONED windows (the ksTestBy contract:
+    * per-slice distinct-value cardinality bounds each window partition;
+    * slices parallelize — no row sort, no single-task window anywhere).
+    * Groups with zero value mass emit NULL gini. Output: key columns +
+    * (n, gini). */
+  def giniBy(df: DataFrame, keyCols: Seq[String], valueCol: String,
+             scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "giniBy needs key columns; use gini")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys :+ col(valueCol).cast(s"decimal(18,$scale)").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Long.MinValue, -1)
+    counts
+      .withColumn("__b", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .groupBy(keys: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__v").cast(s"decimal(20,$scale)") *
+          col("__c").cast("decimal(19,0)") *
+          (lit(2) * col("__b") + col("__c") + 1).cast("decimal(19,0)"))
+          .as("__s1"),
+        sum(col("__v").cast(s"decimal(20,$scale)") *
+          col("__c").cast("decimal(19,0)")).as("__sv"))
+      .withColumn("gini",
+        when(col("__sv").cast("double") =!= 0.0,
+          (col("__s1").cast("double") -
+            (col("n").cast("double") + 1.0) * col("__sv").cast("double")) /
+            (col("n").cast("double") * col("__sv").cast("double"))))
+      .select(keys ++ Seq(col("n"), col("gini")): _*)
   }
 
   /** First-significant-digit distribution of a positive numeric column

@@ -936,6 +936,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("giniBy / spearmanBy: per-group == the global operator run per " +
+    "slice; NULL key slice; degenerate group NULL; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1.0, 10.0), ("a", 1.0, 20.0), ("a", 3.0, 30.0), ("a", 9.0, 90.0),
+      ("b", 5.0, 50.0), ("b", 4.0, 45.0), ("b", 2.0, 30.0), ("b", 2.0, 20.0),
+      ("c", 7.0, 7.0), ("c", 7.0, 7.0)) // constant slice → NULL rho
+    val df = rows.toDF("k", "v", "y")
+    val gb = Analytics.giniBy(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    val sb = Analytics.spearmanBy(df, Seq("k"), "v", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val slice = rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("v", "y")
+      val gw = Analytics.gini(slice, "v").collect().head
+      assert(gb(g) == ((gw.getLong(0), Option(gw.get(1)))), s"giniBy $g")
+      val sw = Analytics.spearman(slice, "v", "y").collect().head
+      assert(sb(g) == ((sw.getLong(0), Option(sw.get(1)))), s"spearmanBy $g")
+    }
+    assert(sb("c")._2.isEmpty, "constant slice must emit NULL rho")
+    // "a" is monotone except the v-tie (1,1) against distinct y: the
+    // average-rank model gives rho just under 1
+    assert(sb("a")._2.exists(v => v.asInstanceOf[Double] > 0.9),
+      s"near-monotone slice → rho near 1: ${sb("a")}")
+    // NULL key: its rows are their own slice (null-safe joins/windows)
+    val dfn = (rows.map { case (k, v, y) => (Option(k), v, y) } :+
+      ((Option.empty[String], 2.0, 4.0)) :+ ((Option.empty[String], 5.0, 9.0)))
+      .toDF("k", "v", "y")
+    val gn = Analytics.spearmanBy(dfn, Seq("k"), "v", "y")
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(gn(None) == 2L, s"NULL slice present: $gn")
+    partitionSweep { p =>
+      Analytics.giniBy(df.repartition(p), Seq("k"), "v")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString) ++
+        Analytics.spearmanBy(df.repartition(p), Seq("k"), "v", "y")
+          .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
