@@ -614,6 +614,19 @@ object StressBench {
         spark.range(50000000L).select(
           ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
         "v", Seq(0.5, 0.9, 0.99))),
+      // round 15: the HOT-SLICE regime of the By-family — one group owns
+      // 90% of 50M all-distinct values (the per-language profile where
+      // one language is most of the corpus). A per-key window would
+      // serialize the hot group's ~45M distinct values through ONE
+      // task; the keyed prefix (prefixBeforeMultiBy — range exchange on
+      // (group, value) compound) splits it across slices, so this arm
+      // must land near the un-keyed pctl_distinct_50m above.
+      "pctl_by_hotslice_50m" -> (() => graft.operators.Aggregations.quantilesContBy(
+        spark.range(50000000L).select(
+          when(col("id") % 10 < 9, lit("hot"))
+            .otherwise(concat(lit("g"), (col("id") % 100).cast("string"))).as("g"),
+          ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
+        Seq("g"), "v", Seq(0.5, 0.9, 0.99))),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning

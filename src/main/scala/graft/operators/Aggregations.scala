@@ -313,11 +313,12 @@ object Aggregations {
     * columns (per-language/per-source robust token-length means): k =
     * ⌊α·n_g⌋ computed per group, rank-interval overlap per distinct
     * value within its group, decimal kept-mass sum, one pinned division
-    * per group. The distinct-value cumulative rides per-key PARTITIONED
-    * windows (the ksTestBy/quantilesContBy contract — per-slice
-    * cardinality bounds each window partition, slices parallelize; no
-    * row sort, no single-task window). Output: key columns +
-    * (n, n_kept, mean). */
+    * per group. The distinct-value cumulative rides the KEYED
+    * distributed prefix ([[graft.operators.Analytics.prefixBeforeMultiBy]]
+    * — a hot group splits across range slices instead of serializing
+    * through one window task; per-group totals are a keys-sized
+    * aggregate joined back; no row sort anywhere). Output: key columns
+    * + (n, n_kept, mean). */
   def trimmedMeanBy(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
                     valueCol: String, alpha: Double, scale: Int = 2)
       : org.apache.spark.sql.DataFrame = {
@@ -327,15 +328,11 @@ object Aggregations {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(keys :+ col(valueCol).cast(s"decimal(18,$scale)").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).orderBy(col("__v").asc)
-      .rowsBetween(Long.MinValue, -1)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).rowsBetween(Long.MinValue, Long.MaxValue)
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
-    counts
-      .withColumn("__s", coalesce(sum(col("__c")).over(wCum), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    joinGroupTotals(
+      graft.operators.Analytics.prefixBeforeBy(counts, keyCols, "__v",
+        col("__c")).withColumnRenamed("__cum", "__s"),
+      counts, keyCols)
       .withColumn("__w", greatest(lit(0L),
         least(col("__s") + col("__c"), col("__n") - k) -
           greatest(col("__s"), k)))
@@ -367,16 +364,12 @@ object Aggregations {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(keys :+ col(valueCol).cast(s"decimal(18,$scale)").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).orderBy(col("__v").asc)
-      .rowsBetween(Long.MinValue, -1)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).rowsBetween(Long.MinValue, Long.MaxValue)
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
     val rHi = col("__n") - k - 1
-    val cum = counts
-      .withColumn("__s", coalesce(sum(col("__c")).over(wCum), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    val cum = joinGroupTotals(
+      graft.operators.Analytics.prefixBeforeBy(counts, keyCols, "__v",
+        col("__c")).withColumnRenamed("__cum", "__s"),
+      counts, keyCols)
     val lo = cum.filter(col("__s") <= k && k < col("__s") + col("__c"))
       .select(keyCols.zipWithIndex.map { case (c, i) =>
         col(c).as(s"__kl$i") } :+ col("__v").as("__flo"): _*)
@@ -436,18 +429,34 @@ object Aggregations {
       .orderBy("p")
   }
 
+  /** Per-group total Σ `__c` as `__n`, joined back null-safe on the
+    * keys — the keyed analog of the global forms' broadcast one-row
+    * total (keys-sized aggregate; the planner broadcasts small group
+    * sets and shuffles large ones). */
+  private def joinGroupTotals(cum: DataFrame, counts: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val tot = counts.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+      .select(keyCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__tk$i") } :+ col("__n"): _*)
+    val cond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__tk$i") }.reduce(_ && _)
+    cum.join(tot, cond).drop(keyCols.indices.map(i => s"__tk$i"): _*)
+  }
+
   /** Per-GROUP exact percentiles — [[quantilesCont]] sliced by key
     * columns (per-language / per-source token-length percentiles, the
     * daily pipeline ask): SQL `percentile_cont` semantics per group,
-    * WITHOUT a row sort. Same plan as the global form except the
-    * distinct-value cumulative rides per-key PARTITIONED windows (the
-    * ksTestBy contract: per-slice distinct-value cardinality bounds
-    * each window partition, slices parallelize across the cluster — no
-    * single-task window, no global exchange beyond the value-counts
-    * aggregate). The rank-interval containment joins carry the keys, so
-    * each group interpolates independently; a group with one distinct
-    * value emits that value at every p. Output: key columns +
-    * (p, n, value), one row per (group, p). */
+    * WITHOUT a row sort. Same plan as the global form: the
+    * distinct-value cumulative rides the KEYED distributed prefix
+    * ([[graft.operators.Analytics.prefixBeforeMultiBy]] — the range
+    * exchange is on (keys, value) compound, so a HOT group splits
+    * across slices instead of serializing through one window task; the
+    * per-group totals are a keys-sized aggregate joined back). The
+    * rank-interval containment joins carry the keys, so each group
+    * interpolates independently; a group with one distinct value emits
+    * that value at every p. Output: key columns + (p, n, value), one
+    * row per (group, p). */
   def quantilesContBy(df: org.apache.spark.sql.DataFrame,
                       keyCols: Seq[String], valueCol: String,
                       ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
@@ -461,14 +470,10 @@ object Aggregations {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(keys :+ col(valueCol).cast("double").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).orderBy(col("__v").asc)
-      .rowsBetween(Long.MinValue, -1)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).rowsBetween(Long.MinValue, Long.MaxValue)
-    val cum = counts
-      .withColumn("__s", coalesce(sum(col("__c")).over(wCum), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    val cum = joinGroupTotals(
+      graft.operators.Analytics.prefixBeforeBy(counts, keyCols, "__v",
+        col("__c")).withColumnRenamed("__cum", "__s"),
+      counts, keyCols)
     val pdf = ps.toDF("p")
     val t = col("p") * (col("__n") - 1).cast("double")
     val k = floor(t).cast("long")

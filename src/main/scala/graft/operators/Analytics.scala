@@ -319,33 +319,76 @@ object Analytics {
     * silently-wrong prefix. NULL keys skip the range check (they sort
     * first into slice 0 under every sampling; min/max ignore them). */
   private[graft] def prefixBeforeMulti(dv: DataFrame, key: String,
-      weights: Seq[(String, Column)]): DataFrame = {
+      weights: Seq[(String, Column)]): DataFrame =
+    prefixBeforeMultiBy(dv, Seq.empty, key, weights)
+
+  /** Single-weight per-group prefix ([[prefixBeforeMultiBy]]). */
+  private[graft] def prefixBeforeBy(dv: DataFrame, keyCols: Seq[String],
+      key: String, weight: Column): DataFrame =
+    prefixBeforeMultiBy(dv, keyCols, key, Seq("w" -> weight))
+      .withColumnRenamed("__cum_w", "__cum")
+
+  /** [[prefixBeforeMulti]] PER GROUP — the By-family's rank machinery
+    * (quantilesContBy, trimmedMeanBy, winsorizedMeanBy, giniBy,
+    * spearmanBy marginals, ksTestBy): appends `__cum_<name>` =
+    * Σ weight_<name> over rows of the SAME key-columns group whose
+    * `key` sorts strictly earlier. A plain per-key window (partitionBy
+    * keys, orderBy value) would serialize each group through one task —
+    * fine for many small slices, the r13 single-task ceiling all over
+    * again the moment ONE slice holds 1e8+ distinct values (a
+    * per-language length profile where one language is 80% of the
+    * corpus). Here the range exchange is on (keys..., key) COMPOUND, so
+    * a hot group splits across contiguous slices like the global form's
+    * values do: the local window partitions by (pid, keys), the offset
+    * table aggregates per (pid, keys) and prefix-sums per keys over
+    * pid order (group slices are contiguous in pid by construction),
+    * and the same (min,max)-range tripwire guards branch consistency
+    * per (pid, group). keys = empty IS [[prefixBeforeMulti]] — one
+    * implementation, one contract, one guard. */
+  private[graft] def prefixBeforeMultiBy(dv: DataFrame, keyCols: Seq[String],
+      key: String, weights: Seq[(String, Column)]): DataFrame = {
     require(weights.nonEmpty, "need at least one weight")
-    val p0 = weights.foldLeft(dv.repartitionByRange(col(key).asc)) {
+    val keys = keyCols.map(col)
+    val p0 = weights.foldLeft(
+      dv.repartitionByRange(keys.map(_.asc) :+ col(key).asc: _*)) {
       case (d, (n, w)) => d.withColumn(s"__w_$n", w)
     }
     val p = p0.withColumn("__pid", spark_partition_id())
     val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col(key).asc)
+      .partitionBy(col("__pid") +: keys: _*).orderBy(col(key).asc)
       .rowsBetween(Long.MinValue, -1)
     val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__pid").asc).rowsBetween(Long.MinValue, -1)
+      .partitionBy(keys: _*).orderBy(col("__pid").asc)
+      .rowsBetween(Long.MinValue, -1)
     val offAggs = weights.map { case (n, _) =>
       sum(col(s"__w_$n")).as(s"__pw_$n") } ++
       Seq(min(col(key)).as("__gmin"), max(col(key)).as("__gmax"))
-    val offs = p.groupBy(col("__pid")).agg(offAggs.head, offAggs.tail: _*)
+    val offs = p.groupBy(col("__pid") +: keys: _*)
+      .agg(offAggs.head, offAggs.tail: _*)
       .select(col("__pid") +: col("__gmin") +: col("__gmax") +:
-        weights.map { case (n, _) =>
-          coalesce(sum(col(s"__pw_$n")).over(wOff), lit(0L)).as(s"__off_$n") }: _*)
+        (keyCols.zipWithIndex.map { case (c, i) => col(c).as(s"__gk$i") } ++
+          weights.map { case (n, _) =>
+            coalesce(sum(col(s"__pw_$n")).over(wOff), lit(0L))
+              .as(s"__off_$n") }): _*)
     val local = weights.foldLeft(p) { case (d, (n, _)) =>
       d.withColumn(s"__lc_$n",
         coalesce(sum(col(s"__w_$n")).over(wLocal), lit(0L)))
     }
     // LEFT join + guard: an inner join would silently DROP a slice whose
-    // pid is missing from a divergent offset table; the guard turns both
-    // divergence modes (missing pid, key outside its slice's recorded
-    // range) into a loud failure
-    val joined = local.join(broadcast(offs), Seq("__pid"), "left")
+    // (pid, group) is missing from a divergent offset table; the guard
+    // turns both divergence modes (missing row, key outside its slice's
+    // recorded range) into a loud failure. Keys join null-safe — a NULL
+    // group is its own slice.
+    val joinCond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__gk$i") }
+      .foldLeft(col("__pid") === col("__opid"))(_ && _)
+    // global form: offs is #partitions rows — broadcast. Keyed form:
+    // offs is ≤ (#partitions + #groups) rows, groups-sized at scale
+    // (millions of domains) — leave the join strategy to the planner
+    // (AQE broadcasts small ones; big ones shuffle on (pid, keys))
+    val offsR = offs.withColumnRenamed("__pid", "__opid")
+    val joined = local.join(
+      if (keyCols.isEmpty) broadcast(offsR) else offsR, joinCond, "left")
     val consistent = col(key).isNull ||
       (col("__gmin").isNotNull &&
         col(key) >= col("__gmin") && col(key) <= col("__gmax"))
@@ -357,9 +400,10 @@ object Analytics {
             "reuse is broken (spark.sql.exchange.reuse disabled, or the " +
             "subtrees no longer canonicalize equal)"))))
     }
-    withCums.drop("__pid" +: "__gmin" +: "__gmax" +:
-      weights.flatMap { case (n, _) =>
-        Seq(s"__w_$n", s"__lc_$n", s"__off_$n") }: _*)
+    withCums.drop("__pid" +: "__opid" +: "__gmin" +: "__gmax" +:
+      (keyCols.indices.map(i => s"__gk$i") ++
+        weights.flatMap { case (n, _) =>
+          Seq(s"__w_$n", s"__lc_$n", s"__off_$n") }): _*)
   }
 
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
@@ -406,10 +450,10 @@ object Analytics {
     * each slice, or is the pooled correlation a composition artifact —
     * Simpson's-paradox screening, the reason the sliced form exists).
     * Same doubled-average-rank model and pinned ρ chain, but the
-    * marginal cumulatives ride per-key PARTITIONED windows (the
-    * ksTestBy contract — per-slice distinct-value cardinality bounds
-    * each window partition, slices parallelize across the cluster) and
-    * the five decimal sufficient statistics aggregate per group.
+    * marginal cumulatives ride the KEYED distributed prefix
+    * ([[prefixBeforeMultiBy]] — a hot slice's marginal splits across
+    * range partitions instead of serializing through one window task)
+    * and the five decimal sufficient statistics aggregate per group.
     * Degenerate (constant-column) groups emit NULL rho. Output: key
     * columns + (n, rho). */
   def spearmanBy(df: DataFrame, keyCols: Seq[String], xCol: String,
@@ -420,12 +464,12 @@ object Analytics {
       .groupBy(keys ++ Seq(col(xCol).as("__x"), col(yCol).as("__y")): _*)
       .agg(count(lit(1)).as("__c"))
     def marginal(key: String, out: String, tag: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys: _*).orderBy(col("__v").asc)
-        .rowsBetween(Long.MinValue, -1)
-      pairs.groupBy(keys :+ col(key).as("__v"): _*)
+      // keyed distributed prefix ([[prefixBeforeMultiBy]]): a hot
+      // group's marginal splits across range slices instead of
+      // serializing through one per-key window task
+      val cv = pairs.groupBy(keys :+ col(key).as("__v"): _*)
         .agg(sum(col("__c")).as("__cv"))
-        .withColumn("__cum", coalesce(sum(col("__cv")).over(w), lit(0L)))
+      prefixBeforeBy(cv, keyCols, "__v", col("__cv"))
         .withColumn(out, lit(2) * col("__cum") + col("__cv") + 1)
         .select(keyCols.zipWithIndex.map { case (c, i) =>
           col(c).as(s"__$tag$i") } ++
@@ -546,12 +590,14 @@ object Analytics {
     * language, per source, per day): the drift monitor's per-slice form,
     * where a distribution shift hiding inside one slice is invisible to
     * the pooled statistic. Same exact integer cross-product argmax, but
-    * the cumulative windows are PARTITIONED by the keys (per-slice
-    * distinct-value cardinality bounds each window partition — the
-    * per-group analog of the prefixBefore contract; slices parallelize
-    * across the cluster). Slices missing either group emit NULL d (the
-    * test is undefined there, not zero). Output: key columns +
-    * (n_a, n_b, d_at, d). */
+    * per group: the dual cumulatives ride the KEYED distributed prefix
+    * ([[prefixBeforeMultiBy]] — the range exchange is on (keys, value)
+    * compound, so a HOT slice splits across range partitions instead of
+    * serializing through one window task, the r15 generalization of the
+    * prefixBefore contract), and the per-group totals/argmax are
+    * keys-sized aggregates joined back null-safe. Slices missing either
+    * group emit NULL d (the test is undefined there, not zero). Output:
+    * key columns + (n_a, n_b, d_at, d). */
   def ksTestBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
                valueCol: String, groupA: String, groupB: String)
       : DataFrame = {
@@ -561,20 +607,28 @@ object Analytics {
       .groupBy(keys :+ col(valueCol).as("__v"): _*)
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).orderBy(col("__v").asc)
-      .rowsBetween(Long.MinValue, 0)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).rowsBetween(Long.MinValue, Long.MaxValue)
-    counts
-      .withColumn("__cuma", sum(col("__ca")).over(wCum))
-      .withColumn("__cumb", sum(col("__cb")).over(wCum))
-      .withColumn("__na", sum(col("__ca")).over(wAll))
-      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    // INCLUSIVE cumulatives = strictly-before prefix + own count
+    val cum = prefixBeforeMultiBy(counts, keyCols, "__v",
+        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+      .withColumn("__cuma", col("__cum_a") + col("__ca"))
+      .withColumn("__cumb", col("__cum_b") + col("__cb"))
+    def keyJoin(right: DataFrame, tag: String): Column =
+      keyCols.zipWithIndex.map { case (c, i) =>
+        col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    def renameKeys(d: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    val tot = renameKeys(counts.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")), "t")
+    val scored = cum.join(tot, keyJoin(tot, "t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
       .withColumn("__num",
         abs(col("__cuma").cast("decimal(38,0)") * col("__nb") -
           col("__cumb").cast("decimal(38,0)") * col("__na")))
-      .withColumn("__mx", max(col("__num")).over(wAll))
+    val mx = renameKeys(scored.groupBy(keys: _*)
+      .agg(max(col("__num")).as("__mx")), "m")
+    scored.join(mx, keyJoin(mx, "m"))
+      .drop(keyCols.indices.map(i => s"__m$i"): _*)
       .filter(col("__num") === col("__mx"))
       .groupBy(keys :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
       .agg(min(col("__v")).as("d_at"), max(col("__mx")).as("__m"))
@@ -1433,9 +1487,10 @@ object Analytics {
     * statistic). Same rank formulation
     * G = Σᵢ(2i − n − 1)vᵢ / (n·Σv) with average-rank tie handling and
     * exact decimal accumulation, but the distinct-value cumulative
-    * rides per-key PARTITIONED windows (the ksTestBy contract:
-    * per-slice distinct-value cardinality bounds each window partition;
-    * slices parallelize — no row sort, no single-task window anywhere).
+    * rides the KEYED distributed prefix ([[prefixBeforeMultiBy]]: a hot
+    * slice splits across range partitions instead of serializing
+    * through one window task — no row sort, no single-task window
+    * anywhere, at ANY per-slice cardinality).
     * Groups with zero value mass emit NULL gini. Output: key columns +
     * (n, gini). */
   def giniBy(df: DataFrame, keyCols: Seq[String], valueCol: String,
@@ -1445,11 +1500,10 @@ object Analytics {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(keys :+ col(valueCol).cast(s"decimal(18,$scale)").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).orderBy(col("__v").asc)
-      .rowsBetween(Long.MinValue, -1)
-    counts
-      .withColumn("__b", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+    // keyed distributed prefix: a hot group splits across range slices
+    // instead of serializing through one per-key window task
+    prefixBeforeBy(counts, keyCols, "__v", col("__c"))
+      .withColumnRenamed("__cum", "__b")
       .groupBy(keys: _*)
       .agg(sum(col("__c")).as("n"),
         sum(col("__v").cast(s"decimal(20,$scale)") *
