@@ -228,6 +228,90 @@ private[graft] object Batch45 {
              |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho
-             |FROM s ORDER BY l_returnflag""".stripMargin))
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // Per-event-type AUC of q218's weak score/label pair — the sliced
+    // filter evaluation (a quality score that ranks well pooled can
+    // rank poorly inside one slice). Integer rank sums with
+    // average-rank ties, per-slice cumulatives and the division all
+    // replayed with PARTITION BY event_type.
+    Q("q273_auc_roc_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("score", floor(col("value") / 10).cast("long"))
+        graft.functions.ML.aucRocBy(ev, Seq("event_type"), "score",
+          col("value") > 55).orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS score,
+             |    value > 55 AS lab
+             |  FROM events),
+             |c AS (SELECT event_type, score,
+             |    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             |    CAST(COUNT(*) AS BIGINT) AS tot
+             |  FROM s GROUP BY 1, 2),
+             |r AS (SELECT event_type, score, pos, tot,
+             |    COALESCE(SUM(tot) OVER (PARTITION BY event_type ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+             |  FROM c),
+             |a AS (SELECT event_type, CAST(SUM(pos) AS BIGINT) AS n_pos,
+             |    CAST(SUM(tot) - SUM(pos) AS BIGINT) AS n_neg,
+             |    SUM(CAST(pos AS DECIMAL(38,0)) * (2 * bef + tot + 1)) AS r2
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, n_pos, n_neg,
+             |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             |    CAST(r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
+             |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // Per-event-type PSI between a hash-split reference and a current
+    // half whose 'view' slice alone is shifted ×1.5 — the drift a
+    // pooled PSI dilutes and the sliced form isolates (the q264
+    // argument on the binned gauge). Fixed grid, Laplace smoothing,
+    // pinned double terms, exact decimal term sums — all replayed per
+    // slice over the (groups × bins) spine.
+    Q("q274_psi_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psiby") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value")))
+        graft.operators.Analytics.psiBy(ev, Seq("event_type"), "grp", "v",
+          "ref", "cur", lo = 0.0, hi = 400.0, bins = 20)
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    value
+             |  FROM events),
+             |v AS (SELECT event_type, grp,
+             |    CASE WHEN grp = 'cur' AND event_type = 'view' THEN value * 1.5
+             |      ELSE value END AS v FROM g),
+             |b AS (SELECT event_type, grp,
+             |    LEAST(GREATEST(CAST(TRUNC((v - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin
+             |  FROM v),
+             |c AS (SELECT event_type, bin,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM b GROUP BY 1, 2),
+             |spine AS (SELECT et.event_type, s.bin
+             |  FROM (SELECT DISTINCT event_type FROM c) et
+             |  CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) s),
+             |full0 AS (SELECT sp.event_type, sp.bin,
+             |    COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+             |  FROM spine sp LEFT JOIN c ON c.event_type = sp.event_type AND c.bin = sp.bin),
+             |t AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM full0 GROUP BY 1),
+             |terms AS (SELECT f.event_type, t.na, t.nb,
+             |    CAST(((CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 20 AS DOUBLE)
+             |         - CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 20 AS DOUBLE))
+             |      * ln((CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 20 AS DOUBLE))
+             |         / (CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 20 AS DOUBLE)))) AS DECIMAL(28,12)) AS term
+             |  FROM full0 f JOIN t ON f.event_type = t.event_type)
+             |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(SUM(term) AS DOUBLE) AS psi
+             |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin))
   )
 }

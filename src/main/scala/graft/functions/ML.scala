@@ -330,6 +330,41 @@ object ML {
       .drop("__r2")
   }
 
+  /** Per-GROUP exact AUC-ROC — [[aucRoc]] sliced by key columns (per
+    * language, per source: a quality filter that ranks well pooled can
+    * rank poorly inside one slice, and the pooled AUC hides it). Same
+    * integer rank-sum model with average-rank ties, but the
+    * distinct-score cumulative rides the KEYED distributed prefix
+    * ([[graft.operators.Analytics.prefixBeforeMultiBy]] — a hot slice's
+    * score set splits across range partitions instead of serializing
+    * through one window task) and the rank sums aggregate per group.
+    * Single-class slices emit NULL auc. Output: key columns +
+    * (n_pos, n_neg, auc). */
+  def aucRocBy(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+               label: org.apache.spark.sql.Column): DataFrame = {
+    require(keyCols.nonEmpty, "aucRocBy needs key columns; use aucRoc")
+    val keys = keyCols.map(col)
+    val counts = df
+      .groupBy(keys :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__pos"),
+        count(lit(1)).as("__tot"))
+    graft.operators.Analytics.prefixBeforeBy(counts, keyCols, "__s",
+        col("__tot"))
+      .withColumnRenamed("__cum", "__before")
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("__pos")).as("n_pos"),
+        (sum(col("__tot")) - sum(col("__pos"))).as("n_neg"),
+        sum(col("__pos").cast("decimal(38,0)") *
+          (lit(2) * col("__before") + col("__tot") + 1)).as("__r2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__r2") - col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1))
+            .cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+      .drop("__r2")
+  }
+
   /** Deterministic stratified k-fold assignment: within each stratum,
     * rows are ordered by (salted hash, key) — a stable pseudo-random
     * shuffle — and dealt round-robin, so fold sizes differ by AT MOST

@@ -831,6 +831,54 @@ object Analytics {
       .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("psi"))
   }
 
+  /** Per-GROUP PSI — [[psi]] sliced by key columns (per-language /
+    * per-source drift: a shift confined to one slice dilutes into
+    * noise in the pooled statistic — the ksTestBy argument, applied to
+    * the binned-PSI gauge). Same fixed grid, Laplace smoothing, pinned
+    * double terms and exact decimal(28,12) term sum, evaluated per
+    * group over a (groups × bins) spine — bounded by construction, the
+    * windowedPsi state-size argument in batch form. Per-group totals
+    * are a keys-sized aggregate joined back null-safe (a NULL group is
+    * its own slice). Output: key columns + (n_a, n_b, psi). */
+  def psiBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+            valueCol: String, groupA: String, groupB: String,
+            lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(keyCols.nonEmpty, "psiBy needs key columns; use psi")
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val keys = keyCols.map(col)
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ bin.as("bin"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    def renameKeys(d: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyCond(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val spine = counts.select(keys: _*).distinct()
+      .crossJoin(df.sparkSession.range(bins).select(col("id").as("bin")))
+    val cR = renameKeys(counts, "c").withColumnRenamed("bin", "__cbin")
+    val full = spine
+      .join(cR, keyCond("c") && col("bin") === col("__cbin"), "left")
+      .select(keys ++ Seq(col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb")): _*)
+    val tot = renameKeys(full.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")), "t")
+    val pa = (col("__ca") + 1).cast("double") /
+      (col("__na") + bins).cast("double")
+    val pb = (col("__cb") + 1).cast("double") /
+      (col("__nb") + bins).cast("double")
+    full.join(tot, keyCond("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+      .withColumn("__term", (pa - pb) * log(pa / pb))
+      .groupBy(keys :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("psi"))
+  }
+
   /** Pearson correlation matrix of p numeric columns in ONE pass — the
     * feature-exploration screen (multicollinearity, leakage hints)
     * before model fitting at corpus scale: n, the p column sums, and

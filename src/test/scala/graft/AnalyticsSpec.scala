@@ -975,6 +975,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("aucRocBy / psiBy: per-group == the global operator run per " +
+    "slice; single-class slice NULL auc; partition sweep") {
+    import spark.implicits._
+    val rows = Seq( // (slice, score, labelFlag, psi-group, value)
+      ("a", 1.0, false, "ref", 10.0), ("a", 2.0, false, "cur", 15.0),
+      ("a", 3.0, true, "ref", 20.0), ("a", 4.0, true, "cur", 90.0),
+      ("a", 2.0, true, "ref", 35.0), ("b", 5.0, true, "cur", 50.0),
+      ("b", 6.0, true, "ref", 55.0), ("b", 1.0, false, "cur", 70.0),
+      ("b", 2.0, false, "ref", 80.0), ("c", 9.0, true, "ref", 5.0),
+      ("c", 8.0, true, "cur", 95.0)) // c: single-class → NULL auc
+    val df = rows.toDF("k", "score", "lab", "grp", "v")
+    val ab = graft.functions.ML.aucRocBy(df, Seq("k"), "score", col("lab"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    val pb = Analytics.psiBy(df, Seq("k"), "grp", "v", "ref", "cur",
+        lo = 0.0, hi = 100.0, bins = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val slice = rows.filter(_._1 == g)
+        .map(t => (t._2, t._3, t._4, t._5)).toDF("score", "lab", "grp", "v")
+      val aw = graft.functions.ML.aucRoc(slice, "score", col("lab"))
+        .collect().head
+      assert(ab(g) == ((aw.getLong(0), aw.getLong(1), Option(aw.get(2)))),
+        s"aucRocBy $g: ${ab(g)} vs $aw")
+      val pw = Analytics.psi(slice, "grp", "v", "ref", "cur",
+        lo = 0.0, hi = 100.0, bins = 5).collect().head
+      assert(pb(g) == ((pw.getLong(0), pw.getLong(1), pw.getDouble(2))),
+        s"psiBy $g: ${pb(g)} vs $pw")
+    }
+    assert(ab("c")._3.isEmpty, "single-class slice must emit NULL auc")
+    partitionSweep { p =>
+      graft.functions.ML.aucRocBy(df.repartition(p), Seq("k"), "score",
+          col("lab")).collect().map(_.toSeq).toSeq.sortBy(_.head.toString) ++
+        Analytics.psiBy(df.repartition(p), Seq("k"), "grp", "v", "ref",
+          "cur", 0.0, 100.0, 5)
+          .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
