@@ -312,6 +312,57 @@ private[graft] object Batch45 {
              |  FROM full0 f JOIN t ON f.event_type = t.event_type)
              |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
              |  CAST(SUM(term) AS DOUBLE) AS psi
-             |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin))
+             |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)),
+
+    // Per-event-type Mann–Whitney U on q274's fixture — the sliced
+    // LOCATION test beside the sliced shape test (ksTestBy) and the
+    // sliced binned gauge (psiBy): the ×1.5 'view'-only shift shows as
+    // a large-|z| slice while the others sit near 0. Doubled rank-sums,
+    // tie correction, and the z chain replayed with PARTITION BY.
+    Q("q275_mann_whitney_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psiby") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value")))
+        graft.operators.Analytics.mannWhitneyUBy(ev, Seq("event_type"),
+          "grp", "v", "ref", "cur").orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, value
+             |  FROM events),
+             |vals AS (SELECT event_type, grp,
+             |    CASE WHEN grp = 'cur' AND event_type = 'view' THEN value * 1.5
+             |      ELSE value END AS v FROM g),
+             |c AS (SELECT event_type, v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM vals GROUP BY 1, 2),
+             |cum AS (SELECT event_type, v, ca, cb, ca + cb AS t,
+             |    COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |  FROM c),
+             |agg AS (SELECT event_type,
+             |    CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+             |    SUM(CAST(ca AS DECIMAL(38,0)) * (2 * before + t + 1)) AS r2a,
+             |    SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties
+             |  FROM cum GROUP BY 1),
+             |ua AS (SELECT event_type, n_a, n_b,
+             |    (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0 AS u_a,
+             |    CAST(ties AS DOUBLE) AS tiesd,
+             |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn
+             |  FROM agg)
+             |SELECT event_type, n_a, n_b, u_a,
+             |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND nn > 1 AND
+             |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * ((nn + 1) - tiesd / (nn * (nn - 1)))) > 0
+             |    THEN (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+             |      sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * ((nn + 1) - tiesd / (nn * (nn - 1))))
+             |  END AS z
+             |FROM ua ORDER BY event_type""".stripMargin))
   )
 }

@@ -119,8 +119,10 @@ object Aggregations {
     * ties in the value order can permute ROWS but never the selected
     * VALUE). One exchange + one in-partition sort; the per-key
     * sequential bound of the ranking window is the usual one — at scale
-    * the sketch path is the bounded-memory answer and this is the exact
-    * small-group/final-mile answer. */
+    * the sketch path is the bounded-memory answer, this is the exact
+    * small-group/final-mile answer, and [[quantilesContBy]] (keyed
+    * distributed prefix — no per-key row sort at ANY slice size) is the
+    * exact answer when a hot slice outgrows one task. */
   def quantileDisc(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
                    valueCol: String, q: Double,
                    outCol: String = "q_value"): org.apache.spark.sql.DataFrame = {

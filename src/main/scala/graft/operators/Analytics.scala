@@ -1124,6 +1124,56 @@ object Analytics {
       .select("n_a", "n_b", "u_a", "u_b", "z")
   }
 
+  /** Per-GROUP Mann–Whitney U — [[mannWhitneyU]] sliced by key columns:
+    * the rank-sum LOCATION test per slice, completing the sliced
+    * two-sample pair with [[ksTestBy]] (KS asks "did the shape change
+    * anywhere in this slice", MW-U asks "did the slice's location
+    * shift"). Same doubled rank-sums, tie correction Σ(t³−t), and
+    * pinned z chain, with the cumulative on the KEYED distributed
+    * prefix ([[prefixBeforeMultiBy]] — a hot slice splits across range
+    * partitions instead of serializing through one window task) and the
+    * four sufficient statistics aggregated per group. Slices missing a
+    * group or with n ≤ 1 emit NULL z. Output: key columns +
+    * (n_a, n_b, u_a, u_b, z). */
+  def mannWhitneyUBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                     valueCol: String, groupA: String, groupB: String)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "mannWhitneyUBy needs key columns; use mannWhitneyU")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val agg = prefixBeforeBy(counts, keyCols, "__v", col("__t"))
+      .withColumnRenamed("__cum", "__before")
+      .groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(dec(col("__ca")) *
+          (lit(2) * col("__before") + col("__t") + 1)).as("__r2a"),
+        sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+          dec(col("__t"))).as("__ties"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg
+      .withColumn("u_a",
+        (d(col("__r2a")) - d(col("n_a")) * (d(col("n_a")) + 1)) / 2.0)
+      .withColumn("u_b",
+        d(col("n_a")) * d(col("n_b")) - col("u_a"))
+      .withColumn("__nn", d(col("n_a")) + d(col("n_b")))
+      .withColumn("__var",
+        when(col("n_a") > 0 && col("n_b") > 0 && col("__nn") > 1,
+          d(col("n_a")) * d(col("n_b")) / 12.0 *
+            ((col("__nn") + 1) - d(col("__ties")) /
+              (col("__nn") * (col("__nn") - 1)))))
+      .withColumn("z",
+        when(col("__var") > 0,
+          (col("u_a") - d(col("n_a")) * d(col("n_b")) / 2.0) /
+            sqrt(col("__var"))))
+      .select(keys ++ Seq(col("n_a"), col("n_b"), col("u_a"), col("u_b"),
+        col("z")): _*)
+  }
+
   /** Laplace-noised group counts — the ε-differential-privacy RELEASE
     * mechanism (count sensitivity 1, noise Lap(1/ε) via the inverse
     * CDF): noisy = n − (1/ε)·sgn(u−½)·ln(1−2|u−½|) with

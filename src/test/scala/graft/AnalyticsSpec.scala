@@ -993,6 +993,8 @@ class AnalyticsSpec extends SparkSpec {
         lo = 0.0, hi = 100.0, bins = 5)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val mb = Analytics.mannWhitneyUBy(df, Seq("k"), "grp", "v", "ref", "cur")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
     for (g <- Seq("a", "b", "c")) {
       val slice = rows.filter(_._1 == g)
         .map(t => (t._2, t._3, t._4, t._5)).toDF("score", "lab", "grp", "v")
@@ -1004,6 +1006,9 @@ class AnalyticsSpec extends SparkSpec {
         lo = 0.0, hi = 100.0, bins = 5).collect().head
       assert(pb(g) == ((pw.getLong(0), pw.getLong(1), pw.getDouble(2))),
         s"psiBy $g: ${pb(g)} vs $pw")
+      val mw = Analytics.mannWhitneyU(slice, "grp", "v", "ref", "cur")
+        .collect().head
+      assert(mb(g) == mw.toSeq, s"mannWhitneyUBy $g: ${mb(g)} vs $mw")
     }
     assert(ab("c")._3.isEmpty, "single-class slice must emit NULL auc")
     partitionSweep { p =>
