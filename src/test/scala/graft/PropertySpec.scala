@@ -713,4 +713,35 @@ class PropertySpec extends SparkSpec {
       Prop(got == expect) :| s"got=$got expect=$expect parts=$parts"
     }, minTests = 25)
   }
+
+  test("prefixBeforeBy == per-group sorted-scan model on random " +
+    "(group, key, weight) triples incl. a NULL group, across " +
+    "partitionings (the By-family rank engine: compound range slices, " +
+    "per-(pid, group) offsets)") {
+    // random groups (incl. null), per-group-distinct keys, random
+    // weights — the keyed form must reproduce, per group, exactly the
+    // global model run on that group's rows
+    val entries: Gen[List[(Option[String], Double, Long)]] = for {
+      n <- Gen.choose(1, 50)
+      gs <- Gen.listOfN(n, Gen.oneOf(Some("a"), Some("b"), Some("c"),
+        Some("hot"), None))
+      ks <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+      ws <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield gs.lazyZip(ks).lazyZip(ws).toList
+      .map { case (g, k, w) => (g, k / 7.0, w) }
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toList // distinct (g, k)
+    check(forAll(entries, Gen.choose(1, 6)) { (rows, parts) =>
+      val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val cums = sorted.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+        sorted.map(_._2).zip(cums).map { case (k, c) => (g, k) -> c }
+      }
+      val df = rows.toDF("g", "k", "w").repartition(parts)
+      val got = graft.operators.Analytics
+        .prefixBeforeBy(df, Seq("g"), "k", col("w"))
+        .collect().map(r => (Option(r.getString(0)), r.getDouble(1)) ->
+          r.getAs[Long]("__cum")).toMap
+      Prop(got == expect) :| s"got=$got expect=$expect parts=$parts"
+    }, minTests = 25)
+  }
 }
