@@ -363,6 +363,78 @@ private[graft] object Batch45 {
              |    THEN (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
              |      sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * ((nn + 1) - tiesd / (nn * (nn - 1))))
              |  END AS z
-             |FROM ua ORDER BY event_type""".stripMargin))
+             |FROM ua ORDER BY event_type""".stripMargin)),
+
+    // Per-year Cramér's V between order status and priority — the
+    // bounded effect size per slice, comparable ACROSS slices of
+    // different sizes (raw χ² is not; association drift over time is
+    // the ask). q228's zero-cell-free identity with the key threaded
+    // through counts, marginals, totals, and the pinned χ²/V chain.
+    Q("q276_cramers_v_by",
+      (s, dir) => graft.operators.Analytics.cramersVBy(
+          Tables.orders(s, dir)
+            .withColumn("yr", year(col("o_orderdate")).cast("long")),
+          Seq("yr"), "o_orderstatus", "o_orderpriority")
+        .orderBy("yr"),
+      Some("""WITH p AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS k,
+             |    o_orderstatus AS x, o_orderpriority AS y,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1, 2, 3),
+             |mx AS (SELECT k, x, CAST(SUM(c) AS BIGINT) AS cx FROM p GROUP BY 1, 2),
+             |my AS (SELECT k, y, CAST(SUM(c) AS BIGINT) AS cy FROM p GROUP BY 1, 2),
+             |tot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(COUNT(DISTINCT x) AS BIGINT) AS rx,
+             |    CAST(COUNT(DISTINCT y) AS BIGINT) AS ry FROM p GROUP BY 1),
+             |s AS (SELECT p.k, SUM(p.c) AS n2, tot.rx, tot.ry,
+             |    SUM(CAST(CAST(p.c AS DOUBLE) * CAST(p.c AS DOUBLE) /
+             |      (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)) AS DECIMAL(28,12))) AS ssum
+             |  FROM p JOIN mx ON p.k = mx.k AND p.x = mx.x
+             |    JOIN my ON p.k = my.k AND p.y = my.y
+             |    JOIN tot ON p.k = tot.k
+             |  GROUP BY p.k, tot.rx, tot.ry)
+             |SELECT k AS yr, CAST(n2 AS BIGINT) AS n, rx AS r_x, ry AS r_y,
+             |  GREATEST(CAST(n2 AS DOUBLE) * CAST(ssum AS DOUBLE) - CAST(n2 AS DOUBLE), 0.0) AS chi2,
+             |  CASE WHEN LEAST(rx, ry) > 1 THEN
+             |    sqrt(GREATEST(CAST(n2 AS DOUBLE) * CAST(ssum AS DOUBLE) - CAST(n2 AS DOUBLE), 0.0)
+             |      / (CAST(n2 AS DOUBLE) * CAST(LEAST(rx, ry) - 1 AS DOUBLE))) END AS v
+             |FROM s ORDER BY yr""".stripMargin)),
+
+    // Per-language Theil's U between source and length bucket — the
+    // direction-aware association per slice (which side predicts which,
+    // inside each language). q227's pair/marginal/entropy machinery
+    // with the key threaded; both entropies and the two U ratios
+    // replayed per slice.
+    Q("q277_theils_u_by",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("lang"), col("source"),
+          floor(col("n_chars") / 100).cast("long").as("lenb"))
+        graft.operators.Analytics.theilsUBy(d, Seq("lang"), "source", "lenb")
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang AS k, source AS x,
+             |    CAST(FLOOR(n_chars / 100) AS BIGINT) AS y FROM documents),
+             |p AS (SELECT k, x, y, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3),
+             |mx AS (SELECT k, x, CAST(SUM(c) AS BIGINT) AS cx FROM p GROUP BY 1, 2),
+             |my AS (SELECT k, y, CAST(SUM(c) AS BIGINT) AS cy FROM p GROUP BY 1, 2),
+             |n AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n FROM p GROUP BY 1),
+             |mi AS (SELECT p.k, CAST(SUM(p.c) AS BIGINT) AS nn, CAST(SUM(CAST(
+             |    (CAST(p.c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+             |    ln(CAST(n.n AS DOUBLE) * CAST(p.c AS DOUBLE) / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)))
+             |  AS DECIMAL(28,12))) AS DOUBLE) AS mi
+             |  FROM p JOIN mx ON p.k = mx.k AND p.x = mx.x
+             |    JOIN my ON p.k = my.k AND p.y = my.y
+             |    JOIN n ON p.k = n.k
+             |  GROUP BY p.k),
+             |hx AS (SELECT mx.k, CAST(-SUM(CAST((CAST(cx AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+             |    ln(CAST(cx AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h_x
+             |  FROM mx JOIN n ON mx.k = n.k GROUP BY mx.k),
+             |hy AS (SELECT my.k, CAST(-SUM(CAST((CAST(cy AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+             |    ln(CAST(cy AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h_y
+             |  FROM my JOIN n ON my.k = n.k GROUP BY my.k)
+             |SELECT mi.k AS lang, nn AS n, mi, h_x, h_y,
+             |  CASE WHEN h_x > 0 THEN mi / h_x END AS u_x_given_y,
+             |  CASE WHEN h_y > 0 THEN mi / h_y END AS u_y_given_x
+             |FROM mi JOIN hx ON mi.k = hx.k JOIN hy ON mi.k = hy.k
+             |ORDER BY lang""".stripMargin))
   )
 }

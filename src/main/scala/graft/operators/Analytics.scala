@@ -995,6 +995,126 @@ object Analytics {
       })
   }
 
+  /** Key-columns rename/join helpers for the By-family's null-safe
+    * self-joins (marginals, totals, argmaxes joined back per group). */
+  private def renKeys(d: DataFrame, keyCols: Seq[String],
+      tag: String): DataFrame =
+    keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+      acc.withColumnRenamed(c, s"__$tag$i") }
+  private def keyEq(keyCols: Seq[String], tag: String): Column =
+    keyCols.zipWithIndex.map { case (c, i) =>
+      col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+  private def dropTag(d: DataFrame, keyCols: Seq[String],
+      tag: String): DataFrame =
+    d.drop(keyCols.indices.map(i => s"__$tag$i"): _*)
+
+  /** Per-GROUP mutual information / NMI — [[mutualInformation]] sliced
+    * by key columns (does language still predict the length profile
+    * WITHIN each source, or was the pooled dependence a mixture
+    * artifact). Same distinct-bounded plan per slice: pair counts and
+    * marginals carry the keys, per-group totals are keys-sized
+    * aggregates joined back null-safe, and mi/h_x/h_y accumulate as
+    * exact decimal term sums per group. Output: key columns +
+    * (n, mi, h_x, h_y, nmi). */
+  def mutualInformationBy(df: DataFrame, keyCols: Seq[String],
+                          xCol: String, yCol: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "mutualInformationBy needs key columns; use mutualInformation")
+    val keys = keyCols.map(col)
+    val pairs = df
+      .groupBy(keys ++ Seq(col(xCol).as("__x"), col(yCol).as("__y")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val mx0 = pairs.groupBy(keys :+ col("__x").as("__kx"): _*)
+      .agg(sum("__c").as("__cx"))
+    val my0 = pairs.groupBy(keys :+ col("__y").as("__ky"): _*)
+      .agg(sum("__c").as("__cy"))
+    val tot = renKeys(pairs.groupBy(keys: _*)
+      .agg(sum(col("__c")).as("__n")), keyCols, "t")
+    def withN(d: DataFrame): DataFrame =
+      dropTag(d.join(tot, keyEq(keyCols, "t")), keyCols, "t")
+    def d(c: Column) = c.cast("double")
+    def entropyBy(m: DataFrame, cnt: String, out: String,
+        tag: String): DataFrame =
+      renKeys(withN(m).groupBy(keys: _*)
+        .agg((-sum(((d(col(cnt)) / d(col("__n"))) *
+          log(d(col(cnt)) / d(col("__n")))).cast("decimal(28,12)")))
+          .cast("double").as(out)), keyCols, tag)
+    val mi = withN(pairs
+        .join(renKeys(mx0, keyCols, "x"),
+          keyEq(keyCols, "x") && col("__x") <=> col("__kx"))
+        .join(renKeys(my0, keyCols, "y"),
+          keyEq(keyCols, "y") && col("__y") <=> col("__ky")))
+      .groupBy(keys: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(((d(col("__c")) / d(col("__n"))) *
+          log(d(col("__n")) * d(col("__c")) /
+            (d(col("__cx")) * d(col("__cy")))))
+          .cast("decimal(28,12)")).cast("double").as("mi"))
+    dropTag(dropTag(mi
+        .join(entropyBy(mx0, "__cx", "h_x", "hx"), keyEq(keyCols, "hx"))
+        .join(entropyBy(my0, "__cy", "h_y", "hy"), keyEq(keyCols, "hy")),
+      keyCols, "hx"), keyCols, "hy")
+      .withColumn("nmi",
+        when(col("h_x") > 0 && col("h_y") > 0,
+          col("mi") / sqrt(col("h_x") * col("h_y"))))
+      .select(keys ++ Seq(col("n"), col("mi"), col("h_x"), col("h_y"),
+        col("nmi")): _*)
+  }
+
+  /** Per-GROUP Theil's U — [[theilsU]] sliced by key columns: the
+    * direction-aware association report per slice. Output: key columns
+    * + (n, mi, h_x, h_y, u_x_given_y, u_y_given_x). */
+  def theilsUBy(df: DataFrame, keyCols: Seq[String], xCol: String,
+                yCol: String): DataFrame =
+    mutualInformationBy(df, keyCols, xCol, yCol)
+      .select(keyCols.map(col) ++ Seq(col("n"), col("mi"), col("h_x"),
+        col("h_y"),
+        when(col("h_x") > 0, col("mi") / col("h_x")).as("u_x_given_y"),
+        when(col("h_y") > 0, col("mi") / col("h_y")).as("u_y_given_x")): _*)
+
+  /** Per-GROUP Cramér's V — [[cramersV]] sliced by key columns: the
+    * bounded effect size per slice (association strength comparable
+    * ACROSS slices of different sizes, which raw χ² is not). Same
+    * zero-cell-free identity per group; r and k ride the per-group
+    * totals. 1×m slices give NULL v. Output: key columns +
+    * (n, r_x, r_y, chi2, v). */
+  def cramersVBy(df: DataFrame, keyCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cramersVBy needs key columns; use cramersV")
+    val keys = keyCols.map(col)
+    val pairs = df
+      .groupBy(keys ++ Seq(col(xCol).as("__x"), col(yCol).as("__y")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val mx = renKeys(pairs.groupBy(keys :+ col("__x").as("__kx"): _*)
+      .agg(sum("__c").as("__cx")), keyCols, "x")
+    val my = renKeys(pairs.groupBy(keys :+ col("__y").as("__ky"): _*)
+      .agg(sum("__c").as("__cy")), keyCols, "y")
+    val tot = renKeys(pairs.groupBy(keys: _*)
+      .agg(sum(col("__c")).as("__n"),
+        countDistinct(col("__x")).as("__rx"),
+        countDistinct(col("__y")).as("__ry")), keyCols, "t")
+    def d(c: Column) = c.cast("double")
+    pairs
+      .join(mx, keyEq(keyCols, "x") && col("__x") <=> col("__kx"))
+      .join(my, keyEq(keyCols, "y") && col("__y") <=> col("__ky"))
+      .join(tot, keyEq(keyCols, "t"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__c")).as("n"),
+        first(col("__rx")).as("r_x"), first(col("__ry")).as("r_y"),
+        sum((d(col("__c")) * d(col("__c")) /
+          (d(col("__cx")) * d(col("__cy"))))
+          .cast("decimal(28,12)")).as("__s"))
+      .withColumn("chi2",
+        greatest(col("n").cast("double") * col("__s").cast("double") -
+          col("n").cast("double"), lit(0.0)))
+      .withColumn("v",
+        when(least(col("r_x"), col("r_y")) > 1,
+          sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("r_x"), col("r_y")) - 1).cast("double")))))
+      .select(keys ++ Seq(col("n"), col("r_x"), col("r_y"), col("chi2"),
+        col("v")): _*)
+  }
+
   /** Mutual information between two CATEGORICAL columns — the
     * dependence signal feature selection and leakage checks run at
     * corpus scale: I(X;Y) = Σ_xy (c_xy/n)·ln(n·c_xy/(c_x·c_y)) over

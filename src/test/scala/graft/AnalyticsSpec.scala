@@ -975,6 +975,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cramersVBy / theilsUBy: per-group == the global operator run " +
+    "per slice; 1xm slice NULL v; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "x1", "y1"), ("a", "x1", "y2"), ("a", "x2", "y1"),
+      ("a", "x2", "y2"), ("a", "x2", "y2"), ("b", "x1", "y1"),
+      ("b", "x2", "y2"), ("b", "x2", "y1"), ("c", "x1", "y1"),
+      ("c", "x1", "y2")) // c: 1×2 table → NULL v
+    val df = rows.toDF("k", "x", "y")
+    val cb = Analytics.cramersVBy(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val tb = Analytics.theilsUBy(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val slice = rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("x", "y")
+      val cw = Analytics.cramersV(slice, "x", "y").collect().head
+      assert(cb(g) == cw.toSeq, s"cramersVBy $g: ${cb(g)} vs $cw")
+      val tw = Analytics.theilsU(slice, "x", "y").collect().head
+      assert(tb(g) == tw.toSeq, s"theilsUBy $g: ${tb(g)} vs $tw")
+    }
+    assert(cb("c").last == null, "1xm slice must emit NULL v")
+    partitionSweep { p =>
+      Analytics.cramersVBy(df.repartition(p), Seq("k"), "x", "y")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString) ++
+        Analytics.theilsUBy(df.repartition(p), Seq("k"), "x", "y")
+          .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("aucRocBy / psiBy: per-group == the global operator run per " +
     "slice; single-class slice NULL auc; partition sweep") {
     import spark.implicits._
