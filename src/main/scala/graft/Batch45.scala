@@ -435,6 +435,90 @@ private[graft] object Batch45 {
              |  CASE WHEN h_x > 0 THEN mi / h_x END AS u_x_given_y,
              |  CASE WHEN h_y > 0 THEN mi / h_y END AS u_y_given_x
              |FROM mi JOIN hx ON mi.k = hx.k JOIN hy ON mi.k = hy.k
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // STREAMING per-slice PSI under the full exact oracle — psiBy
+    // (q274) as a live gauge, the q232 MemoryStream discipline: daily
+    // windows of the 'cur' split scored per event_type against each
+    // type's OWN reference histogram (the 'ref' split), with only the
+    // 'view' slice shifted ×1.5. Every per-type reference count, each
+    // window-slice's mergeable HistAgg bins, the Laplace terms, and the
+    // exact decimal sums are ALL replayed — streaming execution must
+    // land bit-identical to the batch formula per (window, slice), and
+    // the shifted slice's psi must stand out exactly as in q274.
+    Q("q278_stream_psi_by",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.functions.{Sampling, Sketches}
+        val g = Tables.events(s, dir)
+          .withColumn("grp",
+            when(Sampling.hashU32(col("event_id"), "psiby2") < 2147483648L,
+              "ref").otherwise("cur"))
+        val refCounts = g.filter(col("grp") === "ref")
+          .groupBy(col("event_type"))
+          .agg(Sketches.histCol(0.0, 400.0, 20)(col("value")).as("h"))
+          .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+          .toMap
+        val cur = g.filter(col("grp") === "cur")
+          .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+            when(col("event_type") === "view", col("value") * 1.5)
+              .otherwise(col("value")).as("value"))
+        val rows = cur.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        val dayUs = 86400L * 1000000L
+        val flush = ((rows.map(_._1).max / dayUs + 4) * dayUs + 1L,
+          "view", 0.0)
+        val ms = MemoryStream[(Long, String, Double)](s)
+        val out = graft.streaming.Streams.windowedPsiBy(
+          ms.toDS().toDF("ts_us", "event_type", "value"), "event_type",
+          refCounts, lo = 0.0, hi = 400.0, watermark = "0 seconds",
+          window_ = "1 day")
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q278_sink").start()
+        try {
+          ms.addData(rows.toSeq); q.processAllAvailable()
+          ms.addData(flush); q.processAllAvailable()
+        } finally q.stop()
+        val maxBucket = rows.map(r => r._1 / dayUs * dayUs).max
+        s.table("q278_sink").filter(col("bucket_us") <= maxBucket)
+          .orderBy("bucket_us", "event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby2' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, value, ts
+             |  FROM events),
+             |refb AS (SELECT event_type,
+             |    LEAST(GREATEST(CAST(TRUNC((value - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin
+             |  FROM g WHERE grp = 'ref'),
+             |spine AS (SELECT et.event_type, s.bin
+             |  FROM (SELECT DISTINCT event_type FROM g) et
+             |  CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) s),
+             |rc AS (SELECT sp.event_type, sp.bin, COALESCE(r.c, 0) AS rc FROM spine sp
+             |  LEFT JOIN (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+             |    FROM refb GROUP BY 1, 2) r
+             |    ON r.event_type = sp.event_type AND r.bin = sp.bin),
+             |nr AS (SELECT event_type, SUM(rc) AS nr FROM rc GROUP BY 1),
+             |cur AS (SELECT event_type, (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+             |    LEAST(GREATEST(CAST(TRUNC(((CASE WHEN event_type = 'view' THEN value * 1.5 ELSE value END) - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin
+             |  FROM g WHERE grp = 'cur'),
+             |cb AS (SELECT event_type, bucket_us, bin, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM cur GROUP BY 1, 2, 3),
+             |nw AS (SELECT event_type, bucket_us, SUM(c) AS n FROM cb GROUP BY 1, 2),
+             |full0 AS (SELECT nw.event_type, nw.bucket_us, nw.n, s.bin, COALESCE(cb.c, 0) AS c
+             |  FROM nw JOIN spine s ON s.event_type = nw.event_type
+             |  LEFT JOIN cb ON cb.event_type = nw.event_type
+             |    AND cb.bucket_us = nw.bucket_us AND cb.bin = s.bin),
+             |terms AS (SELECT f.event_type, f.bucket_us, f.n,
+             |    CAST(((CAST(f.c + 1 AS DOUBLE) / CAST(f.n + 20 AS DOUBLE)
+             |         - CAST(rc.rc + 1 AS DOUBLE) / CAST(nr.nr + 20 AS DOUBLE))
+             |      * ln((CAST(f.c + 1 AS DOUBLE) / CAST(f.n + 20 AS DOUBLE))
+             |         / (CAST(rc.rc + 1 AS DOUBLE) / CAST(nr.nr + 20 AS DOUBLE)))) AS DECIMAL(28,12)) AS term
+             |  FROM full0 f
+             |  JOIN rc ON rc.event_type = f.event_type AND rc.bin = f.bin
+             |  JOIN nr ON nr.event_type = f.event_type)
+             |SELECT CAST(bucket_us AS BIGINT) AS bucket_us, event_type, CAST(n AS BIGINT) AS n,
+             |  CAST(SUM(term) AS DOUBLE) AS psi
+             |FROM terms GROUP BY 1, 2, 3 ORDER BY bucket_us, event_type""".stripMargin))
   )
 }

@@ -289,6 +289,57 @@ object Streams {
       col("n"), psiSum.cast("double").as("psi"))
   }
 
+  /** Per-SLICE streaming PSI — [[windowedPsi]] with the key column in
+    * the window aggregate (the [[graft.operators.Analytics.psiBy]]
+    * batch operator as a live gauge): one PSI row per
+    * (event-time window × key), each slice scored against ITS OWN
+    * broadcast reference histogram. A shift confined to one slice
+    * (one language, one source) dilutes into noise in the pooled
+    * monitor — the sliced form isolates it, live. The reference map is
+    * a plan literal (slice → per-bin counts, all sharing the grid);
+    * slices missing from it emit NULL psi (alert on null — an unknown
+    * slice appearing mid-stream is itself drift). Same pinned
+    * term/decimal-sum discipline as windowedPsi, so the gate is EXACT;
+    * state is bins+1 longs per OPEN (window × slice) — bounded by the
+    * slice cardinality, the windowedPsi state argument per slice. */
+  def windowedPsiBy(events: DataFrame, keyCol: String,
+                    refCounts: Map[String, Seq[Long]],
+                    lo: Double, hi: Double,
+                    watermark: String = "0 seconds",
+                    window_ : String = "1 hour"): DataFrame = {
+    import graft.functions.Sketches
+    require(refCounts.nonEmpty, "need at least one slice reference")
+    val bins = refCounts.head._2.length
+    require(bins >= 1 && hi > lo, "need >= 1 reference bin and hi > lo")
+    require(refCounts.values.forall(_.length == bins),
+      "all slice references must share the bin grid")
+    require(refCounts.values.forall(_.forall(_ >= 0)),
+      "negative reference count")
+    val refKeys = refCounts.keys.toSeq.sorted // deterministic literal order
+    val refMap = map(refKeys.flatMap { k =>
+      Seq(lit(k), array(refCounts(k).map(lit(_)): _*)) }: _*)
+    val nrMap = map(refKeys.flatMap { k =>
+      Seq(lit(k), lit(refCounts(k).sum)) }: _*)
+    val base = events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        Sketches.histCol(lo, hi, bins)(col("value")).as("counts"))
+      .withColumn("__ref", element_at(refMap, col(keyCol)))
+      .withColumn("__nr", element_at(nrMap, col(keyCol)))
+    val terms = (0 until bins).map { i =>
+      val pb = (element_at(col("counts"), i + 1) + 1).cast("double") /
+        (col("n") + bins).cast("double")
+      val pa = (element_at(col("__ref"), i + 1) + 1).cast("double") /
+        (col("__nr") + bins).cast("double")
+      ((pb - pa) * log(pb / pa)).cast("decimal(28,12)")
+    }
+    val psiSum = terms.reduce((a, b) => (a + b).cast("decimal(28,12)"))
+    base.select(unix_micros(col("window.start")).as("bucket_us"),
+      col(keyCol), col("n"), psiSum.cast("double").as("psi"))
+  }
+
   /** [[windowedPsi]] with a LIVE reference refresh — closes the "refresh
     * by restarting" caveat: the input stream carries ordinary data rows
     * (`ref` null) and rare CONTROL rows (`ref` = the new per-bin
