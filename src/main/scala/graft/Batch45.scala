@@ -519,6 +519,70 @@ private[graft] object Batch45 {
              |  JOIN nr ON nr.event_type = f.event_type)
              |SELECT CAST(bucket_us AS BIGINT) AS bucket_us, event_type, CAST(n AS BIGINT) AS n,
              |  CAST(SUM(term) AS DOUBLE) AS psi
-             |FROM terms GROUP BY 1, 2, 3 ORDER BY bucket_us, event_type""".stripMargin))
+             |FROM terms GROUP BY 1, 2, 3 ORDER BY bucket_us, event_type""".stripMargin)),
+
+    // Exact average precision (step PR-AUC) of q218's weak score/label
+    // pair — the imbalance-honest companion of ROC-AUC: every term is
+    // Delta-recall x precision at a distinct-score threshold, suffix
+    // TP/FP from exact integer prefixes (no sort), decimal term sum.
+    // Counts, prefixes, every term, and the sum replayed.
+    Q("q279_avg_precision",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("score", floor(col("value") / 10).cast("long"))
+        graft.functions.ML.avgPrecision(ev, "score", col("value") > 55)
+      },
+      Some("""WITH sc AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS score, value > 55 AS lab
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT score,
+             |    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             |    CAST(COUNT(*) AS BIGINT) AS tot
+             |  FROM sc GROUP BY 1),
+             |cum AS (SELECT score, pos, tot,
+             |    COALESCE(SUM(pos) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp,
+             |    COALESCE(SUM(tot) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bt,
+             |    SUM(pos) OVER () AS np, SUM(tot) OVER () AS nt
+             |  FROM c),
+             |t AS (SELECT np, nt,
+             |    CAST((CAST(pos AS DOUBLE) / CAST(np AS DOUBLE)) *
+             |      (CAST(np - bp AS DOUBLE) / CAST(nt - bt AS DOUBLE)) AS DECIMAL(28,12)) AS term
+             |  FROM cum)
+             |SELECT CAST(MAX(np) AS BIGINT) AS n_pos,
+             |  CAST(MAX(nt) - MAX(np) AS BIGINT) AS n_neg,
+             |  CASE WHEN MAX(np) > 0 THEN CAST(SUM(term) AS DOUBLE) END AS ap
+             |FROM t""".stripMargin)),
+
+    // Per-event-type average precision — the sliced PR-AUC: exactly
+    // where class balance differs between slices, the pooled AP is
+    // dominated by the majority slice. Keyed prefixes; everything
+    // replayed with PARTITION BY.
+    Q("q280_avg_precision_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("score", floor(col("value") / 10).cast("long"))
+        graft.functions.ML.avgPrecisionBy(ev, Seq("event_type"), "score",
+          col("value") > 55).orderBy("event_type")
+      },
+      Some("""WITH sc AS (SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS score,
+             |    value > 55 AS lab FROM events),
+             |c AS (SELECT event_type, score,
+             |    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             |    CAST(COUNT(*) AS BIGINT) AS tot
+             |  FROM sc GROUP BY 1, 2),
+             |cum AS (SELECT event_type, score, pos, tot,
+             |    COALESCE(SUM(pos) OVER (PARTITION BY event_type ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp,
+             |    COALESCE(SUM(tot) OVER (PARTITION BY event_type ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bt,
+             |    SUM(pos) OVER (PARTITION BY event_type) AS np,
+             |    SUM(tot) OVER (PARTITION BY event_type) AS nt
+             |  FROM c),
+             |t AS (SELECT event_type, np, nt,
+             |    CAST((CAST(pos AS DOUBLE) / CAST(np AS DOUBLE)) *
+             |      (CAST(np - bp AS DOUBLE) / CAST(nt - bt AS DOUBLE)) AS DECIMAL(28,12)) AS term
+             |  FROM cum)
+             |SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pos,
+             |  CAST(MAX(nt) - MAX(np) AS BIGINT) AS n_neg,
+             |  CASE WHEN MAX(np) > 0 THEN CAST(SUM(term) AS DOUBLE) END AS ap
+             |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

@@ -365,6 +365,80 @@ object ML {
       .drop("__r2")
   }
 
+  /** Exact average precision (area under the precision–recall curve,
+    * step form) — [[aucRoc]]'s companion for IMBALANCED labels, where
+    * ROC-AUC flatters (a filter keeping 0.1% positives can score 0.99
+    * ROC-AUC while its precision is garbage). The threshold set is the
+    * distinct scores descending; at threshold s, TP(s)/FP(s) are
+    * suffix sums of the per-score label counts, and
+    *   AP = Σ_s (ΔRecall_s)·Precision_s
+    *      = Σ_s (pos_s / n_pos) · (TP(s) / (TP(s) + FP(s)))
+    * — every term a pinned double over EXACT integer suffix counts
+    * (suffix = total − strictly-before prefix, so the same
+    * [[graft.operators.Analytics.prefixBefore]] machinery serves: no
+    * sort, distinct-score-bounded at any cardinality), summed as exact
+    * decimal(28,12). Matches the standard step-interpolation AP
+    * (sklearn's average_precision_score) including tie handling: tied
+    * scores form ONE threshold. Zero-positive inputs give NULL ap.
+    * Output: one row (n_pos, n_neg, ap). */
+  def avgPrecision(df: DataFrame, scoreCol: String,
+                   label: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__pos"),
+        count(lit(1)).as("__tot"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    graft.operators.Analytics.prefixBeforeMulti(counts, "__s",
+        Seq("p" -> col("__pos"), "t" -> col("__tot")))
+      .crossJoin(broadcast(counts.agg(sum(col("__pos")).as("__np"),
+        sum(col("__tot")).as("__nt"))))
+      .withColumn("__term", when(col("__np") > 0, // ANSI: no 0/0
+        ((d(col("__pos")) / d(col("__np"))) *
+          (d(col("__np") - col("__cum_p")) /
+            d(col("__nt") - col("__cum_t")))).cast("decimal(28,12)")))
+      .agg(max(col("__np")).as("n_pos"),
+        (max(col("__nt")) - max(col("__np"))).as("n_neg"),
+        sum(col("__term")).cast("double").as("__ap"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0, col("__ap")).as("ap"))
+  }
+
+  /** Per-GROUP [[avgPrecision]] — the sliced PR-AUC (per-language
+    * filter precision: exactly where class balance differs BETWEEN
+    * slices, the pooled AP is dominated by the majority slice). Keyed
+    * distributed prefix + keys-sized totals joined back null-safe.
+    * Output: key columns + (n_pos, n_neg, ap). */
+  def avgPrecisionBy(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+                     label: org.apache.spark.sql.Column): DataFrame = {
+    require(keyCols.nonEmpty, "avgPrecisionBy needs key columns; use avgPrecision")
+    val keys = keyCols.map(col)
+    val counts = df
+      .groupBy(keys :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__pos"),
+        count(lit(1)).as("__tot"))
+    val tot = counts.groupBy(keys: _*)
+      .agg(sum(col("__pos")).as("__np"), sum(col("__tot")).as("__nt"))
+    val totR = keyCols.zipWithIndex.foldLeft(tot) { case (acc, (c, i)) =>
+      acc.withColumnRenamed(c, s"__tk$i") }
+    val cond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__tk$i") }.reduce(_ && _)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    graft.operators.Analytics.prefixBeforeMultiBy(counts, keyCols, "__s",
+        Seq("p" -> col("__pos"), "t" -> col("__tot")))
+      .join(totR, cond)
+      .drop(keyCols.indices.map(i => s"__tk$i"): _*)
+      .withColumn("__term", when(col("__np") > 0, // ANSI: no 0/0
+        ((d(col("__pos")) / d(col("__np"))) *
+          (d(col("__np") - col("__cum_p")) /
+            d(col("__nt") - col("__cum_t")))).cast("decimal(28,12)")))
+      .groupBy(keys: _*)
+      .agg(max(col("__np")).as("n_pos"),
+        (max(col("__nt")) - max(col("__np"))).as("n_neg"),
+        sum(col("__term")).cast("double").as("__ap"))
+      .select(keys ++ Seq(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0, col("__ap")).as("ap")): _*)
+  }
+
   /** Deterministic stratified k-fold assignment: within each stratum,
     * rows are ordered by (salted hash, key) — a stable pseudo-random
     * shuffle — and dealt round-robin, so fold sizes differ by AT MOST

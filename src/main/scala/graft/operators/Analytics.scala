@@ -639,6 +639,202 @@ object Analytics {
       .drop("__m")
   }
 
+  /** Exact two-sample 1-D Wasserstein-1 distance (earth mover's
+    * distance) — [[ksTest]]'s INTEGRAL companion: KS is
+    * sup|F_a − F_b|, W1 is ∫|F_a − F_b| dx, so a drift that moves a
+    * little mass a LONG way (heavy-tail stretch) scores high on W1
+    * while barely denting the sup, and vice versa for a sharp local
+    * shift. Both empirical CDFs are step functions changing only at
+    * the distinct pooled values, so
+    *   W1 = Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)
+    * over consecutive distinct values — distinct-value-bounded like
+    * the rest of the family. The inclusive dual cumulatives AND a
+    * dense 0-based value index ride ONE [[prefixBeforeMulti]] pass
+    * (the index is the same prefix with weight 1); the "next value"
+    * is an equi-JOIN on index+1 — no single-task lead window, the
+    * join shuffles on an integer key. |F_a − F_b| is an exact integer
+    * cross-product over decimal(38,0); each gap term is a pinned
+    * double summed as exact decimal(28,12) (order-independent).
+    * Either group empty → NULL w1 (undefined, not zero); one distinct
+    * value → 0. Output: one row (n_a, n_b, w1), w1 in value units. */
+  def wasserstein1(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val cum = prefixBeforeMulti(counts, "__v",
+        Seq("a" -> col("__ca"), "b" -> col("__cb"), "i" -> lit(1L)))
+      .withColumn("__cuma", col("__cum_a") + col("__ca"))
+      .withColumn("__cumb", col("__cum_b") + col("__cb"))
+    val nxt = cum.select(col("__cum_i").as("__pidx"), col("__v").as("__nv"))
+    val tot = counts.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val sums = cum.join(nxt, col("__cum_i") + 1 === col("__pidx"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", when(col("__na") > 0 && col("__nb") > 0,
+        ((abs(col("__cuma").cast("decimal(38,0)") * col("__nb") -
+            col("__cumb").cast("decimal(38,0)") * col("__na"))
+          .cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double"))) *
+          (col("__nv").cast("double") - col("__v").cast("double")))
+          .cast("decimal(28,12)")))
+      .agg(sum(col("__term")).as("__s"))
+    tot.crossJoin(broadcast(sums))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          coalesce(col("__s"), lit(0).cast("decimal(28,12)"))
+            .cast("double")).as("w1"))
+  }
+
+  /** Per-GROUP [[wasserstein1]] — the sliced integral drift (per
+    * language, per source, per day), where a tail stretch hiding in
+    * one slice is invisible to the pooled statistic. Keyed distributed
+    * prefix ([[prefixBeforeMultiBy]]), next-value equi-join on
+    * (keys, index+1) null-safe, keys-sized totals as the output spine
+    * (a single-distinct-value group has ZERO gap terms but must still
+    * emit w1 = 0, so the per-group term sums LEFT-join the totals, not
+    * the other way round). Slices missing either group emit NULL w1.
+    * Output: key columns + (n_a, n_b, w1). */
+  def wasserstein1By(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                     valueCol: String, groupA: String, groupB: String)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "wasserstein1By needs key columns; use wasserstein1")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val cum = prefixBeforeMultiBy(counts, keyCols, "__v",
+        Seq("a" -> col("__ca"), "b" -> col("__cb"), "i" -> lit(1L)))
+      .withColumn("__cuma", col("__cum_a") + col("__ca"))
+      .withColumn("__cumb", col("__cum_b") + col("__cb"))
+    def renameKeys(d: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String): Column =
+      keyCols.zipWithIndex.map { case (c, i) =>
+        col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val nxt = renameKeys(cum.select(
+      keys :+ col("__cum_i").as("__pidx") :+ col("__v").as("__nv"): _*), "n")
+    val tot = counts.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val totR = renameKeys(tot, "t")
+    val sums = cum
+      .join(nxt, keyJoin("n") && col("__cum_i") + 1 === col("__pidx"))
+      .drop(keyCols.indices.map(i => s"__n$i"): _*)
+      .join(totR, keyJoin("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+      .withColumn("__term", when(col("__na") > 0 && col("__nb") > 0,
+        ((abs(col("__cuma").cast("decimal(38,0)") * col("__nb") -
+            col("__cumb").cast("decimal(38,0)") * col("__na"))
+          .cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double"))) *
+          (col("__nv").cast("double") - col("__v").cast("double")))
+          .cast("decimal(28,12)")))
+      .groupBy(keys: _*).agg(sum(col("__term")).as("__s"))
+    tot.join(renameKeys(sums, "s"), keyJoin("s"), "left")
+      .drop(keyCols.indices.map(i => s"__s$i"): _*)
+      .select(keys ++ Seq(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          coalesce(col("__s"), lit(0).cast("decimal(28,12)"))
+            .cast("double")).as("w1")): _*)
+  }
+
+  /** Welch's unequal-variance two-sample t-test — the PARAMETRIC
+    * location test beside [[mannWhitneyU]]'s rank one (t assumes
+    * near-normal group means via CLT and reads effect in value units;
+    * U is distribution-free but needs ranks). ONE map-side-combined
+    * scan: per group n, Σv, Σv² (each per-row term a pinned double
+    * cast to exact decimal(28,12), so the sums are order-independent),
+    * then the t and Welch–Satterthwaite df chains run in pinned double
+    * order over the exact sums:
+    *   t  = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b)
+    *   df = (s²_a/n_a + s²_b/n_b)² /
+    *        ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+    * s² from the sum-of-squares identity — exact decimal sums make the
+    * usual catastrophic-cancellation objection a ≤1-ulp effect, and
+    * the identical op order replays in any engine. Groups with n < 2
+    * or zero pooled standard error emit NULL t/dof (undefined, not
+    * zero — constant data has no test). Output: one row
+    * (n_a, n_b, mean_a, mean_b, t, dof). */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol)
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    def dsum(cond: Column, e: Column): Column =
+      sum(when(cond, e.cast("decimal(28,12)")))
+    def d(c: Column): Column = c.cast("double")
+    df.filter(col(groupCol).isin(groupA, groupB)).agg(
+        sum(when(isA, 1L).otherwise(0L)).as("__na"),
+        sum(when(isB, 1L).otherwise(0L)).as("__nb"),
+        dsum(isA, v).as("__s1a"), dsum(isB, v).as("__s1b"),
+        dsum(isA, v * v).as("__s2a"), dsum(isB, v * v).as("__s2b"))
+      .withColumn("__ma", when(col("__na") > 0, d(col("__s1a")) / d(col("__na"))))
+      .withColumn("__mb", when(col("__nb") > 0, d(col("__s1b")) / d(col("__nb"))))
+      .withColumn("__va", when(col("__na") > 1,
+        (d(col("__s2a")) - d(col("__s1a")) * d(col("__s1a")) / d(col("__na")))
+          / d(col("__na") - 1)))
+      .withColumn("__vb", when(col("__nb") > 1,
+        (d(col("__s2b")) - d(col("__s1b")) * d(col("__s1b")) / d(col("__nb")))
+          / d(col("__nb") - 1)))
+      .withColumn("__sea", when(col("__na") > 1, col("__va") / d(col("__na"))))
+      .withColumn("__seb", when(col("__nb") > 1, col("__vb") / d(col("__nb"))))
+      .withColumn("__se2", col("__sea") + col("__seb"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__ma").as("mean_a"), col("__mb").as("mean_b"),
+        when(col("__se2") > 0,
+          (col("__ma") - col("__mb")) / sqrt(col("__se2"))).as("t"),
+        when(col("__se2") > 0,
+          col("__se2") * col("__se2") /
+            (col("__sea") * col("__sea") / d(col("__na") - 1) +
+              col("__seb") * col("__seb") / d(col("__nb") - 1))).as("dof"))
+  }
+
+  /** Per-GROUP [[welchT]] — the sliced parametric location test (per
+    * language, per source): identical one-scan aggregation with the
+    * key columns in the groupBy, so it stays a single
+    * map-side-combined exchange at ANY group count (no rank machinery,
+    * no prefix — moments suffice). Output: key columns +
+    * (n_a, n_b, mean_a, mean_b, t, dof). */
+  def welchTBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+               valueCol: String, groupA: String, groupB: String)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "welchTBy needs key columns; use welchT")
+    val keys = keyCols.map(col)
+    val v = col(valueCol)
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    def dsum(cond: Column, e: Column): Column =
+      sum(when(cond, e.cast("decimal(28,12)")))
+    def d(c: Column): Column = c.cast("double")
+    df.filter(col(groupCol).isin(groupA, groupB)).groupBy(keys: _*).agg(
+        sum(when(isA, 1L).otherwise(0L)).as("__na"),
+        sum(when(isB, 1L).otherwise(0L)).as("__nb"),
+        dsum(isA, v).as("__s1a"), dsum(isB, v).as("__s1b"),
+        dsum(isA, v * v).as("__s2a"), dsum(isB, v * v).as("__s2b"))
+      .withColumn("__ma", when(col("__na") > 0, d(col("__s1a")) / d(col("__na"))))
+      .withColumn("__mb", when(col("__nb") > 0, d(col("__s1b")) / d(col("__nb"))))
+      .withColumn("__va", when(col("__na") > 1,
+        (d(col("__s2a")) - d(col("__s1a")) * d(col("__s1a")) / d(col("__na")))
+          / d(col("__na") - 1)))
+      .withColumn("__vb", when(col("__nb") > 1,
+        (d(col("__s2b")) - d(col("__s1b")) * d(col("__s1b")) / d(col("__nb")))
+          / d(col("__nb") - 1)))
+      .withColumn("__sea", when(col("__na") > 1, col("__va") / d(col("__na"))))
+      .withColumn("__seb", when(col("__nb") > 1, col("__vb") / d(col("__nb"))))
+      .withColumn("__se2", col("__sea") + col("__seb"))
+      .select(keys ++ Seq(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__ma").as("mean_a"), col("__mb").as("mean_b"),
+        when(col("__se2") > 0,
+          (col("__ma") - col("__mb")) / sqrt(col("__se2"))).as("t"),
+        when(col("__se2") > 0,
+          col("__se2") * col("__se2") /
+            (col("__sea") * col("__sea") / d(col("__na") - 1) +
+              col("__seb") * col("__seb") / d(col("__nb") - 1))).as("dof")): _*)
+  }
+
   /** Sketch-ECDF two-sample KS — [[ksTest]]'s UNBOUNDED-cardinality
     * scale path: each group's distribution is reduced to a ≤k-centroid
     * KHist sketch ([[graft.functions.Sketches.KHistAgg]] — mergeable,

@@ -1049,6 +1049,78 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("avgPrecision: hand-computed step AP with tied scores; " +
+    "avgPrecisionBy == the global operator per slice; zero-positive " +
+    "slice NULL ap; partition sweep") {
+    import spark.implicits._
+    // Global fixture by descending score: s=4 (1 pos / 1), s=3
+    // (1 pos / 2), s=2 (0 pos / 1), s=1 (1 pos / 2); np=3, nt=6.
+    //   AP = (1/3)(1/1) + (1/3)(2/3) + 0 + (1/3)(3/6) = 13/18.
+    val g = Seq((4L, true), (3L, true), (3L, false), (2L, false),
+      (1L, true), (1L, false)).toDF("score", "lab")
+    val r = graft.functions.ML.avgPrecision(g, "score", col("lab"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 13.0 / 18.0) < 1e-12,
+      s"AP ${r.getDouble(2)} != 13/18")
+    val rows = Seq( // (slice, score, lab); c has ZERO positives
+      ("a", 4L, true), ("a", 3L, true), ("a", 3L, false), ("a", 2L, false),
+      ("a", 1L, true), ("a", 1L, false), ("b", 5L, true), ("b", 2L, false),
+      ("b", 2L, true), ("c", 7L, false), ("c", 6L, false))
+    val df = rows.toDF("k", "score", "lab")
+    val ab = graft.functions.ML.avgPrecisionBy(df, Seq("k"), "score",
+        col("lab"))
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (grp <- Seq("a", "b", "c")) {
+      val slice = rows.filter(_._1 == grp).map(t => (t._2, t._3))
+        .toDF("score", "lab")
+      val w = graft.functions.ML.avgPrecision(slice, "score", col("lab"))
+        .collect().head
+      assert(ab(grp) == w.toSeq, s"avgPrecisionBy $grp: ${ab(grp)} vs $w")
+    }
+    assert(ab("c").last == null, "zero-positive slice must emit NULL ap")
+    partitionSweep { p =>
+      graft.functions.ML.avgPrecisionBy(df.repartition(p), Seq("k"),
+          "score", col("lab"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
+  test("wasserstein1: hand-computed integral of |Fa-Fb|; " +
+    "wasserstein1By == the global operator per slice; single-value " +
+    "slice 0; missing-group slice NULL; partition sweep") {
+    import spark.implicits._
+    // a: {0, 4}, b: {2, 4} — |Fa-Fb| is 0.5 on [0,2), 0 on [2,4) →
+    // W1 = 0.5·2 = 1.0
+    val g = Seq(("a", 0L), ("a", 4L), ("b", 2L), ("b", 4L)).toDF("grp", "v")
+    val r = Analytics.wasserstein1(g, "grp", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12, s"W1 ${r.getDouble(2)}")
+    val rows = Seq( // (slice, grp, v)
+      ("s1", "a", 0L), ("s1", "a", 4L), ("s1", "b", 2L), ("s1", "b", 4L),
+      ("s2", "a", 1L), ("s2", "a", 3L), ("s2", "b", 5L), // W1 = 3.0
+      ("s3", "a", 1L), ("s3", "a", 2L), // missing group b → NULL
+      ("s4", "a", 7L), ("s4", "b", 7L)) // one distinct value → 0
+    val df = rows.toDF("k", "grp", "v")
+    val wb = Analytics.wasserstein1By(df, Seq("k"), "grp", "v", "a", "b")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2", "s3", "s4")) {
+      val slice = rows.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("grp", "v")
+      val w = Analytics.wasserstein1(slice, "grp", "v", "a", "b")
+        .collect().head
+      assert(wb(sl) == w.toSeq, s"wasserstein1By $sl: ${wb(sl)} vs $w")
+    }
+    assert(wb("s2") == Seq(2L, 1L, 3.0))
+    assert(wb("s3").last == null, "missing-group slice must emit NULL w1")
+    assert(wb("s4") == Seq(1L, 1L, 0.0), "single-value slice must emit 0")
+    partitionSweep { p =>
+      Analytics.wasserstein1By(df.repartition(p), Seq("k"), "grp", "v",
+          "a", "b")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
