@@ -105,6 +105,173 @@ private[graft] object Batch46 {
              |  CAST(MAX(nb) AS BIGINT) AS n_b,
              |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
              |    THEN CAST(COALESCE(SUM(term), 0) AS DOUBLE) END AS w1
+             |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Welch's t on q217's drift fixture (floored to long, so the
+    // operator's decimal(18,2) quantization is lossless): the ×2 shift
+    // on a third of cur moves the mean far outside sampling noise, so
+    // |t| lands large. Moment sums, both variance identities, the t/t²
+    // and Welch–Satterthwaite chains all replayed in pinned order
+    // (q198's oracle shape on the drift fixture).
+    Q("q283_welch_t_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ks") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            floor(when(col("grp") === "cur" && col("event_id") % 3 === 0,
+              col("value") * 2).otherwise(col("value"))).cast("long"))
+        graft.operators.Analytics.welchT(ev, "grp", "v", "ref", "cur")
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ks' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |vals AS (SELECT grp, CAST(CAST(FLOOR(CASE WHEN grp = 'cur' AND event_id % 3 = 0
+             |    THEN value * 2 ELSE value END) AS BIGINT) AS DECIMAL(18,2)) AS v FROM g),
+             |st AS (SELECT
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN v END) AS DOUBLE) AS sa,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN v * v END) AS DOUBLE) AS ssa,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN v END) AS DOUBLE) AS sb,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN v * v END) AS DOUBLE) AS ssb
+             |  FROM vals),
+             |m AS (SELECT n_a, n_b,
+             |    CASE WHEN n_a > 0 THEN sa / CAST(n_a AS DOUBLE) END AS mean_a,
+             |    CASE WHEN n_b > 0 THEN sb / CAST(n_b AS DOUBLE) END AS mean_b,
+             |    CASE WHEN n_a >= 2 THEN (ssa - sa * sa / CAST(n_a AS DOUBLE))
+             |      / (CAST(n_a AS DOUBLE) - 1.0) END AS var_a,
+             |    CASE WHEN n_b >= 2 THEN (ssb - sb * sb / CAST(n_b AS DOUBLE))
+             |      / (CAST(n_b AS DOUBLE) - 1.0) END AS var_b
+             |  FROM st),
+             |w AS (SELECT *, var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) AS se2 FROM m)
+             |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+             |  CASE WHEN se2 > 0 THEN (mean_a - mean_b) / sqrt(se2) END AS t,
+             |  CASE WHEN se2 > 0 THEN (mean_a - mean_b) * (mean_a - mean_b) / se2 END AS t2,
+             |  CASE WHEN se2 > 0 THEN se2 * se2 / (
+             |    (var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+             |    + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+             |  ) END AS dof
+             |FROM w""".stripMargin)),
+
+    // Per-event-type Welch's t on q274's fixture — the sliced
+    // parametric location test completing the sliced trio (shape:
+    // ksTestBy, rank location: mannWhitneyUBy, mean location: this).
+    // The ×1.5 'view'-only shift must show as one large-|t| slice.
+    Q("q284_welch_t_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psiby") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            floor(when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value"))).cast("long"))
+        graft.operators.Analytics.welchTBy(ev, Seq("event_type"),
+          "grp", "v", "ref", "cur").orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    value
+             |  FROM events),
+             |vals AS (SELECT event_type, grp,
+             |    CAST(CAST(FLOOR(CASE WHEN grp = 'cur' AND event_type = 'view'
+             |      THEN value * 1.5 ELSE value END) AS BIGINT) AS DECIMAL(18,2)) AS v FROM g),
+             |st AS (SELECT event_type,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN v END) AS DOUBLE) AS sa,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN v * v END) AS DOUBLE) AS ssa,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN v END) AS DOUBLE) AS sb,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN v * v END) AS DOUBLE) AS ssb
+             |  FROM vals GROUP BY 1),
+             |m AS (SELECT event_type, n_a, n_b,
+             |    CASE WHEN n_a > 0 THEN sa / CAST(n_a AS DOUBLE) END AS mean_a,
+             |    CASE WHEN n_b > 0 THEN sb / CAST(n_b AS DOUBLE) END AS mean_b,
+             |    CASE WHEN n_a >= 2 THEN (ssa - sa * sa / CAST(n_a AS DOUBLE))
+             |      / (CAST(n_a AS DOUBLE) - 1.0) END AS var_a,
+             |    CASE WHEN n_b >= 2 THEN (ssb - sb * sb / CAST(n_b AS DOUBLE))
+             |      / (CAST(n_b AS DOUBLE) - 1.0) END AS var_b
+             |  FROM st),
+             |w AS (SELECT *, var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) AS se2 FROM m)
+             |SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
+             |  CASE WHEN se2 > 0 THEN (mean_a - mean_b) / sqrt(se2) END AS t,
+             |  CASE WHEN se2 > 0 THEN (mean_a - mean_b) * (mean_a - mean_b) / se2 END AS t2,
+             |  CASE WHEN se2 > 0 THEN se2 * se2 / (
+             |    (var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+             |    + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+             |  ) END AS dof
+             |FROM w ORDER BY event_type""".stripMargin)),
+
+    // Brier + ECE of a weak probability (value/200 clamped to [0,1])
+    // against the value>55 label — monotone in the label driver, so
+    // ranking metrics look fine while calibration is systematically
+    // off: ECE lands well above 0. Per-row squared-error and per-bin
+    // acc/conf terms, the bin clamp, and both divisions replayed.
+    Q("q285_calibration",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("p", least(col("value") / 200, lit(1.0)))
+        graft.functions.ML.calibration(ev, "p", col("value") > 55, bins = 10)
+      },
+      Some("""WITH s AS (SELECT LEAST(value / 200, 1.0) AS p,
+             |    CASE WHEN value > 55 THEN 1.0 ELSE 0.0 END AS y
+             |  FROM events WHERE event_type = 'purchase'),
+             |b AS (SELECT p, y,
+             |    LEAST(GREATEST(CAST(FLOOR(p * 10) AS BIGINT), 0), 9) AS bin FROM s),
+             |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS sbr FROM b),
+             |c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+             |    SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+             |    SUM(CAST(p AS DECIMAL(28,12))) AS sp
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT g.n, g.sbr,
+             |    CAST((CAST(c.nb AS DOUBLE) / CAST(g.n AS DOUBLE)) *
+             |      ABS(CAST(c.sy AS DOUBLE) / CAST(c.nb AS DOUBLE)
+             |        - CAST(c.sp AS DOUBLE) / CAST(c.nb AS DOUBLE)) AS DECIMAL(28,12)) AS term
+             |  FROM c CROSS JOIN g)
+             |SELECT MAX(n) AS n,
+             |  CASE WHEN MAX(n) > 0 THEN CAST(MAX(sbr) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) END AS brier,
+             |  CASE WHEN MAX(n) > 0 THEN CAST(SUM(term) AS DOUBLE) END AS ece
+             |FROM t""".stripMargin)),
+
+    // Per-event-type Brier + ECE — the sliced calibration audit: the
+    // probability is fit to the pooled base rate, so slices whose
+    // value distribution differs (purchase vs view vs click) expose
+    // per-slice miscalibration the pooled q285 number averages away.
+    Q("q286_calibration_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("p", least(col("value") / 200, lit(1.0)))
+        graft.functions.ML.calibrationBy(ev, Seq("event_type"), "p",
+          col("value") > 55, bins = 10).orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT event_type, LEAST(value / 200, 1.0) AS p,
+             |    CASE WHEN value > 55 THEN 1.0 ELSE 0.0 END AS y
+             |  FROM events),
+             |b AS (SELECT event_type, p, y,
+             |    LEAST(GREATEST(CAST(FLOOR(p * 10) AS BIGINT), 0), 9) AS bin FROM s),
+             |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS sbr
+             |  FROM b GROUP BY 1),
+             |c AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS nb,
+             |    SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+             |    SUM(CAST(p AS DECIMAL(28,12))) AS sp
+             |  FROM b GROUP BY 1, 2),
+             |t AS (SELECT c.event_type, g.n, g.sbr,
+             |    CAST((CAST(c.nb AS DOUBLE) / CAST(g.n AS DOUBLE)) *
+             |      ABS(CAST(c.sy AS DOUBLE) / CAST(c.nb AS DOUBLE)
+             |        - CAST(c.sp AS DOUBLE) / CAST(c.nb AS DOUBLE)) AS DECIMAL(28,12)) AS term
+             |  FROM c JOIN g ON c.event_type = g.event_type)
+             |SELECT event_type, MAX(n) AS n,
+             |  CASE WHEN MAX(n) > 0 THEN CAST(MAX(sbr) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) END AS brier,
+             |  CASE WHEN MAX(n) > 0 THEN CAST(SUM(term) AS DOUBLE) END AS ece
              |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

@@ -439,6 +439,90 @@ object ML {
         when(col("n_pos") > 0, col("__ap")).as("ap")): _*)
   }
 
+  /** Probability-calibration evaluation — Brier score + expected
+    * calibration error (ECE), the CALIBRATION half of score eval
+    * beside the RANKING half ([[aucRoc]]/[[avgPrecision]], which are
+    * invariant to any monotone rescale of the score and so can't see
+    * that a "0.9" fires at 60%). One pass over (prob, label):
+    *   Brier = mean (p − y)²  — strictly proper, decomposable
+    *   ECE   = Σ_b (n_b/N) · |acc_b − conf_b|  over `bins` equal-width
+    *           probability bins (acc = label rate, conf = mean p)
+    * Each per-row term is a pinned double cast to exact
+    * decimal(28,12), so the sums are order-independent and the whole
+    * chain replays in any engine; the bin table is bins-bounded and
+    * the global totals ride a broadcast one-row aggregate. `probCol`
+    * is the caller's [0,1] probability (out-of-range rows clamp into
+    * the edge bins; the Brier term uses p as given). Output: one row
+    * (n, brier, ece). */
+  def calibration(df: DataFrame, probCol: String,
+                  label: org.apache.spark.sql.Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins > 0, "calibration needs at least one bin")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val base = df.select(col(probCol).as("__p"),
+      when(label, 1.0).otherwise(0.0).as("__y"),
+      least(greatest(floor(col(probCol) * bins).cast("long"), lit(0L)),
+        lit(bins - 1L)).as("__bin"))
+    val g = base.agg(count(lit(1)).as("__n"),
+      sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .cast("decimal(28,12)")).as("__sbr"))
+    val ece = base.groupBy("__bin")
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__y").cast("decimal(28,12)")).as("__sy"),
+        sum(col("__p").cast("decimal(28,12)")).as("__sp"))
+      .crossJoin(broadcast(g))
+      .withColumn("__term", ((d(col("__nb")) / d(col("__n"))) *
+        abs(d(col("__sy")) / d(col("__nb")) -
+          d(col("__sp")) / d(col("__nb")))).cast("decimal(28,12)"))
+      .agg(sum(col("__term")).as("__e"))
+    g.crossJoin(broadcast(ece))
+      .select(col("__n").as("n"),
+        when(col("__n") > 0, d(col("__sbr")) / d(col("__n"))).as("brier"),
+        when(col("__n") > 0, d(col("__e"))).as("ece"))
+  }
+
+  /** Per-GROUP [[calibration]] — per-language/per-source calibration
+    * audit (a score calibrated in aggregate is routinely miscalibrated
+    * per slice). Same one-pass shape with the key columns in both
+    * groupBys; the bin table is (groups × bins)-bounded and the
+    * per-group totals join back null-safe (keys-sized, never
+    * broadcast-assumed). Output: key columns + (n, brier, ece). */
+  def calibrationBy(df: DataFrame, keyCols: Seq[String], probCol: String,
+                    label: org.apache.spark.sql.Column,
+                    bins: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "calibrationBy needs key columns; use calibration")
+    require(bins > 0, "calibration needs at least one bin")
+    val keys = keyCols.map(col)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def renameKeys(dv: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dv) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String) = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val base = df.select(keys ++ Seq(col(probCol).as("__p"),
+      when(label, 1.0).otherwise(0.0).as("__y"),
+      least(greatest(floor(col(probCol) * bins).cast("long"), lit(0L)),
+        lit(bins - 1L)).as("__bin")): _*)
+    val g = base.groupBy(keys: _*).agg(count(lit(1)).as("__n"),
+      sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .cast("decimal(28,12)")).as("__sbr"))
+    val ece = base.groupBy(keys :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__y").cast("decimal(28,12)")).as("__sy"),
+        sum(col("__p").cast("decimal(28,12)")).as("__sp"))
+      .join(renameKeys(g.select(keys :+ col("__n"): _*), "g"), keyJoin("g"))
+      .drop(keyCols.indices.map(i => s"__g$i"): _*)
+      .withColumn("__term", ((d(col("__nb")) / d(col("__n"))) *
+        abs(d(col("__sy")) / d(col("__nb")) -
+          d(col("__sp")) / d(col("__nb")))).cast("decimal(28,12)"))
+      .groupBy(keys: _*).agg(sum(col("__term")).as("__e"))
+    g.join(renameKeys(ece, "e"), keyJoin("e"), "left")
+      .drop(keyCols.indices.map(i => s"__e$i"): _*)
+      .select(keys ++ Seq(col("__n").as("n"),
+        when(col("__n") > 0, d(col("__sbr")) / d(col("__n"))).as("brier"),
+        when(col("__n") > 0, d(col("__e"))).as("ece")): _*)
+  }
+
   /** Deterministic stratified k-fold assignment: within each stratum,
     * rows are ordered by (salted hash, key) — a stable pseudo-random
     * shuffle — and dealt round-robin, so fold sizes differ by AT MOST

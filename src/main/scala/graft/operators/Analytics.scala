@@ -741,100 +741,6 @@ object Analytics {
             .cast("double")).as("w1")): _*)
   }
 
-  /** Welch's unequal-variance two-sample t-test — the PARAMETRIC
-    * location test beside [[mannWhitneyU]]'s rank one (t assumes
-    * near-normal group means via CLT and reads effect in value units;
-    * U is distribution-free but needs ranks). ONE map-side-combined
-    * scan: per group n, Σv, Σv² (each per-row term a pinned double
-    * cast to exact decimal(28,12), so the sums are order-independent),
-    * then the t and Welch–Satterthwaite df chains run in pinned double
-    * order over the exact sums:
-    *   t  = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b)
-    *   df = (s²_a/n_a + s²_b/n_b)² /
-    *        ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
-    * s² from the sum-of-squares identity — exact decimal sums make the
-    * usual catastrophic-cancellation objection a ≤1-ulp effect, and
-    * the identical op order replays in any engine. Groups with n < 2
-    * or zero pooled standard error emit NULL t/dof (undefined, not
-    * zero — constant data has no test). Output: one row
-    * (n_a, n_b, mean_a, mean_b, t, dof). */
-  def welchT(df: DataFrame, groupCol: String, valueCol: String,
-             groupA: String, groupB: String): DataFrame = {
-    val v = col(valueCol)
-    val isA = col(groupCol) === groupA
-    val isB = col(groupCol) === groupB
-    def dsum(cond: Column, e: Column): Column =
-      sum(when(cond, e.cast("decimal(28,12)")))
-    def d(c: Column): Column = c.cast("double")
-    df.filter(col(groupCol).isin(groupA, groupB)).agg(
-        sum(when(isA, 1L).otherwise(0L)).as("__na"),
-        sum(when(isB, 1L).otherwise(0L)).as("__nb"),
-        dsum(isA, v).as("__s1a"), dsum(isB, v).as("__s1b"),
-        dsum(isA, v * v).as("__s2a"), dsum(isB, v * v).as("__s2b"))
-      .withColumn("__ma", when(col("__na") > 0, d(col("__s1a")) / d(col("__na"))))
-      .withColumn("__mb", when(col("__nb") > 0, d(col("__s1b")) / d(col("__nb"))))
-      .withColumn("__va", when(col("__na") > 1,
-        (d(col("__s2a")) - d(col("__s1a")) * d(col("__s1a")) / d(col("__na")))
-          / d(col("__na") - 1)))
-      .withColumn("__vb", when(col("__nb") > 1,
-        (d(col("__s2b")) - d(col("__s1b")) * d(col("__s1b")) / d(col("__nb")))
-          / d(col("__nb") - 1)))
-      .withColumn("__sea", when(col("__na") > 1, col("__va") / d(col("__na"))))
-      .withColumn("__seb", when(col("__nb") > 1, col("__vb") / d(col("__nb"))))
-      .withColumn("__se2", col("__sea") + col("__seb"))
-      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
-        col("__ma").as("mean_a"), col("__mb").as("mean_b"),
-        when(col("__se2") > 0,
-          (col("__ma") - col("__mb")) / sqrt(col("__se2"))).as("t"),
-        when(col("__se2") > 0,
-          col("__se2") * col("__se2") /
-            (col("__sea") * col("__sea") / d(col("__na") - 1) +
-              col("__seb") * col("__seb") / d(col("__nb") - 1))).as("dof"))
-  }
-
-  /** Per-GROUP [[welchT]] — the sliced parametric location test (per
-    * language, per source): identical one-scan aggregation with the
-    * key columns in the groupBy, so it stays a single
-    * map-side-combined exchange at ANY group count (no rank machinery,
-    * no prefix — moments suffice). Output: key columns +
-    * (n_a, n_b, mean_a, mean_b, t, dof). */
-  def welchTBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
-               valueCol: String, groupA: String, groupB: String)
-      : DataFrame = {
-    require(keyCols.nonEmpty, "welchTBy needs key columns; use welchT")
-    val keys = keyCols.map(col)
-    val v = col(valueCol)
-    val isA = col(groupCol) === groupA
-    val isB = col(groupCol) === groupB
-    def dsum(cond: Column, e: Column): Column =
-      sum(when(cond, e.cast("decimal(28,12)")))
-    def d(c: Column): Column = c.cast("double")
-    df.filter(col(groupCol).isin(groupA, groupB)).groupBy(keys: _*).agg(
-        sum(when(isA, 1L).otherwise(0L)).as("__na"),
-        sum(when(isB, 1L).otherwise(0L)).as("__nb"),
-        dsum(isA, v).as("__s1a"), dsum(isB, v).as("__s1b"),
-        dsum(isA, v * v).as("__s2a"), dsum(isB, v * v).as("__s2b"))
-      .withColumn("__ma", when(col("__na") > 0, d(col("__s1a")) / d(col("__na"))))
-      .withColumn("__mb", when(col("__nb") > 0, d(col("__s1b")) / d(col("__nb"))))
-      .withColumn("__va", when(col("__na") > 1,
-        (d(col("__s2a")) - d(col("__s1a")) * d(col("__s1a")) / d(col("__na")))
-          / d(col("__na") - 1)))
-      .withColumn("__vb", when(col("__nb") > 1,
-        (d(col("__s2b")) - d(col("__s1b")) * d(col("__s1b")) / d(col("__nb")))
-          / d(col("__nb") - 1)))
-      .withColumn("__sea", when(col("__na") > 1, col("__va") / d(col("__na"))))
-      .withColumn("__seb", when(col("__nb") > 1, col("__vb") / d(col("__nb"))))
-      .withColumn("__se2", col("__sea") + col("__seb"))
-      .select(keys ++ Seq(col("__na").as("n_a"), col("__nb").as("n_b"),
-        col("__ma").as("mean_a"), col("__mb").as("mean_b"),
-        when(col("__se2") > 0,
-          (col("__ma") - col("__mb")) / sqrt(col("__se2"))).as("t"),
-        when(col("__se2") > 0,
-          col("__se2") * col("__se2") /
-            (col("__sea") * col("__sea") / d(col("__na") - 1) +
-              col("__seb") * col("__seb") / d(col("__nb") - 1))).as("dof")): _*)
-  }
-
   /** Sketch-ECDF two-sample KS — [[ksTest]]'s UNBOUNDED-cardinality
     * scale path: each group's distribution is reduced to a ≤k-centroid
     * KHist sketch ([[graft.functions.Sketches.KHistAgg]] — mergeable,
@@ -939,27 +845,63 @@ object Analytics {
       sum(when(col(groupCol) === g, v)).cast("double").as(s"__s_$suffix"),
       sum(when(col(groupCol) === g, v * v)).cast("double").as(s"__ss_$suffix"))
     val aggs = side(groupA, "a") ++ side(groupB, "b")
-    def mean(s: String) = col(s"__s_$s") / col(s"n_$s").cast("double")
+    welchChain(df.agg(aggs.head, aggs.tail: _*))
+  }
+
+  // The pinned mean → variance → t/t² → dof double chain shared by
+  // [[welchT]] and [[welchTBy]] over (n, Σx, Σx²) per side. Empty
+  // sides give NULL means (not an ANSI ÷0), n < 2 NULL variance, and
+  // se2 = 0 — constant data on both sides — NULL t/t²/dof (the test is
+  // undefined, not infinite; ANSI would otherwise raise on the double
+  // division the moment a constant slice appears).
+  private def welchChain(agg: DataFrame): DataFrame = {
+    def mean(s: String) = when(col(s"n_$s") > 0,
+      col(s"__s_$s") / col(s"n_$s").cast("double"))
     def variance(s: String) =
       when(col(s"n_$s") >= 2,
         (col(s"__ss_$s") - col(s"__s_$s") * col(s"__s_$s") / col(s"n_$s").cast("double")) /
           (col(s"n_$s").cast("double") - lit(1.0)))
-    df.agg(aggs.head, aggs.tail: _*)
+    agg
       .withColumn("mean_a", mean("a")).withColumn("mean_b", mean("b"))
       .withColumn("var_a", variance("a")).withColumn("var_b", variance("b"))
       .withColumn("__se2",
         col("var_a") / col("n_a").cast("double") +
           col("var_b") / col("n_b").cast("double"))
-      .withColumn("t", (col("mean_a") - col("mean_b")) / sqrt(col("__se2")))
-      .withColumn("t2",
-        (col("mean_a") - col("mean_b")) * (col("mean_a") - col("mean_b")) / col("__se2"))
-      .withColumn("dof",
+      .withColumn("t", when(col("__se2") > 0,
+        (col("mean_a") - col("mean_b")) / sqrt(col("__se2"))))
+      .withColumn("t2", when(col("__se2") > 0,
+        (col("mean_a") - col("mean_b")) * (col("mean_a") - col("mean_b")) / col("__se2")))
+      .withColumn("dof", when(col("__se2") > 0,
         col("__se2") * col("__se2") /
           ((col("var_a") / col("n_a").cast("double")) * (col("var_a") / col("n_a").cast("double")) /
             (col("n_a").cast("double") - lit(1.0)) +
            (col("var_b") / col("n_b").cast("double")) * (col("var_b") / col("n_b").cast("double")) /
-            (col("n_b").cast("double") - lit(1.0))))
+            (col("n_b").cast("double") - lit(1.0)))))
       .drop("__s_a", "__ss_a", "__s_b", "__ss_b", "__se2")
+  }
+
+  /** Per-GROUP [[welchT]] — the sliced parametric location test (per
+    * language, per source, per day) completing the sliced location
+    * trio beside [[mannWhitneyUBy]] (rank) and [[ksTestBy]] (shape):
+    * t reads the effect in VALUE units per slice. Identical sufficient
+    * statistics and pinned chain with the key columns in the groupBy,
+    * so it stays ONE map-side-combined exchange at any group count —
+    * moments need no rank machinery. Slices with an empty side, n < 2,
+    * or zero pooled variance emit NULLs exactly as the global form
+    * does (the By == global-per-slice contract is bit-exact). Output:
+    * key columns + (n_a, n_b, mean_a, mean_b, var_a, var_b, t, t2,
+    * dof). */
+  def welchTBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+               valueCol: String, groupA: String, groupB: String,
+               scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "welchTBy needs key columns; use welchT")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    def side(g: String, suffix: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n_$suffix"),
+      sum(when(col(groupCol) === g, v)).cast("double").as(s"__s_$suffix"),
+      sum(when(col(groupCol) === g, v * v)).cast("double").as(s"__ss_$suffix"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    welchChain(df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   def outliersZ(df: DataFrame, keyCols: Seq[String], valueCol: String,

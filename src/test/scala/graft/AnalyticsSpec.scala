@@ -1121,6 +1121,90 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("welchTBy: hand-computed t and Welch-Satterthwaite dof; " +
+    "== the global operator per slice; n<2 / missing-group / " +
+    "zero-variance slices NULL; partition sweep") {
+    import spark.implicits._
+    // s1: a = {1,2,3,4}, b = {2,4,6} (exact at scale 2): va = 5/3,
+    // vb = 4, se2 = 21/12, t = -1.5/sqrt(1.75),
+    // dof = 3.0625/(25/432 + 8/9) = 1323/409
+    val rows = Seq( // (slice, grp, v)
+      ("s1", "a", 1.0), ("s1", "a", 2.0), ("s1", "a", 3.0), ("s1", "a", 4.0),
+      ("s1", "b", 2.0), ("s1", "b", 4.0), ("s1", "b", 6.0),
+      ("s2", "a", 5.0), ("s2", "a", 7.0), // missing group b
+      ("s3", "a", 5.0), ("s3", "b", 1.0), ("s3", "b", 2.0), // n_a = 1
+      ("s4", "a", 3.0), ("s4", "a", 3.0), ("s4", "b", 3.0), ("s4", "b", 3.0))
+    val df = rows.toDF("k", "grp", "v")
+    val wb = Analytics.welchTBy(df, Seq("k"), "grp", "v", "a", "b")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val h = wb("s1")
+    assert(h.getAs[Long]("n_a") == 4L && h.getAs[Long]("n_b") == 3L)
+    assert(math.abs(h.getAs[Double]("mean_a") - 2.5) < 1e-12)
+    assert(math.abs(h.getAs[Double]("var_a") - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(h.getAs[Double]("var_b") - 4.0) < 1e-12)
+    assert(math.abs(h.getAs[Double]("t") - (-1.5 / math.sqrt(1.75))) < 1e-9,
+      s"t ${h.getAs[Double]("t")}")
+    assert(math.abs(h.getAs[Double]("dof") - 1323.0 / 409.0) < 1e-9,
+      s"dof ${h.getAs[Double]("dof")}")
+    for (sl <- Seq("s1", "s2", "s3", "s4")) {
+      val slice = rows.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("grp", "v")
+      val w = Analytics.welchT(slice, "grp", "v", "a", "b").collect().head
+      assert(wb(sl).toSeq.drop(1) == w.toSeq, s"welchTBy $sl vs $w")
+    }
+    assert(wb("s2").isNullAt(wb("s2").fieldIndex("t")),
+      "missing-group slice must emit NULL t")
+    assert(wb("s2").isNullAt(wb("s2").fieldIndex("mean_b")),
+      "empty side must emit NULL mean, not an ANSI error")
+    assert(wb("s3").isNullAt(wb("s3").fieldIndex("t")),
+      "n<2 slice must emit NULL t")
+    assert(wb("s4").isNullAt(wb("s4").fieldIndex("t")),
+      "zero-variance slice must emit NULL t, not an ANSI error")
+    assert(wb("s4").getAs[Double]("mean_a") == 3.0 &&
+      wb("s4").getAs[Double]("var_a") == 0.0)
+    partitionSweep { p =>
+      Analytics.welchTBy(df.repartition(p), Seq("k"), "grp", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
+  test("calibration: hand-computed Brier and ECE with edge-bin clamp; " +
+    "calibrationBy == the global operator per slice; partition sweep") {
+    import spark.implicits._
+    // bins=2: (0.2,F)(0.4,T) -> bin0 acc .5 conf .3; (0.9,T)(0.6,F)
+    // (1.0,T) -> bin1 (p=1.0 clamps in) acc 2/3 conf 5/6.
+    // Brier = 0.77/5 = 0.154; ECE = 0.4*0.2 + 0.6*(1/6) = 0.18.
+    val g = Seq((0.2, false), (0.4, true), (0.9, true), (0.6, false),
+      (1.0, true)).toDF("p", "lab")
+    val r = graft.functions.ML.calibration(g, "p", col("lab"), bins = 2)
+      .collect().head
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDouble(1) - 0.154) < 1e-9, s"brier ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 0.18) < 1e-9, s"ece ${r.getDouble(2)}")
+    val rows = Seq( // (slice, p, lab)
+      ("s1", 0.2, false), ("s1", 0.4, true), ("s1", 0.9, true),
+      ("s1", 0.6, false), ("s1", 1.0, true),
+      ("s2", 0.7, true)) // one row: brier 0.09, ece 0.3
+    val df = rows.toDF("k", "p", "lab")
+    val cb = graft.functions.ML.calibrationBy(df, Seq("k"), "p",
+        col("lab"), bins = 2)
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = rows.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("p", "lab")
+      val w = graft.functions.ML.calibration(slice, "p", col("lab"),
+        bins = 2).collect().head
+      assert(cb(sl) == w.toSeq, s"calibrationBy $sl: ${cb(sl)} vs $w")
+    }
+    assert(math.abs(cb("s2")(1).asInstanceOf[Double] - 0.09) < 1e-9)
+    assert(math.abs(cb("s2")(2).asInstanceOf[Double] - 0.3) < 1e-9)
+    partitionSweep { p =>
+      graft.functions.ML.calibrationBy(df.repartition(p), Seq("k"), "p",
+          col("lab"), bins = 2)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
