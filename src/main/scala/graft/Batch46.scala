@@ -272,6 +272,135 @@ private[graft] object Batch46 {
              |SELECT event_type, MAX(n) AS n,
              |  CASE WHEN MAX(n) > 0 THEN CAST(MAX(sbr) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) END AS brier,
              |  CASE WHEN MAX(n) > 0 THEN CAST(SUM(term) AS DOUBLE) END AS ece
-             |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Jensen-Shannon divergence on q217's drift fixture — the bounded
+    // symmetric drift score beside PSI's unbounded one, same truncated
+    // bin tree / spine / Laplace smoothing, so the two gates share
+    // everything but the per-bin term. Terms and decimal sum replayed.
+    Q("q287_js_divergence",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ks") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_id") % 3 === 0,
+              col("value") * 2).otherwise(col("value")))
+        graft.operators.Analytics.jsDivergence(ev, "grp", "v", "ref", "cur",
+          lo = 0.0, hi = 400.0, bins = 20)
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ks' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT grp, CASE WHEN grp = 'cur' AND event_id % 3 = 0
+             |    THEN value * 2 ELSE value END AS v FROM g),
+             |b AS (SELECT grp,
+             |    LEAST(GREATEST(CAST(TRUNC((v - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin
+             |  FROM v),
+             |c AS (SELECT bin,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM b GROUP BY 1),
+             |full0 AS (SELECT s.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+             |  FROM (SELECT unnest(range(0, 20)) AS bin) s
+             |  LEFT JOIN c ON c.bin = s.bin),
+             |t AS (SELECT (SELECT SUM(ca) FROM full0) AS na,
+             |    (SELECT SUM(cb) FROM full0) AS nb, ca, cb FROM full0),
+             |p AS (SELECT na, nb,
+             |    CAST(ca + 1 AS DOUBLE) / CAST(na + 20 AS DOUBLE) AS pa,
+             |    CAST(cb + 1 AS DOUBLE) / CAST(nb + 20 AS DOUBLE) AS pb
+             |  FROM t)
+             |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+             |  CAST(SUM(CAST((pa * ln(pa / ((pa + pb) / 2))
+             |    + pb * ln(pb / ((pa + pb) / 2))) * 0.5 AS DECIMAL(28,12))) AS DOUBLE) AS jsd
+             |FROM p""".stripMargin)),
+
+    // Per-event-type JSD on q274's fixture — the sliced bounded drift:
+    // the shifted 'view' slice must stand above the unshifted slices,
+    // and every jsd must sit inside [0, ln 2] by construction.
+    Q("q288_js_divergence_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psiby") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value")))
+        graft.operators.Analytics.jsDivergenceBy(ev, Seq("event_type"),
+          "grp", "v", "ref", "cur", lo = 0.0, hi = 400.0, bins = 20)
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    value
+             |  FROM events),
+             |v AS (SELECT event_type, grp,
+             |    CASE WHEN grp = 'cur' AND event_type = 'view' THEN value * 1.5
+             |      ELSE value END AS v FROM g),
+             |b AS (SELECT event_type, grp,
+             |    LEAST(GREATEST(CAST(TRUNC((v - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin
+             |  FROM v),
+             |c AS (SELECT event_type, bin,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM b GROUP BY 1, 2),
+             |spine AS (SELECT et.event_type, s.bin
+             |  FROM (SELECT DISTINCT event_type FROM c) et
+             |  CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) s),
+             |full0 AS (SELECT sp.event_type, sp.bin,
+             |    COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+             |  FROM spine sp LEFT JOIN c ON c.event_type = sp.event_type AND c.bin = sp.bin),
+             |t AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM full0 GROUP BY 1),
+             |p AS (SELECT f.event_type, t.na, t.nb,
+             |    CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 20 AS DOUBLE) AS pa,
+             |    CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 20 AS DOUBLE) AS pb
+             |  FROM full0 f JOIN t ON f.event_type = t.event_type)
+             |SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+             |  CAST(MAX(nb) AS BIGINT) AS n_b,
+             |  CAST(SUM(CAST((pa * ln(pa / ((pa + pb) / 2))
+             |    + pb * ln(pb / ((pa + pb) / 2))) * 0.5 AS DECIMAL(28,12))) AS DOUBLE) AS jsd
+             |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // NDCG@10 per event_type: score = value, graded relevance =
+    // event_id % 4 (deterministic, uncorrelated with the score by
+    // construction, so ndcg lands strictly inside (0,1) and the
+    // doc-id tie-break decides the digits). Both rankings, every
+    // 2^rel / log2(r+1) term, the decimal sums, and the final
+    // division replayed.
+    Q("q289_ndcg_at_k",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("rel", (col("event_id") % 4).cast("long"))
+        graft.functions.Retrieval.ndcgAtK(ev, "event_type", "event_id",
+          "value", "rel", k = 10).orderBy("event_type")
+      },
+      Some("""WITH base AS (SELECT event_type, event_id AS doc, value AS score,
+             |    CAST(event_id % 4 AS BIGINT) AS rel FROM events),
+             |d AS (SELECT event_type, rel,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, doc ASC) AS rn
+             |  FROM base),
+             |dc AS (SELECT event_type,
+             |    SUM(CAST((POWER(2, CAST(rel AS DOUBLE)) - 1)
+             |      / (LN(CAST(rn AS DOUBLE) + 1) / LN(2)) AS DECIMAL(28,12))) AS dcg
+             |  FROM d WHERE rn <= 10 GROUP BY 1),
+             |i AS (SELECT event_type, rel,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rel DESC, doc ASC) AS rn
+             |  FROM base),
+             |ic AS (SELECT event_type,
+             |    SUM(CAST((POWER(2, CAST(rel AS DOUBLE)) - 1)
+             |      / (LN(CAST(rn AS DOUBLE) + 1) / LN(2)) AS DECIMAL(28,12))) AS idcg
+             |  FROM i WHERE rn <= 10 GROUP BY 1)
+             |SELECT dc.event_type, CAST(dc.dcg AS DOUBLE) AS dcg,
+             |  CAST(ic.idcg AS DOUBLE) AS idcg,
+             |  CASE WHEN ic.idcg > 0
+             |    THEN CAST(dc.dcg AS DOUBLE) / CAST(ic.idcg AS DOUBLE) END AS ndcg
+             |FROM dc JOIN ic ON dc.event_type = ic.event_type
+             |ORDER BY dc.event_type""".stripMargin))
   )
 }

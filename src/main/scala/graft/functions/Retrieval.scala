@@ -266,4 +266,48 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("fused"))
   }
+
+  /** NDCG@k of a scored ranking against graded relevance labels — the
+    * standard retrieval-eval metric for the [[bm25Scores]]/[[rrfFuse]]
+    * family (and for ANN eval via a held-out relevance set): per query,
+    *   DCG@k  = Σ_{rank r ≤ k} (2^rel − 1) / log₂(r + 1)
+    * over the k highest-SCORED rows, IDCG@k the same over the k
+    * highest-RELEVANCE rows, and NDCG = DCG/IDCG ∈ [0,1]. Ties break
+    * on ascending doc id in BOTH rankings (the registry-wide
+    * determinism contract — a tie-dependent NDCG cannot be
+    * oracle-gated). Each rank term is a pinned double (log₂ written as
+    * ln(r+1)/ln 2 so both engines run the same two libm calls) summed
+    * through exact decimal(28,12); all-zero-relevance queries emit
+    * NULL ndcg (undefined, not zero). Scale shape: two per-query
+    * row_number windows — eval result lists are bounded by
+    * construction, queries parallelize across partitions, and the
+    * rank ≤ k filter is eligible for WindowGroupLimit pushdown.
+    * Output: one row per query — (queryCol, dcg, idcg, ndcg). */
+  def ndcgAtK(df: DataFrame, queryCol: String, docCol: String,
+              scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, "ndcgAtK needs k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    val byRel = Window.partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(docCol).asc)
+    def gain(rn: Column, rel: Column): Column =
+      ((pow(lit(2.0), rel.cast("double")) - 1) /
+        (log(rn.cast("double") + 1) / log(lit(2.0)))).cast("decimal(28,12)")
+    val dcg = df.withColumn("__rn", row_number().over(byScore))
+      .filter(col("__rn") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col("__rn"), col(relCol))).as("__dcg"))
+    val idcg = df.withColumn("__rn", row_number().over(byRel))
+      .filter(col("__rn") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col("__rn"), col(relCol))).as("__idcg"))
+    dcg.join(idcg, Seq(queryCol))
+      .select(col(queryCol),
+        col("__dcg").cast("double").as("dcg"),
+        col("__idcg").cast("double").as("idcg"),
+        when(col("__idcg") > 0,
+          col("__dcg").cast("double") / col("__idcg").cast("double"))
+          .as("ndcg"))
+  }
 }

@@ -1017,6 +1017,91 @@ object Analytics {
       .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("psi"))
   }
 
+  /** Jensen–Shannon divergence between two groups of a continuous
+    * column — the SYMMETRIC, BOUNDED drift score beside [[psi]]
+    * (PSI is unbounded and blows up on near-empty bins even smoothed;
+    * JSD is ½KL(P‖M) + ½KL(Q‖M) with M = ½(P+Q), always in
+    * [0, ln 2], and √JSD is a metric — the form embedding/corpus
+    * comparison pipelines threshold on). Identical machinery to
+    * [[psi]] by construction: the SAME truncated-bin double tree, the
+    * same generated bin spine (silent bin dropout cannot skew the
+    * sum), the same Laplace smoothing p = (c+1)/(n+bins) so every ln
+    * is finite, per-bin pinned double terms accumulated through exact
+    * decimal(28,12). Output: one row (n_a, n_b, jsd). */
+  def jsDivergence(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String,
+                   lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val spine = df.sparkSession.range(bins).select(col("id").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val pa = (col("__ca") + 1).cast("double") /
+      (col("__na") + bins).cast("double")
+    val pb = (col("__cb") + 1).cast("double") /
+      (col("__nb") + bins).cast("double")
+    val m = (pa + pb) / 2
+    full
+      .withColumn("__na", sum(col("__ca")).over(w))
+      .withColumn("__nb", sum(col("__cb")).over(w))
+      .withColumn("__term", (pa * log(pa / m) + pb * log(pb / m)) * 0.5)
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("jsd"))
+  }
+
+  /** Per-GROUP [[jsDivergence]] — the sliced symmetric drift over the
+    * same bounded (groups × bins) spine as [[psiBy]]. Output: key
+    * columns + (n_a, n_b, jsd). */
+  def jsDivergenceBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                     valueCol: String, groupA: String, groupB: String,
+                     lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(keyCols.nonEmpty, "jsDivergenceBy needs key columns; use jsDivergence")
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val keys = keyCols.map(col)
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ bin.as("bin"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    def renameKeys(d: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyCond(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val spine = counts.select(keys: _*).distinct()
+      .crossJoin(df.sparkSession.range(bins).select(col("id").as("bin")))
+    val cR = renameKeys(counts, "c").withColumnRenamed("bin", "__cbin")
+    val full = spine
+      .join(cR, keyCond("c") && col("bin") === col("__cbin"), "left")
+      .select(keys ++ Seq(col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb")): _*)
+    val tot = renameKeys(full.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")), "t")
+    val pa = (col("__ca") + 1).cast("double") /
+      (col("__na") + bins).cast("double")
+    val pb = (col("__cb") + 1).cast("double") /
+      (col("__nb") + bins).cast("double")
+    val m = (pa + pb) / 2
+    full.join(tot, keyCond("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+      .withColumn("__term", (pa * log(pa / m) + pb * log(pb / m)) * 0.5)
+      .groupBy(keys :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("jsd"))
+  }
+
   /** Pearson correlation matrix of p numeric columns in ONE pass — the
     * feature-exploration screen (multicollinearity, leakage hints)
     * before model fitting at corpus scale: n, the p column sums, and

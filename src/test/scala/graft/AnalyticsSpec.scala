@@ -1205,6 +1205,53 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("jsDivergence: driver model over smoothed bins; symmetric; 0 on " +
+    "identical data; bounded by ln 2; jsDivergenceBy == global per " +
+    "slice; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(("a", 10.0), ("a", 10.0), ("a", 30.0), ("b", 30.0))
+    val g = rows.toDF("grp", "v")
+    val r = Analytics.jsDivergence(g, "grp", "v", "a", "b",
+      lo = 0.0, hi = 40.0, bins = 4).collect().head
+    // driver model: ca = [0,2,0,1], cb = [0,0,0,1], Laplace-smoothed
+    val ca = Seq(0, 2, 0, 1); val cb = Seq(0, 0, 0, 1)
+    val exp = ca.zip(cb).map { case (x, y) =>
+      val pa = (x + 1).toDouble / 7.0; val pb = (y + 1).toDouble / 5.0
+      val m = (pa + pb) / 2
+      (pa * math.log(pa / m) + pb * math.log(pb / m)) * 0.5
+    }.sum
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - exp) < 1e-9, s"jsd ${r.getDouble(2)}")
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= math.log(2.0))
+    // symmetric in the two groups
+    val rSym = Analytics.jsDivergence(g, "grp", "v", "b", "a",
+      lo = 0.0, hi = 40.0, bins = 4).collect().head
+    assert(math.abs(rSym.getDouble(2) - r.getDouble(2)) < 1e-15)
+    // identical per-bin counts -> exactly 0 (every ln(1))
+    val same = Seq(("a", 5.0), ("b", 5.0), ("a", 25.0), ("b", 25.0))
+      .toDF("grp", "v")
+    assert(Analytics.jsDivergence(same, "grp", "v", "a", "b",
+      0.0, 40.0, 4).collect().head.getDouble(2) == 0.0)
+    val sliced = rows.map { case (grp, v) => ("s1", grp, v) } ++
+      Seq(("s2", "a", 5.0), ("s2", "b", 35.0))
+    val df = sliced.toDF("k", "grp", "v")
+    val jb = Analytics.jsDivergenceBy(df, Seq("k"), "grp", "v", "a", "b",
+        0.0, 40.0, 4)
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = sliced.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("grp", "v")
+      val w = Analytics.jsDivergence(slice, "grp", "v", "a", "b",
+        0.0, 40.0, 4).collect().head
+      assert(jb(sl) == w.toSeq, s"jsDivergenceBy $sl: ${jb(sl)} vs $w")
+    }
+    partitionSweep { p =>
+      Analytics.jsDivergenceBy(df.repartition(p), Seq("k"), "grp", "v",
+          "a", "b", 0.0, 40.0, 4)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +

@@ -791,4 +791,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got(4L) == (Some(5.0), None))            // prev == 0: NULL pct
     assert(got(9L) == (None, None))                 // other key's first row
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG with score- and rel-ranked " +
+    "tie-breaks; all-zero-relevance query NULL ndcg; partition sweep") {
+    val rows = Seq( // (query, doc, score, rel)
+      ("q1", 1L, 10.0, 0L), ("q1", 2L, 9.0, 2L),
+      ("q1", 3L, 8.0, 1L), ("q1", 4L, 7.0, 3L),
+      ("q2", 5L, 3.0, 0L), ("q2", 6L, 2.0, 0L))
+    val df = rows.toDF("q", "doc", "score", "rel")
+    val got = Retrieval.ndcgAtK(df, "q", "doc", "score", "rel", k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // q1 by score: rels (0,2,1) -> DCG = 0 + 3/log2(3) + 1/log2(4);
+    // ideal rels (3,2,1) -> IDCG = 7 + 3/log2(3) + 1/log2(4)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg = 0.0 + 3.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    val idcg = 7.0 + 3.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    assert(math.abs(got("q1").getDouble(1) - dcg) < 1e-9)
+    assert(math.abs(got("q1").getDouble(2) - idcg) < 1e-9)
+    assert(math.abs(got("q1").getDouble(3) - dcg / idcg) < 1e-9)
+    assert(got("q2").getDouble(1) == 0.0 && got("q2").getDouble(2) == 0.0)
+    assert(got("q2").isNullAt(3),
+      "all-zero-relevance query must emit NULL ndcg")
+    partitionSweep { p =>
+      Retrieval.ndcgAtK(df.repartition(p), "q", "doc", "score", "rel", 3)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
 }
