@@ -401,6 +401,190 @@ private[graft] object Batch46 {
              |  CASE WHEN ic.idcg > 0
              |    THEN CAST(dc.dcg AS DOUBLE) / CAST(ic.idcg AS DOUBLE) END AS ndcg
              |FROM dc JOIN ic ON dc.event_type = ic.event_type
-             |ORDER BY dc.event_type""".stripMargin))
+             |ORDER BY dc.event_type""".stripMargin)),
+
+    // Cramér-von Mises on q217's fixture VERBATIM — the weighted-L2
+    // member beside KS (q217) and W1 (q281) on the SAME drift, so the
+    // three gates triangulate one spine: cumulatives, the signed
+    // cross-product, pooled-count weights, squared terms, decimal sum,
+    // and the n_a·n_b/(n_a+n_b)² scaling all replayed.
+    Q("q290_cramer_von_mises",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ks") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            floor(when(col("grp") === "cur" && col("event_id") % 3 === 0,
+              col("value") * 2).otherwise(col("value"))).cast("long"))
+        graft.operators.Analytics.cramerVonMises(ev, "grp", "v", "ref", "cur")
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ks' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |vals AS (SELECT grp, CAST(FLOOR(CASE WHEN grp = 'cur' AND event_id % 3 = 0
+             |    THEN value * 2 ELSE value END) AS BIGINT) AS v FROM g),
+             |c AS (SELECT v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM vals GROUP BY v),
+             |cum AS (SELECT v, ca, cb,
+             |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+             |  FROM c),
+             |t AS (SELECT na, nb,
+             |    CAST(CAST(ca + cb AS DOUBLE) * dd * dd AS DECIMAL(28,12)) AS term
+             |  FROM (SELECT na, nb, ca, cb,
+             |      CAST(CAST(cuma AS DECIMAL(38,0)) * nb
+             |        - CAST(cumb AS DECIMAL(38,0)) * na AS DOUBLE)
+             |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS dd
+             |    FROM cum))
+             |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+             |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+             |    THEN CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
+             |      / ((CAST(MAX(na) AS DOUBLE) + CAST(MAX(nb) AS DOUBLE))
+             |        * (CAST(MAX(na) AS DOUBLE) + CAST(MAX(nb) AS DOUBLE)))
+             |      * CAST(COALESCE(SUM(term), 0) AS DOUBLE) END AS cvm
+             |FROM t""".stripMargin)),
+
+    // Per-event-type Cramér-von Mises on q274's fixture — the fourth
+    // sliced two-sample gauge on ONE fixture (psiBy q274, ksTestBy
+    // q264's machinery, mannWhitneyUBy q275, wasserstein1By q282):
+    // the 'view'-only shift must dominate here too.
+    Q("q291_cramer_von_mises_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psiby") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            floor(when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value"))).cast("long"))
+        graft.operators.Analytics.cramerVonMisesBy(ev, Seq("event_type"),
+          "grp", "v", "ref", "cur").orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    value
+             |  FROM events),
+             |vals AS (SELECT event_type, grp,
+             |    CAST(FLOOR(CASE WHEN grp = 'cur' AND event_type = 'view'
+             |      THEN value * 1.5 ELSE value END) AS BIGINT) AS v FROM g),
+             |c AS (SELECT event_type, v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM vals GROUP BY 1, 2),
+             |cum AS (SELECT event_type, v, ca, cb,
+             |    SUM(ca) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             |    SUM(cb) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+             |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+             |  FROM c),
+             |t AS (SELECT event_type, na, nb,
+             |    CAST(CAST(ca + cb AS DOUBLE) * dd * dd AS DECIMAL(28,12)) AS term
+             |  FROM (SELECT event_type, na, nb, ca, cb,
+             |      CAST(CAST(cuma AS DECIMAL(38,0)) * nb
+             |        - CAST(cumb AS DECIMAL(38,0)) * na AS DOUBLE)
+             |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS dd
+             |    FROM cum))
+             |SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+             |  CAST(MAX(nb) AS BIGINT) AS n_b,
+             |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+             |    THEN CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
+             |      / ((CAST(MAX(na) AS DOUBLE) + CAST(MAX(nb) AS DOUBLE))
+             |        * (CAST(MAX(na) AS DOUBLE) + CAST(MAX(nb) AS DOUBLE)))
+             |      * CAST(COALESCE(SUM(term), 0) AS DOUBLE) END AS cvm
+             |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Cliff's delta on q229's Mann-Whitney fixture VERBATIM — the
+    // dominance effect size from the same doubled rank-sums: the z
+    // says the drift is real, delta says HOW MUCH of the pair space
+    // moved. The whole U chain plus the delta line replayed.
+    Q("q292_cliffs_delta",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ks") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            floor(when(col("grp") === "cur" && col("event_id") % 3 === 0,
+              col("value") * 2).otherwise(col("value"))).cast("long"))
+        graft.operators.Analytics.cliffsDelta(ev, "grp", "v", "ref", "cur")
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ks' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |vals AS (SELECT grp, CAST(FLOOR(CASE WHEN grp = 'cur' AND event_id % 3 = 0
+             |    THEN value * 2 ELSE value END) AS BIGINT) AS v FROM g),
+             |c AS (SELECT v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM vals GROUP BY v),
+             |cum AS (SELECT v, ca, cb, ca + cb AS t,
+             |    COALESCE(SUM(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |  FROM c),
+             |agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+             |    SUM(CAST(ca AS DECIMAL(38,0)) * (2 * before + t + 1)) AS r2a
+             |  FROM cum),
+             |ua AS (SELECT n_a, n_b,
+             |    (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0 AS u_a
+             |  FROM agg)
+             |SELECT n_a, n_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0
+             |    THEN (2.0 * u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS delta
+             |FROM ua""".stripMargin)),
+
+    // Per-event-type Cliff's delta on q274's fixture — the sliced
+    // effect size: q275's per-slice z flags the 'view' shift as real,
+    // this quantifies its dominance while the unshifted slices sit
+    // near 0.
+    Q("q293_cliffs_delta_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psiby") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            floor(when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value"))).cast("long"))
+        graft.operators.Analytics.cliffsDeltaBy(ev, Seq("event_type"),
+          "grp", "v", "ref", "cur").orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    value
+             |  FROM events),
+             |vals AS (SELECT event_type, grp,
+             |    CAST(FLOOR(CASE WHEN grp = 'cur' AND event_type = 'view'
+             |      THEN value * 1.5 ELSE value END) AS BIGINT) AS v FROM g),
+             |c AS (SELECT event_type, v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM vals GROUP BY 1, 2),
+             |cum AS (SELECT event_type, v, ca, cb, ca + cb AS t,
+             |    COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |  FROM c),
+             |agg AS (SELECT event_type,
+             |    CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+             |    SUM(CAST(ca AS DECIMAL(38,0)) * (2 * before + t + 1)) AS r2a
+             |  FROM cum GROUP BY 1),
+             |ua AS (SELECT event_type, n_a, n_b,
+             |    (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0 AS u_a
+             |  FROM agg)
+             |SELECT event_type, n_a, n_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0
+             |    THEN (2.0 * u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS delta
+             |FROM ua ORDER BY event_type""".stripMargin))
   )
 }

@@ -741,6 +741,129 @@ object Analytics {
             .cast("double")).as("w1")): _*)
   }
 
+  /** Two-sample Cramér–von Mises statistic — the weighted-L2 member
+    * completing the two-sample ECDF trio (sup: [[ksTest]], L1:
+    * [[wasserstein1]], pooled-weighted L2: this — more sensitive than
+    * KS to distributed small departures, less location-only than W1):
+    *   T = (n_a·n_b / (n_a+n_b)²) · Σ_{x ∈ pooled multiset}
+    *       (F_a(x) − F_b(x))²
+    * The multiset sum is a distinct-value sum weighted by the pooled
+    * count, so the whole statistic rides [[ksTest]]'s exact spine
+    * verbatim: dual inclusive cumulatives from ONE distributed prefix,
+    * the signed integer cross-product (cum_a·n_b − cum_b·n_a) over
+    * decimal(38,0) per value, each squared term a pinned double summed
+    * as exact decimal(28,12). No next-value join (unlike W1) — the
+    * weight is the value's own pooled count. Either group empty →
+    * NULL (undefined). Output: one row (n_a, n_b, cvm). */
+  def cramerVonMises(df: DataFrame, groupCol: String, valueCol: String,
+                     groupA: String, groupB: String): DataFrame = {
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val tot = counts.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    def d(c: Column) = c.cast("double")
+    val sums = prefixBeforeMulti(counts, "__v",
+        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+      .crossJoin(broadcast(tot))
+      .withColumn("__cuma", col("__cum_a") + col("__ca"))
+      .withColumn("__cumb", col("__cum_b") + col("__cb"))
+      .withColumn("__dd", when(col("__na") > 0 && col("__nb") > 0,
+        (col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na")).cast("double") /
+          (d(col("__na")) * d(col("__nb")))))
+      .withColumn("__term",
+        (d(col("__ca") + col("__cb")) * col("__dd") * col("__dd"))
+          .cast("decimal(28,12)"))
+      .agg(sum(col("__term")).as("__s"))
+    tot.crossJoin(broadcast(sums))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          d(col("__na")) * d(col("__nb")) /
+            ((d(col("__na")) + d(col("__nb"))) *
+              (d(col("__na")) + d(col("__nb")))) *
+            d(coalesce(col("__s"), lit(0).cast("decimal(28,12)"))))
+          .as("cvm"))
+  }
+
+  /** Per-GROUP [[cramerVonMises]] — the sliced weighted-L2 drift.
+    * Keyed distributed prefix + keys-sized totals joined back
+    * null-safe; no spine join is needed (every group with rows has
+    * terms — a missing side just makes them NULL). Output: key
+    * columns + (n_a, n_b, cvm). */
+  def cramerVonMisesBy(df: DataFrame, keyCols: Seq[String],
+                       groupCol: String, valueCol: String,
+                       groupA: String, groupB: String): DataFrame = {
+    require(keyCols.nonEmpty, "cramerVonMisesBy needs key columns; use cramerVonMises")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    def renameKeys(dv: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dv) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val tot = counts.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    def d(c: Column) = c.cast("double")
+    prefixBeforeMultiBy(counts, keyCols, "__v",
+        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+      .join(renameKeys(tot, "t"), keyJoin("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+      .withColumn("__cuma", col("__cum_a") + col("__ca"))
+      .withColumn("__cumb", col("__cum_b") + col("__cb"))
+      .withColumn("__dd", when(col("__na") > 0 && col("__nb") > 0,
+        (col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na")).cast("double") /
+          (d(col("__na")) * d(col("__nb")))))
+      .withColumn("__term",
+        (d(col("__ca") + col("__cb")) * col("__dd") * col("__dd"))
+          .cast("decimal(28,12)"))
+      .groupBy(keys :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(sum(col("__term")).as("__s"))
+      .select(keys ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          d(col("n_a")) * d(col("n_b")) /
+            ((d(col("n_a")) + d(col("n_b"))) *
+              (d(col("n_a")) + d(col("n_b")))) * d(col("__s")))
+          .as("cvm")): _*)
+  }
+
+  /** Cliff's delta — the EFFECT-SIZE companion of [[mannWhitneyU]]
+    * (U's z answers "is the shift real", δ answers "how big is it in
+    * dominance terms"): δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1],
+    * which with average-rank tie handling is exactly
+    * (2·U_a − n_a·n_b) / (n_a·n_b). Pure post-chain over
+    * [[mannWhitneyU]]'s exact sufficient statistics — same single
+    * distributed-prefix pass, one more pinned double line. Output:
+    * one row (n_a, n_b, delta); NULL when either group is empty. */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    mannWhitneyU(df, groupCol, valueCol, groupA, groupB)
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (lit(2.0) * col("u_a") - d(col("n_a")) * d(col("n_b"))) /
+            (d(col("n_a")) * d(col("n_b")))).as("delta"))
+  }
+
+  /** Per-GROUP [[cliffsDelta]] over [[mannWhitneyUBy]]'s statistics.
+    * Output: key columns + (n_a, n_b, delta). */
+  def cliffsDeltaBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                    valueCol: String, groupA: String, groupB: String)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "cliffsDeltaBy needs key columns; use cliffsDelta")
+    def d(c: Column) = c.cast("double")
+    mannWhitneyUBy(df, keyCols, groupCol, valueCol, groupA, groupB)
+      .select(keyCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (lit(2.0) * col("u_a") - d(col("n_a")) * d(col("n_b"))) /
+            (d(col("n_a")) * d(col("n_b")))).as("delta")): _*)
+  }
+
   /** Sketch-ECDF two-sample KS — [[ksTest]]'s UNBOUNDED-cardinality
     * scale path: each group's distribution is reduced to a ≤k-centroid
     * KHist sketch ([[graft.functions.Sketches.KHistAgg]] — mergeable,

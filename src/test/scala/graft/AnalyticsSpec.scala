@@ -1252,6 +1252,58 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cramerVonMises + cliffsDelta: hand-computed statistics; By == " +
+    "global per slice; degenerate slices; partition sweep") {
+    import spark.implicits._
+    // a = {0,4}, b = {2,4}: only v=0 has Fa!=Fb (1/2 vs 0), weight 1
+    // -> T = (4/16)·(1·0.25) = 0.0625
+    val g = Seq(("a", 0L), ("a", 4L), ("b", 2L), ("b", 4L)).toDF("grp", "v")
+    val r = Analytics.cramerVonMises(g, "grp", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 0.0625) < 1e-12, s"cvm ${r.getDouble(2)}")
+    // identical one-point distributions -> exactly 0
+    val same = Seq(("a", 7L), ("b", 7L)).toDF("grp", "v")
+    assert(Analytics.cramerVonMises(same, "grp", "v", "a", "b")
+      .collect().head.getDouble(2) == 0.0)
+    // cliff's delta: a = {1,2}, b = {2,3}: (0 gt - 3 lt)/4 = -0.75;
+    // total dominance a = {5,6} over b = {1,2} -> +1
+    val cd = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("grp", "v")
+    val rc = Analytics.cliffsDelta(cd, "grp", "v", "a", "b").collect().head
+    assert(math.abs(rc.getDouble(2) - (-0.75)) < 1e-12, s"delta ${rc.getDouble(2)}")
+    val dom = Seq(("a", 5L), ("a", 6L), ("b", 1L), ("b", 2L)).toDF("grp", "v")
+    assert(Analytics.cliffsDelta(dom, "grp", "v", "a", "b")
+      .collect().head.getDouble(2) == 1.0)
+    val rows = Seq( // (slice, grp, v)
+      ("s1", "a", 0L), ("s1", "a", 4L), ("s1", "b", 2L), ("s1", "b", 4L),
+      ("s2", "a", 1L), ("s2", "a", 2L), ("s2", "b", 2L), ("s2", "b", 3L),
+      ("s3", "a", 1L), ("s3", "a", 2L)) // missing group b -> NULLs
+    val df = rows.toDF("k", "grp", "v")
+    val vb = Analytics.cramerVonMisesBy(df, Seq("k"), "grp", "v", "a", "b")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    val db = Analytics.cliffsDeltaBy(df, Seq("k"), "grp", "v", "a", "b")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2", "s3")) {
+      val slice = rows.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("grp", "v")
+      val vw = Analytics.cramerVonMises(slice, "grp", "v", "a", "b")
+        .collect().head
+      assert(vb(sl) == vw.toSeq, s"cramerVonMisesBy $sl: ${vb(sl)} vs $vw")
+      val dw = Analytics.cliffsDelta(slice, "grp", "v", "a", "b")
+        .collect().head
+      assert(db(sl) == dw.toSeq, s"cliffsDeltaBy $sl: ${db(sl)} vs $dw")
+    }
+    assert(vb("s3").last == null && db("s3").last == null,
+      "missing-group slice must emit NULLs")
+    partitionSweep { p =>
+      Analytics.cramerVonMisesBy(df.repartition(p), Seq("k"), "grp", "v",
+          "a", "b")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString) ++
+        Analytics.cliffsDeltaBy(df.repartition(p), Seq("k"), "grp", "v",
+          "a", "b")
+          .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
