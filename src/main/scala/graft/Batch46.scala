@@ -585,6 +585,172 @@ private[graft] object Batch46 {
              |  CASE WHEN n_a > 0 AND n_b > 0
              |    THEN (2.0 * u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
              |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS delta
-             |FROM ua ORDER BY event_type""".stripMargin))
+             |FROM ua ORDER BY event_type""".stripMargin)),
+
+    // Per-quantile drift report on q217's fixture — WHERE the ×2 tail
+    // stretch lives: the low quantiles barely move while p90/p99 jump,
+    // exactly the signature one number (KS/W1) cannot localize. Both
+    // groups' exact interpolated quantiles (the q267 chain keyed on
+    // grp) and every shift replayed.
+    Q("q294_quantile_shift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ks") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            floor(when(col("grp") === "cur" && col("event_id") % 3 === 0,
+              col("value") * 2).otherwise(col("value"))).cast("long"))
+        graft.operators.Aggregations.quantileShift(ev, "grp", "v",
+          "ref", "cur", Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ks' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |vals AS (SELECT grp, CAST(FLOOR(CASE WHEN grp = 'cur' AND event_id % 3 = 0
+             |    THEN value * 2 ELSE value END) AS BIGINT) AS v0 FROM g),
+             |c AS (SELECT grp, CAST(v0 AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM vals GROUP BY 1, 2),
+             |cum AS (SELECT grp, v, c,
+             |  COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             |  SUM(c) OVER (PARTITION BY grp) AS n FROM c),
+             |p AS (SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS p),
+             |lo AS (SELECT cum.grp, p.p, cum.n, cum.v AS vlo,
+             |    p.p * (cum.n - 1) - FLOOR(p.p * (cum.n - 1)) AS frac
+             |  FROM cum JOIN p ON cum.s <= CAST(FLOOR(p.p * (cum.n - 1)) AS BIGINT)
+             |    AND CAST(FLOOR(p.p * (cum.n - 1)) AS BIGINT) < cum.s + cum.c),
+             |hi AS (SELECT cum.grp AS g2, p.p AS p2, cum.v AS vhi
+             |  FROM cum JOIN p ON cum.s <= LEAST(CAST(FLOOR(p.p * (cum.n - 1)) AS BIGINT) + 1, cum.n - 1)
+             |    AND LEAST(CAST(FLOOR(p.p * (cum.n - 1)) AS BIGINT) + 1, cum.n - 1) < cum.s + cum.c),
+             |q AS (SELECT lo.grp, lo.p, CAST(lo.n AS BIGINT) AS n,
+             |    vlo + frac * (vhi - vlo) AS value
+             |  FROM lo JOIN hi ON lo.grp = hi.g2 AND lo.p = hi.p2),
+             |qa AS (SELECT p, n AS n_a, value AS q_a FROM q WHERE grp = 'ref'),
+             |qb AS (SELECT p AS p2, n AS n_b, value AS q_b FROM q WHERE grp = 'cur')
+             |SELECT COALESCE(qa.p, qb.p2) AS p, n_a, n_b, q_a, q_b,
+             |  q_b - q_a AS shift
+             |FROM qa FULL JOIN qb ON qa.p = qb.p2 ORDER BY p""".stripMargin)),
+
+    // Binary-relevance retrieval eval per event_type: P@20 / R@20 /
+    // reciprocal rank with the deterministic (score desc, doc asc)
+    // ranking — the eval trio beside q289's graded NDCG. rel =
+    // event_id % 7 (uncorrelated with the score), so every number
+    // lands strictly between the degenerate 0/1 endpoints.
+    Q("q295_retrieval_eval",
+      (s, dir) => {
+        graft.functions.Retrieval.retrievalEvalAtK(Tables.events(s, dir),
+          "event_type", "event_id", "value", col("event_id") % 7 === 0,
+          k = 20).orderBy("event_type")
+      },
+      Some("""WITH base AS (SELECT event_type, event_id AS doc, value AS score,
+             |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS rel FROM events),
+             |r AS (SELECT event_type, rel,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, doc ASC) AS rn
+             |  FROM base),
+             |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(rel) AS BIGINT) AS n_rel,
+             |    CAST(SUM(CASE WHEN rn <= 20 THEN rel ELSE 0 END) AS BIGINT) AS hits,
+             |    MIN(CASE WHEN rel = 1 AND rn <= 20 THEN rn END) AS first
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, n_docs, n_rel, hits,
+             |  CAST(hits AS DOUBLE) / 20.0 AS p_at_k,
+             |  CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) END AS r_at_k,
+             |  CASE WHEN n_rel > 0 THEN COALESCE(1.0 / CAST(first AS DOUBLE), 0.0) END AS rr
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // One-way ANOVA F across the five order priorities — the k-group
+    // mean screen: per-group decimal moments, both sum-of-squares
+    // identities, and the F chain replayed in pinned order. The value
+    // is pre-scaled by 1e-6 (F is scale-invariant): v becomes an
+    // 8-decimal-exact quantity below 1, so every double->decimal cast
+    // sits far from a scale-12 rounding boundary and Spark's
+    // exact-expansion rounding agrees with DuckDB's shortest-string
+    // rounding on every row (a 2^-21 scaling was tried first and
+    // produced dyadic decimals that land ON ties — 5 rows flipped).
+    Q("q296_anova_f",
+      (s, dir) => graft.operators.Analytics.oneWayF(
+        Tables.orders(s, dir)
+          .withColumn("v", col("o_totalprice") / 1000000),
+        "o_orderpriority", "v"),
+      Some("""WITH base AS (SELECT o_orderpriority AS grp, o_totalprice / 1000000 AS v
+             |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+             |g AS (SELECT grp,
+             |    CAST(COUNT(*) AS BIGINT) AS ng,
+             |    SUM(CAST(v AS DECIMAL(28,12))) AS s1g,
+             |    SUM(CAST(v * v AS DECIMAL(28,12))) AS s2g
+             |  FROM base
+             |  GROUP BY 1),
+             |gt AS (SELECT grp, ng, s1g,
+             |    CAST(s1g AS DOUBLE) * CAST(s1g AS DOUBLE) / CAST(ng AS DOUBLE) AS bt,
+             |    CAST(s2g AS DOUBLE) - CAST(s1g AS DOUBLE) * CAST(s1g AS DOUBLE) / CAST(ng AS DOUBLE) AS wt
+             |  FROM g),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+             |    SUM(s1g) AS s1,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), LIST(bt ORDER BY grp)), (x, y) -> x + y) AS b,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), LIST(wt ORDER BY grp)), (x, y) -> x + y) AS w
+             |  FROM gt),
+             |f AS (SELECT k, n,
+             |    b - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+             |    w AS ssw FROM a)
+             |SELECT k, n, ssb AS ss_between, ssw AS ss_within,
+             |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+             |  CASE WHEN k > 1 AND n > k AND ssw > 0
+             |    THEN (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) END AS f
+             |FROM f""".stripMargin)),
+
+    // Brown-Forsythe variance homogeneity on the same (1e-6-scaled)
+    // fixture — "did the SPREAD differ by priority": per-group exact
+    // medians (the q267 interpolation chain, replayed manually — NOT
+    // the engine's built-in percentile, so the median semantics stay
+    // under the gate), |v − med| deviations, then the full ANOVA
+    // chain on them.
+    Q("q297_brown_forsythe",
+      (s, dir) => graft.operators.Analytics.brownForsythe(
+        Tables.orders(s, dir)
+          .withColumn("v", col("o_totalprice") / 1000000),
+        "o_orderpriority", "v"),
+      Some("""WITH base AS (SELECT o_orderpriority AS grp, o_totalprice / 1000000 AS v
+             |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+             |c AS (SELECT grp, CAST(v AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM base GROUP BY 1, 2),
+             |cum AS (SELECT grp, v, c,
+             |  COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             |  SUM(c) OVER (PARTITION BY grp) AS n FROM c),
+             |lo AS (SELECT grp, n, v AS vlo,
+             |    0.5 * (n - 1) - FLOOR(0.5 * (n - 1)) AS frac
+             |  FROM cum WHERE s <= CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+             |    AND CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) < s + c),
+             |hi AS (SELECT grp AS g2, v AS vhi
+             |  FROM cum WHERE s <= LEAST(CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1, n - 1)
+             |    AND LEAST(CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1, n - 1) < s + c),
+             |med AS (SELECT lo.grp, vlo + frac * (vhi - vlo) AS med
+             |  FROM lo JOIN hi ON lo.grp = hi.g2),
+             |z AS (SELECT base.grp, ABS(CAST(base.v AS DOUBLE) - med.med) AS z
+             |  FROM base JOIN med ON base.grp = med.grp),
+             |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+             |    SUM(CAST(z AS DECIMAL(28,12))) AS s1g,
+             |    SUM(CAST(z * z AS DECIMAL(28,12))) AS s2g
+             |  FROM z GROUP BY 1),
+             |gt AS (SELECT grp, ng, s1g,
+             |    CAST(s1g AS DOUBLE) * CAST(s1g AS DOUBLE) / CAST(ng AS DOUBLE) AS bt,
+             |    CAST(s2g AS DOUBLE) - CAST(s1g AS DOUBLE) * CAST(s1g AS DOUBLE) / CAST(ng AS DOUBLE) AS wt
+             |  FROM g),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+             |    SUM(s1g) AS s1,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), LIST(bt ORDER BY grp)), (x, y) -> x + y) AS b,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), LIST(wt ORDER BY grp)), (x, y) -> x + y) AS w
+             |  FROM gt),
+             |f AS (SELECT k, n,
+             |    b - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+             |    w AS ssw FROM a)
+             |SELECT k, n, ssb AS ss_between, ssw AS ss_within,
+             |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+             |  CASE WHEN k > 1 AND n > k AND ssw > 0
+             |    THEN (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) END AS f
+             |FROM f""".stripMargin))
   )
 }

@@ -410,5 +410,10 @@ object SparkEntry {
     // round-15 addition: the per-group exact percentiles (per-key
     // PARTITIONED distinct-value windows — the ksTestBy plan family's
     // quantile member)
-    "q267_quantiles_cont_by")
+    "q267_quantiles_cont_by",
+    // round-15 (second session) addition: exact 1-D Wasserstein — the
+    // only member of the two-sample family with a next-value equi-join
+    // on the prefix-derived dense index (a regression in that join
+    // shape, or in the triple-weight prefix pass, shows here)
+    "q281_wasserstein1")
 }

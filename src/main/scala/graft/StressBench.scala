@@ -627,6 +627,18 @@ object StressBench {
             .otherwise(concat(lit("g"), (col("id") % 100).cast("string"))).as("g"),
           ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
         Seq("g"), "v", Seq(0.5, 0.9, 0.99))),
+      // round 15: exact W1 over 50M rows with ~50M DISTINCT pooled
+      // values split into two interleaved 25M-row groups — the
+      // worst-case for the distinct-value spine (|distinct| ≈ |rows|)
+      // AND for the next-value equi-join (a 50M-row self-join on
+      // index+1). Must land in pctl_distinct_50m's ballpark plus the
+      // join: the dense index rides the SAME prefix pass, so the only
+      // added exchange is the idx-keyed join.
+      "wasserstein_50m" -> (() => graft.operators.Analytics.wasserstein1(
+        spark.range(50000000L).select(
+          when(col("id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("g"),
+          ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
+        "g", "v", "ref", "cur")),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning

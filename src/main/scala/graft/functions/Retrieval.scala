@@ -310,4 +310,39 @@ object Retrieval {
           col("__dcg").cast("double") / col("__idcg").cast("double"))
           .as("ndcg"))
   }
+
+  /** Precision@k / recall@k / reciprocal rank — the BINARY-relevance
+    * eval trio beside [[ndcgAtK]]'s graded one: per query over the
+    * (score desc, doc asc)-deterministic ranking,
+    * P@k = hits_k / k (fixed-k denominator, the standard form),
+    * R@k = hits_k / n_rel, RR = 1/rank of the first relevant hit
+    * within k (0 if none in the top k — mean over queries gives
+    * MRR@k). Queries with NO relevant docs emit NULL r_at_k/rr
+    * (undefined, not zero — they must not drag an MRR average). One
+    * per-query window + one aggregate; counts exact, divisions pinned.
+    * Output: (queryCol, n_docs, n_rel, hits, p_at_k, r_at_k, rr). */
+  def retrievalEvalAtK(df: DataFrame, queryCol: String, docCol: String,
+                       scoreCol: String, relevant: Column, k: Int)
+      : DataFrame = {
+    require(k >= 1, "retrievalEvalAtK needs k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    df.withColumn("__rel", when(relevant, 1L).otherwise(0L))
+      .withColumn("__rn", row_number().over(byScore))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__rel")).as("n_rel"),
+        sum(when(col("__rn") <= k, col("__rel")).otherwise(0L)).as("hits"),
+        min(when(col("__rel") === 1L && col("__rn") <= k, col("__rn")))
+          .as("__first"))
+      .select(col(queryCol), col("n_docs"), col("n_rel"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        when(col("n_rel") > 0,
+          col("hits").cast("double") / col("n_rel").cast("double"))
+          .as("r_at_k"),
+        when(col("n_rel") > 0,
+          coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)))
+          .as("rr"))
+  }
 }

@@ -497,4 +497,32 @@ object Aggregations {
           .as("value")): _*)
       .orderBy(keys :+ col("p"): _*)
   }
+
+  /** Per-quantile drift report — WHERE a distribution moved, not just
+    * whether ([[graft.operators.Analytics.ksTest]] & co. give one
+    * number; modelers ask "which quantiles shifted"): exact
+    * percentile_cont per GROUP at each p via [[quantilesContBy]] keyed
+    * on the group column (the keyed distributed prefix — both groups'
+    * quantiles from ONE pass, hot groups split across range slices),
+    * pivoted to per-p rows with the shift q_b − q_a. A side missing
+    * entirely surfaces as NULL q/shift (FULL join on p), not a dropped
+    * row. Output: one row per p — (p, n_a, n_b, q_a, q_b, shift),
+    * ordered by p. */
+  def quantileShift(df: DataFrame, groupCol: String, valueCol: String,
+                    groupA: String, groupB: String,
+                    ps: Seq[Double]): DataFrame = {
+    val q = quantilesContBy(
+      df.filter(col(groupCol).isin(groupA, groupB)), Seq(groupCol),
+      valueCol, ps)
+    val qa = q.filter(col(groupCol) === groupA)
+      .select(col("p"), col("n").as("n_a"), col("value").as("q_a"))
+    val qb = q.filter(col(groupCol) === groupB)
+      .select(col("p").as("__p2"), col("n").as("n_b"),
+        col("value").as("q_b"))
+    qa.join(qb, col("p") === col("__p2"), "full")
+      .select(coalesce(col("p"), col("__p2")).as("p"),
+        col("n_a"), col("n_b"), col("q_a"), col("q_b"),
+        (col("q_b") - col("q_a")).as("shift"))
+      .orderBy("p")
+  }
 }

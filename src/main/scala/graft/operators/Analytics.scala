@@ -864,6 +864,81 @@ object Analytics {
             (d(col("n_a")) * d(col("n_b")))).as("delta")): _*)
   }
 
+  /** One-way ANOVA F — the K-GROUP extension of [[welchT]]'s pairwise
+    * question ("did ANY group's mean move"): F = (SSB/(k−1)) /
+    * (SSW/(n−k)) from per-group (n, Σv, Σv²) decimal sufficient
+    * statistics — ONE map-side-combined scan into a groups-sized
+    * aggregate, then a pinned double chain. The per-row decimal casts
+    * make the per-group sums exact; each group's between/within terms
+    * (s1g²/ng, s2g − s1g²/ng) are then pinned doubles, and the
+    * CROSS-GROUP reduction is an ORDERED left fold (sort_array +
+    * aggregate) — deterministic under any partitioning, and replayable
+    * by an engine folding the same doubles in the same group order.
+    * (A decimal(28,12) cast of those terms is NOT replayable: Spark
+    * rounds a double's exact binary expansion while DuckDB rounds its
+    * shortest string form, and at term magnitudes ≥ ~100 the scale-12
+    * digit falls exactly on the shortest form's last digit — measured
+    * flips, hence the fold.) Classic equal-variance ANOVA (for unequal
+    * variances per group, [[welchT]] pairwise or [[brownForsythe]]'s
+    * robust screen). k < 2, n ≤ k, or zero within-variance → NULL f
+    * (undefined). k is the number of COMPARED groups — the one-row
+    * fold array is k-sized, fine for ANOVA's contract (thousands), not
+    * a per-key-of-millions reduction. Output: one row
+    * (k, n, ss_between, ss_within, df1, df2, f). */
+  def oneWayF(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol)
+    val g = df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(v.cast("decimal(28,12)")).as("__s1g"),
+        sum((v * v).cast("decimal(28,12)")).as("__s2g"))
+    g.select(col("__ng"), col("__s1g"),
+        struct(col(groupCol).as("g"),
+          (d(col("__s1g")) * d(col("__s1g")) / d(col("__ng"))).as("bt"),
+          (d(col("__s2g")) -
+            d(col("__s1g")) * d(col("__s1g")) / d(col("__ng"))).as("wt"))
+          .as("__t"))
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sum(col("__s1g")).as("__s1"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .withColumn("__b", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("bt")))
+      .withColumn("__w", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("wt")))
+      .withColumn("__ssb", when(col("n") > 0,
+        col("__b") - d(col("__s1")) * d(col("__s1")) / d(col("n"))))
+      .select(col("k"), col("n"),
+        col("__ssb").as("ss_between"),
+        when(col("k") > 0, col("__w")).as("ss_within"),
+        (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+        when(col("k") > 1 && col("n") > col("k") && col("__w") > 0,
+          (col("__ssb") / d(col("k") - 1)) /
+            (col("__w") / d(col("n") - col("k")))).as("f"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test — "did the SPREAD
+    * change across groups": [[oneWayF]] run on z = |v − median_g|
+    * (median-centered, the robust Levene variant — mean-centering is
+    * outlier-fragile). Per-group exact medians come from
+    * [[graft.operators.Aggregations.quantilesContBy]] keyed on the
+    * group (the keyed distributed prefix — hot groups split across
+    * range slices) and join back as a groups-sized frame; then the
+    * one-scan ANOVA chain on the absolute deviations. Output:
+    * [[oneWayF]]'s row over z. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val med = graft.operators.Aggregations
+      .quantilesContBy(base, Seq(groupCol), valueCol, Seq(0.5))
+      .select(col(groupCol).as("__bfk"), col("value").as("__med"))
+    oneWayF(base.join(med, col(groupCol) === col("__bfk"))
+        .withColumn("__z",
+          abs(col(valueCol).cast("double") - col("__med"))),
+      groupCol, "__z")
+  }
+
   /** Sketch-ECDF two-sample KS — [[ksTest]]'s UNBOUNDED-cardinality
     * scale path: each group's distribution is reduced to a ≤k-centroid
     * KHist sketch ([[graft.functions.Sketches.KHistAgg]] — mergeable,

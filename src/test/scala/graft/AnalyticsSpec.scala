@@ -1304,6 +1304,65 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantileShift: hand-computed per-quantile shifts; missing side " +
+    "surfaces as NULLs, not dropped rows; partition sweep") {
+    import spark.implicits._
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 20L)).toDF("grp", "v")
+    val r = graft.operators.Aggregations.quantileShift(df, "grp", "v",
+        "a", "b", Seq(0.0, 0.5))
+      .collect().map(x => x.getDouble(0) -> x).toMap
+    assert(r(0.0).getDouble(3) == 0.0 && r(0.0).getDouble(4) == 10.0 &&
+      r(0.0).getDouble(5) == 10.0)
+    assert(r(0.5).getDouble(3) == 2.0 && r(0.5).getDouble(4) == 15.0 &&
+      r(0.5).getDouble(5) == 13.0, s"p50 ${r(0.5)}")
+    assert(r(0.5).getLong(1) == 5L && r(0.5).getLong(2) == 2L)
+    // a side with no rows: rows survive with NULL q_b/shift
+    val miss = graft.operators.Aggregations.quantileShift(df, "grp", "v",
+      "a", "zz", Seq(0.5)).collect().head
+    assert(miss.getDouble(3) == 2.0 && miss.isNullAt(4) && miss.isNullAt(5))
+    partitionSweep { p =>
+      graft.operators.Aggregations.quantileShift(df.repartition(p), "grp",
+          "v", "a", "b", Seq(0.0, 0.5, 1.0))
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString.toDouble)
+    }
+  }
+
+  test("oneWayF: hand-computed F; degenerate NULLs; brownForsythe == " +
+    "oneWayF over |v - group median|; partition sweep") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {4,5,6}: SSB = 13.5, SSW = 4, F = 13.5/1 over
+    // 4/4 = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Analytics.oneWayF(df, "g", "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(math.abs(r.getAs[Double]("ss_between") - 13.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ss_within") - 4.0) < 1e-9)
+    assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 4L)
+    assert(math.abs(r.getAs[Double]("f") - 13.5) < 1e-9, s"f $r")
+    // one group -> NULL f; all-constant -> zero SSW -> NULL f
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Analytics.oneWayF(one, "g", "v").collect().head.isNullAt(6))
+    val const = Seq(("a", 3.0), ("a", 3.0), ("b", 3.0), ("b", 3.0))
+      .toDF("g", "v")
+    assert(Analytics.oneWayF(const, "g", "v").collect().head.isNullAt(6))
+    // brownForsythe == oneWayF applied to manually median-centered |z|
+    val bf = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0), ("b", 5.0), ("b", 6.0), ("b", 7.0), ("b", 8.0),
+      ("b", 9.0)).toDF("g", "v")
+    val got = Analytics.brownForsythe(bf, "g", "v").collect().head
+    val z = bf.withColumn("z",
+      abs(col("v") - when(col("g") === "a", 3.0).otherwise(7.0)))
+    val want = Analytics.oneWayF(z, "g", "z").collect().head
+    assert(got.toSeq == want.toSeq, s"BF $got vs $want")
+    assert(got.getAs[Double]("f") > 0)
+    partitionSweep { p =>
+      Analytics.brownForsythe(bf.repartition(p), "g", "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +

@@ -817,4 +817,32 @@ class RetrievalSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
     }
   }
+
+  test("retrievalEvalAtK: hand-computed P@k/R@k/RR; zero-relevant " +
+    "query NULLs; relevant-beyond-k gives rr 0; partition sweep") {
+    val rows = Seq( // (query, doc, score, rel)
+      ("q1", 1L, 10.0, false), ("q1", 2L, 9.0, true),
+      ("q1", 3L, 8.0, false), ("q1", 4L, 7.0, true),
+      ("q2", 5L, 3.0, false), ("q2", 6L, 2.0, false),
+      ("q3", 7L, 9.0, false), ("q3", 8L, 8.0, false), ("q3", 9L, 7.0, true))
+    val df = rows.toDF("q", "doc", "score", "rel")
+    val got = Retrieval.retrievalEvalAtK(df, "q", "doc", "score",
+        col("rel"), k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("q1") // hit at rank 2 only
+    assert(g1.getLong(1) == 4L && g1.getLong(2) == 2L && g1.getLong(3) == 1L)
+    assert(g1.getDouble(4) == 0.5 && g1.getDouble(5) == 0.5 &&
+      g1.getDouble(6) == 0.5)
+    assert(got("q2").isNullAt(5) && got("q2").isNullAt(6),
+      "zero-relevant query must emit NULL r/rr")
+    assert(got("q2").getDouble(4) == 0.0)
+    val g3 = got("q3") // only relevant doc at rank 3 > k
+    assert(g3.getLong(3) == 0L && g3.getDouble(4) == 0.0 &&
+      g3.getDouble(5) == 0.0 && g3.getDouble(6) == 0.0)
+    partitionSweep { p =>
+      Retrieval.retrievalEvalAtK(df.repartition(p), "q", "doc", "score",
+          col("rel"), 2)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
 }
