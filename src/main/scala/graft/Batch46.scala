@@ -751,6 +751,116 @@ private[graft] object Batch46 {
              |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
              |  CASE WHEN k > 1 AND n > k AND ssw > 0
              |    THEN (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) END AS f
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // Confusion-matrix eval at one operating point: pred = score
+    // threshold, label = value plus deterministic per-event noise —
+    // correlated but imperfect, so tp/fp/fn/tn are all populated and
+    // precision/recall/F1/MCC land strictly inside (0,1). Every count,
+    // every ratio, the exact MCC cross-product, and the sqrt replayed.
+    Q("q298_confusion_stats",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+        graft.functions.ML.confusionStats(ev,
+          label = (col("value") + (col("event_id") % 20)) > 65,
+          predicted = col("value") > 55)
+      },
+      Some("""WITH b AS (SELECT
+             |    CASE WHEN value + (event_id % 20) > 65 THEN 1 ELSE 0 END AS lab,
+             |    CASE WHEN value > 55 THEN 1 ELSE 0 END AS pred
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT
+             |    CAST(SUM(CASE WHEN lab = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(SUM(CASE WHEN lab = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(SUM(CASE WHEN lab = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |    CAST(SUM(CASE WHEN lab = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |  FROM b),
+             |m AS (SELECT *, tp + fp + fn + tn AS n,
+             |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+             |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+             |  FROM c)
+             |SELECT CAST(n AS BIGINT) AS n, tp, fp, fn, tn, precision, recall,
+             |  CASE WHEN precision + recall > 0
+             |    THEN 2.0 * precision * recall / (precision + recall) END AS f1,
+             |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+             |    THEN CAST(CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+             |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+             |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END AS mcc
+             |FROM m""".stripMargin)),
+
+    // Per-event-type confusion stats — the sliced operating point: the
+    // threshold tuned on purchases runs against every slice's own
+    // value profile, so per-slice precision/recall spread wide around
+    // the pooled number.
+    Q("q299_confusion_stats_by",
+      (s, dir) => {
+        graft.functions.ML.confusionStatsBy(Tables.events(s, dir),
+          Seq("event_type"),
+          label = (col("value") + (col("event_id") % 20)) > 65,
+          predicted = col("value") > 55).orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |    CASE WHEN value + (event_id % 20) > 65 THEN 1 ELSE 0 END AS lab,
+             |    CASE WHEN value > 55 THEN 1 ELSE 0 END AS pred
+             |  FROM events),
+             |c AS (SELECT event_type,
+             |    CAST(SUM(CASE WHEN lab = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(SUM(CASE WHEN lab = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(SUM(CASE WHEN lab = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |    CAST(SUM(CASE WHEN lab = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |  FROM b GROUP BY 1),
+             |m AS (SELECT *, tp + fp + fn + tn AS n,
+             |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+             |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+             |  FROM c)
+             |SELECT event_type, CAST(n AS BIGINT) AS n, tp, fp, fn, tn, precision, recall,
+             |  CASE WHEN precision + recall > 0
+             |    THEN 2.0 * precision * recall / (precision + recall) END AS f1,
+             |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+             |    THEN CAST(CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+             |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+             |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END AS mcc
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Share-drift top movers: a hash-split reference vs a current
+    // slice where every key ≡ 0 (mod 50) is REMAPPED to key 0 — key 0
+    // absorbs three keys' mass (the top gainer by construction) while
+    // keys 50/100/150 zero out (the top losers). Counts, broadcast
+    // totals, both shares, the diff, and the (|diff| desc, key asc)
+    // top-15 cut all replayed.
+    Q("q300_share_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "sd") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("k",
+            when(col("grp") === "cur" && col("user_id") % 50 === 0, 0L)
+              .otherwise(col("user_id") % 200))
+        graft.operators.Analytics.shareDrift(ev, "k", "grp",
+          "ref", "cur", topN = 15)
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('sd' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp,
+             |    user_id
+             |  FROM events),
+             |keyed AS (SELECT grp,
+             |    CASE WHEN grp = 'cur' AND user_id % 50 = 0 THEN 0
+             |      ELSE user_id % 200 END AS k FROM g),
+             |c AS (SELECT k,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+             |  FROM keyed GROUP BY 1),
+             |t AS (SELECT c.*, tt.na, tt.nb
+             |  FROM c CROSS JOIN (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM c) tt),
+             |sh AS (SELECT k, cnt_a, cnt_b,
+             |    CASE WHEN na > 0 THEN CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE) END AS share_a,
+             |    CASE WHEN nb > 0 THEN CAST(cnt_b AS DOUBLE) / CAST(nb AS DOUBLE) END AS share_b
+             |  FROM t)
+             |SELECT CAST(k AS BIGINT) AS k, cnt_a, cnt_b, share_a, share_b,
+             |  share_b - share_a AS diff
+             |FROM sh ORDER BY ABS(share_b - share_a) DESC, k LIMIT 15""".stripMargin))
   )
 }

@@ -523,6 +523,66 @@ object ML {
         when(col("__n") > 0, d(col("__e"))).as("ece")): _*)
   }
 
+  /** Confusion-matrix evaluation at a decision point — exact counts
+    * (tp, fp, fn, tn) plus the derived precision / recall / F1 /
+    * Matthews correlation, the THRESHOLDED half of classifier eval
+    * beside the threshold-free [[aucRoc]]/[[avgPrecision]] (a deployed
+    * filter runs at ONE operating point; these are its numbers). One
+    * map-side-combined scan; the numerator tp·tn − fp·fn is an exact
+    * decimal(38,0) integer cross-product cast once, the denominator a
+    * pinned double sqrt. Degenerate margins (no predicted positives,
+    * no actual positives, any zero MCC margin, p + r = 0) emit NULL
+    * for the affected ratio — undefined, not zero. Output: one row
+    * (n, tp, fp, fn, tn, precision, recall, f1, mcc). */
+  def confusionStats(df: DataFrame, label: org.apache.spark.sql.Column,
+                     predicted: org.apache.spark.sql.Column): DataFrame =
+    confusionChain(df.agg(
+      confusionAggs(label, predicted).head,
+      confusionAggs(label, predicted).tail: _*))
+
+  /** Per-GROUP [[confusionStats]] — the sliced operating point (a
+    * filter tuned on the pooled corpus routinely has slice precision
+    * far off the pooled number). Output: key columns + the same row. */
+  def confusionStatsBy(df: DataFrame, keyCols: Seq[String],
+                       label: org.apache.spark.sql.Column,
+                       predicted: org.apache.spark.sql.Column): DataFrame = {
+    require(keyCols.nonEmpty, "confusionStatsBy needs key columns; use confusionStats")
+    confusionChain(df.groupBy(keyCols.map(col): _*).agg(
+      confusionAggs(label, predicted).head,
+      confusionAggs(label, predicted).tail: _*))
+  }
+
+  private def confusionAggs(label: org.apache.spark.sql.Column,
+      predicted: org.apache.spark.sql.Column) = Seq(
+    sum(when(label && predicted, 1L).otherwise(0L)).as("tp"),
+    sum(when(!label && predicted, 1L).otherwise(0L)).as("fp"),
+    sum(when(label && !predicted, 1L).otherwise(0L)).as("fn"),
+    sum(when(!label && !predicted, 1L).otherwise(0L)).as("tn"))
+
+  private def confusionChain(agg: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg
+      .withColumn("n", col("tp") + col("fp") + col("fn") + col("tn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        d(col("tp")) / d(col("tp") + col("fp"))))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        d(col("tp")) / d(col("tp") + col("fn"))))
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))))
+      .withColumn("mcc", when(
+        col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+          col("tn") + col("fp") > 0 && col("tn") + col("fn") > 0,
+        (col("tp").cast("decimal(38,0)") * col("tn") -
+          col("fp").cast("decimal(38,0)") * col("fn")).cast("double") /
+          sqrt(d(col("tp") + col("fp")) * d(col("tp") + col("fn")) *
+            d(col("tn") + col("fp")) * d(col("tn") + col("fn")))))
+      .select((agg.columns.filter(c => !Seq("tp", "fp", "fn", "tn")
+          .contains(c)).map(col).toSeq ++
+        Seq(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          col("precision"), col("recall"), col("f1"), col("mcc"))): _*)
+  }
+
   /** Deterministic stratified k-fold assignment: within each stratum,
     * rows are ordered by (salted hash, key) — a stable pseudo-random
     * shuffle — and dealt round-robin, so fold sizes differ by AT MOST

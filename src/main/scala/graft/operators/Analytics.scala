@@ -918,6 +918,37 @@ object Analytics {
             (col("__w") / d(col("n") - col("k")))).as("f"))
   }
 
+  /** Compositional drift top-movers — WHICH keys' share of the corpus
+    * changed most between two groups (per-domain / per-language /
+    * per-source mix shift: the report a curation pipeline reads before
+    * any scalar drift number): per-key exact counts for both groups in
+    * ONE map-side-combined pass, shares against broadcast one-row
+    * totals, diff = share_b − share_a, global top-N by
+    * (|diff| desc, key asc) — a TakeOrderedAndProject, never a full
+    * sort. Output: topN rows (keyCol, cnt_a, cnt_b, share_a, share_b,
+    * diff); an empty side makes its share NULL (and diff NULL). */
+  def shareDrift(df: DataFrame, keyCol: String, groupCol: String,
+                 groupA: String, groupB: String, topN: Int): DataFrame = {
+    require(topN >= 1, "shareDrift needs topN >= 1")
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(keyCol))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cnt_b"))
+    val tot = counts.agg(sum(col("cnt_a")).as("__na"),
+      sum(col("cnt_b")).as("__nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_a", when(col("__na") > 0,
+        d(col("cnt_a")) / d(col("__na"))))
+      .withColumn("share_b", when(col("__nb") > 0,
+        d(col("cnt_b")) / d(col("__nb"))))
+      .withColumn("diff", col("share_b") - col("share_a"))
+      .orderBy(abs(col("diff")).desc, col(keyCol).asc)
+      .limit(topN)
+      .select(col(keyCol), col("cnt_a"), col("cnt_b"),
+        col("share_a"), col("share_b"), col("diff"))
+  }
+
   /** Brown–Forsythe variance-homogeneity test — "did the SPREAD
     * change across groups": [[oneWayF]] run on z = |v − median_g|
     * (median-centered, the robust Levene variant — mean-centering is

@@ -1363,6 +1363,66 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("confusionStats: hand-computed precision/recall/F1/MCC; " +
+    "degenerate margins NULL; By == global per slice; shareDrift " +
+    "top movers with tie-break; partition sweep") {
+    import spark.implicits._
+    // tp=2 fp=1 fn=3 tn=4: p=2/3, r=2/5, f1=0.5, mcc=5/sqrt(525)
+    val rows = Seq((true, true), (true, true), (false, true),
+      (true, false), (true, false), (true, false),
+      (false, false), (false, false), (false, false), (false, false))
+    val g = rows.toDF("lab", "pred")
+    val r = graft.functions.ML.confusionStats(g, col("lab"), col("pred"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("tp") == 2L &&
+      r.getAs[Long]("fp") == 1L && r.getAs[Long]("fn") == 3L &&
+      r.getAs[Long]("tn") == 4L)
+    assert(math.abs(r.getAs[Double]("precision") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("recall") - 0.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("f1") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mcc") - 5.0 / math.sqrt(525.0)) < 1e-12)
+    // no predicted positives: precision/f1/mcc NULL, recall 0
+    val nopred = Seq((true, false), (false, false)).toDF("lab", "pred")
+    val r2 = graft.functions.ML.confusionStats(nopred, col("lab"),
+      col("pred")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("precision")) &&
+      r2.isNullAt(r2.fieldIndex("f1")) && r2.isNullAt(r2.fieldIndex("mcc")))
+    assert(r2.getAs[Double]("recall") == 0.0)
+    val sliced = rows.map { case (l, p) => ("s1", l, p) } ++
+      Seq(("s2", true, false), ("s2", false, false))
+    val sdf = sliced.toDF("key", "lab", "pred")
+    val cb = graft.functions.ML.confusionStatsBy(sdf, Seq("key"),
+        col("lab"), col("pred"))
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = sliced.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("lab", "pred")
+      val w = graft.functions.ML.confusionStats(slice, col("lab"),
+        col("pred")).collect().head
+      assert(cb(sl) == w.toSeq, s"confusionStatsBy $sl: ${cb(sl)} vs $w")
+    }
+    // shareDrift: ref k1x2 k2x2, cur k1x3 k2x1 -> diffs +-0.25,
+    // |diff| ties break on key asc
+    val sd = Seq(("ref", 1L), ("ref", 1L), ("ref", 2L), ("ref", 2L),
+      ("cur", 1L), ("cur", 1L), ("cur", 1L), ("cur", 2L))
+      .toDF("grp", "k")
+    val top = Analytics.shareDrift(sd, "k", "grp", "ref", "cur", topN = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getLong(0) == 1L)
+    assert(math.abs(top.head.getAs[Double]("diff") - 0.25) < 1e-12)
+    val all2 = Analytics.shareDrift(sd, "k", "grp", "ref", "cur", 5)
+      .collect()
+    assert(all2.length == 2 && all2(1).getLong(0) == 2L)
+    assert(math.abs(all2(1).getAs[Double]("diff") + 0.25) < 1e-12)
+    partitionSweep { p =>
+      graft.functions.ML.confusionStatsBy(sdf.repartition(p), Seq("key"),
+          col("lab"), col("pred"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString) ++
+        Analytics.shareDrift(sd.repartition(p), "k", "grp", "ref", "cur", 5)
+          .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
