@@ -861,6 +861,107 @@ private[graft] object Batch46 {
              |  FROM t)
              |SELECT CAST(k AS BIGINT) AS k, cnt_a, cnt_b, share_a, share_b,
              |  share_b - share_a AS diff
-             |FROM sh ORDER BY ABS(share_b - share_a) DESC, k LIMIT 15""".stripMargin))
+             |FROM sh ORDER BY ABS(share_b - share_a) DESC, k LIMIT 15""".stripMargin)),
+
+    // Per-event-type daily-count ACF at lags 1..7 — the sliced
+    // seasonality detector (q237 keyed): each slice centers on ITS OWN
+    // mean (the pooled mean is the wrong centering for every slice).
+    // Per-group means, denominators, lag joins, and divisions replayed.
+    Q("q301_acf_daily_by",
+      (s, dir) => {
+        val series = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+          .agg(count(lit(1)).as("c"))
+        graft.operators.TimeSeries.acfBy(series, Seq("event_type"),
+          "d", "c", maxLag = 7)
+      },
+      Some("""WITH s AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS d,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type,
+             |    CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+             |  FROM s GROUP BY 1),
+             |den AS (SELECT s.event_type,
+             |    CAST(SUM(CAST((CAST(c AS DOUBLE) - m.mean) * (CAST(c AS DOUBLE) - m.mean) AS DECIMAL(28,12))) AS DOUBLE) AS den
+             |  FROM s JOIN m ON s.event_type = m.event_type GROUP BY 1),
+             |lags AS (SELECT unnest(range(1, 8)) AS lag),
+             |num AS (SELECT a.event_type, l.lag,
+             |    CAST(SUM(CAST((CAST(a.c AS DOUBLE) - m.mean) * (CAST(b.c AS DOUBLE) - m.mean) AS DECIMAL(28,12))) AS DOUBLE) AS num,
+             |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |  FROM lags l JOIN s a ON TRUE
+             |  JOIN s b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+             |  JOIN m ON m.event_type = a.event_type
+             |  GROUP BY 1, 2)
+             |SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag, n_pairs,
+             |  CASE WHEN den.den > 0 THEN num.num / den.den END AS acf
+             |FROM num JOIN den ON num.event_type = den.event_type
+             |ORDER BY num.event_type, lag""".stripMargin)),
+
+    // Streaming windowed JSD on q232's drive VERBATIM — the bounded
+    // symmetric live gauge beside the streaming PSI: same MemoryStream
+    // day-windows, same reference histogram, same HistAgg state; only
+    // the per-bin term differs, and the oracle replays it exactly.
+    Q("q302_stream_jsd",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        import graft.functions.{Sampling, Sketches}
+        val g = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(Sampling.hashU32(col("event_id"), "psi") < 2147483648L,
+              "ref").otherwise("cur"))
+        val refCounts = g.filter(col("grp") === "ref")
+          .agg(Sketches.histCol(0.0, 400.0, 20)(col("value")).as("h"))
+          .collect().head.getSeq[Long](0)
+        val cur = g.filter(col("grp") === "cur")
+          .select(expr("ts div 1000").as("ts_us"),
+            when(col("event_id") % 3 === 0, col("value") * 2)
+              .otherwise(col("value")).as("value"))
+        val rows = cur.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val dayUs = 86400L * 1000000L
+        val flush = (rows.map(_._1).max / dayUs + 4) * dayUs + 1L
+        val ms = MemoryStream[(Long, Double)](s)
+        val out = graft.streaming.Streams.windowedJsd(
+          ms.toDS().toDF("ts_us", "value"), refCounts,
+          lo = 0.0, hi = 400.0, watermark = "0 seconds", window_ = "1 day")
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q302_sink").start()
+        try {
+          ms.addData(rows.toSeq); q.processAllAvailable()
+          ms.addData((flush, 0.0)); q.processAllAvailable()
+        } finally q.stop()
+        val maxBucket = rows.map(r => r._1 / dayUs * dayUs).max
+        s.table("q302_sink").filter(col("bucket_us") <= maxBucket)
+          .orderBy("bucket_us")
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('psi' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, event_id, value, ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |refb AS (SELECT LEAST(GREATEST(CAST(TRUNC((value - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin
+             |  FROM g WHERE grp = 'ref'),
+             |spine AS (SELECT unnest(range(0, 20)) AS bin),
+             |rc AS (SELECT s.bin, COALESCE(r.c, 0) AS rc FROM spine s
+             |  LEFT JOIN (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM refb GROUP BY bin) r ON s.bin = r.bin),
+             |nr AS (SELECT SUM(rc) AS nr FROM rc),
+             |cur AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+             |    LEAST(GREATEST(CAST(TRUNC(((CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END) - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin
+             |  FROM g WHERE grp = 'cur'),
+             |cb AS (SELECT bucket_us, bin, CAST(COUNT(*) AS BIGINT) AS c FROM cur GROUP BY 1, 2),
+             |nw AS (SELECT bucket_us, SUM(c) AS n FROM cb GROUP BY 1),
+             |full0 AS (SELECT nw.bucket_us, nw.n, s.bin, COALESCE(cb.c, 0) AS c
+             |  FROM nw CROSS JOIN spine s LEFT JOIN cb ON cb.bucket_us = nw.bucket_us AND cb.bin = s.bin),
+             |p AS (SELECT f.bucket_us, f.n,
+             |    CAST(rc.rc + 1 AS DOUBLE) / CAST(nr.nr + 20 AS DOUBLE) AS pa,
+             |    CAST(f.c + 1 AS DOUBLE) / CAST(f.n + 20 AS DOUBLE) AS pb
+             |  FROM full0 f JOIN rc ON f.bin = rc.bin CROSS JOIN nr),
+             |terms AS (SELECT bucket_us, n,
+             |    CAST((pa * ln(pa / ((pa + pb) / 2))
+             |      + pb * ln(pb / ((pa + pb) / 2))) * 0.5 AS DECIMAL(28,12)) AS term
+             |  FROM p)
+             |SELECT CAST(bucket_us AS BIGINT) AS bucket_us, CAST(n AS BIGINT) AS n,
+             |  CAST(SUM(term) AS DOUBLE) AS jsd
+             |FROM terms GROUP BY 1, 2 ORDER BY bucket_us""".stripMargin))
   )
 }

@@ -282,6 +282,58 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Per-GROUP [[acf]] — per-slice seasonality/decay profiles (per
+    * event-type, per language, per source: one slice's weekly cycle is
+    * invisible in the pooled series, and the pooled mean is the wrong
+    * centering for every slice). Identical pinned chain per group —
+    * keyed decimal mean and variance denominator joined back null-safe
+    * (keys-sized frames, never assumed broadcastable), lag equi-joins
+    * on (keys, t + lag). The input is normally a per-(key, bucket)
+    * aggregate, so every frame here is (keys × steps)-bounded.
+    * Output: key columns + (lag, n_pairs, acf); constant slices yield
+    * NULL acf, slices shorter than a lag simply emit no row at it
+    * (n_pairs would be 0 — the join finds nothing), matching [[acf]]
+    * run per slice. */
+  def acfBy(df: DataFrame, keyCols: Seq[String], tCol: String,
+            valueCol: String, maxLag: Int, meanScale: Int = 6)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "acfBy needs key columns; use acf")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val keys = keyCols.map(col)
+    def renameKeys(d: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val s = df.select(keys ++ Seq(col(tCol).cast("long").as("__t"),
+      col(valueCol).cast("double").as("__v")): _*)
+    val m = renameKeys(s.groupBy(keys: _*).agg(
+      (sum(col("__v").cast(s"decimal(18,$meanScale)")).cast("double") /
+        count(lit(1)).cast("double")).as("__mean")), "m")
+    val centered = s.join(m, keyJoin("m"))
+      .drop(keyCols.indices.map(i => s"__m$i"): _*)
+    val den = renameKeys(centered.groupBy(keys: _*).agg(
+      sum(((col("__v") - col("__mean")) * (col("__v") - col("__mean")))
+        .cast("decimal(28,12)")).cast("double").as("__den")), "d")
+    val lags = df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val b = renameKeys(centered.select(
+      keys :+ col("__t").as("__tb") :+ col("__v").as("__vb"): _*), "b")
+    centered.crossJoin(broadcast(lags))
+      .join(b, keyJoin("b") && col("__tb") === col("__t") + col("lag"))
+      .drop(keyCols.indices.map(i => s"__b$i"): _*)
+      .groupBy(keys :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(((col("__v") - col("__mean")) * (col("__vb") - col("__mean")))
+          .cast("decimal(28,12)")).cast("double").as("__num"))
+      .join(den, keyJoin("d"))
+      .drop(keyCols.indices.map(i => s"__d$i"): _*)
+      .withColumn("acf",
+        when(col("__den") > 0, col("__num") / col("__den")))
+      .select(keys ++ Seq(col("lag"), col("n_pairs"), col("acf")): _*)
+      .orderBy(keys :+ col("lag"): _*)
+  }
+
   /** Exponentially weighted moving average with α = 1/2 over a per-key
     * INTEGER series, EXACT end to end — the dyadic-weight trick: with
     * α = 1/2 the adjusted EWMA is

@@ -289,6 +289,46 @@ object Streams {
       col("n"), psiSum.cast("double").as("psi"))
   }
 
+  /** Streaming windowed Jensen–Shannon drift — [[windowedPsi]]'s
+    * BOUNDED symmetric twin (PSI is unbounded and spikes on
+    * near-empty bins even smoothed; JSD ∈ [0, ln 2] thresholds
+    * stably), the live gauge of the batch
+    * [[graft.operators.Analytics.jsDivergence]]: identical mergeable
+    * HistAgg state, identical Laplace smoothing, only the per-bin
+    * term differs — ½(p_ref·ln(p_ref/m) + p_win·ln(p_win/m)) with
+    * m = ½(p_ref + p_win), each a pinned double over the constant
+    * reference share and the window's live share, summed through the
+    * same re-cast decimal(28,12) chain (associative — merge order
+    * cannot change the result). Append mode, one row per closed
+    * window; state is bins+1 longs per open window. Output:
+    * (bucket_us, n, jsd). */
+  def windowedJsd(events: DataFrame, refCounts: Seq[Long],
+                  lo: Double, hi: Double,
+                  watermark: String = "0 seconds",
+                  window_ : String = "1 hour"): DataFrame = {
+    import graft.functions.Sketches
+    val bins = refCounts.length
+    require(bins >= 1 && hi > lo, "need >= 1 reference bin and hi > lo")
+    require(refCounts.forall(_ >= 0), "negative reference count")
+    val nr = refCounts.sum
+    val base = events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(count(lit(1)).as("n"),
+        Sketches.histCol(lo, hi, bins)(col("value")).as("counts"))
+    val terms = (0 until bins).map { i =>
+      val pb = (element_at(col("counts"), i + 1) + 1).cast("double") /
+        (col("n") + bins).cast("double")
+      val pa = lit((refCounts(i) + 1).toDouble / (nr + bins).toDouble)
+      val m = (pa + pb) / 2
+      ((pa * log(pa / m) + pb * log(pb / m)) * 0.5).cast("decimal(28,12)")
+    }
+    val jsdSum = terms.reduce((a, b) => (a + b).cast("decimal(28,12)"))
+    base.select(unix_micros(col("window.start")).as("bucket_us"),
+      col("n"), jsdSum.cast("double").as("jsd"))
+  }
+
   /** Per-SLICE streaming PSI — [[windowedPsi]] with the key column in
     * the window aggregate (the [[graft.operators.Analytics.psiBy]]
     * batch operator as a live gauge): one PSI row per

@@ -1423,6 +1423,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("acfBy == acf per slice (own-mean centering); constant slice " +
+    "NULL acf; partition sweep") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val rows = Seq( // (slice, t, v): s1 alternating, s2 trend, s3 const
+      ("s1", 0L, 1.0), ("s1", 1L, -1.0), ("s1", 2L, 1.0), ("s1", 3L, -1.0),
+      ("s1", 4L, 1.0),
+      ("s2", 0L, 1.0), ("s2", 1L, 2.0), ("s2", 2L, 3.0), ("s2", 3L, 4.0),
+      ("s3", 0L, 5.0), ("s3", 1L, 5.0), ("s3", 2L, 5.0))
+    val df = rows.toDF("k", "t", "v")
+    val ab = TimeSeries.acfBy(df, Seq("k"), "t", "v", maxLag = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2))
+      .toMap
+    for (sl <- Seq("s1", "s2", "s3")) {
+      val slice = rows.filter(_._1 == sl).map(x => (x._2, x._3))
+        .toDF("t", "v")
+      for (w <- TimeSeries.acf(slice, "t", "v", maxLag = 2).collect()) {
+        assert(ab((sl, w.getLong(0))) == w.toSeq.drop(1),
+          s"acfBy $sl lag ${w.getLong(0)}: ${ab((sl, w.getLong(0)))} vs $w")
+      }
+    }
+    assert(ab(("s1", 1L)).last.asInstanceOf[Double] < -0.5,
+      "alternating slice must be strongly negative at lag 1")
+    assert(ab(("s3", 1L)).last == null, "constant slice must emit NULL acf")
+    partitionSweep { p =>
+      TimeSeries.acfBy(df.repartition(p), Seq("k"), "t", "v", 2)
+        .collect().map(_.toSeq).toSeq
+        .sortBy(r => (r.head.toString, r(1).asInstanceOf[Long]))
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +

@@ -306,6 +306,46 @@ class IOStreamsSpec extends SparkSpec {
       s"drifted window ${rows(1).getDouble(2)} vs model $want")
   }
 
+  test("streaming windowedJsd: per-window JSD equal to the batch " +
+      "formula; zero drift → exactly 0; bounded by ln 2") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hourUs = 3600L * 1000000L
+    val refCounts = Seq(40L, 40L, 40L, 40L)
+    val w1 = (0 until 40).flatMap(i => Seq(0.5, 1.5, 2.5, 3.5).map(v => (i * 1000L, v)))
+    val w2 = (0 until 80).map(i => (hourUs + i * 1000L, 0.5))
+    val flush = (10L * hourUs, 0.5)
+    val ms = MemoryStream[(Long, Double)](spark)
+    val out = Streams.windowedJsd(ms.toDS().toDF("ts_us", "value"),
+      refCounts, lo = 0.0, hi = 4.0, watermark = "0 seconds",
+      window_ = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("jsd_spec_sink").start()
+    try {
+      ms.addData(w1 ++ w2); q.processAllAvailable()
+      ms.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("jsd_spec_sink")
+      .filter(col("bucket_us") < 2 * hourUs).orderBy("bucket_us").collect()
+    assert(rows.length == 2, s"expected 2 closed windows, got ${rows.length}")
+    assert(rows(0).getLong(1) == 160L && rows(0).getDouble(2) == 0.0,
+      s"identical-shape window must score exactly 0, got ${rows(0)}")
+    // batch model for window 2 (n=80, all in bin 0), same smoothing +
+    // scale-12 term rounding as the operator
+    val want = (0 until 4).map { i =>
+      val pb = (if (i == 0) 81.0 else 1.0) / 84.0
+      val pa = 41.0 / 164.0
+      val m = (pa + pb) / 2
+      BigDecimal((pa * math.log(pa / m) + pb * math.log(pb / m)) * 0.5)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(rows(1).getLong(1) == 80L &&
+      math.abs(rows(1).getDouble(2) - want) < 1e-12,
+      s"drifted window ${rows(1).getDouble(2)} vs model $want")
+    assert(rows.forall(r => r.getDouble(2) >= 0 &&
+      r.getDouble(2) <= math.log(2.0)), "JSD must sit inside [0, ln 2]")
+  }
+
   test("windowedPsiLive: mid-stream reference swap via a control row — " +
       "effective strictly after its window; no-control windows bit-equal " +
       "to windowedPsi; control-only windows emit nothing") {
