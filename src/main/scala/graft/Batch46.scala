@@ -962,6 +962,170 @@ private[graft] object Batch46 {
              |  FROM p)
              |SELECT CAST(bucket_us AS BIGINT) AS bucket_us, CAST(n AS BIGINT) AS n,
              |  CAST(SUM(term) AS DOUBLE) AS jsd
-             |FROM terms GROUP BY 1, 2 ORDER BY bucket_us""".stripMargin))
+             |FROM terms GROUP BY 1, 2 ORDER BY bucket_us""".stripMargin)),
+
+    // Two-proportion z-test on an A/B fixture with a real injected
+    // lift (cur values ×1.1 for every fourth event, success = v > 55):
+    // counts, both rates, the pooled rate, the pooled-variance se, and
+    // the z chain replayed in pinned order.
+    Q("q303_prop_test",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ab2") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_id") % 4 === 0,
+              col("value") * 1.1).otherwise(col("value")))
+        graft.operators.Analytics.propTest(ev, "grp", col("v") > 55,
+          "ref", "cur")
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ab2' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT grp, CASE WHEN grp = 'cur' AND event_id % 4 = 0
+             |    THEN value * 1.1 ELSE value END AS v FROM g),
+             |c AS (SELECT
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN grp = 'ref' AND v > 55 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' AND v > 55 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+             |  FROM v),
+             |m AS (SELECT *,
+             |    CASE WHEN n_a > 0 THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+             |    CASE WHEN n_b > 0 THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+             |    CASE WHEN n_a + n_b > 0 THEN CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) END AS pp
+             |  FROM c),
+             |se AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
+             |    THEN pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) END AS se2
+             |  FROM m)
+             |SELECT n_a, n_b, x_a, x_b, p_a, p_b, p_a - p_b AS diff,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND se2 > 0
+             |    THEN (p_a - p_b) / sqrt(se2) END AS z
+             |FROM se""".stripMargin)),
+
+    // Per-event-type two-proportion z on q274's fixture — the sliced
+    // rate test: the ×1.5 'view'-only shift turns into a success-rate
+    // lift in exactly one slice.
+    Q("q304_prop_test_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psiby") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value")))
+        graft.operators.Analytics.propTestBy(ev, Seq("event_type"), "grp",
+          col("v") > 55, "ref", "cur").orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, value
+             |  FROM events),
+             |v AS (SELECT event_type, grp, CASE WHEN grp = 'cur' AND event_type = 'view'
+             |    THEN value * 1.5 ELSE value END AS v FROM g),
+             |c AS (SELECT event_type,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN grp = 'ref' AND v > 55 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' AND v > 55 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+             |  FROM v GROUP BY 1),
+             |m AS (SELECT *,
+             |    CASE WHEN n_a > 0 THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+             |    CASE WHEN n_b > 0 THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+             |    CASE WHEN n_a + n_b > 0 THEN CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) END AS pp
+             |  FROM c),
+             |se AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
+             |    THEN pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) END AS se2
+             |  FROM m)
+             |SELECT event_type, n_a, n_b, x_a, x_b, p_a, p_b, p_a - p_b AS diff,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND se2 > 0
+             |    THEN (p_a - p_b) / sqrt(se2) END AS z
+             |FROM se ORDER BY event_type""".stripMargin)),
+
+    // Haldane-Anscombe odds ratio + 95% Wald CI on q303's fixture —
+    // the multiplicative effect size beside the z: every half-count
+    // cell, the ratio, ln, the se chain, and both CI bounds replayed.
+    Q("q305_odds_ratio",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ab2") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_id") % 4 === 0,
+              col("value") * 1.1).otherwise(col("value")))
+        graft.operators.Analytics.oddsRatio(ev, "grp", col("v") > 55,
+          "ref", "cur")
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ab2' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT grp, CASE WHEN grp = 'cur' AND event_id % 4 = 0
+             |    THEN value * 1.1 ELSE value END AS v FROM g),
+             |c AS (SELECT
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN grp = 'ref' AND v > 55 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' AND v > 55 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+             |  FROM v),
+             |orr AS (SELECT *,
+             |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |      (CAST(x_a AS DOUBLE) + 0.5) * (CAST(n_b - x_b AS DOUBLE) + 0.5)
+             |        / ((CAST(n_a - x_a AS DOUBLE) + 0.5) * (CAST(x_b AS DOUBLE) + 0.5)) END AS odds_ratio,
+             |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |      sqrt(1.0 / (CAST(x_a AS DOUBLE) + 0.5) + 1.0 / (CAST(n_a - x_a AS DOUBLE) + 0.5)
+             |        + 1.0 / (CAST(x_b AS DOUBLE) + 0.5) + 1.0 / (CAST(n_b - x_b AS DOUBLE) + 0.5)) END AS se
+             |  FROM c)
+             |SELECT n_a, n_b, x_a, x_b, odds_ratio, LN(odds_ratio) AS log_or,
+             |  EXP(LN(odds_ratio) - 1.96 * se) AS ci_lo,
+             |  EXP(LN(odds_ratio) + 1.96 * se) AS ci_hi
+             |FROM orr""".stripMargin)),
+
+    // Per-event-type odds ratio on q274's fixture — the sliced
+    // multiplicative effect: the shifted slice's CI excludes 1 by a
+    // wide margin while the unshifted slices' CIs straddle it.
+    Q("q306_odds_ratio_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psiby") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value")))
+        graft.operators.Analytics.oddsRatioBy(ev, Seq("event_type"), "grp",
+          col("v") > 55, "ref", "cur").orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CASE WHEN
+             |    CAST('0x' || substr(md5('psiby' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, value
+             |  FROM events),
+             |v AS (SELECT event_type, grp, CASE WHEN grp = 'cur' AND event_type = 'view'
+             |    THEN value * 1.5 ELSE value END AS v FROM g),
+             |c AS (SELECT event_type,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN grp = 'ref' AND v > 55 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             |    CAST(SUM(CASE WHEN grp = 'cur' AND v > 55 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+             |  FROM v GROUP BY 1),
+             |orr AS (SELECT *,
+             |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |      (CAST(x_a AS DOUBLE) + 0.5) * (CAST(n_b - x_b AS DOUBLE) + 0.5)
+             |        / ((CAST(n_a - x_a AS DOUBLE) + 0.5) * (CAST(x_b AS DOUBLE) + 0.5)) END AS odds_ratio,
+             |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |      sqrt(1.0 / (CAST(x_a AS DOUBLE) + 0.5) + 1.0 / (CAST(n_a - x_a AS DOUBLE) + 0.5)
+             |        + 1.0 / (CAST(x_b AS DOUBLE) + 0.5) + 1.0 / (CAST(n_b - x_b AS DOUBLE) + 0.5)) END AS se
+             |  FROM c)
+             |SELECT event_type, n_a, n_b, x_a, x_b, odds_ratio,
+             |  LN(odds_ratio) AS log_or,
+             |  EXP(LN(odds_ratio) - 1.96 * se) AS ci_lo,
+             |  EXP(LN(odds_ratio) + 1.96 * se) AS ci_hi
+             |FROM orr ORDER BY event_type""".stripMargin))
   )
 }

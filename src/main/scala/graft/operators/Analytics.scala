@@ -918,6 +918,101 @@ object Analytics {
             (col("__w") / d(col("n") - col("k")))).as("f"))
   }
 
+  /** Two-proportion z-test — the conversion-rate A/B primitive ("did
+    * the success RATE move between variants"): exact counts
+    * (n, successes) per side in ONE map-side-combined scan, then the
+    * pooled-variance z chain in pinned double order:
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled.
+    * Empty sides or a degenerate pooled rate (all success / all
+    * failure — zero variance) emit NULL z. Output: one row
+    * (n_a, n_b, x_a, x_b, p_a, p_b, diff, z). */
+  def propTest(df: DataFrame, groupCol: String,
+               success: Column, groupA: String, groupB: String)
+      : DataFrame =
+    propChain(df.filter(col(groupCol).isin(groupA, groupB)).agg(
+      propAggs(col(groupCol), success, groupA, groupB).head,
+      propAggs(col(groupCol), success, groupA, groupB).tail: _*))
+
+  /** Per-GROUP [[propTest]] — per-slice A/B rate tests (the pooled z
+    * hides a slice whose effect runs opposite: Simpson's screen for
+    * rates). Output: key columns + the same row. */
+  def propTestBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                 success: Column, groupA: String, groupB: String)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "propTestBy needs key columns; use propTest")
+    propChain(df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keyCols.map(col): _*).agg(
+        propAggs(col(groupCol), success, groupA, groupB).head,
+        propAggs(col(groupCol), success, groupA, groupB).tail: _*))
+  }
+
+  private def propAggs(grp: Column, success: Column,
+      groupA: String, groupB: String) = Seq(
+    sum(when(grp === groupA, 1L).otherwise(0L)).as("n_a"),
+    sum(when(grp === groupB, 1L).otherwise(0L)).as("n_b"),
+    sum(when(grp === groupA && success, 1L).otherwise(0L)).as("x_a"),
+    sum(when(grp === groupB && success, 1L).otherwise(0L)).as("x_b"))
+
+  private def propChain(agg: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    agg
+      .withColumn("p_a", when(col("n_a") > 0, d(col("x_a")) / d(col("n_a"))))
+      .withColumn("p_b", when(col("n_b") > 0, d(col("x_b")) / d(col("n_b"))))
+      .withColumn("__pp", when(col("n_a") + col("n_b") > 0,
+        d(col("x_a") + col("x_b")) / d(col("n_a") + col("n_b"))))
+      .withColumn("__se2", when(col("n_a") > 0 && col("n_b") > 0,
+        col("__pp") * (lit(1.0) - col("__pp")) *
+          (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
+      .withColumn("diff", col("p_a") - col("p_b"))
+      .withColumn("z", when(col("n_a") > 0 && col("n_b") > 0 &&
+        col("__se2") > 0, col("diff") / sqrt(col("__se2"))))
+      .drop("__pp", "__se2")
+  }
+
+  /** Haldane–Anscombe odds ratio with a 95% Wald interval — the
+    * EFFECT-SIZE companion of [[propTest]] (z says the rate moved, OR
+    * says by what multiplicative factor, defined even at zero cells
+    * thanks to the +0.5 correction):
+    *   OR = ((x_a+½)(n_b−x_b+½)) / ((n_a−x_a+½)(x_b+½)),
+    *   se(ln OR) = √Σ 1/(cell+½),  CI = exp(ln OR ∓ 1.96·se).
+    * Same one-scan counts, pinned double chain; empty SIDES (n = 0)
+    * emit NULL or/ci (the correction fixes zero cells, not absent
+    * arms). Output: one row (n_a, n_b, x_a, x_b, odds_ratio,
+    * log_or, ci_lo, ci_hi). */
+  def oddsRatio(df: DataFrame, groupCol: String,
+                success: Column, groupA: String, groupB: String)
+      : DataFrame =
+    orChain(df.filter(col(groupCol).isin(groupA, groupB)).agg(
+      propAggs(col(groupCol), success, groupA, groupB).head,
+      propAggs(col(groupCol), success, groupA, groupB).tail: _*))
+
+  /** Per-GROUP [[oddsRatio]]. Output: key columns + the same row. */
+  def oddsRatioBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                  success: Column, groupA: String, groupB: String)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "oddsRatioBy needs key columns; use oddsRatio")
+    orChain(df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keyCols.map(col): _*).agg(
+        propAggs(col(groupCol), success, groupA, groupB).head,
+        propAggs(col(groupCol), success, groupA, groupB).tail: _*))
+  }
+
+  private def orChain(agg: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def h(c: Column) = d(c) + lit(0.5)
+    val a = h(col("x_a")); val b = h(col("n_a") - col("x_a"))
+    val c0 = h(col("x_b")); val e = h(col("n_b") - col("x_b"))
+    agg
+      .withColumn("odds_ratio", when(col("n_a") > 0 && col("n_b") > 0,
+        a * e / (b * c0)))
+      .withColumn("log_or", log(col("odds_ratio")))
+      .withColumn("__se", when(col("n_a") > 0 && col("n_b") > 0,
+        sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c0 + lit(1.0) / e)))
+      .withColumn("ci_lo", exp(col("log_or") - lit(1.96) * col("__se")))
+      .withColumn("ci_hi", exp(col("log_or") + lit(1.96) * col("__se")))
+      .drop("__se")
+  }
+
   /** Compositional drift top-movers — WHICH keys' share of the corpus
     * changed most between two groups (per-domain / per-language /
     * per-source mix shift: the report a curation pipeline reads before

@@ -1454,6 +1454,71 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("propTest + oddsRatio: hand-computed 2x2 chains; zero-cell OR " +
+    "finite via Haldane; degenerate NULLs; By == global per slice; " +
+    "partition sweep") {
+    import spark.implicits._
+    // a: 6/10 success, b: 2/8
+    val rows = ("a", true, 6) :: ("a", false, 4) :: ("b", true, 2) ::
+      ("b", false, 6) :: Nil
+    val flat = rows.flatMap { case (g, s, n) => Seq.fill(n)((g, s)) }
+    val df = flat.toDF("grp", "succ")
+    val r = Analytics.propTest(df, "grp", col("succ"), "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 8L &&
+      r.getLong(2) == 6L && r.getLong(3) == 2L)
+    assert(r.getAs[Double]("p_a") == 0.6 && r.getAs[Double]("p_b") == 0.25)
+    val pp = 8.0 / 18.0
+    val zWant = (0.6 - 0.25) / math.sqrt(pp * (1 - pp) * (0.1 + 0.125))
+    assert(math.abs(r.getAs[Double]("z") - zWant) < 1e-12, s"z $r")
+    val or = Analytics.oddsRatio(df, "grp", col("succ"), "a", "b")
+      .collect().head
+    val orWant = (6.5 * 6.5) / (4.5 * 2.5)
+    assert(math.abs(or.getAs[Double]("odds_ratio") - orWant) < 1e-12)
+    val seWant = math.sqrt(1 / 6.5 + 1 / 4.5 + 1 / 2.5 + 1 / 6.5)
+    assert(math.abs(or.getAs[Double]("ci_lo") -
+      math.exp(math.log(orWant) - 1.96 * seWant)) < 1e-12)
+    // zero cell: finite OR; all-success pooled: NULL z
+    val zc = (Seq.fill(5)(("a", true)) ++ Seq.fill(5)(("b", false)))
+      .toDF("grp", "succ")
+    val orZ = Analytics.oddsRatio(zc, "grp", col("succ"), "a", "b")
+      .collect().head
+    assert(orZ.getAs[Double]("odds_ratio") == (5.5 * 5.5) / (0.5 * 0.5))
+    val allS = (Seq.fill(3)(("a", true)) ++ Seq.fill(3)(("b", true)))
+      .toDF("grp", "succ")
+    assert(Analytics.propTest(allS, "grp", col("succ"), "a", "b")
+      .collect().head.isNullAt(7), "zero pooled variance must NULL z")
+    val sliced = flat.map { case (g, s) => ("s1", g, s) } ++
+      Seq(("s2", "a", true), ("s2", "a", false)) // missing group b
+    val sdf = sliced.toDF("k", "grp", "succ")
+    val pb = Analytics.propTestBy(sdf, Seq("k"), "grp", col("succ"),
+        "a", "b")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    val ob = Analytics.oddsRatioBy(sdf, Seq("k"), "grp", col("succ"),
+        "a", "b")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = sliced.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("grp", "succ")
+      val pw = Analytics.propTest(slice, "grp", col("succ"), "a", "b")
+        .collect().head
+      assert(pb(sl) == pw.toSeq, s"propTestBy $sl: ${pb(sl)} vs $pw")
+      val ow = Analytics.oddsRatio(slice, "grp", col("succ"), "a", "b")
+        .collect().head
+      assert(ob(sl) == ow.toSeq, s"oddsRatioBy $sl: ${ob(sl)} vs $ow")
+    }
+    assert(pb("s2").last == null && ob("s2")(4) == null,
+      "missing-side slice must emit NULLs")
+    partitionSweep { p =>
+      Analytics.propTestBy(sdf.repartition(p), Seq("k"), "grp",
+          col("succ"), "a", "b")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString) ++
+        Analytics.oddsRatioBy(sdf.repartition(p), Seq("k"), "grp",
+          col("succ"), "a", "b")
+          .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
