@@ -1126,6 +1126,41 @@ private[graft] object Batch46 {
              |  LN(odds_ratio) AS log_or,
              |  EXP(LN(odds_ratio) - 1.96 * se) AS ci_lo,
              |  EXP(LN(odds_ratio) + 1.96 * se) AS ci_hi
-             |FROM orr ORDER BY event_type""".stripMargin))
+             |FROM orr ORDER BY event_type""".stripMargin)),
+
+    // Cumulative-gains / decile lift table of q298's noisy-label score:
+    // the correlated score gives a monotone-decreasing lift curve with
+    // top-decile lift well above 1. The distributed rank (prefix block
+    // starts + per-tie-block offsets), the integer bucket cut, the
+    // spine, the cumulative, and every ratio replayed against a plain
+    // ROW_NUMBER oracle — two rank constructions, one table.
+    Q("q307_lift_table",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+        graft.functions.ML.liftTable(ev, "event_id", "value",
+          (col("value") + (col("event_id") % 20)) > 65, buckets = 10)
+      },
+      Some("""WITH base AS (SELECT event_id AS id, value AS s,
+             |    CASE WHEN value + (event_id % 20) > 65 THEN 1 ELSE 0 END AS y
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) - 1 AS r FROM base),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p FROM r),
+             |pb AS (SELECT (r.r * 10) // t.n AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(y) AS BIGINT) AS pos
+             |  FROM r CROSS JOIN t GROUP BY 1),
+             |sp AS (SELECT s.bucket, COALESCE(pb.n_rows, 0) AS n_rows, COALESCE(pb.pos, 0) AS pos
+             |  FROM (SELECT unnest(range(0, 10)) AS bucket) s
+             |  LEFT JOIN pb ON pb.bucket = s.bucket),
+             |cum AS (SELECT *, SUM(pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_pos
+             |  FROM sp)
+             |SELECT CAST(cum.bucket AS BIGINT) AS bucket, n_rows, pos,
+             |  CASE WHEN n_rows > 0 THEN CAST(pos AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS rate,
+             |  CAST(cum_pos AS BIGINT) AS cum_pos,
+             |  CASE WHEN t.p > 0 THEN CAST(cum_pos AS DOUBLE) / CAST(t.p AS DOUBLE) END AS capture,
+             |  CASE WHEN n_rows > 0 AND t.p > 0
+             |    THEN (CAST(pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+             |      / (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE)) END AS lift
+             |FROM cum CROSS JOIN t ORDER BY bucket""".stripMargin))
   )
 }

@@ -583,6 +583,67 @@ object ML {
           col("precision"), col("recall"), col("f1"), col("mcc"))): _*)
   }
 
+  /** Cumulative-gains / lift table — the score-eval report modelers
+    * read before any single number (aucRoc compresses the whole curve;
+    * the lift table says "the top decile captures X% of positives at
+    * Y× the base rate" — the targeting decision itself): rows are
+    * ranked by (score desc, id asc) — the registry's deterministic
+    * tie-break — cut into `buckets` equal-rank buckets, and each
+    * bucket reports exact (rows, pos), its positive rate, the
+    * cumulative capture, and lift = rate / base-rate. The global rank
+    * needs NO single-task window: per-distinct-score block starts come
+    * from the distributed prefix ([[graft.operators.Analytics.prefixBefore]]
+    * on the negated score, weight = block size), and the within-block
+    * offset is a per-block window whose partition size is the tie
+    * count (an all-tied column degenerates to one block — score
+    * cardinality is the operator's parallelism, as everywhere in the
+    * rank family). Bucket math is exact integer arithmetic
+    * ((rank·buckets) div n); the bucket frame is buckets-sized, so its
+    * cumulative window is bounded by construction. Empty buckets
+    * (n < buckets) surface with n_rows = 0 and NULL rates via the
+    * generated spine. Output: one row per bucket —
+    * (bucket, n_rows, pos, rate, cum_pos, capture, lift). */
+  def liftTable(df: DataFrame, idCol: String, scoreCol: String,
+                label: org.apache.spark.sql.Column,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "liftTable needs buckets >= 1")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val base = df.select(col(idCol).as("__id"),
+      (-col(scoreCol).cast("double")).as("__ns"),
+      when(label, 1L).otherwise(0L).as("__y"))
+    val counts = base.groupBy(col("__ns")).agg(count(lit(1)).as("__c"))
+    val starts = graft.operators.Analytics
+      .prefixBeforeMulti(counts, "__ns", Seq("c" -> col("__c")))
+      .select(col("__ns").as("__ns2"), col("__cum_c").as("__start"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ns")).orderBy(col("__id"))
+    val ranked = base.join(starts, col("__ns") === col("__ns2"))
+      .withColumn("__r", col("__start") + row_number().over(w) - 1)
+    val tot = ranked.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val perBucket = ranked.crossJoin(broadcast(tot))
+      .groupBy(expr(s"(__r * $buckets) div __n").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("pos"))
+    val spine = df.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+      .join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("pos"), lit(0L)).as("pos"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.withColumn("__cum", sum(col("pos")).over(cw))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"), col("pos"),
+        when(col("n_rows") > 0, d(col("pos")) / d(col("n_rows"))).as("rate"),
+        col("__cum").as("cum_pos"),
+        when(col("__p") > 0, d(col("__cum")) / d(col("__p"))).as("capture"),
+        when(col("n_rows") > 0 && col("__p") > 0,
+          (d(col("pos")) / d(col("n_rows"))) /
+            (d(col("__p")) / d(col("__n")))).as("lift"))
+      .orderBy("bucket")
+  }
+
   /** Deterministic stratified k-fold assignment: within each stratum,
     * rows are ordered by (salted hash, key) — a stable pseudo-random
     * shuffle — and dealt round-robin, so fold sizes differ by AT MOST

@@ -1519,6 +1519,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("liftTable: hand-computed decile capture/lift with score ties; " +
+    "empty buckets surface with NULL rates; partition sweep") {
+    import spark.implicits._
+    // ranks (score desc, id asc): ids 1,2 tie at 9.0 and split on id;
+    // y by rank = [1,1,1,1,0,0,0,0,1,0]; B=5 -> pos per bucket
+    // [2,2,0,0,1], rate [1,1,0,0,.5], base .5 -> lift [2,2,0,0,1]
+    val rows = Seq(
+      (1L, 9.0, true), (2L, 9.0, true), (3L, 8.0, true), (4L, 7.0, true),
+      (5L, 6.0, false), (6L, 5.0, false), (7L, 4.0, false),
+      (8L, 3.0, false), (9L, 2.0, true), (10L, 1.0, false))
+    val df = rows.toDF("id", "score", "lab")
+    val got = graft.functions.ML.liftTable(df, "id", "score",
+        col("lab"), buckets = 5).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 2L, 0L, 0L, 1L))
+    assert(got.map(_.getLong(4)).toSeq == Seq(2L, 4L, 4L, 4L, 5L))
+    assert(got.map(_.getAs[Double]("lift")).toSeq ==
+      Seq(2.0, 2.0, 0.0, 0.0, 1.0), got.mkString(";"))
+    assert(got.map(_.getAs[Double]("capture")).toSeq ==
+      Seq(0.4, 0.8, 0.8, 0.8, 1.0))
+    // more buckets than rows: trailing buckets empty with NULL rate
+    val wide = graft.functions.ML.liftTable(df, "id", "score",
+      col("lab"), buckets = 12).collect()
+    assert(wide.length == 12 && wide.last.getLong(1) == 0L &&
+      wide.last.isNullAt(3) && wide.last.getLong(4) == 5L)
+    partitionSweep { p =>
+      graft.functions.ML.liftTable(df.repartition(p), "id", "score",
+          col("lab"), 5)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
