@@ -1161,6 +1161,54 @@ private[graft] object Batch46 {
              |  CASE WHEN n_rows > 0 AND t.p > 0
              |    THEN (CAST(pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
              |      / (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE)) END AS lift
-             |FROM cum CROSS JOIN t ORDER BY bucket""".stripMargin))
+             |FROM cum CROSS JOIN t ORDER BY bucket""".stripMargin)),
+
+    // Categorical mix profile of the event-type column: exact shares,
+    // entropy/normalized entropy/HHI, every share-based term and both
+    // decimal sums replayed. Share-based terms keep every cast inside
+    // the engine-replayable magnitude zone (see SCALE.md).
+    Q("q308_categorical_profile",
+      (s, dir) => graft.operators.Analytics.categoricalProfile(
+        Tables.events(s, dir), "event_type"),
+      Some("""WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+             |t AS (SELECT SUM(c) AS n FROM c),
+             |p AS (SELECT CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p, t.n
+             |  FROM c CROSS JOIN t),
+             |a AS (SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(CAST(-(p * ln(p)) AS DECIMAL(28,12))) AS DOUBLE) AS h,
+             |    CAST(SUM(CAST(p * p AS DECIMAL(28,12))) AS DOUBLE) AS h2
+             |  FROM p)
+             |SELECT n, k, CASE WHEN n > 0 THEN h END AS entropy,
+             |  CASE WHEN k > 1 THEN h / LN(CAST(k AS DOUBLE)) END AS norm_entropy,
+             |  CASE WHEN n > 0 THEN h2 END AS hhi
+             |FROM a""".stripMargin)),
+
+    // Per-DAY event-type mix profile — the daily label-mix drift trace
+    // (a day whose mix collapses toward one type shows as an entropy
+    // dip / HHI spike): the keyed totals join and per-slice sums
+    // replayed with GROUP BY day.
+    Q("q309_categorical_profile_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("d", expr("ts div 86400000000000"))
+        graft.operators.Analytics.categoricalProfileBy(ev, Seq("d"),
+          "event_type").orderBy("d")
+      },
+      Some("""WITH c AS (SELECT (epoch_us(ts) // 86400000000) AS d, event_type,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT d, SUM(c) AS n FROM c GROUP BY 1),
+             |p AS (SELECT c.d, CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p, t.n
+             |  FROM c JOIN t ON c.d = t.d),
+             |a AS (SELECT d, CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(CAST(-(p * ln(p)) AS DECIMAL(28,12))) AS DOUBLE) AS h,
+             |    CAST(SUM(CAST(p * p AS DECIMAL(28,12))) AS DOUBLE) AS h2
+             |  FROM p GROUP BY 1)
+             |SELECT CAST(d AS BIGINT) AS d, n, k,
+             |  CASE WHEN n > 0 THEN h END AS entropy,
+             |  CASE WHEN k > 1 THEN h / LN(CAST(k AS DOUBLE)) END AS norm_entropy,
+             |  CASE WHEN n > 0 THEN h2 END AS hhi
+             |FROM a ORDER BY d""".stripMargin))
   )
 }

@@ -1013,6 +1013,76 @@ object Analytics {
       .drop("__se")
   }
 
+  /** Categorical diversity/concentration profile — the label-mix
+    * health check a curation pipeline runs per slice (is one source /
+    * language / event type swallowing the mix?): per category exact
+    * counts and shares p = c/n, then
+    *   entropy = −Σ p·ln p   (nats), norm_entropy = entropy / ln k
+    *   hhi     = Σ p²        (Herfindahl–Hirschman concentration)
+    * — entropy reads diversity, HHI reads dominance (1/k ≤ hhi ≤ 1),
+    * and the pair brackets the mix from both ends. Distinct-CATEGORY-
+    * bounded: one map-side-combined count aggregate, totals joined
+    * back (a broadcast one-row frame globally, keys-sized keyed), each
+    * per-category term a pinned double ≤ 1 — deliberately SHARE-based
+    * so every decimal(28,12) cast sits inside the engine-replayable
+    * magnitude zone (a c·ln c identity would push terms to n·ln n and
+    * cross the documented cast boundary) — summed as exact decimal.
+    * NULL categories are dropped (a null label is missingness, not a
+    * level — map it upstream if it should be one). k = 1 →
+    * norm_entropy NULL (a one-level mix has no normalized diversity).
+    * Output: one row (n, k, entropy, norm_entropy, hhi). */
+  def categoricalProfile(df: DataFrame, catCol: String): DataFrame = {
+    val counts = df.filter(col(catCol).isNotNull).groupBy(col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    catProfileChain(counts.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("k"),
+        (Seq(max(col("__n")).as("n")) ++ catProfileTerms): _*))
+  }
+
+  /** Per-GROUP [[categoricalProfile]] — the sliced mix profile (per
+    * day, per source). Output: key columns + the same row. */
+  def categoricalProfileBy(df: DataFrame, keyCols: Seq[String],
+                           catCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "categoricalProfileBy needs key columns; use categoricalProfile")
+    val keys = keyCols.map(col)
+    def renameKeys(d: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(keys :+ col(catCol): _*).agg(count(lit(1)).as("__c"))
+    val tot = renameKeys(counts.groupBy(keys: _*)
+      .agg(sum(col("__c")).as("__n")), "t")
+    catProfileChain(counts.join(tot, keyJoin("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("k"),
+        (Seq(max(col("__n")).as("n")) ++ catProfileTerms): _*))
+  }
+
+  // per-category share terms over the pre-joined total: p ≤ 1, so the
+  // −p·ln p and p² term doubles stay inside the replayable cast zone
+  private def catProfileTerms: Seq[Column] = {
+    val pCol = col("__c").cast("double") / col("__n").cast("double")
+    Seq(sum((-(pCol * log(pCol))).cast("decimal(28,12)")).as("__h"),
+      sum((pCol * pCol).cast("decimal(28,12)")).as("__h2"))
+  }
+
+  private def catProfileChain(agg: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    agg
+      .withColumn("entropy", when(col("n") > 0, d(col("__h"))))
+      .withColumn("norm_entropy", when(col("k") > 1,
+        col("entropy") / log(d(col("k")))))
+      .withColumn("hhi", when(col("n") > 0, d(col("__h2"))))
+      .select((agg.columns.filter(c => !Seq("k", "n", "__h", "__h2")
+          .contains(c)).map(col).toSeq ++
+        Seq(col("n"), col("k"), col("entropy"), col("norm_entropy"),
+          col("hhi"))): _*)
+  }
+
   /** Compositional drift top-movers — WHICH keys' share of the corpus
     * changed most between two groups (per-domain / per-language /
     * per-source mix shift: the report a curation pipeline reads before

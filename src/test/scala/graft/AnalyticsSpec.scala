@@ -1550,6 +1550,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("categoricalProfile: hand-computed entropy/HHI; one-level mix " +
+    "entropy 0 / NULL norm / hhi 1; By == global per slice; " +
+    "partition sweep") {
+    import spark.implicits._
+    // counts [2,1,1]: H = .5 ln2 + .5 ln4, norm = H/ln3, hhi = 0.375
+    val g = Seq("a", "a", "b", "c").toDF("cat")
+    val r = Analytics.categoricalProfile(g, "cat").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    val hWant = 0.5 * math.log(2) + 0.5 * math.log(4)
+    assert(math.abs(r.getDouble(2) - hWant) < 1e-12, s"H ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - hWant / math.log(3)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.375) < 1e-12)
+    val one = Seq("x", "x").toDF("cat")
+    val r1 = Analytics.categoricalProfile(one, "cat").collect().head
+    assert(r1.getDouble(2) == 0.0 && r1.isNullAt(3) && r1.getDouble(4) == 1.0)
+    val sliced = Seq(("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "x"), ("s2", "x"))
+    val df = sliced.toDF("key", "cat")
+    val cb = Analytics.categoricalProfileBy(df, Seq("key"), "cat")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = sliced.filter(_._1 == sl).map(_._2).toDF("cat")
+      val w = Analytics.categoricalProfile(slice, "cat").collect().head
+      assert(cb(sl) == w.toSeq, s"categoricalProfileBy $sl: ${cb(sl)} vs $w")
+    }
+    partitionSweep { p =>
+      Analytics.categoricalProfileBy(df.repartition(p), Seq("key"), "cat")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
