@@ -1209,6 +1209,67 @@ private[graft] object Batch46 {
              |  CASE WHEN n > 0 THEN h END AS entropy,
              |  CASE WHEN k > 1 THEN h / LN(CAST(k AS DOUBLE)) END AS norm_entropy,
              |  CASE WHEN n > 0 THEN h2 END AS hhi
-             |FROM a ORDER BY d""".stripMargin))
+             |FROM a ORDER BY d""".stripMargin)),
+
+    // Two-sample bootstrap mean difference on q303's lift fixture:
+    // 8 replicates of mean(ref) - mean(cur) from ONE scan (the mixU32
+    // fan-out with group-conditional sums). The oracle replays the
+    // whole chain — md5 words, integer mixes, CDF inversion, both
+    // conditional decimal sums, the means and the diff per replicate.
+    Q("q310_bootstrap_mean_diff",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "ab2") <
+              2147483648L, "ref").otherwise("cur"))
+          .withColumn("v",
+            when(col("grp") === "cur" && col("event_id") % 4 === 0,
+              col("value") * 1.1).otherwise(col("value")))
+          .withColumn("rid", col("event_id").cast("string"))
+        graft.functions.ML.bootstrapMeanDiff(ev, "rid", "v", "grp",
+          "ref", "cur", b = 8, salt = "bd")
+      },
+      Some("""WITH reps AS (SELECT unnest(range(0, 8)) AS rep),
+             |g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('ab2' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |h AS (SELECT grp = 'ref' AS ga,
+             |    CAST(CASE WHEN grp = 'cur' AND event_id % 4 = 0
+             |      THEN value * 1.1 ELSE value END AS DECIMAL(18,4)) AS v,
+             |    CAST('0x' || substr(md5('bd' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+             |    CAST('0x' || substr(md5('bd' || CAST(event_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+             |  FROM g),
+             |m0 AS (SELECT reps.rep, h.ga, h.v,
+             |    xor(h.h1, (h.h2 + reps.rep * 2654435761) % 4294967296) AS x0
+             |  FROM h CROSS JOIN reps),
+             |m1 AS (SELECT rep, ga, v, (x0 * 1597334677) % 4294967296 AS x1 FROM m0),
+             |m2 AS (SELECT rep, ga, v, (xor(x1, x1 >> 16) * 887987685) % 4294967296 AS x3 FROM m1),
+             |r AS (SELECT rep, ga, v,
+             |    CAST(xor(x3, x3 >> 13) AS DOUBLE) / 4294967296.0 AS u FROM m2),
+             |w AS (SELECT rep, ga, v, CASE
+             |    WHEN u < 0.36787944117144233 THEN 0
+             |    WHEN u < 0.7357588823428847 THEN 1
+             |    WHEN u < 0.9196986029286058 THEN 2
+             |    WHEN u < 0.9810118431238462 THEN 3
+             |    WHEN u < 0.9963401531726563 THEN 4
+             |    WHEN u < 0.9994058151824183 THEN 5
+             |    WHEN u < 0.9999167588507119 THEN 6
+             |    WHEN u < 0.9999897508033253 THEN 7
+             |    ELSE 8 END AS w FROM r),
+             |a AS (SELECT rep,
+             |    CAST(SUM(CASE WHEN ga THEN w ELSE 0 END) AS BIGINT) AS n_a,
+             |    SUM(CASE WHEN ga THEN CAST(w AS DECIMAL(19,0)) * v END) AS sa,
+             |    CAST(SUM(CASE WHEN NOT ga THEN w ELSE 0 END) AS BIGINT) AS n_b,
+             |    SUM(CASE WHEN NOT ga THEN CAST(w AS DECIMAL(19,0)) * v END) AS sb
+             |  FROM w GROUP BY rep),
+             |m AS (SELECT rep, n_a, n_b,
+             |    CASE WHEN n_a > 0 THEN CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) END AS mean_a,
+             |    CASE WHEN n_b > 0 THEN CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_b
+             |  FROM a)
+             |SELECT CAST(rep AS BIGINT) AS rep, n_a, n_b, mean_a, mean_b,
+             |  mean_a - mean_b AS diff
+             |FROM m ORDER BY rep""".stripMargin))
   )
 }

@@ -644,6 +644,55 @@ object ML {
       .orderBy("bucket")
   }
 
+  /** Two-sample Poisson-bootstrap mean DIFFERENCE — the uncertainty
+    * band for an A/B effect ([[graft.operators.Analytics.welchT]]
+    * gives the parametric t; the bootstrap replicates give a
+    * distribution-free CI by reading quantiles off the `diff` column):
+    * per replicate j, both groups' resampled means from the SAME
+    * deterministic per-row Poisson(1) weights as [[bootstrapMeans]]
+    * (ONE md5 per row fanned into b uniforms by the mixU32 integer
+    * finalizer), computed as 4·b conditional map-side-combined
+    * aggregate expressions over ONE scan — no shuffle, no second pass.
+    * A replicate that resamples a group to zero rows emits NULL for
+    * that mean (and the diff). Output: b rows —
+    * (rep, n_a, n_b, mean_a, mean_b, diff). */
+  def bootstrapMeanDiff(df: DataFrame, idCol: String, valueCol: String,
+                        groupCol: String, groupA: String, groupB: String,
+                        b: Int, salt: String, scale: Int = 4): DataFrame = {
+    require(b >= 1 && b <= 32, s"b must be in [1,32], got $b")
+    val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
+    val hashed = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol), (col(groupCol) === groupA).as("__ga"),
+        h1.as("__h1"), h2.as("__h2"))
+    val aggs = (0 until b).flatMap { j =>
+      val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
+        .cast("double") / lit(4294967296.0)
+      val w = poisson1Cdf.zipWithIndex
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (acc, (t, k)) =>
+            Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
+        }.get.otherwise(poisson1Cdf.length).cast("long")
+      val wv = w.cast("decimal(19,0)") *
+        col(valueCol).cast(s"decimal(18,$scale)")
+      Seq(sum(when(col("__ga"), w).otherwise(0L)).as(s"__na$j"),
+        sum(when(col("__ga"), wv)).as(s"__sa$j"),
+        sum(when(!col("__ga"), w).otherwise(0L)).as(s"__nb$j"),
+        sum(when(!col("__ga"), wv)).as(s"__sb$j"))
+    }
+    val one = hashed.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until b)
+      .map(j => s"${j}L, __na$j, __sa$j, __nb$j, __sb$j").mkString(", ")
+    one.select(expr(
+        s"stack($b, $stackArgs) as (rep, n_a, __sa, n_b, __sb)"))
+      .withColumn("mean_a", when(col("n_a") > 0,
+        col("__sa").cast("double") / col("n_a").cast("double")))
+      .withColumn("mean_b", when(col("n_b") > 0,
+        col("__sb").cast("double") / col("n_b").cast("double")))
+      .select(col("rep"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), (col("mean_a") - col("mean_b")).as("diff"))
+      .orderBy("rep")
+  }
+
   /** Deterministic stratified k-fold assignment: within each stratum,
     * rows are ordered by (salted hash, key) — a stable pseudo-random
     * shuffle — and dealt round-robin, so fold sizes differ by AT MOST

@@ -1581,6 +1581,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapMeanDiff: each side equals bootstrapMeans on its own " +
+    "subset (weights depend only on id/salt/rep); empty-side replicate " +
+    "NULLs; partition sweep") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i =>
+      (i.toString, if (i % 2 == 0) "a" else "b", i.toDouble))
+    val df = rows.toDF("rid", "grp", "v")
+    val got = graft.functions.ML.bootstrapMeanDiff(df, "rid", "v", "grp",
+        "a", "b", b = 4, salt = "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val aSide = graft.functions.ML.bootstrapMeans(
+        df.filter(col("grp") === "a"), "rid", "v", b = 4, salt = "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val bSide = graft.functions.ML.bootstrapMeans(
+        df.filter(col("grp") === "b"), "rid", "v", b = 4, salt = "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (rep <- 0L until 4L) {
+      assert(got(rep).getLong(1) == aSide(rep).getLong(1) &&
+        got(rep).get(3) == aSide(rep).get(2),
+        s"rep $rep side a: ${got(rep)} vs ${aSide(rep)}")
+      assert(got(rep).getLong(2) == bSide(rep).getLong(1) &&
+        got(rep).get(4) == bSide(rep).get(2),
+        s"rep $rep side b: ${got(rep)} vs ${bSide(rep)}")
+    }
+    // a frame with only one arm: NULL mean_b/diff, exact n_b = 0
+    val solo = graft.functions.ML.bootstrapMeanDiff(
+        df.filter(col("grp") === "a"), "rid", "v", "grp", "a", "b",
+        b = 2, salt = "t")
+      .collect()
+    assert(solo.forall(r => r.getLong(2) == 0L && r.isNullAt(4) &&
+      r.isNullAt(5)))
+    partitionSweep { p =>
+      graft.functions.ML.bootstrapMeanDiff(df.repartition(p), "rid", "v",
+          "grp", "a", "b", 4, "t")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
