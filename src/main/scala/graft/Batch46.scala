@@ -1270,6 +1270,47 @@ private[graft] object Batch46 {
              |  FROM a)
              |SELECT CAST(rep AS BIGINT) AS rep, n_a, n_b, mean_a, mean_b,
              |  mean_a - mean_b AS diff
-             |FROM m ORDER BY rep""".stripMargin))
+             |FROM m ORDER BY rep""".stripMargin)),
+
+    // Per-event-type Kendall tau-b on bucketed axes — the sliced
+    // ordinal association beside spearmanBy: per-slice pair counts,
+    // the strictly x-ordered join, tie corrections, and the tau chain
+    // all replayed with grouped SQL.
+    Q("q311_kendall_tau_by",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("x", floor(col("value") / 10).cast("long"))
+          .withColumn("y",
+            (floor(col("value") / 20) + col("event_id") % 3).cast("long"))
+        graft.operators.Analytics.kendallTauBy(ev, Seq("event_type"),
+          "x", "y").orderBy("event_type")
+      },
+      Some("""WITH base AS (SELECT event_type AS k,
+             |    CAST(FLOOR(value / 10) AS BIGINT) AS x,
+             |    CAST(FLOOR(value / 20) + (event_id % 3) AS BIGINT) AS y
+             |  FROM events),
+             |p AS (SELECT k, x, y, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM base GROUP BY 1, 2, 3),
+             |cd AS (SELECT a.k,
+             |    SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+             |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS nc,
+             |    SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+             |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS nd
+             |  FROM p a JOIN p b ON a.k = b.k AND b.x > a.x GROUP BY 1),
+             |tx AS (SELECT k, SUM(CAST(s AS DECIMAL(38,0)) * (s - 1)) AS t
+             |  FROM (SELECT k, x, SUM(c) AS s FROM p GROUP BY 1, 2) GROUP BY 1),
+             |ty AS (SELECT k, SUM(CAST(s AS DECIMAL(38,0)) * (s - 1)) AS t
+             |  FROM (SELECT k, y, SUM(c) AS s FROM p GROUP BY 1, 2) GROUP BY 1),
+             |tot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n FROM p GROUP BY 1),
+             |f AS (SELECT tot.k, tot.n,
+             |    CAST(cd.nc AS DOUBLE) AS nc, CAST(cd.nd AS DOUBLE) AS nd,
+             |    CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) - 1) / 2.0 AS n0,
+             |    CAST(tx.t AS DOUBLE) AS txd, CAST(ty.t AS DOUBLE) AS tyd
+             |  FROM tot LEFT JOIN cd ON tot.k = cd.k
+             |  JOIN tx ON tot.k = tx.k JOIN ty ON tot.k = ty.k)
+             |SELECT k AS event_type, n, nc, nd,
+             |  CASE WHEN n0 - txd / 2.0 > 0 AND n0 - tyd / 2.0 > 0
+             |    THEN (nc - nd) / sqrt((n0 - txd / 2.0) * (n0 - tyd / 2.0)) END AS tau_b
+             |FROM f ORDER BY event_type""".stripMargin))
   )
 }

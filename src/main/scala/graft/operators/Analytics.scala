@@ -1986,6 +1986,64 @@ object Analytics {
             sqrt(col("__d1") * col("__d2"))).as("tau_b"))
   }
 
+  /** Per-GROUP Kendall τ-b — the sliced ordinal association beside
+    * [[spearmanBy]] (τ reads dominance probability, ρ reads rank
+    * linearity; a slice can reverse the pooled sign — the Simpson's
+    * screen at the ordinal level). The [[kendallTau]] pair-count
+    * self-join KEYED: per-slice (x, y)-pair counts, the strictly
+    * x-ordered join within each slice, tie corrections and totals as
+    * keys-sized aggregates joined back null-safe. Inherits
+    * [[kendallTau]]'s contract verbatim: per-SLICE distinct-pair
+    * cardinality must be low (categorical/bucketed axes) — the join
+    * compares |pairs|² cells per slice; a slice with ONE distinct x
+    * emits NULL nc/nd/tau exactly as the global form does on that
+    * input. Output: key columns + (n, nc, nd, tau_b). */
+  def kendallTauBy(df: DataFrame, keyCols: Seq[String], xCol: String,
+                   yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "kendallTauBy needs key columns; use kendallTau")
+    val keys = keyCols.map(col)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    def renameKeys(dv: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dv) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val pairs = df
+      .groupBy(keys :+ col(xCol).as("__x") :+ col(yCol).as("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val bSide = renameKeys(pairs.select(keys :+ col("__x").as("__xb") :+
+      col("__y").as("__yb") :+ col("__c").as("__cb"): _*), "b")
+    val cd = pairs.join(bSide, keyJoin("b") && col("__xb") > col("__x"))
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(col("__yb") > col("__y"), dec(col("__c")) * col("__cb"))
+          .otherwise(dec(lit(0)))).as("__nc"),
+        sum(when(col("__yb") < col("__y"), dec(col("__c")) * col("__cb"))
+          .otherwise(dec(lit(0)))).as("__nd"))
+    def tieSum(key: String, out: String) = pairs
+      .groupBy(keys :+ col(key): _*).agg(sum(col("__c")).as("__s"))
+      .groupBy(keys: _*)
+      .agg(sum(dec(col("__s")) * (col("__s") - 1)).as(out))
+    val tx = renameKeys(tieSum("__x", "__tx"), "x")
+    val ty = renameKeys(tieSum("__y", "__ty"), "y")
+    val tot = pairs.groupBy(keys: _*).agg(sum(col("__c")).as("n"))
+    tot.join(renameKeys(cd, "c"), keyJoin("c"), "left")
+      .drop(keyCols.indices.map(i => s"__c$i"): _*)
+      .join(tx, keyJoin("x"))
+      .drop(keyCols.indices.map(i => s"__x$i"): _*)
+      .join(ty, keyJoin("y"))
+      .drop(keyCols.indices.map(i => s"__y$i"): _*)
+      .withColumn("__n0", d(col("n")) * (d(col("n")) - 1) / 2.0)
+      .withColumn("__d1", col("__n0") - d(col("__tx")) / 2.0)
+      .withColumn("__d2", col("__n0") - d(col("__ty")) / 2.0)
+      .select(keys ++ Seq(col("n"), d(col("__nc")).as("nc"),
+        d(col("__nd")).as("nd"),
+        when(col("__d1") > 0 && col("__d2") > 0,
+          (d(col("__nc")) - d(col("__nd"))) /
+            sqrt(col("__d1") * col("__d2"))).as("tau_b")): _*)
+  }
+
   /** Exact Kendall τ-b at scale — Knight's O(n log n) inversion-count
     * algorithm, distributed. [[kendallTau]]'s self-join compares
     * |pairs|² cells — quadratic in distinct-pair cardinality — and

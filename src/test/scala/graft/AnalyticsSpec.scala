@@ -1619,6 +1619,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kendallTauBy == kendallTau per slice (incl. single-distinct-x " +
+    "NULL slice); opposite-sign slices; partition sweep") {
+    import spark.implicits._
+    val rows = Seq( // s1 increasing, s2 decreasing, s3 one distinct x
+      ("s1", 1L, 1L), ("s1", 2L, 2L), ("s1", 3L, 3L), ("s1", 3L, 2L),
+      ("s2", 1L, 5L), ("s2", 2L, 4L), ("s2", 3L, 1L),
+      ("s3", 7L, 1L), ("s3", 7L, 2L))
+    val df = rows.toDF("k", "x", "y")
+    val tb = Analytics.kendallTauBy(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (sl <- Seq("s1", "s2", "s3")) {
+      val slice = rows.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("x", "y")
+      val w = Analytics.kendallTau(slice, "x", "y").collect().head
+      assert(tb(sl).toSeq.drop(1) == w.toSeq,
+        s"kendallTauBy $sl: ${tb(sl)} vs $w")
+    }
+    assert(tb("s1").getAs[Double]("tau_b") > 0 &&
+      tb("s2").getAs[Double]("tau_b") == -1.0)
+    assert(tb("s3").isNullAt(tb("s3").fieldIndex("tau_b")),
+      "single-distinct-x slice must emit NULL tau")
+    partitionSweep { p =>
+      Analytics.kendallTauBy(df.repartition(p), Seq("k"), "x", "y")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
