@@ -1311,6 +1311,31 @@ private[graft] object Batch46 {
              |SELECT k AS event_type, n, nc, nd,
              |  CASE WHEN n0 - txd / 2.0 > 0 AND n0 - tyd / 2.0 > 0
              |    THEN (nc - nd) / sqrt((n0 - txd / 2.0) * (n0 - tyd / 2.0)) END AS tau_b
-             |FROM f ORDER BY event_type""".stripMargin))
+             |FROM f ORDER BY event_type""".stripMargin)),
+
+    // Per-document type-token ratio + hapax share over the documents
+    // corpus: the tokenizer (the q98/BM25 contract), per-(doc, type)
+    // counts, all three totals, and both ratio divisions replayed.
+    Q("q312_lexical_diversity",
+      (s, dir) => graft.functions.Text.lexicalDiversity(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+             |  FROM documents),
+             |tt AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM toks WHERE len(t) > 0 GROUP BY 1, 2),
+             |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |    CAST(COUNT(*) AS BIGINT) AS n_types,
+             |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+             |  FROM tt GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens,
+             |  COALESCE(pd.n_types, 0) AS n_types,
+             |  COALESCE(pd.n_hapax, 0) AS n_hapax,
+             |  CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+             |    THEN CAST(pd.n_types AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE) END AS ttr,
+             |  CASE WHEN COALESCE(pd.n_types, 0) > 0
+             |    THEN CAST(pd.n_hapax AS DOUBLE) / CAST(pd.n_types AS DOUBLE) END AS hapax_share
+             |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -626,5 +626,37 @@ object Text {
       .select(col(idCol), col("n_tok"),
         (col("__s").cast("double") / col("n_tok").cast("double"))
           .as("avg_nll"))
+  }
+
+  /** Per-document lexical diversity — type-token ratio + hapax share,
+    * the vocabulary-richness quality signals (LOW ttr ⇒ repetitive /
+    * boilerplate text; HIGH hapax share on a long doc ⇒ noise /
+    * codes / OCR junk — the two ends [[repetitionStats]]'s n-gram
+    * ratios bracket at the sequence level, here at the bag level):
+    * one tokenize pass, per-(doc, type) counts (map-side combined),
+    * per-doc aggregates, pinned ratio divisions. Token-less docs
+    * SURVIVE with zero counts and NULL ratios (a spine join on the id
+    * — silently dropping empties would skew any downstream filter
+    * threshold). Output: one row per doc —
+    * (idCol, n_tokens, n_types, n_hapax, ttr, hapax_share). */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val perType = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val perDoc = perType.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("ttr", when(col("n_tokens") > 0,
+        d(col("n_types")) / d(col("n_tokens"))))
+      .withColumn("hapax_share", when(col("n_types") > 0,
+        d(col("n_hapax")) / d(col("n_types"))))
   }
 }

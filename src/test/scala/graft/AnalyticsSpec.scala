@@ -1646,6 +1646,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("lexicalDiversity: hand-computed TTR/hapax; empty docs survive " +
+    "with NULL ratios; partition sweep") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog and the bird"), // 8 toks, 5 types, 3 hapax
+      (2L, "a a a a"), // 4 toks, 1 type, 0 hapax
+      (3L, "   ")).toDF("doc_id", "text") // token-less
+    val got = graft.functions.Text.lexicalDiversity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 8L && got(1L).getLong(2) == 5L &&
+      got(1L).getLong(3) == 3L)
+    assert(math.abs(got(1L).getAs[Double]("ttr") - 0.625) < 1e-15)
+    assert(math.abs(got(1L).getAs[Double]("hapax_share") - 0.6) < 1e-15)
+    assert(got(2L).getAs[Double]("ttr") == 0.25 &&
+      got(2L).getAs[Double]("hapax_share") == 0.0)
+    assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(4) &&
+      got(3L).isNullAt(5), "token-less doc must survive with NULLs")
+    partitionSweep { p =>
+      graft.functions.Text.lexicalDiversity(df.repartition(p), "doc_id",
+          "text")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    }
+  }
+
   test("prefixBefore: the offset and window branches read ONE reused " +
     "range exchange (the consistency the correctness rests on), and the " +
     "range-guard tripwire fails loudly rather than silently when fed a " +
