@@ -638,6 +638,17 @@ object StressBench {
         spark.range(50000000L).select(
           when(col("id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("g"),
           ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
+        "g", "v", "ref", "cur", share = false)),
+      // the share knob's crossover, measured: share=true checkpoints
+      // the ~50M-row cum frame (spills at this heap) but is the ONLY
+      // sane plan when the corpus scan is the expensive side (distinct
+      // ≪ rows, the 100 TB design point); share=false rescans the
+      // cheap synthetic source twice and wins in THIS all-distinct
+      // local regime. Both measured; operator default is share=true.
+      "wasserstein_50m_shared" -> (() => graft.operators.Analytics.wasserstein1(
+        spark.range(50000000L).select(
+          when(col("id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("g"),
+          ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
         "g", "v", "ref", "cur")),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),

@@ -583,6 +583,89 @@ object ML {
           col("precision"), col("recall"), col("f1"), col("mcc"))): _*)
   }
 
+  /** Cohen's kappa — chance-corrected inter-annotator agreement over
+    * two categorical columns (two labeling runs, a model vs a human
+    * pass, [[graft.operators.Text]]'s heuristic language-ID vs the
+    * recorded language): κ = (p_o − p_e)/(1 − p_e) with p_o the
+    * observed agreement and p_e = Σ_k (n_aₖ/n)(n_bₖ/n) the chance
+    * agreement from the marginals. Multi-class; rows where either
+    * side is NULL are excluded (no agreement defined). EXACT up to the
+    * single final division: the identity κ = (n·Σ a_kk − Σ n_aₖ·n_bₖ)
+    * / (n² − Σ n_aₖ·n_bₖ) keeps everything integer in decimal(38,0).
+    * Plan: ONE contingency-cell aggregate (map-side combined), two
+    * classes-sized marginal aggregates off it, one classes-sized join
+    * — no row-scale shuffle past the first groupBy. Degenerate p_e = 1
+    * (both raters constant) → NULL kappa. Output: one row
+    * (n, po, pe, kappa). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cell = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cell.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("__agr"))
+    val ma = cell.groupBy(col("__a").as("__k")).agg(sum("__c").as("__na"))
+    val mb = cell.groupBy(col("__b").as("__k")).agg(sum("__c").as("__nb"))
+    val pe = ma.join(mb, "__k")
+      .agg(coalesce(sum(dec(col("__na")) * dec(col("__nb"))), lit(0L)
+        .cast("decimal(38,0)")).as("__pe2"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("__num", dec(col("n")) * dec(col("__agr")) - col("__pe2"))
+      .withColumn("__den", dec(col("n")) * dec(col("n")) - col("__pe2"))
+      .select(col("n"),
+        when(col("n") > 0, d(col("__agr")) / d(col("n"))).as("po"),
+        when(col("n") > 0,
+          d(col("__pe2")) / (d(col("n")) * d(col("n")))).as("pe"),
+        when(col("__den") > 0,
+          d(col("__num")) / d(col("__den"))).as("kappa"))
+  }
+
+  /** Per-GROUP [[cohensKappa]] — per-language/per-source agreement (a
+    * labeler pair that agrees in aggregate routinely diverges on one
+    * slice). Same exact integer identity; the marginal join and the
+    * final join are (groups × classes)-sized, null-safe on keys.
+    * Output: key columns + (n, po, pe, kappa). */
+  def cohensKappaBy(df: DataFrame, keyCols: Seq[String], aCol: String,
+                    bCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cohensKappaBy needs key columns; use cohensKappa")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val keys = keyCols.map(col)
+    def renameKeys(dv: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dv) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyEq(tag: String) = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val cell = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(keys :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val tot = cell.groupBy(keys: _*).agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("__agr"))
+    val ma = cell.groupBy(keys :+ col("__a").as("__k"): _*)
+      .agg(sum("__c").as("__na"))
+    val mb = renameKeys(cell.groupBy(keys :+ col("__b").as("__mk"): _*)
+      .agg(sum("__c").as("__nb")), "m")
+    val pe = ma.join(mb, keyEq("m") && col("__k") === col("__mk"),
+        "inner")
+      .groupBy(keys: _*)
+      .agg(sum(dec(col("__na")) * dec(col("__nb"))).as("__pe2"))
+    val peR = renameKeys(pe, "p")
+    tot.join(peR, keyEq("p"), "left")
+      .withColumn("__pe2", coalesce(col("__pe2"),
+        lit(0L).cast("decimal(38,0)")))
+      .withColumn("__num", dec(col("n")) * dec(col("__agr")) - col("__pe2"))
+      .withColumn("__den", dec(col("n")) * dec(col("n")) - col("__pe2"))
+      .select(keys ++ Seq(col("n"),
+        when(col("n") > 0, d(col("__agr")) / d(col("n"))).as("po"),
+        when(col("n") > 0,
+          d(col("__pe2")) / (d(col("n")) * d(col("n")))).as("pe"),
+        when(col("__den") > 0,
+          d(col("__num")) / d(col("__den"))).as("kappa")): _*)
+  }
+
   /** Cumulative-gains / lift table — the score-eval report modelers
     * read before any single number (aucRoc compresses the whole curve;
     * the lift table says "the top decile captures X% of positives at

@@ -658,18 +658,33 @@ object Analytics {
     * Either group empty → NULL w1 (undefined, not zero); one distinct
     * value → 0. Output: one row (n_a, n_b, w1), w1 in value units. */
   def wasserstein1(df: DataFrame, groupCol: String, valueCol: String,
-                   groupA: String, groupB: String): DataFrame = {
+                   groupA: String, groupB: String,
+                   share: Boolean = true): DataFrame = {
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val cum = prefixBeforeMulti(counts, "__v",
+    // `share` (default true) lazily localCheckpoints the cum frame
+    // (the minhashLSH signature-sharing pattern): the successor branch
+    // prunes to (__v, __cum_i), which makes its subtree canonicalize
+    // UNEQUAL to the cumulative branch's — ReuseExchange cannot dedupe
+    // them, so WITHOUT sharing the counts aggregate (a full corpus
+    // scan) + range exchange + prefix pipeline run TWICE
+    // (plan-verified: 45 exchanges → 12 with the checkpoint). At the
+    // 100 TB design point — distinct values ≪ rows — one corpus scan
+    // + a small materialized frame is the only sane plan. The knob
+    // exists for the OPPOSITE regime: |distinct| ≈ |rows| makes the
+    // checkpoint itself row-scale (StressBench wasserstein_50m:
+    // share=false 28.3 s vs share=true 37.8 s at 50M all-distinct,
+    // where the frame spills and rescanning a cheap source wins).
+    val cumRaw = prefixBeforeMulti(counts, "__v",
         Seq("a" -> col("__ca"), "b" -> col("__cb"), "i" -> lit(1L)))
       .withColumn("__cuma", col("__cum_a") + col("__ca"))
       .withColumn("__cumb", col("__cum_b") + col("__cb"))
+    val cum = if (share) cumRaw.localCheckpoint(false) else cumRaw
     val nxt = cum.select(col("__cum_i").as("__pidx"), col("__v").as("__nv"))
-    val tot = counts.agg(sum(col("__ca")).as("__na"),
-      sum(col("__cb")).as("__nb"))
+    val tot = (if (share) cum else counts)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     val sums = cum.join(nxt, col("__cum_i") + 1 === col("__pidx"))
       .crossJoin(broadcast(tot))
       .withColumn("__term", when(col("__na") > 0 && col("__nb") > 0,
@@ -697,18 +712,20 @@ object Analytics {
     * the other way round). Slices missing either group emit NULL w1.
     * Output: key columns + (n_a, n_b, w1). */
   def wasserstein1By(df: DataFrame, keyCols: Seq[String], groupCol: String,
-                     valueCol: String, groupA: String, groupB: String)
-      : DataFrame = {
+                     valueCol: String, groupA: String, groupB: String,
+                     share: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "wasserstein1By needs key columns; use wasserstein1")
     val keys = keyCols.map(col)
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
       .groupBy(keys :+ col(valueCol).as("__v"): _*)
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val cum = prefixBeforeMultiBy(counts, keyCols, "__v",
+    // same share rationale and regime tradeoff as the global form
+    val cumRaw = prefixBeforeMultiBy(counts, keyCols, "__v",
         Seq("a" -> col("__ca"), "b" -> col("__cb"), "i" -> lit(1L)))
       .withColumn("__cuma", col("__cum_a") + col("__ca"))
       .withColumn("__cumb", col("__cum_b") + col("__cb"))
+    val cum = if (share) cumRaw.localCheckpoint(false) else cumRaw
     def renameKeys(d: DataFrame, tag: String): DataFrame =
       keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
         acc.withColumnRenamed(c, s"__$tag$i") }
@@ -717,7 +734,7 @@ object Analytics {
         col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
     val nxt = renameKeys(cum.select(
       keys :+ col("__cum_i").as("__pidx") :+ col("__v").as("__nv"): _*), "n")
-    val tot = counts.groupBy(keys: _*)
+    val tot = (if (share) cum else counts).groupBy(keys: _*)
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     val totR = renameKeys(tot, "t")
     val sums = cum
@@ -1909,6 +1926,189 @@ object Analytics {
             sqrt(col("__var"))))
       .select(keys ++ Seq(col("n_a"), col("n_b"), col("u_a"), col("u_b"),
         col("z")): _*)
+  }
+
+  /** Kruskal–Wallis H — the K-GROUP rank test completing the
+    * nonparametric family ([[mannWhitneyU]] asks "did THIS pair's
+    * location shift", KW asks "did ANY of the k groups' locations
+    * shift" — the rank analogue of [[oneWayF]], robust to the
+    * non-normal heavy-tailed distributions pipeline metrics actually
+    * have). Mid-ranks via the same doubled-rank model as
+    * [[mannWhitneyU]]: r2(v) = 2·cum_before(v) + t(v) + 1 on the
+    * DISTINCT-value table ([[prefixBefore]] — distributed, no
+    * single-task sort), per-group doubled rank sums in decimal, then
+    *   H = [12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N))
+    * as a pinned double chain, with the CROSS-GROUP Σ R_g²/n_g an
+    * ORDERED left fold (sort_array + aggregate, the [[oneWayF]]
+    * decimal-cast-boundary contract — group terms are too large for a
+    * replayable decimal cast). k is the number of compared groups —
+    * the fold array is k-sized (thousands fine, not millions). All
+    * values tied, k < 2, or N ≤ 1 → NULL h. Output: one row
+    * (k, n, h). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val pairs = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val vt = pairs.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val cum = prefixBefore(vt, "__v", col("__t"))
+    val ties = vt.agg(
+      sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+        dec(col("__t"))).as("__ties"))
+    val ranked = pairs.join(
+      cum.select(col("__v").as("__kv"), col("__cum"), col("__t")),
+      col("__v") <=> col("__kv"))
+    val g = ranked.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__ng"),
+        sum(dec(col("__c")) *
+          (lit(2) * col("__cum") + col("__t") + 1)).as("__r2g"))
+    g.select(col("__ng"),
+        struct(col("__g").as("g"),
+          (d(col("__r2g")) * d(col("__r2g")) / d(col("__ng"))).as("bt"))
+          .as("__t"))
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .crossJoin(broadcast(ties))
+      .withColumn("__s", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("bt")))
+      // Σ R_g²/n_g = (Σ R2_g²/n_g)/4; correction 1 − Σ(t³−t)/(N³−N)
+      .withColumn("__hraw",
+        lit(12.0) / (d(col("n")) * (d(col("n")) + 1.0)) *
+          (col("__s") / 4.0) - lit(3.0) * (d(col("n")) + 1.0))
+      .withColumn("__corr",
+        lit(1.0) - d(col("__ties")) /
+          (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n"))))
+      .select(col("k"), col("n"),
+        when(col("k") > 1 && col("n") > 1 && col("__corr") > 0,
+          col("__hraw") / col("__corr")).as("h"))
+  }
+
+  /** Per-GROUP [[kruskalWallis]] — the k-sample rank screen per slice
+    * (per language: did ANY source's length profile shift inside this
+    * language). Ranks ride the KEYED distributed prefix
+    * ([[prefixBeforeBy]] — hot slices split across range partitions),
+    * per-(slice, group) decimal rank sums, per-slice ordered fold.
+    * Output: key columns + (k, n, h). */
+  def kruskalWallisBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "kruskalWallisBy needs key columns; use kruskalWallis")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val keys = keyCols.map(col)
+    val pairs = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys :+ col(valueCol).as("__v") :+ col(groupCol).as("__g"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val vt = pairs.groupBy(keys :+ col("__v"): _*)
+      .agg(sum(col("__c")).as("__t"))
+    val cum = prefixBeforeBy(vt, keyCols, "__v", col("__t"))
+    val ties = vt.groupBy(keys: _*).agg(
+      sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+        dec(col("__t"))).as("__ties"))
+    def renameKeys(dd: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dd) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyEq(tag: String): Column =
+      keyCols.zipWithIndex.map { case (c, i) =>
+        col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val cumR = renameKeys(cum.select(
+      keys :+ col("__v").as("__kv") :+ col("__cum") :+ col("__t"): _*), "c")
+    val ranked = pairs.join(cumR, keyEq("c") && col("__v") <=> col("__kv"))
+    val g = ranked.groupBy(keys :+ col("__g"): _*)
+      .agg(sum(col("__c")).as("__ng"),
+        sum(dec(col("__c")) *
+          (lit(2) * col("__cum") + col("__t") + 1)).as("__r2g"))
+    val tiesR = renameKeys(ties, "t")
+    g.select(keys ++ Seq(col("__ng"),
+        struct(col("__g").as("g"),
+          (d(col("__r2g")) * d(col("__r2g")) / d(col("__ng"))).as("bt"))
+          .as("__t")): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .join(tiesR, keyEq("t"))
+      .withColumn("__s", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("bt")))
+      .withColumn("__hraw",
+        lit(12.0) / (d(col("n")) * (d(col("n")) + 1.0)) *
+          (col("__s") / 4.0) - lit(3.0) * (d(col("n")) + 1.0))
+      .withColumn("__corr",
+        lit(1.0) - d(col("__ties")) /
+          (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n"))))
+      .select(keys ++ Seq(col("k"), col("n"),
+        when(col("k") > 1 && col("n") > 1 && col("__corr") > 0,
+          col("__hraw") / col("__corr")).as("h")): _*)
+  }
+
+  /** Inclusive running MIN over a DISTINCT-key table in DESCENDING key
+    * order, distributed — the suffix-cummin machinery for
+    * [[bhAdjust]]: appends `__rmin` = min(value) over rows whose key
+    * sorts at-or-after (key DESC, so "this row and everything with a
+    * larger key"). Same three-step structure and branch-consistency
+    * tripwire as [[prefixBeforeMultiBy]] (range exchange on key DESC →
+    * per-slice inclusive window min → #partitions-row offset table of
+    * strictly-preceding-slice mins, broadcast back), min instead of
+    * sum. NULL keys sort LAST under desc and skip the range check. */
+  private[graft] def runningMinDescIncl(dv: DataFrame, key: String,
+      value: Column): DataFrame = {
+    val p = dv.withColumn("__mv", value)
+      .repartitionByRange(col(key).desc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col(key).desc)
+      .rowsBetween(Long.MinValue, 0)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid").asc).rowsBetween(Long.MinValue, -1)
+    val offs = p.groupBy("__pid")
+      .agg(min(col("__mv")).as("__pm"),
+        min(col(key)).as("__gmin"), max(col(key)).as("__gmax"))
+      .select(col("__pid").as("__opid"), col("__gmin"), col("__gmax"),
+        min(col("__pm")).over(wOff).as("__moff"))
+    val local = p.withColumn("__lmin", min(col("__mv")).over(wLocal))
+    val joined = local.join(broadcast(offs),
+      col("__pid") === col("__opid"), "left")
+    val consistent = col(key).isNull ||
+      (col("__gmin").isNotNull &&
+        col(key) >= col("__gmin") && col(key) <= col("__gmax"))
+    joined
+      .withColumn("__rmin",
+        when(consistent, least(col("__lmin"),
+          coalesce(col("__moff"), col("__lmin"))))
+          .otherwise(raise_error(lit("runningMinDescIncl: range-slice " +
+            "mismatch between the offset and window branches"))))
+      .drop("__mv", "__pid", "__opid", "__gmin", "__gmax", "__lmin",
+        "__moff")
+  }
+
+  /** Benjamini–Hochberg FDR adjustment — the MULTIPLICITY correction
+    * the sliced-test family creates the need for ([[ksTestBy]],
+    * [[mannWhitneyUBy]], [[propTestBy]], … emit one test per slice;
+    * run 10,000 slices at α = 0.05 and ~500 "drifted" slices are
+    * noise — BH controls the expected false-discovery fraction):
+    * p_adj(i) = min(1, min_{p_j ≥ p_i} p_j·n/rank(p_j)), the
+    * step-up adjusted p (statsmodels fdr_bh semantics; tied p-values
+    * share the LARGEST rank of the tie group, which the suffix min
+    * makes exact). Plan: one distinct-p aggregate, rank =
+    * inclusive cumulative count via [[prefixBefore]], q = p·n/rank as
+    * a pinned double chain, suffix-inclusive min via
+    * [[runningMinDescIncl]] (distributed — no single-task window over
+    * the hypothesis table), one join back onto the input rows. Rows
+    * with NULL p keep NULL p_adj and don't count toward n. Output:
+    * the input columns + `p_adj`. */
+  def bhAdjust(df: DataFrame, pCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dp = df.filter(col(pCol).isNotNull)
+      .groupBy(col(pCol).as("__p")).agg(count(lit(1)).as("__c"))
+    val n = dp.agg(sum(col("__c")).as("__n"))
+    val ranked = prefixBefore(dp, "__p", col("__c"))
+      .withColumn("__r", col("__cum") + col("__c"))
+      .crossJoin(broadcast(n))
+      .withColumn("__q", d(col("__p")) * d(col("__n")) / d(col("__r")))
+    val adj = runningMinDescIncl(ranked, "__p", col("__q"))
+      .select(col("__p"),
+        least(lit(1.0), col("__rmin")).as("p_adj"))
+    df.join(adj, col(pCol) === col("__p"), "left").drop("__p")
   }
 
   /** Laplace-noised group counts — the ε-differential-privacy RELEASE

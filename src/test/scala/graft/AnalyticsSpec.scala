@@ -1093,9 +1093,22 @@ class AnalyticsSpec extends SparkSpec {
     // a: {0, 4}, b: {2, 4} — |Fa-Fb| is 0.5 on [0,2), 0 on [2,4) →
     // W1 = 0.5·2 = 1.0
     val g = Seq(("a", 0L), ("a", 4L), ("b", 2L), ("b", 4L)).toDF("grp", "v")
-    val r = Analytics.wasserstein1(g, "grp", "v", "a", "b").collect().head
+    val shared = Analytics.wasserstein1(g, "grp", "v", "a", "b")
+    val r = shared.collect().head
     assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12, s"W1 ${r.getDouble(2)}")
+    // share=false rescans the source instead of checkpointing the cum
+    // frame — must be bit-equal, and the checkpoint must actually
+    // collapse the duplicated counts+prefix pipeline (strictly fewer
+    // exchanges in the executed plan).
+    val rescan = Analytics.wasserstein1(g, "grp", "v", "a", "b",
+      share = false)
+    assert(rescan.collect().head.toSeq == r.toSeq)
+    def nEx(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    assert(nEx(shared) < nEx(rescan),
+      s"checkpoint must dedupe the pipeline: ${nEx(shared)} vs ${nEx(rescan)}")
     val rows = Seq( // (slice, grp, v)
       ("s1", "a", 0L), ("s1", "a", 4L), ("s1", "b", 2L), ("s1", "b", 4L),
       ("s2", "a", 1L), ("s2", "a", 3L), ("s2", "b", 5L), // W1 = 3.0
@@ -1111,6 +1124,11 @@ class AnalyticsSpec extends SparkSpec {
         .collect().head
       assert(wb(sl) == w.toSeq, s"wasserstein1By $sl: ${wb(sl)} vs $w")
     }
+    // keyed form: share=false bit-equal to the default
+    val wbRescan = Analytics.wasserstein1By(df, Seq("k"), "grp", "v",
+        "a", "b", share = false)
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    assert(wbRescan == wb, "wasserstein1By share=false must be bit-equal")
     assert(wb("s2") == Seq(2L, 1L, 3.0))
     assert(wb("s3").last == null, "missing-group slice must emit NULL w1")
     assert(wb("s4") == Seq(1L, 1L, 0.0), "single-value slice must emit 0")
@@ -1857,5 +1875,79 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rows(0)._3 - 6.0 / 5.5) < 1e-12)
     assert(graft.operators.Joins.joinSkewReport(left, right, "k", "k",
       topN = 1).count() == 1)
+  }
+
+  test("kruskalWallis: hand-computed tie-corrected H; By == global per " +
+    "slice; all-tied slice NULL; single-group slice NULL; partition " +
+    "sweep") {
+    import spark.implicits._
+    // a={1,2}, b={2,3}, c={5}: mid-ranks 1, 2.5, 2.5, 4, 5 →
+    // R_a=3.5, R_b=6.5, R_c=5; H_raw = 12/30·(6.125+21.125+25) − 18 =
+    // 2.9; ties Σ(t³−t)=6 → corr = 1 − 6/120 = 0.95; H = 2.9/0.95
+    val g = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("c", 5L))
+      .toDF("grp", "v")
+    val r = Analytics.kruskalWallis(g, "grp", "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 5L)
+    assert(math.abs(r.getDouble(2) - 2.9 / 0.95) < 1e-12, s"H ${r.get(2)}")
+    val rows = Seq(
+      ("s1", "a", 1L), ("s1", "a", 2L), ("s1", "b", 2L), ("s1", "b", 3L),
+      ("s1", "c", 5L),
+      ("s2", "a", 7L), ("s2", "b", 7L), ("s2", "c", 7L), // all tied → NULL
+      ("s3", "a", 1L), ("s3", "a", 9L)) // k=1 → NULL
+    // key column named "sl" (the operator's own output has a `k`
+    // group-count column; a key literally named "k" would collide)
+    val df = rows.toDF("sl", "grp", "v")
+    val by = Analytics.kruskalWallisBy(df, Seq("sl"), "grp", "v")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2", "s3")) {
+      val slice = rows.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("grp", "v")
+      val w = Analytics.kruskalWallis(slice, "grp", "v").collect().head
+      assert(by(sl) == w.toSeq, s"kruskalWallisBy $sl: ${by(sl)} vs $w")
+    }
+    assert(by("s2").last == null, "all-tied slice must emit NULL h")
+    assert(by("s3").last == null, "single-group slice must emit NULL h")
+    partitionSweep { p =>
+      Analytics.kruskalWallisBy(df.repartition(p), Seq("sl"), "grp", "v")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
+  test("bhAdjust: statsmodels fdr_bh model incl. tie group sharing the " +
+    "largest rank; cap at 1; NULL p passes through; partition sweep") {
+    import spark.implicits._
+    // p = [.01, .02, .02, .04, .5]: q = p·5/r with tie rank 3 →
+    // [.05, .1/3, .05, .5]; suffix-inclusive min →
+    // adj = [.1/3, .1/3, .1/3, .05, .5]
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.02), ("d", 0.04),
+      ("e", 0.5)).toDF("id", "p")
+    val adj = Analytics.bhAdjust(df, "p").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(adj("a") - 0.1 / 3) < 1e-15)
+    assert(math.abs(adj("b") - 0.1 / 3) < 1e-15)
+    assert(math.abs(adj("c") - 0.1 / 3) < 1e-15)
+    assert(math.abs(adj("d") - 0.05) < 1e-15)
+    assert(math.abs(adj("e") - 0.5) < 1e-15)
+    // cap: q(0.9) = 1.8 → capped by suffix min to 0.95, q(0.95)=0.95
+    val cap = Analytics.bhAdjust(
+        Seq(("x", 0.9), ("y", 0.95)).toDF("id", "p"), "p")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(cap("x") == 0.95 && cap("y") == 0.95)
+    // one p = 1.0 alone: adj = min(1, 1·1/1) = 1
+    val one = Analytics.bhAdjust(Seq(("z", 1.0)).toDF("id", "p"), "p")
+      .collect().head
+    assert(one.getDouble(2) == 1.0)
+    // NULL p: row survives, p_adj NULL, and n excludes it (others as
+    // if the NULL row were absent)
+    val wn = Analytics.bhAdjust(
+        Seq(("a", Some(0.02)), ("b", None), ("c", Some(0.5)))
+          .toDF("id", "p"), "p")
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(wn("b").isEmpty)
+    assert(math.abs(wn("a").get.asInstanceOf[Double] - 0.04) < 1e-15)
+    partitionSweep { p =>
+      Analytics.bhAdjust(df.repartition(p), "p")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
   }
 }

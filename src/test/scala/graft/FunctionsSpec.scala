@@ -2415,4 +2415,37 @@ class FunctionsSpec extends SparkSpec {
     assert(Bench.priorMins(oldTrunc) == Map("q02" -> 0.7, "q03" -> 2.0))
     assert(Bench.priorMins(bare) == Map("q01" -> 1.4, "q02" -> 0.7))
   }
+
+  test("cohensKappa: textbook 2x2 exact 0.4; By == global per slice; " +
+    "both-constant slice NULL kappa; NULL rows excluded; partition " +
+    "sweep") {
+    // 20 yy, 5 yn, 10 ny, 15 nn: po = 0.7, pe = 0.5, kappa = 0.4 exact
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val df = rows.toDF("a", "b")
+    val r = ML.cohensKappa(df, "a", "b").collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5 &&
+      r.getDouble(3) == 0.4)
+    // NULL on either side is excluded entirely
+    val wn = ML.cohensKappa(
+      (rows.map { case (a, b) => (Option(a), Option(b)) } ++
+        Seq((Some("y"), None), (None, Some("n")))).toDF("a", "b"),
+      "a", "b").collect().head
+    assert(wn.toSeq == r.toSeq)
+    // sliced == global per slice; a slice where both raters are
+    // constant has pe = 1 → NULL kappa (po, pe still emitted)
+    val sliced = rows.map { case (a, b) => ("s1", a, b) } ++
+      Seq(("s2", "x", "x"), ("s2", "x", "x"))
+    val sdf = sliced.toDF("k", "a", "b")
+    val by = ML.cohensKappaBy(sdf, Seq("k"), "a", "b")
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    assert(by("s1") == r.toSeq)
+    assert(by("s2")(1) == 1.0 && by("s2")(2) == 1.0 &&
+      by("s2").last == null, s"constant slice: ${by("s2")}")
+    partitionSweep { p =>
+      ML.cohensKappaBy(sdf.repartition(p), Seq("k"), "a", "b")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
 }
