@@ -1111,4 +1111,63 @@ object Similarity {
       .withColumn("cvn", sqrt(dotFix9(col("cvf"), col("cvf"))))
     knnRank(q, c, k)
   }
+
+  /** Embedding-distribution drift between two corpora slices — the
+    * representation-level companion of the value-level drift gauges
+    * ([[graft.operators.Analytics.psi]]/ksTest work per scalar column;
+    * this asks "did the EMBEDDING cloud move between snapshot A and
+    * snapshot B" in one corpus pass): per-dimension means from a
+    * posexplode + (group, dim) aggregate (map-side combined — the
+    * explode is a ×dims fan-out of narrow rows, reduced per partition
+    * before any exchange), then ‖μ_A − μ_B‖₂ and cos(μ_A, μ_B) folded
+    * over the dims-sized mean table in dim order (deterministic,
+    * engine-replayable). Dims present in only one group are dropped
+    * (ragged inputs; `dims` reports the compared count). Each
+    * per-dim mean is Σx (per-row decimal cast) / n — for exactness
+    * across engines feed values inside the decimal-cast safe zone
+    * (integers or |x| ≲ 1e3; see SCALE.md's cast contract). Output:
+    * one row (n_a, n_b, dims, l2, cos_sim); an empty group → NULL
+    * metrics, a zero-norm mean vector → NULL cos_sim. */
+  def embeddingDrift(df: DataFrame, groupCol: String, vecCol: String,
+                     groupA: String, groupB: String,
+                     scale: Int = 9): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val expl = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+    val sums = expl.groupBy(col("__g"), col("__dim"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(s"decimal(28,$scale)")).as("__s1"))
+      .withColumn("__m", d(col("__s1")) / d(col("__n")))
+    val a = sums.filter(col("__g") === groupA)
+      .select(col("__dim"), col("__n").as("__na"), col("__m").as("__ma"))
+    val b = sums.filter(col("__g") === groupB)
+      .select(col("__dim").as("__dimb"), col("__n").as("__nb"),
+        col("__m").as("__mb"))
+    a.join(b, col("__dim") === col("__dimb"))
+      .select(col("__na"), col("__nb"),
+        struct(col("__dim"),
+          ((col("__ma") - col("__mb")) * (col("__ma") - col("__mb")))
+            .as("d2"),
+          (col("__ma") * col("__mb")).as("ab"),
+          (col("__ma") * col("__ma")).as("aa"),
+          (col("__mb") * col("__mb")).as("bb")).as("__t"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("dims"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .withColumn("__d2", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("d2")))
+      .withColumn("__ab", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("ab")))
+      .withColumn("__aa", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("aa")))
+      .withColumn("__bb", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("bb")))
+      .select(col("n_a"), col("n_b"), col("dims"),
+        when(col("dims") > 0, sqrt(col("__d2"))).as("l2"),
+        when(col("__aa") > 0 && col("__bb") > 0,
+          col("__ab") / (sqrt(col("__aa")) * sqrt(col("__bb"))))
+          .as("cos_sim"))
+  }
 }

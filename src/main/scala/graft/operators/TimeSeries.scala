@@ -194,6 +194,71 @@ object TimeSeries {
       .drop("__sae")
   }
 
+  /** Forecast evaluation vs the seasonal-naive bar — MASE + sMAPE per
+    * key, the scale-free pair a forecasting pipeline reports
+    * ([[seasonalNaiveError]] gives the BASELINE's error; this scores a
+    * MODEL against it): MASE = MAE(forecast) / MAE(seasonal naive at
+    * `period`), so MASE < 1 means "beats the naive bar" in the
+    * series' own units; sMAPE = mean 2|f−a|/(|f|+|a|) over defined
+    * rows. Input is one row per (keys, t) with the model's forecast
+    * alongside the actual (t an integer bucket index — the series is
+    * normally a per-bucket aggregate, so every frame is
+    * (keys × steps)-bounded). The naive denominator pairs each actual
+    * with its seasonal ancestor via an equi-join on (keys, t −
+    * period) — never a window. |err| sums ride per-row decimal casts
+    * (order-independent); each mean is ONE pinned division. Keys with
+    * no naive pairs or zero naive MAE emit NULL mase; rows where
+    * |f|+|a| = 0 are excluded from sMAPE (undefined term). Output:
+    * key columns + (n_eval, mae, n_naive, mae_naive, mase, n_smape,
+    * smape). */
+  def maseEval(df: DataFrame, keyCols: Seq[String], tCol: String,
+               actualCol: String, forecastCol: String, period: Long,
+               scale: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "maseEval needs key columns")
+    require(period > 0, s"period must be positive, got $period")
+    val keys = keyCols.map(col)
+    def d(c: Column) = c.cast("double")
+    def renameKeys(dd: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dd) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyEq(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val s = df.select(keys ++ Seq(col(tCol).cast("long").as("__t"),
+      col(actualCol).cast("double").as("__a"),
+      col(forecastCol).cast("double").as("__f")): _*)
+    val err = s.filter(col("__a").isNotNull && col("__f").isNotNull)
+      .withColumn("__sm", when(abs(col("__f")) + abs(col("__a")) > 0,
+        (lit(2.0) * abs(col("__f") - col("__a")) /
+          (abs(col("__f")) + abs(col("__a")))).cast("decimal(28,12)")))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("__f") - col("__a")).cast(s"decimal(28,$scale)"))
+          .as("__sae"),
+        count(col("__sm")).as("n_smape"),
+        sum(col("__sm")).as("__ssm"))
+    val prev = renameKeys(s.filter(col("__a").isNotNull).select(
+      keys :+ (col("__t") + period).as("__tp") :+
+        col("__a").as("__ap"): _*), "p")
+    val naive = s.filter(col("__a").isNotNull)
+      .join(prev, keyEq("p") && col("__t") === col("__tp"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_naive"),
+        sum(abs(col("__a") - col("__ap")).cast(s"decimal(28,$scale)"))
+          .as("__san"))
+    val naiveR = renameKeys(naive, "n")
+    err.join(naiveR, keyEq("n"), "left")
+      .withColumn("mae", d(col("__sae")) / d(col("n_eval")))
+      .withColumn("mae_naive",
+        when(col("n_naive") > 0, d(col("__san")) / d(col("n_naive"))))
+      .select(keys ++ Seq(col("n_eval"), col("mae"),
+        coalesce(col("n_naive"), lit(0L)).as("n_naive"), col("mae_naive"),
+        when(col("mae_naive") > 0, col("mae") / col("mae_naive"))
+          .as("mase"),
+        col("n_smape"),
+        when(col("n_smape") > 0, d(col("__ssm")) / d(col("n_smape")))
+          .as("smape")): _*)
+  }
+
   /** Per-key first difference and percent change over the (ts, tie)
     * order — the pandas `diff`/`pct_change` pair: one window exchange,
     * NULL for each key's first row and NULL pct where the previous

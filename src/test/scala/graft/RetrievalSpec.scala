@@ -845,4 +845,96 @@ class RetrievalSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
     }
   }
+
+  test("maseEval: hand-computed MASE/sMAPE; forecastless rows excluded; " +
+    "no naive pairs -> NULL mase; zero-zero rows excluded from sMAPE; " +
+    "partition sweep") {
+    // actual [10,12,8,14,11] at t=0..4, forecast = lag-1, period=2:
+    // eval |f-a| = [2,4,6,3] -> mae 3.75; naive pairs |a_t - a_{t-2}| =
+    // [2,2,3] -> mae_naive 7/3; mase = 3.75/(7/3)
+    val rows = Seq(
+      ("k1", 0L, Some(10.0), None), ("k1", 1L, Some(12.0), Some(10.0)),
+      ("k1", 2L, Some(8.0), Some(12.0)), ("k1", 3L, Some(14.0), Some(8.0)),
+      ("k1", 4L, Some(11.0), Some(14.0)),
+      // k2: two steps only — period 2 finds no naive pair -> NULL mase;
+      // the (0,0) row is excluded from sMAPE but counted in n_eval
+      ("k2", 0L, Some(0.0), Some(0.0)), ("k2", 1L, Some(5.0), Some(3.0)))
+    val df = rows.toDF("k", "t", "actual", "forecast")
+    val r = TimeSeries.maseEval(df, Seq("k"), "t", "actual", "forecast",
+        period = 2)
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    val k1 = r("k1")
+    assert(k1(0) == 4L && k1(1) == 3.75 && k1(2) == 3L)
+    assert(math.abs(k1(3).asInstanceOf[Double] - 7.0 / 3) < 1e-12)
+    assert(math.abs(k1(4).asInstanceOf[Double] - 3.75 / (7.0 / 3)) < 1e-12)
+    assert(k1(5) == 4L)
+    val sm = (2.0 * 2 / 22 + 2.0 * 4 / 20 + 2.0 * 6 / 22 + 2.0 * 3 / 25) / 4
+    assert(math.abs(k1(6).asInstanceOf[Double] - sm) < 1e-9)
+    val k2 = r("k2")
+    assert(k2(0) == 2L && k2(2) == 0L && k2(3) == null && k2(4) == null)
+    assert(k2(5) == 1L && k2(6) == 0.5) // only the (3,5) row: 2*2/8
+    partitionSweep { p =>
+      TimeSeries.maseEval(df.repartition(p), Seq("k"), "t", "actual",
+          "forecast", period = 2)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
+  test("embeddingDrift: hand-computed l2 and cosine; ragged dims " +
+    "dropped; zero-norm mean -> NULL cos; partition sweep") {
+    // mu_a = [2,4], mu_b = [3,1]: l2 = sqrt(10),
+    // cos = 10/(sqrt(20)*sqrt(10)) = 1/sqrt(2)
+    val df = Seq(
+      ("a", Seq(1.0, 3.0)), ("a", Seq(3.0, 5.0)),
+      ("b", Seq(2.0, 0.0)), ("b", Seq(4.0, 2.0))).toDF("g", "v")
+    val r = Similarity.embeddingDrift(df, "g", "v", "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - math.sqrt(10.0)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0 / math.sqrt(2.0)) < 1e-12)
+    // a third a-dim with no b counterpart is dropped from the fold
+    val ragged = Seq(("a", Seq(1.0, 3.0, 9.0)), ("a", Seq(3.0, 5.0, 9.0)),
+      ("b", Seq(2.0, 0.0)), ("b", Seq(4.0, 2.0))).toDF("g", "v")
+    val rr = Similarity.embeddingDrift(ragged, "g", "v", "a", "b")
+      .collect().head
+    assert(rr.getLong(2) == 2L && rr.getDouble(3) == r.getDouble(3))
+    // zero-norm mean vector: cos undefined, l2 = ||mu_b||
+    val z = Similarity.embeddingDrift(
+      Seq(("a", Seq(0.0, 0.0)), ("b", Seq(3.0, 4.0))).toDF("g", "v"),
+      "g", "v", "a", "b").collect().head
+    assert(z.getDouble(3) == 5.0 && z.isNullAt(4))
+    partitionSweep { p =>
+      Similarity.embeddingDrift(df.repartition(p), "g", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("pairRules: textbook support/confidence/lift; within-basket " +
+    "dupes collapse; infrequent items never pair; pair support filter; " +
+    "topN cut; partition sweep") {
+    val rows = Seq(("b1", "x"), ("b1", "x"), ("b1", "y"), ("b2", "x"),
+      ("b2", "y"), ("b3", "x"), ("b3", "z"), ("b4", "y"), ("b5", "w"))
+    val df = rows.toDF("b", "i")
+    val r = graft.functions.Baskets.pairRules(df, "b", "i",
+      minSupport = 0.4, topN = 10).collect()
+    // N=5; freq = {x:3, y:3} (z, w infrequent); the only pair (x,y)
+    // occurs in 2 baskets >= ceil(0.4*5)=2
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "x" && row.getString(1) == "y")
+    assert(row.getLong(2) == 5L && row.getLong(3) == 3L &&
+      row.getLong(4) == 3L && row.getLong(5) == 2L)
+    assert(row.getDouble(6) == 0.4)
+    assert(math.abs(row.getDouble(7) - 2.0 / 3) < 1e-15)
+    assert(math.abs(row.getDouble(8) - 2.0 / 3) < 1e-15)
+    assert(math.abs(row.getDouble(9) - 10.0 / 9) < 1e-15)
+    // raising the bar to 0.5 kills the pair (2 < ceil(0.5*5)=3)
+    assert(graft.functions.Baskets.pairRules(df, "b", "i",
+      minSupport = 0.5, topN = 10).collect().isEmpty)
+    partitionSweep { p =>
+      graft.functions.Baskets.pairRules(df.repartition(p), "b", "i",
+          minSupport = 0.4, topN = 10)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
