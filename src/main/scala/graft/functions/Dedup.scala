@@ -1179,4 +1179,82 @@ object Dedup {
     cand.dropDuplicates("i", "j")
       .select(col("i"), col("j"), col("hamming"))
   }
+
+  /** OpenRefine-style fingerprint key: lowercase, strip non-alphanumerics
+    * to spaces, whitespace-tokenize, dedupe, SORT, re-join — "García,
+    * José" / "jose garcia" / "Jose GARCIA." collapse to one key. Pure
+    * Column expression (rides the scan); accent folding via
+    * [[Text.foldAccents]] first. The character class is explicit
+    * ASCII-alnum (engine-portable; Unicode word classes differ across
+    * regex engines — non-ASCII letters survive accent folding and are
+    * STRIPPED, documented). */
+  def fingerprintKey(text: Column): Column =
+    array_join(
+      array_sort(array_distinct(Text.tokens(
+        regexp_replace(lower(Text.foldAccents(text)), "[^a-z0-9 ]", " ")))),
+      " ")
+
+  /** Fingerprint-collision clustering — the cheap first pass of entity
+    * resolution / name canonicalization (every cluster is a set of rows
+    * whose [[fingerprintKey]] collides): one key groupBy, clusters of
+    * ≥ `minSize` emitted with their sorted member ids. The collect_list
+    * is CLUSTER-sized — fingerprint clusters are name-variant sets
+    * (tens), not corpus partitions; a key colliding millions of times
+    * is upstream garbage (empty fingerprints are filtered here for
+    * exactly that reason). Output: (fp, n_rows, ids). */
+  def fingerprintClusters(df: DataFrame, idCol: String, textCol: String,
+                          minSize: Long = 2): DataFrame = {
+    require(minSize >= 1, s"minSize must be >= 1, got $minSize")
+    df.select(col(idCol).as("__id"),
+        fingerprintKey(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull && length(col("fp")) > 0)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_rows"),
+        sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(col("n_rows") >= minSize)
+  }
+
+  /** All pairs within Levenshtein distance 1 — exact typo-pair mining
+    * via FastSS deletion neighborhoods (Bocek et al. 2007): two strings
+    * are within one edit IFF their depth-1 deletion neighborhoods
+    * ({s} ∪ {s minus char i}) intersect — substitution meets at the
+    * common deletion, insert/delete meets at the shorter string itself
+    * — so candidate generation is an equi-join on (len-bucketed)
+    * signatures, NEVER a cartesian product, and each candidate is then
+    * VERIFIED with the exact levenshtein (the neighborhood test admits
+    * false candidates like "ab"/"ba"; verification is lossless). Per
+    * string the signature fan-out is len+1 — bounded by the string
+    * length, the inverted-index discipline of this file. Hot signatures
+    * come from very short strings (every 1-char string collides on "");
+    * `minLength` floors participation (pairs of sub-minLength strings
+    * are upstream noise, not typos). Output: (id1, id2, s1, s2, dist)
+    * with id1 < id2, dist ∈ {0, 1}. */
+  def levPairsD1(df: DataFrame, idCol: String, strCol: String,
+                 minLength: Int = 2): DataFrame = {
+    require(minLength >= 1, s"minLength must be >= 1, got $minLength")
+    val base = df
+      .filter(col(strCol).isNotNull && length(col(strCol)) >= minLength)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // depth-1 deletion neighborhood: the string itself (i = 0 sentinel)
+    // plus each single-character deletion
+    val sigs = base.select(col("__id"), col("__s"),
+        explode(concat(array(col("__s")),
+          transform(sequence(lit(1), length(col("__s"))),
+            i => deleteCharAt(col("__s"), i))))
+          .as("__sig"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.__sig") === col("b.__sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        col("a.__s").as("s1"), col("b.__s").as("s2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
+  // the string with char i (1-based) deleted: prefix(i−1) ++ suffix(i+1)
+  private def deleteCharAt(s: Column, i: Column): Column =
+    concat(s.substr(lit(1), (i - lit(1)).cast("int")),
+      s.substr((i + lit(1)).cast("int"), length(s)))
 }

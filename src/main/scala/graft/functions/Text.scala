@@ -611,6 +611,110 @@ object Text {
           .as("avg_nll"))
   }
 
+  /** PMI collocations — the corpus's statistically-bound word pairs
+    * ("new york", "machine learning"): over adjacent-token bigram
+    * EVENTS, PMI(w₁,w₂) = ln(c(w₁,w₂)·N_b / (c_L(w₁)·c_R(w₂))) with
+    * c_L/c_R the left/right bigram marginals — the well-defined
+    * event-space estimator (marginals sum to N_b exactly, so PMI of an
+    * always-paired bigram is ln(N_b/c) ≥ 0). `minCount` floors the
+    * bigram count (PMI's classic failure mode is two hapaxes meeting
+    * once: c=1 pairs score highest — floor them away). Plan: one
+    * tokenize pass, PER-DOC lag windows (doc-length-bounded — the
+    * [[bigramNll]] contract), vocabulary-bounded count aggregates, two
+    * marginal joins, one pinned ln chain, deterministic
+    * (pmi desc, w1, w2) top-N. Output: (w1, w2, c_pair, c_left,
+    * c_right, n_bigrams, pmi). */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long, topN: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topN > 0, s"topN must be positive, got $topN")
+    def d(c: Column) = c.cast("double")
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos").asc)
+    val bg = toks.withColumn("__w1", lag(col("__tok"), 1).over(w))
+      .filter(col("__w1").isNotNull)
+      .select(col("__w1"), col("__tok").as("__w2"))
+    val c12 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c"))
+    val cl = c12.groupBy("__w1").agg(sum(col("__c")).as("__cl"))
+    val cr = c12.groupBy("__w2").agg(sum(col("__c")).as("__cr"))
+    val nb = c12.agg(sum(col("__c")).as("__nb"))
+    c12.filter(col("__c") >= minCount)
+      .join(cl, "__w1").join(cr, "__w2")
+      .crossJoin(broadcast(nb))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__c").as("c_pair"), col("__cl").as("c_left"),
+        col("__cr").as("c_right"), col("__nb").as("n_bigrams"),
+        log(d(col("__c")) * d(col("__nb")) /
+          (d(col("__cl")) * d(col("__cr")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Zipf-fit diagnostic — the corpus-shape number reviewers ask for
+    * ("is this a natural-language corpus or template spam": natural
+    * text fits log f ≈ intercept − s·log r with s ≈ 1; boilerplate
+    * corpora run much steeper, uniform noise much flatter). The fit is
+    * a weighted least squares over FREQUENCY CLASSES — for each
+    * distinct frequency f with m types, the class sits at rank
+    * midpoint R_before + (m+1)/2 with weight m (exact and
+    * scale-bounded: the class table is ≤ O(√N_tokens) rows, vs a
+    * per-type rank needing a row_number over millions of hapaxes —
+    * the giant tie class makes per-type windows the wrong plan). x =
+    * ln(midrank), y = ln f; slope/intercept from the weighted normal
+    * equations, the cross-class sums folded in f order
+    * (engine-replayable). The midpoint-of-tie-range convention is the
+    * documented estimator — exact per-type ranks change nothing when
+    * classes are singletons and average to the same x inside a tie
+    * class up to log curvature. One distinct-frequency prefix
+    * ([[graft.operators.Analytics.prefixBefore]] on −f) supplies
+    * R_before distributed. Output: one row (n_tokens, n_types,
+    * n_classes, slope, intercept); fewer than 2 classes → NULL fit. */
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val tf = df.select(explode(tokens(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__f"))
+    val classes = tf.groupBy(col("__f")).agg(count(lit(1)).as("__m"))
+      .withColumn("__nf", -col("__f"))
+    val ranked = graft.operators.Analytics
+      .prefixBefore(classes, "__nf", col("__m"))
+      .withColumn("__x", log(d(col("__cum")) + (d(col("__m")) + 1.0) / 2.0))
+      .withColumn("__y", log(d(col("__f"))))
+    ranked
+      .select(col("__f"), col("__m"),
+        struct(col("__f").as("f"),
+          (d(col("__m")) * col("__x")).as("wx"),
+          (d(col("__m")) * col("__y")).as("wy"),
+          (d(col("__m")) * col("__x") * col("__x")).as("wxx"),
+          (d(col("__m")) * col("__x") * col("__y")).as("wxy")).as("__t"))
+      .agg(sum(col("__f").cast("decimal(38,0)") * col("__m"))
+          .as("__ntok"),
+        sum(col("__m")).as("n_types"),
+        count(lit(1)).as("n_classes"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .withColumn("__w", col("n_types").cast("double"))
+      .withColumn("__sx", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("wx")))
+      .withColumn("__sy", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("wy")))
+      .withColumn("__sxx", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("wxx")))
+      .withColumn("__sxy", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("wxy")))
+      .withColumn("__den",
+        col("__sxx") - col("__sx") * col("__sx") / col("__w"))
+      .withColumn("slope",
+        when(col("n_classes") > 1 && col("__den") > 0,
+          (col("__sxy") - col("__sx") * col("__sy") / col("__w")) /
+            col("__den")))
+      .select(col("__ntok").cast("long").as("n_tokens"), col("n_types"),
+        col("n_classes"), col("slope"),
+        when(col("slope").isNotNull,
+          (col("__sy") - col("slope") * col("__sx")) / col("__w"))
+          .as("intercept"))
+  }
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))

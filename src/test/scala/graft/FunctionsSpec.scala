@@ -2416,6 +2416,108 @@ class FunctionsSpec extends SparkSpec {
     assert(Bench.priorMins(bare) == Map("q01" -> 1.4, "q02" -> 0.7))
   }
 
+  test("pmiCollocations: hand-computed bigram-event PMI; minCount " +
+    "floor; deterministic tie order; partition sweep") {
+    // doc1 "a b a b": (a,b),(b,a),(a,b); doc2 "a b c": (a,b),(b,c)
+    // c12: (a,b)=3, (b,a)=1, (b,c)=1; Nb=5; cl: a=3, b=2; cr: b=3,
+    // a=1, c=1 → pmi(a,b)=ln(15/9), pmi(b,a)=pmi(b,c)=ln(5/2)
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "t")
+    val top = Text.pmiCollocations(df, "id", "t", minCount = 1, topN = 10)
+      .collect()
+    assert(top.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("b", "a"), ("b", "c"), ("a", "b"))) // tie (b,a)<(b,c) on w2
+    assert(math.abs(top(0).getDouble(6) - math.log(2.5)) < 1e-15)
+    assert(math.abs(top(2).getDouble(6) - math.log(15.0 / 9)) < 1e-15)
+    assert(top(2).getLong(2) == 3L && top(2).getLong(3) == 3L &&
+      top(2).getLong(4) == 3L && top(2).getLong(5) == 5L)
+    // the hapax-pair floor
+    val floored = Text.pmiCollocations(df, "id", "t", minCount = 2,
+      topN = 10).collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+    partitionSweep { p =>
+      Text.pmiCollocations(df.repartition(p), "id", "t", 1, 10)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("zipfSlope: hand-computed weighted LS over frequency classes; " +
+    "single class NULL fit; partition sweep") {
+    // "a a a a b b c": classes (f=4,m=1),(f=2,m=1),(f=1,m=1);
+    // midranks 1,2,3 → x=ln1,ln2,ln3, y=ln4,ln2,ln1, w=1 each
+    val df = Seq("a a a a b b c").toDF("t")
+    val r = Text.zipfSlope(df, "t").collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    // replicate the fold in f-ascending order (f=1, f=2, f=4)
+    val xs = Seq(math.log(3.0), math.log(2.0), math.log(1.0))
+    val ys = Seq(math.log(1.0), math.log(2.0), math.log(4.0))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val den = sxx - sx * sx / 3.0
+    val slope = (sxy - sx * sy / 3.0) / den
+    assert(math.abs(r.getDouble(3) - slope) < 1e-12, s"slope ${r.get(3)}")
+    assert(math.abs(r.getDouble(4) - (sy - slope * sx) / 3.0) < 1e-12)
+    // all tokens the same frequency → one class → NULL fit
+    val one = Text.zipfSlope(Seq("x y z").toDF("t"), "t").collect().head
+    assert(one.getLong(2) == 1L && one.isNullAt(3) && one.isNullAt(4))
+    partitionSweep { p =>
+      Text.zipfSlope(df.repartition(p), "t").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("fingerprintClusters: accent/case/punct/order-invariant key; " +
+    "singletons cut by minSize; empty keys filtered; partition sweep") {
+    val df = Seq((1L, "José García!"), (2L, "garcia jose"),
+      (3L, "GARCIA,  jose."), (4L, "something else"), (5L, "!!!"))
+      .toDF("id", "t")
+    val r = Dedup.fingerprintClusters(df, "id", "t", minSize = 2)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "garcia jose")
+    assert(r.head.getLong(1) == 3L)
+    assert(r.head.getSeq[Long](2) == Seq(1L, 2L, 3L))
+    // minSize = 1 keeps the singleton but never the empty-key row
+    val all = Dedup.fingerprintClusters(df, "id", "t", minSize = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set("garcia jose", "else something"))
+    partitionSweep { p =>
+      Dedup.fingerprintClusters(df.repartition(p), "id", "t", 2)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("levPairsD1 == brute-force levenshtein<=1 pairs (FastSS " +
+    "completeness); minLength floor; partition sweep") {
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "abcd"), (4L, "xyz"),
+      (5L, "ab"), (6L, "abc"), (7L, "a"))
+    val df = rows.toDF("id", "s")
+    val got = Dedup.levPairsD1(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    // brute force over the minLength-surviving strings
+    val kept = rows.filter(_._2.length >= 2)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (i1, s1) <- kept; (i2, s2) <- kept if i1 < i2
+      d = lev(s1, s2) if d <= 1
+    } yield (i1, i2, d.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(!got.exists(t => t._1 == 7L || t._2 == 7L)) // minLength floor
+    partitionSweep { p =>
+      Dedup.levPairsD1(df.repartition(p), "id", "s")
+        .collect().map(_.toSeq).toSeq.sortBy(t =>
+          (t.head.asInstanceOf[Long], t(1).asInstanceOf[Long]))
+    }
+  }
+
   test("cohensKappa: textbook 2x2 exact 0.4; By == global per slice; " +
     "both-constant slice NULL kappa; NULL rows excluded; partition " +
     "sweep") {
