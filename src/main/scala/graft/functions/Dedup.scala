@@ -1215,7 +1215,11 @@ object Dedup {
   }
 
   /** All pairs within Levenshtein distance 1 — exact typo-pair mining
-    * via FastSS deletion neighborhoods (Bocek et al. 2007): two strings
+    * via FastSS deletion neighborhoods (Bocek et al. 2007). The
+    * BLOCKING-FREE sibling of [[graft.operators.Joins.fuzzyJoin]]
+    * (which needs a caller-supplied equality blocking key and takes
+    * any maxDist); use this when no natural blocking column exists —
+    * the deletion-neighborhood signature IS the block: two strings
     * are within one edit IFF their depth-1 deletion neighborhoods
     * ({s} ∪ {s minus char i}) intersect — substitution meets at the
     * common deletion, insert/delete meets at the shorter string itself

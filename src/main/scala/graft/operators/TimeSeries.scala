@@ -194,6 +194,53 @@ object TimeSeries {
       .drop("__sae")
   }
 
+  /** Rolling Pearson correlation of two per-key series over a trailing
+    * range window — the co-movement monitor ("are volume and quality
+    * still tracking over the last week, per source"): six exact
+    * windowed sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy — each a
+    * BARE decimal-sum window aggregate per the [[rollingAgg]]
+    * contract; products are per-row decimals cast BEFORE the sum, so
+    * every windowed sum is order-independent), then
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    * as one pinned double chain per row. Input is normally a per-(key,
+    * bucket) aggregate, so the window's exchange carries the series,
+    * not the corpus; the per-key sequential bound of a range-frame
+    * window applies ([[rollingAgg]]'s contract — series length, not
+    * corpus size). Windows with < 2 points or zero variance emit NULL
+    * r. Output: input rows + (n_win, r). */
+  def rollingCorr(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  xCol: String, yCol: String, lookback: Long,
+                  scale: Int = 6): DataFrame = {
+    require(lookback >= 0, s"lookback must be non-negative, got $lookback")
+    def d(c: Column) = c.cast("double")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc).rangeBetween(-lookback, 0)
+    val x = col(xCol).cast(s"decimal(18,$scale)")
+    val y = col(yCol).cast(s"decimal(18,$scale)")
+    df
+      .withColumn("__xd", x).withColumn("__yd", y)
+      .withColumn("__xy", (x * y).cast("decimal(38,12)"))
+      .withColumn("__xx", (x * x).cast("decimal(38,12)"))
+      .withColumn("__yy", (y * y).cast("decimal(38,12)"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__xd")).over(w))
+      .withColumn("__sy", sum(col("__yd")).over(w))
+      .withColumn("__sxx", sum(col("__xx")).over(w))
+      .withColumn("__syy", sum(col("__yy")).over(w))
+      .withColumn("__sxy", sum(col("__xy")).over(w))
+      .withColumn("__vx",
+        d(col("n_win")) * d(col("__sxx")) - d(col("__sx")) * d(col("__sx")))
+      .withColumn("__vy",
+        d(col("n_win")) * d(col("__syy")) - d(col("__sy")) * d(col("__sy")))
+      .withColumn("r",
+        when(col("n_win") > 1 && col("__vx") > 0 && col("__vy") > 0,
+          (d(col("n_win")) * d(col("__sxy")) -
+            d(col("__sx")) * d(col("__sy"))) /
+            (sqrt(col("__vx")) * sqrt(col("__vy")))))
+      .drop("__xd", "__yd", "__xy", "__xx", "__yy",
+        "__sx", "__sy", "__sxx", "__syy", "__sxy", "__vx", "__vy")
+  }
+
   /** Forecast evaluation vs the seasonal-naive bar — MASE + sMAPE per
     * key, the scale-free pair a forecasting pipeline reports
     * ([[seasonalNaiveError]] gives the BASELINE's error; this scores a

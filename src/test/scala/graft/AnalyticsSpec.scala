@@ -1877,6 +1877,39 @@ class AnalyticsSpec extends SparkSpec {
       topN = 1).count() == 1)
   }
 
+  test("rollingCorr: exact +1/-1 on linear series; n=1 and " +
+    "zero-variance windows NULL; range frame respects gaps; " +
+    "partition sweep") {
+    import spark.implicits._
+    val pos = (0L to 3L).map(t => ("k", t, (t + 1).toDouble,
+      2.0 * (t + 1)))
+    val neg = (0L to 3L).map(t => ("m", t, (t + 1).toDouble,
+      8.0 - 2.0 * t))
+    val cst = Seq(("c", 0L, 1.0, 1.0), ("c", 1L, 1.0, 2.0))
+    val df = (pos ++ neg ++ cst).toDF("k", "t", "x", "y")
+    val r = graft.operators.TimeSeries.rollingCorr(df, Seq("k"), "t",
+        "x", "y", lookback = 1)
+      .collect().map(x => ((x.getString(0), x.getLong(1)),
+        (x.getLong(4), Option(x.get(5))))).toMap
+    assert(r(("k", 0L)) == (1L, None))
+    for (t <- 1L to 3L) assert(r(("k", t)) == (2L, Some(1.0)))
+    for (t <- 1L to 3L) assert(r(("m", t)) == (2L, Some(-1.0)))
+    assert(r(("c", 1L)) == (2L, None), "zero x-variance must be NULL")
+    // a gap wider than the lookback resets the window to n=1
+    val gap = Seq(("g", 0L, 1.0, 2.0), ("g", 5L, 2.0, 4.0))
+      .toDF("k", "t", "x", "y")
+    val rg = graft.operators.TimeSeries.rollingCorr(gap, Seq("k"), "t",
+        "x", "y", lookback = 1)
+      .collect().map(x => x.getLong(1) -> x.getLong(4)).toMap
+    assert(rg == Map(0L -> 1L, 5L -> 1L))
+    partitionSweep { p =>
+      graft.operators.TimeSeries.rollingCorr(df.repartition(p), Seq("k"),
+          "t", "x", "y", 1)
+        .collect().map(_.toSeq).toSeq.sortBy(t =>
+          (t.head.toString, t(1).asInstanceOf[Long]))
+    }
+  }
+
   test("kruskalWallis: hand-computed tie-corrected H; By == global per " +
     "slice; all-tied slice NULL; single-group slice NULL; partition " +
     "sweep") {
