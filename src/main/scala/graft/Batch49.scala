@@ -4,42 +4,15 @@ import graft.SparkEntry.Q
 import org.apache.spark.sql.functions._
 
 /** Query registry batch 49 (round 15, session 3): corpus text
-  * analytics — PMI collocations, the Zipf-fit corpus-shape diagnostic,
+  * analytics — the Zipf-fit corpus-shape diagnostic,
   * fingerprint-collision clustering, and exact Levenshtein-1 typo
-  * pairs via FastSS deletion neighborhoods.
+  * pairs via FastSS deletion neighborhoods. (A PMI-collocation draft
+  * was dropped: q180's Text.collocations already scores adjacent
+  * bigrams with the monotone-equivalent lift form.)
   */
 private[graft] object Batch49 {
 
   val queries: Seq[Q] = Seq(
-
-    // Statistically-bound word pairs: adjacent-bigram PMI with the
-    // left/right bigram-event marginals, c >= 3 floor, deterministic
-    // (pmi desc, w1, w2) top-30. The oracle replays q260's tokenize +
-    // zipped-position bigram chain, both marginals, and the single
-    // pinned ln.
-    Q("q321_pmi_collocations",
-      (s, dir) => graft.functions.Text.pmiCollocations(
-        Tables.documents(s, dir), "doc_id", "text",
-        minCount = 3, topN = 30),
-      Some("""WITH lists AS (SELECT doc_id,
-             |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-             |      x -> length(x) > 0) AS l FROM documents),
-             |toks AS (SELECT doc_id, unnest(l) AS tok,
-             |    CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos FROM lists),
-             |bg AS (SELECT a.tok AS w1, b.tok AS w2
-             |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-             |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
-             |cl AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cl FROM c12 GROUP BY 1),
-             |cr AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS cr FROM c12 GROUP BY 1),
-             |nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM c12)
-             |SELECT c12.w1, c12.w2, c AS c_pair, cl AS c_left, cr AS c_right,
-             |  nb AS n_bigrams,
-             |  ln(CAST(c AS DOUBLE) * CAST(nb AS DOUBLE) /
-             |    (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))) AS pmi
-             |FROM c12 JOIN cl ON c12.w1 = cl.w1 JOIN cr ON c12.w2 = cr.w2
-             |  CROSS JOIN nb
-             |WHERE c >= 3
-             |ORDER BY pmi DESC, c12.w1, c12.w2 LIMIT 30""".stripMargin)),
 
     // Zipf fit over frequency classes (weighted LS of ln f on
     // ln midrank): the distinct-frequency prefix, both log chains,

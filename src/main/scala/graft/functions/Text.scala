@@ -611,47 +611,6 @@ object Text {
           .as("avg_nll"))
   }
 
-  /** PMI collocations — the corpus's statistically-bound word pairs
-    * ("new york", "machine learning"): over adjacent-token bigram
-    * EVENTS, PMI(w₁,w₂) = ln(c(w₁,w₂)·N_b / (c_L(w₁)·c_R(w₂))) with
-    * c_L/c_R the left/right bigram marginals — the well-defined
-    * event-space estimator (marginals sum to N_b exactly, so PMI of an
-    * always-paired bigram is ln(N_b/c) ≥ 0). `minCount` floors the
-    * bigram count (PMI's classic failure mode is two hapaxes meeting
-    * once: c=1 pairs score highest — floor them away). Plan: one
-    * tokenize pass, PER-DOC lag windows (doc-length-bounded — the
-    * [[bigramNll]] contract), vocabulary-bounded count aggregates, two
-    * marginal joins, one pinned ln chain, deterministic
-    * (pmi desc, w1, w2) top-N. Output: (w1, w2, c_pair, c_left,
-    * c_right, n_bigrams, pmi). */
-  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
-                      minCount: Long, topN: Int): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    require(topN > 0, s"topN must be positive, got $topN")
-    def d(c: Column) = c.cast("double")
-    val toks = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__pos").asc)
-    val bg = toks.withColumn("__w1", lag(col("__tok"), 1).over(w))
-      .filter(col("__w1").isNotNull)
-      .select(col("__w1"), col("__tok").as("__w2"))
-    val c12 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c"))
-    val cl = c12.groupBy("__w1").agg(sum(col("__c")).as("__cl"))
-    val cr = c12.groupBy("__w2").agg(sum(col("__c")).as("__cr"))
-    val nb = c12.agg(sum(col("__c")).as("__nb"))
-    c12.filter(col("__c") >= minCount)
-      .join(cl, "__w1").join(cr, "__w2")
-      .crossJoin(broadcast(nb))
-      .select(col("__w1").as("w1"), col("__w2").as("w2"),
-        col("__c").as("c_pair"), col("__cl").as("c_left"),
-        col("__cr").as("c_right"), col("__nb").as("n_bigrams"),
-        log(d(col("__c")) * d(col("__nb")) /
-          (d(col("__cl")) * d(col("__cr")))).as("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
-      .limit(topN)
-  }
-
   /** Zipf-fit diagnostic — the corpus-shape number reviewers ask for
     * ("is this a natural-language corpus or template spam": natural
     * text fits log f ≈ intercept − s·log r with s ≈ 1; boilerplate

@@ -2416,31 +2416,6 @@ class FunctionsSpec extends SparkSpec {
     assert(Bench.priorMins(bare) == Map("q01" -> 1.4, "q02" -> 0.7))
   }
 
-  test("pmiCollocations: hand-computed bigram-event PMI; minCount " +
-    "floor; deterministic tie order; partition sweep") {
-    // doc1 "a b a b": (a,b),(b,a),(a,b); doc2 "a b c": (a,b),(b,c)
-    // c12: (a,b)=3, (b,a)=1, (b,c)=1; Nb=5; cl: a=3, b=2; cr: b=3,
-    // a=1, c=1 → pmi(a,b)=ln(15/9), pmi(b,a)=pmi(b,c)=ln(5/2)
-    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "t")
-    val top = Text.pmiCollocations(df, "id", "t", minCount = 1, topN = 10)
-      .collect()
-    assert(top.map(r => (r.getString(0), r.getString(1))).toSeq ==
-      Seq(("b", "a"), ("b", "c"), ("a", "b"))) // tie (b,a)<(b,c) on w2
-    assert(math.abs(top(0).getDouble(6) - math.log(2.5)) < 1e-15)
-    assert(math.abs(top(2).getDouble(6) - math.log(15.0 / 9)) < 1e-15)
-    assert(top(2).getLong(2) == 3L && top(2).getLong(3) == 3L &&
-      top(2).getLong(4) == 3L && top(2).getLong(5) == 5L)
-    // the hapax-pair floor
-    val floored = Text.pmiCollocations(df, "id", "t", minCount = 2,
-      topN = 10).collect()
-    assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq ==
-      Seq(("a", "b")))
-    partitionSweep { p =>
-      Text.pmiCollocations(df.repartition(p), "id", "t", 1, 10)
-        .collect().map(_.toSeq).toSeq
-    }
-  }
-
   test("zipfSlope: hand-computed weighted LS over frequency classes; " +
     "single class NULL fit; partition sweep") {
     // "a a a a b b c": classes (f=4,m=1),(f=2,m=1),(f=1,m=1);
