@@ -666,6 +666,41 @@ object ML {
           d(col("__num")) / d(col("__den"))).as("kappa")): _*)
   }
 
+  /** Weight-of-evidence table — the classic categorical-feature
+    * screening beside [[targetEncodeLoo]] (LOO encodes for a MODEL;
+    * WoE/IV is what the analyst READS: which feature levels separate
+    * the classes, and how much predictive power the feature carries in
+    * total): per level k, WoE_k = ln((g_k/G)/(b_k/B)) and
+    * iv_term_k = (g_k/G − b_k/B)·WoE_k; the feature's information
+    * value is Σ iv_term (< 0.02 useless, > 0.3 strong — the standard
+    * scorecard bands). ONE map-side-combined (level) aggregate, one-row
+    * broadcast totals, pinned double chains. Zero-cell levels (g or b
+    * = 0) emit NULL woe/iv_term — undefined, not clipped; pre-bin rare
+    * levels upstream if that matters. Output: one row per level —
+    * (level, n, g, b, share_g, share_b, woe, iv_term). */
+  def woeTable(df: DataFrame, featureCol: String,
+               label: org.apache.spark.sql.Column): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val g = df.filter(col(featureCol).isNotNull)
+      .groupBy(col(featureCol).as("level"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("g"),
+        sum(when(label, 0L).otherwise(1L)).as("b"))
+    val tot = g.agg(sum(col("g")).as("__gt"), sum(col("b")).as("__bt"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("share_g",
+        when(col("__gt") > 0, d(col("g")) / d(col("__gt"))))
+      .withColumn("share_b",
+        when(col("__bt") > 0, d(col("b")) / d(col("__bt"))))
+      .withColumn("woe",
+        when(col("g") > 0 && col("b") > 0 &&
+          col("__gt") > 0 && col("__bt") > 0,
+          log(col("share_g") / col("share_b"))))
+      .select(col("level"), col("n"), col("g"), col("b"),
+        col("share_g"), col("share_b"), col("woe"),
+        ((col("share_g") - col("share_b")) * col("woe")).as("iv_term"))
+  }
+
   /** Cumulative-gains / lift table — the score-eval report modelers
     * read before any single number (aucRoc compresses the whole curve;
     * the lift table says "the top decile captures X% of positives at

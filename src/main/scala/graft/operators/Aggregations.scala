@@ -525,4 +525,29 @@ object Aggregations {
         (col("q_b") - col("q_a")).as("shift"))
       .orderBy("p")
   }
+  /** Equal-frequency (quantile) binning TRANSFORM — the feature-
+    * engineering discretizer ([[quantilesCont]] reports the fences;
+    * this assigns every ROW its bin): bin(v) = (rank_before(v) · B)
+    * div n over the distinct-value table, so TIED VALUES ALWAYS SHARE
+    * A BIN (the discretizer invariant — a value cannot straddle a
+    * fence) and bins are as equal-frequency as the tie structure
+    * allows. One distinct-value count aggregate, one distributed
+    * prefix ([[graft.operators.Analytics.prefixBefore]]), one
+    * broadcast-sized value→bin join back onto the rows — the join key
+    * is the value column, so the row side never shuffles when AQE
+    * broadcasts the bin table (distinct-value-bounded). NULL values
+    * keep a NULL bin. Output: input columns + `bin` (0-based long). */
+  def quantileBin(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                  bins: Int): org.apache.spark.sql.DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+    val n = counts.agg(sum(col("__c")).as("__n"))
+    val binned = graft.operators.Analytics
+      .prefixBefore(counts, "__v", col("__c"))
+      .crossJoin(broadcast(n))
+      .select(col("__v"),
+        expr(s"(__cum * ${bins}L) div __n").as("bin"))
+    df.join(binned, col(valueCol) === col("__v"), "left").drop("__v")
+  }
 }

@@ -2138,6 +2138,67 @@ object Analytics {
           signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))))
   }
 
+  /** Kaplan–Meier survival curve — time-to-event with right censoring
+    * (time-to-first-purchase with still-active users censored; document
+    * lifetime with the newest crawl censored; job duration with
+    * still-running jobs censored). The product-limit estimator
+    *   S(t) = Π_{tᵢ ≤ t, events only} (1 − dᵢ/nᵢ),
+    * nᵢ = subjects with duration ≥ tᵢ (at risk), dᵢ = events at tᵢ —
+    * computed in LOG SPACE so the running product is a prefix SUM:
+    * each event time's ln(1 − dᵢ/nᵢ) is a pinned double cast to
+    * decimal(28,12) (order-independent accumulation, the repo's sum
+    * contract), the inclusive prefix rides [[prefixBeforeMulti]] over
+    * the DISTINCT-duration table, and S = exp(sum) — every step
+    * engine-replayable. A time where dᵢ = nᵢ (everyone remaining dies)
+    * sends S to EXACT 0 from that point (flagged via a prefix count of
+    * such times, not a −∞ log). Plan: one (duration) count aggregate,
+    * two distributed prefix passes over distinct durations, no row
+    * sort. Output: one row per distinct EVENT time, ascending —
+    * (t, n_risk, d, c, survival) with c the censorings AT t. */
+  def kaplanMeier(df: DataFrame, durationCol: String, event: Column)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).as("__t"))
+      .agg(sum(when(event, 1L).otherwise(0L)).as("__d"),
+        sum(when(event, 0L).otherwise(1L)).as("__c"))
+    val n = counts.agg(sum(col("__d") + col("__c")).as("__n"))
+    // pass 1: at-risk counts n_i = N − (subjects with duration < t)
+    val atRisk = prefixBefore(counts, "__t", col("__d") + col("__c"))
+      .crossJoin(broadcast(n))
+      .withColumn("__risk", col("__n") - col("__cum"))
+      .drop("__cum", "__n")
+    // per-time log factor (0 for censor-only times) and the S-hits-zero
+    // indicator; both prefix-summed INCLUSIVELY in pass 2. The factor
+    // is carried as an exact INTEGER count of 1e-12 quanta — a decimal
+    // weight through the prefix machinery loses scale (each
+    // precision-38-capped decimal ADD chips a digit: the offset+local
+    // and cum+own sums landed the r15 draft at scale 10, a measured
+    // 1e-11-per-term drift vs the oracle), while long sums are exact
+    // and the quantization (decimal(28,12) HALF_UP, then ×1e12) is
+    // replayable. |Σq| stays ≪ 2⁶³: Σ|ln| = −ln S_final ≈ ln N at
+    // the no-censoring extreme (~21·1e12 at N = 10⁹).
+    val terms = atRisk
+      .withColumn("__q",
+        when(col("__d") > 0 && col("__d") < col("__risk"),
+          (log(lit(1.0) - d(col("__d")) / d(col("__risk")))
+            .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+          .otherwise(0L))
+      .withColumn("__z",
+        when(col("__d") > 0 && col("__d") === col("__risk"), 1L)
+          .otherwise(0L))
+    val cum = prefixBeforeMulti(terms, "__t",
+      Seq("q" -> col("__q"), "z" -> col("__z")))
+    cum.filter(col("__d") > 0)
+      .select(col("__t").as("t"), col("__risk").as("n_risk"),
+        col("__d").as("d"), col("__c").as("c"),
+        when(col("__cum_z") + col("__z") > 0, lit(0.0))
+          .otherwise(exp((col("__cum_q") + col("__q")).cast("double") /
+            lit(1e12)))
+          .as("survival"))
+      .orderBy("t")
+  }
+
   /** Kendall τ-b rank correlation — the concordance-based complement of
     * [[spearman]] (τ weights pair AGREEMENT, ρ weights rank distance;
     * τ-b is the tie-corrected form): from the (x,y)-pair count table,

@@ -1877,6 +1877,62 @@ class AnalyticsSpec extends SparkSpec {
       topN = 1).count() == 1)
   }
 
+  test("kaplanMeier: textbook product-limit values; censor-only times " +
+    "emit no row but shrink the risk set; d=n sends S to exact 0; " +
+    "partition sweep") {
+    import spark.implicits._
+    // events at t=1 (risk 4) and t=3 (risk 2), censorings at 2 and 4:
+    // S(1) = 3/4, S(3) = 3/4 * 1/2 = 3/8
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("dur", "ev")
+    val r = Analytics.kaplanMeier(df, "dur", col("ev")).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))).toSeq == Seq((1L, 4L, 1L, 0L), (3L, 2L, 1L, 0L)))
+    assert(math.abs(r(0).getDouble(4) - 0.75) < 1e-9)
+    assert(math.abs(r(1).getDouble(4) - 0.375) < 1e-9)
+    // everyone dies: the last event time has d = n_risk -> S exactly 0
+    val z = Analytics.kaplanMeier(
+      Seq((1L, true), (2L, true)).toDF("dur", "ev"), "dur", col("ev"))
+      .collect()
+    assert(math.abs(z(0).getDouble(4) - 0.5) < 1e-9)
+    assert(z(1).getDouble(4) == 0.0)
+    // a censoring AT an event time is still at risk there
+    val c = Analytics.kaplanMeier(
+      Seq((1L, true), (1L, false), (2L, true)).toDF("dur", "ev"),
+      "dur", col("ev")).collect()
+    assert(c(0).getLong(1) == 3L && c(0).getLong(3) == 1L)
+    assert(math.abs(c(0).getDouble(4) - 2.0 / 3) < 1e-9)
+    partitionSweep { p =>
+      Analytics.kaplanMeier(df.repartition(p), "dur", col("ev"))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("quantileBin: equal-frequency bins; tied values share a bin; " +
+    "constant column one bin; NULL value NULL bin; partition sweep") {
+    import spark.implicits._
+    val df = (1L to 10L).toDF("v")
+    val b = graft.operators.Aggregations.quantileBin(df, "v", bins = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(b(_) == 0L) && (6L to 10L).forall(b(_) == 1L))
+    val ties = graft.operators.Aggregations.quantileBin(
+      Seq(1L, 1L, 1L, 2L).toDF("v"), "v", bins = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ties(1L) == 0L && ties(2L) == 1L)
+    val const = graft.operators.Aggregations.quantileBin(
+      Seq(7L, 7L).toDF("v"), "v", bins = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(const == Set(0L))
+    val wn = graft.operators.Aggregations.quantileBin(
+      Seq(Some(1L), None).toDF("v"), "v", bins = 2).collect()
+    assert(wn.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+    partitionSweep { p =>
+      graft.operators.Aggregations.quantileBin(df.repartition(p), "v", 2)
+        .collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    }
+  }
+
   test("rollingCorr: exact +1/-1 on linear series; n=1 and " +
     "zero-variance windows NULL; range frame respects gaps; " +
     "partition sweep") {

@@ -2493,6 +2493,33 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("woeTable: hand-computed WoE and IV terms; zero-cell level " +
+    "NULL; partition sweep") {
+    // A: g=30 b=10, B: g=10 b=30, C: g=0 b=20 -> G=40, Bt=60
+    val rows = Seq.fill(30)(("A", true)) ++ Seq.fill(10)(("A", false)) ++
+      Seq.fill(10)(("B", true)) ++ Seq.fill(30)(("B", false)) ++
+      Seq.fill(20)(("C", false))
+    val df = rows.toDF("f", "y")
+    val r = ML.woeTable(df, "f", col("y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("A")
+    assert(a.getLong(1) == 40L && a.getLong(2) == 30L && a.getLong(3) == 10L)
+    assert(a.getDouble(4) == 0.75)
+    assert(math.abs(a.getDouble(5) - 10.0 / 60) < 1e-15)
+    assert(math.abs(a.getDouble(6) - math.log(0.75 / (10.0 / 60))) < 1e-12)
+    assert(math.abs(a.getDouble(7) -
+      (0.75 - 10.0 / 60) * a.getDouble(6)) < 1e-12)
+    val cc = r("C")
+    assert(cc.isNullAt(6) && cc.isNullAt(7), "zero-cell level must be NULL")
+    val b = r("B")
+    assert(math.abs(b.getDouble(6) - math.log(0.25 / 0.5)) < 1e-12)
+    assert(math.abs(b.getDouble(7) - (0.25 - 0.5) * b.getDouble(6)) < 1e-12)
+    partitionSweep { p =>
+      ML.woeTable(df.repartition(p), "f", col("y"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
   test("cohensKappa: textbook 2x2 exact 0.4; By == global per slice; " +
     "both-constant slice NULL kappa; NULL rows excluded; partition " +
     "sweep") {
