@@ -666,6 +666,109 @@ object ML {
           d(col("__num")) / d(col("__den"))).as("kappa")): _*)
   }
 
+  /** Top principal component of a set of numeric columns — the
+    * embedding-whitening / dominant-direction primitive
+    * ([[graft.operators.Analytics.corrMatrix]] reports pairwise
+    * association; this extracts the single direction that explains the
+    * most variance, the first thing a drift investigation projects
+    * onto): ONE corpus scan collects the p + p(p+1)/2 decimal
+    * sufficient statistics (the corrMatrix plan — map-side combined,
+    * no shuffle of rows), the p×p sample covariance is assembled on
+    * the driver in pinned double chains (p is the COLUMN count —
+    * tens, never data-sized), and the dominant eigenpair comes from
+    * deterministic power iteration (fixed start 1/√p, fixed
+    * convergence rule, sign fixed by the first nonzero loading — a
+    * pure function of the covariance, so results are reproducible
+    * across runs and partitionings). Power iteration is approximate
+    * BY NATURE, so the exactness gate follows the estimator-gate
+    * discipline: `variance` (the diagonal) is an exactly-replayable
+    * pinned chain, and the eigenpair ships with its own checkable
+    * certificates — `resid_ok` (‖Cv − λv‖∞ ≤ tol·max(1, λ)) and
+    * `bounds_ok` (max variance ≤ λ ≤ trace, the Rayleigh bounds).
+    * Degenerate inputs (n < 2, or an all-zero covariance) yield NULL
+    * loadings with both flags false. Output: one row per column —
+    * (dim, variance, loading, eigenvalue, explained, resid_ok,
+    * bounds_ok). */
+  def topPrincipalComponent(df: DataFrame, cols: Seq[String],
+                            scale: Int = 4, maxIter: Int = 5000,
+                            tol: Double = 1e-13): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    val vs = cols.map(c => col(c).cast(s"decimal(18,$scale)"))
+    val idx = cols.indices
+    val aggs = (count(lit(1)).as("__n") +:
+      idx.map(i => sum(vs(i)).cast("double").as(s"__s$i"))) ++
+      (for { i <- idx; j <- idx if j >= i } yield
+        sum(vs(i) * vs(j)).cast("double").as(s"__p${i}_$j"))
+    val row = complete.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = row.getLong(0)
+    val p = cols.size
+    if (n < 2) {
+      return idx.map(i => (cols(i), null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double], false, false))
+        .toDF("dim", "variance", "loading", "eigenvalue", "explained",
+          "resid_ok", "bounds_ok")
+    }
+    val s = idx.map(i => row.getDouble(1 + i)).toArray
+    val pr = Array.ofDim[Double](p, p)
+    var k = 1 + p
+    for (i <- idx; j <- idx if j >= i) {
+      pr(i)(j) = row.getDouble(k); pr(j)(i) = pr(i)(j); k += 1
+    }
+    val nD = n.toDouble
+    // sample covariance, pinned chain: (n·p_ij − s_i·s_j) / (n·(n−1))
+    val c = Array.tabulate(p, p)((i, j) =>
+      (nD * pr(i)(j) - s(i) * s(j)) / (nD * (nD - 1.0)))
+    val trace = idx.map(i => c(i)(i)).sum
+    var v = Array.fill(p)(1.0 / math.sqrt(p.toDouble))
+    var lambda = 0.0
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      val w = Array.tabulate(p)(i => idx.map(j => c(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm == 0.0) { moved = false }
+      else {
+        val nv = w.map(_ / norm)
+        moved = idx.exists(i => math.abs(nv(i) - v(i)) > tol)
+        v = nv; lambda = norm
+        // norm of Cv equals the Rayleigh quotient in the limit; track λ
+        // as v'Cv for a symmetric-exact value
+        lambda = idx.map(i => v(i) * idx.map(j => c(i)(j) * v(j)).sum).sum
+      }
+      it += 1
+    }
+    val degenerate = lambda == 0.0
+    // sign convention: first nonzero loading positive
+    val firstNz = v.indexWhere(math.abs(_) > 0)
+    if (firstNz >= 0 && v(firstNz) < 0) v = v.map(-_)
+    val cv = Array.tabulate(p)(i => idx.map(j => c(i)(j) * v(j)).sum)
+    val resid = idx.map(i => math.abs(cv(i) - lambda * v(i))).max
+    val residOk = !degenerate && resid <= 1e-8 * math.max(1.0, lambda)
+    val maxVar = idx.map(i => c(i)(i)).max
+    val boundsOk = !degenerate &&
+      lambda >= maxVar - 1e-8 * math.max(1.0, math.abs(maxVar)) &&
+      lambda <= trace + 1e-8 * math.max(1.0, math.abs(trace))
+    idx.map { i =>
+      if (degenerate)
+        (cols(i), java.lang.Double.valueOf(c(i)(i)),
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double], false, false)
+      else
+        (cols(i), java.lang.Double.valueOf(c(i)(i)),
+          java.lang.Double.valueOf(v(i)), java.lang.Double.valueOf(lambda),
+          java.lang.Double.valueOf(if (trace > 0) lambda / trace else 0.0),
+          residOk, boundsOk)
+    }.toDF("dim", "variance", "loading", "eigenvalue", "explained",
+      "resid_ok", "bounds_ok")
+  }
+
   /** Weight-of-evidence table — the classic categorical-feature
     * screening beside [[targetEncodeLoo]] (LOO encodes for a MODEL;
     * WoE/IV is what the analyst READS: which feature levels separate
@@ -760,6 +863,75 @@ object ML {
           (d(col("pos")) / d(col("n_rows"))) /
             (d(col("__p")) / d(col("__n")))).as("lift"))
       .orderBy("bucket")
+  }
+
+  /** Per-GROUP [[liftTable]] — one cumulative-gains report per slice
+    * (per language, per source: a score that targets well pooled is
+    * routinely flat on one slice). Same rank construction with every
+    * stage keyed: block starts from the KEYED distributed prefix
+    * ([[graft.operators.Analytics.prefixBeforeMultiBy]] — a hot
+    * slice's score column splits across range partitions), within-
+    * block row_numbers partitioned by (keys, score), per-key totals
+    * joined back (keys-sized, never assumed broadcastable), a
+    * (keys × buckets) spine for empty buckets, and the cumulative
+    * window per key over its buckets-sized frame. Output: key columns
+    * + (bucket, n_rows, pos, rate, cum_pos, capture, lift). */
+  def liftTableBy(df: DataFrame, keyCols: Seq[String], idCol: String,
+                  scoreCol: String, label: org.apache.spark.sql.Column,
+                  buckets: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "liftTableBy needs key columns; use liftTable")
+    require(buckets >= 1, "liftTableBy needs buckets >= 1")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val keys = keyCols.map(col)
+    def renameKeys(dv: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dv) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyEq(tag: String) = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val base = df.select(keys ++ Seq(col(idCol).as("__id"),
+      (-col(scoreCol).cast("double")).as("__ns"),
+      when(label, 1L).otherwise(0L).as("__y")): _*)
+    val counts = base.groupBy(keys :+ col("__ns"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val starts = renameKeys(graft.operators.Analytics
+      .prefixBeforeMultiBy(counts, keyCols, "__ns", Seq("c" -> col("__c")))
+      .select(keys :+ col("__ns").as("__ns2") :+
+        col("__cum_c").as("__start"): _*), "s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ col("__ns"): _*).orderBy(col("__id"))
+    val ranked = base.join(starts,
+        keyEq("s") && col("__ns") === col("__ns2"))
+      .withColumn("__r", col("__start") + row_number().over(w) - 1)
+    val tot = ranked.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val totR = renameKeys(tot, "t")
+    val perBucket = ranked.join(totR, keyEq("t"))
+      .groupBy(keys :+ expr(s"(__r * $buckets) div __n").as("bucket"): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("pos"))
+    val spine = tot.select(keys: _*).distinct()
+      .crossJoin(df.sparkSession.range(buckets).select(col("id").as("bucket")))
+    // renameKeys only renames the key columns; rename the joined bucket
+    // manually to avoid ambiguity
+    val filled = spine.join(
+      renameKeys(perBucket.withColumnRenamed("bucket", "__bkt"), "b"),
+      keyEq("b") && col("bucket") === col("__bkt"), "left")
+      .select(keys ++ Seq(col("bucket"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("pos"), lit(0L)).as("pos")): _*)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    filled.withColumn("__cum", sum(col("pos")).over(cw))
+      .join(totR, keyEq("t"))
+      .select(keys ++ Seq(col("bucket"), col("n_rows"), col("pos"),
+        when(col("n_rows") > 0, d(col("pos")) / d(col("n_rows"))).as("rate"),
+        col("__cum").as("cum_pos"),
+        when(col("__p") > 0, d(col("__cum")) / d(col("__p"))).as("capture"),
+        when(col("n_rows") > 0 && col("__p") > 0,
+          (d(col("pos")) / d(col("n_rows"))) /
+            (d(col("__p")) / d(col("__n")))).as("lift")): _*)
+      .orderBy(keys :+ col("bucket"): _*)
   }
 
   /** Two-sample Poisson-bootstrap mean DIFFERENCE — the uncertainty

@@ -2493,6 +2493,69 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("topPrincipalComponent: recovers a planted dominant direction; " +
+    "certificates hold; sign convention; n<2 degenerate; partition " +
+    "sweep") {
+    import org.apache.spark.sql.Row
+    // plant variance along (3,4)/5: x = 5t*(3/5), y = 5t*(4/5) + tiny
+    // noise-free second dim — loadings must be (0.6, 0.8)
+    val rows = (-20 to 20).map(t => (3.0 * t, 4.0 * t))
+    val df = rows.toDF("x", "y")
+    val r = ML.topPrincipalComponent(df, Seq("x", "y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("x").getDouble(2) - 0.6) < 1e-9)
+    assert(math.abs(r("y").getDouble(2) - 0.8) < 1e-9)
+    assert(r("x").getBoolean(5) && r("x").getBoolean(6),
+      "certificates must hold on a clean fixture")
+    // explained = 1 for a rank-1 cloud
+    assert(math.abs(r("x").getDouble(4) - 1.0) < 1e-9)
+    // eigenvalue = total variance along the direction: var(5t) = 25·var(t)
+    val varT = rows.map(_._1 / 3.0).map(t => t * t).sum / (rows.size - 1)
+    assert(math.abs(r("x").getDouble(3) - 25.0 * varT) < 1e-6)
+    // sign: first nonzero loading positive even when the plant is flipped
+    val neg = (-20 to 20).map(t => (-3.0 * t, 4.0 * t)).toDF("x", "y")
+    val rn = ML.topPrincipalComponent(neg, Seq("x", "y"))
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(rn("x") > 0 && math.abs(rn("x") - 0.6) < 1e-9)
+    assert(math.abs(rn("y") + 0.8) < 1e-9)
+    // n < 2: NULL loadings, both flags false
+    val deg = ML.topPrincipalComponent(
+      Seq((1.0, 2.0)).toDF("x", "y"), Seq("x", "y")).collect()
+    assert(deg.forall(x => x.isNullAt(2) && !x.getBoolean(5)))
+    partitionSweep { p =>
+      ML.topPrincipalComponent(df.repartition(p), Seq("x", "y"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
+  test("liftTableBy == liftTable per slice; empty buckets via the " +
+    "spine; partition sweep") {
+    val rows = (1 to 40).map(i => ("s1", i.toLong, i.toDouble, i % 3 == 0)) ++
+      (1 to 7).map(i => ("s2", i.toLong, 1.0, i <= 2)) // all-tied scores
+    val df = rows.toDF("k", "id", "score", "lab")
+    val by = ML.liftTableBy(df, Seq("k"), "id", "score", col("lab"),
+        buckets = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(1))
+      .toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = rows.filter(_._1 == sl)
+        .map(t => (t._2, t._3, t._4)).toDF("id", "score", "lab")
+      val g = ML.liftTable(slice, "id", "score", col("lab"), buckets = 10)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      for ((b, row) <- g)
+        assert(by((sl, b)) == row, s"liftTableBy($sl, $b): ${by((sl, b))} vs $row")
+    }
+    // s2 has 7 rows in 10 buckets: some buckets are spine-filled empties
+    assert((0L to 9L).forall(b => by.contains(("s2", b))))
+    assert(by(("s2", 3L))(1) == 0L) // (r*10) div 7 skips 3, 6, 9
+    partitionSweep { p =>
+      ML.liftTableBy(df.repartition(p), Seq("k"), "id", "score",
+          col("lab"), 10)
+        .collect().map(_.toSeq).toSeq.sortBy(t =>
+          (t.head.toString, t(1).asInstanceOf[Long]))
+    }
+  }
+
   test("woeTable: hand-computed WoE and IV terms; zero-cell level " +
     "NULL; partition sweep") {
     // A: g=30 b=10, B: g=10 b=30, C: g=0 b=20 -> G=40, Bt=60
