@@ -52,21 +52,26 @@ private[graft] object Batch49 {
     // Fingerprint-collision clusters over the corpus (21 clusters at
     // sf0.01 — the near-dup structure surfaces as token-set
     // collisions): accent fold, lowercase, ASCII-alnum strip, sorted
-    // unique tokens; sorted member ids per cluster.
+    // unique tokens. The operator returns sorted member-id ARRAYS;
+    // the gate EXPLODES them to one row per member — the driver's
+    // pandas oracle compare cannot hash nested cells (the Q contract /
+    // round-11 q199 incident, enforced by FlatOutputSpec).
     Q("q323_fingerprint_clusters",
       (s, dir) => graft.functions.Dedup.fingerprintClusters(
           Tables.documents(s, dir), "doc_id", "text", minSize = 2)
-        .orderBy("fp"),
+        .select(col("fp"), col("n_rows"), explode(col("ids")).as("member_id"))
+        .orderBy("fp", "member_id"),
       Some("""WITH fp AS (SELECT doc_id,
              |    array_to_string(list_sort(list_distinct(list_filter(
              |      string_split(trim(regexp_replace(regexp_replace(lower(strip_accents(text)),
              |        '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
              |      x -> length(x) > 0))), ' ') AS fp
-             |  FROM documents)
-             |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             |  LIST(doc_id ORDER BY doc_id) AS ids
-             |FROM fp WHERE fp IS NOT NULL AND length(fp) > 0
-             |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY fp""".stripMargin)),
+             |  FROM documents),
+             |g AS (SELECT fp, doc_id,
+             |    CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_rows
+             |  FROM fp WHERE fp IS NOT NULL AND length(fp) > 0)
+             |SELECT fp, n_rows, doc_id AS member_id
+             |FROM g WHERE n_rows >= 2 ORDER BY fp, member_id""".stripMargin)),
 
     // Levenshtein-1 pairs over supplier names (FastSS deletion
     // neighborhoods + exact verify — the oracle brute-forces all C(n,2)

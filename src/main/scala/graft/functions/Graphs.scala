@@ -303,6 +303,59 @@ object Graphs {
         aggs.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Degree assortativity — the one-number graph-health summary (do
+    * hubs link to hubs, r > 0, or to leaves, r < 0? a link graph whose
+    * r flips between crawls changed its shape, whatever the node
+    * counts say): Pearson correlation of (deg(u), deg(v)) over directed
+    * edge STUBS — each undirected edge {i,j} counted once per
+    * direction, the standard Newman formulation, so r is symmetric by
+    * construction. Input: undirected edges as (i, j) pairs, ONE
+    * orientation per edge (same-orientation duplicates are deduped
+    * here; a pair present in BOTH orientations double-counts — emit
+    * canonical i < j upstream, as every graph fixture in this repo
+    * does).
+    *
+    * Plan: symmetrize (union both orientations), one map-side-combined
+    * degree aggregate, degrees joined to stubs on each endpoint (two
+    * shuffle joins on node id — the degree table is nodes-sized, AQE
+    * broadcasts it when small), then FIVE exact decimal(38,0) sums of
+    * long degree products in ONE aggregate — order-independent, so the
+    * oracle replays them as HUGEINT sums; the final r chain is pinned
+    * doubles (exact decimal→double below 2^53 — Σd² tops that only
+    * past ~3e15 edge-stub-degree² mass, documented here as the
+    * magnitude contract). r NULL when the degree variance is 0 (a
+    * regular graph has no assortativity). Output: one row
+    * (m_stubs, r). */
+  def degreeAssortativity(edges: DataFrame, iCol: String = "i",
+                          jCol: String = "j"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val e = edges.select(col(iCol).as("__i"), col(jCol).as("__j")).distinct()
+    val und = e.union(e.select(col("__j").as("__i"), col("__i").as("__j")))
+    val deg = und.groupBy(col("__i").as("__n")).agg(count(lit(1)).as("__d"))
+    val stubs = und
+      .join(deg.select(col("__n").as("__ni"), col("__d").as("__dx")),
+        col("__i") === col("__ni"))
+      .join(deg.select(col("__n").as("__nj"), col("__d").as("__dy")),
+        col("__j") === col("__nj"))
+    val agg = stubs.agg(count(lit(1)).as("m_stubs"),
+      sum(dec(col("__dx"))).as("__sx"), sum(dec(col("__dy"))).as("__sy"),
+      sum(dec(col("__dx")) * dec(col("__dy"))).as("__sxy"),
+      sum(dec(col("__dx")) * dec(col("__dx"))).as("__sxx"),
+      sum(dec(col("__dy")) * dec(col("__dy"))).as("__syy"))
+    agg
+      .withColumn("__m", d(col("m_stubs")))
+      .withColumn("__cov",
+        d(col("__sxy")) * col("__m") - d(col("__sx")) * d(col("__sy")))
+      .withColumn("__vx",
+        d(col("__sxx")) * col("__m") - d(col("__sx")) * d(col("__sx")))
+      .withColumn("__vy",
+        d(col("__syy")) * col("__m") - d(col("__sy")) * d(col("__sy")))
+      .withColumn("r", when(col("__vx") > 0 && col("__vy") > 0,
+        col("__cov") / sqrt(col("__vx") * col("__vy"))))
+      .select(col("m_stubs"), col("r"))
+  }
+
   private def shared(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 }

@@ -722,4 +722,55 @@ object Text {
       .withColumn("hapax_share", when(col("n_types") > 0,
         d(col("n_hapax")) / d(col("n_types"))))
   }
+
+  /** Good–Turing unseen-mass estimate — HOW MUCH vocabulary is the
+    * corpus still missing (the coverage question behind "is this crawl
+    * slice worth ingesting": a high unseen-mass estimate says the next
+    * batch of text will still be full of new types; near zero says the
+    * source is mined out). From the token frequency spectrum
+    * (count-of-counts N_r, the q231 reduction):
+    *   p_unseen = N₁/N        (Good's estimate of total unseen mass)
+    *   coverage = 1 − N₁/N    (Good's sample-coverage estimate)
+    *   r₁* = 2·N₂/N₁          (GT-smoothed count for once-seen types)
+    * ONE tokenize pass → per-type counts → three conditional sums, all
+    * map-side combined — the spectrum never materializes beyond the
+    * per-type count table and nothing shuffles past it but one row.
+    * `n` > 1 counts word n-gram OCCURRENCES as the types (the spectrum
+    * a small-vocabulary corpus needs for a non-degenerate estimate —
+    * and the LM-facing form: unseen-trigram mass is exactly what a
+    * smoothing scheme allocates); the token array materializes once
+    * per row and grams index into it, so gram construction is O(tokens)
+    * array work in the scan, not a per-gram re-tokenize. r₁* NULL when
+    * N₁ = 0 (saturated corpus — nothing seen once). Output: one row
+    * (n_tokens, vocab, n1, n2, p_unseen, coverage, r1_star); an empty
+    * corpus yields zero counts and NULL ratios. */
+  def goodTuringMass(df: DataFrame, textCol: String, n: Int = 1)
+      : DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    def d(c: Column) = c.cast("double")
+    val toks = df.select(tokens(col(textCol)).as("__tk"))
+    val gram =
+      if (n == 1) explode(col("__tk"))
+      else explode(when(size(col("__tk")) >= n,
+        transform(sequence(lit(1), size(col("__tk")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k =>
+            element_at(col("__tk"), i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+    val tf = toks.select(gram.as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    tf.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("n_tokens"), col("vocab"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .withColumn("p_unseen", when(col("n_tokens") > 0,
+        d(col("n1")) / d(col("n_tokens"))))
+      .withColumn("coverage", when(col("n_tokens") > 0,
+        lit(1.0) - d(col("n1")) / d(col("n_tokens"))))
+      .withColumn("r1_star", when(col("n1") > 0,
+        lit(2.0) * d(col("n2")) / d(col("n1"))))
+  }
 }

@@ -2717,4 +2717,181 @@ object Analytics {
       .select("digit", "observed", "expected", "chi2_term")
       .orderBy("digit")
   }
+
+  /** Pettitt rank-based changepoint test — WHEN did the distribution
+    * shift, with no reference segment required (the complement of
+    * [[graft.operators.TimeSeries.cusumChangepoint]], which needs a
+    * known baseline mean): for a split after time t,
+    *   U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i)
+    * and the test statistic is K = max_t |U_t| with the changepoint at
+    * the argmax; the classic approximation p ≈ 2·exp(−6K²/(n³+n²)).
+    *
+    * The O(n²) double sum collapses to two DISTRIBUTED prefixes via the
+    * antisymmetry identity Σ_{i≤t,j≤t} sign(x_j−x_i) = 0, so
+    * U_t = Σ_{i≤t} s_i where s_i = Σ_j sign(x_j − x_i) = n − e_i − 2·l_i
+    * (l_i = #values strictly below x_i, e_i = #values equal) — a
+    * VALUE-axis prefix over the distinct-value counts
+    * ([[prefixBefore]]), joined back rows-sized, then a TIME-axis
+    * inclusive prefix of the per-distinct-time s-sums (a second
+    * [[prefixBefore]] over the distinct-t table). Both prefixes ride
+    * the range-exchange machinery — no single-task window on either
+    * axis, so BOTH axes may be unbounded-cardinality. Per-time s-sums
+    * accumulate in decimal(38,0) (|U| ≤ n²/4 overflows a long past
+    * ~6e9 rows); the emitted u_at/k_stat are double (exact below 2^53 —
+    * the same magnitude contract as the kendall chain). Splits are the
+    * distinct time points except the last (an empty right side is not a
+    * split); ties in K break to the SMALLEST time. Output: one row
+    * (n, t_at, u_at, k_stat, p_approx). */
+  def pettittTest(df: DataFrame, tCol: String, valueCol: String)
+      : DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val base = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).as("__t"), col(valueCol).as("__v"))
+    // value axis: per-distinct-value (#less, #eq) via distributed prefix
+    val vc = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val tot = vc.agg(sum(col("__c")).as("__n"))
+    val vstats = prefixBefore(vc, "__v", col("__c"))
+      .crossJoin(broadcast(tot))
+      .select(col("__v").as("__vk"),
+        (col("__n") - col("__c") - lit(2) * col("__cum")).as("__s"),
+        col("__n"))
+    // rows-sized join back (|distinct|-bounded build side at worst),
+    // then the time axis: per-distinct-t s-sums, inclusive prefix
+    val st = base.join(vstats, col("__v") === col("__vk"))
+      .groupBy(col("__t")).agg(sum(dec(col("__s"))).as("__st"),
+        max(col("__n")).as("__n2"))
+    val cum = prefixBefore(st, "__t", col("__st"))
+      .withColumn("__u", col("__cum") + col("__st"))
+      .crossJoin(broadcast(st.agg(max(col("__t")).as("__tmax"))))
+      .filter(col("__t") < col("__tmax"))
+    cum
+      .withColumn("__au", abs(col("__u")))
+      .orderBy(col("__au").desc, col("__t").asc)
+      .limit(1)
+      .select(col("__n2").as("n"), col("__t").as("t_at"),
+        d(col("__u")).as("u_at"), d(col("__au")).as("k_stat"),
+        least(lit(1.0), lit(2.0) * exp(lit(-6.0) * d(col("__au")) *
+          d(col("__au")) /
+          (d(col("__n2")) * d(col("__n2")) * d(col("__n2")) +
+            d(col("__n2")) * d(col("__n2"))))).as("p_approx"))
+  }
+
+  /** Mann–Kendall trend test + Theil–Sen slope — IS a pre-aggregated
+    * series trending, and how fast, robustly (the monitoring pair a
+    * pipeline runs over its daily volume / quality / latency series —
+    * OLS slope is one bad day away from nonsense; the rank test and the
+    * median slope are not): over all time-ordered pairs i<j,
+    *   S = Σ sign(y_j − y_i),   Var(S) = [n(n−1)(2n+5) − Σ_g u_g(u_g−1)(2u_g+5)]/18
+    *   z = (S∓1)/√Var  (continuity-corrected, 0 at S=0)
+    *   slope = median{(y_j−y_i)/(t_j−t_i)},  intercept = median{y_i − slope·t_i}.
+    *
+    * CONTRACT: the input is a SERIES — one row per t (enforced), t
+    * numeric, cardinality bounded by construction (a daily/hourly
+    * aggregate: thousands of points, not raw events). Pairs materialize
+    * DISTRIBUTED (a non-equi self-join, n(n−1)/2 rows across the
+    * cluster — ~5e9 pairs at n=1e5 is a shuffle, not a collapse) and
+    * both medians ride [[graft.operators.Aggregations.quantilesCont]]'s
+    * distributed prefix, so nothing funnels through one task; past
+    * ~1e5 points the quadratic pair count itself is the cost to weigh.
+    * S and the tie term accumulate in long (exact below n ~ 2e6).
+    * Output: one row (n, s, var_s, z, sen_slope, intercept); z NULL
+    * when Var = 0 (all-tied series), slope NULL when n < 2. */
+  def mannKendallTrend(df: DataFrame, tCol: String, valueCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val base = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("double").as("__t"), d(col(valueCol)).as("__y"))
+    val pairs = base.as("a").join(base.as("b"), col("a.__t") < col("b.__t"))
+      .select((col("b.__y") - col("a.__y")).as("__dy"),
+        (col("b.__t") - col("a.__t")).as("__dt"))
+    val sRow = pairs.agg(
+      sum(signum(col("__dy")).cast("long")).as("s"))
+    val tieRow = base.groupBy(col("__y")).agg(count(lit(1)).as("__u"))
+      .agg(sum(col("__u")).as("n"),
+        sum(col("__u") * (col("__u") - 1) * (lit(2) * col("__u") + 5))
+          .as("__ties"))
+    // series contract tripwire: a duplicated t double-counts pairs
+    // SILENTLY (every i<j pair at equal t vanishes from S but inflates
+    // the tie term) — fail loudly instead of returning a wrong test
+    val chk = base.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    // the division is WHEN-guarded not because dt can be 0 in the
+    // output (the strict < join forbids it) but because quantilesCont's
+    // isnotnull filter folds into the join CONDITION under ANSI mode,
+    // where a bare division evaluates on equal-t candidate pairs and
+    // throws DIVIDE_BY_ZERO before the < conjunct prunes them
+    val slopeRow = graft.operators.Aggregations
+      .quantilesCont(pairs.select(
+          when(col("__dt") =!= 0.0, col("__dy") / col("__dt")).as("__sl")),
+        "__sl", Seq(0.5))
+      .select(col("value").as("sen_slope"))
+    val interceptRow = graft.operators.Aggregations
+      .quantilesCont(
+        base.crossJoin(broadcast(slopeRow))
+          .select((col("__y") - col("sen_slope") * col("__t")).as("__ic")),
+        "__ic", Seq(0.5))
+      .select(col("value").as("intercept"))
+    sRow.crossJoin(broadcast(tieRow))
+      .crossJoin(broadcast(chk))
+      .crossJoin(broadcast(slopeRow))
+      .crossJoin(broadcast(interceptRow))
+      .withColumn("n", when(col("__cn") === col("__cd"), col("n"))
+        .otherwise(raise_error(lit("mannKendallTrend: input is not a " +
+          "series — duplicate t values; pre-aggregate to one row per t"))))
+      .withColumn("var_s",
+        (d(col("n")) * (d(col("n")) - 1) * (lit(2.0) * d(col("n")) + 5) -
+          d(col("__ties"))) / 18.0)
+      .withColumn("z", when(col("var_s") > 0,
+        when(col("s") > 0, (d(col("s")) - 1) / sqrt(col("var_s")))
+          .when(col("s") < 0, (d(col("s")) + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(col("n"), col("s"), col("var_s"), col("z"),
+        col("sen_slope"), col("intercept"))
+  }
+
+  /** McNemar's paired test — did model B beat model A ON THE SAME
+    * EXAMPLES (the A/B question [[propTest]] cannot answer: two
+    * filters scored on one eval set are paired, and the marginal
+    * accuracies' variance double-counts the agreeing examples): only
+    * the DISCORDANT pairs carry signal,
+    *   b = #(A right, B wrong),  c = #(A wrong, B right)
+    *   χ²_cc = (max(|b−c|−1, 0))² / (b+c),   z = (b−c)/√(b+c).
+    * ONE map-side-combined conditional aggregate over a scan — nothing
+    * shuffles but one row; the correctness columns are caller-supplied
+    * expressions so the scan stays codegen'd. χ²/z NULL when b+c = 0
+    * (no discordant pairs — the test is undefined, not significant).
+    * Output: one row (n, b, c, chi2_cc, z). */
+  def mcNemar(df: DataFrame, aCorrect: Column, bCorrect: Column)
+      : DataFrame =
+    mcNemarChain(df.agg(mcNemarAggs(aCorrect, bCorrect).head,
+      mcNemarAggs(aCorrect, bCorrect).tail: _*))
+
+  /** Per-GROUP [[mcNemar]] — the sliced paired comparison (does B beat
+    * A on every language, or only in aggregate?). Output: key columns
+    * + the same row. */
+  def mcNemarBy(df: DataFrame, keyCols: Seq[String], aCorrect: Column,
+                bCorrect: Column): DataFrame = {
+    require(keyCols.nonEmpty, "mcNemarBy needs key columns; use mcNemar")
+    mcNemarChain(df.groupBy(keyCols.map(col): _*)
+      .agg(mcNemarAggs(aCorrect, bCorrect).head,
+        mcNemarAggs(aCorrect, bCorrect).tail: _*))
+  }
+
+  private def mcNemarAggs(aCorrect: Column, bCorrect: Column): Seq[Column] =
+    Seq(count(lit(1)).as("n"),
+      sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("b"),
+      sum(when(!aCorrect && bCorrect, 1L).otherwise(0L)).as("c"))
+
+  private def mcNemarChain(agg: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    // plain square, not pow(x, 2.0) — the multiply is the same IEEE op
+    // in both engines; libm pow need not be
+    val cc = greatest(abs(d(col("b")) - d(col("c"))) - 1.0, lit(0.0))
+    agg
+      .withColumn("chi2_cc", when(col("b") + col("c") > 0,
+        cc * cc / (d(col("b")) + d(col("c")))))
+      .withColumn("z", when(col("b") + col("c") > 0,
+        (d(col("b")) - d(col("c"))) / sqrt(d(col("b")) + d(col("c")))))
+  }
 }

@@ -2039,4 +2039,65 @@ class AnalyticsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
     }
   }
+
+  test("pettittTest: hand case localizes the split; ties on both axes; " +
+      "partition sweep") {
+    // x = [0,0,5,5] at t = 1..4: s = [2,2,-2,-2], U = [2,4,2] over the
+    // three splits -> K = 4 at t = 2, p = 2*exp(-6*16/(64+16))
+    val df = Seq((1L, 0.0), (2L, 0.0), (3L, 5.0), (4L, 5.0)).toDF("t", "v")
+    val r = Analytics.pettittTest(df, "t", "v").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 4.0)
+    assert(math.abs(r.getDouble(4) - 2.0 * math.exp(-96.0 / 80.0)) < 1e-15)
+    // constant series: every U_t = 0, K = 0, p capped at 1, earliest t
+    val flat = Seq((1L, 3.0), (2L, 3.0), (3L, 3.0)).toDF("t", "v")
+    val rf = Analytics.pettittTest(flat, "t", "v").collect().head
+    assert(rf.getDouble(3) == 0.0 && rf.getDouble(4) == 1.0 &&
+      rf.getLong(1) == 1L)
+    partitionSweep { p =>
+      Analytics.pettittTest(df.repartition(p), "t", "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("mannKendallTrend: monotone series golden; tie correction; " +
+      "duplicate t raises; partition sweep") {
+    val up = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("t", "y")
+    val r = Analytics.mannKendallTrend(up, "t", "y").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 66.0 / 18.0) < 1e-15)
+    assert(math.abs(r.getDouble(3) - 2.0 / math.sqrt(66.0 / 18.0)) < 1e-15)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0)
+    // all-tied y: S = 0, Var = 0 (fully tie-corrected), z NULL
+    val flat = Seq((1L, 2.0), (2L, 2.0), (3L, 2.0)).toDF("t", "y")
+    val rf = Analytics.mannKendallTrend(flat, "t", "y").collect().head
+    assert(rf.getLong(1) == 0L && rf.getDouble(2) == 0.0 && rf.isNullAt(3))
+    // duplicate t is not a series: the tripwire must fire, not return
+    val dup = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("t", "y")
+    intercept[Exception] {
+      Analytics.mannKendallTrend(dup, "t", "y").collect()
+    }
+    partitionSweep { p =>
+      Analytics.mannKendallTrend(up.repartition(p), "t", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("mcNemar / mcNemarBy: hand 2x2; zero-discordant NULLs; " +
+      "By == global per slice") {
+    val df = Seq(
+      ("g1", true, true), ("g1", true, false), ("g1", true, false),
+      ("g1", false, true), ("g1", false, false),
+      ("g2", true, true), ("g2", false, false)).toDF("g", "a", "b")
+    val r = Analytics.mcNemar(df.filter(col("g") === "g1"),
+      col("a"), col("b")).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.0) // (|2-1|-1)^2/3 = 0
+    assert(math.abs(r.getDouble(4) - 1.0 / math.sqrt(3.0)) < 1e-15)
+    // g2 has no discordant pairs: chi2/z NULL, not zero
+    val by = Analytics.mcNemarBy(df, Seq("g"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by("g2").isNullAt(4) && by("g2").isNullAt(5))
+    assert(by("g1").getLong(2) == 2L && by("g1").getLong(3) == 1L)
+  }
 }

@@ -2615,4 +2615,50 @@ class FunctionsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
     }
   }
+
+  test("goodTuringMass: hand spectrum; saturated corpus; empty corpus") {
+    // tokens: a a a b b c d -> N=7 V=4 N1=2 (c,d) N2=1 (b)
+    val df = Seq("a a a b b", "c d").toDF("text")
+    val r = Text.goodTuringMass(df, "text").collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L &&
+      r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(math.abs(r.getDouble(4) - 2.0 / 7.0) < 1e-15)
+    assert(math.abs(r.getDouble(5) - 5.0 / 7.0) < 1e-15)
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-15) // 2*N2/N1 = 2/2
+    // saturated: every type seen twice -> N1 = 0, r1_star NULL
+    val sat = Seq("a b a b").toDF("text")
+    val rs = Text.goodTuringMass(sat, "text").collect().head
+    assert(rs.getLong(2) == 0L && rs.getDouble(4) == 0.0 && rs.isNullAt(6))
+    // empty corpus: zero counts, NULL ratios
+    val re = Text.goodTuringMass(Seq("", "   ").toDF("text"), "text")
+      .collect().head
+    assert(re.getLong(0) == 0L && re.getLong(1) == 0L && re.isNullAt(4))
+    // bigram order: "a b a b" -> grams [a b, b a, a b]: N=3 V=2
+    // N1=1 (b a) N2=1 (a b); a 1-token doc yields no grams
+    val rb = Text.goodTuringMass(Seq("a b a b", "c").toDF("text"),
+      "text", n = 2).collect().head
+    assert(rb.getLong(0) == 3L && rb.getLong(1) == 2L &&
+      rb.getLong(2) == 1L && rb.getLong(3) == 1L)
+    assert(math.abs(rb.getDouble(6) - 2.0) < 1e-15) // 2*N2/N1
+  }
+
+  test("degreeAssortativity: path P3 is exactly -1; regular graph NULL; " +
+      "duplicate edges collapse; partition sweep") {
+    import graft.functions.Graphs
+    val p3 = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val r = Graphs.degreeAssortativity(p3).collect().head
+    assert(r.getLong(0) == 4L && r.getDouble(1) == -1.0)
+    // 4-cycle: 2-regular, zero degree variance -> r NULL
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("i", "j")
+    val rc = Graphs.degreeAssortativity(c4).collect().head
+    assert(rc.getLong(0) == 8L && rc.isNullAt(1))
+    // duplicates don't inflate degrees (distinct is the operator's job)
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("i", "j")
+    assert(Graphs.degreeAssortativity(dup).collect().head.toSeq ==
+      r.toSeq)
+    partitionSweep { p =>
+      Graphs.degreeAssortativity(p3.repartition(p))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
