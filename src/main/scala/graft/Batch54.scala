@@ -1,0 +1,113 @@
+package graft
+
+import graft.SparkEntry.Q
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 54 (round 15, session 4 cont.): sliced
+  * changepoint (pettittTestBy), lexicon term tagging, and top-k
+  * rank-biased overlap between two ranking periods.
+  */
+private[graft] object Batch54 {
+
+  // the Batch53 level-shift instant, reused as the period split
+  private val shiftNanos = 1705363200000000000L
+
+  val queries: Seq[Q] = Seq(
+
+    // Sliced Pettitt: the ×1.5 scale shift (q274's convention — the
+    // events value is ~exponential with sd ≈ mean, so an additive
+    // nudge drowns; a multiplicative one moves P(post > pre) to ~0.6)
+    // is injected ONLY into the 'view' slice — its p collapses to
+    // ~1e-58 while the unshifted slices sit at 0.6–1.0 (the
+    // discriminating-fixture discipline). Both keyed prefixes + the
+    // struct-argmax replayed.
+    Q("q337_pettitt_by",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), col("ts"),
+            (col("value") * when(col("event_type") === "view" &&
+              col("ts") >= lit(shiftNanos), 1.5).otherwise(1.0)).as("v"))
+        graft.operators.Analytics.pettittTestBy(e, Seq("event_type"),
+            "ts", "v")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH x AS (SELECT event_type AS k, CAST(epoch_us(ts) AS BIGINT) * 1000 AS t,
+             |    value * CASE WHEN event_type = 'view' AND CAST(epoch_us(ts) AS BIGINT) * 1000 >= $shiftNanos
+             |      THEN 1.5 ELSE 1.0 END AS v
+             |  FROM events),
+             |r AS (SELECT k, t, v,
+             |    COUNT(*) OVER (PARTITION BY k ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+             |    COUNT(*) OVER (PARTITION BY k, v) AS ceq,
+             |    COUNT(*) OVER (PARTITION BY k) AS n
+             |  FROM x),
+             |s AS (SELECT k, t, n, n + ceq - 2 * cle AS s FROM r),
+             |u AS (SELECT k, t, MAX(n) AS n, SUM(s) AS st FROM s GROUP BY k, t),
+             |c AS (SELECT k, t, n,
+             |    SUM(st) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u,
+             |    MAX(t) OVER (PARTITION BY k) AS tmax
+             |  FROM u),
+             |cand AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ABS(u) DESC, t ASC) AS rn
+             |  FROM c WHERE t < tmax)
+             |SELECT k AS event_type, CAST(n AS BIGINT) AS n, t AS t_at,
+             |  CAST(u AS DOUBLE) AS u_at, CAST(ABS(u) AS DOUBLE) AS k_stat,
+             |  LEAST(1.0, 2.0 * EXP(((-6.0 * CAST(ABS(u) AS DOUBLE)) * CAST(ABS(u) AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) +
+             |     CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS p_approx
+             |FROM cand WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // Lexicon tagging over the documents corpus: a small curated term
+    // list (including a two-word term) broadcast against every doc;
+    // counts are the non-overlapping replace identity on BOTH engines.
+    Q("q338_lexicon_hits",
+      (s, dir) => {
+        import s.implicits._
+        val lex = Seq("spark", "hash join", "window", "parquet")
+          .toDF("term")
+        graft.functions.Text.lexiconHits(
+            Tables.documents(s, dir), "doc_id", "text", lex)
+          .orderBy("doc_id", "term")
+      },
+      Some("""WITH lex AS (SELECT unnest(['spark', 'hash join', 'window', 'parquet']) AS term),
+             |docs AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt
+             |  FROM documents WHERE text IS NOT NULL)
+             |SELECT doc_id, term,
+             |  CAST((length(txt) - length(replace(txt, term, ''))) / length(term) AS BIGINT) AS n_occurrences
+             |FROM docs JOIN lex ON contains(txt, term)
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    // Top-30 heavy-user turnover across the two halves of the events
+    // timeline: RBO@30 at p = 0.9 between the per-period activity
+    // rankings — the "did the head of the distribution rotate" gauge.
+    Q("q339_rbo_topk",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        def side(cond: org.apache.spark.sql.Column) =
+          e.filter(cond).groupBy(col("user_id"))
+            .agg(count(lit(1)).as("cnt"))
+        graft.operators.Analytics.rankBiasedOverlap(
+          side(col("ts") < lit(shiftNanos)),
+          side(col("ts") >= lit(shiftNanos)),
+          "user_id", "cnt", k = 30, p = 0.9)
+      },
+      Some(s"""WITH ca AS (SELECT user_id AS i, CAST(COUNT(*) AS BIGINT) AS s FROM events
+             |    WHERE CAST(epoch_us(ts) AS BIGINT) * 1000 < $shiftNanos GROUP BY 1),
+             |cb AS (SELECT user_id AS i, CAST(COUNT(*) AS BIGINT) AS s FROM events
+             |    WHERE CAST(epoch_us(ts) AS BIGINT) * 1000 >= $shiftNanos GROUP BY 1),
+             |ra AS (SELECT i, ROW_NUMBER() OVER (ORDER BY s DESC, i ASC) AS r FROM ca
+             |  QUALIFY r <= 30),
+             |rb AS (SELECT i, ROW_NUMBER() OVER (ORDER BY s DESC, i ASC) AS r FROM cb
+             |  QUALIFY r <= 30),
+             |com AS (SELECT GREATEST(ra.r, rb.r) AS m FROM ra JOIN rb ON ra.i = rb.i),
+             |spine AS (SELECT d, POWER(0.9, CAST(d AS DOUBLE) - 1) / CAST(d AS DOUBLE) AS w
+             |  FROM (SELECT unnest(range(1, 31)) AS d)),
+             |rbos AS (SELECT COALESCE(SUM(CAST(w AS DECIMAL(28,12))), CAST(0 AS DECIMAL(28,12))) AS sm
+             |  FROM com JOIN spine ON spine.d >= com.m),
+             |cts AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS n_a,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rb) AS n_b,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM com) AS n_common)
+             |SELECT n_a, n_b, n_common,
+             |  CAST(n_common AS DOUBLE) / 30.0 AS agreement_at_k,
+             |  0.09999999999999998 * CAST(sm AS DOUBLE) AS rbo
+             |FROM cts CROSS JOIN rbos""".stripMargin)),
+  )
+}

@@ -723,6 +723,41 @@ object Text {
         d(col("n_hapax")) / d(col("n_types"))))
   }
 
+  /** Lexicon term tagging — per-document occurrence counts of every
+    * term in a curated lexicon (blocklist / safety / topic keyword
+    * tagging, the list-driven sibling of the regex-driven
+    * [[redactPii]]): both sides ride [[normalize]] (lowercase +
+    * whitespace collapse), so multi-word terms match across the same
+    * spacing the tokenizer sees, and occurrences are counted
+    * NON-OVERLAPPING LEFTMOST via the length-delta identity
+    * (len(text) − len(replace(text, term, ""))) / len(term) — replace
+    * semantics, the contract a self-overlapping term like "aa" gets.
+    *
+    * Plan: the lexicon (bounded by curation — hundreds to low
+    * thousands) is broadcast; the contains-join is a broadcast
+    * nested-loop whose per-row cost is k codegen'd substring scans —
+    * the standard small-dim × big-fact shape, no shuffle of the corpus
+    * ever. Per-term counts emit ONLY on hit (a zero row per (doc,
+    * term) pair would be |docs|·k output); left-join a doc spine
+    * downstream if absence matters. Output: one row per (doc, matched
+    * term) — (idCol, term, n_occurrences ≥ 1). Duplicate/empty/NULL
+    * lexicon terms are deduped/dropped. */
+  def lexiconHits(df: DataFrame, idCol: String, textCol: String,
+                  lexicon: DataFrame, termCol: String = "term")
+      : DataFrame = {
+    val docs = df.select(col(idCol), normalize(col(textCol)).as("__txt"))
+      .filter(col("__txt").isNotNull)
+    val terms = lexicon
+      .select(normalize(col(termCol)).as("term"))
+      .filter(col("term").isNotNull && length(col("term")) > 0)
+      .distinct()
+    docs.join(broadcast(terms), col("__txt").contains(col("term")))
+      .select(col(idCol), col("term"),
+        ((length(col("__txt")) -
+          length(call_function("replace", col("__txt"), col("term")))) /
+          length(col("term"))).cast("long").as("n_occurrences"))
+  }
+
   /** Good–Turing unseen-mass estimate — HOW MUCH vocabulary is the
     * corpus still missing (the coverage question behind "is this crawl
     * slice worth ingesting": a high unseen-mass estimate says the next

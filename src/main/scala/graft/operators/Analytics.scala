@@ -2777,6 +2777,65 @@ object Analytics {
             d(col("__n2")) * d(col("__n2"))))).as("p_approx"))
   }
 
+  /** Per-GROUP [[pettittTest]] — the sliced changepoint scan (WHICH
+    * slice shifted, and when: per-event-type / per-source / per-language
+    * regime changes that a global statistic averages away). Same two
+    * distributed prefixes, KEYED: the value-axis and time-axis prefixes
+    * ride [[prefixBeforeBy]] (compound range exchange — a hot slice
+    * splits across contiguous slices instead of serializing through one
+    * window task), per-group n and t_max are groups-sized aggregates
+    * joined back null-safe, and the per-group argmax is ONE map-side-
+    * combined max over (|U|, −t, …) structs — no per-group rank window
+    * anywhere. t must be NUMERIC here (the argmax tiebreak rides the
+    * negated t inside the struct); a NULL group key is its own slice.
+    * Output: key columns + [[pettittTest]]'s row, one per group with
+    * ≥ 2 distinct time points (a single-t group has no split). */
+  def pettittTestBy(df: DataFrame, keyCols: Seq[String], tCol: String,
+                    valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "pettittTestBy needs key columns; use pettittTest")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val keys = keyCols.map(col)
+    def kJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    def kRename(dd: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dd) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def kDrop(dd: DataFrame, tag: String): DataFrame =
+      dd.drop(keyCols.indices.map(i => s"__$tag$i"): _*)
+    val base = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ col(tCol).as("__t") :+ col(valueCol).as("__v"): _*)
+    val vc = base.groupBy(keys :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val tot = kRename(vc.groupBy(keys: _*).agg(sum(col("__c")).as("__n")), "n")
+    val vstats = kDrop(prefixBeforeBy(vc, keyCols, "__v", col("__c"))
+      .join(tot, kJoin("n")), "n")
+      .select(keys.map(c => c) ++ Seq(col("__v").as("__vk"),
+        (col("__n") - col("__c") - lit(2) * col("__cum")).as("__s"),
+        col("__n")): _*)
+    val rows = kDrop(base.join(kRename(vstats, "v"),
+      kJoin("v") && col("__v") === col("__vk")), "v")
+    val st = rows.groupBy(keys :+ col("__t"): _*)
+      .agg(sum(dec(col("__s"))).as("__st"), max(col("__n")).as("__n2"))
+    val tmax = kRename(st.groupBy(keys: _*).agg(max(col("__t")).as("__tmax")),
+      "m")
+    val cand = kDrop(prefixBeforeBy(st, keyCols, "__t", col("__st"))
+      .join(tmax, kJoin("m")), "m")
+      .withColumn("__u", col("__cum") + col("__st"))
+      .filter(col("__t") < col("__tmax"))
+    cand
+      .withColumn("__au", abs(col("__u")))
+      .groupBy(keys: _*)
+      .agg(max(struct(col("__au"), (-col("__t")).as("__negt"), col("__u"),
+        col("__n2"))).as("__m"))
+      .select(keys ++ Seq(col("__m.__n2").as("n"),
+        (-col("__m.__negt")).as("t_at"), d(col("__m.__u")).as("u_at"),
+        d(col("__m.__au")).as("k_stat")): _*)
+      .withColumn("p_approx", least(lit(1.0),
+        lit(2.0) * exp(lit(-6.0) * col("k_stat") * col("k_stat") /
+          (d(col("n")) * d(col("n")) * d(col("n")) +
+            d(col("n")) * d(col("n"))))))
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope — IS a pre-aggregated
     * series trending, and how fast, robustly (the monitoring pair a
     * pipeline runs over its daily volume / quality / latency series —
@@ -2848,6 +2907,61 @@ object Analytics {
           .otherwise(lit(0.0))))
       .select(col("n"), col("s"), col("var_s"), col("z"),
         col("sen_slope"), col("intercept"))
+  }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) — did
+    * the TOP of the ranking change (the question [[shareDrift]]'s
+    * share deltas and a whole-distribution KS both miss: "are the top
+    * 100 domains this week still last week's top 100, in roughly the
+    * same order?"): over the two top-k lists ranked by (score desc,
+    * item asc),
+    *   RBO@k = (1−p) · Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+    * — depth-weighted set agreement, p the persistence (how deep the
+    * eye looks; 0.9 ≈ top-10-weighted). This is the TRUNCATED form:
+    * no extrapolation tail, so RBO@k ∈ [0, 1−p^k·(…)] — comparable
+    * across runs at fixed (k, p), which is the monitoring use.
+    *
+    * Plan: each side reduces to its top-k via TakeOrdered + a k-row
+    * rank window (k is bounded by the caller — top-k lists are
+    * human-sized); the overlap double sum runs over (common item ×
+    * depth) pairs — ≤ k² rows — with per-term weights snapped to
+    * decimal(28,12) before the sum (order-independent, and inside the
+    * double→decimal replayable-magnitude zone since every term ≤ 1;
+    * the truncation bounds the metric's resolution at 1e-12·k², far
+    * below any monitoring threshold). Output: one row
+    * (n_a, n_b, n_common, agreement_at_k, rbo); empty intersection →
+    * rbo = 0. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, itemCol: String,
+                        scoreCol: String, k: Int, p: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"persistence p must be in (0,1), got $p")
+    def d(c: Column) = c.cast("double")
+    def ranked(df: DataFrame, tag: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(itemCol).asc)
+      df.filter(col(itemCol).isNotNull)
+        .orderBy(col(scoreCol).desc, col(itemCol).asc).limit(k)
+        .select(col(itemCol).as(s"__i$tag"),
+          row_number().over(w).as(s"__r$tag"))
+    }
+    val ra = ranked(a, "a")
+    val rb = ranked(b, "b")
+    val common = ra.join(rb, col("__ia") === col("__ib"))
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+    val spark = a.sparkSession
+    val spine = spark.range(1, k + 1L)
+      .select(col("id").as("__d"),
+        (pow(lit(p), d(col("id")) - 1) / d(col("id"))).as("__w"))
+    val rboSum = common.join(broadcast(spine), col("__d") >= col("__m"))
+      .agg(coalesce(sum(col("__w").cast("decimal(28,12)")),
+        lit(0).cast("decimal(28,12)")).as("__s"))
+    ra.agg(count(lit(1)).as("n_a"))
+      .crossJoin(rb.agg(count(lit(1)).as("n_b")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .crossJoin(rboSum)
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        (d(col("n_common")) / lit(k.toDouble)).as("agreement_at_k"),
+        (lit(1.0 - p) * d(col("__s"))).as("rbo"))
   }
 
   /** McNemar's paired test — did model B beat model A ON THE SAME

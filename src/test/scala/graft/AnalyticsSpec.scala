@@ -2083,6 +2083,63 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pettittTestBy == pettittTest per slice; NULL key slice; " +
+      "single-t group absent; partition sweep") {
+    val df = Seq(
+      (Some("a"), 1L, 0.0), (Some("a"), 2L, 0.0),
+      (Some("a"), 3L, 5.0), (Some("a"), 4L, 5.0),
+      (Some("b"), 1L, 9.0), (Some("b"), 2L, 1.0), (Some("b"), 3L, 9.0),
+      (None, 1L, 1.0), (None, 2L, 7.0),
+      (Some("c"), 5L, 3.0) // one time point: no split, absent
+    ).toDF("g", "t", "v")
+    val by = Analytics.pettittTestBy(df, Seq("g"), "t", "v")
+      .collect().map(r => Option(r.getString(0)) -> r.toSeq.drop(1)).toMap
+    assert(!by.contains(Some("c")) && by.size == 3)
+    for (g <- Seq(Some("a"), Some("b"), None)) {
+      val slice = df.filter(col("g") <=> g.map(lit).getOrElse(lit(null)))
+      val global = Analytics.pettittTest(slice, "t", "v")
+        .collect().head.toSeq
+      assert(by(g) == global, s"slice $g: ${by(g)} vs $global")
+    }
+    partitionSweep { p =>
+      Analytics.pettittTestBy(df.repartition(p), Seq("g"), "t", "v")
+        .collect().map(_.toSeq).toSeq
+        .sortBy(r => String.valueOf(r.head))
+    }
+  }
+
+  test("rankBiasedOverlap: identical lists -> truncated max; disjoint " +
+      "-> 0; hand overlap; short lists") {
+    val a = Seq((1L, 30.0), (2L, 20.0), (3L, 10.0)).toDF("item", "score")
+    val b = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("item", "score")
+    val k = 3; val p = 0.9
+    // identical rankings: X_d = d, so RBO = (1-p) * sum p^(d-1)
+    val rId = Analytics.rankBiasedOverlap(a, b, "item", "score", k, p)
+      .collect().head
+    val wExp = (1 to k).map(d =>
+      BigDecimal(math.pow(p, d - 1) / d).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    val expId = (1.0 - p) * (1 to k).map(d => d * wExp(d - 1).toDouble).sum
+    assert(rId.getLong(2) == 3L)
+    assert(math.abs(rId.getDouble(4) - expId) < 1e-9)
+    // disjoint: rbo exactly 0
+    val c = Seq((7L, 5.0), (8L, 4.0)).toDF("item", "score")
+    val rDis = Analytics.rankBiasedOverlap(a, c, "item", "score", k, p)
+      .collect().head
+    assert(rDis.getLong(2) == 0L && rDis.getDouble(4) == 0.0)
+    // hand case: a = [1,2,3], b' ranks item 3 first -> common m values:
+    // item1 m=max(1,2)=2, item2 m=max(2,3)=3, item3 m=max(3,1)=3
+    // X_1=0, X_2=1, X_3=3
+    val b2 = Seq((3L, 9.0), (1L, 8.0), (2L, 7.0)).toDF("item", "score")
+    val rH = Analytics.rankBiasedOverlap(a, b2, "item", "score", k, p)
+      .collect().head
+    val expH = (1.0 - p) * (wExp(1).toDouble * 1 + wExp(2).toDouble * 3)
+    assert(math.abs(rH.getDouble(4) - expH) < 1e-9)
+    // lists shorter than k: n_a/n_b report true sizes
+    val rS = Analytics.rankBiasedOverlap(a, c, "item", "score", 10, p)
+      .collect().head
+    assert(rS.getLong(0) == 3L && rS.getLong(1) == 2L)
+  }
+
   test("mcNemar / mcNemarBy: hand 2x2; zero-discordant NULLs; " +
       "By == global per slice") {
     val df = Seq(

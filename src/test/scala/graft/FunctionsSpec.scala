@@ -2642,6 +2642,21 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(rb.getDouble(6) - 2.0) < 1e-15) // 2*N2/N1
   }
 
+  test("lexiconHits: non-overlapping leftmost counts; multi-word and " +
+      "self-overlapping terms; normalization; miss rows absent") {
+    val docs = Seq(
+      (1L, "Spark spark  SPARK pipeline"),   // case + spacing collapse
+      (2L, "a hash  join inside a hash join"), // multi-word term, x2
+      (3L, "aaa"),                            // self-overlap: "aa" -> 1
+      (4L, "nothing here")).toDF("id", "txt")
+    val lex = Seq("spark", "hash join", "aa", "", "spark").toDF("term")
+    val got = Text.lexiconHits(docs, "id", "txt", lex)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, "spark", 3L), (2L, "hash join", 2L),
+      (3L, "aa", 1L)))
+  }
+
   test("degreeAssortativity: path P3 is exactly -1; regular graph NULL; " +
       "duplicate edges collapse; partition sweep") {
     import graft.functions.Graphs
