@@ -109,5 +109,50 @@ private[graft] object Batch54 {
              |  CAST(n_common AS DOUBLE) / 30.0 AS agreement_at_k,
              |  0.09999999999999998 * CAST(sm AS DOUBLE) AS rbo
              |FROM cts CROSS JOIN rbos""".stripMargin)),
+
+    // Sliced Mann-Kendall + Theil-Sen over per-type daily series: a
+    // 2%/day multiplicative drift injected ONLY into 'view' — its z
+    // saturates (every pair concordant) while the other slices stay
+    // |z| < 2. Epoch day 19723 = 2024-01-01, the series origin.
+    Q("q340_trend_daily_by",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("y0"))
+          .select(col("event_type"), col("day"),
+            (col("y0") * (lit(1.0) + when(col("event_type") === "view",
+              (col("day") - lit(19723L)).cast("double") * 0.02)
+              .otherwise(0.0))).as("y"))
+        graft.operators.Analytics.mannKendallTrendBy(daily,
+            Seq("event_type"), "day", "y")
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type AS k, (CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS y0
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT k, CAST(day AS DOUBLE) AS t,
+             |    y0 * (1.0 + CASE WHEN k = 'view' THEN CAST(day - 19723 AS DOUBLE) * 0.02 ELSE 0.0 END) AS y
+             |  FROM daily),
+             |pairs AS (SELECT b1.k AS k, b2.y - b1.y AS dy, b2.t - b1.t AS dt
+             |  FROM b b1 JOIN b b2 ON b1.k = b2.k AND b1.t < b2.t),
+             |srow AS (SELECT k, CAST(SUM(CAST(SIGN(dy) AS BIGINT)) AS BIGINT) AS s FROM pairs GROUP BY k),
+             |ties AS (SELECT k, CAST(SUM(u) AS BIGINT) AS n,
+             |    CAST(SUM(u * (u - 1) * (2 * u + 5)) AS BIGINT) AS tt
+             |  FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS u FROM b GROUP BY k, y) GROUP BY k),
+             |slope AS (SELECT k, quantile_cont(dy / dt, 0.5) AS sen_slope FROM pairs GROUP BY k),
+             |icept AS (SELECT b.k AS k, quantile_cont(b.y - slope.sen_slope * b.t, 0.5) AS intercept
+             |  FROM b JOIN slope ON b.k = slope.k GROUP BY b.k),
+             |v AS (SELECT ties.k AS k, n, s, tt, sen_slope, intercept,
+             |    ((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) * (2.0 * CAST(n AS DOUBLE) + 5) -
+             |      CAST(tt AS DOUBLE)) / 18.0 AS var_s
+             |  FROM ties JOIN srow USING (k) JOIN slope USING (k) JOIN icept USING (k))
+             |SELECT k AS event_type, n, s, var_s,
+             |  CASE WHEN var_s > 0 THEN
+             |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / SQRT(var_s)
+             |         WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(var_s)
+             |         ELSE 0.0 END END AS z,
+             |  sen_slope, intercept
+             |FROM v ORDER BY event_type""".stripMargin)),
   )
 }

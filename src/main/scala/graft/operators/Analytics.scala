@@ -2964,6 +2964,89 @@ object Analytics {
         (lit(1.0 - p) * d(col("__s"))).as("rbo"))
   }
 
+  /** Per-GROUP [[mannKendallTrend]] — the sliced trend report (WHICH
+    * language / source / event type is drifting, not just whether the
+    * aggregate is): all groups' pair joins, rank statistics, and BOTH
+    * medians run in ONE pass each — the pair self-join carries the
+    * keys (null-safe: a NULL group is its own slice), S / ties / the
+    * series tripwire are keys-sized aggregates, and the two medians
+    * ride [[graft.operators.Aggregations.quantilesContBy]]'s KEYED
+    * distributed prefix (a hot slice's pairs split across range
+    * slices). Same series contract per slice — one row per (keys, t),
+    * enforced loudly. A single-point slice survives with S = 0,
+    * Var = 0, NULL z/slope/intercept. Output: key columns +
+    * [[mannKendallTrend]]'s row. */
+  def mannKendallTrendBy(df: DataFrame, keyCols: Seq[String], tCol: String,
+                         valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "mannKendallTrendBy needs key columns; use mannKendallTrend")
+    def d(c: Column) = c.cast("double")
+    val keys = keyCols.map(col)
+    def kJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    def kRename(dd: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dd) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def kDrop(dd: DataFrame, tag: String): DataFrame =
+      dd.drop(keyCols.indices.map(i => s"__$tag$i"): _*)
+    val base = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ col(tCol).cast("double").as("__t") :+
+        d(col(valueCol)).as("__y"): _*)
+    val bKeyJoin = keyCols
+      .map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    val pairs = base.as("a").join(base.as("b"),
+        bKeyJoin && col("a.__t") < col("b.__t"))
+      .select(keyCols.map(c => col(s"a.$c")) ++ Seq(
+        (col("b.__y") - col("a.__y")).as("__dy"),
+        (col("b.__t") - col("a.__t")).as("__dt")): _*)
+    val sRow = kRename(pairs.groupBy(keys: _*)
+      .agg(sum(signum(col("__dy")).cast("long")).as("s")), "s")
+    val tieRow = base.groupBy(keys :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__u"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__u")).as("n"),
+        sum(col("__u") * (col("__u") - 1) * (lit(2) * col("__u") + 5))
+          .as("__ties"))
+    val chk = kRename(base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__cn"),
+        count_distinct(col("__t")).as("__cd")), "c")
+    // same ANSI hazard as the global form: the division must not be
+    // evaluable on equal-t candidate pairs inside the join condition
+    val slopeTbl = graft.operators.Aggregations
+      .quantilesContBy(pairs.select(keys :+
+          when(col("__dt") =!= 0.0, col("__dy") / col("__dt")).as("__sl"): _*),
+        keyCols, "__sl", Seq(0.5))
+      .select(keys :+ col("value").as("sen_slope"): _*)
+    val icBase = kDrop(base.join(kRename(slopeTbl, "sl"), kJoin("sl"),
+        "left"), "sl")
+      .select(keys :+ (col("__y") - col("sen_slope") * col("__t"))
+        .as("__ic"): _*)
+    val interceptRow = kRename(graft.operators.Aggregations
+      .quantilesContBy(icBase, keyCols, "__ic", Seq(0.5))
+      .select(keys :+ col("value").as("intercept"): _*), "ic")
+    // tieRow is the group spine: single-point slices survive with NULL
+    // pair statistics
+    kDrop(kDrop(kDrop(kDrop(
+      tieRow.join(sRow, kJoin("s"), "left"), "s")
+        .join(chk, kJoin("c"), "left"), "c")
+        .join(kRename(slopeTbl, "s2"), kJoin("s2"), "left"), "s2")
+        .join(interceptRow, kJoin("ic"), "left"), "ic")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("n", when(col("__cn") === col("__cd"), col("n"))
+        .otherwise(raise_error(lit("mannKendallTrendBy: input is not a " +
+          "series — duplicate t within a slice; pre-aggregate to one " +
+          "row per (keys, t)"))))
+      .withColumn("var_s",
+        (d(col("n")) * (d(col("n")) - 1) * (lit(2.0) * d(col("n")) + 5) -
+          d(col("__ties"))) / 18.0)
+      .withColumn("z", when(col("var_s") > 0,
+        when(col("s") > 0, (d(col("s")) - 1) / sqrt(col("var_s")))
+          .when(col("s") < 0, (d(col("s")) + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(keys ++ Seq(col("n"), col("s"), col("var_s"), col("z"),
+        col("sen_slope"), col("intercept")): _*)
+  }
+
   /** McNemar's paired test — did model B beat model A ON THE SAME
     * EXAMPLES (the A/B question [[propTest]] cannot answer: two
     * filters scored on one eval set are paired, and the marginal

@@ -2108,6 +2108,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("mannKendallTrendBy == mannKendallTrend per slice; NULL key " +
+      "slice; single-point slice NULLs; dup t in one slice raises") {
+    val df = Seq(
+      (Some("a"), 1L, 1.0), (Some("a"), 2L, 2.0), (Some("a"), 3L, 3.0),
+      (Some("b"), 1L, 5.0), (Some("b"), 2L, 1.0), (Some("b"), 3L, 4.0),
+      (None, 1L, 2.0), (None, 2L, 2.0), (None, 3L, 2.0),
+      (Some("c"), 9L, 7.0)).toDF("g", "t", "y")
+    val by = Analytics.mannKendallTrendBy(df, Seq("g"), "t", "y")
+      .collect().map(r => Option(r.getString(0)) -> r.toSeq.drop(1)).toMap
+    for (g <- Seq(Some("a"), Some("b"), None)) {
+      val slice = df.filter(col("g") <=> g.map(lit).getOrElse(lit(null)))
+      val global = Analytics.mannKendallTrend(slice, "t", "y")
+        .collect().head.toSeq
+      assert(by(g) == global, s"slice $g: ${by(g)} vs $global")
+    }
+    // single-point slice: present, S=0, Var=0, NULL z/slope/intercept
+    assert(by(Some("c")) == Seq(1L, 0L, 0.0, null, null, null))
+    val dup = Seq(("a", 1L, 1.0), ("a", 1L, 2.0), ("b", 1L, 1.0))
+      .toDF("g", "t", "y")
+    intercept[Exception] {
+      Analytics.mannKendallTrendBy(dup, Seq("g"), "t", "y").collect()
+    }
+  }
+
   test("rankBiasedOverlap: identical lists -> truncated max; disjoint " +
       "-> 0; hand overlap; short lists") {
     val a = Seq((1L, 30.0), (2L, 20.0), (3L, 10.0)).toDF("item", "score")
