@@ -154,5 +154,57 @@ private[graft] object Batch54 {
              |         ELSE 0.0 END END AS z,
              |  sen_slope, intercept
              |FROM v ORDER BY event_type""".stripMargin)),
+
+    // Cochran-Armitage: success probability rises with the day index
+    // (the deterministic "value inflated 1%/day clears the bar more
+    // often" construction), so z lands strongly positive; the five
+    // exact sums and the pinned double chain are replayed 1:1. Scores
+    // are day - 19723 (0..29) so the variance difference keeps its
+    // precision.
+    Q("q341_cochran_armitage",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select((expr("ts div 86400000000000") - lit(19723L)).as("d"),
+            col("value"))
+        graft.operators.Analytics.cochranArmitage(e, "d",
+          col("value") * (lit(1.0) + col("d").cast("double") * 0.01) > 50.0)
+      },
+      Some("""WITH x AS (SELECT (CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 - 19723 AS s,
+             |    CASE WHEN value * (1.0 + CAST((CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 - 19723 AS DOUBLE) * 0.01) > 50.0
+             |      THEN 1 ELSE 0 END AS r
+             |  FROM events),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COUNT(DISTINCT s) AS BIGINT) AS levels,
+             |    CAST(SUM(r) AS BIGINT) AS r,
+             |    CAST(SUM(CAST(s AS HUGEINT)) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(s AS HUGEINT) * r) AS DOUBLE) AS rs
+             |  FROM x),
+             |b AS (SELECT *, CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pb,
+             |    rs - CAST(r AS DOUBLE) * s1 / CAST(n AS DOUBLE) AS t_stat,
+             |    (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      (s2 - s1 * s1 / CAST(n AS DOUBLE)) AS var_t
+             |  FROM a)
+             |SELECT n, levels, r, t_stat, var_t,
+             |  CASE WHEN var_t > 0 THEN t_stat / SQRT(var_t) END AS z
+             |FROM b""".stripMargin)),
+
+    // Novelty curve: per-day active / first-seen / returning user
+    // counts over the events timeline — day 0 is all-new, the curve
+    // decays as the 150-user population is exhausted.
+    Q("q342_novelty_curve",
+      (s, dir) => graft.operators.Analytics.noveltyCurve(
+          Tables.events(s, dir)
+            .select(expr("ts div 86400000000000").as("day"), col("user_id")),
+          "day", "user_id")
+        .orderBy("day"),
+      Some("""WITH x AS (SELECT DISTINCT (CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 AS b,
+             |    user_id AS k FROM events),
+             |f AS (SELECT k, MIN(b) AS fb FROM x GROUP BY k)
+             |SELECT b AS day, CAST(COUNT(*) AS BIGINT) AS active,
+             |  CAST(SUM(CASE WHEN b = fb THEN 1 ELSE 0 END) AS BIGINT) AS new_keys,
+             |  CAST(COUNT(*) - SUM(CASE WHEN b = fb THEN 1 ELSE 0 END) AS BIGINT) AS returning
+             |FROM x JOIN f USING (k) GROUP BY b ORDER BY day""".stripMargin)),
   )
 }

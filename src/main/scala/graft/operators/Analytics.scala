@@ -2909,6 +2909,67 @@ object Analytics {
         col("sen_slope"), col("intercept"))
   }
 
+  /** Cochran–Armitage trend test — is a RATE trending across ORDERED
+    * levels (conversion/defect/match rate by day, by bucket, by dose —
+    * the ordinal question [[propTest]]'s two-arm z can't see and
+    * [[oneWayF]] ignores the ordering of): with integral level scores
+    * s and success indicator r,
+    *   T = Σ r·s − R·S₁/N,   Var(T) = p̄(1−p̄)·(S₂ − S₁²/N)
+    *   z = T/√Var,  p̄ = R/N
+    * where N, R, S₁ = Σs, S₂ = Σs², and Σ r·s are FIVE exact sums from
+    * ONE map-side-combined scan — no per-level grouping materializes
+    * (the per-level form algebraically collapses to row sums). Scores
+    * must be INTEGRAL (ordinal levels are; the sums accumulate in
+    * decimal(38,0), exact at any scale) — snap continuous scores to a
+    * grid upstream. z NULL when Var ≤ 0 (one level, or p̄ ∈ {0,1}).
+    * Output: one row (n, levels, r, t_stat, var_t, z). */
+  def cochranArmitage(df: DataFrame, scoreCol: String, success: Column)
+      : DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__s"),
+        when(success, 1L).otherwise(0L).as("__r"))
+    base.agg(count(lit(1)).as("n"), count_distinct(col("__s")).as("levels"),
+        sum(col("__r")).as("r"),
+        sum(dec(col("__s"))).as("__s1"),
+        sum(dec(col("__s")) * dec(col("__s"))).as("__s2"),
+        sum(dec(col("__s")) * col("__r")).as("__rs"))
+      .withColumn("__pb", d(col("r")) / d(col("n")))
+      .withColumn("t_stat",
+        d(col("__rs")) - d(col("r")) * d(col("__s1")) / d(col("n")))
+      .withColumn("var_t",
+        col("__pb") * (lit(1.0) - col("__pb")) *
+          (d(col("__s2")) - d(col("__s1")) * d(col("__s1")) / d(col("n"))))
+      .withColumn("z", when(col("var_t") > 0,
+        col("t_stat") / sqrt(col("var_t"))))
+      .select("n", "levels", "r", "t_stat", "var_t", "z")
+  }
+
+  /** Corpus novelty curve — per time bucket, how many keys are NEW vs
+    * RETURNING (the growth-health read a crawl/ingest pipeline runs
+    * per batch: a new-domain / new-user curve that flatlines says the
+    * source is mined out — the time-series sibling of the two-corpus
+    * [[corpusDiff]] snapshot and the WHY behind [[goodTuring]]-style
+    * coverage numbers): distinct (bucket, key) pairs, each key's first
+    * bucket (one map-side-combined min), joined back key-sized, then
+    * bucket counts. Every shuffle keys on the key or the bucket —
+    * nothing funnels; NULL keys are dropped (missingness is not a
+    * visitor). Output: one row per bucket —
+    * (bucketCol, active, new_keys, returning). */
+  def noveltyCurve(df: DataFrame, bucketCol: String, keyCol: String)
+      : DataFrame = {
+    val x = df.filter(col(bucketCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(bucketCol).as("__b"), col(keyCol).as("__k")).distinct()
+    val first = x.groupBy(col("__k").as("__fk")).agg(min(col("__b")).as("__fb"))
+    x.join(first, col("__k") === col("__fk"))
+      .groupBy(col("__b").as(bucketCol))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("__b") === col("__fb"), 1L).otherwise(0L))
+          .as("new_keys"))
+      .withColumn("returning", col("active") - col("new_keys"))
+  }
+
   /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) — did
     * the TOP of the ranking change (the question [[shareDrift]]'s
     * share deltas and a whole-distribution KS both miss: "are the top

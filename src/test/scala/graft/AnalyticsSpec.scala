@@ -2164,6 +2164,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(rS.getLong(0) == 3L && rS.getLong(1) == 2L)
   }
 
+  test("cochranArmitage: hand three-dose golden; single level NULL z; " +
+      "partition sweep") {
+    // doses 0/1/2, 10 trials each, 2/5/8 successes:
+    // T = 21 - 15*30/30 = 6, Var = 0.25*(50 - 900/30) = 5
+    val rows = (0 until 10).flatMap { i =>
+      Seq((0L, i < 2), (1L, i < 5), (2L, i < 8)) }
+    val df = rows.toDF("dose", "succ")
+    val r = Analytics.cochranArmitage(df, "dose", col("succ"))
+      .collect().head
+    assert(r.getLong(0) == 30L && r.getLong(1) == 3L && r.getLong(2) == 15L)
+    assert(r.getDouble(3) == 6.0 && r.getDouble(4) == 5.0)
+    assert(math.abs(r.getDouble(5) - 6.0 / math.sqrt(5.0)) < 1e-15)
+    // one level: Var = 0 -> z NULL
+    val one = Seq((1L, true), (1L, false)).toDF("dose", "succ")
+    assert(Analytics.cochranArmitage(one, "dose", col("succ"))
+      .collect().head.isNullAt(5))
+    partitionSweep { p =>
+      Analytics.cochranArmitage(df.repartition(p), "dose", col("succ"))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("noveltyCurve: golden new/returning split; duplicate visits " +
+      "collapse; NULL keys dropped; partition sweep") {
+    val df = Seq(
+      (0L, Some(1L)), (0L, Some(2L)), (0L, Some(2L)), // dup visit
+      (1L, Some(1L)), (1L, Some(3L)),
+      (2L, Some(2L)), (2L, Some(3L)), (2L, None)      // null key dropped
+    ).toDF("b", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.noveltyCurve(d, "b", "k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(run(df) == Seq((0L, 2L, 2L, 0L), (1L, 2L, 1L, 1L),
+      (2L, 2L, 0L, 2L)))
+    partitionSweep { p => run(df.repartition(p)) }
+  }
+
   test("mcNemar / mcNemarBy: hand 2x2; zero-discordant NULLs; " +
       "By == global per slice") {
     val df = Seq(
