@@ -206,5 +206,67 @@ private[graft] object Batch54 {
              |  CAST(SUM(CASE WHEN b = fb THEN 1 ELSE 0 END) AS BIGINT) AS new_keys,
              |  CAST(COUNT(*) - SUM(CASE WHEN b = fb THEN 1 ELSE 0 END) AS BIGINT) AS returning
              |FROM x JOIN f USING (k) GROUP BY b ORDER BY day""".stripMargin)),
+
+    // Streaming EWMA control chart under the FULL exact oracle (the
+    // q232 discipline): daily windows of the purchase slice with a ×3
+    // level spike injected on epoch day 19748 — its z lands at ~22.9,
+    // pinned TRUE. The window means, the (m, v) recursion per prefix
+    // (an ordered struct-fold in DuckDB — bit-identical to the stage-2
+    // walk's fixed op order), every z, and the threshold flags are ALL
+    // replayed; the two-batch MemoryStream drive exercises the
+    // cross-micro-batch (m, v) carry.
+    Q("q343_stream_ewma",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        val cur = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(expr("ts div 1000").as("ts_us"),
+            when(expr("ts div 86400000000000") === 19748L,
+              col("value") * 3).otherwise(col("value")).as("value"))
+        val rows = cur.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val dayUs = 86400L * 1000000L
+        val split = 19738L * dayUs
+        val flush = (rows.map(_._1).max / dayUs + 4) * dayUs + 1L
+        val ms = MemoryStream[(Long, Double)](s)
+        val out = graft.streaming.Streams.windowedEwmaAnomaly(
+          ms.toDS().toDF("ts_us", "value"),
+          alpha = 0.25, threshold = 3.0,
+          watermark = "0 seconds", window_ = "1 day")
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q343_sink").start()
+        try {
+          ms.addData(rows.filter(_._1 < split).toSeq); q.processAllAvailable()
+          ms.addData(rows.filter(_._1 >= split).toSeq); q.processAllAvailable()
+          ms.addData((flush, 0.0)); q.processAllAvailable()
+        } finally q.stop()
+        val maxBucket = rows.map(r => r._1 / dayUs * dayUs).max
+        s.table("q343_sink").filter(col("bucket_us") <= maxBucket)
+          .orderBy("bucket_us")
+      },
+      // the (m, v) recursion replays as a RECURSIVE CTE, one state row
+      // per window index — NOT a list_reduce struct-fold, which DuckDB
+      // mis-evaluates when the accumulator struct's fields cross-
+      // reference inside a chained fold (verified divergence at step 2;
+      // the recursive form reproduces the stage-2 walk bit-for-bit)
+      Some("""WITH RECURSIVE cur AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+             |    CASE WHEN epoch_us(ts) // 86400000000 = 19748 THEN value * 3 ELSE value END AS v
+             |  FROM events WHERE event_type = 'purchase'),
+             |w AS (SELECT bucket_us, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+             |  FROM cur GROUP BY 1),
+             |seq AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bucket_us) AS i FROM w),
+             |ew AS (
+             |  SELECT CAST(1 AS BIGINT) AS j, mean AS m, CAST(0.0 AS DOUBLE) AS v FROM seq WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.i AS j,
+             |    ew.m + CAST(0.25 AS DOUBLE) * (s.mean - ew.m) AS m,
+             |    CAST(0.75 AS DOUBLE) * (ew.v + CAST(0.25 AS DOUBLE) * (s.mean - ew.m) * (s.mean - ew.m)) AS v
+             |  FROM ew JOIN seq s ON s.i = ew.j + 1)
+             |SELECT s.bucket_us, s.n, s.mean,
+             |  CASE WHEN s.i > 1 AND p.v > 0 THEN (s.mean - p.m) / SQRT(p.v) END AS z,
+             |  CASE WHEN s.i > 1 AND p.v > 0 THEN ABS((s.mean - p.m) / SQRT(p.v)) > 3.0 END AS is_anomaly
+             |FROM seq s LEFT JOIN ew p ON p.j = s.i - 1
+             |ORDER BY s.bucket_us""".stripMargin)),
   )
 }

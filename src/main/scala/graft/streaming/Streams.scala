@@ -486,6 +486,79 @@ object Streams {
       .toDF("bucket_us", "n", "psi")
   }
 
+  /** Streaming EWMA control chart over window means — the live
+    * level-anomaly monitor (did THIS window's mean jump relative to the
+    * exponentially-weighted history: the streaming complement of the
+    * batch [[graft.operators.TimeSeries.cusumChangepoint]] locator and
+    * the [[windowedPsi]] shape monitor, which both miss a plain level
+    * spike):
+    *   stage 1 — the distributed tumbling-window aggregate: n + the
+    *   window mean as an exact decimal(18,2) sum over a pinned double
+    *   division (all heavy lifting; watermark closes windows once);
+    *   stage 2 — the [[windowedPsiLive]] single-key walk over CLOSED
+    *   windows in bucket order, carrying (m, v) — EWMA mean and
+    *   EWM-variance:
+    *     z = (x − m)/√v   (scored BEFORE update; NULL for the first
+    *                       window and while v = 0)
+    *     d = x − m;  m ← m + α·d;  v ← (1−α)·(v + α·d²)
+    *   with every double op in a FIXED order, so an ordered
+    *   struct-fold over the same window means replays each z
+    *   bit-for-bit (the oneWayF ordered-fold discipline, per prefix).
+    *
+    * Stage 2 inherits windowedPsiLive's CONTRACT verbatim: a deliberate
+    * single-task serialization point with never-expiring state — one
+    * (bucket, n, mean) row per closed window flows through it and the
+    * state is two doubles, so it is metadata-sized by construction and
+    * NOT a pattern for row-scale streams. Output per closed window:
+    * (bucket_us, n, mean, z, is_anomaly = |z| > threshold; both NULL
+    * until v > 0). */
+  def windowedEwmaAnomaly(events: DataFrame, alpha: Double = 0.25,
+                          threshold: Double = 3.0,
+                          watermark: String = "0 seconds",
+                          window_ : String = "1 day"): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    require(threshold > 0.0, s"threshold must be > 0: $threshold")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val closed = events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("n"), col("mean"))
+    closed.as[(Long, Long, Double)]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[(Double, Double),
+        (Long, Long, Double, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[(Double, Double)]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[(Long, Long, Double, Option[Double])]
+          rows.toSeq.sortBy(_._1).foreach { case (b, n, x) =>
+            st match {
+              case None =>
+                out += ((b, n, x, None))
+                st = Some((x, 0.0))
+              case Some((m, v)) =>
+                val z = if (v > 0) Some((x - m) / math.sqrt(v)) else None
+                out += ((b, n, x, z))
+                val d = x - m
+                st = Some((m + alpha * d, (1.0 - alpha) * (v + alpha * d * d)))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+      .toDF("bucket_us", "n", "mean", "z")
+      .withColumn("is_anomaly", when(col("z").isNotNull,
+        abs(col("z")) > threshold))
+  }
+
   /** Stateful streaming dedup: emit each key's row only the first time it
     * is seen (training-data pipelines run exactly this to dedup an
     * unbounded crawl). State = one boolean per key. In production, bound

@@ -306,6 +306,52 @@ class IOStreamsSpec extends SparkSpec {
       s"drifted window ${rows(1).getDouble(2)} vs model $want")
   }
 
+  test("windowedEwmaAnomaly: z bit-equal to the driver recursion; " +
+      "first/second windows NULL; cross-batch state carry; spike flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dayUs = 86400L * 1000000L
+    // 6 daily windows of 4 rows each; day 4 spikes ×10
+    val means = Seq(10.0, 12.0, 11.0, 9.0, 110.0, 10.5)
+    val rows = means.zipWithIndex.flatMap { case (m, d) =>
+      (0 until 4).map(i => (d * dayUs + i * 1000L, m + (i - 1.5) * 0.2)) }
+    val ms = MemoryStream[(Long, Double)](spark)
+    val out = Streams.windowedEwmaAnomaly(ms.toDS().toDF("ts_us", "value"),
+      alpha = 0.25, threshold = 3.0, watermark = "0 seconds",
+      window_ = "1 day")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ewma_spec_sink").start()
+    try {
+      // split mid-stream: (m, v) must carry across micro-batches
+      ms.addData(rows.filter(_._1 < 3 * dayUs)); q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 3 * dayUs)); q.processAllAvailable()
+      ms.addData((20L * dayUs, 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_spec_sink")
+      .filter(col("bucket_us") < 6 * dayUs).orderBy("bucket_us").collect()
+    assert(got.length == 6)
+    // driver model: the same window means (exact decimal sums of the
+    // synthetic values land exactly on `means`), same fixed op order
+    var m = 0.0; var v = 0.0; var init = false
+    val wantZ = means.map { x =>
+      val z = if (!init) { m = x; v = 0.0; init = true; None }
+        else {
+          val zz = if (v > 0) Some((x - m) / math.sqrt(v)) else None
+          val d = x - m
+          m = m + 0.25 * d; v = 0.75 * (v + 0.25 * d * d)
+          zz
+        }
+      z
+    }
+    got.zip(wantZ).zipWithIndex.foreach { case ((r, w), i) =>
+      val gz = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(gz == w, s"window $i: z $gz vs model $w")
+    }
+    assert(got(0).isNullAt(4) && got(1).isNullAt(4))
+    assert(got(4).getBoolean(4), "the ×10 spike window must flag")
+    assert(!got(3).getBoolean(4) && !got(5).getBoolean(4))
+  }
+
   test("streaming windowedJsd: per-window JSD equal to the batch " +
       "formula; zero drift → exactly 0; bounded by ln 2") {
     import spark.implicits._
