@@ -171,7 +171,8 @@ private[graft] object Batch53 {
              |SELECT n_tokens, vocab, n1, n2,
              |  CASE WHEN n_tokens > 0 THEN CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS p_unseen,
              |  CASE WHEN n_tokens > 0 THEN 1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS coverage,
-             |  CASE WHEN n1 > 0 THEN (2.0 * CAST(n2 AS DOUBLE)) / CAST(n1 AS DOUBLE) END AS r1_star
+             |  CASE WHEN n1 > 0 THEN (2.0 * CAST(n2 AS DOUBLE)) / CAST(n1 AS DOUBLE) END AS r1_star,
+             |  CASE WHEN n2 > 0 THEN CAST(vocab AS DOUBLE) + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) END AS chao1
              |FROM agg""".stripMargin)),
 
     // Degree assortativity of the part co-order graph (q176's edge

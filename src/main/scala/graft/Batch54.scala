@@ -268,5 +268,60 @@ private[graft] object Batch54 {
              |  CASE WHEN s.i > 1 AND p.v > 0 THEN ABS((s.mean - p.m) / SQRT(p.v)) > 3.0 END AS is_anomaly
              |FROM seq s LEFT JOIN ew p ON p.j = s.i - 1
              |ORDER BY s.bucket_us""".stripMargin)),
+
+    // Jonckheere-Terpstra across the five ordered WEEKS of the events
+    // timeline, with the 2%/day drift injected — the ordered-trend z
+    // lands strongly positive where Kruskal-Wallis would only say
+    // "groups differ". The wide per-value count row, the multi-weight
+    // prefix, exact 2J, and the three-term tie-corrected variance are
+    // replayed over a dense (value x group) cell grid.
+    Q("q344_jonckheere",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(expr("((ts div 86400000000000) - 19723) div 7").as("wk"),
+            (col("value") * (lit(1.0) +
+              (expr("ts div 86400000000000") - lit(19723L)).cast("double") *
+                0.02)).as("v"))
+        graft.operators.Analytics.jonckheereTerpstra(e, "wk", "v",
+          Seq(0L, 1L, 2L, 3L, 4L))
+      },
+      Some("""WITH x AS (SELECT ((CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 - 19723) // 7 AS g,
+             |    value * (1.0 + CAST((CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 - 19723 AS DOUBLE) * 0.02) AS v
+             |  FROM events),
+             |vc AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1, 2),
+             |vals AS (SELECT DISTINCT v FROM vc),
+             |grps AS (SELECT unnest(range(0, 5)) AS g),
+             |cell AS (SELECT vals.v, grps.g, COALESCE(vc.c, 0) AS c
+             |  FROM vals CROSS JOIN grps LEFT JOIN vc ON vc.v = vals.v AND vc.g = grps.g),
+             |cum AS (SELECT v, g, c,
+             |    COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+             |  FROM cell),
+             |twoj AS (SELECT SUM(CAST(2 AS HUGEINT) * b.c * a.cl + CAST(a.c AS HUGEINT) * b.c) AS tj
+             |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g),
+             |ties AS (SELECT SUM(CAST(u AS HUGEINT) * (u - 1) * (2 * u + 5)) AS ta,
+             |    SUM(CAST(u AS HUGEINT) * (u - 1) * (u - 2)) AS tb,
+             |    SUM(CAST(u AS HUGEINT) * (u - 1)) AS tc
+             |  FROM (SELECT v, SUM(c) AS u FROM vc GROUP BY v)),
+             |gs AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+             |    SUM(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)) AS ga,
+             |    SUM(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS gb,
+             |    SUM(CAST(n AS HUGEINT) * (n - 1)) AS gc,
+             |    SUM(CAST(n AS HUGEINT) * n) AS gs2
+             |  FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY g)),
+             |f AS (SELECT n, CAST(tj AS DOUBLE) / 2.0 AS j_stat,
+             |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(gs2 AS DOUBLE)) / 4.0 AS e_j,
+             |    CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) AS DOUBLE) AS na,
+             |    CAST(ga AS DOUBLE) AS gad, CAST(ta AS DOUBLE) AS tad,
+             |    CAST(gb AS DOUBLE) AS gbd, CAST(tb AS DOUBLE) AS tbd,
+             |    CAST(gc AS DOUBLE) AS gcd, CAST(tc AS DOUBLE) AS tcd
+             |  FROM twoj CROSS JOIN ties CROSS JOIN gs),
+             |v2 AS (SELECT n, j_stat, e_j,
+             |    CASE WHEN n > 2 THEN (na - gad - tad) / 72.0 +
+             |      gbd * tbd / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 2)) +
+             |      gcd * tcd / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) END AS var_j
+             |  FROM f)
+             |SELECT n, CAST(5 AS BIGINT) AS n_groups, j_stat, e_j, var_j,
+             |  CASE WHEN var_j > 0 THEN (j_stat - e_j) / SQRT(var_j) END AS z
+             |FROM v2""".stripMargin)),
   )
 }

@@ -776,9 +776,13 @@ object Text {
     * smoothing scheme allocates); the token array materializes once
     * per row and grams index into it, so gram construction is O(tokens)
     * array work in the scan, not a per-gram re-tokenize. r₁* NULL when
-    * N₁ = 0 (saturated corpus — nothing seen once). Output: one row
-    * (n_tokens, vocab, n1, n2, p_unseen, coverage, r1_star); an empty
-    * corpus yields zero counts and NULL ratios. */
+    * N₁ = 0 (saturated corpus — nothing seen once). `chao1` is the
+    * Chao (1984) lower-bound richness estimate V + N₁²/(2N₂) — the
+    * "how big is the full vocabulary" companion to the mass estimate
+    * (NULL when N₂ = 0, where the bias-corrected form is undefined
+    * without a smoothing choice). Output: one row (n_tokens, vocab,
+    * n1, n2, p_unseen, coverage, r1_star, chao1); an empty corpus
+    * yields zero counts and NULL ratios. */
   def goodTuringMass(df: DataFrame, textCol: String, n: Int = 1)
       : DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
@@ -807,5 +811,8 @@ object Text {
         lit(1.0) - d(col("n1")) / d(col("n_tokens"))))
       .withColumn("r1_star", when(col("n1") > 0,
         lit(2.0) * d(col("n2")) / d(col("n1"))))
+      .withColumn("chao1", when(col("n2") > 0,
+        d(col("vocab")) + d(col("n1")) * d(col("n1")) /
+          (lit(2.0) * d(col("n2")))))
   }
 }

@@ -2909,6 +2909,90 @@ object Analytics {
         col("sen_slope"), col("intercept"))
   }
 
+  /** Jonckheere–Terpstra trend test — is a CONTINUOUS outcome trending
+    * across ORDERED groups (the ordered-alternative sibling of
+    * [[kruskalWallis]], which ignores the ordering, and of
+    * [[cochranArmitage]], which needs a binary outcome; the weekly
+    * quality-score / latency "is it creeping up across release weeks"
+    * question): J = Σ_{i<j} U_ij over ordered group pairs, where U_ij
+    * is the Mann–Whitney count #(x_a < x_b) + ½·#(x_a = x_b) for
+    * a ∈ group i, b ∈ group j; under H₀,
+    *   E[J] = (N² − Σ nᵢ²)/4,
+    *   Var[J] = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1))
+    * with the standard tie-corrected A, B, C (Hollander & Wolfe; group
+    * sizes nᵢ, pooled value-tie sizes u). z = (J − E)/√Var, no
+    * continuity correction.
+    *
+    * `groups` lists the ordered INTEGRAL group scores explicitly (the
+    * propTest/ksTest discipline: the caller names the arms, no eager
+    * distinct scan) — rows outside it are ignored; the group count is
+    * bounded by construction (doses, weeks, buckets). Plan: per
+    * distinct VALUE a wide row of per-group counts (one map-side
+    * aggregate), the per-group cumulative via ONE multi-weight
+    * distributed prefix ([[prefixBeforeMulti]] — |groups| weights ride
+    * one range exchange), then 2J accumulates EXACTLY in decimal(38,0)
+    * (2·U keeps the half-tie term integral) alongside the tie sums in
+    * the same single aggregate — value cardinality unbounded, nothing
+    * single-task. Output: one row (n, n_groups, j_stat, e_j, var_j, z);
+    * z NULL when Var ≤ 0 (one group or all values tied). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valueCol: String,
+                         groups: Seq[Long]): DataFrame = {
+    require(groups.nonEmpty, "need at least one ordered group score")
+    require(groups == groups.sorted && groups.distinct == groups,
+      s"groups must be sorted distinct ascending: $groups")
+    require(groups.size <= 64, s"bounded-groups contract: ${groups.size}")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val gi = groups.indices
+    val base = df.filter(col(valueCol).isNotNull &&
+      col(groupCol).isin(groups.map(g => g: Any): _*))
+    val vc = base.groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groups.head, 1L).otherwise(0L))
+          .as("__c0"),
+        gi.tail.map(i => sum(when(col(groupCol) === groups(i), 1L)
+          .otherwise(0L)).as(s"__c$i")): _*)
+    val cum = prefixBeforeMulti(vc, "__v",
+      gi.map(i => s"c$i" -> col(s"__c$i")))
+    // 2J contribution of one distinct value: Σ_{i<j} 2·c_j·cum_i + c_i·c_j
+    val twoJTerm = (for { j <- gi; i <- gi if i < j } yield
+        lit(2) * dec(col(s"__c$j")) * dec(col(s"__cum_c$i")) +
+          dec(col(s"__c$i")) * dec(col(s"__c$j")))
+      .reduce(_ + _)
+    val u = gi.map(i => col(s"__c$i")).reduce(_ + _)
+    val aggs =
+      Seq(sum(twoJTerm).as("__twoJ"),
+        sum(dec(u) * (dec(u) - 1) * (lit(2) * dec(u) + 5)).as("__tA"),
+        sum(dec(u) * (dec(u) - 1) * (dec(u) - 2)).as("__tB"),
+        sum(dec(u) * (dec(u) - 1)).as("__tC")) ++
+      gi.map(i => sum(col(s"__c$i")).as(s"__n$i"))
+    val agg = cum.agg(aggs.head, aggs.tail: _*)
+    val nTot = gi.map(i => col(s"__n$i")).reduce(_ + _)
+    def gSum(f: Column => Column): Column =
+      gi.map(i => f(dec(col(s"__n$i")))).reduce(_ + _)
+    agg
+      .withColumn("n", nTot)
+      .withColumn("__gA", gSum(n => n * (n - 1) * (lit(2) * n + 5)))
+      .withColumn("__gB", gSum(n => n * (n - 1) * (n - 2)))
+      .withColumn("__gC", gSum(n => n * (n - 1)))
+      .withColumn("__gS2", gSum(n => n * n))
+      .withColumn("j_stat", d(col("__twoJ")) / 2.0)
+      .withColumn("e_j",
+        (d(col("n")) * d(col("n")) - d(col("__gS2"))) / 4.0)
+      .withColumn("__NA",
+        dec(col("n")) * (dec(col("n")) - 1) * (lit(2) * dec(col("n")) + 5))
+      .withColumn("var_j", when(col("n") > 2,
+        (d(col("__NA")) - d(col("__gA")) - d(col("__tA"))) / 72.0 +
+          d(col("__gB")) * d(col("__tB")) /
+            (lit(36.0) * d(col("n")) * (d(col("n")) - 1) *
+              (d(col("n")) - 2)) +
+          d(col("__gC")) * d(col("__tC")) /
+            (lit(8.0) * d(col("n")) * (d(col("n")) - 1))))
+      .withColumn("z", when(col("var_j") > 0,
+        (col("j_stat") - col("e_j")) / sqrt(col("var_j"))))
+      .withColumn("n_groups", lit(groups.size.toLong))
+      .select("n", "n_groups", "j_stat", "e_j", "var_j", "z")
+  }
+
   /** Cochran–Armitage trend test — is a RATE trending across ORDERED
     * levels (conversion/defect/match rate by day, by bucket, by dose —
     * the ordinal question [[propTest]]'s two-arm z can't see and

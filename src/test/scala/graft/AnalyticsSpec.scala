@@ -2186,6 +2186,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("jonckheereTerpstra: hand two-group tie case; no-tie variance " +
+      "matches the classic formula; rows outside groups ignored; " +
+      "partition sweep") {
+    // g1: [1,2], g2: [2,3] -> J = 3.5 (one cross-group tie at 2),
+    // E = 2, Var = 102/72 + 0 + 8/96 = 1.5
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 2.0), (2L, 3.0),
+      (9L, 99.0)).toDF("g", "v") // group 9 not listed: ignored
+    val r = Analytics.jonckheereTerpstra(df, "g", "v", Seq(1L, 2L))
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 3.5 && r.getDouble(3) == 2.0)
+    assert(math.abs(r.getDouble(4) - 1.5) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 1.5 / math.sqrt(1.5)) < 1e-12)
+    // no ties: Var must equal [N^2(2N+3) - sum n_i^2(2n_i+3)]/72
+    val nt = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0), (2L, 4.0)).toDF("g", "v")
+    val rn = Analytics.jonckheereTerpstra(nt, "g", "v", Seq(1L, 2L))
+      .collect().head
+    assert(rn.getDouble(2) == 4.0)
+    assert(math.abs(rn.getDouble(4) - 120.0 / 72.0) < 1e-12)
+    partitionSweep { p =>
+      Analytics.jonckheereTerpstra(df.repartition(p), "g", "v", Seq(1L, 2L))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("noveltyCurve: golden new/returning split; duplicate visits " +
       "collapse; NULL keys dropped; partition sweep") {
     val df = Seq(

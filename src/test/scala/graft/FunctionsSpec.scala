@@ -2625,6 +2625,7 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 2.0 / 7.0) < 1e-15)
     assert(math.abs(r.getDouble(5) - 5.0 / 7.0) < 1e-15)
     assert(math.abs(r.getDouble(6) - 1.0) < 1e-15) // 2*N2/N1 = 2/2
+    assert(math.abs(r.getDouble(7) - 6.0) < 1e-15) // chao1 = 4 + 4/2
     // saturated: every type seen twice -> N1 = 0, r1_star NULL
     val sat = Seq("a b a b").toDF("text")
     val rs = Text.goodTuringMass(sat, "text").collect().head
