@@ -323,5 +323,57 @@ private[graft] object Batch54 {
              |SELECT n, CAST(5 AS BIGINT) AS n_groups, j_stat, e_j, var_j,
              |  CASE WHEN var_j > 0 THEN (j_stat - e_j) / SQRT(var_j) END AS z
              |FROM v2""".stripMargin)),
+
+    // Two-sample Anderson-Darling on the q232 drift construction (hash
+    // split, cur's every-third value doubled): the tail-weighted gauge
+    // beside q217's KS on the same family of fixtures. Every midrank
+    // term is a pinned double chain snapped to decimal(28,12); the sum
+    // and the (N-1)/N scaling replay exactly.
+    Q("q345_ad_test",
+      (s, dir) => {
+        val g = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psi")
+              < 2147483648L, "ref").otherwise("cur"))
+          .select(col("grp"),
+            when(col("grp") === "cur" && col("event_id") % 3 === 0,
+              col("value") * 2).otherwise(col("value")).as("v"))
+        graft.operators.Analytics.adTest(g, "grp", "v", "ref", "cur")
+      },
+      Some("""WITH g AS (SELECT CASE WHEN
+             |    CAST('0x' || substr(md5('psi' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, event_id, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |x AS (SELECT grp, CASE WHEN grp = 'cur' AND event_id % 3 = 0 THEN value * 2 ELSE value END AS v FROM g),
+             |vc AS (SELECT v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM x GROUP BY v),
+             |cum AS (SELECT v, ca, cb,
+             |    COALESCE(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cla,
+             |    COALESCE(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clb,
+             |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+             |  FROM vc),
+             |c2 AS (SELECT ca, cb, na, nb,
+             |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nd,
+             |    CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE) AS l,
+             |    CAST(cla AS DOUBLE) + CAST(clb AS DOUBLE) + l / 2.0 AS b,
+             |    b * (nd - b) - nd * l / 4.0 AS den,
+             |    CAST(cla AS DOUBLE) + CAST(ca AS DOUBLE) / 2.0 AS ma,
+             |    CAST(clb AS DOUBLE) + CAST(cb AS DOUBLE) / 2.0 AS mb,
+             |    nd * (CAST(cla AS DOUBLE) + CAST(ca AS DOUBLE) / 2.0) - b * CAST(na AS DOUBLE) AS za,
+             |    nd * (CAST(clb AS DOUBLE) + CAST(cb AS DOUBLE) / 2.0) - b * CAST(nb AS DOUBLE) AS zb
+             |  FROM cum),
+             |t AS (SELECT na, nb,
+             |    CASE WHEN ca + cb < na + nb THEN
+             |      CAST(l / nd * (za * za) / den / CAST(na AS DOUBLE) +
+             |           l / nd * (zb * zb) / den / CAST(nb AS DOUBLE) AS DECIMAL(28,12)) END AS term
+             |  FROM c2)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CASE WHEN COUNT(term) = COUNT(*) THEN
+             |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0) /
+             |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * CAST(SUM(term) AS DOUBLE) END AS a2
+             |FROM t GROUP BY na, nb""".stripMargin)),
   )
 }

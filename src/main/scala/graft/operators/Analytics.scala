@@ -2909,6 +2909,64 @@ object Analytics {
         col("sen_slope"), col("intercept"))
   }
 
+  /** Two-sample Anderson–Darling statistic (Scholz & Stephens 1987,
+    * midrank/tie-adjusted A²akN, k = 2 — numerically identical to
+    * scipy's `anderson_ksamp` midrank statistic) — the TAIL-WEIGHTED
+    * drift gauge completing the two-sample family: [[ksTest]] reads the
+    * sup norm, [[wasserstein1]] L1, [[cramerVonMises]] L2; AD weights
+    * ECDF discrepancies by 1/(F(1−F)), so a shift confined to the
+    * distribution's TAILS (exactly where contamination and truncation
+    * live) moves it first. Per pooled distinct value j with group
+    * counts (ca, cb), l = ca+cb, midrank cumulatives
+    * B = before + l/2, M_i = before_i + c_i/2:
+    *   A² = (N−1)/N · Σ_j [ t_aj/n_a + t_bj/n_b ],
+    *   t_ij = (l_j/N)·(N·M_ij − B_j·n_i)² / (B_j(N−B_j) − N·l_j/4)
+    * Raw statistic only — the Scholz–Stephens standardization needs
+    * harmonic sums over N (a driver-side O(N) computation); as with
+    * [[rankBiasedOverlap]], the monitoring contract is comparison
+    * across runs at fixed sizes, and bigger is more drifted.
+    *
+    * Plan: distinct-value counts, ONE multi-weight distributed prefix
+    * (ksTest's exact machinery), then per-value pinned double terms
+    * snapped to decimal(28,12) before the order-independent sum —
+    * per-term magnitude sits inside the replayable cast zone for any
+    * fixture that has not already blown every alarm (terms are
+    * z²-sized shares of A²). All-values-tied input → NULL. Output: one
+    * row (n_a, n_b, a2). */
+  def adTest(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val cum = prefixBeforeMulti(counts, "__v",
+        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+      .crossJoin(broadcast(counts.agg(sum(col("__ca")).as("__na"),
+        sum(col("__cb")).as("__nb"))))
+    val nD = d(col("__na")) + d(col("__nb"))
+    val l = d(col("__ca")) + d(col("__cb"))
+    val b = d(col("__cum_a")) + d(col("__cum_b")) + l / 2.0
+    val den = b * (nD - b) - nD * l / 4.0
+    def t(cumI: Column, cI: Column, nI: Column): Column = {
+      val m = d(cumI) + d(cI) / 2.0
+      val z = nD * m - b * d(nI)
+      l / nD * (z * z) / den / d(nI)
+    }
+    val term = when(col("__ca") + col("__cb") < col("__na") + col("__nb"),
+      (t(col("__cum_a"), col("__ca"), col("__na")) +
+        t(col("__cum_b"), col("__cb"), col("__nb")))
+        .cast("decimal(28,12)"))
+    cum.withColumn("__t", term)
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(count(lit(1)).as("__rows"), sum(col("__t")).as("__s"),
+        count(col("__t")).as("__nonnull"))
+      .withColumn("a2", when(col("__nonnull") === col("__rows"),
+        (d(col("n_a")) + d(col("n_b")) - 1.0) /
+          (d(col("n_a")) + d(col("n_b"))) * d(col("__s"))))
+      .select("n_a", "n_b", "a2")
+  }
+
   /** Jonckheere–Terpstra trend test — is a CONTINUOUS outcome trending
     * across ORDERED groups (the ordered-alternative sibling of
     * [[kruskalWallis]], which ignores the ordering, and of

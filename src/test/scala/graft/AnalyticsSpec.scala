@@ -2186,6 +2186,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("adTest: hand midrank A2akN golden; symmetric in the groups; " +
+      "all-tied NULL; partition sweep") {
+    // a = [1,2], b = [1,3]: per pooled distinct value the midrank
+    // terms are 0, 1/44 + 1/44 per side at v=2, 1/6 + ... — the full
+    // hand chain sums to 14/33, A2 = (3/4)*(14/33) = 7/22
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Analytics.adTest(df, "g", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 7.0 / 22.0) < 1e-12)
+    val rs = Analytics.adTest(df, "g", "v", "b", "a").collect().head
+    assert(math.abs(rs.getDouble(2) - r.getDouble(2)) < 1e-15)
+    // every row one value: denominator degenerates -> NULL
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Analytics.adTest(tied, "g", "v", "a", "b")
+      .collect().head.isNullAt(2))
+    // separation grows the statistic (tail-sensitivity smoke)
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0))
+      .toDF("g", "v")
+    assert(Analytics.adTest(sep, "g", "v", "a", "b")
+      .collect().head.getDouble(2) > r.getDouble(2))
+    partitionSweep { p =>
+      Analytics.adTest(df.repartition(p), "g", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("jonckheereTerpstra: hand two-group tie case; no-tie variance " +
       "matches the classic formula; rows outside groups ignored; " +
       "partition sweep") {
