@@ -375,5 +375,42 @@ private[graft] object Batch54 {
              |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0) /
              |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * CAST(SUM(term) AS DOUBLE) END AS a2
              |FROM t GROUP BY na, nb""".stripMargin)),
+
+    // Quantile-forecast eval: a persistence (lag-1) P50 scaled to a
+    // deterministic P10/P50/P90 band over the daily-mean series; the
+    // per-level pinball sums, coverage shares, and the NULL-forecast
+    // first day (n = 29, not 30) replay exactly. The band factors are
+    // computed 0.9 + 0.2·q in DOUBLE on both engines (a decimal-typed
+    // literal path would land on a different 0.92).
+    Q("q346_quantile_forecast",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("actual"))
+        val fc = daily.select((col("day") + 1).as("day"),
+          col("actual").as("f"))
+        graft.operators.TimeSeries.quantileForecastEval(
+          daily.join(fc, Seq("day"), "left"), "actual",
+          Seq(0.1, 0.5, 0.9).map(q =>
+            q -> (col("f") * lit(0.9 + 0.2 * q))))
+      },
+      Some("""WITH daily AS (SELECT (CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS actual
+             |  FROM events GROUP BY 1),
+             |j AS (SELECT d.day, d.actual AS a, f.actual AS f
+             |  FROM daily d LEFT JOIN daily f ON f.day = d.day - 1),
+             |lev AS (SELECT unnest(CAST([0.1, 0.5, 0.9] AS DOUBLE[])) AS q),
+             |t AS (SELECT q, a, f * (0.9 + 0.2 * q) AS fq FROM j CROSS JOIN lev),
+             |agg AS (SELECT q, CAST(COUNT(fq) AS BIGINT) AS n,
+             |    SUM(CASE WHEN fq IS NOT NULL THEN
+             |      CAST(GREATEST(q * (a - fq), (q - 1.0) * (a - fq)) AS DECIMAL(28,12)) END) AS p,
+             |    CAST(SUM(CASE WHEN fq IS NOT NULL AND a <= fq THEN 1
+             |             WHEN fq IS NOT NULL THEN 0 END) AS BIGINT) AS c
+             |  FROM t GROUP BY q)
+             |SELECT q, n,
+             |  CASE WHEN n > 0 THEN CAST(p AS DOUBLE) / CAST(n AS DOUBLE) END AS pinball,
+             |  CASE WHEN n > 0 THEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END AS coverage
+             |FROM agg ORDER BY q""".stripMargin)),
   )
 }

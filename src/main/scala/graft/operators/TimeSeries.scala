@@ -524,4 +524,57 @@ object TimeSeries {
         (-col("__best.neg")).cast("double") / col("n").cast("double"))
       .drop("__best")
   }
+
+  /** Quantile-forecast evaluation — pinball loss + empirical coverage
+    * per quantile level (the probabilistic half of forecast eval:
+    * [[maseEval]] scores a POINT forecast; a P10/P50/P90 band needs
+    * the quantile-specific asymmetric loss AND a calibration check —
+    * a P90 whose coverage is 70% is lying about risk):
+    *   pinball_q = mean over rows of max(q·(a−f_q), (q−1)·(a−f_q))
+    *   coverage_q = share of rows with a ≤ f_q   (target: q itself)
+    * `qPreds` pairs each level with ITS forecast expression (one
+    * column per level — the standard wide band layout). ONE
+    * map-side-combined scan computes every level's sums (terms ride
+    * the scale-12 decimal snap — |a − f| must sit in the replayable
+    * magnitude zone, which any sane forecast residual does), then the
+    * per-level rows unfold from a literal array — no second scan, no
+    * shuffle beyond one row. Rows where a level's forecast is NULL are
+    * excluded from THAT level only (per-level n reports it). Output:
+    * one row per level — (q, n, pinball, coverage), ordered by q. */
+  def quantileForecastEval(df: DataFrame, actualCol: String,
+                           qPreds: Seq[(Double, Column)]): DataFrame = {
+    require(qPreds.nonEmpty, "need at least one quantile level")
+    require(qPreds.forall(p => p._1 > 0.0 && p._1 < 1.0),
+      s"levels must be in (0,1): ${qPreds.map(_._1)}")
+    require(qPreds.map(_._1).distinct.size == qPreds.size,
+      s"duplicate levels: ${qPreds.map(_._1)}")
+    def d(c: Column) = c.cast("double")
+    val a = d(col(actualCol))
+    val gi = qPreds.indices
+    val base = df.filter(col(actualCol).isNotNull)
+      .select(a.as("__a") +: gi.map(i => d(qPreds(i)._2).as(s"__f$i")): _*)
+    val aggs = gi.flatMap { i =>
+      val q = qPreds(i)._1
+      val f = col(s"__f$i")
+      val diff = col("__a") - f
+      Seq(
+        count(f).as(s"__n$i"),
+        sum(when(f.isNotNull,
+          greatest(lit(q) * diff, lit(q - 1.0) * diff)
+            .cast("decimal(28,12)"))).as(s"__p$i"),
+        sum(when(f.isNotNull && col("__a") <= f, 1L)
+          .when(f.isNotNull, 0L)).as(s"__c$i"))
+    }
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(gi.map { i =>
+        struct(lit(qPreds(i)._1).as("q"), col(s"__n$i").as("n"),
+          when(col(s"__n$i") > 0, d(col(s"__p$i")) / d(col(s"__n$i")))
+            .as("pinball"),
+          when(col(s"__n$i") > 0, d(col(s"__c$i")) / d(col(s"__n$i")))
+            .as("coverage"))
+      }: _*)).as("__x"))
+      .select(col("__x.q"), col("__x.n"), col("__x.pinball"),
+        col("__x.coverage"))
+      .orderBy("q")
+  }
 }

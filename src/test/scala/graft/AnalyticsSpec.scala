@@ -2186,6 +2186,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantileForecastEval: hand pinball + coverage; NULL forecast " +
+      "excluded per level; partition sweep") {
+    import graft.operators.TimeSeries
+    // a=10, f=8: q=.5 -> .5*2=1; a=10, f=12: q=.5 -> .5*2 on the
+    // (q-1) branch = 1; coverage: a<=f on the second row only
+    val df = Seq((10.0, Some(8.0)), (10.0, Some(12.0)), (5.0, None))
+      .toDF("a", "f")
+    val r = TimeSeries.quantileForecastEval(df, "a",
+        Seq(0.5 -> col("f"), 0.9 -> col("f")))
+      .collect().map(x => x.getDouble(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0.5) == ((2L, 1.0, 0.5)))
+    // q=.9: row1 .9*2=1.8; row2 -(0.9-1)*(-2)=0.2 -> mean 1.0
+    assert(r(0.9)._1 == 2L && math.abs(r(0.9)._2 - 1.0) < 1e-12)
+    partitionSweep { p =>
+      TimeSeries.quantileForecastEval(df.repartition(p), "a",
+          Seq(0.5 -> col("f")))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("adTest: hand midrank A2akN golden; symmetric in the groups; " +
       "all-tied NULL; partition sweep") {
     // a = [1,2], b = [1,3]: per pooled distinct value the midrank
