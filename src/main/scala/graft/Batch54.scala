@@ -376,6 +376,60 @@ private[graft] object Batch54 {
              |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * CAST(SUM(term) AS DOUBLE) END AS a2
              |FROM t GROUP BY na, nb""".stripMargin)),
 
+    // Sliced Anderson-Darling: the ×1.5 scale shift injected ONLY into
+    // the cur half of the 'view' slice — its a2 stands an order of
+    // magnitude above the unshifted slices (the discriminating-fixture
+    // discipline, tail-weighted edition).
+    Q("q347_ad_test_by",
+      (s, dir) => {
+        val g = Tables.events(s, dir)
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "psi")
+              < 2147483648L, "ref").otherwise("cur"))
+          .select(col("event_type"), col("grp"),
+            when(col("grp") === "cur" && col("event_type") === "view",
+              col("value") * 1.5).otherwise(col("value")).as("v"))
+        graft.operators.Analytics.adTestBy(g, Seq("event_type"), "grp",
+            "v", "ref", "cur")
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type AS k, CASE WHEN
+             |    CAST('0x' || substr(md5('psi' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'ref' ELSE 'cur' END AS grp, event_id, value
+             |  FROM events),
+             |x AS (SELECT k, grp, CASE WHEN grp = 'cur' AND k = 'view' THEN value * 1.5 ELSE value END AS v FROM g),
+             |vc AS (SELECT k, v,
+             |    CAST(SUM(CASE WHEN grp = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM x GROUP BY k, v),
+             |cum AS (SELECT k, v, ca, cb,
+             |    COALESCE(SUM(ca) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cla,
+             |    COALESCE(SUM(cb) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clb,
+             |    SUM(ca) OVER (PARTITION BY k) AS na, SUM(cb) OVER (PARTITION BY k) AS nb
+             |  FROM vc),
+             |c2 AS (SELECT k, ca, cb, na, nb,
+             |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nd,
+             |    CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE) AS l,
+             |    CAST(cla AS DOUBLE) + CAST(clb AS DOUBLE) + (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / 2.0 AS b,
+             |    CAST(cla AS DOUBLE) + CAST(ca AS DOUBLE) / 2.0 AS ma,
+             |    CAST(clb AS DOUBLE) + CAST(cb AS DOUBLE) / 2.0 AS mb
+             |  FROM cum),
+             |c3 AS (SELECT k, ca, cb, na, nb, nd, l, b,
+             |    b * (nd - b) - nd * l / 4.0 AS den,
+             |    nd * ma - b * CAST(na AS DOUBLE) AS za,
+             |    nd * mb - b * CAST(nb AS DOUBLE) AS zb
+             |  FROM c2),
+             |t AS (SELECT k, na, nb,
+             |    CASE WHEN ca + cb < na + nb THEN
+             |      CAST(l / nd * (za * za) / den / CAST(na AS DOUBLE) +
+             |           l / nd * (zb * zb) / den / CAST(nb AS DOUBLE) AS DECIMAL(28,12)) END AS term
+             |  FROM c3)
+             |SELECT k AS event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CASE WHEN COUNT(term) = COUNT(*) THEN
+             |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0) /
+             |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * CAST(SUM(term) AS DOUBLE) END AS a2
+             |FROM t GROUP BY k, na, nb ORDER BY event_type""".stripMargin)),
+
     // Quantile-forecast eval: a persistence (lag-1) P50 scaled to a
     // deterministic P10/P50/P90 band over the daily-mean series; the
     // per-level pinball sums, coverage shares, and the NULL-forecast

@@ -422,5 +422,10 @@ object SparkEntry {
     // whose per-group rank sums need that join) and the FastSS lev-1
     // pair miner (signature explode + self-equi-join + verify — the
     // blocking-free record-linkage plan shape)
-    "q313_kruskal_wallis", "q324_lev_pairs")
+    "q313_kruskal_wallis", "q324_lev_pairs",
+    // round-15 (fourth session) addition: the Pettitt changepoint —
+    // the only operator chaining TWO distributed prefixes (value axis
+    // then time axis) through a rows-sized join; a regression in
+    // either prefix pass or the join between them shows here
+    "q331_pettitt")
 }

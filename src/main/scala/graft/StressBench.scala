@@ -650,6 +650,19 @@ object StressBench {
           when(col("id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("g"),
           ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
         "g", "v", "ref", "cur")),
+      // round 15 session 4: Pettitt changepoint over 50M rows with
+      // ~50M distinct VALUES and 50M distinct TIMES — both of the
+      // operator's prefixes (value axis, time axis) at the unbounded-
+      // cardinality design point simultaneously, plus the rows-sized
+      // join between them. A deterministic level shift at the 60% mark
+      // (+5e7 on the hashed value) gives the argmax real signal. Must
+      // land in the same ballpark as two pctl_distinct_50m passes.
+      "pettitt_50m" -> (() => graft.operators.Analytics.pettittTest(
+        spark.range(50000000L).select(col("id").as("t"),
+          (((col("id") * 2654435761L) % 50000000L) +
+            when(col("id") >= 30000000L, 50000000L).otherwise(0L))
+            .cast("double").as("v")),
+        "t", "v")),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning

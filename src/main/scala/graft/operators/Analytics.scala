@@ -2967,6 +2967,60 @@ object Analytics {
       .select("n_a", "n_b", "a2")
   }
 
+  /** Per-GROUP [[adTest]] — the sliced tail-weighted drift gauge
+    * (which SLICE's tails moved: the AD member of the per-slice family
+    * beside [[ksTestBy]]): the distinct-(keys, value) counts ride ONE
+    * keyed multi-weight prefix ([[prefixBeforeMultiBy]] — hot slices
+    * split across range slices), per-group totals are a groups-sized
+    * aggregate joined back null-safe, the per-value terms are the same
+    * pinned chain snapped to decimal(28,12), and the per-group A²
+    * closes in one keys-grouped aggregate. A NULL group key is its own
+    * slice; an all-tied slice emits NULL a2. Output: key columns +
+    * [[adTest]]'s row. */
+  def adTestBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+               valueCol: String, groupA: String, groupB: String)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "adTestBy needs key columns; use adTest")
+    def d(c: Column) = c.cast("double")
+    val keys = keyCols.map(col)
+    def kJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    def kRename(dd: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dd) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val tot = kRename(counts.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")), "t")
+    val cum = prefixBeforeMultiBy(counts, keyCols, "__v",
+        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+      .join(tot, kJoin("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+    val nD = d(col("__na")) + d(col("__nb"))
+    val l = d(col("__ca")) + d(col("__cb"))
+    val b = d(col("__cum_a")) + d(col("__cum_b")) + l / 2.0
+    val den = b * (nD - b) - nD * l / 4.0
+    def t(cumI: Column, cI: Column, nI: Column): Column = {
+      val m = d(cumI) + d(cI) / 2.0
+      val z = nD * m - b * d(nI)
+      l / nD * (z * z) / den / d(nI)
+    }
+    val term = when(col("__ca") + col("__cb") < col("__na") + col("__nb"),
+      (t(col("__cum_a"), col("__ca"), col("__na")) +
+        t(col("__cum_b"), col("__cb"), col("__nb")))
+        .cast("decimal(28,12)"))
+    cum.withColumn("__t", term)
+      .groupBy(keys :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(count(lit(1)).as("__rows"), sum(col("__t")).as("__s"),
+        count(col("__t")).as("__nonnull"))
+      .withColumn("a2", when(col("__nonnull") === col("__rows"),
+        (d(col("n_a")) + d(col("n_b")) - 1.0) /
+          (d(col("n_a")) + d(col("n_b"))) * d(col("__s"))))
+      .select(keys ++ Seq(col("n_a"), col("n_b"), col("a2")): _*)
+  }
+
   /** Jonckheere–Terpstra trend test — is a CONTINUOUS outcome trending
     * across ORDERED groups (the ordered-alternative sibling of
     * [[kruskalWallis]], which ignores the ordering, and of

@@ -2234,6 +2234,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("adTestBy == adTest per slice; NULL key slice; all-tied slice " +
+      "NULL; partition sweep") {
+    val df = Seq(
+      (Some("s1"), "a", 1.0), (Some("s1"), "a", 2.0),
+      (Some("s1"), "b", 1.0), (Some("s1"), "b", 3.0),
+      (Some("s2"), "a", 5.0), (Some("s2"), "a", 9.0),
+      (Some("s2"), "b", 5.0), (Some("s2"), "b", 6.0),
+      (None, "a", 1.0), (None, "a", 4.0), (None, "b", 2.0),
+      (Some("s3"), "a", 7.0), (Some("s3"), "b", 7.0) // all tied: NULL
+    ).toDF("k", "g", "v")
+    val by = Analytics.adTestBy(df, Seq("k"), "g", "v", "a", "b")
+      .collect().map(r => Option(r.getString(0)) -> r.toSeq.drop(1)).toMap
+    for (k <- Seq(Some("s1"), Some("s2"), None)) {
+      val slice = df.filter(col("k") <=> k.map(lit).getOrElse(lit(null)))
+      val global = Analytics.adTest(slice, "g", "v", "a", "b")
+        .collect().head.toSeq
+      assert(by(k) == global, s"slice $k: ${by(k)} vs $global")
+    }
+    assert(by(Some("s3")).last == null)
+    partitionSweep { p =>
+      Analytics.adTestBy(df.repartition(p), Seq("k"), "g", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq
+        .sortBy(r => String.valueOf(r.head))
+    }
+  }
+
   test("jonckheereTerpstra: hand two-group tie case; no-tie variance " +
       "matches the classic formula; rows outside groups ignored; " +
       "partition sweep") {
