@@ -303,21 +303,25 @@ object Analytics {
     * however many weights ride along.
     *
     * CONSISTENCY CONTRACT: the offset-table branch and the local-window
-    * branch each re-derive `spark_partition_id()` over the SAME
-    * repartitionByRange subtree, and a RangePartitioner samples its
-    * bounds per exchange EXECUTION — the two branches agree because
-    * ReuseExchange/AQE dedupe the identical subtree (plan-asserted in
-    * AnalyticsSpec). That property is optimizer-dependent, so the plan
-    * carries a structural tripwire: the offset table records each
-    * slice's (min,max) key range from ITS execution, and every output
-    * row's cumulative is guarded by `key ∈ [min,max]` of the slice it
-    * joined — if the branches ever slice differently (exchange reuse
-    * disabled, a future edit breaking subtree canonicalization), at
-    * least one key lands outside its joined slice's range (slices are
-    * contiguous and membership differs), or joins no offset row at all,
-    * and the query FAILS LOUDLY via raise_error instead of returning a
-    * silently-wrong prefix. NULL keys skip the range check (they sort
-    * first into slice 0 under every sampling; min/max ignore them). */
+    * branch each derive `spark_partition_id()` over the ranged frame,
+    * and a RangePartitioner samples its bounds per EXECUTION — so both
+    * branches MUST read one materialization. Until round 15 that leaned
+    * on ReuseExchange deduping the identical subtree; the r14 advisor
+    * called the lean optimizer-dependent, and the 50M pettitt stress
+    * arm (a prefix whose input contains ANOTHER prefix + joins) then
+    * broke it in practice — AQE's runtime decisions diverged between
+    * the two executions, the branches sliced differently, and the
+    * guard below aborted the query. The frame is now
+    * localCheckpoint'ed before fanning out: single execution is
+    * STRUCTURAL, not an optimizer courtesy. The guard stays as the
+    * backstop: the offset table records each slice's (min,max) key
+    * range from ITS execution, and every output row's cumulative is
+    * guarded by `key ∈ [min,max]` of the slice it joined — any future
+    * divergence (a checkpoint regression, an edit reintroducing the
+    * double execution) FAILS LOUDLY via raise_error instead of
+    * returning a silently-wrong prefix. NULL keys skip the range check
+    * (they sort first into slice 0 under every sampling; min/max
+    * ignore them). */
   private[graft] def prefixBeforeMulti(dv: DataFrame, key: String,
       weights: Seq[(String, Column)]): DataFrame =
     prefixBeforeMultiBy(dv, Seq.empty, key, weights)
@@ -353,7 +357,20 @@ object Analytics {
       dv.repartitionByRange(keys.map(_.asc) :+ col(key).asc: _*)) {
       case (d, (n, w)) => d.withColumn(s"__w_$n", w)
     }
+    // STRUCTURAL single-execution (round 15, session 4): the offset
+    // branch and the window branch both consume the ranged+pid frame,
+    // and RangePartitioner samples its bounds per EXECUTION — their
+    // agreement used to lean on ReuseExchange deduping the identical
+    // subtree, which the r14 advisor flagged as optimizer-dependent
+    // and which the 50M pettitt stress arm then broke FOR REAL (the
+    // guard below fired: with another prefix pass + joins upstream,
+    // AQE's runtime decisions diverged between the two executions and
+    // the branches sliced differently). localCheckpoint pins ONE
+    // materialization of the pid frame that both branches read — the
+    // consistency is now structural, and the guard is the backstop it
+    // was always meant to be, not the contract.
     val p = p0.withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid") +: keys: _*).orderBy(col(key).asc)
       .rowsBetween(Long.MinValue, -1)

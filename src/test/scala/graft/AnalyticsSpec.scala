@@ -417,15 +417,25 @@ class AnalyticsSpec extends SparkSpec {
     }
     // the r11 VERDICT contract: no window over ROW-level data — every
     // logical Window's input subtree must contain an Aggregate (the
-    // distinct-value marginal), so window size is bounded by value
-    // cardinality, never by corpus rows
+    // distinct-value marginal) OR the checkpointed pid frame
+    // (LogicalRDD — prefixBefore materializes the AGGREGATED
+    // distinct-value frame once for both branches since round 15, so
+    // the Aggregate sits behind the checkpoint boundary; the frame is
+    // distinct-value-bounded by construction), so window size is
+    // bounded by value cardinality, never by corpus rows
     import org.apache.spark.sql.catalyst.plans.logical
     val lp = Analytics.spearman(df, "x", "y").queryExecution.optimizedPlan
     val wins = lp.collect { case w: logical.Window => w }
     assert(wins.nonEmpty, "expected the two marginal cumulative windows")
     wins.foreach { w =>
-      assert(w.child.collectFirst { case a: logical.Aggregate => a }.isDefined,
-        s"row-level window found (no Aggregate beneath):\n$w")
+      val bounded =
+        w.child.collectFirst { case a: logical.Aggregate => a }.isDefined ||
+          w.child.collectFirst {
+            case r: org.apache.spark.sql.execution.LogicalRDD
+              if r.output.exists(_.name == "__pid") => r }.isDefined
+      assert(bounded,
+        s"row-level window found (no Aggregate or checkpointed " +
+          s"distinct-value frame beneath):\n$w")
     }
   }
 
@@ -1688,23 +1698,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("prefixBefore: the offset and window branches read ONE reused " +
-    "range exchange (the consistency the correctness rests on), and the " +
-    "range-guard tripwire fails loudly rather than silently when fed a " +
-    "divergent offset table") {
+  test("prefixBefore: the offset and window branches read ONE " +
+    "checkpointed pid frame (structural single-execution — the r14 " +
+    "ReuseExchange lean broke for real at the 50M pettitt arm), and " +
+    "the range-guard tripwire fails loudly rather than silently when " +
+    "fed a divergent offset table") {
     import spark.implicits._
-    // 1. plan assertion: the two spark_partition_id() derivations sit
-    //    above a single executed exchange — ReusedExchange must appear
-    //    in the FINAL adaptive plan (run the QE's own RDD; a collect-
-    //    path action finalizes this QueryExecution)
+    // 1. plan assertion: the ranged+pid frame both branches consume is
+    //    a localCheckpoint (one materialization by construction — the
+    //    two spark_partition_id() derivations can no longer diverge,
+    //    whatever AQE/ReuseExchange decide)
     val dv = spark.range(0, 100000).select(col("id").cast("double").as("v"))
     val pb = Analytics.prefixBefore(dv, "v", lit(1L))
     spark.sparkContext.runJob(pb.queryExecution.toRdd,
       (it: Iterator[_]) => it.foreach(_ => ()))
-    val plan = pb.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"expected the offset branch to reuse the window branch's range " +
-        s"exchange:\n$plan")
+    val optimized = pb.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LogicalRDD"),
+      s"expected the checkpointed pid frame (LogicalRDD) under both " +
+        s"branches:\n$optimized")
     // the tripwire is WIRED: the operator's own plan carries the guard
     val analyzed = pb.queryExecution.analyzed.toString
     assert(analyzed.contains("raise_error"),
