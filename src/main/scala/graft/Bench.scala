@@ -279,8 +279,17 @@ object Bench {
     val errors = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case r if r.ok => r.median }.sum
+    // host-state stanza (round 16, VERDICT Next #4): the r15 driver run
+    // flagged three >2x "regressions" that were ambient host drift (all
+    // 29 compared lines moved together, geomean 1.34x). Recording the
+    // 1-minute load average at payload time lets the reader tell a
+    // loaded-host artifact from a plan regression without a re-run.
+    val host = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      s"""{"load_avg":${fmt(os.getSystemLoadAverage)},"cpus":${os.getAvailableProcessors}}"""
+    }
     val payload =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"warmup_excluded":true,"interleaved":true,"sanity":$sanity,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"warmup_excluded":true,"interleaved":true,"host":$host,"sanity":$sanity,"errors":$errors,"sf":"$sfDir"}"""
     println(payload)
     // ALSO drop the payload as a bare file: the driver scrapes stdout
     // through sbt, whose [info] prefix has left BENCH_r{N}.json with

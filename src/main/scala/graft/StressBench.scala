@@ -663,6 +663,23 @@ object StressBench {
             when(col("id") >= 30000000L, 50000000L).otherwise(0L))
             .cast("double").as("v")),
         "t", "v")),
+      // round 16 (VERDICT r15 Next #6): the KEYED CHAINED prefix at the
+      // hot-slice design point — pettittTestBy with one group owning
+      // 90% of 50M rows, ~45M distinct values AND times inside that
+      // group (pctl_by_hotslice's regime one level up: value-axis
+      // keyed prefix → rows-sized join → time-axis keyed prefix; a
+      // per-key window would serialize the hot group through ONE task
+      // in BOTH passes). Level shift at the 60% mark only in the hot
+      // group, so the per-group argmax has real signal.
+      "pettitt_by_hotslice_50m" -> (() => graft.operators.Analytics.pettittTestBy(
+        spark.range(50000000L).select(
+          when(col("id") % 10 < 9, lit("hot"))
+            .otherwise(concat(lit("g"), (col("id") % 100).cast("string"))).as("g"),
+          col("id").as("t"),
+          (((col("id") * 2654435761L) % 50000000L) +
+            when(col("id") >= 30000000L && col("id") % 10 < 9, 50000000L)
+              .otherwise(0L)).cast("double").as("v")),
+        Seq("g"), "t", "v")),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning
@@ -964,9 +981,14 @@ object StressBench {
         f"[${times.head}%.2f, ${times.last}%.2f]")
       (name, med, times.head, times.last)
     }
+    // host-state stanza (round 16): ambient load context for every
+    // recorded arm — see Bench.scala's rationale
+    val loadAvg = fmt(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage)
     val payload = results.map { case (n, m, lo, hi) =>
       s""""$n":{"median":${fmt(m)},"min":${fmt(lo)},"max":${fmt(hi)}}"""
-    }.mkString("{\"stress\":{", ",", s"},\"iters\":$iters,\"sf\":\"$sfDir\"}")
+    }.mkString("{\"stress\":{", ",",
+      s"},\"iters\":$iters,\"host\":{\"load_avg\":$loadAvg},\"sf\":\"$sfDir\"}")
     println(payload)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/stress_latest.json"), payload + "\n")

@@ -388,9 +388,12 @@ object ML {
       .agg(sum(when(label, 1L).otherwise(0L)).as("__pos"),
         count(lit(1)).as("__tot"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    graft.operators.Analytics.prefixBeforeMulti(counts, "__s",
+    // totals off the PINNED ranged frame (not a second counts pass)
+    val (cShared, cumPre) = graft.operators.Analytics
+      .prefixBeforeMultiByShared(counts, Seq.empty, "__s",
         Seq("p" -> col("__pos"), "t" -> col("__tot")))
-      .crossJoin(broadcast(counts.agg(sum(col("__pos")).as("__np"),
+    cumPre
+      .crossJoin(broadcast(cShared.agg(sum(col("__pos")).as("__np"),
         sum(col("__tot")).as("__nt"))))
       .withColumn("__term", when(col("__np") > 0, // ANSI: no 0/0
         ((d(col("__pos")) / d(col("__np"))) *
@@ -416,15 +419,17 @@ object ML {
       .groupBy(keys :+ col(scoreCol).as("__s"): _*)
       .agg(sum(when(label, 1L).otherwise(0L)).as("__pos"),
         count(lit(1)).as("__tot"))
-    val tot = counts.groupBy(keys: _*)
+    val (cShared, cumPre) = graft.operators.Analytics
+      .prefixBeforeMultiByShared(counts, keyCols, "__s",
+        Seq("p" -> col("__pos"), "t" -> col("__tot")))
+    val tot = cShared.groupBy(keys: _*)
       .agg(sum(col("__pos")).as("__np"), sum(col("__tot")).as("__nt"))
     val totR = keyCols.zipWithIndex.foldLeft(tot) { case (acc, (c, i)) =>
       acc.withColumnRenamed(c, s"__tk$i") }
     val cond = keyCols.zipWithIndex
       .map { case (c, i) => col(c) <=> col(s"__tk$i") }.reduce(_ && _)
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    graft.operators.Analytics.prefixBeforeMultiBy(counts, keyCols, "__s",
-        Seq("p" -> col("__pos"), "t" -> col("__tot")))
+    cumPre
       .join(totR, cond)
       .drop(keyCols.indices.map(i => s"__tk$i"): _*)
       .withColumn("__term", when(col("__np") > 0, // ANSI: no 0/0
@@ -840,7 +845,12 @@ object ML {
       .partitionBy(col("__ns")).orderBy(col("__id"))
     val ranked = base.join(starts, col("__ns") === col("__ns2"))
       .withColumn("__r", col("__start") + row_number().over(w) - 1)
-    val tot = ranked.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    // totals from base, not ranked: ranked re-runs the rank join +
+    // window per consumer, and the totals need neither (round 16).
+    // NULL scores drop out of ranked via the null-unequal join — the
+    // filter replays that.
+    val tot = base.filter(col("__ns").isNotNull)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
     val perBucket = ranked.crossJoin(broadcast(tot))
       .groupBy(expr(s"(__r * $buckets) div __n").as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("pos"))
@@ -902,7 +912,9 @@ object ML {
     val ranked = base.join(starts,
         keyEq("s") && col("__ns") === col("__ns2"))
       .withColumn("__r", col("__start") + row_number().over(w) - 1)
-    val tot = ranked.groupBy(keys: _*)
+    // per-key totals from base (the global form's round-16 rationale);
+    // the null-score filter replays the rank join's null-unequal drop
+    val tot = base.filter(col("__ns").isNotNull).groupBy(keys: _*)
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
     val totR = renameKeys(tot, "t")
     val perBucket = ranked.join(totR, keyEq("t"))

@@ -250,10 +250,13 @@ object Aggregations {
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
     // distributed distinct-value prefix + a broadcast one-row total —
     // no single-task window at any value cardinality (the
-    // Analytics.prefixBefore family contract)
-    graft.operators.Analytics.prefixBefore(counts, "__v", col("__c"))
-      .withColumnRenamed("__cum", "__s")
-      .crossJoin(broadcast(counts.agg(sum(col("__c")).as("__n"))))
+    // Analytics.prefixBefore family contract). The total reads the
+    // PINNED ranged frame (shared), not `counts`: a second reference
+    // to counts would re-run the whole distinct aggregation (round 16)
+    val (shared, cum) = graft.operators.Analytics
+      .prefixBeforeShared(counts, "__v", col("__c"))
+    cum.withColumnRenamed("__cum", "__s")
+      .crossJoin(broadcast(shared.agg(sum(col("__c")).as("__n"))))
       .withColumn("__w", greatest(lit(0L),
         least(col("__s") + col("__c"), col("__n") - k) -
           greatest(col("__s"), k)))
@@ -286,9 +289,10 @@ object Aggregations {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val cum = graft.operators.Analytics.prefixBefore(counts, "__v", col("__c"))
-      .withColumnRenamed("__cum", "__s")
-      .crossJoin(broadcast(counts.agg(sum(col("__c")).as("__n"))))
+    val (shared, cum0) = graft.operators.Analytics
+      .prefixBeforeShared(counts, "__v", col("__c"))
+    val cum = cum0.withColumnRenamed("__cum", "__s")
+      .crossJoin(broadcast(shared.agg(sum(col("__c")).as("__n"))))
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
     val rHi = col("__n") - k - 1
     val lo = cum.filter(col("__s") <= k && k < col("__s") + col("__c"))
@@ -331,10 +335,9 @@ object Aggregations {
       .groupBy(keys :+ col(valueCol).cast(s"decimal(18,$scale)").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
-    joinGroupTotals(
-      graft.operators.Analytics.prefixBeforeBy(counts, keyCols, "__v",
-        col("__c")).withColumnRenamed("__cum", "__s"),
-      counts, keyCols)
+    val (shared, cum0) = graft.operators.Analytics
+      .prefixBeforeByShared(counts, keyCols, "__v", col("__c"))
+    joinGroupTotals(cum0.withColumnRenamed("__cum", "__s"), shared, keyCols)
       .withColumn("__w", greatest(lit(0L),
         least(col("__s") + col("__c"), col("__n") - k) -
           greatest(col("__s"), k)))
@@ -368,10 +371,10 @@ object Aggregations {
       .agg(count(lit(1)).as("__c"))
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
     val rHi = col("__n") - k - 1
+    val (shared, cum0) = graft.operators.Analytics
+      .prefixBeforeByShared(counts, keyCols, "__v", col("__c"))
     val cum = joinGroupTotals(
-      graft.operators.Analytics.prefixBeforeBy(counts, keyCols, "__v",
-        col("__c")).withColumnRenamed("__cum", "__s"),
-      counts, keyCols)
+      cum0.withColumnRenamed("__cum", "__s"), shared, keyCols)
     val lo = cum.filter(col("__s") <= k && k < col("__s") + col("__c"))
       .select(keyCols.zipWithIndex.map { case (c, i) =>
         col(c).as(s"__kl$i") } :+ col("__v").as("__flo"): _*)
@@ -410,21 +413,30 @@ object Aggregations {
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
     // the trimmedMean plan shape: distributed prefix + broadcast total
-    val cum = graft.operators.Analytics.prefixBefore(counts, "__v", col("__c"))
-      .withColumnRenamed("__cum", "__s")
-      .crossJoin(broadcast(counts.agg(sum(col("__c")).as("__n"))))
-    val pdf = ps.toDF("p")
+    // (total from the PINNED frame — not a second pass over counts).
+    // ONE containment join against a (p, side) spine (round 16): the
+    // old lower/upper pair consumed the cum frame twice, which ran the
+    // |distinct|-row window sort twice — at 50M distinct values that
+    // doubled the operator's dominant stage. 2·|ps| spine rows
+    // broadcast; side 0 targets rank k = ⌊p(n−1)⌋, side 1 the
+    // interpolation partner min(k+1, n−1); one group-by-p collapse.
+    val (shared, cum0) = graft.operators.Analytics
+      .prefixBeforeShared(counts, "__v", col("__c"))
+    val cum = cum0.withColumnRenamed("__cum", "__s")
+      .crossJoin(broadcast(shared.agg(sum(col("__c")).as("__n"))))
+    val spine = ps.toDF("p").crossJoin(
+      Seq(0, 1).toDF("__side"))
     val t = col("p") * (col("__n") - 1).cast("double")
     val k = floor(t).cast("long")
-    val kHi = least(k + 1, col("__n") - 1)
-    val lower = cum.join(broadcast(pdf),
-        col("__s") <= k && k < col("__s") + col("__c"))
-      .select(col("p"), col("__n").as("n"), col("__v").as("__vlo"),
-        (t - floor(t)).as("__frac"))
-    val upper = cum.join(broadcast(pdf),
-        col("__s") <= kHi && kHi < col("__s") + col("__c"))
-      .select(col("p").as("__p2"), col("__v").as("__vhi"))
-    lower.join(upper, col("p") === col("__p2"))
+    val tgt = when(col("__side") === 0, k)
+      .otherwise(least(k + 1, col("__n") - 1))
+    cum.join(broadcast(spine),
+        col("__s") <= tgt && tgt < col("__s") + col("__c"))
+      .groupBy(col("p"))
+      .agg(max(col("__n")).as("n"),
+        min(when(col("__side") === 0, col("__v"))).as("__vlo"),
+        min(when(col("__side") === 1, col("__v"))).as("__vhi"),
+        max(when(col("__side") === 0, t - floor(t))).as("__frac"))
       .select(col("p"), col("n"),
         (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo")))
           .as("value"))
@@ -434,7 +446,9 @@ object Aggregations {
   /** Per-group total Σ `__c` as `__n`, joined back null-safe on the
     * keys — the keyed analog of the global forms' broadcast one-row
     * total (keys-sized aggregate; the planner broadcasts small group
-    * sets and shuffles large ones). */
+    * sets and shuffles large ones). `counts` should be the prefix
+    * call's PINNED shared frame, so the total re-fetches the range
+    * shuffle instead of re-running the distinct aggregation. */
   private def joinGroupTotals(cum: DataFrame, counts: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val tot = counts.groupBy(keyCols.map(col): _*)
@@ -472,26 +486,24 @@ object Aggregations {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(keys :+ col(valueCol).cast("double").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+    val (shared, cum0) = graft.operators.Analytics
+      .prefixBeforeByShared(counts, keyCols, "__v", col("__c"))
     val cum = joinGroupTotals(
-      graft.operators.Analytics.prefixBeforeBy(counts, keyCols, "__v",
-        col("__c")).withColumnRenamed("__cum", "__s"),
-      counts, keyCols)
-    val pdf = ps.toDF("p")
+      cum0.withColumnRenamed("__cum", "__s"), shared, keyCols)
+    // ONE containment join against the (p, side) spine — the global
+    // form's round-16 single-window-pass shape, grouped by (keys, p)
+    val spine = ps.toDF("p").crossJoin(Seq(0, 1).toDF("__side"))
     val t = col("p") * (col("__n") - 1).cast("double")
     val k = floor(t).cast("long")
-    val kHi = least(k + 1, col("__n") - 1)
-    val lower = cum.join(broadcast(pdf),
-        col("__s") <= k && k < col("__s") + col("__c"))
-      .select(keys ++ Seq(col("p"), col("__n").as("n"),
-        col("__v").as("__vlo"), (t - floor(t)).as("__frac")): _*)
-    val upper = cum.join(broadcast(pdf),
-        col("__s") <= kHi && kHi < col("__s") + col("__c"))
-      .select(keyCols.zipWithIndex.map { case (c, i) =>
-        col(c).as(s"__k$i") } ++ Seq(col("p").as("__p2"), col("__v").as("__vhi")): _*)
-    val joinCond = keyCols.zipWithIndex
-      .map { case (c, i) => col(c) <=> col(s"__k$i") }
-      .reduce(_ && _) && col("p") === col("__p2")
-    lower.join(upper, joinCond)
+    val tgt = when(col("__side") === 0, k)
+      .otherwise(least(k + 1, col("__n") - 1))
+    cum.join(broadcast(spine),
+        col("__s") <= tgt && tgt < col("__s") + col("__c"))
+      .groupBy(keys :+ col("p"): _*)
+      .agg(max(col("__n")).as("n"),
+        min(when(col("__side") === 0, col("__v"))).as("__vlo"),
+        min(when(col("__side") === 1, col("__v"))).as("__vhi"),
+        max(when(col("__side") === 0, t - floor(t))).as("__frac"))
       .select(keys ++ Seq(col("p"), col("n"),
         (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo")))
           .as("value")): _*)
@@ -542,10 +554,10 @@ object Aggregations {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
-    val n = counts.agg(sum(col("__c")).as("__n"))
-    val binned = graft.operators.Analytics
-      .prefixBefore(counts, "__v", col("__c"))
-      .crossJoin(broadcast(n))
+    val (shared, pre) = graft.operators.Analytics
+      .prefixBeforeShared(counts, "__v", col("__c"))
+    val binned = pre
+      .crossJoin(broadcast(shared.agg(sum(col("__c")).as("__n"))))
       .select(col("__v"),
         expr(s"(__cum * ${bins}L) div __n").as("bin"))
     df.join(binned, col(valueCol) === col("__v"), "left").drop("__v")

@@ -296,6 +296,15 @@ object Analytics {
     prefixBeforeMulti(dv, key, Seq("w" -> weight))
       .withColumnRenamed("__cum_w", "__cum")
 
+  /** [[prefixBefore]] returning ALSO the pinned ranged frame — see
+    * [[prefixBeforeMultiByShared]]. */
+  private[graft] def prefixBeforeShared(dv: DataFrame, key: String,
+      weight: Column): (DataFrame, DataFrame) = {
+    val (shared, res) =
+      prefixBeforeMultiByShared(dv, Seq.empty, key, Seq("w" -> weight))
+    (shared, res.withColumnRenamed("__cum_w", "__cum"))
+  }
+
   /** [[prefixBefore]] for SEVERAL weights in one pass (ksTest needs both
     * groups' prefixes on the same distinct-value rows): appends
     * `__cum_<name>` = Σ weight_<name> over strictly-preceding keys. One
@@ -311,17 +320,23 @@ object Analytics {
     * arm (a prefix whose input contains ANOTHER prefix + joins) then
     * broke it in practice — AQE's runtime decisions diverged between
     * the two executions, the branches sliced differently, and the
-    * guard below aborted the query. The frame is now
-    * localCheckpoint'ed before fanning out: single execution is
-    * STRUCTURAL, not an optimizer courtesy. The guard stays as the
-    * backstop: the offset table records each slice's (min,max) key
-    * range from ITS execution, and every output row's cumulative is
-    * guarded by `key ∈ [min,max]` of the slice it joined — any future
-    * divergence (a checkpoint regression, an edit reintroducing the
-    * double execution) FAILS LOUDLY via raise_error instead of
-    * returning a silently-wrong prefix. NULL keys skip the range check
-    * (they sort first into slice 0 under every sampling; min/max
-    * ignore them). */
+    * guard below aborted the query. Since round 15 single execution is
+    * STRUCTURAL, not an optimizer courtesy: the ranged+pid frame is
+    * pinned to ONE RDD lineage via
+    * [[org.apache.spark.sql.graftbridge.RddShareBridge]] (one
+    * ShuffleDependency — both branches fetch the same shuffle files;
+    * the localCheckpoint alternative was measured 2.3× slower, it
+    * writes the frame to block storage). Note the bridge executes
+    * EAGERLY at operator-construction time (AQE materializes the range
+    * exchange inside `toRdd`) — see the bridge's scaladoc. The guard
+    * stays as the backstop: the offset table records each slice's
+    * (min,max) key range from ITS execution, and every output row's
+    * cumulative is guarded by `key ∈ [min,max]` of the slice it
+    * joined — any future divergence (a bridge regression on a Spark
+    * upgrade, an edit reintroducing the double execution) FAILS LOUDLY
+    * via raise_error instead of returning a silently-wrong prefix.
+    * NULL keys skip the range check (they sort first into slice 0
+    * under every sampling; min/max ignore them). */
   private[graft] def prefixBeforeMulti(dv: DataFrame, key: String,
       weights: Seq[(String, Column)]): DataFrame =
     prefixBeforeMultiBy(dv, Seq.empty, key, weights)
@@ -331,6 +346,16 @@ object Analytics {
       key: String, weight: Column): DataFrame =
     prefixBeforeMultiBy(dv, keyCols, key, Seq("w" -> weight))
       .withColumnRenamed("__cum_w", "__cum")
+
+  /** [[prefixBeforeBy]] returning ALSO the pinned ranged frame — see
+    * [[prefixBeforeMultiByShared]]. */
+  private[graft] def prefixBeforeByShared(dv: DataFrame,
+      keyCols: Seq[String], key: String, weight: Column)
+      : (DataFrame, DataFrame) = {
+    val (shared, res) =
+      prefixBeforeMultiByShared(dv, keyCols, key, Seq("w" -> weight))
+    (shared, res.withColumnRenamed("__cum_w", "__cum"))
+  }
 
   /** [[prefixBeforeMulti]] PER GROUP — the By-family's rank machinery
     * (quantilesContBy, trimmedMeanBy, winsorizedMeanBy, giniBy,
@@ -350,12 +375,50 @@ object Analytics {
     * per (pid, group). keys = empty IS [[prefixBeforeMulti]] — one
     * implementation, one contract, one guard. */
   private[graft] def prefixBeforeMultiBy(dv: DataFrame, keyCols: Seq[String],
-      key: String, weights: Seq[(String, Column)]): DataFrame = {
+      key: String, weights: Seq[(String, Column)]): DataFrame =
+    prefixBeforeMultiByShared(dv, keyCols, key, weights)._2
+
+  /** [[prefixBeforeMultiBy]] returning `(shared, result)` — `shared` is
+    * the PINNED ranged frame (dv's columns, one row per input row, the
+    * very execution both prefix branches read). Callers that ALSO need
+    * an aggregate of `dv` (a broadcast grand total, a per-group total,
+    * a max key) must derive it from `shared`, not from `dv`: the bridge
+    * compiles a separate physical plan, so a second reference to `dv`
+    * RE-EXECUTES dv's whole lineage (scan + distinct aggregation —
+    * ReuseExchange cannot dedupe across plan compilations), while an
+    * aggregate of `shared` merely re-fetches the already-written range
+    * shuffle files (round 16; quantilesCont's total was a full second
+    * pass over the corpus before this). */
+  private[graft] def prefixBeforeMultiByShared(dv: DataFrame,
+      keyCols: Seq[String], key: String,
+      weights: Seq[(String, Column)]): (DataFrame, DataFrame) = {
     require(weights.nonEmpty, "need at least one weight")
     val keys = keyCols.map(col)
-    val p0 = weights.foldLeft(
+    // width discipline (round 16): a weight that is ALREADY a plain
+    // column of dv rides the exchange as-is — materializing `__w_<n>`
+    // copies would widen the range shuffle and the pinned RDD by one
+    // duplicate column per weight (the common single-weight callers
+    // all pass col("__c"))
+    val wSrc: Seq[(String, Column, Option[String])] = weights.map {
+      case (n, w) =>
+        val src = org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(w) match {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 &&
+              dv.columns.contains(a.nameParts.head) =>
+            Some(a.nameParts.head)
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if dv.columns.contains(a.name) => Some(a.name)
+          case _ => None
+        }
+        (n, w, src)
+    }
+    def wcol(n: String, src: Option[String]): Column =
+      src.fold(col(s"__w_$n"))(col)
+    val p0 = wSrc.foldLeft(
       dv.repartitionByRange(keys.map(_.asc) :+ col(key).asc: _*)) {
-      case (d, (n, w)) => d.withColumn(s"__w_$n", w)
+      case (d, (n, w, None)) => d.withColumn(s"__w_$n", w)
+      case (d, _) => d
     }
     // STRUCTURAL single-execution (round 15, session 4): the offset
     // branch and the window branch both consume the ranged+pid frame,
@@ -372,16 +435,33 @@ object Analytics {
     // would also be structural but WRITES the frame to block storage,
     // measured 2.3× on the 50M percentile arm). The guard below is
     // the backstop it was always meant to be, not the contract.
-    val p = org.apache.spark.sql.graftbridge.RddShareBridge
-      .sharedExecution(p0.withColumn("__pid", spark_partition_id()))
+    //
+    // GLOBAL path (round 16): the pinned leaf additionally CLAIMS
+    // clustering on __pid (every row of partition i carries pid = i by
+    // construction), so the per-slice window and the offset aggregate
+    // run directly on the pinned partitions instead of hash-exchanging
+    // the full frame a second time. The claim is safe here because the
+    // only join against the claimed frame is the broadcast-hinted
+    // #partitions-row offset table (see the bridge's scaladoc for why
+    // a planner-chosen shuffled join would NOT be). The KEYED path's
+    // offset join is planner-chosen (groups-sized offsets must be
+    // allowed to shuffle), so it keeps the unclaimed bridge and pays
+    // the (pid, keys) exchange the window needs anyway.
+    val withPid = p0.withColumn("__pid", spark_partition_id())
+    val p =
+      if (keyCols.isEmpty)
+        org.apache.spark.sql.graftbridge.RddShareBridge
+          .sharedExecutionClusteredBy(withPid, Seq("__pid"))
+      else org.apache.spark.sql.graftbridge.RddShareBridge
+        .sharedExecution(withPid)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid") +: keys: _*).orderBy(col(key).asc)
       .rowsBetween(Long.MinValue, -1)
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(keys: _*).orderBy(col("__pid").asc)
       .rowsBetween(Long.MinValue, -1)
-    val offAggs = weights.map { case (n, _) =>
-      sum(col(s"__w_$n")).as(s"__pw_$n") } ++
+    val offAggs = wSrc.map { case (n, _, src) =>
+      sum(wcol(n, src)).as(s"__pw_$n") } ++
       Seq(min(col(key)).as("__gmin"), max(col(key)).as("__gmax"))
     val offs = p.groupBy(col("__pid") +: keys: _*)
       .agg(offAggs.head, offAggs.tail: _*)
@@ -390,9 +470,9 @@ object Analytics {
           weights.map { case (n, _) =>
             coalesce(sum(col(s"__pw_$n")).over(wOff), lit(0L))
               .as(s"__off_$n") }): _*)
-    val local = weights.foldLeft(p) { case (d, (n, _)) =>
+    val local = wSrc.foldLeft(p) { case (d, (n, _, src)) =>
       d.withColumn(s"__lc_$n",
-        coalesce(sum(col(s"__w_$n")).over(wLocal), lit(0L)))
+        coalesce(sum(wcol(n, src)).over(wLocal), lit(0L)))
     }
     // LEFT join + guard: an inner join would silently DROP a slice whose
     // (pid, group) is missing from a divergent offset table; the guard
@@ -402,10 +482,12 @@ object Analytics {
     val joinCond = keyCols.zipWithIndex
       .map { case (c, i) => col(c) <=> col(s"__gk$i") }
       .foldLeft(col("__pid") === col("__opid"))(_ && _)
-    // global form: offs is #partitions rows — broadcast. Keyed form:
-    // offs is ≤ (#partitions + #groups) rows, groups-sized at scale
-    // (millions of domains) — leave the join strategy to the planner
-    // (AQE broadcasts small ones; big ones shuffle on (pid, keys))
+    // global form: offs is #partitions rows — broadcast (ALSO a safety
+    // requirement of the clustered-claim path above, not merely an
+    // optimization). Keyed form: offs is ≤ (#partitions + #groups)
+    // rows, groups-sized at scale (millions of domains) — leave the
+    // join strategy to the planner (AQE broadcasts small ones; big
+    // ones shuffle on (pid, keys))
     val offsR = offs.withColumnRenamed("__pid", "__opid")
     val joined = local.join(
       if (keyCols.isEmpty) broadcast(offsR) else offsR, joinCond, "left")
@@ -416,14 +498,21 @@ object Analytics {
       d.withColumn(s"__cum_$n",
         when(consistent, col(s"__off_$n") + col(s"__lc_$n"))
           .otherwise(raise_error(lit("prefixBeforeMulti: range-slice " +
-            "mismatch between the offset and window branches — exchange " +
-            "reuse is broken (spark.sql.exchange.reuse disabled, or the " +
-            "subtrees no longer canonicalize equal)"))))
+            "mismatch between the offset and window branches — the " +
+            "RddShareBridge shared-RDD mechanism must have regressed " +
+            "(both branches are built over ONE pinned LogicalRDD; a " +
+            "Spark upgrade changing its semantics, or an edit " +
+            "reintroducing a per-branch execution of the ranged frame, " +
+            "are the ways this fires)"))))
     }
-    withCums.drop("__pid" +: "__opid" +: "__gmin" +: "__gmax" +:
+    val shared = p.drop("__pid" +:
+      wSrc.collect { case (n, _, None) => s"__w_$n" }: _*)
+    val result = withCums.drop("__pid" +: "__opid" +: "__gmin" +: "__gmax" +:
       (keyCols.indices.map(i => s"__gk$i") ++
-        weights.flatMap { case (n, _) =>
-          Seq(s"__w_$n", s"__lc_$n", s"__off_$n") }): _*)
+        wSrc.flatMap { case (n, _, src) =>
+          (if (src.isEmpty) Seq(s"__w_$n") else Nil) ++
+            Seq(s"__lc_$n", s"__off_$n") }): _*)
+    (shared, result)
   }
 
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
@@ -586,11 +675,13 @@ object Analytics {
     // both groups' inclusive cumulatives from ONE distributed prefix
     // pass ([[prefixBeforeMulti]] — no single-task window over the
     // distinct values); totals and the global max ride tiny one-row
-    // aggregates broadcast back (ReuseExchange dedupes the shared
-    // counts shuffle across the branches)
-    val cum = prefixBeforeMulti(counts, "__v",
-        Seq("a" -> col("__ca"), "b" -> col("__cb")))
-      .crossJoin(broadcast(counts.agg(sum(col("__ca")).as("__na"),
+    // aggregates broadcast back, computed from the PINNED ranged frame
+    // (a second reference to counts would re-run its aggregation —
+    // the bridge compiles per-plan, ReuseExchange can't span plans)
+    val (cShared, cumPre) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val cum = cumPre
+      .crossJoin(broadcast(cShared.agg(sum(col("__ca")).as("__na"),
         sum(col("__cb")).as("__nb"))))
       .withColumn("__cuma", col("__cum_a") + col("__ca"))
       .withColumn("__cumb", col("__cum_b") + col("__cb"))
@@ -627,9 +718,12 @@ object Analytics {
       .groupBy(keys :+ col(valueCol).as("__v"): _*)
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    // INCLUSIVE cumulatives = strictly-before prefix + own count
-    val cum = prefixBeforeMultiBy(counts, keyCols, "__v",
-        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    // INCLUSIVE cumulatives = strictly-before prefix + own count;
+    // per-group totals from the PINNED ranged frame (not a second
+    // execution of the counts aggregation)
+    val (cShared, cumPre) = prefixBeforeMultiByShared(counts, keyCols,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val cum = cumPre
       .withColumn("__cuma", col("__cum_a") + col("__ca"))
       .withColumn("__cumb", col("__cum_b") + col("__cb"))
     def keyJoin(right: DataFrame, tag: String): Column =
@@ -638,7 +732,7 @@ object Analytics {
     def renameKeys(d: DataFrame, tag: String): DataFrame =
       keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
         acc.withColumnRenamed(c, s"__$tag$i") }
-    val tot = renameKeys(counts.groupBy(keys: _*)
+    val tot = renameKeys(cShared.groupBy(keys: _*)
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")), "t")
     val scored = cum.join(tot, keyJoin(tot, "t"))
       .drop(keyCols.indices.map(i => s"__t$i"): _*)
@@ -697,13 +791,16 @@ object Analytics {
     // checkpoint itself row-scale (StressBench wasserstein_50m:
     // share=false 28.3 s vs share=true 37.8 s at 50M all-distinct,
     // where the frame spills and rescanning a cheap source wins).
-    val cumRaw = prefixBeforeMulti(counts, "__v",
-        Seq("a" -> col("__ca"), "b" -> col("__cb"), "i" -> lit(1L)))
+    val (wShared, cumRaw0) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb"), "i" -> lit(1L)))
+    val cumRaw = cumRaw0
       .withColumn("__cuma", col("__cum_a") + col("__ca"))
       .withColumn("__cumb", col("__cum_b") + col("__cb"))
     val cum = if (share) cumRaw.localCheckpoint(false) else cumRaw
     val nxt = cum.select(col("__cum_i").as("__pidx"), col("__v").as("__nv"))
-    val tot = (if (share) cum else counts)
+    // share=true: totals off the checkpointed cum; share=false: off the
+    // PINNED ranged frame (never a second run of the counts aggregate)
+    val tot = (if (share) cum else wShared)
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     val sums = cum.join(nxt, col("__cum_i") + 1 === col("__pidx"))
       .crossJoin(broadcast(tot))
@@ -741,8 +838,9 @@ object Analytics {
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
     // same share rationale and regime tradeoff as the global form
-    val cumRaw = prefixBeforeMultiBy(counts, keyCols, "__v",
-        Seq("a" -> col("__ca"), "b" -> col("__cb"), "i" -> lit(1L)))
+    val (wShared, cumRaw0) = prefixBeforeMultiByShared(counts, keyCols,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb"), "i" -> lit(1L)))
+    val cumRaw = cumRaw0
       .withColumn("__cuma", col("__cum_a") + col("__ca"))
       .withColumn("__cumb", col("__cum_b") + col("__cb"))
     val cum = if (share) cumRaw.localCheckpoint(false) else cumRaw
@@ -754,7 +852,7 @@ object Analytics {
         col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
     val nxt = renameKeys(cum.select(
       keys :+ col("__cum_i").as("__pidx") :+ col("__v").as("__nv"): _*), "n")
-    val tot = (if (share) cum else counts).groupBy(keys: _*)
+    val tot = (if (share) cum else wShared).groupBy(keys: _*)
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     val totR = renameKeys(tot, "t")
     val sums = cum
@@ -798,11 +896,12 @@ object Analytics {
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val tot = counts.agg(sum(col("__ca")).as("__na"),
-      sum(col("__cb")).as("__nb"))
     def d(c: Column) = c.cast("double")
-    val sums = prefixBeforeMulti(counts, "__v",
-        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val (cShared, cumPre) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val tot = cShared.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val sums = cumPre
       .crossJoin(broadcast(tot))
       .withColumn("__cuma", col("__cum_a") + col("__ca"))
       .withColumn("__cumb", col("__cum_b") + col("__cb"))
@@ -843,11 +942,12 @@ object Analytics {
         acc.withColumnRenamed(c, s"__$tag$i") }
     def keyJoin(tag: String): Column = keyCols.zipWithIndex
       .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
-    val tot = counts.groupBy(keys: _*)
-      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     def d(c: Column) = c.cast("double")
-    prefixBeforeMultiBy(counts, keyCols, "__v",
-        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val (cShared, cumPre) = prefixBeforeMultiByShared(counts, keyCols,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val tot = cShared.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cumPre
       .join(renameKeys(tot, "t"), keyJoin("t"))
       .drop(keyCols.indices.map(i => s"__t$i"): _*)
       .withColumn("__cuma", col("__cum_a") + col("__ca"))
@@ -899,6 +999,182 @@ object Analytics {
         when(col("n_a") > 0 && col("n_b") > 0,
           (lit(2.0) * col("u_a") - d(col("n_a")) * d(col("n_b"))) /
             (d(col("n_a")) * d(col("n_b")))).as("delta")): _*)
+  }
+
+  /** Cohen's d + Hedges' g — the PARAMETRIC effect size completing the
+    * location family ([[welchT]]'s t answers "is the mean shift real",
+    * d answers "how big is it in pooled-SD units"; [[cliffsDelta]] is
+    * the rank-dominance analog):
+    *   s_p² = ((n_a−1)s_a² + (n_b−1)s_b²) / (n_a+n_b−2)
+    *   d = (m_a − m_b)/s_p,   g = J·d,  J = 1 − 3/(4(n_a+n_b)−9)
+    * (the small-sample bias correction; g → d as n grows). Same
+    * replayable shape as [[welchT]]: per-row decimal(18,scale) casts
+    * make the (n, Σv, Σv²) sufficient statistics exact, the rest is
+    * ONE pinned double chain. A side with n < 2 contributes zero to
+    * the pooled SS (its variance is undefined, its weight n−1 is 0);
+    * d is NULL when n_a+n_b < 3 (J's denominator crosses 0 at the
+    * degenerate sizes) or s_p = 0 (constant pooled data — undefined,
+    * not infinite). Output: one row
+    * (n_a, n_b, mean_a, mean_b, d, g).
+    *
+    * 100 TB: one map-side-combined scan, nothing shuffles but one
+    * row. */
+  def cohenD(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String, scale: Int = 2): DataFrame = {
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    def side(g: String, suffix: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n_$suffix"),
+      sum(when(col(groupCol) === g, v)).cast("double").as(s"__s_$suffix"),
+      sum(when(col(groupCol) === g, v * v)).cast("double").as(s"__ss_$suffix"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    cohenChain(df.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Per-GROUP [[cohenD]] — the sliced effect size (which slice's mean
+    * moved, and by how many SDs — the report beside [[welchTBy]]'s
+    * per-slice significance). Output: key columns + [[cohenD]]'s
+    * row. */
+  def cohenDBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+               valueCol: String, groupA: String, groupB: String,
+               scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "cohenDBy needs key columns; use cohenD")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    def side(g: String, suffix: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n_$suffix"),
+      sum(when(col(groupCol) === g, v)).cast("double").as(s"__s_$suffix"),
+      sum(when(col(groupCol) === g, v * v)).cast("double").as(s"__ss_$suffix"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    cohenChain(df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*))
+  }
+
+  // the pinned mean → pooled-SS → d → g chain over per-side
+  // (n, Σv, Σv²); shared by [[cohenD]] and [[cohenDBy]]
+  private def cohenChain(agg: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    def mean(s: String) = when(col(s"n_$s") > 0,
+      col(s"__s_$s") / dd(col(s"n_$s")))
+    // (n−1)·s² = Σv² − (Σv)²/n, zero when n < 2 (weight n−1 = 0)
+    def ss(s: String) = when(col(s"n_$s") >= 2,
+      col(s"__ss_$s") - col(s"__s_$s") * col(s"__s_$s") / dd(col(s"n_$s")))
+      .otherwise(lit(0.0))
+    agg
+      .withColumn("mean_a", mean("a")).withColumn("mean_b", mean("b"))
+      .withColumn("__nn", dd(col("n_a")) + dd(col("n_b")))
+      .withColumn("__sp2", when(col("__nn") > 2,
+        (ss("a") + ss("b")) / (col("__nn") - 2.0)))
+      .withColumn("d", when(col("__sp2") > 0,
+        (col("mean_a") - col("mean_b")) / sqrt(col("__sp2"))))
+      .withColumn("g",
+        col("d") * (lit(1.0) - lit(3.0) / (lit(4.0) * col("__nn") - 9.0)))
+      .drop("__s_a", "__ss_a", "__s_b", "__ss_b", "__nn", "__sp2")
+  }
+
+  /** Mood's median test — the COUNT-BASED two-sample location screen
+    * (the crudest and most assumption-free of the location trio:
+    * [[welchT]] needs near-normal tails, [[mannWhitneyU]] needs
+    * comparable shapes; Mood's only asks "does each group straddle
+    * the POOLED median the same way"): grand median M of the pooled
+    * values (exact percentile_cont, [[graft.operators.Aggregations.quantilesCont]]'s
+    * distributed-prefix machinery — no row sort at any cardinality),
+    * per-group counts above / not-above M (ties count BELOW — scipy
+    * median_test's ties='below'), then the Yates-corrected 2×2 χ²:
+    *   χ² = N·(max(0, |ad − bc| − N/2))² / ((a+b)(c+d)(a+c)(b+d)).
+    * Output: one row (n_a, n_b, grand_median, above_a, above_b,
+    * chi2); χ² NULL when any margin is zero (test undefined — every
+    * value on one side of M, or an empty group). Plan: one pooled
+    * distinct-value prefix pass for M + ONE map-side-combined count
+    * scan against the broadcast one-row median. */
+  def moodMedianTest(df: DataFrame, groupCol: String, valueCol: String,
+                     groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val pooled = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(valueCol).isNotNull)
+    val med = graft.operators.Aggregations
+      .quantilesCont(pooled, valueCol, Seq(0.5))
+      .select(col("value").as("__med"))
+    val cts = pooled.crossJoin(broadcast(med))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === groupA &&
+          col(valueCol).cast("double") > col("__med"), 1L).otherwise(0L))
+          .as("above_a"),
+        sum(when(col(groupCol) === groupB &&
+          col(valueCol).cast("double") > col("__med"), 1L).otherwise(0L))
+          .as("above_b"),
+        max(col("__med")).as("grand_median"))
+    val (a, b) = (d(col("above_a")), d(col("above_b")))
+    val (c2, d2) = (d(col("n_a")) - a, d(col("n_b")) - b)
+    val n = d(col("n_a")) + d(col("n_b"))
+    val det = abs(a * d2 - b * c2) - n / 2.0
+    val corrected = greatest(det, lit(0.0))
+    cts.withColumn("chi2",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          (a + b) > 0 && (c2 + d2) > 0,
+          n * corrected * corrected /
+            ((a + b) * (c2 + d2) * d(col("n_a")) * d(col("n_b")))))
+      .select("n_a", "n_b", "grand_median", "above_a", "above_b", "chi2")
+  }
+
+  /** Hodges–Lehmann two-sample shift estimator — the ROBUST "how far
+    * did the location move, in value units" companion of
+    * [[mannWhitneyU]] (whose test it inverts): Δ̂ = median of all
+    * cross differences {b_j − a_i}, the estimator that is 95%-efficient
+    * under normality yet immune to the tail garbage that drags a
+    * difference-of-means. Exact, distinct-value-bounded: per-group
+    * distinct-value count tables (|Va|, |Vb| rows) cross-join into the
+    * |Va|·|Vb| difference cells with weight ca·cb, per-distinct-diff
+    * weights aggregate, and the WEIGHTED median rides the distributed
+    * prefix ([[prefixBeforeShared]] — no single-task window even when
+    * the diff table is wide): rank t = (n_a·n_b − 1)/2, the two
+    * containment rows interpolate exactly as percentile_cont does
+    * (even pair count → midpoint, scipy's median of the flattened
+    * difference multiset).
+    *
+    * CONTRACT (the [[kendallTau]] precedent): the cross join compares
+    * |Va|·|Vb| cells, so the operator is for LOW-cardinality
+    * (categorical/bucketed/rounded) value axes — bucket or round a
+    * raw continuous column upstream; the weighted-median pass itself
+    * is unbounded-safe. Either group empty → NULL shift. Output: one
+    * row (n_a, n_b, hl_shift). */
+  def hodgesLehmann(df: DataFrame, groupCol: String, valueCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def side(g: String, vn: String, cn: String) =
+      df.filter(col(groupCol) === g && col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("double").as(vn))
+        .agg(count(lit(1)).as(cn))
+    val diffs = side(groupA, "__va", "__ca")
+      .crossJoin(side(groupB, "__vb", "__cb"))
+      .groupBy((col("__vb") - col("__va")).as("__d"))
+      .agg(sum(col("__ca") * col("__cb")).as("__w"))
+    val (shared, cum0) = prefixBeforeShared(diffs, "__d", col("__w"))
+    val cum = cum0.withColumnRenamed("__cum", "__s")
+      .crossJoin(broadcast(shared.agg(sum(col("__w")).as("__n"))))
+    val t = (d(col("__n")) - 1.0) / 2.0
+    val k = floor(t).cast("long")
+    val tgt = when(col("__side") === 0, k)
+      .otherwise(least(k + 1, col("__n") - 1))
+    val spineDf = {
+      val s = df.sparkSession
+      import s.implicits._
+      Seq(0, 1).toDF("__side")
+    }
+    // non-null counts, matching the diff multiset's n_a·n_b mass
+    val nRow = df.filter(col(valueCol).isNotNull).agg(
+      sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n_b"))
+    cum.join(broadcast(spineDf),
+        col("__s") <= tgt && tgt < col("__s") + col("__w"))
+      .agg(
+        min(when(col("__side") === 0, col("__d"))).as("__lo"),
+        min(when(col("__side") === 1, col("__d"))).as("__hi"),
+        max(when(col("__side") === 0, t - floor(t))).as("__frac"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n_a"), col("n_b"),
+        (col("__lo") + col("__frac") * (col("__hi") - col("__lo")))
+          .as("hl_shift"))
   }
 
   /** One-way ANOVA F — the K-GROUP extension of [[welchT]]'s pairwise
@@ -1973,8 +2249,8 @@ object Analytics {
       .groupBy(col(valueCol).as("__v"), col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__c"))
     val vt = pairs.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
-    val cum = prefixBefore(vt, "__v", col("__t"))
-    val ties = vt.agg(
+    val (vtShared, cum) = prefixBeforeShared(vt, "__v", col("__t"))
+    val ties = vtShared.agg(
       sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
         dec(col("__t"))).as("__ties"))
     val ranked = pairs.join(
@@ -2022,8 +2298,8 @@ object Analytics {
       .agg(count(lit(1)).as("__c"))
     val vt = pairs.groupBy(keys :+ col("__v"): _*)
       .agg(sum(col("__c")).as("__t"))
-    val cum = prefixBeforeBy(vt, keyCols, "__v", col("__t"))
-    val ties = vt.groupBy(keys: _*).agg(
+    val (vtShared, cum) = prefixBeforeByShared(vt, keyCols, "__v", col("__t"))
+    val ties = vtShared.groupBy(keys: _*).agg(
       sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
         dec(col("__t"))).as("__ties"))
     def renameKeys(dd: DataFrame, tag: String): DataFrame =
@@ -2069,12 +2345,21 @@ object Analytics {
     * tripwire as [[prefixBeforeMultiBy]] (range exchange on key DESC →
     * per-slice inclusive window min → #partitions-row offset table of
     * strictly-preceding-slice mins, broadcast back), min instead of
-    * sum. NULL keys sort LAST under desc and skip the range check. */
+    * sum. NULL keys sort LAST under desc and skip the range check.
+    * Round 16 (r15 advisor): the ranged+pid frame is PINNED exactly as
+    * prefixBeforeMultiBy's — this operator had kept the
+    * optimizer-courtesy double execution the pettitt arm proved can
+    * diverge; with complex upstream lineage (bhAdjust feeds it a
+    * prefix + joins) the guard could abort here too. Global form, offs
+    * broadcast → the pid-clustered claim is safe (bridge scaladoc). */
   private[graft] def runningMinDescIncl(dv: DataFrame, key: String,
       value: Column): DataFrame = {
-    val p = dv.withColumn("__mv", value)
-      .repartitionByRange(col(key).desc)
-      .withColumn("__pid", spark_partition_id())
+    val p = org.apache.spark.sql.graftbridge.RddShareBridge
+      .sharedExecutionClusteredBy(
+        dv.withColumn("__mv", value)
+          .repartitionByRange(col(key).desc)
+          .withColumn("__pid", spark_partition_id()),
+        Seq("__pid"))
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(col(key).desc)
       .rowsBetween(Long.MinValue, 0)
@@ -2096,7 +2381,8 @@ object Analytics {
         when(consistent, least(col("__lmin"),
           coalesce(col("__moff"), col("__lmin"))))
           .otherwise(raise_error(lit("runningMinDescIncl: range-slice " +
-            "mismatch between the offset and window branches"))))
+            "mismatch between the offset and window branches — the " +
+            "RddShareBridge shared-RDD pinning must have regressed"))))
       .drop("__mv", "__pid", "__opid", "__gmin", "__gmax", "__lmin",
         "__moff")
   }
@@ -2120,12 +2406,16 @@ object Analytics {
     def d(c: Column) = c.cast("double")
     val dp = df.filter(col(pCol).isNotNull)
       .groupBy(col(pCol).as("__p")).agg(count(lit(1)).as("__c"))
-    val n = dp.agg(sum(col("__c")).as("__n"))
-    val ranked = prefixBefore(dp, "__p", col("__c"))
+    val (dpShared, pre) = prefixBeforeShared(dp, "__p", col("__c"))
+    val n = dpShared.agg(sum(col("__c")).as("__n"))
+    val ranked = pre
       .withColumn("__r", col("__cum") + col("__c"))
       .crossJoin(broadcast(n))
       .withColumn("__q", d(col("__p")) * d(col("__n")) / d(col("__r")))
-    val adj = runningMinDescIncl(ranked, "__p", col("__q"))
+    // projected to exactly (key, value) before the suffix-cummin pass:
+    // its pinned frame then carries two columns, not six
+    val adj = runningMinDescIncl(ranked.select(col("__p"), col("__q")),
+        "__p", col("__q"))
       .select(col("__p"),
         least(lit(1.0), col("__rmin")).as("p_adj"))
     df.join(adj, col(pCol) === col("__p"), "left").drop("__p")
@@ -2182,9 +2472,12 @@ object Analytics {
       .groupBy(col(durationCol).as("__t"))
       .agg(sum(when(event, 1L).otherwise(0L)).as("__d"),
         sum(when(event, 0L).otherwise(1L)).as("__c"))
-    val n = counts.agg(sum(col("__d") + col("__c")).as("__n"))
-    // pass 1: at-risk counts n_i = N − (subjects with duration < t)
-    val atRisk = prefixBefore(counts, "__t", col("__d") + col("__c"))
+    // pass 1: at-risk counts n_i = N − (subjects with duration < t);
+    // N reads the PINNED ranged frame, not a second counts execution
+    val (kmShared, atRisk0) =
+      prefixBeforeShared(counts, "__t", col("__d") + col("__c"))
+    val n = kmShared.agg(sum(col("__d") + col("__c")).as("__n"))
+    val atRisk = atRisk0
       .crossJoin(broadcast(n))
       .withColumn("__risk", col("__n") - col("__cum"))
       .drop("__cum", "__n")
@@ -2402,14 +2695,20 @@ object Analytics {
     // machinery ([[prefixBefore]]): rank = (# strictly-smaller distinct
     // values) + 1 — no single-task sort anywhere; the |X|-distinct rank
     // step parallelizes across range slices
-    def rankTable(key: String, out: String) =
-      prefixBefore(pairs.select(col(key)).distinct(), key, lit(1L))
-        .withColumn(out, (col("__cum") + 1).cast("long"))
-        .drop("__cum")
-    val rx = rankTable("__x", "__rx").withColumnRenamed("__x", "__kx")
-    val ry = rankTable("__y", "__ry").withColumnRenamed("__y", "__ky")
-    val nx = rx.agg(max(col("__rx")).as("__nx"))
-    val ny = ry.agg(max(col("__ry")).as("__ny"))
+    def rankTable(key: String, out: String): (DataFrame, DataFrame) = {
+      val (sh, pre) = prefixBeforeShared(
+        pairs.select(col(key)).distinct(), key, lit(1L))
+      (sh, pre.withColumn(out, (col("__cum") + 1).cast("long"))
+        .drop("__cum"))
+    }
+    // |X|/|Y| = the distinct counts, read off each rank table's PINNED
+    // frame (max(rank) over the prefix RESULT would re-run its window)
+    val (rxShared, rx0) = rankTable("__x", "__rx")
+    val (ryShared, ry0) = rankTable("__y", "__ry")
+    val rx = rx0.withColumnRenamed("__x", "__kx")
+    val ry = ry0.withColumnRenamed("__y", "__ky")
+    val nx = rxShared.agg(count(lit(1)).as("__nx"))
+    val ny = ryShared.agg(count(lit(1)).as("__ny"))
     // y-slice count for the cross-bucket pass, capped so the closing
     // (S × B) grid stays ≤ ~4.2M rows by construction
     val nSlices = math.max(8, math.min(
@@ -2768,10 +3067,15 @@ object Analytics {
     def d(c: Column) = c.cast("double")
     val base = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .select(col(tCol).as("__t"), col(valueCol).as("__v"))
-    // value axis: per-distinct-value (#less, #eq) via distributed prefix
-    val vc = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val tot = vc.agg(sum(col("__c")).as("__n"))
-    val vstats = prefixBefore(vc, "__v", col("__c"))
+    val vc0 = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    // value axis: per-distinct-value (#less, #eq) via distributed
+    // prefix; the grand total and (below) the time-axis max read each
+    // pass's PINNED ranged frame — a second reference to vc/st would
+    // re-run the aggregation AND the upstream join (round 16; this
+    // operator chains two prefixes, so the double execution compounded)
+    val (vcShared, vcPre) = prefixBeforeShared(vc0, "__v", col("__c"))
+    val tot = vcShared.agg(sum(col("__c")).as("__n"))
+    val vstats = vcPre
       .crossJoin(broadcast(tot))
       .select(col("__v").as("__vk"),
         (col("__n") - col("__c") - lit(2) * col("__cum")).as("__s"),
@@ -2781,9 +3085,10 @@ object Analytics {
     val st = base.join(vstats, col("__v") === col("__vk"))
       .groupBy(col("__t")).agg(sum(dec(col("__s"))).as("__st"),
         max(col("__n")).as("__n2"))
-    val cum = prefixBefore(st, "__t", col("__st"))
+    val (stShared, stPre) = prefixBeforeShared(st, "__t", col("__st"))
+    val cum = stPre
       .withColumn("__u", col("__cum") + col("__st"))
-      .crossJoin(broadcast(st.agg(max(col("__t")).as("__tmax"))))
+      .crossJoin(broadcast(stShared.agg(max(col("__t")).as("__tmax"))))
       .filter(col("__t") < col("__tmax"))
     cum
       .withColumn("__au", abs(col("__u")))
@@ -2826,9 +3131,13 @@ object Analytics {
     val base = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
       .select(keys :+ col(tCol).as("__t") :+ col(valueCol).as("__v"): _*)
     val vc = base.groupBy(keys :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
-    val tot = kRename(vc.groupBy(keys: _*).agg(sum(col("__c")).as("__n")), "n")
-    val vstats = kDrop(prefixBeforeBy(vc, keyCols, "__v", col("__c"))
-      .join(tot, kJoin("n")), "n")
+    // per-group totals and t_max read each pass's PINNED ranged frame
+    // (the global form's round-16 contract, keyed)
+    val (vcShared, vcPre) = prefixBeforeByShared(vc, keyCols, "__v",
+      col("__c"))
+    val tot = kRename(vcShared.groupBy(keys: _*)
+      .agg(sum(col("__c")).as("__n")), "n")
+    val vstats = kDrop(vcPre.join(tot, kJoin("n")), "n")
       .select(keys.map(c => c) ++ Seq(col("__v").as("__vk"),
         (col("__n") - col("__c") - lit(2) * col("__cum")).as("__s"),
         col("__n")): _*)
@@ -2836,10 +3145,11 @@ object Analytics {
       kJoin("v") && col("__v") === col("__vk")), "v")
     val st = rows.groupBy(keys :+ col("__t"): _*)
       .agg(sum(dec(col("__s"))).as("__st"), max(col("__n")).as("__n2"))
-    val tmax = kRename(st.groupBy(keys: _*).agg(max(col("__t")).as("__tmax")),
-      "m")
-    val cand = kDrop(prefixBeforeBy(st, keyCols, "__t", col("__st"))
-      .join(tmax, kJoin("m")), "m")
+    val (stShared, stPre) = prefixBeforeByShared(st, keyCols, "__t",
+      col("__st"))
+    val tmax = kRename(stShared.groupBy(keys: _*)
+      .agg(max(col("__t")).as("__tmax")), "m")
+    val cand = kDrop(stPre.join(tmax, kJoin("m")), "m")
       .withColumn("__u", col("__cum") + col("__st"))
       .filter(col("__t") < col("__tmax"))
     cand
@@ -2911,10 +3221,20 @@ object Analytics {
           .select((col("__y") - col("sen_slope") * col("__t")).as("__ic")),
         "__ic", Seq(0.5))
       .select(col("value").as("intercept"))
+    // slope/intercept attach via LEFT join on a TRUE condition, not
+    // crossJoin: quantilesCont emits ZERO rows on an empty pair set
+    // (n < 2), and a crossJoin against an empty frame would annihilate
+    // the aggregate row — the contract is ONE row with NULL slope
+    // (r15 advisor). sRow/tieRow/chk are grand aggregates (always one
+    // row), so their crossJoins are safe; n/s/ties coalesce to 0 for
+    // the empty-input row the same way.
     sRow.crossJoin(broadcast(tieRow))
       .crossJoin(broadcast(chk))
-      .crossJoin(broadcast(slopeRow))
-      .crossJoin(broadcast(interceptRow))
+      .join(broadcast(slopeRow), lit(true), "left")
+      .join(broadcast(interceptRow), lit(true), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("__ties", coalesce(col("__ties"), lit(0L)))
       .withColumn("n", when(col("__cn") === col("__cd"), col("n"))
         .otherwise(raise_error(lit("mannKendallTrend: input is not a " +
           "series — duplicate t values; pre-aggregate to one row per t"))))
@@ -2960,9 +3280,10 @@ object Analytics {
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val cum = prefixBeforeMulti(counts, "__v",
-        Seq("a" -> col("__ca"), "b" -> col("__cb")))
-      .crossJoin(broadcast(counts.agg(sum(col("__ca")).as("__na"),
+    val (cShared, cumPre) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val cum = cumPre
+      .crossJoin(broadcast(cShared.agg(sum(col("__ca")).as("__na"),
         sum(col("__cb")).as("__nb"))))
     val nD = d(col("__na")) + d(col("__nb"))
     val l = d(col("__ca")) + d(col("__cb"))
@@ -3012,10 +3333,11 @@ object Analytics {
       .groupBy(keys :+ col(valueCol).as("__v"): _*)
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val tot = kRename(counts.groupBy(keys: _*)
+    val (cShared, cumPre) = prefixBeforeMultiByShared(counts, keyCols,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val tot = kRename(cShared.groupBy(keys: _*)
       .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")), "t")
-    val cum = prefixBeforeMultiBy(counts, keyCols, "__v",
-        Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val cum = cumPre
       .join(tot, kJoin("t"))
       .drop(keyCols.indices.map(i => s"__t$i"): _*)
     val nD = d(col("__na")) + d(col("__nb"))
