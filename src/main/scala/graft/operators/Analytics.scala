@@ -516,9 +516,15 @@ object Analytics {
   }
 
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val pairs = df
-      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
-      .agg(count(lit(1)).as("__c"))
+    // the pair table feeds THREE consumers (both marginals' prefix
+    // passes — each a separate bridged plan — and the final join);
+    // pin it so the corpus scan + pair aggregation run ONCE (round 16:
+    // the marginals' bridges compile their own plans, so ReuseExchange
+    // could never dedupe the second and third executions)
+    val pairs = org.apache.spark.sql.graftbridge.RddShareBridge
+      .sharedExecution(df
+        .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+        .agg(count(lit(1)).as("__c")))
     def marginal(key: String, out: String): DataFrame = {
       val cv = pairs.groupBy(col(key).as("__v")).agg(sum(col("__c")).as("__cv"))
       prefixBefore(cv, "__v", col("__cv"))
@@ -569,9 +575,11 @@ object Analytics {
                  yCol: String): DataFrame = {
     require(keyCols.nonEmpty, "spearmanBy needs key columns; use spearman")
     val keys = keyCols.map(col)
-    val pairs = df
-      .groupBy(keys ++ Seq(col(xCol).as("__x"), col(yCol).as("__y")): _*)
-      .agg(count(lit(1)).as("__c"))
+    // pinned for the same three-consumer reason as the global form
+    val pairs = org.apache.spark.sql.graftbridge.RddShareBridge
+      .sharedExecution(df
+        .groupBy(keys ++ Seq(col(xCol).as("__x"), col(yCol).as("__y")): _*)
+        .agg(count(lit(1)).as("__c")))
     def marginal(key: String, out: String, tag: String): DataFrame = {
       // keyed distributed prefix ([[prefixBeforeMultiBy]]): a hot
       // group's marginal splits across range slices instead of
@@ -2688,9 +2696,14 @@ object Analytics {
     // pass an explicit B to skip it.
     val b = if (buckets > 0) buckets
       else math.min(4096L, math.max(32L, (nonNull.count() + 249999L) / 250000L)).toInt
-    val pairs = nonNull
-      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
-      .agg(count(lit(1)).as("__c"))
+    // pinned (round 16): both rank tables bridge their prefix passes —
+    // separate plan compilations — and the ranked join is a third
+    // consumer; without the pin the corpus scan + pair aggregation ran
+    // three times (twice of them EAGERLY at rank-table construction)
+    val pairs = org.apache.spark.sql.graftbridge.RddShareBridge
+      .sharedExecution(nonNull
+        .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+        .agg(count(lit(1)).as("__c")))
     // dense ranks from DISTINCT-value tables via the DISTRIBUTED prefix
     // machinery ([[prefixBefore]]): rank = (# strictly-smaller distinct
     // values) + 1 — no single-task sort anywhere; the |X|-distinct rank
