@@ -136,6 +136,125 @@ private[graft] object Batch55 {
              |  FROM p)
              |SELECT nn.n_a, nn.n_b,
              |  lo.d + (r.t - floor(r.t)) * (hi.d - lo.d) AS hl_shift
-             |FROM nn, lo, hi, r""".stripMargin))
+             |FROM nn, lo, hi, r""".stripMargin)),
+
+    // Hellinger distance on the q226 drift convention (click values
+    // doubled on every third event): the metric member of the binned
+    // trio — same spine, same Laplace shares, BC + H replayed.
+    Q("q352_hellinger",
+      (s, dir) => graft.operators.Analytics.hellingerDistance(
+        Tables.events(s, dir).select(col("event_type"),
+          (col("value") * when(col("event_type") === "click" &&
+            col("event_id") % 3 === 0, 2.0).otherwise(1.0)).as("v")),
+        "event_type", "v", "view", "click", lo = 0.0, hi = 400.0,
+        bins = 20),
+      Some("""WITH vals AS (SELECT event_type AS grp,
+             |    value * CASE WHEN event_type = 'click' AND event_id % 3 = 0
+             |      THEN 2.0 ELSE 1.0 END AS v
+             |  FROM events),
+             |b AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin, grp FROM vals),
+             |c AS (SELECT bin,
+             |    CAST(SUM(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM b GROUP BY bin),
+             |spine AS (SELECT unnest(range(0, 20)) AS bin),
+             |f AS (SELECT s.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+             |  FROM spine s LEFT JOIN c ON s.bin = c.bin),
+             |t AS (SELECT ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM f),
+             |terms AS (SELECT na, nb,
+             |    CAST(SQRT((CAST(ca + 1 AS DOUBLE) / CAST(na + 20 AS DOUBLE))
+             |            * (CAST(cb + 1 AS DOUBLE) / CAST(nb + 20 AS DOUBLE)))
+             |      AS DECIMAL(28,12)) AS term
+             |  FROM t),
+             |agg AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |    CAST(SUM(term) AS DOUBLE) AS bc
+             |  FROM terms GROUP BY na, nb)
+             |SELECT n_a, n_b, bc,
+             |  SQRT(GREATEST(1.0 - bc, 0.0)) AS hellinger FROM agg""".stripMargin)),
+
+    // Sliced Hellinger: the drift injected ONLY into segment 1 (the
+    // discriminating-fixture discipline — seg 1's H must stand clear
+    // of seg 0's near-zero).
+    Q("q353_hellinger_by",
+      (s, dir) => graft.operators.Analytics.hellingerDistanceBy(
+        Tables.events(s, dir).select(
+          pmod(col("user_id"), lit(2L)).as("seg"), col("event_type"),
+          (col("value") * when(col("user_id") % 2 === 1 &&
+            col("event_type") === "click" && col("event_id") % 3 === 0,
+            2.0).otherwise(1.0)).as("v")),
+        Seq("seg"), "event_type", "v", "view", "click", lo = 0.0,
+        hi = 400.0, bins = 20)
+        .orderBy("seg"),
+      Some("""WITH vals AS (SELECT user_id % 2 AS seg, event_type AS grp,
+             |    value * CASE WHEN user_id % 2 = 1 AND event_type = 'click'
+             |      AND event_id % 3 = 0 THEN 2.0 ELSE 1.0 END AS v
+             |  FROM events),
+             |b AS (SELECT seg, LEAST(GREATEST(CAST(FLOOR((v - 0.0) / (400.0 - 0.0) * 20) AS BIGINT), 0), 19) AS bin, grp FROM vals),
+             |c AS (SELECT seg, bin,
+             |    CAST(SUM(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM b GROUP BY seg, bin),
+             |spine AS (SELECT segs.seg, bins.bin
+             |  FROM (SELECT DISTINCT seg FROM c) segs
+             |  CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) bins),
+             |f AS (SELECT s.seg, s.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+             |  FROM spine s LEFT JOIN c ON s.seg = c.seg AND s.bin = c.bin),
+             |t AS (SELECT seg, ca, cb,
+             |    SUM(ca) OVER (PARTITION BY seg) AS na,
+             |    SUM(cb) OVER (PARTITION BY seg) AS nb FROM f),
+             |terms AS (SELECT seg, na, nb,
+             |    CAST(SQRT((CAST(ca + 1 AS DOUBLE) / CAST(na + 20 AS DOUBLE))
+             |            * (CAST(cb + 1 AS DOUBLE) / CAST(nb + 20 AS DOUBLE)))
+             |      AS DECIMAL(28,12)) AS term
+             |  FROM t),
+             |agg AS (SELECT seg, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |    CAST(SUM(term) AS DOUBLE) AS bc
+             |  FROM terms GROUP BY seg, na, nb)
+             |SELECT seg, n_a, n_b, bc,
+             |  SQRT(GREATEST(1.0 - bc, 0.0)) AS hellinger
+             |FROM agg ORDER BY seg""".stripMargin)),
+
+    // Seasonal Mann-Kendall over the daily mean-value series with a
+    // deterministic +0.5/day drift injected (so the trend is real)
+    // and day-of-week as the season: within-season pairs only, summed
+    // Hirsch-Slack variance, pooled seasonal Sen slope.
+    Q("q354_seasonal_mk",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("y0"))
+          .withColumn("y", col("y0") + col("day").cast("double") * 0.5)
+          .withColumn("dow", pmod(col("day"), lit(7L)))
+        graft.operators.Analytics.seasonalMannKendall(daily, "dow", "day", "y")
+      },
+      Some("""WITH daily AS (SELECT (CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 AS day,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS y0
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT day % 7 AS g, CAST(day AS DOUBLE) AS t,
+             |    y0 + CAST(day AS DOUBLE) * 0.5 AS y FROM daily),
+             |pairs AS (SELECT b2.y - b1.y AS dy, b2.t - b1.t AS dt
+             |  FROM b b1 JOIN b b2 ON b1.g = b2.g AND b1.t < b2.t),
+             |srow AS (SELECT COALESCE(CAST(SUM(CAST(SIGN(dy) AS BIGINT)) AS BIGINT), 0) AS s FROM pairs),
+             |pseason AS (SELECT g, CAST(SUM(u) AS BIGINT) AS ng,
+             |    CAST(SUM(u * (u - 1) * (2 * u + 5)) AS BIGINT) AS tg
+             |  FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS u FROM b GROUP BY g, y)
+             |  GROUP BY g),
+             |vrow AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS n_seasons,
+             |    CAST(SUM(ng * (ng - 1) * (2 * ng + 5) - tg) AS BIGINT) AS vnum
+             |  FROM pseason),
+             |slope AS (SELECT quantile_cont(dy / dt, 0.5) AS sen_slope FROM pairs),
+             |icept AS (SELECT quantile_cont(b.y - slope.sen_slope * b.t, 0.5) AS intercept
+             |  FROM b CROSS JOIN slope),
+             |v AS (SELECT *, CAST(vnum AS DOUBLE) / 18.0 AS var_s
+             |  FROM srow CROSS JOIN vrow CROSS JOIN slope CROSS JOIN icept)
+             |SELECT n, n_seasons, s, var_s,
+             |  CASE WHEN var_s > 0 THEN
+             |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / SQRT(var_s)
+             |         WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(var_s)
+             |         ELSE 0.0 END END AS z,
+             |  sen_slope, intercept
+             |FROM v""".stripMargin))
   )
 }

@@ -1817,6 +1817,99 @@ object Analytics {
       .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("jsd"))
   }
 
+  /** Hellinger distance between two groups of a continuous column —
+    * the METRIC member of the binned-divergence trio ([[psi]] is the
+    * modeler-band score, [[jsDivergence]] the symmetric bounded
+    * divergence; Hellinger H = √(1 − BC) with the Bhattacharyya
+    * coefficient BC = Σ√(p_a·p_b) is a TRUE metric in [0,1] —
+    * triangle inequality and all — which is what threshold-transfer
+    * and clustering-over-snapshots pipelines want). Identical
+    * machinery to [[psi]] by construction: the same truncated-bin
+    * double tree, the same generated bin spine, the same Laplace
+    * smoothing p = (c+1)/(n+bins) (so shares sum to exactly 1 and BC
+    * is defined on empty bins), per-bin pinned √(p_a·p_b) terms
+    * accumulated through exact decimal(28,12); the final
+    * H = √max(0, 1−BC) clamps the O(ulp) negative residue at
+    * identical distributions. Output: one row
+    * (n_a, n_b, bc, hellinger). */
+  def hellingerDistance(df: DataFrame, groupCol: String, valueCol: String,
+                        groupA: String, groupB: String,
+                        lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val spine = df.sparkSession.range(bins).select(col("id").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val pa = (col("__ca") + 1).cast("double") /
+      (col("__na") + bins).cast("double")
+    val pb = (col("__cb") + 1).cast("double") /
+      (col("__nb") + bins).cast("double")
+    full
+      .withColumn("__na", sum(col("__ca")).over(w))
+      .withColumn("__nb", sum(col("__cb")).over(w))
+      .withColumn("__term", sqrt(pa * pb))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("bc"))
+      .withColumn("hellinger",
+        sqrt(greatest(lit(1.0) - col("bc"), lit(0.0))))
+  }
+
+  /** Per-GROUP [[hellingerDistance]] — the sliced metric drift over
+    * the same bounded (groups × bins) spine as [[psiBy]]. Output: key
+    * columns + (n_a, n_b, bc, hellinger). */
+  def hellingerDistanceBy(df: DataFrame, keyCols: Seq[String],
+                          groupCol: String, valueCol: String,
+                          groupA: String, groupB: String,
+                          lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(keyCols.nonEmpty,
+      "hellingerDistanceBy needs key columns; use hellingerDistance")
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val keys = keyCols.map(col)
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ bin.as("bin"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    def renameKeys(d: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(d) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyCond(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val spine = counts.select(keys: _*).distinct()
+      .crossJoin(df.sparkSession.range(bins).select(col("id").as("bin")))
+    val cR = renameKeys(counts, "c").withColumnRenamed("bin", "__cbin")
+    val full = spine
+      .join(cR, keyCond("c") && col("bin") === col("__cbin"), "left")
+      .select(keys ++ Seq(col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb")): _*)
+    val tot = renameKeys(full.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")), "t")
+    val pa = (col("__ca") + 1).cast("double") /
+      (col("__na") + bins).cast("double")
+    val pb = (col("__cb") + 1).cast("double") /
+      (col("__nb") + bins).cast("double")
+    full.join(tot, keyCond("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+      .withColumn("__term", sqrt(pa * pb))
+      .groupBy(keys :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(sum(col("__term").cast("decimal(28,12)")).cast("double").as("bc"))
+      .withColumn("hellinger",
+        sqrt(greatest(lit(1.0) - col("bc"), lit(0.0))))
+  }
+
   /** Pearson correlation matrix of p numeric columns in ONE pass — the
     * feature-exploration screen (multicollinearity, leakage hints)
     * before model fitting at corpus scale: n, the p column sums, and
@@ -3657,6 +3750,84 @@ object Analytics {
           .otherwise(lit(0.0))))
       .select(keys ++ Seq(col("n"), col("s"), col("var_s"), col("z"),
         col("sen_slope"), col("intercept")): _*)
+  }
+
+  /** Seasonal Mann–Kendall trend test + seasonal Theil–Sen slope
+    * (Hirsch, Slack & Smith 1982) — the trend question for a series
+    * with a KNOWN cycle (day-of-week on daily volume, month-of-year on
+    * anything seasonal), where the plain [[mannKendallTrend]] drowns a
+    * real drift under cross-season swings: only WITHIN-season pairs
+    * enter,
+    *   S = Σ_g S_g,   Var(S) = Σ_g [n_g(n_g−1)(2n_g+5) − Σ_u u(u−1)(2u+5)]/18,
+    *   z = (S∓1)/√Var   (continuity-corrected, 0 at S = 0),
+    * and the seasonal Sen slope is the median over the pooled
+    * within-season pairwise slopes, intercept = median(y − slope·t).
+    * This is the classic independent-seasons form; the 1984
+    * serial-correlation covariance correction is out of scope (needs
+    * the caller's lag structure) and documented as such.
+    *
+    * CONTRACT: one row per (season, t), loudly enforced (the
+    * [[mannKendallTrend]] series tripwire, keyed); pair count is
+    * Σ_g n_g(n_g−1)/2 — bounded by pre-aggregation like the global
+    * form. Empty/one-point inputs emit ONE row with NULL slope/z (the
+    * r16 left-join contract). Output: one row
+    * (n, n_seasons, s, var_s, z, sen_slope, intercept). */
+  def seasonalMannKendall(df: DataFrame, seasonCol: String, tCol: String,
+                          valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val base = df.filter(col(seasonCol).isNotNull && col(tCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(seasonCol).as("__g"), col(tCol).cast("double").as("__t"),
+        d(col(valueCol)).as("__y"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.__g") <=> col("b.__g") && col("a.__t") < col("b.__t"))
+      .select((col("b.__y") - col("a.__y")).as("__dy"),
+        (col("b.__t") - col("a.__t")).as("__dt"))
+    val sRow = pairs.agg(sum(signum(col("__dy")).cast("long")).as("s"))
+    // per-season tie-corrected variance numerators, summed (longs —
+    // exact below n_g ~ 2e6, the global form's contract per season)
+    val varRow = base.groupBy(col("__g"), col("__y"))
+      .agg(count(lit(1)).as("__u"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__u")).as("__ng"),
+        sum(col("__u") * (col("__u") - 1) * (lit(2) * col("__u") + 5))
+          .as("__tg"))
+      .agg(sum(col("__ng")).as("n"), count(lit(1)).as("n_seasons"),
+        sum(col("__ng") * (col("__ng") - 1) * (lit(2) * col("__ng") + 5) -
+          col("__tg")).as("__vnum"))
+    val chk = base.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__g"), col("__t")).as("__cd"))
+    // same ANSI hazard as the global form: guard the division so it is
+    // not evaluable on equal-t candidate pairs inside a join condition
+    val slopeRow = graft.operators.Aggregations
+      .quantilesCont(pairs.select(
+          when(col("__dt") =!= 0.0, col("__dy") / col("__dt")).as("__sl")),
+        "__sl", Seq(0.5))
+      .select(col("value").as("sen_slope"))
+    val interceptRow = graft.operators.Aggregations
+      .quantilesCont(
+        base.crossJoin(broadcast(slopeRow))
+          .select((col("__y") - col("sen_slope") * col("__t")).as("__ic")),
+        "__ic", Seq(0.5))
+      .select(col("value").as("intercept"))
+    sRow.crossJoin(broadcast(varRow))
+      .crossJoin(broadcast(chk))
+      .join(broadcast(slopeRow), lit(true), "left")
+      .join(broadcast(interceptRow), lit(true), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("__vnum", coalesce(col("__vnum"), lit(0L)))
+      .withColumn("n", when(col("__cn") === col("__cd"), col("n"))
+        .otherwise(raise_error(lit("seasonalMannKendall: input is not a " +
+          "per-season series — duplicate (season, t); pre-aggregate to " +
+          "one row per (season, t)"))))
+      .withColumn("var_s", d(col("__vnum")) / 18.0)
+      .withColumn("z", when(col("var_s") > 0,
+        when(col("s") > 0, (d(col("s")) - 1) / sqrt(col("var_s")))
+          .when(col("s") < 0, (d(col("s")) + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(col("n"), col("n_seasons"), col("s"), col("var_s"), col("z"),
+        col("sen_slope"), col("intercept"))
   }
 
   /** McNemar's paired test — did model B beat model A ON THE SAME

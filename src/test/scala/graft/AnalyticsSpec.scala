@@ -1834,6 +1834,89 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("hellingerDistance: hand BC over the psi bin spine; identical " +
+    "distributions clamp to H=0; By == global per slice; partition " +
+    "sweep") {
+    import spark.implicits._
+    // lo=0, hi=4, bins=2: a = [.5,.5,2.5], b = [2.5,2.5]
+    // pa = (.6, .4), pb = (.25, .75) → BC = √.15 + √.3
+    val df = Seq(("a", 0.5), ("a", 0.5), ("a", 2.5),
+      ("b", 2.5), ("b", 2.5)).toDF("g", "v")
+    val r = Analytics.hellingerDistance(df, "g", "v", "a", "b",
+      0.0, 4.0, 2).collect().head
+    val bc = math.sqrt(0.15) + math.sqrt(0.3)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("bc") - bc) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hellinger") - math.sqrt(1 - bc)) < 1e-12)
+    // identical distributions: BC = 1 up to rounding, H clamps to >= 0
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val rs = Analytics.hellingerDistance(same, "g", "v", "a", "b",
+      0.0, 4.0, 4).collect().head
+    assert(rs.getAs[Double]("hellinger") < 1e-7)
+    // By == global per slice
+    val rows = Seq(("s1", "a", 0.5), ("s1", "a", 0.5), ("s1", "a", 2.5),
+      ("s1", "b", 2.5), ("s1", "b", 2.5),
+      ("s2", "a", 1.0), ("s2", "b", 3.5))
+    val by = Analytics.hellingerDistanceBy(rows.toDF("k", "g", "v"),
+      Seq("k"), "g", "v", "a", "b", 0.0, 4.0, 2).collect()
+      .map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = rows.filter(_._1 == sl).map(t => (t._2, t._3)).toDF("g", "v")
+      val w = Analytics.hellingerDistance(slice, "g", "v", "a", "b",
+        0.0, 4.0, 2).collect().head
+      assert(by(sl) == w.toSeq, s"hellingerBy $sl")
+    }
+    partitionSweep { p =>
+      Analytics.hellingerDistance(df.repartition(p), "g", "v", "a", "b",
+        0.0, 4.0, 2).collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("seasonalMannKendall: opposing within-season trends cancel S " +
+    "with the exact Hirsch-Slack variance; pooled Sen slope; series " +
+    "tripwire; n<2 one-row contract; partition sweep") {
+    import spark.implicits._
+    // season 0 rises (S=3), season 1 falls (S=-3): S=0, no ties →
+    // var = 2·(3·2·11)/18 = 132/18; pooled slopes {±0.5}×3 → median 0;
+    // intercept = median(y) = 3.0
+    val rows = Seq((0, 0.0, 1.0), (0, 2.0, 2.0), (0, 4.0, 3.0),
+      (1, 1.0, 5.0), (1, 3.0, 4.0), (1, 5.0, 3.0))
+    val df = rows.toDF("season", "t", "y")
+    val r = Analytics.seasonalMannKendall(df, "season", "t", "y")
+      .collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_seasons") == 2L)
+    assert(r.getAs[Long]("s") == 0L)
+    assert(math.abs(r.getAs[Double]("var_s") - 132.0 / 18.0) < 1e-12)
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[Double]("sen_slope") == 0.0)
+    assert(r.getAs[Double]("intercept") == 3.0)
+    // a seasonal drift invisible to the plain test: alternating level
+    // + small upward drift — seasonal z must exceed the plain z
+    val drift = (0 until 12).map(i =>
+      (i % 2, i.toDouble, (i % 2) * 10.0 + i * 0.1)).toDF("season", "t", "y")
+    val zs = Analytics.seasonalMannKendall(drift, "season", "t", "y")
+      .collect().head.getAs[Double]("z")
+    val zp = Analytics.mannKendallTrend(drift.select("t", "y"), "t", "y")
+      .collect().head.getAs[Double]("z")
+    assert(zs > zp, s"seasonal z $zs must exceed plain z $zp")
+    // duplicate (season, t) → loud series-contract failure
+    val dup = (rows :+ ((0, 0.0, 9.0))).toDF("season", "t", "y")
+    val e = intercept[Exception] {
+      Analytics.seasonalMannKendall(dup, "season", "t", "y").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("per-season series"))
+    // one point: ONE row, NULL slope/z
+    val one = Seq((0, 1.0, 5.0)).toDF("season", "t", "y")
+    val r1 = Analytics.seasonalMannKendall(one, "season", "t", "y").collect()
+    assert(r1.length == 1 && r1.head.getAs[Long]("n") == 1L)
+    assert(r1.head.isNullAt(r1.head.fieldIndex("sen_slope")))
+    partitionSweep { p =>
+      Analytics.seasonalMannKendall(df.repartition(p), "season", "t", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("prefixBefore (global): the pid-clustered claim elides the " +
     "window-side hash exchange — no hashpartitioning(__pid) anywhere " +
     "in the final plan (round 16), while results stay the proven " +
