@@ -255,6 +255,129 @@ private[graft] object Batch55 {
              |         WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(var_s)
              |         ELSE 0.0 END END AS z,
              |  sen_slope, intercept
-             |FROM v""".stripMargin))
+             |FROM v""".stripMargin)),
+
+    // Paired t on the same-unit comparison x = value vs
+    // y = value + (event_id % 7 - 3): an exact integer per-row shift
+    // (the decimal(18,2) casts stay on 2-decimal data - the r15
+    // cross-engine cast contract), mean shift 0 by symmetry of the
+    // mod-7 residues but nonzero variance.
+    Q("q355_paired_t",
+      (s, dir) => graft.operators.Analytics.pairedT(
+        Tables.events(s, dir).select(col("value").as("x"),
+          (col("value") + (pmod(col("event_id"), lit(7L)) - 3L)
+            .cast("double")).as("y")),
+        "x", "y"),
+      Some("""WITH p AS (SELECT CAST(value AS DOUBLE) AS x,
+             |    CAST(value AS DOUBLE) + CAST(event_id % 7 - 3 AS DOUBLE) AS y
+             |  FROM events),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(18,2)) - CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+             |    CAST(SUM((CAST(x AS DECIMAL(18,2)) - CAST(y AS DECIMAL(18,2)))
+             |           * (CAST(x AS DECIMAL(18,2)) - CAST(y AS DECIMAL(18,2)))) AS DOUBLE) AS sdd
+             |  FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+             |c AS (SELECT n, sd / CAST(n AS DOUBLE) AS mean_diff,
+             |    (sdd - sd * sd / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+             |  FROM a)
+             |SELECT n, mean_diff, SQRT(v) AS sd_diff,
+             |  CASE WHEN v > 0 THEN mean_diff / (SQRT(v) / SQRT(CAST(n AS DOUBLE))) END AS t,
+             |  CAST(n - 1 AS BIGINT) AS dof FROM c""".stripMargin)),
+
+    // Sliced paired t per user segment.
+    Q("q356_paired_t_by",
+      (s, dir) => graft.operators.Analytics.pairedTBy(
+        Tables.events(s, dir).select(
+          pmod(col("user_id"), lit(2L)).as("seg"), col("value").as("x"),
+          (col("value") + (pmod(col("event_id"), lit(7L)) - 3L)
+            .cast("double")).as("y")),
+        Seq("seg"), "x", "y")
+        .orderBy("seg"),
+      Some("""WITH p AS (SELECT user_id % 2 AS seg, CAST(value AS DOUBLE) AS x,
+             |    CAST(value AS DOUBLE) + CAST(event_id % 7 - 3 AS DOUBLE) AS y
+             |  FROM events),
+             |a AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(18,2)) - CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+             |    CAST(SUM((CAST(x AS DECIMAL(18,2)) - CAST(y AS DECIMAL(18,2)))
+             |           * (CAST(x AS DECIMAL(18,2)) - CAST(y AS DECIMAL(18,2)))) AS DOUBLE) AS sdd
+             |  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY seg),
+             |c AS (SELECT seg, n, sd / CAST(n AS DOUBLE) AS mean_diff,
+             |    (sdd - sd * sd / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+             |  FROM a)
+             |SELECT seg, n, mean_diff, SQRT(v) AS sd_diff,
+             |  CASE WHEN v > 0 THEN mean_diff / (SQRT(v) / SQRT(CAST(n AS DOUBLE))) END AS t,
+             |  CAST(n - 1 AS BIGINT) AS dof FROM c ORDER BY seg""".stripMargin)),
+
+    // Wilcoxon signed-rank on the same paired fixture: |d| takes six
+    // values with heavy ties (the average-rank + tie-variance path)
+    // and d = 0 at residue 3 (the zero-drop path), doubled ranks via
+    // the distributed prefix replayed as a window cumsum.
+    Q("q357_wilcoxon",
+      (s, dir) => graft.operators.Analytics.wilcoxonSignedRank(
+        Tables.events(s, dir).select(col("value").as("x"),
+          (col("value") + (pmod(col("event_id"), lit(7L)) - 3L)
+            .cast("double")).as("y")),
+        "x", "y"),
+      Some("""WITH p AS (SELECT CAST(value AS DOUBLE) AS x,
+             |    CAST(value AS DOUBLE) + CAST(event_id % 7 - 3 AS DOUBLE) AS y
+             |  FROM events),
+             |d0 AS (SELECT x - y AS d FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+             |z AS (SELECT CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero FROM d0),
+             |c AS (SELECT ABS(d) AS ad, CAST(COUNT(*) AS BIGINT) AS c,
+             |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+             |  FROM d0 WHERE d <> 0 GROUP BY 1),
+             |r AS (SELECT ad, c, cp,
+             |    COALESCE(SUM(c) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM c),
+             |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties,
+             |    CAST(SUM(cp * (2 * cum + c + 1)) AS DOUBLE) AS w2p
+             |  FROM r),
+             |f AS (SELECT t.n, z.n_zero, w2p / 2.0 AS w_plus,
+             |    CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0) / 2.0 - w2p / 2.0 AS w_minus,
+             |    CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0) * (2.0 * CAST(t.n AS DOUBLE) + 5.0) / 24.0
+             |      - CAST(ties AS DOUBLE) / 48.0 AS v
+             |  FROM t, z)
+             |SELECT n, n_zero, w_plus, w_minus,
+             |  CASE WHEN v > 0 THEN
+             |    (w_plus - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0) / SQRT(v)
+             |  END AS z FROM f""".stripMargin)),
+
+    // Sliced Wilcoxon per user segment.
+    Q("q358_wilcoxon_by",
+      (s, dir) => graft.operators.Analytics.wilcoxonSignedRankBy(
+        Tables.events(s, dir).select(
+          pmod(col("user_id"), lit(2L)).as("seg"), col("value").as("x"),
+          (col("value") + (pmod(col("event_id"), lit(7L)) - 3L)
+            .cast("double")).as("y")),
+        Seq("seg"), "x", "y")
+        .orderBy("seg"),
+      Some("""WITH p AS (SELECT user_id % 2 AS seg, CAST(value AS DOUBLE) AS x,
+             |    CAST(value AS DOUBLE) + CAST(event_id % 7 - 3 AS DOUBLE) AS y
+             |  FROM events),
+             |d0 AS (SELECT seg, x - y AS d FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+             |z AS (SELECT seg, CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+             |  FROM d0 GROUP BY seg),
+             |c AS (SELECT seg, ABS(d) AS ad, CAST(COUNT(*) AS BIGINT) AS c,
+             |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+             |  FROM d0 WHERE d <> 0 GROUP BY seg, ad),
+             |r AS (SELECT seg, ad, c, cp,
+             |    COALESCE(SUM(c) OVER (PARTITION BY seg ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM c),
+             |t AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties,
+             |    CAST(SUM(cp * (2 * cum + c + 1)) AS DOUBLE) AS w2p
+             |  FROM r GROUP BY seg),
+             |f AS (SELECT z.seg, COALESCE(t.n, 0) AS n, z.n_zero,
+             |    COALESCE(w2p / 2.0, 0.0) AS w_plus,
+             |    CAST(COALESCE(t.n, 0) AS DOUBLE) * (CAST(COALESCE(t.n, 0) AS DOUBLE) + 1.0) / 2.0
+             |      - COALESCE(w2p / 2.0, 0.0) AS w_minus,
+             |    CAST(COALESCE(t.n, 0) AS DOUBLE) * (CAST(COALESCE(t.n, 0) AS DOUBLE) + 1.0)
+             |      * (2.0 * CAST(COALESCE(t.n, 0) AS DOUBLE) + 5.0) / 24.0
+             |      - COALESCE(CAST(ties AS DOUBLE), 0.0) / 48.0 AS v
+             |  FROM z LEFT JOIN t ON z.seg = t.seg)
+             |SELECT seg, CAST(n AS BIGINT) AS n, n_zero, w_plus, w_minus,
+             |  CASE WHEN v > 0 THEN
+             |    (w_plus - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0) / SQRT(v)
+             |  END AS z FROM f ORDER BY seg""".stripMargin))
   )
 }

@@ -3858,6 +3858,172 @@ object Analytics {
         mcNemarAggs(aCorrect, bCorrect).tail: _*))
   }
 
+  /** Paired t-test — the parametric member of the PAIRED family
+    * ([[mcNemar]] compares two filters on binary correctness; this
+    * compares two NUMERIC measurements of the same unit: before/after
+    * a pipeline change per document, model A vs model B score per
+    * example — pairing removes the between-unit variance an unpaired
+    * [[welchT]] would drown in): one-sample t on the per-row
+    * differences d = x − y,
+    *   t = d̄ / (s_d/√n),  dof = n − 1.
+    * The welchT replayability discipline: per-row decimal(18,scale)
+    * casts make (n, Σd, Σd²) exact, the rest is ONE pinned double
+    * chain; one map-side-combined scan. n < 2 or zero variance →
+    * NULL t (undefined, not infinite). Output: one row
+    * (n, mean_diff, sd_diff, t, dof). */
+  def pairedT(df: DataFrame, xCol: String, yCol: String,
+              scale: Int = 2): DataFrame =
+    pairedTChain(df.agg(pairedTAggs(xCol, yCol, scale).head,
+      pairedTAggs(xCol, yCol, scale).tail: _*))
+
+  /** Per-GROUP [[pairedT]] — the sliced paired comparison. Output: key
+    * columns + the same row. */
+  def pairedTBy(df: DataFrame, keyCols: Seq[String], xCol: String,
+                yCol: String, scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "pairedTBy needs key columns; use pairedT")
+    pairedTChain(df.groupBy(keyCols.map(col): _*)
+      .agg(pairedTAggs(xCol, yCol, scale).head,
+        pairedTAggs(xCol, yCol, scale).tail: _*))
+  }
+
+  private def pairedTAggs(xCol: String, yCol: String,
+      scale: Int): Seq[Column] = {
+    // difference of per-row decimal casts, NOT a cast of the double
+    // difference — keeps d exact at the data's own scale
+    val d = col(xCol).cast(s"decimal(18,$scale)") -
+      col(yCol).cast(s"decimal(18,$scale)")
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    Seq(sum(when(both, 1L).otherwise(0L)).as("n"),
+      sum(when(both, d)).cast("double").as("__sd"),
+      sum(when(both, d * d)).cast("double").as("__sdd"))
+  }
+
+  private def pairedTChain(agg: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    agg
+      .withColumn("mean_diff",
+        when(col("n") > 0, col("__sd") / dd(col("n"))))
+      .withColumn("__var", when(col("n") >= 2,
+        (col("__sdd") - col("__sd") * col("__sd") / dd(col("n"))) /
+          (dd(col("n")) - 1.0)))
+      .withColumn("sd_diff", when(col("__var") >= 0, sqrt(col("__var"))))
+      .withColumn("t", when(col("__var") > 0,
+        col("mean_diff") / (col("sd_diff") / sqrt(dd(col("n"))))))
+      .withColumn("dof", when(col("n") >= 2, col("n") - 1))
+      .drop("__sd", "__sdd", "__var")
+  }
+
+  /** Wilcoxon signed-rank test — the RANK member of the paired family
+    * (the distribution-free twin of [[pairedT]], immune to the heavy
+    * tails per-document deltas actually have): zero differences DROP
+    * (the classic 'wilcox' zero rule), the remaining |d| get average
+    * ranks, W± = Σ ranks of positive/negative d, and the tie-corrected
+    * normal approximation
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+5)/24 − Σ(t³−t)/48)
+    * (no continuity correction; n is the NONZERO count). The rank
+    * machinery is the family's distributed prefix over the DISTINCT
+    * |d| table ([[prefixBeforeShared]] — doubled average ranks
+    * 2R = 2·cum + c + 1, the mannWhitneyU model; no single-task sort
+    * at any cardinality), with 2W⁺ exact in decimal(38,0). All-zero or
+    * empty input → one row with NULL z (the r16 one-row contract).
+    * Output: one row (n, n_zero, w_plus, w_minus, z). */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val diff = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((d(col(xCol)) - d(col(yCol))).as("__d"))
+    val zeroRow = diff.agg(
+      sum(when(col("__d") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+    val counts = diff.filter(col("__d") =!= 0.0)
+      .groupBy(abs(col("__d")).as("__ad"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cp"))
+    val (shared, cum) = prefixBeforeShared(counts, "__ad", col("__c"))
+    val tot = shared.agg(sum(col("__c")).as("n"),
+      sum(dec(col("__c")) * col("__c") * col("__c") - col("__c"))
+        .as("__ties"))
+    val wRow = cum
+      .agg(sum(dec(col("__cp")) *
+        (lit(2) * col("__cum") + col("__c") + 1)).as("__w2p"))
+    val base = zeroRow
+      .join(broadcast(tot), lit(true), "left")
+      .join(broadcast(wRow), lit(true), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_zero", coalesce(col("n_zero"), lit(0L)))
+      .withColumn("w_plus",
+        coalesce(d(col("__w2p")) / 2.0, lit(0.0)))
+      .withColumn("w_minus",
+        d(col("n")) * (d(col("n")) + 1.0) / 2.0 - col("w_plus"))
+    base
+      .withColumn("__var",
+        d(col("n")) * (d(col("n")) + 1.0) *
+          (lit(2.0) * d(col("n")) + 5.0) / 24.0 -
+          coalesce(d(col("__ties")), lit(0.0)) / 48.0)
+      .withColumn("z", when(col("__var") > 0,
+        (col("w_plus") - d(col("n")) * (d(col("n")) + 1.0) / 4.0) /
+          sqrt(col("__var"))))
+      .select(col("n"), col("n_zero"), col("w_plus"), col("w_minus"),
+        col("z"))
+  }
+
+  /** Per-GROUP [[wilcoxonSignedRank]] — the sliced paired rank test
+    * (did the pipeline change move THIS language's scores?): the rank
+    * cumulative rides the KEYED distributed prefix
+    * ([[prefixBeforeByShared]] — a hot slice's |d| table splits across
+    * range partitions), per-group totals/tie terms off the pinned
+    * frame, zero/total counts as the group spine (a group whose
+    * differences are all zero survives with NULL z). Output: key
+    * columns + [[wilcoxonSignedRank]]'s row. */
+  def wilcoxonSignedRankBy(df: DataFrame, keyCols: Seq[String],
+                           xCol: String, yCol: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "wilcoxonSignedRankBy needs key columns; use wilcoxonSignedRank")
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val keys = keyCols.map(col)
+    def kJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    def kRename(dd0: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(dd0) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def kDrop(dd0: DataFrame, tag: String): DataFrame =
+      dd0.drop(keyCols.indices.map(i => s"__$tag$i"): _*)
+    val diff = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keys :+ (d(col(xCol)) - d(col(yCol))).as("__d"): _*)
+    val zeroRow = diff.groupBy(keys: _*).agg(
+      sum(when(col("__d") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+    val counts = diff.filter(col("__d") =!= 0.0)
+      .groupBy(keys :+ abs(col("__d")).as("__ad"): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cp"))
+    val (shared, cum) = prefixBeforeByShared(counts, keyCols, "__ad",
+      col("__c"))
+    val tot = kRename(shared.groupBy(keys: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(dec(col("__c")) * col("__c") * col("__c") - col("__c"))
+          .as("__ties")), "t")
+    val wRow = kRename(cum.groupBy(keys: _*)
+      .agg(sum(dec(col("__cp")) *
+        (lit(2) * col("__cum") + col("__c") + 1)).as("__w2p")), "w")
+    kDrop(kDrop(
+      zeroRow.join(tot, kJoin("t"), "left"), "t")
+        .join(wRow, kJoin("w"), "left"), "w")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("w_plus", coalesce(d(col("__w2p")) / 2.0, lit(0.0)))
+      .withColumn("w_minus",
+        d(col("n")) * (d(col("n")) + 1.0) / 2.0 - col("w_plus"))
+      .withColumn("__var",
+        d(col("n")) * (d(col("n")) + 1.0) *
+          (lit(2.0) * d(col("n")) + 5.0) / 24.0 -
+          coalesce(d(col("__ties")), lit(0.0)) / 48.0)
+      .withColumn("z", when(col("__var") > 0,
+        (col("w_plus") - d(col("n")) * (d(col("n")) + 1.0) / 4.0) /
+          sqrt(col("__var"))))
+      .select(keys ++ Seq(col("n"), col("n_zero"), col("w_plus"),
+        col("w_minus"), col("z")): _*)
+  }
+
   private def mcNemarAggs(aCorrect: Column, bCorrect: Column): Seq[Column] =
     Seq(count(lit(1)).as("n"),
       sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("b"),

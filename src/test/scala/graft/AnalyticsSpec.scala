@@ -1917,6 +1917,97 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pairedT / pairedTBy: hand one-sample t on differences; NULL " +
+    "pairs excluded; n<2 and zero-variance NULLs; By == global per " +
+    "slice; partition sweep") {
+    import spark.implicits._
+    // d = [1,-2,3,-4,5]: mean .6, s² = 13.3, t = .6/(s/√5)
+    val rows = Seq((2.0, 1.0), (1.0, 3.0), (5.0, 2.0), (0.0, 4.0),
+      (7.0, 2.0))
+    val df = rows.toDF("x", "y")
+    val r = Analytics.pairedT(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(math.abs(r.getAs[Double]("mean_diff") - 0.6) < 1e-12)
+    val expT = 0.6 / (math.sqrt(13.3) / math.sqrt(5.0))
+    assert(math.abs(r.getAs[Double]("t") - expT) < 1e-12,
+      s"t ${r.getAs[Double]("t")} vs $expT")
+    assert(r.getAs[Long]("dof") == 4L)
+    // a NULL on either side drops the pair
+    val withNull = (rows.map { case (a, b) =>
+      (Option(a), Option(b)) } :+ ((Option(9.0), Option.empty[Double])))
+      .toDF("x", "y")
+    assert(Analytics.pairedT(withNull, "x", "y").collect()
+      .head.getAs[Long]("n") == 5L)
+    // constant differences → zero variance → NULL t
+    val const = Seq((3.0, 1.0), (5.0, 3.0)).toDF("x", "y")
+    val rc = Analytics.pairedT(const, "x", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("t")) &&
+      rc.getAs[Double]("mean_diff") == 2.0)
+    // By == global per slice
+    val sliced = rows.map { case (a, b) => ("s1", a, b) } ++
+      rows.map { case (a, b) => ("s2", a + 1, b) }
+    val by = Analytics.pairedTBy(sliced.toDF("k", "x", "y"), Seq("k"),
+      "x", "y").collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = sliced.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("x", "y")
+      val w = Analytics.pairedT(slice, "x", "y").collect().head
+      assert(by(sl) == w.toSeq, s"pairedTBy $sl")
+    }
+    partitionSweep { p =>
+      Analytics.pairedT(df.repartition(p), "x", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("wilcoxonSignedRank / By: hand rank sums (no ties, ties, " +
+    "zeros dropped); all-zero slice NULL z; By == global per slice; " +
+    "partition sweep") {
+    import spark.implicits._
+    // d = [1,-2,3,-4,5]: ranks 1..5, W+ = 9, W- = 6,
+    // z = 1.5/√18.75
+    val rows = Seq((2.0, 1.0), (1.0, 3.0), (5.0, 2.0), (0.0, 4.0),
+      (7.0, 2.0))
+    val df = rows.toDF("x", "y")
+    val r = Analytics.wilcoxonSignedRank(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_zero") == 0L)
+    assert(r.getAs[Double]("w_plus") == 9.0 &&
+      r.getAs[Double]("w_minus") == 6.0)
+    assert(math.abs(r.getAs[Double]("z") - 1.5 / math.sqrt(18.75)) < 1e-12)
+    // ties + a zero: d = [1, 1, -1, 2, 0] → |d| ties at 1 (t=3,
+    // avg rank 2), W+ = 8, W- = 2, var = 4·5·13/24 − 24/48
+    val ties = Seq((2.0, 1.0), (3.0, 2.0), (1.0, 2.0), (5.0, 3.0),
+      (4.0, 4.0)).toDF("x", "y")
+    val rt = Analytics.wilcoxonSignedRank(ties, "x", "y").collect().head
+    assert(rt.getAs[Long]("n") == 4L && rt.getAs[Long]("n_zero") == 1L)
+    assert(rt.getAs[Double]("w_plus") == 8.0 &&
+      rt.getAs[Double]("w_minus") == 2.0)
+    val expVar = 4.0 * 5.0 * 13.0 / 24.0 - 24.0 / 48.0
+    assert(math.abs(rt.getAs[Double]("z") - 3.0 / math.sqrt(expVar)) < 1e-12)
+    // all-zero differences: one row, n = 0, NULL z
+    val zeros = Seq((1.0, 1.0), (2.0, 2.0)).toDF("x", "y")
+    val rz = Analytics.wilcoxonSignedRank(zeros, "x", "y").collect()
+    assert(rz.length == 1 && rz.head.getAs[Long]("n") == 0L &&
+      rz.head.getAs[Long]("n_zero") == 2L &&
+      rz.head.isNullAt(rz.head.fieldIndex("z")))
+    // By == global per slice (incl. an all-zero slice)
+    val sliced = rows.map { case (a, b) => ("s1", a, b) } ++
+      Seq(("s2", 1.0, 1.0), ("s2", 2.0, 2.0))
+    val by = Analytics.wilcoxonSignedRankBy(sliced.toDF("k", "x", "y"),
+      Seq("k"), "x", "y").collect()
+      .map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (sl <- Seq("s1", "s2")) {
+      val slice = sliced.filter(_._1 == sl).map(t => (t._2, t._3))
+        .toDF("x", "y")
+      val w = Analytics.wilcoxonSignedRank(slice, "x", "y").collect().head
+      assert(by(sl) == w.toSeq, s"wilcoxonBy $sl")
+    }
+    partitionSweep { p =>
+      Analytics.wilcoxonSignedRank(df.repartition(p), "x", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("prefixBefore (global): the pid-clustered claim elides the " +
     "window-side hash exchange — no hashpartitioning(__pid) anywhere " +
     "in the final plan (round 16), while results stay the proven " +
