@@ -378,6 +378,66 @@ private[graft] object Batch55 {
              |SELECT seg, CAST(n AS BIGINT) AS n, n_zero, w_plus, w_minus,
              |  CASE WHEN v > 0 THEN
              |    (w_plus - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0) / SQRT(v)
-             |  END AS z FROM f ORDER BY seg""".stripMargin))
+             |  END AS z FROM f ORDER BY seg""".stripMargin)),
+
+    // Per-group equal-frequency binning: value quartiles WITHIN each
+    // event_type (a global grid would mis-bin every slice whose scale
+    // differs); the keyed prefix bin table replayed as a per-key
+    // window cumsum, joined back onto the rows.
+    Q("q359_quantile_bin_by",
+      (s, dir) => graft.operators.Aggregations.quantileBinBy(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          col("value")),
+        Seq("event_type"), "value", 4)
+        .select(col("event_id"), col("bin"))
+        .orderBy("event_id"),
+      Some("""WITH counts AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |cum AS (SELECT k, v,
+             |    COALESCE(SUM(c) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+             |    SUM(c) OVER (PARTITION BY k) AS n
+             |  FROM counts),
+             |bins AS (SELECT k, v, CAST((s * 4) // n AS BIGINT) AS bin FROM cum)
+             |SELECT e.event_id, bins.bin
+             |FROM events e JOIN bins ON e.event_type = bins.k
+             |  AND CAST(e.value AS DOUBLE) = bins.v
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Global winsorize transform with exact percentile_cont fences
+    // (the hot-slice-safe sibling of ML.winsorize's quantile_disc
+    // member fences): [p05, p95] clamp replayed row for row.
+    Q("q360_winsorize_cont",
+      (s, dir) => graft.operators.Aggregations.winsorizeCont(
+        Tables.events(s, dir).select(col("event_id"), col("value")),
+        Nil, "value", 0.05, 0.95)
+        .select(col("event_id"), col("value_winsorized"))
+        .orderBy("event_id"),
+      Some("""WITH f AS (SELECT
+             |    percentile_cont(0.05) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)) AS flo,
+             |    percentile_cont(0.95) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)) AS fhi
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT event_id,
+             |  CASE WHEN value IS NULL THEN NULL
+             |    ELSE LEAST(GREATEST(CAST(value AS DOUBLE), flo), fhi) END AS value_winsorized
+             |FROM events CROSS JOIN f ORDER BY event_id""".stripMargin)),
+
+    // Per-event-type winsorize: each slice clamps at ITS OWN fences.
+    Q("q361_winsorize_cont_by",
+      (s, dir) => graft.operators.Aggregations.winsorizeCont(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          col("value")),
+        Seq("event_type"), "value", 0.05, 0.95)
+        .select(col("event_id"), col("value_winsorized"))
+        .orderBy("event_id"),
+      Some("""WITH f AS (SELECT event_type,
+             |    percentile_cont(0.05) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)) AS flo,
+             |    percentile_cont(0.95) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)) AS fhi
+             |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+             |SELECT e.event_id,
+             |  CASE WHEN e.value IS NULL THEN NULL
+             |    ELSE LEAST(GREATEST(CAST(e.value AS DOUBLE), f.flo), f.fhi) END AS value_winsorized
+             |FROM events e JOIN f ON e.event_type = f.event_type
+             |ORDER BY e.event_id""".stripMargin))
   )
 }

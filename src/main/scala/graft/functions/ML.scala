@@ -1055,7 +1055,12 @@ object ML {
     * selection, so they are actual member values and the clamp is pure
     * comparison — no arithmetic at all, fully oracle-replayable. Two
     * quantile window passes + one broadcast join of the tiny per-group
-    * bounds frame; output adds `lo`, `hi`, and `<valueCol>_w`. */
+    * bounds frame; output adds `lo`, `hi`, and `<valueCol>_w`.
+    * quantileDisc's ranking window is per-key-sequential — when ONE
+    * slice holds most of the corpus, use
+    * [[graft.operators.Aggregations.winsorizeCont]] (percentile_cont
+    * fences on the keyed distributed prefix — no per-key window at
+    * any slice size; interpolated fences instead of member values). */
   def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 qLo: Double, qHi: Double): DataFrame = {
     require(qLo >= 0 && qHi <= 1 && qLo <= qHi,

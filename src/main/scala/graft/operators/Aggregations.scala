@@ -562,4 +562,86 @@ object Aggregations {
         expr(s"(__cum * ${bins}L) div __n").as("bin"))
     df.join(binned, col(valueCol) === col("__v"), "left").drop("__v")
   }
+
+  /** Per-GROUP [[quantileBin]] — equal-frequency binning WITHIN each
+    * slice (per-language length deciles: one language's "long" is
+    * another's median, so a global grid mis-bins every slice): bin(v)
+    * = (rank_before_in_group · B) div n_g over the per-group
+    * distinct-value table, tied values share a bin, each group's bins
+    * are as equal as its tie structure allows. The cumulative rides
+    * the KEYED distributed prefix (a hot group splits across range
+    * slices — no per-key window task), group totals read the PINNED
+    * frame, and the (keys, value) → bin table joins back onto the
+    * rows null-safe (distinct-value-bounded build side). NULL values
+    * keep a NULL bin. Output: input columns + `bin`. */
+  def quantileBinBy(df: org.apache.spark.sql.DataFrame,
+                    keyCols: Seq[String], valueCol: String,
+                    bins: Int): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "quantileBinBy needs key columns; use quantileBin")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val (shared, pre) = graft.operators.Analytics
+      .prefixBeforeByShared(counts, keyCols, "__v", col("__c"))
+    val binned = joinGroupTotals(pre, shared, keyCols)
+      .select(keyCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__bk$i") } ++
+        Seq(col("__v"), expr(s"(__cum * ${bins}L) div __n").as("bin")): _*)
+    val cond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__bk$i") }
+      .reduce(_ && _) && col(valueCol) === col("__v")
+    df.join(binned, cond, "left")
+      .drop(keyCols.indices.map(i => s"__bk$i") :+ "__v": _*)
+  }
+
+  /** Winsorize TRANSFORM with percentile_cont fences — the row-level
+    * companion of [[winsorizedMean]] (the mean reports; this returns
+    * the CLAMPED table for downstream training) and the
+    * HOT-SLICE-SAFE sibling of [[graft.functions.ML.winsorize]]
+    * (which takes quantile_disc member-value fences from a per-key
+    * ranking window — per-key-sequential by design, the right tool at
+    * many-small-groups scale): here the fences are EXACT interpolated
+    * percentile_cont values from [[quantilesCont]]/[[quantilesContBy]]
+    * — the keyed distributed prefix, so ONE group owning most of the
+    * corpus splits across range slices instead of serializing through
+    * a window task — joined back 2-rows-per-group. The two forms
+    * differ exactly as quantile_disc vs percentile_cont differ (a
+    * fence BETWEEN two members interpolates here, snaps to a member
+    * there). keyCols empty = global fences. NULL values stay NULL.
+    * Output: input columns + `<valueCol>_winsorized`. */
+  def winsorizeCont(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                valueCol: String, pLo: Double, pHi: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val out = s"${valueCol}_winsorized"
+    if (keyCols.isEmpty) {
+      val f = quantilesCont(df, valueCol, Seq(pLo, pHi))
+        .agg(min(when(col("p") === pLo, col("value"))).as("__flo"),
+          min(when(col("p") === pHi, col("value"))).as("__fhi"))
+      df.crossJoin(broadcast(f))
+        .withColumn(out,
+          // greatest/least SKIP nulls - guard so NULL values stay NULL
+          when(col(valueCol).isNotNull,
+            least(greatest(col(valueCol).cast("double"), col("__flo")),
+              col("__fhi"))))
+        .drop("__flo", "__fhi")
+    } else {
+      val fences = quantilesContBy(df, keyCols, valueCol, Seq(pLo, pHi))
+        .groupBy(keyCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__wk$i") }: _*)
+        .agg(min(when(col("p") === pLo, col("value"))).as("__flo"),
+          min(when(col("p") === pHi, col("value"))).as("__fhi"))
+      val cond = keyCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> col(s"__wk$i") }.reduce(_ && _)
+      df.join(fences, cond, "left")
+        .withColumn(out,
+          when(col(valueCol).isNotNull,
+            least(greatest(col(valueCol).cast("double"), col("__flo")),
+              col("__fhi"))))
+        .drop(keyCols.indices.map(i => s"__wk$i") :+ "__flo" :+ "__fhi": _*)
+    }
+  }
 }

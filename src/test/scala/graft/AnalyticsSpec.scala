@@ -2008,6 +2008,77 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantileBinBy: per-group equal-frequency bins == the global " +
+    "binner run per slice; tied values share a bin; NULL value NULL " +
+    "bin; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 10.0), ("b", 30.0), ("b", 40.0))
+    val df = rows.toDF("k", "v")
+    val by = graft.operators.Aggregations.quantileBinBy(df, Seq("k"), "v", 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Long]("bin")).toMap
+    for (g <- Seq("a", "b")) {
+      val slice = rows.filter(_._1 == g).map(_._2).toDF("v")
+      val glob = graft.operators.Aggregations.quantileBin(slice, "v", 2)
+        .collect().map(r => r.getDouble(0) -> r.getAs[Long]("bin")).toMap
+      rows.filter(_._1 == g).foreach { case (_, v) =>
+        assert(by((g, v)) == glob(v), s"quantileBinBy $g v=$v") }
+    }
+    // the b-group tie at 10 shares bin 0
+    assert(by(("b", 10.0)) == 0L && by(("b", 30.0)) == 1L)
+    // NULL value keeps a NULL bin
+    val withNull = (rows.map { case (k, v) => (k, Option(v)) } :+
+      (("a", Option.empty[Double]))).toDF("k", "v")
+    val nullRow = graft.operators.Aggregations
+      .quantileBinBy(withNull, Seq("k"), "v", 2)
+      .filter(col("v").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(
+      nullRow.head.fieldIndex("bin")))
+    partitionSweep { p =>
+      graft.operators.Aggregations.quantileBinBy(df.repartition(p),
+          Seq("k"), "v", 2)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    }
+  }
+
+  test("winsorizeCont: per-group percentile_cont fences clamp both " +
+    "tails; global form; NULL value stays NULL; partition sweep") {
+    import spark.implicits._
+    // 0..10 per group, p10/p90 fences = 1.0/9.0 (t = p·(n−1) integral)
+    val rows = (0 to 10).map(i => ("a", i.toDouble)) ++
+      (0 to 10).map(i => ("b", i * 10.0))
+    val df = rows.toDF("k", "v")
+    val w = graft.operators.Aggregations
+      .winsorizeCont(df, Seq("k"), "v", 0.1, 0.9)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("v_winsorized")).toMap
+    assert(w(("a", 0.0)) == 1.0 && w(("a", 10.0)) == 9.0)
+    assert(w(("a", 5.0)) == 5.0)
+    assert(w(("b", 0.0)) == 10.0 && w(("b", 100.0)) == 90.0)
+    // global form: pooled fences
+    val g = graft.operators.Aggregations
+      .winsorizeCont(df, Nil, "v", 0.0, 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("v_winsorized")).toMap
+    // pooled p50 of the 22 values: sorted has 9.5 at the median slot
+    assert(g(("b", 100.0)) == g(("b", 50.0)), "upper tail clamps to p50")
+    assert(g(("a", 0.0)) == 0.0, "pLo = 0 leaves the lower tail alone")
+    // NULL value stays NULL (greatest/least skip nulls — guarded)
+    val withNull = (rows.map { case (k, v) => (k, Option(v)) } :+
+      (("a", Option.empty[Double]))).toDF("k", "v")
+    val nl = graft.operators.Aggregations
+      .winsorizeCont(withNull, Seq("k"), "v", 0.1, 0.9)
+      .filter(col("v").isNull).collect()
+    assert(nl.length == 1 &&
+      nl.head.isNullAt(nl.head.fieldIndex("v_winsorized")))
+    partitionSweep { p =>
+      graft.operators.Aggregations.winsorizeCont(df.repartition(p),
+          Seq("k"), "v", 0.1, 0.9)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    }
+  }
+
   test("prefixBefore (global): the pid-clustered claim elides the " +
     "window-side hash exchange — no hashpartitioning(__pid) anywhere " +
     "in the final plan (round 16), while results stay the proven " +
