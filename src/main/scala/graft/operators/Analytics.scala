@@ -884,6 +884,146 @@ object Analytics {
             .cast("double")).as("w1")): _*)
   }
 
+  /** Exact two-sample ENERGY distance — the moment-free drift statistic
+    * beside the ECDF trio ([[ksTest]]/[[wasserstein1]]/
+    * [[cramerVonMises]] compare CDFs pointwise; energy distance
+    *   E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|
+    * is zero IFF the distributions are equal and metrizes weak
+    * convergence, so it catches shape drifts — variance inflation,
+    * bimodality — that a location-focused statistic underweights; in
+    * 1-D, E = 2·∫(F_a−F_b)² dx, the unweighted-L2 complement of CvM's
+    * pooled weighting). Computed EXACTLY without the naive O(n²) pair
+    * enumeration: each pair-distance mean over sorted distinct values
+    * is a prefix-sum identity,
+    *   Σᵢⱼ cxᵢ·cyⱼ·|vᵢ−vⱼ| = Σⱼ cyⱼ·(vⱼ·CXⱼ − SXⱼ)
+    *                        + Σⱼ cxⱼ·(vⱼ·CYⱼ − SYⱼ),
+    * with CX/SX the strictly-before count/value-mass prefixes — so all
+    * three means ride ONE [[prefixBeforeMulti]] pass (four weights:
+    * both counts, both value masses) over the distinct values; totals
+    * broadcast from the PINNED ranged frame. Exactness: values
+    * quantize to 1e-12 integer quanta (decimal(28,12) HALF_UP then
+    * ×1e12 — integral by construction, replayable; |v| < 9.2e6 fits
+    * the long), prefixes accumulate in decimal(38,0) (exact integer
+    * adds), and each per-value term is a pinned double summed as
+    * decimal(38,12) (order-independent; 26 integer digits hold
+    * Σ ≈ n_a·n_b·mean|Δ| through ~1e12-pair regimes). Either group
+    * empty → NULL (undefined). Output: one row (n_a, n_b, m_ab, m_aa,
+    * m_bb, energy) with m_xy = mean pairwise |distance| (V-statistic
+    * normalization n_x·n_y). */
+  def energyDistance(df: DataFrame, groupCol: String, valueCol: String,
+                     groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__vq",
+        (col("__v").cast("decimal(28,12)") * lit(1000000000000L))
+          .cast("long"))
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val (eShared, pre) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb"),
+        "sa" -> (dec38(col("__vq")) * col("__ca")),
+        "sb" -> (dec38(col("__vq")) * col("__cb"))))
+    val tot = eShared.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val dec3812 = (c: Column) => c.cast("decimal(38,12)")
+    val terms = pre
+      .withColumn("__ga",
+        d(dec38(col("__vq")) * col("__cum_a") - col("__cum_sa")))
+      .withColumn("__gb",
+        d(dec38(col("__vq")) * col("__cum_b") - col("__cum_sb")))
+    terms
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(
+        sum(dec3812((col("__ga") * d(col("__cb")) +
+          col("__gb") * d(col("__ca"))) / lit(1e12)))
+          .cast("double").as("__sab"),
+        sum(dec3812(lit(2.0) * col("__ga") * d(col("__ca")) / lit(1e12)))
+          .cast("double").as("__saa"),
+        sum(dec3812(lit(2.0) * col("__gb") * d(col("__cb")) / lit(1e12)))
+          .cast("double").as("__sbb"))
+      .withColumn("m_ab",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__sab") / (d(col("n_a")) * d(col("n_b")))))
+      .withColumn("m_aa",
+        when(col("n_a") > 0, col("__saa") / (d(col("n_a")) * d(col("n_a")))))
+      .withColumn("m_bb",
+        when(col("n_b") > 0, col("__sbb") / (d(col("n_b")) * d(col("n_b")))))
+      .withColumn("energy",
+        lit(2.0) * col("m_ab") - col("m_aa") - col("m_bb"))
+      .drop("__sab", "__saa", "__sbb")
+  }
+
+  /** Per-GROUP [[energyDistance]] — the sliced form (per language, per
+    * source, per day: a shape drift inside one slice dilutes out of the
+    * pooled statistic). Same prefix-sum identity per group: the four
+    * cumulatives ride the KEYED distributed prefix (compound range
+    * exchange on (keys, value) — a hot slice splits across range
+    * partitions instead of serializing through one window task), and
+    * the per-group totals are keys-sized aggregates of the PINNED
+    * frame joined back null-safe. Slices missing a group emit NULL
+    * energy. Output: key columns + (n_a, n_b, m_ab, m_aa, m_bb,
+    * energy). */
+  def energyDistanceBy(df: DataFrame, keyCols: Seq[String],
+                       groupCol: String, valueCol: String,
+                       groupA: String, groupB: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "energyDistanceBy needs key columns; use energyDistance")
+    def d(c: Column) = c.cast("double")
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(keys :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__vq",
+        (col("__v").cast("decimal(28,12)") * lit(1000000000000L))
+          .cast("long"))
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val (eShared, pre) = prefixBeforeMultiByShared(counts, keyCols,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb"),
+        "sa" -> (dec38(col("__vq")) * col("__ca")),
+        "sb" -> (dec38(col("__vq")) * col("__cb"))))
+    def renameKeys(df2: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(df2) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val tot = renameKeys(eShared.groupBy(keys: _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb")), "t")
+    val dec3812 = (c: Column) => c.cast("decimal(38,12)")
+    pre
+      .withColumn("__ga",
+        d(dec38(col("__vq")) * col("__cum_a") - col("__cum_sa")))
+      .withColumn("__gb",
+        d(dec38(col("__vq")) * col("__cum_b") - col("__cum_sb")))
+      .join(tot, keyJoin("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+      .groupBy(keys :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(
+        sum(dec3812((col("__ga") * d(col("__cb")) +
+          col("__gb") * d(col("__ca"))) / lit(1e12)))
+          .cast("double").as("__sab"),
+        sum(dec3812(lit(2.0) * col("__ga") * d(col("__ca")) / lit(1e12)))
+          .cast("double").as("__saa"),
+        sum(dec3812(lit(2.0) * col("__gb") * d(col("__cb")) / lit(1e12)))
+          .cast("double").as("__sbb"))
+      .withColumn("m_ab",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__sab") / (d(col("n_a")) * d(col("n_b")))))
+      .withColumn("m_aa",
+        when(col("n_a") > 0, col("__saa") / (d(col("n_a")) * d(col("n_a")))))
+      .withColumn("m_bb",
+        when(col("n_b") > 0, col("__sbb") / (d(col("n_b")) * d(col("n_b")))))
+      .withColumn("energy",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          lit(2.0) * col("m_ab") - col("m_aa") - col("m_bb")))
+      .drop("__sab", "__saa", "__sbb")
+  }
+
   /** Two-sample Cramér–von Mises statistic — the weighted-L2 member
     * completing the two-sample ECDF trio (sup: [[ksTest]], L1:
     * [[wasserstein1]], pooled-weighted L2: this — more sensitive than
@@ -2613,6 +2753,124 @@ object Analytics {
       .orderBy("t")
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator — [[kaplanMeier]]'s
+    * hazard-scale sibling (KM estimates survival S(t), NA estimates the
+    * cumulative hazard H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ directly; H is the
+    * quantity additive across time, so it is the right scale for
+    * comparing event intensity between cohorts or reading off hazard
+    * slope changes). Aalen's variance estimate Σ dᵢ/nᵢ² rides along.
+    * Same plan as KM: one (duration) count aggregate, at-risk counts
+    * from the strictly-before prefix (pass 1, totals read from the
+    * PINNED ranged frame), then both increments accumulated as exact
+    * 1e-12 quanta through the second inclusive prefix — Σd/n ≤ H_max ≈
+    * ln N at the no-censoring extreme, so the quantized sum stays
+    * ≪ 2⁶³ and long addition is exact and order-independent (the KM
+    * log-term contract, reused verbatim). Output: one row per distinct
+    * EVENT time, ascending — (t, n_risk, d, c, cum_hazard,
+    * var_hazard). */
+  def nelsonAalen(df: DataFrame, durationCol: String, event: Column)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).as("__t"))
+      .agg(sum(when(event, 1L).otherwise(0L)).as("__d"),
+        sum(when(event, 0L).otherwise(1L)).as("__c"))
+    val (naShared, atRisk0) =
+      prefixBeforeShared(counts, "__t", col("__d") + col("__c"))
+    val n = naShared.agg(sum(col("__d") + col("__c")).as("__n"))
+    val atRisk = atRisk0
+      .crossJoin(broadcast(n))
+      .withColumn("__risk", col("__n") - col("__cum"))
+      .drop("__cum", "__n")
+    def quanta(x: Column) =
+      (x.cast("decimal(28,12)") * lit(1000000000000L)).cast("long")
+    val terms = atRisk
+      .withColumn("__h",
+        when(col("__d") > 0, quanta(d(col("__d")) / d(col("__risk"))))
+          .otherwise(0L))
+      .withColumn("__v",
+        when(col("__d") > 0,
+          quanta(d(col("__d")) / (d(col("__risk")) * d(col("__risk")))))
+          .otherwise(0L))
+    val cum = prefixBeforeMulti(terms, "__t",
+      Seq("h" -> col("__h"), "v" -> col("__v")))
+    cum.filter(col("__d") > 0)
+      .select(col("__t").as("t"), col("__risk").as("n_risk"),
+        col("__d").as("d"), col("__c").as("c"),
+        ((col("__cum_h") + col("__h")).cast("double") / lit(1e12))
+          .as("cum_hazard"),
+        ((col("__cum_v") + col("__v")).cast("double") / lit(1e12))
+          .as("var_hazard"))
+      .orderBy("t")
+  }
+
+  /** Two-group log-rank test — "do cohorts A and B have the same
+    * survival curve", the inferential companion to eyeballing two
+    * [[kaplanMeier]] overlays (time-to-purchase treatment vs control;
+    * document lifetime crawl A vs crawl B with censoring). At each
+    * pooled distinct EVENT time t: nₐ, n_b at risk, dₐ, d_b events;
+    * under H₀ the A-deaths are hypergeometric, so
+    *   Eₐ(t) = d·nₐ/n,   V(t) = d·nₐ·n_b·(n−d) / (n²·(n−1)),
+    * and Z = (Oₐ − Eₐ)/√ΣV, χ² = Z². Plan: one (duration)-grouped
+    * count aggregate with per-group event/censor counts, BOTH groups'
+    * at-risk prefixes from ONE [[prefixBeforeMulti]] pass over the
+    * pooled distinct durations (totals broadcast from the PINNED
+    * ranged frame — never a second counts execution), then one final
+    * one-row aggregate: Oₐ is an exact long sum, Eₐ and V accumulate
+    * as pinned doubles cast decimal(28,12) (order-independent, the
+    * repo's sum contract). Everything after the first aggregate is
+    * distinct-duration-bounded. Groups with no overlap in time still
+    * test correctly (V terms need n ≥ 2 at-risk; times with d = 0
+    * contribute nothing). Either group entirely absent → NULL z/chi2.
+    * Output: one row (n_a, n_b, o_a, e_a, v, z, chi2). */
+  def logRankTest(df: DataFrame, groupCol: String, durationCol: String,
+                  event: Column, groupA: String, groupB: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val counts = df
+      .filter(col(durationCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .groupBy(col(durationCol).as("__t"))
+      .agg(
+        sum(when(col(groupCol) === groupA && event, 1L).otherwise(0L))
+          .as("__da"),
+        sum(when(col(groupCol) === groupA && !event, 1L).otherwise(0L))
+          .as("__ca"),
+        sum(when(col(groupCol) === groupB && event, 1L).otherwise(0L))
+          .as("__db"),
+        sum(when(col(groupCol) === groupB && !event, 1L).otherwise(0L))
+          .as("__cb"))
+    val (lrShared, pre) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__t", Seq("a" -> (col("__da") + col("__ca")),
+        "b" -> (col("__db") + col("__cb"))))
+    val tot = lrShared.agg(
+      sum(col("__da") + col("__ca")).as("__na"),
+      sum(col("__db") + col("__cb")).as("__nb"))
+    val risked = pre.crossJoin(broadcast(tot))
+      .withColumn("__ra", col("__na") - col("__cum_a"))
+      .withColumn("__rb", col("__nb") - col("__cum_b"))
+      .withColumn("__nt", col("__ra") + col("__rb"))
+      .withColumn("__dt", col("__da") + col("__db"))
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    risked
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(
+        sum(col("__da")).as("o_a"),
+        sum(dec28(when(col("__dt") > 0,
+          d(col("__dt")) * d(col("__ra")) / d(col("__nt")))
+          .otherwise(lit(0.0)))).cast("double").as("e_a"),
+        sum(dec28(when(col("__dt") > 0 && col("__nt") > 1,
+          d(col("__dt")) * d(col("__ra")) * d(col("__rb")) *
+            (d(col("__nt")) - d(col("__dt"))) /
+            (d(col("__nt")) * d(col("__nt")) *
+              (d(col("__nt")) - lit(1.0))))
+          .otherwise(lit(0.0)))).cast("double").as("v"))
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 && col("v") > 0,
+          (d(col("o_a")) - col("e_a")) / sqrt(col("v"))))
+      .withColumn("chi2", col("z") * col("z"))
+  }
+
   /** Kendall τ-b rank correlation — the concordance-based complement of
     * [[spearman]] (τ weights pair AGREEMENT, ρ weights rank distance;
     * τ-b is the tie-corrected form): from the (x,y)-pair count table,
@@ -3097,6 +3355,196 @@ object Analytics {
             (col("n").cast("double") + 1.0) * col("__sv").cast("double")) /
             (col("n").cast("double") * col("__sv").cast("double"))))
       .select(keys ++ Seq(col("n"), col("gini")): _*)
+  }
+
+  /** Theil inequality indices of a POSITIVE value column — [[gini]]'s
+    * decomposable siblings (Theil T and L are the two entropy-class
+    * inequality measures; unlike Gini they split exactly into
+    * within-group + between-group terms, which is why corpus audits
+    * prefer them for "is the concentration inside domains or across
+    * domains" questions):
+    *   T = (1/n) Σ (xᵢ/μ) ln(xᵢ/μ) = [Σ x ln x]/(n·μ) − ln μ
+    *   L = (1/n) Σ ln(μ/xᵢ)        = ln μ − [Σ ln x]/n   (MLD)
+    * ONE map-side-combined scan: n (long), Σx (exact decimal — the
+    * gini scale contract), and the two pinned per-row double terms
+    * x·ln x and ln x accumulated as decimal(28,12)
+    * (order-independent), then one pinned double chain. Non-positive
+    * values are EXCLUDED (ln is undefined there — Theil's domain
+    * contract) and reported as n_excluded so a silent drop is visible.
+    * All-equal values give exactly T = L = 0 up to the pinned chain.
+    * Output: one row (n, n_excluded, mean, theil_t, theil_l). */
+  def theilIndex(df: DataFrame, valueCol: String, scale: Int = 2)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol)
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    df.filter(v.isNotNull)
+      .agg(
+        sum(when(v > 0, 1L).otherwise(0L)).as("n"),
+        sum(when(v <= 0, 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(v > 0, v.cast(s"decimal(18,$scale)"))).as("__s"),
+        sum(when(v > 0, dec28(d(v) * log(d(v)))))
+          .cast("double").as("__sxlx"),
+        sum(when(v > 0, dec28(log(d(v))))).cast("double").as("__slx"))
+      .withColumn("mean",
+        when(col("n") > 0, col("__s").cast("double") / d(col("n"))))
+      .withColumn("theil_t",
+        when(col("n") > 0 && col("mean") > 0,
+          col("__sxlx") / (d(col("n")) * col("mean")) - log(col("mean"))))
+      .withColumn("theil_l",
+        when(col("n") > 0 && col("mean") > 0,
+          log(col("mean")) - col("__slx") / d(col("n"))))
+      .select("n", "n_excluded", "mean", "theil_t", "theil_l")
+  }
+
+  /** Per-GROUP [[theilIndex]] — the within-slice inequality profile
+    * (per-domain token-mass inequality, per-language spend
+    * concentration). Identical pinned chain per group; one grouped
+    * map-side-combined aggregate, nothing shuffles but keys-sized
+    * partials. Output: key columns + (n, n_excluded, mean, theil_t,
+    * theil_l). */
+  def theilIndexBy(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                   scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "theilIndexBy needs key columns; use theilIndex")
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol)
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    df.filter(v.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(v > 0, 1L).otherwise(0L)).as("n"),
+        sum(when(v <= 0, 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(v > 0, v.cast(s"decimal(18,$scale)"))).as("__s"),
+        sum(when(v > 0, dec28(d(v) * log(d(v)))))
+          .cast("double").as("__sxlx"),
+        sum(when(v > 0, dec28(log(d(v))))).cast("double").as("__slx"))
+      .withColumn("mean",
+        when(col("n") > 0, col("__s").cast("double") / d(col("n"))))
+      .withColumn("theil_t",
+        when(col("n") > 0 && col("mean") > 0,
+          col("__sxlx") / (d(col("n")) * col("mean")) - log(col("mean"))))
+      .withColumn("theil_l",
+        when(col("n") > 0 && col("mean") > 0,
+          log(col("mean")) - col("__slx") / d(col("n"))))
+      .drop("__s", "__sxlx", "__slx")
+  }
+
+  /** Atkinson inequality index of a POSITIVE value column at aversion
+    * ε > 0 — the welfare-normative member beside [[theilIndex]] (ε
+    * tunes how much the index weights the bottom of the distribution;
+    * A ∈ [0,1) reads directly as "the share of total value society
+    * would give up for perfect equality"):
+    *   ε = 1:  A = 1 − exp((1/n) Σ ln x)/μ      (geometric/arithmetic)
+    *   ε ≠ 1:  A = 1 − [(1/n) Σ (xᵢ)^{1−ε}]^{1/(1−ε)} / μ
+    * ONE map-side-combined scan (n, exact-decimal Σx, the pinned
+    * per-row term ln x or x^{1−ε} as decimal(28,12)), one pinned
+    * double chain. Non-positive values excluded and counted
+    * (n_excluded), the theilIndex domain contract. Output: one row
+    * (n, n_excluded, mean, atkinson). */
+  def atkinsonIndex(df: DataFrame, valueCol: String, epsilon: Double = 1.0,
+                    scale: Int = 2): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol)
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val term =
+      if (epsilon == 1.0) log(d(v)) else pow(d(v), lit(1.0 - epsilon))
+    val agg0 = df.filter(v.isNotNull)
+      .agg(
+        sum(when(v > 0, 1L).otherwise(0L)).as("n"),
+        sum(when(v <= 0, 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(v > 0, v.cast(s"decimal(18,$scale)"))).as("__s"),
+        sum(when(v > 0, dec28(term))).cast("double").as("__st"))
+      .withColumn("mean",
+        when(col("n") > 0, col("__s").cast("double") / d(col("n"))))
+    val ede =
+      if (epsilon == 1.0) exp(col("__st") / d(col("n")))
+      else pow(col("__st") / d(col("n")), lit(1.0 / (1.0 - epsilon)))
+    agg0
+      .withColumn("atkinson",
+        when(col("n") > 0 && col("mean") > 0, lit(1.0) - ede / col("mean")))
+      .select("n", "n_excluded", "mean", "atkinson")
+  }
+
+  /** Herfindahl–Hirschman concentration of a grouping column — "how
+    * concentrated is the corpus across domains / the spend across
+    * suppliers": HHI = Σ_g s_g² over the group shares s_g (share of
+    * row count, or of `weightCol` mass when given). Also reported
+    * normalized to [0,1] ((HHI − 1/k)/(1 − 1/k), NULL at k = 1) and
+    * as the effective group count 1/HHI (the "how many domains does
+    * this corpus effectively have" number). One grouped aggregate
+    * (groups-sized), one keys-sized second aggregate: each share is a
+    * pinned double of exact sums, each s² term summed as
+    * decimal(28,12) — order-independent, Σ ≤ 1 by construction.
+    * Output: one row (k, hhi, hhi_norm, effective_k). */
+  def herfindahl(df: DataFrame, groupCol: String,
+                 weightCol: Option[String] = None, scale: Int = 2)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val mass = weightCol match {
+      case Some(w) => sum(col(w).cast(s"decimal(18,$scale)"))
+        .cast("decimal(38,6)").as("__m")
+      case None => count(lit(1)).cast("decimal(38,6)").as("__m")
+    }
+    val g = df.filter(col(groupCol).isNotNull &&
+        weightCol.map(w => col(w).isNotNull).getOrElse(lit(true)))
+      .groupBy(col(groupCol)).agg(mass)
+    val tot = g.agg(sum(col("__m")).as("__t"))
+    g.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("k"),
+        sum(dec28((d(col("__m")) / d(col("__t"))) *
+          (d(col("__m")) / d(col("__t")))))
+          .cast("double").as("hhi"))
+      .withColumn("hhi_norm",
+        when(col("k") > 1,
+          (col("hhi") - lit(1.0) / d(col("k"))) /
+            (lit(1.0) - lit(1.0) / d(col("k")))))
+      .withColumn("effective_k",
+        when(col("hhi") > 0, lit(1.0) / col("hhi")))
+  }
+
+  /** Per-SLICE [[herfindahl]] — concentration within each key group
+    * (per-language domain concentration: one language collapsing onto
+    * a single crawl host is invisible to the pooled HHI). Same pinned
+    * share chain; the per-slice totals are keys-sized aggregates
+    * joined back (never assumed broadcastable). Output: key columns +
+    * (k, hhi, hhi_norm, effective_k). */
+  def herfindahlBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                   weightCol: Option[String] = None, scale: Int = 2)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "herfindahlBy needs key columns; use herfindahl")
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val keys = keyCols.map(col)
+    val mass = weightCol match {
+      case Some(w) => sum(col(w).cast(s"decimal(18,$scale)"))
+        .cast("decimal(38,6)").as("__m")
+      case None => count(lit(1)).cast("decimal(38,6)").as("__m")
+    }
+    val g = df.filter(col(groupCol).isNotNull &&
+        weightCol.map(w => col(w).isNotNull).getOrElse(lit(true)))
+      .groupBy(keys :+ col(groupCol): _*).agg(mass)
+    def renameKeys(df2: DataFrame, tag: String): DataFrame =
+      keyCols.zipWithIndex.foldLeft(df2) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String): Column = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val tot = renameKeys(g.groupBy(keys: _*)
+      .agg(sum(col("__m")).as("__t")), "t")
+    g.join(tot, keyJoin("t"))
+      .drop(keyCols.indices.map(i => s"__t$i"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("k"),
+        sum(dec28((d(col("__m")) / d(col("__t"))) *
+          (d(col("__m")) / d(col("__t")))))
+          .cast("double").as("hhi"))
+      .withColumn("hhi_norm",
+        when(col("k") > 1,
+          (col("hhi") - lit(1.0) / d(col("k"))) /
+            (lit(1.0) - lit(1.0) / d(col("k")))))
+      .withColumn("effective_k",
+        when(col("hhi") > 0, lit(1.0) / col("hhi")))
   }
 
   /** First-significant-digit distribution of a positive numeric column

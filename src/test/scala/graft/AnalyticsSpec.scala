@@ -2734,4 +2734,164 @@ class AnalyticsSpec extends SparkSpec {
     assert(by("g2").isNullAt(4) && by("g2").isNullAt(5))
     assert(by("g1").getLong(2) == 2L && by("g1").getLong(3) == 1L)
   }
+
+  test("nelsonAalen: hand cumulative hazard + Aalen variance; " +
+    "censor-only times emit no row but shrink the risk set; " +
+    "partition sweep") {
+    import spark.implicits._
+    // events at t=1 (risk 4) and t=3 (risk 2), censorings at 2 and 4:
+    // H(1) = 1/4, H(3) = 1/4 + 1/2 = 3/4; var 1/16 then 1/16 + 1/4
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("dur", "ev")
+    val r = Analytics.nelsonAalen(df, "dur", col("ev")).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))).toSeq == Seq((1L, 4L, 1L, 0L), (3L, 2L, 1L, 0L)))
+    assert(math.abs(r(0).getDouble(4) - 0.25) < 1e-9)
+    assert(math.abs(r(0).getDouble(5) - 0.0625) < 1e-9)
+    assert(math.abs(r(1).getDouble(4) - 0.75) < 1e-9)
+    assert(math.abs(r(1).getDouble(5) - 0.3125) < 1e-9)
+    partitionSweep { p =>
+      Analytics.nelsonAalen(df.repartition(p), "dur", col("ev"))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("logRankTest: hand hypergeometric O-E-V chain; times with no " +
+    "event contribute nothing; one-sided group NULLs; partition sweep") {
+    import spark.implicits._
+    // A: events at 1, 2; B: event at 2, censored at 3.
+    // t=1: ra=2 rb=2 d=1 da=1 -> E+=0.5, V+=1*2*2*3/(16*3)=0.25
+    // t=2: ra=1 rb=2 d=2 da=1 -> E+=2/3, V+=2*1*2*1/(9*2)=2/9
+    // t=3: no events. O=2, E=7/6, V=17/36
+    val df = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 2L, true), ("b", 3L, false)).toDF("g", "dur", "ev")
+    val r = Analytics.logRankTest(df, "g", "dur", col("ev"), "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 7.0 / 6.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 17.0 / 36.0) < 1e-9)
+    val z = (2.0 - 7.0 / 6.0) / math.sqrt(17.0 / 36.0)
+    assert(math.abs(r.getDouble(5) - z) < 1e-9)
+    assert(math.abs(r.getDouble(6) - z * z) < 1e-9)
+    // group b entirely absent: test undefined, z/chi2 NULL
+    val solo = Analytics.logRankTest(
+      df.filter(col("g") === "a"), "g", "dur", col("ev"), "a", "b")
+      .collect().head
+    assert(solo.isNullAt(5) && solo.isNullAt(6))
+    partitionSweep { p =>
+      Analytics.logRankTest(df.repartition(p), "g", "dur", col("ev"),
+        "a", "b").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("energyDistance: hand pair-distance means via the prefix " +
+    "identity; equal distributions give exactly 0; missing group " +
+    "NULLs; By == global per slice; partition sweep") {
+    import spark.implicits._
+    // A = {0, 2}, B = {1, 3}: m_ab = 6/4, m_aa = 4/4, m_bb = 4/4, E = 1
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Analytics.energyDistance(df, "g", "v", "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 1.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-9)
+    // identical distributions: E exactly 0 (the metric's zero axiom)
+    val eq = Analytics.energyDistance(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v"),
+      "g", "v", "a", "b").collect().head
+    assert(math.abs(eq.getDouble(5)) < 1e-12)
+    // group b absent: energy NULL, not zero
+    val solo = Analytics.energyDistance(
+      df.filter(col("g") === "a"), "g", "v", "a", "b").collect().head
+    assert(solo.isNullAt(2) && solo.isNullAt(5))
+    // By == global per slice (s0 = hand case, s1 = equal dists)
+    val sliced = Seq(
+      (0L, "a", 0.0), (0L, "a", 2.0), (0L, "b", 1.0), (0L, "b", 3.0),
+      (1L, "a", 1.0), (1L, "a", 2.0), (1L, "b", 1.0), (1L, "b", 2.0))
+      .toDF("s", "g", "v")
+    val by = Analytics.energyDistanceBy(sliced, Seq("s"), "g", "v",
+      "a", "b").collect().map(x => x.getLong(0) -> x).toMap
+    assert(math.abs(by(0L).getDouble(6) - 1.0) < 1e-9)
+    assert(math.abs(by(1L).getDouble(6)) < 1e-12)
+    partitionSweep { p =>
+      Analytics.energyDistance(df.repartition(p), "g", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("theilIndex: hand T = L = ln2/3 fixture; all-equal gives 0; " +
+    "non-positive excluded and counted; By == global per slice") {
+    import spark.implicits._
+    // {1, 1, 4}: mu = 2, T = 8ln2/6 - ln2 = ln2/3, L = ln2 - 2ln2/3
+    val df = Seq(1.0, 1.0, 4.0).toDF("v")
+    val r = Analytics.theilIndex(df, "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.log(2.0) / 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - math.log(2.0) / 3.0) < 1e-9)
+    val eq = Analytics.theilIndex(Seq(5.0, 5.0).toDF("v"), "v")
+      .collect().head
+    assert(math.abs(eq.getDouble(3)) < 1e-9 &&
+      math.abs(eq.getDouble(4)) < 1e-9)
+    val ex = Analytics.theilIndex(
+      Seq(2.0, 0.0, -1.0, 2.0).toDF("v"), "v").collect().head
+    assert(ex.getLong(0) == 2L && ex.getLong(1) == 2L)
+    val by = Analytics.theilIndexBy(
+      Seq(("s0", 1.0), ("s0", 1.0), ("s0", 4.0), ("s1", 5.0), ("s1", 5.0))
+        .toDF("s", "v"), Seq("s"), "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(by("s0").getDouble(4) - math.log(2.0) / 3.0) < 1e-9)
+    assert(math.abs(by("s1").getDouble(4)) < 1e-9)
+  }
+
+  test("atkinsonIndex: eps=1 geometric form and eps=0.5 pow form on " +
+    "the {1,4} hand case; all-equal gives 0") {
+    import spark.implicits._
+    val df = Seq(1.0, 4.0).toDF("v")
+    // eps=1: 1 - geomean/mu = 1 - 2/2.5
+    val a1 = Analytics.atkinsonIndex(df, "v", epsilon = 1.0)
+      .collect().head
+    assert(math.abs(a1.getDouble(3) - 0.2) < 1e-9)
+    // eps=0.5: 1 - ((1+2)/2)^2 / 2.5 = 1 - 2.25/2.5
+    val a05 = Analytics.atkinsonIndex(df, "v", epsilon = 0.5)
+      .collect().head
+    assert(math.abs(a05.getDouble(3) - 0.1) < 1e-9)
+    val eq = Analytics.atkinsonIndex(Seq(3.0, 3.0).toDF("v"), "v")
+      .collect().head
+    assert(math.abs(eq.getDouble(3)) < 1e-9)
+  }
+
+  test("herfindahl: hand count and weighted shares; k=1 NULL norm; " +
+    "By == global per slice; partition sweep") {
+    import spark.implicits._
+    // counts a,a,a,b: shares .75/.25 -> hhi .625, norm .25, eff 1.6
+    val df = Seq("a", "a", "a", "b").toDF("g")
+    val r = Analytics.herfindahl(df, "g").collect().head
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) - 0.625) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.6) < 1e-9)
+    // weighted: a mass 1, b mass 3 -> hhi = 1/16 + 9/16 = 0.625
+    val w = Analytics.herfindahl(
+      Seq(("a", 1.0), ("b", 2.0), ("b", 1.0)).toDF("g", "w"),
+      "g", Some("w")).collect().head
+    assert(math.abs(w.getDouble(1) - 0.625) < 1e-9)
+    // single group: hhi 1, norm NULL (undefined), eff 1
+    val one = Analytics.herfindahl(Seq("a", "a").toDF("g"), "g")
+      .collect().head
+    assert(math.abs(one.getDouble(1) - 1.0) < 1e-9 && one.isNullAt(2))
+    val by = Analytics.herfindahlBy(
+      Seq(("s0", "a"), ("s0", "a"), ("s0", "a"), ("s0", "b"),
+        ("s1", "a"), ("s1", "b")).toDF("s", "g"), Seq("s"), "g")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(by("s0").getDouble(2) - 0.625) < 1e-9)
+    assert(math.abs(by("s1").getDouble(2) - 0.5) < 1e-9)
+    partitionSweep { p =>
+      Analytics.herfindahl(df.repartition(p), "g")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
