@@ -2919,6 +2919,62 @@ object Analytics {
             sqrt(col("__d1") * col("__d2"))).as("tau_b"))
   }
 
+  /** Ordinal-association summary — Goodman–Kruskal γ and BOTH Somers'
+    * D directions beside [[kendallTau]]'s τ-b, all from ONE
+    * concordance pass (the four statistics share nc/nd and differ only
+    * in how they charge ties: γ ignores all tied pairs, D_yx charges
+    * ties on y only — the asymmetric "predict y from ordinal x" effect
+    * size (an ordinal label vs a quality tier), D_xy the reverse, τ-b
+    * splits the difference geometrically — in fact
+    * τ-b² = D_yx · D_xy):
+    *   γ     = (nc − nd) / (nc + nd)
+    *   D_yx  = (nc − nd) / (n₀ − Tx)   (pairs untied on x)
+    *   D_xy  = (nc − nd) / (n₀ − Ty)
+    * Same plan and the same LOW-cardinality contract as [[kendallTau]]
+    * (the cell self-join compares |pairs|² cells — categorical or
+    * bucketed axes; for continuous axes bucket first or use
+    * [[kendallTauExact]] for τ alone): one (x,y)-pair count aggregate,
+    * the strictly-x-ordered decimal(38,0) self-join, marginal tie
+    * sums, one pinned double chain. Output: one row (n, nc, nd,
+    * gamma, somers_d_yx, somers_d_xy, tau_b); an axis with one
+    * distinct value NULLs the statistics whose denominator dies. */
+  def ordinalAssociation(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val pairs = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val a = pairs.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").as("__ca"))
+    val b = pairs.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").as("__cb"))
+    val cd = a.join(b, col("__xb") > col("__xa"))
+      .agg(
+        sum(when(col("__yb") > col("__ya"), dec(col("__ca")) * col("__cb"))
+          .otherwise(dec(lit(0)))).as("__nc"),
+        sum(when(col("__yb") < col("__ya"), dec(col("__ca")) * col("__cb"))
+          .otherwise(dec(lit(0)))).as("__nd"))
+    def tieSum(key: String) = pairs.groupBy(col(key))
+      .agg(sum(col("__c")).as("__s"))
+      .agg(sum(dec(col("__s")) * (col("__s") - 1)).as("__t"))
+    val tx = tieSum("__x").select(col("__t").as("__tx"))
+    val ty = tieSum("__y").select(col("__t").as("__ty"))
+    val tot = pairs.agg(sum(col("__c")).as("n"))
+    def d(c: Column) = c.cast("double")
+    cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(tot))
+      .withColumn("__n0", d(col("n")) * (d(col("n")) - 1) / 2.0)
+      .withColumn("__d1", col("__n0") - d(col("__tx")) / 2.0)
+      .withColumn("__d2", col("__n0") - d(col("__ty")) / 2.0)
+      .withColumn("__s", d(col("__nc")) - d(col("__nd")))
+      .select(col("n"), d(col("__nc")).as("nc"), d(col("__nd")).as("nd"),
+        when(d(col("__nc")) + d(col("__nd")) > 0,
+          col("__s") / (d(col("__nc")) + d(col("__nd")))).as("gamma"),
+        when(col("__d1") > 0, col("__s") / col("__d1")).as("somers_d_yx"),
+        when(col("__d2") > 0, col("__s") / col("__d2")).as("somers_d_xy"),
+        when(col("__d1") > 0 && col("__d2") > 0,
+          col("__s") / sqrt(col("__d1") * col("__d2"))).as("tau_b"))
+  }
+
   /** Per-GROUP Kendall τ-b — the sliced ordinal association beside
     * [[spearmanBy]] (τ reads dominance probability, ρ reads rank
     * linearity; a slice can reverse the pooled sign — the Simpson's

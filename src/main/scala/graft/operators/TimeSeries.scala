@@ -446,6 +446,116 @@ object TimeSeries {
       .orderBy(keys :+ col("lag"): _*)
   }
 
+  /** Durbin–Watson statistic of a REGULAR series (one row per integer
+    * time step) — the first-order autocorrelation screen for residual
+    * series (DW ≈ 2(1 − r₁): ≈2 means uncorrelated, →0 positive,
+    * →4 negative serial correlation; the standard post-fit check after
+    * [[graft.functions.ML.olsFit]] residuals or a detrended daily
+    * metric): DW = Σ_{t≥2}(v_t − v_{t−1})² / Σ v_t². Exact to the
+    * formula: the lag pairing is an equi-join on t+1 (never a window —
+    * the [[acf]] contract), each squared term a pinned double summed
+    * as decimal(28,12). NOTE the denominator is the RAW sum of squares
+    * (the classical definition assumes residuals, mean ≈ 0); center
+    * the series first if it isn't residual-like. Gaps in t produce
+    * fewer difference pairs (reported as n_pairs). The series is
+    * normally an AGGREGATE of the corpus, so every frame here is
+    * series-length-bounded. Output: one row (n, n_pairs, dw);
+    * all-zero series → NULL. */
+  def durbinWatson(df: DataFrame, tCol: String, valueCol: String)
+      : DataFrame = {
+    val s = df.select(col(tCol).cast("long").as("__t"),
+      col(valueCol).cast("double").as("__v"))
+    val den = s.agg(count(lit(1)).as("n"),
+      sum((col("__v") * col("__v")).cast("decimal(28,12)"))
+        .cast("double").as("__den"))
+    val b = s.select(col("__t").as("__tb"), col("__v").as("__vb"))
+    s.join(b, col("__tb") === col("__t") + 1)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(((col("__vb") - col("__v")) * (col("__vb") - col("__v")))
+          .cast("decimal(28,12)")).cast("double").as("__num"))
+      .crossJoin(broadcast(den))
+      .withColumn("dw",
+        when(col("__den") > 0, col("__num") / col("__den")))
+      .select("n", "n_pairs", "dw")
+  }
+
+  /** Ljung–Box portmanteau test over lags 1..maxLag — "is this series
+    * white noise at all", the whole-ACF significance summary beside
+    * [[acf]]'s per-lag profile:
+    *   Q = n(n+2) Σ_{k=1..h} r_k² / (n−k),  χ²(h) under H₀.
+    * Rides [[acf]] verbatim (same centered pinned chain, same
+    * equi-join lag pairing) plus one series-length count broadcast in;
+    * the h-term sum accumulates as decimal(28,12) (order-independent,
+    * h-bounded). Assumes a REGULAR series — gaps shrink r_k's pair
+    * count but n(n+2)/(n−k) still uses the row count n, matching the
+    * classical statistic on complete series and degrading visibly (via
+    * n_pairs in [[acf]]) on gapped ones. Output: one row (n, h,
+    * q_stat); a constant series (every r_k NULL) yields NULL. */
+  def ljungBox(df: DataFrame, tCol: String, valueCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    def d(c: Column) = c.cast("double")
+    val n = df.agg(count(lit(1)).as("n"))
+    acf(df, tCol, valueCol, maxLag)
+      .crossJoin(broadcast(n))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("h"),
+        sum((col("acf") * col("acf") /
+          (d(col("n")) - d(col("lag")))).cast("decimal(28,12)"))
+          .cast("double").as("__s"))
+      .withColumn("q_stat",
+        d(col("n")) * (d(col("n")) + 2.0) * col("__s"))
+      .select("n", "h", "q_stat")
+  }
+
+  /** Cross-correlation function between two REGULAR series sharing a
+    * time axis, at lags −maxLag..maxLag — "does x lead y" (ingest rate
+    * vs error rate; views vs purchases):
+    *   r_xy(k) = Σ_t (x_t − x̄)(y_{t+k} − ȳ) /
+    *             (√Σ(x−x̄)² · √Σ(y−ȳ)²),
+    * so the peak's SIGN of k reads directly as lead/lag direction.
+    * Same exactness contract as [[acf]]: decimal means with one pinned
+    * division each, centered products pinned double summed as
+    * decimal(28,12), lag pairing an equi-join on t+k against the
+    * broadcast (2·maxLag+1)-row lag spine. Series-length-bounded
+    * throughout. Output: (lag, n_pairs, ccf), lags ascending; either
+    * series constant → NULL ccf. */
+  def ccf(df: DataFrame, tCol: String, xCol: String, yCol: String,
+          maxLag: Int, meanScale: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = df.select(col(tCol).cast("long").as("__t"),
+      col(xCol).cast("double").as("__x"),
+      col(yCol).cast("double").as("__y"))
+    val m = s.agg(
+      (sum(col("__x").cast(s"decimal(18,$meanScale)")).cast("double") /
+        count(lit(1)).cast("double")).as("__mx"),
+      (sum(col("__y").cast(s"decimal(18,$meanScale)")).cast("double") /
+        count(lit(1)).cast("double")).as("__my"))
+    val centered = s.crossJoin(broadcast(m))
+    val den = centered.agg(
+      sum(((col("__x") - col("__mx")) * (col("__x") - col("__mx")))
+        .cast("decimal(28,12)")).cast("double").as("__dx"),
+      sum(((col("__y") - col("__my")) * (col("__y") - col("__my")))
+        .cast("decimal(28,12)")).cast("double").as("__dy"))
+    val lags = df.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val a = centered.select(col("__t"), col("__x"), col("__mx"),
+      col("__my"))
+    val b = centered.select(col("__t").as("__tb"), col("__y").as("__yb"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("__tb") === col("__t") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(((col("__x") - col("__mx")) * (col("__yb") - col("__my")))
+          .cast("decimal(28,12)")).cast("double").as("__num"))
+      .crossJoin(broadcast(den))
+      .withColumn("ccf",
+        when(col("__dx") > 0 && col("__dy") > 0,
+          col("__num") / (sqrt(col("__dx")) * sqrt(col("__dy")))))
+      .select("lag", "n_pairs", "ccf")
+      .orderBy("lag")
+  }
+
   /** Exponentially weighted moving average with α = 1/2 over a per-key
     * INTEGER series, EXACT end to end — the dyadic-weight trick: with
     * α = 1/2 the adjusted EWMA is

@@ -2894,4 +2894,84 @@ class AnalyticsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("durbinWatson: hand DW=1 and DW=3 (alternating) fixtures; " +
+    "all-zero NULL; partition sweep") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // v=[1,2,0,3]: num (1+4+9)=14, den (1+4+0+9)=14 -> DW=1
+    val df = Seq((0L, 1.0), (1L, 2.0), (2L, 0.0), (3L, 3.0)).toDF("t", "v")
+    val r = TimeSeries.durbinWatson(df, "t", "v").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // alternating residuals: num 12, den 4 -> DW 3 (negative autocorr)
+    val alt = TimeSeries.durbinWatson(
+      Seq((0L, 1.0), (1L, -1.0), (2L, 1.0), (3L, -1.0)).toDF("t", "v"),
+      "t", "v").collect().head
+    assert(math.abs(alt.getDouble(2) - 3.0) < 1e-12)
+    val z = TimeSeries.durbinWatson(
+      Seq((0L, 0.0), (1L, 0.0)).toDF("t", "v"), "t", "v").collect().head
+    assert(z.isNullAt(2))
+    partitionSweep { p =>
+      TimeSeries.durbinWatson(df.repartition(p), "t", "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("ljungBox: hand Q on v=[1,2,0,3] h=2; constant series NULL") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // r1=-0.65, r2=0.3: Q = 4*6*(0.4225/3 + 0.09/2) = 4.46
+    val df = Seq((0L, 1.0), (1L, 2.0), (2L, 0.0), (3L, 3.0)).toDF("t", "v")
+    val r = TimeSeries.ljungBox(df, "t", "v", maxLag = 2).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 4.46) < 1e-9)
+    val c = TimeSeries.ljungBox(
+      Seq((0L, 5.0), (1L, 5.0), (2L, 5.0)).toDF("t", "v"),
+      "t", "v", maxLag = 1).collect().head
+    assert(c.isNullAt(2))
+  }
+
+  test("ccf: hand lead-lag values on a shifted series; pair counts " +
+    "per lag; partition sweep") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // x=[1,2,0,3], y=[0,1,2,0] (x shifted +1): peak at lag +1
+    val df = Seq((0L, 1.0, 0.0), (1L, 2.0, 1.0), (2L, 0.0, 2.0),
+      (3L, 3.0, 0.0)).toDF("t", "x", "y")
+    val r = TimeSeries.ccf(df, "t", "x", "y", maxLag = 1)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(-1L).getLong(1) == 3L && r(0L).getLong(1) == 4L &&
+      r(1L).getLong(1) == 3L)
+    assert(math.abs(r(1L).getDouble(2) - 1.625 / math.sqrt(13.75)) < 1e-9)
+    assert(math.abs(r(0L).getDouble(2) - -2.5 / math.sqrt(13.75)) < 1e-9)
+    assert(math.abs(r(-1L).getDouble(2) - 1.125 / math.sqrt(13.75)) < 1e-9)
+    partitionSweep { p =>
+      TimeSeries.ccf(df.repartition(p), "t", "x", "y", 1)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("ordinalAssociation: hand gamma/Somers-D/tau chain with the " +
+    "tau^2 = Dyx*Dxy identity; constant axis NULLs its statistic") {
+    import spark.implicits._
+    // cells (1,1)x1 (1,2)x1 (2,1)x1 (2,2)x2: nc=2 nd=1, Tx=Ty=4,
+    // n0=10 -> gamma 1/3, Dyx = Dxy = tau_b = 1/6
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 2L))
+      .toDF("x", "y")
+    val r = Analytics.ordinalAssociation(df, "x", "y").collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 1.0)
+    assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 1.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 1.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getDouble(6) * r.getDouble(6) -
+      r.getDouble(4) * r.getDouble(5)) < 1e-12)
+    // constant y: gamma undefined (no untied pairs), D_xy undefined,
+    // D_yx = 0 (pairs untied on x exist, none concordant/discordant)
+    val cy = Analytics.ordinalAssociation(
+      Seq((1L, 1L), (2L, 1L)).toDF("x", "y"), "x", "y").collect().head
+    assert(cy.isNullAt(3) && cy.isNullAt(5) && cy.getDouble(4) == 0.0)
+  }
 }
