@@ -671,6 +671,65 @@ object ML {
           d(col("__num")) / d(col("__den"))).as("kappa")): _*)
   }
 
+  /** Fleiss' kappa — chance-corrected agreement for m RATERS per
+    * subject ([[cohensKappa]] handles exactly two fixed raters; Fleiss
+    * handles "each document labeled by m annotators", rater identity
+    * immaterial — the multi-labeler QA statistic for annotation
+    * pipelines). Input: one row per RATING (subject, category);
+    * subjects must carry exactly `raters` ratings — others are
+    * EXCLUDED (the classical statistic requires equal m) and counted.
+    *   P̄  = (Σᵢ Σⱼ nᵢⱼ² − N·m) / (N·m·(m−1))   — per-subject agreement
+    *   P̄e = Σⱼ pⱼ²,  pⱼ = category share over kept ratings
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    * EXACT until two pinned divisions: Σnᵢⱼ² accumulates in
+    * decimal(38,0) (integer adds), category totals are exact longs,
+    * each pⱼ² term is a pinned double summed as decimal(28,12)
+    * (categories-sized). Plan: one (subject, category) cell aggregate,
+    * one subjects-sized roll-up, the kept-subject filter as a join —
+    * nothing row-scale past the first groupBy; subjects may be
+    * corpus-sized, every frame after the cells is subjects- or
+    * categories-bounded. Output: one row (n_subjects, n_excluded, m,
+    * p_bar, p_e, kappa); P̄e = 1 (all ratings one category) → NULL. */
+  def fleissKappa(df: org.apache.spark.sql.DataFrame, subjectCol: String,
+                  categoryCol: String, raters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(raters >= 2, s"fleissKappa needs raters >= 2, got $raters")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cells = df.filter(col(subjectCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .groupBy(col(subjectCol).as("__s"), col(categoryCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val subj = cells.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("__m"),
+        sum(dec(col("__c")) * col("__c")).as("__s2"))
+    val keptSubj = subj.filter(col("__m") === raters)
+    val excluded = subj.filter(col("__m") =!= raters)
+      .agg(count(lit(1)).as("n_excluded"))
+    val pbar = keptSubj.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum(col("__s2")), dec(lit(0))).as("__ss"))
+    val catTot = cells.join(keptSubj.select(col("__s")), Seq("__s"))
+      .groupBy(col("__k")).agg(sum(col("__c")).as("__ck"))
+    val peTot = catTot
+      .crossJoin(broadcast(pbar.select(col("n_subjects").as("__ns"))))
+      .agg(coalesce(sum(
+        ((d(col("__ck")) / (d(col("__ns")) * lit(raters.toDouble))) *
+          (d(col("__ck")) / (d(col("__ns")) * lit(raters.toDouble))))
+          .cast("decimal(28,12)")), lit(0).cast("decimal(28,12)"))
+        .cast("double").as("p_e"))
+    val mD = raters.toDouble
+    pbar.crossJoin(broadcast(excluded)).crossJoin(broadcast(peTot))
+      .withColumn("p_bar",
+        when(col("n_subjects") > 0,
+          (d(col("__ss")) - d(col("n_subjects")) * lit(mD)) /
+            (d(col("n_subjects")) * lit(mD) * lit(mD - 1.0))))
+      .select(col("n_subjects"), col("n_excluded"),
+        lit(raters).as("m"), col("p_bar"), col("p_e"),
+        when(col("n_subjects") > 0 && lit(1.0) - col("p_e") > 0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("kappa"))
+  }
+
   /** Top principal component of a set of numeric columns — the
     * embedding-whitening / dominant-direction primitive
     * ([[graft.operators.Analytics.corrMatrix]] reports pairwise

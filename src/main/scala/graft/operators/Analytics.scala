@@ -2578,6 +2578,131 @@ object Analytics {
           col("__hraw") / col("__corr")).as("h")): _*)
   }
 
+  /** Dunn post-hoc test — WHICH groups differ, after [[kruskalWallis]]
+    * says SOME group does (running all pairwise [[mannWhitneyU]]s
+    * instead re-ranks every pair separately and mis-states the error
+    * rate; Dunn uses the ONE pooled ranking, the textbook follow-up):
+    * for each group pair, z = (R̄ᵢ − R̄ⱼ) / √(V·(1/nᵢ + 1/nⱼ)) with
+    * V = N(N+1)/12 − Σ(t³−t)/(12(N−1)) the tie-corrected pooled-rank
+    * variance. Rides the [[kruskalWallis]] machinery verbatim:
+    * mid-ranks from the DISTRIBUTED distinct-value prefix, per-group
+    * doubled rank sums in exact decimal, then a groups×groups pair
+    * join (k² pairs — k is thousands at most, the kruskalWallis fold
+    * contract). Feed the z column through [[bhAdjust]]'s machinery
+    * (or Bonferroni-scale externally) for multiplicity. Output: one
+    * row per unordered pair, g_a < g_b — (g_a, g_b, n_a, n_b,
+    * mean_rank_a, mean_rank_b, z); V ≤ 0 (all values tied) → NULL
+    * z. */
+  def dunnTest(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val pairs = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val vt = pairs.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val (vtShared, cum) = prefixBeforeShared(vt, "__v", col("__t"))
+    val tn = vtShared.agg(
+      sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+        dec(col("__t"))).as("__ties"),
+      sum(col("__t")).as("__n"))
+    val ranked = pairs.join(
+      cum.select(col("__v").as("__kv"), col("__cum"), col("__t")),
+      col("__v") <=> col("__kv"))
+    val g = ranked.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__ng"),
+        sum(dec(col("__c")) *
+          (lit(2) * col("__cum") + col("__t") + 1)).as("__r2g"))
+    val a = g.select(col("__g").as("g_a"), col("__ng").as("n_a"),
+      col("__r2g").as("__r2a"))
+    val b = g.select(col("__g").as("g_b"), col("__ng").as("n_b"),
+      col("__r2g").as("__r2b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .crossJoin(broadcast(tn))
+      .withColumn("mean_rank_a", d(col("__r2a")) / (d(col("n_a")) * 2.0))
+      .withColumn("mean_rank_b", d(col("__r2b")) / (d(col("n_b")) * 2.0))
+      .withColumn("__var",
+        when(d(col("__n")) > 1,
+          d(col("__n")) * (d(col("__n")) + 1.0) / 12.0 -
+            d(col("__ties")) / ((d(col("__n")) - 1.0) * 12.0)))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("mean_rank_a"), col("mean_rank_b"),
+        when(col("__var") > 0,
+          (col("mean_rank_a") - col("mean_rank_b")) /
+            sqrt(col("__var") *
+              (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
+          .as("z"))
+  }
+
+  /** Kendall's W coefficient of concordance — DO m judges agree on a
+    * ranking of n items (m scoring functions over documents, m
+    * retrieval runs over queries; [[graft.functions.ML.cohensKappa]]
+    * asks pairwise categorical agreement, W asks m-way ORDINAL
+    * agreement):
+    *   W = (12·ΣRᵢ² − 3m²n(n+1)²) / (m²n(n²−1) − m·ΣTⱼ),
+    * Rᵢ = Σ_judges rank of item i within its judge (mid-ranks),
+    * Tⱼ = Σ(t³−t) the per-judge tie correction. W = 1 is perfect
+    * agreement, 0 chance-level; χ² ≈ m(n−1)W under H₀. EXACT until
+    * one final division: per-judge mid-ranks ride the KEYED
+    * distributed prefix over distinct (judge, value) rows (a judge
+    * scoring the whole corpus splits across range slices — never a
+    * per-judge window task), doubled rank sums per item are integer
+    * decimals, ΣRᵢ² accumulates as exact decimal(38,0) of the DOUBLED
+    * ranks (÷4 algebraically at the end). Items not scored by ALL m
+    * judges are EXCLUDED (W requires a complete design) and counted;
+    * duplicate (judge, item) rows collapse deterministically by MAX
+    * value. Output: one row (m, n, n_excluded, w, chi2); n < 2 or
+    * everything tied → NULL w. */
+  def kendallW(df: DataFrame, judgeCol: String, itemCol: String,
+               valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val cell = df.filter(col(judgeCol).isNotNull && col(itemCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(judgeCol).as("__j"), col(itemCol).as("__i"))
+      .agg(max(col(valueCol)).as("__v"))
+    val m = cell.select(col("__j")).distinct().count()
+    // complete-design filter: keep items scored by all m judges
+    val per = cell.groupBy(col("__i")).agg(count(lit(1)).as("__mj"))
+    val keptItems = per.filter(col("__mj") === m).select(col("__i"))
+    val nExcluded = per.filter(col("__mj") =!= m).count()
+    val kept = cell.join(keptItems, Seq("__i"))
+    // per-judge mid-ranks over the KEYED distributed prefix
+    val vt = kept.groupBy(col("__j"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+    val cum = prefixBeforeBy(vt, Seq("__j"), "__v", col("__t"))
+    val ranked = kept.join(
+      cum.select(col("__j").as("__kj"), col("__v").as("__kv"),
+        col("__cum"), col("__t")),
+      col("__j") <=> col("__kj") && col("__v") <=> col("__kv"))
+      .withColumn("__r2", lit(2) * col("__cum") + col("__t") + 1)
+    val ties = vt.agg(
+      coalesce(sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+        dec(col("__t"))), dec(lit(0))).as("__tj"))
+    val items = ranked.groupBy(col("__i"))
+      .agg(sum(col("__r2")).as("__r2i"))
+    items
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(dec(col("__r2i")) * dec(col("__r2i"))), dec(lit(0)))
+          .as("__sr2"))
+      .crossJoin(broadcast(ties))
+      .withColumn("__m", lit(m).cast("double"))
+      .withColumn("__nn", d(col("n")))
+      // ΣRᵢ² = ΣR2ᵢ²/4; numerator and denominator pinned doubles
+      .withColumn("__num",
+        lit(12.0) * d(col("__sr2")) / 4.0 -
+          lit(3.0) * col("__m") * col("__m") * col("__nn") *
+            (col("__nn") + 1.0) * (col("__nn") + 1.0))
+      .withColumn("__den",
+        col("__m") * col("__m") * col("__nn") *
+          (col("__nn") * col("__nn") - 1.0) - col("__m") * d(col("__tj")))
+      .select(lit(m).as("m"), col("n"), lit(nExcluded).as("n_excluded"),
+        when(col("__den") > 0, col("__num") / col("__den")).as("w"))
+      .withColumn("chi2",
+        when(col("w").isNotNull,
+          d(col("m")) * (d(col("n")) - 1.0) * col("w")))
+  }
+
   /** Inclusive running MIN over a DISTINCT-key table in DESCENDING key
     * order, distributed — the suffix-cummin machinery for
     * [[bhAdjust]]: appends `__rmin` = min(value) over rows whose key

@@ -2974,4 +2974,86 @@ class AnalyticsSpec extends SparkSpec {
       Seq((1L, 1L), (2L, 1L)).toDF("x", "y"), "x", "y").collect().head
     assert(cy.isNullAt(3) && cy.isNullAt(5) && cy.getDouble(4) == 0.0)
   }
+
+  test("dunnTest: hand pairwise z on three clean groups; all-tied " +
+    "values NULL z; partition sweep") {
+    import spark.implicits._
+    // a={1,2} b={3,4} c={5}: ranks 1..5, V=2.5, pairs as computed
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0)).toDF("g", "v")
+    val r = Analytics.dunnTest(df, "g", "v").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.size == 3)
+    val ab = r(("a", "b"))
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 2L)
+    assert(math.abs(ab.getDouble(4) - 1.5) < 1e-12)
+    assert(math.abs(ab.getDouble(5) - 3.5) < 1e-12)
+    assert(math.abs(ab.getDouble(6) - -2.0 / math.sqrt(2.5)) < 1e-9)
+    assert(math.abs(r(("a", "c")).getDouble(6) -
+      -3.5 / math.sqrt(3.75)) < 1e-9)
+    assert(math.abs(r(("b", "c")).getDouble(6) -
+      -1.5 / math.sqrt(3.75)) < 1e-9)
+    // every value tied: variance 0, z NULL
+    val tied = Analytics.dunnTest(
+      Seq(("a", 1.0), ("a", 1.0), ("b", 1.0)).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(tied.isNullAt(6))
+    partitionSweep { p =>
+      Analytics.dunnTest(df.repartition(p), "g", "v")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
+  test("kendallW: perfect agreement W=1; near-reversal W=1/9; " +
+    "incomplete items excluded; chi2 = m(n-1)W") {
+    import spark.implicits._
+    val perfect = Seq(
+      ("j1", "i1", 1.0), ("j1", "i2", 2.0), ("j1", "i3", 3.0),
+      ("j2", "i1", 1.5), ("j2", "i2", 2.5), ("j2", "i3", 3.5),
+      ("j3", "i1", 0.5), ("j3", "i2", 1.5), ("j3", "i3", 2.5))
+      .toDF("j", "i", "v")
+    val p = Analytics.kendallW(perfect, "j", "i", "v").collect().head
+    assert(p.getLong(0) == 3L && p.getLong(1) == 3L && p.getLong(2) == 0L)
+    assert(math.abs(p.getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(p.getDouble(4) - 3.0 * 2.0 * 1.0) < 1e-9)
+    // one judge reversed: R = [5,6,7], W = 24/216 = 1/9
+    val mixed = Seq(
+      ("j1", "i1", 1.0), ("j1", "i2", 2.0), ("j1", "i3", 3.0),
+      ("j2", "i1", 3.0), ("j2", "i2", 2.0), ("j2", "i3", 1.0),
+      ("j3", "i1", 1.0), ("j3", "i2", 2.0), ("j3", "i3", 3.0))
+      .toDF("j", "i", "v")
+    val mx = Analytics.kendallW(mixed, "j", "i", "v").collect().head
+    assert(math.abs(mx.getDouble(3) - 1.0 / 9.0) < 1e-9)
+    // item i4 scored by one judge only: excluded, result unchanged
+    val inc = Analytics.kendallW(
+      mixed.union(Seq(("j1", "i4", 9.0)).toDF("j", "i", "v")),
+      "j", "i", "v").collect().head
+    assert(inc.getLong(1) == 3L && inc.getLong(2) == 1L)
+    assert(math.abs(inc.getDouble(3) - 1.0 / 9.0) < 1e-9)
+  }
+
+  test("fleissKappa: classic two-rater hand case kappa = -1/3; " +
+    "wrong-arity subjects excluded; single-category NULL") {
+    import spark.implicits._
+    import graft.functions.ML
+    // s1: X,X; s2: X,Y -> Pbar .5, Pe .625, kappa -1/3
+    val df = Seq(("s1", "X"), ("s1", "X"), ("s2", "X"), ("s2", "Y"))
+      .toDF("s", "k")
+    val r = ML.fleissKappa(df, "s", "k", raters = 2).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getInt(2) == 2)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.625) < 1e-12)
+    assert(math.abs(r.getDouble(5) - -1.0 / 3.0) < 1e-9)
+    // a 3-rating subject is excluded, result unchanged
+    val ex = ML.fleissKappa(
+      df.union(Seq(("s3", "X"), ("s3", "X"), ("s3", "Y")).toDF("s", "k")),
+      "s", "k", raters = 2).collect().head
+    assert(ex.getLong(0) == 2L && ex.getLong(1) == 1L)
+    assert(math.abs(ex.getDouble(5) - -1.0 / 3.0) < 1e-9)
+    // all ratings one category: Pe = 1, kappa undefined
+    val one = ML.fleissKappa(
+      Seq(("s1", "X"), ("s1", "X"), ("s2", "X"), ("s2", "X"))
+        .toDF("s", "k"), "s", "k", raters = 2).collect().head
+    assert(one.isNullAt(5))
+  }
 }
