@@ -650,6 +650,19 @@ object StressBench {
           when(col("id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("g"),
           ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
         "g", "v", "ref", "cur")),
+      // round 16 session 2: exact energy distance over the
+      // wasserstein_50m fixture — 50M rows, ~50M distinct pooled
+      // values in two interleaved groups. FOUR weights (both counts,
+      // both value masses) ride one distributed prefix; values reach
+      // 5e7, past the old long-quanta bound (~9.2e6), so this arm
+      // also pins the decimal(38,0) quanta path that replaced the
+      // silent long overflow. No next-value join (unlike W1), so this
+      // must land at-or-below wasserstein_50m.
+      "energy_50m" -> (() => graft.operators.Analytics.energyDistance(
+        spark.range(50000000L).select(
+          when(col("id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("g"),
+          ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
+        "g", "v", "ref", "cur")),
       // round 15 session 4: Pettitt changepoint over 50M rows with
       // ~50M distinct VALUES and 50M distinct TIMES — both of the
       // operator's prefixes (value axis, time axis) at the unbounded-

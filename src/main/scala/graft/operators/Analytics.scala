@@ -901,9 +901,11 @@ object Analytics {
     * three means ride ONE [[prefixBeforeMulti]] pass (four weights:
     * both counts, both value masses) over the distinct values; totals
     * broadcast from the PINNED ranged frame. Exactness: values
-    * quantize to 1e-12 integer quanta (decimal(28,12) HALF_UP then
-    * ×1e12 — integral by construction, replayable; |v| < 9.2e6 fits
-    * the long), prefixes accumulate in decimal(38,0) (exact integer
+    * quantize to 1e-12 integer quanta held in decimal(38,0)
+    * (decimal(28,12) HALF_UP then ×1e12 — integral by construction,
+    * replayable, exact for |v| < 10¹⁶; a long here would overflow
+    * SILENTLY to null past |v| ≈ 9.2e6 under non-ANSI casts),
+    * prefixes accumulate in decimal(38,0) (exact integer
     * adds), and each per-value term is a pinned double summed as
     * decimal(38,12) (order-independent; 26 integer digits hold
     * Σ ≈ n_a·n_b·mean|Δ| through ~1e12-pair regimes). Either group
@@ -920,7 +922,7 @@ object Analytics {
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
       .withColumn("__vq",
         (col("__v").cast("decimal(28,12)") * lit(1000000000000L))
-          .cast("long"))
+          .cast("decimal(38,0)"))
     val dec38 = (c: Column) => c.cast("decimal(38,0)")
     val (eShared, pre) = prefixBeforeMultiByShared(counts, Seq.empty,
       "__v", Seq("a" -> col("__ca"), "b" -> col("__cb"),
@@ -981,7 +983,7 @@ object Analytics {
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
       .withColumn("__vq",
         (col("__v").cast("decimal(28,12)") * lit(1000000000000L))
-          .cast("long"))
+          .cast("decimal(38,0)"))
     val dec38 = (c: Column) => c.cast("decimal(38,0)")
     val (eShared, pre) = prefixBeforeMultiByShared(counts, keyCols,
       "__v", Seq("a" -> col("__ca"), "b" -> col("__cb"),
@@ -1472,6 +1474,60 @@ object Analytics {
       .withColumn("ci_lo", exp(col("log_or") - lit(1.96) * col("__se")))
       .withColumn("ci_hi", exp(col("log_or") + lit(1.96) * col("__se")))
       .drop("__se")
+  }
+
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel pooled odds ratio —
+    * exposure↔outcome association CONTROLLING for strata (does the
+    * treatment move conversion once you stratify by country/day/
+    * segment; the confounding-proof sibling of [[oddsRatio]], and the
+    * formal Simpson's-paradox resolution beside [[oddsRatioBy]]'s
+    * per-slice report): per stratum the 2×2 (a,b,c,d) with margins
+    * m1 = a+b, m0 = c+d, n1 = a+c, n0 = b+d,
+    *   E[a] = m1·n1/n,  V[a] = m1·m0·n1·n0 / (n²(n−1)),
+    *   χ²_CMH = (|Σa − ΣE| − ½)² / ΣV   (continuity-corrected),
+    *   OR_MH = Σ(a·d/n) / Σ(b·c/n).
+    * ONE grouped count aggregate (strata-sized), per-stratum pinned
+    * double terms summed as decimal(28,12) (order-independent), one
+    * pinned closing chain. Strata with n ≤ 1 contribute nothing to V;
+    * ΣV = 0 or Σ(bc/n) = 0 → NULL chi2/or. Output: one row (k_strata,
+    * n, o_a, e_a, v, or_mh, chi2). */
+  def cmhTest(df: DataFrame, strataCols: Seq[String], exposure: Column,
+              outcome: Column): DataFrame = {
+    require(strataCols.nonEmpty, "cmhTest needs strata columns; use oddsRatio")
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val cells = df.groupBy(strataCols.map(col): _*)
+      .agg(
+        sum(when(exposure && outcome, 1L).otherwise(0L)).as("__a"),
+        sum(when(exposure && !outcome, 1L).otherwise(0L)).as("__b"),
+        sum(when(!exposure && outcome, 1L).otherwise(0L)).as("__c"),
+        sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+    cells
+      .agg(count(lit(1)).as("k_strata"), sum(col("__n")).as("n"),
+        sum(col("__a")).as("o_a"),
+        sum(dec28(when(col("__n") > 0,
+          d(col("__a") + col("__b")) * d(col("__a") + col("__c")) /
+            d(col("__n"))).otherwise(lit(0.0))))
+          .cast("double").as("e_a"),
+        sum(dec28(when(col("__n") > 1,
+          d(col("__a") + col("__b")) * d(col("__c") + col("__d")) *
+            d(col("__a") + col("__c")) * d(col("__b") + col("__d")) /
+            (d(col("__n")) * d(col("__n")) * (d(col("__n")) - lit(1.0))))
+          .otherwise(lit(0.0)))).cast("double").as("v"),
+        sum(dec28(when(col("__n") > 0,
+          d(col("__a")) * d(col("__d")) / d(col("__n")))
+          .otherwise(lit(0.0)))).cast("double").as("__r"),
+        sum(dec28(when(col("__n") > 0,
+          d(col("__b")) * d(col("__c")) / d(col("__n")))
+          .otherwise(lit(0.0)))).cast("double").as("__s"))
+      .withColumn("or_mh", when(col("__s") > 0, col("__r") / col("__s")))
+      .withColumn("chi2",
+        when(col("v") > 0,
+          greatest(abs(d(col("o_a")) - col("e_a")) - lit(0.5), lit(0.0)) *
+            greatest(abs(d(col("o_a")) - col("e_a")) - lit(0.5), lit(0.0)) /
+            col("v")))
+      .drop("__r", "__s")
   }
 
   /** Categorical diversity/concentration profile — the label-mix
@@ -2701,6 +2757,121 @@ object Analytics {
       .withColumn("chi2",
         when(col("w").isNotNull,
           d(col("m")) * (d(col("n")) - 1.0) * col("w")))
+  }
+
+  /** Friedman test — did ANY of k treatments shift, when every block
+    * (user, day, query) sees ALL k treatments ([[kruskalWallis]] is
+    * the independent-groups k-sample test; Friedman is its
+    * REPEATED-MEASURES sibling — blocking removes between-block
+    * variance, so treatment effects small against block spread still
+    * surface): ranks are computed WITHIN each block across its k
+    * treatments, R_j = Σ_blocks rank of treatment j, and with b
+    * complete blocks the tie-corrected statistic is
+    *   χ²_F = b(k−1)·W,   W from [[kendallW]]'s chain with
+    * judges := blocks, items := treatments — same doubled mid-ranks
+    * on the keyed distributed prefix, same exact decimal rank-sum
+    * squares. The complete-design filter here drops incomplete
+    * BLOCKS (the Friedman convention — a block missing a treatment
+    * can't rank it), counted in n_excluded; duplicate
+    * (block, treatment) rows collapse by MAX. Output: one row
+    * (n_blocks, k_treatments, n_excluded, w, chi2, dof = k−1);
+    * k < 2, b = 0, or everything tied → NULL. */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+                   valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val cell = df.filter(col(blockCol).isNotNull &&
+        col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatmentCol).as("__tr"))
+      .agg(max(col(valueCol)).as("__v"))
+    val k = cell.select(col("__tr")).distinct().count()
+    val per = cell.groupBy(col("__b")).agg(count(lit(1)).as("__kt"))
+    val keptBlocks = per.filter(col("__kt") === k).select(col("__b"))
+    val nExcluded = per.filter(col("__kt") =!= k).count()
+    val kept = cell.join(keptBlocks, Seq("__b"))
+    val m = kept.select(col("__b")).distinct().count()
+    // within-block mid-ranks over the keyed distributed prefix
+    val vt = kept.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+    val cum = prefixBeforeBy(vt, Seq("__b"), "__v", col("__t"))
+    val ranked = kept.join(
+      cum.select(col("__b").as("__kb"), col("__v").as("__kv"),
+        col("__cum"), col("__t")),
+      col("__b") <=> col("__kb") && col("__v") <=> col("__kv"))
+      .withColumn("__r2", lit(2) * col("__cum") + col("__t") + 1)
+    val ties = vt.join(keptBlocks, Seq("__b")).agg(
+      coalesce(sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+        dec(col("__t"))), dec(lit(0))).as("__tj"))
+    val treatments = ranked.groupBy(col("__tr"))
+      .agg(sum(col("__r2")).as("__r2j"))
+    treatments
+      .agg(count(lit(1)).as("k_treatments"),
+        coalesce(sum(dec(col("__r2j")) * dec(col("__r2j"))), dec(lit(0)))
+          .as("__sr2"))
+      .crossJoin(broadcast(ties))
+      .withColumn("__m", lit(m).cast("double"))
+      .withColumn("__nn", d(col("k_treatments")))
+      .withColumn("__num",
+        lit(12.0) * d(col("__sr2")) / 4.0 -
+          lit(3.0) * col("__m") * col("__m") * col("__nn") *
+            (col("__nn") + 1.0) * (col("__nn") + 1.0))
+      .withColumn("__den",
+        col("__m") * col("__m") * col("__nn") *
+          (col("__nn") * col("__nn") - 1.0) - col("__m") * d(col("__tj")))
+      .withColumn("w", when(col("__den") > 0, col("__num") / col("__den")))
+      .select(lit(m).as("n_blocks"),
+        col("k_treatments"), lit(nExcluded).as("n_excluded"), col("w"),
+        when(col("w").isNotNull,
+          col("__m") * (col("__nn") - 1.0) * col("w")).as("chi2"),
+        (col("k_treatments") - 1).as("dof"))
+  }
+
+  /** Cochran's Q test — k BINARY treatments over the same subjects
+    * ([[graft.operators.Analytics.mcNemar]] is the k = 2 case; Q asks
+    * "does success rate differ across k prompts/models/filters run on
+    * the same documents"): with R_i the per-subject success count,
+    * C_j the per-treatment success count, T = ΣC = ΣR,
+    *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²),  χ²(k−1) under H₀.
+    * EXACT until the one final division — every sum is integer
+    * decimal(38,0). Subjects missing any treatment are EXCLUDED (the
+    * complete-design contract, counted); duplicate
+    * (subject, treatment) rows collapse by MAX (success if ANY row
+    * succeeded). Plan: one (subject, treatment) cell aggregate,
+    * subjects-sized roll-ups — nothing row-scale past the first
+    * groupBy. Output: one row (n_subjects, n_excluded, k, q_stat,
+    * dof); all-success/all-failure (denominator 0) → NULL q. */
+  def cochranQ(df: DataFrame, subjectCol: String, treatmentCol: String,
+               success: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val cell = df.filter(col(subjectCol).isNotNull &&
+        col(treatmentCol).isNotNull)
+      .groupBy(col(subjectCol).as("__s"), col(treatmentCol).as("__tr"))
+      .agg(max(when(success, 1L).otherwise(0L)).as("__x"))
+    val k = cell.select(col("__tr")).distinct().count()
+    val per = cell.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__kt"), sum(col("__x")).as("__ri"))
+    val keptSubj = per.filter(col("__kt") === k)
+    val nExcluded = per.filter(col("__kt") =!= k).count()
+    val rAgg = keptSubj.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum(col("__ri")), lit(0L)).as("__t"),
+      coalesce(sum(dec(col("__ri")) * col("__ri")), dec(lit(0)))
+        .as("__sr2"))
+    val cAgg = cell.join(keptSubj.select(col("__s")), Seq("__s"))
+      .groupBy(col("__tr")).agg(sum(col("__x")).as("__cj"))
+      .agg(coalesce(sum(dec(col("__cj")) * col("__cj")), dec(lit(0)))
+        .as("__sc2"))
+    rAgg.crossJoin(broadcast(cAgg))
+      .withColumn("__num",
+        (lit(k) - 1).cast("double") *
+          (lit(k).cast("double") * d(col("__sc2")) -
+            d(col("__t")) * d(col("__t"))))
+      .withColumn("__den",
+        lit(k).cast("double") * d(col("__t")) - d(col("__sr2")))
+      .select(col("n_subjects"), lit(nExcluded).as("n_excluded"),
+        lit(k).as("k"),
+        when(col("__den") > 0, col("__num") / col("__den")).as("q_stat"),
+        lit(k - 1).as("dof"))
   }
 
   /** Inclusive running MIN over a DISTINCT-key table in DESCENDING key

@@ -3056,4 +3056,90 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("s", "k"), "s", "k", raters = 2).collect().head
     assert(one.isNullAt(5))
   }
+
+  test("cmhTest: single-stratum hand 2x2 (OR=8, Yates chi2); " +
+    "two-stratum pooling sums term by term") {
+    import spark.implicits._
+    // stratum s0: a=10 b=5 c=3 d=12 -> E=6.5, V=15*15*13*17/(900*29),
+    // OR_MH = (10*12/30)/(5*3/30) = 8
+    def rows(s: String, e: Boolean, o: Boolean, n: Int) =
+      Seq.fill(n)((s, e, o))
+    val s0 = rows("s0", true, true, 10) ++ rows("s0", true, false, 5) ++
+      rows("s0", false, true, 3) ++ rows("s0", false, false, 12)
+    val df = s0.toDF("s", "e", "o")
+    val r = Analytics.cmhTest(df, Seq("s"), col("e"), col("o"))
+      .collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 30L && r.getLong(2) == 10L)
+    assert(math.abs(r.getDouble(3) - 6.5) < 1e-12)
+    val v0 = 15.0 * 15.0 * 13.0 * 17.0 / (900.0 * 29.0)
+    assert(math.abs(r.getDouble(4) - v0) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 8.0) < 1e-9)
+    assert(math.abs(r.getDouble(6) - 3.0 * 3.0 / v0) < 1e-9)
+    // second stratum s1: a=2 b=2 c=2 d=2 -> E=2, V=16/(16*3*... n=8:
+    // V = 4*4*4*4/(64*7) = 256/448; ad/n = bc/n = 0.5 each
+    val df2 = (s0 ++ rows("s1", true, true, 2) ++ rows("s1", true, false, 2)
+      ++ rows("s1", false, true, 2) ++ rows("s1", false, false, 2))
+      .toDF("s", "e", "o")
+    val r2 = Analytics.cmhTest(df2, Seq("s"), col("e"), col("o"))
+      .collect().head
+    assert(r2.getLong(0) == 2L && r2.getLong(2) == 12L)
+    assert(math.abs(r2.getDouble(3) - 8.5) < 1e-12)
+    assert(math.abs(r2.getDouble(4) - (v0 + 256.0 / 448.0)) < 1e-9)
+    assert(math.abs(r2.getDouble(5) - (4.0 + 0.5) / (0.5 + 0.5)) < 1e-9)
+  }
+
+  test("friedmanTest: perfect consistency chi2 = b(k-1); one reversed " +
+    "block W=0.25; incomplete block excluded") {
+    import spark.implicits._
+    def block(b: String, v1: Double, v2: Double, v3: Double) =
+      Seq((b, "t1", v1), (b, "t2", v2), (b, "t3", v3))
+    val perfect = (block("b1", 1, 2, 3) ++ block("b2", 4, 5, 6) ++
+      block("b3", 1, 5, 9) ++ block("b4", 0, 1, 2)).toDF("b", "t", "v")
+    val p = Analytics.friedmanTest(perfect, "b", "t", "v").collect().head
+    assert(p.getLong(0) == 4L && p.getLong(1) == 3L && p.getLong(2) == 0L)
+    assert(math.abs(p.getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(p.getDouble(4) - 8.0) < 1e-9)
+    // b4 reversed: R = [6,8,10], W = 96/384 = 0.25, chi2 = 2
+    val mixed = (block("b1", 1, 2, 3) ++ block("b2", 4, 5, 6) ++
+      block("b3", 1, 5, 9) ++ block("b4", 2, 1, 0)).toDF("b", "t", "v")
+    val mx = Analytics.friedmanTest(mixed, "b", "t", "v").collect().head
+    assert(math.abs(mx.getDouble(3) - 0.25) < 1e-9)
+    assert(math.abs(mx.getDouble(4) - 2.0) < 1e-9)
+    // a block missing t3 is excluded, result unchanged
+    val inc = Analytics.friedmanTest(
+      mixed.union(Seq(("b5", "t1", 1.0), ("b5", "t2", 2.0)).toDF("b", "t", "v")),
+      "b", "t", "v").collect().head
+    assert(inc.getLong(0) == 4L && inc.getLong(2) == 1L)
+    assert(math.abs(inc.getDouble(4) - 2.0) < 1e-9)
+  }
+
+  test("cochranQ: textbook Q = 8/3; incomplete subject excluded; " +
+    "all-success NULL") {
+    import spark.implicits._
+    // subjects x (t1,t2,t3): (1,1,0),(1,0,0),(1,1,1),(0,1,0)
+    // C=(3,3,1) T=7 R=(2,1,3,1) SR2=15: Q = 2*(3*19-49)/(21-15) = 8/3
+    val rows = Seq(
+      ("s1", "t1", 1), ("s1", "t2", 1), ("s1", "t3", 0),
+      ("s2", "t1", 1), ("s2", "t2", 0), ("s2", "t3", 0),
+      ("s3", "t1", 1), ("s3", "t2", 1), ("s3", "t3", 1),
+      ("s4", "t1", 0), ("s4", "t2", 1), ("s4", "t3", 0))
+      .toDF("s", "t", "x")
+    val r = Analytics.cochranQ(rows, "s", "t", col("x") === 1)
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 0L && r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - 8.0 / 3.0) < 1e-12)
+    assert(r.getLong(4) == 2L)
+    // subject missing a treatment: excluded, Q unchanged
+    val inc = Analytics.cochranQ(
+      rows.union(Seq(("s5", "t1", 1)).toDF("s", "t", "x")),
+      "s", "t", col("x") === 1).collect().head
+    assert(inc.getLong(0) == 4L && inc.getLong(1) == 1L)
+    assert(math.abs(inc.getDouble(3) - 8.0 / 3.0) < 1e-12)
+    // every cell succeeds: k*T - SR2 = 0 -> NULL
+    val all = Analytics.cochranQ(
+      Seq(("s1", "t1", 1), ("s1", "t2", 1), ("s2", "t1", 1),
+        ("s2", "t2", 1)).toDF("s", "t", "x"),
+      "s", "t", col("x") === 1).collect().head
+    assert(all.isNullAt(3))
+  }
 }
