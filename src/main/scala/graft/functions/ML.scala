@@ -730,6 +730,62 @@ object ML {
           .as("kappa"))
   }
 
+  /** Krippendorff's alpha (nominal metric) — the agreement statistic
+    * that survives MISSING ratings ([[fleissKappa]] requires exactly m
+    * raters per subject; real annotation tables rarely comply — α
+    * uses every unit with ≥ 2 ratings, weighting by its own pairable
+    * mass): with n_uc the unit×category counts, m_u = Σ_c n_uc,
+    *   D_o = (1/n)·Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1),
+    *   D_e = Σ_c n_c(n − n_c) / (n(n−1)),   α = 1 − D_o/D_e,
+    * n = Σ m_u over kept units. Exactness: the per-unit disagreement
+    * terms are pinned doubles (the /(m_u−1) rational) summed as
+    * decimal(28,12); category totals and the D_e cross-product are
+    * exact decimal(38,0); one pinned closing chain. Single-rating
+    * units are EXCLUDED (no pairable ratings) and counted. Plan: one
+    * (unit, category) cell aggregate, a units-sized roll-up joined
+    * back onto the cells — nothing row-scale past the first groupBy.
+    * Output: one row (n_units, n_units_excluded, n_ratings, d_o, d_e,
+    * alpha); every rating one category (D_e = 0) → NULL alpha. */
+  def krippendorffAlpha(df: org.apache.spark.sql.DataFrame,
+                        unitCol: String, categoryCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec28 = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,12)")
+    val cells = df.filter(col(unitCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(categoryCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val per = cells.groupBy(col("__u")).agg(sum(col("__c")).as("__m"))
+    val kept = per.filter(col("__m") >= 2)
+    val excluded = per.filter(col("__m") < 2)
+      .agg(count(lit(1)).as("n_units_excluded"))
+    val units = kept.agg(count(lit(1)).as("n_units"),
+      coalesce(sum(col("__m")), lit(0L)).as("n_ratings"))
+    val joined = cells.join(kept.select(col("__u"), col("__m")), Seq("__u"))
+    val doNum = joined.agg(
+      coalesce(sum(dec28(d(col("__c")) * d(col("__m") - col("__c")) /
+        d(col("__m") - 1))), lit(0).cast("decimal(28,12)"))
+        .cast("double").as("__do"))
+    val catTot = joined.groupBy(col("__k")).agg(sum(col("__c")).as("__nc"))
+    val deNum = catTot
+      .crossJoin(broadcast(units.select(col("n_ratings").as("__n"))))
+      .agg(coalesce(sum(dec(col("__nc")) * (col("__n") - col("__nc"))),
+        dec(lit(0))).as("__de"))
+    units.crossJoin(broadcast(excluded))
+      .crossJoin(broadcast(doNum)).crossJoin(broadcast(deNum))
+      .withColumn("d_o",
+        when(col("n_ratings") > 0, col("__do") / d(col("n_ratings"))))
+      .withColumn("d_e",
+        when(col("n_ratings") > 1,
+          d(col("__de")) /
+            (d(col("n_ratings")) * (d(col("n_ratings")) - 1.0))))
+      .select(col("n_units"), col("n_units_excluded"), col("n_ratings"),
+        col("d_o"), col("d_e"),
+        when(col("d_e") > 0, lit(1.0) - col("d_o") / col("d_e"))
+          .as("alpha"))
+  }
+
   /** Top principal component of a set of numeric columns — the
     * embedding-whitening / dominant-direction primitive
     * ([[graft.operators.Analytics.corrMatrix]] reports pairwise

@@ -1381,6 +1381,64 @@ object Analytics {
             (col("__w") / d(col("n") - col("k")))).as("f"))
   }
 
+  /** Bartlett's test of variance homogeneity — the PARAMETRIC
+    * sensitivity sibling of [[brownForsythe]] (BF is robust to
+    * non-normality; Bartlett is sharper when the data IS near-normal,
+    * and its χ² is the classical pre-check before pooled-variance
+    * ANOVA):
+    *   χ² = [(N−k)·ln S_p² − Σ(nᵢ−1)·ln sᵢ²] /
+    *        [1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1))]
+    * from per-group EXACT decimal moments (n, Σv, Σv²) — one
+    * map-side-combined scan. The cross-group reductions (Σ(nᵢ−1)ln sᵢ²,
+    * ΣSSWᵢ, Σ1/(nᵢ−1)) are ORDERED left folds over the k-sized
+    * group-struct array (the [[oneWayF]] decimal-cast-boundary
+    * contract — (nᵢ−1)·ln sᵢ² magnitudes cross the replayable-cast
+    * zone at large nᵢ). Groups with n < 2 are EXCLUDED (variance
+    * undefined) and counted; any zero-variance group → NULL χ²
+    * (ln 0 undefined — the classical statistic breaks there, use
+    * [[brownForsythe]]). Output: one row (k, k_excluded, n, chi2,
+    * dof = k−1). */
+  def bartlettTest(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol)
+    val g0 = df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(v.cast("decimal(28,12)")).as("__s1g"),
+        sum((v * v).cast("decimal(28,12)")).as("__s2g"))
+    val excluded = g0.filter(col("__ng") < 2)
+      .agg(count(lit(1)).as("k_excluded"))
+    val g = g0.filter(col("__ng") >= 2)
+      .withColumn("__wt",
+        d(col("__s2g")) - d(col("__s1g")) * d(col("__s1g")) / d(col("__ng")))
+    g.select(col("__ng"), col("__wt"),
+        struct(col(groupCol).as("g"), col("__wt"),
+          (d(col("__ng") - 1) *
+            log(col("__wt") / d(col("__ng") - 1))).as("li"),
+          (lit(1.0) / d(col("__ng") - 1)).as("ci")).as("__t"))
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        min(col("__wt")).as("__minw"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .crossJoin(broadcast(excluded))
+      .withColumn("__w", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("__wt")))
+      .withColumn("__l", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("li")))
+      .withColumn("__c", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("ci")))
+      .withColumn("__dofw", d(col("n")) - d(col("k")))
+      .withColumn("__raw",
+        col("__dofw") * log(col("__w") / col("__dofw")) - col("__l"))
+      .withColumn("__corr",
+        lit(1.0) + (col("__c") - lit(1.0) / col("__dofw")) /
+          (lit(3.0) * (d(col("k")) - 1.0)))
+      .select(col("k"), col("k_excluded"), col("n"),
+        when(col("k") > 1 && col("n") > col("k") && col("__minw") > 0,
+          col("__raw") / col("__corr")).as("chi2"),
+        (col("k") - 1).as("dof"))
+  }
+
   /** Two-proportion z-test — the conversion-rate A/B primitive ("did
     * the success RATE move between variants"): exact counts
     * (n, successes) per side in ONE map-side-combined scan, then the
@@ -2824,6 +2882,71 @@ object Analytics {
         when(col("w").isNotNull,
           col("__m") * (col("__nn") - 1.0) * col("w")).as("chi2"),
         (col("k_treatments") - 1).as("dof"))
+  }
+
+  /** Page's trend test — is there a MONOTONE dose-response across k
+    * ORDERED treatments within blocks ([[friedmanTest]] asks "any
+    * difference"; Page asks "does quality rise with model size /
+    * filter strictness / data fraction", far more powerful against
+    * the ordered alternative):
+    *   L = Σⱼ cⱼ·Rⱼ  over the caller's hypothesized ascending order
+    * (cⱼ = 1..k), Rⱼ the within-block rank sums, with
+    *   μ_L = b·k(k+1)²/4,  σ²_L = b·k²(k+1)²(k−1)/144,
+    *   z = (L − μ_L)/σ_L   (one-sided: large L = confirms the order).
+    * Friedman's machinery verbatim — within-block mid-ranks on the
+    * keyed distributed prefix, complete-BLOCK filter (all k named
+    * treatments present; others excluded + counted), treatments
+    * OUTSIDE `order` ignored entirely. σ²_L is the NO-TIES form —
+    * heavy within-block ties make z anticonservative; ties are
+    * reported (n_tied_blocks would require a second pass, so the
+    * caller watches the mid-rank .5s in L's parity instead —
+    * documented limitation, the classical table form). Output: one
+    * row (n_blocks, k, n_excluded, l_stat, mu, sigma, z). */
+  def pageTrendTest(df: DataFrame, blockCol: String, treatmentCol: String,
+                    valueCol: String, order: Seq[String]): DataFrame = {
+    require(order.size >= 3, s"pageTrendTest needs >= 3 ordered treatments")
+    require(order.distinct.size == order.size, "order has duplicates")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val k = order.size
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val pos = order.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
+      .toDF("__tr", "__pos")
+    val cell = df.filter(col(blockCol).isNotNull &&
+        col(treatmentCol).isin(order.map(x => x: Any): _*) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatmentCol).as("__tr"))
+      .agg(max(col(valueCol)).as("__v"))
+    val per = cell.groupBy(col("__b")).agg(count(lit(1)).as("__kt"))
+    val keptBlocks = per.filter(col("__kt") === k).select(col("__b"))
+    val nExcluded = per.filter(col("__kt") =!= k).count()
+    val kept = cell.join(keptBlocks, Seq("__b"))
+    val m = kept.select(col("__b")).distinct().count()
+    val vt = kept.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+    val cum = prefixBeforeBy(vt, Seq("__b"), "__v", col("__t"))
+    val ranked = kept.join(
+      cum.select(col("__b").as("__kb"), col("__v").as("__kv"),
+        col("__cum"), col("__t")),
+      col("__b") <=> col("__kb") && col("__v") <=> col("__kv"))
+      .withColumn("__r2", lit(2) * col("__cum") + col("__t") + 1)
+    val l2 = ranked.join(broadcast(pos), Seq("__tr"))
+      .agg(coalesce(sum(dec(col("__pos")) * col("__r2")), dec(lit(0)))
+        .as("__l2"))
+    val kD = k.toDouble
+    l2
+      .withColumn("l_stat", d(col("__l2")) / 2.0)
+      .withColumn("mu",
+        lit(m.toDouble) * lit(kD) * lit((kD + 1) * (kD + 1)) / 4.0)
+      .withColumn("__sig2",
+        lit(m.toDouble) * lit(kD * kD) * lit((kD + 1) * (kD + 1)) *
+          lit(kD - 1) / 144.0)
+      .select(lit(m).as("n_blocks"), lit(k.toLong).as("k"),
+        lit(nExcluded).as("n_excluded"), col("l_stat"), col("mu"),
+        sqrt(col("__sig2")).as("sigma"),
+        when(col("__sig2") > 0,
+          (col("l_stat") - col("mu")) / sqrt(col("__sig2"))).as("z"))
   }
 
   /** Cochran's Q test — k BINARY treatments over the same subjects

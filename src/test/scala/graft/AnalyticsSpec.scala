@@ -3142,4 +3142,83 @@ class AnalyticsSpec extends SparkSpec {
       "s", "t", col("x") === 1).collect().head
     assert(all.isNullAt(3))
   }
+
+  test("bartlettTest: hand two-group chain; singleton group excluded; " +
+    "zero-variance group NULLs") {
+    import spark.implicits._
+    // a={1,2,3} s2=1, b={2,4,6} s2=4: raw = 4 ln2.5 - 2 ln4, corr 1.25
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val r = Analytics.bartlettTest(df, "g", "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getLong(2) == 6L)
+    val raw = 4.0 * math.log(2.5) - 2.0 * math.log(4.0)
+    assert(math.abs(r.getDouble(3) - raw / 1.25) < 1e-9)
+    assert(r.getLong(4) == 1L)
+    // singleton group c excluded and counted
+    val ex = Analytics.bartlettTest(
+      df.union(Seq(("c", 9.0)).toDF("g", "v")), "g", "v").collect().head
+    assert(ex.getLong(0) == 2L && ex.getLong(1) == 1L)
+    assert(math.abs(ex.getDouble(3) - raw / 1.25) < 1e-9)
+    // a zero-variance group: ln 0 undefined -> NULL chi2
+    val z = Analytics.bartlettTest(
+      df.union(Seq(("c", 9.0), ("c", 9.0)).toDF("g", "v")), "g", "v")
+      .collect().head
+    assert(z.isNullAt(3))
+  }
+
+  test("pageTrendTest: perfect ascending order L=56 z=2sqrt2; " +
+    "off-order treatments ignored; incomplete block excluded") {
+    import spark.implicits._
+    def block(b: String, v1: Double, v2: Double, v3: Double) =
+      Seq((b, "t1", v1), (b, "t2", v2), (b, "t3", v3))
+    val perfect = (block("b1", 1, 2, 3) ++ block("b2", 4, 5, 6) ++
+      block("b3", 1, 5, 9) ++ block("b4", 0, 1, 2)).toDF("b", "t", "v")
+    val r = Analytics.pageTrendTest(perfect, "b", "t", "v",
+      Seq("t1", "t2", "t3")).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 0L)
+    assert(math.abs(r.getDouble(3) - 56.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 48.0) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 8.0 / math.sqrt(8.0)) < 1e-9)
+    // an unknown treatment is ignored; a block missing t3 is excluded
+    val noisy = perfect
+      .union(Seq(("b1", "t9", 99.0), ("b5", "t1", 1.0), ("b5", "t2", 2.0))
+        .toDF("b", "t", "v"))
+    val n = Analytics.pageTrendTest(noisy, "b", "t", "v",
+      Seq("t1", "t2", "t3")).collect().head
+    assert(n.getLong(0) == 4L && n.getLong(2) == 1L)
+    assert(math.abs(n.getDouble(3) - 56.0) < 1e-12)
+  }
+
+  test("krippendorffAlpha: hand nominal cases (0, 1, -0.5); " +
+    "single-rating unit excluded; one-category NULL") {
+    import spark.implicits._
+    import graft.functions.ML
+    // (X,X),(X,Y): Do = 2/4, De = 6/12 -> alpha 0
+    val a0 = ML.krippendorffAlpha(
+      Seq(("u1", "X"), ("u1", "X"), ("u2", "X"), ("u2", "Y"))
+        .toDF("u", "k"), "u", "k").collect().head
+    assert(a0.getLong(0) == 2L && a0.getLong(2) == 4L)
+    assert(math.abs(a0.getDouble(5)) < 1e-12)
+    // (X,X),(Y,Y): perfect agreement
+    val a1 = ML.krippendorffAlpha(
+      Seq(("u1", "X"), ("u1", "X"), ("u2", "Y"), ("u2", "Y"))
+        .toDF("u", "k"), "u", "k").collect().head
+    assert(math.abs(a1.getDouble(5) - 1.0) < 1e-12)
+    // (X,Y),(X,Y): systematic disagreement -0.5
+    val am = ML.krippendorffAlpha(
+      Seq(("u1", "X"), ("u1", "Y"), ("u2", "X"), ("u2", "Y"))
+        .toDF("u", "k"), "u", "k").collect().head
+    assert(math.abs(am.getDouble(5) - -0.5) < 1e-12)
+    // a single-rating unit is excluded and counted, result unchanged
+    val ex = ML.krippendorffAlpha(
+      Seq(("u1", "X"), ("u1", "X"), ("u2", "Y"), ("u2", "Y"), ("u3", "X"))
+        .toDF("u", "k"), "u", "k").collect().head
+    assert(ex.getLong(0) == 2L && ex.getLong(1) == 1L)
+    assert(math.abs(ex.getDouble(5) - 1.0) < 1e-12)
+    // every rating one category: De = 0 -> NULL
+    val one = ML.krippendorffAlpha(
+      Seq(("u1", "X"), ("u1", "X"), ("u2", "X"), ("u2", "X"))
+        .toDF("u", "k"), "u", "k").collect().head
+    assert(one.isNullAt(5))
+  }
 }
