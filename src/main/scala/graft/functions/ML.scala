@@ -786,6 +786,63 @@ object ML {
           .as("alpha"))
   }
 
+  /** Gwet's AC1 — the agreement coefficient ROBUST to the prevalence
+    * paradox that deflates kappa ([[fleissKappa]]'s P̄e rewards a rare
+    * category so heavily that two raters agreeing 95% of the time on
+    * a 95/5 split can score κ near 0 or below; AC1's chance term
+    *   P̄e = (1/(K−1))·Σ_c π_c(1−π_c),  π_c the mean category share,
+    * models chance as rating RANDOMLY only when uncertain, so it
+    * stays stable under skewed prevalence — report both: a large
+    * κ↔AC1 gap IS the prevalence warning): same cells, same exact
+    * P̄ numerator, same equal-`raters` contract and exclusion
+    * accounting as [[fleissKappa]]; K = categories observed among
+    * kept subjects. Output: one row (n_subjects, n_excluded, m,
+    * k_categories, p_a, p_e, ac1); K < 2 → NULL (chance term
+    * undefined). */
+  def gwetAC1(df: org.apache.spark.sql.DataFrame, subjectCol: String,
+              categoryCol: String, raters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(raters >= 2, s"gwetAC1 needs raters >= 2, got $raters")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec28 = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,12)")
+    val cells = df.filter(col(subjectCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .groupBy(col(subjectCol).as("__s"), col(categoryCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val subj = cells.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("__m"),
+        sum(dec(col("__c")) * col("__c")).as("__s2"))
+    val keptSubj = subj.filter(col("__m") === raters)
+    val excluded = subj.filter(col("__m") =!= raters)
+      .agg(count(lit(1)).as("n_excluded"))
+    val pbar = keptSubj.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum(col("__s2")), dec(lit(0))).as("__ss"))
+    val catTot = cells.join(keptSubj.select(col("__s")), Seq("__s"))
+      .groupBy(col("__k")).agg(sum(col("__c")).as("__ck"))
+    val mD = raters.toDouble
+    val peTot = catTot
+      .crossJoin(broadcast(pbar.select(col("n_subjects").as("__ns"))))
+      .withColumn("__pi", d(col("__ck")) / (d(col("__ns")) * lit(mD)))
+      .agg(count(lit(1)).as("k_categories"),
+        coalesce(sum(dec28(col("__pi") * (lit(1.0) - col("__pi")))),
+          lit(0).cast("decimal(28,12)")).cast("double").as("__pesum"))
+    pbar.crossJoin(broadcast(excluded)).crossJoin(broadcast(peTot))
+      .withColumn("p_a",
+        when(col("n_subjects") > 0,
+          (d(col("__ss")) - d(col("n_subjects")) * lit(mD)) /
+            (d(col("n_subjects")) * lit(mD) * lit(mD - 1.0))))
+      .withColumn("p_e",
+        when(col("k_categories") > 1,
+          col("__pesum") / (d(col("k_categories")) - 1.0)))
+      .select(col("n_subjects"), col("n_excluded"),
+        lit(raters).as("m"), col("k_categories"), col("p_a"), col("p_e"),
+        when(col("n_subjects") > 0 && col("k_categories") > 1 &&
+            lit(1.0) - col("p_e") > 0,
+          (col("p_a") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("ac1"))
+  }
+
   /** Top principal component of a set of numeric columns — the
     * embedding-whitening / dominant-direction primitive
     * ([[graft.operators.Analytics.corrMatrix]] reports pairwise

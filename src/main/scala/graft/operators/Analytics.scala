@@ -1873,6 +1873,39 @@ object Analytics {
     welchChain(df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
 
+  /** TOST equivalence test — the question a pipeline REGRESSION gate
+    * actually asks: not "did the mean move" ([[welchT]] — absence of
+    * significance is NOT evidence of equivalence) but "is the mean
+    * difference provably WITHIN ±margin". Two one-sided Welch tests
+    * against the margins:
+    *   t_lower = (Δ + margin)/se   (H₀: Δ ≤ −margin),
+    *   t_upper = (Δ − margin)/se   (H₀: Δ ≥ +margin),
+    * equivalence concluded when BOTH reject — t_lower > t_crit AND
+    * t_upper < −t_crit at the Welch–Satterthwaite dof (the caller
+    * applies the t quantile; the repo's no-inverse-CDF convention).
+    * Same exact decimal sufficient statistics and pinned chain as
+    * [[welchT]] — one map-side-combined scan. Degenerate sides NULL
+    * exactly as welchT. Output: one row (n_a, n_b, mean_a, mean_b,
+    * diff, se, dof, margin, t_lower, t_upper). */
+  def tostEquivalence(df: DataFrame, groupCol: String, valueCol: String,
+                      groupA: String, groupB: String, margin: Double,
+                      scale: Int = 2): DataFrame = {
+    require(margin > 0, s"margin must be positive, got $margin")
+    welchT(df, groupCol, valueCol, groupA, groupB, scale)
+      .withColumn("__se2",
+        col("var_a") / col("n_a").cast("double") +
+          col("var_b") / col("n_b").cast("double"))
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("diff"),
+        when(col("__se2") > 0, sqrt(col("__se2"))).as("se"),
+        col("dof"), lit(margin).as("margin"),
+        when(col("__se2") > 0,
+          (col("diff") + lit(margin)) / sqrt(col("__se2"))).as("t_lower"),
+        when(col("__se2") > 0,
+          (col("diff") - lit(margin)) / sqrt(col("__se2"))).as("t_upper"))
+  }
+
   def outliersZ(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 k: Double, scale: Int = 2): DataFrame = {
     require(k >= 0, s"k must be non-negative, got $k")

@@ -3221,4 +3221,48 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("u", "k"), "u", "k").collect().head
     assert(one.isNullAt(5))
   }
+
+  test("tostEquivalence: hand two-one-sided chain (se, dof=4, both " +
+    "t's); degenerate side NULLs") {
+    import spark.implicits._
+    // a={1,2,3} b={1.5,2.5,3.5}: diff=-0.5, se2=2/3, dof=4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.5), ("b", 2.5), ("b", 3.5)).toDF("g", "v")
+    val r = Analytics.tostEquivalence(df, "g", "v", "a", "b",
+      margin = 1.0).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(4) - -0.5) < 1e-9)
+    val se = math.sqrt(2.0 / 3.0)
+    assert(math.abs(r.getDouble(5) - se) < 1e-9)
+    assert(math.abs(r.getDouble(6) - 4.0) < 1e-9)
+    assert(r.getDouble(7) == 1.0)
+    assert(math.abs(r.getDouble(8) - 0.5 / se) < 1e-9)
+    assert(math.abs(r.getDouble(9) - -1.5 / se) < 1e-9)
+    // one-point side: variance undefined -> NULL se/t's
+    val solo = Analytics.tostEquivalence(
+      Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v"),
+      "g", "v", "a", "b", margin = 1.0).collect().head
+    assert(solo.isNullAt(5) && solo.isNullAt(8) && solo.isNullAt(9))
+  }
+
+  test("gwetAC1: the prevalence contrast - AC1 = 0.2 where Fleiss " +
+    "kappa = -1/3 on the same cells; single-category NULL") {
+    import spark.implicits._
+    import graft.functions.ML
+    val df = Seq(("s1", "X"), ("s1", "X"), ("s2", "X"), ("s2", "Y"))
+      .toDF("s", "k")
+    val r = ML.gwetAC1(df, "s", "k", raters = 2).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(3) == 2L)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 0.375) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 0.2) < 1e-12)
+    // same data, kappa = -1/3: the documented prevalence warning gap
+    val kap = ML.fleissKappa(df, "s", "k", raters = 2).collect().head
+    assert(math.abs(kap.getDouble(5) - -1.0 / 3.0) < 1e-9)
+    // one category observed: chance term undefined
+    val one = ML.gwetAC1(
+      Seq(("s1", "X"), ("s1", "X"), ("s2", "X"), ("s2", "X"))
+        .toDF("s", "k"), "s", "k", raters = 2).collect().head
+    assert(one.isNullAt(6))
+  }
 }
