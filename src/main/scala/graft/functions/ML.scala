@@ -843,6 +843,155 @@ object ML {
           .as("ac1"))
   }
 
+  /** Lin's concordance correlation coefficient — agreement between two
+    * CONTINUOUS measurements ([[cohensKappa]] is categorical; Pearson
+    * r is blind to scale/location bias — two thermometers reading
+    * y = 2x correlate perfectly but do NOT agree):
+    *   ρ_c = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²),
+    * biased (÷n) moments per Lin 1989; also reported: Pearson r and
+    * the bias-correction factor C_b = ρ_c/r (how much of the
+    * disagreement is pure location/scale shift). ONE map-side-combined
+    * scan of exact decimal (n, Σx, Σy, Σx², Σy², Σxy), one pinned
+    * chain. Rows with either side NULL excluded. Output: one row
+    * (n, mean_x, mean_y, r, ccc, c_b); zero variance on either side →
+    * NULL r/c_b (ccc itself survives via the location term unless
+    * both variances AND the location gap are zero). */
+  def linConcordance(df: org.apache.spark.sql.DataFrame, xCol: String,
+                     yCol: String, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val x = col(xCol).cast(s"decimal(18,$scale)")
+    val y = col(yCol).cast(s"decimal(18,$scale)")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"),
+        sum(y).cast("double").as("__sy"),
+        sum(x * x).cast("double").as("__sxx"),
+        sum(y * y).cast("double").as("__syy"),
+        sum(x * y).cast("double").as("__sxy"))
+      .withColumn("mean_x", when(col("n") > 0, col("__sx") / d(col("n"))))
+      .withColumn("mean_y", when(col("n") > 0, col("__sy") / d(col("n"))))
+      .withColumn("__vx",
+        col("__sxx") / d(col("n")) - col("mean_x") * col("mean_x"))
+      .withColumn("__vy",
+        col("__syy") / d(col("n")) - col("mean_y") * col("mean_y"))
+      .withColumn("__cxy",
+        col("__sxy") / d(col("n")) - col("mean_x") * col("mean_y"))
+      .withColumn("__gap",
+        (col("mean_x") - col("mean_y")) * (col("mean_x") - col("mean_y")))
+      .withColumn("r",
+        when(col("__vx") > 0 && col("__vy") > 0,
+          col("__cxy") / sqrt(col("__vx") * col("__vy"))))
+      .withColumn("ccc",
+        when(col("__vx") + col("__vy") + col("__gap") > 0,
+          lit(2.0) * col("__cxy") /
+            (col("__vx") + col("__vy") + col("__gap"))))
+      .withColumn("c_b",
+        when(col("r").isNotNull && col("r") =!= 0.0,
+          col("ccc") / col("r")))
+      .select("n", "mean_x", "mean_y", "r", "ccc", "c_b")
+  }
+
+  /** Bland–Altman agreement summary — the method-comparison REPORT
+    * beside [[linConcordance]]'s single number (BA reads bias and
+    * spread in measurement units — the clinical/metrology standard):
+    * over per-row differences d = x − y,
+    *   bias = d̄,  sd = sample SD of d,  LoA = bias ∓ 1.96·sd.
+    * ONE map-side-combined scan of exact decimal (n, Σd, Σd²) —
+    * differences of decimal-cast values stay exact — then a pinned
+    * chain ([[graft.operators.Analytics.pairedT]] supplies the
+    * inference on the same differences; this supplies the limits).
+    * Output: one row (n, bias, sd_diff, loa_lo, loa_hi); n < 2 →
+    * NULL sd/limits. */
+  def blandAltman(df: org.apache.spark.sql.DataFrame, xCol: String,
+                  yCol: String, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dd = col(xCol).cast(s"decimal(18,$scale)") -
+      col(yCol).cast(s"decimal(18,$scale)")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(dd).cast("double").as("__sd"),
+        sum(dd * dd).cast("double").as("__sdd"))
+      .withColumn("bias", when(col("n") > 0, col("__sd") / d(col("n"))))
+      .withColumn("__v",
+        when(col("n") >= 2,
+          (col("__sdd") - col("__sd") * col("__sd") / d(col("n"))) /
+            (d(col("n")) - 1.0)))
+      .withColumn("sd_diff", when(col("__v") >= 0, sqrt(col("__v"))))
+      .select(col("n"), col("bias"), col("sd_diff"),
+        (col("bias") - lit(1.96) * col("sd_diff")).as("loa_lo"),
+        (col("bias") + lit(1.96) * col("sd_diff")).as("loa_hi"))
+  }
+
+  /** ICC(2,1) — intraclass correlation, two-way random effects, single
+    * measure, absolute agreement (the Shrout–Fleiss form for "k raters
+    * score n subjects; raters are a random sample; does a SINGLE
+    * rating agree with truth" — penalizes systematic rater bias, which
+    * consistency forms forgive): from the two-way ANOVA decomposition
+    *   ICC = (MSR − MSE) / (MSR + (k−1)·MSE + k·(MSC − MSE)/n).
+    * EXACT sums throughout: cell values cast decimal(18,scale); row
+    * (subject) and column (rater) sums kept in decimal and SQUARED in
+    * decimal (exact — never a double cast of a large magnitude, the
+    * oneWayF cast-boundary lesson applied at design time), so every
+    * SS is one pinned double built from exact decimals. Complete
+    * design required: subjects missing any rater are EXCLUDED and
+    * counted; duplicate (subject, rater) cells collapse by MAX. Plan:
+    * one cell aggregate, subjects-/raters-sized roll-ups. Output: one
+    * row (n_subjects, n_excluded, k_raters, ms_rows, ms_cols, ms_err,
+    * icc21); degenerate denominators → NULL. */
+  def icc21(df: org.apache.spark.sql.DataFrame, subjectCol: String,
+            raterCol: String, valueCol: String, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val decV = s"decimal(18,$scale)"
+    val cell = df.filter(col(subjectCol).isNotNull &&
+        col(raterCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(subjectCol).as("__s"), col(raterCol).as("__r"))
+      .agg(max(col(valueCol).cast(decV)).as("__v"))
+    val k = cell.select(col("__r")).distinct().count()
+    val per = cell.groupBy(col("__s")).agg(count(lit(1)).as("__kr"),
+      sum(col("__v")).cast(decV).as("__ri"))
+    val keptSubj = per.filter(col("__kr") === k)
+    val nExcluded = per.filter(col("__kr") =!= k).count()
+    val kept = cell.join(keptSubj.select(col("__s")), Seq("__s"))
+    val tot = kept.agg(
+      sum(col("__v")).cast(decV).as("__t"),
+      sum(col("__v") * col("__v")).as("__sxx"))
+    val rows = keptSubj.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum(col("__ri") * col("__ri")),
+        lit(0).cast(s"decimal(38,${2 * scale})")).as("__sr2"))
+    val cols = kept.groupBy(col("__r"))
+      .agg(sum(col("__v")).cast(decV).as("__cj"))
+      .agg(coalesce(sum(col("__cj") * col("__cj")),
+        lit(0).cast(s"decimal(38,${2 * scale})")).as("__sc2"))
+    rows.crossJoin(broadcast(tot)).crossJoin(broadcast(cols))
+      .withColumn("__k", lit(k).cast("double"))
+      .withColumn("__nd", d(col("n_subjects")))
+      .withColumn("__cf",
+        d(col("__t")) * d(col("__t")) / (col("__nd") * col("__k")))
+      .withColumn("__sstot", d(col("__sxx")) - col("__cf"))
+      .withColumn("__ssrows", d(col("__sr2")) / col("__k") - col("__cf"))
+      .withColumn("__sscols", d(col("__sc2")) / col("__nd") - col("__cf"))
+      .withColumn("__sserr",
+        col("__sstot") - col("__ssrows") - col("__sscols"))
+      .withColumn("ms_rows",
+        when(col("__nd") > 1, col("__ssrows") / (col("__nd") - 1.0)))
+      .withColumn("ms_cols",
+        when(col("__k") > 1, col("__sscols") / (col("__k") - 1.0)))
+      .withColumn("ms_err",
+        when(col("__nd") > 1 && col("__k") > 1,
+          col("__sserr") / ((col("__nd") - 1.0) * (col("__k") - 1.0))))
+      .withColumn("__den",
+        col("ms_rows") + (col("__k") - 1.0) * col("ms_err") +
+          col("__k") * (col("ms_cols") - col("ms_err")) / col("__nd"))
+      .select(col("n_subjects"), lit(nExcluded).as("n_excluded"),
+        lit(k).as("k_raters"), col("ms_rows"), col("ms_cols"),
+        col("ms_err"),
+        when(col("__den") > 0,
+          (col("ms_rows") - col("ms_err")) / col("__den")).as("icc21"))
+  }
+
   /** Top principal component of a set of numeric columns — the
     * embedding-whitening / dominant-direction primitive
     * ([[graft.operators.Analytics.corrMatrix]] reports pairwise

@@ -3265,4 +3265,69 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("s", "k"), "s", "k", raters = 2).collect().head
     assert(one.isNullAt(6))
   }
+
+  test("linConcordance: y=2x gives r=1 but ccc=4/11; identity gives " +
+    "ccc=1; constant side NULL r") {
+    import spark.implicits._
+    import graft.functions.ML
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val r = ML.linConcordance(df, "x", "y").collect().head
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 4.0 / 11.0) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 4.0 / 11.0) < 1e-9)
+    val id = ML.linConcordance(
+      Seq((1.0, 1.0), (2.0, 2.0), (5.0, 5.0)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(math.abs(id.getDouble(4) - 1.0) < 1e-12)
+    val const = ML.linConcordance(
+      Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(const.isNullAt(3)) // zero x-variance: r undefined
+  }
+
+  test("blandAltman: alternating differences give bias 0 and " +
+    "sd 2/sqrt3; n=1 NULL limits") {
+    import spark.implicits._
+    import graft.functions.ML
+    val df = Seq((2.0, 1.0), (1.0, 2.0), (2.0, 1.0), (1.0, 2.0))
+      .toDF("x", "y")
+    val r = ML.blandAltman(df, "x", "y").collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    val sd = 2.0 / math.sqrt(3.0)
+    assert(math.abs(r.getDouble(2) - sd) < 1e-9)
+    assert(math.abs(r.getDouble(3) - -1.96 * sd) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 1.96 * sd) < 1e-9)
+    val one = ML.blandAltman(Seq((1.0, 2.0)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(one.isNullAt(2) && one.isNullAt(3))
+  }
+
+  test("icc21: hand two-way decomposition (rater bias penalized to " +
+    "0.8, bias-free case 1.0); incomplete subject excluded") {
+    import spark.implicits._
+    import graft.functions.ML
+    // s1: r1=1 r2=2; s2: r1=3 r2=4 -> MSR=4 MSC=1 MSE=0, ICC=4/5
+    val df = Seq(("s1", "r1", 1.0), ("s1", "r2", 2.0),
+      ("s2", "r1", 3.0), ("s2", "r2", 4.0)).toDF("s", "r", "v")
+    val r = ML.icc21(df, "s", "r", "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(5)) < 1e-9)
+    assert(math.abs(r.getDouble(6) - 0.8) < 1e-9)
+    // no rater bias: perfect absolute agreement
+    val perfect = ML.icc21(
+      Seq(("s1", "r1", 1.0), ("s1", "r2", 1.0),
+        ("s2", "r1", 3.0), ("s2", "r2", 3.0)).toDF("s", "r", "v"),
+      "s", "r", "v").collect().head
+    assert(math.abs(perfect.getDouble(6) - 1.0) < 1e-9)
+    // subject missing a rater: excluded and counted
+    val ex = ML.icc21(
+      df.union(Seq(("s3", "r1", 9.0)).toDF("s", "r", "v")),
+      "s", "r", "v").collect().head
+    assert(ex.getLong(0) == 2L && ex.getLong(1) == 1L)
+    assert(math.abs(ex.getDouble(6) - 0.8) < 1e-9)
+  }
 }
