@@ -3399,12 +3399,18 @@ object Analytics {
       col("__c").as("__ca"))
     val b = pairs.select(col("__x").as("__xb"), col("__y").as("__yb"),
       col("__c").as("__cb"))
+    // a single-distinct-x input leaves the self-join EMPTY: nc/nd are
+    // genuinely ZERO there (0 concordant, 0 discordant pairs), so the
+    // empty-aggregate NULL is coalesced — unlike the ratio statistics
+    // below, which stay NULL when their denominator dies
     val cd = a.join(b, col("__xb") > col("__xa"))
       .agg(
-        sum(when(col("__yb") > col("__ya"), dec(col("__ca")) * col("__cb"))
-          .otherwise(dec(lit(0)))).as("__nc"),
-        sum(when(col("__yb") < col("__ya"), dec(col("__ca")) * col("__cb"))
-          .otherwise(dec(lit(0)))).as("__nd"))
+        coalesce(sum(when(col("__yb") > col("__ya"),
+          dec(col("__ca")) * col("__cb")).otherwise(dec(lit(0)))),
+          dec(lit(0))).as("__nc"),
+        coalesce(sum(when(col("__yb") < col("__ya"),
+          dec(col("__ca")) * col("__cb")).otherwise(dec(lit(0)))),
+          dec(lit(0))).as("__nd"))
     def tieSum(key: String) = pairs.groupBy(col(key))
       .agg(sum(col("__c")).as("__s"))
       .agg(sum(dec(col("__s")) * (col("__s") - 1)).as("__t"))

@@ -744,4 +744,94 @@ class PropertySpec extends SparkSpec {
       Prop(got == expect) :| s"got=$got expect=$expect parts=$parts"
     }, minTests = 25)
   }
+
+  test("energyDistance == brute-force pair model (the prefix-sum " +
+    "identity against literal O(n^2) enumeration)") {
+    // 2-decimal values: the operator's 1e-12 quantization is exact, so
+    // the only divergence left is double-sum noise
+    val vals: Gen[List[Double]] =
+      Gen.choose(1, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-5000, 5000).map(_ / 100.0)))
+    check(forAll(vals, vals) { (a, b) =>
+      def m(x: List[Double], y: List[Double]): Double =
+        (for { u <- x; v <- y } yield math.abs(u - v)).sum /
+          (x.size.toDouble * y.size.toDouble)
+      val expect = 2.0 * m(a, b) - m(a, a) - m(b, b)
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+      val row = graft.operators.Analytics
+        .energyDistance(df, "g", "v", "a", "b").collect().head
+      val got = row.getDouble(5)
+      Prop(math.abs(got - expect) < 1e-8) :| s"got=$got expect=$expect"
+    }, minTests = 20)
+  }
+
+  test("logRankTest == event-time walk model (O/E/V accumulated by a " +
+    "literal risk-set iteration)") {
+    val rows: Gen[List[(String, Long, Boolean)]] =
+      Gen.choose(2, 10).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 5L), Gen.oneOf(true, false))))
+    check(forAll(rows) { rs =>
+      val hasBoth = rs.exists(_._1 == "a") && rs.exists(_._1 == "b")
+      val na0 = rs.count(_._1 == "a"); val nb0 = rs.count(_._1 == "b")
+      var ra = na0.toLong; var rb = nb0.toLong
+      var o = 0L; var e = 0.0; var v = 0.0
+      rs.map(_._2).distinct.sorted.foreach { t =>
+        val atT = rs.filter(_._2 == t)
+        val da = atT.count(x => x._1 == "a" && x._3).toLong
+        val db = atT.count(x => x._1 == "b" && x._3).toLong
+        val nt = ra + rb; val dt = da + db
+        if (dt > 0) {
+          o += da
+          e += dt.toDouble * ra / nt
+          if (nt > 1)
+            v += dt.toDouble * ra * rb * (nt - dt) /
+              (nt.toDouble * nt * (nt - 1))
+        }
+        ra -= atT.count(_._1 == "a"); rb -= atT.count(_._1 == "b")
+      }
+      val row = graft.operators.Analytics.logRankTest(
+        rs.toDF("g", "dur", "ev"), "g", "dur", col("ev"), "a", "b")
+        .collect().head
+      val ok = row.getLong(2) == o &&
+        math.abs(row.getDouble(3) - e) < 1e-9 &&
+        math.abs(row.getDouble(4) - v) < 1e-9 &&
+        (if (hasBoth && v > 0)
+          math.abs(row.getDouble(5) - (o - e) / math.sqrt(v)) < 1e-9
+        else row.isNullAt(5))
+      Prop(ok) :| s"got=${row.mkString(",")} o=$o e=$e v=$v"
+    }, minTests = 25)
+  }
+
+  test("ordinalAssociation == brute-force pair counting (gamma, both " +
+    "Somers' D, tau_b from literal pair enumeration)") {
+    val rows: Gen[List[(Long, Long)]] =
+      Gen.choose(2, 10).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 3L))))
+    check(forAll(rows) { rs =>
+      var nc = 0L; var nd = 0L; var untiedX = 0L; var untiedY = 0L
+      for (i <- rs.indices; j <- rs.indices if i < j) {
+        val ((x1, y1), (x2, y2)) = (rs(i), rs(j))
+        if (x1 != x2) untiedX += 1
+        if (y1 != y2) untiedY += 1
+        if (x1 != x2 && y1 != y2) {
+          if ((x2 - x1) * (y2 - y1) > 0) nc += 1 else nd += 1
+        }
+      }
+      val s = (nc - nd).toDouble
+      val row = graft.operators.Analytics
+        .ordinalAssociation(rs.toDF("x", "y"), "x", "y").collect().head
+      def near(i: Int, exp: Option[Double]): Boolean = exp match {
+        case None => row.isNullAt(i)
+        case Some(d) => !row.isNullAt(i) && math.abs(row.getDouble(i) - d) < 1e-9
+      }
+      val ok = row.getDouble(1) == nc.toDouble &&
+        row.getDouble(2) == nd.toDouble &&
+        near(3, if (nc + nd > 0) Some(s / (nc + nd)) else None) &&
+        near(4, if (untiedX > 0) Some(s / untiedX) else None) &&
+        near(5, if (untiedY > 0) Some(s / untiedY) else None) &&
+        near(6, if (untiedX > 0 && untiedY > 0)
+          Some(s / math.sqrt(untiedX.toDouble * untiedY)) else None)
+      Prop(ok) :| s"got=${row.mkString(",")} nc=$nc nd=$nd ux=$untiedX uy=$untiedY"
+    }, minTests = 25)
+  }
 }
