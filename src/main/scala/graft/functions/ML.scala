@@ -992,6 +992,71 @@ object ML {
           (col("ms_rows") - col("ms_err")) / col("__den")).as("icc21"))
   }
 
+  /** Cronbach's alpha — internal consistency of k items scored over n
+    * subjects ("do these k quality heuristics measure one underlying
+    * thing", the scale-reliability standard; for BINARY items this IS
+    * Kuder–Richardson KR-20):
+    *   α = k/(k−1) · (1 − Σⱼ var_item_j / var_total),
+    * var_total the sample variance of per-subject TOTAL scores.
+    * Exactness: cell values cast decimal(18,scale); per-subject row
+    * sums and their squares stay EXACT in decimal (the icc21
+    * discipline); the per-item variance reduction is an ORDERED
+    * k-sized fold (sort_array + aggregate — the oneWayF
+    * cast-boundary contract, item-variance magnitudes are unbounded).
+    * Complete design required (subjects missing items EXCLUDED and
+    * counted); duplicate (subject, item) cells collapse by MAX.
+    * Output: one row (n_subjects, n_excluded, k_items, sum_item_var,
+    * total_var, alpha); n < 2, k < 2, or zero total variance →
+    * NULL. */
+  def cronbachAlpha(df: org.apache.spark.sql.DataFrame, subjectCol: String,
+                    itemCol: String, valueCol: String, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val decV = s"decimal(18,$scale)"
+    val cell = df.filter(col(subjectCol).isNotNull &&
+        col(itemCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(subjectCol).as("__s"), col(itemCol).as("__i"))
+      .agg(max(col(valueCol).cast(decV)).as("__v"))
+    val k = cell.select(col("__i")).distinct().count()
+    val per = cell.groupBy(col("__s")).agg(count(lit(1)).as("__ki"),
+      sum(col("__v")).cast(decV).as("__ri"))
+    val keptSubj = per.filter(col("__ki") === k)
+    val nExcluded = per.filter(col("__ki") =!= k).count()
+    val kept = cell.join(keptSubj.select(col("__s")), Seq("__s"))
+    val rows = keptSubj.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum(col("__ri")).cast(decV), lit(0).cast(decV)).as("__sr"),
+      coalesce(sum(col("__ri") * col("__ri")),
+        lit(0).cast(s"decimal(38,${2 * scale})")).as("__sr2"))
+    // per-item exact moments, then an ORDERED fold over the k items
+    val items = kept.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(col("__v")).cast(decV).as("__s1"),
+        sum(col("__v") * col("__v")).as("__s2"))
+      .withColumn("__var",
+        when(col("__ni") >= 2,
+          (d(col("__s2")) - d(col("__s1")) * d(col("__s1")) /
+            d(col("__ni"))) / (d(col("__ni")) - 1.0)))
+      .select(struct(col("__i").as("i"), col("__var")).as("__t"))
+      .agg(count(lit(1)).as("k_items"),
+        min(col("__t").getField("__var")).as("__minvar"),
+        sort_array(collect_list(col("__t"))).as("__is"))
+      .withColumn("sum_item_var", aggregate(col("__is"), lit(0.0),
+        (acc, x) => acc + x.getField("__var")))
+      .drop("__is")
+    rows.crossJoin(broadcast(items))
+      .withColumn("total_var",
+        when(col("n_subjects") >= 2,
+          (d(col("__sr2")) - d(col("__sr")) * d(col("__sr")) /
+            d(col("n_subjects"))) / (d(col("n_subjects")) - 1.0)))
+      .select(col("n_subjects"), lit(nExcluded).as("n_excluded"),
+        col("k_items"), col("sum_item_var"), col("total_var"),
+        when(col("n_subjects") >= 2 && col("k_items") > 1 &&
+            col("total_var") > 0 && col("__minvar").isNotNull,
+          (d(col("k_items")) / (d(col("k_items")) - 1.0)) *
+            (lit(1.0) - col("sum_item_var") / col("total_var")))
+          .as("alpha"))
+  }
+
   /** Top principal component of a set of numeric columns — the
     * embedding-whitening / dominant-direction primitive
     * ([[graft.operators.Analytics.corrMatrix]] reports pairwise

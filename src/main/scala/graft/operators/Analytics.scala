@@ -2612,6 +2612,82 @@ object Analytics {
         col("z")): _*)
   }
 
+  /** Conover squared-ranks test — did the DISPERSION shift between two
+    * groups, without normality ([[bartlettTest]] assumes normal tails,
+    * [[brownForsythe]] answers the k-group mean-of-deviations form;
+    * Conover is the two-sample RANK test on deviations — variance
+    * drift in heavy-tailed pipeline metrics): u = |v − mean_group|,
+    * pooled mid-ranks of u, T = Σ_A s with s the squared rank. The
+    * reported statistic uses NORMALIZED scores s = (r/N)² — z is
+    * invariant under affine rescaling of the scores (finite-population
+    * sampling: E[T] = n_a·s̄, Var[T] = n_a·n_b·σ_s²/(N−1)), and the
+    * ≤1-magnitude terms keep every decimal(28,12) cast inside the
+    * engine-replayable zone (the categoricalProfile share-based-terms
+    * discipline — classical N-scale squared ranks would cross the
+    * oneWayF cast boundary at row one). Plan: one two-group moment
+    * scan for the means, one (u, group) count aggregate, the
+    * distributed distinct-u prefix, three pinned score sums. Output:
+    * one row (n_a, n_b, t_stat, e_t, var_t, z); all-tied deviations
+    * (σ_s² = 0) or an empty side → NULL z. */
+  def conoverSquaredRanks(df: DataFrame, groupCol: String,
+                          valueCol: String, groupA: String,
+                          groupB: String, scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val vDec = col(valueCol).cast(s"decimal(18,$scale)")
+    val base = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(valueCol).isNotNull)
+    val means = base.agg(
+      sum(when(col(groupCol) === groupA, vDec)).cast("double").as("__sa"),
+      sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__na0"),
+      sum(when(col(groupCol) === groupB, vDec)).cast("double").as("__sb"),
+      sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__nb0"))
+    val dev = base.crossJoin(broadcast(means))
+      .withColumn("__u",
+        when(col(groupCol) === groupA,
+          abs(d(col(valueCol)) - col("__sa") / d(col("__na0"))))
+          .otherwise(
+            abs(d(col(valueCol)) - col("__sb") / d(col("__nb0")))))
+    val counts = dev.groupBy(col("__u"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val (cShared, cum) =
+      prefixBeforeShared(counts, "__u", col("__ca") + col("__cb"))
+    val tot = cShared.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      // normalized squared mid-rank: s = ((2·cum + t + 1) / (2N))²
+      .withColumn("__s",
+        (d(lit(2) * col("__cum") + col("__ca") + col("__cb") + 1) /
+          (d(col("__n")) * 2.0)) *
+        (d(lit(2) * col("__cum") + col("__ca") + col("__cb") + 1) /
+          (d(col("__n")) * 2.0)))
+    scored
+      .groupBy(col("n_a"), col("n_b"), col("__n"))
+      .agg(
+        sum(dec28(d(col("__ca")) * col("__s"))).cast("double").as("t_stat"),
+        sum(dec28(d(col("__ca") + col("__cb")) * col("__s")))
+          .cast("double").as("__s1"),
+        sum(dec28(d(col("__ca") + col("__cb")) * col("__s") * col("__s")))
+          .cast("double").as("__s2"))
+      .withColumn("e_t",
+        when(col("__n") > 0,
+          d(col("n_a")) * (col("__s1") / d(col("__n")))))
+      .withColumn("__sig2",
+        when(col("__n") > 0,
+          col("__s2") / d(col("__n")) -
+            (col("__s1") / d(col("__n"))) * (col("__s1") / d(col("__n")))))
+      .withColumn("var_t",
+        when(col("__n") > 1,
+          d(col("n_a")) * d(col("n_b")) * col("__sig2") /
+            (d(col("__n")) - 1.0)))
+      .select(col("n_a"), col("n_b"), col("t_stat"), col("e_t"),
+        col("var_t"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("var_t") > 0,
+          (col("t_stat") - col("e_t")) / sqrt(col("var_t"))).as("z"))
+  }
+
   /** Kruskal–Wallis H — the K-GROUP rank test completing the
     * nonparametric family ([[mannWhitneyU]] asks "did THIS pair's
     * location shift", KW asks "did ANY of the k groups' locations

@@ -3330,4 +3330,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(ex.getLong(0) == 2L && ex.getLong(1) == 1L)
     assert(math.abs(ex.getDouble(6) - 0.8) < 1e-9)
   }
+
+  test("cronbachAlpha: perfectly correlated items give 1, independent " +
+    "mix gives 0; incomplete subject excluded; zero-total-var NULL") {
+    import spark.implicits._
+    import graft.functions.ML
+    val perfect = Seq(("s1", "i1", 1.0), ("s1", "i2", 1.0),
+      ("s2", "i1", 3.0), ("s2", "i2", 3.0)).toDF("s", "i", "v")
+    val p = ML.cronbachAlpha(perfect, "s", "i", "v").collect().head
+    assert(p.getLong(0) == 2L && p.getLong(2) == 2L)
+    assert(math.abs(p.getDouble(3) - 4.0) < 1e-9) // 2 + 2
+    assert(math.abs(p.getDouble(4) - 8.0) < 1e-9)
+    assert(math.abs(p.getDouble(5) - 1.0) < 1e-9)
+    // checkerboard: item variances 1/3 each, total var 2/3 -> alpha 0
+    val indep = Seq(("s1", "i1", 1.0), ("s1", "i2", 0.0),
+      ("s2", "i1", 0.0), ("s2", "i2", 1.0),
+      ("s3", "i1", 1.0), ("s3", "i2", 1.0),
+      ("s4", "i1", 0.0), ("s4", "i2", 0.0)).toDF("s", "i", "v")
+    val z = ML.cronbachAlpha(indep, "s", "i", "v").collect().head
+    assert(math.abs(z.getDouble(5)) < 1e-9)
+    // incomplete subject excluded
+    val ex = ML.cronbachAlpha(
+      perfect.union(Seq(("s3", "i1", 9.0)).toDF("s", "i", "v")),
+      "s", "i", "v").collect().head
+    assert(ex.getLong(0) == 2L && ex.getLong(1) == 1L)
+    assert(math.abs(ex.getDouble(5) - 1.0) < 1e-9)
+    // constant totals: total variance 0 -> NULL
+    val const = ML.cronbachAlpha(
+      Seq(("s1", "i1", 1.0), ("s1", "i2", 0.0),
+        ("s2", "i1", 0.0), ("s2", "i2", 1.0)).toDF("s", "i", "v"),
+      "s", "i", "v").collect().head
+    assert(const.isNullAt(5))
+  }
+
+  test("conoverSquaredRanks: hand normalized-score chain (z = sqrt3); " +
+    "all-tied deviations NULL; partition sweep") {
+    import spark.implicits._
+    // a = {0,10} (u=5,5), b = {4,6} (u=1,1): mid-ranks 3.5 / 1.5,
+    // s = (7/8)^2, (3/8)^2: T=1.53125, E=0.90625, Var=0.13020833
+    val df = Seq(("a", 0.0), ("a", 10.0), ("b", 4.0), ("b", 6.0))
+      .toDF("g", "v")
+    val r = Analytics.conoverSquaredRanks(df, "g", "v", "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 1.53125) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.90625) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.09765625 * 4.0 / 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(5) - math.sqrt(3.0)) < 1e-9)
+    // equal dispersions of constant deviation: sigma_s = 0 -> NULL z
+    val tied = Analytics.conoverSquaredRanks(
+      Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0)).toDF("g", "v"),
+      "g", "v", "a", "b").collect().head
+    assert(tied.isNullAt(5)) // every u = 1: one distinct deviation
+    partitionSweep { p =>
+      Analytics.conoverSquaredRanks(df.repartition(p), "g", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
