@@ -1588,6 +1588,184 @@ object Analytics {
       .drop("__r", "__s")
   }
 
+  /** Risk ratio + Cohen's h — the RELATIVE-rate effect size beside
+    * [[oddsRatio]]'s odds scale (RR reads directly as "the filter
+    * passes 1.8× as often on slice A"; OR overstates RR when the
+    * outcome is common) with the Katz log-scale 95% CI
+    *   se(ln RR) = √(1/x_a − 1/n_a + 1/x_b − 1/n_b),
+    * plus Cohen's h = 2·asin√p_a − 2·asin√p_b, the
+    * variance-stabilized proportion effect size (comparable across
+    * base rates the way raw p_a − p_b is not; asin is IEEE libm in
+    * both engines). Same one-scan exact counts as [[propTest]], one
+    * pinned chain. Zero successes on either side → NULL rr/ci (the
+    * log breaks; [[oddsRatio]]'s Haldane correction is the zero-cell
+    * path); empty sides NULL everything. Output: one row (n_a, n_b,
+    * x_a, x_b, p_a, p_b, rr, ci_lo, ci_hi, cohens_h). */
+  def riskRatio(df: DataFrame, groupCol: String, success: Column,
+                groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val agg = df.filter(col(groupCol).isin(groupA, groupB)).agg(
+      propAggs(col(groupCol), success, groupA, groupB).head,
+      propAggs(col(groupCol), success, groupA, groupB).tail: _*)
+    agg
+      .withColumn("p_a", when(col("n_a") > 0, d(col("x_a")) / d(col("n_a"))))
+      .withColumn("p_b", when(col("n_b") > 0, d(col("x_b")) / d(col("n_b"))))
+      .withColumn("rr",
+        when(col("x_a") > 0 && col("x_b") > 0, col("p_a") / col("p_b")))
+      .withColumn("__se",
+        when(col("x_a") > 0 && col("x_b") > 0,
+          sqrt(lit(1.0) / d(col("x_a")) - lit(1.0) / d(col("n_a")) +
+            lit(1.0) / d(col("x_b")) - lit(1.0) / d(col("n_b")))))
+      .withColumn("ci_lo", exp(log(col("rr")) - lit(1.96) * col("__se")))
+      .withColumn("ci_hi", exp(log(col("rr")) + lit(1.96) * col("__se")))
+      .withColumn("cohens_h",
+        when(col("p_a").isNotNull && col("p_b").isNotNull,
+          lit(2.0) * asin(sqrt(col("p_a"))) -
+            lit(2.0) * asin(sqrt(col("p_b")))))
+      .drop("__se")
+  }
+
+  /** Poisson rate ratio — two-sample EVENT-RATE comparison with
+    * exposure ("errors per GB processed, variant A vs B"; [[propTest]]
+    * compares per-trial rates, this compares per-exposure-unit
+    * intensities): x_g = Σ events, t_g = Σ exposure per group,
+    *   rate = x/t,  RR = rate_a/rate_b,
+    *   se(ln RR) = √(1/x_a + 1/x_b),   CI = exp(ln RR ∓ 1.96·se).
+    * Event counts exact longs, exposures exact decimal
+    * (order-independent), one map-side-combined scan, one pinned
+    * chain. Zero events on either side → NULL rr/ci; zero exposure →
+    * NULL rate. Output: one row (x_a, x_b, t_a, t_b, rate_a, rate_b,
+    * rate_ratio, ci_lo, ci_hi). */
+  def rateRatio(df: DataFrame, groupCol: String, eventsCol: String,
+                exposureCol: String, groupA: String, groupB: String,
+                scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val ev = col(eventsCol).cast("long")
+    val ex = col(exposureCol).cast(s"decimal(18,$scale)")
+    df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(eventsCol).isNotNull && col(exposureCol).isNotNull)
+      .agg(
+        sum(when(col(groupCol) === groupA, ev).otherwise(0L)).as("x_a"),
+        sum(when(col(groupCol) === groupB, ev).otherwise(0L)).as("x_b"),
+        sum(when(col(groupCol) === groupA, ex)).cast("double").as("t_a"),
+        sum(when(col(groupCol) === groupB, ex)).cast("double").as("t_b"))
+      .withColumn("rate_a", when(col("t_a") > 0, d(col("x_a")) / col("t_a")))
+      .withColumn("rate_b", when(col("t_b") > 0, d(col("x_b")) / col("t_b")))
+      .withColumn("rate_ratio",
+        when(col("x_a") > 0 && col("x_b") > 0,
+          col("rate_a") / col("rate_b")))
+      .withColumn("__se",
+        when(col("x_a") > 0 && col("x_b") > 0,
+          sqrt(lit(1.0) / d(col("x_a")) + lit(1.0) / d(col("x_b")))))
+      .withColumn("ci_lo",
+        exp(log(col("rate_ratio")) - lit(1.96) * col("__se")))
+      .withColumn("ci_hi",
+        exp(log(col("rate_ratio")) + lit(1.96) * col("__se")))
+      .drop("__se")
+  }
+
+  /** Chapman capture–recapture estimator — "how many duplicates (or
+    * PII hits, or contaminated documents) are there IN TOTAL, given
+    * two independent detector runs that each caught some": with n₁,
+    * n₂ the distinct ids caught by each run and m the overlap,
+    *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1,
+    *   se² = (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))
+    * — the bias-corrected Petersen estimate, finite even at m = 0.
+    * The corpus-QA use: run two DIFFERENT near-dup configs on samples,
+    * estimate the full duplicate population neither run saw. Plan:
+    * two distinct-aggregates + one inner join on id — all
+    * shuffle-on-id, nothing collected. Independence of the two
+    * "captures" is the caller's modeling assumption (documented, not
+    * checkable here). Output: one row (n1, n2, m, n_hat, se). */
+  def chapmanEstimate(dfA: DataFrame, dfB: DataFrame, idCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val a = dfA.filter(col(idCol).isNotNull).select(col(idCol)).distinct()
+    val b = dfB.filter(col(idCol).isNotNull).select(col(idCol)).distinct()
+    val n1 = a.agg(count(lit(1)).as("n1"))
+    val n2 = b.agg(count(lit(1)).as("n2"))
+    val m = a.join(b, Seq(idCol)).agg(count(lit(1)).as("m"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .withColumn("n_hat",
+        (d(col("n1")) + 1.0) * (d(col("n2")) + 1.0) /
+          (d(col("m")) + 1.0) - lit(1.0))
+      .withColumn("se",
+        sqrt((d(col("n1")) + 1.0) * (d(col("n2")) + 1.0) *
+          (d(col("n1")) - d(col("m"))) * (d(col("n2")) - d(col("m"))) /
+          ((d(col("m")) + 1.0) * (d(col("m")) + 1.0) *
+            (d(col("m")) + 2.0))))
+  }
+
+  /** STRATIFIED log-rank test — [[logRankTest]] pooling O−E and V
+    * across strata (compare survival between cohorts CONTROLLING for
+    * site/source/device, the survival-side sibling of [[cmhTest]]'s
+    * 2×2 pooling; per-slice curves that individually lack power add
+    * their evidence): per stratum the per-event-time hypergeometric
+    * terms ride the KEYED distributed prefix (compound range exchange
+    * on (strata, t) — a hot stratum splits across slices), per-stratum
+    * totals are keys-sized aggregates of the PINNED frame joined back,
+    * and ONE final aggregate sums O, E, V over everything. Output: one
+    * row (k_strata, n_a, n_b, o_a, e_a, v, z, chi2); V = 0 → NULL. */
+  def logRankStratified(df: DataFrame, strataCols: Seq[String],
+                        groupCol: String, durationCol: String,
+                        event: Column, groupA: String, groupB: String)
+      : DataFrame = {
+    require(strataCols.nonEmpty,
+      "logRankStratified needs strata columns; use logRankTest")
+    def d(c: Column) = c.cast("double")
+    val keys = strataCols.map(col)
+    val counts = df
+      .filter(col(durationCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .groupBy(keys :+ col(durationCol).as("__t"): _*)
+      .agg(
+        sum(when(col(groupCol) === groupA && event, 1L).otherwise(0L))
+          .as("__da"),
+        sum(when(col(groupCol) === groupA && !event, 1L).otherwise(0L))
+          .as("__ca"),
+        sum(when(col(groupCol) === groupB && event, 1L).otherwise(0L))
+          .as("__db"),
+        sum(when(col(groupCol) === groupB && !event, 1L).otherwise(0L))
+          .as("__cb"))
+    val (lrShared, pre) = prefixBeforeMultiByShared(counts, strataCols,
+      "__t", Seq("a" -> (col("__da") + col("__ca")),
+        "b" -> (col("__db") + col("__cb"))))
+    def renameKeys(df2: DataFrame, tag: String): DataFrame =
+      strataCols.zipWithIndex.foldLeft(df2) { case (acc, (c, i)) =>
+        acc.withColumnRenamed(c, s"__$tag$i") }
+    def keyJoin(tag: String): Column = strataCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val tot = renameKeys(lrShared.groupBy(keys: _*).agg(
+      sum(col("__da") + col("__ca")).as("__na"),
+      sum(col("__db") + col("__cb")).as("__nb")), "t")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    pre.join(tot, keyJoin("t"))
+      .drop(strataCols.indices.map(i => s"__t$i"): _*)
+      .withColumn("__ra", col("__na") - col("__cum_a"))
+      .withColumn("__rb", col("__nb") - col("__cum_b"))
+      .withColumn("__nt", col("__ra") + col("__rb"))
+      .withColumn("__dt", col("__da") + col("__db"))
+      .agg(
+        countDistinct(keys.head, keys.tail: _*).as("k_strata"),
+        sum(col("__da") + col("__ca")).as("__nra"),
+        sum(col("__db") + col("__cb")).as("__nrb"),
+        sum(col("__da")).as("o_a"),
+        sum(dec28(when(col("__dt") > 0,
+          d(col("__dt")) * d(col("__ra")) / d(col("__nt")))
+          .otherwise(lit(0.0)))).cast("double").as("e_a"),
+        sum(dec28(when(col("__dt") > 0 && col("__nt") > 1,
+          d(col("__dt")) * d(col("__ra")) * d(col("__rb")) *
+            (d(col("__nt")) - d(col("__dt"))) /
+            (d(col("__nt")) * d(col("__nt")) *
+              (d(col("__nt")) - lit(1.0))))
+          .otherwise(lit(0.0)))).cast("double").as("v"))
+      .select(col("k_strata"), col("__nra").as("n_a"),
+        col("__nrb").as("n_b"), col("o_a"), col("e_a"), col("v"),
+        when(col("v") > 0,
+          (d(col("o_a")) - col("e_a")) / sqrt(col("v"))).as("z"))
+      .withColumn("chi2", col("z") * col("z"))
+  }
+
   /** Categorical diversity/concentration profile — the label-mix
     * health check a curation pipeline runs per slice (is one source /
     * language / event type swallowing the mix?): per category exact

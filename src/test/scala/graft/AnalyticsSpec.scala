@@ -3387,4 +3387,92 @@ class AnalyticsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("riskRatio: hand RR=2, Katz CI, Cohen's h = pi/6; zero-success " +
+    "side NULL rr but defined h") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("a", 0), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0)).toDF("g", "x")
+    val r = Analytics.riskRatio(df, "g", col("x") === 1, "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(math.abs(r.getDouble(6) - 2.0) < 1e-12)
+    val se = math.sqrt(1.0 / 2 - 1.0 / 4 + 1.0 / 1 - 1.0 / 4)
+    assert(math.abs(r.getDouble(7) - math.exp(math.log(2.0) - 1.96 * se)) < 1e-9)
+    assert(math.abs(r.getDouble(8) - math.exp(math.log(2.0) + 1.96 * se)) < 1e-9)
+    assert(math.abs(r.getDouble(9) - math.Pi / 6.0) < 1e-9)
+    val z = Analytics.riskRatio(
+      Seq(("a", 1), ("b", 0)).toDF("g", "x"), "g", col("x") === 1,
+      "a", "b").collect().head
+    assert(z.isNullAt(6) && !z.isNullAt(9))
+  }
+
+  test("rateRatio: hand Poisson rates (2x, se = sqrt(0.35)); zero " +
+    "events NULL ratio") {
+    import spark.implicits._
+    val df = Seq(("a", 6L, 3.0), ("a", 4L, 2.0), ("b", 4L, 4.0))
+      .toDF("g", "ev", "exp")
+    val r = Analytics.rateRatio(df, "g", "ev", "exp", "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 2.0) < 1e-12)
+    val se = math.sqrt(0.35)
+    assert(math.abs(r.getDouble(7) - math.exp(math.log(2.0) - 1.96 * se)) < 1e-9)
+    val z = Analytics.rateRatio(
+      Seq(("a", 0L, 1.0), ("b", 2L, 1.0)).toDF("g", "ev", "exp"),
+      "g", "ev", "exp", "a", "b").collect().head
+    assert(z.isNullAt(6))
+  }
+
+  test("chapmanEstimate: hand overlap estimate; m=0 stays finite; " +
+    "duplicates collapse") {
+    import spark.implicits._
+    val a = (1L to 8L).toDF("id")
+    val b = (5L to 12L).toDF("id")
+    val r = Analytics.chapmanEstimate(a, b, "id").collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 8L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - (81.0 / 5.0 - 1.0)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - math.sqrt(81.0 * 16.0 / (25.0 * 6.0))) < 1e-9)
+    // duplicate captures of the same id count once
+    val dup = Analytics.chapmanEstimate(
+      a.union(a), b, "id").collect().head
+    assert(dup.getLong(0) == 8L && dup.getLong(2) == 4L)
+    val disjoint = Analytics.chapmanEstimate(
+      Seq(1L).toDF("id"), Seq(2L).toDF("id"), "id").collect().head
+    assert(math.abs(disjoint.getDouble(3) - 3.0) < 1e-12)
+    assert(math.abs(disjoint.getDouble(4) - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("logRankStratified: single stratum == logRankTest; two strata " +
+    "pool O/E/V as the per-stratum sums") {
+    import spark.implicits._
+    val s0 = Seq(("s0", "a", 1L, true), ("s0", "a", 2L, true),
+      ("s0", "b", 2L, true), ("s0", "b", 3L, false))
+    val df0 = s0.toDF("s", "g", "dur", "ev")
+    val strat = Analytics.logRankStratified(df0, Seq("s"), "g", "dur",
+      col("ev"), "a", "b").collect().head
+    val flat = Analytics.logRankTest(df0, "g", "dur", col("ev"),
+      "a", "b").collect().head
+    assert(strat.getLong(0) == 1L)
+    assert(strat.getLong(3) == flat.getLong(2)) // o_a
+    assert(math.abs(strat.getDouble(4) - flat.getDouble(3)) < 1e-12)
+    assert(math.abs(strat.getDouble(5) - flat.getDouble(4)) < 1e-12)
+    assert(math.abs(strat.getDouble(6) - flat.getDouble(5)) < 1e-12)
+    // two strata: O/E/V must be the sums of per-stratum logRankTests
+    val s1 = Seq(("s1", "a", 1L, true), ("s1", "a", 5L, false),
+      ("s1", "b", 1L, true), ("s1", "b", 2L, true))
+    val df01 = (s0 ++ s1).toDF("s", "g", "dur", "ev")
+    val both = Analytics.logRankStratified(df01, Seq("s"), "g", "dur",
+      col("ev"), "a", "b").collect().head
+    val f1 = Analytics.logRankTest(s1.toDF("s", "g", "dur", "ev"),
+      "g", "dur", col("ev"), "a", "b").collect().head
+    assert(both.getLong(0) == 2L)
+    assert(both.getLong(3) == flat.getLong(2) + f1.getLong(2))
+    assert(math.abs(both.getDouble(4) -
+      (flat.getDouble(3) + f1.getDouble(3))) < 1e-12)
+    assert(math.abs(both.getDouble(5) -
+      (flat.getDouble(4) + f1.getDouble(4))) < 1e-12)
+  }
 }
