@@ -556,6 +556,71 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Classical additive seasonal decomposition — v = trend + seasonal
+    * + residual over a REGULAR series with known period (the
+    * moving-average decomposition; the "is the weekly cycle or the
+    * underlying level moving" splitter that should run before
+    * [[cusumChangepoint]]/[[graft.operators.Analytics.pettittTest]] on
+    * any strongly seasonal metric):
+    *   trend_t    = centered MA(period)  (half-weights at ±p/2 for
+    *                even p — one full cycle always covered, so a
+    *                zero-sum seasonal vanishes from the trend exactly),
+    *   seasonal_φ = mean of (v − trend) per phase φ = t mod p,
+    *                re-centered to Σ_φ seasonal = 0,
+    *   resid      = v − trend − seasonal.
+    * Exactness: the MA is an equi-join against the broadcast
+    * (p+1)-row offset/weight spine (never a window), each weighted
+    * term a pinned double summed per t as decimal(28,12); phase means
+    * accumulate decimal (the acf meanScale contract); edge rows (any
+    * missing MA neighbor) carry NULL trend/resid but still receive
+    * their phase's seasonal. Frames are series-length-bounded (the
+    * input is normally a daily/hourly aggregate). Output: one row per
+    * t — (t, v, trend, seasonal, resid), ascending. */
+  def seasonalDecompose(df: DataFrame, tCol: String, valueCol: String,
+                        period: Int, meanScale: Int = 6): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val even = period % 2 == 0
+    val h = if (even) period / 2 else (period - 1) / 2
+    val spine = (-h to h).map { off =>
+      val w = if (even && (off == -h || off == h)) 0.5 else 1.0
+      (off.toLong, w / period)
+    }.toDF("__off", "__w")
+    val n = spine.count()
+    val s = df.select(col(tCol).cast("long").as("__t"),
+      col(valueCol).cast("double").as("__v"))
+    val b = s.select(col("__t").as("__tb"), col("__v").as("__vb"))
+    val trend = s.crossJoin(broadcast(spine))
+      .join(b, col("__tb") === col("__t") + col("__off"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__k"),
+        sum((col("__w") * col("__vb")).cast("decimal(28,12)"))
+          .cast("double").as("__ma"))
+      .select(col("__t").as("__tt"),
+        when(col("__k") === n, col("__ma")).as("trend"))
+    val withTrend = s.join(trend, col("__t") === col("__tt"), "left")
+      .drop("__tt")
+      .withColumn("__phase", pmod(col("__t"), lit(period.toLong)))
+    val seasonalRaw = withTrend.filter(col("trend").isNotNull)
+      .groupBy(col("__phase"))
+      .agg((sum((col("__v") - col("trend"))
+        .cast(s"decimal(18,$meanScale)")).cast("double") /
+        count(lit(1)).cast("double")).as("__sraw"))
+    val grand = seasonalRaw.agg(
+      (sum(col("__sraw").cast(s"decimal(18,$meanScale)")).cast("double") /
+        count(lit(1)).cast("double")).as("__g"))
+    val seasonal = seasonalRaw.crossJoin(broadcast(grand))
+      .select(col("__phase").as("__sp"),
+        (col("__sraw") - col("__g")).as("seasonal"))
+    withTrend.join(broadcast(seasonal), col("__phase") === col("__sp"),
+        "left")
+      .select(col("__t").as("t"), col("__v").as("v"), col("trend"),
+        col("seasonal"),
+        (col("__v") - col("trend") - col("seasonal")).as("resid"))
+      .orderBy("t")
+  }
+
   /** Exponentially weighted moving average with α = 1/2 over a per-key
     * INTEGER series, EXACT end to end — the dyadic-weight trick: with
     * α = 1/2 the adjusted EWMA is

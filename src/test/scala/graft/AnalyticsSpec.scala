@@ -3475,4 +3475,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(both.getDouble(5) -
       (flat.getDouble(4) + f1.getDouble(4))) < 1e-12)
   }
+
+  test("seasonalDecompose: linear + zero-sum period-4 seasonal is " +
+    "recovered EXACTLY on interior rows; edges NULL trend, keep " +
+    "seasonal; partition sweep") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // v_t = t + s[t mod 4], s = (2, 0, -1, -1): the even-period
+    // half-weight MA covers one full cycle, so trend_t = t exactly
+    val sPat = Seq(2.0, 0.0, -1.0, -1.0)
+    val df = (0L to 11L).map(t => (t, t.toDouble + sPat((t % 4).toInt)))
+      .toDF("t", "v")
+    val r = TimeSeries.seasonalDecompose(df, "t", "v", period = 4)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    (2L to 9L).foreach { t =>
+      assert(math.abs(r(t).getDouble(2) - t.toDouble) < 1e-9,
+        s"trend at $t")
+      assert(math.abs(r(t).getDouble(3) - sPat((t % 4).toInt)) < 1e-9,
+        s"seasonal at $t")
+      assert(math.abs(r(t).getDouble(4)) < 1e-9, s"resid at $t")
+    }
+    // edges: no full MA window -> NULL trend/resid, seasonal present
+    assert(r(0L).isNullAt(2) && r(0L).isNullAt(4))
+    assert(math.abs(r(0L).getDouble(3) - 2.0) < 1e-9)
+    assert(r(11L).isNullAt(2))
+    partitionSweep { p =>
+      TimeSeries.seasonalDecompose(df.repartition(p), "t", "v", 4)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
