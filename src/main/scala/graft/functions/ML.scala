@@ -1057,6 +1057,78 @@ object ML {
           .as("alpha"))
   }
 
+  /** Spiegelhalter's Z calibration test — the SIGNIFICANCE test the
+    * [[calibration]] estimates lack (ECE says "the gap is 0.04"; this
+    * says whether that gap is distinguishable from binomial noise at
+    * this sample size, with no binning to tune):
+    *   Z = Σ(y−p)(1−2p) / √Σ(1−2p)²·p·(1−p),
+    * mean 0 / variance 1 under perfect calibration. One scan; each
+    * term is a pinned double of magnitude ≤ 1 (the replayable-cast
+    * zone by construction) summed as decimal(28,12). Degenerate
+    * variance (every p = ½, or empty) → NULL z. Output: one row
+    * (n, num, var, z). */
+  def spiegelhalterZ(df: DataFrame, probCol: String,
+                     label: org.apache.spark.sql.Column): DataFrame = {
+    val dec28 = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,12)")
+    val p = col(probCol)
+    val y = when(label, 1.0).otherwise(0.0)
+    df.filter(p.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(dec28((y - p) * (lit(1.0) - lit(2.0) * p))),
+          lit(0).cast("decimal(28,12)")).cast("double").as("num"),
+        coalesce(sum(dec28((lit(1.0) - lit(2.0) * p) *
+          (lit(1.0) - lit(2.0) * p) * p * (lit(1.0) - p))),
+          lit(0).cast("decimal(28,12)")).cast("double").as("var"))
+      .withColumn("z",
+        when(col("var") > 0, col("num") / sqrt(col("var"))))
+  }
+
+  /** Murphy decomposition of the Brier score — WHY is the score what
+    * it is: Brier = REL − RES + UNC with
+    *   REL = Σ_k (n_k/N)(p_k − ȳ_k)²   (reliability — miscalibration),
+    *   RES = Σ_k (n_k/N)(ȳ_k − ȳ)²    (resolution — discrimination),
+    *   UNC = ȳ(1 − ȳ)                  (base-rate entropy),
+    * grouped by DISTINCT forecast values — where the identity is EXACT
+    * (equal-width bins only approximate it); the spec pins
+    * REL − RES + UNC == Brier to 1e-9. A model can buy a good Brier
+    * with resolution while badly calibrated — this separates the two
+    * ([[spiegelhalterZ]] then tests the REL part). Distinct-score-
+    * bounded after one row scan: share-weighted terms ≤ 1 (replayable
+    * casts), grand mean broadcast. Output: one row (n, brier,
+    * reliability, resolution, uncertainty). */
+  def brierDecomposition(df: DataFrame, probCol: String,
+                         label: org.apache.spark.sql.Column): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec28 = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,12)")
+    val base = df.filter(col(probCol).isNotNull)
+      .select(col(probCol).as("__p"),
+        when(label, 1.0).otherwise(0.0).as("__y"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__y") > 0.5, 1L).otherwise(0L)).as("__pos"),
+      coalesce(sum(dec28((col("__p") - col("__y")) *
+        (col("__p") - col("__y")))), lit(0).cast("decimal(28,12)"))
+        .cast("double").as("__sbr"))
+      .withColumn("__ybar",
+        when(col("n") > 0, d(col("__pos")) / d(col("n"))))
+    val cells = base.groupBy(col("__p"))
+      .agg(count(lit(1)).as("__nk"),
+        sum(when(col("__y") > 0.5, 1L).otherwise(0L)).as("__posk"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("__yk", d(col("__posk")) / d(col("__nk")))
+      .groupBy(col("n"), col("__sbr"), col("__ybar"))
+      .agg(
+        coalesce(sum(dec28((d(col("__nk")) / d(col("n"))) *
+          (col("__p") - col("__yk")) * (col("__p") - col("__yk")))),
+          lit(0).cast("decimal(28,12)")).cast("double").as("reliability"),
+        coalesce(sum(dec28((d(col("__nk")) / d(col("n"))) *
+          (col("__yk") - col("__ybar")) * (col("__yk") - col("__ybar")))),
+          lit(0).cast("decimal(28,12)")).cast("double").as("resolution"))
+      .select(col("n"),
+        when(col("n") > 0, col("__sbr") / d(col("n"))).as("brier"),
+        col("reliability"), col("resolution"),
+        (col("__ybar") * (lit(1.0) - col("__ybar"))).as("uncertainty"))
+  }
+
   /** Top principal component of a set of numeric columns — the
     * embedding-whitening / dominant-direction primitive
     * ([[graft.operators.Analytics.corrMatrix]] reports pairwise

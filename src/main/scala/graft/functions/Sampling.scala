@@ -234,4 +234,44 @@ object Sampling {
       .filter(col("rank") <= k)
       .drop("__w")
   }
+
+  /** Neyman allocation — HOW MANY samples to draw per stratum for a
+    * minimum-variance estimate of the population mean at a fixed
+    * total budget (eval-set construction over languages/sources: a
+    * proportional split wastes budget on low-variance strata):
+    *   n_h = total · N_h·S_h / Σ N_h·S_h,
+    * N_h the stratum size, S_h its sample SD from EXACT decimal
+    * moments (one map-side-combined scan), the weights one pinned
+    * chain. Strata with n < 2 (SD undefined) or zero variance get
+    * weight 0 / allocation 0 — the caller applies any min-per-stratum
+    * floor; the allocation is left REAL-valued (rounding schemes are
+    * a policy choice). Output: strata columns + (n_pop, sd, weight,
+    * alloc), one row per stratum. */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+                       valueCol: String, total: Long, scale: Int = 2)
+      : DataFrame = {
+    require(strataCols.nonEmpty, "neymanAllocation needs strata columns")
+    require(total > 0, s"total must be positive, got $total")
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pop"),
+        sum(v).cast("double").as("__s"),
+        sum(v * v).cast("double").as("__ss"))
+      .withColumn("sd",
+        when(col("n_pop") >= 2,
+          sqrt(greatest(
+            (col("__ss") - col("__s") * col("__s") / d(col("n_pop"))) /
+              (d(col("n_pop")) - 1.0), lit(0.0)))))
+      .withColumn("weight",
+        coalesce(d(col("n_pop")) * col("sd"), lit(0.0)))
+    val tot = g.agg(sum(col("weight").cast("decimal(28,12)"))
+      .cast("double").as("__w"))
+    g.crossJoin(broadcast(tot))
+      .select(strataCols.map(col) ++ Seq(col("n_pop"), col("sd"),
+        col("weight"),
+        when(col("__w") > 0,
+          lit(total.toDouble) * col("weight") / col("__w")).as("alloc")): _*)
+  }
 }

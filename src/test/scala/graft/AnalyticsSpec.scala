@@ -3504,4 +3504,72 @@ class AnalyticsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("spiegelhalterZ: calibrated fixture z=0, miscalibrated 2sqrt3; " +
+    "all-half probabilities NULL") {
+    import spark.implicits._
+    import graft.functions.ML
+    // p=0.25, 1 of 4 positive: perfectly calibrated -> num 0, z 0
+    val cal = Seq((0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0))
+      .toDF("p", "y")
+    val r = ML.spiegelhalterZ(cal, "p", col("y") === 1).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.1875) < 1e-12)
+    assert(math.abs(r.getDouble(3)) < 1e-9)
+    // same p, ALL positive: num = 1.5, z = 1.5/sqrt(0.1875) = 2sqrt3
+    val mis = ML.spiegelhalterZ(
+      Seq((0.25, 1), (0.25, 1), (0.25, 1), (0.25, 1)).toDF("p", "y"),
+      "p", col("y") === 1).collect().head
+    assert(math.abs(mis.getDouble(3) - 2.0 * math.sqrt(3.0)) < 1e-9)
+    // every p = 0.5: (1-2p) = 0 everywhere, variance 0 -> NULL
+    val half = ML.spiegelhalterZ(
+      Seq((0.5, 1), (0.5, 0)).toDF("p", "y"), "p", col("y") === 1)
+      .collect().head
+    assert(half.isNullAt(3))
+  }
+
+  test("brierDecomposition: hand Murphy terms; the exact identity " +
+    "brier = rel - res + unc; partition sweep") {
+    import spark.implicits._
+    import graft.functions.ML
+    // p=0.2 x3 (1 pos), p=0.8 x2 (2 pos): brier .16, rel 4/150, res
+    // 16/150, unc .24
+    val df = Seq((0.2, 1), (0.2, 0), (0.2, 0), (0.8, 1), (0.8, 1))
+      .toDF("p", "y")
+    val r = ML.brierDecomposition(df, "p", col("y") === 1).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDouble(1) - 0.16) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 4.0 / 150.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 16.0 / 150.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.24) < 1e-12)
+    assert(math.abs(r.getDouble(1) -
+      (r.getDouble(2) - r.getDouble(3) + r.getDouble(4))) < 1e-9)
+    partitionSweep { p =>
+      ML.brierDecomposition(df.repartition(p), "p", col("y") === 1)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("neymanAllocation: hand N*S weights split the budget 25/75; " +
+    "zero-variance and singleton strata get 0") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // a: {0,2} sd=sqrt2; b: {0,6} sd=3sqrt2 -> weights 2sqrt2, 6sqrt2
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 0.0), ("b", 6.0))
+      .toDF("s", "v")
+    val r = Sampling.neymanAllocation(df, Seq("s"), "v", total = 100L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("a").getDouble(3) - 2.0 * math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(r("a").getDouble(4) - 25.0) < 1e-9)
+    assert(math.abs(r("b").getDouble(4) - 75.0) < 1e-9)
+    // constant stratum: sd 0 -> weight 0, alloc 0; singleton: sd NULL
+    val z = Sampling.neymanAllocation(
+      df.union(Seq(("c", 5.0), ("c", 5.0), ("d", 1.0)).toDF("s", "v")),
+      Seq("s"), "v", total = 100L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(z("c").getDouble(4) == 0.0)
+    assert(z("d").isNullAt(2) && z("d").getDouble(4) == 0.0)
+    assert(math.abs(z("a").getDouble(4) - 25.0) < 1e-9)
+  }
 }
