@@ -1381,6 +1381,49 @@ object Analytics {
             (col("__w") / d(col("n") - col("k")))).as("f"))
   }
 
+  /** Chi-square cell residuals — WHICH cells drive a contingency
+    * association once the omnibus χ² (chiSquareDrift / [[cramersV]]'s
+    * machinery) fires: for every (a, b) level pair — INCLUDING
+    * zero-count cells, which are often the story —
+    *   e = r_a·c_b/n,   pearson = (o − e)/√e,
+    *   adjusted = (o − e)/√(e·(1 − r_a/n)(1 − c_b/n)),
+    * the adjusted (Haberman) form being ≈ N(0,1) per cell so |adj| > 2
+    * reads directly. Exact counts, the level spine is a distinct(a) ×
+    * distinct(b) join (levels²-bounded — categorical axes), one pinned
+    * chain per cell. Degenerate margins (a level owning the whole
+    * table) NULL the adjusted form. Output: one row per (a, b) level
+    * pair — (a, b, observed, expected, pearson_resid, adj_resid). */
+  def chiSquareResiduals(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val cells = base.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val n = cells.agg(sum(col("__o")).as("__n"))
+    val spine = ra.crossJoin(cb).crossJoin(broadcast(n))
+    val cells2 = cells.select(col("__a").as("__oa"),
+      col("__b").as("__ob"), col("__o"))
+    spine.join(cells2,
+        col("__a") <=> col("__oa") && col("__b") <=> col("__ob"), "left")
+      .drop("__oa", "__ob")
+      .withColumn("observed", coalesce(col("__o"), lit(0L)))
+      .withColumn("expected",
+        d(col("__ra")) * d(col("__cb")) / d(col("__n")))
+      .withColumn("pearson_resid",
+        when(col("expected") > 0,
+          (d(col("observed")) - col("expected")) / sqrt(col("expected"))))
+      .withColumn("__f",
+        col("expected") * (lit(1.0) - d(col("__ra")) / d(col("__n"))) *
+          (lit(1.0) - d(col("__cb")) / d(col("__n"))))
+      .withColumn("adj_resid",
+        when(col("__f") > 0,
+          (d(col("observed")) - col("expected")) / sqrt(col("__f"))))
+      .select(col("__a").as(aCol), col("__b").as(bCol), col("observed"),
+        col("expected"), col("pearson_resid"), col("adj_resid"))
+  }
+
   /** Bartlett's test of variance homogeneity — the PARAMETRIC
     * sensitivity sibling of [[brownForsythe]] (BF is robust to
     * non-normality; Bartlett is sharper when the data IS near-normal,

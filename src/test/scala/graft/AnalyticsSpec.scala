@@ -3572,4 +3572,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(z("d").isNullAt(2) && z("d").getDouble(4) == 0.0)
     assert(math.abs(z("a").getDouble(4) - 25.0) < 1e-9)
   }
+
+  test("chiSquareResiduals: hand 2x2 pearson + adjusted residuals; " +
+    "zero cells appear on the spine; partition sweep") {
+    import spark.implicits._
+    def rows(a: String, b: String, n: Int) = Seq.fill(n)((a, b))
+    // 2x2: (10, 5 / 3, 12): e11 = 6.5, adj = 3.5/sqrt(6.5*.5*(17/30))
+    val df = (rows("a1", "b1", 10) ++ rows("a1", "b2", 5) ++
+      rows("a2", "b1", 3) ++ rows("a2", "b2", 12)).toDF("a", "b")
+    val r = Analytics.chiSquareResiduals(df, "a", "b").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.size == 4)
+    val c11 = r(("a1", "b1"))
+    assert(c11.getLong(2) == 10L)
+    assert(math.abs(c11.getDouble(3) - 6.5) < 1e-12)
+    assert(math.abs(c11.getDouble(4) - 3.5 / math.sqrt(6.5)) < 1e-9)
+    assert(math.abs(c11.getDouble(5) -
+      3.5 / math.sqrt(6.5 * 0.5 * (17.0 / 30.0))) < 1e-9)
+    // a level pair never observed still gets a row with observed 0
+    val z = Analytics.chiSquareResiduals(
+      (rows("a1", "b1", 2) ++ rows("a2", "b2", 2)).toDF("a", "b"),
+      "a", "b").collect().map(x => (x.getString(0), x.getString(1)) -> x)
+      .toMap
+    assert(z.size == 4 && z(("a1", "b2")).getLong(2) == 0L)
+    assert(math.abs(z(("a1", "b2")).getDouble(3) - 1.0) < 1e-12)
+    partitionSweep { p =>
+      Analytics.chiSquareResiduals(df.repartition(p), "a", "b")
+        .collect().map(_.toSeq).toSeq
+        .sortBy(x => (x.head.toString, x(1).toString))
+    }
+  }
 }
