@@ -62,12 +62,16 @@ private[graft] object Batch57 {
       (s, dir) => graft.operators.Analytics.atkinsonIndex(
         Tables.lineitem(s, dir).select("l_extendedprice"),
         "l_extendedprice", epsilon = 0.5),
-      Some("""WITH a AS (SELECT
-             |    CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
-             |    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded,
-             |    CAST(SUM(CASE WHEN l_extendedprice > 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s,
-             |    CAST(SUM(CASE WHEN l_extendedprice > 0 THEN CAST(POW(CAST(l_extendedprice AS DOUBLE), 0.5) AS DECIMAL(28,12)) END) AS DOUBLE) AS st
+      Some("""WITH b AS (SELECT l_extendedprice AS x,
+             |    l_extendedprice > 0
+             |      AND POW(CAST(l_extendedprice AS DOUBLE), 0.5) < 1e16 AS inc
              |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |a AS (SELECT
+             |    CAST(SUM(CASE WHEN inc THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN inc THEN 0 ELSE 1 END) AS BIGINT) AS n_excluded,
+             |    CAST(SUM(CASE WHEN inc THEN CAST(x AS DECIMAL(18,2)) END) AS DOUBLE) AS s,
+             |    CAST(SUM(CASE WHEN inc THEN CAST(POW(CAST(x AS DOUBLE), 0.5) AS DECIMAL(28,12)) END) AS DOUBLE) AS st
+             |  FROM b),
              |m AS (SELECT n, n_excluded, s / CAST(n AS DOUBLE) AS mean, st FROM a)
              |SELECT n, n_excluded, mean,
              |  CASE WHEN n > 0 AND mean > 0
@@ -83,7 +87,7 @@ private[graft] object Batch57 {
       Some("""WITH g AS (SELECT event_type,
              |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS m
              |  FROM events
-             |  WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+             |  WHERE event_type IS NOT NULL AND value > 0 GROUP BY 1),
              |t AS (SELECT SUM(m) AS t FROM g),
              |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
              |    CAST(SUM(CAST((CAST(m AS DOUBLE) / CAST(t.t AS DOUBLE))

@@ -276,7 +276,10 @@ object ML {
     * Mean score accumulates in decimal; rates are single pinned
     * divisions. ONE map-side-combined aggregate (bins are a per-row
     * expression, never a window) — the [[aucRoc]] companion: AUC says
-    * the ranking is right, calibration says the VALUES are. */
+    * the ranking is right, calibration says the VALUES are.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def calibrationBins(df: DataFrame, scoreCol: String,
                       label: org.apache.spark.sql.Column, bins: Int,
                       lo: Double = 0.0, hi: Double = 1.0,
@@ -308,7 +311,10 @@ object ML {
     * decimal(38,0) accumulation, ONE final division. Degenerate
     * single-class inputs yield NULL. The exact companion of
     * [[confusionMetrics]]: threshold-free filter evaluation at corpus
-    * scale. */
+    * scale.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def aucRoc(df: DataFrame, scoreCol: String,
              label: org.apache.spark.sql.Column): DataFrame = {
     val counts = df
@@ -339,7 +345,10 @@ object ML {
     * score set splits across range partitions instead of serializing
     * through one window task) and the rank sums aggregate per group.
     * Single-class slices emit NULL auc. Output: key columns +
-    * (n_pos, n_neg, auc). */
+    * (n_pos, n_neg, auc).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def aucRocBy(df: DataFrame, keyCols: Seq[String], scoreCol: String,
                label: org.apache.spark.sql.Column): DataFrame = {
     require(keyCols.nonEmpty, "aucRocBy needs key columns; use aucRoc")
@@ -380,7 +389,10 @@ object ML {
     * decimal(28,12). Matches the standard step-interpolation AP
     * (sklearn's average_precision_score) including tie handling: tied
     * scores form ONE threshold. Zero-positive inputs give NULL ap.
-    * Output: one row (n_pos, n_neg, ap). */
+    * Output: one row (n_pos, n_neg, ap).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def avgPrecision(df: DataFrame, scoreCol: String,
                    label: org.apache.spark.sql.Column): DataFrame = {
     val counts = df
@@ -410,7 +422,10 @@ object ML {
     * filter precision: exactly where class balance differs BETWEEN
     * slices, the pooled AP is dominated by the majority slice). Keyed
     * distributed prefix + keys-sized totals joined back null-safe.
-    * Output: key columns + (n_pos, n_neg, ap). */
+    * Output: key columns + (n_pos, n_neg, ap).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def avgPrecisionBy(df: DataFrame, keyCols: Seq[String], scoreCol: String,
                      label: org.apache.spark.sql.Column): DataFrame = {
     require(keyCols.nonEmpty, "avgPrecisionBy needs key columns; use avgPrecision")
@@ -1243,7 +1258,10 @@ object ML {
     * broadcast totals, pinned double chains. Zero-cell levels (g or b
     * = 0) emit NULL woe/iv_term — undefined, not clipped; pre-bin rare
     * levels upstream if that matters. Output: one row per level —
-    * (level, n, g, b, share_g, share_b, woe, iv_term). */
+    * (level, n, g, b, share_g, share_b, woe, iv_term).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def woeTable(df: DataFrame, featureCol: String,
                label: org.apache.spark.sql.Column): DataFrame = {
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
@@ -1286,7 +1304,10 @@ object ML {
     * cumulative window is bounded by construction. Empty buckets
     * (n < buckets) surface with n_rows = 0 and NULL rates via the
     * generated spine. Output: one row per bucket —
-    * (bucket, n_rows, pos, rate, cum_pos, capture, lift). */
+    * (bucket, n_rows, pos, rate, cum_pos, capture, lift).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def liftTable(df: DataFrame, idCol: String, scoreCol: String,
                 label: org.apache.spark.sql.Column,
                 buckets: Int = 10): DataFrame = {
@@ -1343,7 +1364,10 @@ object ML {
     * joined back (keys-sized, never assumed broadcastable), a
     * (keys × buckets) spine for empty buckets, and the cumulative
     * window per key over its buckets-sized frame. Output: key columns
-    * + (bucket, n_rows, pos, rate, cum_pos, capture, lift). */
+    * + (bucket, n_rows, pos, rate, cum_pos, capture, lift).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def liftTableBy(df: DataFrame, keyCols: Seq[String], idCol: String,
                   scoreCol: String, label: org.apache.spark.sql.Column,
                   buckets: Int = 10): DataFrame = {

@@ -583,7 +583,10 @@ object Text {
     * (map-side combined, vocabulary-bounded), a broadcast V scalar, and
     * decimal(28,12) surprisal accumulation (the q234 contract — exact
     * sum, order-free). Documents with fewer than 2 tokens emit no row
-    * (no bigram events). Output: (id, n_bigram, avg_nll). */
+    * (no bigram events). Output: (id, n_bigram, avg_nll).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, k: Double = 1.0)
       : org.apache.spark.sql.DataFrame = {
@@ -629,7 +632,10 @@ object Text {
     * class up to log curvature. One distinct-frequency prefix
     * ([[graft.operators.Analytics.prefixBefore]] on −f) supplies
     * R_before distributed. Output: one row (n_tokens, n_types,
-    * n_classes, slope, intercept); fewer than 2 classes → NULL fit. */
+    * n_classes, slope, intercept); fewer than 2 classes → NULL fit.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")
     val tf = df.select(explode(tokens(col(textCol))).as("__tok"))

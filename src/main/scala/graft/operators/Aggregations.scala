@@ -199,7 +199,10 @@ object Aggregations {
     * the corpus to (key, value) pairs with map-side combine (a hot value
     * is absorbed in the partials), and the argmax window then runs over
     * per-key DISTINCT VALUE counts, bounded by the value cardinality,
-    * never by row count. Output: key columns + `mode` + `n_mode`. */
+    * never by row count. Output: key columns + `mode` + `n_mode`.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def modeExact(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
                 valueCol: String): org.apache.spark.sql.DataFrame = {
     require(keyCols.nonEmpty, "modeExact needs key columns")
@@ -239,7 +242,10 @@ object Aggregations {
     * boundary blocks contribute exactly their surviving multiplicity),
     * the kept mass sums in decimal, and the mean is ONE pinned
     * division. No row sort anywhere. Output: one row
-    * (n, n_kept, mean); α must leave at least one row. */
+    * (n, n_kept, mean); α must leave at least one row.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def trimmedMean(df: org.apache.spark.sql.DataFrame, valueCol: String,
                   alpha: Double, scale: Int = 2)
       : org.apache.spark.sql.DataFrame = {
@@ -281,7 +287,10 @@ object Aggregations {
     * → broadcast total + two broadcast rank-containment fence rows — no
     * row sort at any cardinality. Output: one row
     * (n, k, fence_lo, fence_hi, mean); α = 0 reduces to the plain
-    * mean (fences = min/max, zero clamp weight). */
+    * mean (fences = min/max, zero clamp weight).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def winsorizedMean(df: org.apache.spark.sql.DataFrame, valueCol: String,
                      alpha: Double, scale: Int = 2)
       : org.apache.spark.sql.DataFrame = {
@@ -324,7 +333,10 @@ object Aggregations {
     * — a hot group splits across range slices instead of serializing
     * through one window task; per-group totals are a keys-sized
     * aggregate joined back; no row sort anywhere). Output: key columns
-    * + (n, n_kept, mean). */
+    * + (n, n_kept, mean).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def trimmedMeanBy(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
                     valueCol: String, alpha: Double, scale: Int = 2)
       : org.apache.spark.sql.DataFrame = {
@@ -358,7 +370,10 @@ object Aggregations {
     * k·(fence_lo + fence_hi), decimal-exact, one division), with the
     * fences found per group by rank containment and joined back on the
     * keys (null-safe — a NULL group is its own slice). Output: key
-    * columns + (n, k, fence_lo, fence_hi, mean). */
+    * columns + (n, k, fence_lo, fence_hi, mean).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def winsorizedMeanBy(df: org.apache.spark.sql.DataFrame,
                        keyCols: Seq[String], valueCol: String,
                        alpha: Double, scale: Int = 2)
@@ -402,6 +417,9 @@ object Aggregations {
           .cast("double") / col("n").cast("double")).as("mean")): _*)
   }
 
+  /** EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def quantilesCont(df: org.apache.spark.sql.DataFrame, valueCol: String,
                     ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
@@ -472,7 +490,10 @@ object Aggregations {
     * rank-interval containment joins carry the keys, so each group
     * interpolates independently; a group with one distinct value emits
     * that value at every p. Output: key columns + (p, n, value), one
-    * row per (group, p). */
+    * row per (group, p).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def quantilesContBy(df: org.apache.spark.sql.DataFrame,
                       keyCols: Seq[String], valueCol: String,
                       ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
@@ -519,7 +540,10 @@ object Aggregations {
     * pivoted to per-p rows with the shift q_b − q_a. A side missing
     * entirely surfaces as NULL q/shift (FULL join on p), not a dropped
     * row. Output: one row per p — (p, n_a, n_b, q_a, q_b, shift),
-    * ordered by p. */
+    * ordered by p.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def quantileShift(df: DataFrame, groupCol: String, valueCol: String,
                     groupA: String, groupB: String,
                     ps: Seq[Double]): DataFrame = {
@@ -548,7 +572,10 @@ object Aggregations {
     * broadcast-sized value→bin join back onto the rows — the join key
     * is the value column, so the row side never shuffles when AQE
     * broadcasts the bin table (distinct-value-bounded). NULL values
-    * keep a NULL bin. Output: input columns + `bin` (0-based long). */
+    * keep a NULL bin. Output: input columns + `bin` (0-based long).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def quantileBin(df: org.apache.spark.sql.DataFrame, valueCol: String,
                   bins: Int): org.apache.spark.sql.DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
@@ -573,7 +600,10 @@ object Aggregations {
     * slices — no per-key window task), group totals read the PINNED
     * frame, and the (keys, value) → bin table joins back onto the
     * rows null-safe (distinct-value-bounded build side). NULL values
-    * keep a NULL bin. Output: input columns + `bin`. */
+    * keep a NULL bin. Output: input columns + `bin`.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def quantileBinBy(df: org.apache.spark.sql.DataFrame,
                     keyCols: Seq[String], valueCol: String,
                     bins: Int): org.apache.spark.sql.DataFrame = {
@@ -610,7 +640,10 @@ object Aggregations {
     * differ exactly as quantile_disc vs percentile_cont differ (a
     * fence BETWEEN two members interpolates here, snaps to a member
     * there). keyCols empty = global fences. NULL values stay NULL.
-    * Output: input columns + `<valueCol>_winsorized`. */
+    * Output: input columns + `<valueCol>_winsorized`.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def winsorizeCont(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
                 valueCol: String, pLo: Double, pHi: Double)
       : org.apache.spark.sql.DataFrame = {

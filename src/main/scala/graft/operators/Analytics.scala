@@ -200,7 +200,10 @@ object Analytics {
     * Scale shape: two map-side-combined count aggregates (category
     * cardinality rows each) + a full outer join and windows over the
     * tiny category frame. The corpus is scanned once per side; nothing
-    * corpus-sized shuffles. */
+    * corpus-sized shuffles.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def chiSquareDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
     val r = ref.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_ref"))
     val c = cur.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_cur"))
@@ -241,7 +244,10 @@ object Analytics {
     * expressions with edge clamping into [0, bins), the count is ONE
     * map-side-combined aggregate — the whole heatmap costs a scan and
     * ships bins_x·bins_y partial rows per task. Empty cells are absent
-    * (sparse output; densify downstream if a full grid is needed). */
+    * (sparse output; densify downstream if a full grid is needed).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def histogram2d(df: DataFrame, xCol: String, yCol: String,
                   xLo: Double, xHi: Double, binsX: Int,
                   yLo: Double, yHi: Double, binsY: Int): DataFrame = {
@@ -515,6 +521,9 @@ object Analytics {
     (shared, result)
   }
 
+  /** EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     // the pair table feeds THREE consumers (both marginals' prefix
     // passes — each a separate bridged plan — and the final join);
@@ -570,7 +579,10 @@ object Analytics {
     * range partitions instead of serializing through one window task)
     * and the five decimal sufficient statistics aggregate per group.
     * Degenerate (constant-column) groups emit NULL rho. Output: key
-    * columns + (n, rho). */
+    * columns + (n, rho).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def spearmanBy(df: DataFrame, keyCols: Seq[String], xCol: String,
                  yCol: String): DataFrame = {
     require(keyCols.nonEmpty, "spearmanBy needs key columns; use spearman")
@@ -673,7 +685,10 @@ object Analytics {
     * over the distinct values ([[prefixBeforeMulti]] — range slices in
     * parallel, no single-task sort even at unbounded cardinality; the
     * KHist-sketch ECDF remains the bounded-STATE path when even the
-    * distinct table is too big to exchange). */
+    * distinct table is too big to exchange).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
              groupA: String, groupB: String): DataFrame = {
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
@@ -716,7 +731,10 @@ object Analytics {
     * prefixBefore contract), and the per-group totals/argmax are
     * keys-sized aggregates joined back null-safe. Slices missing either
     * group emit NULL d (the test is undefined there, not zero). Output:
-    * key columns + (n_a, n_b, d_at, d). */
+    * key columns + (n_a, n_b, d_at, d).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def ksTestBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
                valueCol: String, groupA: String, groupB: String)
       : DataFrame = {
@@ -778,7 +796,10 @@ object Analytics {
     * cross-product over decimal(38,0); each gap term is a pinned
     * double summed as exact decimal(28,12) (order-independent).
     * Either group empty → NULL w1 (undefined, not zero); one distinct
-    * value → 0. Output: one row (n_a, n_b, w1), w1 in value units. */
+    * value → 0. Output: one row (n_a, n_b, w1), w1 in value units.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def wasserstein1(df: DataFrame, groupCol: String, valueCol: String,
                    groupA: String, groupB: String,
                    share: Boolean = true): DataFrame = {
@@ -835,7 +856,10 @@ object Analytics {
     * (a single-distinct-value group has ZERO gap terms but must still
     * emit w1 = 0, so the per-group term sums LEFT-join the totals, not
     * the other way round). Slices missing either group emit NULL w1.
-    * Output: key columns + (n_a, n_b, w1). */
+    * Output: key columns + (n_a, n_b, w1).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def wasserstein1By(df: DataFrame, keyCols: Seq[String], groupCol: String,
                      valueCol: String, groupA: String, groupB: String,
                      share: Boolean = true): DataFrame = {
@@ -911,7 +935,10 @@ object Analytics {
     * Σ ≈ n_a·n_b·mean|Δ| through ~1e12-pair regimes). Either group
     * empty → NULL (undefined). Output: one row (n_a, n_b, m_ab, m_aa,
     * m_bb, energy) with m_xy = mean pairwise |distance| (V-statistic
-    * normalization n_x·n_y). */
+    * normalization n_x·n_y).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def energyDistance(df: DataFrame, groupCol: String, valueCol: String,
                      groupA: String, groupB: String): DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -968,7 +995,10 @@ object Analytics {
     * the per-group totals are keys-sized aggregates of the PINNED
     * frame joined back null-safe. Slices missing a group emit NULL
     * energy. Output: key columns + (n_a, n_b, m_ab, m_aa, m_bb,
-    * energy). */
+    * energy).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def energyDistanceBy(df: DataFrame, keyCols: Seq[String],
                        groupCol: String, valueCol: String,
                        groupA: String, groupB: String): DataFrame = {
@@ -1039,7 +1069,10 @@ object Analytics {
     * decimal(38,0) per value, each squared term a pinned double summed
     * as exact decimal(28,12). No next-value join (unlike W1) — the
     * weight is the value's own pooled count. Either group empty →
-    * NULL (undefined). Output: one row (n_a, n_b, cvm). */
+    * NULL (undefined). Output: one row (n_a, n_b, cvm).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def cramerVonMises(df: DataFrame, groupCol: String, valueCol: String,
                      groupA: String, groupB: String): DataFrame = {
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
@@ -1077,7 +1110,10 @@ object Analytics {
     * Keyed distributed prefix + keys-sized totals joined back
     * null-safe; no spine join is needed (every group with rows has
     * terms — a missing side just makes them NULL). Output: key
-    * columns + (n_a, n_b, cvm). */
+    * columns + (n_a, n_b, cvm).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def cramerVonMisesBy(df: DataFrame, keyCols: Seq[String],
                        groupCol: String, valueCol: String,
                        groupA: String, groupB: String): DataFrame = {
@@ -1126,7 +1162,10 @@ object Analytics {
     * (2·U_a − n_a·n_b) / (n_a·n_b). Pure post-chain over
     * [[mannWhitneyU]]'s exact sufficient statistics — same single
     * distributed-prefix pass, one more pinned double line. Output:
-    * one row (n_a, n_b, delta); NULL when either group is empty. */
+    * one row (n_a, n_b, delta); NULL when either group is empty.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
                   groupA: String, groupB: String): DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -1138,7 +1177,10 @@ object Analytics {
   }
 
   /** Per-GROUP [[cliffsDelta]] over [[mannWhitneyUBy]]'s statistics.
-    * Output: key columns + (n_a, n_b, delta). */
+    * Output: key columns + (n_a, n_b, delta).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def cliffsDeltaBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
                     valueCol: String, groupA: String, groupB: String)
       : DataFrame = {
@@ -1234,7 +1276,10 @@ object Analytics {
     * chi2); χ² NULL when any margin is zero (test undefined — every
     * value on one side of M, or an empty group). Plan: one pooled
     * distinct-value prefix pass for M + ONE map-side-combined count
-    * scan against the broadcast one-row median. */
+    * scan against the broadcast one-row median.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def moodMedianTest(df: DataFrame, groupCol: String, valueCol: String,
                      groupA: String, groupB: String): DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -1287,7 +1332,10 @@ object Analytics {
     * (categorical/bucketed/rounded) value axes — bucket or round a
     * raw continuous column upstream; the weighted-median pass itself
     * is unbounded-safe. Either group empty → NULL shift. Output: one
-    * row (n_a, n_b, hl_shift). */
+    * row (n_a, n_b, hl_shift).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def hodgesLehmann(df: DataFrame, groupCol: String, valueCol: String,
                     groupA: String, groupB: String): DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -1747,8 +1795,13 @@ object Analytics {
     * terms ride the KEYED distributed prefix (compound range exchange
     * on (strata, t) — a hot stratum splits across slices), per-stratum
     * totals are keys-sized aggregates of the PINNED frame joined back,
-    * and ONE final aggregate sums O, E, V over everything. Output: one
-    * row (k_strata, n_a, n_b, o_a, e_a, v, z, chi2); V = 0 → NULL. */
+    * and ONE final aggregate sums O, E, V over everything. A NULL
+    * stratum is a valid slice (this repo's convention): its rows
+    * contribute to O/E/V and it counts in k_strata. Output: one
+    * row (k_strata, n_a, n_b, o_a, e_a, v, z, chi2); V = 0 → NULL.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def logRankStratified(df: DataFrame, strataCols: Seq[String],
                         groupCol: String, durationCol: String,
                         event: Column, groupA: String, groupB: String)
@@ -1789,7 +1842,11 @@ object Analytics {
       .withColumn("__nt", col("__ra") + col("__rb"))
       .withColumn("__dt", col("__da") + col("__db"))
       .agg(
-        countDistinct(keys.head, keys.tail: _*).as("k_strata"),
+        // countDistinct over bare key columns drops rows where ANY key
+        // is NULL, but a NULL stratum is a valid slice here (its rows
+        // still contribute to O/E/V) — the struct wrapper is never
+        // NULL, so NULL-keyed strata count.
+        countDistinct(struct(keys: _*)).as("k_strata"),
         sum(col("__da") + col("__ca")).as("__nra"),
         sum(col("__db") + col("__cb")).as("__nrb"),
         sum(col("__da")).as("o_a"),
@@ -1918,7 +1975,10 @@ object Analytics {
     * group (the keyed distributed prefix — hot groups split across
     * range slices) and join back as a groups-sized frame; then the
     * one-scan ANOVA chain on the absolute deviations. Output:
-    * [[oneWayF]]'s row over z. */
+    * [[oneWayF]]'s row over z.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
@@ -2746,7 +2806,10 @@ object Analytics {
     * Integer/decimal arithmetic up to the pinned final chain; the one
     * window runs over distinct values (the ksTest contract). Degenerate
     * inputs (all ties, or an empty group) give z NULL. Output: one row
-    * (n_a, n_b, u_a, u_b, z). */
+    * (n_a, n_b, u_a, u_b, z).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
                    groupA: String, groupB: String): DataFrame = {
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
@@ -2793,7 +2856,10 @@ object Analytics {
     * partitions instead of serializing through one window task) and the
     * four sufficient statistics aggregated per group. Slices missing a
     * group or with n ≤ 1 emit NULL z. Output: key columns +
-    * (n_a, n_b, u_a, u_b, z). */
+    * (n_a, n_b, u_a, u_b, z).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def mannWhitneyUBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
                      valueCol: String, groupA: String, groupB: String)
       : DataFrame = {
@@ -2849,7 +2915,10 @@ object Analytics {
     * scan for the means, one (u, group) count aggregate, the
     * distributed distinct-u prefix, three pinned score sums. Output:
     * one row (n_a, n_b, t_stat, e_t, var_t, z); all-tied deviations
-    * (σ_s² = 0) or an empty side → NULL z. */
+    * (σ_s² = 0) or an empty side → NULL z.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def conoverSquaredRanks(df: DataFrame, groupCol: String,
                           valueCol: String, groupA: String,
                           groupB: String, scale: Int = 2): DataFrame = {
@@ -2925,7 +2994,10 @@ object Analytics {
     * replayable decimal cast). k is the number of compared groups —
     * the fold array is k-sized (thousands fine, not millions). All
     * values tied, k < 2, or N ≤ 1 → NULL h. Output: one row
-    * (k, n, h). */
+    * (k, n, h).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -2971,7 +3043,10 @@ object Analytics {
     * language). Ranks ride the KEYED distributed prefix
     * ([[prefixBeforeBy]] — hot slices split across range partitions),
     * per-(slice, group) decimal rank sums, per-slice ordered fold.
-    * Output: key columns + (k, n, h). */
+    * Output: key columns + (k, n, h).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def kruskalWallisBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
                       valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "kruskalWallisBy needs key columns; use kruskalWallis")
@@ -3036,7 +3111,10 @@ object Analytics {
     * (or Bonferroni-scale externally) for multiplicity. Output: one
     * row per unordered pair, g_a < g_b — (g_a, g_b, n_a, n_b,
     * mean_rank_a, mean_rank_b, z); V ≤ 0 (all values tied) → NULL
-    * z. */
+    * z.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def dunnTest(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -3096,7 +3174,10 @@ object Analytics {
     * judges are EXCLUDED (W requires a complete design) and counted;
     * duplicate (judge, item) rows collapse deterministically by MAX
     * value. Output: one row (m, n, n_excluded, w, chi2); n < 2 or
-    * everything tied → NULL w. */
+    * everything tied → NULL w.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def kendallW(df: DataFrame, judgeCol: String, itemCol: String,
                valueCol: String): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -3163,7 +3244,10 @@ object Analytics {
     * can't rank it), counted in n_excluded; duplicate
     * (block, treatment) rows collapse by MAX. Output: one row
     * (n_blocks, k_treatments, n_excluded, w, chi2, dof = k−1);
-    * k < 2, b = 0, or everything tied → NULL. */
+    * k < 2, b = 0, or everything tied → NULL.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
                    valueCol: String): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -3231,7 +3315,10 @@ object Analytics {
     * reported (n_tied_blocks would require a second pass, so the
     * caller watches the mid-rank .5s in L's parity instead —
     * documented limitation, the classical table form). Output: one
-    * row (n_blocks, k, n_excluded, l_stat, mu, sigma, z). */
+    * row (n_blocks, k, n_excluded, l_stat, mu, sigma, z).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def pageTrendTest(df: DataFrame, blockCol: String, treatmentCol: String,
                     valueCol: String, order: Seq[String]): DataFrame = {
     require(order.size >= 3, s"pageTrendTest needs >= 3 ordered treatments")
@@ -3292,7 +3379,10 @@ object Analytics {
     * succeeded). Plan: one (subject, treatment) cell aggregate,
     * subjects-sized roll-ups — nothing row-scale past the first
     * groupBy. Output: one row (n_subjects, n_excluded, k, q_stat,
-    * dof); all-success/all-failure (denominator 0) → NULL q. */
+    * dof); all-success/all-failure (denominator 0) → NULL q.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def cochranQ(df: DataFrame, subjectCol: String, treatmentCol: String,
                success: Column): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -3391,7 +3481,10 @@ object Analytics {
     * [[runningMinDescIncl]] (distributed — no single-task window over
     * the hypothesis table), one join back onto the input rows. Rows
     * with NULL p keep NULL p_adj and don't count toward n. Output:
-    * the input columns + `p_adj`. */
+    * the input columns + `p_adj`.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def bhAdjust(df: DataFrame, pCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")
     val dp = df.filter(col(pCol).isNotNull)
@@ -3422,7 +3515,10 @@ object Analytics {
     * One map-side-combined count aggregate; the noise is a per-GROUP
     * row expression. u = 0 exactly (probability 2⁻³²·|groups|) would
     * give −∞; guarded to NULL rather than a silent infinity. Output:
-    * key cols + (n, noisy). */
+    * key cols + (n, noisy).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
                     salt: String): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
@@ -3454,7 +3550,10 @@ object Analytics {
     * such times, not a −∞ log). Plan: one (duration) count aggregate,
     * two distributed prefix passes over distinct durations, no row
     * sort. Output: one row per distinct EVENT time, ascending —
-    * (t, n_risk, d, c, survival) with c the censorings AT t. */
+    * (t, n_risk, d, c, survival) with c the censorings AT t.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def kaplanMeier(df: DataFrame, durationCol: String, event: Column)
       : DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -3516,7 +3615,10 @@ object Analytics {
     * ≪ 2⁶³ and long addition is exact and order-independent (the KM
     * log-term contract, reused verbatim). Output: one row per distinct
     * EVENT time, ascending — (t, n_risk, d, c, cum_hazard,
-    * var_hazard). */
+    * var_hazard).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def nelsonAalen(df: DataFrame, durationCol: String, event: Column)
       : DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -3571,7 +3673,10 @@ object Analytics {
     * distinct-duration-bounded. Groups with no overlap in time still
     * test correctly (V terms need n ≥ 2 at-risk; times with d = 0
     * contribute nothing). Either group entirely absent → NULL z/chi2.
-    * Output: one row (n_a, n_b, o_a, e_a, v, z, chi2). */
+    * Output: one row (n_a, n_b, o_a, e_a, v, z, chi2).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def logRankTest(df: DataFrame, groupCol: String, durationCol: String,
                   event: Column, groupA: String, groupB: String)
       : DataFrame = {
@@ -3741,7 +3846,10 @@ object Analytics {
     * cardinality must be low (categorical/bucketed axes) — the join
     * compares |pairs|² cells per slice; a slice with ONE distinct x
     * emits NULL nc/nd/tau exactly as the global form does on that
-    * input. Output: key columns + (n, nc, nd, tau_b). */
+    * input. Output: key columns + (n, nc, nd, tau_b).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def kendallTauBy(df: DataFrame, keyCols: Seq[String], xCol: String,
                    yCol: String): DataFrame = {
     require(keyCols.nonEmpty, "kendallTauBy needs key columns; use kendallTau")
@@ -3844,7 +3952,10 @@ object Analytics {
     * excluded (listwise deletion). Output (n, nc, nd, tau_b) —
     * [[kendallTau]]'s schema and bit-equal values (AnalyticsSpec pins
     * the equality; q256 gates it against the theta-join oracle on RAW
-    * continuous x, the regime the self-join could not serve). */
+    * continuous x, the regime the self-join could not serve).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def kendallTauExact(df: DataFrame, xCol: String, yCol: String,
                       buckets: Int = 0): DataFrame = {
     require(buckets >= 0, s"buckets must be >= 0 (0 = auto), got $buckets")
@@ -4107,7 +4218,10 @@ object Analytics {
     * (Σ v·c·r2 exact to ~10³⁸), ONE pinned double chain. Ties
     * contribute exactly as the sorted-row formula does (the block
     * identity is algebraic, not an approximation). Output: one row
-    * (n, gini); zero total value (all zeros) yields NULL. */
+    * (n, gini); zero total value (all zeros) yields NULL.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def gini(df: DataFrame, valueCol: String, scale: Int = 2): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
@@ -4140,7 +4254,10 @@ object Analytics {
     * through one window task — no row sort, no single-task window
     * anywhere, at ANY per-slice cardinality).
     * Groups with zero value mass emit NULL gini. Output: key columns +
-    * (n, gini). */
+    * (n, gini).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def giniBy(df: DataFrame, keyCols: Seq[String], valueCol: String,
              scale: Int = 2): DataFrame = {
     require(keyCols.nonEmpty, "giniBy needs key columns; use gini")
@@ -4250,8 +4367,13 @@ object Analytics {
     * ONE map-side-combined scan (n, exact-decimal Σx, the pinned
     * per-row term ln x or x^{1−ε} as decimal(28,12)), one pinned
     * double chain. Non-positive values excluded and counted
-    * (n_excluded), the theilIndex domain contract. Output: one row
-    * (n, n_excluded, mean, atkinson). */
+    * (n_excluded), the theilIndex domain contract — and for ε ≠ 1 so
+    * are rows whose power term x^{1−ε} ≥ 1e16, the decimal(28,12)
+    * integer-digit bound (tiny x at ε > 1, enormous x at ε < 1; the
+    * non-ANSI cast would otherwise NULL the term and the sum would
+    * silently skip it, biasing A with no signal). All exclusions are
+    * visible in n_excluded, and n/mean cover exactly the rows the
+    * sums do. Output: one row (n, n_excluded, mean, atkinson). */
   def atkinsonIndex(df: DataFrame, valueCol: String, epsilon: Double = 1.0,
                     scale: Int = 2): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
@@ -4260,12 +4382,14 @@ object Analytics {
     val dec28 = (c: Column) => c.cast("decimal(28,12)")
     val term =
       if (epsilon == 1.0) log(d(v)) else pow(d(v), lit(1.0 - epsilon))
+    val inc =
+      if (epsilon == 1.0) v > 0 else v > 0 && term < lit(1e16)
     val agg0 = df.filter(v.isNotNull)
       .agg(
-        sum(when(v > 0, 1L).otherwise(0L)).as("n"),
-        sum(when(v <= 0, 1L).otherwise(0L)).as("n_excluded"),
-        sum(when(v > 0, v.cast(s"decimal(18,$scale)"))).as("__s"),
-        sum(when(v > 0, dec28(term))).cast("double").as("__st"))
+        sum(when(inc, 1L).otherwise(0L)).as("n"),
+        sum(when(inc, 0L).otherwise(1L)).as("n_excluded"),
+        sum(when(inc, v.cast(s"decimal(18,$scale)"))).as("__s"),
+        sum(when(inc, dec28(term))).cast("double").as("__st"))
       .withColumn("mean",
         when(col("n") > 0, col("__s").cast("double") / d(col("n"))))
     val ede =
@@ -4287,7 +4411,13 @@ object Analytics {
     * (groups-sized), one keys-sized second aggregate: each share is a
     * pinned double of exact sums, each s² term summed as
     * decimal(28,12) — order-independent, Σ ≤ 1 by construction.
-    * Output: one row (k, hhi, hhi_norm, effective_k). */
+    * Weights must be POSITIVE mass: rows with NULL, zero, or negative
+    * weight are EXCLUDED up front (a negative weight would push a
+    * share outside [0,1] and make hhi/hhi_norm/effective_k
+    * meaningless; an all-zero total would NULL them silently) — the
+    * share-domain contract, same spirit as [[theilIndex]]'s
+    * positive-value domain. Output: one row (k, hhi, hhi_norm,
+    * effective_k). */
   def herfindahl(df: DataFrame, groupCol: String,
                  weightCol: Option[String] = None, scale: Int = 2)
       : DataFrame = {
@@ -4299,7 +4429,7 @@ object Analytics {
       case None => count(lit(1)).cast("decimal(38,6)").as("__m")
     }
     val g = df.filter(col(groupCol).isNotNull &&
-        weightCol.map(w => col(w).isNotNull).getOrElse(lit(true)))
+        weightCol.map(w => col(w) > 0).getOrElse(lit(true)))
       .groupBy(col(groupCol)).agg(mass)
     val tot = g.agg(sum(col("__m")).as("__t"))
     g.crossJoin(broadcast(tot))
@@ -4318,8 +4448,10 @@ object Analytics {
   /** Per-SLICE [[herfindahl]] — concentration within each key group
     * (per-language domain concentration: one language collapsing onto
     * a single crawl host is invisible to the pooled HHI). Same pinned
-    * share chain; the per-slice totals are keys-sized aggregates
-    * joined back (never assumed broadcastable). Output: key columns +
+    * share chain and the same positive-weight domain contract (NULL /
+    * zero / negative weights excluded up front); the per-slice totals
+    * are keys-sized aggregates joined back (never assumed
+    * broadcastable). Output: key columns +
     * (k, hhi, hhi_norm, effective_k). */
   def herfindahlBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
                    weightCol: Option[String] = None, scale: Int = 2)
@@ -4334,7 +4466,7 @@ object Analytics {
       case None => count(lit(1)).cast("decimal(38,6)").as("__m")
     }
     val g = df.filter(col(groupCol).isNotNull &&
-        weightCol.map(w => col(w).isNotNull).getOrElse(lit(true)))
+        weightCol.map(w => col(w) > 0).getOrElse(lit(true)))
       .groupBy(keys :+ col(groupCol): _*).agg(mass)
     def renameKeys(df2: DataFrame, tag: String): DataFrame =
       keyCols.zipWithIndex.foldLeft(df2) { case (acc, (c, i)) =>
@@ -4380,6 +4512,9 @@ object Analytics {
     0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
     0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
 
+  /** EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def benfordDigits(df: DataFrame, valueCol: String,
                     scale: Int = 2): DataFrame = {
     val obs = df.filter(col(valueCol) >= 1)
@@ -4425,7 +4560,10 @@ object Analytics {
     * the same magnitude contract as the kendall chain). Splits are the
     * distinct time points except the last (an empty right side is not a
     * split); ties in K break to the SMALLEST time. Output: one row
-    * (n, t_at, u_at, k_stat, p_approx). */
+    * (n, t_at, u_at, k_stat, p_approx).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def pettittTest(df: DataFrame, tCol: String, valueCol: String)
       : DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -4479,7 +4617,10 @@ object Analytics {
     * anywhere. t must be NUMERIC here (the argmax tiebreak rides the
     * negated t inside the struct); a NULL group key is its own slice.
     * Output: key columns + [[pettittTest]]'s row, one per group with
-    * ≥ 2 distinct time points (a single-t group has no split). */
+    * ≥ 2 distinct time points (a single-t group has no split).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def pettittTestBy(df: DataFrame, keyCols: Seq[String], tCol: String,
                     valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "pettittTestBy needs key columns; use pettittTest")
@@ -4550,7 +4691,10 @@ object Analytics {
     * ~1e5 points the quadratic pair count itself is the cost to weigh.
     * S and the tie term accumulate in long (exact below n ~ 2e6).
     * Output: one row (n, s, var_s, z, sen_slope, intercept); z NULL
-    * when Var = 0 (all-tied series), slope NULL when n < 2. */
+    * when Var = 0 (all-tied series), slope NULL when n < 2.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def mannKendallTrend(df: DataFrame, tCol: String, valueCol: String)
       : DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -4637,7 +4781,10 @@ object Analytics {
     * per-term magnitude sits inside the replayable cast zone for any
     * fixture that has not already blown every alarm (terms are
     * z²-sized shares of A²). All-values-tied input → NULL. Output: one
-    * row (n_a, n_b, a2). */
+    * row (n_a, n_b, a2).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def adTest(df: DataFrame, groupCol: String, valueCol: String,
              groupA: String, groupB: String): DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -4682,7 +4829,10 @@ object Analytics {
     * pinned chain snapped to decimal(28,12), and the per-group A²
     * closes in one keys-grouped aggregate. A NULL group key is its own
     * slice; an all-tied slice emits NULL a2. Output: key columns +
-    * [[adTest]]'s row. */
+    * [[adTest]]'s row.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def adTestBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
                valueCol: String, groupA: String, groupB: String)
       : DataFrame = {
@@ -4753,7 +4903,10 @@ object Analytics {
     * (2·U keeps the half-tie term integral) alongside the tie sums in
     * the same single aggregate — value cardinality unbounded, nothing
     * single-task. Output: one row (n, n_groups, j_stat, e_j, var_j, z);
-    * z NULL when Var ≤ 0 (one group or all values tied). */
+    * z NULL when Var ≤ 0 (one group or all values tied).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def jonckheereTerpstra(df: DataFrame, groupCol: String, valueCol: String,
                          groups: Seq[Long]): DataFrame = {
     require(groups.nonEmpty, "need at least one ordered group score")
@@ -4939,7 +5092,10 @@ object Analytics {
     * slices). Same series contract per slice — one row per (keys, t),
     * enforced loudly. A single-point slice survives with S = 0,
     * Var = 0, NULL z/slope/intercept. Output: key columns +
-    * [[mannKendallTrend]]'s row. */
+    * [[mannKendallTrend]]'s row.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def mannKendallTrendBy(df: DataFrame, keyCols: Seq[String], tCol: String,
                          valueCol: String): DataFrame = {
     require(keyCols.nonEmpty,
@@ -5030,7 +5186,10 @@ object Analytics {
     * Σ_g n_g(n_g−1)/2 — bounded by pre-aggregation like the global
     * form. Empty/one-point inputs emit ONE row with NULL slope/z (the
     * r16 left-join contract). Output: one row
-    * (n, n_seasons, s, var_s, z, sen_slope, intercept). */
+    * (n, n_seasons, s, var_s, z, sen_slope, intercept).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def seasonalMannKendall(df: DataFrame, seasonCol: String, tCol: String,
                           valueCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -5136,7 +5295,10 @@ object Analytics {
       pairedTAggs(xCol, yCol, scale).tail: _*))
 
   /** Per-GROUP [[pairedT]] — the sliced paired comparison. Output: key
-    * columns + the same row. */
+    * columns + the same row.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def pairedTBy(df: DataFrame, keyCols: Seq[String], xCol: String,
                 yCol: String, scale: Int = 2): DataFrame = {
     require(keyCols.nonEmpty, "pairedTBy needs key columns; use pairedT")
@@ -5185,7 +5347,10 @@ object Analytics {
     * 2R = 2·cum + c + 1, the mannWhitneyU model; no single-task sort
     * at any cardinality), with 2W⁺ exact in decimal(38,0). All-zero or
     * empty input → one row with NULL z (the r16 one-row contract).
-    * Output: one row (n, n_zero, w_plus, w_minus, z). */
+    * Output: one row (n, n_zero, w_plus, w_minus, z).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
     def d(c: Column) = c.cast("double")
@@ -5233,7 +5398,10 @@ object Analytics {
     * range partitions), per-group totals/tie terms off the pinned
     * frame, zero/total counts as the group spine (a group whose
     * differences are all zero survives with NULL z). Output: key
-    * columns + [[wilcoxonSignedRank]]'s row. */
+    * columns + [[wilcoxonSignedRank]]'s row.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def wilcoxonSignedRankBy(df: DataFrame, keyCols: Seq[String],
                            xCol: String, yCol: String): DataFrame = {
     require(keyCols.nonEmpty,

@@ -370,6 +370,7 @@ object TimeSeries {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val s = df.select(col(tCol).cast("long").as("__t"),
       col(valueCol).cast("double").as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
     val m = s.agg(
       (sum(col("__v").cast(s"decimal(18,$meanScale)")).cast("double") /
         count(lit(1)).cast("double")).as("__mean"))
@@ -419,6 +420,7 @@ object TimeSeries {
       .map { case (c, i) => col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
     val s = df.select(keys ++ Seq(col(tCol).cast("long").as("__t"),
       col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
     val m = renameKeys(s.groupBy(keys: _*).agg(
       (sum(col("__v").cast(s"decimal(18,$meanScale)")).cast("double") /
         count(lit(1)).cast("double")).as("__mean")), "m")
@@ -457,14 +459,18 @@ object TimeSeries {
     * as decimal(28,12). NOTE the denominator is the RAW sum of squares
     * (the classical definition assumes residuals, mean ≈ 0); center
     * the series first if it isn't residual-like. Gaps in t produce
-    * fewer difference pairs (reported as n_pairs). The series is
-    * normally an AGGREGATE of the corpus, so every frame here is
-    * series-length-bounded. Output: one row (n, n_pairs, dw);
-    * all-zero series → NULL. */
+    * fewer difference pairs (reported as n_pairs). Rows with NULL t or
+    * value are dropped UP FRONT, so n and n_pairs count exactly the
+    * terms the sums include (a sporadically-NULL series would
+    * otherwise report counts over more rows than the decimal sums
+    * cover, silently). The series is normally an AGGREGATE of the
+    * corpus, so every frame here is series-length-bounded. Output: one
+    * row (n, n_pairs, dw); all-zero series → NULL. */
   def durbinWatson(df: DataFrame, tCol: String, valueCol: String)
       : DataFrame = {
     val s = df.select(col(tCol).cast("long").as("__t"),
       col(valueCol).cast("double").as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
     val den = s.agg(count(lit(1)).as("n"),
       sum((col("__v") * col("__v")).cast("decimal(28,12)"))
         .cast("double").as("__den"))
@@ -489,13 +495,16 @@ object TimeSeries {
     * h-bounded). Assumes a REGULAR series — gaps shrink r_k's pair
     * count but n(n+2)/(n−k) still uses the row count n, matching the
     * classical statistic on complete series and degrading visibly (via
-    * n_pairs in [[acf]]) on gapped ones. Output: one row (n, h,
+    * n_pairs in [[acf]]) on gapped ones. n counts NON-NULL (t, value)
+    * rows only, matching the rows [[acf]]'s sums actually cover (the
+    * durbinWatson null contract). Output: one row (n, h,
     * q_stat); a constant series (every r_k NULL) yields NULL. */
   def ljungBox(df: DataFrame, tCol: String, valueCol: String,
                maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     def d(c: Column) = c.cast("double")
-    val n = df.agg(count(lit(1)).as("n"))
+    val n = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"))
     acf(df, tCol, valueCol, maxLag)
       .crossJoin(broadcast(n))
       .groupBy(col("n"))
@@ -526,6 +535,8 @@ object TimeSeries {
     val s = df.select(col(tCol).cast("long").as("__t"),
       col(xCol).cast("double").as("__x"),
       col(yCol).cast("double").as("__y"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
     val m = s.agg(
       (sum(col("__x").cast(s"decimal(18,$meanScale)")).cast("double") /
         count(lit(1)).cast("double")).as("__mx"),

@@ -46,7 +46,15 @@ import org.apache.spark.sql.execution.{LogicalRDD, SQLExecution}
   * `LogicalRDD`, `SQLExecution` and `queryExecution.toRdd` are
   * `private[sql]`, hence this file lives in the `org.apache.spark.sql`
   * namespace (the ColumnBridge discipline: the bridges are the only
-  * places graft touches non-public Spark API). */
+  * places graft touches non-public Spark API).
+  *
+  * THE WHOLE CONTRACT IS EXECUTABLE: `graft.BridgeContractSpec`
+  * (round 17) asserts eager-once execution, the one-RDD-lineage
+  * guarantee, the clustered claim's exchange elision, and SQL
+  * execution-id attribution in one suite — a Spark version bump that
+  * breaks any clause flares there first — and its misuse-doll test
+  * proves the shuffled-join-against-claimed-leaf walker fires on the
+  * silent-miss shape documented below. */
 object RddShareBridge {
   def sharedExecution(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =

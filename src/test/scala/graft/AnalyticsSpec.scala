@@ -2895,6 +2895,54 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("domain-contract guards (ADVICE r16): DW/ljungBox drop NULL " +
+    "rows so n matches the sums; herfindahl excludes non-positive " +
+    "weights; atkinson eps>1 excludes term-overflow rows visibly; " +
+    "logRankStratified counts a NULL stratum") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // DW: the NULL row is dropped entirely - n=4 (not 5), and only
+    // the two adjacent-t pairs that survive count in n_pairs/num.
+    val gap = Seq((0L, Some(1.0)), (1L, Some(2.0)), (2L, None),
+      (3L, Some(0.0)), (4L, Some(3.0))).toDF("t", "v")
+    val dw = TimeSeries.durbinWatson(gap, "t", "v").collect().head
+    assert(dw.getLong(0) == 4L && dw.getLong(1) == 2L)
+    assert(math.abs(dw.getDouble(2) - 10.0 / 14.0) < 1e-12)
+    // ljungBox: n counts non-null rows only (4, not 5)
+    val lb = TimeSeries.ljungBox(gap, "t", "v", maxLag = 1)
+      .collect().head
+    assert(lb.getLong(0) == 4L)
+    // herfindahl: zero and negative weights are excluded - result
+    // equals the clean weighted fixture (a mass 1, b mass 3)
+    val hw = Analytics.herfindahl(
+      Seq(("a", 1.0), ("b", 2.0), ("b", 1.0), ("b", -5.0), ("a", 0.0))
+        .toDF("g", "w"), "g", Some("w")).collect().head
+    assert(math.abs(hw.getDouble(1) - 0.625) < 1e-9)
+    // atkinson eps=2: x=1e-17 has term 1/x = 1e17 >= 1e16 (the
+    // decimal(28,12) bound) - excluded and COUNTED, not silently
+    // nulled out of the sum. Included {1,4}: mean 2.5,
+    // ede = (1.25/2)^(-1) = 1.6, A = 1 - 1.6/2.5 = 0.36.
+    val at = Analytics.atkinsonIndex(
+      Seq(1.0, 4.0, 1e-17).toDF("v"), "v", epsilon = 2.0)
+      .collect().head
+    assert(at.getLong(0) == 2L && at.getLong(1) == 1L)
+    assert(math.abs(at.getDouble(2) - 2.5) < 1e-9)
+    assert(math.abs(at.getDouble(3) - 0.36) < 1e-9)
+    // logRankStratified: a NULL stratum is a valid slice and counts
+    // in k_strata (countDistinct over the struct, not bare keys)
+    val sn = Seq((null.asInstanceOf[String], "a", 1L, true),
+      (null.asInstanceOf[String], "a", 2L, true),
+      (null.asInstanceOf[String], "b", 2L, true),
+      (null.asInstanceOf[String], "b", 3L, false),
+      ("s1", "a", 1L, true), ("s1", "a", 5L, false),
+      ("s1", "b", 1L, true), ("s1", "b", 2L, true))
+      .toDF("s", "g", "dur", "ev")
+    val lrs = Analytics.logRankStratified(sn, Seq("s"), "g", "dur",
+      col("ev"), "a", "b").collect().head
+    assert(lrs.getLong(0) == 2L)
+    assert(lrs.getLong(1) == 4L && lrs.getLong(2) == 4L)
+  }
+
   test("durbinWatson: hand DW=1 and DW=3 (alternating) fixtures; " +
     "all-zero NULL; partition sweep") {
     import spark.implicits._
