@@ -693,6 +693,25 @@ object StressBench {
             when(col("id") >= 30000000L && col("id") % 10 < 9, 50000000L)
               .otherwise(0L)).cast("double").as("v")),
         Seq("g"), "t", "v")),
+      // round 17 (VERDICT r16 Next #3): the NEWEST prefix family at the
+      // hot-slice design point — wilcoxonSignedRankBy with one group
+      // owning 90% of 50M pairs and ~22M distinct |d| magnitudes inside
+      // it. The distinct-|d| ranking rides the KEYED prefix (range
+      // exchange on (group, |d|) compound), so the hot group splits
+      // across slices; a per-key window would serialize its distinct
+      // magnitudes through ONE task — the pctl_by_hotslice/
+      // pettitt_by_hotslice pattern, one family over. d = x − 2.5e7 is
+      // centered (both signs carry mass — W⁺ is a real fraction of the
+      // rank mass, not degenerate) and the occasional exact-0 d
+      // exercises the zeros-dropped rule at scale.
+      "signedrank_by_hotslice_50m" -> (() =>
+        graft.operators.Analytics.wilcoxonSignedRankBy(
+          spark.range(50000000L).select(
+            when(col("id") % 10 < 9, lit("hot"))
+              .otherwise(concat(lit("g"), (col("id") % 100).cast("string"))).as("g"),
+            ((col("id") * 2654435761L) % 50000000L).cast("double").as("x"),
+            lit(25000000.0).as("y")),
+          Seq("g"), "x", "y")),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning
