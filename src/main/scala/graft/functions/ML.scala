@@ -1144,6 +1144,56 @@ object ML {
         (col("__ybar") * (lit(1.0) - col("__ybar"))).as("uncertainty"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit — the BINNED calibration test
+    * practitioners expect beside the distinct-value pair
+    * ([[spiegelhalterZ]] tests calibration pointwise,
+    * [[brierDecomposition]] attributes the Brier score; HL answers
+    * the reviewer's "group into score deciles and test observed vs
+    * expected" form): bins are EQUAL-FREQUENCY on the exact
+    * distributed rank ([[graft.operators.Aggregations.quantileBin]] —
+    * no approximate percentiles, ties share a bin), then
+    *   C = Σ_g (O_g − E_g)² / (n_g·p̄_g·(1 − p̄_g)),  χ²(g − 2) under H₀,
+    * with O_g the observed events, E_g = Σ p the expected, p̄_g =
+    * E_g/n_g. Bins with p̄ = 0 or 1 have an undefined term; they are
+    * EXCLUDED and counted (g_used, dof = g_used − 2) rather than
+    * silently zeroed. E_g accumulates as decimal(18,scale) (exact,
+    * order-free); the χ² terms are pinned doubles summed as
+    * decimal(28,12) over a bins-sized frame. Plan: the quantileBin
+    * keyed-prefix machinery + one cells aggregate — nothing row-scale
+    * after the bin join. Output: one row (n, g, g_used, chi2, dof);
+    * g_used = 0 → NULL chi2.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def hosmerLemeshow(df: DataFrame, probCol: String,
+                     label: org.apache.spark.sql.Column, bins: Int = 10,
+                     scale: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec28 = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,12)")
+    val base = df.filter(col(probCol).isNotNull)
+      .select(col(probCol).cast("double").as("__pr"),
+        when(label, 1L).otherwise(0L).as("__y"))
+    val binned = graft.operators.Aggregations.quantileBin(base, "__pr", bins)
+    val cells = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__y")).as("__og"),
+        sum(col("__pr").cast(s"decimal(18,$scale)")).as("__eg"))
+      .withColumn("__pbar", d(col("__eg")) / d(col("__ng")))
+      .withColumn("__ok", col("__pbar") > 0.0 && col("__pbar") < 1.0)
+    cells.agg(
+        coalesce(sum(col("__ng")), lit(0L)).as("n"),
+        count(lit(1)).as("g"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("g_used"),
+        sum(when(col("__ok"), dec28(
+          (d(col("__og")) - d(col("__eg"))) *
+            (d(col("__og")) - d(col("__eg"))) /
+            (d(col("__ng")) * col("__pbar") * (lit(1.0) - col("__pbar"))))))
+          .cast("double").as("__c"))
+      .select(col("n"), col("g"), col("g_used"),
+        when(col("g_used") > 0, col("__c")).as("chi2"),
+        when(col("g_used") > 2, col("g_used") - 2).as("dof"))
+  }
+
   /** Top principal component of a set of numeric columns — the
     * embedding-whitening / dominant-direction primitive
     * ([[graft.operators.Analytics.corrMatrix]] reports pairwise

@@ -2899,6 +2899,30 @@ object Analytics {
         col("z")): _*)
   }
 
+  /** Mann–Whitney EFFECT SIZES — the "how big, in plain words" report
+    * beside [[mannWhitneyU]]'s "is it real" z (a 50M-row A/B makes
+    * z huge for shifts nobody cares about; these two numbers are the
+    * ones to put in the writeup): CLES = U_A/(n_A·n_B), the
+    * common-language effect size — the probability a random A value
+    * beats a random B value, ties counted half (McGraw–Wong) — and
+    * rank-biserial r = 2·CLES − 1 (Wendt; −1..1, 0 = no dominance).
+    * Both are pure pinned-double derivations of the SAME tie-averaged
+    * U the test reports — one operator call, one plan, no second
+    * pass. Output: one row (n_a, n_b, u_a, u_b, z, cles,
+    * rank_biserial); an empty group → NULL effect columns.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def mannWhitneyEffects(df: DataFrame, groupCol: String, valueCol: String,
+                         groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    mannWhitneyU(df, groupCol, valueCol, groupA, groupB)
+      .withColumn("cles",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("u_a") / (d(col("n_a")) * d(col("n_b")))))
+      .withColumn("rank_biserial", lit(2.0) * col("cles") - lit(1.0))
+  }
+
   /** Conover squared-ranks test — did the DISPERSION shift between two
     * groups, without normality ([[bartlettTest]] assumes normal tails,
     * [[brownForsythe]] answers the k-group mean-of-deviations form;
@@ -3502,6 +3526,75 @@ object Analytics {
       .select(col("__p"),
         least(lit(1.0), col("__rmin")).as("p_adj"))
     df.join(adj, col(pCol) === col("__p"), "left").drop("__p")
+  }
+
+  /** Holm step-DOWN adjustment — strong FWER control, the correction
+    * to reach for when even ONE false positive is unacceptable (a
+    * hard gate over sliced tests: any flagged slice triggers a
+    * rollback — [[bhAdjust]] tolerates a known false fraction, Holm
+    * does not, at uniformly more power than plain Bonferroni):
+    * p_adj(i) = min(1, max_{p_j ≤ p_i} (m − rank(p_j) + 1)·p_j), the
+    * running max making the sequence monotone (statsmodels holm
+    * semantics; tied p-values share the SMALLEST rank of the tie
+    * group — the factor (m − #strictly-smaller) — which the prefix
+    * makes exact). Plan: the [[bhAdjust]] machinery mirrored — one
+    * distinct-p aggregate, strictly-smaller counts via
+    * [[prefixBefore]], then the ascending-inclusive running max as
+    * [[runningMinDescIncl]] over the NEGATED key and value (max over
+    * p' ≤ p ≡ −min over −p' ≥ −p — same distributed pass, no
+    * single-task window), one join back. Rows with NULL p keep NULL
+    * p_adj and don't count toward m. Output: the input columns +
+    * `p_adj`.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def holmAdjust(df: DataFrame, pCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dp = df.filter(col(pCol).isNotNull)
+      .groupBy(col(pCol).as("__p")).agg(count(lit(1)).as("__c"))
+    val (dpShared, pre) = prefixBeforeShared(dp, "__p", col("__c"))
+    val n = dpShared.agg(sum(col("__c")).as("__n"))
+    val ranked = pre
+      .crossJoin(broadcast(n))
+      // smallest rank in the tie block is __cum + 1, so the Holm
+      // factor m − rank + 1 = m − __cum
+      .withColumn("__q", (d(col("__n")) - d(col("__cum"))) * d(col("__p")))
+    val adj = runningMinDescIncl(
+        ranked.select((-col("__p")).as("__np"), (-col("__q")).as("__nq")),
+        "__np", col("__nq"))
+      .select((-col("__np")).as("__p"),
+        least(lit(1.0), -col("__rmin")).as("p_adj"))
+    df.join(adj, col(pCol) === col("__p"), "left").drop("__p")
+  }
+
+  /** Benjamini–Yekutieli FDR adjustment — [[bhAdjust]] made valid
+    * under ARBITRARY dependence between the tests (overlapping slices,
+    * one metric tested at many thresholds, correlated drift tests on
+    * the same window — the regimes where BH's independence/PRDS
+    * assumption is the shaky part): p_adj_BY = min(1, c(m)·q_BH-pre)
+    * with c(m) = Σ_{i=1..m} 1/i, exact because the harmonic constant
+    * is positive so it commutes with BH's suffix-min, and wherever BH
+    * clipped at 1 the scaled value clips too. The harmonic sum runs
+    * DISTRIBUTED over an m-row range spine (each 1/i a pinned double
+    * summed as decimal(28,12), order-independent); m is read back as
+    * one driver-side scalar first (the icc21 precedent — a count, not
+    * data). Output: the input columns + `p_adj`.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def byAdjust(df: DataFrame, pCol: String): DataFrame = {
+    val bh = bhAdjust(df, pCol)
+    val m = df.filter(col(pCol).isNotNull).count()
+    if (m == 0L) return bh
+    val cm = df.sparkSession.range(1, m + 1)
+      .agg(sum((lit(1.0) / col("id").cast("double"))
+        .cast("decimal(28,12)")).cast("double").as("__cm"))
+    bh.crossJoin(broadcast(cm))
+      // `least` IGNORES nulls (returns the least non-null), so the
+      // NULL-p rows' NULL p_adj must be preserved explicitly
+      .withColumn("p_adj", when(col("p_adj").isNotNull,
+        least(lit(1.0), col("p_adj") * col("__cm"))))
+      .drop("__cm")
   }
 
   /** Laplace-noised group counts — the ε-differential-privacy RELEASE
@@ -4283,6 +4376,83 @@ object Analytics {
             (col("n").cast("double") + 1.0) * col("__sv").cast("double")) /
             (col("n").cast("double") * col("__sv").cast("double"))))
       .select(keys ++ Seq(col("n"), col("gini")): _*)
+  }
+
+  /** Exact Lorenz-curve points — the inequality summary behind [[gini]]
+    * made INSPECTABLE ("the bottom 40% of documents carry 9% of the
+    * tokens; the top 10% carry half"): for each requested p,
+    * L(p) = (value mass of the ⌊p·n⌋ lowest rows) / total mass,
+    * EXACT under ties because tied rows share one value — the partial
+    * block contributes (k − cum_before)·v precisely, no row ordering
+    * ambiguity. Plan: one (value, count, mass) distinct aggregate, ONE
+    * distributed prefix pass over BOTH weights
+    * ([[prefixBeforeMultiByShared]] — count locates the rank-k
+    * straddle, mass gives the cumulative numerator; totals read the
+    * PINNED frame), one containment join against the broadcast |ps|
+    * spine. The classical domain is NON-NEGATIVE values; negative
+    * values are included as-is and make L dip below zero (an honest
+    * curve, not an error) — exclude them upstream if your measure
+    * assumes mass. Output: (p, n, k_rows, lorenz) ascending in p;
+    * empty input → NULL columns; p = 0 → 0 exactly.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def lorenzPoints(df: DataFrame, valueCol: String, ps: Seq[Double],
+                   scale: Int = 2): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles $ps must be in [0,1]")
+    require(ps.distinct.length == ps.length, s"duplicate percentiles in $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__m", col("__c").cast("decimal(19,0)") *
+        col("__v").cast(s"decimal(18,$scale)"))
+    val (shared, pre) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__v", Seq("c" -> col("__c"), "m" -> col("__m")))
+    val tot = shared.agg(sum(col("__c")).as("__n"),
+      sum(col("__m")).cast(s"decimal(38,$scale)").as("__t"))
+    val spine = ps.sorted.toDF("p").crossJoin(broadcast(tot))
+      .withColumn("__k", floor(col("p") * d(col("__n"))).cast("long"))
+    val cum = pre.select(col("__v"), col("__c"),
+      col("__cum_c").as("__sc"), col("__cum_m").as("__sm"))
+    spine.join(cum,
+        col("__sc") < col("__k") && col("__k") <= col("__sc") + col("__c"),
+        "left")
+      .groupBy(col("p"))
+      .agg(max(col("__n")).as("n"), max(col("__t")).as("__tt"),
+        max(col("__k")).as("k_rows"),
+        max(col("__sm") + (col("__k") - col("__sc"))
+          .cast("decimal(19,0)") * col("__v").cast(s"decimal(18,$scale)"))
+          .as("__lm"))
+      .select(col("p"), col("n"), col("k_rows"),
+        when(col("k_rows") === 0 && col("n").isNotNull, lit(0.0))
+          .otherwise(when(d(col("__tt")) =!= 0.0,
+            d(coalesce(col("__lm"), lit(0))) / d(col("__tt"))))
+          .as("lorenz"))
+      .orderBy("p")
+  }
+
+  /** Palma ratio — the single-number "top vs bottom" concentration
+    * readout practitioners quote from the Lorenz curve (share of the
+    * top 10% over the share of the bottom 40%; 1 ≈ the OECD-typical
+    * balance point, ≫1 = top-heavy): palma = (1 − L(0.9)) / L(0.4)
+    * from ONE [[lorenzPoints]] pass. Degenerate L(0.4) = 0 (the
+    * bottom 40% carry nothing) → NULL rather than infinity. Output:
+    * one row (n, l40, l90, palma).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def palmaRatio(df: DataFrame, valueCol: String, scale: Int = 2)
+      : DataFrame = {
+    lorenzPoints(df, valueCol, Seq(0.4, 0.9), scale)
+      .agg(max(col("n")).as("n"),
+        max(when(col("p") === 0.4, col("lorenz"))).as("l40"),
+        max(when(col("p") === 0.9, col("lorenz"))).as("l90"))
+      .withColumn("palma",
+        when(col("l40") > 0, (lit(1.0) - col("l90")) / col("l40")))
   }
 
   /** Theil inequality indices of a POSITIVE value column — [[gini]]'s

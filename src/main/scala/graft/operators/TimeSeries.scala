@@ -567,6 +567,181 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Wald–Wolfowitz runs test — IS THIS SERIES RANDOM AT ALL, the
+    * assumption-free screen before any model-based diagnostic
+    * ([[durbinWatson]] assumes a linear first-order structure; runs
+    * asks only "do above-median and below-median values alternate the
+    * way independence predicts" — too FEW runs = trending/sticky, too
+    * MANY = oscillating): values are signed against the EXACT
+    * interpolated median ([[graft.operators.Aggregations.quantilesCont]]
+    * — the distributed prefix, no row sort), ties AT the median are
+    * dropped and counted, R = 1 + #(sign changes between consecutive
+    * retained rows in t-order). Consecutiveness is an equi-join on the
+    * distributed rank (strictly-smaller-t count via the prefix — never
+    * a single-task window, gap-proof in t). Then the exact null
+    * moments: μ = 1 + 2n₁n₂/n, σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1)),
+    * z = (R − μ)/σ. The series is normally an AGGREGATE of the corpus
+    * (every frame series-length-bounded); duplicate t values raise
+    * (a series needs one row per time point). Output: one row
+    * (n, n_above, n_below, n_ties_dropped, runs, z); a constant or
+    * one-sided series → NULL z.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def runsTest(df: DataFrame, tCol: String, valueCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("double").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val med = graft.operators.Aggregations
+      .quantilesCont(s0, "__v", Seq(0.5))
+      .select(col("value").as("__med"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    val kept = s0.crossJoin(broadcast(med))
+      .filter(col("__v") =!= col("__med"))
+      .select(col("__t"),
+        when(col("__v") > col("__med"), 1).otherwise(-1).as("__s"))
+    val (shared, ranked) = graft.operators.Analytics
+      .prefixBeforeShared(kept, "__t", lit(1L))
+    val cnts = shared.agg(count(lit(1)).as("__m"),
+      coalesce(sum(when(col("__s") === 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_above"),
+      coalesce(sum(when(col("__s") === -1, 1L).otherwise(0L)), lit(0L))
+        .as("n_below"))
+    val a = ranked.select(col("__cum").as("__r"), col("__s"))
+    val b = ranked.select((col("__cum") - 1).as("__r"),
+      col("__s").as("__s2"))
+    val chg = a.join(b, "__r")
+      .agg(coalesce(sum(when(col("__s") =!= col("__s2"), 1L)
+        .otherwise(0L)), lit(0L)).as("__chg"))
+    cnts.crossJoin(broadcast(chg)).crossJoin(broadcast(chk))
+      .withColumn("n", when(col("__cn") === col("__cd"), col("__cn"))
+        .otherwise(raise_error(lit("runsTest: duplicate t values — a " +
+          "series needs one row per time point; pre-aggregate first"))))
+      .withColumn("n_ties_dropped", col("n") - col("__m"))
+      .withColumn("runs", when(col("__m") > 0, col("__chg") + lit(1L)))
+      .withColumn("__n1", d(col("n_above")))
+      .withColumn("__n2", d(col("n_below")))
+      .withColumn("__nn", col("__n1") + col("__n2"))
+      .withColumn("__mu", when(col("__nn") > 0,
+        lit(1.0) + lit(2.0) * col("__n1") * col("__n2") / col("__nn")))
+      .withColumn("__var", when(col("__nn") > 1,
+        lit(2.0) * col("__n1") * col("__n2") *
+          (lit(2.0) * col("__n1") * col("__n2") - col("__nn")) /
+          (col("__nn") * col("__nn") * (col("__nn") - lit(1.0)))))
+      .withColumn("z", when(col("__var") > 0,
+        (d(col("runs")) - col("__mu")) / sqrt(col("__var"))))
+      .select("n", "n_above", "n_below", "n_ties_dropped", "runs", "z")
+  }
+
+  /** Cox–Stuart trend test — the sign test for MONOTONE TREND
+    * (pair the first half of the series with the second half at offset
+    * ⌈n/2⌉; under no-trend, later-beats-earlier is a fair coin — the
+    * assumption-free quick screen beside
+    * [[graft.operators.Analytics.mannKendallTrend]]'s full pair
+    * statistic, O(n) pairs instead of O(n²) and often all a dashboard
+    * needs): S⁺ = #(x_{i+⌈n/2⌉} > x_i), S⁻ the reverse, tied pairs
+    * dropped, continuity-corrected
+    * z = (S⁺ − n'/2 − ½·sgn(S⁺ − n'/2)) / √(n'/4). The half-offset
+    * pairing is an equi-join on the distributed rank (the [[runsTest]]
+    * machinery — prefix rank, never a window; gap-proof in t; an odd
+    * middle row pairs with nothing and drops, the classical rule).
+    * Duplicate t raises. Output: one row (n, n_pairs, n_ties, s_plus,
+    * s_minus, z); n' = 0 → NULL z.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def coxStuartTest(df: DataFrame, tCol: String, valueCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("double").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    val (shared, ranked) = graft.operators.Analytics
+      .prefixBeforeShared(s0, "__t", lit(1L))
+    val n = shared.agg(count(lit(1)).as("__m"))
+    val b = ranked.select(col("__cum").as("__rb"), col("__v").as("__v2"))
+    val pairs = ranked.crossJoin(broadcast(n))
+      .withColumn("__half", expr("(__m + 1) div 2"))
+      .filter(col("__cum") < col("__m") - col("__half"))
+      .join(b, col("__rb") === col("__cum") + col("__half"))
+    pairs
+      .agg(coalesce(sum(when(col("__v2") > col("__v"), 1L)
+          .otherwise(0L)), lit(0L)).as("s_plus"),
+        coalesce(sum(when(col("__v2") < col("__v"), 1L)
+          .otherwise(0L)), lit(0L)).as("s_minus"),
+        coalesce(count(lit(1)), lit(0L)).as("n_pairs"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(chk))
+      .withColumn("n", when(col("__cn") === col("__cd"), col("__cn"))
+        .otherwise(raise_error(lit("coxStuartTest: duplicate t values " +
+          "— a series needs one row per time point; pre-aggregate " +
+          "first"))))
+      .withColumn("n_ties",
+        col("n_pairs") - col("s_plus") - col("s_minus"))
+      .withColumn("__nt", d(col("s_plus")) + d(col("s_minus")))
+      .withColumn("__dev", d(col("s_plus")) - col("__nt") / 2.0)
+      .withColumn("z", when(col("__nt") > 0,
+        (col("__dev") - lit(0.5) * signum(col("__dev"))) /
+          sqrt(col("__nt") / 4.0)))
+      .select("n", "n_pairs", "n_ties", "s_plus", "s_minus", "z")
+  }
+
+  /** Turning-points test — randomness against OSCILLATION structure
+    * (an interior point is a turning point if it is a strict local max
+    * or min of its two neighbors; under independence
+    * E[T] = 2(n − 2)/3, Var[T] = (16n − 29)/90 — the third member of
+    * the randomness screen: [[runsTest]] sees level stickiness,
+    * [[coxStuartTest]] sees monotone drift, turning points see
+    * over-/under-oscillation, e.g. a negatively-autocorrelated
+    * retry loop): neighbor pairing via TWO rank equi-joins on the
+    * [[runsTest]] prefix machinery (never a window, gap-proof in t).
+    * Equal-neighbor plateaus are NOT turning points (strict
+    * inequalities; heavy ties deflate T visibly rather than silently
+    * inflating it). Duplicate t raises. Output: one row (n,
+    * n_interior, turning, expected, z); n < 3 → NULL.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def turningPointsTest(df: DataFrame, tCol: String, valueCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("double").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    val (shared, ranked) = graft.operators.Analytics
+      .prefixBeforeShared(s0, "__t", lit(1L))
+    val n = shared.agg(count(lit(1)).as("__m"))
+    val mid = ranked.select(col("__cum").as("__r"), col("__v"))
+    val prv = ranked.select((col("__cum") + 1).as("__r"),
+      col("__v").as("__vp"))
+    val nxt = ranked.select((col("__cum") - 1).as("__r"),
+      col("__v").as("__vn"))
+    mid.join(prv, "__r").join(nxt, "__r")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_interior"),
+        coalesce(sum(when((col("__v") > col("__vp") &&
+            col("__v") > col("__vn")) ||
+          (col("__v") < col("__vp") && col("__v") < col("__vn")), 1L)
+          .otherwise(0L)), lit(0L)).as("turning"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(chk))
+      .withColumn("n", when(col("__cn") === col("__cd"), col("__cn"))
+        .otherwise(raise_error(lit("turningPointsTest: duplicate t " +
+          "values — a series needs one row per time point; " +
+          "pre-aggregate first"))))
+      .withColumn("expected", when(col("__m") >= 3,
+        lit(2.0) * (d(col("__m")) - 2.0) / 3.0))
+      .withColumn("__var", when(col("__m") >= 3,
+        (lit(16.0) * d(col("__m")) - 29.0) / 90.0))
+      .withColumn("z", when(col("__var") > 0,
+        (d(col("turning")) - col("expected")) / sqrt(col("__var"))))
+      .select("n", "n_interior", "turning", "expected", "z")
+  }
+
   /** Classical additive seasonal decomposition — v = trend + seasonal
     * + residual over a REGULAR series with known period (the
     * moving-average decomposition; the "is the weekly cycle or the

@@ -3650,4 +3650,154 @@ class AnalyticsSpec extends SparkSpec {
         .sortBy(x => (x.head.toString, x(1).toString))
     }
   }
+
+  test("holmAdjust: hand step-down with ties (smallest-rank factor); " +
+    "monotone non-decreasing; clip at 1; partition sweep") {
+    import spark.implicits._
+    // m=4: sorted .005 .01 .03 .04 -> factors .02 .03 .06 .04 ->
+    // cummax .02 .03 .06 .06
+    val df = Seq(0.01, 0.04, 0.03, 0.005).toDF("p")
+    val r = Analytics.holmAdjust(df, "p").collect()
+      .map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(0.005) - 0.02) < 1e-12)
+    assert(math.abs(r(0.01) - 0.03) < 1e-12)
+    assert(math.abs(r(0.03) - 0.06) < 1e-12)
+    assert(math.abs(r(0.04) - 0.06) < 1e-12)
+    // tie block shares the SMALLEST rank's factor: m=5, the two .03s
+    // get (5-2)*.03 = .09
+    val t = Analytics.holmAdjust(
+      Seq(0.01, 0.04, 0.03, 0.03, 0.005).toDF("p"), "p").collect()
+      .map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+    assert(math.abs(t(0.005) - 0.025) < 1e-12)
+    assert(math.abs(t(0.01) - 0.04) < 1e-12)
+    assert(math.abs(t(0.03) - 0.09) < 1e-12)
+    assert(math.abs(t(0.04) - 0.09) < 1e-12)
+    // clip: large p saturates at 1
+    val c = Analytics.holmAdjust(Seq(0.9, 0.8).toDF("p"), "p")
+      .collect().map(_.getDouble(1))
+    assert(c.forall(_ == 1.0))
+    partitionSweep { pn =>
+      Analytics.holmAdjust(df.repartition(pn), "p")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    }
+  }
+
+  test("byAdjust: BH times the harmonic constant, clipped; equals BH " +
+    "at m=1") {
+    import spark.implicits._
+    // m=4 uniform spacing: every BH q = .04; c(4) = 25/12
+    val r = Analytics.byAdjust(
+      Seq(0.01, 0.02, 0.03, 0.04).toDF("p"), "p").collect()
+      .map(_.getDouble(1))
+    r.foreach(v => assert(math.abs(v - 0.04 * 25.0 / 12.0) < 1e-9))
+    val one = Analytics.byAdjust(Seq(0.2).toDF("p"), "p")
+      .collect().head.getDouble(1)
+    assert(math.abs(one - 0.2) < 1e-12) // c(1) = 1: BY == BH == p
+  }
+
+  test("mannWhitneyEffects: clean dominance cles=1 rb=1; ties credit " +
+    "half; matches mannWhitneyU columns") {
+    import spark.implicits._
+    val dom = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 0.0))
+      .toDF("g", "v")
+    val r = Analytics.mannWhitneyEffects(dom, "g", "v", "a", "b")
+      .collect().head
+    assert(math.abs(r.getAs[Double]("cles") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rank_biserial") - 1.0) < 1e-12)
+    // A={1,2} vs B={2}: pair (1,2) loses, (2,2) ties half -> U_A=0.5,
+    // cles = 0.5/2 = 0.25, rank-biserial = -0.5
+    val tie = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0)).toDF("g", "v")
+    val rt = Analytics.mannWhitneyEffects(tie, "g", "v", "a", "b")
+      .collect().head
+    assert(math.abs(rt.getAs[Double]("cles") - 0.25) < 1e-12)
+    assert(math.abs(rt.getAs[Double]("rank_biserial") + 0.5) < 1e-12)
+  }
+
+  test("lorenzPoints: hand curve with tied boundary block; p=0 gives " +
+    "exactly 0, p=1 exactly 1; palmaRatio hand value; partition sweep") {
+    import spark.implicits._
+    val df = Seq(1.0, 1.0, 2.0, 6.0).toDF("v")
+    val r = Analytics.lorenzPoints(df, "v",
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0)).collect()
+      .map(x => x.getDouble(0) -> x).toMap
+    assert(r(0.0).getDouble(3) == 0.0 && r(0.0).getLong(2) == 0L)
+    assert(math.abs(r(0.25).getDouble(3) - 0.1) < 1e-12)
+    assert(math.abs(r(0.5).getDouble(3) - 0.2) < 1e-12)
+    assert(math.abs(r(0.75).getDouble(3) - 0.4) < 1e-12)
+    assert(r(1.0).getDouble(3) == 1.0)
+    // tie straddle: k=2 falls INSIDE the block of three 1s
+    val t = Analytics.lorenzPoints(Seq(1.0, 1.0, 1.0, 7.0).toDF("v"),
+      "v", Seq(0.5)).collect().head
+    assert(math.abs(t.getDouble(3) - 0.2) < 1e-12)
+    // palma on 0..9: L(.4)=6/45, L(.9)=36/45 -> (1-.8)/(6/45)=1.5
+    val p = Analytics.palmaRatio(
+      (0 to 9).map(_.toDouble).toDF("v"), "v").collect().head
+    assert(math.abs(p.getAs[Double]("palma") - 1.5) < 1e-9)
+    partitionSweep { pn =>
+      Analytics.lorenzPoints(df.repartition(pn), "v", Seq(0.25, 0.75))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("hosmerLemeshow: two-bin hand chi2; pbar 0/1 bins excluded " +
+    "and counted") {
+    import spark.implicits._
+    import graft.functions.ML
+    val df = Seq((0.1, false), (0.1, false), (0.9, true), (0.9, true))
+      .toDF("p", "y")
+    val r = ML.hosmerLemeshow(df, "p", col("y"), bins = 2)
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // each bin: (o-e)^2/(n pbar (1-pbar)) = .04/.18
+    assert(math.abs(r.getDouble(3) - 2 * 0.04 / 0.18) < 1e-9)
+    assert(r.isNullAt(4)) // dof = g_used - 2 = 0 -> NULL
+    // a degenerate all-zero-prob bin is excluded, not divided by zero
+    val z = ML.hosmerLemeshow(
+      Seq((0.0, false), (0.0, false), (0.5, true), (0.5, false))
+        .toDF("p", "y"), "p", col("y"), bins = 2).collect().head
+    assert(z.getLong(1) == 2L && z.getLong(2) == 1L)
+  }
+
+  test("runsTest: alternating series runs=6 z hand value; ties at the " +
+    "median dropped and counted; degenerate NULL z; partition sweep") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val alt = Seq((0L, 1.0), (1L, 2.0), (2L, 1.0), (3L, 2.0),
+      (4L, 1.0), (5L, 2.0)).toDF("t", "v")
+    val r = TimeSeries.runsTest(alt, "t", "v").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 6L)
+    // mu=4, var=1.2
+    assert(math.abs(r.getDouble(5) - 2.0 / math.sqrt(1.2)) < 1e-9)
+    // v=[1,2,3]: median 2 dropped -> one run change, runs 2, var 0
+    val d3 = TimeSeries.runsTest(
+      Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("t", "v"), "t", "v")
+      .collect().head
+    assert(d3.getLong(3) == 1L && d3.getLong(4) == 2L && d3.isNullAt(5))
+    partitionSweep { pn =>
+      TimeSeries.runsTest(alt.repartition(pn), "t", "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("coxStuartTest: monotone rise all-plus with continuity z; odd " +
+    "middle drops; tied pairs counted; turningPointsTest hand zigzag") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val up = (0L to 4L).map(t => (t, (t + 1).toDouble)).toDF("t", "v")
+    val r = TimeSeries.coxStuartTest(up, "t", "v").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 0L)
+    assert(math.abs(r.getDouble(5) - 0.5 / math.sqrt(0.5)) < 1e-9)
+    val flat = TimeSeries.coxStuartTest(
+      Seq((0L, 2.0), (1L, 2.0), (2L, 2.0), (3L, 2.0)).toDF("t", "v"),
+      "t", "v").collect().head
+    assert(flat.getLong(2) == 2L && flat.isNullAt(5)) // all ties
+    val tp = TimeSeries.turningPointsTest(
+      Seq((0L, 1.0), (1L, 3.0), (2L, 2.0), (3L, 4.0), (4L, 3.0))
+        .toDF("t", "v"), "t", "v").collect().head
+    assert(tp.getLong(0) == 5L && tp.getLong(1) == 3L && tp.getLong(2) == 3L)
+    assert(math.abs(tp.getDouble(3) - 2.0) < 1e-12)
+    assert(math.abs(tp.getDouble(4) - 1.0 / math.sqrt(51.0 / 90.0)) < 1e-9)
+  }
 }
