@@ -417,6 +417,120 @@ object Aggregations {
           .cast("double") / col("n").cast("double")).as("mean")): _*)
   }
 
+  /** Yuen's trimmed-means t-test — the ROBUST two-sample location test
+    * (the A/B answer [[graft.operators.Analytics.welchT]] gives, made
+    * insensitive to the heavy tails pipeline metrics actually have —
+    * one viral document shifts a raw mean for a week; the α-trimmed
+    * comparison doesn't blink): per group, trimmed mean x̄t over the
+    * kept rank interval [k, n−k) with k = ⌊αn⌋ and h = n − 2k, the
+    * WINSORIZED variance s²w (extremes clamped to the k-th/(n−k−1)-th
+    * order-statistic fences — Yuen's variance estimate for a trimmed
+    * mean), then
+    *   d_g = s²w·(n−1)/(h(h−1)),  t = (x̄t_A − x̄t_B)/√(d_A + d_B),
+    *   dof = (d_A + d_B)² / (d_A²/(h_A−1) + d_B²/(h_B−1))
+    * (Welch–Satterthwaite on the trimmed counts). Plan: one keyed
+    * prefix pass ([[trimmedMeanBy]]/[[winsorizedMeanBy]] machinery)
+    * gives the trimmed sums AND the fence order statistics; then one
+    * row-level moment scan over the CLAMPED values collects the
+    * winsorized Σx, Σx² with [[graft.operators.Analytics.welchT]]'s
+    * exact-decimal conventions (the clamp is pure decimal comparison,
+    * the square a (18,s)×(18,s) product that fits decimal(38,2s)
+    * exactly — never a blocks×weights product that would cross the
+    * 38-digit width where the engines round differently). The
+    * variance collapses the two exact moments in one pinned double
+    * chain (welchT's cancellation caveat, shared). α = 0 degenerates
+    * to exactly welchT's numbers. Groups with h < 2 → NULL t. Output:
+    * one row (n_a, n_b, h_a, h_b, mean_a, mean_b, s2w_a, s2w_b,
+    * diff, se, t, dof).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def yuenTrimmedT(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                   valueCol: String, groupA: String, groupB: String,
+                   alpha: Double, scale: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0.0 && alpha < 0.5, s"alpha $alpha must be in [0, 0.5)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val keyCols = Seq("__g")
+    val keys = keyCols.map(col)
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
+    val rHi = col("__n") - k - 1
+    val (shared, cum0) = graft.operators.Analytics
+      .prefixBeforeByShared(counts, keyCols, "__v", col("__c"))
+    val cum = joinGroupTotals(
+      cum0.withColumnRenamed("__cum", "__s"), shared, keyCols)
+    val lo = cum.filter(col("__s") <= k && k < col("__s") + col("__c"))
+      .select(col("__g").as("__kl0"), col("__v").as("__flo"))
+    val hi = cum.filter(col("__s") <= rHi && rHi < col("__s") + col("__c"))
+      .select(col("__g").as("__kh0"), col("__v").as("__fhi"))
+    val dec2s = s"decimal(38,${2 * scale})"
+    val kept = cum
+      .withColumn("__w", greatest(lit(0L),
+        least(col("__s") + col("__c"), col("__n") - k) -
+          greatest(col("__s"), k)))
+      .filter(col("__w") > 0)
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"), max(k).as("__k"),
+        sum(col("__w").cast("decimal(19,0)") * col("__v")).as("__sum"))
+    val fences = lo.join(hi, col("__kl0") <=> col("__kh0"))
+      .select(col("__kl0").as("__gf"), col("__flo"), col("__fhi"))
+    // winsorized moments per ROW over the clamped values - welchT's
+    // exact-decimal convention, type-clean in both engines
+    val xw = least(greatest(col(valueCol).cast(s"decimal(18,$scale)"),
+      col("__flo")), col("__fhi"))
+    val wm = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast(s"decimal(18,$scale)").as(valueCol))
+      .join(broadcast(fences), col("__g") <=> col("__gf"))
+      .groupBy(col("__g").as("__gw"))
+      .agg(sum(xw).as("__sw0"),
+        sum((xw * xw).cast(dec2s)).as("__qw0"))
+    val per = kept
+      .join(lo, col("__g") <=> col("__kl0"))
+      .join(hi, col("__g") <=> col("__kh0"))
+      .join(wm, col("__g") <=> col("__gw"))
+      .withColumn("__h", col("n") - lit(2) * col("__k"))
+      .withColumn("__tmean",
+        col("__sum").cast("double") / d(col("__h")))
+      .withColumn("__sw", d(col("__sw0")))
+      .withColumn("__qw", d(col("__qw0")))
+      .withColumn("__s2w", when(col("n") > 1,
+        (col("__qw") - col("__sw") * col("__sw") / d(col("n"))) /
+          (d(col("n")) - 1.0)))
+    def side(g: String, s: String) = Seq(
+      max(when(col("__g") === g, col("n"))).as(s"n_$s"),
+      max(when(col("__g") === g, col("__h"))).as(s"h_$s"),
+      max(when(col("__g") === g, col("__tmean"))).as(s"mean_$s"),
+      max(when(col("__g") === g, col("__s2w"))).as(s"s2w_$s"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    per.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__da", when(col("h_a") > 1,
+        col("s2w_a") * (d(col("n_a")) - 1.0) /
+          (d(col("h_a")) * (d(col("h_a")) - 1.0))))
+      .withColumn("__db", when(col("h_b") > 1,
+        col("s2w_b") * (d(col("n_b")) - 1.0) /
+          (d(col("h_b")) * (d(col("h_b")) - 1.0))))
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+      .withColumn("se", when(col("__da") + col("__db") > 0,
+        sqrt(col("__da") + col("__db"))))
+      .withColumn("t", when(col("se") > 0, col("diff") / col("se")))
+      .withColumn("dof", when(col("se") > 0 &&
+          col("h_a") > 1 && col("h_b") > 1,
+        (col("__da") + col("__db")) * (col("__da") + col("__db")) /
+          (col("__da") * col("__da") / (d(col("h_a")) - 1.0) +
+            col("__db") * col("__db") / (d(col("h_b")) - 1.0))))
+      .select("n_a", "n_b", "h_a", "h_b", "mean_a", "mean_b",
+        "s2w_a", "s2w_b", "diff", "se", "t", "dof")
+  }
+
   /** EAGER: builds on the pinned-execution bridge, so Spark jobs
     * launch AT CALL time and the input is snapshotted then
     * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */

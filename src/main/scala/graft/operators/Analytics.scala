@@ -779,6 +779,45 @@ object Analytics {
       .drop("__m")
   }
 
+  /** ONE-sample KS against Uniform(lo, hi) — "is this column actually
+    * uniform", the direct check on every salted-hash / bucketing /
+    * score-normalization assumption this library leans on
+    * ([[graft.functions.Sampling]]'s hashU32 draws, a normalized
+    * score, a shard key; [[ksTest]] needs a second sample — this
+    * compares against the CLOSED-FORM CDF): with F₀(v) = clamp((v −
+    * lo)/(hi − lo)) and the jump-aware one-sided gaps
+    *   D⁺ = max_v [F̂(v) − F₀(v)],  D⁻ = max_v [F₀(v) − F̂(v⁻)]
+    * (F̂(v⁻) = the strictly-before cumulative — the left limit matters
+    * at ties/jumps), D = max(D⁺, D⁻). Values OUTSIDE [lo, hi] are
+    * legal (F₀ clamps; they inflate D honestly). One distinct-value
+    * aggregate + ONE distributed prefix pass ([[prefixBefore]] — no
+    * single-task window at any cardinality), one broadcast total.
+    * Output: one row (n, d_plus, d_minus, d); empty input → NULL.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def ksUniformTest(df: DataFrame, valueCol: String, lo: Double,
+                    hi: Double): DataFrame = {
+    require(hi > lo, s"need hi > lo, got ($lo, $hi)")
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val (shared, pre) = prefixBeforeShared(counts, "__v", col("__c"))
+    val n = shared.agg(sum(col("__c")).as("__n"))
+    pre.crossJoin(broadcast(n))
+      .withColumn("__f0", least(greatest(
+        (col("__v") - lit(lo)) / lit(hi - lo), lit(0.0)), lit(1.0)))
+      .agg(max(col("__n")).as("n"),
+        max(d(col("__cum") + col("__c")) / d(col("__n")) - col("__f0"))
+          .as("__dp"),
+        max(col("__f0") - d(col("__cum")) / d(col("__n"))).as("__dm"))
+      .select(col("n"),
+        greatest(col("__dp"), lit(0.0)).as("d_plus"),
+        greatest(col("__dm"), lit(0.0)).as("d_minus"))
+      .withColumn("d", greatest(col("d_plus"), col("d_minus")))
+  }
+
   /** Exact two-sample 1-D Wasserstein-1 distance (earth mover's
     * distance) — [[ksTest]]'s INTEGRAL companion: KS is
     * sup|F_a − F_b|, W1 is ∫|F_a − F_b| dx, so a drift that moves a
@@ -1679,6 +1718,104 @@ object Analytics {
       .drop("__r", "__s")
   }
 
+  /** Breslow–Day homogeneity test — [[cmhTest]]'s mandatory companion
+    * question: CMH pools a COMMON odds ratio across strata, but is the
+    * OR actually the same in every stratum, or does the effect flip
+    * sign by site/source/device (in which case the pooled number is
+    * the wrong summary entirely)? Per stratum, the expected exposed-
+    * case count ã under the pooled MH OR ψ solves the quadratic
+    *   (1 − ψ)ã² + [n + (ψ − 1)(r₁ + c₁)]ã − ψ·r₁·c₁ = 0
+    * (ψ = 1 degenerates to the linear r₁c₁/n), taking the root that
+    * keeps all four fitted cells non-negative; then
+    *   χ²_BD = Σ_s (a_s − ã_s)² · (1/ã + 1/b̃ + 1/c̃ + 1/d̃),
+    * χ²(K − 1) under homogeneity (the classical statistic; Tarone's
+    * small correction term is omitted and the omission documented
+    * here). Plan: ONE corpus scan to strata-sized 2×2 cells, the
+    * cells frame PINNED ([[org.apache.spark.sql.graftbridge
+    * .RddShareBridge]]) because BOTH the pooled-ψ aggregate and the
+    * per-stratum chain read it — without the pin the second reference
+    * re-runs the corpus scan; everything after is strata-bounded
+    * pinned-double arithmetic, the χ² terms summed as decimal(28,12).
+    * Strata with a zero margin (ã or a fitted cell 0) contribute
+    * nothing and are counted in k_degenerate. Output: one row
+    * (k_strata, k_degenerate, n, or_mh, chi2, dof); ψ undefined
+    * (no discordant pairs anywhere) → NULL chi2.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def breslowDay(df: DataFrame, strataCols: Seq[String], exposure: Column,
+                 outcome: Column): DataFrame = {
+    require(strataCols.nonEmpty, "breslowDay needs strata columns")
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val cells = org.apache.spark.sql.graftbridge.RddShareBridge
+      .sharedExecution(df.groupBy(strataCols.map(col): _*)
+        .agg(
+          sum(when(exposure && outcome, 1L).otherwise(0L)).as("__a"),
+          sum(when(exposure && !outcome, 1L).otherwise(0L)).as("__b"),
+          sum(when(!exposure && outcome, 1L).otherwise(0L)).as("__c"),
+          sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("__d"))
+        .withColumn("__n",
+          col("__a") + col("__b") + col("__c") + col("__d")))
+    val psi = cells.agg(
+        sum(dec28(when(col("__n") > 0,
+          d(col("__a")) * d(col("__d")) / d(col("__n")))
+          .otherwise(lit(0.0)))).cast("double").as("__r"),
+        sum(dec28(when(col("__n") > 0,
+          d(col("__b")) * d(col("__c")) / d(col("__n")))
+          .otherwise(lit(0.0)))).cast("double").as("__s"))
+      .select(when(col("__s") > 0, col("__r") / col("__s")).as("__psi"))
+    val fitted = cells.crossJoin(broadcast(psi))
+      .withColumn("__r1", d(col("__a") + col("__b")))
+      .withColumn("__c1", d(col("__a") + col("__c")))
+      .withColumn("__nn", d(col("__n")))
+      // quadratic (1-psi)·x² + B·x + C = 0; psi = 1 -> linear r1c1/n
+      .withColumn("__qa", lit(1.0) - col("__psi"))
+      .withColumn("__qb", col("__nn") +
+        (col("__psi") - 1.0) * (col("__r1") + col("__c1")))
+      .withColumn("__qc", -col("__psi") * col("__r1") * col("__c1"))
+      .withColumn("__disc", col("__qb") * col("__qb") -
+        lit(4.0) * col("__qa") * col("__qc"))
+      .withColumn("__x1", when(col("__qa") =!= 0.0 && col("__disc") >= 0,
+        (-col("__qb") + sqrt(col("__disc"))) / (lit(2.0) * col("__qa"))))
+      .withColumn("__x2", when(col("__qa") =!= 0.0 && col("__disc") >= 0,
+        (-col("__qb") - sqrt(col("__disc"))) / (lit(2.0) * col("__qa"))))
+      .withColumn("__xlin", when(col("__nn") > 0,
+        col("__r1") * col("__c1") / col("__nn")))
+      // valid root: all four fitted cells non-negative
+      .withColumn("__lo", greatest(lit(0.0),
+        col("__r1") + col("__c1") - col("__nn")))
+      .withColumn("__hi", least(col("__r1"), col("__c1")))
+      .withColumn("__ea", when(col("__psi").isNull, lit(null))
+        .when(col("__psi") === 1.0 || col("__qa") === 0.0, col("__xlin"))
+        .when(col("__x1") >= col("__lo") && col("__x1") <= col("__hi"),
+          col("__x1"))
+        .when(col("__x2") >= col("__lo") && col("__x2") <= col("__hi"),
+          col("__x2")))
+      .withColumn("__eb", col("__r1") - col("__ea"))
+      .withColumn("__ec", col("__c1") - col("__ea"))
+      .withColumn("__ed", col("__nn") - col("__r1") - col("__c1") +
+        col("__ea"))
+      .withColumn("__ok", col("__ea").isNotNull && col("__ea") > 0 &&
+        col("__eb") > 0 && col("__ec") > 0 && col("__ed") > 0)
+      .withColumn("__var_inv",
+        when(col("__ok"), lit(1.0) / col("__ea") + lit(1.0) / col("__eb") +
+          lit(1.0) / col("__ec") + lit(1.0) / col("__ed")))
+    fitted.agg(
+        count(lit(1)).as("k_strata"),
+        sum(when(!col("__ok"), 1L).otherwise(0L)).as("k_degenerate"),
+        sum(col("__n")).as("n"),
+        max(col("__psi")).as("or_mh"),
+        sum(when(col("__ok"), dec28(
+          (d(col("__a")) - col("__ea")) * (d(col("__a")) - col("__ea")) *
+            col("__var_inv")))).cast("double").as("__chi2"))
+      .select(col("k_strata"), col("k_degenerate"), col("n"),
+        col("or_mh"),
+        when(col("or_mh").isNotNull, col("__chi2")).as("chi2"),
+        when(col("k_strata") - col("k_degenerate") > 1,
+          col("k_strata") - col("k_degenerate") - 1).as("dof"))
+  }
+
   /** Risk ratio + Cohen's h — the RELATIVE-rate effect size beside
     * [[oddsRatio]]'s odds scale (RR reads directly as "the filter
     * passes 1.8× as often on slice A"; OR overstates RR when the
@@ -2499,6 +2636,59 @@ object Analytics {
     corrMatrixBy(df, Nil, cols, scale)
       .select("col_x", "col_y", "n", "corr")
       .orderBy("col_x", "col_y")
+
+  /** First-order PARTIAL correlation — x↔y with z held fixed, the
+    * confounder screen [[corrMatrix]] motivates ("length correlates
+    * with quality — or do both just track the source domain's
+    * crawl date?"):
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)),
+    * plus t = r·√((n − 3)/(1 − r²)) for the significance read. ONE
+    * corpus scan collects the nine exact-decimal sufficient statistics
+    * (the corrMatrix plan — map-side combined, complete-case on all
+    * three columns), then pinned double chains. Any degenerate margin
+    * (constant column, |r_xz| = 1, n ≤ 3 for t) → NULL. Output: one
+    * row (n, r_xy, r_xz, r_yz, r_partial, t). */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+                         zCol: String, scale: Int = 4): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val decV = s"decimal(18,$scale)"
+    val x = col(xCol).cast(decV)
+    val y = col(yCol).cast(decV)
+    val z = col(zCol).cast(decV)
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(z).as("__sz"),
+        sum((x * y).cast(s"decimal(38,${2 * scale})")).as("__sxy"),
+        sum((x * z).cast(s"decimal(38,${2 * scale})")).as("__sxz"),
+        sum((y * z).cast(s"decimal(38,${2 * scale})")).as("__syz"),
+        sum((x * x).cast(s"decimal(38,${2 * scale})")).as("__sxx"),
+        sum((y * y).cast(s"decimal(38,${2 * scale})")).as("__syy"),
+        sum((z * z).cast(s"decimal(38,${2 * scale})")).as("__szz"))
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String)
+        : Column = {
+      val num = d(col("n")) * d(col(sab)) - d(col(sa)) * d(col(sb))
+      val va = d(col("n")) * d(col(saa)) - d(col(sa)) * d(col(sa))
+      val vb = d(col("n")) * d(col(sbb)) - d(col(sb)) * d(col(sb))
+      when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb)))
+    }
+    agg
+      .withColumn("r_xy", r("__sxy", "__sx", "__sy", "__sxx", "__syy"))
+      .withColumn("r_xz", r("__sxz", "__sx", "__sz", "__sxx", "__szz"))
+      .withColumn("r_yz", r("__syz", "__sy", "__sz", "__syy", "__szz"))
+      .withColumn("__den",
+        (lit(1.0) - col("r_xz") * col("r_xz")) *
+          (lit(1.0) - col("r_yz") * col("r_yz")))
+      .withColumn("r_partial",
+        when(col("__den") > 0,
+          (col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(col("__den"))))
+      .withColumn("t",
+        when(col("n") > 3 &&
+            lit(1.0) - col("r_partial") * col("r_partial") > 0,
+          col("r_partial") * sqrt((d(col("n")) - 3.0) /
+            (lit(1.0) - col("r_partial") * col("r_partial")))))
+      .select("n", "r_xy", "r_xz", "r_yz", "r_partial", "t")
+  }
 
   /** Per-GROUP [[corrMatrix]] — one correlation matrix per key (per
     * language, per source, per day): identical single-scan sufficient-

@@ -3800,4 +3800,99 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(tp.getDouble(3) - 2.0) < 1e-12)
     assert(math.abs(tp.getDouble(4) - 1.0 / math.sqrt(51.0 / 90.0)) < 1e-9)
   }
+
+  test("ksUniformTest: hand D on a 5-point grid; out-of-range values " +
+    "clamp F0 honestly; partition sweep") {
+    import spark.implicits._
+    // v = .1 .3 .5 .7 .9 vs U(0,1): both one-sided gaps are .1
+    val df = Seq(0.1, 0.3, 0.5, 0.7, 0.9).toDF("v")
+    val r = Analytics.ksUniformTest(df, "v", 0.0, 1.0).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDouble(1) - 0.1) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.1) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.1) < 1e-12)
+    // values outside [lo, hi]: F0 clamps, D = 1/3
+    val o = Analytics.ksUniformTest(
+      Seq(-1.0, 0.5, 2.0).toDF("v"), "v", 0.0, 1.0).collect().head
+    assert(math.abs(o.getDouble(3) - 1.0 / 3.0) < 1e-12)
+    partitionSweep { pn =>
+      Analytics.ksUniformTest(df.repartition(pn), "v", 0.0, 1.0)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("partialCorrelation: exact-zero partial on the mediated hand " +
+    "fixture; degenerate |r_xz|=1 gives NULL") {
+    import spark.implicits._
+    // r_xy = .8 equals r_xz*r_yz exactly -> partial 0
+    val df = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 1.0), (3.0, 4.0, 2.0),
+      (4.0, 3.0, 2.0)).toDF("x", "y", "z")
+    val r = Analytics.partialCorrelation(df, "x", "y", "z")
+      .collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - 0.8) < 1e-12)
+    assert(math.abs(r.getDouble(4)) < 1e-9)
+    assert(math.abs(r.getDouble(5)) < 1e-9)
+    // x == z: r_xz = 1, denominator 0 -> NULL partial
+    val d = Analytics.partialCorrelation(
+      Seq((1.0, 2.0, 1.0), (2.0, 1.0, 2.0), (3.0, 5.0, 3.0))
+        .toDF("x", "y", "z"), "x", "y", "z").collect().head
+    assert(d.isNullAt(4))
+  }
+
+  test("breslowDay: two identical strata give chi2 == 0 (fitted root " +
+    "== observed), or_mh matches cmhTest; heterogeneous strata give " +
+    "chi2 > 0; partition sweep") {
+    import spark.implicits._
+    def stratum(s: String, a: Int, b: Int, c: Int, dd: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(dd)((s, false, false))
+    val hom = (stratum("s0", 10, 5, 5, 10) ++ stratum("s1", 10, 5, 5, 10))
+      .toDF("s", "e", "o")
+    val r = Analytics.breslowDay(hom, Seq("s"), col("e"), col("o"))
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-9) // psi = 4
+    assert(math.abs(r.getDouble(4)) < 1e-9)       // chi2 = 0
+    assert(r.getLong(5) == 1L)
+    val cmh = Analytics.cmhTest(hom, Seq("s"), col("e"), col("o"))
+      .collect().head
+    assert(math.abs(r.getDouble(3) - cmh.getAs[Double]("or_mh")) < 1e-12)
+    // flipped OR across strata: homogeneity must reject visibly
+    val het = (stratum("s0", 20, 5, 5, 20) ++ stratum("s1", 5, 20, 20, 5))
+      .toDF("s", "e", "o")
+    val h = Analytics.breslowDay(het, Seq("s"), col("e"), col("o"))
+      .collect().head
+    assert(h.getDouble(4) > 10.0)
+    partitionSweep { pn =>
+      Analytics.breslowDay(hom.repartition(pn), Seq("s"),
+        col("e"), col("o")).collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("yuenTrimmedT: hand outlier fixture (trim kills the 100); " +
+    "alpha=0 equals welchT exactly") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
+      Seq(2.0, 3.0, 4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Aggregations.yuenTrimmedT(df, "g", "v", "a", "b", alpha = 0.2)
+      .collect().head
+    assert(r.getAs[Long]("h_a") == 3L && r.getAs[Long]("h_b") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_a") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_b") - 4.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("s2w_a") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("s2w_b") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t") + math.sqrt(3.0) / 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dof") - 4.0) < 1e-9)
+    // alpha = 0: trimmed mean is the mean, winsorized variance the
+    // sample variance -> welchT's exact numbers
+    val y0 = Aggregations.yuenTrimmedT(df, "g", "v", "a", "b", alpha = 0.0)
+      .collect().head
+    val w = Analytics.welchT(df, "g", "v", "a", "b").collect().head
+    assert(math.abs(y0.getAs[Double]("mean_a") -
+      w.getAs[Double]("mean_a")) < 1e-9)
+    assert(math.abs(y0.getAs[Double]("t") - w.getAs[Double]("t")) < 1e-9)
+    assert(math.abs(y0.getAs[Double]("dof") - w.getAs[Double]("dof")) < 1e-9)
+  }
 }
