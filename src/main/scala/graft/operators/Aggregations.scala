@@ -575,6 +575,41 @@ object Aggregations {
       .orderBy("p")
   }
 
+  /** Exact continuous MAD — median absolute deviation, the robust
+    * scale the outlier family should be normalized by (SD explodes
+    * with the very outliers you're hunting; MAD doesn't — ×1.4826 it
+    * estimates the SD under normality, so `mad_normal` drops straight
+    * into a robust z-score): median and deviation-median are BOTH
+    * exact percentile_cont interpolations on the distributed prefix
+    * ([[quantilesCont]] twice, CHAINED — the pettitt two-pass shape),
+    * never a row sort or a single-task window at any cardinality. The
+    * input is scanned twice (median, then |x − med|); the deviation
+    * pass is a fresh distinct aggregate of the derived column. The
+    * per-key member-value alternative is
+    * [[graft.operators.Analytics.outliersMad]] (quantileDisc windows —
+    * right for many small groups; THIS form is right when one slice
+    * owns the corpus). Output: one row (n, median, mad, mad_normal);
+    * empty input → NULL.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def madCont(df: org.apache.spark.sql.DataFrame, valueCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val med = quantilesCont(df, valueCol, Seq(0.5))
+      .select(col("n"), col("value").as("median"))
+    val dev = df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(med))
+      .select(abs(col(valueCol).cast("double") - col("median"))
+        .as("__dev"))
+    quantilesCont(dev, "__dev", Seq(0.5))
+      .select(col("value").as("mad"))
+      .crossJoin(broadcast(med))
+      // 1.4826 = 1/qnorm(0.75), the classical normal-consistency
+      // constant (a fixed literal, not an inverse-CDF evaluation)
+      .select(col("n"), col("median"), col("mad"),
+        (col("mad") * lit(1.4826)).as("mad_normal"))
+  }
+
   /** Per-group total Σ `__c` as `__n`, joined back null-safe on the
     * keys — the keyed analog of the global forms' broadcast one-row
     * total (keys-sized aggregate; the planner broadcasts small group

@@ -1718,6 +1718,134 @@ object Analytics {
       .drop("__r", "__s")
   }
 
+  /** Moment profile + Jarque–Bera normality — n, mean, sample SD,
+    * skewness, EXCESS kurtosis, and JB = n/6·(S² + K²/4) (χ²(2) under
+    * normality), the four-moment shape summary every "can I use the
+    * z-test / linear fit here" decision leans on (heavy right tail →
+    * S ≫ 0, the log-first signal; fat tails → K > 0, the robust-test
+    * signal — [[graft.operators.Aggregations.yuenTrimmedT]] exists
+    * for exactly that regime). Two-phase exactness: the mean is an
+    * exact-decimal sum with ONE pinned division, broadcast back; each
+    * centered power is a pinned double term summed as decimal —
+    * (x−μ)² at (28,12), (x−μ)³/(x−μ)⁴ at (38,6) (the wider cast
+    * because a fourth power crosses dec28's 16 integer digits at
+    * |x−μ| = 10⁴; the (38,6) bound is |x−μ| < 10⁸, documented the
+    * oneWayF way). The input is scanned twice (mean, then moments) —
+    * both map-side combined, nothing shuffles but one row. Output:
+    * one row (n, mean, sd, skewness, kurtosis_excess, jb); n < 2 or
+    * zero variance → NULL shape columns. */
+  def distributionMoments(df: DataFrame, valueCol: String,
+                          scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val dec38 = (c: Column) => c.cast("decimal(38,6)")
+    val v = col(valueCol)
+    val m = df.filter(v.isNotNull)
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast(s"decimal(18,$scale)")).as("__s"))
+      .select(col("__n"),
+        when(col("__n") > 0, col("__s").cast("double") / d(col("__n")))
+          .as("__mean"))
+    val c1 = d(v) - col("__mean")
+    df.filter(v.isNotNull).crossJoin(broadcast(m))
+      .agg(max(col("__n")).as("n"), max(col("__mean")).as("mean"),
+        sum(dec28(c1 * c1)).cast("double").as("__m2"),
+        sum(dec38(c1 * c1 * c1)).cast("double").as("__m3"),
+        sum(dec38(c1 * c1 * c1 * c1)).cast("double").as("__m4"))
+      .withColumn("sd", when(col("n") > 1,
+        sqrt(col("__m2") / (d(col("n")) - 1.0))))
+      .withColumn("__v2", col("__m2") / d(col("n")))
+      .withColumn("skewness", when(col("__v2") > 0,
+        (col("__m3") / d(col("n"))) / pow(col("__v2"), 1.5)))
+      .withColumn("kurtosis_excess", when(col("__v2") > 0,
+        (col("__m4") / d(col("n"))) / (col("__v2") * col("__v2")) -
+          lit(3.0)))
+      .withColumn("jb", when(col("__v2") > 0,
+        d(col("n")) / 6.0 * (col("skewness") * col("skewness") +
+          col("kurtosis_excess") * col("kurtosis_excess") / 4.0)))
+      .select("n", "mean", "sd", "skewness", "kurtosis_excess", "jb")
+  }
+
+  /** Brunner–Munzel test — the MODERN default for "does B
+    * stochastically dominate A" ([[mannWhitneyU]] assumes the two
+    * shapes differ only by shift; under unequal variances its z is
+    * anticonservative — BM studentizes the rank means with per-group
+    * rank variances and a Welch-type dof, the recommendation in the
+    * methods literature since Brunner & Munzel 2000):
+    *   p̂ = (R̄_B − (n_B+1)/2)/n_A   (P(A < B) + ½P(A = B)),
+    *   W = n_A·n_B·(R̄_B − R̄_A) / ((n_A+n_B)·√(n_A·S_A² + n_B·S_B²)),
+    *   S_g² = Var over g's rows of (pooled midrank − within-group
+    *   midrank), dof Welch–Satterthwaite on n_g·S_g².
+    * DISTINCT-VALUE-BOUNDED exactly: within a tied block both
+    * midranks are constant, so every rank statistic is a counts×
+    * doubled-midrank product — the doubled difference
+    * D₂ = 2·before_pooled + t − 2·before_own − c is an INTEGER per
+    * block, and Σc·D₂, Σc·D₂² accumulate in decimal(38,0) (bounded by
+    * 4N³ < 10³⁸ to N ≈ 10¹²). Both cumulatives ride ONE
+    * [[prefixBeforeMulti]] pass (the ksTest dual-weight machinery);
+    * totals read the pinned frame. Degenerate (both rank variances 0
+    * — complete separation) → NULL w (report p̂ = 0 or 1 instead).
+    * Output: one row (n_a, n_b, p_hat, w, dof).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def brunnerMunzel(df: DataFrame, groupCol: String, valueCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val counts = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val (shared, pre) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__v", Seq("a" -> col("__ca"), "b" -> col("__cb")))
+    val agg = pre
+      .withColumn("__t", col("__ca") + col("__cb"))
+      .withColumn("__bt", col("__cum_a") + col("__cum_b"))
+      // doubled pooled midrank 2rc = 2·before_t + t + 1; doubled
+      // within midrank 2rg = 2·before_g + c_g + 1; doubled diff
+      // D2_g = 2(bt − bg) + (t − cg) — integer per tied block
+      .withColumn("__r2c", lit(2) * col("__bt") + col("__t") + 1)
+      .withColumn("__d2a", lit(2) * (col("__bt") - col("__cum_a")) +
+        (col("__t") - col("__ca")))
+      .withColumn("__d2b", lit(2) * (col("__bt") - col("__cum_b")) +
+        (col("__t") - col("__cb")))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(dec(col("__ca")) * col("__r2c")).as("__rca"),
+        sum(dec(col("__cb")) * col("__r2c")).as("__rcb"),
+        sum(dec(col("__ca")) * col("__d2a")).as("__sda"),
+        sum(dec(col("__cb")) * col("__d2b")).as("__sdb"),
+        sum(dec(col("__ca")) * col("__d2a") * col("__d2a")).as("__qda"),
+        sum(dec(col("__cb")) * col("__d2b") * col("__d2b")).as("__qdb"))
+    agg
+      .withColumn("__ma", d(col("__rca")) / (lit(2.0) * d(col("n_a"))))
+      .withColumn("__mb", d(col("__rcb")) / (lit(2.0) * d(col("n_b"))))
+      .withColumn("p_hat", when(col("n_a") > 0 && col("n_b") > 0,
+        (col("__mb") - (d(col("n_b")) + 1.0) / 2.0) / d(col("n_a"))))
+      // S² = [ΣcD2²/4 − (ΣcD2)²/(4n)]/(n−1)
+      .withColumn("__s2a", when(col("n_a") > 1,
+        (d(col("__qda")) / 4.0 -
+          d(col("__sda")) * d(col("__sda")) / (lit(4.0) * d(col("n_a")))) /
+          (d(col("n_a")) - 1.0)))
+      .withColumn("__s2b", when(col("n_b") > 1,
+        (d(col("__qdb")) / 4.0 -
+          d(col("__sdb")) * d(col("__sdb")) / (lit(4.0) * d(col("n_b")))) /
+          (d(col("n_b")) - 1.0)))
+      .withColumn("__va", d(col("n_a")) * col("__s2a"))
+      .withColumn("__vb", d(col("n_b")) * col("__s2b"))
+      .withColumn("w", when(col("__va") + col("__vb") > 0,
+        d(col("n_a")) * d(col("n_b")) * (col("__mb") - col("__ma")) /
+          ((d(col("n_a")) + d(col("n_b"))) *
+            sqrt(col("__va") + col("__vb")))))
+      .withColumn("dof", when(col("__va") + col("__vb") > 0 &&
+          col("n_a") > 1 && col("n_b") > 1,
+        (col("__va") + col("__vb")) * (col("__va") + col("__vb")) /
+          (col("__va") * col("__va") / (d(col("n_a")) - 1.0) +
+            col("__vb") * col("__vb") / (d(col("n_b")) - 1.0))))
+      .select("n_a", "n_b", "p_hat", "w", "dof")
+  }
+
   /** Breslow–Day homogeneity test — [[cmhTest]]'s mandatory companion
     * question: CMH pools a COMMON odds ratio across strata, but is the
     * OR actually the same in every stratum, or does the effect flip

@@ -3895,4 +3895,70 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(y0.getAs[Double]("t") - w.getAs[Double]("t")) < 1e-9)
     assert(math.abs(y0.getAs[Double]("dof") - w.getAs[Double]("dof")) < 1e-9)
   }
+
+  test("distributionMoments: symmetric hand moments (skew 0, excess " +
+    "kurtosis -1.5, JB); constant series NULL shape; partition sweep") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val r = Analytics.distributionMoments(df, "v").collect().head
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3)) < 1e-9)
+    assert(math.abs(r.getDouble(4) + 1.5) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 3.0 / 6.0 * (1.5 * 1.5 / 4.0)) < 1e-9)
+    val c = Analytics.distributionMoments(Seq(5.0, 5.0).toDF("v"), "v")
+      .collect().head
+    assert(c.isNullAt(3) && c.isNullAt(4) && c.isNullAt(5))
+    partitionSweep { pn =>
+      Analytics.distributionMoments(df.repartition(pn), "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("madCont: hand median/MAD with interpolated fences; constant " +
+    "series MAD 0; partition sweep") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    // {1,2,3,7}: median 2.5; |dev| = {1.5,.5,.5,4.5} -> MAD 1.0
+    val df = Seq(1.0, 2.0, 3.0, 7.0).toDF("v")
+    val r = Aggregations.madCont(df, "v").collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - 2.5) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.4826) < 1e-12)
+    val c = Aggregations.madCont(Seq(3.0, 3.0, 3.0).toDF("v"), "v")
+      .collect().head
+    assert(math.abs(c.getDouble(2)) < 1e-12)
+    partitionSweep { pn =>
+      Aggregations.madCont(df.repartition(pn), "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("brunnerMunzel: the published heavy-ties example (W=3.1375, " +
+    "dof=17.68); tiny tie fixture p_hat=0.875; partition sweep") {
+    import spark.implicits._
+    // the Brunner-Munzel 2000 / scipy doc example, heavy ties
+    val x1 = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1)
+    val x2 = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4)
+    val df = (x1.map(v => ("a", v.toDouble)) ++
+      x2.map(v => ("b", v.toDouble))).toDF("g", "v")
+    val r = Analytics.brunnerMunzel(df, "g", "v", "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 14L && r.getLong(1) == 11L)
+    assert(math.abs(r.getDouble(2) - 0.7889610389610391) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 3.1374674823029505) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 17.682841979481548) < 1e-9)
+    // A={1,2}, B={2,3}: P(A<B) + half-ties = 3.5/4
+    val t = Analytics.brunnerMunzel(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v"),
+      "g", "v", "a", "b").collect().head
+    assert(math.abs(t.getDouble(2) - 0.875) < 1e-12)
+    assert(math.abs(t.getDouble(3) - 2.1213203435596424) < 1e-9)
+    partitionSweep { pn =>
+      Analytics.brunnerMunzel(df.repartition(pn), "g", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
