@@ -100,7 +100,8 @@ private[graft] object Batch32 {
              |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM p GROUP BY x),
              |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM p GROUP BY y),
              |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
-             |    CAST(COUNT(DISTINCT x) AS BIGINT) AS rx, CAST(COUNT(DISTINCT y) AS BIGINT) AS ry FROM p),
+             |    CAST(COUNT(DISTINCT x) + MAX(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rx,
+             |    CAST(COUNT(DISTINCT y) + MAX(CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ry FROM p),
              |s AS (SELECT SUM(p.c) AS n2, tot.rx, tot.ry,
              |    SUM(CAST(CAST(p.c AS DOUBLE) * CAST(p.c AS DOUBLE) /
              |      (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)) AS DECIMAL(28,12))) AS ssum

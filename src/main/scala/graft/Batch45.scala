@@ -383,8 +383,8 @@ private[graft] object Batch45 {
              |mx AS (SELECT k, x, CAST(SUM(c) AS BIGINT) AS cx FROM p GROUP BY 1, 2),
              |my AS (SELECT k, y, CAST(SUM(c) AS BIGINT) AS cy FROM p GROUP BY 1, 2),
              |tot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n,
-             |    CAST(COUNT(DISTINCT x) AS BIGINT) AS rx,
-             |    CAST(COUNT(DISTINCT y) AS BIGINT) AS ry FROM p GROUP BY 1),
+             |    CAST(COUNT(DISTINCT x) + MAX(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rx,
+             |    CAST(COUNT(DISTINCT y) + MAX(CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ry FROM p GROUP BY 1),
              |s AS (SELECT p.k, SUM(p.c) AS n2, tot.rx, tot.ry,
              |    SUM(CAST(CAST(p.c AS DOUBLE) * CAST(p.c AS DOUBLE) /
              |      (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)) AS DECIMAL(28,12))) AS ssum

@@ -39,54 +39,31 @@ private[graft] object Batch70 {
              |  GREATEST(GREATEST(dp, 0.0), GREATEST(dm, 0.0)) AS d
              |FROM g""".stripMargin)),
 
-    // Partial correlation: does quantity still track price once the
-    // discount level is held fixed - the confounder screen on three
-    // lineitem columns, nine exact-decimal moments, pinned chains.
-    Q("q410_partial_corr",
-      (s, dir) => graft.operators.Analytics.partialCorrelation(
-        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
-        "l_discount", scale = 4),
-      Some("""WITH b AS (SELECT CAST(l_quantity AS DECIMAL(18,4)) AS x,
-             |    CAST(l_extendedprice AS DECIMAL(18,4)) AS y,
-             |    CAST(l_discount AS DECIMAL(18,4)) AS z
-             |  FROM lineitem WHERE l_quantity IS NOT NULL
-             |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
-             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             |    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
-             |    SUM(CAST(CAST(x AS DECIMAL(38,4)) * y AS DECIMAL(38,8))) AS sxy,
-             |    SUM(CAST(CAST(x AS DECIMAL(38,4)) * z AS DECIMAL(38,8))) AS sxz,
-             |    SUM(CAST(CAST(y AS DECIMAL(38,4)) * z AS DECIMAL(38,8))) AS syz,
-             |    SUM(CAST(CAST(x AS DECIMAL(38,4)) * x AS DECIMAL(38,8))) AS sxx,
-             |    SUM(CAST(CAST(y AS DECIMAL(38,4)) * y AS DECIMAL(38,8))) AS syy,
-             |    SUM(CAST(CAST(z AS DECIMAL(38,4)) * z AS DECIMAL(38,8))) AS szz
-             |  FROM b),
-             |r AS (SELECT n,
-             |    CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-             |          AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-             |      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-             |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-             |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r_xy,
-             |    CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-             |          AND (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) > 0
-             |      THEN (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) /
-             |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-             |         sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) END AS r_xz,
-             |    CASE WHEN (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-             |          AND (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) > 0
-             |      THEN (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) /
-             |        (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) *
-             |         sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) END AS r_yz
-             |  FROM a),
-             |f AS (SELECT n, r_xy, r_xz, r_yz,
-             |    CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
-             |      THEN (r_xy - r_xz * r_yz) /
-             |        sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) END AS r_partial
-             |  FROM r)
-             |SELECT n, r_xy, r_xz, r_yz, r_partial,
-             |  CASE WHEN n > 3 AND 1.0 - r_partial * r_partial > 0
-             |    THEN r_partial * sqrt((CAST(n AS DOUBLE) - 3.0) /
-             |      (1.0 - r_partial * r_partial)) END AS t
-             |FROM f""".stripMargin)),
+    // G-test of independence between order priority and order status:
+    // the likelihood-ratio chi-square via the share-based MI identity
+    // (2n*MI in nats), null-safe level counts for the dof.
+    Q("q410_g_test",
+      (s, dir) => graft.operators.Analytics.gTest(
+        Tables.orders(s, dir), "o_orderpriority", "o_orderstatus"),
+      Some("""WITH p AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1, 2),
+             |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM p GROUP BY 1),
+             |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM p GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(COUNT(DISTINCT x) + MAX(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kx,
+             |    CAST(COUNT(DISTINCT y) + MAX(CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ky
+             |  FROM p),
+             |mi AS (SELECT CAST(SUM(c) AS BIGINT) AS n, MAX(kx) AS k_x, MAX(ky) AS k_y,
+             |    CAST(SUM(CAST((CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+             |      ln(CAST(tot.n AS DOUBLE) * CAST(c AS DOUBLE) /
+             |        (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS DECIMAL(28,12))) AS DOUBLE) AS mi
+             |  FROM p JOIN mx ON p.x IS NOT DISTINCT FROM mx.x
+             |    JOIN my ON p.y IS NOT DISTINCT FROM my.y, tot)
+             |SELECT n, k_x, k_y, 2.0 * CAST(n AS DOUBLE) * mi AS g,
+             |  CASE WHEN k_x > 1 AND k_y > 1
+             |    THEN (k_x - 1) * (k_y - 1) END AS dof
+             |FROM mi""".stripMargin)),
 
     // Breslow-Day homogeneity over user-parity strata: is the
     // click -> high-value odds ratio the same in both segments, or is

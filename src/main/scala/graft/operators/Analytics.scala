@@ -818,6 +818,117 @@ object Analytics {
       .withColumn("d", greatest(col("d_plus"), col("d_minus")))
   }
 
+  /** ONE-sample Cramér–von Mises against Uniform(lo, hi) —
+    * [[ksUniformTest]]'s L2 companion (KS sees the sharpest single
+    * departure; ω² integrates EVERY departure, so many small
+    * systematic deviations — a subtly biased hash, a lattice artifact
+    * — score here while barely denting the sup):
+    *   ω² = 1/(12n) + Σ_i (F₀(v_(i)) − (2i−1)/(2n))².
+    * TIES are exact by block algebra: within a tied block F₀ is
+    * constant and Σ(2i−1), Σ(2i−1)² have closed forms over the rank
+    * interval ((a+c)² − a², and the square-pyramidal differences) —
+    * every integer piece accumulates in decimal(38,0) (bounded ~4n³),
+    * cast once per block into a pinned double term summed as
+    * decimal(28,12) (each block term ≤ c, the total ≤ n). One
+    * distinct-value aggregate + ONE distributed prefix pass. Output:
+    * one row (n, omega2); empty input → NULL.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def cvmUniformTest(df: DataFrame, valueCol: String, lo: Double,
+                     hi: Double): DataFrame = {
+    require(hi > lo, s"need hi > lo, got ($lo, $hi)")
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val (shared, pre) = prefixBeforeShared(counts, "__v", col("__c"))
+    val n = shared.agg(sum(col("__c")).as("__n"))
+    // S1(m) = Σ_{i≤m} (2i−1) = m²; 3·S2(m) = 3·Σ_{i≤m} (2i−1)² =
+    // m(2m−1)(2m+1) — block pieces are exact integer differences in
+    // decimal(38,0); the single /3 happens once, in pinned double
+    // (the numerator is divisible by 3, and decimal division rounds
+    // differently across engines — double division does not)
+    def s1(m: Column) = dec(m) * m
+    def s2x3(m: Column) = dec(m) * (lit(2) * m - 1) * (lit(2) * m + 1)
+    pre.crossJoin(broadcast(n))
+      .withColumn("__f0", least(greatest(
+        (col("__v") - lit(lo)) / lit(hi - lo), lit(0.0)), lit(1.0)))
+      .withColumn("__b1",
+        d(s1(col("__cum") + col("__c")) - s1(col("__cum"))))
+      .withColumn("__b2",
+        d(s2x3(col("__cum") + col("__c")) - s2x3(col("__cum"))) / 3.0)
+      .withColumn("__term",
+        d(col("__c")) * col("__f0") * col("__f0") -
+          col("__f0") * col("__b1") / d(col("__n")) +
+          col("__b2") / (lit(4.0) * d(col("__n")) * d(col("__n"))))
+      .agg(max(col("__n")).as("n"),
+        sum(dec28(col("__term"))).cast("double").as("__s"))
+      .select(col("n"),
+        when(col("n") > 0,
+          lit(1.0) / (lit(12.0) * d(col("n"))) + col("__s"))
+          .as("omega2"))
+  }
+
+  /** ONE-sample Anderson–Darling against Uniform(lo, hi) — the
+    * TAIL-weighted member of the one-sample EDF trio
+    * ([[ksUniformTest]] sup-norm, [[cvmUniformTest]] L2, AD weights
+    * departures by 1/(F₀(1−F₀)) so contamination hiding in the tails
+    * — exactly where a truncated or re-scaled hash fails — dominates
+    * the statistic):
+    *   A² = −n − (1/n)·Σ_i [(2i−1)·ln F₀(v_(i)) +
+    *                        (2(n−i)+1)·ln(1−F₀(v_(i)))].
+    * Ties by the same block algebra as cvm (Σ(2i−1) and the reversed
+    * Σ(2(n−i)+1) have exact integer closed forms per tied block,
+    * decimal(38,0)); each block contributes a pinned double term
+    * ALREADY divided by n (magnitude ≤ 2c·|ln F₀| — the share
+    * discipline that keeps the decimal(28,12) sum in its replayable
+    * zone), summed exactly. Values AT or OUTSIDE the support
+    * (F₀ ∈ {0, 1}) make the log undefined — those rows are EXCLUDED
+    * from the statistic and counted (n_boundary), the theilIndex
+    * domain contract; n/ranks cover the interior rows only. One
+    * distinct-value aggregate + ONE distributed prefix pass (the
+    * prefix runs over interior values). Output: one row
+    * (n, n_boundary, a2); empty interior → NULL.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def adUniformTest(df: DataFrame, valueCol: String, lo: Double,
+                    hi: Double): DataFrame = {
+    require(hi > lo, s"need hi > lo, got ($lo, $hi)")
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val all = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val boundary = all
+      .filter(col("__v") <= lit(lo) || col("__v") >= lit(hi))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_boundary"))
+    val counts = all.filter(col("__v") > lit(lo) && col("__v") < lit(hi))
+    val (shared, pre) = prefixBeforeShared(counts, "__v", col("__c"))
+    val n = shared.agg(sum(col("__c")).as("__n"))
+    pre.crossJoin(broadcast(n))
+      .withColumn("__f0", (col("__v") - lit(lo)) / lit(hi - lo))
+      // Σ(2i−1) over the block = (a+c)² − a²; Σ(2(n−i)+1) =
+      // c(2n+1) − [(a+c)(a+c+1) − a(a+1)]
+      .withColumn("__b1", d(dec(col("__cum") + col("__c")) *
+        (col("__cum") + col("__c")) - dec(col("__cum")) * col("__cum")))
+      .withColumn("__b2", d(dec(col("__c")) * (lit(2) * col("__n") + 1) -
+        (dec(col("__cum") + col("__c")) * (col("__cum") + col("__c") + 1) -
+          dec(col("__cum")) * (col("__cum") + 1))))
+      .withColumn("__term",
+        (col("__b1") * log(col("__f0")) +
+          col("__b2") * log(lit(1.0) - col("__f0"))) / d(col("__n")))
+      .agg(max(col("__n")).as("n"),
+        sum(dec28(col("__term"))).cast("double").as("__s"))
+      .crossJoin(broadcast(boundary))
+      .select(col("n"), col("n_boundary"),
+        when(col("n") > 0, -d(col("n")) - col("__s")).as("a2"))
+  }
+
   /** Exact two-sample 1-D Wasserstein-1 distance (earth mover's
     * distance) — [[ksTest]]'s INTEGRAL companion: KS is
     * sup|F_a − F_b|, W1 is ∫|F_a − F_b| dx, so a drift that moves a
@@ -2765,58 +2876,6 @@ object Analytics {
       .select("col_x", "col_y", "n", "corr")
       .orderBy("col_x", "col_y")
 
-  /** First-order PARTIAL correlation — x↔y with z held fixed, the
-    * confounder screen [[corrMatrix]] motivates ("length correlates
-    * with quality — or do both just track the source domain's
-    * crawl date?"):
-    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)),
-    * plus t = r·√((n − 3)/(1 − r²)) for the significance read. ONE
-    * corpus scan collects the nine exact-decimal sufficient statistics
-    * (the corrMatrix plan — map-side combined, complete-case on all
-    * three columns), then pinned double chains. Any degenerate margin
-    * (constant column, |r_xz| = 1, n ≤ 3 for t) → NULL. Output: one
-    * row (n, r_xy, r_xz, r_yz, r_partial, t). */
-  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
-                         zCol: String, scale: Int = 4): DataFrame = {
-    def d(c: Column) = c.cast("double")
-    val decV = s"decimal(18,$scale)"
-    val x = col(xCol).cast(decV)
-    val y = col(yCol).cast(decV)
-    val z = col(zCol).cast(decV)
-    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
-        col(zCol).isNotNull)
-      .agg(count(lit(1)).as("n"),
-        sum(x).as("__sx"), sum(y).as("__sy"), sum(z).as("__sz"),
-        sum((x * y).cast(s"decimal(38,${2 * scale})")).as("__sxy"),
-        sum((x * z).cast(s"decimal(38,${2 * scale})")).as("__sxz"),
-        sum((y * z).cast(s"decimal(38,${2 * scale})")).as("__syz"),
-        sum((x * x).cast(s"decimal(38,${2 * scale})")).as("__sxx"),
-        sum((y * y).cast(s"decimal(38,${2 * scale})")).as("__syy"),
-        sum((z * z).cast(s"decimal(38,${2 * scale})")).as("__szz"))
-    def r(sab: String, sa: String, sb: String, saa: String, sbb: String)
-        : Column = {
-      val num = d(col("n")) * d(col(sab)) - d(col(sa)) * d(col(sb))
-      val va = d(col("n")) * d(col(saa)) - d(col(sa)) * d(col(sa))
-      val vb = d(col("n")) * d(col(sbb)) - d(col(sb)) * d(col(sb))
-      when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb)))
-    }
-    agg
-      .withColumn("r_xy", r("__sxy", "__sx", "__sy", "__sxx", "__syy"))
-      .withColumn("r_xz", r("__sxz", "__sx", "__sz", "__sxx", "__szz"))
-      .withColumn("r_yz", r("__syz", "__sy", "__sz", "__syy", "__szz"))
-      .withColumn("__den",
-        (lit(1.0) - col("r_xz") * col("r_xz")) *
-          (lit(1.0) - col("r_yz") * col("r_yz")))
-      .withColumn("r_partial",
-        when(col("__den") > 0,
-          (col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(col("__den"))))
-      .withColumn("t",
-        when(col("n") > 3 &&
-            lit(1.0) - col("r_partial") * col("r_partial") > 0,
-          col("r_partial") * sqrt((d(col("n")) - 3.0) /
-            (lit(1.0) - col("r_partial") * col("r_partial")))))
-      .select("n", "r_xy", "r_xz", "r_yz", "r_partial", "t")
-  }
 
   /** Per-GROUP [[corrMatrix]] — one correlation matrix per key (per
     * language, per source, per day): identical single-scan sufficient-
@@ -3008,8 +3067,8 @@ object Analytics {
       .agg(sum("__c").as("__cy")), keyCols, "y")
     val tot = renKeys(pairs.groupBy(keys: _*)
       .agg(sum(col("__c")).as("__n"),
-        countDistinct(col("__x")).as("__rx"),
-        countDistinct(col("__y")).as("__ry")), keyCols, "t")
+        countDistinct(struct(col("__x"))).as("__rx"),
+        countDistinct(struct(col("__y"))).as("__ry")), keyCols, "t")
     def d(c: Column) = c.cast("double")
     pairs
       .join(mx, keyEq(keyCols, "x") && col("__x") <=> col("__kx"))
@@ -3088,9 +3147,12 @@ object Analytics {
       .agg(count(lit(1)).as("__c"))
     val mx = pairs.groupBy(col("__x").as("__kx")).agg(sum("__c").as("__cx"))
     val my = pairs.groupBy(col("__y").as("__ky")).agg(sum("__c").as("__cy"))
+    // struct wrapper: a NULL level is a real row of the table (the
+    // chi2 sum includes its cells), so r_x/r_y must count it too -
+    // bare countDistinct drops NULL and would mis-normalize V
     val tot = pairs.agg(sum(col("__c")).as("__n"),
-      countDistinct(col("__x")).as("__rx"),
-      countDistinct(col("__y")).as("__ry"))
+      countDistinct(struct(col("__x"))).as("__rx"),
+      countDistinct(struct(col("__y"))).as("__ry"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     pairs
       .join(mx, col("__x") <=> col("__kx"))
@@ -3112,6 +3174,46 @@ object Analytics {
           sqrt(col("chi2") / (col("n").cast("double") *
             (least(col("r_x"), col("r_y")) - 1).cast("double")))))
       .drop("__s")
+  }
+
+  /** G-test (likelihood-ratio χ²) of independence between two
+    * categorical columns — [[cramersV]]'s Pearson χ² made
+    * information-theoretic: G = 2·Σ O·ln(O/E) = 2n·MI(nats), additive
+    * across table collapses the way Pearson's statistic is not (and
+    * the better approximation when expected counts are small-ish).
+    * Computed through the SHARE-based identity — each term
+    * (c/n)·ln(n·c/(c_x·c_y)) is a pinned double ≤ ln n summed as exact
+    * decimal(28,12) (the [[mutualInformation]] term, magnitude-safe
+    * where O·ln(O/E) would cross the cast boundary at n·ln n), then
+    * ONE multiply by 2n. A NULL level is a real level here (the
+    * [[logRankStratified]] convention — cells include it, so the
+    * struct-wrapped distinct counts include it in dof too). Same
+    * distinct-cells-bounded plan as cramersV. Output: one row
+    * (n, k_x, k_y, g, dof); a 1×m table → NULL dof (test undefined),
+    * g still reported. */
+  def gTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val pairs = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = pairs.groupBy(col("__x").as("__kx")).agg(sum("__c").as("__cx"))
+    val my = pairs.groupBy(col("__y").as("__ky")).agg(sum("__c").as("__cy"))
+    val tot = pairs.agg(sum(col("__c")).as("__n"),
+      countDistinct(struct(col("__x"))).as("__rx"),
+      countDistinct(struct(col("__y"))).as("__ry"))
+    pairs
+      .join(mx, col("__x") <=> col("__kx"))
+      .join(my, col("__y") <=> col("__ky"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("__c")).as("n"),
+        first(col("__rx")).as("k_x"), first(col("__ry")).as("k_y"),
+        sum(((d(col("__c")) / d(col("__n"))) *
+          log(d(col("__n")) * d(col("__c")) /
+            (d(col("__cx")) * d(col("__cy")))))
+          .cast("decimal(28,12)")).cast("double").as("__mi"))
+      .select(col("n"), col("k_x"), col("k_y"),
+        (lit(2.0) * d(col("n")) * col("__mi")).as("g"),
+        when(col("k_x") > 1 && col("k_y") > 1,
+          (col("k_x") - 1) * (col("k_y") - 1)).as("dof"))
   }
 
   /** Mann–Whitney U test between two groups — the rank-sum

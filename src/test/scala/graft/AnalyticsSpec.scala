@@ -3821,24 +3821,6 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("partialCorrelation: exact-zero partial on the mediated hand " +
-    "fixture; degenerate |r_xz|=1 gives NULL") {
-    import spark.implicits._
-    // r_xy = .8 equals r_xz*r_yz exactly -> partial 0
-    val df = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 1.0), (3.0, 4.0, 2.0),
-      (4.0, 3.0, 2.0)).toDF("x", "y", "z")
-    val r = Analytics.partialCorrelation(df, "x", "y", "z")
-      .collect().head
-    assert(r.getLong(0) == 4L)
-    assert(math.abs(r.getDouble(1) - 0.8) < 1e-12)
-    assert(math.abs(r.getDouble(4)) < 1e-9)
-    assert(math.abs(r.getDouble(5)) < 1e-9)
-    // x == z: r_xz = 1, denominator 0 -> NULL partial
-    val d = Analytics.partialCorrelation(
-      Seq((1.0, 2.0, 1.0), (2.0, 1.0, 2.0), (3.0, 5.0, 3.0))
-        .toDF("x", "y", "z"), "x", "y", "z").collect().head
-    assert(d.isNullAt(4))
-  }
 
   test("breslowDay: two identical strata give chi2 == 0 (fitted root " +
     "== observed), or_mh matches cmhTest; heterogeneous strata give " +
@@ -3960,5 +3942,78 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.brunnerMunzel(df.repartition(pn), "g", "v", "a", "b")
         .collect().map(_.toSeq).toSeq
     }
+  }
+
+  test("gTest: perfect 2x2 association G = 8ln2 dof 1; independence " +
+    "G ~ 0; equals 2n*MI; NULL level counts in dof; partition sweep") {
+    import spark.implicits._
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r = Analytics.gTest(dep, "x", "y").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 8.0 * math.log(2.0)) < 1e-9)
+    assert(r.getLong(4) == 1L)
+    val mi = Analytics.mutualInformation(dep, "x", "y").collect().head
+    assert(math.abs(r.getDouble(3) -
+      2.0 * 4.0 * mi.getAs[Double]("mi")) < 1e-12)
+    // independent uniform 2x2: every cell count 1 -> G = 0
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("x", "y")
+    assert(math.abs(Analytics.gTest(ind, "x", "y")
+      .collect().head.getDouble(3)) < 1e-9)
+    // NULL is a level: cells include it, dof counts it
+    val withNull = Seq(("a", "a"), ("a", "a"), (null, "b"), (null, "b"))
+      .asInstanceOf[Seq[(String, String)]].toDF("x", "y")
+    val nr = Analytics.gTest(withNull, "x", "y").collect().head
+    assert(nr.getLong(1) == 2L && nr.getLong(4) == 1L)
+    partitionSweep { pn =>
+      Analytics.gTest(dep.repartition(pn), "x", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("cvmUniformTest / adUniformTest: hand EDF values incl. tied " +
+    "blocks; AD boundary values excluded and counted; partition sweep") {
+    import spark.implicits._
+    val one = Seq(0.5).toDF("v")
+    val c1 = Analytics.cvmUniformTest(one, "v", 0.0, 1.0).collect().head
+    assert(math.abs(c1.getDouble(1) - 1.0 / 12.0) < 1e-12)
+    val c2 = Analytics.cvmUniformTest(Seq(0.25, 0.75).toDF("v"),
+      "v", 0.0, 1.0).collect().head
+    assert(math.abs(c2.getDouble(1) - 1.0 / 24.0) < 1e-12)
+    // tied block: the rank-interval closed forms must reproduce the
+    // per-row sum exactly
+    val ct = Analytics.cvmUniformTest(Seq(0.5, 0.5).toDF("v"),
+      "v", 0.0, 1.0).collect().head
+    assert(math.abs(ct.getDouble(1) - 1.0 / 6.0) < 1e-12)
+    val a1 = Analytics.adUniformTest(one, "v", 0.0, 1.0).collect().head
+    assert(math.abs(a1.getDouble(2) - 0.3862943611198906) < 1e-9)
+    val a2 = Analytics.adUniformTest(Seq(0.25, 0.75).toDF("v"),
+      "v", 0.0, 1.0).collect().head
+    assert(math.abs(a2.getDouble(2) - 0.24934057847523317) < 1e-9)
+    val at = Analytics.adUniformTest(Seq(0.5, 0.5).toDF("v"),
+      "v", 0.0, 1.0).collect().head
+    assert(math.abs(at.getDouble(2) - 0.7725887222397811) < 1e-9)
+    // v = 0 sits AT the support edge: excluded, counted, statistic
+    // computed over the interior
+    val ab = Analytics.adUniformTest(Seq(0.0, 0.5).toDF("v"),
+      "v", 0.0, 1.0).collect().head
+    assert(ab.getLong(0) == 1L && ab.getLong(1) == 1L)
+    assert(math.abs(ab.getDouble(2) - 0.3862943611198906) < 1e-9)
+    partitionSweep { pn =>
+      Analytics.cvmUniformTest(Seq(0.1, 0.4, 0.4, 0.8).toDF("v")
+        .repartition(pn), "v", 0.0, 1.0).collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("cramersV: a NULL level counts in r_x/r_y (its cells are in " +
+    "the chi2 sum - the logRankStratified convention)") {
+    import spark.implicits._
+    val df = Seq(("a", "u"), ("a", "u"), (null, "w"), (null, "w"))
+      .asInstanceOf[Seq[(String, String)]].toDF("x", "y")
+    val r = Analytics.cramersV(df, "x", "y").collect().head
+    assert(r.getAs[Long]("r_x") == 2L && r.getAs[Long]("r_y") == 2L)
+    // perfect association on the 2x2 incl. the NULL level: V = 1
+    assert(math.abs(r.getAs[Double]("v") - 1.0) < 1e-9)
   }
 }
