@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Query registry batch 72 (round 17, wave 4): the one-sample EDF
   * trio's L2 and tail-weighted members on the q409 hash-uniformity
-  * fixture — Cramér–von Mises and Anderson–Darling against U(0,1).
+  * fixture — Cramér–von Mises and Anderson–Darling against U(0,1) —
+  * and embedding-space centroid drift.
   */
 private[graft] object Batch72 {
 
@@ -80,6 +81,43 @@ private[graft] object Batch72 {
              |  FROM t)
              |SELECT agg.n, bnd.n_boundary,
              |  CASE WHEN agg.n > 0 THEN -CAST(agg.n AS DOUBLE) - s END AS a2
-             |FROM agg, bnd""".stripMargin))
+             |FROM agg, bnd""".stripMargin)),
+
+    // Embedding-space centroid drift between vec_id-parity cohorts:
+    // exact decimal(12,9) per-dimension sums, pinned centroid cosine
+    // and L2 gap - the representation-space "did the corpus move".
+    Q("q418_centroid_drift",
+      (s, dir) => graft.functions.Similarity.centroidDrift(
+        Tables.embeddings(s, dir)
+          .withColumn("snap",
+            when(pmod(col("vec_id"), lit(2L)) === 0, "ref")
+              .otherwise("cur")),
+        "snap", "embedding", "ref", "cur"),
+      Some("""WITH e AS (SELECT
+             |    CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS g,
+             |    generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS vd
+             |  FROM embeddings),
+             |sums AS (SELECT pos,
+             |    CAST(SUM(CASE WHEN g = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    SUM(CASE WHEN g = 'ref' THEN vd END) AS sa,
+             |    CAST(SUM(CASE WHEN g = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             |    SUM(CASE WHEN g = 'cur' THEN vd END) AS sb
+             |  FROM e GROUP BY 1),
+             |cent AS (SELECT pos, na, nb,
+             |    CASE WHEN na > 0 THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) END AS ca,
+             |    CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END AS cb
+             |  FROM sums),
+             |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+             |    CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+             |    CAST(SUM(CAST(ca * cb AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+             |    CAST(SUM(CAST(ca * ca AS DECIMAL(28,12))) AS DOUBLE) AS qa,
+             |    CAST(SUM(CAST(cb * cb AS DECIMAL(28,12))) AS DOUBLE) AS qb,
+             |    CAST(SUM(CAST((ca - cb) * (ca - cb) AS DECIMAL(28,12))) AS DOUBLE) AS l2q
+             |  FROM cent)
+             |SELECT dim, n_a, n_b,
+             |  CASE WHEN qa > 0 AND qb > 0 THEN dot / (sqrt(qa) * sqrt(qb)) END AS cos_centroids,
+             |  sqrt(l2q) AS l2_centroids
+             |FROM agg""".stripMargin))
   )
 }

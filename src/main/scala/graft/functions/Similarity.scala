@@ -299,6 +299,72 @@ object Similarity {
       excludeSelf = excludeSelf, exact = true)
   }
 
+  /** Embedding-space DRIFT between two cohorts — "did the corpus move
+    * in representation space" (the scored-text drift family in
+    * [[graft.operators.Analytics]] watches scalar columns; after a
+    * crawl-source or filter change the first embedding-side question
+    * is whether the mean representation shifted, and by how much):
+    * per-cohort exact centroids, then their cosine and L2 gap.
+    * Components accumulate as decimal(12,9) per the cosinePairsExact
+    * engine-parity convention — the per-dimension sums are exact and
+    * order-free, the centroid divisions and the dim-sized
+    * cosine/L2 chains pinned doubles summed as decimal(28,12). Plan:
+    * ONE posexplode scan map-side combined into a ≤dim-row frame —
+    * the shuffle carries dim·partitions rows, nothing pairwise,
+    * nothing row-scale after the explode. Cohorts of RAGGED dims
+    * raise loudly (a truncated embedding column would otherwise skew
+    * per-dimension counts silently); an empty cohort yields NULL
+    * drift columns. Output: one row (dim, n_a, n_b, cos_centroids,
+    * l2_centroids). A near-1 cosine with a small L2 says "no mean
+    * shift"; dispersion/shape changes need the scalar family over
+    * projections (e.g. [[graft.functions.ML.topPrincipalComponent]]
+    * scores) or [[cosinePairsLSH]]-based neighborhood stats. */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val comp = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("__pos", "__x")))
+      .withColumn("__xd", col("__x").cast("decimal(12,9)"))
+    val sums = comp.groupBy(col("__pos"))
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__g") === groupA, col("__xd"))).as("__sa"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__g") === groupB, col("__xd"))).as("__sb"))
+    sums
+      .withColumn("__ca", when(col("__na") > 0,
+        col("__sa").cast("double") / d(col("__na"))))
+      .withColumn("__cb", when(col("__nb") > 0,
+        col("__sb").cast("double") / d(col("__nb"))))
+      .agg(count(lit(1)).as("dim"),
+        min(col("__na")).as("__namin"), max(col("__na")).as("__namax"),
+        min(col("__nb")).as("__nbmin"), max(col("__nb")).as("__nbmax"),
+        sum(dec28(col("__ca") * col("__cb"))).cast("double").as("__dot"),
+        sum(dec28(col("__ca") * col("__ca"))).cast("double").as("__qa"),
+        sum(dec28(col("__cb") * col("__cb"))).cast("double").as("__qb"),
+        sum(dec28((col("__ca") - col("__cb")) *
+          (col("__ca") - col("__cb")))).cast("double").as("__l2q"))
+      .withColumn("n_a", when(col("__namin") <=> col("__namax"),
+        col("__namax"))
+        .otherwise(raise_error(lit("centroidDrift: ragged vector " +
+          "dimensions in cohort A — every embedding must have the " +
+          "same length; filter or pad upstream"))))
+      .withColumn("n_b", when(col("__nbmin") <=> col("__nbmax"),
+        col("__nbmax"))
+        .otherwise(raise_error(lit("centroidDrift: ragged vector " +
+          "dimensions in cohort B — every embedding must have the " +
+          "same length; filter or pad upstream"))))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        when(col("__qa") > 0 && col("__qb") > 0,
+          col("__dot") / (sqrt(col("__qa")) * sqrt(col("__qb"))))
+          .as("cos_centroids"),
+        when(col("__l2q").isNotNull, sqrt(col("__l2q")))
+          .as("l2_centroids"))
+  }
+
   /** Embedding-cosine near-duplicate pairs with DECIMAL-exact accumulation:
     * explode to (id, pos, val), join on pos, sum decimal products.
     *

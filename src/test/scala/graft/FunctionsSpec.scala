@@ -2677,4 +2677,38 @@ class FunctionsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("centroidDrift: hand centroids (cos 1 on aligned means, 0 on " +
+    "orthogonal); ragged dims raise; empty cohort NULL; partition sweep") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    // A = {(1,0),(0,1)} -> centroid (.5,.5); B = {(1,1)}: cos = 1, l2 = sqrt(.5)
+    val df = Seq(("a", Seq(1.0f, 0.0f)), ("a", Seq(0.0f, 1.0f)),
+      ("b", Seq(1.0f, 1.0f))).toDF("g", "v")
+    val r = Similarity.centroidDrift(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("dim") == 2L)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 1L)
+    assert(math.abs(r.getAs[Double]("cos_centroids") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("l2_centroids") - math.sqrt(0.5)) < 1e-9)
+    val o = Similarity.centroidDrift(
+      Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f))).toDF("g", "v"),
+      "g", "v", "a", "b").collect().head
+    assert(math.abs(o.getAs[Double]("cos_centroids")) < 1e-9)
+    assert(math.abs(o.getAs[Double]("l2_centroids") - math.sqrt(2.0)) < 1e-9)
+    // ragged dims must raise loudly, not skew counts silently
+    val ragged = Seq(("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f)),
+      ("b", Seq(0.0f, 1.0f))).toDF("g", "v")
+    intercept[Exception] {
+      Similarity.centroidDrift(ragged, "g", "v", "a", "b").collect()
+    }
+    // empty cohort: NULL drift columns, not a crash
+    val e = Similarity.centroidDrift(
+      Seq(("a", Seq(1.0f, 0.0f))).toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head
+    assert(e.isNullAt(e.fieldIndex("cos_centroids")))
+    partitionSweep { pn =>
+      Similarity.centroidDrift(df.repartition(pn), "g", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
