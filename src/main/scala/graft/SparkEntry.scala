@@ -426,6 +426,15 @@ object SparkEntry {
     // pair miner (signature explode + self-equi-join + verify — the
     // blocking-free record-linkage plan shape)
     "q313_kruskal_wallis", "q324_lev_pairs",
+    // round-17 additions: the dual-weight Lorenz prefix (count + mass
+    // through ONE pass, the quantileShares/palma plan shape), the
+    // Brunner-Munzel doubled-midrank block statistics (the modern
+    // rank-test family's heaviest per-block arithmetic on the same
+    // prefix), and the embedding centroid drift (posexplode map-
+    // combined to a dim-sized frame - the representation-space drift
+    // plan; a regression to a row-scale shuffle after the explode
+    // shows here)
+    "q403_lorenz", "q415_brunner_munzel", "q418_centroid_drift",
     // round-15 (fourth session) addition: the Pettitt changepoint —
     // the only operator chaining TWO distributed prefixes (value axis
     // then time axis) through a rows-sized join; a regression in
