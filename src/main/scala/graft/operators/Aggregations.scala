@@ -610,6 +610,41 @@ object Aggregations {
         (col("mad") * lit(1.4826)).as("mad_normal"))
   }
 
+  /** Per-GROUP [[madCont]] — the robust scale per slice (per-language
+    * length MAD, per-source latency MAD: the slice whose outliers
+    * inflate a pooled SD is exactly the slice you want the robust
+    * number for). Both chained medians ride the KEYED distributed
+    * prefix ([[quantilesContBy]] twice — a hot slice splits across
+    * range partitions in both passes); the keys-sized median frame
+    * joins back null-safe (a NULL key is its own slice, never assumed
+    * broadcastable). Output: key columns + (n, median, mad,
+    * mad_normal).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def madContBy(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                valueCol: String): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "madContBy needs key columns; use madCont")
+    val keys = keyCols.map(col)
+    def ren(d: org.apache.spark.sql.DataFrame, tag: String) =
+      keyCols.zipWithIndex.foldLeft(d) { case (a, (c, i)) =>
+        a.withColumnRenamed(c, s"__$tag$i") }
+    def eq(tag: String) = keyCols.zipWithIndex.map { case (c, i) =>
+      col(c) <=> col(s"__$tag$i") }.reduce(_ && _)
+    val med = quantilesContBy(df, keyCols, valueCol, Seq(0.5))
+      .select(keys :+ col("n") :+ col("value").as("median"): _*)
+    val dev = df.filter(col(valueCol).isNotNull)
+      .join(ren(med.select(keys :+ col("median"): _*), "m"), eq("m"))
+      .select(keys :+ abs(col(valueCol).cast("double") - col("median"))
+        .as("__dev"): _*)
+    val mad = ren(quantilesContBy(dev, keyCols, "__dev", Seq(0.5))
+      .select(keys :+ col("value").as("mad"): _*), "d")
+    med.join(mad, eq("d"))
+      .drop(keyCols.indices.map(i => s"__d$i"): _*)
+      .select(keys ++ Seq(col("n"), col("median"), col("mad"),
+        (col("mad") * lit(1.4826)).as("mad_normal")): _*)
+  }
+
   /** Per-group total Σ `__c` as `__n`, joined back null-safe on the
     * keys — the keyed analog of the global forms' broadcast one-row
     * total (keys-sized aggregate; the planner broadcasts small group

@@ -2474,6 +2474,176 @@ object Analytics {
     welchChain(df.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** One-sample t against a reference mean μ₀ — "is the metric off
+    * its SLO/contract value" (the two-sample family answers A-vs-B;
+    * this answers metric-vs-promised: mean quality score vs the 0.7
+    * the data contract guarantees): t = (x̄ − μ₀)/(s/√n), dof = n − 1.
+    * ONE map-side-combined scan of exact decimal (n, Σx, Σx²), the
+    * [[welchT]] pinned chain (and its cancellation caveat at extreme
+    * scale/mean ratios). n < 2 or zero variance → NULL t. Output: one
+    * row (n, mean, sd, se, t, dof). */
+  def oneSampleT(df: DataFrame, valueCol: String, mu0: Double,
+                 scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("__s"),
+        sum((v * v).cast(s"decimal(38,${2 * scale})"))
+          .cast("double").as("__ss"))
+      .withColumn("mean", when(col("n") > 0, col("__s") / d(col("n"))))
+      .withColumn("__var", when(col("n") >= 2,
+        (col("__ss") - col("__s") * col("__s") / d(col("n"))) /
+          (d(col("n")) - 1.0)))
+      .withColumn("sd", when(col("__var") >= 0, sqrt(col("__var"))))
+      .withColumn("se", when(col("__var") > 0,
+        sqrt(col("__var") / d(col("n")))))
+      .withColumn("t", when(col("se") > 0,
+        (col("mean") - lit(mu0)) / col("se")))
+      .withColumn("dof", when(col("n") >= 2, col("n") - 1))
+      .select("n", "mean", "sd", "se", "t", "dof")
+  }
+
+  /** Distribution-free confidence interval for the MEDIAN — the
+    * error-bar the exact quantile family was missing ("the p50 is
+    * 412ms" is a point; "412 [405, 419] at 95%" is a statement): the
+    * classical order-statistic interval — ranks
+    *   l = ⌊(n − z·√n)/2⌋,  u = n − l + 1   (1-based),
+    * CI = (x₍l₎, x₍u₎) — valid without ANY distributional assumption
+    * (binomial argument on signs; z is a fixed literal, 1.959964 for
+    * 95%, the repo's no-inverse-CDF convention — pass another z for
+    * another level). The interpolated median itself and both order
+    * statistics come from ONE distributed prefix pass (rank
+    * containment — the quantilesCont machinery plus two extra spine
+    * rows). n too small for the normal approximation (l < 1) clamps
+    * to the sample extremes and reports it (clamped = true). Output:
+    * one row (n, median, ci_lo, ci_hi, rank_lo, rank_hi, clamped).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def medianCI(df: DataFrame, valueCol: String, z: Double = 1.959964)
+      : DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val (shared, pre) = prefixBeforeShared(counts, "__v", col("__c"))
+    val n = shared.agg(sum(col("__c")).as("__n"))
+    val cum = pre.crossJoin(broadcast(n))
+      .withColumn("__l", greatest(lit(1L),
+        floor((d(col("__n")) - lit(z) * sqrt(d(col("__n")))) / 2.0)
+          .cast("long")))
+      .withColumn("__u", least(col("__n"), col("__n") - col("__l") + 1))
+      // the interpolated median's two targets (k, k+1 at 0-based
+      // rank ⌊(n−1)/2⌋) plus the two CI order statistics (1-based)
+      .withColumn("__k", expr("(__n - 1) div 2"))
+    cum.agg(max(col("__n")).as("n"),
+        max(col("__l")).as("rank_lo"), max(col("__u")).as("rank_hi"),
+        min(when(col("__cum") <= col("__k") &&
+          col("__k") < col("__cum") + col("__c"), col("__v"))).as("__mlo"),
+        min(when(col("__cum") <= col("__k") + 1 &&
+          col("__k") + 1 < col("__cum") + col("__c"), col("__v")))
+          .as("__mhi0"),
+        min(when(col("__cum") < col("__l") &&
+          col("__l") <= col("__cum") + col("__c"), col("__v"))).as("ci_lo"),
+        min(when(col("__cum") < col("__u") &&
+          col("__u") <= col("__cum") + col("__c"), col("__v"))).as("ci_hi"),
+        max(when((d(col("__n")) - lit(z) * sqrt(d(col("__n")))) / 2.0 <
+          lit(1.0), lit(true)).otherwise(lit(false))).as("clamped"))
+      .withColumn("__mhi", coalesce(col("__mhi0"), col("__mlo")))
+      .withColumn("median", when(col("n") > 0,
+        when(pmod(col("n"), lit(2)) === 1, col("__mlo"))
+          .otherwise((col("__mlo") + col("__mhi")) / 2.0)))
+      .select("n", "median", "ci_lo", "ci_hi", "rank_lo", "rank_hi",
+        "clamped")
+  }
+
+  /** Grubbs' statistic — the single-most-extreme-point screen
+    * (G = max|x − x̄|/s with the value that achieves it; the quick "is
+    * the weird number one glitch or a regime" triage before the
+    * bulk detectors [[outliersZ]]/[[outliersMad]] sweep everything):
+    * two map-side-combined scans (exact decimal mean/SD, then the
+    * argmax — deterministic tie-break toward the LARGER value via a
+    * struct max). The caller compares G against the Grubbs critical
+    * value at their α (a t-quantile — the no-inverse-CDF convention
+    * leaves that lookup to the caller). n < 3 or zero variance →
+    * NULL G. Output: one row (n, mean, sd, g_stat, at_value). */
+  def grubbsStat(df: DataFrame, valueCol: String, scale: Int = 2)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val m = df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("__s"),
+        sum((v * v).cast(s"decimal(38,${2 * scale})"))
+          .cast("double").as("__ss"))
+      .withColumn("mean", when(col("n") > 0, col("__s") / d(col("n"))))
+      .withColumn("sd", when(col("n") >= 2,
+        sqrt(greatest(lit(0.0),
+          (col("__ss") - col("__s") * col("__s") / d(col("n"))) /
+            (d(col("n")) - 1.0)))))
+      .select("n", "mean", "sd")
+    df.filter(col(valueCol).isNotNull).crossJoin(broadcast(m))
+      .agg(max(col("n")).as("n"), max(col("mean")).as("mean"),
+        max(col("sd")).as("sd"),
+        max(struct(abs(d(col(valueCol)) - col("mean")).as("__dev"),
+          d(col(valueCol)).as("__at"))).as("__mx"))
+      .select(col("n"), col("mean"), col("sd"),
+        when(col("n") >= 3 && col("sd") > 0,
+          col("__mx.__dev") / col("sd")).as("g_stat"),
+        col("__mx.__at").as("at_value"))
+  }
+
+  /** Risk DIFFERENCE with the Newcombe hybrid-score interval — the
+    * absolute-scale A/B readout beside [[riskRatio]]'s relative scale
+    * ("the new filter passes 2.3 percentage points fewer documents,
+    * CI [−3.1, −1.5]" is the number a capacity plan needs): per group
+    * the Wilson score interval (closed form, z a fixed literal —
+    * 1.959964 for 95%), then Newcombe's square-and-add hybrid
+    *   CI = [diff − √((p_a−l_a)² + (u_b−p_b)²),
+    *         diff + √((u_a−p_a)² + (p_b−l_b)²)]
+    * — respects [−1, 1], never degenerates at p = 0 or 1 the way the
+    * Wald interval does. ONE map-side-combined scan of exact counts,
+    * pinned chains. Empty groups → NULL. Output: one row (n_a, n_b,
+    * x_a, x_b, p_a, p_b, diff, ci_lo, ci_hi). */
+  def riskDifference(df: DataFrame, groupCol: String, success: Column,
+                     groupA: String, groupB: String,
+                     z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    def d(c: Column) = c.cast("double")
+    val agg = df.filter(col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === groupA && success, 1L).otherwise(0L))
+          .as("x_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === groupB && success, 1L).otherwise(0L))
+          .as("x_b"))
+    def wilson(xc: String, nc: String, lower: Boolean): Column = {
+      val x = d(col(xc)); val nn = d(col(nc)); val z2 = lit(z * z)
+      val center = (x + z2 / 2) / (nn + z2)
+      val half = lit(z) * sqrt(x * (nn - x) / nn + z2 / 4) / (nn + z2)
+      when(col(nc) > 0, if (lower) center - half else center + half)
+    }
+    agg
+      .withColumn("p_a", when(col("n_a") > 0, d(col("x_a")) / d(col("n_a"))))
+      .withColumn("p_b", when(col("n_b") > 0, d(col("x_b")) / d(col("n_b"))))
+      .withColumn("diff", col("p_a") - col("p_b"))
+      .withColumn("__la", wilson("x_a", "n_a", lower = true))
+      .withColumn("__ua", wilson("x_a", "n_a", lower = false))
+      .withColumn("__lb", wilson("x_b", "n_b", lower = true))
+      .withColumn("__ub", wilson("x_b", "n_b", lower = false))
+      .withColumn("ci_lo", col("diff") - sqrt(
+        (col("p_a") - col("__la")) * (col("p_a") - col("__la")) +
+          (col("__ub") - col("p_b")) * (col("__ub") - col("p_b"))))
+      .withColumn("ci_hi", col("diff") + sqrt(
+        (col("__ua") - col("p_a")) * (col("__ua") - col("p_a")) +
+          (col("p_b") - col("__lb")) * (col("p_b") - col("__lb"))))
+      .select("n_a", "n_b", "x_a", "x_b", "p_a", "p_b", "diff",
+        "ci_lo", "ci_hi")
+  }
+
   // The pinned mean → variance → t/t² → dof double chain shared by
   // [[welchT]] and [[welchTBy]] over (n, Σx, Σx²) per side. Empty
   // sides give NULL means (not an ANSI ÷0), n < 2 NULL variance, and

@@ -4016,4 +4016,89 @@ class AnalyticsSpec extends SparkSpec {
     // perfect association on the 2x2 incl. the NULL level: V = 1
     assert(math.abs(r.getAs[Double]("v") - 1.0) < 1e-9)
   }
+
+  test("oneSampleT / grubbsStat: hand t against mu0; Grubbs argmax " +
+    "with deterministic tie-break toward the larger value") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val r = Analytics.oneSampleT(df, "v", mu0 = 1.0).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - math.sqrt(3.0)) < 1e-9)
+    assert(r.getLong(5) == 2L)
+    val g = Analytics.grubbsStat(Seq(1.0, 2.0, 3.0, 10.0).toDF("v"), "v")
+      .collect().head
+    assert(math.abs(g.getDouble(3) - 1.4696938456699067) < 1e-9)
+    assert(math.abs(g.getDouble(4) - 10.0) < 1e-12)
+    // tied deviations: the larger VALUE wins deterministically
+    val t = Analytics.grubbsStat(Seq(0.0, 4.0, 2.0, 2.0).toDF("v"), "v")
+      .collect().head
+    assert(math.abs(t.getDouble(4) - 4.0) < 1e-12)
+    partitionSweep { pn =>
+      Analytics.grubbsStat(df.repartition(pn), "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("medianCI: order-statistic interval on 1..25 (ranks 7/19); " +
+    "tiny n clamps to the extremes and reports it; even-n median " +
+    "interpolates") {
+    import spark.implicits._
+    val df = (1 to 25).map(_.toDouble).toDF("v")
+    val r = Analytics.medianCI(df, "v").collect().head
+    assert(r.getLong(0) == 25L)
+    assert(math.abs(r.getDouble(1) - 13.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 7.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 19.0) < 1e-12)
+    assert(r.getLong(4) == 7L && r.getLong(5) == 19L)
+    assert(!r.getBoolean(6))
+    val tiny = Analytics.medianCI(Seq(1.0, 2.0, 3.0).toDF("v"), "v")
+      .collect().head
+    assert(tiny.getBoolean(6))
+    assert(math.abs(tiny.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(tiny.getDouble(3) - 3.0) < 1e-12)
+    val even = Analytics.medianCI((1 to 4).map(_.toDouble).toDF("v"), "v")
+      .collect().head
+    assert(math.abs(even.getDouble(1) - 2.5) < 1e-12)
+  }
+
+  test("riskDifference: hand Newcombe interval (Wilson bounds at " +
+    "z=1.959964); degenerate p=0/1 stays inside [-1, 1]") {
+    import spark.implicits._
+    val df = ((1 to 8).map(_ => ("a", true)) ++ (1 to 2).map(_ => ("a", false)) ++
+      (1 to 4).map(_ => ("b", true)) ++ (1 to 6).map(_ => ("b", false)))
+      .toDF("g", "s")
+    val r = Analytics.riskDifference(df, "g", col("s"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("x_a") == 8L && r.getAs[Long]("x_b") == 4L)
+    assert(math.abs(r.getAs[Double]("diff") - 0.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ci_lo") + 0.02255846835804487) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_hi") - 0.6725442458426698) < 1e-9)
+    // all-success vs all-failure: Wald would pin the CI at the point;
+    // Newcombe keeps a real interval inside [-1, 1]
+    val d = Analytics.riskDifference(
+      (Seq.fill(5)(("a", true)) ++ Seq.fill(5)(("b", false))).toDF("g", "s"),
+      "g", col("s"), "a", "b").collect().head
+    assert(math.abs(d.getAs[Double]("diff") - 1.0) < 1e-12)
+    assert(d.getAs[Double]("ci_lo") > -1.0 && d.getAs[Double]("ci_lo") < 1.0)
+    assert(d.getAs[Double]("ci_hi") <= 1.0 + 1e-12)
+  }
+
+  test("madContBy: per-slice == global madCont per slice; NULL key " +
+    "is its own slice") {
+    import spark.implicits._
+    import graft.operators.Aggregations
+    val df = (Seq(1.0, 2.0, 3.0, 7.0).map(("s0", _)) ++
+      Seq(10.0, 20.0, 30.0).map(("s1", _))).toDF("s", "v")
+    val by = Aggregations.madContBy(df, Seq("s"), "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val g0 = Aggregations.madCont(df.filter(col("s") === "s0"), "v")
+      .collect().head
+    assert(by("s0").getLong(1) == g0.getLong(0))
+    assert(math.abs(by("s0").getDouble(2) - g0.getDouble(1)) < 1e-12)
+    assert(math.abs(by("s0").getDouble(3) - g0.getDouble(2)) < 1e-12)
+    assert(math.abs(by("s1").getDouble(2) - 20.0) < 1e-12)
+    assert(math.abs(by("s1").getDouble(3) - 10.0) < 1e-12)
+  }
 }
