@@ -2,7 +2,7 @@ package graft
 
 import graft.core.JTable
 import graft.functions.Dedup
-import graft.operators.{Aggregations, Joins}
+import graft.operators.{Aggregations, Analytics, Joins}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop}
 import org.scalacheck.Prop.forAll
@@ -833,5 +833,123 @@ class PropertySpec extends SparkSpec {
           Some(s / math.sqrt(untiedX.toDouble * untiedY)) else None)
       Prop(ok) :| s"got=${row.mkString(",")} nc=$nc nd=$nd ux=$untiedX uy=$untiedY"
     }, minTests = 25)
+  }
+
+  test("brunnerMunzel == literal midranks model on tie-heavy samples") {
+    // the per-row definition: pooled midranks, within-group midranks,
+    // studentized rank-mean difference with Welch-type dof - the
+    // operator's doubled-rank block identity must reproduce it exactly
+    val vals: org.scalacheck.Gen[List[Double]] =
+      Gen.choose(2, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 6).map(_.toDouble)))
+    check(forAll(vals, vals) { (xs, ys) =>
+      def midranks(all: List[Double]): Map[Double, Double] = {
+        val cnt = all.groupBy(identity).view.mapValues(_.size).toMap
+        val sorted = cnt.keys.toList.sorted
+        var before = 0L
+        sorted.map { v =>
+          val c = cnt(v); val r = before + (c + 1) / 2.0
+          before += c; v -> r
+        }.toMap
+      }
+      val n1 = xs.length; val n2 = ys.length
+      val rc = midranks(xs ++ ys)
+      val rx = midranks(xs); val ry = midranks(ys)
+      val mx = xs.map(rc).sum / n1; val my = ys.map(rc).sum / n2
+      val sx = xs.map(v => math.pow(rc(v) - rx(v) - mx + (n1 + 1) / 2.0, 2))
+        .sum / (n1 - 1)
+      val sy = ys.map(v => math.pow(rc(v) - ry(v) - my + (n2 + 1) / 2.0, 2))
+        .sum / (n2 - 1)
+      val va = n1 * sx; val vb = n2 * sy
+      val expW = if (va + vb > 0)
+        Some(n1 * n2 * (my - mx) / ((n1 + n2) * math.sqrt(va + vb)))
+      else None
+      val expP = (my - (n2 + 1) / 2.0) / n1
+      val df = (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("g", "v")
+      val r = Analytics.brunnerMunzel(df, "g", "v", "a", "b").collect().head
+      val gotP = r.getDouble(2)
+      val gotW = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      val okP = math.abs(gotP - expP) < 1e-9
+      val okW = (gotW, expW) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+        case (None, None) => true
+        case _ => false
+      }
+      Prop(okP && okW) :| s"got=($gotP,$gotW) expect=($expP,$expW) xs=$xs ys=$ys"
+    }, minTests = 25)
+  }
+
+  test("lorenzPoints == sorted-rows model (tie-heavy, any p)") {
+    val vals: org.scalacheck.Gen[List[Double]] =
+      Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 5).map(_.toDouble)))
+    val pGen = Gen.oneOf(0.0, 0.2, 0.25, 0.5, 0.75, 0.9, 1.0)
+    check(forAll(vals, pGen) { (xs, p) =>
+      val n = xs.length
+      val k = math.floor(p * n).toLong
+      val sorted = xs.sorted
+      val tot = sorted.sum
+      val expect =
+        if (k == 0) Some(0.0)
+        else if (tot == 0.0) None
+        else Some(sorted.take(k.toInt).sum / tot)
+      val got0 = Analytics.lorenzPoints(xs.toDF("v"), "v", Seq(p))
+        .collect().head
+      val got = if (got0.isNullAt(3)) None else Some(got0.getDouble(3))
+      val ok = (got, expect) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+        case (None, None) => true
+        case _ => false
+      }
+      Prop(ok && got0.getLong(2) == k) :| s"got=$got expect=$expect xs=$xs p=$p"
+    }, minTests = 30)
+  }
+
+  test("cvmUniformTest / adUniformTest == per-row sorted-index model " +
+    "(tie-heavy draws in (0,1))") {
+    val vals: org.scalacheck.Gen[List[Double]] =
+      Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(1, 9).map(_ / 10.0)))
+    check(forAll(vals) { xs =>
+      val n = xs.length
+      val sorted = xs.sorted
+      val expCvm = 1.0 / (12.0 * n) + sorted.zipWithIndex.map {
+        case (v, i) => math.pow(v - (2 * i + 1) / (2.0 * n), 2) }.sum
+      val expAd = -n - sorted.zipWithIndex.map { case (v, i) =>
+        (2 * i + 1) * math.log(v) +
+          (2 * (n - 1 - i) + 1) * math.log(1 - v) }.sum / n
+      val df = xs.toDF("v")
+      val gotC = Analytics.cvmUniformTest(df, "v", 0.0, 1.0)
+        .collect().head.getDouble(1)
+      val gotA = Analytics.adUniformTest(df, "v", 0.0, 1.0)
+        .collect().head.getDouble(2)
+      Prop(math.abs(gotC - expCvm) < 1e-9 &&
+        math.abs(gotA - expAd) < 1e-9) :|
+        s"cvm got=$gotC exp=$expCvm ad got=$gotA exp=$expAd xs=$xs"
+    }, minTests = 30)
+  }
+
+  test("holmAdjust == literal step-down model (ties share the " +
+    "smallest rank's factor)") {
+    val ps: org.scalacheck.Gen[List[Double]] =
+      Gen.choose(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 20).map(_ / 20.0)))
+    check(forAll(ps) { xs =>
+      val m = xs.length
+      val sorted = xs.sorted
+      // literal per-test step-down: factor (m - rank + 1) with ranks
+      // 1..m assigned in sorted order (ties get ascending ranks, so the
+      // tie block's max factor lands at its smallest rank), running max
+      val raw = sorted.zipWithIndex.map { case (p, i) => (m - i) * p }
+      val adj = raw.scanLeft(0.0)(math.max).tail.map(q => math.min(1.0, q))
+      val expect = sorted.zip(adj).groupBy(_._1)
+        .map { case (p, g) => p -> g.map(_._2).max }
+      val got = Analytics.holmAdjust(xs.toDF("p"), "p").collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).groupBy(_._1)
+        .map { case (p, g) => p -> g.head._2 }
+      val ok = expect.forall { case (p, e) =>
+        got.get(p).exists(v => math.abs(v - e) < 1e-12) }
+      Prop(ok) :| s"got=$got expect=$expect xs=$xs"
+    }, minTests = 30)
   }
 }
