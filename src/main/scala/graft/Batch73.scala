@@ -3,9 +3,10 @@ package graft
 import graft.SparkEntry.Q
 import org.apache.spark.sql.functions._
 
-/** Query registry batch 73 (round 17, wave 5): one-sample t, the
+/** Query registry batch 73 (round 17, waves 5–6): one-sample t, the
   * distribution-free median CI, Grubbs' outlier statistic, risk
-  * difference with the Newcombe interval, and per-group exact MAD.
+  * difference with the Newcombe interval, per-group exact MAD, and
+  * the k-sample Anderson–Darling drift gate.
   */
 private[graft] object Batch73 {
 
@@ -127,6 +128,85 @@ private[graft] object Batch73 {
              |SELECT med.g AS event_type, med.n, med.median, mad.mad,
              |  mad.mad * 1.4826 AS mad_normal
              |FROM med JOIN mad ON med.g = mad.g
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // k-sample Anderson-Darling across the three event types: the
+    // midrank A2akN over the distinct pooled values (3-weight prefix)
+    // plus the paper's exact 4-moment standardization (h and g
+    // harmonic constants over a ROW_NUMBER spine).
+    Q("q424_ad_ksample",
+      (s, dir) => graft.operators.Analytics.adKSample(
+        Tables.events(s, dir), "event_type", "value",
+        Seq("view", "click", "purchase")),
+      Some("""WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+             |  FROM events WHERE event_type IN ('view','click','purchase')
+             |    AND value IS NOT NULL),
+             |c AS (SELECT v,
+             |    CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             |    CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+             |  FROM base GROUP BY v),
+             |cum AS (SELECT v, c0, c1, c2,
+             |    COALESCE(SUM(c0) OVER w, 0) AS b0,
+             |    COALESCE(SUM(c1) OVER w, 0) AS b1,
+             |    COALESCE(SUM(c2) OVER w, 0) AS b2,
+             |    SUM(c0) OVER () AS n0, SUM(c1) OVER () AS n1,
+             |    SUM(c2) OVER () AS n2
+             |  FROM c WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |t AS (SELECT v,
+             |    c0 + c1 + c2 AS lj, n0, n1, n2, n0 + n1 + n2 AS nn,
+             |    CAST(b0 + b1 + b2 AS DOUBLE) + CAST(c0 + c1 + c2 AS DOUBLE) / 2.0 AS bj,
+             |    CAST(b0 AS DOUBLE) + CAST(c0 AS DOUBLE) / 2.0 AS m0,
+             |    CAST(b1 AS DOUBLE) + CAST(c1 AS DOUBLE) / 2.0 AS m1,
+             |    CAST(b2 AS DOUBLE) + CAST(c2 AS DOUBLE) / 2.0 AS m2
+             |  FROM cum),
+             |terms AS (SELECT nn, n0, n1, n2,
+             |    CASE WHEN bj * (CAST(nn AS DOUBLE) - bj) - CAST(nn AS DOUBLE) * CAST(lj AS DOUBLE) / 4.0 > 0
+             |      THEN CAST(lj AS DOUBLE) * (
+             |        (CASE WHEN n0 > 0 THEN (CAST(nn AS DOUBLE) * m0 - CAST(n0 AS DOUBLE) * bj) * (CAST(nn AS DOUBLE) * m0 - CAST(n0 AS DOUBLE) * bj) / CAST(n0 AS DOUBLE) ELSE 0.0 END) +
+             |        (CASE WHEN n1 > 0 THEN (CAST(nn AS DOUBLE) * m1 - CAST(n1 AS DOUBLE) * bj) * (CAST(nn AS DOUBLE) * m1 - CAST(n1 AS DOUBLE) * bj) / CAST(n1 AS DOUBLE) ELSE 0.0 END) +
+             |        (CASE WHEN n2 > 0 THEN (CAST(nn AS DOUBLE) * m2 - CAST(n2 AS DOUBLE) * bj) * (CAST(nn AS DOUBLE) * m2 - CAST(n2 AS DOUBLE) * bj) / CAST(n2 AS DOUBLE) ELSE 0.0 END))
+             |        / (bj * (CAST(nn AS DOUBLE) - bj) - CAST(nn AS DOUBLE) * CAST(lj AS DOUBLE) / 4.0)
+             |      ELSE 0.0 END AS term
+             |  FROM t),
+             |main AS (SELECT CAST(MAX(nn) AS BIGINT) AS n,
+             |    CAST(MAX(n0) AS BIGINT) AS n0, CAST(MAX(n1) AS BIGINT) AS n1,
+             |    CAST(MAX(n2) AS BIGINT) AS n2,
+             |    CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS s
+             |  FROM terms),
+             |a2 AS (SELECT n, n0, n1, n2,
+             |    (CAST(n AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * s AS a2akn
+             |  FROM main),
+             |spine AS (SELECT ROW_NUMBER() OVER () AS i FROM base),
+             |sp AS (SELECT i FROM spine, a2 WHERE i <= a2.n - 1),
+             |h AS (SELECT CAST(SUM(CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS h FROM sp),
+             |hcum AS (SELECT i,
+             |    COALESCE(SUM(CAST(1.0 / CAST(i AS DOUBLE) AS DECIMAL(38,18))) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hb
+             |  FROM sp),
+             |g AS (SELECT CAST(SUM(CAST(
+             |    (h.h - (CAST(hb AS DOUBLE) + 1.0 / CAST(i AS DOUBLE))) /
+             |      (CAST(a2.n AS DOUBLE) - CAST(i AS DOUBLE))
+             |    AS DECIMAL(38,18))) AS DOUBLE) AS g
+             |  FROM hcum, h, a2 WHERE i <= a2.n - 2),
+             |mm AS (SELECT a2.n, a2.a2akn,
+             |    1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE) AS hc,
+             |    h.h AS h, g.g AS g
+             |  FROM a2, h, g),
+             |v AS (SELECT n, a2akn,
+             |    (4.0 * g - 6.0) * 2 + (10.0 - 6.0 * g) * hc AS a,
+             |    (2.0 * g - 4.0) * 9 + 8.0 * h * 3 + (2.0 * g - 14.0 * h - 4.0) * hc - 8.0 * h + 4.0 * g - 6.0 AS b,
+             |    (6.0 * h + 2.0 * g - 2.0) * 9 + (4.0 * h - 4.0 * g + 6.0) * 3 + (2.0 * h - 6.0) * hc + 4.0 * h AS c,
+             |    (2.0 * h + 6.0) * 9 - 4.0 * h * 3 AS d
+             |  FROM mm),
+             |f AS (SELECT n, a2akn,
+             |    CASE WHEN n >= 4 THEN
+             |      (a * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) +
+             |       b * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) +
+             |       c * CAST(n AS DOUBLE) + d) /
+             |      ((CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)) END AS variance
+             |  FROM v)
+             |SELECT n, CAST(3 AS INT) AS k, a2akn, variance,
+             |  CASE WHEN variance > 0 THEN (a2akn - 2.0) / sqrt(variance) END AS t
+             |FROM f""".stripMargin))
   )
 }

@@ -929,6 +929,136 @@ object Analytics {
         when(col("n") > 0, -d(col("n")) - col("__s")).as("a2"))
   }
 
+  /** K-SAMPLE Anderson–Darling (Scholz–Stephens 1987, the midrank
+    * A²akN with the exact variance standardization) — "did ANY of
+    * these k cohorts drift from the others" in one test (the
+    * [[kruskalWallis]] of the EDF family: KW sees location,
+    * k-sample AD sees any distributional difference, tails weighted;
+    * the natural k-snapshot/k-source drift gate where running
+    * pairwise [[adTest]]s would need its own multiplicity
+    * correction):
+    *   A²akN = (N−1)/N² Σ_i (1/n_i) Σ_j l_j·(N·M_aij − n_i·B_aj)² /
+    *           (B_aj(N−B_aj) − N·l_j/4),
+    * with the midrank cumulatives M_aij = M_ij − l_ij/2, B_aj =
+    * B_j − l_j/2 over the distinct pooled values, and the reported
+    *   t = (A²akN − (k−1))/σ_N
+    * using the paper's EXACT four-moment σ²_N (the h and g harmonic
+    * constants computed DISTRIBUTED: one prefix pass over an
+    * (N−1)-row spine — an extra linear pass whose cost the caller
+    * should know about at 10¹² rows; the statistic itself is one
+    * k-weight distributed prefix over the distinct values, each term
+    * a pinned double summed as decimal(38,6) — the wider cast because
+    * a tiny cohort inflates terms toward l_j·N/n_i). N is read back
+    * as one driver-side count (the byAdjust precedent) to build the
+    * spine. Degenerate (one distinct value, or n < 4 where the
+    * variance denominator vanishes) → NULL t. Output: one row
+    * (n, k, a2akn, variance, t).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def adKSample(df: DataFrame, groupCol: String, valueCol: String,
+                groups: Seq[String]): DataFrame = {
+    require(groups.length >= 2, s"need >= 2 groups, got $groups")
+    require(groups.distinct.length == groups.length,
+      s"duplicate groups in $groups")
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val dec386 = (c: Column) => c.cast("decimal(38,6)")
+    val k = groups.length
+    val spark = df.sparkSession
+    val gAggs = groups.zipWithIndex.map { case (g, i) =>
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"__c$i") }
+    val counts = df.filter(col(groupCol).isin(groups: _*) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(gAggs.head, gAggs.tail: _*)
+    val weights = groups.indices.map(i => s"c$i" -> col(s"__c$i"))
+    val (shared, pre) = prefixBeforeMultiByShared(counts, Seq.empty,
+      "__v", weights)
+    val totAggs = groups.indices.map(i =>
+      sum(col(s"__c$i")).as(s"__n$i"))
+    val tot = shared.agg(totAggs.head, totAggs.tail: _*)
+      .withColumn("__nn",
+        groups.indices.map(i => col(s"__n$i")).reduce(_ + _))
+    val cum = pre.crossJoin(broadcast(tot))
+      .withColumn("__lj", groups.indices.map(i => col(s"__c$i"))
+        .reduce(_ + _))
+      .withColumn("__bj", groups.indices.map(i => col(s"__cum_c$i"))
+        .reduce(_ + _).cast("double") + d(col("__lj")) / 2.0)
+    // per-distinct-value term: l_j/N · Σ_i (1/n_i)(N·M_aij − n_i·B_aj)²
+    //                          / (B_aj(N−B_aj) − N·l_j/4)
+    val den = col("__bj") * (d(col("__nn")) - col("__bj")) -
+      d(col("__nn")) * d(col("__lj")) / 4.0
+    val innerSum = groups.indices.map { i =>
+      val maij = d(col(s"__cum_c$i")) + d(col(s"__c$i")) / 2.0
+      val dev = d(col("__nn")) * maij - d(col(s"__n$i")) * col("__bj")
+      when(col(s"__n$i") > 0, dev * dev / d(col(s"__n$i")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val main = cum
+      .withColumn("__term", when(den > 0,
+        d(col("__lj")) * innerSum / den).otherwise(lit(0.0)))
+      .agg(max(col("__nn")).as("n"),
+        (sum(dec386(col("__term"))).cast("double").as("__s") +:
+          groups.indices.map(i => max(col(s"__n$i")).as(s"__n$i"))): _*)
+      .withColumn("a2akn", when(col("n") > 1,
+        (d(col("n")) - 1.0) / (d(col("n")) * d(col("n"))) * col("__s")))
+    // the harmonic constants h and g over the (N−1)-row spine
+    val nTotal = df.filter(col(groupCol).isin(groups: _*) &&
+      col(valueCol).isNotNull).count()
+    if (nTotal < 4)
+      return main.select(col("n"), lit(k).as("k"), col("a2akn"),
+        lit(null).cast("double").as("variance"),
+        lit(null).cast("double").as("t"))
+    val spine = spark.range(1, nTotal)
+      .select(col("id").as("__i"))
+    // scale 18 throughout the harmonic spine (see the g-term comment)
+    val (sShared, sPre) = prefixBeforeShared(spine, "__i",
+      (lit(1.0) / d(col("__i"))).cast("decimal(38,18)"))
+    val hRow = sShared.agg(sum((lit(1.0) / d(col("__i")))
+      .cast("decimal(38,18)")).cast("double").as("__h"))
+    // the g terms sum at scale 18, NOT the usual dec(28,12): g ~ O(1)
+    // with N terms, so 1e-12 per-term quantization noise reaches the
+    // 12th significant digit of the SUM at corpus scale - and the two
+    // engines' double->decimal rounding paths disagree just often
+    // enough to flag (measured: 1.3e-11 gap over 6k terms at sf0.01).
+    // At 1e-18 the disagreement is harmless; terms < 10 never overflow.
+    val gRow = sPre.crossJoin(broadcast(hRow))
+      .filter(col("__i") <= nTotal - 2)
+      .select(((col("__h") - (col("__cum").cast("double") +
+        lit(1.0) / d(col("__i")))) / (lit(nTotal).cast("double") -
+          d(col("__i")))).as("__gt"))
+      .agg(sum(col("__gt").cast("decimal(38,18)"))
+        .cast("double").as("__g"))
+    main.crossJoin(broadcast(hRow)).crossJoin(broadcast(gRow))
+      .withColumn("__hc", groups.indices.map(i =>
+        lit(1.0) / d(col(s"__n$i"))).reduce(_ + _))
+      .withColumn("__a", (lit(4.0) * col("__g") - 6.0) * (k - 1) +
+        (lit(10.0) - lit(6.0) * col("__g")) * col("__hc"))
+      .withColumn("__b", (lit(2.0) * col("__g") - 4.0) * (k * k) +
+        lit(8.0) * col("__h") * k +
+        (lit(2.0) * col("__g") - lit(14.0) * col("__h") - 4.0) *
+          col("__hc") - lit(8.0) * col("__h") + lit(4.0) * col("__g") -
+        6.0)
+      .withColumn("__cc", (lit(6.0) * col("__h") + lit(2.0) * col("__g") -
+          2.0) * (k * k) +
+        (lit(4.0) * col("__h") - lit(4.0) * col("__g") + 6.0) * k +
+        (lit(2.0) * col("__h") - 6.0) * col("__hc") +
+        lit(4.0) * col("__h"))
+      .withColumn("__d", (lit(2.0) * col("__h") + 6.0) * (k * k) -
+        lit(4.0) * col("__h") * k)
+      .withColumn("variance", when(col("n") >= 4,
+        (col("__a") * d(col("n")) * d(col("n")) * d(col("n")) +
+          col("__b") * d(col("n")) * d(col("n")) +
+          col("__cc") * d(col("n")) + col("__d")) /
+          ((d(col("n")) - 1.0) * (d(col("n")) - 2.0) *
+            (d(col("n")) - 3.0))))
+      .withColumn("t", when(col("variance") > 0,
+        (col("a2akn") - (k - 1)) / sqrt(col("variance"))))
+      .select(col("n"), lit(k).as("k"), col("a2akn"), col("variance"),
+        col("t"))
+  }
+
   /** Exact two-sample 1-D Wasserstein-1 distance (earth mover's
     * distance) — [[ksTest]]'s INTEGRAL companion: KS is
     * sup|F_a − F_b|, W1 is ∫|F_a − F_b| dx, so a drift that moves a

@@ -4101,4 +4101,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(by("s1").getDouble(2) - 20.0) < 1e-12)
     assert(math.abs(by("s1").getDouble(3) - 10.0) < 1e-12)
   }
+
+  test("adKSample: hand Scholz-Stephens A2akN and exact-moment t on " +
+    "the three-sample fixture; identical samples give a2 = 0; " +
+    "partition sweep") {
+    import spark.implicits._
+    // {1,2,3,4} vs {5,6,7,8} vs {2,3,4,5}: literal-model reference
+    // A2akN = 5.044969016336841, var = 0.7767365054378029,
+    // t = 3.454983832765859 (midrank version, paper's 4-moment sigma)
+    val df = (Seq(1, 2, 3, 4).map(v => ("g0", v.toDouble)) ++
+      Seq(5, 6, 7, 8).map(v => ("g1", v.toDouble)) ++
+      Seq(2, 3, 4, 5).map(v => ("g2", v.toDouble))).toDF("g", "v")
+    val r = Analytics.adKSample(df, "g", "v", Seq("g0", "g1", "g2"))
+      .collect().head
+    assert(r.getLong(0) == 12L && r.getInt(1) == 3)
+    // 5e-6 tolerance: the per-value terms are quantized to
+    // decimal(38,6) (the scale-safety cast) before the exact sum, so
+    // the operator differs from the pure-double literal model at the
+    // quantization level, deterministically
+    assert(math.abs(r.getDouble(2) - 5.044969016336841) < 5e-6)
+    assert(math.abs(r.getDouble(3) - 0.7767365054378029) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 3.454983832765859) < 5e-6)
+    // identical samples: no distributional difference at all
+    val same = (Seq("a", "b", "c").flatMap(g =>
+      Seq(1.0, 2.0, 3.0).map((g, _)))).toDF("g", "v")
+    val rs = Analytics.adKSample(same, "g", "v", Seq("a", "b", "c"))
+      .collect().head
+    assert(math.abs(rs.getDouble(2)) < 1e-9)
+    partitionSweep { pn =>
+      Analytics.adKSample(df.repartition(pn), "g", "v",
+        Seq("g0", "g1", "g2")).collect().map(_.toSeq).toSeq
+    }
+  }
 }
