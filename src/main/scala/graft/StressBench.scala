@@ -663,6 +663,23 @@ object StressBench {
           when(col("id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("g"),
           ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
         "g", "v", "ref", "cur")),
+      // round 17: k-sample AD over the wasserstein fixture's regime -
+      // 50M rows in THREE interleaved groups, ~50M distinct pooled
+      // values. Exercises the k-weight distributed prefix (the widest
+      // weight set of any prefix consumer) PLUS the operator's novel
+      // second pass: the (N-1)-row harmonic spine prefix for the exact
+      // 4-moment standardization (a range exchange over 50M synthetic
+      // rows - the only operator whose variance CONSTANT costs a
+      // linear pass; this arm prices it).
+      "adk_50m" -> (() => graft.operators.Analytics.adKSample(
+        spark.range(50000000L).select(
+          when(col("id") % 3 === 0, lit("g0"))
+            .when(col("id") % 3 === 1, lit("g1"))
+            .otherwise(lit("g2")).as("g"),
+          (((col("id") * 2654435761L) % 50000000L) +
+            when(col("id") % 3 === 1, 1000000L).otherwise(0L))
+            .cast("double").as("v")),
+        "g", "v", Seq("g0", "g1", "g2"))),
       // round 15 session 4: Pettitt changepoint over 50M rows with
       // ~50M distinct VALUES and 50M distinct TIMES — both of the
       // operator's prefixes (value axis, time axis) at the unbounded-

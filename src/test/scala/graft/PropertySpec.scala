@@ -952,4 +952,69 @@ class PropertySpec extends SparkSpec {
       Prop(ok) :| s"got=$got expect=$expect xs=$xs"
     }, minTests = 30)
   }
+
+  test("yuenTrimmedT == literal trim/winsorize model (2-dp values, " +
+    "random alpha)") {
+    val vals: org.scalacheck.Gen[List[Double]] =
+      Gen.choose(3, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 40).map(_ / 4.0)))
+    val alphaGen = Gen.oneOf(0.0, 0.1, 0.2, 0.3)
+    check(forAll(vals, vals, alphaGen) { (xs, ys, alpha) =>
+      def side(v: List[Double]): (Long, Long, Double, Option[Double]) = {
+        val n = v.length
+        val k = math.floor(alpha * n).toInt
+        val h = n - 2 * k
+        val sorted = v.sorted
+        val tmean = sorted.slice(k, n - k).sum / h
+        val flo = sorted(k); val fhi = sorted(n - k - 1)
+        val w = v.map(x => math.min(math.max(x, flo), fhi))
+        val sw = w.sum; val qw = w.map(x => x * x).sum
+        val s2w = if (n > 1) Some((qw - sw * sw / n) / (n - 1)) else None
+        (n.toLong, h.toLong, tmean, s2w)
+      }
+      val (na, ha, ma, s2a) = side(xs)
+      val (nb, hb, mb, s2b) = side(ys)
+      def dd(n: Long, h: Long, s2: Option[Double]): Option[Double] =
+        if (h > 1) s2.map(_ * (n - 1.0) / (h * (h - 1.0))) else None
+      val expT = for { da <- dd(na, ha, s2a); db <- dd(nb, hb, s2b)
+        if da + db > 0 } yield (ma - mb) / math.sqrt(da + db)
+      val df = (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("g", "v")
+      val r = Aggregations.yuenTrimmedT(df, "g", "v", "a", "b", alpha)
+        .collect().head
+      val okMeans = math.abs(r.getAs[Double]("mean_a") - ma) < 1e-9 &&
+        math.abs(r.getAs[Double]("mean_b") - mb) < 1e-9
+      val gotT = if (r.isNullAt(r.fieldIndex("t"))) None
+        else Some(r.getAs[Double]("t"))
+      val okT = (gotT, expT) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-7
+        case (None, None) => true
+        case _ => false
+      }
+      Prop(okMeans && okT) :|
+        s"gotT=$gotT expT=$expT xs=$xs ys=$ys alpha=$alpha"
+    }, minTests = 25)
+  }
+
+  test("medianCI == literal order-statistic model (tie-heavy)") {
+    val vals: org.scalacheck.Gen[List[Double]] =
+      Gen.choose(1, 15).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 6).map(_.toDouble)))
+    check(forAll(vals) { xs =>
+      val n = xs.length
+      val z = 1.959964
+      val sorted = xs.sorted
+      val l = math.max(1L,
+        math.floor((n - z * math.sqrt(n.toDouble)) / 2.0).toLong)
+      val u = math.min(n.toLong, n - l + 1)
+      val expLo = sorted((l - 1).toInt); val expHi = sorted((u - 1).toInt)
+      val expMed = if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      val r = Analytics.medianCI(xs.toDF("v"), "v").collect().head
+      Prop(math.abs(r.getDouble(1) - expMed) < 1e-12 &&
+        math.abs(r.getDouble(2) - expLo) < 1e-12 &&
+        math.abs(r.getDouble(3) - expHi) < 1e-12 &&
+        r.getLong(4) == l && r.getLong(5) == u) :|
+        s"got=${r.mkString(",")} exp=($expMed,$expLo,$expHi,$l,$u) xs=$xs"
+    }, minTests = 30)
+  }
 }
