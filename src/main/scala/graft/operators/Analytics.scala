@@ -6150,6 +6150,49 @@ object Analytics {
     * expressions so the scan stays codegen'd. χ²/z NULL when b+c = 0
     * (no discordant pairs — the test is undefined, not significant).
     * Output: one row (n, b, c, chi2_cc, z). */
+  /** Bowker's symmetry test — the MULTI-CLASS [[mcNemar]] ("did the
+    * label DISTRIBUTION move between two annotation passes over the
+    * same items" when the label has k levels, not pass/fail: a paired
+    * re-annotation after a guideline change, model-v1 vs model-v2
+    * labels on one corpus):
+    *   χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji),   χ²(dof) under
+    * symmetry, dof = the number of off-diagonal pairs with ANY
+    * discordance (empty pairs carry no information and drop from the
+    * dof — the standard practice, reported as pairs_used so the drop
+    * is visible). ONE contingency-cell aggregate (map-side combined),
+    * pairs folded by least/greatest canonicalization — cells-bounded
+    * after the scan; each pair term an exact-integer pinned double
+    * summed as decimal(28,12). Rows with either side NULL excluded.
+    * Output: one row (n, k_levels, pairs_used, chi2, dof);
+    * zero discordant pairs → NULL chi2 (no evidence either way). */
+  def bowkerTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dec28 = (c: Column) => c.cast("decimal(28,12)")
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cells.agg(sum(col("__c")).as("n"))
+    val k = cells.selectExpr("stack(2, __a, __b) AS __l")
+      .agg(countDistinct(struct(col("__l"))).as("k_levels"))
+    val sym = cells.filter(col("__a") =!= col("__b"))
+      .groupBy(least(col("__a"), col("__b")).as("__lo"),
+        greatest(col("__a"), col("__b")).as("__hi"))
+      .agg(sum(when(col("__a") < col("__b"), col("__c")).otherwise(0L))
+        .as("__nij"),
+        sum(when(col("__a") > col("__b"), col("__c")).otherwise(0L))
+          .as("__nji"))
+      .agg(count(lit(1)).as("pairs_used"),
+        sum(dec28((d(col("__nij")) - d(col("__nji"))) *
+          (d(col("__nij")) - d(col("__nji"))) /
+          (d(col("__nij")) + d(col("__nji")))))
+          .cast("double").as("__chi2"))
+    tot.crossJoin(broadcast(k)).crossJoin(broadcast(sym))
+      .select(col("n"), col("k_levels"),
+        coalesce(col("pairs_used"), lit(0L)).as("pairs_used"),
+        when(col("pairs_used") > 0, col("__chi2")).as("chi2"),
+        when(col("pairs_used") > 0, col("pairs_used")).as("dof"))
+  }
+
   def mcNemar(df: DataFrame, aCorrect: Column, bCorrect: Column)
       : DataFrame =
     mcNemarChain(df.agg(mcNemarAggs(aCorrect, bCorrect).head,

@@ -4133,4 +4133,73 @@ class AnalyticsSpec extends SparkSpec {
         Seq("g0", "g1", "g2")).collect().map(_.toSeq).toSeq
     }
   }
+
+  test("bowkerTest: hand 3x3 asymmetry chi2=5 dof=3; all-diagonal " +
+    "table NULL chi2; partition sweep") {
+    import spark.implicits._
+    def rows(a: String, b: String, c: Int) = Seq.fill(c)((a, b))
+    // off-diagonal: (a,b)=3 vs (b,a)=1 -> 1; (a,c)=2 vs (c,a)=2 -> 0;
+    // (b,c)=0 vs (c,b)=4 -> 4; plus 5 diagonal rows
+    val df = (rows("a", "b", 3) ++ rows("b", "a", 1) ++
+      rows("a", "c", 2) ++ rows("c", "a", 2) ++ rows("c", "b", 4) ++
+      rows("a", "a", 3) ++ rows("b", "b", 2)).toDF("x", "y")
+    val r = Analytics.bowkerTest(df, "x", "y").collect().head
+    assert(r.getLong(0) == 17L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 3L && r.getLong(4) == 3L)
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-12)
+    val diag = Analytics.bowkerTest(
+      (rows("a", "a", 2) ++ rows("b", "b", 2)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(diag.getLong(2) == 0L && diag.isNullAt(3) && diag.isNullAt(4))
+    partitionSweep { pn =>
+      Analytics.bowkerTest(df.repartition(pn), "x", "y")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("pairwiseKappa: per-pair == cohensKappa on the co-rated items; " +
+    "duplicate (item, rater) raises") {
+    import spark.implicits._
+    import graft.functions.ML
+    // r1 == r2 everywhere (kappa 1 given both levels appear);
+    // r3 flips every label
+    val panel = (1 to 8).flatMap { i =>
+      val l = if (i % 2 == 0) "x" else "y"
+      val fl = if (i % 2 == 0) "y" else "x"
+      Seq((i.toLong, "r1", l), (i.toLong, "r2", l), (i.toLong, "r3", fl))
+    }.toDF("item", "rater", "label")
+    val m = ML.pairwiseKappa(panel, "item", "rater", "label")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(m.size == 3)
+    assert(math.abs(m(("r1", "r2")).getAs[Double]("kappa") - 1.0) < 1e-12)
+    assert(math.abs(m(("r1", "r3")).getAs[Double]("kappa") + 1.0) < 1e-12)
+    assert(m(("r1", "r2")).getAs[Long]("n") == 8L)
+    intercept[Exception] {
+      ML.pairwiseKappa(panel.union(
+        Seq((1L, "r1", "x")).toDF("item", "rater", "label")),
+        "item", "rater", "label").collect()
+    }
+  }
+
+  test("ndcgAtK: hand graded query (ndcg 0.66532); perfect order 1; " +
+    "no relevant docs NULL; partition sweep") {
+    import spark.implicits._
+    import graft.functions.ML
+    val df = Seq(
+      ("q1", 1L, 9.0, 0L), ("q1", 2L, 8.0, 3L), ("q1", 3L, 7.0, 2L),
+      ("q2", 4L, 5.0, 2L), ("q2", 5L, 4.0, 1L),
+      ("q3", 6L, 1.0, 0L), ("q3", 7L, 0.5, 0L))
+      .toDF("q", "doc", "score", "rel")
+    val r = ML.ndcgAtK(df, "q", "doc", "score", "rel", k = 3)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("q1").getAs[Double]("dcg") - 5.9165082750002025) < 1e-9)
+    assert(math.abs(r("q1").getAs[Double]("idcg") - 8.892789260714373) < 1e-9)
+    assert(math.abs(r("q1").getAs[Double]("ndcg") - 0.6653152460429406) < 1e-9)
+    assert(math.abs(r("q2").getAs[Double]("ndcg") - 1.0) < 1e-12)
+    assert(r("q3").isNullAt(r("q3").fieldIndex("ndcg")))
+    partitionSweep { pn =>
+      ML.ndcgAtK(df.repartition(pn), "q", "doc", "score", "rel", 3)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
