@@ -103,16 +103,21 @@ private[graft] object Batch74 {
 
     // NDCG@10 over 20 synthetic judged queries (deterministic scores
     // and graded relevance from the doc id): score-ranked DCG vs the
-    // ideal ordering, id tie-breaks, pinned gain terms.
+    // ideal ordering, id tie-breaks, pinned gain terms. Round 18:
+    // points at the ONE consolidated Retrieval.ndcgAtK (the former
+    // ML.ndcgAtK near-duplicate was folded in; includeNDocs=true keeps
+    // this entry's wider n_docs schema — q289 exercises the default
+    // schema). Gain terms use the LN/LN log₂ pin, same as q289.
     Q("q427_ndcg",
-      (s, dir) => graft.functions.ML.ndcgAtK(
+      (s, dir) => graft.functions.Retrieval.ndcgAtK(
         Tables.documents(s, dir).select(
           pmod(col("doc_id"), lit(20L)).as("q"),
           col("doc_id").as("doc"),
           pmod(col("doc_id") * 2654435761L, lit(1000L)).cast("double")
             .as("score"),
           pmod(col("doc_id"), lit(4L)).as("rel")),
-        "q", "doc", "score", "rel", k = 10),
+        "q", "doc", "score", "rel", k = 10, includeNDocs = true)
+        .orderBy("q"),
       Some("""WITH b AS (SELECT doc_id % 20 AS q, doc_id AS doc,
              |    CAST((doc_id * 2654435761) % 1000 AS DOUBLE) AS score,
              |    doc_id % 4 AS rel
@@ -122,12 +127,12 @@ private[graft] object Batch74 {
              |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, doc ASC) AS ipos
              |  FROM b),
              |agg AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |    CAST(COALESCE(SUM(CASE WHEN pos <= 10 THEN
+             |    CAST(SUM(CASE WHEN pos <= 10 THEN
              |      CAST((POW(2.0, CAST(rel AS DOUBLE)) - 1.0) /
-             |        log2(CAST(pos AS DOUBLE) + 1.0) AS DECIMAL(28,12)) END), 0) AS DOUBLE) AS dcg,
-             |    CAST(COALESCE(SUM(CASE WHEN ipos <= 10 THEN
+             |        (LN(CAST(pos AS DOUBLE) + 1.0) / LN(2.0)) AS DECIMAL(28,12)) END) AS DOUBLE) AS dcg,
+             |    CAST(SUM(CASE WHEN ipos <= 10 THEN
              |      CAST((POW(2.0, CAST(rel AS DOUBLE)) - 1.0) /
-             |        log2(CAST(ipos AS DOUBLE) + 1.0) AS DECIMAL(28,12)) END), 0) AS DOUBLE) AS idcg
+             |        (LN(CAST(ipos AS DOUBLE) + 1.0) / LN(2.0)) AS DECIMAL(28,12)) END) AS DOUBLE) AS idcg
              |  FROM r GROUP BY q)
              |SELECT q, n_docs, dcg, idcg,
              |  CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg

@@ -653,7 +653,9 @@ object ML {
     * are panel-bounded (m² pairs of keys-sized frames after the
     * join); the join itself is items×ratings-scale, shuffled on the
     * item key. REQUIRES one rating per (item, rater) — duplicates
-    * would silently multiply pairs, so they RAISE. Output: one row
+    * would silently multiply pairs, so they RAISE (the guard rides a
+    * one-row broadcast on the main data path, so it fires even when
+    * the panel has zero co-rated items and the output is empty). Output: one row
     * per co-rating pair, (rater_a, rater_b, n, po, pe, kappa),
     * ordered. */
   def pairwiseKappa(df: DataFrame, itemCol: String, raterCol: String,
@@ -664,65 +666,29 @@ object ML {
         col(labelCol).as("__l"))
     val chk = base.agg(count(lit(1)).as("__cn"),
       countDistinct(struct(col("__it"), col("__r"))).as("__cd"))
+    // The guard rides the BROADCAST side of the main data path (not a
+    // column on the output rows): a zero-co-rated-pair panel yields an
+    // empty kappa frame, and a raise column on empty output never
+    // evaluates — whereas this one-row broadcast materializes whenever
+    // base is non-empty (and an empty base cannot hold duplicates), so
+    // duplicates ALWAYS raise. Threaded through as a constant group key
+    // so column pruning cannot elide the projection carrying the raise.
+    val chkGuard = chk.select(
+      when(col("__cn") === col("__cd"), lit(1))
+        .otherwise(raise_error(lit("pairwiseKappa: duplicate (item, " +
+          "rater) ratings — the self-join would silently multiply " +
+          "pairs; pre-aggregate to one rating per item per rater")))
+        .as("__dupok"))
     val a = base.select(col("__it"), col("__r").as("rater_a"),
-      col("__l").as("__la"))
+      col("__l").as("__la")).crossJoin(broadcast(chkGuard))
     val b = base.select(col("__it").as("__itb"),
       col("__r").as("rater_b"), col("__l").as("__lb"))
     val pairs = a.join(b, col("__it") === col("__itb") &&
       col("rater_a") < col("rater_b"))
-    cohensKappaBy(pairs, Seq("rater_a", "rater_b"), "__la", "__lb")
-      .crossJoin(broadcast(chk))
-      .withColumn("n", when(col("__cn") === col("__cd"), col("n"))
-        .otherwise(raise_error(lit("pairwiseKappa: duplicate (item, " +
-          "rater) ratings — the self-join would silently multiply " +
-          "pairs; pre-aggregate to one rating per item per rater"))))
-      .drop("__cn", "__cd")
+    cohensKappaBy(pairs, Seq("rater_a", "rater_b", "__dupok"),
+        "__la", "__lb")
+      .drop("__dupok")
       .orderBy("rater_a", "rater_b")
-  }
-
-  /** NDCG@k — THE graded ranking metric, for evaluating this
-    * library's own retrieval paths ([[graft.functions.Text]] BM25,
-    * [[graft.functions.Similarity]] ANN top-k) against judged
-    * relevance: per query, rank by score (ties broken by the id
-    * column so the ordering — and therefore the metric — is
-    * DETERMINISTIC and oracle-replayable),
-    *   DCG@k = Σ_{pos ≤ k} (2^rel − 1)/log₂(pos + 1),
-    * IDCG@k from the relevance-sorted ideal ordering of the SAME
-    * judged set, ndcg = DCG/IDCG. Both rankings are per-query windows
-    * — per-key sequential, right for the many-queries × bounded-docs
-    * eval shape (a single query with corpus-scale candidates should
-    * be top-k-truncated upstream); each of the ≤k gain terms is a
-    * pinned double summed as decimal(28,12) (order-free; document
-    * rel ≲ 900 or 2^rel overflows the cast's integer digits —
-    * relevance grades are single digits in practice). Queries with no
-    * relevant docs (IDCG = 0) → NULL ndcg, visible not dropped.
-    * Output: one row per query, (query col, n_docs, dcg, idcg,
-    * ndcg), ordered by query. */
-  def ndcgAtK(df: DataFrame, queryCol: String, idCol: String,
-              scoreCol: String, relCol: String, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val dec28 = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,12)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryCol))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-    val wi = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryCol))
-      .orderBy(col(relCol).desc, col(idCol).asc)
-    val gain = pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)
-    df.filter(col(queryCol).isNotNull && col(idCol).isNotNull &&
-        col(scoreCol).isNotNull && col(relCol).isNotNull)
-      .withColumn("__pos", row_number().over(w))
-      .withColumn("__ipos", row_number().over(wi))
-      .groupBy(col(queryCol))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(when(col("__pos") <= k,
-          dec28(gain / log2(col("__pos") + 1)))),
-          lit(0).cast("decimal(28,12)")).cast("double").as("dcg"),
-        coalesce(sum(when(col("__ipos") <= k,
-          dec28(gain / log2(col("__ipos") + 1)))),
-          lit(0).cast("decimal(28,12)")).cast("double").as("idcg"))
-      .withColumn("ndcg", when(col("idcg") > 0, col("dcg") / col("idcg")))
-      .orderBy(queryCol)
   }
 
   /** Per-GROUP [[cohensKappa]] — per-language/per-source agreement (a

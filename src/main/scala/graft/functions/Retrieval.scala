@@ -282,9 +282,18 @@ object Retrieval {
     * row_number windows — eval result lists are bounded by
     * construction, queries parallelize across partitions, and the
     * rank ≤ k filter is eligible for WindowGroupLimit pushdown.
-    * Output: one row per query — (queryCol, dcg, idcg, ndcg). */
+    * `includeNDocs=true` adds an `n_docs` column (judged docs per
+    * query, pre-truncation) via one extra queries-sized aggregate that
+    * reuses the dcg branch's partitioning — kept OFF the default path
+    * so the pure shape keeps its group-limit pushdown. THE one NDCG
+    * implementation in this library (round 18 — a near-duplicate in
+    * the ML object was folded in here; `RegistrySpec` now trips
+    * structurally on cross-object same-name operators).
+    * Output: one row per query — (queryCol, [n_docs], dcg, idcg,
+    * ndcg). */
   def ndcgAtK(df: DataFrame, queryCol: String, docCol: String,
-              scoreCol: String, relCol: String, k: Int): DataFrame = {
+              scoreCol: String, relCol: String, k: Int,
+              includeNDocs: Boolean = false): DataFrame = {
     require(k >= 1, "ndcgAtK needs k >= 1")
     import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy(col(queryCol))
@@ -302,13 +311,20 @@ object Retrieval {
       .filter(col("__rn") <= k)
       .groupBy(col(queryCol))
       .agg(sum(gain(col("__rn"), col(relCol))).as("__idcg"))
-    dcg.join(idcg, Seq(queryCol))
-      .select(col(queryCol),
-        col("__dcg").cast("double").as("dcg"),
+    val joined = dcg.join(idcg, Seq(queryCol))
+    val withN =
+      if (!includeNDocs) joined
+      else joined.join(
+        df.groupBy(col(queryCol)).agg(count(lit(1)).as("n_docs")),
+        Seq(queryCol))
+    withN.select(
+      (col(queryCol) +:
+        (if (includeNDocs) Seq(col("n_docs")) else Nil)) ++
+      Seq(col("__dcg").cast("double").as("dcg"),
         col("__idcg").cast("double").as("idcg"),
         when(col("__idcg") > 0,
           col("__dcg").cast("double") / col("__idcg").cast("double"))
-          .as("ndcg"))
+          .as("ndcg")): _*)
   }
 
   /** Precision@k / recall@k / reciprocal rank — the BINARY-relevance

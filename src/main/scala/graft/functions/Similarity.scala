@@ -313,7 +313,11 @@ object Similarity {
     * the shuffle carries dim·partitions rows, nothing pairwise,
     * nothing row-scale after the explode. Cohorts of RAGGED dims
     * raise loudly (a truncated embedding column would otherwise skew
-    * per-dimension counts silently); an empty cohort yields NULL
+    * per-dimension counts silently), and two internally-consistent
+    * cohorts of DIFFERENT dims raise their own "cohort dimensions
+    * differ (A=…, B=…)" error — detected via per-cohort max position,
+    * checked before the per-cohort ragged guards so neither side is
+    * blamed for a cross-cohort mismatch; an empty cohort yields NULL
     * drift columns. Output: one row (dim, n_a, n_b, cos_centroids,
     * l2_centroids). A near-1 cosine with a small L2 says "no mean
     * shift"; dispersion/shape changes need the scalar family over
@@ -342,13 +346,26 @@ object Similarity {
       .agg(count(lit(1)).as("dim"),
         min(col("__na")).as("__namin"), max(col("__na")).as("__namax"),
         min(col("__nb")).as("__nbmin"), max(col("__nb")).as("__nbmax"),
+        max(when(col("__na") > 0, col("__pos"))).as("__pamax"),
+        max(when(col("__nb") > 0, col("__pos"))).as("__pbmax"),
         sum(dec28(col("__ca") * col("__cb"))).cast("double").as("__dot"),
         sum(dec28(col("__ca") * col("__ca"))).cast("double").as("__qa"),
         sum(dec28(col("__cb") * col("__cb"))).cast("double").as("__qb"),
         sum(dec28((col("__ca") - col("__cb")) *
           (col("__ca") - col("__cb")))).cast("double").as("__l2q"))
-      .withColumn("n_a", when(col("__namin") <=> col("__namax"),
-        col("__namax"))
+      // cross-cohort dim mismatch FIRST: two internally-consistent
+      // cohorts of different dims would otherwise trip the per-cohort
+      // ragged check below (the shorter cohort has zero-count rows at
+      // the longer cohort's positions) with a message blaming one side.
+      .withColumn("n_a",
+        when(col("__namax") > 0 && col("__nbmax") > 0 &&
+            !(col("__pamax") <=> col("__pbmax")),
+          raise_error(concat(
+            lit("centroidDrift: cohort dimensions differ — A has dim "),
+            (col("__pamax") + 1).cast("string"), lit(", B has dim "),
+            (col("__pbmax") + 1).cast("string"),
+            lit("; embeddings must share one length across cohorts"))))
+        .when(col("__namin") <=> col("__namax"), col("__namax"))
         .otherwise(raise_error(lit("centroidDrift: ragged vector " +
           "dimensions in cohort A — every embedding must have the " +
           "same length; filter or pad upstream"))))

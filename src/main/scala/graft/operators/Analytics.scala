@@ -950,8 +950,11 @@ object Analytics {
     * a pinned double summed as decimal(38,6) — the wider cast because
     * a tiny cohort inflates terms toward l_j·N/n_i). N is read back
     * as one driver-side count (the byAdjust precedent) to build the
-    * spine. Degenerate (one distinct value, or n < 4 where the
-    * variance denominator vanishes) → NULL t. Output: one row
+    * spine. Degenerate (one distinct value — where every per-value
+    * denominator B(N−B) − N·l/4 is zero, tracked by a
+    * positive-denominator term count so a2akn is NULL rather than a
+    * spurious 0 — or n < 4 where the variance denominator vanishes)
+    * → NULL a2akn/t. Output: one row
     * (n, k, a2akn, variance, t).
     * EAGER: builds on the pinned-execution bridge, so Spark jobs
     * launch AT CALL time and the input is snapshotted then
@@ -1000,8 +1003,9 @@ object Analytics {
         d(col("__lj")) * innerSum / den).otherwise(lit(0.0)))
       .agg(max(col("__nn")).as("n"),
         (sum(dec386(col("__term"))).cast("double").as("__s") +:
-          groups.indices.map(i => max(col(s"__n$i")).as(s"__n$i"))): _*)
-      .withColumn("a2akn", when(col("n") > 1,
+          (sum(when(den > 0, 1L).otherwise(0L)).as("__used") +:
+            groups.indices.map(i => max(col(s"__n$i")).as(s"__n$i")))): _*)
+      .withColumn("a2akn", when(col("n") > 1 && col("__used") > 0,
         (d(col("n")) - 1.0) / (d(col("n")) * d(col("n"))) * col("__s")))
     // the harmonic constants h and g over the (N−1)-row spine
     val nTotal = df.filter(col(groupCol).isin(groups: _*) &&

@@ -582,7 +582,12 @@ object TimeSeries {
     * moments: μ = 1 + 2n₁n₂/n, σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1)),
     * z = (R − μ)/σ. The series is normally an AGGREGATE of the corpus
     * (every frame series-length-bounded); duplicate t values raise
-    * (a series needs one row per time point). Output: one row
+    * (a series needs one row per time point). t is cast to LONG (the
+    * [[acf]]/[[durbinWatson]] convention, also used by
+    * [[coxStuartTest]]/[[turningPointsTest]]) — nanosecond-scale long
+    * timestamps (~1.7e18 > 2^53) keep exact identity, where a double
+    * cast would collapse distinct t within ~128 ns and spuriously trip
+    * this raise. Output: one row
     * (n, n_above, n_below, n_ties_dropped, runs, z); a constant or
     * one-sided series → NULL z.
     * EAGER: builds on the pinned-execution bridge, so Spark jobs
@@ -592,7 +597,7 @@ object TimeSeries {
       : DataFrame = {
     def d(c: Column) = c.cast("double")
     val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(tCol).cast("double").as("__t"),
+      .select(col(tCol).cast("long").as("__t"),
         col(valueCol).cast("double").as("__v"))
     val med = graft.operators.Aggregations
       .quantilesCont(s0, "__v", Seq(0.5))
@@ -657,7 +662,7 @@ object TimeSeries {
       : DataFrame = {
     def d(c: Column) = c.cast("double")
     val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(tCol).cast("double").as("__t"),
+      .select(col(tCol).cast("long").as("__t"),
         col(valueCol).cast("double").as("__v"))
     val chk = s0.agg(count(lit(1)).as("__cn"),
       count_distinct(col("__t")).as("__cd"))
@@ -710,7 +715,7 @@ object TimeSeries {
       : DataFrame = {
     def d(c: Column) = c.cast("double")
     val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(tCol).cast("double").as("__t"),
+      .select(col(tCol).cast("long").as("__t"),
         col(valueCol).cast("double").as("__v"))
     val chk = s0.agg(count(lit(1)).as("__cn"),
       count_distinct(col("__t")).as("__cd"))

@@ -3774,6 +3774,21 @@ class AnalyticsSpec extends SparkSpec {
       Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("t", "v"), "t", "v")
       .collect().head
     assert(d3.getLong(3) == 1L && d3.getLong(4) == 2L && d3.isNullAt(5))
+    // nanosecond-scale long t (~1.7e18 > 2^53): distinct t values 64ns
+    // apart collapse under a double cast and would spuriously trip the
+    // duplicate-t raise - the long cast (acf convention) must keep
+    // them distinct (round 18, ADVICE r17); same fixture through all
+    // three randomness screens
+    val base = 1700000000000000000L
+    val nano = Seq((base, 1.0), (base + 64L, 2.0), (base + 128L, 1.0),
+      (base + 192L, 2.0), (base + 256L, 1.0), (base + 320L, 2.0))
+      .toDF("t", "v")
+    val rn = TimeSeries.runsTest(nano, "t", "v").collect().head
+    assert(rn.getLong(0) == 6L && rn.getLong(4) == 6L)
+    assert(TimeSeries.coxStuartTest(nano, "t", "v")
+      .collect().head.getLong(0) == 6L)
+    assert(TimeSeries.turningPointsTest(nano, "t", "v")
+      .collect().head.getLong(0) == 6L)
     partitionSweep { pn =>
       TimeSeries.runsTest(alt.repartition(pn), "t", "v")
         .collect().map(_.toSeq).toSeq
@@ -4128,6 +4143,15 @@ class AnalyticsSpec extends SparkSpec {
     val rs = Analytics.adKSample(same, "g", "v", Seq("a", "b", "c"))
       .collect().head
     assert(math.abs(rs.getDouble(2)) < 1e-9)
+    // ONE distinct pooled value: every per-value denominator
+    // B(N-B) - N*l/4 is zero, so no term contributes - a2akn must be
+    // NULL (tracked by the positive-denominator count), not a
+    // spurious 0 passed off as "no difference" (round 18, ADVICE r17)
+    val const = Seq("a", "b", "c").flatMap(g =>
+      Seq.fill(3)((g, 7.0))).toDF("g", "v")
+    val rc = Analytics.adKSample(const, "g", "v", Seq("a", "b", "c"))
+      .collect().head
+    assert(rc.isNullAt(2) && rc.isNullAt(4))
     partitionSweep { pn =>
       Analytics.adKSample(df.repartition(pn), "g", "v",
         Seq("g0", "g1", "g2")).collect().map(_.toSeq).toSeq
@@ -4179,26 +4203,47 @@ class AnalyticsSpec extends SparkSpec {
         Seq((1L, "r1", "x")).toDF("item", "rater", "label")),
         "item", "rater", "label").collect()
     }
+    // duplicates must raise even when NO pair co-rates anything (the
+    // guard rides a one-row broadcast on the main path, not a column
+    // on the possibly-empty output - round 18, ADVICE r17): a
+    // single-rater panel with a duplicated (item, rater) yields an
+    // empty kappa frame, and the raise must still fire
+    intercept[Exception] {
+      ML.pairwiseKappa(
+        Seq((1L, "r1", "x"), (2L, "r1", "y"), (1L, "r1", "x"))
+          .toDF("item", "rater", "label"),
+        "item", "rater", "label").collect()
+    }
+    // ...and the same empty-output panel WITHOUT duplicates is fine
+    assert(ML.pairwiseKappa(
+      Seq((1L, "r1", "x"), (2L, "r1", "y"))
+        .toDF("item", "rater", "label"),
+      "item", "rater", "label").collect().isEmpty)
   }
 
-  test("ndcgAtK: hand graded query (ndcg 0.66532); perfect order 1; " +
-    "no relevant docs NULL; partition sweep") {
+  test("ndcgAtK (consolidated, includeNDocs): hand graded query " +
+    "(ndcg 0.66532); perfect order 1; no relevant docs NULL; n_docs " +
+    "counts the full judged set; partition sweep") {
     import spark.implicits._
-    import graft.functions.ML
+    import graft.functions.Retrieval
     val df = Seq(
       ("q1", 1L, 9.0, 0L), ("q1", 2L, 8.0, 3L), ("q1", 3L, 7.0, 2L),
       ("q2", 4L, 5.0, 2L), ("q2", 5L, 4.0, 1L),
       ("q3", 6L, 1.0, 0L), ("q3", 7L, 0.5, 0L))
       .toDF("q", "doc", "score", "rel")
-    val r = ML.ndcgAtK(df, "q", "doc", "score", "rel", k = 3)
+    val r = Retrieval.ndcgAtK(df, "q", "doc", "score", "rel", k = 3,
+        includeNDocs = true)
       .collect().map(x => x.getString(0) -> x).toMap
     assert(math.abs(r("q1").getAs[Double]("dcg") - 5.9165082750002025) < 1e-9)
     assert(math.abs(r("q1").getAs[Double]("idcg") - 8.892789260714373) < 1e-9)
     assert(math.abs(r("q1").getAs[Double]("ndcg") - 0.6653152460429406) < 1e-9)
     assert(math.abs(r("q2").getAs[Double]("ndcg") - 1.0) < 1e-12)
+    assert(r("q1").getAs[Long]("n_docs") == 3L)
+    assert(r("q3").getAs[Long]("n_docs") == 2L)
     assert(r("q3").isNullAt(r("q3").fieldIndex("ndcg")))
     partitionSweep { pn =>
-      ML.ndcgAtK(df.repartition(pn), "q", "doc", "score", "rel", 3)
+      Retrieval.ndcgAtK(df.repartition(pn), "q", "doc", "score", "rel",
+          3, includeNDocs = true)
         .collect().map(_.toSeq).toSeq
     }
   }

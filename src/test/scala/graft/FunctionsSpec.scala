@@ -2701,6 +2701,17 @@ class FunctionsSpec extends SparkSpec {
     intercept[Exception] {
       Similarity.centroidDrift(ragged, "g", "v", "a", "b").collect()
     }
+    // two internally-consistent cohorts of DIFFERENT dims get their
+    // own diagnosis, not a misleading "ragged in cohort A" (round 18,
+    // ADVICE r17): dim-2 cohort A vs dim-3 cohort B
+    val dimsDiffer = Seq(("a", Seq(1.0f, 0.0f)), ("a", Seq(0.0f, 1.0f)),
+      ("b", Seq(1.0f, 1.0f, 1.0f))).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Similarity.centroidDrift(dimsDiffer, "g", "v", "a", "b").collect()
+    }
+    assert(ex.getMessage.contains("cohort dimensions differ") &&
+      ex.getMessage.contains("A has dim 2") &&
+      ex.getMessage.contains("B has dim 3"))
     // empty cohort: NULL drift columns, not a crash
     val e = Similarity.centroidDrift(
       Seq(("a", Seq(1.0f, 0.0f))).toDF("g", "v"), "g", "v", "a", "b")
