@@ -177,7 +177,16 @@ object Bench {
     // the plan the query actually declares.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Focused A/B runs (round 18): SPARK_GRAFT_BENCH_ONLY=q90_...,q179_...
+    // restricts the headline set — the per-line regression-pinning
+    // protocol (suspect lines re-measured back-to-back at HEAD against
+    // a prior round's committed band) without paying the full suite per
+    // arm. NOT used by the driver (its artifacts always carry the full
+    // set); the interleaving + median logic is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries
+      .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val ok = scala.collection.mutable.Map.empty[String, Boolean]
     names.foreach { n => times(n) = scala.collection.mutable.ArrayBuffer.empty[Double]; ok(n) = true }
