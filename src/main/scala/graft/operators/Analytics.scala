@@ -6388,6 +6388,107 @@ object Analytics {
         col("w_minus"), col("z")): _*)
   }
 
+  /** Always-valid SEQUENTIAL mean test — the mixture SPRT (mSPRT),
+    * the fix for the #1 practitioner complaint about live drift
+    * dashboards: a fixed-threshold monitor re-checked every batch
+    * inflates its false-alarm rate without bound (repeated looks),
+    * while the mixture likelihood-ratio process below is a
+    * nonnegative martingale under H₀, so by Ville's inequality
+    * P(sup_n Λ_n ≥ 1/α) ≤ α — the monitor may peek after EVERY row
+    * forever and still hold its α. Classical construction (Robbins
+    * 1970, the law-of-iterated-logarithm mixture family; deployed
+    * form per Johari–Koomen–Pekelis–Walsh, "Peeking at A/B Tests",
+    * KDD 2017): for H₀: μ = μ₀ with known variance σ² and a
+    * N(μ₀, τ²) mixture over the alternative,
+    *   log Λ_n = ½·ln(σ²/(σ² + nτ²))
+    *           + n²τ²(X̄_n − μ₀)² / (2σ²(σ² + nτ²)),
+    * reject (forever) once log Λ_n ≥ ln(1/α); the always-valid
+    * p-value process is p_n = min(1, 1/max_{k≤n} Λ_k) — a running
+    * min the consumer takes over `e_log` if it wants the p itself.
+    *
+    * Exactness: X̄_n rides an INCLUSIVE prefix sum of the value
+    * quantized to decimal(38,12) (engine-exact cumulative; the
+    * magnitude grows with n so the scale-18 rule does not apply) over
+    * the distributed distinct-t prefix ([[prefixBefore]] — never a
+    * single-task window); n is the same prefix's count weight. The
+    * per-row log/exp chain is pinned doubles in one fixed order, so a
+    * SQL engine replays it term-for-term. Duplicate t values RAISE
+    * (a sequential test needs an unambiguous observation order); t is
+    * cast to long (the [[graft.operators.TimeSeries.runsTest]]
+    * convention — nanosecond stamps keep exact identity).
+    *
+    * 100 TB: per-row output over the same two prefix exchanges every
+    * prefix consumer pays (range + pid-window) plus one broadcast
+    * offsets row per partition — nothing quadratic, nothing
+    * single-task; the row count out equals the row count in. Output:
+    * one row per observation, (t, n, mean_v, e_log, crossed),
+    * ascending t; `crossed` = logΛ at THIS n ≥ ln(1/α) (the
+    * sequential decision is its running OR — monotone by
+    * construction once Λ stays crossed, and first-crossing time is
+    * `filter(crossed).orderBy(t).limit(1)`).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def msprtMeanTest(df: DataFrame, tCol: String, valueCol: String,
+                    mu0: Double, sigma2: Double, tau2: Double,
+                    alpha: Double = 0.05): DataFrame = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    val (_, pre) = prefixBeforeMultiByShared(s0, Seq.empty, "__t",
+      Seq("c" -> lit(1L), "s" -> col("__v").cast("decimal(38,12)")))
+    val nd = d(col("n"))
+    val mixVar = lit(sigma2) + nd * lit(tau2)
+    pre
+      .crossJoin(broadcast(chk))
+      .withColumn("n", when(col("__cn") === col("__cd"),
+        col("__cum_c") + lit(1L))
+        .otherwise(raise_error(lit("msprtMeanTest: duplicate t values " +
+          "— a sequential test needs an unambiguous observation " +
+          "order; pre-aggregate to one row per time point"))))
+      .withColumn("__s", coalesce(col("__cum_s"),
+        lit(0).cast("decimal(38,12)")) + col("__v").cast("decimal(38,12)"))
+      .withColumn("mean_v", d(col("__s")) / nd)
+      .withColumn("__dev", col("mean_v") - lit(mu0))
+      .withColumn("e_log",
+        lit(0.5) * log(lit(sigma2) / mixVar) +
+          (nd * nd * lit(tau2) * (col("__dev") * col("__dev"))) /
+            (lit(2.0) * lit(sigma2) * mixVar))
+      .withColumn("crossed", col("e_log") >= lit(math.log(1.0 / alpha)))
+      .select(col("__t").as("t"), col("n"), col("mean_v"),
+        col("e_log"), col("crossed"))
+      .orderBy("t")
+  }
+
+  /** [[msprtMeanTest]] for a PROPORTION stream (conversion / pass-rate
+    * / binary-quality-gate monitors — the other metric every live
+    * dashboard watches): H₀: p = p₀ via the Gaussian-approximation
+    * mSPRT with the null variance σ² = p₀(1 − p₀) plugged in — the
+    * standard deployed form for conversion metrics (the exact
+    * Bernoulli–Beta mixture martingale needs log-gamma, which Spark
+    * SQL lacks natively; the normal approximation is the published
+    * practice and its α guarantee degrades only at extreme p₀ with
+    * tiny n). `successCol` is 0/1 (numeric or boolean). Same output,
+    * same prefix plan, same duplicate-t raise.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def msprtProportionTest(df: DataFrame, tCol: String,
+                          successCol: String, p0: Double, tau2: Double,
+                          alpha: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1, s"p0 must be in (0,1), got $p0")
+    msprtMeanTest(
+      df.withColumn("__succ01", col(successCol).cast("int").cast("double")),
+      tCol, "__succ01", mu0 = p0, sigma2 = p0 * (1.0 - p0),
+      tau2 = tau2, alpha = alpha)
+  }
+
   private def mcNemarAggs(aCorrect: Column, bCorrect: Column): Seq[Column] =
     Seq(count(lit(1)).as("n"),
       sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("b"),

@@ -559,6 +559,77 @@ object Streams {
         abs(col("z")) > threshold))
   }
 
+  /** Streaming ALWAYS-VALID sequential mean monitor — the live arm of
+    * [[graft.operators.Analytics.msprtMeanTest]] (see its scaladoc for
+    * the statistics: Robbins 1970 mixture martingale; Ville's
+    * inequality makes the α hold under CONTINUOUS peeking, which is
+    * exactly what a streaming monitor does — the fixed-threshold
+    * alternative inflates its false-alarm rate with every window it
+    * scores):
+    *   stage 1 — the distributed tumbling-window aggregate: per-window
+    *   count + value sum as exact decimal(28,12) (mergeable state, all
+    *   heavy lifting; watermark closes windows once);
+    *   stage 2 — the [[windowedPsiLive]] single-key walk over CLOSED
+    *   windows in bucket order, carrying (N, S) — cumulative count and
+    *   EXACT cumulative decimal sum; per window it emits the mSPRT
+    *   log-e-value at prefix N via the batch operator's pinned double
+    *   chain VERBATIM (a DuckDB replay of the same windows lands
+    *   bit-identical, the q232 discipline).
+    * Stage 2 inherits windowedPsiLive's contract: a deliberate
+    * single-task serialization point over metadata-sized closed-window
+    * rows (one (bucket, n, sum) row per window; state = one long + one
+    * BigDecimal), NOT a row-scale pattern. `crossed` is this window's
+    * logΛ ≥ ln(1/α); the sequential decision is its running OR.
+    * Output per closed window: (bucket_us, n_window, n_total,
+    * mean_total, e_log, crossed). */
+  def windowedMsprt(events: DataFrame, mu0: Double, sigma2: Double,
+                    tau2: Double, alpha: Double = 0.05,
+                    watermark: String = "0 seconds",
+                    window_ : String = "1 day"): DataFrame = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val closed = events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,12)")).as("s"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("n"), col("s"))
+    closed.as[(Long, Long, java.math.BigDecimal)]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[(Long, java.math.BigDecimal),
+        (Long, Long, Long, Double, Double, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, java.math.BigDecimal)],
+         state: GroupState[(Long, java.math.BigDecimal)]) =>
+          var (nTot, sTot) = state.getOption
+            .getOrElse((0L, java.math.BigDecimal.ZERO))
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[(Long, Long, Long, Double, Double, Boolean)]
+          rows.toSeq.sortBy(_._1).foreach { case (b, n, s) =>
+            nTot += n
+            sTot = sTot.add(s)
+            // the batch msprtMeanTest double chain, term for term
+            val nd = nTot.toDouble
+            val mean = sTot.doubleValue / nd
+            val dev = mean - mu0
+            val mix = sigma2 + nd * tau2
+            val eLog = 0.5 * math.log(sigma2 / mix) +
+              (nd * nd * tau2 * (dev * dev)) / (2.0 * sigma2 * mix)
+            out += ((b, n, nTot, mean, eLog,
+              eLog >= math.log(1.0 / alpha)))
+          }
+          state.update((nTot, sTot))
+          out.iterator
+      }
+      .toDF("bucket_us", "n_window", "n_total", "mean_total", "e_log",
+        "crossed")
+  }
+
   /** Stateful streaming dedup: emit each key's row only the first time it
     * is seen (training-data pipelines run exactly this to dedup an
     * unbounded crawl). State = one boolean per key. In production, bound

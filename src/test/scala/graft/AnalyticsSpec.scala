@@ -4247,4 +4247,70 @@ class AnalyticsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("msprtMeanTest: literal-model e-process row for row on a " +
+    "6-point series; always-valid martingale starts at logE < 0; " +
+    "large shift crosses ln(1/alpha); duplicate t raises; proportion " +
+    "delegate = mean test with null variance; partition sweep") {
+    import spark.implicits._
+    val xs = Seq(0.4, 1.2, 0.8, 3.0, 2.6, 3.4)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("t", "v")
+    val (mu0, s2, t2, alpha) = (0.5, 1.0, 0.25, 0.05)
+    val got = Analytics.msprtMeanTest(df, "t", "v", mu0, s2, t2, alpha)
+      .collect()
+    // literal model: the operator's own arithmetic re-run in plain
+    // scala — decimal(38,12) inclusive prefix, double mean, the fixed
+    // double chain (Robbins mixture logLambda)
+    var s = BigDecimal(0).setScale(12)
+    val expect = xs.zipWithIndex.map { case (v, i) =>
+      s = s + BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val n = i + 1
+      val nd = n.toDouble
+      val mean = s.toDouble / nd
+      val dev = mean - mu0
+      val mix = s2 + nd * t2
+      val eLog = 0.5 * math.log(s2 / mix) +
+        (nd * nd * t2 * (dev * dev)) / (2.0 * s2 * mix)
+      (n.toLong, mean, eLog)
+    }
+    assert(got.length == 6)
+    got.zip(expect).foreach { case (r, (n, mean, eLog)) =>
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("mean_v") - mean) < 1e-12)
+      assert(math.abs(r.getAs[Double]("e_log") - eLog) < 1e-12)
+      assert(r.getAs[Boolean]("crossed") ==
+        (eLog >= math.log(1.0 / alpha)))
+    }
+    // a martingale starts below 1 (n=1 shrinkage term dominates):
+    assert(got.head.getAs[Double]("e_log") < 0.0)
+    // a large persistent shift must cross ln(1/alpha) = ~3.0
+    val shifted = (1 to 60).map(i => (i.toLong, 4.0 + (i % 3) * 0.1))
+      .toDF("t", "v")
+    val crossRows = Analytics.msprtMeanTest(
+      shifted, "t", "v", mu0, s2, t2, alpha)
+      .filter(col("crossed")).collect()
+    assert(crossRows.nonEmpty)
+    // duplicate t: ambiguous observation order must raise
+    intercept[Exception] {
+      Analytics.msprtMeanTest(
+        Seq((1L, 1.0), (1L, 2.0)).toDF("t", "v"),
+        "t", "v", mu0, s2, t2, alpha).collect()
+    }
+    // proportion delegate: identical to the mean test at
+    // mu0 = p0, sigma2 = p0(1-p0) on the 0/1 stream
+    val succ = (1 to 40).map(i => (i.toLong, if (i % 5 == 0) 0 else 1))
+      .toDF("t", "succ")
+    val viaProp = Analytics.msprtProportionTest(
+      succ, "t", "succ", p0 = 0.5, tau2 = 0.1).collect().map(_.toSeq)
+    val viaMean = Analytics.msprtMeanTest(
+      succ.withColumn("v", col("succ").cast("double")),
+      "t", "v", mu0 = 0.5, sigma2 = 0.25, tau2 = 0.1)
+      .collect().map(_.toSeq)
+    assert(viaProp.toSeq == viaMean.toSeq)
+    partitionSweep { pn =>
+      Analytics.msprtMeanTest(df.repartition(pn), "t", "v",
+        mu0, s2, t2, alpha).collect().map(_.toSeq).toSeq
+    }
+  }
 }

@@ -352,6 +352,62 @@ class IOStreamsSpec extends SparkSpec {
     assert(!got(3).getBoolean(4) && !got(5).getBoolean(4))
   }
 
+  test("windowedMsprt: e_log bit-equal to the batch msprtMeanTest " +
+      "chain at every window prefix; cross-batch (N, S) state carry; " +
+      "drifted tail crosses ln(1/alpha)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dayUs = 86400L * 1000000L
+    // 6 daily windows, 4 rows each; the last three windows shift +9
+    val means = Seq(10.0, 10.4, 9.8, 19.0, 19.6, 19.2)
+    val rows = means.zipWithIndex.flatMap { case (m, d) =>
+      (0 until 4).map(i => (d * dayUs + i * 1000L, m + (i - 1.5) * 0.2)) }
+    val (mu0, s2, t2, alpha) = (10.0, 4.0, 1.0, 0.05)
+    val ms = MemoryStream[(Long, Double)](spark)
+    val out = Streams.windowedMsprt(ms.toDS().toDF("ts_us", "value"),
+      mu0 = mu0, sigma2 = s2, tau2 = t2, alpha = alpha,
+      watermark = "0 seconds", window_ = "1 day")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("msprt_spec_sink").start()
+    try {
+      // split mid-stream: (N, S) must carry across micro-batches
+      ms.addData(rows.filter(_._1 < 3 * dayUs)); q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 3 * dayUs)); q.processAllAvailable()
+      ms.addData((20L * dayUs, 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("msprt_spec_sink")
+      .filter(col("bucket_us") < 6 * dayUs).orderBy("bucket_us").collect()
+    assert(got.length == 6)
+    // driver model: exact decimal window sums folded in bucket order
+    // through the batch operator's fixed double chain
+    var nTot = 0L
+    var sTot = java.math.BigDecimal.ZERO
+    val want = means.zipWithIndex.map { case (m, d) =>
+      val ws = (0 until 4).map(i => m + (i - 1.5) * 0.2)
+        .map(v => java.math.BigDecimal.valueOf(v)
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        .reduce(_.add(_))
+      nTot += 4; sTot = sTot.add(ws)
+      val nd = nTot.toDouble
+      val mean = sTot.doubleValue / nd
+      val dev = mean - mu0
+      val mix = s2 + nd * t2
+      val eLog = 0.5 * math.log(s2 / mix) +
+        (nd * nd * t2 * (dev * dev)) / (2.0 * s2 * mix)
+      (nTot, mean, eLog)
+    }
+    got.zip(want).zipWithIndex.foreach { case ((r, (n, mean, e)), i) =>
+      assert(r.getAs[Long]("n_total") == n, s"window $i n_total")
+      assert(r.getAs[Double]("mean_total") == mean, s"window $i mean")
+      assert(r.getAs[Double]("e_log") == e, s"window $i e_log")
+      assert(r.getAs[Boolean]("crossed") ==
+        (e >= math.log(1.0 / alpha)), s"window $i crossed")
+    }
+    // the +9 shift from window 3 on must cross ln(1/0.05) by the end
+    assert(got.last.getAs[Boolean]("crossed"))
+    assert(!got.head.getAs[Boolean]("crossed"))
+  }
+
   test("streaming windowedJsd: per-window JSD equal to the batch " +
       "formula; zero drift → exactly 0; bounded by ln 2") {
     import spark.implicits._
