@@ -1836,4 +1836,108 @@ object ML {
           .as("mean_rep"))
       .orderBy("rep")
   }
+
+  /** Poisson-bootstrap PERCENTILE confidence interval for a QUANTILE —
+    * [[bootstrapMeans]] covers means with 2B aggregate expressions,
+    * but a median/p90 replicate is an ORDER STATISTIC, so each
+    * replicate needs the weighted cumulative over the value axis: all
+    * B of them ride ONE distributed distinct-value prefix
+    * ([[graft.operators.Analytics]]'s rank machinery) carrying B+1
+    * weight columns — the original count plus B deterministic
+    * Poisson(1) replicate weights (same one-md5 + B-integer-mixes
+    * fanout as [[bootstrapMeans]], weights summed per distinct value
+    * map-side BEFORE the prefix, so the exchanges carry
+    * |distinct| × (B+1) longs and nothing resampled ever
+    * materializes). Per replicate the type-1 weighted quantile is
+    * min{v : CumIncl_j(v) ≥ ⌈p·n_j⌉} — a map-side-combined
+    * min-aggregate over the exploded (rep, value, cumulative) frame,
+    * no straddle join. The interval is Efron's percentile method
+    * (Efron 1979): lo/hi are the ⌈ciLo·B⌉-th / ⌈ciHi·B⌉-th order
+    * statistics of the B replicate quantiles, taken through a second
+    * (B-row) prefix of the same machinery. BCa is deliberately NOT
+    * offered: its bias correction needs Φ⁻¹, which has no
+    * engine-portable pinned form — the percentile interval is the
+    * deterministic, oracle-replayable member of the family.
+    * Degenerate: a replicate drawing all-zero weights (p ≈ e⁻ⁿ) is
+    * excluded and `b_eff` records the survivors; ranks are over
+    * b_eff. Output: one row
+    * (p, b, b_eff, n, est, lo, hi) — est the full-sample type-1
+    * quantile from the SAME prefix (rep −1, weight 1).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def bootstrapQuantileCI(df: DataFrame, idCol: String, valueCol: String,
+                          p: Double, b: Int, salt: String,
+                          ciLo: Double = 0.025, ciHi: Double = 0.975)
+      : DataFrame = {
+    require(b >= 1 && b <= 64, s"b must be in [1,64], got $b")
+    require(p > 0 && p <= 1, s"p must be in (0,1], got $p")
+    require(ciLo > 0 && ciLo < ciHi && ciHi < 1,
+      s"need 0 < ciLo < ciHi < 1, got ($ciLo, $ciHi)")
+    import graft.operators.Analytics
+    val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
+    val hashed = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        h1.as("__h1"), h2.as("__h2"))
+    def w(j: Int): Column = {
+      val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
+        .cast("double") / lit(4294967296.0)
+      poisson1Cdf.zipWithIndex
+        .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
+          Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
+        }.get.otherwise(poisson1Cdf.length).cast("long")
+    }
+    val vcAggs = count(lit(1)).as("__corig") +:
+      (0 until b).map(j => sum(w(j)).as(s"__c$j"))
+    val vc = hashed.groupBy(col("__v")).agg(vcAggs.head, vcAggs.tail: _*)
+    val weights = ("orig" -> col("__corig")) +:
+      (0 until b).map(j => s"c$j" -> col(s"__c$j"))
+    val (shared, pre) = Analytics.prefixBeforeMultiByShared(
+      vc, Seq.empty, "__v", weights.toSeq)
+    val totAggs = sum(col("__corig")).as("__norig") +:
+      (0 until b).map(j => sum(col(s"__c$j")).as(s"__n$j"))
+    val tot = shared.agg(totAggs.head, totAggs.tail: _*)
+    def repStruct(rep: Int, cum: String, c: String): Column =
+      struct(lit(rep).as("rep"),
+        (col(cum) + col(c)).cast("long").as("__incl"))
+    val stacked = pre.select(col("__v"), explode(array(
+      repStruct(-1, "__cum_orig", "__corig") +:
+        (0 until b).map(j => repStruct(j, s"__cum_c$j", s"__c$j")): _*))
+      .as("e"))
+      .select(col("__v"), col("e.rep").as("rep"),
+        col("e.__incl").as("__incl"))
+    val totStacked = tot.select(explode(array(
+      struct(lit(-1).as("rep"), col("__norig").cast("long").as("__n")) +:
+        (0 until b).map(j => struct(lit(j).as("rep"),
+          col(s"__n$j").cast("long").as("__n"))): _*)).as("e"))
+      .select(col("e.rep").as("rep"), col("e.__n").as("__n"))
+      .withColumn("__t", ceil(lit(p) * col("__n").cast("double")))
+    val stats = stacked.join(broadcast(totStacked), "rep")
+      .groupBy(col("rep"))
+      .agg(min(when(col("__incl") >= col("__t"), col("__v"))).as("__stat"),
+        max(col("__n")).as("__n"))
+    val est = stats.filter(col("rep") === -1)
+      .select(col("__stat").as("est"), col("__n").as("n"))
+    val rs = stats.filter(col("rep") >= 0 && col("__stat").isNotNull)
+    val rc = rs.groupBy(col("__stat").as("__sv"))
+      .agg(count(lit(1)).as("__sc"))
+    val (ciShared, ciPre) = Analytics.prefixBeforeMultiByShared(
+      rc, Seq.empty, "__sv", Seq("s" -> col("__sc")))
+    val beff = ciShared.agg(sum(col("__sc")).as("b_eff"))
+    val bounds = ciPre.crossJoin(broadcast(beff))
+      .agg(
+        min(when(col("__cum_s") + col("__sc") >=
+          greatest(lit(1L),
+            ceil(lit(ciLo) * col("b_eff").cast("double"))),
+          col("__sv"))).as("lo"),
+        min(when(col("__cum_s") + col("__sc") >=
+          greatest(lit(1L),
+            ceil(lit(ciHi) * col("b_eff").cast("double"))),
+          col("__sv"))).as("hi"))
+    est.crossJoin(broadcast(beff)).crossJoin(broadcast(bounds))
+      .select(lit(p).as("p"), lit(b.toLong).as("b"),
+        coalesce(col("b_eff"), lit(0L)).as("b_eff"), col("n"),
+        col("est"), col("lo"), col("hi"))
+  }
 }

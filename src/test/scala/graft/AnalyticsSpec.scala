@@ -4313,4 +4313,65 @@ class AnalyticsSpec extends SparkSpec {
         mu0, s2, t2, alpha).collect().map(_.toSeq).toSeq
     }
   }
+
+  test("bootstrapQuantileCI: bit-equal to the literal resample model " +
+    "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
+    "quantile -> percentile CI); est = exact full-sample quantile; " +
+    "p sweep; partition sweep") {
+    import spark.implicits._
+    import graft.functions.ML
+    val vals = (1 to 40).map(i => ((i * 37 % 19) + 1).toDouble / 2.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      .toDF("id", "v")
+    val (b, salt) = (12, "bq")
+    // literal model: the operator's contract executed naively — every
+    // replicate EXPANDED to a real resample list, sorted, indexed
+    def md5words(key: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+        java.lang.Long.parseLong(hex.substring(8, 16), 16))
+    }
+    def mix(h1: Long, h2: Long, j: Int): Long = {
+      val m = 4294967296L
+      val a = (h2 + j.toLong * 2654435761L) % m
+      val x0 = h1 ^ a
+      val x1 = (x0 * 1597334677L) % m
+      val x2 = x1 ^ (x1 >> 16)
+      val x3 = (x2 * 887987685L) % m
+      x3 ^ (x3 >> 13)
+    }
+    val cdf = ML.poisson1Cdf
+    def pois(u: Double): Int = {
+      val i = cdf.indexWhere(u < _); if (i < 0) cdf.length else i
+    }
+    def typed1(sorted: Seq[Double], p: Double): Double =
+      sorted(math.max(1, math.ceil(p * sorted.size).toInt) - 1)
+    for (p <- Seq(0.5, 0.9, 0.25)) {
+      val got = ML.bootstrapQuantileCI(df, "id", "v", p, b, salt)
+        .collect().head
+      val stats = (0 until b).flatMap { j =>
+        val resample = vals.zipWithIndex.flatMap { case (v, i) =>
+          val (h1, h2) = md5words((i + 1).toString)
+          val u = mix(h1, h2, j).toDouble / 4294967296.0
+          Seq.fill(pois(u))(v)
+        }
+        if (resample.isEmpty) None else Some(typed1(resample.sorted, p))
+      }
+      val sortedStats = stats.sorted
+      assert(got.getAs[Long]("n") == 40L)
+      assert(got.getAs[Long]("b_eff") == stats.size.toLong)
+      assert(got.getAs[Double]("est") == typed1(vals.sorted, p),
+        s"est at p=$p")
+      assert(got.getAs[Double]("lo") == typed1(sortedStats, 0.025),
+        s"lo at p=$p")
+      assert(got.getAs[Double]("hi") == typed1(sortedStats, 0.975),
+        s"hi at p=$p")
+    }
+    partitionSweep { pn =>
+      ML.bootstrapQuantileCI(df.repartition(pn), "id", "v", 0.5, b, salt)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
