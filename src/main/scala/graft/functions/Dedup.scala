@@ -1052,7 +1052,19 @@ object Dedup {
     * by (i, j, diagonal), bounded by document length — never corpus-sized.
     * A 64-bit hash collision can only ADD a spurious match (and a 1-gram
     * island dies to `minRun`); the q102 oracle joins positioned gram
-    * STRINGS, cross-checking the hashed index against the exact one. */
+    * STRINGS, cross-checking the hashed index against the exact one.
+    *
+    * RECALL BOUND (round 18, proven): with `maxDF` off this operator is
+    * EXACT against the literal-substring (ExactSubstr) semantics — every
+    * shared token substring of ≥ minRun + n − 1 tokens between two docs
+    * is reported at its maximal extent, because any such substring
+    * contains a shared n-gram run of ≥ minRun consecutive grams on one
+    * diagonal, and equal grams hash equal. FunctionsSpec's "recall pin"
+    * differential proves miss rate 0 AND spurious rate 0 against a
+    * token-level substring oracle over the full sf0.01 corpus plus
+    * planted ground truth. The only recall lever is `maxDF` > 0: a
+    * capped hot gram can split or drop a run that relied on it — the
+    * deliberate skew/recall trade, same contract as [[jaccardPairs]]. */
   def sharedPassages(df: DataFrame, idCol: String, textCol: String, n: Int,
                      minRun: Long, maxDF: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1654,6 +1654,96 @@ class FunctionsSpec extends SparkSpec {
     assert(runs(1) == Seq((1L, 2L, 0L, 1L, 2L, 4L), (1L, 2L, 4L, 6L, 1L, 3L)))
   }
 
+  test("sharedPassages recall pin (the ExactSubstr differential, round " +
+    "18): every literal shared token substring of >= minRun+n-1 tokens " +
+    "is reported exactly - planted ground truth AND the full sf0.01 " +
+    "documents corpus vs a token-level substring oracle; miss rate 0, " +
+    "spurious 0") {
+    import spark.implicits._
+    val n = 3; val minRun = 3L; val L = minRun.toInt + n - 1 // 5 tokens
+    // literal substring oracle, no gram hashing anywhere: seed on exact
+    // L-token WINDOWS (any shared substring of >= L tokens must contain
+    // one - arithmetic, not machinery), then extend each seed match
+    // token-by-token to maximality; set-dedup collapses the seeds of
+    // one run to its single maximal form
+    def literalRuns(toks: Map[Long, IndexedSeq[String]])
+        : Set[(Long, Long, Long, Long, Long)] = {
+      val idx = scala.collection.mutable
+        .Map.empty[Seq[String], List[(Long, Int)]]
+      for ((id, ts) <- toks; p <- 0 to ts.length - L) {
+        val k = ts.slice(p, p + L)
+        idx(k) = (id, p) :: idx.getOrElse(k, Nil)
+      }
+      val out = scala.collection.mutable
+        .Set.empty[(Long, Long, Long, Long, Long)]
+      for ((_, occs) <- idx; (a, pa) <- occs; (b, pb) <- occs if a < b) {
+        val (ta, tb) = (toks(a), toks(b))
+        var (si, sj) = (pa, pb)
+        while (si > 0 && sj > 0 && ta(si - 1) == tb(sj - 1)) {
+          si -= 1; sj -= 1
+        }
+        var (ei, ej) = (pa + L, pb + L)
+        while (ei < ta.length && ej < tb.length && ta(ei) == tb(ej)) {
+          ei += 1; ej += 1
+        }
+        out += ((a, b, si.toLong, sj.toLong, (ei - si).toLong))
+      }
+      out.toSet
+    }
+    def opRuns(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Long, Long, Long)] =
+      Dedup.sharedPassages(df, "doc_id", "text", n, minRun)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(5))).toSet
+    def tokensOf(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, IndexedSeq[String]] =
+      df.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq).toMap
+    // ---- (a) planted ground truth, independent of ANY oracle model:
+    // globally-unique filler tokens (no accidental repeats possible),
+    // a 7-token passage planted in docs 3/11, an exactly-L 5-token
+    // passage in docs 5/6, a 4-token (< L) passage in docs 7/8 that
+    // must NOT surface
+    val p7 = "alpha beta gamma delta epsilon zeta eta"
+    val p5 = "one two three four five"
+    val p4 = "red green blue white"
+    def filler(id: Long, from: Int, cnt: Int): String =
+      (from until from + cnt).map(k => s"d${id}x$k").mkString(" ")
+    val planted = (1L to 12L).map { id =>
+      val text = id match {
+        case 3L => filler(id, 0, 4) + " " + p7 + " " + filler(id, 4, 6)
+        case 11L => filler(id, 0, 9) + " " + p7 + " " + filler(id, 9, 3)
+        case 5L => p5 + " " + filler(id, 0, 8)
+        case 6L => filler(id, 0, 5) + " " + p5
+        case 7L => filler(id, 0, 6) + " " + p4
+        case 8L => p4 + " " + filler(id, 0, 7)
+        case _ => filler(id, 0, 14)
+      }
+      (id, text)
+    }.toDF("doc_id", "text")
+    val gotPlanted = opRuns(planted)
+    assert(gotPlanted == Set((3L, 11L, 4L, 9L, 7L), (5L, 6L, 0L, 5L, 5L)),
+      s"planted ground truth mismatch: $gotPlanted")
+    // the synthetic corpus also agrees with the literal oracle exactly
+    assert(gotPlanted == literalRuns(tokensOf(planted)))
+    // ---- (b) the real sf0.01 corpus: operator vs literal oracle over
+    // every document pair - the recall bound is EXACT (misses are only
+    // possible through a maxDF cap, which is off here; a 64-bit gram
+    // hash collision could only ADD a run, and none exists at this
+    // scale)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val got = opRuns(docs)
+    val want = literalRuns(tokensOf(docs))
+    val missed = want -- got
+    val spurious = got -- want
+    assert(missed.isEmpty && spurious.isEmpty,
+      s"recall differential: |oracle|=${want.size} |op|=${got.size} " +
+        s"missed=${missed.take(5)} spurious=${spurious.take(5)}")
+    assert(want.nonEmpty, "fixture regression: no shared passages at all")
+  }
+
   test("stripPassages: keep-first removal, chains, total removal, pass-through") {
     import spark.implicits._
     // docs 1<2<3 all share "p q r s t"; doc 4 is untouched
