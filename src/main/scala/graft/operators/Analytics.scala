@@ -2608,6 +2608,205 @@ object Analytics {
     welchChain(df.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** CUPED-adjusted A/B comparison — variance reduction from
+    * pre-experiment data (Deng–Xu–Kohavi–Walker, WSDM 2013: the
+    * single highest-leverage trick in online experimentation — a
+    * covariate X measured BEFORE assignment, usually the same metric
+    * over the pre-period, explains within-arm variance that has
+    * nothing to do with the treatment): the adjusted metric is
+    * Y′ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) POOLED (the
+    * treatment-independent choice that keeps Y′'s arm means
+    * unbiased), and the test is [[welchT]]'s chain on Y′ — whose
+    * moments this computes in CLOSED FORM from the raw sums
+    * (mean′_g = ȳ_g − θ(x̄_g − X̄);
+    * var′_g = var_y − 2θ·cov_g + θ²·var_x), so the whole operator is
+    * ONE map-side-combined scan of 12 exact-decimal sums, never a
+    * second pass over adjusted rows. `rho2` = pooled corr(X,Y)² is
+    * the variance-reduction fraction CUPED delivers (se shrinks by
+    * ≈ √(1−ρ²)). Rows with NULL in either column are excluded from
+    * BOTH (the estimator needs complete pairs). Degenerate pooled
+    * var(X) ≤ 0 → NULL θ and NULL adjusted columns; n_g < 2 → NULL
+    * variances. Output: one row — (n_a, n_b, theta, rho2,
+    * mean_a_adj, mean_b_adj, var_a_adj, var_b_adj, diff, se, t, dof).
+    * Shares [[welchT]]'s cancellation caveat at extreme scale/mean
+    * ratios. */
+  def cupedTest(df: DataFrame, groupCol: String, valueCol: String,
+                covCol: String, groupA: String, groupB: String,
+                scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val y = col(valueCol).cast(s"decimal(18,$scale)")
+    val x = col(covCol).cast(s"decimal(18,$scale)")
+    val s2 = s"decimal(38,${2 * scale})"
+    val base = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(valueCol).isNotNull && col(covCol).isNotNull)
+    def side(g: String, sfx: String) = {
+      val in = col(groupCol) === g
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(in, y)).cast("double").as(s"__sy_$sfx"),
+        sum(when(in, x)).cast("double").as(s"__sx_$sfx"),
+        sum(when(in, (y * y).cast(s2))).cast("double").as(s"__syy_$sfx"),
+        sum(when(in, (x * x).cast(s2))).cast("double").as(s"__sxx_$sfx"),
+        sum(when(in, (x * y).cast(s2))).cast("double").as(s"__sxy_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def nm(sfx: String) = d(col(s"n_$sfx"))
+    val nd = nm("a") + nm("b")
+    def pooled(part: String) = col(s"__$part" + "_a") + col(s"__$part" + "_b")
+    one
+      .withColumn("__sx", pooled("sx")).withColumn("__sy", pooled("sy"))
+      .withColumn("__sxx", pooled("sxx")).withColumn("__syy", pooled("syy"))
+      .withColumn("__sxy", pooled("sxy"))
+      .withColumn("__varx", when(nd >= 2,
+        (col("__sxx") - col("__sx") * col("__sx") / nd) / (nd - 1.0)))
+      .withColumn("__vary", when(nd >= 2,
+        (col("__syy") - col("__sy") * col("__sy") / nd) / (nd - 1.0)))
+      .withColumn("__covxy", when(nd >= 2,
+        (col("__sxy") - col("__sx") * col("__sy") / nd) / (nd - 1.0)))
+      .withColumn("theta", when(col("__varx") > 0,
+        col("__covxy") / col("__varx")))
+      .withColumn("rho2", when(col("__varx") > 0 && col("__vary") > 0,
+        col("__covxy") * col("__covxy") /
+          (col("__varx") * col("__vary"))))
+      .withColumn("__xbar", col("__sx") / nd)
+      .withColumn("mean_a_adj", when(col("n_a") > 0,
+        col("__sy_a") / nm("a") -
+          col("theta") * (col("__sx_a") / nm("a") - col("__xbar"))))
+      .withColumn("mean_b_adj", when(col("n_b") > 0,
+        col("__sy_b") / nm("b") -
+          col("theta") * (col("__sx_b") / nm("b") - col("__xbar"))))
+      .withColumn("var_a_adj", when(col("n_a") >= 2,
+        (col("__syy_a") - col("__sy_a") * col("__sy_a") / nm("a")) /
+          (nm("a") - 1.0) -
+          lit(2.0) * col("theta") *
+            ((col("__sxy_a") - col("__sx_a") * col("__sy_a") / nm("a")) /
+              (nm("a") - 1.0)) +
+          col("theta") * col("theta") *
+            ((col("__sxx_a") - col("__sx_a") * col("__sx_a") / nm("a")) /
+              (nm("a") - 1.0))))
+      .withColumn("var_b_adj", when(col("n_b") >= 2,
+        (col("__syy_b") - col("__sy_b") * col("__sy_b") / nm("b")) /
+          (nm("b") - 1.0) -
+          lit(2.0) * col("theta") *
+            ((col("__sxy_b") - col("__sx_b") * col("__sy_b") / nm("b")) /
+              (nm("b") - 1.0)) +
+          col("theta") * col("theta") *
+            ((col("__sxx_b") - col("__sx_b") * col("__sx_b") / nm("b")) /
+              (nm("b") - 1.0))))
+      .withColumn("diff", col("mean_a_adj") - col("mean_b_adj"))
+      .withColumn("__sea2", col("var_a_adj") / nm("a"))
+      .withColumn("__seb2", col("var_b_adj") / nm("b"))
+      .withColumn("se", when(col("__sea2") + col("__seb2") > 0,
+        sqrt(col("__sea2") + col("__seb2"))))
+      .withColumn("t", when(col("se") > 0, col("diff") / col("se")))
+      .withColumn("dof", when(col("se") > 0,
+        (col("__sea2") + col("__seb2")) * (col("__sea2") + col("__seb2")) /
+          (col("__sea2") * col("__sea2") / (nm("a") - 1.0) +
+            col("__seb2") * col("__seb2") / (nm("b") - 1.0))))
+      .select("n_a", "n_b", "theta", "rho2", "mean_a_adj", "mean_b_adj",
+        "var_a_adj", "var_b_adj", "diff", "se", "t", "dof")
+  }
+
+  /** Sample-ratio-mismatch (SRM) test — the FIRST check on any A/B
+    * readout (a 50/50 split that arrives 50.8/49.2 at scale means the
+    * assignment or logging is broken, and every downstream p-value is
+    * fiction; the classic failure taxonomy is Fabijan et al.,
+    * "Diagnosing Sample Ratio Mismatch", KDD 2019): Pearson χ² of the
+    * observed arm counts against the DESIGNED ratio,
+    * χ² = Σ_g (o_g − n·w_g/W)²/(n·w_g/W), dof = k − 1. Rows whose
+    * group is not in the design are EXCLUDED and counted (`n_other` —
+    * nonzero n_other is itself a finding). One map-side-combined
+    * count aggregate; the χ² fold runs in the FIXED design order
+    * (engine-replayable). n = 0 → NULL chi2. Output: one row —
+    * (n, n_other, k, chi2, dof). */
+  def srmTest(df: DataFrame, groupCol: String,
+              expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "srmTest needs the designed ratios")
+    require(expected.map(_._1).distinct.length == expected.length,
+      s"duplicate groups in $expected")
+    require(expected.forall(_._2 > 0), s"weights must be > 0: $expected")
+    def d(c: Column) = c.cast("double")
+    val groups = expected.map(_._1)
+    val wTot = expected.map(_._2).sum
+    val aggs = expected.map { case (g, _) =>
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"__o_$g") } :+
+      sum(when(col(groupCol).isin(groups: _*), 0L).otherwise(1L))
+        .as("n_other")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", expected.map { case (g, _) =>
+        col(s"__o_$g") }.reduce(_ + _))
+    val chi2 = expected.map { case (g, w) =>
+      val e = d(col("n")) * lit(w / wTot)
+      (d(col(s"__o_$g")) - e) * (d(col(s"__o_$g")) - e) / e
+    }.reduce(_ + _)
+    one
+      .withColumn("chi2", when(col("n") > 0, chi2))
+      .select(col("n"), col("n_other"),
+        lit(expected.length.toLong).as("k"), col("chi2"),
+        lit(expected.length - 1L).as("dof"))
+  }
+
+  /** Delta-method RATIO-metric A/B test — for metrics that are a
+    * ratio of per-unit sums (CTR = Σclicks/Σviews per user, revenue
+    * per session, tokens kept per document): the naive per-row test
+    * is wrong because the denominator is random too and unit sizes
+    * vary; the delta method (Deng–Knoblich–Lu, KDD 2018) gives the
+    * asymptotic variance of r = n̄/d̄ from the per-UNIT moment sums:
+    *   var(r) ≈ (var_n − 2r·cov_nd + r²·var_d) / (n_g · d̄²),
+    * z = (r_a − r_b)/√(se²_a + se²_b). One map-side-combined scan of
+    * exact-decimal per-arm sums (each unit is one input ROW — aggregate
+    * to units first if your grain is finer). Arms with Σden = 0 or
+    * n < 2 → NULL ratio/variance. Output: one row — (n_a, n_b,
+    * ratio_a, ratio_b, diff, se, z). */
+  def ratioMetricTest(df: DataFrame, groupCol: String, numCol: String,
+                      denCol: String, groupA: String, groupB: String,
+                      scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val nv = col(numCol).cast(s"decimal(18,$scale)")
+    val dv = col(denCol).cast(s"decimal(18,$scale)")
+    val s2 = s"decimal(38,${2 * scale})"
+    val base = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(numCol).isNotNull && col(denCol).isNotNull)
+    def side(g: String, sfx: String) = {
+      val in = col(groupCol) === g
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(in, nv)).cast("double").as(s"__sn_$sfx"),
+        sum(when(in, dv)).cast("double").as(s"__sd_$sfx"),
+        sum(when(in, (nv * nv).cast(s2))).cast("double").as(s"__snn_$sfx"),
+        sum(when(in, (dv * dv).cast(s2))).cast("double").as(s"__sdd_$sfx"),
+        sum(when(in, (nv * dv).cast(s2))).cast("double").as(s"__snd_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    def arm(one: DataFrame, sfx: String): DataFrame = {
+      val n = d(col(s"n_$sfx"))
+      one
+        .withColumn(s"ratio_$sfx", when(col(s"__sd_$sfx") =!= 0.0,
+          col(s"__sn_$sfx") / col(s"__sd_$sfx")))
+        .withColumn(s"__dbar_$sfx", when(col(s"n_$sfx") > 0,
+          col(s"__sd_$sfx") / n))
+        .withColumn(s"__varn_$sfx", when(col(s"n_$sfx") >= 2,
+          (col(s"__snn_$sfx") - col(s"__sn_$sfx") * col(s"__sn_$sfx") / n) /
+            (n - 1.0)))
+        .withColumn(s"__vard_$sfx", when(col(s"n_$sfx") >= 2,
+          (col(s"__sdd_$sfx") - col(s"__sd_$sfx") * col(s"__sd_$sfx") / n) /
+            (n - 1.0)))
+        .withColumn(s"__covnd_$sfx", when(col(s"n_$sfx") >= 2,
+          (col(s"__snd_$sfx") - col(s"__sn_$sfx") * col(s"__sd_$sfx") / n) /
+            (n - 1.0)))
+        .withColumn(s"__se2_$sfx", when(col(s"__dbar_$sfx") =!= 0.0,
+          (col(s"__varn_$sfx") -
+            lit(2.0) * col(s"ratio_$sfx") * col(s"__covnd_$sfx") +
+            col(s"ratio_$sfx") * col(s"ratio_$sfx") * col(s"__vard_$sfx")) /
+            (n * col(s"__dbar_$sfx") * col(s"__dbar_$sfx"))))
+    }
+    arm(arm(base.agg(aggs.head, aggs.tail: _*), "a"), "b")
+      .withColumn("diff", col("ratio_a") - col("ratio_b"))
+      .withColumn("se", when(col("__se2_a") + col("__se2_b") > 0,
+        sqrt(col("__se2_a") + col("__se2_b"))))
+      .withColumn("z", when(col("se") > 0, col("diff") / col("se")))
+      .select("n_a", "n_b", "ratio_a", "ratio_b", "diff", "se", "z")
+  }
+
   /** One-sample t against a reference mean μ₀ — "is the metric off
     * its SLO/contract value" (the two-sample family answers A-vs-B;
     * this answers metric-vs-promised: mean quality score vs the 0.7
@@ -4319,6 +4518,49 @@ object Analytics {
       .withColumn("p_adj", when(col("p_adj").isNotNull,
         least(lit(1.0), col("p_adj") * col("__cm"))))
       .drop("__cm")
+  }
+
+  /** e-BH — the e-value analogue of [[bhAdjust]] (Wang–Ramdas 2022,
+    * "False discovery rate control with e-values"): given one e-value
+    * per hypothesis (e.g. [[msprtMeanTest]]'s exp(e_log) at whatever
+    * time each monitor was READ — e-values compose under optional
+    * stopping, which p-values do not), e-BH rejects the k* largest
+    * where k* = max{k : k·e₍ₖ₎ ≥ m/α}, and controls FDR ≤ α under
+    * ARBITRARY dependence — no BY-style log(m) penalty. This emits
+    * `alpha_star` per row = m / max_{e′ ≤ e} (rank_desc(e′)·e′), the
+    * smallest α at which the row is rejected (reject iff
+    * alpha_star ≤ α; capped at 1). Ties share the LARGEST descending
+    * rank of their block — exact, since k·e is increasing in k within
+    * a tie block. Plan: [[holmAdjust]]'s machinery verbatim — one
+    * distinct-e aggregate, strictly-smaller counts via
+    * [[prefixBefore]], the ascending-inclusive running MAX of
+    * (m − cum)·e as [[runningMinDescIncl]] over negated key and
+    * value, one join back. NULL e rows keep NULL alpha_star and don't
+    * count toward m; e ≤ 0 rows count toward m but can never reject
+    * (alpha_star NULL — an e-value is nonnegative evidence). Output:
+    * the input columns + `alpha_star`.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def eBHAdjust(df: DataFrame, eCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val de = df.filter(col(eCol).isNotNull)
+      .groupBy(col(eCol).as("__e")).agg(count(lit(1)).as("__c"))
+    val (deShared, pre) = prefixBeforeShared(de, "__e", col("__c"))
+    val n = deShared.agg(sum(col("__c")).as("__n"))
+    val ranked = pre
+      .crossJoin(broadcast(n))
+      // largest descending rank of the tie block = m − #strictly-less
+      .withColumn("__q", (d(col("__n")) - d(col("__cum"))) * d(col("__e")))
+    val adj = runningMinDescIncl(
+        ranked.select((-col("__e")).as("__ne"), (-col("__q")).as("__nq")),
+        "__ne", col("__nq"))
+      .select((-col("__ne")).as("__e"), (-col("__rmin")).as("__mq"))
+      .crossJoin(broadcast(n))
+      .select(col("__e"),
+        when(col("__mq") > 0,
+          least(lit(1.0), d(col("__n")) / col("__mq"))).as("alpha_star"))
+    df.join(adj, col(eCol) === col("__e"), "left").drop("__e")
   }
 
   /** Laplace-noised group counts — the ε-differential-privacy RELEASE

@@ -4374,4 +4374,172 @@ class AnalyticsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("cupedTest: literal-model theta/rho2/adjusted moments; " +
+    "uncorrelated covariate ~ welchT; constant covariate NULL theta; " +
+    "partition sweep") {
+    import spark.implicits._
+    // x correlates with y (y = x + arm shift + per-row wiggle); values
+    // exact at scale 2 so decimal sums equal plain double sums
+    val rows = (1 to 20).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val x = (i % 7).toDouble + 1.0
+      val y = x * 2.0 + (if (g == "a") 1.5 else 0.0) + (i % 3) * 0.25
+      (g, y, x)
+    }
+    val df = rows.toDF("g", "y", "x")
+    val r = Analytics.cupedTest(df, "g", "y", "x", "a", "b").collect().head
+    // literal model: the operator's chain in plain scala
+    val n = rows.size.toDouble
+    val (sy, sx) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val syy = rows.map(t => t._2 * t._2).sum
+    val sxx = rows.map(t => t._3 * t._3).sum
+    val sxy = rows.map(t => t._3 * t._2).sum
+    val varx = (sxx - sx * sx / n) / (n - 1)
+    val vary = (syy - sy * sy / n) / (n - 1)
+    val covxy = (sxy - sx * sy / n) / (n - 1)
+    val theta = covxy / varx
+    val xbar = sx / n
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rho2") -
+      covxy * covxy / (varx * vary)) < 1e-12)
+    def armStats(g: String): (Double, Double) = {
+      val a = rows.filter(_._1 == g)
+      val na = a.size.toDouble
+      val meanAdj = a.map(_._2).sum / na -
+        theta * (a.map(_._3).sum / na - xbar)
+      val vy = (a.map(t => t._2 * t._2).sum -
+        a.map(_._2).sum * a.map(_._2).sum / na) / (na - 1)
+      val vx = (a.map(t => t._3 * t._3).sum -
+        a.map(_._3).sum * a.map(_._3).sum / na) / (na - 1)
+      val cv = (a.map(t => t._3 * t._2).sum -
+        a.map(_._3).sum * a.map(_._2).sum / na) / (na - 1)
+      (meanAdj, vy - 2 * theta * cv + theta * theta * vx)
+    }
+    val (ma, va) = armStats("a"); val (mb, vb) = armStats("b")
+    assert(math.abs(r.getAs[Double]("mean_a_adj") - ma) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_a_adj") - va) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_b_adj") - mb) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_b_adj") - vb) < 1e-12)
+    // CUPED with X ~ Y gives a sharper t than plain Welch on this
+    // fixture (that is the whole point)
+    val tw = Analytics.welchT(df, "g", "y", "a", "b")
+      .collect().head.getAs[Double]("t")
+    assert(math.abs(r.getAs[Double]("t")) > math.abs(tw))
+    // constant covariate: var(X) = 0 -> NULL theta, NULL adjusted
+    val cst = Analytics.cupedTest(
+      rows.map(t => (t._1, t._2, 5.0)).toDF("g", "y", "x"),
+      "g", "y", "x", "a", "b").collect().head
+    assert(cst.isNullAt(cst.fieldIndex("theta")) &&
+      cst.isNullAt(cst.fieldIndex("t")))
+    partitionSweep { pn =>
+      Analytics.cupedTest(df.repartition(pn), "g", "y", "x", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("srmTest: hand 60/40 vs 50/50 chi2 = 4; off-design rows " +
+    "counted not folded in; three-arm design; empty NULL") {
+    import spark.implicits._
+    val df = ((1 to 60).map(_ => "a") ++ (1 to 40).map(_ => "b") ++
+      Seq("junk", "junk")).toDF("g")
+    val r = Analytics.srmTest(df, "g", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().head
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("n_other") == 2L)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("dof") == 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.0) < 1e-12)
+    // three arms at 2:1:1 — 50/25/25 observed 40/30/30:
+    // (40-50)^2/50 + (30-25)^2/25 + (30-25)^2/25 = 2 + 1 + 1 = 4
+    val d3 = ((1 to 40).map(_ => "x") ++ (1 to 30).map(_ => "y") ++
+      (1 to 30).map(_ => "z")).toDF("g")
+    val r3 = Analytics.srmTest(d3, "g",
+      Seq("x" -> 2.0, "y" -> 1.0, "z" -> 1.0)).collect().head
+    assert(math.abs(r3.getAs[Double]("chi2") - 4.0) < 1e-12)
+    assert(r3.getAs[Long]("dof") == 2L)
+    val e = Analytics.srmTest(Seq.empty[String].toDF("g"), "g",
+      Seq("a" -> 0.5, "b" -> 0.5)).collect().head
+    assert(e.getAs[Long]("n") == 0L && e.isNullAt(e.fieldIndex("chi2")))
+  }
+
+  test("ratioMetricTest: literal delta-method model; equal-ratio arms " +
+    "diff 0; zero denominator NULL; partition sweep") {
+    import spark.implicits._
+    val rows = (1 to 24).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val den = ((i % 5) + 1).toDouble
+      val num = den * (if (g == "a") 0.5 else 0.25) + (i % 3) * 0.25
+      (g, num, den)
+    }
+    val df = rows.toDF("g", "num", "den")
+    val r = Analytics.ratioMetricTest(df, "g", "num", "den", "a", "b")
+      .collect().head
+    def armModel(g: String): (Double, Double) = {
+      val a = rows.filter(_._1 == g)
+      val n = a.size.toDouble
+      val (sn, sd) = (a.map(_._2).sum, a.map(_._3).sum)
+      val ratio = sn / sd
+      val dbar = sd / n
+      val varn = (a.map(t => t._2 * t._2).sum - sn * sn / n) / (n - 1)
+      val vard = (a.map(t => t._3 * t._3).sum - sd * sd / n) / (n - 1)
+      val covnd = (a.map(t => t._2 * t._3).sum - sn * sd / n) / (n - 1)
+      (ratio,
+        (varn - 2.0 * ratio * covnd + ratio * ratio * vard) /
+          (n * dbar * dbar))
+    }
+    val (ra, sa2) = armModel("a"); val (rb, sb2) = armModel("b")
+    assert(math.abs(r.getAs[Double]("ratio_a") - ra) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ratio_b") - rb) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") -
+      (ra - rb) / math.sqrt(sa2 + sb2)) < 1e-12)
+    // zero total denominator -> NULL ratio and z
+    val z0 = Analytics.ratioMetricTest(
+      Seq(("a", 1.0, 0.0), ("a", -1.0, 0.0), ("b", 1.0, 2.0),
+        ("b", 2.0, 2.0)).toDF("g", "num", "den"),
+      "g", "num", "den", "a", "b").collect().head
+    assert(z0.isNullAt(z0.fieldIndex("ratio_a")) &&
+      z0.isNullAt(z0.fieldIndex("z")))
+    partitionSweep { pn =>
+      Analytics.ratioMetricTest(df.repartition(pn), "g", "num", "den",
+        "a", "b").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("eBHAdjust: hand alpha_star on {10,4,2,1}; tie block shares the " +
+    "largest descending rank; e <= 0 and NULL excluded from rejection; " +
+    "agrees with the literal e-BH rejection rule; partition sweep") {
+    import spark.implicits._
+    val df = Seq(10.0, 4.0, 2.0, 1.0).zipWithIndex
+      .map { case (e, i) => (i.toLong, e) }.toDF("id", "e")
+    val m = Analytics.eBHAdjust(df, "e").collect()
+      .map(r => r.getAs[Double]("e") -> r.getAs[Double]("alpha_star")).toMap
+    // q = k*e over desc ranks: 10, 8, 6, 4; alpha_star = m / suffix-max
+    assert(math.abs(m(10.0) - 0.4) < 1e-12)
+    assert(math.abs(m(4.0) - 0.5) < 1e-12)
+    assert(math.abs(m(2.0) - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(m(1.0) - 1.0) < 1e-12)
+    // literal e-BH rule at alpha = 0.5: k* = max{k : k*e_(k) >= m/alpha}
+    // = 2 -> reject the top two = exactly the alpha_star <= 0.5 rows
+    assert(m.filter(_._2 <= 0.5).keySet == Set(10.0, 4.0))
+    // ties: {4,4,1,1} -> block rank 2 for the 4s: alpha_star = 4/8
+    val mt = Analytics.eBHAdjust(
+      Seq(4.0, 4.0, 1.0, 1.0).zipWithIndex
+        .map { case (e, i) => (i.toLong, e) }.toDF("id", "e"), "e")
+      .collect().map(r => r.getAs[Double]("e") ->
+        r.getAs[Double]("alpha_star")).toMap
+    assert(math.abs(mt(4.0) - 0.5) < 1e-12)
+    assert(math.abs(mt(1.0) - 1.0) < 1e-12)
+    // NULL e: excluded from m, NULL alpha_star; e = 0 counts toward m
+    // but can never reject
+    val mixed = Seq((1L, Some(8.0)), (2L, Some(0.0)), (3L, None))
+      .toDF("id", "e")
+    val rows = Analytics.eBHAdjust(mixed, "e").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows(1L) == Some(0.25)) // m = 2, q = 1*8
+    assert(rows(2L).isEmpty && rows(3L).isEmpty)
+    partitionSweep { pn =>
+      Analytics.eBHAdjust(df.repartition(pn), "e")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    }
+  }
 }
