@@ -6708,6 +6708,129 @@ object Analytics {
       .orderBy("t")
   }
 
+  /** TWO-SAMPLE always-valid sequential test — the mSPRT in its
+    * native habitat (the live A/B dashboard: both arms stream in, the
+    * experimenter peeks at every refresh; Johari–Koomen–Pekelis–Walsh
+    * KDD 2017 is literally about this shape): H₀: μ_A = μ_B with
+    * known per-arm variance σ², mixture N(0, τ²) over the true
+    * difference. After each observation (rows tagged with their arm,
+    * ordered by t),
+    *   V_t     = σ²(1/n_A + 1/n_B),
+    *   log Λ_t = ½·ln(V_t/(V_t + τ²)) + Δ_t²·τ² / (2·V_t·(V_t + τ²)),
+    * Δ_t the running mean difference; reject forever once
+    * log Λ_t ≥ ln(1/α). Same machinery as [[msprtMeanTest]] — one
+    * distributed distinct-t prefix carrying FOUR weights (per-arm
+    * counts + exact decimal(38,12) per-arm sums), a pinned per-row
+    * double chain, the duplicate-t raise. Rows whose group is neither
+    * arm are excluded. Until BOTH arms have an observation the
+    * statistic is undefined → NULL e_log (visible, not dropped).
+    * Output: one row per kept observation —
+    * (t, n_a, n_b, mean_a, mean_b, e_log, crossed), ascending t.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def msprtTwoSampleTest(df: DataFrame, tCol: String, groupCol: String,
+                         valueCol: String, groupA: String, groupB: String,
+                         sigma2: Double, tau2: Double,
+                         alpha: Double = 0.05): DataFrame = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(tCol).cast("long").as("__t"),
+        (col(groupCol) === groupA).as("__ia"),
+        col(valueCol).cast("double").as("__v"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    val vq = col("__v").cast("decimal(38,12)")
+    val zero = lit(0).cast("decimal(38,12)")
+    val (_, pre) = prefixBeforeMultiByShared(s0, Seq.empty, "__t",
+      Seq("ca" -> when(col("__ia"), 1L).otherwise(0L),
+        "sa" -> when(col("__ia"), vq).otherwise(zero),
+        "cb" -> when(!col("__ia"), 1L).otherwise(0L),
+        "sb" -> when(!col("__ia"), vq).otherwise(zero)))
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val vt = lit(sigma2) * (lit(1.0) / na + lit(1.0) / nb)
+    pre
+      .crossJoin(broadcast(chk))
+      .withColumn("__ok", when(col("__cn") === col("__cd"), lit(1))
+        .otherwise(raise_error(lit("msprtTwoSampleTest: duplicate t " +
+          "values — a sequential test needs an unambiguous " +
+          "observation order; pre-aggregate to one row per time point"))))
+      .withColumn("n_a", col("__cum_ca") +
+        when(col("__ia"), 1L).otherwise(0L))
+      .withColumn("n_b", col("__cum_cb") +
+        when(!col("__ia"), 1L).otherwise(0L))
+      .withColumn("__sa", coalesce(col("__cum_sa"), zero) +
+        when(col("__ia"), vq).otherwise(zero))
+      .withColumn("__sb", coalesce(col("__cum_sb"), zero) +
+        when(!col("__ia"), vq).otherwise(zero))
+      .withColumn("mean_a", when(col("n_a") > 0, d(col("__sa")) / na))
+      .withColumn("mean_b", when(col("n_b") > 0, d(col("__sb")) / nb))
+      .withColumn("__delta", col("mean_a") - col("mean_b"))
+      .withColumn("e_log", when(col("n_a") > 0 && col("n_b") > 0,
+        lit(0.5) * log(vt / (vt + lit(tau2))) +
+          (col("__delta") * col("__delta") * lit(tau2)) /
+            (lit(2.0) * vt * (vt + lit(tau2)))))
+      .withColumn("crossed", when(col("e_log").isNotNull,
+        col("e_log") >= lit(math.log(1.0 / alpha))))
+      .filter(col("__ok") === 1)
+      .select(col("__t").as("t"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("e_log"), col("crossed"))
+      .orderBy("t")
+  }
+
+  /** Minimum detectable effect (MDE) from OBSERVED moments — the
+    * experiment-sizing readout ("with the traffic and variance we
+    * actually have, what shift could this A/B even see?"): the
+    * classical two-sample normal-approximation
+    *   MDE = (z_{1−α/2} + z_{power})·√(var_A/n_A + var_B/n_B),
+    * evaluated on the CURRENT arms' exact-decimal moments — run it on
+    * last week's assignment (or a provisional split) before trusting
+    * a null result. z defaults: 1.959964 (α = 0.05 two-sided) and
+    * 0.841621 (80% power) — fixed literals, the repo's no-inverse-CDF
+    * convention; pass others for other designs. `mde_rel` is the
+    * fraction of the CONTROL (groupB) mean. One map-side-combined
+    * scan ([[welchT]]'s sums); n_g < 2 → NULL. Output: one row —
+    * (n_a, n_b, mean_a, mean_b, var_a, var_b, mde_abs, mde_rel). */
+  def mdeTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String,
+                   zAlpha: Double = 1.959964, zPower: Double = 0.841621,
+                   scale: Int = 2): DataFrame = {
+    require(zAlpha > 0 && zPower > 0,
+      s"z constants must be positive, got ($zAlpha, $zPower)")
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    def side(g: String, sfx: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n_$sfx"),
+      sum(when(col(groupCol) === g, v)).cast("double").as(s"__s_$sfx"),
+      sum(when(col(groupCol) === g, (v * v)
+        .cast(s"decimal(38,${2 * scale})"))).cast("double")
+        .as(s"__ss_$sfx"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_a", when(col("n_a") > 0,
+        col("__s_a") / d(col("n_a"))))
+      .withColumn("mean_b", when(col("n_b") > 0,
+        col("__s_b") / d(col("n_b"))))
+      .withColumn("var_a", when(col("n_a") >= 2,
+        (col("__ss_a") - col("__s_a") * col("__s_a") / d(col("n_a"))) /
+          (d(col("n_a")) - 1.0)))
+      .withColumn("var_b", when(col("n_b") >= 2,
+        (col("__ss_b") - col("__s_b") * col("__s_b") / d(col("n_b"))) /
+          (d(col("n_b")) - 1.0)))
+      .withColumn("__se2",
+        col("var_a") / d(col("n_a")) + col("var_b") / d(col("n_b")))
+      .withColumn("mde_abs", when(col("__se2") > 0,
+        lit(zAlpha + zPower) * sqrt(col("__se2"))))
+      .withColumn("mde_rel", when(col("mean_b") =!= 0.0,
+        col("mde_abs") / col("mean_b")))
+      .select("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        "mde_abs", "mde_rel")
+  }
+
   /** [[msprtMeanTest]] for a PROPORTION stream (conversion / pass-rate
     * / binary-quality-gate monitors — the other metric every live
     * dashboard watches): H₀: p = p₀ via the Gaussian-approximation

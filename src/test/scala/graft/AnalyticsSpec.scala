@@ -4375,6 +4375,93 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("msprtTwoSampleTest: literal-model e-process on an interleaved " +
+    "A/B stream; NULL e_log until both arms seen; persistent shift " +
+    "crosses; duplicate t raises; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 1.0), (2L, "b", 1.2), (3L, "a", 0.8), (4L, "b", 1.4),
+      (5L, "a", 1.1), (6L, "b", 1.3), (7L, "a", 0.9), (8L, "b", 1.5))
+    val df = rows.toDF("t", "g", "v")
+    val (s2, t2, alpha) = (0.25, 0.5, 0.05)
+    val got = Analytics.msprtTwoSampleTest(df, "t", "g", "v", "a", "b",
+      s2, t2, alpha).collect()
+    assert(got.length == 8)
+    // row 1: only arm a seen -> NULL e_log
+    assert(got.head.isNullAt(got.head.fieldIndex("e_log")))
+    // literal model from row 2 on
+    var (na, nb) = (0L, 0L)
+    var (sa, sb) = (BigDecimal(0), BigDecimal(0))
+    rows.zip(got).foreach { case ((t, g, v), r) =>
+      val vq = BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      if (g == "a") { na += 1; sa += vq } else { nb += 1; sb += vq }
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      if (na > 0 && nb > 0) {
+        val delta = sa.toDouble / na.toDouble - sb.toDouble / nb.toDouble
+        val vt = s2 * (1.0 / na.toDouble + 1.0 / nb.toDouble)
+        val eLog = 0.5 * math.log(vt / (vt + t2)) +
+          (delta * delta * t2) / (2.0 * vt * (vt + t2))
+        assert(math.abs(r.getAs[Double]("e_log") - eLog) < 1e-12,
+          s"t=$t")
+        assert(r.getAs[Boolean]("crossed") ==
+          (eLog >= math.log(1.0 / alpha)))
+      }
+    }
+    // a persistent +3 shift must cross
+    val shifted = (1 to 80).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (i.toLong, g, (if (g == "a") 4.0 else 1.0) + (i % 3) * 0.1)
+    }.toDF("t", "g", "v")
+    assert(Analytics.msprtTwoSampleTest(shifted, "t", "g", "v", "a", "b",
+      s2, t2, alpha).filter(col("crossed")).count() > 0)
+    intercept[Exception] {
+      Analytics.msprtTwoSampleTest(
+        Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("t", "g", "v"),
+        "t", "g", "v", "a", "b", s2, t2, alpha).collect()
+    }
+    partitionSweep { pn =>
+      Analytics.msprtTwoSampleTest(df.repartition(pn), "t", "g", "v",
+        "a", "b", s2, t2, alpha).collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("mdeTwoSample: hand moments and the z-sum chain; relative MDE " +
+    "against the control mean; n < 2 NULL; partition sweep") {
+    import spark.implicits._
+    val rows = (1 to 30).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, ((i % 9) + 1).toDouble + (if (g == "a") 0.5 else 0.0))
+    }
+    val df = rows.toDF("g", "v")
+    val r = Analytics.mdeTwoSample(df, "g", "v", "a", "b").collect().head
+    def mom(g: String): (Long, Double, Double) = {
+      val a = rows.filter(_._1 == g).map(_._2)
+      val n = a.size.toDouble
+      val s = a.sum; val ss = a.map(x => x * x).sum
+      (a.size.toLong, s / n, (ss - s * s / n) / (n - 1))
+    }
+    val (naL, ma, va) = mom("a"); val (nbL, mb, vb) = mom("b")
+    assert(r.getAs[Long]("n_a") == naL && r.getAs[Long]("n_b") == nbL)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_b") - vb) < 1e-12)
+    val mde = (1.959964 + 0.841621) *
+      math.sqrt(va / naL.toDouble + vb / nbL.toDouble)
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mde_rel") - mde / mb) < 1e-12)
+    // tighter alpha widens the MDE monotonically
+    val strict = Analytics.mdeTwoSample(df, "g", "v", "a", "b",
+      zAlpha = 2.575829).collect().head
+    assert(strict.getAs[Double]("mde_abs") > r.getAs[Double]("mde_abs"))
+    val tiny = Analytics.mdeTwoSample(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head
+    assert(tiny.isNullAt(tiny.fieldIndex("mde_abs")))
+    partitionSweep { pn =>
+      Analytics.mdeTwoSample(df.repartition(pn), "g", "v", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("cupedTest: literal-model theta/rho2/adjusted moments; " +
     "uncorrelated covariate ~ welchT; constant covariate NULL theta; " +
     "partition sweep") {
