@@ -1940,4 +1940,229 @@ object ML {
         coalesce(col("b_eff"), lit(0L)).as("b_eff"), col("n"),
         col("est"), col("lo"), col("hi"))
   }
+
+  /** QUANTILE TREATMENT EFFECT with a bootstrap CI — "did the p90
+    * move, with error bars" (the A/B question [[bootstrapQuantileCI]]
+    * answers for one arm; mean tests average away exactly the tail
+    * the latency/length dashboards watch): per replicate j, BOTH
+    * arms' type-1 weighted quantiles come from ONE distributed
+    * distinct-value prefix carrying 2(B+1) weight columns (per-arm
+    * original counts + per-arm Poisson(1) replicate weights — one md5
+    * per row, B integer mixes, same draw for a row regardless of arm
+    * since the weight is a function of (id, j) only), the replicate
+    * effect is d_j = q_A,j − q_B,j, and the interval is Efron's
+    * percentile method over the B paired effects — resampling arms
+    * INDEPENDENTLY within a shared replicate index, the standard
+    * two-sample bootstrap. Replicates where either arm draws all-zero
+    * weights are excluded (b_eff). Output: one row — (p, b, b_eff,
+    * n_a, n_b, est_a, est_b, diff, lo, hi); est/diff from the
+    * original (weight-1) sample on the same prefix.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def bootstrapQuantileDiffCI(df: DataFrame, groupCol: String,
+                              idCol: String, valueCol: String,
+                              groupA: String, groupB: String,
+                              p: Double, b: Int, salt: String,
+                              ciLo: Double = 0.025, ciHi: Double = 0.975)
+      : DataFrame = {
+    require(b >= 1 && b <= 32, s"b must be in [1,32], got $b")
+    require(p > 0 && p <= 1, s"p must be in (0,1], got $p")
+    require(ciLo > 0 && ciLo < ciHi && ciHi < 1,
+      s"need 0 < ciLo < ciHi < 1, got ($ciLo, $ciHi)")
+    import graft.operators.Analytics
+    val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
+    val hashed = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        (col(groupCol) === groupA).as("__ia"),
+        h1.as("__h1"), h2.as("__h2"))
+    def w(j: Int): Column = {
+      val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
+        .cast("double") / lit(4294967296.0)
+      poisson1Cdf.zipWithIndex
+        .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
+          Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
+        }.get.otherwise(poisson1Cdf.length).cast("long")
+    }
+    def armTag(isA: Boolean): String = if (isA) "a" else "b"
+    def inArm(isA: Boolean): Column = if (isA) col("__ia") else !col("__ia")
+    val arms = Seq(true, false)
+    val vcAggs = arms.flatMap { isA =>
+      sum(when(inArm(isA), 1L).otherwise(0L))
+        .as(s"__c${armTag(isA)}orig") +:
+        (0 until b).map(j => sum(when(inArm(isA), w(j)).otherwise(0L))
+          .as(s"__c${armTag(isA)}$j"))
+    }
+    val vc = hashed.groupBy(col("__v")).agg(vcAggs.head, vcAggs.tail: _*)
+    val weights = arms.flatMap { isA =>
+      (s"c${armTag(isA)}orig" -> col(s"__c${armTag(isA)}orig")) +:
+        (0 until b).map(j =>
+          s"c${armTag(isA)}$j" -> col(s"__c${armTag(isA)}$j"))
+    }
+    val (shared, pre) = Analytics.prefixBeforeMultiByShared(
+      vc, Seq.empty, "__v", weights)
+    val names = arms.flatMap { isA =>
+      (armTag(isA), -1, s"c${armTag(isA)}orig") +:
+        (0 until b).map(j => (armTag(isA), j, s"c${armTag(isA)}$j"))
+    }
+    val totAggs = names.map { case (_, _, nm) =>
+      sum(col(s"__$nm")).as(s"__n_$nm") }
+    val tot = shared.agg(totAggs.head, totAggs.tail: _*)
+    val stacked = pre.select(col("__v"), explode(array(names.map {
+      case (arm, rep, nm) => struct(lit(arm).as("arm"),
+        lit(rep).as("rep"),
+        (col(s"__cum_$nm") + col(s"__$nm")).cast("long").as("__incl"))
+    }: _*)).as("e"))
+      .select(col("__v"), col("e.arm").as("arm"), col("e.rep").as("rep"),
+        col("e.__incl").as("__incl"))
+    val totStacked = tot.select(explode(array(names.map {
+      case (arm, rep, nm) => struct(lit(arm).as("arm"),
+        lit(rep).as("rep"), col(s"__n_$nm").cast("long").as("__n"))
+    }: _*)).as("e"))
+      .select(col("e.arm").as("arm"), col("e.rep").as("rep"),
+        col("e.__n").as("__n"))
+      .withColumn("__t", ceil(lit(p) * col("__n").cast("double")))
+    val stats = stacked.join(broadcast(totStacked), Seq("arm", "rep"))
+      .groupBy(col("arm"), col("rep"))
+      .agg(min(when(col("__incl") >= col("__t"), col("__v"))).as("__stat"),
+        max(col("__n")).as("__n"))
+    val wide = stats.groupBy(col("rep"))
+      .agg(min(when(col("arm") === "a", col("__stat"))).as("__qa"),
+        min(when(col("arm") === "b", col("__stat"))).as("__qb"),
+        max(when(col("arm") === "a", col("__n"))).as("__na"),
+        max(when(col("arm") === "b", col("__n"))).as("__nb"))
+    val est = wide.filter(col("rep") === -1)
+      .select(col("__qa").as("est_a"), col("__qb").as("est_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"))
+    val rs = wide.filter(col("rep") >= 0 &&
+        col("__qa").isNotNull && col("__qb").isNotNull)
+      .select((col("__qa") - col("__qb")).as("__d"))
+    val rc = rs.groupBy(col("__d").as("__sv"))
+      .agg(count(lit(1)).as("__sc"))
+    val (ciShared, ciPre) = Analytics.prefixBeforeMultiByShared(
+      rc, Seq.empty, "__sv", Seq("s" -> col("__sc")))
+    val beff = ciShared.agg(sum(col("__sc")).as("b_eff"))
+    val bounds = ciPre.crossJoin(broadcast(beff))
+      .agg(
+        min(when(col("__cum_s") + col("__sc") >=
+          greatest(lit(1L),
+            ceil(lit(ciLo) * col("b_eff").cast("double"))),
+          col("__sv"))).as("lo"),
+        min(when(col("__cum_s") + col("__sc") >=
+          greatest(lit(1L),
+            ceil(lit(ciHi) * col("b_eff").cast("double"))),
+          col("__sv"))).as("hi"))
+    est.crossJoin(broadcast(beff)).crossJoin(broadcast(bounds))
+      .select(lit(p).as("p"), lit(b.toLong).as("b"),
+        coalesce(col("b_eff"), lit(0L)).as("b_eff"),
+        col("n_a"), col("n_b"), col("est_a"), col("est_b"),
+        (col("est_a") - col("est_b")).as("diff"), col("lo"), col("hi"))
+  }
+
+  /** SPLIT-CONFORMAL calibration — the distribution-free prediction
+    * band every scored pipeline can have for free (Vovk's conformal
+    * prediction in its split form; Lei et al. 2018, Angelopoulos–Bates
+    * 2023 intro): on a held-out CALIBRATION slice the nonconformity
+    * scores (|label − prediction|, or any residual column) are ranked,
+    * q̂ = the ⌈(n_cal + 1)(1 − α)⌉-th smallest — then
+    * P(new residual ≤ q̂) ≥ 1 − α for exchangeable data, with NO
+    * model or distribution assumption. This computes q̂ exactly on the
+    * distributed distinct-residual prefix (never a row sort) and
+    * reports the EMPIRICAL coverage of the non-calibration rows
+    * against q̂ — the drift tripwire: eval coverage well below 1 − α
+    * means calibration and serving data have diverged (exchangeability
+    * broke), the conformal analogue of the drift family's alarms.
+    * k > n_cal (α too small for the slice) → NULL qhat with
+    * `clamped` = true. Output: one row — (n_cal, n_eval, k, qhat,
+    * coverage_eval, clamped).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def conformalQuantile(df: DataFrame, isCalib: Column,
+                        residualCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    import graft.operators.Analytics
+    def d(c: Column) = c.cast("double")
+    val base = df.filter(col(residualCol).isNotNull)
+      .select(col(residualCol).cast("double").as("__r"),
+        isCalib.as("__cal"))
+    val rc = base.groupBy(col("__r"))
+      .agg(sum(when(col("__cal"), 1L).otherwise(0L)).as("__cc"),
+        sum(when(!col("__cal"), 1L).otherwise(0L)).as("__ce"))
+    val (shared, pre) = Analytics.prefixBeforeMultiByShared(
+      rc, Seq.empty, "__r", Seq("cc" -> col("__cc")))
+    val tot = shared.agg(sum(col("__cc")).as("n_cal"),
+      sum(col("__ce")).as("n_eval"))
+      .withColumn("k", ceil((d(col("n_cal")) + 1.0) * lit(1.0 - alpha)))
+      .withColumn("clamped", col("k") > col("n_cal"))
+    val qhat = pre.crossJoin(broadcast(tot))
+      .agg(min(when(col("__cum_cc") + col("__cc") >= col("k") &&
+        col("k") <= col("n_cal"), col("__r"))).as("qhat"))
+    val cov = rc.crossJoin(broadcast(qhat))
+      .agg((sum(when(col("__r") <= col("qhat"), col("__ce"))
+        .otherwise(0L)).cast("double") /
+        sum(col("__ce")).cast("double")).as("coverage_eval"))
+    tot.crossJoin(broadcast(qhat)).crossJoin(broadcast(cov))
+      .select(col("n_cal"), col("n_eval"), col("k"), col("qhat"),
+        when(col("n_eval") > 0 && col("qhat").isNotNull,
+          col("coverage_eval")).as("coverage_eval"),
+        col("clamped"))
+  }
+
+  /** Post-stratified (weighted-strata) mean — the survey estimator
+    * for "what is the corpus-level metric when my sample's strata
+    * shares don't match the population's" (a quality score measured
+    * on a language-skewed sample, re-weighted to the corpus's known
+    * language mix — Neyman allocation's companion on the ESTIMATION
+    * side; classical stratified sampling theory, e.g. Cochran):
+    *   est = Σ_h W_h·ȳ_h,   se² = Σ_h W_h²·s²_h/n_h,
+    * with W_h the supplied population shares (normalized to sum 1).
+    * Rows in strata NOT in the design are excluded and counted
+    * (`n_other`); a designed stratum with n_h = 0 makes the estimate
+    * NULL (loudly incomplete, not silently re-normalized), and
+    * n_h = 1 strata contribute NULL se (variance undefined) while
+    * keeping the estimate. One map-side-combined scan of per-stratum
+    * exact-decimal moments; the fold runs in the FIXED design order.
+    * Output: one row — (n, n_other, k, estimate, se). */
+  def stratifiedMean(df: DataFrame, strataCol: String, valueCol: String,
+                     shares: Seq[(String, Double)], scale: Int = 2)
+      : DataFrame = {
+    require(shares.nonEmpty, "stratifiedMean needs the strata shares")
+    require(shares.map(_._1).distinct.length == shares.length,
+      s"duplicate strata in $shares")
+    require(shares.forall(_._2 > 0), s"shares must be > 0: $shares")
+    def d(c: Column) = c.cast("double")
+    val wTot = shares.map(_._2).sum
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val strata = shares.map(_._1)
+    val aggs = shares.zipWithIndex.flatMap { case ((g, _), i) =>
+      val in = col(strataCol) === g && col(valueCol).isNotNull
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(in, v)).cast("double").as(s"__s$i"),
+        sum(when(in, (v * v).cast(s"decimal(38,${2 * scale})")))
+          .cast("double").as(s"__ss$i"))
+    } :+ sum(when(col(strataCol).isin(strata: _*), 0L).otherwise(1L))
+      .as("n_other")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", shares.indices.map(i => col(s"__n$i"))
+        .reduce(_ + _))
+    val est = shares.zipWithIndex.map { case ((_, wh), i) =>
+      when(col(s"__n$i") > 0,
+        lit(wh / wTot) * (col(s"__s$i") / d(col(s"__n$i"))))
+    }.reduce(_ + _)
+    val se2 = shares.zipWithIndex.map { case ((_, wh), i) =>
+      when(col(s"__n$i") >= 2,
+        lit(wh / wTot) * lit(wh / wTot) *
+          ((col(s"__ss$i") - col(s"__s$i") * col(s"__s$i") /
+            d(col(s"__n$i"))) / (d(col(s"__n$i")) - 1.0)) /
+          d(col(s"__n$i")))
+    }.reduce(_ + _)
+    one
+      .withColumn("estimate", est)
+      .withColumn("se", when(se2 >= 0, sqrt(se2)))
+      .select(col("n"), col("n_other"),
+        lit(shares.length.toLong).as("k"), col("estimate"), col("se"))
+  }
 }

@@ -4375,6 +4375,126 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapQuantileDiffCI: bit-equal to the literal paired-" +
+    "resample model; est_a/est_b are the exact arm quantiles; " +
+    "partition sweep") {
+    import spark.implicits._
+    import graft.functions.ML
+    val rows = (1 to 60).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (i.toLong, g, ((i * 37 % 19) + 1).toDouble / 2.0 +
+        (if (g == "a") 2.0 else 0.0))
+    }
+    val df = rows.toDF("id", "g", "v")
+    val (p, b, salt) = (0.5, 10, "bd")
+    val got = ML.bootstrapQuantileDiffCI(df, "g", "id", "v", "a", "b",
+      p, b, salt).collect().head
+    // literal model: per replicate, EXPAND each arm's resample, take
+    // both type-1 quantiles, pair by replicate index, percentile CI
+    // over the differences (the md5/mix/poisson chain of the
+    // bootstrapQuantileCI spec)
+    def md5words(key: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+        java.lang.Long.parseLong(hex.substring(8, 16), 16))
+    }
+    def mix(h1: Long, h2: Long, j: Int): Long = {
+      val m = 4294967296L
+      val a = (h2 + j.toLong * 2654435761L) % m
+      val x0 = h1 ^ a
+      val x1 = (x0 * 1597334677L) % m
+      val x2 = x1 ^ (x1 >> 16)
+      val x3 = (x2 * 887987685L) % m
+      x3 ^ (x3 >> 13)
+    }
+    val cdf = ML.poisson1Cdf
+    def pois(u: Double): Int = {
+      val i = cdf.indexWhere(u < _); if (i < 0) cdf.length else i
+    }
+    def typed1(sorted: Seq[Double], q: Double): Double =
+      sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+    def resample(g: String, j: Int): Seq[Double] =
+      rows.filter(_._2 == g).flatMap { case (id, _, v) =>
+        val (h1, h2) = md5words(id.toString)
+        Seq.fill(pois(mix(h1, h2, j).toDouble / 4294967296.0))(v)
+      }
+    val diffs = (0 until b).flatMap { j =>
+      val (ra, rb) = (resample("a", j), resample("b", j))
+      if (ra.isEmpty || rb.isEmpty) None
+      else Some(typed1(ra.sorted, p) - typed1(rb.sorted, p))
+    }
+    val sd = diffs.sorted
+    def full(g: String) = rows.filter(_._2 == g).map(_._3).sorted
+    assert(got.getAs[Double]("est_a") == typed1(full("a"), p))
+    assert(got.getAs[Double]("est_b") == typed1(full("b"), p))
+    assert(got.getAs[Long]("b_eff") == diffs.size.toLong)
+    assert(got.getAs[Double]("lo") == typed1(sd, 0.025))
+    assert(got.getAs[Double]("hi") == typed1(sd, 0.975))
+    assert(got.getAs[Double]("diff") ==
+      typed1(full("a"), p) - typed1(full("b"), p))
+    partitionSweep { pn =>
+      ML.bootstrapQuantileDiffCI(df.repartition(pn), "g", "id", "v",
+        "a", "b", p, b, salt).collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("conformalQuantile: hand k and qhat on 1..10 calibration " +
+    "residuals; eval coverage fraction; alpha too small clamps; " +
+    "partition sweep") {
+    import spark.implicits._
+    import graft.functions.ML
+    // calib residuals 1..10; eval residuals 1..20
+    val df = ((1 to 10).map(r => (r.toDouble, true)) ++
+      (1 to 20).map(r => (r.toDouble + 0.5, false)))
+      .toDF("resid", "cal")
+    val r = ML.conformalQuantile(df, col("cal"), "resid", alpha = 0.25)
+      .collect().head
+    // k = ceil(11 * 0.75) = 9 -> qhat = 9.0; eval <= 9.0: residuals
+    // 1.5..8.5 -> 8 of 20
+    assert(r.getAs[Long]("n_cal") == 10L && r.getAs[Long]("n_eval") == 20L)
+    assert(r.getAs[Long]("k") == 9L)
+    assert(r.getAs[Double]("qhat") == 9.0)
+    assert(math.abs(r.getAs[Double]("coverage_eval") - 8.0 / 20.0) < 1e-12)
+    assert(!r.getAs[Boolean]("clamped"))
+    // alpha = 0.01: k = ceil(11 * 0.99) = 11 > 10 -> clamped, NULL qhat
+    val c = ML.conformalQuantile(df, col("cal"), "resid", alpha = 0.01)
+      .collect().head
+    assert(c.getAs[Boolean]("clamped") && c.isNullAt(c.fieldIndex("qhat")))
+    partitionSweep { pn =>
+      ML.conformalQuantile(df.repartition(pn), col("cal"), "resid", 0.25)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("stratifiedMean: hand two-strata estimate and se; missing " +
+    "designed stratum NULLs the estimate; singleton stratum keeps the " +
+    "estimate with NULL se; off-design rows counted") {
+    import spark.implicits._
+    import graft.functions.ML
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0),
+      ("b", 20.0), ("junk", 99.0)).toDF("s", "v")
+    val r = ML.stratifiedMean(df, "s", "v",
+      Seq("a" -> 0.5, "b" -> 0.5)).collect().head
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_other") == 1L)
+    // est = .5*2 + .5*15 = 8.5; se2 = .25*(1/3)/3... careful:
+    // se2 = W^2 * s2/n per stratum = .25*(1.0/3) + .25*(50.0/2)
+    assert(math.abs(r.getAs[Double]("estimate") - 8.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se") -
+      math.sqrt(0.25 * (1.0 / 3.0) + 0.25 * (50.0 / 2.0))) < 1e-12)
+    // designed stratum absent -> NULL estimate (loudly incomplete)
+    val m = ML.stratifiedMean(df, "s", "v",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)).collect().head
+    assert(m.isNullAt(m.fieldIndex("estimate")))
+    // singleton stratum: estimate present, se NULL
+    val s1 = ML.stratifiedMean(
+      Seq(("a", 1.0), ("a", 3.0), ("b", 7.0)).toDF("s", "v"),
+      "s", "v", Seq("a" -> 0.5, "b" -> 0.5)).collect().head
+    assert(math.abs(s1.getAs[Double]("estimate") - 4.5) < 1e-12)
+    assert(s1.isNullAt(s1.fieldIndex("se")))
+  }
+
   test("msprtTwoSampleTest: literal-model e-process on an interleaved " +
     "A/B stream; NULL e_log until both arms seen; persistent shift " +
     "crosses; duplicate t raises; partition sweep") {
