@@ -274,4 +274,139 @@ object Sampling {
         when(col("__w") > 0,
           lit(total.toDouble) * col("weight") / col("__w")).as("alloc")): _*)
   }
+
+  /** TOKEN-BUDGET curation — fill a training-data budget with the
+    * best documents ("take the highest-quality docs until we hit 10B
+    * tokens", the selection step after every quality-scoring pass):
+    * rows rank by (score DESC, id ASC) — the registry-wide
+    * deterministic tie-break — and a row is kept iff the INCLUSIVE
+    * cumulative token count at its rank fits `budget` (greedy
+    * rank-order knapsack; a doc larger than the remaining budget
+    * blocks everything behind it — by design, so the cut is a clean
+    * score threshold, not a size-dependent cherry-pick). Cumulative =
+    * a distributed prefix over the DISTINCT-score axis (strictly
+    * higher scores, [[graft.operators.Analytics]] rank machinery on
+    * the negated score — never a global window) + a per-score window
+    * ordered by id for the tie block (parallel across scores;
+    * documented hot-score caveat: one score value shared by 1e8 docs
+    * serializes that block — quantized scores should add a salt-hash
+    * tiebreak column first). Rows with NULL id/score/tokens are
+    * dropped. Output: (idCol, score, tokens, cum_tokens, kept) —
+    * every surviving input row, `kept` the budget verdict; filter on
+    * it for the curated set.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import graft.operators.Analytics
+    val base = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+        col(tokensCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(scoreCol).cast("double").as("__sc"),
+        col(tokensCol).cast("long").as("__tk"))
+    val sc = base.groupBy((-col("__sc")).as("__k"))
+      .agg(sum(col("__tk")).as("__gt"))
+    val (_, pre) = Analytics.prefixBeforeMultiByShared(
+      sc, Seq.empty, "__k", Seq("t" -> col("__gt")))
+    val higher = pre.select((-col("__k")).as("__hs"),
+      coalesce(col("__cum_t"), lit(0L)).as("__above"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sc")).orderBy(col("__id").asc)
+      .rowsBetween(Long.MinValue, 0)
+    base
+      .withColumn("__within", sum(col("__tk")).over(wIn))
+      .join(higher, col("__sc") === col("__hs"))
+      .withColumn("cum_tokens", col("__above") + col("__within"))
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .select(col("__id").as(idCol), col("__sc").as("score"),
+        col("__tk").as("tokens"), col("cum_tokens"), col("kept"))
+  }
+
+  /** Deterministic DOMAIN-MIX downsampling — hit a target source mix
+    * ("40% web, 40% code, 20% books") at the LARGEST total the corpus
+    * allows: the binding domain (smallest n_d/target_d) is kept in
+    * full and every other domain is hash-thinned to match, via
+    * per-domain keep-rates
+    *   rate_d = S·t_d/n_d,  S = min_e n_e/t_e  (t normalized),
+    * applied as the [[sampleByHash]] integer threshold — membership is
+    * a pure function of (id, salt), stable across runs, retries, and
+    * engines, and the thresholds derive from the domain COUNTS (k
+    * scalars read driver-side, the accepted one-number pattern).
+    * Rows in domains OUTSIDE the design are dropped. The realized mix
+    * is binomial around the target (deterministic thinning keeps
+    * rates, not exact counts — exact-count quotas are
+    * [[quotaSample]]'s job; this form composes with streaming and
+    * incremental ingest). Output: the kept rows (original columns) +
+    * `keep_rate`. */
+  def mixToShares(df: DataFrame, domainCol: String, idCol: String,
+                  targets: Seq[(String, Double)], salt: String)
+      : DataFrame = {
+    require(targets.nonEmpty, "mixToShares needs target shares")
+    require(targets.map(_._1).distinct.length == targets.length,
+      s"duplicate domains in $targets")
+    require(targets.forall(_._2 > 0), s"shares must be > 0: $targets")
+    val tTot = targets.map(_._2).sum
+    val domains = targets.map(_._1)
+    val cnts = df.filter(col(domainCol).isin(domains: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(targets.forall { case (g, _) => cnts.getOrElse(g, 0L) > 0 },
+      s"designed domain with zero rows: " +
+        s"${targets.map(_._1).filterNot(cnts.contains)}")
+    // S and the rates in one FIXED op order (the oracle replays it)
+    val sMin = targets.map { case (g, t) =>
+      cnts(g).toDouble / (t / tTot) }.min
+    val rates = targets.map { case (g, t) =>
+      g -> sMin * (t / tTot) / cnts(g).toDouble }
+    val thr = rates.map { case (g, r) => g -> thresholdU32(r) }
+    val thrCol = thr.tail.foldLeft(
+      when(col(domainCol) === thr.head._1, thr.head._2)) {
+      case (acc, (g, t)) => acc.when(col(domainCol) === g, t)
+    }
+    val rateCol = rates.tail.foldLeft(
+      when(col(domainCol) === rates.head._1, rates.head._2)) {
+      case (acc, (g, r)) => acc.when(col(domainCol) === g, r)
+    }
+    df.filter(col(domainCol).isin(domains: _*))
+      .filter(hashU32(col(idCol), salt) < thrCol)
+      .withColumn("keep_rate", rateCol)
+  }
+
+  /** Importance/sample-weight DIAGNOSTICS — the three numbers to read
+    * before trusting ANY weighted estimate (a re-weighted corpus
+    * metric, an inverse-propensity mean, [[stratifiedMean]]-style
+    * corrections done by hand): Kish's effective sample size
+    * ESS = (Σw)²/Σw², its ratio to n (1 = unweighted; 0.1 = 90% of
+    * the data is statistically dead weight), and the largest single
+    * weight's share of the total (one row owning 30% of the weight
+    * means the "estimate" is that row). Exact decimal sums, one
+    * map-side-combined scan; negative weights raise (they break the
+    * ESS identity — clamp or fix upstream). Output: one row —
+    * (n, sum_w, ess, ess_ratio, max_share). */
+  def weightDiagnostics(df: DataFrame, weightCol: String,
+                        scale: Int = 6): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val w = col(weightCol).cast(s"decimal(18,$scale)")
+    df.filter(col(weightCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(w).cast("double").as("__sw"),
+        sum((w * w).cast(s"decimal(38,${2 * scale})"))
+          .cast("double").as("__sww"),
+        max(w).cast("double").as("__wmax"),
+        min(w).cast("double").as("__wmin"))
+      .withColumn("sum_w",
+        when(col("__wmin").isNull || col("__wmin") >= 0, col("__sw"))
+        .otherwise(raise_error(lit("weightDiagnostics: negative " +
+          "weight — the ESS identity needs w >= 0; clamp or fix " +
+          "upstream"))))
+      .withColumn("ess", when(col("__sww") > 0,
+        col("__sw") * col("__sw") / col("__sww")))
+      .withColumn("ess_ratio", when(col("n") > 0,
+        col("ess") / col("n").cast("double")))
+      .withColumn("max_share", when(col("__sw") > 0,
+        col("__wmax") / col("__sw")))
+      .select("n", "sum_w", "ess", "ess_ratio", "max_share")
+  }
 }

@@ -2812,4 +2812,80 @@ class FunctionsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("tokenBudgetSample: greedy rank-order knapsack with (score " +
+    "desc, id asc) ties; budget boundary blocks the straddling doc; " +
+    "partition sweep") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    val df = Seq((1L, 0.9, 10L), (2L, 0.9, 20L), (3L, 0.8, 50L),
+      (4L, 0.7, 30L), (5L, 0.6, 100L)).toDF("id", "score", "tokens")
+    def keptAt(budget: Long): Set[Long] =
+      Sampling.tokenBudgetSample(df, "id", "score", "tokens", budget)
+        .filter(col("kept")).collect().map(_.getLong(0)).toSet
+    assert(keptAt(100L) == Set(1L, 2L, 3L))
+    assert(keptAt(110L) == Set(1L, 2L, 3L, 4L))
+    assert(keptAt(9L) == Set.empty[Long])
+    // cumulative column is the full running total in rank order
+    val cums = Sampling.tokenBudgetSample(df, "id", "score", "tokens", 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cums == Map(1L -> 10L, 2L -> 30L, 3L -> 80L, 4L -> 110L,
+      5L -> 210L))
+    partitionSweep { pn =>
+      Sampling.tokenBudgetSample(df.repartition(pn), "id", "score",
+        "tokens", 100L).orderBy("id").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("mixToShares: binding domain kept in full, others thinned to " +
+    "the sampleByHash threshold; keep_rate column; zero-row designed " +
+    "domain raises") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 150).map(i => (i.toLong, "b")) ++
+      Seq((999L, "junk"))).toDF("id", "dom")
+    val kept = Sampling.mixToShares(df, "dom", "id",
+      Seq("a" -> 0.5, "b" -> 0.5), salt = "mx")
+    // S = min(100/.5, 50/.5) = 100 -> rate_a = .5, rate_b = 1.0
+    val b = kept.filter(col("dom") === "b")
+    assert(b.count() == 50L)
+    assert(b.select("keep_rate").distinct().collect()
+      .head.getDouble(0) == 1.0)
+    val aKept = kept.filter(col("dom") === "a")
+      .collect().map(_.getLong(0)).toSet
+    val aExpected = Sampling.sampleByHash(
+      df.filter(col("dom") === "a"), "id", 0.5, salt = "mx")
+      .collect().map(_.getLong(0)).toSet
+    assert(aKept == aExpected)
+    assert(kept.filter(col("dom") === "junk").count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.mixToShares(df, "dom", "id",
+        Seq("a" -> 0.5, "missing" -> 0.5), salt = "mx")
+    }
+  }
+
+  test("weightDiagnostics: uniform weights ESS = n; one dominant " +
+    "weight collapses ESS and owns max_share; negative raises; empty " +
+    "input clean") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    val u = Sampling.weightDiagnostics(
+      Seq(1.0, 1.0, 1.0, 1.0).toDF("w"), "w").collect().head
+    assert(u.getAs[Long]("n") == 4L)
+    assert(math.abs(u.getAs[Double]("ess") - 4.0) < 1e-12)
+    assert(math.abs(u.getAs[Double]("ess_ratio") - 1.0) < 1e-12)
+    assert(math.abs(u.getAs[Double]("max_share") - 0.25) < 1e-12)
+    val skew = Sampling.weightDiagnostics(
+      Seq(9.0, 1.0).toDF("w"), "w").collect().head
+    assert(math.abs(skew.getAs[Double]("ess") - 100.0 / 82.0) < 1e-12)
+    assert(math.abs(skew.getAs[Double]("max_share") - 0.9) < 1e-12)
+    intercept[Exception] {
+      Sampling.weightDiagnostics(
+        Seq(1.0, -0.5).toDF("w"), "w").collect()
+    }
+    val e = Sampling.weightDiagnostics(
+      Seq.empty[Double].toDF("w"), "w").collect().head
+    assert(e.getAs[Long]("n") == 0L && e.isNullAt(e.fieldIndex("ess")))
+  }
 }
