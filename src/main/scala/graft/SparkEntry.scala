@@ -439,5 +439,14 @@ object SparkEntry {
     // the only operator chaining TWO distributed prefixes (value axis
     // then time axis) through a rows-sized join; a regression in
     // either prefix pass or the join between them shows here
-    "q331_pettitt")
+    "q331_pettitt",
+    // round-18 additions: the 25-weight bootstrap prefix (the widest
+    // exchange any prefix consumer carries — a regression in the
+    // multi-weight machinery or the explode/min-agg quantile extraction
+    // shows here), the two-sample mSPRT (per-row sequential output over
+    // a 4-weight prefix — the always-valid monitor plan shape), and the
+    // token-budget curation pass (negated-score prefix + per-score tie
+    // window + score-keyed join back)
+    "q431_bootstrap_median_ci", "q437_msprt_two_sample",
+    "q442_token_budget")
 }

@@ -86,7 +86,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q403_lorenz" -> 2,
     "q415_brunner_munzel" -> 0,
     "q418_centroid_drift" -> 2,
-    "q331_pettitt" -> 0)
+    "q331_pettitt" -> 0,
+    "q431_bootstrap_median_ci" -> 1,
+    "q437_msprt_two_sample" -> 3,
+    "q442_token_budget" -> 3)
 
   test("plan budget: every bench headline query stays within its " +
     "shuffle ceiling with no unbounded cartesian and no unbounded " +
