@@ -4520,6 +4520,82 @@ object Analytics {
       .drop("__cm")
   }
 
+  /** Storey q-values — [[bhAdjust]] made ADAPTIVE (Storey 2002;
+    * Storey–Tibshirani 2003's genomics-standard form): BH implicitly
+    * assumes every hypothesis is null; when a big fraction is truly
+    * alternative (a drift sweep over a genuinely shifted corpus), BH
+    * overcorrects by exactly that fraction. The null share is
+    * estimated from the p-value histogram's flat tail,
+    *   π̂₀ = min(1, #{p > λ} / ((1 − λ)·m)),
+    * and q(pᵢ) = min(1, π̂₀ · min_{p_j ≥ p_i} p_j·m/rank(p_j)) — BH's
+    * suffix-min SCALED BY π̂₀ before the cap (the cap does NOT commute
+    * with a ≤1 factor, so this re-runs the machinery rather than
+    * rescaling [[bhAdjust]]'s capped output — the opposite situation
+    * from [[byAdjust]]'s ≥1 constant). λ = 0.5 is the classical
+    * default; a λ with NO p-values above it yields π̂₀ = 0 and all-zero
+    * q (reported honestly — pick a smaller λ). Same plan as
+    * [[bhAdjust]]: distinct-p rank via [[prefixBefore]], distributed
+    * suffix-min, one join back; π̂₀ is one extra aggregate over the
+    * SAME pinned frame. NULL p rows keep NULL q. Output: the input
+    * columns + (`pi0`, `q_value`).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def storeyQValue(df: DataFrame, pCol: String, lambda: Double = 0.5)
+      : DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    def d(c: Column) = c.cast("double")
+    val dp = df.filter(col(pCol).isNotNull)
+      .groupBy(col(pCol).as("__p")).agg(count(lit(1)).as("__c"))
+    val (dpShared, pre) = prefixBeforeShared(dp, "__p", col("__c"))
+    val n = dpShared.agg(sum(col("__c")).as("__n"),
+      coalesce(sum(when(col("__p") > lambda, col("__c"))
+        .otherwise(0L)), lit(0L)).as("__ntail"))
+      .withColumn("pi0", least(lit(1.0),
+        d(col("__ntail")) / (lit(1.0 - lambda) * d(col("__n")))))
+    val ranked = pre
+      .withColumn("__r", col("__cum") + col("__c"))
+      .crossJoin(broadcast(n))
+      .withColumn("__q", d(col("__p")) * d(col("__n")) / d(col("__r")))
+    val adj = runningMinDescIncl(ranked.select(col("__p"), col("__q")),
+        "__p", col("__q"))
+      .crossJoin(broadcast(n.select(col("pi0"))))
+      .select(col("__p"), col("pi0"),
+        least(lit(1.0), col("pi0") * col("__rmin")).as("q_value"))
+    df.join(adj, col(pCol) === col("__p"), "left").drop("__p")
+  }
+
+  /** Fisher's combined probability test — ONE verdict from k
+    * independent per-slice p-values (the meta-analytic complement of
+    * the adjusters: [[bhAdjust]] asks "which slices", Fisher asks
+    * "is there drift ANYWHERE", which has more power when the signal
+    * is spread thinly across many slices): X² = −2·Σ ln pᵢ, dof = 2k,
+    * large X² = evidence (the statistic is emitted with its dof — the
+    * repo's no-CDF convention, same as every χ² operator here). Each
+    * ln pᵢ is a pinned per-row double summed as decimal(28,12). NULL
+    * p rows are excluded and counted; p ≤ 0 or p > 1 RAISES (ln would
+    * be −∞/complex — a broken upstream test, not evidence). One
+    * map-side-combined aggregate. Output: one row — (k, n_null,
+    * chi2, dof). */
+  def fisherCombine(df: DataFrame, pCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val p = col(pCol)
+    df.agg(
+        sum(when(p.isNotNull, 1L).otherwise(0L)).as("k"),
+        sum(when(p.isNull, 1L).otherwise(0L)).as("n_null"),
+        coalesce(min(when(p.isNotNull, p)), lit(1.0)).as("__pmin"),
+        coalesce(max(when(p.isNotNull, p)), lit(1.0)).as("__pmax"),
+        sum(when(p.isNotNull && p > 0 && p <= 1,
+          log(d(p)).cast("decimal(28,12)"))).cast("double").as("__sl"))
+      .withColumn("chi2",
+        when(col("__pmin") <= 0 || col("__pmax") > 1,
+          raise_error(lit("fisherCombine: p-values must lie in (0, 1] " +
+            "— a p of 0 or > 1 is a broken upstream test, not evidence")))
+        .when(col("k") > 0, lit(-2.0) * col("__sl")))
+      .select(col("k"), col("n_null"), col("chi2"),
+        (col("k") * 2L).as("dof"))
+  }
+
   /** e-BH — the e-value analogue of [[bhAdjust]] (Wang–Ramdas 2022,
     * "False discovery rate control with e-values"): given one e-value
     * per hypothesis (e.g. [[msprtMeanTest]]'s exp(e_log) at whatever

@@ -4375,6 +4375,79 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("storeyQValue: hand pi0 and q on a mixed p set; pi0 = 1 " +
+    "degenerates to bhAdjust; all-below-lambda gives pi0 = 0 and " +
+    "zero q; NULL p preserved; partition sweep") {
+    import spark.implicits._
+    // 8 p-values, 2 above lambda=0.5 -> pi0 = 2/(0.5*8) = 0.5
+    val ps = Seq(0.01, 0.02, 0.03, 0.04, 0.10, 0.20, 0.60, 0.90)
+    val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "p")
+    val got = Analytics.storeyQValue(df, "p", lambda = 0.5).collect()
+      .map(r => r.getDouble(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val m = ps.size
+    // literal model: q = min(1, pi0 * suffix-min of p*m/rank)
+    val pi0 = 0.5
+    val ranked = ps.sorted.zipWithIndex
+      .map { case (p, i) => p -> p * m / (i + 1.0) }
+    val want = ranked.map { case (p, _) =>
+      p -> math.min(1.0,
+        pi0 * ranked.filter(_._1 >= p).map(_._2).min)
+    }.toMap
+    ps.foreach { p =>
+      assert(math.abs(got(p)._1 - pi0) < 1e-12)
+      assert(math.abs(got(p)._2 - want(p)) < 1e-12, s"q at p=$p")
+    }
+    // q = pi0 * BH when nothing caps: check against bhAdjust scaled
+    val bh = Analytics.bhAdjust(df, "p").collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    ps.filter(p => bh(p) < 1.0).foreach { p =>
+      assert(math.abs(got(p)._2 - pi0 * bh(p)) < 1e-12)
+    }
+    // every p below lambda -> pi0 = 0, all q = 0 (documented honesty)
+    val low = Seq(0.1, 0.2).zipWithIndex.map { case (p, i) =>
+      (i.toLong, p) }.toDF("id", "p")
+    val l = Analytics.storeyQValue(low, "p").collect()
+    assert(l.forall(r => r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0))
+    // NULL p: NULL q, excluded from m
+    val withNull = Seq((1L, Some(0.04)), (2L, None)).toDF("id", "p")
+    val wn = Analytics.storeyQValue(withNull, "p").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(!wn(1L) && wn(2L))
+    partitionSweep { pn =>
+      Analytics.storeyQValue(df.repartition(pn), "p")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("fisherCombine: hand -2*sum(ln p) and dof; NULLs excluded and " +
+    "counted; p = 0 raises; p > 1 raises") {
+    import spark.implicits._
+    val ps = Seq(0.01, 0.04, 0.5, 1.0)
+    val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "p")
+    val r = Analytics.fisherCombine(df, "p").collect().head
+    assert(r.getAs[Long]("k") == 4L && r.getAs[Long]("dof") == 8L)
+    // literal: each ln term quantized at scale 12 then summed
+    val want = -2.0 * ps.map(p =>
+      BigDecimal(math.log(p)).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(math.abs(r.getAs[Double]("chi2") - want) < 1e-12)
+    val withNull = Analytics.fisherCombine(
+      Seq((1L, Some(0.5)), (2L, None)).toDF("id", "p"), "p")
+      .collect().head
+    assert(withNull.getAs[Long]("k") == 1L &&
+      withNull.getAs[Long]("n_null") == 1L)
+    intercept[Exception] {
+      Analytics.fisherCombine(
+        Seq((1L, 0.5), (2L, 0.0)).toDF("id", "p"), "p").collect()
+    }
+    intercept[Exception] {
+      Analytics.fisherCombine(
+        Seq((1L, 0.5), (2L, 1.5)).toDF("id", "p"), "p").collect()
+    }
+  }
+
   test("bootstrapQuantileDiffCI: bit-equal to the literal paired-" +
     "resample model; est_a/est_b are the exact arm quantiles; " +
     "partition sweep") {
