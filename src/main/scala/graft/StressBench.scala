@@ -729,6 +729,31 @@ object StressBench {
             ((col("id") * 2654435761L) % 50000000L).cast("double").as("x"),
             lit(25000000.0).as("y")),
           Seq("g"), "x", "y")),
+      // round 18: the WIDEST exchange any prefix consumer carries —
+      // bootstrapQuantileCI over 50M rows / ~50M distinct values with
+      // 24 replicate weight columns (25 including the original count;
+      // adk's k=3 one order of magnitude over). Prices three things at
+      // the design point: the per-row one-md5 + 24-integer-mix hash
+      // fanout in the scan projection, the |distinct| x 25-long range/
+      // window exchanges, and the 25-struct explode + map-combined
+      // min-aggregate quantile extraction. Nothing resampled ever
+      // materializes; the output is ONE row.
+      "bootstrap_quantile_50m" -> (() => graft.functions.ML.bootstrapQuantileCI(
+        spark.range(50000000L).select(col("id"),
+          ((col("id") * 2654435761L) % 50000000L).cast("double").as("v")),
+        "id", "v", p = 0.9, b = 24, salt = "sb")),
+      // round 18: the sequential family's per-row-output shape at
+      // scale — msprtTwoSampleTest over 50M observations (50M distinct
+      // t, interleaved arms, a +5 shift on arm b): four weights on one
+      // prefix, a per-row codegen'd e-process chain, and 50M rows OUT
+      // (the monitor emits one row per observation; the noop sink
+      // consumes them at full width).
+      "msprt_two_sample_50m" -> (() => graft.operators.Analytics.msprtTwoSampleTest(
+        spark.range(50000000L).select(col("id").as("t"),
+          when(col("id") % 2 === 0, lit("a")).otherwise(lit("b")).as("g"),
+          (((col("id") * 2654435761L) % 1000L).cast("double") / lit(10.0) +
+            when(col("id") % 2 === 1, lit(5.0)).otherwise(lit(0.0))).as("v")),
+        "t", "g", "v", "a", "b", sigma2 = 900.0, tau2 = 100.0)),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning
