@@ -4152,6 +4152,13 @@ class AnalyticsSpec extends SparkSpec {
     val rc = Analytics.adKSample(const, "g", "v", Seq("a", "b", "c"))
       .collect().head
     assert(rc.isNullAt(2) && rc.isNullAt(4))
+    // exactVariance = false: identical a2akn, NULL variance/t, and no
+    // harmonic spine or driver count paid (round 18 - the corpus-scale
+    // ordering mode)
+    val fast = Analytics.adKSample(df, "g", "v", Seq("g0", "g1", "g2"),
+      exactVariance = false).collect().head
+    assert(fast.getDouble(2) == r.getDouble(2))
+    assert(fast.isNullAt(3) && fast.isNullAt(4))
     partitionSweep { pn =>
       Analytics.adKSample(df.repartition(pn), "g", "v",
         Seq("g0", "g1", "g2")).collect().map(_.toSeq).toSeq
