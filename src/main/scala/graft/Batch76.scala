@@ -44,8 +44,8 @@ private[graft] object Batch76 {
        |    (PARTITION BY rep ORDER BY v ROWS UNBOUNDED PRECEDING) AS incl
        |  FROM vc),
        |tot AS (SELECT rep, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY 1),
-       |tgt AS (SELECT rep, n,
-       |    CAST(CEIL($p * CAST(n AS DOUBLE)) AS BIGINT) AS t FROM tot),
+       |tgt AS (SELECT rep, n, CASE WHEN n > 0 THEN
+       |    CAST(CEIL($p * CAST(n AS DOUBLE)) AS BIGINT) END AS t FROM tot),
        |st AS (SELECT cm.rep,
        |    MIN(CASE WHEN cm.incl >= tgt.t THEN cm.v END) AS stat,
        |    MAX(tgt.n) AS n

@@ -58,8 +58,8 @@ private[graft] object Batch79 {
              |    AS incl FROM vc),
              |tot AS (SELECT arm, rep, CAST(SUM(c) AS BIGINT) AS n
              |  FROM vc GROUP BY 1, 2),
-             |tgt AS (SELECT arm, rep, n,
-             |    CAST(CEIL(0.75 * CAST(n AS DOUBLE)) AS BIGINT) AS t FROM tot),
+             |tgt AS (SELECT arm, rep, n, CASE WHEN n > 0 THEN
+             |    CAST(CEIL(0.75 * CAST(n AS DOUBLE)) AS BIGINT) END AS t FROM tot),
              |st AS (SELECT cm.arm, cm.rep,
              |    MIN(CASE WHEN cm.incl >= tgt.t THEN cm.v END) AS stat,
              |    MAX(tgt.n) AS n

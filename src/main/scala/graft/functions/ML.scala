@@ -1912,7 +1912,12 @@ object ML {
         (0 until b).map(j => struct(lit(j).as("rep"),
           col(s"__n$j").cast("long").as("__n"))): _*)).as("e"))
       .select(col("e.rep").as("rep"), col("e.__n").as("__n"))
-      .withColumn("__t", ceil(lit(p) * col("__n").cast("double")))
+      // NULL threshold for an all-zero-weight replicate (n = 0): a 0
+      // threshold would satisfy every __incl >= t and return the
+      // corpus minimum instead of excluding the replicate (the
+      // documented degenerate case) — NULL t -> NULL stat -> filtered
+      .withColumn("__t", when(col("__n") > 0,
+        ceil(lit(p) * col("__n").cast("double"))))
     val stats = stacked.join(broadcast(totStacked), "rep")
       .groupBy(col("rep"))
       .agg(min(when(col("__incl") >= col("__t"), col("__v"))).as("__stat"),
@@ -2023,7 +2028,11 @@ object ML {
     }: _*)).as("e"))
       .select(col("e.arm").as("arm"), col("e.rep").as("rep"),
         col("e.__n").as("__n"))
-      .withColumn("__t", ceil(lit(p) * col("__n").cast("double")))
+      // same NULL-threshold-on-empty-replicate rule as
+      // [[bootstrapQuantileCI]]: n = 0 must exclude the (arm, rep)
+      // cell, not hand it the corpus minimum
+      .withColumn("__t", when(col("__n") > 0,
+        ceil(lit(p) * col("__n").cast("double"))))
     val stats = stacked.join(broadcast(totStacked), Seq("arm", "rep"))
       .groupBy(col("arm"), col("rep"))
       .agg(min(when(col("__incl") >= col("__t"), col("__v"))).as("__stat"),
@@ -2100,7 +2109,12 @@ object ML {
     val qhat = pre.crossJoin(broadcast(tot))
       .agg(min(when(col("__cum_cc") + col("__cc") >= col("k") &&
         col("k") <= col("n_cal"), col("__r"))).as("qhat"))
-    val cov = rc.crossJoin(broadcast(qhat))
+    // coverage from `shared`, NOT rc: the bridge compiles separate
+    // physical plans, so a second reference to rc would re-execute its
+    // whole lineage (scan + distinct aggregation) instead of
+    // re-fetching the pinned range shuffle — the round-16
+    // shared-execution rule; shared carries both __cc and __ce
+    val cov = shared.crossJoin(broadcast(qhat))
       .agg((sum(when(col("__r") <= col("qhat"), col("__ce"))
         .otherwise(0L)).cast("double") /
         sum(col("__ce")).cast("double")).as("coverage_eval"))

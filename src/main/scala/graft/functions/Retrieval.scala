@@ -288,7 +288,10 @@ object Retrieval {
     * so the pure shape keeps its group-limit pushdown. THE one NDCG
     * implementation in this library (round 18 — a near-duplicate in
     * the ML object was folded in here; `RegistrySpec` now trips
-    * structurally on cross-object same-name operators).
+    * structurally on cross-object same-name operators). Rows with a
+    * NULL query/doc/score/rel are excluded before ranking (they must
+    * not occupy rank positions or count in n_docs — the
+    * pre-consolidation contract, restored round 19).
     * Output: one row per query — (queryCol, [n_docs], dcg, idcg,
     * ndcg). */
   def ndcgAtK(df: DataFrame, queryCol: String, docCol: String,
@@ -296,6 +299,13 @@ object Retrieval {
               includeNDocs: Boolean = false): DataFrame = {
     require(k >= 1, "ndcgAtK needs k >= 1")
     import org.apache.spark.sql.expressions.Window
+    // rows with a NULL query/doc/score/rel are excluded up front (the
+    // pre-consolidation ML.ndcgAtK contract): a NULL-score row must
+    // not occupy a top-k rank position (deflating DCG) and an unjudged
+    // doc must not count in n_docs — partially-judged eval sets are
+    // the common case
+    val df0 = df.filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
+      col(scoreCol).isNotNull && col(relCol).isNotNull)
     val byScore = Window.partitionBy(col(queryCol))
       .orderBy(col(scoreCol).desc, col(docCol).asc)
     val byRel = Window.partitionBy(col(queryCol))
@@ -303,11 +313,11 @@ object Retrieval {
     def gain(rn: Column, rel: Column): Column =
       ((pow(lit(2.0), rel.cast("double")) - 1) /
         (log(rn.cast("double") + 1) / log(lit(2.0)))).cast("decimal(28,12)")
-    val dcg = df.withColumn("__rn", row_number().over(byScore))
+    val dcg = df0.withColumn("__rn", row_number().over(byScore))
       .filter(col("__rn") <= k)
       .groupBy(col(queryCol))
       .agg(sum(gain(col("__rn"), col(relCol))).as("__dcg"))
-    val idcg = df.withColumn("__rn", row_number().over(byRel))
+    val idcg = df0.withColumn("__rn", row_number().over(byRel))
       .filter(col("__rn") <= k)
       .groupBy(col(queryCol))
       .agg(sum(gain(col("__rn"), col(relCol))).as("__idcg"))
@@ -315,7 +325,7 @@ object Retrieval {
     val withN =
       if (!includeNDocs) joined
       else joined.join(
-        df.groupBy(col(queryCol)).agg(count(lit(1)).as("n_docs")),
+        df0.groupBy(col(queryCol)).agg(count(lit(1)).as("n_docs")),
         Seq(queryCol))
     withN.select(
       (col(queryCol) +:

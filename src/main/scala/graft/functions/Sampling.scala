@@ -287,18 +287,30 @@ object Sampling {
     * a distributed prefix over the DISTINCT-score axis (strictly
     * higher scores, [[graft.operators.Analytics]] rank machinery on
     * the negated score — never a global window) + a per-score window
-    * ordered by id for the tie block (parallel across scores;
-    * documented hot-score caveat: one score value shared by 1e8 docs
-    * serializes that block — quantized scores should add a salt-hash
-    * tiebreak column first). Rows with NULL id/score/tokens are
-    * dropped. Output: (idCol, score, tokens, cum_tokens, kept) —
-    * every surviving input row, `kept` the budget verdict; filter on
-    * it for the curated set.
+    * ordered by id for the tie block (parallel across scores).
+    * Hot-score hazard and its built-in fix: one score value shared by
+    * 1e8 docs (quantized 0–5 quality buckets are the common case)
+    * serializes that score's tie block through one window task —
+    * pass `tieBreakSalt = Some(salt)` and the tie order becomes
+    * (score DESC, hashU32(id, salt) ASC, id ASC): the hash rides the
+    * KEYED distributed prefix (compound range exchange on
+    * (score, hash), so a hot score splits across contiguous slices
+    * like the global axis does) and the residual window blocks are
+    * hash-collision-sized, O(1). The unsalted default keeps the pure
+    * (score DESC, id ASC) contract. Rows with NULL id/score/tokens
+    * are dropped; duplicate (score, id) PAIRS raise (the within-score
+    * cumulative ordered by id is ambiguous under duplicates — the
+    * msprt/pairwiseKappa guard convention; the check is a lag over
+    * the cumulative's own window, zero extra exchanges).
+    * Output: (idCol, score,
+    * tokens, cum_tokens, kept) — every surviving input row, `kept`
+    * the budget verdict; filter on it for the curated set.
     * EAGER: builds on the pinned-execution bridge, so Spark jobs
     * launch AT CALL time and the input is snapshotted then
     * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def tokenBudgetSample(df: DataFrame, idCol: String, scoreCol: String,
-                        tokensCol: String, budget: Long): DataFrame = {
+                        tokensCol: String, budget: Long,
+                        tieBreakSalt: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     import graft.operators.Analytics
     val base = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
@@ -306,19 +318,61 @@ object Sampling {
       .select(col(idCol).as("__id"),
         col(scoreCol).cast("double").as("__sc"),
         col(tokensCol).cast("long").as("__tk"))
+    // duplicate-(score, id) guard riding the SAME window exchange as
+    // the cumulative (lag over an identical partition/order spec —
+    // zero extra shuffles, q442's ceiling untouched): duplicates are
+    // adjacent in the ordered tie block, and the raise is consumed by
+    // cum_tokens so pruning cannot elide it
+    def dupGuard(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      when(lag(col("__id"), 1).over(w) === col("__id"),
+        raise_error(lit("tokenBudgetSample: duplicate (score, id) " +
+          "rows — the within-score cumulative ordered by id is " +
+          "ambiguous; dedup upstream")).cast("long"))
+        .otherwise(lit(0L))
     val sc = base.groupBy((-col("__sc")).as("__k"))
       .agg(sum(col("__tk")).as("__gt"))
     val (_, pre) = Analytics.prefixBeforeMultiByShared(
       sc, Seq.empty, "__k", Seq("t" -> col("__gt")))
     val higher = pre.select((-col("__k")).as("__hs"),
       coalesce(col("__cum_t"), lit(0L)).as("__above"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__sc")).orderBy(col("__id").asc)
-      .rowsBetween(Long.MinValue, 0)
-    base
-      .withColumn("__within", sum(col("__tk")).over(wIn))
-      .join(higher, col("__sc") === col("__hs"))
-      .withColumn("cum_tokens", col("__above") + col("__within"))
+    val cumulated = tieBreakSalt match {
+      case None =>
+        val wKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__sc")).orderBy(col("__id").asc)
+        base
+          .withColumn("__within",
+            sum(col("__tk")).over(wKey.rowsBetween(Long.MinValue, 0)))
+          .withColumn("__dup", dupGuard(wKey))
+          .join(higher, col("__sc") === col("__hs"))
+          .withColumn("cum_tokens",
+            col("__above") + col("__within") + col("__dup"))
+      case Some(salt) =>
+        val salted = base.withColumn("__tb", hashU32(col("__id"), salt))
+        // within-score token mass at strictly smaller tiebreak hashes:
+        // a KEYED prefix (keys = score, axis = hash), so a hot score's
+        // tie block is distributed, never one window task
+        val stb = salted.groupBy(col("__sc"), col("__tb"))
+          .agg(sum(col("__tk")).as("__gt2"))
+        val pre2 = Analytics.prefixBeforeMultiBy(
+          stb, Seq("__sc"), "__tb", Seq("t2" -> col("__gt2")))
+          .select(col("__sc").as("__s2"), col("__tb").as("__tb2"),
+            coalesce(col("__cum_t2"), lit(0L)).as("__atTb"))
+        // residual: ties on the full (score, hash) — collision-sized;
+        // a duplicate (score, id) hashes to the SAME tb, so the lag
+        // guard still sees it adjacent
+        val wKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__sc"), col("__tb")).orderBy(col("__id").asc)
+        salted
+          .withColumn("__within",
+            sum(col("__tk")).over(wKey.rowsBetween(Long.MinValue, 0)))
+          .withColumn("__dup", dupGuard(wKey))
+          .join(pre2, col("__sc") === col("__s2") &&
+            col("__tb") === col("__tb2"))
+          .join(higher, col("__sc") === col("__hs"))
+          .withColumn("cum_tokens",
+            col("__above") + col("__atTb") + col("__within") + col("__dup"))
+    }
+    cumulated
       .withColumn("kept", col("cum_tokens") <= budget)
       .select(col("__id").as(idCol), col("__sc").as("score"),
         col("__tk").as("tokens"), col("cum_tokens"), col("kept"))

@@ -578,7 +578,10 @@ object Streams {
     * Stage 2 inherits windowedPsiLive's contract: a deliberate
     * single-task serialization point over metadata-sized closed-window
     * rows (one (bucket, n, sum) row per window; state = one long + one
-    * BigDecimal), NOT a row-scale pattern. `crossed` is this window's
+    * exact decimal carried as its PLAIN STRING — the tuple encoder's
+    * default decimal(38,18) would cut the batch operator's
+    * decimal(38,12) integer headroom by 10^6), NOT a row-scale
+    * pattern. `crossed` is this window's
     * logΛ ≥ ln(1/α); the sequential decision is its running OR.
     * Output per closed window: (bucket_us, n_window, n_total,
     * mean_total, e_log, crossed). */
@@ -598,21 +601,28 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,12)")).as("s"))
       .select(unix_micros(col("window.start")).as("bucket_us"),
-        col("n"), col("s"))
-    closed.as[(Long, Long, java.math.BigDecimal)]
+        col("n"), col("s").cast("string").as("s"))
+    // the window sum and the carried state cross the encoder as plain
+    // decimal STRINGS: the tuple encoder's default java BigDecimal type
+    // is decimal(38,18), which would silently cut the batch operator's
+    // decimal(38,12) integer headroom by 10^6 — the string round-trip
+    // (cast above, toPlainString below) is exact at any magnitude and
+    // the rows are metadata-sized by construction (r18 advisor)
+    closed.as[(Long, Long, String)]
       .groupByKey(_ => 1)
-      .flatMapGroupsWithState[(Long, java.math.BigDecimal),
+      .flatMapGroupsWithState[(Long, String),
         (Long, Long, Long, Double, Double, Boolean)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, rows: Iterator[(Long, Long, java.math.BigDecimal)],
-         state: GroupState[(Long, java.math.BigDecimal)]) =>
-          var (nTot, sTot) = state.getOption
-            .getOrElse((0L, java.math.BigDecimal.ZERO))
+        (_: Int, rows: Iterator[(Long, Long, String)],
+         state: GroupState[(Long, String)]) =>
+          val st0 = state.getOption.getOrElse((0L, "0"))
+          var nTot = st0._1
+          var sTot = new java.math.BigDecimal(st0._2)
           val out = scala.collection.mutable
             .ArrayBuffer.empty[(Long, Long, Long, Double, Double, Boolean)]
           rows.toSeq.sortBy(_._1).foreach { case (b, n, s) =>
             nTot += n
-            sTot = sTot.add(s)
+            sTot = sTot.add(new java.math.BigDecimal(s))
             // the batch msprtMeanTest double chain, term for term
             val nd = nTot.toDouble
             val mean = sTot.doubleValue / nd
@@ -623,7 +633,7 @@ object Streams {
             out += ((b, n, nTot, mean, eLog,
               eLog >= math.log(1.0 / alpha)))
           }
-          state.update((nTot, sTot))
+          state.update((nTot, sTot.toPlainString))
           out.iterator
       }
       .toDF("bucket_us", "n_window", "n_total", "mean_total", "e_log",

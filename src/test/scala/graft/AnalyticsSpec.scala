@@ -4520,6 +4520,73 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapQuantile{,Diff}CI at tiny n: an all-zero-weight " +
+    "replicate is EXCLUDED (NULL threshold), never handed the corpus " +
+    "minimum; b_eff and the interval match the literal model over the " +
+    "survivors") {
+    import spark.implicits._
+    import graft.functions.ML
+    def md5words(salt: String, key: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+        java.lang.Long.parseLong(hex.substring(8, 16), 16))
+    }
+    def mix(h1: Long, h2: Long, j: Int): Long = {
+      val m = 4294967296L
+      val a = (h2 + j.toLong * 2654435761L) % m
+      val x0 = h1 ^ a
+      val x1 = (x0 * 1597334677L) % m
+      val x2 = x1 ^ (x1 >> 16)
+      val x3 = (x2 * 887987685L) % m
+      x3 ^ (x3 >> 13)
+    }
+    val cdf = ML.poisson1Cdf
+    def pois(u: Double): Int = {
+      val i = cdf.indexWhere(u < _); if (i < 0) cdf.length else i
+    }
+    def w(salt: String, id: Long, j: Int): Int = {
+      val (h1, h2) = md5words(salt, id.toString)
+      pois(mix(h1, h2, j).toDouble / 4294967296.0)
+    }
+    def typed1(sorted: Seq[Double], q: Double): Double =
+      sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+    // ONE-SAMPLE: n = 2, b = 16, salt "z0" — replicates {4,6,10,13}
+    // draw weight 0 for BOTH rows (enumerated; P ≈ e⁻² each). Before
+    // the round-19 fix the ceil(p·0) = 0 threshold let min(__incl >= 0)
+    // hand those replicates the corpus minimum, silently biasing lo.
+    val df = Seq((1L, 1.0), (2L, 5.0)).toDF("id", "v")
+    val got = ML.bootstrapQuantileCI(df, "id", "v", 0.5, 16, "z0")
+      .collect().head
+    val stats = (0 until 16).flatMap { j =>
+      val rs = Seq((1L, 1.0), (2L, 5.0)).flatMap { case (id, v) =>
+        Seq.fill(w("z0", id, j))(v) }
+      if (rs.isEmpty) None else Some(typed1(rs.sorted, 0.5))
+    }
+    assert(stats.size < 16, "fixture must produce an empty replicate")
+    assert(got.getAs[Long]("b_eff") == stats.size.toLong)
+    assert(got.getAs[Double]("lo") == typed1(stats.sorted, 0.025))
+    assert(got.getAs[Double]("hi") == typed1(stats.sorted, 0.975))
+    // TWO-SAMPLE: arm a = one row, so replicates empty it with
+    // P ≈ e⁻¹ — salt "d2", b = 12 excludes {3,4,5,6}
+    val rows2 = Seq((1L, "a", 4.0), (2L, "b", 1.0), (3L, "b", 3.0))
+    val df2 = rows2.toDF("id", "g", "v")
+    val got2 = ML.bootstrapQuantileDiffCI(df2, "g", "id", "v", "a", "b",
+      0.5, 12, "d2").collect().head
+    val diffs = (0 until 12).flatMap { j =>
+      def rs(g: String) = rows2.filter(_._2 == g)
+        .flatMap { case (id, _, v) => Seq.fill(w("d2", id, j))(v) }
+      val (ra, rb) = (rs("a"), rs("b"))
+      if (ra.isEmpty || rb.isEmpty) None
+      else Some(typed1(ra.sorted, 0.5) - typed1(rb.sorted, 0.5))
+    }
+    assert(diffs.size < 12, "fixture must empty an arm")
+    assert(got2.getAs[Long]("b_eff") == diffs.size.toLong)
+    assert(got2.getAs[Double]("lo") == typed1(diffs.sorted, 0.025))
+    assert(got2.getAs[Double]("hi") == typed1(diffs.sorted, 0.975))
+  }
+
   test("conformalQuantile: hand k and qhat on 1..10 calibration " +
     "residuals; eval coverage fraction; alpha too small clamps; " +
     "partition sweep") {

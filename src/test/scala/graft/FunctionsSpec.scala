@@ -2835,6 +2835,57 @@ class FunctionsSpec extends SparkSpec {
       Sampling.tokenBudgetSample(df.repartition(pn), "id", "score",
         "tokens", 100L).orderBy("id").collect().map(_.toSeq).toSeq
     }
+    // duplicate ids: the within-score cumulative ordered by id is
+    // ambiguous — must raise, not split arbitrarily (r18 advisor)
+    val dup = Seq((1L, 0.9, 10L), (1L, 0.9, 20L), (2L, 0.8, 5L))
+      .toDF("id", "score", "tokens")
+    intercept[Exception] {
+      Sampling.tokenBudgetSample(dup, "id", "score", "tokens", 100L)
+        .collect()
+    }
+  }
+
+  test("tokenBudgetSample with tieBreakSalt: cumulative follows " +
+    "(score desc, hashU32(id, salt) asc, id asc) — bit-equal to the " +
+    "literal re-ranked model; unsalted contract untouched; partition " +
+    "sweep") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // ONE hot quantized score (2.0 shared by 8 docs) + a higher and a
+    // lower score — exactly the shape the salted path exists for
+    val rows = Seq((10L, 3.0, 7L), (11L, 3.0, 9L)) ++
+      (1 to 8).map(i => (i.toLong, 2.0, (i * 13 % 29 + 5).toLong)) ++
+      Seq((20L, 1.0, 40L))
+    val df = rows.toDF("id", "score", "tokens")
+    val salt = "tb"
+    def hash(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    val ranked = rows.sortBy { case (id, sc, _) => (-sc, hash(id), id) }
+    val wantCum = ranked.scanLeft(0L)(_ + _._3).tail
+      .zip(ranked).map { case (c, (id, _, _)) => id -> c }.toMap
+    val budget = wantCum.values.toSeq.sorted.apply(4) // keep exactly 5
+    val got = Sampling.tokenBudgetSample(df, "id", "score", "tokens",
+      budget, tieBreakSalt = Some(salt)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    rows.foreach { case (id, _, _) =>
+      assert(got(id)._1 == wantCum(id), s"cum at id=$id")
+      assert(got(id)._2 == (wantCum(id) <= budget), s"kept at id=$id")
+    }
+    // the unsalted path still ranks ties by id alone
+    val plain = Sampling.tokenBudgetSample(df, "id", "score", "tokens",
+      budget).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rankedPlain = rows.sortBy { case (id, sc, _) => (-sc, id) }
+    val wantPlain = rankedPlain.scanLeft(0L)(_ + _._3).tail
+      .zip(rankedPlain).map { case (c, (id, _, _)) => id -> c }.toMap
+    rows.foreach { case (id, _, _) =>
+      assert(plain(id) == wantPlain(id), s"plain cum at id=$id") }
+    partitionSweep { pn =>
+      Sampling.tokenBudgetSample(df.repartition(pn), "id", "score",
+        "tokens", budget, tieBreakSalt = Some(salt))
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    }
   }
 
   test("mixToShares: binding domain kept in full, others thinned to " +
