@@ -754,6 +754,28 @@ object StressBench {
           (((col("id") * 2654435761L) % 1000L).cast("double") / lit(10.0) +
             when(col("id") % 2 === 1, lit(5.0)).otherwise(lit(0.0))).as("v")),
         "t", "g", "v", "a", "b", sigma2 = 900.0, tau2 = 100.0)),
+      // round 19 (VERDICT r18 Next #3): tokenBudgetSample's hot-score
+      // regime — 50M rows in SIX quantized score levels (integer
+      // quality buckets, the common practitioner shape). Unsalted,
+      // each level's ~8.3M-row tie block serializes through ONE
+      // window task (the documented hazard, measured here);
+      // tieBreakSalt re-ranks the block over the KEYED prefix on
+      // (score, hashU32(id, salt)) so it splits across range slices
+      // with only hash-collision-sized residual windows. Same output
+      // cardinality, same budget; the contrast is the tie machinery.
+      "token_budget_hot6_salted_50m" -> (() =>
+        graft.functions.Sampling.tokenBudgetSample(
+          spark.range(50000000L).select(col("id"),
+            ((col("id") * 2654435761L) % 6L).cast("double").as("score"),
+            ((col("id") * 7919L) % 400L + 50L).as("tokens")),
+          "id", "score", "tokens", budget = 5000000000L,
+          tieBreakSalt = Some("ts"))),
+      "token_budget_hot6_plain_50m" -> (() =>
+        graft.functions.Sampling.tokenBudgetSample(
+          spark.range(50000000L).select(col("id"),
+            ((col("id") * 2654435761L) % 6L).cast("double").as("score"),
+            ((col("id") * 7919L) % 400L + 50L).as("tokens")),
+          "id", "score", "tokens", budget = 5000000000L)),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning

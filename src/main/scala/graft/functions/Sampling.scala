@@ -378,6 +378,86 @@ object Sampling {
         col("__tk").as("tokens"), col("cum_tokens"), col("kept"))
   }
 
+  /** CONSTRAINED curation: a global token budget AND a domain mix at
+    * once — the real curation ask ("10B tokens at 40/40/20
+    * web/code/books by best quality"; [[tokenBudgetSample]] fills one
+    * global budget, [[mixToShares]] hits shares without a budget):
+    * the mix arithmetic fixes per-domain budgets
+    *   B_d = ⌊budget · w_d / Σw⌋   (fixed double ops, Seq order),
+    * and each domain independently runs the greedy rank-order
+    * knapsack — rows rank by (score DESC, id ASC) WITHIN their
+    * domain, kept iff the domain's inclusive cumulative fits B_d. A
+    * domain with fewer tokens than its budget keeps everything (the
+    * realized mix is then below target there — loudly visible in
+    * `kept` sums, never silently re-balanced: re-allocating slack
+    * would change other domains' cut thresholds into functions of
+    * cross-domain content, exactly the size-dependent cherry-pick the
+    * greedy contract exists to prevent). Rows in domains OUTSIDE the
+    * design are dropped; NULL id/score/tokens dropped; duplicate
+    * (domain, score, id) rows raise via the same zero-exchange lag
+    * guard as [[tokenBudgetSample]].
+    *
+    * Scale shape: the cumulative rides the KEYED distributed prefix
+    * (compound range exchange on (domain, −score) — a hot domain
+    * splits across slices) + per-(domain, score) tie windows; the
+    * per-domain budgets are pure literals (no counts pass, unlike
+    * [[mixToShares]] — the budget split is design-driven, not
+    * data-driven). Output: (idCol, domain, score, tokens, cum_tokens,
+    * domain_budget, kept).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def tokenBudgetByMix(df: DataFrame, idCol: String, scoreCol: String,
+                       tokensCol: String, domainCol: String,
+                       budget: Long, mix: Seq[(String, Double)])
+      : DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(mix.nonEmpty, "tokenBudgetByMix needs target shares")
+    require(mix.map(_._1).distinct.length == mix.length,
+      s"duplicate domains in $mix")
+    require(mix.forall(_._2 > 0), s"shares must be > 0: $mix")
+    import graft.operators.Analytics
+    val tTot = mix.map(_._2).sum
+    val budgets = mix.map { case (g, w) =>
+      g -> math.floor(budget.toDouble * (w / tTot)).toLong }
+    val domains = mix.map(_._1)
+    val base = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+        col(tokensCol).isNotNull && col(domainCol).isin(domains: _*))
+      .select(col(idCol).as("__id"), col(domainCol).as("__dom"),
+        col(scoreCol).cast("double").as("__sc"),
+        col(tokensCol).cast("long").as("__tk"))
+    val sc = base.groupBy(col("__dom").as("__d2"), (-col("__sc")).as("__k"))
+      .agg(sum(col("__tk")).as("__gt"))
+    val pre = Analytics.prefixBeforeMultiBy(
+      sc, Seq("__d2"), "__k", Seq("t" -> col("__gt")))
+      .select(col("__d2"), (-col("__k")).as("__hs"),
+        coalesce(col("__cum_t"), lit(0L)).as("__above"))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dom"), col("__sc")).orderBy(col("__id").asc)
+    val dup = when(lag(col("__id"), 1).over(wKey) === col("__id"),
+      raise_error(lit("tokenBudgetByMix: duplicate (domain, score, id) " +
+        "rows — the within-score cumulative ordered by id is " +
+        "ambiguous; dedup upstream")).cast("long"))
+      .otherwise(lit(0L))
+    val bCol = budgets.tail.foldLeft(
+      when(col("__dom") === budgets.head._1, budgets.head._2)) {
+      case (acc, (g, b)) => acc.when(col("__dom") === g, b)
+    }
+    base
+      .withColumn("__within",
+        sum(col("__tk")).over(wKey.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__dup", dup)
+      .join(pre, col("__dom") === col("__d2") &&
+        col("__sc") === col("__hs"))
+      .withColumn("cum_tokens",
+        col("__above") + col("__within") + col("__dup"))
+      .withColumn("domain_budget", bCol)
+      .withColumn("kept", col("cum_tokens") <= col("domain_budget"))
+      .select(col("__id").as(idCol), col("__dom").as("domain"),
+        col("__sc").as("score"), col("__tk").as("tokens"),
+        col("cum_tokens"), col("domain_budget"), col("kept"))
+  }
+
   /** Deterministic DOMAIN-MIX downsampling — hit a target source mix
     * ("40% web, 40% code, 20% books") at the LARGEST total the corpus
     * allows: the binding domain (smallest n_d/target_d) is kept in

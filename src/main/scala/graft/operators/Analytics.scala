@@ -6923,6 +6923,135 @@ object Analytics {
         "mde_abs", "mde_rel")
   }
 
+  /** Tabulated two-sided group-sequential constants at α = 0.05,
+    * K = 1..10 — Pocock (1977) and O'Brien–Fleming (1979) in the
+    * standard equal-increment form (Jennison & Turnbull, "Group
+    * Sequential Methods with Applications to Clinical Trials",
+    * Tables 2.1 / 2.3). Public so a spec (and a reader) can check the
+    * boundary column against the published table directly. */
+  val pocockConstants05: Vector[Double] = Vector(
+    1.960, 2.178, 2.289, 2.361, 2.413, 2.453, 2.485, 2.512, 2.535, 2.555)
+  val obfConstants05: Vector[Double] = Vector(
+    1.960, 1.977, 2.004, 2.024, 2.040, 2.053, 2.063, 2.072, 2.080, 2.087)
+
+  /** GROUP-SEQUENTIAL two-sample test — the scheduled-looks half of
+    * real A/B practice (the [[msprtMeanTest]] family covers continuous
+    * peeking; a design that analyzes at K planned looks uses the
+    * classical group-sequential boundaries): at look ℓ = 1..K the
+    * cumulative two-sample z (all rows with look ≤ ℓ, Welch-plug-in
+    * SE from exact decimal moments — the [[mdeTwoSample]] chain) is
+    * compared against the design's critical value,
+    *   Pocock:           c_P(K, α)                 (flat),
+    *   O'Brien–Fleming:  c_B(K, α)·√(K/ℓ)          (steep early),
+    * with c the PUBLISHED tabulated constants for equal-increment
+    * looks (Pocock 1977; O'Brien–Fleming 1979; Jennison & Turnbull
+    * Tables 2.1/2.3 — exposed as [[pocockConstants05]] /
+    * [[obfConstants05]]). Tables ship for α = 0.05 two-sided, K ≤ 10;
+    * any other design passes its constant via `cConst`. The
+    * Lan–DeMets CONTINUOUS spending form is deliberately absent: its
+    * boundary at each look solves a recursive normal integral with no
+    * engine-portable pinned form — the same argument that keeps BCa
+    * out of the bootstrap family; the tabulated classical design is
+    * the deterministic, oracle-replayable member (the repo's
+    * no-inverse-CDF convention, see [[mdeTwoSample]]'s z literals).
+    *
+    * Look indices outside 1..K raise (a look the design never planned
+    * is a protocol violation, not data). A look with n < 2 in either
+    * arm emits NULL z/crossed (undefined variance — visible, not
+    * dropped); `stopped` is the running OR of crossed-so-far (NULL
+    * crossed counts as not-crossed), i.e. "had the trial stopped by
+    * this look". Exactness: per-(look, arm) moments are exact
+    * decimals summed map-side in ONE scan; cumulatives are
+    * driver-composed column sums over the K literals (K ≤ 10 — no
+    * window, no second pass); the z/boundary chain is pinned doubles
+    * (boundary = c·√(K/ℓ) — IEEE sqrt is correctly rounded, so any
+    * engine replays it bit-for-bit).
+    *
+    * 100 TB: one map-side-combined scan carrying 6K+1 aggregate
+    * columns to ONE row, exploded to K output rows — no shuffle wider
+    * than the aggregate, nothing row-scale after the scan. Output:
+    * one row per look — (look, t, n_a, n_b, mean_a, mean_b, se, z,
+    * boundary, crossed, stopped). */
+  def groupSequentialTest(df: DataFrame, lookCol: String,
+                          groupCol: String, valueCol: String,
+                          groupA: String, groupB: String, k: Int,
+                          design: String = "obf", alpha: Double = 0.05,
+                          cConst: Option[Double] = None, scale: Int = 2)
+      : DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in [1,10], got $k")
+    require(design == "obf" || design == "pocock",
+      s"design must be obf|pocock, got $design")
+    require(cConst.nonEmpty || alpha == 0.05,
+      "tabulated constants ship for alpha = 0.05 two-sided only — " +
+        s"pass cConst for alpha = $alpha (Jennison & Turnbull tables)")
+    val c = cConst.getOrElse(design match {
+      case "pocock" => pocockConstants05(k - 1)
+      case _ => obfConstants05(k - 1)
+    })
+    def d(col0: Column) = col0.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val lk = col(lookCol).cast("long")
+    def side(g: String, l: Int, sfx: String) = {
+      val in = col(groupCol) === g && lk === l.toLong &&
+        col(valueCol).isNotNull
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"__n_${sfx}_$l"),
+        sum(when(in, v)).as(s"__s_${sfx}_$l"),
+        sum(when(in, (v * v).cast(s"decimal(38,${2 * scale})")))
+          .as(s"__ss_${sfx}_$l"))
+    }
+    val aggs = (1 to k).flatMap(l => side(groupA, l, "a") ++
+      side(groupB, l, "b")) :+
+      sum(when(lk.isNull || lk < 1L || lk > k.toLong, 1L).otherwise(0L))
+        .as("__bad")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def cum(sfx: String, part: String, l: Int, zero: Column): Column =
+      (1 to l).map(j => coalesce(col(s"__${part}_${sfx}_$j"), zero))
+        .reduce(_ + _)
+    val zeroS = lit(0).cast(s"decimal(18,$scale)")
+    val zeroSS = lit(0).cast(s"decimal(38,${2 * scale})")
+    // Pocock is FLAT at c; OBF scales c·√(K/ℓ) (steep early)
+    def boundaryAt(l: Int): Double =
+      if (design == "pocock") c else c * math.sqrt(k.toDouble / l.toDouble)
+    def zAndCrossed(l: Int): (Column, Column, Column, Column, Column,
+        Column, Column) = {
+      val na = cum("a", "n", l, lit(0L)); val nb = cum("b", "n", l, lit(0L))
+      val sa = d(cum("a", "s", l, zeroS)); val sb = d(cum("b", "s", l, zeroS))
+      val ssa = d(cum("a", "ss", l, zeroSS))
+      val ssb = d(cum("b", "ss", l, zeroSS))
+      val meanA = when(na > 0, sa / d(na))
+      val meanB = when(nb > 0, sb / d(nb))
+      val varA = when(na >= 2, (ssa - sa * sa / d(na)) / (d(na) - 1.0))
+      val varB = when(nb >= 2, (ssb - sb * sb / d(nb)) / (d(nb) - 1.0))
+      val se2 = varA / d(na) + varB / d(nb)
+      val se = when(se2 > 0, sqrt(se2))
+      val z = (meanA - meanB) / se
+      (na, nb, meanA, meanB, se, z,
+        when(z.isNotNull, abs(z) >= lit(boundaryAt(l))))
+    }
+    val looks = (1 to k).map { l =>
+      val (na, nb, meanA, meanB, se, z, crossed) = zAndCrossed(l)
+      // stopped = running OR of crossed-so-far, driver-composed over
+      // the j ≤ l literals (no window at all; catalyst CSE dedups the
+      // repeated subtrees on the one-row frame)
+      val stopped = (1 to l)
+        .map(j => coalesce(zAndCrossed(j)._7, lit(false)))
+        .reduce(_ || _)
+      struct(
+        // the look index doubles as the design guard's carrier: a look
+        // outside 1..K raises here, on every output row
+        when(col("__bad") === 0L, lit(l.toLong))
+          .otherwise(raise_error(lit("groupSequentialTest: look index " +
+            s"outside 1..$k — a look the design never planned; fix the " +
+            "look assignment"))).as("look"),
+        lit(l.toDouble / k.toDouble).as("t"),
+        na.as("n_a"), nb.as("n_b"),
+        meanA.as("mean_a"), meanB.as("mean_b"), se.as("se"), z.as("z"),
+        lit(boundaryAt(l)).as("boundary"),
+        crossed.as("crossed"), stopped.as("stopped"))
+    }
+    one.select(explode(array(looks: _*)).as("e")).select(col("e.*"))
+  }
+
   /** [[msprtMeanTest]] for a PROPORTION stream (conversion / pass-rate
     * / binary-quality-gate monitors — the other metric every live
     * dashboard watches): H₀: p = p₀ via the Gaussian-approximation

@@ -640,6 +640,98 @@ object Streams {
         "crossed")
   }
 
+  /** Streaming TWO-SAMPLE always-valid monitor — the live twin of
+    * [[graft.operators.Analytics.msprtTwoSampleTest]] and the deployed
+    * A/B shape ([[windowedMsprt]] monitors one stream against a fixed
+    * (μ₀, σ²); a real experiment has two LIVE arms):
+    *   stage 1 — the distributed tumbling-window aggregate: per-window
+    *   PER-ARM counts + exact decimal(28,12) value sums (mergeable
+    *   state, all heavy lifting; rows in neither arm are excluded);
+    *   stage 2 — the [[windowedPsiLive]] single-key walk over CLOSED
+    *   windows in bucket order carrying per-arm (N, S) — counts as
+    *   longs, sums as exact decimals in their PLAIN-STRING form (the
+    *   [[windowedMsprt]] encoder-width rule); per window it emits the
+    *   batch operator's pinned double chain VERBATIM:
+    *     V = σ²(1/n_A + 1/n_B),
+    *     log Λ = ½·ln(V/(V + τ²)) + Δ²·τ² / (2·V·(V + τ²)),
+    *   NULL until BOTH arms have an observation.
+    * Stage 2 inherits windowedPsiLive's contract: a deliberate
+    * single-task serialization point over metadata-sized
+    * closed-window rows (one (bucket, n_a, s_a, n_b, s_b) row per
+    * window), NOT a row-scale pattern. `crossed` is this window's
+    * logΛ ≥ ln(1/α); the sequential decision is its running OR.
+    * Output per closed window: (bucket_us, n_a_window, n_b_window,
+    * n_a, n_b, mean_a, mean_b, e_log, crossed). */
+  def windowedMsprtTwoSample(events: DataFrame, groupCol: String,
+                             groupA: String, groupB: String,
+                             sigma2: Double, tau2: Double,
+                             alpha: Double = 0.05,
+                             watermark: String = "0 seconds",
+                             window_ : String = "1 day"): DataFrame = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val zero = lit(0).cast("decimal(28,12)")
+    def armAgg(isA: Boolean, sfx: String) = {
+      val in = if (isA) col(groupCol) === groupA else col(groupCol) === groupB
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        coalesce(sum(when(in, col("value").cast("decimal(28,12)"))
+          .otherwise(zero)), zero).cast("string").as(s"s_$sfx"))
+    }
+    val aggs = armAgg(isA = true, "a") ++ armAgg(isA = false, "b")
+    // NULL values excluded up front (the batch operator's filter): a
+    // NULL must not count in n while sum() skips it
+    val closed = events
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col("value").isNotNull)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("n_a"), col("s_a"), col("n_b"), col("s_b"))
+    closed.as[(Long, Long, String, Long, String)]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[(Long, String, Long, String),
+        (Long, Long, Long, Long, Long, Option[Double], Option[Double],
+          Option[Double], Option[Boolean])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, String, Long, String)],
+         state: GroupState[(Long, String, Long, String)]) =>
+          val st0 = state.getOption.getOrElse((0L, "0", 0L, "0"))
+          var nA = st0._1; var nB = st0._3
+          var sA = new java.math.BigDecimal(st0._2)
+          var sB = new java.math.BigDecimal(st0._4)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Option[Double],
+              Option[Double], Option[Double], Option[Boolean])]
+          rows.toSeq.sortBy(_._1).foreach { case (b, na, sa, nb, sb) =>
+            nA += na; nB += nb
+            sA = sA.add(new java.math.BigDecimal(sa))
+            sB = sB.add(new java.math.BigDecimal(sb))
+            // the batch msprtTwoSampleTest double chain, term for term
+            val meanA = if (nA > 0) Some(sA.doubleValue / nA.toDouble)
+              else None
+            val meanB = if (nB > 0) Some(sB.doubleValue / nB.toDouble)
+              else None
+            val eLog = for (ma <- meanA; mb <- meanB) yield {
+              val vt = sigma2 * (1.0 / nA.toDouble + 1.0 / nB.toDouble)
+              val delta = ma - mb
+              0.5 * math.log(vt / (vt + tau2)) +
+                (delta * delta * tau2) / (2.0 * vt * (vt + tau2))
+            }
+            out += ((b, na, nb, nA, nB, meanA, meanB, eLog,
+              eLog.map(_ >= math.log(1.0 / alpha))))
+          }
+          state.update((nA, sA.toPlainString, nB, sB.toPlainString))
+          out.iterator
+      }
+      .toDF("bucket_us", "n_a_window", "n_b_window", "n_a", "n_b",
+        "mean_a", "mean_b", "e_log", "crossed")
+  }
+
   /** Stateful streaming dedup: emit each key's row only the first time it
     * is seen (training-data pipelines run exactly this to dedup an
     * unbounded crawl). State = one boolean per key. In production, bound

@@ -4382,6 +4382,84 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("groupSequentialTest: boundaries match the published Jennison & " +
+    "Turnbull tables (OBF 2.040·√(5/ℓ), Pocock flat 2.413 at K=5, " +
+    "alpha=0.05); z matches the hand Welch chain; stopped is the " +
+    "running OR; out-of-design look raises; cConst path; partition " +
+    "sweep") {
+    import spark.implicits._
+    // 5 looks, 4 rows per (look, arm); arm b shifted so later looks
+    // cross OBF but look 1 does not
+    val rows = for {
+      l <- 1 to 5; arm <- Seq("a", "b"); i <- 0 until 4
+    } yield (l.toLong, arm,
+      10.0 + i * 2.0 + (if (arm == "b") l * 1.1 else 0.0))
+    val df = rows.toDF("look", "g", "v")
+    val got = Analytics.groupSequentialTest(df, "look", "g", "v",
+      "a", "b", k = 5, design = "obf").orderBy("look").collect()
+    assert(got.length == 5)
+    // the PUBLISHED boundary shape, checked value-for-value
+    (1 to 5).foreach { l =>
+      assert(got(l - 1).getAs[Double]("boundary") ==
+        2.040 * math.sqrt(5.0 / l), s"OBF boundary at look $l")
+    }
+    val pk = Analytics.groupSequentialTest(df, "look", "g", "v",
+      "a", "b", k = 5, design = "pocock").orderBy("look").collect()
+    assert(pk.forall(_.getAs[Double]("boundary") == 2.413))
+    // driver model: cumulative moments at decimal scale 2, Welch z
+    def model(l: Int): (Long, Long, Double, Double, Double) = {
+      def arm(g: String) = rows.filter(r => r._1 <= l && r._2 == g)
+        .map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val (va, vb) = (arm("a"), arm("b"))
+      def mom(xs: Seq[BigDecimal]) = {
+        val n = xs.size
+        val s = xs.sum.toDouble
+        val ss = xs.map(x => x * x).sum.toDouble
+        val mean = s / n
+        val vv = (ss - s * s / n) / (n - 1.0)
+        (n.toLong, mean, vv)
+      }
+      val (na, ma, vva) = mom(va); val (nb, mb, vvb) = mom(vb)
+      val se = math.sqrt(vva / na + vvb / nb)
+      (na, nb, ma, mb, (ma - mb) / se)
+    }
+    got.zipWithIndex.foreach { case (r, i) =>
+      val (na, nb, ma, mb, z) = model(i + 1)
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      assert(r.getAs[Double]("mean_a") == ma, s"mean_a look ${i + 1}")
+      assert(r.getAs[Double]("mean_b") == mb, s"mean_b look ${i + 1}")
+      assert(r.getAs[Double]("z") == z, s"z look ${i + 1}")
+      assert(r.getAs[Boolean]("crossed") ==
+        (math.abs(z) >= r.getAs[Double]("boundary")))
+    }
+    // stopped = running OR of crossed
+    val crossedSeq = got.map(_.getAs[Boolean]("crossed"))
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Boolean]("stopped") == crossedSeq.take(i + 1)
+        .exists(identity), s"stopped at look ${i + 1}")
+    }
+    // a look outside the design raises on every output row
+    intercept[Exception] {
+      Analytics.groupSequentialTest(
+        df.union(Seq((9L, "a", 1.0)).toDF("look", "g", "v")),
+        "look", "g", "v", "a", "b", k = 5).collect()
+    }
+    // non-tabulated alpha needs an explicit constant
+    intercept[IllegalArgumentException] {
+      Analytics.groupSequentialTest(df, "look", "g", "v", "a", "b",
+        k = 5, alpha = 0.01)
+    }
+    val cc = Analytics.groupSequentialTest(df, "look", "g", "v", "a",
+      "b", k = 5, design = "pocock", alpha = 0.01, cConst = Some(2.986))
+      .orderBy("look").collect()
+    assert(cc.forall(_.getAs[Double]("boundary") == 2.986))
+    partitionSweep { pn =>
+      Analytics.groupSequentialTest(df.repartition(pn), "look", "g",
+        "v", "a", "b", k = 5).orderBy("look").collect()
+        .map(_.toSeq).toSeq
+    }
+  }
+
   test("storeyQValue: hand pi0 and q on a mixed p set; pi0 = 1 " +
     "degenerates to bhAdjust; all-below-lambda gives pi0 = 0 and " +
     "zero q; NULL p preserved; partition sweep") {

@@ -2888,6 +2888,55 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetByMix: per-domain budgets are the floor'd mix " +
+    "split; each domain fills independently; an oversized top doc " +
+    "blocks its whole domain; out-of-design domains dropped; " +
+    "duplicate raises; partition sweep") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // domain x: top-score doc is OVERSIZED (60 > budget 50) and blocks
+    // everything behind it; domain y fills to its own 50 exactly;
+    // domain z is outside the design and must vanish
+    val df = Seq(
+      (1L, "x", 0.9, 60L), (2L, "x", 0.8, 10L), (3L, "x", 0.7, 5L),
+      (10L, "y", 0.9, 20L), (11L, "y", 0.8, 30L), (12L, "y", 0.7, 10L),
+      (99L, "z", 1.0, 1L)).toDF("id", "dom", "score", "tokens")
+    val got = Sampling.tokenBudgetByMix(df, "id", "score", "tokens",
+      "dom", budget = 100L, mix = Seq("x" -> 0.5, "y" -> 0.5))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(!got.contains(99L), "out-of-design domain must be dropped")
+    assert(got.values.forall(_._3 == 50L), "floor(100 * 0.5) = 50")
+    // x: cum 60, 70, 75 — nothing fits (the blocking contract)
+    assert(got(1L) == (("x", 60L, 50L, false)))
+    assert(got(2L) == (("x", 70L, 50L, false)))
+    assert(got(3L) == (("x", 75L, 50L, false)))
+    // y: cum 20, 50, 60 — first two kept
+    assert(got(10L) == (("y", 20L, 50L, true)))
+    assert(got(11L) == (("y", 50L, 50L, true)))
+    assert(got(12L) == (("y", 60L, 50L, false)))
+    // uneven shares: floor(100 * 2/3) = 66, floor(100 * 1/3) = 33
+    val uneven = Sampling.tokenBudgetByMix(df, "id", "score", "tokens",
+      "dom", budget = 100L, mix = Seq("x" -> 2.0, "y" -> 1.0))
+      .select("domain", "domain_budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uneven == Map("x" -> 66L, "y" -> 33L))
+    // duplicate (domain, score, id) raises
+    intercept[Exception] {
+      Sampling.tokenBudgetByMix(
+        df.union(Seq((1L, "x", 0.9, 60L)).toDF("id", "dom", "score",
+          "tokens")), "id", "score", "tokens", "dom",
+        budget = 100L, mix = Seq("x" -> 0.5, "y" -> 0.5)).collect()
+    }
+    partitionSweep { pn =>
+      Sampling.tokenBudgetByMix(df.repartition(pn), "id", "score",
+        "tokens", "dom", budget = 100L,
+        mix = Seq("x" -> 0.5, "y" -> 0.5))
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("mixToShares: binding domain kept in full, others thinned to " +
     "the sampleByHash threshold; keep_rate column; zero-row designed " +
     "domain raises") {

@@ -408,6 +408,82 @@ class IOStreamsSpec extends SparkSpec {
     assert(!got.head.getAs[Boolean]("crossed"))
   }
 
+  test("windowedMsprtTwoSample: e_log bit-equal to the batch " +
+      "msprtTwoSampleTest chain at every window prefix; per-arm (N, S) " +
+      "state carries across micro-batches; e_log NULL until both arms " +
+      "report; the shifted arm crosses ln(1/alpha)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dayUs = 86400L * 1000000L
+    // window 0 has ONLY arm a (e_log must be NULL); arm b joins from
+    // window 1 with a +6 shift that grows — crossing by the last window
+    val perWin: Seq[Seq[(String, Double)]] = Seq(
+      (0 until 4).map(i => ("a", 10.0 + i * 0.1)),
+      (0 until 3).map(i => ("a", 10.2 + i * 0.1)) ++
+        (0 until 3).map(i => ("b", 16.0 + i * 0.1)),
+      (0 until 4).map(i => ("a", 9.9 + i * 0.1)) ++
+        (0 until 4).map(i => ("b", 16.5 + i * 0.1)),
+      (0 until 3).map(i => ("a", 10.1 + i * 0.1)) ++
+        (0 until 5).map(i => ("b", 16.8 + i * 0.1)))
+    val rows = perWin.zipWithIndex.flatMap { case (ws, d) =>
+      ws.zipWithIndex.map { case ((g, v), i) =>
+        (d * dayUs + i * 1000L, g, v) } }
+    val (s2, t2, alpha) = (4.0, 1.0, 0.05)
+    val ms = MemoryStream[(Long, String, Double)](spark)
+    val out = Streams.windowedMsprtTwoSample(
+      ms.toDS().toDF("ts_us", "grp", "value"), "grp", "a", "b",
+      sigma2 = s2, tau2 = t2, alpha = alpha,
+      watermark = "0 seconds", window_ = "1 day")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("msprt2_spec_sink").start()
+    try {
+      // split mid-stream: per-arm (N, S) must carry across batches
+      ms.addData(rows.filter(_._1 < 2 * dayUs)); q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 2 * dayUs)); q.processAllAvailable()
+      ms.addData((20L * dayUs, "a", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("msprt2_spec_sink")
+      .filter(col("bucket_us") < 4 * dayUs).orderBy("bucket_us").collect()
+    assert(got.length == 4)
+    // driver model: per-arm exact decimal window sums folded in bucket
+    // order through the batch operator's fixed double chain
+    var nA = 0L; var nB = 0L
+    var sA = java.math.BigDecimal.ZERO
+    var sB = java.math.BigDecimal.ZERO
+    def dq(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val want = perWin.map { ws =>
+      ws.foreach { case (g, v) =>
+        if (g == "a") { nA += 1; sA = sA.add(dq(v)) }
+        else { nB += 1; sB = sB.add(dq(v)) }
+      }
+      val meanA = if (nA > 0) Some(sA.doubleValue / nA.toDouble) else None
+      val meanB = if (nB > 0) Some(sB.doubleValue / nB.toDouble) else None
+      val eLog = for (ma <- meanA; mb <- meanB) yield {
+        val vt = s2 * (1.0 / nA.toDouble + 1.0 / nB.toDouble)
+        val delta = ma - mb
+        0.5 * math.log(vt / (vt + t2)) +
+          (delta * delta * t2) / (2.0 * vt * (vt + t2))
+      }
+      (nA, nB, meanA, meanB, eLog)
+    }
+    got.zip(want).zipWithIndex.foreach {
+      case ((r, (na, nb, ma, mb, e)), i) =>
+        assert(r.getAs[Long]("n_a") == na, s"window $i n_a")
+        assert(r.getAs[Long]("n_b") == nb, s"window $i n_b")
+        def opt(idx: Int): Option[Double] =
+          if (r.isNullAt(idx)) None else Some(r.getDouble(idx))
+        assert(opt(5) == ma, s"window $i mean_a")
+        assert(opt(6) == mb, s"window $i mean_b")
+        assert(opt(7) == e, s"window $i e_log")
+        val crossed = if (r.isNullAt(8)) None else Some(r.getBoolean(8))
+        assert(crossed == e.map(_ >= math.log(1.0 / alpha)),
+          s"window $i crossed")
+    }
+    assert(got.head.isNullAt(7), "arm-a-only window must emit NULL e_log")
+    assert(got.last.getBoolean(8), "the shifted arm must cross by the end")
+  }
+
   test("streaming windowedJsd: per-window JSD equal to the batch " +
       "formula; zero drift → exactly 0; bounded by ln 2") {
     import spark.implicits._
