@@ -138,4 +138,93 @@ class RegistrySpec extends SparkSpec {
     assert(crossObjectDups(dolls) == Seq("ndcgAtK" -> Seq("A", "B")))
     assert(crossObjectDups(dolls.drop(1)).isEmpty)
   }
+
+  // ---- exportedObjects completeness (round 19, VERDICT r18 "What's
+  // wrong #2"): the list above is hand-maintained, so a future
+  // functions.X object would silently escape the duplicate guard. The
+  // classpath scan below makes the list's completeness a tested
+  // property: every top-level object in the library packages must be
+  // EITHER in exportedObjects or on the explicit non-operator
+  // allowlist — both directions, so a stale allowlist entry trips too.
+
+  /** Top-level objects that are deliberately NOT operator-bearing
+    * exports — each with its classification. A new object landing in
+    * these packages must be consciously filed on one side or fail. */
+  private val nonOperatorObjects: Set[String] = Set(
+    // core API surface: JTable's operator surface is the CLASS (the
+    // reference's table type); these are the companion + selector ADT
+    "core.JTable", "core.Sel",
+    // Catalyst plumbing: SparkSessionExtensions installer, the rewrite
+    // rule, and the codegen'd Expression companions HashOps fronts
+    "plans.GraftExtensions", "plans.MvRewrite", "plans.HashExpressions",
+    "plans.BloomMightContain", "plans.CharEntropy", "plans.DotFix9",
+    "plans.EqFrac", "plans.Fingerprint64", "plans.Fix9",
+    "plans.FoldAccents", "plans.GopherKeep", "plans.MinHashSig",
+    "plans.NearestCell", "plans.NormalizeWs", "plans.PqCodes",
+    "plans.RepStats", "plans.RhpSignature", "plans.ShingleHashes",
+    "plans.ShingleHashesAll", "plans.ShingleStrings", "plans.SimHash64",
+    "plans.SparseSignProject", "plans.TopCells")
+
+  private val libraryPackages =
+    Seq("operators", "functions", "streaming", "sources", "plans", "core")
+
+  /** Top-level objects of graft.<pkg> found on the classpath —
+    * `Name$.class` with no inner `$` (nested case-class companions and
+    * anonymous classes carry one). */
+  private def scanObjects(pkg: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    getClass.getClassLoader.getResources(s"graft/$pkg").asScala.toSeq
+      .filter(_.getProtocol == "file")
+      .flatMap { url =>
+        Option(new java.io.File(url.toURI).listFiles()).toSeq.flatten
+          .map(_.getName)
+          .filter(_.matches("""[A-Za-z][A-Za-z0-9]*\$\.class"""))
+          .map(n => s"$pkg." + n.stripSuffix("$.class"))
+      }.distinct.sorted
+  }
+
+  private def completenessGaps(scanned: Seq[String],
+      exported: Set[String], allow: Set[String])
+      : (Set[String], Set[String]) = {
+    val known = exported ++ allow
+    val unregistered = scanned.toSet -- known
+    val stale = known -- scanned.toSet
+    (unregistered, stale)
+  }
+
+  test("exportedObjects is COMPLETE against the classpath: every " +
+    "top-level library object is either exported (duplicate-guarded) " +
+    "or explicitly filed non-operator; no stale entries either way") {
+    val scanned = libraryPackages.flatMap(scanObjects)
+    // the scan itself must be alive — an empty scan would make the
+    // guard vacuously green
+    libraryPackages.foreach { p =>
+      assert(scanObjects(p).nonEmpty, s"classpath scan found nothing " +
+        s"in graft.$p — scanner broken, guard vacuous")
+    }
+    assert(scanned.contains("functions.Sampling"),
+      "scanner must see a known exported object")
+    val (unregistered, stale) = completenessGaps(scanned,
+      exportedObjects.map(_._1).toSet, nonOperatorObjects)
+    assert(unregistered.isEmpty,
+      s"top-level objects neither exported nor filed non-operator — " +
+        s"the cross-object duplicate guard cannot see them: $unregistered")
+    assert(stale.isEmpty,
+      s"exportedObjects/nonOperatorObjects entries with no class on " +
+        s"the classpath — deleted or renamed objects, drop them: $stale")
+  }
+
+  test("completeness doll: an unregistered object and a stale entry " +
+    "both trip") {
+    val scanned = Seq("functions.A", "functions.NewThing")
+    val (unregistered, _) =
+      completenessGaps(scanned, Set("functions.A"), Set.empty)
+    assert(unregistered == Set("functions.NewThing"))
+    val (_, stale) = completenessGaps(Seq("functions.A"),
+      Set("functions.A", "functions.Deleted"), Set.empty)
+    assert(stale == Set("functions.Deleted"))
+    val (u2, s2) = completenessGaps(Seq("functions.A"),
+      Set("functions.A"), Set.empty)
+    assert(u2.isEmpty && s2.isEmpty)
+  }
 }
