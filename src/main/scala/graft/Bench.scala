@@ -185,7 +185,28 @@ object Bench {
     // set); the interleaving + median logic is unchanged.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.benchQueries
+    // CANARY (round 19, VERDICT r18 Next #1): one fixed-plan synthetic
+    // line reported alongside every run — a seeded integer range →
+    // codegen'd arithmetic → one aggregate. No parquet, no library
+    // code, no shuffle wider than the partial/final agg; the plan can
+    // never change across rounds, so whole-set drift separates into
+    // measured host noise (the canary moved too) vs a real regression
+    // (the set moved, the canary didn't). Deliberately NOT in
+    // SparkEntry.benchQueries (it is not a registry/headline query —
+    // PlanBudgetSpec probes those) and excluded from the >2x sanity
+    // flags' prior lookup only by never having a prior to flag against
+    // in rounds before it existed.
+    val canaryName = "q00_canary_fixedplan"
+    def canary(s: SparkSession): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      s.range(0L, 200000000L, 1L, cpus.toInt)
+        .select((((col("id") * 2654435761L) % 1000000007L)
+          .bitwiseXOR(shiftright(col("id"), 7))).as("x"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    }
+    val qsAll = qs0 ++ Map(canaryName ->
+      ((s: SparkSession, _: String) => canary(s)))
+    val names = (canaryName +: SparkEntry.benchQueries)
       .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val ok = scala.collection.mutable.Map.empty[String, Boolean]
@@ -197,7 +218,7 @@ object Bench {
     // (value -1, listed in "errors") instead of silently folding its
     // time-to-crash into the headline total.
     names.foreach { name =>
-      try { run(qs0(name)(spark, sfDir)) }
+      try { run(qsAll(name)(spark, sfDir)) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed in warmup: $e"); ok(name) = false }
     }
@@ -217,7 +238,7 @@ object Bench {
       names.foreach { name =>
         if (ok(name)) {
           val t0 = System.nanoTime()
-          try { run(qs0(name)(spark, sfDir)); times(name) += (System.nanoTime() - t0) / 1e9 }
+          try { run(qsAll(name)(spark, sfDir)); times(name) += (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); ok(name) = false }
         }
