@@ -448,5 +448,14 @@ object SparkEntry {
     // token-budget curation pass (negated-score prefix + per-score tie
     // window + score-keyed join back)
     "q431_bootstrap_median_ci", "q437_msprt_two_sample",
+    // round-19 additions: the SALTED token budget (the keyed-prefix
+    // tie machinery under six quantized hot scores — a regression in
+    // the (score, hash) compound range pass or the double join-back
+    // shows here), the 5-look group-sequential design (ONE
+    // 31-aggregate scan exploded to K rows — a regression to a
+    // per-look scan or a window shows here), and the joint budget×mix
+    // knapsack (domain-keyed prefix + per-(domain, score) tie windows)
+    "q447_token_budget_salted", "q449_group_seq_obf",
+    "q451_token_budget_by_mix",
     "q442_token_budget")
 }

@@ -89,7 +89,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q331_pettitt" -> 0,
     "q431_bootstrap_median_ci" -> 1,
     "q437_msprt_two_sample" -> 3,
-    "q442_token_budget" -> 3)
+    "q442_token_budget" -> 3,
+    "q447_token_budget_salted" -> 10,
+    "q449_group_seq_obf" -> 1,
+    "q451_token_budget_by_mix" -> 8)
 
   test("plan budget: every bench headline query stays within its " +
     "shuffle ceiling with no unbounded cartesian and no unbounded " +
