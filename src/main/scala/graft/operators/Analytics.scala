@@ -7012,30 +7012,17 @@ object Analytics {
     // Pocock is FLAT at c; OBF scales c·√(K/ℓ) (steep early)
     def boundaryAt(l: Int): Double =
       if (design == "pocock") c else c * math.sqrt(k.toDouble / l.toDouble)
-    def zAndCrossed(l: Int): (Column, Column, Column, Column, Column,
-        Column, Column) = {
-      val na = cum("a", "n", l, lit(0L)); val nb = cum("b", "n", l, lit(0L))
-      val sa = d(cum("a", "s", l, zeroS)); val sb = d(cum("b", "s", l, zeroS))
-      val ssa = d(cum("a", "ss", l, zeroSS))
-      val ssb = d(cum("b", "ss", l, zeroSS))
-      val meanA = when(na > 0, sa / d(na))
-      val meanB = when(nb > 0, sb / d(nb))
-      val varA = when(na >= 2, (ssa - sa * sa / d(na)) / (d(na) - 1.0))
-      val varB = when(nb >= 2, (ssb - sb * sb / d(nb)) / (d(nb) - 1.0))
-      val se2 = varA / d(na) + varB / d(nb)
-      val se = when(se2 > 0, sqrt(se2))
-      val z = (meanA - meanB) / se
-      (na, nb, meanA, meanB, se, z,
-        when(z.isNotNull, abs(z) >= lit(boundaryAt(l))))
-    }
+    // CODE-SIZE DISCIPLINE (round 19, measured): the structs carry
+    // ONLY the raw cumulative moments (7 cheap fields each); the
+    // mean/var/se/z chain is generated ONCE post-explode from
+    // attributes, and `stopped`'s exists-lambda re-derives crossed
+    // from the raw fields in one lambda instance. Inlining the full
+    // chain into every struct field of every look (the first cut)
+    // duplicated each look's deep subtrees ~10× and blew Janino's
+    // 64 KB method limit at K = 5 — a whole-stage fallback to
+    // interpreted projection on a one-row frame (harmless here, but a
+    // codegen'd plan is the contract).
     val looks = (1 to k).map { l =>
-      val (na, nb, meanA, meanB, se, z, crossed) = zAndCrossed(l)
-      // stopped = running OR of crossed-so-far, driver-composed over
-      // the j ≤ l literals (no window at all; catalyst CSE dedups the
-      // repeated subtrees on the one-row frame)
-      val stopped = (1 to l)
-        .map(j => coalesce(zAndCrossed(j)._7, lit(false)))
-        .reduce(_ || _)
       struct(
         // the look index doubles as the design guard's carrier: a look
         // outside 1..K raises here, on every output row
@@ -7043,13 +7030,46 @@ object Analytics {
           .otherwise(raise_error(lit("groupSequentialTest: look index " +
             s"outside 1..$k — a look the design never planned; fix the " +
             "look assignment"))).as("look"),
-        lit(l.toDouble / k.toDouble).as("t"),
-        na.as("n_a"), nb.as("n_b"),
-        meanA.as("mean_a"), meanB.as("mean_b"), se.as("se"), z.as("z"),
-        lit(boundaryAt(l)).as("boundary"),
-        crossed.as("crossed"), stopped.as("stopped"))
+        cum("a", "n", l, lit(0L)).as("na"),
+        cum("b", "n", l, lit(0L)).as("nb"),
+        cum("a", "s", l, zeroS).as("sa"),
+        cum("b", "s", l, zeroS).as("sb"),
+        cum("a", "ss", l, zeroSS).as("ssa"),
+        cum("b", "ss", l, zeroSS).as("ssb"))
     }
-    one.select(explode(array(looks: _*)).as("e")).select(col("e.*"))
+    val boundaries = array((1 to k).map(l => lit(boundaryAt(l))): _*)
+    def statsOf(e: Column): (Column, Column, Column, Column, Column,
+        Column, Column) = {
+      val na = e.getField("na"); val nb = e.getField("nb")
+      val sa = d(e.getField("sa")); val sb = d(e.getField("sb"))
+      val ssa = d(e.getField("ssa")); val ssb = d(e.getField("ssb"))
+      val meanA = when(na > lit(0L), sa / d(na))
+      val meanB = when(nb > lit(0L), sb / d(nb))
+      val varA = when(na >= lit(2L),
+        (ssa - sa * sa / d(na)) / (d(na) - lit(1.0)))
+      val varB = when(nb >= lit(2L),
+        (ssb - sb * sb / d(nb)) / (d(nb) - lit(1.0)))
+      val se2 = varA / d(na) + varB / d(nb)
+      val se = when(se2 > lit(0.0), sqrt(se2))
+      val z = (meanA - meanB) / se
+      val boundary = element_at(boundaries, e.getField("look").cast("int"))
+      (na, nb, meanA, meanB, se, z,
+        when(z.isNotNull, abs(z) >= boundary))
+    }
+    val exploded = one.select(array(looks: _*).as("__arr"))
+      .select(col("__arr"), explode(col("__arr")).as("e"))
+    val (na, nb, meanA, meanB, se, z, crossed) = statsOf(col("e"))
+    exploded.select(
+      col("e.look").as("look"),
+      (d(col("e.look")) / lit(k.toDouble)).as("t"),
+      na.as("n_a"), nb.as("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"), se.as("se"), z.as("z"),
+      element_at(boundaries, col("e.look").cast("int")).as("boundary"),
+      crossed.as("crossed"),
+      // stopped = running OR of crossed-so-far over the ≤K slice —
+      // the lambda body is the one generated instance of the chain
+      exists(slice(col("__arr"), lit(1), col("e.look").cast("int")),
+        x => coalesce(statsOf(x)._7, lit(false))).as("stopped"))
   }
 
   /** [[msprtMeanTest]] for a PROPORTION stream (conversion / pass-rate
