@@ -508,6 +508,59 @@ object Sampling {
       .withColumn("keep_rate", rateCol)
   }
 
+  /** [[mixToShares]] on TOKEN MASS — training mixes are specified in
+    * tokens, not documents ("40% of the TOKENS from web"), and
+    * row-count thinning misses by exactly the domains' mean-length
+    * ratio: with per-domain token sums T_d and normalized targets t_d,
+    * the binding domain (smallest T_d/t_d) keeps everything and every
+    * other domain hash-thins at
+    *   rate_d = S·t_d/T_d,   S = min_e T_e/t_e,
+    * so each domain's EXPECTED kept token mass is S·t_d — the largest
+    * total the corpus allows at the target mix (each kept doc keeps
+    * all its tokens; membership stays the pure (id, salt) hash
+    * threshold, stable across runs and engines). The realized mix is
+    * binomial around the target, length-weighted — exact-count quotas
+    * remain [[quotaSample]]'s job, per-doc score-greedy filling
+    * [[tokenBudgetByMix]]'s. The counts pass reads k token-sum
+    * scalars driver-side (the accepted one-number pattern); rows in
+    * domains OUTSIDE the design (or with NULL tokens) are dropped.
+    * Output: the kept rows (original columns) + `keep_rate`. */
+  def tokenMixToShares(df: DataFrame, domainCol: String, idCol: String,
+                       tokensCol: String, targets: Seq[(String, Double)],
+                       salt: String): DataFrame = {
+    require(targets.nonEmpty, "tokenMixToShares needs target shares")
+    require(targets.map(_._1).distinct.length == targets.length,
+      s"duplicate domains in $targets")
+    require(targets.forall(_._2 > 0), s"shares must be > 0: $targets")
+    val tTot = targets.map(_._2).sum
+    val domains = targets.map(_._1)
+    val base = df.filter(col(domainCol).isin(domains: _*) &&
+      col(tokensCol).isNotNull)
+    val masses = base.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol).cast("long")).as("__tk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(targets.forall { case (g, _) => masses.getOrElse(g, 0L) > 0 },
+      s"designed domain with zero token mass: " +
+        s"${targets.map(_._1).filter(g => masses.getOrElse(g, 0L) <= 0)}")
+    // S and the rates in one FIXED op order (the oracle replays it)
+    val sMin = targets.map { case (g, t) =>
+      masses(g).toDouble / (t / tTot) }.min
+    val rates = targets.map { case (g, t) =>
+      g -> sMin * (t / tTot) / masses(g).toDouble }
+    val thr = rates.map { case (g, r) => g -> thresholdU32(r) }
+    val thrCol = thr.tail.foldLeft(
+      when(col(domainCol) === thr.head._1, thr.head._2)) {
+      case (acc, (g, t)) => acc.when(col(domainCol) === g, t)
+    }
+    val rateCol = rates.tail.foldLeft(
+      when(col(domainCol) === rates.head._1, rates.head._2)) {
+      case (acc, (g, r)) => acc.when(col(domainCol) === g, r)
+    }
+    base
+      .filter(hashU32(col(idCol), salt) < thrCol)
+      .withColumn("keep_rate", rateCol)
+  }
+
   /** Importance/sample-weight DIAGNOSTICS — the three numbers to read
     * before trusting ANY weighted estimate (a re-weighted corpus
     * metric, an inverse-propensity mean, [[stratifiedMean]]-style

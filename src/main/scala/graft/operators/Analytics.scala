@@ -7072,6 +7072,228 @@ object Analytics {
         x => coalesce(statsOf(x)._7, lit(false))).as("stopped"))
   }
 
+  /** TWO-PROPORTION inference — the binary-outcome A/B readout
+    * ([[welchT]] covers means; conversion/pass-rate/retention metrics
+    * are Bernoulli): from one map-side-combined scan of per-arm
+    * (n, successes),
+    *   z       = (p̂_A − p̂_B) / √(p̄(1−p̄)(1/n_A + 1/n_B))   (pooled),
+    *   diff CI = Wald: diff ± z_α·√(p̂_A q̂_A/n_A + p̂_B q̂_B/n_B),
+    *   RR CI   = exp(ln RR ± z_α·√(q̂_A/x_A + q̂_B/x_B))     (Katz),
+    *   OR CI   = exp(ln OR ± z_α·√(Σ 1/cell))              (Woolf),
+    * the classical large-sample chains (Agresti, "Categorical Data
+    * Analysis"). z_α is a fixed literal (default 1.959964, the repo's
+    * no-inverse-CDF convention, [[mdeTwoSample]]). Degenerate cells
+    * emit NULL for the statistics they break (z NULL when the pooled
+    * variance is 0; RR NULL when either success count is 0; OR NULL
+    * when any 2×2 cell is 0) — visible, never zero-filled. `successCol`
+    * is 0/1 (numeric or boolean); NULL success rows are excluded from
+    * n. Output: one row — (n_a, x_a, n_b, x_b, p_a, p_b, diff, z,
+    * diff_lo, diff_hi, risk_ratio, rr_lo, rr_hi, odds_ratio, or_lo,
+    * or_hi). */
+  def twoProportionTest(df: DataFrame, groupCol: String,
+                        successCol: String, groupA: String,
+                        groupB: String, zAlpha: Double = 1.959964)
+      : DataFrame = {
+    require(zAlpha > 0, s"zAlpha must be positive, got $zAlpha")
+    def d(c: Column) = c.cast("double")
+    val s01 = col(successCol).cast("int").cast("long")
+    def side(g: String, sfx: String) = {
+      val in = col(groupCol) === g && col(successCol).isNotNull
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(in, s01).otherwise(0L)).as(s"x_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val xa = d(col("x_a")); val xb = d(col("x_b"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("p_a", when(col("n_a") > 0, xa / na))
+      .withColumn("p_b", when(col("n_b") > 0, xb / nb))
+      .withColumn("diff", col("p_a") - col("p_b"))
+      .withColumn("__pp", when(col("n_a") + col("n_b") > 0,
+        (xa + xb) / (na + nb)))
+      .withColumn("__vp",
+        col("__pp") * (lit(1.0) - col("__pp")) *
+          (lit(1.0) / na + lit(1.0) / nb))
+      .withColumn("z", when(col("__vp") > 0,
+        col("diff") / sqrt(col("__vp"))))
+      .withColumn("__sew", sqrt(
+        col("p_a") * (lit(1.0) - col("p_a")) / na +
+          col("p_b") * (lit(1.0) - col("p_b")) / nb))
+      .withColumn("diff_lo", col("diff") - lit(zAlpha) * col("__sew"))
+      .withColumn("diff_hi", col("diff") + lit(zAlpha) * col("__sew"))
+      .withColumn("risk_ratio",
+        when(col("x_a") > 0 && col("x_b") > 0, col("p_a") / col("p_b")))
+      .withColumn("__selr", when(col("x_a") > 0 && col("x_b") > 0,
+        sqrt((lit(1.0) - col("p_a")) / xa + (lit(1.0) - col("p_b")) / xb)))
+      .withColumn("rr_lo",
+        exp(log(col("risk_ratio")) - lit(zAlpha) * col("__selr")))
+      .withColumn("rr_hi",
+        exp(log(col("risk_ratio")) + lit(zAlpha) * col("__selr")))
+      .withColumn("__ok2x2", col("x_a") > 0 && col("x_b") > 0 &&
+        col("n_a") - col("x_a") > 0 && col("n_b") - col("x_b") > 0)
+      .withColumn("odds_ratio", when(col("__ok2x2"),
+        (xa * (nb - xb)) / (xb * (na - xa))))
+      .withColumn("__selo", when(col("__ok2x2"),
+        sqrt(lit(1.0) / xa + lit(1.0) / (na - xa) +
+          lit(1.0) / xb + lit(1.0) / (nb - xb))))
+      .withColumn("or_lo",
+        exp(log(col("odds_ratio")) - lit(zAlpha) * col("__selo")))
+      .withColumn("or_hi",
+        exp(log(col("odds_ratio")) + lit(zAlpha) * col("__selo")))
+      .select("n_a", "x_a", "n_b", "x_b", "p_a", "p_b", "diff", "z",
+        "diff_lo", "diff_hi", "risk_ratio", "rr_lo", "rr_hi",
+        "odds_ratio", "or_lo", "or_hi")
+  }
+
+  /** [[mdeTwoSample]] for a PROPORTION metric — experiment sizing on
+    * the binary outcome ("with this traffic and this baseline rate,
+    * what conversion lift could the A/B even see?"): the classical
+    *   MDE = (z_{1−α/2} + z_power)·√(p̄(1−p̄)·(1/n_A + 1/n_B))
+    * with p̄ the POOLED observed rate (the null-variance plug-in, the
+    * standard pre-test sizing form). Fixed z literals, one scan, same
+    * conventions as [[mdeTwoSample]]. Output: one row —
+    * (n_a, n_b, p_pool, mde_abs, mde_rel). */
+  def mdeProportion(df: DataFrame, groupCol: String, successCol: String,
+                    groupA: String, groupB: String,
+                    zAlpha: Double = 1.959964, zPower: Double = 0.841621)
+      : DataFrame = {
+    require(zAlpha > 0 && zPower > 0,
+      s"z constants must be positive, got ($zAlpha, $zPower)")
+    def d(c: Column) = c.cast("double")
+    val s01 = col(successCol).cast("int").cast("long")
+    def side(g: String, sfx: String) = {
+      val in = col(groupCol) === g && col(successCol).isNotNull
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(in, s01).otherwise(0L)).as(s"x_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("p_pool", when(col("n_a") + col("n_b") > 0,
+        (d(col("x_a")) + d(col("x_b"))) / (na + nb)))
+      .withColumn("__v", col("p_pool") * (lit(1.0) - col("p_pool")) *
+        (lit(1.0) / na + lit(1.0) / nb))
+      .withColumn("mde_abs", when(col("__v") > 0,
+        lit(zAlpha + zPower) * sqrt(col("__v"))))
+      .withColumn("mde_rel", when(col("p_pool") > 0,
+        col("mde_abs") / col("p_pool")))
+      .select("n_a", "n_b", "p_pool", "mde_abs", "mde_rel")
+  }
+
+  /** [[msprtTwoSampleTest]] for a PROPORTION metric — the always-valid
+    * two-arm CONVERSION monitor, the single most common deployed
+    * sequential test (Johari–Koomen–Pekelis–Walsh KDD 2017 §5: the
+    * normal-approximation mSPRT with the POOLED running rate plugged
+    * into the variance): after each observation,
+    *   p̄_t = (x_A + x_B)/(n_A + n_B),
+    *   V_t = p̄_t(1−p̄_t)·(1/n_A + 1/n_B),
+    *   log Λ_t = ½·ln(V_t/(V_t + τ²)) + Δ_t²·τ²/(2·V_t·(V_t + τ²)),
+    * Δ_t the running rate difference; reject forever once
+    * log Λ_t ≥ ln(1/α). Same four-weight distinct-t prefix, pinned
+    * double chain, and duplicate-t raise as the mean form; e_log is
+    * NULL until both arms report AND the pooled rate is in (0,1)
+    * (V = 0 is undefined, not zero). `successCol` is 0/1.
+    * Output: one row per kept observation —
+    * (t, n_a, n_b, p_a, p_b, e_log, crossed), ascending t.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def msprtTwoProportionTest(df: DataFrame, tCol: String,
+                             groupCol: String, successCol: String,
+                             groupA: String, groupB: String,
+                             tau2: Double, alpha: Double = 0.05)
+      : DataFrame = {
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(successCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(tCol).cast("long").as("__t"),
+        (col(groupCol) === groupA).as("__ia"),
+        col(successCol).cast("int").cast("long").as("__s"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    val (_, pre) = prefixBeforeMultiByShared(s0, Seq.empty, "__t",
+      Seq("ca" -> when(col("__ia"), 1L).otherwise(0L),
+        "xa" -> when(col("__ia"), col("__s")).otherwise(0L),
+        "cb" -> when(!col("__ia"), 1L).otherwise(0L),
+        "xb" -> when(!col("__ia"), col("__s")).otherwise(0L)))
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val pPool = (d(col("__xa")) + d(col("__xb"))) / (na + nb)
+    val vt = pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb)
+    pre
+      .crossJoin(broadcast(chk))
+      .withColumn("__ok", when(col("__cn") === col("__cd"), lit(1))
+        .otherwise(raise_error(lit("msprtTwoProportionTest: duplicate " +
+          "t values — a sequential test needs an unambiguous " +
+          "observation order; pre-aggregate to one row per time point"))))
+      .withColumn("n_a", col("__cum_ca") +
+        when(col("__ia"), 1L).otherwise(0L))
+      .withColumn("n_b", col("__cum_cb") +
+        when(!col("__ia"), 1L).otherwise(0L))
+      .withColumn("__xa", coalesce(col("__cum_xa"), lit(0L)) +
+        when(col("__ia"), col("__s")).otherwise(0L))
+      .withColumn("__xb", coalesce(col("__cum_xb"), lit(0L)) +
+        when(!col("__ia"), col("__s")).otherwise(0L))
+      .withColumn("p_a", when(col("n_a") > 0, d(col("__xa")) / na))
+      .withColumn("p_b", when(col("n_b") > 0, d(col("__xb")) / nb))
+      .withColumn("__delta", col("p_a") - col("p_b"))
+      .withColumn("e_log", when(col("n_a") > 0 && col("n_b") > 0 &&
+          vt > lit(0.0),
+        lit(0.5) * log(vt / (vt + lit(tau2))) +
+          (col("__delta") * col("__delta") * lit(tau2)) /
+            (lit(2.0) * vt * (vt + lit(tau2)))))
+      .withColumn("crossed", when(col("e_log").isNotNull,
+        col("e_log") >= lit(math.log(1.0 / alpha))))
+      .filter(col("__ok") === 1)
+      .select(col("__t").as("t"), col("n_a"), col("n_b"),
+        col("p_a"), col("p_b"), col("e_log"), col("crossed"))
+      .orderBy("t")
+  }
+
+  /** HILL tail-index estimator — "how heavy is this distribution's
+    * tail" for the power-law shapes corpora actually have (document
+    * lengths, domain frequencies, node degrees; Hill 1975): over the
+    * k largest POSITIVE values,
+    *   1/α̂ = (1/k)·Σ_{i=1..k} ln(x_(i) / x_(k+1)),
+    * x_(i) the i-th largest and x_(k+1) the threshold order statistic.
+    * α̂ ≈ 2 is the classic web-frequency tail; α̂ ≤ 1 means the MEAN
+    * is tail-dominated and any average over the column is a tail
+    * lottery — read it before trusting means of heavy-tailed columns.
+    * Each ln ratio is one pinned libm call quantized to
+    * decimal(38,18) and summed exactly (k terms of O(1) — the
+    * scale-18 rule). The top-(k+1) extraction is Spark's
+    * TakeOrderedAndProject (per-partition heaps + one (k+1)-row
+    * merge — never a global sort, the q13 contract); n_pos is one
+    * map-combined count alongside. Requires n_pos ≥ k + 1 (NULL
+    * estimates otherwise, loudly incomplete). Output: one row —
+    * (n_pos, k, x_k1, hill_inv, alpha). */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def d(c: Column) = c.cast("double")
+    val pos = df.filter(col(valueCol).isNotNull &&
+        col(valueCol).cast("double") > 0.0)
+      .select(col(valueCol).cast("double").as("__v"))
+    val nPos = pos.agg(count(lit(1)).as("n_pos"))
+    val top = pos.orderBy(col("__v").desc).limit(k + 1)
+    val xk1 = top.agg(min(col("__v")).as("x_k1"), count(lit(1)).as("__kt"))
+    // ties AT the threshold contribute ln(1) = 0, so filtering them
+    // out leaves the sum unchanged (the divisor stays k); an all-tied
+    // top-k sums to exactly 0 via the coalesce
+    val sums = top.crossJoin(broadcast(xk1))
+      .filter(col("__v") > col("x_k1"))
+      .agg(coalesce(
+        sum(log(col("__v") / col("x_k1")).cast("decimal(38,18)"))
+          .cast("double"), lit(0.0)).as("__lnsum"))
+    nPos.crossJoin(broadcast(xk1)).crossJoin(broadcast(sums))
+      .select(col("n_pos"), lit(k.toLong).as("k"),
+        when(col("__kt") === k + 1, col("x_k1")).as("x_k1"),
+        when(col("__kt") === k + 1,
+          col("__lnsum") / lit(k.toDouble)).as("hill_inv"),
+        when(col("__kt") === k + 1 && col("__lnsum") > 0,
+          lit(k.toDouble) / col("__lnsum")).as("alpha"))
+  }
+
   /** [[msprtMeanTest]] for a PROPORTION stream (conversion / pass-rate
     * / binary-quality-gate monitors — the other metric every live
     * dashboard watches): H₀: p = p₀ via the Gaussian-approximation

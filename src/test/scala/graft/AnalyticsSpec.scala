@@ -4460,6 +4460,138 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("twoProportionTest: hand 2x2 chains (pooled z, Wald diff CI, " +
+    "Katz RR CI, Woolf OR CI); degenerate cells NULL the right " +
+    "statistics; mdeProportion pooled sizing; partition sweep") {
+    import spark.implicits._
+    // a: 30/100 successes, b: 10/50
+    val rows = (1 to 100).map(i => ("a", if (i <= 30) 1 else 0)) ++
+      (1 to 50).map(i => ("b", if (i <= 10) 1 else 0))
+    val df = rows.toDF("g", "s")
+    val r = Analytics.twoProportionTest(df, "g", "s", "a", "b")
+      .collect().head
+    val (na, xa, nb, xb) = (100.0, 30.0, 50.0, 10.0)
+    val (pa, pb) = (xa / na, xb / nb)
+    val pp = (xa + xb) / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    val sew = math.sqrt(pa * (1 - pa) / na + pb * (1 - pb) / nb)
+    assert(r.getAs[Double]("p_a") == pa && r.getAs[Double]("p_b") == pb)
+    assert(r.getAs[Double]("z") == z)
+    assert(r.getAs[Double]("diff_lo") == (pa - pb) - 1.959964 * sew)
+    assert(r.getAs[Double]("diff_hi") == (pa - pb) + 1.959964 * sew)
+    val selr = math.sqrt((1 - pa) / xa + (1 - pb) / xb)
+    assert(r.getAs[Double]("risk_ratio") == pa / pb)
+    assert(r.getAs[Double]("rr_lo") ==
+      math.exp(math.log(pa / pb) - 1.959964 * selr))
+    val orr = (xa * (nb - xb)) / (xb * (na - xa))
+    val selo = math.sqrt(1 / xa + 1 / (na - xa) + 1 / xb + 1 / (nb - xb))
+    assert(r.getAs[Double]("odds_ratio") == orr)
+    assert(r.getAs[Double]("or_hi") ==
+      math.exp(math.log(orr) + 1.959964 * selo))
+    // zero successes in one arm: RR and OR NULL, z still defined
+    val zr = Analytics.twoProportionTest(
+      (Seq(("a", 1), ("a", 0), ("b", 0), ("b", 0))).toDF("g", "s"),
+      "g", "s", "a", "b").collect().head
+    assert(zr.isNullAt(zr.fieldIndex("risk_ratio")))
+    assert(zr.isNullAt(zr.fieldIndex("odds_ratio")))
+    assert(!zr.isNullAt(zr.fieldIndex("z")))
+    // mdeProportion: pooled-rate sizing chain
+    val m = Analytics.mdeProportion(df, "g", "s", "a", "b").collect().head
+    val mde = (1.959964 + 0.841621) *
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(m.getAs[Double]("p_pool") == pp)
+    assert(m.getAs[Double]("mde_abs") == mde)
+    assert(m.getAs[Double]("mde_rel") == mde / pp)
+    partitionSweep { pn =>
+      Analytics.twoProportionTest(df.repartition(pn), "g", "s", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("msprtTwoProportionTest: e_log bit-equal to the hand pooled-" +
+    "variance chain at every t; NULL until both arms report and the " +
+    "pooled rate leaves {0,1}; duplicate t raises; shifted arm " +
+    "crosses; partition sweep") {
+    import spark.implicits._
+    // interleaved arms; arm a converts every 5th, arm b every 2nd
+    val rows = (1 to 200).map { i =>
+      val a = i % 2 == 0
+      (i.toLong, if (a) "a" else "b",
+        if (a) (if (i % 10 == 0) 1 else 0) else (if (i % 4 == 1) 1 else 0))
+    }
+    val df = rows.toDF("t", "g", "s")
+    val (t2, alpha) = (0.05, 0.05)
+    val got = Analytics.msprtTwoProportionTest(df, "t", "g", "s",
+      "a", "b", tau2 = t2, alpha = alpha).orderBy("t").collect()
+    assert(got.length == 200)
+    var (nA, xA, nB, xB) = (0L, 0L, 0L, 0L)
+    rows.zipWithIndex.foreach { case ((_, g, s), i) =>
+      if (g == "a") { nA += 1; xA += s } else { nB += 1; xB += s }
+      val want: Option[Double] =
+        if (nA == 0 || nB == 0) None
+        else {
+          val pp = (xA + xB).toDouble / (nA + nB).toDouble
+          val vt = pp * (1.0 - pp) * (1.0 / nA + 1.0 / nB)
+          if (vt <= 0) None
+          else {
+            val delta = xA.toDouble / nA - xB.toDouble / nB
+            // StrictMath, not Math: Spark's Log expression evaluates
+            // through StrictMath.log, and the intrinsic differs by
+            // 1 ulp on some inputs (measured at t = 11 here)
+            Some(0.5 * java.lang.StrictMath.log(vt / (vt + t2)) +
+              (delta * delta * t2) / (2.0 * vt * (vt + t2)))
+          }
+        }
+      val gE = if (got(i).isNullAt(5)) None else Some(got(i).getDouble(5))
+      assert(gE == want, s"e_log at t=${i + 1}")
+    }
+    // t=1 is arm b only -> NULL; the 2.5x rate gap crosses by the end
+    assert(got.head.isNullAt(5))
+    assert(got.last.getBoolean(6), "rate gap must cross ln(1/alpha)")
+    intercept[Exception] {
+      Analytics.msprtTwoProportionTest(
+        Seq((1L, "a", 1), (1L, "b", 0)).toDF("t", "g", "s"),
+        "t", "g", "s", "a", "b", tau2 = 0.05).collect()
+    }
+    partitionSweep { pn =>
+      Analytics.msprtTwoProportionTest(df.repartition(pn), "t", "g",
+        "s", "a", "b", tau2 = t2).orderBy("t").collect()
+        .map(_.toSeq).toSeq
+    }
+  }
+
+  test("hillTailIndex: hand Pareto-ish fixture; ties at the threshold " +
+    "contribute zero; n_pos < k+1 gives NULL estimates; non-positive " +
+    "values excluded; partition sweep") {
+    import spark.implicits._
+    // values 1..20 (descending top-6: 20,19,18,17,16 with x_(6)=15)
+    val df = (1 to 20).map(_.toDouble).toDF("v")
+    val r = Analytics.hillTailIndex(df, "v", k = 5).collect().head
+    val lnsum = Seq(20.0, 19, 18, 17, 16).map(x =>
+      BigDecimal(math.log(x / 15.0))
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(r.getAs[Long]("n_pos") == 20L)
+    assert(r.getAs[Double]("x_k1") == 15.0)
+    assert(r.getAs[Double]("hill_inv") == lnsum / 5.0)
+    assert(r.getAs[Double]("alpha") == 5.0 / lnsum)
+    // ties at the threshold: top-4 of (9,9,9,9,9,1) has x_k1 = 9 and
+    // all ln ratios 0 -> hill_inv exactly 0, alpha NULL
+    val tied = Seq(9.0, 9.0, 9.0, 9.0, 9.0, 1.0).toDF("v")
+    val t = Analytics.hillTailIndex(tied, "v", k = 3).collect().head
+    assert(t.getAs[Double]("hill_inv") == 0.0)
+    assert(t.isNullAt(t.fieldIndex("alpha")))
+    // not enough positive mass: NULLs, n_pos honest
+    val small = Seq(5.0, 4.0, -1.0, 0.0).toDF("v")
+    val s = Analytics.hillTailIndex(small, "v", k = 3).collect().head
+    assert(s.getAs[Long]("n_pos") == 2L)
+    assert(s.isNullAt(s.fieldIndex("hill_inv")))
+    partitionSweep { pn =>
+      Analytics.hillTailIndex(df.repartition(pn), "v", k = 5)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("storeyQValue: hand pi0 and q on a mixed p set; pi0 = 1 " +
     "degenerates to bhAdjust; all-below-lambda gives pi0 = 0 and " +
     "zero q; NULL p preserved; partition sweep") {

@@ -2937,6 +2937,40 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("tokenMixToShares: binding domain by TOKEN mass kept in full, " +
+    "others thinned to the token-derived rate; NULL-token rows " +
+    "dropped; zero-mass designed domain raises") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // domain a: 100 docs x 10 tokens = 1000; domain b: 10 docs x 20
+    // tokens = 200. Targets 50/50 -> S = min(1000/.5, 200/.5) = 400;
+    // rate_a = 400*.5/1000 = 0.2, rate_b = 400*.5/200 = 1.0
+    val df = ((1 to 100).map(i => (i.toLong, "a", Some(10L))) ++
+      (101 to 110).map(i => (i.toLong, "b", Some(20L))) ++
+      Seq((998L, "a", None: Option[Long]), (999L, "z", Some(5L))))
+      .toDF("id", "dom", "tokens")
+    val kept = Sampling.tokenMixToShares(df, "dom", "id", "tokens",
+      Seq("a" -> 0.5, "b" -> 0.5), salt = "tmx")
+    val byDom = kept.collect().groupBy(_.getString(1))
+    assert(!byDom.contains("z"), "out-of-design domain dropped")
+    assert(byDom("b").length == 10, "binding domain kept in full")
+    assert(byDom("b").head.getAs[Double]("keep_rate") == 1.0)
+    assert(byDom("a").head.getAs[Double]("keep_rate") == 0.2)
+    // membership is exactly the hash threshold at rate 0.2
+    val thr = Sampling.thresholdU32(0.2)
+    val wantA = (1 to 100).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("tmx" + i.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) < thr
+    }.map(_.toLong).toSet
+    assert(byDom("a").map(_.getLong(0)).toSet == wantA)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenMixToShares(df, "dom", "id", "tokens",
+        Seq("a" -> 0.5, "missing" -> 0.5), salt = "tmx")
+    }
+  }
+
   test("mixToShares: binding domain kept in full, others thinned to " +
     "the sampleByHash threshold; keep_rate column; zero-row designed " +
     "domain raises") {
