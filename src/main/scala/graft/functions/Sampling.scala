@@ -292,11 +292,19 @@ object Sampling {
     * 1e8 docs (quantized 0–5 quality buckets are the common case)
     * serializes that score's tie block through one window task —
     * pass `tieBreakSalt = Some(salt)` and the tie order becomes
-    * (score DESC, hashU32(id, salt) ASC, id ASC): the hash rides the
-    * KEYED distributed prefix (compound range exchange on
-    * (score, hash), so a hot score splits across contiguous slices
-    * like the global axis does) and the residual window blocks are
-    * hash-collision-sized, O(1). The unsalted default keeps the pure
+    * (score DESC, hashU32(id, salt) ASC, id ASC): the hash's top 12
+    * bits slice the block into 4096 hash-prefix-ordered buckets, the
+    * bucket token mass rides a KEYED distributed prefix
+    * (≤ |scores|·4096 rows) and the residual windows partition on
+    * (score, bucket) — rows-per-score/4096 each, distributed however
+    * hot the score. Measured crossover (StressBench
+    * token_budget_hot6 pair, 50M rows / 6 scores / 32 cores): the
+    * PLAIN form wins ~2.5× there (7.3 s vs 18.1 s) because six
+    * 8.3M-row blocks still fit six cores and task memory while the
+    * salt pays the per-row md5 fanout twice — reach for the salt
+    * when a score's block exceeds single-task memory (~1e8+ rows) or
+    * the block count is far below the executor count (6 blocks on
+    * 1000 executors = 994 idle). The unsalted default keeps the pure
     * (score DESC, id ASC) contract. Rows with NULL id/score/tokens
     * are dropped; duplicate (score, id) PAIRS raise (the within-score
     * cumulative ordered by id is ambiguous under duplicates — the
@@ -347,30 +355,37 @@ object Sampling {
           .withColumn("cum_tokens",
             col("__above") + col("__within") + col("__dup"))
       case Some(salt) =>
+        // the tiebreak hash's TOP 12 bits bucket the score block into
+        // 4096 hash-prefix-ordered slices: (score DESC, bucket ASC,
+        // hash ASC, id ASC) is the SAME total order as
+        // (score DESC, hash ASC, id ASC), the keyed prefix runs over
+        // ≤ |scores|·4096 bucket rows instead of per-distinct-hash
+        // rows (measured: the per-hash form paid ~50M-row range
+        // exchanges and lost 5.9× to the plain window at the 50M/6
+        // stress point), and each residual window block is
+        // rows-per-score/4096 — distributed however hot the score
         val salted = base.withColumn("__tb", hashU32(col("__id"), salt))
-        // within-score token mass at strictly smaller tiebreak hashes:
-        // a KEYED prefix (keys = score, axis = hash), so a hot score's
-        // tie block is distributed, never one window task
-        val stb = salted.groupBy(col("__sc"), col("__tb"))
+          .withColumn("__bk", shiftright(col("__tb"), 20))
+        val stb = salted.groupBy(col("__sc"), col("__bk"))
           .agg(sum(col("__tk")).as("__gt2"))
         val pre2 = Analytics.prefixBeforeMultiBy(
-          stb, Seq("__sc"), "__tb", Seq("t2" -> col("__gt2")))
-          .select(col("__sc").as("__s2"), col("__tb").as("__tb2"),
-            coalesce(col("__cum_t2"), lit(0L)).as("__atTb"))
-        // residual: ties on the full (score, hash) — collision-sized;
-        // a duplicate (score, id) hashes to the SAME tb, so the lag
-        // guard still sees it adjacent
+          stb, Seq("__sc"), "__bk", Seq("t2" -> col("__gt2")))
+          .select(col("__sc").as("__s2"), col("__bk").as("__bk2"),
+            coalesce(col("__cum_t2"), lit(0L)).as("__atBk"))
+        // a duplicate (score, id) shares tb AND bucket, so equal ids
+        // are adjacent under (tb, id) and the lag guard sees them
         val wKey = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__sc"), col("__tb")).orderBy(col("__id").asc)
+          .partitionBy(col("__sc"), col("__bk"))
+          .orderBy(col("__tb").asc, col("__id").asc)
         salted
           .withColumn("__within",
             sum(col("__tk")).over(wKey.rowsBetween(Long.MinValue, 0)))
           .withColumn("__dup", dupGuard(wKey))
           .join(pre2, col("__sc") === col("__s2") &&
-            col("__tb") === col("__tb2"))
+            col("__bk") === col("__bk2"))
           .join(higher, col("__sc") === col("__hs"))
           .withColumn("cum_tokens",
-            col("__above") + col("__atTb") + col("__within") + col("__dup"))
+            col("__above") + col("__atBk") + col("__within") + col("__dup"))
     }
     cumulated
       .withColumn("kept", col("cum_tokens") <= budget)
