@@ -1,0 +1,161 @@
+package graft
+
+import graft.SparkEntry.Q
+import org.apache.spark.sql.functions._
+
+/** Query registry batch 84 (round 19, session 2): regression-adjusted
+  * experiment analysis (Lin 2013 per-arm slopes) and Poisson
+  * rate-per-exposure inference.
+  */
+private[graft] object Batch84 {
+
+  /** md5-hash arm split used by q457/q458 (the q433 idiom). */
+  private def armCase(salt: String, idCol: String) =
+    s"""CASE WHEN CAST('0x' || substr(md5('$salt' || CAST($idCol AS VARCHAR)), 1, 8) AS BIGINT)
+       |      < 2147483648 THEN 'a' ELSE 'b' END""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Lin (2013) regression adjustment on a hash-split purchase A/B
+    // with DIFFERENT planted additive bumps per arm (+30 on every 7th
+    // b event, +10 on every 5th a event), covariate = raw value: all
+    // 12 exact-decimal moment sums, BOTH arms' own slopes/r2/residual
+    // variances, the grand-mean prediction, and the Welch chain are
+    // replayed by DuckDB in the same IEEE order.
+    Q("q457_lin_regression",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "lin") <
+              2147483648L, "a").otherwise("b"))
+          .withColumn("y",
+            when(col("grp") === "b" && col("event_id") % 7 === 0,
+              col("value") + 30.0)
+              .when(col("grp") === "a" && col("event_id") % 5 === 0,
+                col("value") + 10.0)
+              .otherwise(col("value")))
+        graft.operators.Analytics.linRegressionTest(ev, "grp", "y",
+          "value", "a", "b")
+      },
+      Some(s"""WITH g AS (SELECT ${armCase("lin", "event_id")} AS grp,
+             |    event_id, value FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |p AS (SELECT grp,
+             |    CAST(CASE WHEN grp = 'b' AND event_id % 7 = 0 THEN value + 30.0
+             |              WHEN grp = 'a' AND event_id % 5 = 0 THEN value + 10.0
+             |              ELSE value END AS DECIMAL(18,2)) AS y,
+             |    CAST(value AS DECIMAL(18,2)) AS x FROM g),
+             |s AS (SELECT
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN y END) AS DOUBLE) AS sya,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN x END) AS DOUBLE) AS sxa,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN y * y END) AS DOUBLE) AS syya,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN x * x END) AS DOUBLE) AS sxxa,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN x * y END) AS DOUBLE) AS sxya,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN y END) AS DOUBLE) AS syb,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN x END) AS DOUBLE) AS sxb,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN y * y END) AS DOUBLE) AS syyb,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN x * x END) AS DOUBLE) AS sxxb,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN x * y END) AS DOUBLE) AS sxyb
+             |  FROM p),
+             |m AS (SELECT *,
+             |    (sxxa - sxa * sxa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS vxa,
+             |    (syya - sya * sya / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS vya,
+             |    (sxya - sxa * sya / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS cva,
+             |    (sxxb - sxb * sxb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vxb,
+             |    (syyb - syb * syb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vyb,
+             |    (sxyb - sxb * syb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS cvb,
+             |    (sxa + sxb) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS xbar
+             |  FROM s),
+             |b AS (SELECT *,
+             |    CASE WHEN vxa > 0 THEN cva / vxa END AS beta_a,
+             |    CASE WHEN vxb > 0 THEN cvb / vxb END AS beta_b,
+             |    CASE WHEN vxa > 0 AND vya > 0
+             |      THEN cva * cva / (vxa * vya) END AS r2_a,
+             |    CASE WHEN vxb > 0 AND vyb > 0
+             |      THEN cvb * cvb / (vxb * vyb) END AS r2_b,
+             |    CASE WHEN vxa > 0 THEN vya - cva * cva / vxa END AS vra,
+             |    CASE WHEN vxb > 0 THEN vyb - cvb * cvb / vxb END AS vrb
+             |  FROM m),
+             |v AS (SELECT n_a, n_b, beta_a, beta_b, r2_a, r2_b,
+             |    sya / CAST(n_a AS DOUBLE)
+             |      + beta_a * (xbar - sxa / CAST(n_a AS DOUBLE)) AS mean_a_adj,
+             |    syb / CAST(n_b AS DOUBLE)
+             |      + beta_b * (xbar - sxb / CAST(n_b AS DOUBLE)) AS mean_b_adj,
+             |    vra / CAST(n_a AS DOUBLE) AS sea2,
+             |    vrb / CAST(n_b AS DOUBLE) AS seb2
+             |  FROM b),
+             |w AS (SELECT *, mean_a_adj - mean_b_adj AS diff FROM v)
+             |SELECT n_a, n_b, beta_a, beta_b, r2_a, r2_b,
+             |  mean_a_adj, mean_b_adj, diff,
+             |  CASE WHEN sea2 + seb2 > 0 THEN sqrt(sea2 + seb2) END AS se,
+             |  CASE WHEN sea2 + seb2 > 0
+             |    THEN diff / sqrt(sea2 + seb2) END AS t,
+             |  CASE WHEN sea2 + seb2 > 0 THEN
+             |    (sea2 + seb2) * (sea2 + seb2) /
+             |      (sea2 * sea2 / (CAST(n_a AS DOUBLE) - 1.0)
+             |        + seb2 * seb2 / (CAST(n_b AS DOUBLE) - 1.0)) END AS dof
+             |FROM w""".stripMargin)),
+
+    // Two-rate (Poisson/exposure) inference at USER grain: per user
+    // the purchase count is the event count and half the activity
+    // count is the exposure; arms hash-split on user_id. Exact-decimal
+    // exposure sums, then the ln-RR Wald chain and the rate-difference
+    // Wald chain replayed by DuckDB.
+    Q("q458_two_rate",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ev"),
+            (count(lit(1)).cast("double") * 0.5).as("ex"))
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("user_id"), "rate") <
+              2147483648L, "a").otherwise("b"))
+        graft.operators.Analytics.twoRateTest(u, "grp", "ev", "ex",
+          "a", "b")
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ev,
+             |    CAST(COUNT(*) AS DOUBLE) * 0.5 AS ex
+             |  FROM events GROUP BY user_id),
+             |g AS (SELECT ${armCase("rate", "user_id")} AS arm,
+             |    ev, CAST(ex AS DECIMAL(18,2)) AS ex FROM u),
+             |c AS (SELECT
+             |    CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 'a' THEN ev END), 0) AS BIGINT) AS events_a,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 'a' THEN ex END), 0) AS DOUBLE) AS exposure_a,
+             |    CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 'b' THEN ev END), 0) AS BIGINT) AS events_b,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 'b' THEN ex END), 0) AS DOUBLE) AS exposure_b
+             |  FROM g),
+             |r AS (SELECT *,
+             |    CASE WHEN exposure_a > 0
+             |      THEN CAST(events_a AS DOUBLE) / exposure_a END AS rate_a,
+             |    CASE WHEN exposure_b > 0
+             |      THEN CAST(events_b AS DOUBLE) / exposure_b END AS rate_b
+             |  FROM c),
+             |e AS (SELECT *,
+             |    CASE WHEN events_a > 0 AND events_b > 0
+             |      THEN rate_a / rate_b END AS rate_ratio,
+             |    CASE WHEN events_a > 0 AND events_b > 0
+             |      THEN sqrt(1.0 / CAST(events_a AS DOUBLE)
+             |              + 1.0 / CAST(events_b AS DOUBLE)) END AS serr,
+             |    rate_a - rate_b AS diff,
+             |    CASE WHEN exposure_a > 0 AND exposure_b > 0
+             |      THEN sqrt(CAST(events_a AS DOUBLE) / (exposure_a * exposure_a)
+             |              + CAST(events_b AS DOUBLE) / (exposure_b * exposure_b)) END AS sed
+             |  FROM r)
+             |SELECT n_a, n_b, events_a, exposure_a, events_b, exposure_b,
+             |  rate_a, rate_b, rate_ratio,
+             |  CASE WHEN rate_ratio > 0 THEN ln(rate_ratio) / serr END AS z,
+             |  exp(ln(rate_ratio) - 1.959964 * serr) AS rr_lo,
+             |  exp(ln(rate_ratio) + 1.959964 * serr) AS rr_hi,
+             |  diff,
+             |  diff - 1.959964 * sed AS diff_lo,
+             |  diff + 1.959964 * sed AS diff_hi
+             |FROM e""".stripMargin))
+  )
+}

@@ -2723,6 +2723,111 @@ object Analytics {
         "var_a_adj", "var_b_adj", "diff", "se", "t", "dof")
   }
 
+  /** Lin (2013) regression-adjusted A/B comparison — [[cupedTest]]
+    * with PER-ARM slopes ("Agnostic notes on regression adjustments
+    * to experimental data", Annals of Applied Statistics 7(1): the
+    * fully-interacted OLS y ~ arm + (x − x̄) + arm·(x − x̄), which
+    * Lin proves never hurts asymptotic precision under randomization
+    * even when the linear model is wrong, whereas the pooled-slope
+    * form can — the "tyranny of the minority" fix). Each arm gets its
+    * OWN slope β_g = cov_g(x,y)/var_g(x); the adjusted arm mean
+    * predicts at the GRAND covariate mean,
+    *   m_g = ȳ_g + β_g·(x̄ − x̄_g),
+    * and the Neyman asymptotic variance uses each arm's RESIDUAL
+    * variance var_g(y)·(1 − r²_g) (= var_g(y) − cov²_g/var_g(x)):
+    *   se² = var_res_a/n_a + var_res_b/n_b,
+    * with the same Welch–Satterthwaite dof convention as
+    * [[cupedTest]]. Identical input contract and plan shape: ONE
+    * map-side-combined scan of the 12 exact-decimal sums, complete
+    * pairs only (NULL y or x rows excluded), never a second pass.
+    * When the true slopes coincide this agrees with CUPED
+    * asymptotically; when they differ (heterogeneous covariate
+    * effect — the common case on sliced traffic) this is the
+    * estimator to trust. Degenerate per-arm var(X) ≤ 0 → NULL β_g and
+    * NULL adjusted columns FOR THAT ARM (the other arm's adjustment
+    * survives — unlike CUPED, the arms never share a slope); n_g < 2
+    * → NULL variances. Output: one row — (n_a, n_b, beta_a, beta_b,
+    * r2_a, r2_b, mean_a_adj, mean_b_adj, diff, se, t, dof). Shares
+    * [[welchT]]'s cancellation caveat at extreme scale/mean
+    * ratios. */
+  def linRegressionTest(df: DataFrame, groupCol: String,
+                        valueCol: String, covCol: String, groupA: String,
+                        groupB: String, scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val y = col(valueCol).cast(s"decimal(18,$scale)")
+    val x = col(covCol).cast(s"decimal(18,$scale)")
+    val s2 = s"decimal(38,${2 * scale})"
+    val base = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(valueCol).isNotNull && col(covCol).isNotNull)
+    def side(g: String, sfx: String) = {
+      val in = col(groupCol) === g
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(in, y)).cast("double").as(s"__sy_$sfx"),
+        sum(when(in, x)).cast("double").as(s"__sx_$sfx"),
+        sum(when(in, (y * y).cast(s2))).cast("double").as(s"__syy_$sfx"),
+        sum(when(in, (x * x).cast(s2))).cast("double").as(s"__sxx_$sfx"),
+        sum(when(in, (x * y).cast(s2))).cast("double").as(s"__sxy_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def nm(sfx: String) = d(col(s"n_$sfx"))
+    val nd = nm("a") + nm("b")
+    // per-arm centered second moments (the n−1 divisor cancels in
+    // β = cov/var, but r² and the residual variance keep it)
+    def armMoments(sfx: String): (Column, Column, Column) = {
+      val n = nm(sfx)
+      val vx = when(col(s"n_$sfx") >= 2,
+        (col(s"__sxx_$sfx") - col(s"__sx_$sfx") * col(s"__sx_$sfx") / n) /
+          (n - 1.0))
+      val vy = when(col(s"n_$sfx") >= 2,
+        (col(s"__syy_$sfx") - col(s"__sy_$sfx") * col(s"__sy_$sfx") / n) /
+          (n - 1.0))
+      val cv = when(col(s"n_$sfx") >= 2,
+        (col(s"__sxy_$sfx") - col(s"__sx_$sfx") * col(s"__sy_$sfx") / n) /
+          (n - 1.0))
+      (vx, vy, cv)
+    }
+    val (vxa, vya, cva) = armMoments("a")
+    val (vxb, vyb, cvb) = armMoments("b")
+    one
+      .withColumn("__vxa", vxa).withColumn("__vya", vya)
+      .withColumn("__cva", cva)
+      .withColumn("__vxb", vxb).withColumn("__vyb", vyb)
+      .withColumn("__cvb", cvb)
+      .withColumn("__xbar", when(nd > 0,
+        (col("__sx_a") + col("__sx_b")) / nd))
+      .withColumn("beta_a", when(col("__vxa") > 0,
+        col("__cva") / col("__vxa")))
+      .withColumn("beta_b", when(col("__vxb") > 0,
+        col("__cvb") / col("__vxb")))
+      .withColumn("r2_a", when(col("__vxa") > 0 && col("__vya") > 0,
+        col("__cva") * col("__cva") / (col("__vxa") * col("__vya"))))
+      .withColumn("r2_b", when(col("__vxb") > 0 && col("__vyb") > 0,
+        col("__cvb") * col("__cvb") / (col("__vxb") * col("__vyb"))))
+      .withColumn("mean_a_adj", when(col("n_a") > 0,
+        col("__sy_a") / nm("a") +
+          col("beta_a") * (col("__xbar") - col("__sx_a") / nm("a"))))
+      .withColumn("mean_b_adj", when(col("n_b") > 0,
+        col("__sy_b") / nm("b") +
+          col("beta_b") * (col("__xbar") - col("__sx_b") / nm("b"))))
+      .withColumn("__vra", when(col("__vxa") > 0, col("__vya") -
+        col("__cva") * col("__cva") / col("__vxa")))
+      .withColumn("__vrb", when(col("__vxb") > 0, col("__vyb") -
+        col("__cvb") * col("__cvb") / col("__vxb")))
+      .withColumn("diff", col("mean_a_adj") - col("mean_b_adj"))
+      .withColumn("__sea2", col("__vra") / nm("a"))
+      .withColumn("__seb2", col("__vrb") / nm("b"))
+      .withColumn("se", when(col("__sea2") + col("__seb2") > 0,
+        sqrt(col("__sea2") + col("__seb2"))))
+      .withColumn("t", when(col("se") > 0, col("diff") / col("se")))
+      .withColumn("dof", when(col("se") > 0,
+        (col("__sea2") + col("__seb2")) * (col("__sea2") + col("__seb2")) /
+          (col("__sea2") * col("__sea2") / (nm("a") - 1.0) +
+            col("__seb2") * col("__seb2") / (nm("b") - 1.0))))
+      .select("n_a", "n_b", "beta_a", "beta_b", "r2_a", "r2_b",
+        "mean_a_adj", "mean_b_adj", "diff", "se", "t", "dof")
+  }
+
   /** Sample-ratio-mismatch (SRM) test — the FIRST check on any A/B
     * readout (a 50/50 split that arrives 50.8/49.2 at scale means the
     * assignment or logging is broken, and every downstream p-value is
@@ -7178,6 +7283,72 @@ object Analytics {
       .withColumn("mde_rel", when(col("p_pool") > 0,
         col("mde_abs") / col("p_pool")))
       .select("n_a", "n_b", "p_pool", "mde_abs", "mde_rel")
+  }
+
+  /** TWO-RATE inference — the Poisson/exposure A/B readout for
+    * count-per-exposure metrics (crashes per session-hour, errors per
+    * 1k requests, purchases per active day — [[twoProportionTest]]
+    * covers per-trial binary outcomes; rates have a continuous
+    * denominator): each input row is one unit carrying an event COUNT
+    * and an EXPOSURE; per arm the scan sums E_g = Σevents and
+    * T_g = Σexposure exactly (decimal), then the classical
+    * large-sample Poisson chains (Rothman–Greenland, "Modern
+    * Epidemiology" ch. 14):
+    *   rate_g     = E_g / T_g,
+    *   ln-RR Wald: se_RR = √(1/E_A + 1/E_B),
+    *               z = ln(rate_A/rate_B)/se_RR, CI = exp(ln RR ± z_α·se),
+    *   diff Wald:  se_d = √(E_A/T_A² + E_B/T_B²), CI = diff ± z_α·se_d.
+    * z_α is a fixed literal (default 1.959964, the repo's
+    * no-inverse-CDF convention). One map-side-combined scan; rows
+    * with NULL events or exposure are excluded from n (complete
+    * units). Degenerate cells emit NULL for exactly the statistics
+    * they break: T_g ≤ 0 → NULL rate_g (and everything downstream);
+    * either E_g = 0 → NULL ratio/z/RR CI (ln 0); se_d = 0 → NULL on
+    * nothing (the diff CI degenerates to a point, still printed).
+    * Output: one row — (n_a, n_b, events_a, exposure_a, events_b,
+    * exposure_b, rate_a, rate_b, rate_ratio, z, rr_lo, rr_hi, diff,
+    * diff_lo, diff_hi). */
+  def twoRateTest(df: DataFrame, groupCol: String, eventsCol: String,
+                  exposureCol: String, groupA: String, groupB: String,
+                  zAlpha: Double = 1.959964, scale: Int = 2): DataFrame = {
+    require(zAlpha > 0, s"zAlpha must be positive, got $zAlpha")
+    def d(c: Column) = c.cast("double")
+    val ev = col(eventsCol).cast("long")
+    val ex = col(exposureCol).cast(s"decimal(18,$scale)")
+    def side(g: String, sfx: String) = {
+      val in = col(groupCol) === g && col(eventsCol).isNotNull &&
+        col(exposureCol).isNotNull
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        coalesce(sum(when(in, ev)), lit(0L)).as(s"events_$sfx"),
+        coalesce(sum(when(in, ex)).cast("double"), lit(0.0))
+          .as(s"exposure_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val ea = d(col("events_a")); val eb = d(col("events_b"))
+    val ta = col("exposure_a"); val tb = col("exposure_b")
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("rate_a", when(ta > 0, ea / ta))
+      .withColumn("rate_b", when(tb > 0, eb / tb))
+      .withColumn("rate_ratio",
+        when(col("events_a") > 0 && col("events_b") > 0,
+          col("rate_a") / col("rate_b")))
+      .withColumn("__serr",
+        when(col("events_a") > 0 && col("events_b") > 0,
+          sqrt(lit(1.0) / ea + lit(1.0) / eb)))
+      .withColumn("z", when(col("rate_ratio") > 0,
+        log(col("rate_ratio")) / col("__serr")))
+      .withColumn("rr_lo",
+        exp(log(col("rate_ratio")) - lit(zAlpha) * col("__serr")))
+      .withColumn("rr_hi",
+        exp(log(col("rate_ratio")) + lit(zAlpha) * col("__serr")))
+      .withColumn("diff", col("rate_a") - col("rate_b"))
+      .withColumn("__sed", when(ta > 0 && tb > 0,
+        sqrt(ea / (ta * ta) + eb / (tb * tb))))
+      .withColumn("diff_lo", col("diff") - lit(zAlpha) * col("__sed"))
+      .withColumn("diff_hi", col("diff") + lit(zAlpha) * col("__sed"))
+      .select("n_a", "n_b", "events_a", "exposure_a", "events_b",
+        "exposure_b", "rate_a", "rate_b", "rate_ratio", "z",
+        "rr_lo", "rr_hi", "diff", "diff_lo", "diff_hi")
   }
 
   /** [[msprtTwoSampleTest]] for a PROPORTION metric — the always-valid

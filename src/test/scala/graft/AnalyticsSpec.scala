@@ -5106,4 +5106,128 @@ class AnalyticsSpec extends SparkSpec {
         .orderBy("id").collect().map(_.toSeq).toSeq
     }
   }
+
+  test("linRegressionTest: literal per-arm model on heterogeneous " +
+    "slopes; equal-slope fixture agrees with CUPED; one-arm constant " +
+    "covariate NULLs only that arm; partition sweep") {
+    import spark.implicits._
+    // arm a: slope 2; arm b: slope 0.5 (plus per-row wiggle) — the
+    // heterogeneous case Lin's per-arm slopes exist for
+    val rows = (1 to 20).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val x = (i % 7).toDouble + 1.0
+      val slope = if (g == "a") 2.0 else 0.5
+      (g, x * slope + (if (g == "a") 1.5 else 0.0) + (i % 3) * 0.25, x)
+    }
+    val df = rows.toDF("g", "y", "x")
+    val r = Analytics.linRegressionTest(df, "g", "y", "x", "a", "b")
+      .collect().head
+    val xbar = rows.map(_._3).sum / rows.size
+    def arm(g: String): (Double, Double, Double, Double, Double) = {
+      val a = rows.filter(_._1 == g); val n = a.size.toDouble
+      val (sy, sx) = (a.map(_._2).sum, a.map(_._3).sum)
+      val vx = (a.map(t => t._3 * t._3).sum - sx * sx / n) / (n - 1)
+      val vy = (a.map(t => t._2 * t._2).sum - sy * sy / n) / (n - 1)
+      val cv = (a.map(t => t._3 * t._2).sum - sx * sy / n) / (n - 1)
+      val beta = cv / vx
+      (beta, cv * cv / (vx * vy), sy / n + beta * (xbar - sx / n),
+        vy - cv * cv / vx, n)
+    }
+    val (ba, r2a, ma, vra, na) = arm("a")
+    val (bb, r2b, mb, vrb, nb) = arm("b")
+    assert(math.abs(r.getAs[Double]("beta_a") - ba) < 1e-12)
+    assert(math.abs(r.getAs[Double]("beta_b") - bb) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r2_a") - r2a) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r2_b") - r2b) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_a_adj") - ma) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_b_adj") - mb) < 1e-12)
+    val se = math.sqrt(vra / na + vrb / nb)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t") - (ma - mb) / se) < 1e-12)
+    // the per-arm slopes really differ on this fixture
+    assert(r.getAs[Double]("beta_a") > 1.5 &&
+      r.getAs[Double]("beta_b") < 1.0)
+    // equal-slope fixture: Lin and CUPED coincide in diff (same x
+    // distribution per arm up to the wiggle; slopes pooled == per-arm)
+    val eq = (1 to 20).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val x = (i % 5).toDouble + 1.0
+      (g, x * 2.0 + (if (g == "a") 1.0 else 0.0), x)
+    }.toDF("g", "y", "x")
+    val dLin = Analytics.linRegressionTest(eq, "g", "y", "x", "a", "b")
+      .collect().head.getAs[Double]("diff")
+    val dCup = Analytics.cupedTest(eq, "g", "y", "x", "a", "b")
+      .collect().head.getAs[Double]("diff")
+    assert(math.abs(dLin - dCup) < 1e-12)
+    // constant covariate in arm a only: beta_a/mean_a_adj NULL, arm b
+    // survives (CUPED would NULL both — the pooled slope still exists
+    // here, but Lin's contract is per-arm)
+    val ca = rows.map(t => if (t._1 == "a") (t._1, t._2, 5.0) else t)
+      .toDF("g", "y", "x")
+    val rc = Analytics.linRegressionTest(ca, "g", "y", "x", "a", "b")
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("beta_a")) &&
+      rc.isNullAt(rc.fieldIndex("mean_a_adj")) &&
+      rc.isNullAt(rc.fieldIndex("t")))
+    assert(!rc.isNullAt(rc.fieldIndex("beta_b")) &&
+      !rc.isNullAt(rc.fieldIndex("mean_b_adj")))
+    partitionSweep { pn =>
+      Analytics.linRegressionTest(df.repartition(pn), "g", "y", "x",
+        "a", "b").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("twoRateTest: literal Poisson chains (rate ratio, Wald CIs); " +
+    "zero-event arm NULLs ratio stats only; NULL rows excluded; " +
+    "partition sweep") {
+    import spark.implicits._
+    // arm a: 30 events over 10.0 exposure (rate 3); arm b: 10 over
+    // 10.0 (rate 1) — unit grain, uneven per-unit splits
+    val rows = Seq(
+      ("a", 12L, 4.0), ("a", 10L, 3.5), ("a", 8L, 2.5),
+      ("b", 4L, 5.0), ("b", 6L, 5.0))
+    val df = rows.toDF("g", "ev", "ex")
+    val r = Analytics.twoRateTest(df, "g", "ev", "ex", "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("events_a") == 30L &&
+      r.getAs[Long]("events_b") == 10L)
+    assert(math.abs(r.getAs[Double]("rate_a") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rate_b") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rate_ratio") - 3.0) < 1e-12)
+    val seRR = math.sqrt(1.0 / 30 + 1.0 / 10)
+    assert(math.abs(r.getAs[Double]("z") - math.log(3.0) / seRR) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rr_lo") -
+      math.exp(math.log(3.0) - 1.959964 * seRR)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rr_hi") -
+      math.exp(math.log(3.0) + 1.959964 * seRR)) < 1e-12)
+    val seD = math.sqrt(30.0 / 100 + 10.0 / 100)
+    assert(math.abs(r.getAs[Double]("diff") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("diff_lo") -
+      (2.0 - 1.959964 * seD)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("diff_hi") -
+      (2.0 + 1.959964 * seD)) < 1e-12)
+    // zero-event arm: ratio family NULL, diff family survives
+    val z0 = Analytics.twoRateTest(
+      Seq(("a", 5L, 2.0), ("b", 0L, 3.0)).toDF("g", "ev", "ex"),
+      "g", "ev", "ex", "a", "b").collect().head
+    assert(z0.isNullAt(z0.fieldIndex("rate_ratio")) &&
+      z0.isNullAt(z0.fieldIndex("z")) &&
+      z0.isNullAt(z0.fieldIndex("rr_lo")))
+    assert(math.abs(z0.getAs[Double]("diff") - 2.5) < 1e-12 &&
+      !z0.isNullAt(z0.fieldIndex("diff_lo")))
+    // NULL events or exposure: excluded from n entirely
+    val nn = Analytics.twoRateTest(
+      Seq(("a", Some(5L), Some(2.0)), ("a", None, Some(9.0)),
+        ("a", Some(7L), None), ("b", Some(3L), Some(3.0)))
+        .toDF("g", "ev", "ex"),
+      "g", "ev", "ex", "a", "b").collect().head
+    assert(nn.getAs[Long]("n_a") == 1L &&
+      nn.getAs[Long]("events_a") == 5L &&
+      math.abs(nn.getAs[Double]("exposure_a") - 2.0) < 1e-12)
+    partitionSweep { pn =>
+      Analytics.twoRateTest(df.repartition(pn), "g", "ev", "ex",
+        "a", "b").collect().map(_.toSeq).toSeq
+    }
+  }
 }
