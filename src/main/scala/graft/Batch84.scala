@@ -156,6 +156,71 @@ private[graft] object Batch84 {
              |  diff,
              |  diff - 1.959964 * sed AS diff_lo,
              |  diff + 1.959964 * sed AS diff_hi
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // Weissman extreme quantile of document length: the Hill chain
+    // over the top-50 n_chars plus the pinned exp∘ln extrapolation to
+    // the 99.9th percentile (k/(n·p) = 100x past the sample at this
+    // fixture) — threshold, exact ln-sum, and the power chain all
+    // replayed by DuckDB.
+    Q("q459_weissman_quantile",
+      (s, dir) => graft.operators.Analytics.weissmanQuantile(
+        Tables.documents(s, dir), "n_chars", k = 50, tailProb = 0.001),
+      Some("""WITH pos AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos FROM pos),
+             |top AS (SELECT v FROM pos ORDER BY v DESC LIMIT 51),
+             |kt AS (SELECT MIN(v) AS x_k1, COUNT(*) AS c FROM top),
+             |s AS (SELECT COALESCE(CAST(SUM(CAST(ln(top.v / kt.x_k1)
+             |      AS DECIMAL(38,18))) AS DOUBLE), 0.0) AS lnsum
+             |  FROM top CROSS JOIN kt WHERE top.v > kt.x_k1),
+             |h AS (SELECT n.n_pos,
+             |    CASE WHEN kt.c = 51 THEN kt.x_k1 END AS x_k1,
+             |    CASE WHEN kt.c = 51 THEN s.lnsum / 50.0 END AS hill_inv,
+             |    CASE WHEN kt.c = 51 AND s.lnsum > 0
+             |      THEN 50.0 / s.lnsum END AS alpha
+             |  FROM n CROSS JOIN kt CROSS JOIN s)
+             |SELECT n_pos, CAST(50 AS BIGINT) AS k, x_k1, hill_inv, alpha,
+             |  CAST(0.001 AS DOUBLE) AS tail_prob,
+             |  CASE WHEN hill_inv IS NOT NULL THEN
+             |    x_k1 * exp(hill_inv * ln(50.0 / (CAST(n_pos AS DOUBLE) * 0.001)))
+             |  END AS quantile
+             |FROM h""".stripMargin)),
+
+    // Importance-weight tail diagnostic over purchase values: the
+    // PSIS tail-fraction rule M = ceil(min(n/5, 3*sqrt(n))) computed
+    // in-engine on both sides, the Hill xi over the top-M, and the
+    // published 0.5/0.7 read thresholds.
+    Q("q460_weight_tail",
+      (s, dir) => graft.functions.Sampling.weightTailDiagnostic(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("value").as("w")),
+        "w"),
+      Some("""WITH pos AS (SELECT CAST(w AS DOUBLE) AS v FROM (
+             |    SELECT value AS w FROM events WHERE event_type = 'purchase')
+             |  WHERE w IS NOT NULL AND CAST(w AS DOUBLE) > 0),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos FROM pos),
+             |k AS (SELECT n_pos, GREATEST(CAST(1 AS BIGINT),
+             |    CAST(ceil(least(CAST(n_pos AS DOUBLE) / 5.0,
+             |      3.0 * sqrt(CAST(n_pos AS DOUBLE)))) AS BIGINT)) AS m
+             |  FROM n),
+             |rk AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rn
+             |  FROM pos),
+             |top AS (SELECT rk.v FROM rk CROSS JOIN k WHERE rk.rn <= k.m + 1),
+             |kt AS (SELECT MIN(v) AS x_k1, COUNT(*) AS c FROM top),
+             |s AS (SELECT COALESCE(CAST(SUM(CAST(ln(top.v / kt.x_k1)
+             |      AS DECIMAL(38,18))) AS DOUBLE), 0.0) AS lnsum
+             |  FROM top CROSS JOIN kt WHERE top.v > kt.x_k1),
+             |h AS (SELECT k.n_pos, k.m AS k,
+             |    CASE WHEN kt.c = k.m + 1 THEN kt.x_k1 END AS x_k1,
+             |    CASE WHEN kt.c = k.m + 1
+             |      THEN s.lnsum / CAST(k.m AS DOUBLE) END AS xi_hill
+             |  FROM k CROSS JOIN kt CROSS JOIN s)
+             |SELECT n_pos, k, x_k1, xi_hill,
+             |  CASE WHEN xi_hill IS NULL THEN NULL
+             |       WHEN xi_hill < 0.5 THEN 'good'
+             |       WHEN xi_hill < 0.7 THEN 'ok'
+             |       ELSE 'unreliable' END AS diagnosis
+             |FROM h""".stripMargin))
   )
 }

@@ -611,4 +611,40 @@ object Sampling {
         col("__wmax") / col("__sw")))
       .select("n", "sum_w", "ess", "ess_ratio", "max_share")
   }
+
+  /** Importance-weight TAIL diagnostic — [[weightDiagnostics]] tells
+    * you how much weight is concentrated; this tells you whether the
+    * weight DISTRIBUTION's tail is heavy enough that the concentration
+    * will get worse with more data (the importance-sampling failure
+    * mode: a few enormous ratios own every estimate): the Hill
+    * estimate ξ̂ of the generalized-Pareto shape of the weights' upper
+    * tail, over the PUBLISHED tail fraction
+    * M = ⌈min(n/5, 3√n)⌉ (the PSIS tail-size rule, Vehtari–Simpson–
+    * Gelman 2017 — NOTE the published k̂ fits a GPD by the
+    * Zhang–Stephens posterior mean; Hill is the classical estimator
+    * of the SAME shape parameter and is engine-replayable, the
+    * documented divergence). Read with the published thresholds:
+    * ξ̂ < 0.5 reliable ("good"), 0.5–0.7 usable with care ("ok"),
+    * ≥ 0.7 the weighted estimate should not be trusted
+    * ("unreliable" — variance is effectively infinite). Plan:
+    * [[graft.operators.Analytics.hillTailIndex]]'s top-(M+1) heaps +
+    * exact ln-sum; NULL ξ̂ (n_pos < M + 1) → NULL diagnosis.
+    * EAGER: ONE count job launches at call time to size M from the
+    * positive-weight count (a one-number driver read, the accepted
+    * pattern — data never crosses the driver). Output: one row —
+    * (n_pos, k, x_k1, xi_hill, diagnosis). */
+  def weightTailDiagnostic(df: DataFrame, weightCol: String): DataFrame = {
+    val n = df.filter(col(weightCol).isNotNull &&
+      col(weightCol).cast("double") > 0.0).count()
+    val m = math.max(1L, math.ceil(
+      math.min(n / 5.0, 3.0 * math.sqrt(n.toDouble))).toLong).toInt
+    graft.operators.Analytics.hillTailIndex(df, weightCol, m)
+      .withColumn("xi_hill", col("hill_inv"))
+      .withColumn("diagnosis", when(col("xi_hill").isNull,
+          lit(null).cast("string"))
+        .when(col("xi_hill") < 0.5, "good")
+        .when(col("xi_hill") < 0.7, "ok")
+        .otherwise("unreliable"))
+      .select("n_pos", "k", "x_k1", "xi_hill", "diagnosis")
+  }
 }

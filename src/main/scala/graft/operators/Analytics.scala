@@ -7465,6 +7465,39 @@ object Analytics {
           lit(k.toDouble) / col("__lnsum")).as("alpha"))
   }
 
+  /** WEISSMAN extreme-quantile estimator — quantiles BEYOND the data
+    * ("what does the p = 10⁻⁶ document length look like when I hold
+    * only 10⁵ rows of this shard"; Weissman 1978, JASA 73): the
+    * Pareto-tail extrapolation anchored at [[hillTailIndex]]'s
+    * threshold order statistic,
+    *   q̂(p) = x_(k+1) · (k / (n·p))^(1/α̂),
+    * p the TAIL probability (the estimated quantile is the (1−p)th).
+    * Rides the Hill plan verbatim (per-partition top-(k+1) heaps, one
+    * exact decimal ln-sum) plus one pinned exp∘ln chain — the power
+    * is computed as exp(ξ̂·ln(k/(n·p))) so both engines execute the
+    * identical libm sequence. k/(n·p) > 1 extrapolates past the
+    * sample; ≤ 1 interpolates inside it (valid, just not the
+    * interesting regime). An all-tied top-k (ξ̂ = 0) degenerates to
+    * the threshold itself; n_pos < k + 1 → NULL estimates (loudly
+    * incomplete, the Hill contract). The estimate inherits Hill's
+    * bias sensitivity to k — read it beside a k-sweep, not alone.
+    * Output: one row — (n_pos, k, x_k1, hill_inv, alpha, tail_prob,
+    * quantile). */
+  def weissmanQuantile(df: DataFrame, valueCol: String, k: Int,
+                       tailProb: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(tailProb > 0 && tailProb < 1,
+      s"tailProb must be in (0,1), got $tailProb")
+    hillTailIndex(df, valueCol, k)
+      .withColumn("tail_prob", lit(tailProb))
+      .withColumn("quantile", when(col("hill_inv").isNotNull,
+        col("x_k1") * exp(col("hill_inv") *
+          log(lit(k.toDouble) /
+            (col("n_pos").cast("double") * lit(tailProb))))))
+      .select("n_pos", "k", "x_k1", "hill_inv", "alpha", "tail_prob",
+        "quantile")
+  }
+
   /** [[msprtMeanTest]] for a PROPORTION stream (conversion / pass-rate
     * / binary-quality-gate monitors — the other metric every live
     * dashboard watches): H₀: p = p₀ via the Gaussian-approximation

@@ -4592,6 +4592,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("weissmanQuantile: literal extrapolation on the hill fixture; " +
+    "all-tied top degenerates to the threshold; insufficient data " +
+    "NULL; partition sweep") {
+    import spark.implicits._
+    val df = (1 to 20).map(_.toDouble).toDF("v")
+    val r = Analytics.weissmanQuantile(df, "v", k = 5, tailProb = 0.01)
+      .collect().head
+    val lnsum = Seq(20.0, 19, 18, 17, 16).map(x =>
+      BigDecimal(math.log(x / 15.0))
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val xi = lnsum / 5.0
+    // q(0.01) = x_(6) * exp(xi * ln(k/(n p))) = 15 * exp(xi ln 25)
+    assert(r.getAs[Double]("tail_prob") == 0.01)
+    assert(math.abs(r.getAs[Double]("quantile") -
+      15.0 * math.exp(xi * math.log(5.0 / (20.0 * 0.01)))) < 1e-12)
+    // extrapolated past the max (the whole point)
+    assert(r.getAs[Double]("quantile") > 20.0)
+    // all-tied top: hill_inv exactly 0 -> quantile = threshold
+    val tied = Seq(9.0, 9.0, 9.0, 9.0, 9.0, 1.0).toDF("v")
+    val t = Analytics.weissmanQuantile(tied, "v", k = 3, tailProb = 0.01)
+      .collect().head
+    assert(t.getAs[Double]("quantile") == 9.0)
+    // insufficient positive mass: NULL quantile
+    val s = Analytics.weissmanQuantile(
+      Seq(5.0, 4.0).toDF("v"), "v", k = 3, tailProb = 0.01)
+      .collect().head
+    assert(s.isNullAt(s.fieldIndex("quantile")))
+    partitionSweep { pn =>
+      Analytics.weissmanQuantile(df.repartition(pn), "v", k = 5,
+        tailProb = 0.01).collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("storeyQValue: hand pi0 and q on a mixed p set; pi0 = 1 " +
     "degenerates to bhAdjust; all-below-lambda gives pi0 = 0 and " +
     "zero q; NULL p preserved; partition sweep") {

@@ -3022,4 +3022,32 @@ class FunctionsSpec extends SparkSpec {
       Seq.empty[Double].toDF("w"), "w").collect().head
     assert(e.getAs[Long]("n") == 0L && e.isNullAt(e.fieldIndex("ess")))
   }
+
+  test("weightTailDiagnostic: published tail-fraction rule sizes k; " +
+    "light tail reads good, planted power tail reads unreliable; " +
+    "tiny input NULL diagnosis") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // n = 20 -> M = ceil(min(4, 3*sqrt(20))) = 4; top-5 = 20..16
+    val light = Sampling.weightTailDiagnostic(
+      (1 to 20).map(_.toDouble).toDF("w"), "w").collect().head
+    assert(light.getAs[Long]("k") == 4L)
+    assert(light.getAs[Double]("x_k1") == 16.0)
+    val lnsum = Seq(20.0, 19, 18, 17).map(x =>
+      BigDecimal(math.log(x / 16.0))
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(light.getAs[Double]("xi_hill") == lnsum / 4.0)
+    assert(light.getAs[String]("diagnosis") == "good")
+    // planted decade ladder in the tail: xi = 10*ln(10)/4 >> 0.7
+    val heavy = Sampling.weightTailDiagnostic(
+      ((1 to 16).map(_ => 1.0) ++ Seq(10.0, 100.0, 1000.0, 10000.0))
+        .toDF("w"), "w").collect().head
+    assert(heavy.getAs[String]("diagnosis") == "unreliable")
+    // a single positive weight: M = 1 needs n_pos >= 2 -> NULLs
+    val tiny = Sampling.weightTailDiagnostic(
+      Seq(3.0).toDF("w"), "w").collect().head
+    assert(tiny.isNullAt(tiny.fieldIndex("xi_hill")) &&
+      tiny.isNullAt(tiny.fieldIndex("diagnosis")))
+  }
 }
