@@ -221,6 +221,58 @@ private[graft] object Batch84 {
              |       WHEN xi_hill < 0.5 THEN 'good'
              |       WHEN xi_hill < 0.7 THEN 'ok'
              |       ELSE 'unreliable' END AS diagnosis
-             |FROM h""".stripMargin))
+             |FROM h""".stripMargin)),
+
+    // Empirical-Bayes shrinkage of per-source long-doc rates: the
+    // groupBy counts, the group-order-pinned double moment folds (the
+    // oneWayF determinism move — the tiny between-variance is a
+    // near-cancellation, so no decimal quantization survives it), the
+    // three-regime strength rule, and each group's posterior mean
+    // replayed by DuckDB.
+    Q("q461_eb_shrink_rates",
+      (s, dir) => graft.functions.ML.ebShrinkRates(
+        Tables.documents(s, dir)
+          .withColumn("long_doc", (col("n_chars") > 240).cast("int")),
+        "source", "long_doc"),
+      Some("""WITH d AS (SELECT source AS grp,
+             |    CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS s
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+             |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(s) AS BIGINT) AS x FROM d GROUP BY grp),
+             |r AS (SELECT *,
+             |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate FROM g),
+             |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      LIST(rate ORDER BY grp)), (x, y) -> x + y) AS sp,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      LIST(rate * rate ORDER BY grp)), (x, y) -> x + y) AS spp,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      LIST(rate * (1.0 - rate) / CAST(n AS DOUBLE) ORDER BY grp)),
+             |      (x, y) -> x + y) AS snoise
+             |  FROM r),
+             |q AS (SELECT *, CAST(k AS DOUBLE) AS kd,
+             |    CASE WHEN k >= 2 THEN sp / CAST(k AS DOUBLE) END AS prior_mean,
+             |    CASE WHEN k >= 2 THEN (spp - sp * sp / CAST(k AS DOUBLE))
+             |      / (CAST(k AS DOUBLE) - 1.0) END AS vraw
+             |  FROM p),
+             |w AS (SELECT *, vraw - snoise / kd AS v,
+             |    prior_mean * (1.0 - prior_mean) AS mm FROM q),
+             |z AS (SELECT prior_mean,
+             |    CASE WHEN prior_mean IS NOT NULL THEN v <= 0 END AS pooled,
+             |    CASE WHEN prior_mean IS NOT NULL THEN
+             |      CASE WHEN v <= 0 THEN NULL
+             |           WHEN v >= mm THEN 0.0
+             |           ELSE mm / v - 1.0 END END AS prior_strength
+             |  FROM w)
+             |SELECT r.grp AS "group", r.n, r.x, r.rate, z.prior_mean,
+             |  z.prior_strength, z.pooled,
+             |  CASE WHEN z.prior_mean IS NOT NULL THEN
+             |    CASE WHEN z.pooled THEN z.prior_mean
+             |         WHEN z.prior_strength = 0.0 THEN r.rate
+             |         ELSE (z.prior_mean * z.prior_strength + CAST(r.x AS DOUBLE))
+             |              / (z.prior_strength + CAST(r.n AS DOUBLE)) END
+             |  END AS rate_shrunk
+             |FROM r CROSS JOIN z ORDER BY r.grp""".stripMargin))
   )
 }

@@ -2179,4 +2179,82 @@ object ML {
       .select(col("n"), col("n_other"),
         lit(shares.length.toLong).as("k"), col("estimate"), col("se"))
   }
+
+  /** Empirical-Bayes shrinkage of per-group RATES — the fix for "the
+    * best and worst domains in this quality report are the smallest
+    * ones" (a 2/2 domain is not 100% clean; ranking raw per-group
+    * proportions rewards noise): fit a beta prior to the ensemble of
+    * group rates by the noise-corrected method of moments
+    * (Kleinman 1973; Morris 1983 parametric EB), then shrink each
+    * group toward the ensemble mean in proportion to its evidence:
+    *   m = (1/k)·Σ p̂_i,   v = var(p̂_i) − (1/k)·Σ p̂_i(1−p̂_i)/n_i,
+    *   M = m(1−m)/v − 1,   shrunk_i = (m·M + x_i)/(M + n_i)
+    * (M the prior strength α+β; a group with n_i ≫ M keeps its own
+    * rate, a tiny group collapses to m). Three regimes, all visible:
+    * v ≤ 0 (spread explained by sampling noise) → COMPLETE pooling,
+    * shrunk = m, prior_strength NULL (infinite), pooled = true;
+    * v ≥ m(1−m) (spread at the Bernoulli ceiling — no beta prior
+    * fits) → strength 0, shrunk = raw; otherwise the beta-binomial
+    * posterior mean. k < 2 groups → NULL prior and NULL shrunk
+    * (an ensemble of one has no ensemble). `successCol` is 0/1
+    * (numeric or boolean); NULL group or success rows are excluded.
+    * Plan: one hash groupBy to (n_i, x_i), a one-row prior aggregate
+    * over the k group rows — the moment terms are DOUBLES folded in
+    * group order through a sorted k-sized array (the
+    * [[graft.operators.Analytics.oneWayF]] determinism move: the
+    * tiny between-variance is a near-cancellation that amplifies any
+    * per-term quantization ulp, so the sum order is pinned instead;
+    * the array is k-sized — fine for the thousands of domains this
+    * exists for, not for millions of groups) — and a broadcast of
+    * that row back across the groups. Output: one row per group,
+    * ordered by group — (group, n, x, rate, prior_mean,
+    * prior_strength, pooled, rate_shrunk). */
+  def ebShrinkRates(df: DataFrame, groupCol: String,
+                    successCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val s01 = col(successCol).cast("int").cast("long")
+    val g = df.filter(col(groupCol).isNotNull &&
+        col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"), sum(s01).as("x"))
+      .withColumn("rate", d(col("x")) / d(col("n")))
+    def fold(arr: Column, field: String) = aggregate(arr, lit(0.0),
+      (acc, x) => acc + x.getField(field))
+    val prior = g.select(struct(col("group").as("g"),
+        col("rate").as("p"),
+        (col("rate") * col("rate")).as("pp"),
+        (col("rate") * (lit(1.0) - col("rate")) / d(col("n"))).as("ns"))
+        .as("__t"))
+      .agg(count(lit(1)).as("__k"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .withColumn("__sp", fold(col("__gs"), "p"))
+      .withColumn("__spp", fold(col("__gs"), "pp"))
+      .withColumn("__snoise", fold(col("__gs"), "ns"))
+      .withColumn("__kd", d(col("__k")))
+      .withColumn("prior_mean", when(col("__k") >= 2,
+        col("__sp") / col("__kd")))
+      .withColumn("__vraw", when(col("__k") >= 2,
+        (col("__spp") - col("__sp") * col("__sp") / col("__kd")) /
+          (col("__kd") - 1.0)))
+      .withColumn("__v", col("__vraw") - col("__snoise") / col("__kd"))
+      .withColumn("__mm", col("prior_mean") *
+        (lit(1.0) - col("prior_mean")))
+      .withColumn("pooled", when(col("prior_mean").isNotNull,
+        col("__v") <= 0))
+      .withColumn("prior_strength", when(col("prior_mean").isNotNull,
+        when(col("__v") <= 0, lit(null).cast("double"))
+          .when(col("__v") >= col("__mm"), lit(0.0))
+          .otherwise(col("__mm") / col("__v") - lit(1.0))))
+      .select("prior_mean", "prior_strength", "pooled")
+    g.crossJoin(broadcast(prior))
+      .withColumn("rate_shrunk", when(col("prior_mean").isNotNull,
+        when(col("pooled"), col("prior_mean"))
+          .when(col("prior_strength") === 0.0, col("rate"))
+          .otherwise(
+            (col("prior_mean") * col("prior_strength") + d(col("x"))) /
+              (col("prior_strength") + d(col("n"))))))
+      .select("group", "n", "x", "rate", "prior_mean",
+        "prior_strength", "pooled", "rate_shrunk")
+      .orderBy("group")
+  }
 }

@@ -5211,6 +5211,73 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ebShrinkRates: literal MoM beta prior and posterior means; " +
+    "small groups shrink harder; noise-only spread pools completely; " +
+    "ceiling spread passes raw; k = 1 NULLs; partition sweep") {
+    import spark.implicits._
+    // three groups: 8/10, 2/10, 5/10 -> m = 0.5, between-var 0.09,
+    // mean noise (0.016+0.016+0.025)/3 -> a genuine partial shrink
+    def mk(g: String, x: Int, n: Int) =
+      (1 to n).map(i => (g, if (i <= x) 1 else 0))
+    val df = (mk("a", 8, 10) ++ mk("b", 2, 10) ++ mk("c", 5, 10))
+      .toDF("g", "s")
+    val rows = ML.ebShrinkRates(df, "g", "s").collect()
+      .map(r => r.getAs[String]("group") -> r).toMap
+    // the model folds in group order (a, b, c), matching the pinned
+    // sorted-array fold
+    val ps = Seq(0.8, 0.2, 0.5)
+    val sp = ps.foldLeft(0.0)(_ + _)
+    val spp = ps.foldLeft(0.0)((a, p) => a + p * p)
+    val snoise = ps.foldLeft(0.0)((a, p) => a + p * (1.0 - p) / 10.0)
+    val m = sp / 3.0
+    val v = (spp - sp * sp / 3.0) / 2.0 - snoise / 3.0
+    val strength = m * (1.0 - m) / v - 1.0
+    assert(math.abs(rows("a").getAs[Double]("prior_mean") - m) < 1e-15)
+    assert(math.abs(rows("a").getAs[Double]("prior_strength") -
+      strength) < 1e-12)
+    assert(rows("a").getAs[Boolean]("pooled") == false)
+    def shrunk(x: Int) = (m * strength + x) / (strength + 10.0)
+    assert(math.abs(rows("a").getAs[Double]("rate_shrunk") -
+      shrunk(8)) < 1e-12)
+    assert(math.abs(rows("b").getAs[Double]("rate_shrunk") -
+      shrunk(2)) < 1e-12)
+    // shrinkage moves every group TOWARD m, never past it
+    assert(rows("a").getAs[Double]("rate_shrunk") < 0.8 &&
+      rows("a").getAs[Double]("rate_shrunk") > m)
+    assert(rows("b").getAs[Double]("rate_shrunk") > 0.2 &&
+      rows("b").getAs[Double]("rate_shrunk") < m)
+    // a smaller group with the same raw rate shrinks harder
+    val sz = ML.ebShrinkRates(
+      (mk("big", 16, 20) ++ mk("sml", 4, 5) ++ mk("mid", 5, 10))
+        .toDF("g", "s"), "g", "s").collect()
+      .map(r => r.getAs[String]("group") ->
+        r.getAs[Double]("rate_shrunk")).toMap
+    assert(sz("sml") < sz("big")) // both raw 0.8, sml pulled harder
+    // identical rates: v <= 0 -> complete pooling, NULL strength
+    val pool = ML.ebShrinkRates(
+      (mk("a", 3, 10) ++ mk("b", 3, 10)).toDF("g", "s"), "g", "s")
+      .collect().head
+    assert(pool.getAs[Boolean]("pooled") &&
+      pool.isNullAt(pool.fieldIndex("prior_strength")) &&
+      math.abs(pool.getAs[Double]("rate_shrunk") - 0.3) < 1e-15)
+    // 0/10 vs 10/10: v = 0.5 >= m(1-m) = 0.25 -> strength 0, raw kept
+    val ceil0 = ML.ebShrinkRates(
+      (mk("a", 0, 10) ++ mk("b", 10, 10)).toDF("g", "s"), "g", "s")
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(ceil0("a").getAs[Double]("prior_strength") == 0.0 &&
+      ceil0("a").getAs[Double]("rate_shrunk") == 0.0 &&
+      ceil0("b").getAs[Double]("rate_shrunk") == 1.0)
+    // one group: no ensemble, NULL prior and shrunk
+    val k1 = ML.ebShrinkRates(mk("a", 3, 10).toDF("g", "s"), "g", "s")
+      .collect().head
+    assert(k1.isNullAt(k1.fieldIndex("prior_mean")) &&
+      k1.isNullAt(k1.fieldIndex("rate_shrunk")))
+    partitionSweep { pn =>
+      ML.ebShrinkRates(df.repartition(pn), "g", "s")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("twoRateTest: literal Poisson chains (rate ratio, Wald CIs); " +
     "zero-event arm NULLs ratio stats only; NULL rows excluded; " +
     "partition sweep") {
