@@ -273,6 +273,64 @@ private[graft] object Batch84 {
              |         ELSE (z.prior_mean * z.prior_strength + CAST(r.x AS DOUBLE))
              |              / (z.prior_strength + CAST(r.n AS DOUBLE)) END
              |  END AS rate_shrunk
-             |FROM r CROSS JOIN z ORDER BY r.grp""".stripMargin))
+             |FROM r CROSS JOIN z ORDER BY r.grp""".stripMargin)),
+
+    // DSIR importance resampling: select the 50 documents whose hashed
+    // bigram distribution most resembles the src0/src1 target slice.
+    // DuckDB replays the whole pipeline — tokenization, non-distinct
+    // bigram bucket hashes (the q34 positional scheme mod P mod 4096),
+    // both corpus models with +1 smoothing, the bucket-ordered per-doc
+    // log-weight fold, the salted-hash Gumbel perturbation, and the
+    // quantized top-k.
+    Q("q462_dsir_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.functions.Sampling.dsirSample(
+          docs, "doc_id", "text",
+          docs.filter(col("source").isin("src0", "src1")), "text",
+          k = 50, n = 2, buckets = 4096, salt = "dsir")
+      },
+      Some("""WITH base AS (SELECT doc_id, text, source FROM documents
+             |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             |toks AS (SELECT doc_id, list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |    x -> length(x) > 0) AS t
+             |  FROM base),
+             |bx AS (SELECT doc_id, list_transform(
+             |    list_transform(range(1, GREATEST(len(t) - 1, 0) + 1),
+             |      i -> t[i] || ' ' || t[i+1]),
+             |    g -> (list_sum(list_transform(range(1, length(g) + 1),
+             |      j -> j * unicode(g[j:j]))) % 1000000007) % 4096) AS bs
+             |  FROM toks),
+             |rawb AS (SELECT doc_id, unnest(bs) AS bk FROM bx),
+             |tgtb AS (SELECT unnest(bx.bs) AS bk FROM bx
+             |  JOIN base ON bx.doc_id = base.doc_id
+             |  WHERE base.source IN ('src0', 'src1')),
+             |tc AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS c FROM tgtb GROUP BY bk),
+             |rc AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS c FROM rawb GROUP BY bk),
+             |tt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS ttot FROM tc),
+             |rt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS rtot FROM rc),
+             |lr AS (SELECT COALESCE(tc.bk, rc.bk) AS bk,
+             |    ln((CAST(COALESCE(tc.c, 0) AS DOUBLE) + 1.0)
+             |       / (CAST(tt.ttot AS DOUBLE) + 4096.0))
+             |  - ln((CAST(COALESCE(rc.c, 0) AS DOUBLE) + 1.0)
+             |       / (CAST(rt.rtot AS DOUBLE) + 4096.0)) AS lr
+             |  FROM tc FULL OUTER JOIN rc ON tc.bk = rc.bk
+             |  CROSS JOIN tt CROSS JOIN rt),
+             |db AS (SELECT doc_id, bk, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM rawb GROUP BY 1, 2),
+             |terms AS (SELECT db.doc_id, db.bk,
+             |    CAST(db.c AS DOUBLE) * lr.lr AS term
+             |  FROM db JOIN lr ON db.bk = lr.bk),
+             |ell AS (SELECT doc_id, list_reduce(
+             |    list_prepend(CAST(0.0 AS DOUBLE), LIST(term ORDER BY bk)),
+             |    (x, y) -> x + y) AS log_weight
+             |  FROM terms GROUP BY doc_id)
+             |SELECT doc_id AS id, log_weight,
+             |  CAST(log_weight - ln(-ln(
+             |    (CAST(CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+             |      / 4294967296.0)) AS DECIMAL(28,4)) AS key
+             |FROM ell
+             |ORDER BY key DESC, id LIMIT 50""".stripMargin))
   )
 }

@@ -612,6 +612,87 @@ object Sampling {
       .select("n", "sum_w", "ess", "ess_ratio", "max_share")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie–Santurkar–
+    * Ma–Liang, NeurIPS 2023): pick the k raw-corpus documents whose
+    * hashed bag-of-n-grams distribution looks most like a TARGET
+    * corpus (the published recipe behind "select pretraining data that
+    * resembles Wikipedia"): both corpora reduce to counts over
+    * `buckets` hashed n-gram features, each bucket gets the smoothed
+    * log-likelihood ratio
+    *   lr_b = ln((c_t[b]+1)/(T_t+B)) − ln((c_r[b]+1)/(T_r+B)),
+    * each document's importance log-weight is ℓ_d = Σ_b c_d[b]·lr_b,
+    * and selection is Gumbel top-k on ℓ_d + g_d — the paper's sampler
+    * made deterministic with the repo's salted-hash uniforms
+    * (u = (hashU32(id, salt)+½)/2³², g = −ln(−ln u)). The ranking key
+    * is (ℓ+g) quantized at decimal(28,4) with an id tie-break: a
+    * deterministic, engine-portable discretization — documents within
+    * 10⁻⁴ of each other in perturbed log-weight order by id (libm ulp
+    * divergence between engines cannot flip ranks below the grid).
+    * Documents with NULL id/text or fewer than n tokens have no
+    * features and are never selected (the paper's eligibility rule);
+    * duplicate ids RAISE (their features would silently merge). ℓ_d
+    * folds in bucket order through a per-doc sorted array (the pinned
+    * double-sum convention).
+    *
+    * 100 TB: text never shuffles — the tokenizer+bucket hash is one
+    * codegen'd expression at the scans, exchanges carry only
+    * (id, bucket, count) longs; both corpus models are ≤`buckets`
+    * rows, broadcast; the final selection is a TakeOrdered top-k,
+    * never a global sort. Output: k rows — (id, log_weight, key),
+    * ordered by (key DESC, id). */
+  def dsirSample(df: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String, k: Int,
+                 n: Int = 2, buckets: Int = 4096,
+                 salt: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def d(c: Column) = c.cast("double")
+    def bucketCounts(t: DataFrame, tc: String): DataFrame =
+      t.filter(col(tc).isNotNull)
+        .select(explode(graft.plans.HashExpressions
+          .shingleBucketsAll(col(tc), n, buckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+    val tcnt = bucketCounts(target, targetTextCol)
+    val rcnt = bucketCounts(df, textCol)
+    val tTot = tcnt.agg(coalesce(sum(col("c")), lit(0L)).as("__tt"))
+    val rTot = rcnt.agg(coalesce(sum(col("c")), lit(0L)).as("__tr"))
+    // duplicate ids would merge two documents' features silently —
+    // the guard rides the (bounded) model frame on the main path
+    val chk = df.filter(col(idCol).isNotNull)
+      .agg(count(lit(1)).as("__cnt"),
+        countDistinct(col(idCol)).as("__cd"))
+    val lr = tcnt.select(col("b"), col("c").as("__ct"))
+      .join(rcnt.select(col("b"), col("c").as("__cr")), Seq("b"), "full")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .crossJoin(broadcast(chk))
+      .withColumn("lr", when(col("__cnt") === col("__cd"),
+        log((d(coalesce(col("__ct"), lit(0L))) + 1.0) /
+          (d(col("__tt")) + lit(buckets.toDouble))) -
+          log((d(coalesce(col("__cr"), lit(0L))) + 1.0) /
+            (d(col("__tr")) + lit(buckets.toDouble))))
+        .otherwise(raise_error(lit("dsirSample: duplicate ids — two " +
+          "documents' features would merge; de-duplicate upstream"))))
+      .select("b", "lr")
+    val db = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(graft.plans.HashExpressions
+          .shingleBucketsAll(col(textCol), n, buckets)).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+    val ell = db.join(broadcast(lr), Seq("b"))
+      .withColumn("__term", d(col("c")) * col("lr"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("b"), col("__term"))))
+        .as("__ts"))
+      .withColumn("log_weight", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("__term")))
+    val u = (d(hashU32(col("id"), salt)) + 0.5) / lit(4294967296.0)
+    ell
+      .withColumn("key",
+        (col("log_weight") - log(-log(u))).cast("decimal(28,4)"))
+      .select("id", "log_weight", "key")
+      .orderBy(col("key").desc, col("id"))
+      .limit(k)
+  }
+
   /** Importance-weight TAIL diagnostic — [[weightDiagnostics]] tells
     * you how much weight is concentrated; this tells you whether the
     * weight DISTRIBUTION's tail is heavy enough that the concentration

@@ -170,6 +170,40 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** ORDERED non-distinct n-gram BUCKET ids in one tokenizer pass:
+    * per gram occurrence, the narrow positional hash (Σ pos·code over
+    * the gram's chars and single separating spaces, 1-indexed — the
+    * [[shingleHashes]] narrow scheme the q34-family oracles replay
+    * char-for-char in SQL) mod P mod `buckets`. The hashed-feature
+    * front end for bag-of-n-grams models (DSIR-style importance
+    * weights): multiplicity is PRESERVED — a gram occurring c times
+    * contributes c to its bucket. */
+  def shingleBucketsAllJava(s: UTF8String, n: Int, buckets: Int): ArrayData = {
+    val (str, starts, ends) = tokenSpans(s.toString)
+    val m = starts.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var pos = 1L
+      var k = 0
+      while (k < n) {
+        var j = starts(i + k)
+        val e = ends(i + k)
+        while (j < e) {
+          h += pos * str.charAt(j).toInt
+          pos += 1; j += 1
+        }
+        if (k < n - 1) { h += pos * ' '.toInt; pos += 1 }
+        k += 1
+      }
+      out(i) = (h % P) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word n-gram repetition statistics in ONE tokenizer pass:
     * `[total, distinct, top]` where `total` = n-gram occurrences
     * (tokens−n+1, floored at 0), `distinct` = distinct n-grams, and `top` =
@@ -728,6 +762,24 @@ case class ShingleHashesAll(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes_all"
 }
 
+/** shingle_buckets_all(text, n, buckets): ORDERED non-distinct hashed
+  * n-gram bucket ids, multiplicity preserved (see
+  * HashOps.shingleBucketsAllJava). */
+case class ShingleBucketsAll(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle n-gram size must be >= 1, got $n")
+  require(buckets >= 1, s"bucket count must be >= 1, got $buckets")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.shingleBucketsAllJava(input.asInstanceOf[UTF8String], n, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashOps.shingleBucketsAllJava($c, $n, $buckets);")
+  override protected def withNewChildInternal(c: Expression): ShingleBucketsAll = copy(child = c)
+  override def prettyName: String = "shingle_buckets_all"
+}
+
 /** rep_stats(text, n): per-document word n-gram repetition statistics
   * `[total, distinct, top]` (see HashOps.repStatsJava) — the narrow scan
   * half of Gopher-style repetition filtering. */
@@ -1184,6 +1236,8 @@ object HashExpressions {
       minMeanLen, maxMeanLen, minStopRatio, maxDupFrac))
   def shingleHashesAll(c: Column, n: Int): Column =
     column(ShingleHashesAll(expression(c), n))
+  def shingleBucketsAll(c: Column, n: Int, buckets: Int): Column =
+    column(ShingleBucketsAll(expression(c), n, buckets))
   def normalizeWs(c: Column): Column = column(NormalizeWs(expression(c)))
   def foldAccents(c: Column): Column = column(FoldAccents(expression(c)))
   def sparseProject(c: Column, signs: Array[Array[Int]]): Column =

@@ -3023,6 +3023,88 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getAs[Long]("n") == 0L && e.isNullAt(e.fieldIndex("ess")))
   }
 
+  test("dsirSample: literal end-to-end model (bucket counts, smoothed " +
+    "log-ratios, per-doc fold, hashed Gumbel top-k on the quantized " +
+    "key); short docs ineligible; duplicate ids raise") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    import graft.plans.HashOps
+    // the hand anchor for the bucket hash: "a b" at n=2, buckets=8:
+    // h = 1*'a' + 2*' ' + 3*'b' = 97 + 64 + 294 = 455; 455 % P % 8 = 7
+    val anchor = HashOps.shingleBucketsAllJava(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b"), 2, 8)
+    assert(anchor.toLongArray().toSeq == Seq(455L % 8))
+    // multiplicity preserved: "a b a b" -> grams (a b, b a, a b)
+    val mult = HashOps.shingleBucketsAllJava(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b a b"), 2, 8)
+    assert(mult.numElements() == 3 &&
+      mult.toLongArray().count(_ == 455L % 8) == 2)
+    val raw = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown dog sits"),
+      (3L, "lorem ipsum dolor sit amet"),
+      (4L, "fox jumps over the dog"),
+      (5L, "single"), // one token, no bigram: ineligible
+      (6L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val tgt = Seq("the quick brown fox", "fox jumps high")
+      .toDF("t")
+    val r = Sampling.dsirSample(raw, "doc_id", "text", tgt, "t",
+      k = 3, n = 2, buckets = 16, salt = "s19")
+      .collect()
+    // literal model of the whole chain
+    def bks(s: String) = HashOps.shingleBucketsAllJava(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 2, 16)
+      .toLongArray().toSeq
+    val rawDocs = Seq(1L -> "the quick brown fox jumps",
+      2L -> "the quick brown dog sits", 3L -> "lorem ipsum dolor sit amet",
+      4L -> "fox jumps over the dog", 5L -> "single",
+      6L -> "the quick brown fox runs")
+    val tCnt = Seq("the quick brown fox", "fox jumps high")
+      .flatMap(bks).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rCnt = rawDocs.flatMap(t => bks(t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (tCnt.values.sum.toDouble, rCnt.values.sum.toDouble)
+    def lr(b: Long) =
+      math.log((tCnt.getOrElse(b, 0L) + 1.0) / (tt + 16.0)) -
+        math.log((rCnt.getOrElse(b, 0L) + 1.0) / (tr + 16.0))
+    def u32(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("s19" + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val model = rawDocs.flatMap { case (id, s) =>
+      val bs = bks(s)
+      if (bs.isEmpty) None else {
+        val ell = bs.groupBy(identity).view
+          .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+          .foldLeft(0.0)((a, bc) => a + bc._2.toDouble * lr(bc._1))
+        val u = (u32(id.toString).toDouble + 0.5) / 4294967296.0
+        val key = BigDecimal(ell - math.log(-math.log(u)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        Some((id, ell, key))
+      }
+    }.sortBy(t => (t._3.unary_-, t._1)).take(3)
+    assert(r.length == 3)
+    assert(r.map(_.getAs[Long]("id")).toSeq == model.map(_._1))
+    r.zip(model).foreach { case (row, (_, ell, key)) =>
+      assert(math.abs(row.getAs[Double]("log_weight") - ell) < 1e-12)
+      assert(row.getAs[java.math.BigDecimal]("key")
+        .compareTo(key.bigDecimal) == 0)
+    }
+    // the ineligible one-token doc never surfaces even at k = 99
+    val all = Sampling.dsirSample(raw, "doc_id", "text", tgt, "t",
+      k = 99, n = 2, buckets = 16, salt = "s19").collect()
+    assert(all.length == 5 && !all.exists(_.getAs[Long]("id") == 5L))
+    // duplicate ids raise
+    intercept[Exception] {
+      Sampling.dsirSample(
+        raw.union(Seq((1L, "dup text here")).toDF("doc_id", "text")),
+        "doc_id", "text", tgt, "t", k = 2, n = 2, buckets = 16,
+        salt = "s19").collect()
+    }
+  }
+
   test("weightTailDiagnostic: published tail-fraction rule sizes k; " +
     "light tail reads good, planted power tail reads unreliable; " +
     "tiny input NULL diagnosis") {
