@@ -162,6 +162,7 @@ class RegistrySpec extends SparkSpec {
     "plans.FoldAccents", "plans.GopherKeep", "plans.MinHashSig",
     "plans.NearestCell", "plans.NormalizeWs", "plans.PqCodes",
     "plans.RepStats", "plans.RhpSignature", "plans.ShingleHashes",
+    "plans.ShingleBucketsAll",
     "plans.ShingleHashesAll", "plans.ShingleStrings", "plans.SimHash64",
     "plans.SparseSignProject", "plans.TopCells")
 
