@@ -456,6 +456,6 @@ object SparkEntry {
     // per-look scan or a window shows here), and the joint budget×mix
     // knapsack (domain-keyed prefix + per-(domain, score) tie windows)
     "q447_token_budget_salted", "q449_group_seq_obf",
-    "q451_token_budget_by_mix",
+    "q451_token_budget_by_mix", "q462_dsir_sample",
     "q442_token_budget")
 }

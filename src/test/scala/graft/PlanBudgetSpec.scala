@@ -92,7 +92,8 @@ class PlanBudgetSpec extends SparkSpec {
     "q442_token_budget" -> 3,
     "q447_token_budget_salted" -> 10,
     "q449_group_seq_obf" -> 1,
-    "q451_token_budget_by_mix" -> 8)
+    "q451_token_budget_by_mix" -> 8,
+    "q462_dsir_sample" -> 10)
 
   test("plan budget: every bench headline query stays within its " +
     "shuffle ceiling with no unbounded cartesian and no unbounded " +
