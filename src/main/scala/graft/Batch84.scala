@@ -9,6 +9,51 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Batch84 {
 
+  /** q463's oracle: the 10 raking iterations unrolled into a CTE
+    * chain, generated so the SQL stays literal-for-literal in sync
+    * with the operator's driver arithmetic (ordered list_reduce folds
+    * = the operator's sorted margin folds). */
+  private val rakeOracle: String = {
+    val caseA = "CASE t.a WHEN 'de' THEN CAST(0.15 AS DOUBLE) " +
+      "WHEN 'en' THEN CAST(0.5 AS DOUBLE) " +
+      "WHEN 'es' THEN CAST(0.15 AS DOUBLE) " +
+      "WHEN 'fr' THEN CAST(0.1 AS DOUBLE) " +
+      "WHEN 'zh' THEN CAST(0.1 AS DOUBLE) END"
+    val caseB = "CASE t.b WHEN 'short' THEN CAST(0.3 AS DOUBLE) " +
+      "WHEN 'mid' THEN CAST(0.4 AS DOUBLE) " +
+      "WHEN 'long' THEN CAST(0.3 AS DOUBLE) END"
+    def fold(src: String, by: String, key: String) =
+      s"(SELECT $key, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"LIST(m ORDER BY $by)), (x, y) -> x + y) AS tot " +
+        s"FROM $src GROUP BY $key)"
+    val iterCtes = (1 to 10).map { i =>
+      s"""ra$i AS ${fold(s"m${i - 1}", "b", "a")},
+         |ma$i AS MATERIALIZED (SELECT t.a, t.b, t.n,
+         |    t.m * ((($caseA) * nt.N) / r.tot) AS m
+         |  FROM m${i - 1} t JOIN ra$i r ON t.a = r.a CROSS JOIN nt),
+         |rb$i AS ${fold(s"ma$i", "a", "b")},
+         |m$i AS MATERIALIZED (SELECT t.a, t.b, t.n,
+         |    t.m * ((($caseB) * nt.N) / r.tot) AS m
+         |  FROM ma$i t JOIN rb$i r ON t.b = r.b CROSS JOIN nt)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (SELECT lang AS a,
+       |    CASE WHEN n_chars < 250 THEN 'short'
+       |         WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS b
+       |  FROM documents WHERE lang IS NOT NULL),
+       |m0 AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS DOUBLE) AS m
+       |  FROM base WHERE a IN ('de', 'en', 'es', 'fr', 'zh')
+       |  GROUP BY 1, 2),
+       |nt AS MATERIALIZED (SELECT CAST(SUM(n) AS DOUBLE) AS N,
+       |    CAST((SELECT COUNT(*) FROM base) - SUM(n) AS BIGINT) AS n_off
+       |  FROM m0),
+       |$iterCtes
+       |SELECT t.a AS lang, t.b AS bucket, t.n, t.m AS mass,
+       |  t.m / CAST(t.n AS DOUBLE) AS weight, nt.n_off
+       |FROM m10 t CROSS JOIN nt ORDER BY lang, bucket""".stripMargin
+  }
+
   /** md5-hash arm split used by q457/q458 (the q433 idiom). */
   private def armCase(salt: String, idCol: String) =
     s"""CASE WHEN CAST('0x' || substr(md5('$salt' || CAST($idCol AS VARCHAR)), 1, 8) AS BIGINT)
@@ -331,6 +376,22 @@ private[graft] object Batch84 {
              |    (CAST(CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
              |      / 4294967296.0)) AS DECIMAL(28,4)) AS key
              |FROM ell
-             |ORDER BY key DESC, id LIMIT 50""".stripMargin))
+             |ORDER BY key DESC, id LIMIT 50""".stripMargin)),
+
+    // Raking (IPF): per-cell weights fitting lang shares AND
+    // length-bucket shares simultaneously; the DuckDB oracle unrolls
+    // all 10 alternating fits with ordered list folds (generated —
+    // see rakeOracle).
+    Q("q463_rake_weights",
+      (s, dir) => graft.functions.Sampling.rakeWeights(
+        Tables.documents(s, dir)
+          .withColumn("bucket", when(col("n_chars") < 250, "short")
+            .when(col("n_chars") < 350, "mid").otherwise("long")),
+        "lang", "bucket",
+        Seq("de" -> 0.15, "en" -> 0.5, "es" -> 0.15, "fr" -> 0.1,
+          "zh" -> 0.1),
+        Seq("short" -> 0.3, "mid" -> 0.4, "long" -> 0.3),
+        iters = 10),
+      Some(rakeOracle))
   )
 }

@@ -612,6 +612,95 @@ object Sampling {
       .select("n", "sum_w", "ess", "ess_ratio", "max_share")
   }
 
+  /** RAKING (iterative proportional fitting, Deming–Stephan 1940) —
+    * per-document weights that make TWO categorical margins match
+    * target shares at once ("reweight the corpus so language hits
+    * 50/15/15/10/10 AND length-bucket hits 30/40/30" — the survey
+    * post-stratification move [[stratifiedMean]]-style single-margin
+    * correction can't do): aggregate to the (a, b) cell table, then
+    * `iters` rounds of the classic alternating fit — scale every
+    * cell's mass so row totals hit R_a = share_a·N, then so column
+    * totals hit C_b = share_b·N. Converges to the minimum-KL
+    * (maximum-entropy) adjustment of the observed table with the
+    * target margins; `weight` = fitted mass / raw count is the
+    * per-document weight for that cell. Rows outside either design
+    * are EXCLUDED from the fit and counted (`n_off` on every output
+    * row — nonzero means the design doesn't cover the corpus); a
+    * design level ABSENT from the data gets no cells, so the
+    * remaining levels' fit renormalizes around it (the margins then
+    * cannot all be hit — check presence upstream, e.g. [[
+    * graft.operators.Analytics.srmTest]]). Iteration count is FIXED
+    * (default 10 — margins typically match to ~1e-6 well before
+    * that; raking has no data-dependent stopping here, so both
+    * engines run the identical arithmetic). Margin totals fold in
+    * sorted cell order (the pinned double-sum convention).
+    *
+    * EAGER, by design: the corpus-scale work is ONE distributed cell
+    * aggregate; the |targetA|·|targetB|-bounded cell table (bounded
+    * by the CALLER's explicit level lists — the mixToShares accepted
+    * pattern) then crosses the driver and the T alternating fits run
+    * as driver arithmetic. Building the fit as 2T chained
+    * self-referential joins instead doubles the logical plan per fit
+    * (2^2T nodes — measured as a Catalyst planning hang at T = 10),
+    * for a table the design already bounds. Output: one row per
+    * observed cell, ordered — (dimA, dimB, n, mass, weight,
+    * n_off). */
+  def rakeWeights(df: DataFrame, dimACol: String, dimBCol: String,
+                  targetA: Seq[(String, Double)],
+                  targetB: Seq[(String, Double)],
+                  iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    for ((nm, t) <- Seq("targetA" -> targetA, "targetB" -> targetB)) {
+      require(t.nonEmpty, s"rakeWeights needs $nm shares")
+      require(t.map(_._1).distinct.length == t.length,
+        s"duplicate levels in $nm: $t")
+      require(t.forall(_._2 > 0), s"$nm shares must be > 0: $t")
+    }
+    val (waTot, wbTot) = (targetA.map(_._2).sum, targetB.map(_._2).sum)
+    val inA = col(dimACol).isin(targetA.map(_._1): _*)
+    val inB = col(dimBCol).isin(targetB.map(_._1): _*)
+    val base = df.filter(col(dimACol).isNotNull && col(dimBCol).isNotNull)
+    val cellRows = base
+      .groupBy(col(dimACol).cast("string").as("__a"),
+        col(dimBCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("n"), max(when(inA && inB, 1).otherwise(0))
+        .as("__in"))
+      .collect()
+    val nOff = cellRows.filter(_.getAs[Int]("__in") == 0)
+      .map(_.getAs[Long]("n")).sum
+    val cells = cellRows.filter(_.getAs[Int]("__in") == 1)
+      .map(r => (r.getAs[String]("__a"), r.getAs[String]("__b"),
+        r.getAs[Long]("n")))
+      .sortBy(t => (t._1, t._2))
+    val bigN = cells.map(_._3).sum.toDouble
+    val shareA = targetA.map { case (l, s) => l -> s / waTot }.toMap
+    val shareB = targetB.map { case (l, s) => l -> s / wbTot }.toMap
+    var m = cells.map(t => (t._1, t._2) -> t._3.toDouble).toMap
+    val aLevels = cells.map(_._1).distinct.sorted
+    val bLevels = cells.map(_._2).distinct.sorted
+    for (_ <- 1 to iters) {
+      for (a <- aLevels) {
+        val row = bLevels.flatMap(b => m.get((a, b)))
+        val tot = row.foldLeft(0.0)(_ + _)
+        for (b <- bLevels; v <- m.get((a, b)))
+          m += (a, b) -> (v * ((shareA(a) * bigN) / tot))
+      }
+      for (b <- bLevels) {
+        val colv = aLevels.flatMap(a => m.get((a, b)))
+        val tot = colv.foldLeft(0.0)(_ + _)
+        for (a <- aLevels; v <- m.get((a, b)))
+          m += (a, b) -> (v * ((shareB(b) * bigN) / tot))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    cells.map { case (a, b, n) =>
+      val mass = m((a, b))
+      (a, b, n, mass, mass / n.toDouble, nOff)
+    }.toSeq
+      .toDF(dimACol, dimBCol, "n", "mass", "weight", "n_off")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie–Santurkar–
     * Ma–Liang, NeurIPS 2023): pick the k raw-corpus documents whose
     * hashed bag-of-n-grams distribution looks most like a TARGET

@@ -3023,6 +3023,73 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getAs[Long]("n") == 0L && e.isNullAt(e.fieldIndex("ess")))
   }
 
+  test("rakeWeights: literal IPF model on a 2x2 table; both margins " +
+    "hit the targets; off-design rows counted not fitted; bad shares " +
+    "raise") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // 40/10/10/40 with an already-balanced A margin and a 30/70 B
+    // target: raking must shift mass from u to v inside each row
+    val rows = Seq.fill(40)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(40)(("y", "v")) ++
+      Seq.fill(3)(("z", "u")) // off-design level
+    val df = rows.toDF("a", "b")
+    val tA = Seq("x" -> 0.5, "y" -> 0.5)
+    val tB = Seq("u" -> 0.3, "v" -> 0.7)
+    val r = Sampling.rakeWeights(df, "a", "b", tA, tB, iters = 10)
+      .collect()
+    assert(r.length == 4 && r.forall(_.getAs[Long]("n_off") == 3L))
+    // literal model: same alternating fit, same fold order
+    var m = Map(("x", "u") -> 40.0, ("x", "v") -> 10.0,
+      ("y", "u") -> 10.0, ("y", "v") -> 40.0)
+    val bigN = 100.0
+    for (_ <- 1 to 10) {
+      for (a <- Seq("x", "y")) {
+        val tot = Seq("u", "v").map(b => m((a, b))).foldLeft(0.0)(_ + _)
+        for (b <- Seq("u", "v"))
+          m += (a, b) -> (m((a, b)) * ((0.5 * bigN) / tot))
+      }
+      for (b <- Seq("u", "v")) {
+        val tot = Seq("x", "y").map(a => m((a, b))).foldLeft(0.0)(_ + _)
+        val sh = if (b == "u") 0.3 else 0.7
+        for (a <- Seq("x", "y"))
+          m += (a, b) -> (m((a, b)) * ((sh * bigN) / tot))
+      }
+    }
+    r.foreach { row =>
+      val key = (row.getAs[String]("a"), row.getAs[String]("b"))
+      assert(math.abs(row.getAs[Double]("mass") - m(key)) < 1e-12)
+      assert(math.abs(row.getAs[Double]("weight") -
+        m(key) / (if (key == ("x", "u") || key == ("y", "v")) 40.0
+          else 10.0)) < 1e-12)
+    }
+    // the LAST-fitted margin (B) is exact by construction; the
+    // first-fitted margin (A) carries the geometric residual at T=10
+    val byA = r.groupBy(_.getAs[String]("a")).view
+      .mapValues(_.map(_.getAs[Double]("mass")).sum)
+    val byB = r.groupBy(_.getAs[String]("b")).view
+      .mapValues(_.map(_.getAs[Double]("mass")).sum)
+    assert(math.abs(byB("u") - 30.0) < 1e-9 &&
+      math.abs(byB("v") - 70.0) < 1e-9)
+    assert(math.abs(byA("x") - 50.0) < 1e-3 &&
+      math.abs(byA("y") - 50.0) < 1e-3)
+    // more iterations buy convergence on BOTH margins
+    val deep = Sampling.rakeWeights(df, "a", "b", tA, tB, iters = 40)
+      .collect()
+    val dA = deep.groupBy(_.getAs[String]("a")).view
+      .mapValues(_.map(_.getAs[Double]("mass")).sum)
+    assert(math.abs(dA("x") - 50.0) < 1e-9 &&
+      math.abs(dA("y") - 50.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Sampling.rakeWeights(df, "a", "b", Seq("x" -> 0.5, "x" -> 0.5),
+        tB)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rakeWeights(df, "a", "b", tA, Seq("u" -> -0.1,
+        "v" -> 1.1))
+    }
+  }
+
   test("dsirSample: literal end-to-end model (bucket counts, smoothed " +
     "log-ratios, per-doc fold, hashed Gumbel top-k on the quantized " +
     "key); short docs ineligible; duplicate ids raise") {
