@@ -776,6 +776,21 @@ object StressBench {
             ((col("id") * 2654435761L) % 6L).cast("double").as("score"),
             ((col("id") * 7919L) % 400L + 50L).as("tokens")),
           "id", "score", "tokens", budget = 5000000000L)),
+      // DSIR at the stress design points: the dominant cost is the
+      // tokenize+bucket expression at the scans (text never shuffles),
+      // so the arm prices tokens/s throughput; the 1M boilerplate arm
+      // adds the hot-bucket regime (1M docs sharing header bigrams =
+      // a few buckets carrying ~half the corpus mass — the model
+      // aggregates stay <=4096 rows regardless, which is the point)
+      "dsir_50k" -> (() => graft.functions.Sampling.dsirSample(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50L === 0L), "text",
+        k = 5000, n = 2, buckets = 4096, salt = "sb")),
+      "dsir_1m_boiler" -> (() => graft.functions.Sampling.dsirSample(
+        spark.read.parquet(s"$root/docs_chunkhot"), "doc_id", "text",
+        spark.read.parquet(s"$root/docs_chunkhot")
+          .filter(col("doc_id") % 100L === 0L), "text",
+        k = 10000, n = 2, buckets = 4096, salt = "sb")),
       "jaccard_capped" -> (() => jaccard(100, "shuffle_hash")),
       "jaccard_uncapped" -> (() => jaccard(0, "shuffle_hash")),
       // prefix filtering (round 11, session 5): the LOSSLESS pruning

@@ -692,13 +692,24 @@ object Sampling {
           m += (a, b) -> (v * ((shareB(b) * bigN) / tot))
       }
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    cells.map { case (a, b, n) =>
+    // explicit schema + Row (NOT spark.implicits' product encoder —
+    // runtime-reflection encoder derivation breaks under the sbt
+    // console classloader, and the README promises console-runnable
+    // snippets)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(dimACol, StringType), StructField(dimBCol, StringType),
+      StructField("n", LongType, nullable = false),
+      StructField("mass", DoubleType, nullable = false),
+      StructField("weight", DoubleType, nullable = false),
+      StructField("n_off", LongType, nullable = false)))
+    val out = cells.map { case (a, b, n) =>
       val mass = m((a, b))
-      (a, b, n, mass, mass / n.toDouble, nOff)
-    }.toSeq
-      .toDF(dimACol, dimBCol, "n", "mass", "weight", "n_off")
+      Row(a, b, n, mass, mass / n.toDouble, nOff)
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
   }
 
   /** DSIR — Data Selection via Importance Resampling (Xie–Santurkar–
