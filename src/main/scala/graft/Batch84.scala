@@ -382,6 +382,59 @@ private[graft] object Batch84 {
     // length-bucket shares simultaneously; the DuckDB oracle unrolls
     // all 10 alternating fits with ordered list folds (generated —
     // see rakeOracle).
+    Q("q464_weighted_mean_test",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "wm") <
+              2147483648L, "a").otherwise("b"))
+          .withColumn("w",
+            (pmod(col("event_id"), lit(17L)) + 1L).cast("double") /
+              lit(4.0))
+        graft.operators.Analytics.weightedMeanTest(ev, "grp", "value",
+          "w", "a", "b")
+      },
+      Some(s"""WITH g AS (SELECT ${armCase("wm", "event_id")} AS grp,
+             |    CAST(value AS DOUBLE) AS y,
+             |    CAST(event_id % 17 + 1 AS DOUBLE) / 4.0 AS w
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |s AS (SELECT
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN CAST(w AS DECIMAL(38,12)) END) AS DOUBLE) AS swa,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN CAST(w * y AS DECIMAL(38,12)) END) AS DOUBLE) AS swya,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN CAST(w * w AS DECIMAL(38,12)) END) AS DOUBLE) AS swwa,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN CAST(w * w * y AS DECIMAL(38,12)) END) AS DOUBLE) AS swwya,
+             |    CAST(SUM(CASE WHEN grp = 'a' THEN CAST((w * w) * (y * y) AS DECIMAL(38,12)) END) AS DOUBLE) AS swwyya,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN CAST(w AS DECIMAL(38,12)) END) AS DOUBLE) AS swb,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN CAST(w * y AS DECIMAL(38,12)) END) AS DOUBLE) AS swyb,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN CAST(w * w AS DECIMAL(38,12)) END) AS DOUBLE) AS swwb,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN CAST(w * w * y AS DECIMAL(38,12)) END) AS DOUBLE) AS swwyb,
+             |    CAST(SUM(CASE WHEN grp = 'b' THEN CAST((w * w) * (y * y) AS DECIMAL(38,12)) END) AS DOUBLE) AS swwyyb
+             |  FROM g),
+             |m AS (SELECT *,
+             |    CASE WHEN swa > 0 THEN swya / swa END AS mean_a,
+             |    CASE WHEN swb > 0 THEN swyb / swb END AS mean_b,
+             |    CASE WHEN swwa > 0 THEN swa * swa / swwa END AS ess_a,
+             |    CASE WHEN swwb > 0 THEN swb * swb / swwb END AS ess_b
+             |  FROM s),
+             |v AS (SELECT *,
+             |    CASE WHEN swa > 0 THEN
+             |      (swwyya - 2.0 * mean_a * swwya + mean_a * mean_a * swwa)
+             |        / (swa * swa) END AS va,
+             |    CASE WHEN swb > 0 THEN
+             |      (swwyyb - 2.0 * mean_b * swwyb + mean_b * mean_b * swwb)
+             |        / (swb * swb) END AS vb
+             |  FROM m)
+             |SELECT n_a, n_b, mean_a, mean_b, ess_a, ess_b,
+             |  mean_a - mean_b AS diff,
+             |  CASE WHEN va + vb > 0 THEN sqrt(va + vb) END AS se,
+             |  CASE WHEN va + vb > 0
+             |    THEN (mean_a - mean_b) / sqrt(va + vb) END AS z
+             |FROM v""".stripMargin)),
+
     Q("q463_rake_weights",
       (s, dir) => graft.functions.Sampling.rakeWeights(
         Tables.documents(s, dir)

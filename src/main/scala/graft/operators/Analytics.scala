@@ -7351,6 +7351,82 @@ object Analytics {
         "rr_lo", "rr_hi", "diff", "diff_lo", "diff_hi")
   }
 
+  /** WEIGHTED-mean A/B comparison — the readout for a corpus that
+    * carries survey/curation weights (the direct consumer of
+    * [[graft.functions.Sampling.rakeWeights]] /
+    * [[graft.functions.Sampling.weightDiagnostics]]: once rows stop
+    * counting equally, [[welchT]]'s variance is wrong): per arm the
+    * Hájek (ratio) estimator and its Taylor-linearization variance
+    * (Särndal–Swensson–Wretman, "Model Assisted Survey Sampling"
+    * §5.5),
+    *   μ̂_g = Σwy/Σw,
+    *   v̂_g = Σw²(y−μ̂)²/(Σw)²
+    *        = (Σw²y² − 2μ̂·Σw²y + μ̂²·Σw²)/(Σw)²,
+    *   z = (μ̂_A − μ̂_B)/√(v̂_A + v̂_B),
+    * from ONE map-side-combined scan of exact-decimal sums. Kish ESS
+    * per arm rides along ((Σw)²/Σw² — the number that says how much
+    * data the z actually rests on). Rows with NULL value or weight
+    * are excluded; NEGATIVE weights raise (same contract as
+    * weightDiagnostics); zero-weight rows count toward n but carry no
+    * mass. Σw ≤ 0 → NULL mean for that arm; v̂_A + v̂_B ≤ 0 → NULL
+    * se/z. The moment sums are pinned per-row DOUBLE products
+    * quantized at decimal(38,12) and summed exactly (w²y² overflows
+    * any exact-decimal product width); the variance expansion shares
+    * [[welchT]]'s cancellation caveat at extreme mean/sd ratios.
+    * Output: one row — (n_a, n_b, mean_a, mean_b, ess_a, ess_b,
+    * diff, se, z). */
+  def weightedMeanTest(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String, groupA: String,
+                       groupB: String): DataFrame = {
+    val yd = col(valueCol).cast("double")
+    val wd = col(weightCol).cast("double")
+    def q12(c: Column) = c.cast("decimal(38,12)")
+    val base = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(valueCol).isNotNull && col(weightCol).isNotNull)
+    def side(g: String, sfx: String) = {
+      val in = col(groupCol) === g
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(in, q12(wd))).cast("double").as(s"__sw_$sfx"),
+        sum(when(in, q12(wd * yd))).cast("double").as(s"__swy_$sfx"),
+        sum(when(in, q12(wd * wd))).cast("double").as(s"__sww_$sfx"),
+        sum(when(in, q12(wd * wd * yd))).cast("double")
+          .as(s"__swwy_$sfx"),
+        sum(when(in, q12(wd * wd * (yd * yd)))).cast("double")
+          .as(s"__swwyy_$sfx"),
+        min(when(in, wd)).as(s"__wmin_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    def arm(sfx: String): (Column, Column, Column) = {
+      val sw = col(s"__sw_$sfx")
+      val mean = when(sw > 0, col(s"__swy_$sfx") / sw)
+      val v = when(sw > 0,
+        (col(s"__swwyy_$sfx") - lit(2.0) * mean * col(s"__swwy_$sfx") +
+          mean * mean * col(s"__sww_$sfx")) / (sw * sw))
+      val ess = when(col(s"__sww_$sfx") > 0, sw * sw / col(s"__sww_$sfx"))
+      (mean, v, ess)
+    }
+    val (ma, va, ea) = arm("a")
+    val (mb, vb, eb) = arm("b")
+    agg
+      .withColumn("__negok",
+        when((col("__wmin_a").isNull || col("__wmin_a") >= 0) &&
+          (col("__wmin_b").isNull || col("__wmin_b") >= 0), lit(1))
+          .otherwise(raise_error(lit("weightedMeanTest: negative " +
+            "weight — the Hájek estimator needs w >= 0; clamp or fix " +
+            "upstream"))))
+      .withColumn("mean_a", when(col("__negok") === 1, ma))
+      .withColumn("mean_b", mb)
+      .withColumn("ess_a", ea).withColumn("ess_b", eb)
+      .withColumn("__va", va).withColumn("__vb", vb)
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+      .withColumn("se", when(col("__va") + col("__vb") > 0,
+        sqrt(col("__va") + col("__vb"))))
+      .withColumn("z", when(col("se") > 0, col("diff") / col("se")))
+      .select("n_a", "n_b", "mean_a", "mean_b", "ess_a", "ess_b",
+        "diff", "se", "z")
+  }
+
   /** [[msprtTwoSampleTest]] for a PROPORTION metric — the always-valid
     * two-arm CONVERSION monitor, the single most common deployed
     * sequential test (Johari–Koomen–Pekelis–Walsh KDD 2017 §5: the

@@ -5211,6 +5211,51 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("weightedMeanTest: literal Hajek means and linearization " +
+    "variances; ESS rides along; zero weights carry no mass; " +
+    "negative weight raises; partition sweep") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0),
+      ("b", 5.0, 2.0), ("b", 15.0, 2.0)).toDF("g", "y", "w")
+    val r = Analytics.weightedMeanTest(df, "g", "y", "w", "a", "b")
+      .collect().head
+    // arm a: mu = 70/4 = 17.5, v = (1*56.25 + 9*6.25)/16 = 7.03125
+    // arm b: mu = 10, v = (4*25 + 4*25)/16 = 12.5
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("mean_a") - 17.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_b") - 10.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ess_a") - 1.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ess_b") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("diff") - 7.5) < 1e-12)
+    val se = math.sqrt(7.03125 + 12.5)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 7.5 / se) < 1e-12)
+    // uniform weights reproduce the unweighted means; v is the
+    // POPULATION-style linearization (divisor n, not n-1)
+    val u = Analytics.weightedMeanTest(
+      df.withColumn("w", lit(1.0)), "g", "y", "w", "a", "b")
+      .collect().head
+    assert(math.abs(u.getAs[Double]("mean_a") - 15.0) < 1e-12)
+    assert(math.abs(u.getAs[Double]("ess_a") - 2.0) < 1e-12)
+    // zero-weight rows: counted in n, no mass
+    val z0 = Analytics.weightedMeanTest(
+      (Seq(("a", 999.0, 0.0)) ++ Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0),
+        ("b", 5.0, 2.0), ("b", 15.0, 2.0))).toDF("g", "y", "w"),
+      "g", "y", "w", "a", "b").collect().head
+    assert(z0.getAs[Long]("n_a") == 3L &&
+      math.abs(z0.getAs[Double]("mean_a") - 17.5) < 1e-12)
+    // negative weight raises
+    intercept[Exception] {
+      Analytics.weightedMeanTest(
+        Seq(("a", 1.0, -1.0), ("b", 1.0, 1.0)).toDF("g", "y", "w"),
+        "g", "y", "w", "a", "b").collect()
+    }
+    partitionSweep { pn =>
+      Analytics.weightedMeanTest(df.repartition(pn), "g", "y", "w",
+        "a", "b").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("ebShrinkRates: literal MoM beta prior and posterior means; " +
     "small groups shrink harder; noise-only spread pools completely; " +
     "ceiling spread passes raw; k = 1 NULLs; partition sweep") {
