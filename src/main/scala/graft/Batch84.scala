@@ -382,6 +382,115 @@ private[graft] object Batch84 {
     // length-bucket shares simultaneously; the DuckDB oracle unrolls
     // all 10 alternating fits with ordered list folds (generated —
     // see rakeOracle).
+    // Difference-in-differences on a hash-defined cohort x period
+    // grid with a planted +20 on the treated post cell: all 12
+    // exact-decimal cell moments, the four-corner estimate, and the
+    // Welch-Satterthwaite dof over the cells replayed by DuckDB.
+    Q("q465_diff_in_diff",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("user_id"), "did") <
+              2147483648L, "t").otherwise("c"))
+          .withColumn("per",
+            when(graft.functions.Sampling.hashU32(col("event_id"), "per") <
+              2147483648L, "pre").otherwise("post"))
+          .withColumn("y",
+            when(col("grp") === "t" && col("per") === "post",
+              col("value") + 20.0).otherwise(col("value")))
+        graft.operators.Analytics.diffInDiff(ev, "grp", "per", "y",
+          "t", "c", "pre", "post")
+      },
+      Some(s"""WITH g AS (SELECT
+             |    CASE WHEN CAST('0x' || substr(md5('did' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 't' ELSE 'c' END AS grp,
+             |    CASE WHEN CAST('0x' || substr(md5('per' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'pre' ELSE 'post' END AS per,
+             |    value FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |p AS (SELECT grp, per,
+             |    CAST(CASE WHEN grp = 't' AND per = 'post'
+             |      THEN value + 20.0 ELSE value END AS DECIMAL(18,2)) AS y
+             |  FROM g),
+             |s AS (SELECT
+             |    CAST(SUM(CASE WHEN grp = 't' AND per = 'pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+             |    CAST(SUM(CASE WHEN grp = 't' AND per = 'pre' THEN y END) AS DOUBLE) AS s_tpre,
+             |    CAST(SUM(CASE WHEN grp = 't' AND per = 'pre' THEN y * y END) AS DOUBLE) AS ss_tpre,
+             |    CAST(SUM(CASE WHEN grp = 't' AND per = 'post' THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+             |    CAST(SUM(CASE WHEN grp = 't' AND per = 'post' THEN y END) AS DOUBLE) AS s_tpost,
+             |    CAST(SUM(CASE WHEN grp = 't' AND per = 'post' THEN y * y END) AS DOUBLE) AS ss_tpost,
+             |    CAST(SUM(CASE WHEN grp = 'c' AND per = 'pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+             |    CAST(SUM(CASE WHEN grp = 'c' AND per = 'pre' THEN y END) AS DOUBLE) AS s_cpre,
+             |    CAST(SUM(CASE WHEN grp = 'c' AND per = 'pre' THEN y * y END) AS DOUBLE) AS ss_cpre,
+             |    CAST(SUM(CASE WHEN grp = 'c' AND per = 'post' THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+             |    CAST(SUM(CASE WHEN grp = 'c' AND per = 'post' THEN y END) AS DOUBLE) AS s_cpost,
+             |    CAST(SUM(CASE WHEN grp = 'c' AND per = 'post' THEN y * y END) AS DOUBLE) AS ss_cpost
+             |  FROM p),
+             |m AS (SELECT *,
+             |    CASE WHEN n_tpre > 0 THEN s_tpre / CAST(n_tpre AS DOUBLE) END AS mean_tpre,
+             |    CASE WHEN n_tpost > 0 THEN s_tpost / CAST(n_tpost AS DOUBLE) END AS mean_tpost,
+             |    CASE WHEN n_cpre > 0 THEN s_cpre / CAST(n_cpre AS DOUBLE) END AS mean_cpre,
+             |    CASE WHEN n_cpost > 0 THEN s_cpost / CAST(n_cpost AS DOUBLE) END AS mean_cpost,
+             |    CASE WHEN n_tpre >= 2 THEN ((ss_tpre - s_tpre * s_tpre / CAST(n_tpre AS DOUBLE)) / (CAST(n_tpre AS DOUBLE) - 1.0)) / CAST(n_tpre AS DOUBLE) END AS v_tpre,
+             |    CASE WHEN n_tpost >= 2 THEN ((ss_tpost - s_tpost * s_tpost / CAST(n_tpost AS DOUBLE)) / (CAST(n_tpost AS DOUBLE) - 1.0)) / CAST(n_tpost AS DOUBLE) END AS v_tpost,
+             |    CASE WHEN n_cpre >= 2 THEN ((ss_cpre - s_cpre * s_cpre / CAST(n_cpre AS DOUBLE)) / (CAST(n_cpre AS DOUBLE) - 1.0)) / CAST(n_cpre AS DOUBLE) END AS v_cpre,
+             |    CASE WHEN n_cpost >= 2 THEN ((ss_cpost - s_cpost * s_cpost / CAST(n_cpost AS DOUBLE)) / (CAST(n_cpost AS DOUBLE) - 1.0)) / CAST(n_cpost AS DOUBLE) END AS v_cpost
+             |  FROM s),
+             |w AS (SELECT *,
+             |    (mean_tpost - mean_tpre) - (mean_cpost - mean_cpre) AS did,
+             |    v_tpre + v_tpost + v_cpre + v_cpost AS vsum,
+             |    v_tpre * v_tpre / (CAST(n_tpre AS DOUBLE) - 1.0)
+             |      + v_tpost * v_tpost / (CAST(n_tpost AS DOUBLE) - 1.0)
+             |      + v_cpre * v_cpre / (CAST(n_cpre AS DOUBLE) - 1.0)
+             |      + v_cpost * v_cpost / (CAST(n_cpost AS DOUBLE) - 1.0) AS vsq
+             |  FROM m)
+             |SELECT n_tpre, n_tpost, n_cpre, n_cpost, mean_tpre,
+             |  mean_tpost, mean_cpre, mean_cpost, did,
+             |  CASE WHEN vsum > 0 THEN sqrt(vsum) END AS se,
+             |  CASE WHEN vsum > 0 THEN did / sqrt(vsum) END AS t,
+             |  CASE WHEN vsum > 0 THEN vsum * vsum / vsq END AS dof
+             |FROM w""".stripMargin)),
+
+    // Per-arm Poisson dispersion gate at user grain (the q458
+    // fixture): the moment-expansion chi2, the per-group rate, and
+    // the bad-exposure accounting replayed by DuckDB.
+    Q("q466_rate_dispersion",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ev"),
+            (count(lit(1)).cast("double") * 0.5).as("ex"))
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("user_id"), "rate") <
+              2147483648L, "a").otherwise("b"))
+        graft.operators.Analytics.rateDispersion(u, "grp", "ev", "ex")
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ev,
+             |    CAST(COUNT(*) AS DOUBLE) * 0.5 AS ex
+             |  FROM events GROUP BY user_id),
+             |g AS (SELECT ${armCase("rate", "user_id")} AS arm, ev, ex FROM u),
+             |c AS (SELECT arm AS "group",
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(0 AS BIGINT) AS n_bad_exposure,
+             |    CAST(SUM(ev) AS BIGINT) AS events,
+             |    CAST(SUM(CAST(ex AS DECIMAL(38,18))) AS DOUBLE) AS exposure,
+             |    CAST(SUM(CAST(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE) / ex
+             |      AS DECIMAL(38,18))) AS DOUBLE) AS se2t
+             |  FROM g GROUP BY arm)
+             |SELECT "group", n, n_bad_exposure, events, exposure,
+             |  CASE WHEN exposure > 0 THEN CAST(events AS DOUBLE) / exposure END AS rate,
+             |  CASE WHEN events > 0 THEN
+             |    (exposure / CAST(events AS DOUBLE)) * se2t - CAST(events AS DOUBLE)
+             |  END AS chi2,
+             |  CASE WHEN n >= 2 THEN n - 1 END AS dof,
+             |  CASE WHEN events > 0 AND n >= 2 THEN
+             |    ((exposure / CAST(events AS DOUBLE)) * se2t - CAST(events AS DOUBLE))
+             |      / CAST(n - 1 AS DOUBLE) END AS dispersion
+             |FROM c ORDER BY "group"""".stripMargin)),
+
     Q("q464_weighted_mean_test",
       (s, dir) => {
         val ev = Tables.events(s, dir)

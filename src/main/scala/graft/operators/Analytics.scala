@@ -7351,6 +7351,120 @@ object Analytics {
         "rr_lo", "rr_hi", "diff", "diff_lo", "diff_hi")
   }
 
+  /** Difference-in-differences — the pre/post two-group readout for
+    * changes you could NOT randomize (a policy flipped for one cohort
+    * on a date; ramped infrastructure; a crawler change on some
+    * domains): the treatment effect estimate is
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    * which differences away both the group-level baseline gap and the
+    * common time trend (identified under parallel trends — CHECK
+    * pre-period slices with [[welchT]] per period before believing
+    * it). se² = Σ of the four cell mean-variances s²_c/n_c, with the
+    * Welch–Satterthwaite dof generalized over the four cells
+    * ((Σv)²/Σ(v²/(n−1))). ONE map-side-combined scan of 4 × 3
+    * exact-decimal cell moments; rows outside the two groups × two
+    * periods are excluded. Any empty cell → NULL did (all four
+    * corners are required); n_c < 2 → NULL variance. Output: one
+    * row — (n_tpre, n_tpost, n_cpre, n_cpost, mean_tpre, mean_tpost,
+    * mean_cpre, mean_cpost, did, se, t, dof). */
+  def diffInDiff(df: DataFrame, groupCol: String, periodCol: String,
+                 valueCol: String, treatGroup: String,
+                 controlGroup: String, prePeriod: String,
+                 postPeriod: String, scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val base = df.filter(col(groupCol).isin(treatGroup, controlGroup) &&
+      col(periodCol).isin(prePeriod, postPeriod) &&
+      col(valueCol).isNotNull)
+    val cells = Seq(
+      ("tpre", treatGroup, prePeriod), ("tpost", treatGroup, postPeriod),
+      ("cpre", controlGroup, prePeriod),
+      ("cpost", controlGroup, postPeriod))
+    val aggs = cells.flatMap { case (sfx, g, p) =>
+      val in = col(groupCol) === g && col(periodCol) === p
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(in, v)).cast("double").as(s"__s_$sfx"),
+        sum(when(in, (v * v).cast(s"decimal(38,${2 * scale})")))
+          .cast("double").as(s"__ss_$sfx"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def mean(sfx: String) = when(col(s"n_$sfx") > 0,
+      col(s"__s_$sfx") / d(col(s"n_$sfx")))
+    def mv(sfx: String) = when(col(s"n_$sfx") >= 2,
+      ((col(s"__ss_$sfx") - col(s"__s_$sfx") * col(s"__s_$sfx") /
+        d(col(s"n_$sfx"))) / (d(col(s"n_$sfx")) - 1.0)) /
+        d(col(s"n_$sfx")))
+    val withMeans = cells.foldLeft(one) { case (acc, (sfx, _, _)) =>
+      acc.withColumn(s"mean_$sfx", mean(sfx))
+        .withColumn(s"__v_$sfx", mv(sfx))
+    }
+    val vsum = cells.map { case (sfx, _, _) => col(s"__v_$sfx") }
+      .reduce(_ + _)
+    val vsq = cells.map { case (sfx, _, _) =>
+      col(s"__v_$sfx") * col(s"__v_$sfx") / (d(col(s"n_$sfx")) - 1.0) }
+      .reduce(_ + _)
+    withMeans
+      .withColumn("did",
+        (col("mean_tpost") - col("mean_tpre")) -
+          (col("mean_cpost") - col("mean_cpre")))
+      .withColumn("se", when(vsum > 0, sqrt(vsum)))
+      .withColumn("t", when(col("se") > 0, col("did") / col("se")))
+      .withColumn("dof", when(col("se") > 0, vsum * vsum / vsq))
+      .select("n_tpre", "n_tpost", "n_cpre", "n_cpost", "mean_tpre",
+        "mean_tpost", "mean_cpre", "mean_cpost", "did", "se", "t",
+        "dof")
+  }
+
+  /** Per-GROUP Poisson dispersion gate — the assumption check behind
+    * [[twoRateTest]] (its Wald CIs assume var = mean; real event
+    * counts are usually OVERdispersed — user-level clumping, bursts —
+    * and the CI is then too narrow by ~√dispersion): per group, the
+    * Pearson dispersion of per-unit counts against the group's own
+    * rate,
+    *   χ² = Σ_i (e_i − λ̂·T_i)²/(λ̂·T_i),   λ̂ = ΣE/ΣT,
+    *   dispersion = χ²/(n−1)   (≈ 1 Poisson; ≫ 1 overdispersed —
+    * scale [[twoRateTest]]'s se by √dispersion, the quasi-Poisson
+    * move). Computed by moment expansion in one scan per group
+    * (χ² = (ΣT/ΣE)·Σ(e²/T) − ΣE), with the e²/T terms quantized at
+    * decimal(38,18); the expansion is a NEAR-CANCELLATION at very
+    * high per-unit counts (ΣE ≫ n ⇒ the difference is ~n out of ~ΣE
+    * — cross-engine ulps amplify by ΣE/n; fine for event data, read
+    * with care past ~10⁶ events per unit). Units with NULL or
+    * non-positive exposure are excluded and counted. ΣE = 0 → NULL
+    * chi2; n < 2 → NULL dispersion. Output: one row per group,
+    * ordered — (group, n, n_bad_exposure, events, exposure, rate,
+    * chi2, dof, dispersion). */
+  def rateDispersion(df: DataFrame, groupCol: String, eventsCol: String,
+                     exposureCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def q18(c: Column) = c.cast("decimal(38,18)")
+    val ev = col(eventsCol).cast("long")
+    val ex = col(exposureCol).cast("double")
+    val ok = col(eventsCol).isNotNull && col(exposureCol).isNotNull &&
+      ex > 0.0
+    val g = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(sum(when(ok, 1L).otherwise(0L)).as("n"),
+        sum(when(ok, 0L).otherwise(1L)).as("n_bad_exposure"),
+        coalesce(sum(when(ok, ev)), lit(0L)).as("events"),
+        coalesce(sum(when(ok, q18(ex))).cast("double"), lit(0.0))
+          .as("exposure"),
+        coalesce(sum(when(ok,
+          q18(d(ev) * d(ev) / ex))).cast("double"), lit(0.0))
+          .as("__se2t"))
+    g.withColumn("rate", when(col("exposure") > 0,
+        d(col("events")) / col("exposure")))
+      .withColumn("chi2", when(col("events") > 0,
+        (col("exposure") / d(col("events"))) * col("__se2t") -
+          d(col("events"))))
+      .withColumn("dof", when(col("n") >= 2, col("n") - 1L))
+      .withColumn("dispersion", when(col("chi2").isNotNull &&
+        col("n") >= 2, col("chi2") / d(col("n") - 1L)))
+      .select("group", "n", "n_bad_exposure", "events", "exposure",
+        "rate", "chi2", "dof", "dispersion")
+      .orderBy("group")
+  }
+
   /** WEIGHTED-mean A/B comparison — the readout for a corpus that
     * carries survey/curation weights (the direct consumer of
     * [[graft.functions.Sampling.rakeWeights]] /

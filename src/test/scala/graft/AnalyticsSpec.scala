@@ -5211,6 +5211,78 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("diffInDiff: literal four-cell estimate, Welch-Satterthwaite " +
+    "dof over the cells; empty cell NULLs did; off-design rows " +
+    "excluded; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      ("t", "pre", 10.0), ("t", "pre", 12.0),
+      ("t", "post", 20.0), ("t", "post", 24.0),
+      ("c", "pre", 5.0), ("c", "pre", 7.0),
+      ("c", "post", 9.0), ("c", "post", 13.0),
+      ("x", "pre", 999.0), ("t", "mid", 999.0)) // off-design, ignored
+    val df = rows.toDF("g", "p", "v")
+    val r = Analytics.diffInDiff(df, "g", "p", "v", "t", "c",
+      "pre", "post").collect().head
+    assert(r.getAs[Long]("n_tpre") == 2L && r.getAs[Long]("n_cpost") == 2L)
+    assert(math.abs(r.getAs[Double]("mean_tpre") - 11.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_tpost") - 22.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_cpre") - 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_cpost") - 11.0) < 1e-12)
+    // DiD = (22-11) - (11-6) = 6; cell mean-vars 1, 4, 1, 4
+    assert(math.abs(r.getAs[Double]("did") - 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(10.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t") - 6.0 / math.sqrt(10.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dof") - 100.0 / 34.0) < 1e-12)
+    // a missing corner: NULL did (and everything downstream)
+    val noCell = Analytics.diffInDiff(
+      rows.filterNot(t => t._1 == "c" && t._2 == "post")
+        .toDF("g", "p", "v"),
+      "g", "p", "v", "t", "c", "pre", "post").collect().head
+    assert(noCell.getAs[Long]("n_cpost") == 0L &&
+      noCell.isNullAt(noCell.fieldIndex("did")))
+    partitionSweep { pn =>
+      Analytics.diffInDiff(df.repartition(pn), "g", "p", "v", "t", "c",
+        "pre", "post").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("rateDispersion: Poisson-consistent fixture reads 1, planted " +
+    "burst reads high; expansion equals the direct chi2; bad " +
+    "exposures counted; zero events NULL; partition sweep") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 4L, 2.0), ("a", 2L, 2.0), ("a", 6L, 2.0),
+      ("b", 0L, 1.0), ("b", 10L, 1.0)).toDF("g", "e", "t")
+    val rows = Analytics.rateDispersion(df, "g", "e", "t").collect()
+      .map(r => r.getAs[String]("group") -> r).toMap
+    // a: lambda = 2, chi2 = (0+4+4)/4 = 2, dispersion 1
+    assert(math.abs(rows("a").getAs[Double]("chi2") - 2.0) < 1e-12)
+    assert(math.abs(rows("a").getAs[Double]("dispersion") - 1.0) < 1e-12)
+    assert(math.abs(rows("a").getAs[Double]("rate") - 2.0) < 1e-12)
+    // b: lambda = 5, chi2 = (25+25)/5 = 10, dispersion 10
+    assert(math.abs(rows("b").getAs[Double]("chi2") - 10.0) < 1e-12)
+    assert(math.abs(rows("b").getAs[Double]("dispersion") - 10.0) < 1e-12)
+    // NULL/zero exposure: excluded, counted
+    val bad = Analytics.rateDispersion(
+      Seq(("a", Some(4L), Some(2.0)), ("a", Some(2L), Some(2.0)),
+        ("a", Some(6L), Some(2.0)), ("a", Some(9L), Some(0.0)),
+        ("a", Some(9L), None)).toDF("g", "e", "t"),
+      "g", "e", "t").collect().head
+    assert(bad.getAs[Long]("n") == 3L &&
+      bad.getAs[Long]("n_bad_exposure") == 2L &&
+      math.abs(bad.getAs[Double]("chi2") - 2.0) < 1e-12)
+    // zero events: NULL chi2
+    val z = Analytics.rateDispersion(
+      Seq(("a", 0L, 1.0), ("a", 0L, 2.0)).toDF("g", "e", "t"),
+      "g", "e", "t").collect().head
+    assert(z.isNullAt(z.fieldIndex("chi2")))
+    partitionSweep { pn =>
+      Analytics.rateDispersion(df.repartition(pn), "g", "e", "t")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("weightedMeanTest: literal Hajek means and linearization " +
     "variances; ESS rides along; zero weights carry no mass; " +
     "negative weight raises; partition sweep") {
