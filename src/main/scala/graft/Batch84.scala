@@ -378,6 +378,95 @@ private[graft] object Batch84 {
              |FROM ell
              |ORDER BY key DESC, id LIMIT 50""".stripMargin)),
 
+    // Streaming TWO-PROPORTION mSPRT monitor (the live conversion A/B
+    // shape) under the q448 MemoryStream discipline: daily closed
+    // windows of hash-split purchase conversions (arm b converting at
+    // a lower threshold) fold through the single-key per-arm (n, x)
+    // ALL-LONG state — split across TWO micro-batches so the carry is
+    // exercised — and every emitted window must land bit-identical to
+    // DuckDB's batch replay of the same window prefixes.
+    Q("q467_stream_msprt_two_proportion",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        val cur = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase" &&
+            col("value").isNotNull)
+          .select(expr("ts div 1000").as("ts_us"),
+            when(graft.functions.Sampling.hashU32(col("event_id"), "m2p") <
+              2147483648L, "a").otherwise("b").as("grp"),
+            col("value"))
+          .withColumn("s", (col("value") >
+            when(col("grp") === "a", 55.0).otherwise(35.0)).cast("int"))
+        val rows = cur.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+        val dayUs = 86400L * 1000000L
+        val mid = (rows.map(_._1).min / dayUs + 14) * dayUs
+        val flush = (rows.map(_._1).max / dayUs + 4) * dayUs + 1L
+        val ms = MemoryStream[(Long, String, Int)](s)
+        val out = graft.streaming.Streams.windowedMsprtTwoProportion(
+          ms.toDS().toDF("ts_us", "grp", "s"), "grp", "s", "a", "b",
+          tau2 = 0.04, alpha = 0.05,
+          watermark = "0 seconds", window_ = "1 day")
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("q467_sink").start()
+        try {
+          ms.addData(rows.filter(_._1 < mid).toSeq)
+          q.processAllAvailable()
+          ms.addData(rows.filter(_._1 >= mid).toSeq)
+          q.processAllAvailable()
+          ms.addData((flush, "a", 0)); q.processAllAvailable()
+        } finally q.stop()
+        val maxBucket = rows.map(r => r._1 / dayUs * dayUs).max
+        s.table("q467_sink").filter(col("bucket_us") <= maxBucket)
+          .orderBy("bucket_us")
+      },
+      Some("""WITH cur AS (SELECT
+             |    (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+             |    CASE WHEN CAST('0x' || substr(md5('m2p' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < 2147483648 THEN 'a' ELSE 'b' END AS arm,
+             |    value FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |p AS (SELECT bucket_us, arm,
+             |    CASE WHEN value > CASE WHEN arm = 'a' THEN 55.0 ELSE 35.0 END
+             |      THEN 1 ELSE 0 END AS s
+             |  FROM cur),
+             |wb AS (SELECT bucket_us,
+             |    CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a_window,
+             |    CAST(SUM(CASE WHEN arm = 'a' THEN s ELSE 0 END) AS BIGINT) AS xa,
+             |    CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b_window,
+             |    CAST(SUM(CASE WHEN arm = 'b' THEN s ELSE 0 END) AS BIGINT) AS xb
+             |  FROM p GROUP BY 1),
+             |cum AS (SELECT bucket_us, n_a_window, n_b_window,
+             |    CAST(SUM(n_a_window) OVER w AS BIGINT) AS n_a,
+             |    CAST(SUM(n_b_window) OVER w AS BIGINT) AS n_b,
+             |    CAST(SUM(xa) OVER w AS BIGINT) AS cxa,
+             |    CAST(SUM(xb) OVER w AS BIGINT) AS cxb
+             |  FROM wb WINDOW w AS (ORDER BY bucket_us ROWS UNBOUNDED PRECEDING)),
+             |m AS (SELECT bucket_us, n_a_window, n_b_window, n_a, n_b,
+             |    CASE WHEN n_a > 0
+             |      THEN CAST(cxa AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+             |    CASE WHEN n_b > 0
+             |      THEN CAST(cxb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+             |    (CAST(cxa AS DOUBLE) + CAST(cxb AS DOUBLE))
+             |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+             |  FROM cum),
+             |v AS (SELECT *,
+             |    pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+             |      + 1.0 / CAST(n_b AS DOUBLE)) AS vt
+             |  FROM m),
+             |e AS (SELECT *,
+             |    CASE WHEN n_a > 0 AND n_b > 0 AND vt > 0.0 THEN
+             |      0.5 * LN(vt / (vt + 0.04))
+             |      + ((p_a - p_b) * (p_a - p_b) * 0.04)
+             |        / (2.0 * vt * (vt + 0.04))
+             |    END AS e_log FROM v)
+             |SELECT bucket_us, n_a_window, n_b_window, n_a, n_b,
+             |  p_a, p_b, e_log,
+             |  CASE WHEN e_log IS NOT NULL
+             |    THEN e_log >= LN(1.0 / 0.05) END AS crossed
+             |FROM e ORDER BY bucket_us""".stripMargin)),
+
     // Raking (IPF): per-cell weights fitting lang shares AND
     // length-bucket shares simultaneously; the DuckDB oracle unrolls
     // all 10 alternating fits with ordered list folds (generated —

@@ -732,6 +732,100 @@ object Streams {
         "mean_a", "mean_b", "e_log", "crossed")
   }
 
+  /** Streaming TWO-PROPORTION always-valid monitor — the live
+    * CONVERSION A/B twin of
+    * [[graft.operators.Analytics.msprtTwoProportionTest]] (the single
+    * most common deployed sequential dashboard:
+    * [[windowedMsprtTwoSample]] watches two live MEANS; a
+    * conversion/pass-rate experiment watches two live RATES):
+    *   stage 1 — the distributed tumbling-window aggregate: per-window
+    *   PER-ARM trial and success counts (mergeable state, all heavy
+    *   lifting; rows in neither arm or with NULL success excluded);
+    *   stage 2 — the single-key walk over CLOSED windows in bucket
+    *   order carrying per-arm (n, x) — ALL LONGS, exact by
+    *   construction (the [[windowedMsprt]] decimal-string
+    *   encoder-width rule is moot for integer state); per window it
+    *   emits the batch operator's pinned double chain VERBATIM
+    *   (StrictMath.log — the engine's own libm, so the walk is
+    *   bit-equal to the batch Column chain):
+    *     p̄ = (x_A + x_B)/(n_A + n_B),
+    *     V = p̄(1−p̄)·(1/n_A + 1/n_B),
+    *     log Λ = ½·ln(V/(V + τ²)) + Δ²·τ² / (2·V·(V + τ²)),
+    *   NULL until BOTH arms report AND p̄ ∈ (0,1) (V = 0 is
+    *   undefined, not zero).
+    * Stage 2 inherits windowedPsiLive's contract: a deliberate
+    * single-task serialization point over metadata-sized
+    * closed-window rows, NOT a row-scale pattern. `crossed` is this
+    * window's logΛ ≥ ln(1/α); the sequential decision is its running
+    * OR. Output per closed window: (bucket_us, n_a_window,
+    * n_b_window, n_a, n_b, p_a, p_b, e_log, crossed). */
+  def windowedMsprtTwoProportion(events: DataFrame, groupCol: String,
+                                 successCol: String, groupA: String,
+                                 groupB: String, tau2: Double,
+                                 alpha: Double = 0.05,
+                                 watermark: String = "0 seconds",
+                                 window_ : String = "1 day"): DataFrame = {
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val s01 = col(successCol).cast("int").cast("long")
+    def armAgg(isA: Boolean, sfx: String) = {
+      val in = if (isA) col(groupCol) === groupA else col(groupCol) === groupB
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        coalesce(sum(when(in, s01).otherwise(0L)), lit(0L)).as(s"x_$sfx"))
+    }
+    val aggs = armAgg(isA = true, "a") ++ armAgg(isA = false, "b")
+    val closed = events
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(successCol).isNotNull)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"))
+    closed.as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long, Option[Double], Option[Double],
+          Option[Double], Option[Boolean])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          val st0 = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          var nA = st0._1; var xA = st0._2
+          var nB = st0._3; var xB = st0._4
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Option[Double],
+              Option[Double], Option[Double], Option[Boolean])]
+          rows.toSeq.sortBy(_._1).foreach { case (b, na, xa, nb, xb) =>
+            nA += na; xA += xa; nB += nb; xB += xb
+            val pA = if (nA > 0) Some(xA.toDouble / nA.toDouble) else None
+            val pB = if (nB > 0) Some(xB.toDouble / nB.toDouble) else None
+            val eLog = for (pa <- pA; pb <- pB;
+                            pPool = (xA.toDouble + xB.toDouble) /
+                              (nA.toDouble + nB.toDouble);
+                            vt = pPool * (1.0 - pPool) *
+                              (1.0 / nA.toDouble + 1.0 / nB.toDouble)
+                            if vt > 0.0) yield {
+              val delta = pa - pb
+              0.5 * StrictMath.log(vt / (vt + tau2)) +
+                (delta * delta * tau2) / (2.0 * vt * (vt + tau2))
+            }
+            // threshold via math.log: the batch operator bakes it as a
+            // driver-side literal (lit(math.log(1/alpha))), not via the
+            // engine's StrictMath-backed log expression
+            out += ((b, na, nb, nA, nB, pA, pB, eLog,
+              eLog.map(_ >= math.log(1.0 / alpha))))
+          }
+          state.update((nA, xA, nB, xB))
+          out.iterator
+      }
+      .toDF("bucket_us", "n_a_window", "n_b_window", "n_a", "n_b",
+        "p_a", "p_b", "e_log", "crossed")
+  }
+
   /** Stateful streaming dedup: emit each key's row only the first time it
     * is seen (training-data pipelines run exactly this to dedup an
     * unbounded crawl). State = one boolean per key. In production, bound

@@ -484,6 +484,94 @@ class IOStreamsSpec extends SparkSpec {
     assert(got.last.getBoolean(8), "the shifted arm must cross by the end")
   }
 
+  test("windowedMsprtTwoProportion: e_log bit-equal to the batch " +
+      "pooled-variance chain at every window prefix; all-long state " +
+      "carries across micro-batches; NULL until both arms report AND " +
+      "pooled rate in (0,1); the split crosses ln(1/alpha)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dayUs = 86400L * 1000000L
+    // window 0: arm a only (NULL e_log); arm b joins from window 1
+    // converting far below a — crossing by the last window
+    val perWin: Seq[Seq[(String, Int)]] = Seq(
+      Seq(("a", 1), ("a", 1), ("a", 0), ("a", 1)),
+      Seq(("a", 1), ("a", 0), ("a", 1), ("b", 0), ("b", 0), ("b", 1)),
+      Seq(("a", 1), ("a", 1), ("a", 0), ("a", 1),
+        ("b", 0), ("b", 0), ("b", 0), ("b", 1)),
+      (0 until 8).map(_ => ("a", 1)) ++ (0 until 8).map(_ => ("b", 0)))
+    val rows = perWin.zipWithIndex.flatMap { case (ws, d) =>
+      ws.zipWithIndex.map { case ((g, s), i) =>
+        (d * dayUs + i * 1000L, g, s) } }
+    val (t2, alpha) = (0.04, 0.05)
+    val ms = MemoryStream[(Long, String, Int)](spark)
+    val out = Streams.windowedMsprtTwoProportion(
+      ms.toDS().toDF("ts_us", "grp", "s"), "grp", "s", "a", "b",
+      tau2 = t2, alpha = alpha,
+      watermark = "0 seconds", window_ = "1 day")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("msprt2p_spec_sink").start()
+    try {
+      ms.addData(rows.filter(_._1 < 2 * dayUs)); q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 2 * dayUs)); q.processAllAvailable()
+      ms.addData((20L * dayUs, "a", 0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("msprt2p_spec_sink")
+      .filter(col("bucket_us") < 4 * dayUs).orderBy("bucket_us").collect()
+    assert(got.length == 4)
+    // driver model: exact integer state through the batch chain
+    var nA = 0L; var xA = 0L; var nB = 0L; var xB = 0L
+    val want = perWin.map { ws =>
+      ws.foreach { case (g, s) =>
+        if (g == "a") { nA += 1; xA += s } else { nB += 1; xB += s } }
+      val pA = if (nA > 0) Some(xA.toDouble / nA.toDouble) else None
+      val pB = if (nB > 0) Some(xB.toDouble / nB.toDouble) else None
+      val eLog = for (pa <- pA; pb <- pB;
+                      pPool = (xA.toDouble + xB.toDouble) /
+                        (nA.toDouble + nB.toDouble);
+                      vt = pPool * (1.0 - pPool) *
+                        (1.0 / nA.toDouble + 1.0 / nB.toDouble)
+                      if vt > 0.0) yield {
+        val delta = pa - pb
+        0.5 * StrictMath.log(vt / (vt + t2)) +
+          (delta * delta * t2) / (2.0 * vt * (vt + t2))
+      }
+      (nA, nB, pA, pB, eLog)
+    }
+    got.zip(want).zipWithIndex.foreach {
+      case ((r, (na, nb, pa, pb, e)), i) =>
+        assert(r.getAs[Long]("n_a") == na, s"window $i n_a")
+        assert(r.getAs[Long]("n_b") == nb, s"window $i n_b")
+        def opt(idx: Int): Option[Double] =
+          if (r.isNullAt(idx)) None else Some(r.getDouble(idx))
+        assert(opt(5) == pa, s"window $i p_a")
+        assert(opt(6) == pb, s"window $i p_b")
+        assert(opt(7) == e, s"window $i e_log")
+        val crossed = if (r.isNullAt(8)) None else Some(r.getBoolean(8))
+        assert(crossed == e.map(_ >= math.log(1.0 / alpha)),
+          s"window $i crossed")
+    }
+    assert(got.head.isNullAt(7), "arm-a-only window must emit NULL e_log")
+    assert(got.last.getBoolean(8), "the split must cross by the end")
+    // degenerate pooled rate: both arms all-success -> vt = 0 -> NULL
+    // e_log even though both arms report
+    val ms2 = MemoryStream[(Long, String, Int)](spark)
+    val out2 = Streams.windowedMsprtTwoProportion(
+      ms2.toDS().toDF("ts_us", "grp", "s"), "grp", "s", "a", "b",
+      tau2 = t2, alpha = alpha,
+      watermark = "0 seconds", window_ = "1 day")
+    val q2 = out2.writeStream.outputMode("append").format("memory")
+      .queryName("msprt2p_spec_sink2").start()
+    try {
+      ms2.addData(Seq((0L, "a", 1), (1000L, "a", 1), (2000L, "b", 1)))
+      q2.processAllAvailable()
+      ms2.addData((20L * dayUs, "a", 0)); q2.processAllAvailable()
+    } finally q2.stop()
+    val deg = spark.table("msprt2p_spec_sink2")
+      .filter(col("bucket_us") === 0L).collect().head
+    assert(deg.getAs[Long]("n_b") == 1L && deg.isNullAt(7),
+      "unanimous pooled rate must emit NULL e_log, not zero")
+  }
+
   test("streaming windowedJsd: per-window JSD equal to the batch " +
       "formula; zero drift → exactly 0; bounded by ln 2") {
     import spark.implicits._
