@@ -541,6 +541,50 @@ private[graft] object Batch84 {
              |  CASE WHEN vsum > 0 THEN vsum * vsum / vsq END AS dof
              |FROM w""".stripMargin)),
 
+    // Poisson MDE sizing at user grain on the q458 fixture: pooled
+    // rate, null-variance sizing with the fixed z literals.
+    Q("q468_mde_rate",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ev"),
+            (count(lit(1)).cast("double") * 0.5).as("ex"))
+          .withColumn("grp",
+            when(graft.functions.Sampling.hashU32(col("user_id"), "rate") <
+              2147483648L, "a").otherwise("b"))
+        graft.operators.Analytics.mdeRate(u, "grp", "ev", "ex", "a", "b")
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ev,
+             |    CAST(COUNT(*) AS DOUBLE) * 0.5 AS ex
+             |  FROM events GROUP BY user_id),
+             |g AS (SELECT ${armCase("rate", "user_id")} AS arm,
+             |    ev, CAST(ex AS DECIMAL(18,2)) AS ex FROM u),
+             |c AS (SELECT
+             |    CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 'a' THEN ev END), 0) AS BIGINT) AS ea,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 'a' THEN ex END), 0) AS DOUBLE) AS exposure_a,
+             |    CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 'b' THEN ev END), 0) AS BIGINT) AS eb,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 'b' THEN ex END), 0) AS DOUBLE) AS exposure_b
+             |  FROM g),
+             |r AS (SELECT *,
+             |    CASE WHEN exposure_a + exposure_b > 0 THEN
+             |      (CAST(ea AS DOUBLE) + CAST(eb AS DOUBLE))
+             |        / (exposure_a + exposure_b) END AS rate_pool
+             |  FROM c),
+             |v AS (SELECT *,
+             |    CASE WHEN exposure_a > 0 AND exposure_b > 0 THEN
+             |      rate_pool * (1.0 / exposure_a + 1.0 / exposure_b)
+             |    END AS vv
+             |  FROM r)
+             |SELECT n_a, n_b, exposure_a, exposure_b, rate_pool,
+             |  CASE WHEN vv > 0 THEN (1.959964 + 0.841621) * sqrt(vv) END AS mde_abs,
+             |  CASE WHEN rate_pool > 0 AND vv > 0
+             |    THEN (1.959964 + 0.841621) * sqrt(vv) / rate_pool END AS mde_rel
+             |FROM v""".stripMargin)),
+
     // Per-arm Poisson dispersion gate at user grain (the q458
     // fixture): the moment-expansion chi2, the per-group rate, and
     // the bad-exposure accounting replayed by DuckDB.

@@ -7285,6 +7285,50 @@ object Analytics {
       .select("n_a", "n_b", "p_pool", "mde_abs", "mde_rel")
   }
 
+  /** [[mdeTwoSample]] for a RATE metric — experiment sizing on
+    * count-per-exposure outcomes ("with this much exposure per arm
+    * and this baseline rate, what rate shift could the A/B even
+    * see?"): the Poisson null-variance sizing
+    *   MDE = (z_{1−α/2} + z_power)·√(λ̂·(1/T_A + 1/T_B)),
+    * λ̂ the POOLED observed rate (var(rate_g) = λ/T_g under the
+    * null). Fixed z literals, one map-side-combined scan, the
+    * [[twoRateTest]] input contract (unit rows carrying events +
+    * exposure; NULL rows excluded). T_g ≤ 0 or λ̂ ≤ 0 → NULL mde.
+    * Check [[rateDispersion]] first — overdispersion inflates the
+    * real MDE by ~√dispersion. Output: one row — (n_a, n_b,
+    * exposure_a, exposure_b, rate_pool, mde_abs, mde_rel). */
+  def mdeRate(df: DataFrame, groupCol: String, eventsCol: String,
+              exposureCol: String, groupA: String, groupB: String,
+              zAlpha: Double = 1.959964, zPower: Double = 0.841621)
+      : DataFrame = {
+    require(zAlpha > 0 && zPower > 0,
+      s"z constants must be positive, got ($zAlpha, $zPower)")
+    def d(c: Column) = c.cast("double")
+    val ev = col(eventsCol).cast("long")
+    val ex = col(exposureCol).cast("decimal(18,2)")
+    def side(g: String, sfx: String) = {
+      val in = col(groupCol) === g && col(eventsCol).isNotNull &&
+        col(exposureCol).isNotNull
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        coalesce(sum(when(in, ev)), lit(0L)).as(s"__e_$sfx"),
+        coalesce(sum(when(in, ex)).cast("double"), lit(0.0))
+          .as(s"exposure_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val ta = col("exposure_a"); val tb = col("exposure_b")
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("rate_pool", when(ta + tb > 0,
+        (d(col("__e_a")) + d(col("__e_b"))) / (ta + tb)))
+      .withColumn("__v", when(ta > 0 && tb > 0,
+        col("rate_pool") * (lit(1.0) / ta + lit(1.0) / tb)))
+      .withColumn("mde_abs", when(col("__v") > 0,
+        lit(zAlpha + zPower) * sqrt(col("__v"))))
+      .withColumn("mde_rel", when(col("rate_pool") > 0,
+        col("mde_abs") / col("rate_pool")))
+      .select("n_a", "n_b", "exposure_a", "exposure_b", "rate_pool",
+        "mde_abs", "mde_rel")
+  }
+
   /** TWO-RATE inference — the Poisson/exposure A/B readout for
     * count-per-exposure metrics (crashes per session-hour, errors per
     * 1k requests, purchases per active day — [[twoProportionTest]]

@@ -5211,6 +5211,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("mdeRate: literal Poisson sizing; zero exposure NULL; " +
+    "NULL rows excluded; partition sweep") {
+    import spark.implicits._
+    // pooled rate = 40/20 = 2; v = 2*(1/10 + 1/10) = 0.4
+    val df = Seq(("a", 12L, 4.0), ("a", 18L, 6.0),
+      ("b", 6L, 5.0), ("b", 4L, 5.0)).toDF("g", "e", "t")
+    val r = Analytics.mdeRate(df, "g", "e", "t", "a", "b")
+      .collect().head
+    assert(math.abs(r.getAs[Double]("rate_pool") - 2.0) < 1e-12)
+    val mde = (1.959964 + 0.841621) * math.sqrt(0.4)
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mde_rel") - mde / 2.0) < 1e-12)
+    // an exposure-less arm: NULL mde
+    val z = Analytics.mdeRate(
+      Seq(("a", 5L, 2.0)).toDF("g", "e", "t"), "g", "e", "t", "a", "b")
+      .collect().head
+    assert(z.isNullAt(z.fieldIndex("mde_abs")))
+    // NULL events/exposure rows excluded from n and the sums
+    val nn = Analytics.mdeRate(
+      Seq(("a", Some(12L), Some(4.0)), ("a", None, Some(6.0)),
+        ("a", Some(18L), Some(6.0)), ("b", Some(10L), Some(10.0)))
+        .toDF("g", "e", "t"), "g", "e", "t", "a", "b").collect().head
+    assert(nn.getAs[Long]("n_a") == 2L &&
+      math.abs(nn.getAs[Double]("exposure_a") - 10.0) < 1e-12)
+    partitionSweep { pn =>
+      Analytics.mdeRate(df.repartition(pn), "g", "e", "t", "a", "b")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("diffInDiff: literal four-cell estimate, Welch-Satterthwaite " +
     "dof over the cells; empty cell NULLs did; off-design rows " +
     "excluded; partition sweep") {
