@@ -320,6 +320,65 @@ private[graft] object Batch84 {
              |  END AS rate_shrunk
              |FROM r CROSS JOIN z ORDER BY r.grp""".stripMargin)),
 
+    // Empirical-Bayes shrinkage of per-source mean document length:
+    // the exact-decimal group moments, the group-order-pinned prior
+    // folds, the two-regime normal-normal chain, and each group's
+    // posterior mean replayed by DuckDB.
+    Q("q469_eb_shrink_means",
+      (s, dir) => graft.functions.ML.ebShrinkMeans(
+        Tables.documents(s, dir), "source", "n_chars"),
+      Some("""WITH d AS (SELECT source AS grp,
+             |    CAST(n_chars AS DECIMAL(18,2)) AS v
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+             |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(v) AS DOUBLE) AS sv,
+             |    CAST(SUM(v * v) AS DOUBLE) AS svv
+             |  FROM d GROUP BY grp),
+             |r AS (SELECT *,
+             |    sv / CAST(n AS DOUBLE) AS mean,
+             |    CASE WHEN n >= 2 THEN (svv - sv * sv / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0) END AS var
+             |  FROM g),
+             |f AS (SELECT * FROM r WHERE n >= 2),
+             |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      LIST(mean ORDER BY grp)), (x, y) -> x + y) AS sm,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      LIST(mean * mean ORDER BY grp)), (x, y) -> x + y) AS smm,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      LIST(var / CAST(n AS DOUBLE) ORDER BY grp)),
+             |      (x, y) -> x + y) AS snv
+             |  FROM f),
+             |q AS (SELECT *,
+             |    CASE WHEN k >= 2 THEN sm / CAST(k AS DOUBLE) END AS prior_mean,
+             |    CASE WHEN k >= 2 THEN
+             |      ((smm - sm * sm / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             |        - snv / CAST(k AS DOUBLE) END AS tau2
+             |  FROM p),
+             |z AS (SELECT prior_mean, tau2,
+             |    CASE WHEN prior_mean IS NOT NULL THEN tau2 <= 0 END AS pooled
+             |  FROM q)
+             |SELECT r.grp AS "group", r.n, r.mean, r.var, z.prior_mean,
+             |  z.tau2,
+             |  CASE WHEN z.prior_mean IS NOT NULL AND r.n >= 2 THEN
+             |    CASE WHEN z.pooled THEN 1.0
+             |         ELSE (r.var / CAST(r.n AS DOUBLE))
+             |              / (r.var / CAST(r.n AS DOUBLE) + z.tau2) END
+             |  END AS shrink_b,
+             |  z.pooled,
+             |  CASE WHEN z.prior_mean IS NOT NULL AND r.n >= 2 THEN
+             |    CASE WHEN z.pooled THEN 1.0
+             |         ELSE (r.var / CAST(r.n AS DOUBLE))
+             |              / (r.var / CAST(r.n AS DOUBLE) + z.tau2) END
+             |      * z.prior_mean
+             |    + (1.0 - CASE WHEN z.pooled THEN 1.0
+             |         ELSE (r.var / CAST(r.n AS DOUBLE))
+             |              / (r.var / CAST(r.n AS DOUBLE) + z.tau2) END)
+             |      * r.mean
+             |  END AS mean_shrunk
+             |FROM r CROSS JOIN z ORDER BY r.grp""".stripMargin)),
+
     // DSIR importance resampling: select the 50 documents whose hashed
     // bigram distribution most resembles the src0/src1 target slice.
     // DuckDB replays the whole pipeline — tokenization, non-distinct

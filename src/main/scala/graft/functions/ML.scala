@@ -2257,4 +2257,76 @@ object ML {
         "prior_strength", "pooled", "rate_shrunk")
       .orderBy("group")
   }
+
+  /** Empirical-Bayes shrinkage of per-group MEANS — [[ebShrinkRates]]
+    * for continuous metrics (per-domain quality scores, mean lengths,
+    * mean losses: the smallest domains still win and lose the raw
+    * ranking by noise): the normal–normal EB model with unequal
+    * sampling variances (Efron–Morris 1975),
+    *   m = (1/k)·Σ ȳ_i,   τ̂² = var(ȳ_i) − (1/k)·Σ s²_i/n_i,
+    *   B_i = (s²_i/n_i)/(s²_i/n_i + τ̂²),
+    *   shrunk_i = B_i·m + (1 − B_i)·ȳ_i
+    * (B_i → 0 for well-measured groups, → 1 for noisy ones). Two
+    * regimes, visible: τ̂² ≤ 0 (spread explained by sampling noise) →
+    * COMPLETE pooling, shrunk = m, B = 1, pooled = true; otherwise
+    * the posterior mean. The PRIOR fits over groups with n ≥ 2 only
+    * (a singleton has no s² to de-noise with); singleton groups get
+    * NULL shrink_b/mean_shrunk (loudly unshrunk, never silently
+    * passed through). Fewer than 2 fit groups → NULL prior
+    * everywhere. NULL group/value rows are excluded. Plan: one hash
+    * groupBy to (n, Σy, Σy²) exact decimals, a one-row prior over the
+    * k group rows with the moment terms folded in group order
+    * through a sorted k-sized array (the [[ebShrinkRates]]
+    * determinism move — τ̂² is the same near-cancellation), and a
+    * broadcast back. Output: one row per group, ordered — (group, n,
+    * mean, var, prior_mean, tau2, shrink_b, pooled, mean_shrunk). */
+  def ebShrinkMeans(df: DataFrame, groupCol: String, valueCol: String,
+                    scale: Int = 2): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val g = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("__s"),
+        sum((v * v).cast(s"decimal(38,${2 * scale})")).cast("double")
+          .as("__ss"))
+      .withColumn("mean", col("__s") / d(col("n")))
+      .withColumn("var", when(col("n") >= 2,
+        (col("__ss") - col("__s") * col("__s") / d(col("n"))) /
+          (d(col("n")) - 1.0)))
+    def fold(arr: org.apache.spark.sql.Column, field: String) =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x.getField(field))
+    val fit = g.filter(col("n") >= 2)
+      .select(struct(col("group").as("g"), col("mean").as("m"),
+        (col("mean") * col("mean")).as("mm"),
+        (col("var") / d(col("n"))).as("nv")).as("__t"))
+      .agg(count(lit(1)).as("__k"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .withColumn("__sm", fold(col("__gs"), "m"))
+      .withColumn("__smm", fold(col("__gs"), "mm"))
+      .withColumn("__snv", fold(col("__gs"), "nv"))
+      .withColumn("__kd", d(col("__k")))
+      .withColumn("prior_mean", when(col("__k") >= 2,
+        col("__sm") / col("__kd")))
+      .withColumn("__vraw", when(col("__k") >= 2,
+        (col("__smm") - col("__sm") * col("__sm") / col("__kd")) /
+          (col("__kd") - 1.0)))
+      .withColumn("tau2", when(col("__k") >= 2,
+        col("__vraw") - col("__snv") / col("__kd")))
+      .withColumn("pooled", when(col("prior_mean").isNotNull,
+        col("tau2") <= 0))
+      .select("prior_mean", "tau2", "pooled")
+    g.crossJoin(broadcast(fit))
+      .withColumn("shrink_b", when(col("prior_mean").isNotNull &&
+          col("n") >= 2,
+        when(col("pooled"), lit(1.0))
+          .otherwise((col("var") / d(col("n"))) /
+            (col("var") / d(col("n")) + col("tau2")))))
+      .withColumn("mean_shrunk", when(col("shrink_b").isNotNull,
+        col("shrink_b") * col("prior_mean") +
+          (lit(1.0) - col("shrink_b")) * col("mean")))
+      .select("group", "n", "mean", "var", "prior_mean", "tau2",
+        "shrink_b", "pooled", "mean_shrunk")
+      .orderBy("group")
+  }
 }

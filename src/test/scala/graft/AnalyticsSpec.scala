@@ -5425,6 +5425,57 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ebShrinkMeans: literal normal-normal prior and posterior " +
+    "means; noisy groups shrink harder; singleton groups loudly " +
+    "unshrunk; noise-only spread pools; k = 1 fit NULLs; partition " +
+    "sweep") {
+    import spark.implicits._
+    val rows = Seq(("a", 10.0), ("a", 12.0),
+      ("b", 0.0), ("b", 2.0), ("b", 4.0), ("c", 6.0))
+    val df = rows.toDF("g", "v")
+    val r = ML.ebShrinkMeans(df, "g", "v").collect()
+      .map(x => x.getAs[String]("group") -> x).toMap
+    // fit over a, b (c is a singleton): m = 6.5, vraw = 40.5,
+    // noise = (2/2 + 4/3)/2, tau2 = vraw - noise
+    val m = (11.0 + 2.0) / 2.0
+    val vraw = (11.0 * 11.0 + 2.0 * 2.0 - 13.0 * 13.0 / 2.0) / 1.0
+    val noise = (2.0 / 2.0 + (4.0 / 3.0) / 1.0) / 2.0
+    val tau2 = vraw - noise
+    assert(math.abs(r("a").getAs[Double]("prior_mean") - m) < 1e-12)
+    assert(math.abs(r("a").getAs[Double]("tau2") - tau2) < 1e-9)
+    val ba = (2.0 / 2.0) / (2.0 / 2.0 + tau2)
+    assert(math.abs(r("a").getAs[Double]("shrink_b") - ba) < 1e-12)
+    assert(math.abs(r("a").getAs[Double]("mean_shrunk") -
+      (ba * m + (1 - ba) * 11.0)) < 1e-12)
+    // the noisier group (bigger s^2/n) shrinks harder
+    assert(r("b").getAs[Double]("shrink_b") >
+      r("a").getAs[Double]("shrink_b"))
+    // shrinkage moves toward m, never past it
+    assert(r("a").getAs[Double]("mean_shrunk") < 11.0 &&
+      r("a").getAs[Double]("mean_shrunk") > m)
+    // singleton: participates in output, loudly unshrunk
+    assert(r("c").getAs[Long]("n") == 1L &&
+      r("c").isNullAt(r("c").fieldIndex("shrink_b")) &&
+      r("c").isNullAt(r("c").fieldIndex("mean_shrunk")))
+    // identical group means: tau2 <= 0 -> complete pooling
+    val pool = ML.ebShrinkMeans(
+      Seq(("a", 10.0), ("a", 12.0), ("b", 10.0), ("b", 12.0))
+        .toDF("g", "v"), "g", "v").collect().head
+    assert(pool.getAs[Boolean]("pooled") &&
+      pool.getAs[Double]("shrink_b") == 1.0 &&
+      math.abs(pool.getAs[Double]("mean_shrunk") - 11.0) < 1e-12)
+    // only one group with n >= 2: no ensemble -> NULL prior
+    val k1 = ML.ebShrinkMeans(
+      Seq(("a", 10.0), ("a", 12.0), ("c", 6.0)).toDF("g", "v"),
+      "g", "v").collect().map(x => x.getAs[String]("group") -> x).toMap
+    assert(k1("a").isNullAt(k1("a").fieldIndex("prior_mean")) &&
+      k1("a").isNullAt(k1("a").fieldIndex("mean_shrunk")))
+    partitionSweep { pn =>
+      ML.ebShrinkMeans(df.repartition(pn), "g", "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("twoRateTest: literal Poisson chains (rate ratio, Wald CIs); " +
     "zero-event arm NULLs ratio stats only; NULL rows excluded; " +
     "partition sweep") {
