@@ -6979,6 +6979,295 @@ object Analytics {
       .orderBy("t")
   }
 
+  /** Always-valid CONFIDENCE SEQUENCE for a mean — the error-bar dual
+    * of [[msprtMeanTest]] (invert the mixture SPRT: the interval at n
+    * is every μ₀ the e-process has NOT rejected), the fix for the
+    * second practitioner complaint about live dashboards: a classical
+    * ±1.96·se band re-read every refresh has unbounded simultaneous
+    * miscoverage, while this band holds P(∃n: μ ∉ CI_n) ≤ α over the
+    * WHOLE run (Ville on the Robbins-mixture martingale; deployed form
+    * per Johari–Koomen–Pekelis–Walsh, "Peeking at A/B Tests", KDD
+    * 2017). With V_n = σ²/n and mixture variance τ²,
+    *   radius_n = √( (V_n(V_n+τ²)/τ²) · (ln((V_n+τ²)/V_n) − 2·ln α) ),
+    * CI_n = X̄_n ± radius_n — exactly the μ₀-set where
+    * [[msprtMeanTest]]'s logΛ_n < ln(1/α) (the duality is spec-pinned
+    * row for row). The per-n interval is itself always-valid; the
+    * running intersection ∩_{k≤n} CI_k is the tighter monotone
+    * variant, a fold the consumer takes when monotone reads matter
+    * (it is NOT emitted here — it would put the whole stream through
+    * one ordered walk for presentation-only tightening).
+    *
+    * Exactness and scale are [[msprtMeanTest]] verbatim: exact
+    * decimal(38,12) inclusive prefix sum over the distributed
+    * distinct-t prefix, a pinned per-row double chain (the ln α term
+    * stays INSIDE the column chain so both engines evaluate the same
+    * libm call), duplicate t raises, row count out = row count in.
+    * Output: one row per observation — (t, n, mean_v, radius, ci_lo,
+    * ci_hi), ascending t.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def meanConfidenceSequence(df: DataFrame, tCol: String,
+                             valueCol: String, sigma2: Double,
+                             tau2: Double,
+                             alpha: Double = 0.05): DataFrame = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    val (_, pre) = prefixBeforeMultiByShared(s0, Seq.empty, "__t",
+      Seq("c" -> lit(1L), "s" -> col("__v").cast("decimal(38,12)")))
+    val nd = d(col("n"))
+    val vt = lit(sigma2) / nd
+    pre
+      .crossJoin(broadcast(chk))
+      .withColumn("n", when(col("__cn") === col("__cd"),
+        col("__cum_c") + lit(1L))
+        .otherwise(raise_error(lit("meanConfidenceSequence: duplicate " +
+          "t values — a confidence sequence needs an unambiguous " +
+          "observation order; pre-aggregate to one row per time point"))))
+      .withColumn("__s", coalesce(col("__cum_s"),
+        lit(0).cast("decimal(38,12)")) + col("__v").cast("decimal(38,12)"))
+      .withColumn("mean_v", d(col("__s")) / nd)
+      .withColumn("radius",
+        sqrt((vt * (vt + lit(tau2)) / lit(tau2)) *
+          (log((vt + lit(tau2)) / vt) - lit(2.0) * log(lit(alpha)))))
+      .withColumn("ci_lo", col("mean_v") - col("radius"))
+      .withColumn("ci_hi", col("mean_v") + col("radius"))
+      .select(col("__t").as("t"), col("n"), col("mean_v"),
+        col("radius"), col("ci_lo"), col("ci_hi"))
+      .orderBy("t")
+  }
+
+  /** Always-valid confidence sequence for a TWO-SAMPLE mean
+    * difference — the error bar the live A/B dashboard should draw
+    * around its lift number: invert [[msprtTwoSampleTest]]'s mixture
+    * e-process at every observation, so
+    * P(∃t: (μ_A − μ_B) ∉ CI_t) ≤ α no matter how long the experiment
+    * runs or how often anyone peeks (Johari et al. KDD 2017). With
+    * V_t = σ²(1/n_A + 1/n_B),
+    *   radius_t = √( (V_t(V_t+τ²)/τ²) · (ln((V_t+τ²)/V_t) − 2·ln α) ),
+    * CI_t = Δ_t ± radius_t, Δ_t the running mean difference — exactly
+    * the θ-set where the mSPRT of H₀: μ_A − μ_B = θ has logΛ_t <
+    * ln(1/α) (duality spec-pinned against [[msprtTwoSampleTest]] at
+    * θ = 0: crossed ⟺ 0 ∉ CI). Machinery is [[msprtTwoSampleTest]]
+    * verbatim: the four-weight distinct-t prefix (per-arm counts +
+    * exact decimal(38,12) sums), pinned double chain, duplicate-t
+    * raise, NULL interval until BOTH arms report. Output: one row per
+    * kept observation — (t, n_a, n_b, mean_a, mean_b, diff, radius,
+    * ci_lo, ci_hi), ascending t.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def diffConfidenceSequence(df: DataFrame, tCol: String,
+                             groupCol: String, valueCol: String,
+                             groupA: String, groupB: String,
+                             sigma2: Double, tau2: Double,
+                             alpha: Double = 0.05): DataFrame = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(tCol).cast("long").as("__t"),
+        (col(groupCol) === groupA).as("__ia"),
+        col(valueCol).cast("double").as("__v"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"))
+    val vq = col("__v").cast("decimal(38,12)")
+    val zero = lit(0).cast("decimal(38,12)")
+    val (_, pre) = prefixBeforeMultiByShared(s0, Seq.empty, "__t",
+      Seq("ca" -> when(col("__ia"), 1L).otherwise(0L),
+        "sa" -> when(col("__ia"), vq).otherwise(zero),
+        "cb" -> when(!col("__ia"), 1L).otherwise(0L),
+        "sb" -> when(!col("__ia"), vq).otherwise(zero)))
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val vt = lit(sigma2) * (lit(1.0) / na + lit(1.0) / nb)
+    pre
+      .crossJoin(broadcast(chk))
+      .withColumn("__ok", when(col("__cn") === col("__cd"), lit(1))
+        .otherwise(raise_error(lit("diffConfidenceSequence: duplicate " +
+          "t values — a confidence sequence needs an unambiguous " +
+          "observation order; pre-aggregate to one row per time point"))))
+      .withColumn("n_a", col("__cum_ca") +
+        when(col("__ia"), 1L).otherwise(0L))
+      .withColumn("n_b", col("__cum_cb") +
+        when(!col("__ia"), 1L).otherwise(0L))
+      .withColumn("__sa", coalesce(col("__cum_sa"), zero) +
+        when(col("__ia"), vq).otherwise(zero))
+      .withColumn("__sb", coalesce(col("__cum_sb"), zero) +
+        when(!col("__ia"), vq).otherwise(zero))
+      .withColumn("mean_a", when(col("n_a") > 0, d(col("__sa")) / na))
+      .withColumn("mean_b", when(col("n_b") > 0, d(col("__sb")) / nb))
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+      .withColumn("radius", when(col("n_a") > 0 && col("n_b") > 0,
+        sqrt((vt * (vt + lit(tau2)) / lit(tau2)) *
+          (log((vt + lit(tau2)) / vt) - lit(2.0) * log(lit(alpha))))))
+      .withColumn("ci_lo", col("diff") - col("radius"))
+      .withColumn("ci_hi", col("diff") + col("radius"))
+      .filter(col("__ok") === 1)
+      .select(col("__t").as("t"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("diff"), col("radius"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("t")
+  }
+
+  /** CLUSTER-RANDOMIZED two-arm test — the readout when randomization
+    * happened at a COARSER grain than the metric rows (by geo, store,
+    * team, user-with-many-events): unit-level [[welchT]] on such data
+    * treats correlated rows as independent and understates the
+    * variance by the design effect, the classic silent false-positive
+    * factory. The standard conservative analysis (Donner & Klar,
+    * "Design and Analysis of Cluster Randomization Trials") collapses
+    * each cluster to its mean and runs Welch's t ACROSS CLUSTERS —
+    * k_g, not n_g, carries the degrees of freedom. Estimand note: the
+    * arm summary is the UNWEIGHTED mean of cluster means (every
+    * cluster votes once — the cluster-level estimand); under
+    * size–outcome correlation it deliberately differs from the unit
+    * mean, which is the point.
+    *
+    * Plan: one map-side-combined scan to per-(arm, cluster) exact
+    * decimal(28,12) sums, then a clusters-sized frame; the cross-
+    * cluster reduction is an ORDERED left fold of pinned doubles
+    * (sort_array + aggregate, the [[oneWayF]] rule — bit-replayable
+    * by an engine folding the same doubles in cluster order, immune
+    * to the near-cancellation quantization trap). The fold array is
+    * k-sized — clusters are design-bounded (geos, stores; thousands),
+    * not a per-row-of-billions axis. A cluster observed in BOTH arms
+    * RAISES (broken randomization — the assignment was supposed to be
+    * by cluster). Empty arm → NULL; k_g < 2 → NULL variance → NULL t.
+    * Output: one row — (k_a, k_b, n_a, n_b, mean_a, mean_b, diff, se,
+    * t, dof) with Welch–Satterthwaite dof over cluster counts. */
+  def clusterRandomizedTest(df: DataFrame, groupCol: String,
+                            clusterCol: String, valueCol: String,
+                            groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val base = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(clusterCol).isNotNull && col(valueCol).isNotNull)
+    val cl = base
+      .groupBy(col(groupCol).as("__g"), col(clusterCol).as("__cl"))
+      .agg(count(lit(1)).as("__nu"),
+        sum(col(valueCol).cast("decimal(28,12)")).as("__sv"))
+    val chk = cl.groupBy(col("__cl")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("__mx"))
+    val m = d(col("__sv")) / d(col("__nu"))
+    val arms = cl
+      .select(col("__g"), col("__nu"),
+        struct(col("__cl").as("c"), m.as("m"), (m * m).as("m2"))
+          .as("__t"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__k"), sum(col("__nu")).as("__n"),
+        sort_array(collect_list(col("__t"))).as("__cs"))
+      .withColumn("__sm", aggregate(col("__cs"), lit(0.0),
+        (acc, x) => acc + x.getField("m")))
+      .withColumn("__sm2", aggregate(col("__cs"), lit(0.0),
+        (acc, x) => acc + x.getField("m2")))
+    def pick(g: String, c: String) = min(when(col("__g") === g, col(c)))
+    val kd = (s: String) => d(col(s"k_$s"))
+    arms.agg(
+        pick(groupA, "__k").as("__ka"), pick(groupB, "__k").as("k_b"),
+        pick(groupA, "__n").as("n_a"), pick(groupB, "__n").as("n_b"),
+        pick(groupA, "__sm").as("__sma"), pick(groupB, "__sm").as("__smb"),
+        pick(groupA, "__sm2").as("__sm2a"),
+        pick(groupB, "__sm2").as("__sm2b"))
+      .crossJoin(broadcast(chk))
+      .withColumn("k_a", when(col("__mx") <= 1, col("__ka"))
+        .otherwise(raise_error(lit("clusterRandomizedTest: a cluster " +
+          "appears in BOTH arms — randomization was supposed to be by " +
+          "cluster; fix the assignment upstream"))))
+      .withColumn("mean_a", when(col("k_a") > 0, col("__sma") / kd("a")))
+      .withColumn("mean_b", when(col("k_b") > 0, col("__smb") / kd("b")))
+      .withColumn("var_a", when(col("k_a") >= 2,
+        (col("__sm2a") - col("__sma") * col("__sma") / kd("a")) /
+          (kd("a") - 1.0)))
+      .withColumn("var_b", when(col("k_b") >= 2,
+        (col("__sm2b") - col("__smb") * col("__smb") / kd("b")) /
+          (kd("b") - 1.0)))
+      .withColumn("__se2", col("var_a") / kd("a") + col("var_b") / kd("b"))
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+      .withColumn("se", when(col("__se2") > 0, sqrt(col("__se2"))))
+      .withColumn("t", when(col("__se2") > 0, col("diff") / col("se")))
+      .withColumn("dof", when(col("__se2") > 0 &&
+        col("k_a") >= 2 && col("k_b") >= 2,
+        (col("__se2") * col("__se2")) /
+          ((col("var_a") / kd("a")) * (col("var_a") / kd("a")) /
+            (kd("a") - 1.0) +
+           (col("var_b") / kd("b")) * (col("var_b") / kd("b")) /
+            (kd("b") - 1.0))))
+      .select(col("k_a"), col("k_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("diff"), col("se"), col("t"),
+        col("dof"))
+  }
+
+  /** DESIGN EFFECT of a clustered metric — "how many independent rows
+    * is this table actually worth": the one-way ANOVA estimate of the
+    * intraclass correlation (ICC(1), Fisher's moment estimator:
+    * (MSB − MSW)/(MSB + (n₀ − 1)·MSW) with n₀ the Kish-adjusted mean
+    * cluster size (N − Σnᵢ²/N)/(k − 1)) and the classical
+    * DEFF = 1 + (m̄ − 1)·ICC (Kish, "Survey Sampling") at m̄ = N/k —
+    * the variance-inflation factor a unit-level test silently ignores,
+    * and the multiplier to put on [[mdeTwoSample]]'s sizing when the
+    * experiment will randomize by this cluster column. Run it BEFORE
+    * choosing the randomization grain: DEFF ≈ 1 says units are fine;
+    * DEFF ≫ 1 says power math must count clusters.
+    *
+    * Plan is [[oneWayF]] verbatim — one map-side-combined scan to
+    * per-cluster exact decimal(28,12) moments, the cross-cluster
+    * between/within terms folded as pinned doubles in cluster order
+    * (k-sized array; clusters are design-bounded). The ICC moment
+    * estimator can be negative (within-noise dominating) — emitted
+    * raw, not clamped, so the "clusters don't matter" read is
+    * visible. k < 2 or n ≤ k or degenerate denominators → NULL.
+    * Output: one row — (k, n, msb, msw, n0, icc, deff). */
+  def designEffect(df: DataFrame, clusterCol: String, valueCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol)
+    val g = df.filter(col(clusterCol).isNotNull && v.isNotNull)
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(v.cast("decimal(28,12)")).as("__s1g"),
+        sum((v * v).cast("decimal(28,12)")).as("__s2g"))
+    g.select(col("__ng"), col("__s1g"),
+        struct(col(clusterCol).as("c"),
+          (d(col("__s1g")) * d(col("__s1g")) / d(col("__ng"))).as("bt"),
+          (d(col("__s2g")) -
+            d(col("__s1g")) * d(col("__s1g")) / d(col("__ng"))).as("wt"))
+          .as("__t"))
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sum(col("__s1g")).as("__s1"),
+        sum(col("__ng").cast("decimal(38,0)") * col("__ng")).as("__nn"),
+        sort_array(collect_list(col("__t"))).as("__gs"))
+      .withColumn("__b", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("bt")))
+      .withColumn("__w", aggregate(col("__gs"), lit(0.0),
+        (acc, x) => acc + x.getField("wt")))
+      .withColumn("__ssb", when(col("n") > 0,
+        col("__b") - d(col("__s1")) * d(col("__s1")) / d(col("n"))))
+      .withColumn("msb", when(col("k") >= 2,
+        col("__ssb") / (d(col("k")) - 1.0)))
+      .withColumn("msw", when(col("n") > col("k"),
+        col("__w") / (d(col("n")) - d(col("k")))))
+      .withColumn("n0", when(col("k") >= 2,
+        (d(col("n")) - d(col("__nn")) / d(col("n"))) /
+          (d(col("k")) - 1.0)))
+      .withColumn("icc", when(col("msb").isNotNull &&
+        col("msw").isNotNull &&
+        (col("msb") + (col("n0") - 1.0) * col("msw")) > 0,
+        (col("msb") - col("msw")) /
+          (col("msb") + (col("n0") - 1.0) * col("msw"))))
+      .withColumn("deff", when(col("icc").isNotNull && col("k") > 0,
+        lit(1.0) + (d(col("n")) / d(col("k")) - 1.0) * col("icc")))
+      .select(col("k"), col("n"), col("msb"), col("msw"), col("n0"),
+        col("icc"), col("deff"))
+  }
+
   /** Minimum detectable effect (MDE) from OBSERVED moments — the
     * experiment-sizing readout ("with the traffic and variance we
     * actually have, what shift could this A/B even see?"): the

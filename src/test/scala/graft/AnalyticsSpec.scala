@@ -4321,6 +4321,172 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("meanConfidenceSequence: literal-model radius row for row; " +
+    "exact mSPRT duality (crossed at mu0 <=> mu0 outside CI) over a " +
+    "mu0 grid; diff CS NULL until both arms + duality at theta=0; " +
+    "duplicate t raises; partition sweep") {
+    import spark.implicits._
+    val xs = Seq(0.4, 1.2, 0.8, 3.0, 2.6, 3.4)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("t", "v")
+    val (s2, t2, alpha) = (1.0, 0.25, 0.05)
+    val got = Analytics.meanConfidenceSequence(df, "t", "v", s2, t2,
+      alpha).collect()
+    // literal model: the operator's own arithmetic in plain scala
+    var s = BigDecimal(0).setScale(12)
+    val expect = xs.zipWithIndex.map { case (v, i) =>
+      s = s + BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val nd = (i + 1).toDouble
+      val mean = s.toDouble / nd
+      val vt = s2 / nd
+      val radius = math.sqrt((vt * (vt + t2) / t2) *
+        (math.log((vt + t2) / vt) - 2.0 * math.log(alpha)))
+      (i + 1L, mean, radius)
+    }
+    assert(got.length == 6)
+    got.zip(expect).foreach { case (r, (n, mean, radius)) =>
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("mean_v") - mean) < 1e-12)
+      assert(math.abs(r.getAs[Double]("radius") - radius) < 1e-12)
+      assert(math.abs(r.getAs[Double]("ci_lo") - (mean - radius)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("ci_hi") - (mean + radius)) < 1e-12)
+    }
+    // duality with the e-process: for any mu0, the mSPRT has crossed
+    // at n exactly when mu0 falls outside CI_n (same martingale,
+    // inverted) — checked over a mu0 grid spanning inside/outside
+    for (mu0 <- Seq(-2.0, 0.5, 1.5, 2.0, 6.0)) {
+      val crossed = Analytics.msprtMeanTest(df, "t", "v", mu0, s2, t2,
+        alpha).orderBy("t").collect().map(_.getAs[Boolean]("crossed"))
+      got.sortBy(_.getAs[Long]("t")).zip(crossed).foreach {
+        case (r, c) =>
+          val lo = r.getAs[Double]("ci_lo")
+          val hi = r.getAs[Double]("ci_hi")
+          val slack = math.min(math.abs(mu0 - lo), math.abs(mu0 - hi))
+          if (slack > 1e-9)
+            assert(c == (mu0 < lo || mu0 > hi),
+              s"duality broke at t=${r.getAs[Long]("t")} mu0=$mu0")
+      }
+    }
+    // two-sample: B-only prefix keeps the interval NULL, then duality
+    // against msprtTwoSampleTest at theta = 0
+    val two = Seq((1L, "b", 2.0), (2L, "b", 1.0), (3L, "a", 9.0),
+      (4L, "a", 8.0), (5L, "b", 1.5), (6L, "a", 9.5))
+      .toDF("t", "g", "v")
+    val cs2 = Analytics.diffConfidenceSequence(two, "t", "g", "v",
+      "a", "b", sigma2 = 1.0, tau2 = 0.5).orderBy("t").collect()
+    assert(cs2.length == 6)
+    assert(cs2.take(2).forall(_.isNullAt(cs2.head.fieldIndex("radius"))))
+    assert(cs2.drop(2).forall(!_.isNullAt(cs2.head.fieldIndex("radius"))))
+    val crossed2 = Analytics.msprtTwoSampleTest(two, "t", "g", "v",
+      "a", "b", sigma2 = 1.0, tau2 = 0.5).orderBy("t").collect()
+    cs2.zip(crossed2).foreach { case (r, cr) =>
+      if (!r.isNullAt(r.fieldIndex("radius"))) {
+        val lo = r.getAs[Double]("ci_lo")
+        val hi = r.getAs[Double]("ci_hi")
+        val slack = math.min(math.abs(lo), math.abs(hi))
+        if (slack > 1e-9)
+          assert(cr.getAs[Boolean]("crossed") == (0.0 < lo || 0.0 > hi),
+            s"two-sample duality broke at t=${r.getAs[Long]("t")}")
+      } else assert(cr.isNullAt(cr.fieldIndex("e_log")))
+    }
+    // duplicate t: ambiguous observation order must raise
+    intercept[Exception] {
+      Analytics.meanConfidenceSequence(
+        Seq((1L, 1.0), (1L, 2.0)).toDF("t", "v"), "t", "v", s2, t2,
+        alpha).collect()
+    }
+    partitionSweep { pn =>
+      Analytics.meanConfidenceSequence(df.repartition(pn), "t", "v",
+        s2, t2, alpha).collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("clusterRandomizedTest: literal Welch-over-cluster-means model; " +
+    "cluster in both arms raises; single-cluster arm NULLs t; " +
+    "designEffect literal ANOVA/ICC/DEFF model + equal-means pooling " +
+    "regime; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 1.0), ("a", 1L, 3.0), ("a", 2L, 5.0),
+      ("a", 3L, 3.0), ("a", 3L, 3.0), ("a", 3L, 3.0),
+      ("b", 4L, 6.0), ("b", 4L, 8.0), ("b", 5L, 9.0),
+      ("b", 6L, 11.0), ("b", 6L, 13.0))
+    val df = rows.toDF("g", "cl", "v")
+    val r = Analytics.clusterRandomizedTest(df, "g", "cl", "v", "a", "b")
+      .collect()
+    assert(r.length == 1)
+    // literal model: cluster means in cluster order, double folds
+    def armStats(g: String) = {
+      val ms = rows.filter(_._1 == g).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, vs) => vs.map(_._3).sum / vs.size }
+      val k = ms.size.toDouble
+      val sm = ms.foldLeft(0.0)(_ + _)
+      val sm2 = ms.map(m => m * m).foldLeft(0.0)(_ + _)
+      (k, sm / k, (sm2 - sm * sm / k) / (k - 1.0))
+    }
+    val (ka, ma, va) = armStats("a"); val (kb, mb, vb) = armStats("b")
+    val se2 = va / ka + vb / kb
+    val dof = se2 * se2 /
+      ((va / ka) * (va / ka) / (ka - 1.0) +
+        (vb / kb) * (vb / kb) / (kb - 1.0))
+    val row = r.head
+    assert(row.getAs[Long]("k_a") == 3L && row.getAs[Long]("k_b") == 3L)
+    assert(row.getAs[Long]("n_a") == 6L && row.getAs[Long]("n_b") == 5L)
+    assert(math.abs(row.getAs[Double]("mean_a") - ma) < 1e-12)
+    assert(math.abs(row.getAs[Double]("mean_b") - mb) < 1e-12)
+    assert(math.abs(row.getAs[Double]("t") -
+      (ma - mb) / math.sqrt(se2)) < 1e-12)
+    assert(math.abs(row.getAs[Double]("dof") - dof) < 1e-12)
+    // broken randomization: cluster 2 rows in BOTH arms must raise
+    intercept[Exception] {
+      Analytics.clusterRandomizedTest(
+        (rows :+ (("b", 2L, 4.0))).toDF("g", "cl", "v"),
+        "g", "cl", "v", "a", "b").collect()
+    }
+    // a single-cluster arm has no across-cluster variance: NULL t
+    val one = Seq(("a", 1L, 2.0), ("a", 1L, 4.0), ("b", 2L, 5.0),
+      ("b", 3L, 7.0)).toDF("g", "cl", "v")
+    val r1 = Analytics.clusterRandomizedTest(one, "g", "cl", "v",
+      "a", "b").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("t")))
+    assert(r1.getAs[Long]("k_a") == 1L)
+    // designEffect: literal one-way ANOVA -> ICC(1) -> DEFF
+    val de = Analytics.designEffect(df.filter(col("g") === "a"), "cl",
+      "v").collect().head
+    val cls = rows.filter(_._1 == "a").groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, vs) => (vs.size, vs.map(_._3).sum,
+        vs.map(x => x._3 * x._3).sum) }
+    val n = cls.map(_._1).sum.toDouble; val k = cls.size.toDouble
+    val bt = cls.map { case (ng, s1, _) => s1 * s1 / ng }
+      .foldLeft(0.0)(_ + _)
+    val wt = cls.map { case (ng, s1, s2q) => s2q - s1 * s1 / ng }
+      .foldLeft(0.0)(_ + _)
+    val s1all = cls.map(_._2).sum
+    val ssb = bt - s1all * s1all / n
+    val msb = ssb / (k - 1.0); val msw = wt / (n - k)
+    val n0 = (n - cls.map(c => c._1.toDouble * c._1).sum / n) / (k - 1.0)
+    val icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    val deff = 1.0 + (n / k - 1.0) * icc
+    assert(de.getAs[Long]("k") == 3L && de.getAs[Long]("n") == 6L)
+    assert(math.abs(de.getAs[Double]("msb") - msb) < 1e-12)
+    assert(math.abs(de.getAs[Double]("msw") - msw) < 1e-12)
+    assert(math.abs(de.getAs[Double]("icc") - icc) < 1e-12)
+    assert(math.abs(de.getAs[Double]("deff") - deff) < 1e-12)
+    // equal cluster means, within-noise only: ICC moment estimate
+    // goes NEGATIVE (clusters don't matter) and DEFF reads below 1
+    val flat = Seq((1L, 1.0), (1L, 3.0), (2L, 1.0), (2L, 3.0),
+      (3L, 1.0), (3L, 3.0)).toDF("cl", "v")
+    val deFlat = Analytics.designEffect(flat, "cl", "v").collect().head
+    assert(deFlat.getAs[Double]("icc") < 0.0)
+    assert(deFlat.getAs[Double]("deff") < 1.0)
+    partitionSweep { pn =>
+      Analytics.clusterRandomizedTest(df.repartition(pn), "g", "cl",
+          "v", "a", "b").collect().map(_.toSeq).toSeq ++
+        Analytics.designEffect(df.repartition(pn), "cl", "v")
+          .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +
