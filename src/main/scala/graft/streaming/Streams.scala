@@ -640,6 +640,75 @@ object Streams {
         "crossed")
   }
 
+  /** Streaming ALWAYS-VALID CONFIDENCE SEQUENCE — the live error-bar
+    * twin of [[graft.operators.Analytics.meanConfidenceSequence]] (see
+    * its scaladoc for the statistics: the inverted Robbins-mixture
+    * band whose simultaneous coverage P(∃n: μ ∉ CI_n) ≤ α survives the
+    * continuous peeking a dashboard does by construction — the
+    * ±1.96·se band it replaces does not):
+    *   stage 1 — [[windowedMsprt]]'s distributed tumbling-window
+    *   aggregate verbatim: per-window count + exact decimal(28,12)
+    *   value sum (mergeable state; watermark closes windows once);
+    *   stage 2 — the single-key walk over CLOSED windows in bucket
+    *   order carrying (N, S) with the sum in PLAIN-STRING form (the
+    *   [[windowedMsprt]] encoder-width rule); per window it emits the
+    *   batch operator's pinned double chain — V = σ²/N, radius =
+    *   √((V(V+τ²)/τ²)·(ln((V+τ²)/V) − 2·ln α)) — so a DuckDB replay
+    *   of the same windows lands bit-identical (the q232 discipline).
+    * Stage 2 inherits windowedPsiLive's contract: a deliberate
+    * single-task serialization point over metadata-sized closed-window
+    * rows, NOT a row-scale pattern. Output per closed window:
+    * (bucket_us, n_window, n_total, mean_total, radius, ci_lo,
+    * ci_hi). */
+  def windowedMeanCs(events: DataFrame, sigma2: Double, tau2: Double,
+                     alpha: Double = 0.05,
+                     watermark: String = "0 seconds",
+                     window_ : String = "1 day"): DataFrame = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val closed = events
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,12)")).as("s"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("n"), col("s").cast("string").as("s"))
+    closed.as[(Long, Long, String)]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[(Long, String),
+        (Long, Long, Long, Double, Double, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, String)],
+         state: GroupState[(Long, String)]) =>
+          val st0 = state.getOption.getOrElse((0L, "0"))
+          var nTot = st0._1
+          var sTot = new java.math.BigDecimal(st0._2)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double, Double, Double, Double)]
+          rows.toSeq.sortBy(_._1).foreach { case (b, n, s) =>
+            nTot += n
+            sTot = sTot.add(new java.math.BigDecimal(s))
+            // the batch meanConfidenceSequence double chain, term for
+            // term
+            val nd = nTot.toDouble
+            val mean = sTot.doubleValue / nd
+            val vt = sigma2 / nd
+            val radius = math.sqrt((vt * (vt + tau2) / tau2) *
+              (math.log((vt + tau2) / vt) - 2.0 * math.log(alpha)))
+            out += ((b, n, nTot, mean, radius, mean - radius,
+              mean + radius))
+          }
+          state.update((nTot, sTot.toPlainString))
+          out.iterator
+      }
+      .toDF("bucket_us", "n_window", "n_total", "mean_total", "radius",
+        "ci_lo", "ci_hi")
+  }
+
   /** Streaming TWO-SAMPLE always-valid monitor — the live twin of
     * [[graft.operators.Analytics.msprtTwoSampleTest]] and the deployed
     * A/B shape ([[windowedMsprt]] monitors one stream against a fixed

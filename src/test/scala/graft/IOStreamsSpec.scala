@@ -408,6 +408,60 @@ class IOStreamsSpec extends SparkSpec {
     assert(!got.head.getAs[Boolean]("crossed"))
   }
 
+  test("windowedMeanCs: radius bit-equal to the batch " +
+      "meanConfidenceSequence chain at every window prefix; " +
+      "cross-batch (N, S) state carry; band shrinks monotonically") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dayUs = 86400L * 1000000L
+    val means = Seq(10.0, 10.4, 9.8, 19.0, 19.6, 19.2)
+    val rows = means.zipWithIndex.flatMap { case (m, d) =>
+      (0 until 4).map(i => (d * dayUs + i * 1000L, m + (i - 1.5) * 0.2)) }
+    val (s2, t2, alpha) = (4.0, 1.0, 0.05)
+    val ms = MemoryStream[(Long, Double)](spark)
+    val out = Streams.windowedMeanCs(ms.toDS().toDF("ts_us", "value"),
+      sigma2 = s2, tau2 = t2, alpha = alpha,
+      watermark = "0 seconds", window_ = "1 day")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("meancs_spec_sink").start()
+    try {
+      // split mid-stream: (N, S) must carry across micro-batches
+      ms.addData(rows.filter(_._1 < 3 * dayUs)); q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 3 * dayUs)); q.processAllAvailable()
+      ms.addData((20L * dayUs, 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("meancs_spec_sink")
+      .filter(col("bucket_us") < 6 * dayUs).orderBy("bucket_us").collect()
+    assert(got.length == 6)
+    // driver model: exact decimal window sums folded in bucket order
+    // through the batch operator's fixed double chain
+    var nTot = 0L
+    var sTot = java.math.BigDecimal.ZERO
+    val want = means.zipWithIndex.map { case (m, d) =>
+      val ws = (0 until 4).map(i => m + (i - 1.5) * 0.2)
+        .map(v => java.math.BigDecimal.valueOf(v)
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        .reduce(_.add(_))
+      nTot += 4; sTot = sTot.add(ws)
+      val nd = nTot.toDouble
+      val mean = sTot.doubleValue / nd
+      val vt = s2 / nd
+      val radius = math.sqrt((vt * (vt + t2) / t2) *
+        (math.log((vt + t2) / vt) - 2.0 * math.log(alpha)))
+      (nTot, mean, radius)
+    }
+    got.zip(want).zipWithIndex.foreach { case ((r, (n, mean, rad)), i) =>
+      assert(r.getAs[Long]("n_total") == n, s"window $i n_total")
+      assert(r.getAs[Double]("mean_total") == mean, s"window $i mean")
+      assert(r.getAs[Double]("radius") == rad, s"window $i radius")
+      assert(r.getAs[Double]("ci_lo") == mean - rad, s"window $i lo")
+      assert(r.getAs[Double]("ci_hi") == mean + rad, s"window $i hi")
+    }
+    // more data, tighter band: the radius shrinks window over window
+    val radii = got.map(_.getAs[Double]("radius"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b < a })
+  }
+
   test("windowedMsprtTwoSample: e_log bit-equal to the batch " +
       "msprtTwoSampleTest chain at every window prefix; per-arm (N, S) " +
       "state carries across micro-batches; e_log NULL until both arms " +
