@@ -7403,6 +7403,46 @@ object Analytics {
         "mde_abs", "mde_rel")
   }
 
+  /** MDE HORIZON — the runtime-vs-sensitivity curve ("how long must
+    * this experiment run before it can see an X% shift"), the question
+    * every launch review actually asks after [[mdeTwoSample]] answers
+    * "what can it see NOW": treating the observed arms as ONE period's
+    * accrual, after m periods
+    *   MDE(m) = (z_{1−α/2} + z_power)·√(var_A/(m·n_A) + var_B/(m·n_B))
+    * — the observed per-arm variance held fixed, counts scaled
+    * linearly (the standard planning assumption; seasonality in
+    * accrual is the caller's adjustment). Read the first m where
+    * mde_rel drops under the effect worth shipping. One
+    * map-side-combined scan for the exact-decimal moments
+    * ([[mdeTwoSample]] verbatim), then a periods-sized broadcast
+    * spine — no second data pass. z defaults 1.959964/0.841621 (the
+    * fixed-literal no-inverse-CDF convention). n_g < 2 → NULL column.
+    * Output: `periods` rows, ascending m — (m, n_a_cum, n_b_cum,
+    * mde_abs, mde_rel). */
+  def mdeHorizon(df: DataFrame, groupCol: String, valueCol: String,
+                 groupA: String, groupB: String, periods: Int,
+                 zAlpha: Double = 1.959964, zPower: Double = 0.841621,
+                 scale: Int = 2): DataFrame = {
+    require(periods >= 1, s"periods must be >= 1, got $periods")
+    def d(c: Column) = c.cast("double")
+    val moments = mdeTwoSample(df, groupCol, valueCol, groupA, groupB,
+      zAlpha, zPower, scale).drop("mde_abs", "mde_rel")
+    val spine = df.sparkSession.range(1, periods + 1L)
+      .select(col("id").as("m"))
+    spine.crossJoin(broadcast(moments))
+      .withColumn("n_a_cum", col("m") * col("n_a"))
+      .withColumn("n_b_cum", col("m") * col("n_b"))
+      .withColumn("__se2", col("var_a") / d(col("n_a_cum")) +
+        col("var_b") / d(col("n_b_cum")))
+      .withColumn("mde_abs", when(col("__se2") > 0,
+        lit(zAlpha + zPower) * sqrt(col("__se2"))))
+      .withColumn("mde_rel", when(col("mean_b") =!= 0.0,
+        col("mde_abs") / col("mean_b")))
+      .select(col("m"), col("n_a_cum"), col("n_b_cum"), col("mde_abs"),
+        col("mde_rel"))
+      .orderBy("m")
+  }
+
   /** Tabulated two-sided group-sequential constants at α = 0.05,
     * K = 1..10 — Pocock (1977) and O'Brien–Fleming (1979) in the
     * standard equal-increment form (Jennison & Turnbull, "Group
@@ -8105,6 +8145,57 @@ object Analytics {
             (col("n_pos").cast("double") * lit(tailProb))))))
       .select("n_pos", "k", "x_k1", "hill_inv", "alpha", "tail_prob",
         "quantile")
+  }
+
+  /** MOMENT (Dekkers–Einmahl–de Haan) tail-index estimator — the
+    * whole-real-line extension of [[hillTailIndex]] (Dekkers, Einmahl,
+    * de Haan 1989, Ann. Statist. 17): Hill is consistent only for
+    * HEAVY tails (ξ > 0) and reads nonsense on bounded or light-tailed
+    * columns; the moment estimator
+    *   M_r = (1/k)·Σ_{i≤k} (ln X_(i) − ln X_(k+1))^r,   r ∈ {1, 2},
+    *   ξ̂  = M₁ + 1 − ½·(1 − M₁²/M₂)⁻¹
+    * is consistent for EVERY ξ ∈ ℝ — ξ̂ > 0 heavy (α = 1/ξ̂ exists),
+    * ξ̂ ≈ 0 exponential-class, ξ̂ < 0 finite endpoint. Run it when the
+    * tail's SIGN is the question (is this metric even heavy-tailed?);
+    * run Hill/[[weissmanQuantile]] once ξ > 0 is established.
+    *
+    * Plan is [[hillTailIndex]] verbatim: per-partition top-(k+1)
+    * heaps (TakeOrderedAndProject — never a global sort), the two
+    * ln-moment sums exact at decimal(38,18), threshold ties
+    * contributing zero by construction. Positive values only (the
+    * log scale); n_pos < k + 1 → NULL estimates (loudly incomplete);
+    * an all-tied top-k (M₂ = 0) → NULL ξ̂ (degenerate tail). Output:
+    * one row — (n_pos, k, x_k1, m1, m2, xi, alpha), alpha = 1/ξ̂ only
+    * where ξ̂ > 0. */
+  def gpdMomentTail(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = df.filter(col(valueCol).isNotNull &&
+        col(valueCol).cast("double") > 0.0)
+      .select(col(valueCol).cast("double").as("__v"))
+    val nPos = pos.agg(count(lit(1)).as("n_pos"))
+    val top = pos.orderBy(col("__v").desc).limit(k + 1)
+    val xk1 = top.agg(min(col("__v")).as("x_k1"), count(lit(1)).as("__kt"))
+    val lr = log(col("__v") / col("x_k1"))
+    val sums = top.crossJoin(broadcast(xk1))
+      .filter(col("__v") > col("x_k1"))
+      .agg(
+        coalesce(sum(lr.cast("decimal(38,18)")).cast("double"), lit(0.0))
+          .as("__ln1"),
+        coalesce(sum((lr * lr).cast("decimal(38,18)")).cast("double"),
+          lit(0.0)).as("__ln2"))
+    nPos.crossJoin(broadcast(xk1)).crossJoin(broadcast(sums))
+      .withColumn("m1", when(col("__kt") === k + 1,
+        col("__ln1") / lit(k.toDouble)))
+      .withColumn("m2", when(col("__kt") === k + 1,
+        col("__ln2") / lit(k.toDouble)))
+      .withColumn("xi", when(col("m2") > 0 &&
+        (lit(1.0) - col("m1") * col("m1") / col("m2")) =!= 0.0,
+        col("m1") + 1.0 - lit(0.5) /
+          (lit(1.0) - col("m1") * col("m1") / col("m2"))))
+      .select(col("n_pos"), lit(k.toLong).as("k"),
+        when(col("__kt") === k + 1, col("x_k1")).as("x_k1"),
+        col("m1"), col("m2"), col("xi"),
+        when(col("xi") > 0, lit(1.0) / col("xi")).as("alpha"))
   }
 
   /** [[msprtMeanTest]] for a PROPORTION stream (conversion / pass-rate

@@ -4537,6 +4537,83 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("mdeHorizon: m=1 row equals mdeTwoSample; literal 1/sqrt(m) " +
+    "shrink from observed moments; degenerate arm NULLs; partition " +
+    "sweep") {
+    import spark.implicits._
+    val df = Seq(("A", 10.0), ("A", 14.0), ("A", 12.0), ("B", 9.0),
+      ("B", 13.0), ("B", 11.0), ("B", 15.0)).toDF("g", "v")
+    val hor = Analytics.mdeHorizon(df, "g", "v", "A", "B", periods = 6)
+      .orderBy("m").collect()
+    assert(hor.length == 6)
+    val one = Analytics.mdeTwoSample(df, "g", "v", "A", "B")
+      .collect().head
+    assert(hor.head.getAs[Long]("n_a_cum") == one.getAs[Long]("n_a"))
+    assert(hor.head.getAs[Double]("mde_abs") ==
+      one.getAs[Double]("mde_abs"))
+    // literal model straight from the observed moments
+    val (na, nb) = (one.getAs[Long]("n_a"), one.getAs[Long]("n_b"))
+    val (va, vb) = (one.getAs[Double]("var_a"), one.getAs[Double]("var_b"))
+    hor.foreach { r =>
+      val m = r.getAs[Long]("m")
+      val se2 = va / (m * na).toDouble + vb / (m * nb).toDouble
+      val mde = (1.959964 + 0.841621) * math.sqrt(se2)
+      assert(r.getAs[Long]("n_a_cum") == m * na)
+      assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-15)
+      assert(math.abs(r.getAs[Double]("mde_rel") -
+        mde / one.getAs[Double]("mean_b")) < 1e-15)
+    }
+    // the curve shrinks: each period buys sensitivity
+    val c = hor.map(_.getAs[Double]("mde_abs"))
+    assert(c.zip(c.tail).forall { case (a, b) => b < a })
+    // a single-row arm has no variance: the whole curve is NULL
+    val r1 = Analytics.mdeHorizon(Seq(("A", 1.0), ("B", 2.0), ("B", 3.0))
+      .toDF("g", "v"), "g", "v", "A", "B", periods = 3)
+      .collect()
+    assert(r1.length == 3 &&
+      r1.forall(_.isNullAt(r1.head.fieldIndex("mde_abs"))))
+    partitionSweep { pn =>
+      Analytics.mdeHorizon(df.repartition(pn), "g", "v", "A", "B", 4)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("gpdMomentTail: literal DEdH model on a dyadic ladder; exact " +
+    "Pareto sign read; all-tied top-k NULLs xi; n_pos < k+1 NULLs; " +
+    "partition sweep") {
+    import spark.implicits._
+    // ladder 16,8,4,2,1: k=4, x_k1=1, ln-ratios are (4,3,2,1)*ln2
+    val df = Seq(16.0, 8.0, 4.0, 2.0, 1.0).toDF("v")
+    val r = Analytics.gpdMomentTail(df, "v", k = 4).collect().head
+    val l2 = math.log(2.0)
+    val m1 = (4 + 3 + 2 + 1) * l2 / 4.0
+    val m2 = (16 + 9 + 4 + 1) * (l2 * l2) / 4.0
+    val xi = m1 + 1.0 - 0.5 / (1.0 - m1 * m1 / m2)
+    assert(r.getAs[Long]("n_pos") == 5L && r.getAs[Long]("k") == 4L)
+    assert(r.getAs[Double]("x_k1") == 1.0)
+    assert(math.abs(r.getAs[Double]("m1") - m1) < 1e-12)
+    assert(math.abs(r.getAs[Double]("m2") - m2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("xi") - xi) < 1e-12)
+    // a hard upper endpoint reads xi < 0 where Hill would read a
+    // spurious positive index
+    val bounded = (1 to 400).map(i => 10.0 - 1.0 / i).toDF("v")
+    val rb = Analytics.gpdMomentTail(bounded, "v", k = 50).collect().head
+    assert(rb.getAs[Double]("xi") < 0.0)
+    assert(rb.isNullAt(rb.fieldIndex("alpha")))
+    // all-tied top-k: degenerate tail, NULL xi
+    val tied = Seq.fill(10)(7.0).toDF("v")
+    val rt = Analytics.gpdMomentTail(tied, "v", k = 3).collect().head
+    assert(rt.isNullAt(rt.fieldIndex("xi")))
+    // not enough positive mass: loudly incomplete
+    val small = Seq(3.0, 2.0).toDF("v")
+    val rs = Analytics.gpdMomentTail(small, "v", k = 4).collect().head
+    assert(rs.isNullAt(rs.fieldIndex("m1")))
+    partitionSweep { pn =>
+      Analytics.gpdMomentTail(df.repartition(pn), "v", 4)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +
