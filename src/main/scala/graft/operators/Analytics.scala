@@ -7403,6 +7403,188 @@ object Analytics {
         "mde_abs", "mde_rel")
   }
 
+  /** POST-STRATIFIED two-arm test — the categorical-covariate sibling
+    * of [[cupedTest]] (continuous covariate) and the fix for "the arms
+    * landed imbalanced across segments": estimate the lift WITHIN each
+    * stratum, then average the per-stratum differences with the
+    * stratum's population share,
+    *   Δ̂ = Σ_s w_s·(x̄_{s,A} − x̄_{s,B}),   w_s = n_s / N,
+    *   Var = Σ_s w_s²·(var_{s,A}/n_{s,A} + var_{s,B}/n_{s,B}),
+    * z = Δ̂/√Var — the classical post-stratified difference estimator
+    * (Cochran, "Sampling Techniques" §5A): segment-mix imbalance
+    * between the arms cancels exactly, and when the metric varies by
+    * segment the variance drops below [[welchT]]'s. A stratum missing
+    * EITHER arm makes the estimand undefined — the operator emits
+    * NULL Δ̂/z and counts such strata in `n_strata_incomplete`
+    * (loudly, never silently dropped: dropping would re-weight the
+    * kept strata by arm availability, the bias the estimator exists
+    * to remove). Singleton arms (n < 2) inside a stratum NULL the
+    * variance the same loud way via `n_strata_smallarm`.
+    *
+    * One map-side-combined scan to per-(stratum, arm) exact decimal
+    * moments (values cast decimal(18,scale), squares
+    * decimal(38,2·scale) — exact, the [[mdeTwoSample]] convention),
+    * then strata-bounded ordered double folds (the [[oneWayF]] rule).
+    * Output: one row — (n_strata, n_strata_incomplete,
+    * n_strata_smallarm, n_a, n_b, diff, se, z). */
+  def stratifiedTest(df: DataFrame, strataCol: String, groupCol: String,
+                     valueCol: String, groupA: String, groupB: String,
+                     scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val base = df.filter(col(strataCol).isNotNull &&
+      col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+    def side(g: String, sfx: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"__n$sfx"),
+      sum(when(col(groupCol) === g, v)).cast("double").as(s"__s$sfx"),
+      sum(when(col(groupCol) === g,
+        (v * v).cast(s"decimal(38,${2 * scale})"))).cast("double")
+        .as(s"__ss$sfx"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val strat = base.groupBy(col(strataCol).as("__st"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__ok", col("__na") > 0 && col("__nb") > 0)
+      .withColumn("__small",
+        col("__ok") && (col("__na") < 2 || col("__nb") < 2))
+      .withColumn("__ns", col("__na") + col("__nb"))
+      .withColumn("__ma", when(col("__na") > 0, col("__sa") / d(col("__na"))))
+      .withColumn("__mb", when(col("__nb") > 0, col("__sb") / d(col("__nb"))))
+      .withColumn("__va", when(col("__na") >= 2,
+        (col("__ssa") - col("__sa") * col("__sa") / d(col("__na"))) /
+          (d(col("__na")) - 1.0)))
+      .withColumn("__vb", when(col("__nb") >= 2,
+        (col("__ssb") - col("__sb") * col("__sb") / d(col("__nb"))) /
+          (d(col("__nb")) - 1.0)))
+    // strata-bounded ordered folds: per-stratum pinned doubles, summed
+    // in stratum order (weights enter as counts; N divides at the end)
+    val folded = strat.select(col("__ns"), col("__na"), col("__nb"),
+        col("__ok"), col("__small"),
+        struct(col("__st").as("s"),
+          (d(col("__ns")) * (col("__ma") - col("__mb"))).as("wd"),
+          (d(col("__ns")) * d(col("__ns")) *
+            (col("__va") / d(col("__na")) + col("__vb") / d(col("__nb"))))
+            .as("wv")).as("__t"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(when(!col("__ok"), 1L).otherwise(0L)).as("n_strata_incomplete"),
+        sum(when(col("__small"), 1L).otherwise(0L)).as("n_strata_smallarm"),
+        sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
+        sum(col("__ns")).as("__nn"),
+        sort_array(collect_list(col("__t"))).as("__ts"))
+      .withColumn("__wd", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("wd")))
+      .withColumn("__wv", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("wv")))
+    folded
+      .withColumn("diff", when(col("n_strata_incomplete") === 0 &&
+        col("n_strata") > 0, col("__wd") / d(col("__nn"))))
+      .withColumn("se", when(col("diff").isNotNull &&
+        col("n_strata_smallarm") === 0,
+        sqrt(col("__wv") / (d(col("__nn")) * d(col("__nn"))))))
+      .withColumn("z", when(col("se").isNotNull && col("se") > 0,
+        col("diff") / col("se")))
+      .select(col("n_strata"), col("n_strata_incomplete"),
+        col("n_strata_smallarm"), col("n_a"), col("n_b"), col("diff"),
+        col("se"), col("z"))
+  }
+
+  /** RANDOM-EFFECTS META-ANALYSIS (DerSimonian–Laird 1986) — the
+    * many-experiments readout: the same change shipped to k surfaces
+    * (or the same A/B replicated k times) yields per-study effect
+    * estimates y_i with known sampling variances v_i, and the question
+    * is the POOLED effect plus how much the true effect varies across
+    * studies. Inverse-variance fixed effect first, then the DL moment
+    * estimate of between-study variance,
+    *   Q  = Σwᵢ(yᵢ − ȳ_w)²,   wᵢ = 1/vᵢ,
+    *   τ² = max(0, (Q − (k−1)) / (Σw − Σw²/Σw)),
+    * then random-effects weights wᵢ* = 1/(vᵢ + τ²) →
+    * μ̂_RE = Σw*y/Σw*, se_RE = √(1/Σw*); I² = max(0, (Q − (k−1))/Q)
+    * is the share of spread that is real heterogeneity (Higgins–
+    * Thompson). Feed it [[welchTBy]]/[[diffInDiff]]-style per-study
+    * (effect, se²) rows; when I² ≈ 0 the fixed and RE answers agree
+    * and the pooled estimate is safe to ship.
+    *
+    * Studies are design-bounded (dozens): every cross-study sum is an
+    * ordered double fold in study order (the [[oneWayF]] rule — Q's
+    * near-cancellation makes quantized sums engine-unstable, the fold
+    * is bit-replayable). Two fold passes (the second needs τ² as a
+    * broadcast scalar column — never a driver read). Duplicate study
+    * ids RAISE; rows with NULL effect/variance or variance ≤ 0 RAISE
+    * (a silently dropped study biases the pool). k < 2 → NULL τ²/I²
+    * (a single study has no between-variance; its fixed row passes
+    * through). Output: one row — (k, fixed_effect, fixed_se, q_stat,
+    * tau2, i2, re_effect, re_se). */
+  def randomEffectsMeta(df: DataFrame, studyCol: String,
+                        effectCol: String, varCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val s0 = df.select(col(studyCol).as("__sid"),
+      d(col(effectCol)).as("__y"), d(col(varCol)).as("__v"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__sid")).as("__cd"),
+      sum(when(col("__y").isNull || col("__v").isNull ||
+        col("__v") <= 0.0, 1L).otherwise(0L)).as("__bad"))
+    val pts = s0.crossJoin(broadcast(chk))
+      .withColumn("__g", when(col("__bad") > 0,
+        raise_error(lit("randomEffectsMeta: a study has NULL effect/" +
+          "variance or variance <= 0 — fix or exclude it EXPLICITLY " +
+          "upstream; silently dropping a study biases the pool")))
+        .otherwise(when(col("__cn") === col("__cd"), lit(1))
+          .otherwise(raise_error(lit("randomEffectsMeta: duplicate " +
+            "study ids — one row per study")))))
+      .filter(col("__g") === 1)
+      .select(col("__sid"), col("__y"), col("__v"),
+        (lit(1.0) / col("__v")).as("__w"))
+    val f1 = pts.select(
+        struct(col("__sid").as("s"), col("__w").as("w"),
+          (col("__w") * col("__y")).as("wy"),
+          (col("__w") * col("__y") * col("__y")).as("wyy"),
+          (col("__w") * col("__w")).as("ww")).as("__t"))
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(col("__t"))).as("__ts"))
+      .withColumn("__sw", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("w")))
+      .withColumn("__swy", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("wy")))
+      .withColumn("__swyy", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("wyy")))
+      .withColumn("__sww", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("ww")))
+      .withColumn("fixed_effect", when(col("__sw") > 0,
+        col("__swy") / col("__sw")))
+      .withColumn("fixed_se", when(col("__sw") > 0,
+        sqrt(lit(1.0) / col("__sw"))))
+      .withColumn("q_stat", when(col("__sw") > 0,
+        col("__swyy") - col("__swy") * col("__swy") / col("__sw")))
+      .withColumn("tau2", when(col("k") >= 2 &&
+        (col("__sw") - col("__sww") / col("__sw")) > 0,
+        greatest(lit(0.0),
+          (col("q_stat") - (d(col("k")) - 1.0)) /
+            (col("__sw") - col("__sww") / col("__sw")))))
+      .withColumn("i2", when(col("k") >= 2 && col("q_stat") > 0,
+        greatest(lit(0.0),
+          (col("q_stat") - (d(col("k")) - 1.0)) / col("q_stat"))))
+      .select("k", "fixed_effect", "fixed_se", "q_stat", "tau2", "i2")
+    // second fold: random-effects weights need tau2 on every study row
+    val f2 = pts.crossJoin(broadcast(f1))
+      .withColumn("__ws", lit(1.0) /
+        (col("__v") + coalesce(col("tau2"), lit(0.0))))
+      .select(struct(col("__sid").as("s"), col("__ws").as("ws"),
+        (col("__ws") * col("__y")).as("wsy")).as("__t"))
+      .agg(sort_array(collect_list(col("__t"))).as("__ts"))
+      .withColumn("__sws", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("ws")))
+      .withColumn("__swsy", aggregate(col("__ts"), lit(0.0),
+        (acc, x) => acc + x.getField("wsy")))
+      .select(
+        when(col("__sws") > 0, col("__swsy") / col("__sws"))
+          .as("re_effect"),
+        when(col("__sws") > 0, sqrt(lit(1.0) / col("__sws")))
+          .as("re_se"))
+    f1.crossJoin(broadcast(f2))
+      .select(col("k"), col("fixed_effect"), col("fixed_se"),
+        col("q_stat"), col("tau2"), col("i2"), col("re_effect"),
+        col("re_se"))
+  }
+
   /** MDE HORIZON — the runtime-vs-sensitivity curve ("how long must
     * this experiment run before it can see an X% shift"), the question
     * every launch review actually asks after [[mdeTwoSample]] answers

@@ -4614,6 +4614,132 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedTest: literal post-stratified model; segment-mix " +
+    "confounding cancels exactly; missing-arm stratum NULLs loudly; " +
+    "small-arm stratum NULLs se only; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      ("s1", "A", 10.0), ("s1", "A", 14.0), ("s1", "B", 7.0),
+      ("s1", "B", 9.0),
+      ("s2", "A", 20.0), ("s2", "A", 24.0), ("s2", "A", 22.0),
+      ("s2", "B", 16.0), ("s2", "B", 18.0))
+    val df = rows.toDF("st", "g", "v")
+    val r = Analytics.stratifiedTest(df, "st", "g", "v", "A", "B")
+      .collect().head
+    // literal model in stratum order
+    def m(xs: Seq[Double]) = xs.sum / xs.size
+    def va(xs: Seq[Double]) = {
+      val mu = m(xs); xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1)
+    }
+    val byStr = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (_, rs) =>
+        val a = rs.filter(_._2 == "A").map(_._3)
+        val b = rs.filter(_._2 == "B").map(_._3)
+        val ns = (a.size + b.size).toDouble
+        (ns, ns * (m(a) - m(b)),
+          ns * ns * (va(a) / a.size + va(b) / b.size))
+    }
+    val nn = byStr.map(_._1).sum
+    val diff = byStr.map(_._2).foldLeft(0.0)(_ + _) / nn
+    val se = math.sqrt(byStr.map(_._3).foldLeft(0.0)(_ + _) / (nn * nn))
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 4L)
+    assert(math.abs(r.getAs[Double]("diff") - diff) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - diff / se) < 1e-12)
+    // pure segment confounding: the metric is stratum-determined, the
+    // arms' mixes differ wildly — the stratified diff is EXACTLY 0
+    val conf = (Seq.fill(8)(("s2", "A", 10.0)) ++
+      Seq.fill(2)(("s1", "A", 1.0)) ++ Seq.fill(8)(("s1", "B", 1.0)) ++
+      Seq.fill(2)(("s2", "B", 10.0))).toDF("st", "g", "v")
+    val rc = Analytics.stratifiedTest(conf, "st", "g", "v", "A", "B")
+      .collect().head
+    assert(rc.getAs[Double]("diff") == 0.0)
+    // one stratum missing arm B entirely: loud NULL, counted
+    val miss = (rows :+ (("s3", "A", 5.0))).toDF("st", "g", "v")
+    val rm = Analytics.stratifiedTest(miss, "st", "g", "v", "A", "B")
+      .collect().head
+    assert(rm.getAs[Long]("n_strata_incomplete") == 1L)
+    assert(rm.isNullAt(rm.fieldIndex("diff")))
+    // a singleton arm: the point estimate stands, the variance cannot
+    val small = (rows ++ Seq(("s3", "A", 5.0), ("s3", "B", 6.0),
+      ("s3", "B", 8.0))).toDF("st", "g", "v")
+    val rs2 = Analytics.stratifiedTest(small, "st", "g", "v", "A", "B")
+      .collect().head
+    assert(rs2.getAs[Long]("n_strata_smallarm") == 1L)
+    assert(!rs2.isNullAt(rs2.fieldIndex("diff")))
+    assert(rs2.isNullAt(rs2.fieldIndex("se")))
+    partitionSweep { pn =>
+      Analytics.stratifiedTest(df.repartition(pn), "st", "g", "v",
+        "A", "B").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("randomEffectsMeta: literal DerSimonian-Laird model; " +
+    "homogeneous studies collapse to the fixed pool with tau2 = 0; " +
+    "duplicate study raises; bad variance raises; k = 1 passes the " +
+    "fixed row through; partition sweep") {
+    import spark.implicits._
+    val studies = Seq(("s1", 0.5, 0.04), ("s2", 0.2, 0.09),
+      ("s3", 0.8, 0.01))
+    val df = studies.toDF("sid", "y", "v")
+    val r = Analytics.randomEffectsMeta(df, "sid", "y", "v")
+      .collect().head
+    // literal model: folds in study order
+    val os = studies.sortBy(_._1)
+    val sw = os.map(s => 1.0 / s._3).foldLeft(0.0)(_ + _)
+    val swy = os.map(s => (1.0 / s._3) * s._2).foldLeft(0.0)(_ + _)
+    val swyy = os.map(s => (1.0 / s._3) * s._2 * s._2)
+      .foldLeft(0.0)(_ + _)
+    val sww = os.map(s => (1.0 / s._3) * (1.0 / s._3))
+      .foldLeft(0.0)(_ + _)
+    val fixed = swy / sw
+    val q = swyy - swy * swy / sw
+    val tau2 = math.max(0.0, (q - 2.0) / (sw - sww / sw))
+    val i2 = math.max(0.0, (q - 2.0) / q)
+    val sws = os.map(s => 1.0 / (s._3 + tau2)).foldLeft(0.0)(_ + _)
+    val swsy = os.map(s => (1.0 / (s._3 + tau2)) * s._2)
+      .foldLeft(0.0)(_ + _)
+    assert(r.getAs[Long]("k") == 3L)
+    assert(math.abs(r.getAs[Double]("fixed_effect") - fixed) < 1e-12)
+    assert(math.abs(r.getAs[Double]("fixed_se") - math.sqrt(1.0 / sw))
+      < 1e-12)
+    assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-12)
+    assert(math.abs(r.getAs[Double]("tau2") - tau2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("i2") - i2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("re_effect") - swsy / sws) < 1e-12)
+    assert(math.abs(r.getAs[Double]("re_se") - math.sqrt(1.0 / sws))
+      < 1e-12)
+    // heterogeneity widens the interval and pulls the pool toward the
+    // unweighted center (the precise high-variance study loses grip)
+    assert(r.getAs[Double]("re_se") > r.getAs[Double]("fixed_se"))
+    // homogeneous replications: tau2 clamps to 0, RE = fixed exactly
+    val homog = Seq(("a", 0.3, 0.04), ("b", 0.3, 0.02), ("c", 0.3, 0.05))
+      .toDF("sid", "y", "v")
+    val rh = Analytics.randomEffectsMeta(homog, "sid", "y", "v")
+      .collect().head
+    assert(rh.getAs[Double]("tau2") == 0.0)
+    assert(rh.getAs[Double]("re_effect") ==
+      rh.getAs[Double]("fixed_effect"))
+    intercept[Exception] {
+      Analytics.randomEffectsMeta(Seq(("a", 0.1, 0.04), ("a", 0.2, 0.04))
+        .toDF("sid", "y", "v"), "sid", "y", "v").collect()
+    }
+    intercept[Exception] {
+      Analytics.randomEffectsMeta(Seq(("a", 0.1, 0.0))
+        .toDF("sid", "y", "v"), "sid", "y", "v").collect()
+    }
+    val r1 = Analytics.randomEffectsMeta(Seq(("a", 0.4, 0.09))
+      .toDF("sid", "y", "v"), "sid", "y", "v").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("tau2")))
+    assert(r1.getAs[Double]("re_effect") ==
+      r1.getAs[Double]("fixed_effect"))
+    partitionSweep { pn =>
+      Analytics.randomEffectsMeta(df.repartition(pn), "sid", "y", "v")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +
