@@ -1837,6 +1837,80 @@ object ML {
       .orderBy("rep")
   }
 
+  /** Poisson-bootstrap PERCENTILE confidence interval for a RATIO
+    * metric — the error bar for revenue-per-session, tokens-per-doc,
+    * clicks-per-impression: the delta method
+    * ([[graft.operators.Analytics.ratioMetricTest]]) is the
+    * asymptotic answer, this is the finite-sample one practitioners
+    * cross-check it with (skewed numerators at modest n are exactly
+    * where delta intervals lie). Replicate j reweights every UNIT by
+    * the deterministic Poisson(1) draw of (id, j) —
+    * [[bootstrapMeans]]' one-md5 + B-integer-mixes fanout, so units
+    * (not rows) resample together when idCol is the randomization
+    * unit — and the replicate statistic is R_j = Σw·x / Σw·y. ALL B
+    * replicates come from ONE corpus scan (2B map-side-combined exact
+    * decimal aggregates); the interval is Efron's percentile method
+    * over the B-bounded replicate vector (a sort_array pick — B ≤ 64,
+    * never a data-scale pass). A replicate whose denominator sums to
+    * EXACTLY zero is excluded and `b_eff` counts survivors (for an
+    * always-positive denominator that is the all-zero-weights draw,
+    * p ≈ e⁻ⁿ; a signed denominator near zero is the caller's modeling
+    * problem — the ratio is then unstable by construction and the
+    * wide interval SHOWS it). BCa deliberately absent (no
+    * engine-portable Φ⁻¹ — the [[bootstrapQuantileCI]] rule). Output:
+    * one row — (b, b_eff, n, est, lo, hi), est the full-sample
+    * ratio. */
+  def bootstrapRatioCI(df: DataFrame, idCol: String, numCol: String,
+                       denCol: String, b: Int, salt: String,
+                       ciLo: Double = 0.025, ciHi: Double = 0.975,
+                       scale: Int = 4): DataFrame = {
+    require(b >= 1 && b <= 64, s"b must be in [1,64], got $b")
+    require(ciLo > 0 && ciLo < ciHi && ciHi < 1,
+      s"need 0 < ciLo < ciHi < 1, got ($ciLo, $ciHi)")
+    def d(c: Column) = c.cast("double")
+    val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
+    val hashed = df
+      .filter(col(numCol).isNotNull && col(denCol).isNotNull)
+      .select(col(numCol).cast(s"decimal(18,$scale)").as("__x"),
+        col(denCol).cast(s"decimal(18,$scale)").as("__y"),
+        h1.as("__h1"), h2.as("__h2"))
+    val aggs = (0 until b).flatMap { j =>
+      val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
+        .cast("double") / lit(4294967296.0)
+      val w = poisson1Cdf.zipWithIndex
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (acc, (t, k)) =>
+            Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
+        }.get.otherwise(poisson1Cdf.length).cast("long")
+      Seq(sum(w.cast("decimal(19,0)") * col("__x")).as(s"__sx$j"),
+        sum(w.cast("decimal(19,0)") * col("__y")).as(s"__sy$j"))
+    } ++ Seq(count(lit(1)).as("__n"), sum(col("__x")).as("__fx"),
+      sum(col("__y")).as("__fy"))
+    val one = hashed.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until b)
+      .map(j => s"${j}L, __sx$j, __sy$j").mkString(", ")
+    val reps = one
+      .select(col("__n"), col("__fx"), col("__fy"),
+        expr(s"stack($b, $stackArgs) as (rep, __sx, __sy)"))
+      .select(col("__n"), col("__fx"), col("__fy"),
+        when(col("__sy") =!= 0, d(col("__sx")) / d(col("__sy")))
+          .as("__r"))
+    reps.groupBy(col("__n"), col("__fx"), col("__fy"))
+      .agg(sum(when(col("__r").isNotNull, 1L).otherwise(0L))
+          .as("b_eff"),
+        sort_array(collect_list(col("__r"))).as("__rs"))
+      .select(lit(b.toLong).as("b"), col("b_eff"),
+        col("__n").as("n"),
+        when(col("__fy") =!= 0, d(col("__fx")) / d(col("__fy")))
+          .as("est"),
+        when(col("b_eff") > 0, element_at(col("__rs"),
+          greatest(ceil(lit(ciLo) * d(col("b_eff"))), lit(1L))
+            .cast("int"))).as("lo"),
+        when(col("b_eff") > 0, element_at(col("__rs"),
+          greatest(ceil(lit(ciHi) * d(col("b_eff"))), lit(1L))
+            .cast("int"))).as("hi"))
+  }
+
   /** Poisson-bootstrap PERCENTILE confidence interval for a QUANTILE —
     * [[bootstrapMeans]] covers means with 2B aggregate expressions,
     * but a median/p90 replicate is an ORDER STATISTIC, so each

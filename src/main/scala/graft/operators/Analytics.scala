@@ -8403,6 +8403,79 @@ object Analytics {
       tau2 = tau2, alpha = alpha)
   }
 
+  /** [[msprtMeanTest]] for a POISSON RATE stream — the third deployed
+    * sequential shape (events per exposure: errors per request, crashes
+    * per session, tokens per document), completing the
+    * mean/proportion/rate triple the MDE family already covers. Each
+    * observation carries a count x and a positive exposure e; under
+    * H₀: λ = λ₀ the running rate λ̂_t = X_t/E_t is approximately
+    * N(λ₀, λ₀/E_t) (the Poisson null variance over accumulated
+    * exposure — the [[msprtProportionTest]] normal-approximation
+    * convention; the exact Gamma-mixture martingale needs log-gamma,
+    * which Spark SQL lacks natively), so the mixture e-process is the
+    * [[msprtMeanTest]] chain with V_t = λ₀/E_t:
+    *   log Λ_t = ½·ln(V_t/(V_t + τ²)) + Δ_t²·τ² / (2·V_t·(V_t + τ²)),
+    * Δ_t = λ̂_t − λ₀. Overdispersion breaks the Poisson variance and
+    * with it the α — gate with [[rateDispersion]] first, exactly as
+    * [[twoRateTest]] prescribes. Counts accumulate exactly as
+    * decimal(38,0), exposures as decimal(38,12), over the same
+    * distributed distinct-t prefix; duplicate t RAISES, and a NULL/
+    * nonpositive exposure RAISES (silently dropping exposure biases
+    * the rate). Output: one row per observation — (t, x_total,
+    * e_total, rate, e_log, crossed), ascending t.
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def msprtRateTest(df: DataFrame, tCol: String, countCol: String,
+                    exposureCol: String, lambda0: Double, tau2: Double,
+                    alpha: Double = 0.05): DataFrame = {
+    require(lambda0 > 0, s"lambda0 must be > 0, got $lambda0")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def d(c: Column) = c.cast("double")
+    val s0 = df.filter(col(tCol).isNotNull && col(countCol).isNotNull)
+      .select(col(tCol).cast("long").as("__t"),
+        col(countCol).cast("decimal(38,0)").as("__x"),
+        col(exposureCol).cast("double").as("__e"))
+    val chk = s0.agg(count(lit(1)).as("__cn"),
+      count_distinct(col("__t")).as("__cd"),
+      sum(when(col("__e").isNull || col("__e") <= 0.0, 1L)
+        .otherwise(0L)).as("__bad"))
+    val zeroX = lit(0).cast("decimal(38,0)")
+    val zeroE = lit(0).cast("decimal(38,12)")
+    val (_, pre) = prefixBeforeMultiByShared(s0, Seq.empty, "__t",
+      Seq("c" -> lit(1L), "x" -> col("__x"),
+        "e" -> col("__e").cast("decimal(38,12)")))
+    val et = d(col("__et"))
+    val vt = lit(lambda0) / et
+    pre
+      .crossJoin(broadcast(chk))
+      .withColumn("__ok", when(col("__bad") > 0,
+        raise_error(lit("msprtRateTest: NULL or nonpositive exposure " +
+          "— every observation must carry positive exposure; fix " +
+          "upstream")))
+        .otherwise(when(col("__cn") === col("__cd"), lit(1))
+          .otherwise(raise_error(lit("msprtRateTest: duplicate t " +
+            "values — a sequential test needs an unambiguous " +
+            "observation order; pre-aggregate to one row per time " +
+            "point")))))
+      .withColumn("__xt", coalesce(col("__cum_x"), zeroX) + col("__x"))
+      .withColumn("__et", coalesce(col("__cum_e"), zeroE) +
+        col("__e").cast("decimal(38,12)"))
+      .withColumn("rate", d(col("__xt")) / et)
+      .withColumn("__dev", col("rate") - lit(lambda0))
+      .withColumn("e_log",
+        lit(0.5) * log(vt / (vt + lit(tau2))) +
+          (col("__dev") * col("__dev") * lit(tau2)) /
+            (lit(2.0) * vt * (vt + lit(tau2))))
+      .withColumn("crossed", col("e_log") >= lit(math.log(1.0 / alpha)))
+      .filter(col("__ok") === 1)
+      .select(col("__t").as("t"), d(col("__xt")).as("x_total"),
+        col("__et").cast("double").as("e_total"), col("rate"),
+        col("e_log"), col("crossed"))
+      .orderBy("t")
+  }
+
   private def mcNemarAggs(aCorrect: Column, bCorrect: Column): Seq[Column] =
     Seq(count(lit(1)).as("n"),
       sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("b"),

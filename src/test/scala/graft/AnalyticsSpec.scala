@@ -4740,6 +4740,144 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("msprtRateTest: literal-model e-process row for row; unit " +
+    "exposure collapses to msprtMeanTest at sigma2 = lambda0; " +
+    "elevated rate crosses ln(1/alpha); duplicate t raises; " +
+    "nonpositive exposure raises; partition sweep") {
+    import spark.implicits._
+    val rows = Seq((1L, 3L, 2.0), (2L, 1L, 0.5), (3L, 4L, 2.5),
+      (4L, 2L, 1.0), (5L, 6L, 3.0), (6L, 2L, 1.5))
+    val df = rows.toDF("t", "x", "e")
+    val (l0, t2, alpha) = (1.5, 0.25, 0.05)
+    val got = Analytics.msprtRateTest(df, "t", "x", "e", l0, t2, alpha)
+      .orderBy("t").collect()
+    var xT = 0L
+    var eT = BigDecimal(0).setScale(12)
+    val want = rows.map { case (_, x, e) =>
+      xT += x
+      eT = eT + BigDecimal(e).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val ed = eT.toDouble
+      val rate = xT.toDouble / ed
+      val vt = l0 / ed
+      val dev = rate - l0
+      val eLog = 0.5 * math.log(vt / (vt + t2)) +
+        (dev * dev * t2) / (2.0 * vt * (vt + t2))
+      (xT.toDouble, ed, rate, eLog)
+    }
+    assert(got.length == 6)
+    got.zip(want).foreach { case (r, (x, e, rate, eLog)) =>
+      assert(r.getAs[Double]("x_total") == x)
+      assert(math.abs(r.getAs[Double]("e_total") - e) < 1e-12)
+      assert(math.abs(r.getAs[Double]("rate") - rate) < 1e-12)
+      assert(math.abs(r.getAs[Double]("e_log") - eLog) < 1e-12)
+      assert(r.getAs[Boolean]("crossed") ==
+        (eLog >= math.log(1.0 / alpha)))
+    }
+    // unit exposure: the rate monitor IS the mean monitor at
+    // sigma2 = lambda0 (V = lambda0/n both ways)
+    val unit = (1 to 30).map(i => (i.toLong, (i % 3).toLong, 1.0))
+      .toDF("t", "x", "e")
+    val viaRate = Analytics.msprtRateTest(unit, "t", "x", "e", l0, t2)
+      .orderBy("t").collect().map(_.getAs[Double]("e_log"))
+    val viaMean = Analytics.msprtMeanTest(
+      unit.withColumn("v", col("x").cast("double")), "t", "v",
+      mu0 = l0, sigma2 = l0, tau2 = t2)
+      .orderBy("t").collect().map(_.getAs[Double]("e_log"))
+    // same statistic through a different (algebraically equal) op
+    // order — agree to ulps, not bits
+    assert(viaRate.length == viaMean.length)
+    viaRate.zip(viaMean).foreach { case (a, m) =>
+      assert(math.abs(a - m) < 1e-12, s"unit-exposure collapse: $a vs $m")
+    }
+    // a persistently elevated rate must cross
+    val hot = (1 to 60).map(i => (i.toLong, 5L, 1.0)).toDF("t", "x", "e")
+    assert(Analytics.msprtRateTest(hot, "t", "x", "e", l0, t2)
+      .filter(col("crossed")).count() > 0)
+    intercept[Exception] {
+      Analytics.msprtRateTest(Seq((1L, 1L, 1.0), (1L, 2L, 1.0))
+        .toDF("t", "x", "e"), "t", "x", "e", l0, t2).collect()
+    }
+    intercept[Exception] {
+      Analytics.msprtRateTest(Seq((1L, 1L, 0.0))
+        .toDF("t", "x", "e"), "t", "x", "e", l0, t2).collect()
+    }
+    partitionSweep { pn =>
+      Analytics.msprtRateTest(df.repartition(pn), "t", "x", "e", l0, t2)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("bootstrapRatioCI: bit-equal to the literal expanded-resample " +
+    "model (md5 mix -> Poisson weights -> ratio of weighted sums -> " +
+    "percentile CI); zero-denominator replicates excluded; partition " +
+    "sweep") {
+    import spark.implicits._
+    import graft.functions.ML
+    val rows = (1 to 40).map { i =>
+      ((i).toLong, ((i * 37 % 19) + 1).toDouble / 2.0,
+        ((i * 23 % 11) + 1).toDouble / 4.0)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val (b, salt) = (12, "br")
+    def md5words(key: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+        java.lang.Long.parseLong(hex.substring(8, 16), 16))
+    }
+    def mix(h1: Long, h2: Long, j: Int): Long = {
+      val m = 4294967296L
+      val a = (h2 + j.toLong * 2654435761L) % m
+      val x0 = h1 ^ a
+      val x1 = (x0 * 1597334677L) % m
+      val x2 = x1 ^ (x1 >> 16)
+      val x3 = (x2 * 887987685L) % m
+      x3 ^ (x3 >> 13)
+    }
+    val cdf = ML.poisson1Cdf
+    def pois(u: Double): Int = {
+      val i = cdf.indexWhere(u < _); if (i < 0) cdf.length else i
+    }
+    def q4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val got = ML.bootstrapRatioCI(df, "id", "x", "y", b, salt)
+      .collect().head
+    val ratios = (0 until b).flatMap { j =>
+      var sx = BigDecimal(0); var sy = BigDecimal(0)
+      rows.foreach { case (id, x, y) =>
+        val (h1, h2) = md5words(id.toString)
+        val w = pois(mix(h1, h2, j).toDouble / 4294967296.0)
+        sx += q4(x) * w; sy += q4(y) * w
+      }
+      if (sy == BigDecimal(0)) None
+      else Some(sx.toDouble / sy.toDouble)
+    }
+    val rs = ratios.sorted
+    def pick(p: Double) =
+      rs(math.max(1, math.ceil(p * rs.size).toInt) - 1)
+    val estWant = rows.map(r => q4(r._2)).sum.toDouble /
+      rows.map(r => q4(r._3)).sum.toDouble
+    assert(got.getAs[Long]("n") == 40L)
+    assert(got.getAs[Long]("b_eff") == ratios.size.toLong)
+    assert(got.getAs[Double]("est") == estWant)
+    assert(got.getAs[Double]("lo") == pick(0.025))
+    assert(got.getAs[Double]("hi") == pick(0.975))
+    assert(got.getAs[Double]("lo") <= got.getAs[Double]("hi"))
+    // an all-zero denominator kills every replicate loudly
+    val dead = rows.map { case (id, x, _) => (id, x, 0.0) }
+      .toDF("id", "x", "y")
+    val rd = ML.bootstrapRatioCI(dead, "id", "x", "y", b, salt)
+      .collect().head
+    assert(rd.getAs[Long]("b_eff") == 0L)
+    assert(rd.isNullAt(rd.fieldIndex("est")))
+    assert(rd.isNullAt(rd.fieldIndex("lo")))
+    partitionSweep { pn =>
+      ML.bootstrapRatioCI(df.repartition(pn), "id", "x", "y", b, salt)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +
