@@ -8056,6 +8056,82 @@ object Analytics {
         "dof")
   }
 
+  /** EVENT STUDY — the dynamic version of [[diffInDiff]] and the plot
+    * every unrandomized-change review actually wants: instead of ONE
+    * pre/post contrast, estimate the treat−control gap in EVERY
+    * period and normalize to a base period,
+    *   rel_p = (x̄_{T,p} − x̄_{C,p}) − (x̄_{T,base} − x̄_{C,base}),
+    * so pre-base periods read as the parallel-trends check (rel ≈ 0
+    * before the change or the design is broken — the [[diffInDiff]]
+    * caveat made visible period by period) and post-base periods
+    * trace the effect's onset and decay. Per-period Welch variances;
+    * rel_se = √(se_p² + se_base²) (independent samples across
+    * periods — repeated-measures panels need the caller to difference
+    * per unit first). The base period's own row anchors at
+    * rel_effect = 0 with NULL rel_se (the normalization, not an
+    * estimate). A base period MISSING either arm RAISES (the
+    * normalization is a parameter, not data); other incomplete
+    * periods stay visible with NULL diff. One map-side-combined scan
+    * to per-period exact decimal moments ([[mdeTwoSample]]'s casts),
+    * a periods-sized frame, one broadcast base row. Output: one row
+    * per period, ascending — (period, n_t, n_c, mean_t, mean_c, diff,
+    * se, z, rel_effect, rel_se, rel_z). */
+  def eventStudy(df: DataFrame, groupCol: String, periodCol: String,
+                 valueCol: String, treatGroup: String,
+                 controlGroup: String, basePeriod: String,
+                 scale: Int = 2): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val base = df.filter(col(groupCol).isin(treatGroup, controlGroup) &&
+      col(periodCol).isNotNull && col(valueCol).isNotNull)
+    def side(g: String, sfx: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n_$sfx"),
+      sum(when(col(groupCol) === g, v)).cast("double").as(s"__s$sfx"),
+      sum(when(col(groupCol) === g,
+        (v * v).cast(s"decimal(38,${2 * scale})"))).cast("double")
+        .as(s"__ss$sfx"))
+    val aggs = side(treatGroup, "t") ++ side(controlGroup, "c")
+    val per = base.groupBy(col(periodCol).as("period"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_t", when(col("n_t") > 0,
+        col("__st") / d(col("n_t"))))
+      .withColumn("mean_c", when(col("n_c") > 0,
+        col("__sc") / d(col("n_c"))))
+      .withColumn("__vt", when(col("n_t") >= 2,
+        (col("__sst") - col("__st") * col("__st") / d(col("n_t"))) /
+          (d(col("n_t")) - 1.0)))
+      .withColumn("__vc", when(col("n_c") >= 2,
+        (col("__ssc") - col("__sc") * col("__sc") / d(col("n_c"))) /
+          (d(col("n_c")) - 1.0)))
+      .withColumn("diff", col("mean_t") - col("mean_c"))
+      .withColumn("__se2",
+        col("__vt") / d(col("n_t")) + col("__vc") / d(col("n_c")))
+      .withColumn("se", when(col("__se2") > 0, sqrt(col("__se2"))))
+      .withColumn("z", when(col("se") > 0, col("diff") / col("se")))
+    val bRow = per.filter(col("period") === basePeriod)
+      .agg(count(lit(1)).as("__bn"),
+        min(col("diff")).as("__bd"), min(col("__se2")).as("__bs2"))
+    per.crossJoin(broadcast(bRow))
+      .withColumn("__bok", when(col("__bn") === 1 &&
+        col("__bd").isNotNull, lit(1))
+        .otherwise(raise_error(lit("eventStudy: the base period is " +
+          "missing or lacks one arm — the normalization must be a " +
+          "complete period; pick another basePeriod"))))
+      .withColumn("rel_effect", when(col("__bok") === 1,
+        when(col("period") === basePeriod, lit(0.0))
+          .otherwise(col("diff") - col("__bd"))))
+      .withColumn("rel_se", when(col("period") =!= basePeriod &&
+        col("__se2").isNotNull && col("__bs2").isNotNull &&
+        (col("__se2") + col("__bs2")) > 0,
+        sqrt(col("__se2") + col("__bs2"))))
+      .withColumn("rel_z", when(col("rel_se") > 0,
+        col("rel_effect") / col("rel_se")))
+      .select(col("period"), col("n_t"), col("n_c"), col("mean_t"),
+        col("mean_c"), col("diff"), col("se"), col("z"),
+        col("rel_effect"), col("rel_se"), col("rel_z"))
+      .orderBy("period")
+  }
+
   /** Per-GROUP Poisson dispersion gate — the assumption check behind
     * [[twoRateTest]] (its Wald CIs assume var = mean; real event
     * counts are usually OVERdispersed — user-level clumping, bursts —

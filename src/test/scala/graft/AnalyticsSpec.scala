@@ -4878,6 +4878,81 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("eventStudy: literal per-period Welch model; base row anchors " +
+    "at 0 with NULL rel_se; pre-period reads the parallel-trends " +
+    "check; incomplete period stays visible; missing/one-armed base " +
+    "raises; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      ("p1", "T", 10.0), ("p1", "T", 12.0), ("p1", "C", 9.0),
+      ("p1", "C", 11.0),
+      ("p2", "T", 11.0), ("p2", "T", 13.0), ("p2", "C", 10.0),
+      ("p2", "C", 12.0),
+      ("p3", "T", 20.0), ("p3", "T", 22.0), ("p3", "C", 12.0),
+      ("p3", "C", 14.0),
+      ("p4", "T", 24.0), ("p4", "C", 13.0), ("p4", "C", 15.0))
+    val df = rows.toDF("p", "g", "v")
+    val got = Analytics.eventStudy(df, "g", "p", "v", "T", "C", "p2")
+      .orderBy("period").collect()
+    assert(got.length == 4)
+    def stats(p: String, g: String) = {
+      val vs = rows.filter(r => r._1 == p && r._2 == g).map(_._3)
+      val m = vs.sum / vs.size
+      val va = if (vs.size >= 2)
+        Some(vs.map(x => (x - m) * (x - m)).sum / (vs.size - 1))
+      else None
+      (vs.size, m, va)
+    }
+    def dse2(p: String) = {
+      val (nt, mt, vt) = stats(p, "T"); val (nc, mc, vc) = stats(p, "C")
+      (mt - mc, (vt, vc) match {
+        case (Some(a), Some(b)) => Some(a / nt + b / nc)
+        case _ => None
+      })
+    }
+    val (bd, bs2) = dse2("p2")
+    got.foreach { r =>
+      val p = r.getAs[String]("period")
+      val (diff, se2) = dse2(p)
+      assert(math.abs(r.getAs[Double]("diff") - diff) < 1e-12, s"$p diff")
+      if (p == "p2") {
+        assert(r.getAs[Double]("rel_effect") == 0.0)
+        assert(r.isNullAt(r.fieldIndex("rel_se")))
+      } else {
+        assert(math.abs(r.getAs[Double]("rel_effect") - (diff - bd))
+          < 1e-12, s"$p rel")
+        (se2, bs2) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(r.getAs[Double]("rel_se") -
+              math.sqrt(a + b)) < 1e-12, s"$p rel_se")
+          case _ => assert(r.isNullAt(r.fieldIndex("rel_se")))
+        }
+      }
+    }
+    // parallel trends: the pre-base period's rel sits near 0, the
+    // post periods carry the effect
+    val byP = got.map(r => r.getAs[String]("period") ->
+      r.getAs[Double]("rel_effect")).toMap
+    assert(math.abs(byP("p1")) < 1.0)
+    assert(byP("p3") > 5.0 && byP("p4") > 5.0)
+    // p4's treat arm is a singleton: diff stands, rel_se is NULL
+    val p4 = got.find(_.getAs[String]("period") == "p4").get
+    assert(!p4.isNullAt(p4.fieldIndex("diff")))
+    assert(p4.isNullAt(p4.fieldIndex("rel_se")))
+    // missing base period / one-armed base: loud raise
+    intercept[Exception] {
+      Analytics.eventStudy(df, "g", "p", "v", "T", "C", "p9").collect()
+    }
+    intercept[Exception] {
+      Analytics.eventStudy(df.filter(!(col("p") === "p2" &&
+        col("g") === "C")), "g", "p", "v", "T", "C", "p2").collect()
+    }
+    partitionSweep { pn =>
+      Analytics.eventStudy(df.repartition(pn), "g", "p", "v", "T", "C",
+        "p2").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +
