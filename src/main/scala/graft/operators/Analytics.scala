@@ -4857,6 +4857,78 @@ object Analytics {
       .orderBy("t")
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME — ∫₀^τ S(t)dt, the
+    * model-assumption-free effect scale modern survival practice
+    * reads instead of medians or hazard ratios (Royston & Parmar
+    * 2013; Uno et al. 2014: "mean time survived over the first τ" is
+    * interpretable even when hazards cross, where the log-rank HR is
+    * not): the [[kaplanMeier]] chain verbatim (both passes, the exact
+    * 1e-12-quantum log accumulation), integrated WITHOUT a lead/lag
+    * over event times via Abel summation —
+    *   RMST(τ) = τ·S(τ⁻) + Σ_{tᵢ < τ} tᵢ·(S(tᵢ⁻) − S(tᵢ)),
+    * where both survivals at each event time come from the SAME
+    * prefix row (exclusive vs inclusive cumulative — no neighbor
+    * access, no single-task window over event times). The per-time
+    * drop terms tᵢ·ΔSᵢ are quantized at decimal(38,18) (positive,
+    * O(τ/n) each — the scale-18 sum rule) so the cross-time sum is
+    * engine-exact. Variance is deliberately NOT emitted — the Klein
+    * large-sample form needs per-time nested cumulatives of a
+    * different shape; compare cohorts by running the operator per
+    * cohort and bootstrapping subjects upstream if error bars are
+    * needed. Durations are compared and integrated as doubles;
+    * τ before the first event yields RMST = τ (everyone survives the
+    * window); empty input → NULL. Output: one row — (tau, n, events,
+    * survival_tau, rmst). */
+  def rmst(df: DataFrame, durationCol: String, event: Column,
+           tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).cast("double").as("__t"))
+      .agg(sum(when(event, 1L).otherwise(0L)).as("__d"),
+        sum(when(event, 0L).otherwise(1L)).as("__c"))
+    val (kmShared, atRisk0) =
+      prefixBeforeShared(counts, "__t", col("__d") + col("__c"))
+    val n = kmShared.agg(sum(col("__d") + col("__c")).as("__n"))
+    val atRisk = atRisk0
+      .crossJoin(broadcast(n))
+      .withColumn("__risk", col("__n") - col("__cum"))
+      .drop("__cum")
+    val terms = atRisk
+      .withColumn("__q",
+        when(col("__d") > 0 && col("__d") < col("__risk"),
+          (log(lit(1.0) - d(col("__d")) / d(col("__risk")))
+            .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+          .otherwise(0L))
+      .withColumn("__z",
+        when(col("__d") > 0 && col("__d") === col("__risk"), 1L)
+          .otherwise(0L))
+    val cum = prefixBeforeMulti(terms, "__t",
+      Seq("q" -> col("__q"), "z" -> col("__z")))
+    val ev = cum.filter(col("__d") > 0 && col("__t") < tau)
+      .withColumn("__sexcl", when(col("__cum_z") > 0, lit(0.0))
+        .otherwise(exp(col("__cum_q").cast("double") / lit(1e12))))
+      .withColumn("__sincl",
+        when(col("__cum_z") + col("__z") > 0, lit(0.0))
+          .otherwise(exp((col("__cum_q") + col("__q")).cast("double") /
+            lit(1e12))))
+    val agg = ev.agg(
+      coalesce(sum((col("__t") * (col("__sexcl") - col("__sincl")))
+        .cast("decimal(38,18)")).cast("double"), lit(0.0)).as("__drop"),
+      coalesce(sum(col("__q")), lit(0L)).as("__qk"),
+      coalesce(sum(col("__z")), lit(0L)).as("__zk"),
+      coalesce(sum(col("__d")), lit(0L)).as("events"))
+    agg.crossJoin(broadcast(
+        n.select(coalesce(col("__n"), lit(0L)).as("n"))))
+      .withColumn("survival_tau", when(col("n") > 0,
+        when(col("__zk") > 0, lit(0.0))
+          .otherwise(exp(col("__qk").cast("double") / lit(1e12)))))
+      .withColumn("rmst", when(col("n") > 0,
+        lit(tau) * col("survival_tau") + col("__drop")))
+      .select(lit(tau).as("tau"), col("n"), col("events"),
+        col("survival_tau"), col("rmst"))
+  }
+
   /** Nelson–Aalen cumulative-hazard estimator — [[kaplanMeier]]'s
     * hazard-scale sibling (KM estimates survival S(t), NA estimates the
     * cumulative hazard H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ directly; H is the

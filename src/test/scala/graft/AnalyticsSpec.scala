@@ -4953,6 +4953,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rmst: hand-integrated KM area at an interior tau; tau before " +
+    "first event = tau; extrapolation holds the last plateau; the " +
+    "no-censoring case recovers the truncated mean exactly; empty " +
+    "input NULLs; partition sweep") {
+    import spark.implicits._
+    val subj = Seq((1.0, true), (2.0, false), (3.0, true), (5.0, true),
+      (7.0, false)).toDF("dur", "ev")
+    // KM: S=0.8 after t=1, 0.5333.. after 3, 0.2666.. after 5
+    val r6 = Analytics.rmst(subj, "dur", col("ev"), tau = 6.0)
+      .collect().head
+    assert(r6.getAs[Long]("n") == 5L && r6.getAs[Long]("events") == 3L)
+    val s5 = 0.8 * (2.0 / 3.0) * 0.5
+    assert(math.abs(r6.getAs[Double]("survival_tau") - s5) < 1e-9)
+    val want6 = 1.0 + 2.0 * 0.8 + 2.0 * (0.8 * 2.0 / 3.0) + 1.0 * s5
+    assert(math.abs(r6.getAs[Double]("rmst") - want6) < 1e-9)
+    // tau inside the first flat stretch: everyone survives the window
+    val rHalf = Analytics.rmst(subj, "dur", col("ev"), tau = 0.5)
+      .collect().head
+    assert(rHalf.getAs[Double]("survival_tau") == 1.0)
+    assert(rHalf.getAs[Double]("rmst") == 0.5)
+    // beyond follow-up: the last plateau extrapolates (the standard
+    // KM-integration caveat — pick tau inside follow-up in practice)
+    val r100 = Analytics.rmst(subj, "dur", col("ev"), tau = 100.0)
+      .collect().head
+    assert(math.abs(r100.getAs[Double]("rmst") - 29.0) < 1e-7)
+    // no censoring: RMST at large tau IS the sample mean (S hits 0)
+    val all = Seq((1.0, true), (2.0, true), (3.0, true)).toDF("dur", "ev")
+    val rAll = Analytics.rmst(all, "dur", col("ev"), tau = 10.0)
+      .collect().head
+    assert(rAll.getAs[Double]("survival_tau") == 0.0)
+    assert(math.abs(rAll.getAs[Double]("rmst") - 2.0) < 1e-9)
+    // empty input: loud NULL, not a silent zero
+    val rEmpty = Analytics.rmst(subj.filter(col("dur") < 0), "dur",
+      col("ev"), tau = 6.0).collect().head
+    assert(rEmpty.isNullAt(rEmpty.fieldIndex("rmst")))
+    partitionSweep { pn =>
+      Analytics.rmst(subj.repartition(pn), "dur", col("ev"), 6.0)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +
