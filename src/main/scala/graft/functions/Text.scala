@@ -327,6 +327,48 @@ object Text {
     df.select(explode(graft.plans.HashExpressions.shingleStrings(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
 
+  /** Cross-corpus N-GRAM COVERAGE — decontamination's benign twin and
+    * the curation question DSIR/mixing answer indirectly: "does the
+    * candidate training corpus actually COVER the target domain's
+    * vocabulary?" For every distinct n-gram of the TARGET corpus
+    * (per-doc-deduped, the [[ngramDocFreq]] tokenization), check
+    * membership in the candidate corpus's distinct n-grams:
+    * `coverage` = the share of distinct target grams present, and
+    * `mass_coverage` = the doc-frequency-weighted share (a missing
+    * gram that appears in half the target docs hurts more than a
+    * hapax). Read them together: high coverage + low mass_coverage
+    * means the candidate misses the target's COMMON phrasing. Plan:
+    * two tokenize-explode scans to distinct-gram tables (candidate
+    * deduped map-side), one gram-keyed join, one fold — everything
+    * bounded by distinct-gram counts, text never shuffles past the
+    * explode. Output: one row — (n_target_grams, n_covered, coverage,
+    * df_total, df_covered, mass_coverage). */
+  def ngramCoverage(target: org.apache.spark.sql.DataFrame,
+                    candidate: org.apache.spark.sql.DataFrame,
+                    textCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val tg = target.select(explode(graft.plans.HashExpressions
+        .shingleStrings(col(textCol), n)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val cg = candidate.select(explode(graft.plans.HashExpressions
+        .shingleStrings(col(textCol), n)).as("__cg")).distinct()
+    tg.join(cg, col("__g") === col("__cg"), "left")
+      .agg(count(lit(1)).as("n_target_grams"),
+        sum(when(col("__cg").isNotNull, 1L).otherwise(0L))
+          .as("n_covered"),
+        sum(col("__df")).as("df_total"),
+        sum(when(col("__cg").isNotNull, col("__df")).otherwise(0L))
+          .as("df_covered"))
+      .select(col("n_target_grams"), col("n_covered"),
+        when(col("n_target_grams") > 0,
+          d(col("n_covered")) / d(col("n_target_grams"))).as("coverage"),
+        coalesce(col("df_total"), lit(0L)).as("df_total"),
+        coalesce(col("df_covered"), lit(0L)).as("df_covered"),
+        when(col("df_total") > 0,
+          d(col("df_covered")) / d(col("df_total"))).as("mass_coverage"))
+  }
+
   /** Top-k n-grams by document frequency (ties broken by gram text, so the
     * result is deterministic). The global limit after the aggregate lowers
     * to TakeOrderedAndProject — partial top-k per partition, only k rows

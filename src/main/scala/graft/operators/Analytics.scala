@@ -4790,6 +4790,82 @@ object Analytics {
           signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))))
   }
 
+  /** The shared Kaplan–Meier accumulation chain ([[kaplanMeier]],
+    * [[rmst]], [[survivalQuantile]]): per-duration (d, c) counts,
+    * at-risk from the strictly-before prefix (pass 1 — N read off the
+    * PINNED ranged frame, never a second execution), then the per-time
+    * log factor and S-hits-zero indicator prefix-summed in pass 2. The
+    * factor is carried as an exact INTEGER count of 1e-12 quanta — a
+    * decimal weight through the prefix machinery loses scale (each
+    * precision-38-capped decimal ADD chips a digit: the offset+local
+    * and cum+own sums landed the r15 draft at scale 10, a measured
+    * 1e-11-per-term drift vs the oracle), while long sums are exact
+    * and the quantization (decimal(28,12) HALF_UP, then ×1e12) is
+    * replayable. |Σq| stays ≪ 2⁶³: Σ|ln| = −ln S_final ≈ ln N at the
+    * no-censoring extreme (~21·1e12 at N = 10⁹). Returns (cum frame
+    * with __t/__d/__c/__risk/__q/__z/__cum_q/__cum_z, the one-row __n
+    * total). */
+  private def kmCumChain(df: DataFrame, duration: Column,
+                         event: Column): (DataFrame, DataFrame) = {
+    def d(c: Column) = c.cast("double")
+    val counts = df.filter(duration.isNotNull)
+      .groupBy(duration.as("__t"))
+      .agg(sum(when(event, 1L).otherwise(0L)).as("__d"),
+        sum(when(event, 0L).otherwise(1L)).as("__c"))
+    val (kmShared, atRisk0) =
+      prefixBeforeShared(counts, "__t", col("__d") + col("__c"))
+    val n = kmShared.agg(sum(col("__d") + col("__c")).as("__n"))
+    val atRisk = atRisk0
+      .crossJoin(broadcast(n))
+      .withColumn("__risk", col("__n") - col("__cum"))
+      .drop("__cum", "__n")
+    val terms = atRisk
+      .withColumn("__q",
+        when(col("__d") > 0 && col("__d") < col("__risk"),
+          (log(lit(1.0) - d(col("__d")) / d(col("__risk")))
+            .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
+          .otherwise(0L))
+      .withColumn("__z",
+        when(col("__d") > 0 && col("__d") === col("__risk"), 1L)
+          .otherwise(0L))
+    (prefixBeforeMulti(terms, "__t",
+      Seq("q" -> col("__q"), "z" -> col("__z"))), n)
+  }
+
+  /** KM SURVIVAL QUANTILE — "median time to convert" and its
+    * siblings: the smallest event time t with S(t) ≤ 1 − p (the
+    * standard definition — Klein & Moeschberger §4.5), read off the
+    * censoring-correct [[kaplanMeier]] curve rather than a naive
+    * duration percentile (which treats censored subjects as if they
+    * converted at their last sighting — biased low, the classic
+    * retention mistake). Under heavy censoring the curve may never
+    * reach 1 − p: `reached` = false and NULL quantile is the honest
+    * answer (the naive percentile would have invented one). Same
+    * two-pass chain as [[kaplanMeier]] ([[kmCumChain]]); one
+    * conditional min-aggregate on top. Durations compare as doubles.
+    * Output: one row — (p, n, events, quantile, reached).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def survivalQuantile(df: DataFrame, durationCol: String,
+                       event: Column, p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val (cum, n) = kmCumChain(df, col(durationCol).cast("double"), event)
+    val ev = cum.filter(col("__d") > 0)
+      .withColumn("__sincl",
+        when(col("__cum_z") + col("__z") > 0, lit(0.0))
+          .otherwise(exp((col("__cum_q") + col("__q")).cast("double") /
+            lit(1e12))))
+    ev.agg(coalesce(sum(col("__d")), lit(0L)).as("events"),
+        min(when(col("__sincl") <= lit(1.0 - p), col("__t")))
+          .as("quantile"))
+      .crossJoin(broadcast(
+        n.select(coalesce(col("__n"), lit(0L)).as("n"))))
+      .select(lit(p).as("p"), col("n"), col("events"),
+        when(col("n") > 0, col("quantile")).as("quantile"),
+        when(col("n") > 0, col("quantile").isNotNull).as("reached"))
+  }
+
   /** Kaplan–Meier survival curve — time-to-event with right censoring
     * (time-to-first-purchase with still-active users censored; document
     * lifetime with the newest crawl censored; job duration with
@@ -4812,41 +4888,7 @@ object Analytics {
     * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
   def kaplanMeier(df: DataFrame, durationCol: String, event: Column)
       : DataFrame = {
-    def d(c: Column) = c.cast("double")
-    val counts = df.filter(col(durationCol).isNotNull)
-      .groupBy(col(durationCol).as("__t"))
-      .agg(sum(when(event, 1L).otherwise(0L)).as("__d"),
-        sum(when(event, 0L).otherwise(1L)).as("__c"))
-    // pass 1: at-risk counts n_i = N − (subjects with duration < t);
-    // N reads the PINNED ranged frame, not a second counts execution
-    val (kmShared, atRisk0) =
-      prefixBeforeShared(counts, "__t", col("__d") + col("__c"))
-    val n = kmShared.agg(sum(col("__d") + col("__c")).as("__n"))
-    val atRisk = atRisk0
-      .crossJoin(broadcast(n))
-      .withColumn("__risk", col("__n") - col("__cum"))
-      .drop("__cum", "__n")
-    // per-time log factor (0 for censor-only times) and the S-hits-zero
-    // indicator; both prefix-summed INCLUSIVELY in pass 2. The factor
-    // is carried as an exact INTEGER count of 1e-12 quanta — a decimal
-    // weight through the prefix machinery loses scale (each
-    // precision-38-capped decimal ADD chips a digit: the offset+local
-    // and cum+own sums landed the r15 draft at scale 10, a measured
-    // 1e-11-per-term drift vs the oracle), while long sums are exact
-    // and the quantization (decimal(28,12) HALF_UP, then ×1e12) is
-    // replayable. |Σq| stays ≪ 2⁶³: Σ|ln| = −ln S_final ≈ ln N at
-    // the no-censoring extreme (~21·1e12 at N = 10⁹).
-    val terms = atRisk
-      .withColumn("__q",
-        when(col("__d") > 0 && col("__d") < col("__risk"),
-          (log(lit(1.0) - d(col("__d")) / d(col("__risk")))
-            .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
-          .otherwise(0L))
-      .withColumn("__z",
-        when(col("__d") > 0 && col("__d") === col("__risk"), 1L)
-          .otherwise(0L))
-    val cum = prefixBeforeMulti(terms, "__t",
-      Seq("q" -> col("__q"), "z" -> col("__z")))
+    val (cum, _) = kmCumChain(df, col(durationCol), event)
     cum.filter(col("__d") > 0)
       .select(col("__t").as("t"), col("__risk").as("n_risk"),
         col("__d").as("d"), col("__c").as("c"),
@@ -4882,29 +4924,7 @@ object Analytics {
   def rmst(df: DataFrame, durationCol: String, event: Column,
            tau: Double): DataFrame = {
     require(tau > 0, s"tau must be > 0, got $tau")
-    def d(c: Column) = c.cast("double")
-    val counts = df.filter(col(durationCol).isNotNull)
-      .groupBy(col(durationCol).cast("double").as("__t"))
-      .agg(sum(when(event, 1L).otherwise(0L)).as("__d"),
-        sum(when(event, 0L).otherwise(1L)).as("__c"))
-    val (kmShared, atRisk0) =
-      prefixBeforeShared(counts, "__t", col("__d") + col("__c"))
-    val n = kmShared.agg(sum(col("__d") + col("__c")).as("__n"))
-    val atRisk = atRisk0
-      .crossJoin(broadcast(n))
-      .withColumn("__risk", col("__n") - col("__cum"))
-      .drop("__cum")
-    val terms = atRisk
-      .withColumn("__q",
-        when(col("__d") > 0 && col("__d") < col("__risk"),
-          (log(lit(1.0) - d(col("__d")) / d(col("__risk")))
-            .cast("decimal(28,12)") * lit(1000000000000L)).cast("long"))
-          .otherwise(0L))
-      .withColumn("__z",
-        when(col("__d") > 0 && col("__d") === col("__risk"), 1L)
-          .otherwise(0L))
-    val cum = prefixBeforeMulti(terms, "__t",
-      Seq("q" -> col("__q"), "z" -> col("__z")))
+    val (cum, n) = kmCumChain(df, col(durationCol).cast("double"), event)
     val ev = cum.filter(col("__d") > 0 && col("__t") < tau)
       .withColumn("__sexcl", when(col("__cum_z") > 0, lit(0.0))
         .otherwise(exp(col("__cum_q").cast("double") / lit(1e12))))

@@ -4994,6 +4994,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("survivalQuantile: censoring-correct quantiles off the KM " +
+    "curve; unreached quantile reads reached=false not an invented " +
+    "number; agrees with the kaplanMeier output; S-hits-zero case; " +
+    "partition sweep") {
+    import spark.implicits._
+    val subj = Seq((1.0, true), (2.0, false), (3.0, true), (5.0, true),
+      (7.0, false)).toDF("dur", "ev")
+    // S: 0.8 after t=1, 0.5333 after 3, 0.2667 after 5
+    def q(p: Double) = Analytics.survivalQuantile(subj, "dur",
+      col("ev"), p).collect().head
+    assert(q(0.1).getAs[Double]("quantile") == 1.0)
+    assert(q(0.5).getAs[Double]("quantile") == 5.0)
+    assert(q(0.7).getAs[Double]("quantile") == 5.0)
+    val unreached = q(0.9)
+    assert(!unreached.getAs[Boolean]("reached"))
+    assert(unreached.isNullAt(unreached.fieldIndex("quantile")))
+    assert(unreached.getAs[Long]("n") == 5L &&
+      unreached.getAs[Long]("events") == 3L)
+    // composition: the quantile IS the first KM row at or under 1-p
+    val km = Analytics.kaplanMeier(subj, "dur", col("ev"))
+      .orderBy("t").collect()
+    val wantMedian = km.find(_.getAs[Double]("survival") <= 0.5).get
+      .getAs[Double]("t")
+    assert(q(0.5).getAs[Double]("quantile") == wantMedian)
+    // everyone dies: S hits exact 0, every deep quantile is the last t
+    val all = Seq((1.0, true), (2.0, true), (3.0, true)).toDF("dur", "ev")
+    val rz = Analytics.survivalQuantile(all, "dur", col("ev"), 0.99)
+      .collect().head
+    assert(rz.getAs[Double]("quantile") == 3.0)
+    // empty input: NULL, not zero
+    val re = Analytics.survivalQuantile(subj.filter(col("dur") < 0),
+      "dur", col("ev"), 0.5).collect().head
+    assert(re.isNullAt(re.fieldIndex("quantile")))
+    assert(re.isNullAt(re.fieldIndex("reached")))
+    partitionSweep { pn =>
+      Analytics.survivalQuantile(subj.repartition(pn), "dur",
+        col("ev"), 0.5).collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +

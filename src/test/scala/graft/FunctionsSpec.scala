@@ -3199,4 +3199,43 @@ class FunctionsSpec extends SparkSpec {
     assert(tiny.isNullAt(tiny.fieldIndex("xi_hill")) &&
       tiny.isNullAt(tiny.fieldIndex("diagnosis")))
   }
+
+  test("ngramCoverage: hand-counted distinct and df-mass coverage; " +
+    "per-doc dedup matches shingle semantics; empty target NULLs; " +
+    "empty candidate reads zero; partition sweep") {
+    import spark.implicits._
+    import graft.functions.Text
+    val target = Seq("a b c d", "b c d e").toDF("text")
+    val cand = Seq("a b c x", "c d e").toDF("text")
+    // target 3-grams: {a b c}(df1), {b c d}(df2), {c d e}(df1);
+    // candidate distinct: {a b c, b c x, c d e}
+    val r = Text.ngramCoverage(target, cand, "text", 3).collect().head
+    assert(r.getAs[Long]("n_target_grams") == 3L)
+    assert(r.getAs[Long]("n_covered") == 2L)
+    assert(math.abs(r.getAs[Double]("coverage") - 2.0 / 3.0) < 1e-15)
+    assert(r.getAs[Long]("df_total") == 4L)
+    assert(r.getAs[Long]("df_covered") == 2L)
+    assert(r.getAs[Double]("mass_coverage") == 0.5)
+    // duplicated gram inside ONE doc counts once (per-doc dedup)
+    val dup = Seq("a b c a b c").toDF("text")
+    val rd = Text.ngramCoverage(dup, cand, "text", 3).collect().head
+    // grams: {a b c, b c a, c a b} after dedup; only "a b c" covered
+    assert(rd.getAs[Long]("n_target_grams") == 3L)
+    assert(rd.getAs[Long]("n_covered") == 1L)
+    // empty target: nothing to cover -> NULL shares, zero counts
+    val rt = Text.ngramCoverage(target.filter(lit(false)), cand,
+      "text", 3).collect().head
+    assert(rt.getAs[Long]("n_target_grams") == 0L)
+    assert(rt.isNullAt(rt.fieldIndex("coverage")))
+    assert(rt.getAs[Long]("df_total") == 0L)
+    // empty candidate: coverage is honestly zero
+    val rc = Text.ngramCoverage(target, cand.filter(lit(false)),
+      "text", 3).collect().head
+    assert(rc.getAs[Double]("coverage") == 0.0)
+    assert(rc.getAs[Double]("mass_coverage") == 0.0)
+    partitionSweep { pn =>
+      Text.ngramCoverage(target.repartition(pn), cand.repartition(pn),
+        "text", 3).collect().map(_.toSeq).toSeq
+    }
+  }
 }
