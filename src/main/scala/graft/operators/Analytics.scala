@@ -1647,32 +1647,13 @@ object Analytics {
       .crossJoin(side(groupB, "__vb", "__cb"))
       .groupBy((col("__vb") - col("__va")).as("__d"))
       .agg(sum(col("__ca") * col("__cb")).as("__w"))
-    val (shared, cum0) = prefixBeforeShared(diffs, "__d", col("__w"))
-    val cum = cum0.withColumnRenamed("__cum", "__s")
-      .crossJoin(broadcast(shared.agg(sum(col("__w")).as("__n"))))
-    val t = (d(col("__n")) - 1.0) / 2.0
-    val k = floor(t).cast("long")
-    val tgt = when(col("__side") === 0, k)
-      .otherwise(least(k + 1, col("__n") - 1))
-    val spineDf = {
-      val s = df.sparkSession
-      import s.implicits._
-      Seq(0, 1).toDF("__side")
-    }
     // non-null counts, matching the diff multiset's n_a·n_b mass
     val nRow = df.filter(col(valueCol).isNotNull).agg(
       sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n_a"),
       sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n_b"))
-    cum.join(broadcast(spineDf),
-        col("__s") <= tgt && tgt < col("__s") + col("__w"))
-      .agg(
-        min(when(col("__side") === 0, col("__d"))).as("__lo"),
-        min(when(col("__side") === 1, col("__d"))).as("__hi"),
-        max(when(col("__side") === 0, t - floor(t))).as("__frac"))
+    weightedMedianRow(diffs, "__d", "__w", "hl_shift")
       .crossJoin(broadcast(nRow))
-      .select(col("n_a"), col("n_b"),
-        (col("__lo") + col("__frac") * (col("__hi") - col("__lo")))
-          .as("hl_shift"))
+      .select(col("n_a"), col("n_b"), col("hl_shift"))
   }
 
   /** One-way ANOVA F — the K-GROUP extension of [[welchT]]'s pairwise
@@ -7390,60 +7371,6 @@ object Analytics {
         min(col("__n")).as("__nw"))
       .select((col("__lo") + col("__frac") * (col("__hi") - col("__lo")))
         .as(outCol), col("__nw"))
-  }
-
-  /** THEIL–SEN robust trend line — the slope that belongs next to
-    * [[mannKendallTrend]]'s direction test (the pair every
-    * environmental-statistics text prescribes: MK says WHETHER the
-    * series drifts, Sen's estimator says BY HOW MUCH, both immune to
-    * outliers that wreck OLS): slope = median over all i < j of
-    * (vⱼ − vᵢ)/(tⱼ − tᵢ) (Sen 1968), intercept = median of
-    * (vᵢ − slope·tᵢ) (the Conover form), both medians type-7
-    * interpolated via the [[hodgesLehmann]] rank chain.
-    *
-    * CONTRACT (the [[hodgesLehmann]] precedent): the pair join
-    * compares n(n−1)/2 pairs, so the operator is for BOUNDED series —
-    * a daily/hourly metric, a per-period aggregate (thousands of
-    * points, millions of pairs) — not a raw event stream; aggregate
-    * to the trend grain upstream. The median passes themselves are
-    * distributed-prefix, unbounded-safe. Duplicate t RAISES (a slope
-    * at Δt = 0 is undefined; pre-aggregate to one row per time
-    * point). n < 2 → NULL slope/intercept. The slope never crosses
-    * the driver — the intercept pass reads it from a broadcast
-    * one-row frame. Output: one row — (n, n_pairs, slope, intercept).
-    * EAGER: builds on the pinned-execution bridge, so Spark jobs
-    * launch AT CALL time and the input is snapshotted then
-    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
-  def theilSenSlope(df: DataFrame, tCol: String, valueCol: String)
-      : DataFrame = {
-    def d(c: Column) = c.cast("double")
-    val s0 = df.filter(col(tCol).isNotNull && col(valueCol).isNotNull)
-      .select(d(col(tCol)).as("__t"), d(col(valueCol)).as("__v"))
-    val chk = s0.agg(count(lit(1)).as("__cn"),
-      count_distinct(col("__t")).as("__cd"))
-    val pts = s0.crossJoin(broadcast(chk))
-      .withColumn("__g", when(col("__cn") === col("__cd"), lit(1))
-        .otherwise(raise_error(lit("theilSenSlope: duplicate t values " +
-          "— Sen's estimator needs one observation per time point; " +
-          "pre-aggregate to the trend grain first"))))
-      .filter(col("__g") === 1).select(col("__t"), col("__v"))
-    val a = pts.select(col("__t").as("__t1"), col("__v").as("__v1"))
-    val b = pts.select(col("__t").as("__t2"), col("__v").as("__v2"))
-    val slopes = a.join(b, col("__t1") < col("__t2"))
-      .groupBy(((col("__v2") - col("__v1")) /
-        (col("__t2") - col("__t1"))).as("__sl"))
-      .agg(count(lit(1)).as("__w"))
-    val slopeRow = weightedMedianRow(slopes, "__sl", "__w", "slope")
-      .withColumnRenamed("__nw", "n_pairs")
-    val resid = pts.crossJoin(broadcast(slopeRow))
-      .groupBy((col("__v") - col("slope") * col("__t")).as("__rv"))
-      .agg(count(lit(1)).as("__w"))
-    val interceptRow = weightedMedianRow(resid, "__rv", "__w",
-      "intercept").withColumnRenamed("__nw", "n")
-    slopeRow.crossJoin(broadcast(interceptRow))
-      .select(coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        col("slope"), col("intercept"))
   }
 
   /** Minimum detectable effect (MDE) from OBSERVED moments — the

@@ -4487,56 +4487,6 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("theilSenSlope: literal pairwise-median model (type-7 on both " +
-    "medians); exact line recovered exactly; outlier-immune where OLS " +
-    "is not; duplicate t raises; n=1 NULLs; partition sweep") {
-    import spark.implicits._
-    def type7(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      val t = (s.size - 1).toDouble / 2.0
-      val k = t.toInt
-      val hi = s(math.min(k + 1, s.size - 1))
-      s(k) + (t - k) * (hi - s(k))
-    }
-    val pts = Seq((1.0, 3.0), (2.0, 1.0), (3.0, 4.0), (4.0, 2.0),
-      (5.0, 10.0))
-    val df = pts.toDF("t", "v")
-    val r = Analytics.theilSenSlope(df, "t", "v").collect().head
-    val slopes = for {
-      i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
-    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
-    val slope = type7(slopes)
-    val icept = type7(pts.map { case (t, v) => v - slope * t })
-    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_pairs") == 10L)
-    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-12)
-    assert(math.abs(r.getAs[Double]("intercept") - icept) < 1e-12)
-    // exact line: every pairwise slope is 2, every residual is 1
-    val line = (1 to 7).map(i => (i.toDouble, 2.0 * i + 1.0))
-      .toDF("t", "v")
-    val rl = Analytics.theilSenSlope(line, "t", "v").collect().head
-    assert(rl.getAs[Double]("slope") == 2.0)
-    assert(rl.getAs[Double]("intercept") == 1.0)
-    // robustness: one wild outlier barely moves Sen's slope while the
-    // OLS slope on the same data is dragged far off 2.0
-    val dirty = ((1 to 20).map(i => (i.toDouble, 2.0 * i)) :+
-      ((21.0, 500.0))).toDF("t", "v")
-    val rd = Analytics.theilSenSlope(dirty, "t", "v").collect().head
-    assert(math.abs(rd.getAs[Double]("slope") - 2.0) < 0.6)
-    // duplicate t: ambiguous pair order must raise
-    intercept[Exception] {
-      Analytics.theilSenSlope(
-        Seq((1.0, 1.0), (1.0, 2.0)).toDF("t", "v"), "t", "v").collect()
-    }
-    // a single point has no pairs: NULL slope and intercept
-    val r1 = Analytics.theilSenSlope(Seq((1.0, 5.0)).toDF("t", "v"),
-      "t", "v").collect().head
-    assert(r1.isNullAt(r1.fieldIndex("slope")))
-    partitionSweep { pn =>
-      Analytics.theilSenSlope(df.repartition(pn), "t", "v")
-        .collect().map(_.toSeq).toSeq
-    }
-  }
-
   test("mdeHorizon: m=1 row equals mdeTwoSample; literal 1/sqrt(m) " +
     "shrink from observed moments; degenerate arm NULLs; partition " +
     "sweep") {

@@ -18,8 +18,12 @@ class RegistrySpec extends SparkSpec {
   /** q-numbers skipped historically; a NEW gap means a typo'd or
     * dropped entry. q321: the r15 session renumbered past it and the
     * driver's artifacts since pin the surrounding names — re-using it
-    * now would break CORRECTNESS_r{15,16} comparability. */
-  private val acceptedGaps = Set(321)
+    * now would break CORRECTNESS_r{15,16} comparability. q474: the
+    * r19 continuation shipped a standalone theilSenSlope, then
+    * deleted it on discovering mannKendallTrend already emits the
+    * Sen slope/intercept (the cochranQ / ndcgAtK duplicate-operator
+    * rule); the number stays retired. */
+  private val acceptedGaps = Set(321, 474)
 
   test("registry: every name unique (no silent Map shadowing), every " +
     "name well-formed, q-numbers unique and gap-free modulo the " +
