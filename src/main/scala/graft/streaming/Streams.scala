@@ -801,6 +801,96 @@ object Streams {
         "mean_a", "mean_b", "e_log", "crossed")
   }
 
+  /** Streaming TWO-SAMPLE CONFIDENCE SEQUENCE — the anytime-valid
+    * LIFT BAND for the live A/B dashboard, completing the streaming
+    * pair the way [[graft.operators.Analytics.diffConfidenceSequence]]
+    * completes the batch one: [[windowedMsprtTwoSample]] answers
+    * "has the experiment decided"; this emits the error bar around
+    * the running lift that stays simultaneously valid however often
+    * the dashboard redraws it (Ville on the inverted mixture; see the
+    * batch operator's scaladoc). Same machinery end to end — the
+    * per-window PER-ARM mergeable aggregate, the single-key walk
+    * carrying per-arm (N, S) with sums in PLAIN-STRING exact-decimal
+    * form (the [[windowedMsprt]] encoder-width rule) — with the batch
+    * radius chain per closed window: V = σ²(1/n_A + 1/n_B),
+    * radius = √((V(V+τ²)/τ²)·(ln((V+τ²)/V) − 2·ln α)). NULL interval
+    * until BOTH arms report. Stage 2 inherits windowedPsiLive's
+    * contract: a deliberate single-task serialization point over
+    * metadata-sized closed-window rows, NOT a row-scale pattern.
+    * Output per closed window: (bucket_us, n_a_window, n_b_window,
+    * n_a, n_b, mean_a, mean_b, diff, radius, ci_lo, ci_hi). */
+  def windowedDiffCs(events: DataFrame, groupCol: String,
+                     groupA: String, groupB: String,
+                     sigma2: Double, tau2: Double,
+                     alpha: Double = 0.05,
+                     watermark: String = "0 seconds",
+                     window_ : String = "1 day"): DataFrame = {
+    require(sigma2 > 0, s"sigma2 must be > 0, got $sigma2")
+    require(tau2 > 0, s"tau2 must be > 0, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val zero = lit(0).cast("decimal(28,12)")
+    def armAgg(isA: Boolean, sfx: String) = {
+      val in = if (isA) col(groupCol) === groupA else col(groupCol) === groupB
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$sfx"),
+        coalesce(sum(when(in, col("value").cast("decimal(28,12)"))
+          .otherwise(zero)), zero).cast("string").as(s"s_$sfx"))
+    }
+    val aggs = armAgg(isA = true, "a") ++ armAgg(isA = false, "b")
+    val closed = events
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col("value").isNotNull)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), window_))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("n_a"), col("s_a"), col("n_b"), col("s_b"))
+    closed.as[(Long, Long, String, Long, String)]
+      .groupByKey(_ => 1)
+      .flatMapGroupsWithState[(Long, String, Long, String),
+        (Long, Long, Long, Long, Long, Option[Double], Option[Double],
+          Option[Double], Option[Double], Option[Double],
+          Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, String, Long, String)],
+         state: GroupState[(Long, String, Long, String)]) =>
+          val st0 = state.getOption.getOrElse((0L, "0", 0L, "0"))
+          var nA = st0._1; var nB = st0._3
+          var sA = new java.math.BigDecimal(st0._2)
+          var sB = new java.math.BigDecimal(st0._4)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Option[Double],
+              Option[Double], Option[Double], Option[Double],
+              Option[Double], Option[Double])]
+          rows.toSeq.sortBy(_._1).foreach { case (b, na, sa, nb, sb) =>
+            nA += na; nB += nb
+            sA = sA.add(new java.math.BigDecimal(sa))
+            sB = sB.add(new java.math.BigDecimal(sb))
+            // the batch diffConfidenceSequence double chain, term for
+            // term
+            val meanA = if (nA > 0) Some(sA.doubleValue / nA.toDouble)
+              else None
+            val meanB = if (nB > 0) Some(sB.doubleValue / nB.toDouble)
+              else None
+            val diff = for (ma <- meanA; mb <- meanB) yield ma - mb
+            val radius = if (nA > 0 && nB > 0) Some {
+              val vt = sigma2 * (1.0 / nA.toDouble + 1.0 / nB.toDouble)
+              math.sqrt((vt * (vt + tau2) / tau2) *
+                (math.log((vt + tau2) / vt) - 2.0 * math.log(alpha)))
+            } else None
+            out += ((b, na, nb, nA, nB, meanA, meanB, diff, radius,
+              for (d0 <- diff; r <- radius) yield d0 - r,
+              for (d0 <- diff; r <- radius) yield d0 + r))
+          }
+          state.update((nA, sA.toPlainString, nB, sB.toPlainString))
+          out.iterator
+      }
+      .toDF("bucket_us", "n_a_window", "n_b_window", "n_a", "n_b",
+        "mean_a", "mean_b", "diff", "radius", "ci_lo", "ci_hi")
+  }
+
   /** Streaming TWO-PROPORTION always-valid monitor — the live
     * CONVERSION A/B twin of
     * [[graft.operators.Analytics.msprtTwoProportionTest]] (the single

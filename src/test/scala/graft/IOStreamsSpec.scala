@@ -538,6 +538,80 @@ class IOStreamsSpec extends SparkSpec {
     assert(got.last.getBoolean(8), "the shifted arm must cross by the end")
   }
 
+  test("windowedDiffCs: radius bit-equal to the batch " +
+      "diffConfidenceSequence chain at every window prefix; per-arm " +
+      "(N, S) carry across micro-batches; NULL band until both arms " +
+      "report; the real lift leaves the band") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dayUs = 86400L * 1000000L
+    val perWin: Seq[Seq[(String, Double)]] = Seq(
+      (0 until 4).map(i => ("a", 10.0 + i * 0.1)),
+      (0 until 3).map(i => ("a", 10.2 + i * 0.1)) ++
+        (0 until 3).map(i => ("b", 16.0 + i * 0.1)),
+      (0 until 4).map(i => ("a", 9.9 + i * 0.1)) ++
+        (0 until 4).map(i => ("b", 16.5 + i * 0.1)),
+      (0 until 3).map(i => ("a", 10.1 + i * 0.1)) ++
+        (0 until 5).map(i => ("b", 16.8 + i * 0.1)))
+    val rows = perWin.zipWithIndex.flatMap { case (ws, d) =>
+      ws.zipWithIndex.map { case ((g, v), i) =>
+        (d * dayUs + i * 1000L, g, v) } }
+    val (s2, t2, alpha) = (4.0, 1.0, 0.05)
+    val ms = MemoryStream[(Long, String, Double)](spark)
+    val out = Streams.windowedDiffCs(
+      ms.toDS().toDF("ts_us", "grp", "value"), "grp", "a", "b",
+      sigma2 = s2, tau2 = t2, alpha = alpha,
+      watermark = "0 seconds", window_ = "1 day")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("diffcs_spec_sink").start()
+    try {
+      ms.addData(rows.filter(_._1 < 2 * dayUs)); q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 2 * dayUs)); q.processAllAvailable()
+      ms.addData((20L * dayUs, "a", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("diffcs_spec_sink")
+      .filter(col("bucket_us") < 4 * dayUs).orderBy("bucket_us").collect()
+    assert(got.length == 4)
+    var nA = 0L; var nB = 0L
+    var sA = java.math.BigDecimal.ZERO
+    var sB = java.math.BigDecimal.ZERO
+    def dq(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val want = perWin.map { ws =>
+      ws.foreach { case (g, v) =>
+        if (g == "a") { nA += 1; sA = sA.add(dq(v)) }
+        else { nB += 1; sB = sB.add(dq(v)) }
+      }
+      val meanA = if (nA > 0) Some(sA.doubleValue / nA.toDouble) else None
+      val meanB = if (nB > 0) Some(sB.doubleValue / nB.toDouble) else None
+      val radius = if (nA > 0 && nB > 0) Some {
+        val vt = s2 * (1.0 / nA.toDouble + 1.0 / nB.toDouble)
+        math.sqrt((vt * (vt + t2) / t2) *
+          (math.log((vt + t2) / vt) - 2.0 * math.log(alpha)))
+      } else None
+      (nA, nB, meanA, meanB,
+        for (ma <- meanA; mb <- meanB) yield ma - mb, radius)
+    }
+    got.zip(want).zipWithIndex.foreach {
+      case ((r, (na, nb, ma, mb, diff, rad)), i) =>
+        assert(r.getAs[Long]("n_a") == na, s"window $i n_a")
+        assert(r.getAs[Long]("n_b") == nb, s"window $i n_b")
+        def opt(idx: Int): Option[Double] =
+          if (r.isNullAt(idx)) None else Some(r.getDouble(idx))
+        assert(opt(5) == ma, s"window $i mean_a")
+        assert(opt(6) == mb, s"window $i mean_b")
+        assert(opt(7) == diff, s"window $i diff")
+        assert(opt(8) == rad, s"window $i radius")
+        assert(opt(9) == (for (d0 <- diff; r0 <- rad) yield d0 - r0),
+          s"window $i ci_lo")
+        assert(opt(10) == (for (d0 <- diff; r0 <- rad) yield d0 + r0),
+          s"window $i ci_hi")
+    }
+    assert(got.head.isNullAt(8), "arm-a-only window must emit NULL band")
+    // the planted ~ -6 lift: by the last window 0 sits outside the band
+    assert(got.last.getAs[Double]("ci_hi") < 0.0)
+  }
+
   test("windowedMsprtTwoProportion: e_log bit-equal to the batch " +
       "pooled-variance chain at every window prefix; all-long state " +
       "carries across micro-batches; NULL until both arms report AND " +
