@@ -2848,6 +2848,120 @@ object Analytics {
         lit(expected.length - 1L).as("dof"))
   }
 
+  /** Per-SEGMENT [[srmTest]] — the sliced split-health sweep (the
+    * Fabijan et al. taxonomy's most common root causes — a crashing
+    * client build, a bot filter, a redirect — break the ratio in ONE
+    * segment while the global χ² stays quiet, diluted k-fold): the
+    * same designed-ratio Pearson χ² computed within every key group,
+    * one map-side-combined aggregate for all segments. A NULL key is
+    * its own segment (the repo's slice convention — "platform
+    * unknown" is usually where the bug lives). Feed the per-segment
+    * χ² to the critical value for k−1 dof, or rank by χ² and read
+    * the top — with many segments, remember the multiplicity
+    * ([[bhAdjust]] on upstream-computed p-values). Output: one row
+    * per key group, ordered — keys + (n, n_other, k, chi2, dof). */
+  def srmTestBy(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                expected: Seq[(String, Double)]): DataFrame = {
+    require(keyCols.nonEmpty,
+      "srmTestBy needs key columns; use srmTest")
+    require(expected.nonEmpty, "srmTestBy needs the designed ratios")
+    require(expected.map(_._1).distinct.length == expected.length,
+      s"duplicate groups in $expected")
+    require(expected.forall(_._2 > 0), s"weights must be > 0: $expected")
+    def d(c: Column) = c.cast("double")
+    val groups = expected.map(_._1)
+    val wTot = expected.map(_._2).sum
+    val keys = keyCols.map(col)
+    val aggs = expected.map { case (g, _) =>
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"__o_$g") } :+
+      sum(when(col(groupCol).isin(groups: _*), 0L).otherwise(1L))
+        .as("n_other")
+    val per = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", expected.map { case (g, _) =>
+        col(s"__o_$g") }.reduce(_ + _))
+    val chi2 = expected.map { case (g, w) =>
+      val e = d(col("n")) * lit(w / wTot)
+      (d(col(s"__o_$g")) - e) * (d(col(s"__o_$g")) - e) / e
+    }.reduce(_ + _)
+    per
+      .withColumn("chi2", when(col("n") > 0, chi2))
+      .select(keys ++ Seq(col("n"), col("n_other"),
+        lit(expected.length.toLong).as("k"), col("chi2"),
+        lit(expected.length - 1L).as("dof")): _*)
+      .orderBy(keys: _*)
+  }
+
+  /** UPLIFT (QINI) CURVE — the evaluation for uplift/heterogeneous-
+    * treatment models, the bridge between the experimentation shelf
+    * and targeting ML: rank units by the model's predicted uplift and
+    * ask, at every targeting depth, how many INCREMENTAL conversions
+    * treating exactly that prefix would have bought (Radcliffe 2007;
+    * the uplift twin of the ROC curve). At each distinct score s
+    * (ties grouped — one threshold per distinct score, descending),
+    * with cumulative per-arm counts N_T, N_C and outcome sums Y_T,
+    * Y_C over units scored ≥ s,
+    *   qini(s) = Y_T − Y_C·N_T/N_C
+    * (the control side re-scaled to the treated volume), and
+    * `qini_random` = (n/N)·qini(total) is the random-targeting
+    * diagonal — a model is worth deploying where the curve clears the
+    * diagonal, and the maximizing depth is the targeting budget the
+    * model actually supports. Works for binary or continuous
+    * outcomes (exact decimal sums).
+    *
+    * Plan: one count/sum aggregate to the distinct-score grain, the
+    * distributed descending prefix ([[prefixBefore]] on the negated
+    * score — never a single-task window), one broadcast totals row.
+    * NULL qini while N_C = 0 (no control units scored that high —
+    * visible, not dropped). Output: one row per distinct score,
+    * descending score — (score, n, n_t, n_c, y_t, y_c, qini,
+    * qini_random).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def upliftCurve(df: DataFrame, scoreCol: String, groupCol: String,
+                  outcomeCol: String, groupT: String, groupC: String,
+                  scale: Int = 4): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val y = col(outcomeCol).cast(s"decimal(18,$scale)")
+    val zero = lit(0).cast(s"decimal(18,$scale)")
+    val base = df.filter(col(groupCol).isin(groupT, groupC) &&
+      col(scoreCol).isNotNull && col(outcomeCol).isNotNull)
+    val sc = base.groupBy((-col(scoreCol).cast("double")).as("__k"))
+      .agg(
+        sum(when(col(groupCol) === groupT, 1L).otherwise(0L)).as("__nt"),
+        sum(when(col(groupCol) === groupC, 1L).otherwise(0L)).as("__nc"),
+        sum(when(col(groupCol) === groupT, y).otherwise(zero)).as("__yt"),
+        sum(when(col(groupCol) === groupC, y).otherwise(zero)).as("__yc"))
+    val (shared, pre) = prefixBeforeMultiByShared(sc, Seq.empty, "__k",
+      Seq("nt" -> col("__nt"), "nc" -> col("__nc"),
+        "yt" -> col("__yt"), "yc" -> col("__yc")))
+    val tot = shared.agg(
+      sum(col("__nt")).as("__tnt"), sum(col("__nc")).as("__tnc"),
+      sum(col("__yt")).as("__tyt"), sum(col("__yc")).as("__tyc"))
+    def cumw(w: String) =
+      coalesce(col(s"__cum_$w"), lit(0)) + col(s"__$w")
+    pre.crossJoin(broadcast(tot))
+      .withColumn("n_t", cumw("nt"))
+      .withColumn("n_c", cumw("nc"))
+      .withColumn("__cyt", cumw("yt"))
+      .withColumn("__cyc", cumw("yc"))
+      .withColumn("n", col("n_t") + col("n_c"))
+      .withColumn("qini", when(col("n_c") > 0,
+        d(col("__cyt")) - d(col("__cyc")) * d(col("n_t")) / d(col("n_c"))))
+      .withColumn("__qtot", when(col("__tnc") > 0,
+        d(col("__tyt")) -
+          d(col("__tyc")) * d(col("__tnt")) / d(col("__tnc"))))
+      .withColumn("qini_random",
+        d(col("n")) / d(col("__tnt") + col("__tnc")) * col("__qtot"))
+      // + 0.0 normalizes the negative zero the un-negation leaves on
+      // score 0 (grouping normalized -0.0 -> +0.0 on __k, so -__k is
+      // -0.0 there; the oracle's un-negated score is +0.0)
+      .select((-col("__k") + lit(0.0)).as("score"), col("n"), col("n_t"),
+        col("n_c"), d(col("__cyt")).as("y_t"), d(col("__cyc")).as("y_c"),
+        col("qini"), col("qini_random"))
+      .orderBy(col("score").desc)
+  }
+
   /** Delta-method RATIO-metric A/B test — for metrics that are a
     * ratio of per-unit sums (CTR = Σclicks/Σviews per user, revenue
     * per session, tokens kept per document): the naive per-row test

@@ -4984,6 +4984,90 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("srmTestBy: per-segment chi2 equals srmTest on the slice; a " +
+    "one-segment break the global test dilutes away flags loudly in " +
+    "its own row; NULL key is its own segment; n_other counted; " +
+    "partition sweep") {
+    import spark.implicits._
+    val rows =
+      (1 to 10).map(_ => (Some("s1"), "a")) ++
+        (1 to 10).map(_ => (Some("s1"), "b")) ++
+        (1 to 16).map(_ => (Some("s2"), "a")) ++
+        (1 to 4).map(_ => (Some("s2"), "b")) ++
+        Seq((Some("s2"), "zz")) ++
+        (1 to 3).map(_ => (Option.empty[String], "a")) ++
+        (1 to 3).map(_ => (Option.empty[String], "b"))
+    val df = rows.toDF("seg", "g")
+    val design = Seq("a" -> 0.5, "b" -> 0.5)
+    val got = Analytics.srmTestBy(df, Seq("seg"), "g", design)
+      .collect()
+    assert(got.length == 3)
+    def chi2(na: Long, nb: Long): Double = {
+      val n = (na + nb).toDouble
+      val e = n * 0.5
+      (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    }
+    val byKey = got.map(r => Option(r.getAs[String]("seg")) -> r).toMap
+    assert(byKey(Some("s1")).getAs[Double]("chi2") == chi2(10, 10))
+    assert(byKey(Some("s2")).getAs[Double]("chi2") == chi2(16, 4))
+    assert(byKey(Some("s2")).getAs[Long]("n_other") == 1L)
+    assert(byKey(None).getAs[Double]("chi2") == chi2(3, 3))
+    // the broken segment screams in its row while the GLOBAL test is
+    // diluted well below it
+    val global = Analytics.srmTest(df, "g", design).collect().head
+    assert(byKey(Some("s2")).getAs[Double]("chi2") >
+      global.getAs[Double]("chi2"))
+    // per-segment == srmTest restricted to the slice
+    val s2only = Analytics.srmTest(df.filter(col("seg") === "s2"), "g",
+      design).collect().head
+    assert(byKey(Some("s2")).getAs[Double]("chi2") ==
+      s2only.getAs[Double]("chi2"))
+    partitionSweep { pn =>
+      Analytics.srmTestBy(df.repartition(pn), Seq("seg"), "g", design)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("upliftCurve: hand-computed qini at every distinct score; " +
+    "control-free prefix NULLs visibly; the final point is the total " +
+    "experiment lift and random diagonal ends there too; model beats " +
+    "the diagonal where built to; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      (4.0, "T", 1.0),
+      (3.0, "T", 1.0), (3.0, "T", 1.0), (3.0, "C", 0.0),
+      (2.0, "T", 0.0), (2.0, "C", 1.0), (2.0, "C", 0.0),
+      (1.0, "T", 1.0), (1.0, "C", 1.0))
+    val df = rows.toDF("s", "g", "y")
+    val got = Analytics.upliftCurve(df, "s", "g", "y", "T", "C")
+      .orderBy(desc("score")).collect()
+    assert(got.length == 4)
+    val qtot = 4.0 - 2.0 * (5.0 / 4.0) // 1.5
+    val want = Seq( // (score, n, n_t, n_c, qini, random)
+      (4.0, 1L, 1L, 0L, None, 1.0 / 9.0 * qtot),
+      (3.0, 4L, 3L, 1L, Some(3.0), 4.0 / 9.0 * qtot),
+      (2.0, 7L, 4L, 3L, Some(3.0 - 1.0 * 4.0 / 3.0), 7.0 / 9.0 * qtot),
+      (1.0, 9L, 5L, 4L, Some(qtot), qtot))
+    got.zip(want).foreach { case (r, (s, n, nt, nc, q, rnd)) =>
+      assert(r.getAs[Double]("score") == s)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_t") == nt && r.getAs[Long]("n_c") == nc)
+      q match {
+        case None => assert(r.isNullAt(r.fieldIndex("qini")), s"s=$s")
+        case Some(v) =>
+          assert(math.abs(r.getAs[Double]("qini") - v) < 1e-12, s"s=$s")
+      }
+      assert(math.abs(r.getAs[Double]("qini_random") - rnd) < 1e-12)
+    }
+    // the model concentrates lift early: the curve clears the diagonal
+    assert(got(1).getAs[Double]("qini") >
+      got(1).getAs[Double]("qini_random"))
+    partitionSweep { pn =>
+      Analytics.upliftCurve(df.repartition(pn), "s", "g", "y", "T", "C")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +
