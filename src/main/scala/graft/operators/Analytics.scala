@@ -2891,6 +2891,69 @@ object Analytics {
       .orderBy(keys: _*)
   }
 
+  /** COVARIATE BALANCE TABLE — "Table 1" of every experiment report
+    * and the first diagnostic after [[srmTest]]: per pre-treatment
+    * covariate, the standardized mean difference between arms,
+    *   SMD = (x̄_A − x̄_B) / √((s²_A + s²_B)/2)
+    * (the pooled-SD form of Austin 2009's balance diagnostic; the
+    * conventional flag is |SMD| > 0.1). Randomization makes SMDs
+    * small ON AVERAGE — a large one on a pre-period covariate means
+    * a broken assignment (run [[srmTest]] again) or bad luck worth
+    * adjusting for ([[cupedTest]] / [[stratifiedTest]] on exactly
+    * that covariate). ONE map-side-combined scan carrying 6k exact-
+    * decimal aggregate columns (k = covariates — the
+    * [[groupSequentialTest]] shape), stacked to k rows; each
+    * covariate's NULLs are excluded from ITS row independently
+    * (n_a/n_b are per-covariate non-null counts). Degenerate pooled
+    * SD (both arms constant) → NULL smd. Output: one row per
+    * covariate, in the given order — (covariate, n_a, n_b, mean_a,
+    * mean_b, var_a, var_b, smd). */
+  def balanceTable(df: DataFrame, groupCol: String,
+                   covariates: Seq[String], groupA: String,
+                   groupB: String, scale: Int = 4): DataFrame = {
+    require(covariates.nonEmpty, "balanceTable needs covariates")
+    require(covariates.distinct.length == covariates.length,
+      s"duplicate covariates in $covariates")
+    def d(c: Column) = c.cast("double")
+    val aggs = covariates.zipWithIndex.flatMap { case (c, i) =>
+      val v = col(c).cast(s"decimal(18,$scale)")
+      def side(g: String, sfx: String) = Seq(
+        sum(when(col(groupCol) === g && v.isNotNull, 1L).otherwise(0L))
+          .as(s"__n$sfx$i"),
+        sum(when(col(groupCol) === g, v)).cast("double")
+          .as(s"__s$sfx$i"),
+        sum(when(col(groupCol) === g,
+          (v * v).cast(s"decimal(38,${2 * scale})"))).cast("double")
+          .as(s"__ss$sfx$i"))
+      side(groupA, "a") ++ side(groupB, "b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = covariates.zipWithIndex.map { case (c, i) =>
+      s"'${c.replace("'", "''")}', __na$i, __sa$i, __ssa$i, " +
+        s"__nb$i, __sb$i, __ssb$i"
+    }.mkString(", ")
+    val k = covariates.length
+    one.select(expr(s"stack($k, $stackArgs) as " +
+        "(covariate, n_a, __sa, __ssa, n_b, __sb, __ssb)"))
+      .withColumn("mean_a", when(col("n_a") > 0,
+        col("__sa") / d(col("n_a"))))
+      .withColumn("mean_b", when(col("n_b") > 0,
+        col("__sb") / d(col("n_b"))))
+      .withColumn("var_a", when(col("n_a") >= 2,
+        (col("__ssa") - col("__sa") * col("__sa") / d(col("n_a"))) /
+          (d(col("n_a")) - 1.0)))
+      .withColumn("var_b", when(col("n_b") >= 2,
+        (col("__ssb") - col("__sb") * col("__sb") / d(col("n_b"))) /
+          (d(col("n_b")) - 1.0)))
+      .withColumn("__sd",
+        when((col("var_a") + col("var_b")) / 2.0 > 0,
+          sqrt((col("var_a") + col("var_b")) / 2.0)))
+      .withColumn("smd", when(col("__sd") > 0,
+        (col("mean_a") - col("mean_b")) / col("__sd")))
+      .select(col("covariate"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("var_a"), col("var_b"), col("smd"))
+  }
+
   /** UPLIFT (QINI) CURVE — the evaluation for uplift/heterogeneous-
     * treatment models, the bridge between the experimentation shelf
     * and targeting ML: rank units by the model's predicted uplift and

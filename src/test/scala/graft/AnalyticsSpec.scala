@@ -5068,6 +5068,53 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("balanceTable: literal per-covariate SMD model; per-covariate " +
+    "NULL exclusion; planted shift flags |SMD| > 0.1 while the " +
+    "balanced covariate does not; constant covariate NULLs smd; " +
+    "partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      // (arm, x balanced, z shifted in B, w with NULLs in A, c const)
+      ("A", 1.0, 5.0, Some(2.0), 7.0), ("A", 2.0, 6.0, None, 7.0),
+      ("A", 3.0, 5.5, Some(4.0), 7.0), ("A", 2.0, 6.5, Some(3.0), 7.0),
+      ("B", 1.5, 9.0, Some(2.5), 7.0), ("B", 2.5, 10.0, Some(3.5), 7.0),
+      ("B", 2.0, 9.5, Some(3.0), 7.0), ("B", 2.0, 8.5, None, 7.0))
+    val df = rows.toDF("g", "x", "z", "w", "c")
+    val got = Analytics.balanceTable(df, "g", Seq("x", "z", "w", "c"),
+      "A", "B").collect()
+    assert(got.length == 4)
+    val byCov = got.map(r => r.getAs[String]("covariate") -> r).toMap
+    def model(vsA: Seq[Double], vsB: Seq[Double]) = {
+      def m(v: Seq[Double]) = v.sum / v.size
+      def va(v: Seq[Double]) = {
+        val mu = m(v); v.map(x => (x - mu) * (x - mu)).sum / (v.size - 1)
+      }
+      (m(vsA), m(vsB),
+        (m(vsA) - m(vsB)) / math.sqrt((va(vsA) + va(vsB)) / 2.0))
+    }
+    val (mxA, mxB, smdX) = model(
+      rows.filter(_._1 == "A").map(_._2), rows.filter(_._1 == "B").map(_._2))
+    assert(math.abs(byCov("x").getAs[Double]("mean_a") - mxA) < 1e-12)
+    assert(math.abs(byCov("x").getAs[Double]("mean_b") - mxB) < 1e-12)
+    assert(math.abs(byCov("x").getAs[Double]("smd") - smdX) < 1e-12)
+    // the planted +3.5 shift on z: |SMD| far over the 0.1 flag, while
+    // the balanced covariate sits under it
+    assert(math.abs(byCov("z").getAs[Double]("smd")) > 1.0)
+    assert(math.abs(byCov("x").getAs[Double]("smd")) < 0.5)
+    // per-covariate NULL exclusion: w's counts drop only ITS nulls
+    assert(byCov("w").getAs[Long]("n_a") == 3L)
+    assert(byCov("w").getAs[Long]("n_b") == 3L)
+    assert(byCov("x").getAs[Long]("n_a") == 4L)
+    val (mwA, mwB, smdW) = model(Seq(2.0, 4.0, 3.0), Seq(2.5, 3.5, 3.0))
+    assert(math.abs(byCov("w").getAs[Double]("smd") - smdW) < 1e-12)
+    // both arms constant: pooled SD degenerate, NULL smd (not Inf)
+    assert(byCov("c").isNullAt(byCov("c").fieldIndex("smd")))
+    partitionSweep { pn =>
+      Analytics.balanceTable(df.repartition(pn), "g",
+        Seq("x", "z", "w"), "A", "B").collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +
