@@ -326,7 +326,7 @@ object SparkEntry {
   // private[graft] so RegistrySpec can assert name uniqueness on the
   // RAW concatenation — the `queries` Map would silently shadow a
   // duplicate name (latest batch wins) before any consumer noticed
-  private[graft] val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries ++ Batch9.queries ++ Batch10.queries ++ Batch11.queries ++ Batch12.queries ++ Batch13.queries ++ Batch14.queries ++ Batch15.queries ++ Batch16.queries ++ Batch17.queries ++ Batch18.queries ++ Batch19.queries ++ Batch20.queries ++ Batch21.queries ++ Batch22.queries ++ Batch23.queries ++ Batch24.queries ++ Batch25.queries ++ Batch26.queries ++ Batch27.queries ++ Batch28.queries ++ Batch29.queries ++ Batch30.queries ++ Batch31.queries ++ Batch32.queries ++ Batch33.queries ++ Batch34.queries ++ Batch35.queries ++ Batch36.queries ++ Batch37.queries ++ Batch38.queries ++ Batch39.queries ++ Batch40.queries ++ Batch41.queries ++ Batch42.queries ++ Batch43.queries ++ Batch44.queries ++ Batch45.queries ++ Batch46.queries ++ Batch47.queries ++ Batch48.queries ++ Batch49.queries ++ Batch50.queries ++ Batch51.queries ++ Batch52.queries ++ Batch53.queries ++ Batch54.queries ++ Batch55.queries ++ Batch56.queries ++ Batch57.queries ++ Batch58.queries ++ Batch59.queries ++ Batch60.queries ++ Batch61.queries ++ Batch62.queries ++ Batch63.queries ++ Batch64.queries ++ Batch65.queries ++ Batch66.queries ++ Batch67.queries ++ Batch68.queries ++ Batch69.queries ++ Batch70.queries ++ Batch71.queries ++ Batch72.queries ++ Batch73.queries ++ Batch74.queries ++ Batch75.queries ++ Batch76.queries ++ Batch77.queries ++ Batch78.queries ++ Batch79.queries ++ Batch80.queries ++ Batch81.queries ++ Batch82.queries ++ Batch83.queries ++ Batch84.queries ++ Batch85.queries ++ Batch86.queries ++ Batch88.queries ++ Batch89.queries ++ Batch90.queries ++ Batch91.queries ++ Batch92.queries ++ Batch93.queries ++ Batch94.queries ++ Batch95.queries ++ Batch96.queries ++ Batch97.queries
+  private[graft] val registry: Seq[Q] = batch1 ++ Batch2.queries ++ Batch3.queries ++ Batch4.queries ++ Batch5.queries ++ Batch6.queries ++ Batch7.queries ++ Batch8.queries ++ Batch9.queries ++ Batch10.queries ++ Batch11.queries ++ Batch12.queries ++ Batch13.queries ++ Batch14.queries ++ Batch15.queries ++ Batch16.queries ++ Batch17.queries ++ Batch18.queries ++ Batch19.queries ++ Batch20.queries ++ Batch21.queries ++ Batch22.queries ++ Batch23.queries ++ Batch24.queries ++ Batch25.queries ++ Batch26.queries ++ Batch27.queries ++ Batch28.queries ++ Batch29.queries ++ Batch30.queries ++ Batch31.queries ++ Batch32.queries ++ Batch33.queries ++ Batch34.queries ++ Batch35.queries ++ Batch36.queries ++ Batch37.queries ++ Batch38.queries ++ Batch39.queries ++ Batch40.queries ++ Batch41.queries ++ Batch42.queries ++ Batch43.queries ++ Batch44.queries ++ Batch45.queries ++ Batch46.queries ++ Batch47.queries ++ Batch48.queries ++ Batch49.queries ++ Batch50.queries ++ Batch51.queries ++ Batch52.queries ++ Batch53.queries ++ Batch54.queries ++ Batch55.queries ++ Batch56.queries ++ Batch57.queries ++ Batch58.queries ++ Batch59.queries ++ Batch60.queries ++ Batch61.queries ++ Batch62.queries ++ Batch63.queries ++ Batch64.queries ++ Batch65.queries ++ Batch66.queries ++ Batch67.queries ++ Batch68.queries ++ Batch69.queries ++ Batch70.queries ++ Batch71.queries ++ Batch72.queries ++ Batch73.queries ++ Batch74.queries ++ Batch75.queries ++ Batch76.queries ++ Batch77.queries ++ Batch78.queries ++ Batch79.queries ++ Batch80.queries ++ Batch81.queries ++ Batch82.queries ++ Batch83.queries ++ Batch84.queries ++ Batch85.queries ++ Batch86.queries ++ Batch88.queries ++ Batch89.queries ++ Batch90.queries ++ Batch91.queries ++ Batch92.queries ++ Batch93.queries ++ Batch94.queries ++ Batch95.queries ++ Batch96.queries ++ Batch97.queries ++ Batch98.queries
 
   // ---------------------------------------------------------------------------
 

@@ -20,6 +20,37 @@ object Dedup {
       .groupBy(sha2(col("__norm"), 256).as("text_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** DUPLICATION PROFILE — the report that decides whether dedup is
+    * worth a pipeline stage at all ("28% of this crawl is exact-dup
+    * mass" vs "it's 1%, move on"): the histogram of exact-duplicate
+    * cluster sizes over [[exact]]'s own digest (sha2-256 of the
+    * normalized text — so the numbers are exactly what running
+    * [[exact]] would act on). Per cluster-size class:
+    * `share_of_corpus` = the docs living in clusters of that size,
+    * and `removable_share` = the docs [[exact]] would DROP from that
+    * class ((copies − 1) per cluster — the number to sum for the
+    * total dedup saving). Plan: one digest aggregate (text never
+    * shuffles — the exchange carries 32-byte digests), one
+    * cluster-size histogram over the digest table, one broadcast
+    * totals row. Output: one row per observed cluster size,
+    * ascending — (copies, n_clusters, n_docs, share_of_corpus,
+    * removable_share). */
+  def dupProfile(df: DataFrame, textCol: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val clusters = df.filter(col(textCol).isNotNull)
+      .groupBy(sha2(Text.normalize(col(textCol)), 256).as("__h"))
+      .agg(count(lit(1)).as("__sz"))
+    val tot = clusters.agg(sum(col("__sz")).as("__n"))
+    clusters.groupBy(col("__sz").as("copies"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("copies"), col("n_clusters"), col("n_docs"),
+        (d(col("n_docs")) / d(col("__n"))).as("share_of_corpus"),
+        (d((col("copies") - 1) * col("n_clusters")) / d(col("__n")))
+          .as("removable_share"))
+      .orderBy("copies")
+  }
+
   /** Corpus DIFF between two snapshots of a keyed document table — the
     * ops companion of [[exactIncremental]] (what changed between crawls /
     * ingest runs): full outer comparison on the id, content compared by

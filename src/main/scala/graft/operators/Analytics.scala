@@ -2985,6 +2985,28 @@ object Analytics {
                   outcomeCol: String, groupT: String, groupC: String,
                   scale: Int = 4): DataFrame = {
     def d(c: Column) = c.cast("double")
+    upliftPoints(df, scoreCol, groupCol, outcomeCol, groupT, groupC,
+        scale)
+      .withColumn("qini_random",
+        d(col("n")) / d(col("__tnt") + col("__tnc")) * col("__qtot"))
+      // + 0.0 normalizes the negative zero the un-negation leaves on
+      // score 0 (grouping normalized -0.0 -> +0.0 on __k, so -__k is
+      // -0.0 there; the oracle's un-negated score is +0.0)
+      .select((-col("__k") + lit(0.0)).as("score"), col("n"), col("n_t"),
+        col("n_c"), d(col("__cyt")).as("y_t"), d(col("__cyc")).as("y_c"),
+        col("qini"), col("qini_random"))
+      .orderBy(col("score").desc)
+  }
+
+  /** [[upliftCurve]]'s per-distinct-score frame with the cumulative
+    * machinery still attached (per-score counts, cumulative counts/
+    * sums, qini, broadcast totals) — shared by the curve and
+    * [[qiniAuc]]. */
+  private def upliftPoints(df: DataFrame, scoreCol: String,
+                           groupCol: String, outcomeCol: String,
+                           groupT: String, groupC: String,
+                           scale: Int): DataFrame = {
+    def d(c: Column) = c.cast("double")
     val y = col(outcomeCol).cast(s"decimal(18,$scale)")
     val zero = lit(0).cast(s"decimal(18,$scale)")
     val base = df.filter(col(groupCol).isin(groupT, groupC) &&
@@ -3014,15 +3036,60 @@ object Analytics {
       .withColumn("__qtot", when(col("__tnc") > 0,
         d(col("__tyt")) -
           d(col("__tyc")) * d(col("__tnt")) / d(col("__tnc"))))
-      .withColumn("qini_random",
-        d(col("n")) / d(col("__tnt") + col("__tnc")) * col("__qtot"))
-      // + 0.0 normalizes the negative zero the un-negation leaves on
-      // score 0 (grouping normalized -0.0 -> +0.0 on __k, so -__k is
-      // -0.0 there; the oracle's un-negated score is +0.0)
-      .select((-col("__k") + lit(0.0)).as("score"), col("n"), col("n_t"),
-        col("n_c"), d(col("__cyt")).as("y_t"), d(col("__cyc")).as("y_c"),
-        col("qini"), col("qini_random"))
-      .orderBy(col("score").desc)
+  }
+
+  /** AUUC / QINI AREA — the scalar the uplift-model leaderboard
+    * reports: the trapezoid area under the [[upliftCurve]] (piecewise
+    * linear between distinct-score points, anchored at the origin),
+    * beside the random-targeting triangle q_total/2; `auuc_excess`
+    * = auuc − q_total/2 is the area between curve and diagonal — the
+    * model's whole-range advantage over random targeting (Radcliffe's
+    * unnormalized Qini measure; the fully normalized coefficient
+    * needs the OPTIMAL curve, which depends on unit-level
+    * counterfactual structure — deliberately not estimated here).
+    * Each trapezoid needs its predecessor point, which arrives via an
+    * equi-join on the cumulative count (row i's exclusive count IS
+    * row i−1's inclusive count — no lead/lag window over scores);
+    * terms are quantized at decimal(38,18) for an engine-exact sum.
+    * A curve with ANY undefined point (control-free prefix) has no
+    * area: NULL auuc with `n_undefined` counting the missing points.
+    * Output: one row — (n, n_points, n_undefined, q_total, auuc,
+    * auuc_random, auuc_excess).
+    * EAGER: builds on the pinned-execution bridge, so Spark jobs
+    * launch AT CALL time and the input is snapshotted then
+    * ([[org.apache.spark.sql.graftbridge.RddShareBridge]]). */
+  def qiniAuc(df: DataFrame, scoreCol: String, groupCol: String,
+              outcomeCol: String, groupT: String, groupC: String,
+              scale: Int = 4): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val pts = upliftPoints(df, scoreCol, groupCol, outcomeCol, groupT,
+      groupC, scale)
+    val a = pts.select(col("n"),
+      (col("n") - col("__nt") - col("__nc")).as("__nprev"),
+      col("qini"), col("__qtot"),
+      (col("__tnt") + col("__tnc")).as("__nn"))
+    val b = pts.select(col("n").as("__bn"), col("qini").as("__bq"))
+    val phi = d(col("n")) / d(col("__nn"))
+    val phiPrev = d(coalesce(col("__bn"), lit(0L))) / d(col("__nn"))
+    val qPrev = when(col("__nprev") === 0, lit(0.0))
+      .otherwise(col("__bq"))
+    a.join(b, col("__nprev") === col("__bn"), "left")
+      .withColumn("__term", ((phi - phiPrev) *
+        (col("qini") + qPrev) / lit(2.0)).cast("decimal(38,18)"))
+      .agg(
+        coalesce(max(col("n")), lit(0L)).as("n"),
+        count(lit(1)).as("n_points"),
+        sum(when(col("qini").isNull, 1L).otherwise(0L))
+          .as("n_undefined"),
+        max(col("__qtot")).as("q_total"),
+        sum(col("__term")).cast("double").as("__area"))
+      .select(col("n"), col("n_points"), col("n_undefined"),
+        col("q_total"),
+        when(col("n") > 0 && col("n_undefined") === 0, col("__area"))
+          .as("auuc"),
+        when(col("n") > 0, col("q_total") / 2.0).as("auuc_random"),
+        when(col("n") > 0 && col("n_undefined") === 0,
+          col("__area") - col("q_total") / 2.0).as("auuc_excess"))
   }
 
   /** Delta-method RATIO-metric A/B test — for metrics that are a

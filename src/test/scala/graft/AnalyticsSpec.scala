@@ -5115,6 +5115,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("qiniAuc: hand-computed trapezoid area anchored at the origin; " +
+    "excess over the random triangle; any control-free prefix NULLs " +
+    "the area loudly; empty input NULLs; partition sweep") {
+    import spark.implicits._
+    val rows = Seq(
+      (3.0, "T", 1.0), (3.0, "T", 1.0), (3.0, "C", 0.0),
+      (2.0, "T", 0.0), (2.0, "C", 1.0), (2.0, "C", 0.0),
+      (1.0, "T", 1.0), (1.0, "C", 1.0))
+    val df = rows.toDF("s", "g", "y")
+    val r = Analytics.qiniAuc(df, "s", "g", "y", "T", "C")
+      .collect().head
+    // points: (3/8, 2), (6/8, 1), (1, 1); origin-anchored trapezoids
+    val want = (3.0 / 8.0) * (0.0 + 2.0) / 2.0 +
+      (3.0 / 8.0) * (2.0 + 1.0) / 2.0 + (2.0 / 8.0) * (1.0 + 1.0) / 2.0
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("n_points") == 3L)
+    assert(r.getAs[Long]("n_undefined") == 0L)
+    assert(r.getAs[Double]("q_total") == 1.0)
+    assert(math.abs(r.getAs[Double]("auuc") - want) < 1e-12)
+    assert(r.getAs[Double]("auuc_random") == 0.5)
+    assert(math.abs(r.getAs[Double]("auuc_excess") - (want - 0.5))
+      < 1e-12)
+    // a treated-only head makes the first point undefined: no area
+    val withHead = ((4.0, "T", 1.0) +: rows).toDF("s", "g", "y")
+    val rh = Analytics.qiniAuc(withHead, "s", "g", "y", "T", "C")
+      .collect().head
+    assert(rh.getAs[Long]("n_undefined") == 1L)
+    assert(rh.isNullAt(rh.fieldIndex("auuc")))
+    assert(!rh.isNullAt(rh.fieldIndex("auuc_random")))
+    // empty input: NULL, not zero
+    val re = Analytics.qiniAuc(df.filter(lit(false)), "s", "g", "y",
+      "T", "C").collect().head
+    assert(re.getAs[Long]("n") == 0L)
+    assert(re.isNullAt(re.fieldIndex("auuc")))
+    partitionSweep { pn =>
+      Analytics.qiniAuc(df.repartition(pn), "s", "g", "y", "T", "C")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
   test("bootstrapQuantileCI: bit-equal to the literal resample model " +
     "(md5 mix -> Poisson weights -> expanded sorted resample -> type-1 " +
     "quantile -> percentile CI); est = exact full-sample quantile; " +

@@ -3238,4 +3238,36 @@ class FunctionsSpec extends SparkSpec {
         "text", 3).collect().map(_.toSeq).toSeq
     }
   }
+
+  test("dupProfile: hand-counted cluster-size histogram on exact's " +
+    "own digest; normalization folds case/whitespace variants into " +
+    "one cluster; removable_share sums to exact()'s drop count; " +
+    "partition sweep") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    val docs = Seq("a", " a ", "A", "b", "b", "c", "d", "e")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = Dedup.dupProfile(docs, "text").orderBy("copies").collect()
+    // clusters: {a,a,A} size 3, {b,b} size 2, {c},{d},{e} size 1; N=8
+    assert(got.length == 3)
+    val byC = got.map(r => r.getAs[Long]("copies") -> r).toMap
+    assert(byC(1L).getAs[Long]("n_clusters") == 3L)
+    assert(byC(1L).getAs[Long]("n_docs") == 3L)
+    assert(byC(1L).getAs[Double]("removable_share") == 0.0)
+    assert(byC(2L).getAs[Long]("n_clusters") == 1L)
+    assert(byC(2L).getAs[Double]("share_of_corpus") == 0.25)
+    assert(byC(2L).getAs[Double]("removable_share") == 0.125)
+    assert(byC(3L).getAs[Double]("share_of_corpus") == 0.375)
+    assert(byC(3L).getAs[Double]("removable_share") == 0.25)
+    // the profile's removable mass IS exact()'s drop count
+    val removable = got.map(r => r.getAs[Double]("removable_share"))
+      .sum * 8.0
+    val kept = Dedup.exact(docs, "id", "text").count()
+    assert(math.round(removable) == 8L - kept)
+    partitionSweep { pn =>
+      Dedup.dupProfile(docs.repartition(pn), "text")
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }
