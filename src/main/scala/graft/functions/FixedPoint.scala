@@ -178,4 +178,5 @@ object FixedPoint {
     coalesce(guard.cast("decimal(38,0)"), sum(p.cast("decimal(38,0)")))
       .cast("double") / math.pow(10, scaleA + scaleB)
   }
+
 }

@@ -1804,8 +1804,10 @@ object ML {
     * aggregate, so the per-row cost is one digest + B multiply/xor
     * chains. Deterministic end to end: the md5 words, the mix chain
     * (every intermediate < 2⁶³ — plain signed-BIGINT SQL), the 8-step
-    * CDF inversion, the decimal Σw·v, and the final division are all
-    * engine-replayable (q240). Downstream CI = quantiles of the B means
+    * CDF inversion, the exact fixed-point Σw·v
+    * ([[graft.functions.FixedPoint.sumProductIntFixed]] — bit-identical
+    * to the decimal chain under its ≤2^53 contract), and the final
+    * division are all engine-replayable (q240). Downstream CI = quantiles of the B means
     * (B rows — driver-trivial). Output: (rep, n_eff, mean_rep), rep
     * ascending; a replicate that draws all-zero weights (p ≈ e⁻ⁿ)
     * yields NULL mean. */
@@ -1814,25 +1816,58 @@ object ML {
     require(b >= 1 && b <= 64, s"b must be in [1,64], got $b")
     val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
     val hashed = df.select(col(valueCol), h1.as("__h1"), h2.as("__h2"))
-    val aggs = (0 until b).flatMap { j =>
+    def wOf(j: Int): org.apache.spark.sql.Column = {
       val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
         .cast("double") / lit(4294967296.0)
-      val w = poisson1Cdf.zipWithIndex
+      poisson1Cdf.zipWithIndex
         .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
           case (acc, (t, k)) =>
             Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
         }.get.otherwise(poisson1Cdf.length).cast("long")
-      Seq(sum(w).as(s"__n$j"),
-        sum(w.cast("decimal(19,0)") *
-          col(valueCol).cast(s"decimal(18,$scale)")).as(s"__s$j"))
     }
+    // Σw·v as a fixed-point LONG product accumulated in decimal(38,0)
+    // (round 19, the q01 fsum2/fprod4 precedent): the per-row
+    // decimal(19,0)·decimal(18,s) multiply and precision-38 decimal add
+    // were the dominant per-row cost of the scan-stage aggregate, whose
+    // task count the input layout fixes — per-row cost is the only
+    // lever there. v snaps ONCE (shared across replicates by
+    // subexpression elimination) to its unscaled long under a 2^60
+    // range bound, so w·unscaled (w ≤ 8 by the Poisson CDF table) can
+    // NEVER overflow a long — plain multiply, no per-row try_multiply.
+    // The 2^60 bound is WIDER than the decimal(18,s) envelope this
+    // replaces (10^(18−s)·10^s = 10^18 < 2^60·10^s/10^s... 1.15e18),
+    // so every value the decimal cast accepted still snaps; values
+    // beyond it null out and the ONE shared count-compare below turns
+    // that into a loud failure (the FixedPoint tripwire pattern —
+    // never a silently dropped row), exactly where the ANSI decimal
+    // cast errored. The exact unscaled total divides back to scale in
+    // DECIMAL (single final rounding to double — bit-identical to the
+    // old decimal(38,s) sum cast at any magnitude below 10^34).
+    val m = math.pow(10, scale)
+    val v = col(valueCol).cast("double")
+    val okv = !isnan(v) && abs(v) * m < lit(1.152921504606847e18) // 2^60
+    val pc = when(okv && v >= 0, (v * m + 0.5).cast("long"))
+      .when(okv && v < 0, -((-v * m + 0.5).cast("long")))
+    val aggs = (0 until b).flatMap { j =>
+      val w = wOf(j)
+      Seq(sum(w).as(s"__n$j"),
+        sum((w * pc).cast("decimal(38,0)")).as(s"__s$j"))
+    } ++ Seq(count(pc).as("__nsnap"),
+      count(when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity),
+        lit(1))).as("__nfin"))
     val one = hashed.agg(aggs.head, aggs.tail: _*)
+      // guard rides the one-row frame: zero per-row cost, still loud
+      .withColumn("__g", assert_true(col("__nsnap") === col("__nfin"),
+        concat(lit("bootstrapMeans: "), col("__nfin") - col("__nsnap"),
+          lit(" value(s) exceed the representable unscaled range at " +
+            s"scale $scale; use a wider scale or pre-scale the column"))))
     val stackArgs = (0 until b)
       .map(j => s"${j}L, __n$j, __s$j").mkString(", ")
-    one.select(expr(s"stack($b, $stackArgs) as (rep, n_eff, __s)"))
+    one.select(col("__g"), expr(s"stack($b, $stackArgs) as (rep, n_eff, __s)"))
       .select(col("rep"), col("n_eff"),
-        when(col("n_eff") > 0,
-          col("__s").cast("double") / col("n_eff").cast("double"))
+        when(col("n_eff") > 0 && col("__g").isNull,
+          (col("__s") / lit(m).cast("decimal(10,0)")).cast("double") /
+            col("n_eff").cast("double"))
           .as("mean_rep"))
       .orderBy("rep")
   }
@@ -1927,8 +1962,8 @@ object ML {
     * min-aggregate over the exploded (rep, value, cumulative) frame,
     * no straddle join. The interval is Efron's percentile method
     * (Efron 1979): lo/hi are the ⌈ciLo·B⌉-th / ⌈ciHi·B⌉-th order
-    * statistics of the B replicate quantiles, taken through a second
-    * (B-row) prefix of the same machinery. BCa is deliberately NOT
+    * statistics of the B replicate quantiles — a sort_array pick over
+    * the B-bounded (≤ 64) replicate vector, never a data-scale pass. BCa is deliberately NOT
     * offered: its bias correction needs Φ⁻¹, which has no
     * engine-portable pinned form — the percentile interval is the
     * deterministic, oracle-replayable member of the family.
@@ -1999,24 +2034,29 @@ object ML {
     val est = stats.filter(col("rep") === -1)
       .select(col("__stat").as("est"), col("__n").as("n"))
     val rs = stats.filter(col("rep") >= 0 && col("__stat").isNotNull)
-    val rc = rs.groupBy(col("__stat").as("__sv"))
-      .agg(count(lit(1)).as("__sc"))
-    val (ciShared, ciPre) = Analytics.prefixBeforeMultiByShared(
-      rc, Seq.empty, "__sv", Seq("s" -> col("__sc")))
-    val beff = ciShared.agg(sum(col("__sc")).as("b_eff"))
-    val bounds = ciPre.crossJoin(broadcast(beff))
-      .agg(
-        min(when(col("__cum_s") + col("__sc") >=
-          greatest(lit(1L),
-            ceil(lit(ciLo) * col("b_eff").cast("double"))),
-          col("__sv"))).as("lo"),
-        min(when(col("__cum_s") + col("__sc") >=
-          greatest(lit(1L),
-            ceil(lit(ciHi) * col("b_eff").cast("double"))),
-          col("__sv"))).as("hi"))
-    est.crossJoin(broadcast(beff)).crossJoin(broadcast(bounds))
+    // Efron bounds straight off the B-bounded replicate vector (round
+    // 19): lo/hi are the max(1,⌈ci·b_eff⌉)-th order statistics of ≤ 64
+    // replicate quantiles — the [[bootstrapRatioCI]] sort_array pick.
+    // The previous form routed these ≤ B rows through a second
+    // prefixBeforeMultiByShared pass, whose pinned-execution bridge
+    // costs several plan compilations + range/offset jobs per call —
+    // measured ~25% of q431's wall for a 24-row input. Values are
+    // identical: the prefix form picked min{v : cum ≥ k} over the
+    // value-count table, which IS the k-th order statistic of the
+    // multiset. B ≤ 64 bounds the collected array by contract — never
+    // a data-scale collect.
+    val bounds = rs.agg(count(lit(1)).as("b_eff"),
+        sort_array(collect_list(col("__stat"))).as("__rs"))
+      .select(col("b_eff"),
+        when(col("b_eff") > 0, element_at(col("__rs"),
+          greatest(ceil(lit(ciLo) * col("b_eff").cast("double")), lit(1L))
+            .cast("int"))).as("lo"),
+        when(col("b_eff") > 0, element_at(col("__rs"),
+          greatest(ceil(lit(ciHi) * col("b_eff").cast("double")), lit(1L))
+            .cast("int"))).as("hi"))
+    est.crossJoin(broadcast(bounds))
       .select(lit(p).as("p"), lit(b.toLong).as("b"),
-        coalesce(col("b_eff"), lit(0L)).as("b_eff"), col("n"),
+        col("b_eff"), col("n"),
         col("est"), col("lo"), col("hi"))
   }
 
@@ -2122,24 +2162,21 @@ object ML {
     val rs = wide.filter(col("rep") >= 0 &&
         col("__qa").isNotNull && col("__qb").isNotNull)
       .select((col("__qa") - col("__qb")).as("__d"))
-    val rc = rs.groupBy(col("__d").as("__sv"))
-      .agg(count(lit(1)).as("__sc"))
-    val (ciShared, ciPre) = Analytics.prefixBeforeMultiByShared(
-      rc, Seq.empty, "__sv", Seq("s" -> col("__sc")))
-    val beff = ciShared.agg(sum(col("__sc")).as("b_eff"))
-    val bounds = ciPre.crossJoin(broadcast(beff))
-      .agg(
-        min(when(col("__cum_s") + col("__sc") >=
-          greatest(lit(1L),
-            ceil(lit(ciLo) * col("b_eff").cast("double"))),
-          col("__sv"))).as("lo"),
-        min(when(col("__cum_s") + col("__sc") >=
-          greatest(lit(1L),
-            ceil(lit(ciHi) * col("b_eff").cast("double"))),
-          col("__sv"))).as("hi"))
-    est.crossJoin(broadcast(beff)).crossJoin(broadcast(bounds))
+    // Efron bounds off the B-bounded effect vector — the
+    // [[bootstrapQuantileCI]] round-19 sort_array form (identical order
+    // statistics, minus a whole pinned prefix pass over ≤ B rows).
+    val bounds = rs.agg(count(lit(1)).as("b_eff"),
+        sort_array(collect_list(col("__d"))).as("__rs"))
+      .select(col("b_eff"),
+        when(col("b_eff") > 0, element_at(col("__rs"),
+          greatest(ceil(lit(ciLo) * col("b_eff").cast("double")), lit(1L))
+            .cast("int"))).as("lo"),
+        when(col("b_eff") > 0, element_at(col("__rs"),
+          greatest(ceil(lit(ciHi) * col("b_eff").cast("double")), lit(1L))
+            .cast("int"))).as("hi"))
+    est.crossJoin(broadcast(bounds))
       .select(lit(p).as("p"), lit(b.toLong).as("b"),
-        coalesce(col("b_eff"), lit(0L)).as("b_eff"),
+        col("b_eff"),
         col("n_a"), col("n_b"), col("est_a"), col("est_b"),
         (col("est_a") - col("est_b")).as("diff"), col("lo"), col("hi"))
   }

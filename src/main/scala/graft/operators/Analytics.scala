@@ -5513,11 +5513,12 @@ object Analytics {
     * one bucket exchange + O(|pairs|·log) sweep, one cells exchange +
     * O(|cells|·log B) cross sweep + a ≤(S·B) closing grid — vs the
     * self-join's |pairs|². `buckets = 0` (default) auto-scales B from
-    * a row-count estimate so each bucket's in-memory sweep array stays
-    * ~250k cells; NOTE the auto path fires one EAGER count job at call
-    * time (B sizes JVM arrays and partition counts, so it cannot stay
-    * a lazy column) — pass an explicit `buckets` to keep construction
-    * fully lazy. B clamps at 4096: past ~10⁹ distinct pairs the
+    * the pinned pair frame's exact |pairs| so each bucket's in-memory
+    * sweep array stays ~250k cells; NOTE the auto path fires one EAGER
+    * count job at call time (B sizes JVM arrays and partition counts,
+    * so it cannot stay a lazy column) — the count re-fetches the pair
+    * aggregation's pinned shuffle, never df's upstream lineage — pass
+    * an explicit `buckets` to keep construction fully lazy. B clamps at 4096: past ~10⁹ distinct pairs the
     * per-x-bucket sweep buffer (≈24·|pairs|/B bytes per task) outgrows
     * its ~6 MB design point — raise `buckets` explicitly to match the
     * executor budget (SCALE.md's knob table has the arithmetic).
@@ -5535,13 +5536,6 @@ object Analytics {
     val spark = df.sparkSession
     import spark.implicits._
     val nonNull = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-    // auto-scale B from a row-count estimate (|pairs| ≤ rows) so the
-    // per-bucket in-memory sweep array stays bounded (~250k cells) no
-    // matter the input: B = clamp(rows/250k, 32, 4096). One extra
-    // map-combined count scan — negligible next to the sweep exchange;
-    // pass an explicit B to skip it.
-    val b = if (buckets > 0) buckets
-      else math.min(4096L, math.max(32L, (nonNull.count() + 249999L) / 250000L)).toInt
     // pinned (round 16): both rank tables bridge their prefix passes —
     // separate plan compilations — and the ranked join is a third
     // consumer; without the pin the corpus scan + pair aggregation ran
@@ -5550,6 +5544,19 @@ object Analytics {
       .sharedExecution(nonNull
         .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
         .agg(count(lit(1)).as("__c")))
+    // auto-scale B so the per-bucket in-memory sweep array stays bounded
+    // (~250k cells) no matter the input: B = clamp(|pairs|/250k, 32,
+    // 4096). Counted off the PINNED pair frame (round 19): the count
+    // re-fetches the pair aggregation's shuffle files, where the old
+    // `nonNull.count()` re-executed df's WHOLE upstream lineage once
+    // more (q256's input is itself a join + aggregate — a full extra
+    // pass); |pairs| is also the quantity the sweep buffer actually
+    // scales with, so the sizing is tighter than the row-count bound.
+    // B only places work, never changes values (AnalyticsSpec pins
+    // bit-equality to kendallTau across B). Pass an explicit `buckets`
+    // to skip the eager count.
+    val b = if (buckets > 0) buckets
+      else math.min(4096L, math.max(32L, (pairs.count() + 249999L) / 250000L)).toInt
     // dense ranks from DISTINCT-value tables via the DISTRIBUTED prefix
     // machinery ([[prefixBefore]]): rank = (# strictly-smaller distinct
     // values) + 1 — no single-task sort anywhere; the |X|-distinct rank

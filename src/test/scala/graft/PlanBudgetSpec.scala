@@ -87,7 +87,14 @@ class PlanBudgetSpec extends SparkSpec {
     "q415_brunner_munzel" -> 0,
     "q418_centroid_drift" -> 2,
     "q331_pettitt" -> 0,
-    "q431_bootstrap_median_ci" -> 1,
+    // 1 -> 3 in round 19: the Efron-bound tail left the second pinned
+    // prefix pass (whose exchanges executed EAGERLY at construction,
+    // invisible to this walk but paid at runtime) for an in-plan
+    // sort_array over the ≤B replicate vector — the walk now SEES the
+    // stacked groupBy(rep) + the two one-row aggregate funnels it used
+    // to hide. All three are (B+1)·|distinct|- or B-bounded; total
+    // runtime exchanges went DOWN (measured 0.81× at sf0.1).
+    "q431_bootstrap_median_ci" -> 3,
     "q437_msprt_two_sample" -> 3,
     "q442_token_budget" -> 3,
     "q447_token_budget_salted" -> 10,
