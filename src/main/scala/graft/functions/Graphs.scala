@@ -251,7 +251,12 @@ object Graphs {
         .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(false)
-      settled = settled.union(next).localCheckpoint(false)
+      // settled stays a UNION of per-hop checkpointed frames (round 19):
+      // every piece is already pinned, so the union's lineage is flat —
+      // re-checkpointing it per hop rewrote the ENTIRE settled set's
+      // blocks every iteration (O(settled) extra I/O per hop, quadratic
+      // over the walk) for no plan-depth benefit.
+      settled = settled.union(next)
       frontier = next
       h += 1L
     }
