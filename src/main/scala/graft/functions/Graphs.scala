@@ -32,16 +32,23 @@ object Graphs {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // outdeg folded INTO the pinned edge table once (round 19): it is a
+    // pure function of the edge set, so joining it per iteration paid
+    // an extra |src-nodes| join every round for a value that never
+    // changes — one upfront join widens each edge by one long and every
+    // iteration drops to edges ⋈ ranks + the per-node sum. ONE pinned
+    // frame: nodes derive from the widened edges (both endpoints ride
+    // along), so the distinct edge set is materialized once, not twice.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = e0.join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var rank = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contribs = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).cast("decimal(28,15)").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__s"))
@@ -72,18 +79,19 @@ object Graphs {
                            damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(seeds.nonEmpty, "need at least one seed node")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // outdeg folded into the ONE pinned edge table — see [[pageRank]]
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = e0.join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val isSeed = col("node").isin(seeds: _*)
     var rank = nodes.withColumn("rank",
       when(isSeed, lit(1.0)).otherwise(lit(0.0)))
     for (_ <- 1 to iters) {
       val contribs = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).cast("decimal(28,15)").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__s"))
