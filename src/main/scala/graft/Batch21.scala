@@ -17,9 +17,15 @@ private[graft] object Batch21 {
     * query's sum(cast(raw as dec(18,2)))). */
   private def mvSlice(f: DataFrame): DataFrame =
     f.groupBy("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+      // fixed-point sums (round 19, the q01 fsum2 precedent): sumFixed
+      // is bit-identical to the decimal cast chain for 2-dp money and
+      // ~3x cheaper per row in the scan-stage aggregate; the cast back
+      // to decimal(18,2) keeps the STORED rollup type — the
+      // type-preservation the rewrite contract needs — and is exact
+      // (the double carries the 2-dp rational exactly below 2^53)
+      .agg(SparkEntry.fsum2(col("l_quantity"))
           .cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)"))
+        SparkEntry.fsum2(col("l_extendedprice"))
           .cast("decimal(18,2)").as("sum_price"),
         count(lit(1)).as("cnt"),
         min(col("l_quantity")).as("min_qty"),

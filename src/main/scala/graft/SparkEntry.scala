@@ -46,7 +46,7 @@ object SparkEntry {
     * scale-4 discount products ride [[fprod4]] instead: their unscaled
     * sum overflows 2^63 at the design point, so the product form
     * accumulates in decimal(38,0)). */
-  private def fsum2(c: Column): Column = graft.functions.FixedPoint.sumFixed(c, 2)
+  private[graft] def fsum2(c: Column): Column = graft.functions.FixedPoint.sumFixed(c, 2)
 
   /** Bit-identical fast form of `dsum(a*b, 4)` for 2-dp × 2-dp money
     * products (the TPC-H revenue shape): long-snap multiply +

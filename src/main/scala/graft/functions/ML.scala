@@ -1547,6 +1547,15 @@ object ML {
     val hashed = df.filter(col(groupCol).isin(groupA, groupB))
       .select(col(valueCol), (col(groupCol) === groupA).as("__ga"),
         h1.as("__h1"), h2.as("__h2"))
+    // fixed-point Σw·v — the [[bootstrapMeans]] round-19 form (long
+    // snap shared across replicates, w ≤ 8 so the product can't
+    // overflow, one shared count-compare tripwire, exact decimal
+    // divide-back); see that operator for the full contract note
+    val m = math.pow(10, scale)
+    val v = col(valueCol).cast("double")
+    val okv = !isnan(v) && abs(v) * m < lit(1.152921504606847e18) // 2^60
+    val pc = when(okv && v >= 0, (v * m + 0.5).cast("long"))
+      .when(okv && v < 0, -((-v * m + 0.5).cast("long")))
     val aggs = (0 until b).flatMap { j =>
       val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
         .cast("double") / lit(4294967296.0)
@@ -1555,22 +1564,28 @@ object ML {
           case (acc, (t, k)) =>
             Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
         }.get.otherwise(poisson1Cdf.length).cast("long")
-      val wv = w.cast("decimal(19,0)") *
-        col(valueCol).cast(s"decimal(18,$scale)")
+      val wv = (w * pc).cast("decimal(38,0)")
       Seq(sum(when(col("__ga"), w).otherwise(0L)).as(s"__na$j"),
         sum(when(col("__ga"), wv)).as(s"__sa$j"),
         sum(when(!col("__ga"), w).otherwise(0L)).as(s"__nb$j"),
         sum(when(!col("__ga"), wv)).as(s"__sb$j"))
-    }
+    } ++ Seq(count(pc).as("__nsnap"),
+      count(when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity),
+        lit(1))).as("__nfin"))
     val one = hashed.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__g", assert_true(col("__nsnap") === col("__nfin"),
+        concat(lit("bootstrapMeanDiff: "), col("__nfin") - col("__nsnap"),
+          lit(" value(s) exceed the representable unscaled range at " +
+            s"scale $scale; use a wider scale or pre-scale the column"))))
     val stackArgs = (0 until b)
       .map(j => s"${j}L, __na$j, __sa$j, __nb$j, __sb$j").mkString(", ")
-    one.select(expr(
+    val md = lit(m).cast("decimal(10,0)")
+    one.select(col("__g"), expr(
         s"stack($b, $stackArgs) as (rep, n_a, __sa, n_b, __sb)"))
-      .withColumn("mean_a", when(col("n_a") > 0,
-        col("__sa").cast("double") / col("n_a").cast("double")))
-      .withColumn("mean_b", when(col("n_b") > 0,
-        col("__sb").cast("double") / col("n_b").cast("double")))
+      .withColumn("mean_a", when(col("n_a") > 0 && col("__g").isNull,
+        (col("__sa") / md).cast("double") / col("n_a").cast("double")))
+      .withColumn("mean_b", when(col("n_b") > 0 && col("__g").isNull,
+        (col("__sb") / md).cast("double") / col("n_b").cast("double")))
       .select(col("rep"), col("n_a"), col("n_b"), col("mean_a"),
         col("mean_b"), (col("mean_a") - col("mean_b")).as("diff"))
       .orderBy("rep")
@@ -1906,9 +1921,24 @@ object ML {
     val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
     val hashed = df
       .filter(col(numCol).isNotNull && col(denCol).isNotNull)
-      .select(col(numCol).cast(s"decimal(18,$scale)").as("__x"),
-        col(denCol).cast(s"decimal(18,$scale)").as("__y"),
+      .select(col(numCol).cast("double").as("__x"),
+        col(denCol).cast("double").as("__y"),
         h1.as("__h1"), h2.as("__h2"))
+    // fixed-point Σw·x and Σw·y — the [[bootstrapMeans]] round-19 form
+    // on both metric columns (long snaps shared across replicates,
+    // w ≤ 8 keeps products overflow-free, one shared tripwire per
+    // column, exact decimal divide-back; the scale cancels in every
+    // ratio but the divide-back keeps each reported double identical
+    // to the old decimal-sum cast)
+    val m = math.pow(10, scale)
+    def snapped(c: Column): Column = {
+      val ok = !isnan(c) && abs(c) * m < lit(1.152921504606847e18) // 2^60
+      when(ok && c >= 0, (c * m + 0.5).cast("long"))
+        .when(ok && c < 0, -((-c * m + 0.5).cast("long")))
+    }
+    def finite(c: Column): Column =
+      !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+    val (px, py) = (snapped(col("__x")), snapped(col("__y")))
     val aggs = (0 until b).flatMap { j =>
       val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
         .cast("double") / lit(4294967296.0)
@@ -1917,18 +1947,31 @@ object ML {
           case (acc, (t, k)) =>
             Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
         }.get.otherwise(poisson1Cdf.length).cast("long")
-      Seq(sum(w.cast("decimal(19,0)") * col("__x")).as(s"__sx$j"),
-        sum(w.cast("decimal(19,0)") * col("__y")).as(s"__sy$j"))
-    } ++ Seq(count(lit(1)).as("__n"), sum(col("__x")).as("__fx"),
-      sum(col("__y")).as("__fy"))
+      Seq(sum((w * px).cast("decimal(38,0)")).as(s"__sx$j"),
+        sum((w * py).cast("decimal(38,0)")).as(s"__sy$j"))
+    } ++ Seq(count(lit(1)).as("__n"),
+      sum(px.cast("decimal(38,0)")).as("__fx"),
+      sum(py.cast("decimal(38,0)")).as("__fy"),
+      count(px).as("__nsx"), count(py).as("__nsy"),
+      count(when(finite(col("__x")), lit(1))).as("__nfx"),
+      count(when(finite(col("__y")), lit(1))).as("__nfy"))
+    val md = lit(m).cast("decimal(10,0)")
     val one = hashed.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__g", assert_true(
+        col("__nsx") === col("__nfx") && col("__nsy") === col("__nfy"),
+        concat(lit("bootstrapRatioCI: "),
+          (col("__nfx") - col("__nsx")) + (col("__nfy") - col("__nsy")),
+          lit(" value(s) exceed the representable unscaled range at " +
+            s"scale $scale; use a wider scale or pre-scale the columns"))))
     val stackArgs = (0 until b)
       .map(j => s"${j}L, __sx$j, __sy$j").mkString(", ")
     val reps = one
-      .select(col("__n"), col("__fx"), col("__fy"),
+      .select(col("__g"), col("__n"),
+        (col("__fx") / md).as("__fx"), (col("__fy") / md).as("__fy"),
         expr(s"stack($b, $stackArgs) as (rep, __sx, __sy)"))
       .select(col("__n"), col("__fx"), col("__fy"),
-        when(col("__sy") =!= 0, d(col("__sx")) / d(col("__sy")))
+        when(col("__sy") =!= 0 && col("__g").isNull,
+          d(col("__sx") / md) / d(col("__sy") / md))
           .as("__r"))
     reps.groupBy(col("__n"), col("__fx"), col("__fy"))
       .agg(sum(when(col("__r").isNotNull, 1L).otherwise(0L))
