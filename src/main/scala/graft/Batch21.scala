@@ -17,16 +17,18 @@ private[graft] object Batch21 {
     * query's sum(cast(raw as dec(18,2)))). */
   private def mvSlice(f: DataFrame): DataFrame =
     f.groupBy("l_returnflag", "l_linestatus")
-      // fixed-point sums (round 19, the q01 fsum2 precedent): sumFixed
-      // is bit-identical to the decimal cast chain for 2-dp money and
-      // ~3x cheaper per row in the scan-stage aggregate; the cast back
-      // to decimal(18,2) keeps the STORED rollup type — the
-      // type-preservation the rewrite contract needs — and is exact
-      // (the double carries the 2-dp rational exactly below 2^53)
-      .agg(SparkEntry.fsum2(col("l_quantity"))
-          .cast("decimal(18,2)").as("sum_qty"),
-        SparkEntry.fsum2(col("l_extendedprice"))
-          .cast("decimal(18,2)").as("sum_price"),
+      // fixed-point sums (round 19, the q01 fsum2 precedent), EXACT
+      // decimal form (round 20, r19 ADVICE): the long accumulator keeps
+      // the ~3x per-row win over decimal aggregation, and the decimal
+      // divide-back makes the stored rollup bit-identical to
+      // sum(cast(raw as decimal(18,2))) at ANY magnitude the 2^63
+      // tripwire admits — the previous double round-trip was exact only
+      // below 2^53 unscaled, a band TPC-H sf≈400+ (inside the 100 TB
+      // design point) exceeds while decimal(18,2) still holds the total
+      .agg(graft.functions.FixedPoint
+          .sumFixedDecimal(col("l_quantity"), 2, 18).as("sum_qty"),
+        graft.functions.FixedPoint
+          .sumFixedDecimal(col("l_extendedprice"), 2, 18).as("sum_price"),
         count(lit(1)).as("cnt"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))

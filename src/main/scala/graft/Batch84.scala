@@ -430,7 +430,8 @@ private[graft] object Batch84 {
              |    list_prepend(CAST(0.0 AS DOUBLE), LIST(term ORDER BY bk)),
              |    (x, y) -> x + y) AS log_weight
              |  FROM terms GROUP BY doc_id)
-             |SELECT doc_id AS id, log_weight,
+             |SELECT doc_id AS id,
+             |  CAST(log_weight AS DECIMAL(28,4)) AS log_weight,
              |  CAST(log_weight - ln(-ln(
              |    (CAST(CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
              |      / 4294967296.0)) AS DECIMAL(28,4)) AS key

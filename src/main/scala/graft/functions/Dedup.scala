@@ -1046,8 +1046,11 @@ object Dedup {
     val benchSh = bench.select(explode(shingles(col(benchTextCol), n)).as("s")).distinct()
     val items = if (expectedItems > 0L) expectedItems else math.max(benchSh.count(), 1L)
     val bf = benchSh.stat.bloomFilter("s", items, fpp)
+    // broadcast the sketch (round 20): the handle rides the task
+    // binary, not the filter image itself
+    val bfB = df.sparkSession.sparkContext.broadcast(bf)
     val docSh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-      .filter(graft.plans.HashExpressions.bloomMightContain(col("s"), bf))
+      .filter(graft.plans.HashExpressions.bloomMightContain(col("s"), bfB))
     docSh.join(benchSh, Seq("s"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }

@@ -72,11 +72,26 @@ object FixedPoint {
     * comparison subsumes the finite check; isnan stays for the
     * documented NaN intent.) ONE copy, shared by both aggregates: the
     * snap semantics are a documented cross-aggregate contract. */
-  private def snap(c: Column, m: Double): Column = {
-    val ok = !isnan(c) && abs(c) * m < lit(4.611686018427388e18) // 2^62
+  private def snap(c: Column, m: Double): Column =
+    snapAtBound(c, m, 4.611686018427388e18) // 2^62
+
+  /** The snap at an EXPLICIT range bound — ONE copy of the documented
+    * cross-aggregate snap semantics (r19 ADVICE: three hand-copies in
+    * the ML bootstrap aggregates had already drifted to their own
+    * bound). Callers whose aggregate MULTIPLIES the unscaled image by
+    * a factor f must bound |unscaled| at 2^63/f so the product can
+    * never overflow a long — the Poisson-bootstrap family uses
+    * [[boundForFactor8]] = 2^60 (w ≤ 8 by the CDF table). */
+  private[graft] def snapAtBound(c: Column, m: Double,
+      bound: Double): Column = {
+    val ok = !isnan(c) && abs(c) * m < lit(bound)
     when(ok && c >= 0, (c * m + 0.5).cast("long"))
       .when(ok && c < 0, -((-c * m + 0.5).cast("long")))
   }
+
+  /** 2^60: the snap range bound for aggregates that multiply the
+    * unscaled image by a factor ≤ 8 (Poisson(1) bootstrap weights). */
+  private[graft] val boundForFactor8: Double = 1.152921504606847e18
 
   /** Count of rows whose input is a real number (non-null, non-NaN,
     * finite) — the rows snap MUST have snapped. snap also nulls finite
@@ -85,14 +100,43 @@ object FixedPoint {
     * range: the aggregates trip on that instead of letting the row
     * silently leave the sum. (NaN/Inf/null rows are NOT counted — those
     * skip legitimately, exactly as the decimal cast maps them.) */
-  private def isFinite(c: Column): Column =
+  private[graft] def isFinite(c: Column): Column =
     !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
-  private def finiteCount(c: Column): Column = count(when(isFinite(c), lit(1)))
+  private[graft] def finiteCount(c: Column): Column =
+    count(when(isFinite(c), lit(1)))
 
   /** See object doc. */
   def sumFixed(c: Column, scale: Int): Column = {
     require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
     val m = math.pow(10, scale)
+    guardedLongSum(c, scale, m).cast("double") / m
+  }
+
+  /** [[sumFixed]] returning the EXACT decimal(precision, scale) result
+    * instead of the double round-trip: bit-identical to
+    * `sum(cast(c as decimal(precision, scale)))` at ANY total the 2^63
+    * tripwire admits. The double form's `/ m` is exact only while the
+    * unscaled total stays below 2^53 — decimal(18,2) itself holds
+    * totals up to ~10^18, so in the (2^53, 10^18) band (TPC-H sf≈400+,
+    * inside the 100 TB design point) a stored rollup built through the
+    * double would silently diverge from the raw decimal sum it must
+    * reproduce (r19 ADVICE, q200's mvSlice). Here the long total casts
+    * to decimal and divides by 10^scale in DECIMAL arithmetic — exact
+    * at every step (the quotient has exactly `scale` fractional
+    * digits), enforced rather than stated. */
+  def sumFixedDecimal(c: Column, scale: Int, precision: Int): Column = {
+    require(scale >= 0 && scale <= 9, s"scale must be in [0, 9], got $scale")
+    require(precision >= scale + 1 && precision <= 38,
+      s"precision must be in [${scale + 1}, 38], got $precision")
+    val m = math.pow(10, scale)
+    guardedLongSum(c, scale, m)
+      .cast("decimal(20,0)")./(lit(m.toLong).cast("decimal(10,0)"))
+      .cast(s"decimal($precision,$scale)")
+  }
+
+  /** The shared guarded LONG accumulator behind both sum forms: snap,
+    * count/max tripwire, exact long total (see object doc). */
+  private def guardedLongSum(c: Column, scale: Int, m: Double): Column = {
     val snapped = snap(c, m)
     // overflow tripwire (see object doc): n·max|unscaled| must fit 2^63.
     // count/max aggregate the same snapped child, so Spark evaluates the
@@ -128,7 +172,7 @@ object FixedPoint {
         n, lit(") * max|unscaled|("), coalesce(mx, lit(0L)),
         lit(") can exceed 2^63, so a long accumulator may wrap silently; " +
           "use a decimal sum for this column")))
-    coalesce(guard.cast("long"), sum(snapped)).cast("double") / m
+    coalesce(guard.cast("long"), sum(snapped))
   }
 
   /** Exact fixed-point PRODUCT sum: Σ a·b where `a` carries ≤ scaleA and

@@ -174,11 +174,13 @@ object Graphs {
     // the exact join erases) drops non-closing wedges BEFORE the
     // exchange. Measured at sf0.1 (co-purchase graph, 0.9M edges):
     // the closing-join exchange fell from every wedge to ~closing
-    // fraction + 2% fpp of them. Gated at 1e8 edges: past that the
-    // filter itself (~9.6 bits/edge at 1%) stops fitting the
-    // driver/executor comfort zone and the wedge volume is the
-    // O(m√m) design bound anyway — above the gate the plan is
-    // UNCHANGED from r18. The count is a re-fetch of o's pinned
+    // fraction + 2% fpp of them. Gated at 1e8 edges (~100 MB sketch at
+    // fpp 0.02): past that building the sketch (a driver-side collect)
+    // and holding it per executor stop paying for themselves, and the
+    // wedge volume is the O(m√m) design bound anyway — above the gate
+    // the plan is UNCHANGED from r18. The sketch ships as a BROADCAST
+    // (round 20), so task binaries carry a handle, not the image.
+    // The count is a re-fetch of o's pinned
     // checkpoint (materialized here either way), not an extra lineage
     // pass. The closing join builds its hash side from the EDGE list
     // (SHUFFLE_HASH) — the bounded side by construction (|edges| ≤
@@ -188,8 +190,13 @@ object Graphs {
     val wedgesPruned = if (m > 0 && m <= 100000000L) {
       val bf = closing.stat.bloomFilter(
         xxhash64(col("b"), col("c")), math.max(m, 1L), 0.02)
+      // ship the sketch as a BROADCAST (round 20, r19 VERDICT #6): as a
+      // raw expression reference it serialized into every task binary
+      // of every stage referencing it (~100 MB at the gate boundary);
+      // the broadcast handle is bytes, executors torrent the sketch once
+      val bfB = edges.sparkSession.sparkContext.broadcast(bf)
       wedges.filter(graft.plans.HashExpressions.bloomMightContain(
-        xxhash64(col("b"), col("c")), bf))
+        xxhash64(col("b"), col("c")), bfB))
     } else wedges
     val tris = wedgesPruned.join(closing.hint("shuffle_hash"),
       Seq("b", "c"), "inner")

@@ -1543,6 +1543,10 @@ object ML {
                         groupCol: String, groupA: String, groupB: String,
                         b: Int, salt: String, scale: Int = 4): DataFrame = {
     require(b >= 1 && b <= 32, s"b must be in [1,32], got $b")
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got " +
+      s"$scale — the decimal divide-back is typed decimal(38,6): scale " +
+      "7+ silently rounds means at 6 digits, scale 10+ overflows the " +
+      "decimal(10,0) divisor to NULL (r19 ADVICE)")
     val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
     val hashed = df.filter(col(groupCol).isin(groupA, groupB))
       .select(col(valueCol), (col(groupCol) === groupA).as("__ga"),
@@ -1553,9 +1557,9 @@ object ML {
     // divide-back); see that operator for the full contract note
     val m = math.pow(10, scale)
     val v = col(valueCol).cast("double")
-    val okv = !isnan(v) && abs(v) * m < lit(1.152921504606847e18) // 2^60
-    val pc = when(okv && v >= 0, (v * m + 0.5).cast("long"))
-      .when(okv && v < 0, -((-v * m + 0.5).cast("long")))
+    // ONE snap copy ([[FixedPoint.snapAtBound]], r19 ADVICE): 2^60
+    // range bound because w ≤ 8 multiplies the unscaled image
+    val pc = FixedPoint.snapAtBound(v, m, FixedPoint.boundForFactor8)
     val aggs = (0 until b).flatMap { j =>
       val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
         .cast("double") / lit(4294967296.0)
@@ -1570,8 +1574,7 @@ object ML {
         sum(when(!col("__ga"), w).otherwise(0L)).as(s"__nb$j"),
         sum(when(!col("__ga"), wv)).as(s"__sb$j"))
     } ++ Seq(count(pc).as("__nsnap"),
-      count(when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity),
-        lit(1))).as("__nfin"))
+      FixedPoint.finiteCount(v).as("__nfin"))
     val one = hashed.agg(aggs.head, aggs.tail: _*)
       .withColumn("__g", assert_true(col("__nsnap") === col("__nfin"),
         concat(lit("bootstrapMeanDiff: "), col("__nfin") - col("__nsnap"),
@@ -1829,6 +1832,10 @@ object ML {
   def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
                      b: Int, salt: String, scale: Int = 4): DataFrame = {
     require(b >= 1 && b <= 64, s"b must be in [1,64], got $b")
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got " +
+      s"$scale — the decimal divide-back is typed decimal(38,6): scale " +
+      "7+ silently rounds means at 6 digits, scale 10+ overflows the " +
+      "decimal(10,0) divisor to NULL (r19 ADVICE)")
     val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
     val hashed = df.select(col(valueCol), h1.as("__h1"), h2.as("__h2"))
     def wOf(j: Int): org.apache.spark.sql.Column = {
@@ -1860,16 +1867,15 @@ object ML {
     // old decimal(38,s) sum cast at any magnitude below 10^34).
     val m = math.pow(10, scale)
     val v = col(valueCol).cast("double")
-    val okv = !isnan(v) && abs(v) * m < lit(1.152921504606847e18) // 2^60
-    val pc = when(okv && v >= 0, (v * m + 0.5).cast("long"))
-      .when(okv && v < 0, -((-v * m + 0.5).cast("long")))
+    // ONE snap copy ([[FixedPoint.snapAtBound]], r19 ADVICE): 2^60
+    // range bound because w ≤ 8 multiplies the unscaled image
+    val pc = FixedPoint.snapAtBound(v, m, FixedPoint.boundForFactor8)
     val aggs = (0 until b).flatMap { j =>
       val w = wOf(j)
       Seq(sum(w).as(s"__n$j"),
         sum((w * pc).cast("decimal(38,0)")).as(s"__s$j"))
     } ++ Seq(count(pc).as("__nsnap"),
-      count(when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity),
-        lit(1))).as("__nfin"))
+      FixedPoint.finiteCount(v).as("__nfin"))
     val one = hashed.agg(aggs.head, aggs.tail: _*)
       // guard rides the one-row frame: zero per-row cost, still loud
       .withColumn("__g", assert_true(col("__nsnap") === col("__nfin"),
@@ -1915,6 +1921,10 @@ object ML {
                        ciLo: Double = 0.025, ciHi: Double = 0.975,
                        scale: Int = 4): DataFrame = {
     require(b >= 1 && b <= 64, s"b must be in [1,64], got $b")
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got " +
+      s"$scale — the decimal divide-back is typed decimal(38,6): scale " +
+      "7+ silently rounds at 6 digits, scale 10+ overflows the " +
+      "decimal(10,0) divisor to NULL (r19 ADVICE)")
     require(ciLo > 0 && ciLo < ciHi && ciHi < 1,
       s"need 0 < ciLo < ciHi < 1, got ($ciLo, $ciHi)")
     def d(c: Column) = c.cast("double")
@@ -1931,13 +1941,11 @@ object ML {
     // ratio but the divide-back keeps each reported double identical
     // to the old decimal-sum cast)
     val m = math.pow(10, scale)
-    def snapped(c: Column): Column = {
-      val ok = !isnan(c) && abs(c) * m < lit(1.152921504606847e18) // 2^60
-      when(ok && c >= 0, (c * m + 0.5).cast("long"))
-        .when(ok && c < 0, -((-c * m + 0.5).cast("long")))
-    }
-    def finite(c: Column): Column =
-      !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+    // ONE snap copy ([[FixedPoint.snapAtBound]], r19 ADVICE): 2^60
+    // range bound because w ≤ 8 multiplies the unscaled image
+    def snapped(c: Column): Column =
+      FixedPoint.snapAtBound(c, m, FixedPoint.boundForFactor8)
+    def finite(c: Column): Column = FixedPoint.isFinite(c)
     val (px, py) = (snapped(col("__x")), snapped(col("__y")))
     val aggs = (0 until b).flatMap { j =>
       val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)

@@ -739,7 +739,9 @@ object Sampling {
     * (id, bucket, count) longs; both corpus models are ≤`buckets`
     * rows, broadcast; the final selection is a TakeOrdered top-k,
     * never a global sort. Output: k rows — (id, log_weight, key),
-    * ordered by (key DESC, id). */
+    * both log_weight and key quantized at decimal(28,4) (the
+    * engine-portable grid; ulp-exact doubles do not survive two ln()
+    * chains across engines), ordered by (key DESC, id). */
   def dsirSample(df: DataFrame, idCol: String, textCol: String,
                  target: DataFrame, targetTextCol: String, k: Int,
                  n: Int = 2, buckets: Int = 4096,
@@ -788,7 +790,15 @@ object Sampling {
     ell
       .withColumn("key",
         (col("log_weight") - log(-log(u))).cast("decimal(28,4)"))
-      .select("id", "log_weight", "key")
+      // the EMITTED log_weight is quantized at the same decimal(28,4)
+      // grid as the ranking key: the raw double is two ln() chains
+      // deep, and a one-ulp libm divergence between engines flips an
+      // exact output hash with rows and ranks still matching (round-19
+      // driver verify, q462). The key above is built from the RAW
+      // double first — quantizing the emitted column cannot move ranks.
+      .select(col("id"),
+        col("log_weight").cast("decimal(28,4)").as("log_weight"),
+        col("key"))
       .orderBy(col("key").desc, col("id"))
       .limit(k)
   }

@@ -112,7 +112,10 @@ object Joins {
     val items = if (expectedKeys > 0L) expectedKeys
       else math.max(keys.count(), 1L)
     val bf = keys.stat.bloomFilter(dimKey, items, fpp)
-    fact.filter(graft.plans.HashExpressions.bloomMightContain(col(factKey), bf))
+    // broadcast the sketch (round 20): the handle rides the task
+    // binary, not the ~1.2 MB/M-keys image itself
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    fact.filter(graft.plans.HashExpressions.bloomMightContain(col(factKey), bfB))
       .join(dim, col(factKey) === dim(dimKey))
   }
 

@@ -1088,8 +1088,15 @@ case class RhpSignature(child: Expression, dim: Int, bits: Int, seed: Int)
   * absent key (FP rate set at build); never false for a present one —
   * callers must re-verify positives exactly (see
   * `Dedup.contaminationScoresBloom`). */
+/** Probe against a BROADCAST Bloom filter (round 20, r19 VERDICT #6):
+  * the sketch used to sit in the expression as a raw reference object,
+  * serialized into EVERY stage's task binary that referenced it —
+  * ~100 MB per task set at the triangle gate boundary. As a
+  * `Broadcast`, the task binary carries only the broadcast handle and
+  * executors fetch the sketch once via the torrent protocol. */
 case class BloomMightContain(child: Expression,
-                             filter: org.apache.spark.util.sketch.BloomFilter)
+                             bcast: org.apache.spark.broadcast.Broadcast[
+                               org.apache.spark.util.sketch.BloomFilter])
     extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -1102,13 +1109,20 @@ case class BloomMightContain(child: Expression,
     }
   override def dataType: DataType = BooleanType
   private def isLong: Boolean = child.dataType == LongType
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    bcast.value
   override def nullSafeEval(input: Any): Any =
     java.lang.Boolean.valueOf(
       if (isLong) HashOps.bloomContainsLongJava(input.asInstanceOf[Long], filter)
       else HashOps.bloomContainsJava(input.asInstanceOf[UTF8String], filter))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fRef = ctx.addReferenceObj("bloomFilter", filter,
-      "org.apache.spark.util.sketch.BloomFilter")
+    val bRef = ctx.addReferenceObj("bloomBcast", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolve the broadcast ONCE per codegen'd partition object, not
+    // per row: a mutable-state member initialized from the handle
+    val fRef = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter", "bloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bRef.value();")
     val fn = if (isLong) "bloomContainsLongJava" else "bloomContainsJava"
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.HashOps.$fn($c, $fRef);")
@@ -1213,7 +1227,8 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], nprobe: 
 object HashExpressions {
   import ColumnBridge.{column, expression}
   def bloomMightContain(c: Column,
-                        bf: org.apache.spark.util.sketch.BloomFilter): Column =
+                        bf: org.apache.spark.broadcast.Broadcast[
+                          org.apache.spark.util.sketch.BloomFilter]): Column =
     column(BloomMightContain(expression(c), bf))
   def nearestCell(c: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCell(expression(c), centroids))

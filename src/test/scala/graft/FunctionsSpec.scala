@@ -3155,7 +3155,10 @@ class FunctionsSpec extends SparkSpec {
     assert(r.length == 3)
     assert(r.map(_.getAs[Long]("id")).toSeq == model.map(_._1))
     r.zip(model).foreach { case (row, (_, ell, key)) =>
-      assert(math.abs(row.getAs[Double]("log_weight") - ell) < 1e-12)
+      // emitted log_weight is quantized at the key's decimal(28,4) grid
+      val ellQ = BigDecimal(ell).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      assert(row.getAs[java.math.BigDecimal]("log_weight")
+        .compareTo(ellQ.bigDecimal) == 0)
       assert(row.getAs[java.math.BigDecimal]("key")
         .compareTo(key.bigDecimal) == 0)
     }
