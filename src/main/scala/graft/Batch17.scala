@@ -151,12 +151,7 @@ private[graft] object Batch17 {
     // per-node fan-out all agree with the definitional count.
     Q("q176_triangles",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+        val e = Tables.coPurchaseEdges(s, dir)
         graft.functions.Graphs.triangleCount(e).orderBy("node")
       },
       Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j

@@ -403,12 +403,7 @@ private[graft] object Batch18 {
     // deg<2 convention, and the double formula.
     Q("q189_clustering_coeff",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+        val e = Tables.coPurchaseEdges(s, dir)
         graft.functions.Graphs.clusteringCoefficient(e).orderBy("node")
       },
       Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j

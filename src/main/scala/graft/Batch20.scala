@@ -49,13 +49,9 @@ private[graft] object Batch20 {
     // operator's settled-set anti-join.
     Q("q196_bfs_distances",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
-        val seeds = li.select(col("l_partkey").as("node"))
+        val e = Tables.coPurchaseEdges(s, dir)
+        val seeds = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("node"))
           .filter(col("node") % 97 === 0).distinct()
         graft.functions.Graphs.bfsDistances(e, seeds, maxHops = 3)
           .orderBy("node")

@@ -16,12 +16,7 @@ private[graft] object Batch23 {
     // normalized symmetric closure and every aggregate.
     Q("q206_neighbor_agg",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+        val e = Tables.coPurchaseEdges(s, dir)
         val attrs = Tables.part(s, dir)
           .select(col("p_partkey"), col("p_retailprice"))
         graft.functions.Graphs.neighborAgg(e, attrs, "p_partkey",

@@ -33,12 +33,7 @@ private[graft] object Batch25 {
     // ratio all re-derived by the oracle's naive formulation.
     Q("q212_node_similarity",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+        val e = Tables.coPurchaseEdges(s, dir)
         graft.functions.Graphs.nodeSimilarity(e, minCommon = 15L)
           .orderBy("a", "b")
       },

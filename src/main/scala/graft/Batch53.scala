@@ -179,12 +179,7 @@ private[graft] object Batch53 {
     // set): exact HUGEINT/decimal sums, pinned double Pearson chain.
     Q("q336_assortativity",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+        val e = Tables.coPurchaseEdges(s, dir)
         graft.functions.Graphs.degreeAssortativity(e)
       },
       Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS i, b.l_partkey AS j

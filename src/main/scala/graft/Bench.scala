@@ -43,14 +43,16 @@ object Bench {
       }
     }
     def fromText(s: String): Map[String, Double] = {
+      // spread "med" entries FIRST (round 20): the payload now carries a
+      // task_time map between queries and spread, and on a
+      // front-truncated tail the bare name:number regex would read its
+      // entries as medians — the med harvest is unambiguous, so it takes
+      // precedence and the regex only fills names the spread lost
+      val acc = scala.collection.mutable.Map.empty[String, Double]
+      spreadField(s, "med").foreach { case (n, v) => acc(n) = v }
       val prx = java.util.regex.Pattern.compile("\"(q[^\"]+)\":(-?[0-9.]+)")
       val m = prx.matcher(s)
-      val acc = scala.collection.mutable.Map.empty[String, Double]
       while (m.find()) if (!acc.contains(m.group(1))) acc(m.group(1)) = m.group(2).toDouble
-      // spread entries carry "med" (round 14+): harvest them for names
-      // the direct map lost to truncation
-      spreadField(s, "med").foreach { case (n, v) =>
-        if (!acc.contains(n)) acc(n) = v }
       acc.toMap
     }
     val j = try JsonMethods.parse(txt) catch { case _: Throwable => org.json4s.JNothing }
@@ -206,6 +208,35 @@ object Bench {
     }
     val qsAll = qs0 ++ Map(canaryName ->
       ((s: SparkSession, _: String) => canary(s)))
+    // Per-line executor TASK-TIME next to wall (round 20, VERDICT r19
+    // Next #8): a SparkListener sums executorRunTime per stage, mapped
+    // to the owning query via the job description set before each
+    // TIMED run (guide §1.5; warmup runs carry no description and are
+    // excluded, like their wall times). Driver-bound lines
+    // (wall ≫ task_time/cores) now separate from data-bound ones
+    // mechanically — the scaling block's ≈1 ratios at lower core
+    // counts are the expected signature of a driver-bound line, not a
+    // harness bug. Purely additive payload field.
+    val taskTimeMs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val stageOwner = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        val desc = Option(ss.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        if (desc.nonEmpty) stageOwner.put(ss.stageInfo.stageId, desc)
+      }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val owner = stageOwner.get(te.stageId)
+        if (owner != null && te.taskMetrics != null) {
+          taskTimeMs.merge(owner,
+            java.lang.Long.valueOf(te.taskMetrics.executorRunTime),
+            (a, b) => java.lang.Long.valueOf(a + b))
+        }
+      }
+    })
     val names = (canaryName +: SparkEntry.benchQueries)
       .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
@@ -237,10 +268,12 @@ object Bench {
       }
       names.foreach { name =>
         if (ok(name)) {
+          spark.sparkContext.setJobDescription(name)
           val t0 = System.nanoTime()
           try { run(qsAll(name)(spark, sfDir)); times(name) += (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); ok(name) = false }
+          finally spark.sparkContext.setJobDescription(null)
         }
       }
       if (burnPass >= 0)
@@ -318,8 +351,18 @@ object Bench {
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       s"""{"load_avg":${fmt(os.getSystemLoadAverage)},"cpus":${os.getAvailableProcessors}}"""
     }
+    // average executor task-seconds per timed pass, per line (see the
+    // listener above; listener events are async — drain briefly first)
+    Thread.sleep(500)
+    val taskTime = results.filter(_.ok).flatMap { r =>
+      Option(taskTimeMs.get(r.name)).map(ms =>
+        "\"" + r.name + "\":" + fmt(ms.toDouble / 1000.0 / iters))
+    }.mkString("{", ",", "}")
+    // task_time rides BETWEEN queries and spread: the spread map (with
+    // its embedded "med" copies) must stay LAST among the big maps so
+    // it survives the driver's front-truncating tail capture (r13/r14)
     val payload =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"warmup_excluded":true,"interleaved":true,"host":$host,"sanity":$sanity,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"task_time":$taskTime,"spread":$spread,"iters":$iters,"warmup_excluded":true,"interleaved":true,"host":$host,"sanity":$sanity,"errors":$errors,"sf":"$sfDir"}"""
     println(payload)
     // ALSO drop the payload as a bare file: the driver scrapes stdout
     // through sbt, whose [info] prefix has left BENCH_r{N}.json with

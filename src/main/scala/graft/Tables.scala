@@ -50,4 +50,32 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The co-purchase edge list shared by the graph queries
+    * (q176/q189/q196/q206/q212/q336): (i, j) part pairs with i < j
+    * co-occurring in an order — ONE definition instead of six copies.
+    *
+    * The explicit `repartition(shufflePartitions, l_orderkey)` pins the
+    * self-join's width to the session's shuffle parallelism (round 20,
+    * guide §2.5): the join's reduce stage turns kilobytes of key
+    * shuffle into O(Σ c_order²) pairs — extreme CPU-per-byte — and
+    * AQE's BYTE-based coalescing ran it 3-wide on a 32-core box
+    * (Profile r20: the 1.2–1.4 s 3-task job under q176/q196). A
+    * user-numbered repartition is not AQE-coalescible, so the stage
+    * runs at the width the planner would have chosen before
+    * coalescing; both join sides read the SAME exchange
+    * (ReuseExchange), so no second shuffle appears. At cluster scale
+    * the shuffle is GBs, AQE would not have coalesced it, and the
+    * explicit width equals the planner's own default — a no-op by
+    * construction, not a local-mode tune. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"))
+  }
 }

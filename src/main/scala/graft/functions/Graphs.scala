@@ -132,12 +132,29 @@ object Graphs {
     * self-join + closing join + the final explode agg — each keyed on
     * node ids or (node, node) pairs, never on anything corpus-wide. */
   def triangleCount(edges: DataFrame, iCol: String = "i",
-                    jCol: String = "j"): DataFrame = {
-    val und = edges
+                    jCol: String = "j"): DataFrame =
+    triangleCountOn(normalizedUnd(edges, iCol, jCol))
+
+  /** The (u < v)-normalized distinct edge list, PINNED (round 20): it
+    * has three consumers in the orientation plan (the deg union's two
+    * arms and the withDeg join side), and while ReuseExchange dedupes
+    * the distinct's EXCHANGE across them, the distinct's reduce-side
+    * HashAggregate sits ABOVE the exchange and re-executed once per
+    * consumer — at sf0.1 three identical ~1.2 s jobs re-hashing the
+    * 5M-pair self-join output (Profile r20). Pinning costs one O(m)
+    * block write and the aggregation runs once; at 100 TB the saving
+    * is 2× an O(pairs) CPU aggregation for an O(m) write. Also lets
+    * [[clusteringCoefficient]] share ONE normalization with the
+    * triangle pass instead of deriving its own. */
+  private def normalizedUnd(edges: DataFrame, iCol: String,
+                            jCol: String): DataFrame =
+    shared(edges
       .filter(col(iCol) =!= col(jCol))
       .select(least(col(iCol), col(jCol)).as("u"),
         greatest(col(iCol), col(jCol)).as("v"))
-      .distinct()
+      .distinct())
+
+  private def triangleCountOn(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient by (degree, id): src = the endpoint lower in that order.
@@ -194,7 +211,7 @@ object Graphs {
       // raw expression reference it serialized into every task binary
       // of every stage referencing it (~100 MB at the gate boundary);
       // the broadcast handle is bytes, executors torrent the sketch once
-      val bfB = edges.sparkSession.sparkContext.broadcast(bf)
+      val bfB = und.sparkSession.sparkContext.broadcast(bf)
       wedges.filter(graft.plans.HashExpressions.bloomMightContain(
         xxhash64(col("b"), col("c")), bfB))
     } else wedges
@@ -213,14 +230,14 @@ object Graphs {
     * node of the normalized graph. */
   def clusteringCoefficient(edges: DataFrame, iCol: String = "i",
                             jCol: String = "j"): DataFrame = {
-    val und = edges
-      .filter(col(iCol) =!= col(jCol))
-      .select(least(col(iCol), col(jCol)).as("u"),
-        greatest(col(iCol), col(jCol)).as("v"))
-      .distinct()
+    // ONE pinned normalization shared with the triangle pass (round
+    // 20): this operator used to derive its own und + degree table AND
+    // call triangleCount, which re-ran the whole edge normalization —
+    // the input self-join + distinct executed twice per run
+    val und = normalizedUnd(edges, iCol, jCol)
     val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCount(edges, iCol, jCol), Seq("node"), "left")
+    deg.join(triangleCountOn(und), Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("lcc",
         when(col("degree") >= 2,

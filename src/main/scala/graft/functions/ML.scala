@@ -45,6 +45,29 @@ object ML {
       })
     }.toMap
 
+  /** Scale-adaptive parallelism gate for the one-scan bootstrap
+    * aggregates (round 20, guide §2): their per-row work (one md5 + B
+    * integer mix chains + 2B aggregate buffers) runs at the SCAN's
+    * task count, which the input layout fixes — a ~20 MB fixture file
+    * yields 3 splits, so on a 32-core box the dominant stage runs
+    * 3-wide (Profile r20: q240's 1.5–2.0 s job, tasks=3). When the
+    * planned input parallelism is below the session's
+    * defaultParallelism, ONE deterministic hash repartition of the
+    * NARROW pre-hash projection (~tens of MB) spreads the expensive
+    * projection + aggregation across every core; at the 100 TB design
+    * point the scan's split count exceeds any executor's core count
+    * and the gate is a structural NO-OP — no shuffle is added at
+    * scale. Hash-partitioning on the id (not round-robin) avoids the
+    * sort-before-repartition pass and is retry-deterministic
+    * (guide §2.5); values are unchanged — every downstream aggregate
+    * is order-independent by the fixed-point/decimal contracts. */
+  private def spreadToCores(df: DataFrame, keyCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, col(keyCol))
+    else df
+  }
+
   private def contCatOf(df: DataFrame, hints: Map[String, Hint]): (Seq[String], Seq[String]) = {
     val r = roles(df, hints)
     (r.collect { case (c, Continuous) => c }.toSeq.sorted,
@@ -1548,7 +1571,8 @@ object ML {
       "7+ silently rounds means at 6 digits, scale 10+ overflows the " +
       "decimal(10,0) divisor to NULL (r19 ADVICE)")
     val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
-    val hashed = df.filter(col(groupCol).isin(groupA, groupB))
+    val hashed = spreadToCores(df.filter(col(groupCol).isin(groupA, groupB))
+        .select(Seq(valueCol, groupCol, idCol).distinct.map(col): _*), idCol)
       .select(col(valueCol), (col(groupCol) === groupA).as("__ga"),
         h1.as("__h1"), h2.as("__h2"))
     // fixed-point Σw·v — the [[bootstrapMeans]] round-19 form (long
@@ -1837,7 +1861,9 @@ object ML {
       "7+ silently rounds means at 6 digits, scale 10+ overflows the " +
       "decimal(10,0) divisor to NULL (r19 ADVICE)")
     val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
-    val hashed = df.select(col(valueCol), h1.as("__h1"), h2.as("__h2"))
+    val hashed = spreadToCores(
+        df.select(Seq(valueCol, idCol).distinct.map(col): _*), idCol)
+      .select(col(valueCol), h1.as("__h1"), h2.as("__h2"))
     def wOf(j: Int): org.apache.spark.sql.Column = {
       val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
         .cast("double") / lit(4294967296.0)
@@ -1929,8 +1955,9 @@ object ML {
       s"need 0 < ciLo < ciHi < 1, got ($ciLo, $ciHi)")
     def d(c: Column) = c.cast("double")
     val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
-    val hashed = df
-      .filter(col(numCol).isNotNull && col(denCol).isNotNull)
+    val hashed = spreadToCores(df
+        .filter(col(numCol).isNotNull && col(denCol).isNotNull)
+        .select(Seq(numCol, denCol, idCol).distinct.map(col): _*), idCol)
       .select(col(numCol).cast("double").as("__x"),
         col(denCol).cast("double").as("__y"),
         h1.as("__h1"), h2.as("__h2"))
@@ -2036,13 +2063,24 @@ object ML {
       s"need 0 < ciLo < ciHi < 1, got ($ciLo, $ciHi)")
     import graft.operators.Analytics
     val (h1, h2) = graft.functions.Sampling.hash64Words(col(idCol), salt)
+    // the per-replicate uniforms are PROJECTED columns, not inlined
+    // into the aggregate (round 20, Catalyst compile cost): inlined,
+    // each weight's 8-branch CDF CaseWhen duplicates the ~60-node
+    // mix-chain tree per branch (~500 nodes per replicate, ~12k for
+    // B=24), and the pinned-bridge plan compile walks all of it —
+    // Profile r20 put q431's construct at 2.5 s against 1.2 s of jobs.
+    // As leaf references the CaseWhen is ~35 nodes per replicate.
+    // Same expressions per row (codegen fuses the stacked projections;
+    // the md5 evaluates once either way) — values bit-identical.
     val hashed = df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__v"),
         h1.as("__h1"), h2.as("__h2"))
+      .select(col("__v") +: (0 until b).map(j =>
+        (graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
+          .cast("double") / lit(4294967296.0)).as(s"__u$j")): _*)
     def w(j: Int): Column = {
-      val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
-        .cast("double") / lit(4294967296.0)
+      val u = col(s"__u$j")
       poisson1Cdf.zipWithIndex
         .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
           Some(acc.fold(when(u < t, k))(_.when(u < t, k)))
@@ -2148,9 +2186,14 @@ object ML {
       .select(col(valueCol).cast("double").as("__v"),
         (col(groupCol) === groupA).as("__ia"),
         h1.as("__h1"), h2.as("__h2"))
+      // projected per-replicate uniforms — the [[bootstrapQuantileCI]]
+      // round-20 tree-size treatment (each w(j) is referenced once per
+      // ARM here, so the inlined form duplicated every mix tree 16×)
+      .select(col("__v") +: col("__ia") +: (0 until b).map(j =>
+        (graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
+          .cast("double") / lit(4294967296.0)).as(s"__u$j")): _*)
     def w(j: Int): Column = {
-      val u = graft.functions.Sampling.mixU32(col("__h1"), col("__h2"), j)
-        .cast("double") / lit(4294967296.0)
+      val u = col(s"__u$j")
       poisson1Cdf.zipWithIndex
         .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
           Some(acc.fold(when(u < t, k))(_.when(u < t, k)))

@@ -5568,9 +5568,29 @@ object Analytics {
         .drop("__cum"))
     }
     // |X|/|Y| = the distinct counts, read off each rank table's PINNED
-    // frame (max(rank) over the prefix RESULT would re-run its window)
-    val (rxShared, rx0) = rankTable("__x", "__rx")
-    val (ryShared, ry0) = rankTable("__y", "__ry")
+    // frame (max(rank) over the prefix RESULT would re-run its window).
+    // The two rank tables are INDEPENDENT eager-bridge pins — each
+    // launches its distinct + range-exchange jobs at CONSTRUCTION — so
+    // build them concurrently (round 20, guide §2.6: actions are only
+    // sequential because the driver calls them sequentially; Spark's
+    // scheduler runs both job sets at once and the second set
+    // back-fills the first's stragglers). Both consume the SAME pinned
+    // pair frame (shuffle-file re-fetches — no racing lineage), each
+    // pin is its own SQL execution, and values are position-independent
+    // (dense ranks from distinct-value tables) — the ONLY effect is
+    // overlapped fixed cost. Pool threads inherit the caller's Spark
+    // local properties (job group/description) via InheritableThreadLocal.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ((rxShared, rx0), (ryShared, ry0)) = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fx = scala.concurrent.Future(rankTable("__x", "__rx"))
+      val fy = scala.concurrent.Future(rankTable("__y", "__ry"))
+      (scala.concurrent.Await.result(fx,
+        scala.concurrent.duration.Duration.Inf),
+        scala.concurrent.Await.result(fy,
+          scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     val rx = rx0.withColumnRenamed("__x", "__kx")
     val ry = ry0.withColumnRenamed("__y", "__ky")
     val nx = rxShared.agg(count(lit(1)).as("__nx"))

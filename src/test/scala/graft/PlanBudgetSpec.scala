@@ -76,7 +76,14 @@ class PlanBudgetSpec extends SparkSpec {
     "q196_bfs_distances" -> 1,
     "q200_mv_rewrite" -> 0,
     "q234_unigram_nll" -> 6,
-    "q240_bootstrap_means" -> 1,
+    // 1 -> 2 in round 20: ML.spreadToCores adds ONE gated hash
+    // repartition of the narrow pre-hash projection when the scan's
+    // planned parallelism is below defaultParallelism — at probe/fixture
+    // scale the gate FIRES (a ~20 MB file yields 3 splits) and the walk
+    // sees it; at the 100 TB design point the scan's split count
+    // exceeds any executor's cores and the gate is a structural no-op,
+    // so the design-point plan keeps the single aggregate exchange.
+    "q240_bootstrap_means" -> 2,
     "q256_kendall_exact" -> 22,
     "q233_quantiles_cont" -> 2,
     "q267_quantiles_cont_by" -> 10,
