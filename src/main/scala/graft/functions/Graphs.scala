@@ -287,7 +287,14 @@ object Graphs {
       // every piece is already pinned, so the union's lineage is flat —
       // re-checkpointing it per hop rewrote the ENTIRE settled set's
       // blocks every iteration (O(settled) extra I/O per hop, quadratic
-      // over the walk) for no plan-depth benefit.
+      // over the walk) for no plan-depth benefit. ADJUDICATED round 20
+      // (VERDICT r19 #2) with full-protocol A/B at driver conditions
+      // (BENCH_LOCAL_r20_q196_{flat,rechk}.json): flat med 2.45 s vs
+      // per-hop-recheckpoint med 2.78 s on the QUIETER window (canary
+      // 0.110 vs 0.095) — the r19 driver's 0.74× was the shared edge
+      // build's AQE-coalesced 3-wide join stage (fixed this round in
+      // Tables.coPurchaseEdges), not this change; q196 is back inside
+      // r18's [2.29, 2.92] band.
       settled = settled.union(next)
       frontier = next
       h += 1L
@@ -332,9 +339,18 @@ object Graphs {
       .groupBy(col("x.n").as("a"), col("y.n").as("b"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
+    // the two degree joins build their hash side from the NODES-sized
+    // deg table (round 20, the q176 closing-join treatment / guide
+    // §3.1): the planner's SortMergeJoin sorted the Σ C(deg,2)-sized
+    // pair table TWICE — the only data-scale sorts this operator had
+    // (Profile r20 at sf0.1: two ~7 s jobs of the 24 s wall). SHJ's
+    // build side is |nodes|/N per partition — bounded far below the
+    // pair table by construction.
     common
-      .join(deg.select(col("node").as("a"), col("degree").as("deg_a")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("degree").as("deg_b")), Seq("b"))
+      .join(deg.select(col("node").as("a"), col("degree").as("deg_a"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("deg_b"))
+        .hint("shuffle_hash"), Seq("b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("deg_a") + col("deg_b") - col("common")).cast("double"))
       .select("a", "b", "common", "deg_a", "deg_b", "jaccard")

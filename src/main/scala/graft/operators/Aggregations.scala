@@ -254,15 +254,14 @@ object Aggregations {
       .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
       .agg(count(lit(1)).as("__c"))
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
-    // distributed distinct-value prefix + a broadcast one-row total —
-    // no single-task window at any value cardinality (the
-    // Analytics.prefixBefore family contract). The total reads the
-    // PINNED ranged frame (shared), not `counts`: a second reference
-    // to counts would re-run the whole distinct aggregation (round 16)
-    val (shared, cum) = graft.operators.Analytics
-      .prefixBeforeShared(counts, "__v", col("__c"))
+    // distributed distinct-value prefix; the total RIDES the prefix
+    // result (round 20, prefixBeforeSharedTot — the old broadcast
+    // shared.agg was one more plan compile + job + broadcast per call)
+    val (_, cum) = graft.operators.Analytics
+      .prefixBeforeSharedTot(counts, "__v", col("__c"))
     cum.withColumnRenamed("__cum", "__s")
-      .crossJoin(broadcast(shared.agg(sum(col("__c")).as("__n"))))
+      .withColumnRenamed("__tot", "__n")
+      .drop("__keymin", "__keymax")
       .withColumn("__w", greatest(lit(0L),
         least(col("__s") + col("__c"), col("__n") - k) -
           greatest(col("__s"), k)))
@@ -298,10 +297,12 @@ object Aggregations {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast(s"decimal(18,$scale)").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val (shared, cum0) = graft.operators.Analytics
-      .prefixBeforeShared(counts, "__v", col("__c"))
+    // total rides the prefix result (round 20, prefixBeforeSharedTot)
+    val (_, cum0) = graft.operators.Analytics
+      .prefixBeforeSharedTot(counts, "__v", col("__c"))
     val cum = cum0.withColumnRenamed("__cum", "__s")
-      .crossJoin(broadcast(shared.agg(sum(col("__c")).as("__n"))))
+      .withColumnRenamed("__tot", "__n")
+      .drop("__keymin", "__keymax")
     val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
     val rHi = col("__n") - k - 1
     val lo = cum.filter(col("__s") <= k && k < col("__s") + col("__c"))
@@ -552,10 +553,14 @@ object Aggregations {
     // doubled the operator's dominant stage. 2·|ps| spine rows
     // broadcast; side 0 targets rank k = ⌊p(n−1)⌋, side 1 the
     // interpolation partner min(k+1, n−1); one group-by-p collapse.
-    val (shared, cum0) = graft.operators.Analytics
-      .prefixBeforeShared(counts, "__v", col("__c"))
+    // total rides the prefix result (round 20, prefixBeforeSharedTot):
+    // the old broadcast shared.agg was one more plan compile + job +
+    // broadcast per call for a number the offset branch already folded
+    val (_, cum0) = graft.operators.Analytics
+      .prefixBeforeSharedTot(counts, "__v", col("__c"))
     val cum = cum0.withColumnRenamed("__cum", "__s")
-      .crossJoin(broadcast(shared.agg(sum(col("__c")).as("__n"))))
+      .withColumnRenamed("__tot", "__n")
+      .drop("__keymin", "__keymax")
     val spine = ps.toDF("p").crossJoin(
       Seq(0, 1).toDF("__side"))
     val t = col("p") * (col("__n") - 1).cast("double")
@@ -765,10 +770,11 @@ object Aggregations {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
-    val (shared, pre) = graft.operators.Analytics
-      .prefixBeforeShared(counts, "__v", col("__c"))
+    // total rides the prefix result (round 20, prefixBeforeSharedTot)
+    val (_, pre) = graft.operators.Analytics
+      .prefixBeforeSharedTot(counts, "__v", col("__c"))
     val binned = pre
-      .crossJoin(broadcast(shared.agg(sum(col("__c")).as("__n"))))
+      .withColumnRenamed("__tot", "__n")
       .select(col("__v"),
         expr(s"(__cum * ${bins}L) div __n").as("bin"))
     df.join(binned, col(valueCol) === col("__v"), "left").drop("__v")

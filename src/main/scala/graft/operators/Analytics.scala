@@ -397,7 +397,43 @@ object Analytics {
     * pass over the corpus before this). */
   private[graft] def prefixBeforeMultiByShared(dv: DataFrame,
       keyCols: Seq[String], key: String,
-      weights: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+      weights: Seq[(String, Column)]): (DataFrame, DataFrame) =
+    prefixBeforeMultiBySharedImpl(dv, keyCols, key, weights,
+      withTotals = false)
+
+  /** [[prefixBeforeMultiByShared]] whose result ADDITIONALLY carries,
+    * on every row, `__tot_<name>` = the grand total of each weight
+    * (per group for the keyed form) and `__keymin`/`__keymax` = the
+    * min/max of `key` — computed as unordered windows over the
+    * ALREADY-BUILT offset table (a #partitions- or groups-sized frame)
+    * and delivered by the SAME broadcast/join the offsets ride
+    * (round 20). Callers that need a broadcast grand total used to run
+    * a separate `shared.agg(...)` — one more plan compilation, one
+    * more job, one more broadcast, and one more scan of the pinned
+    * shuffle files per call; the totals are a windowed fold of numbers
+    * the offset branch has already aggregated, so they are free here
+    * and identical by associativity (long/decimal sums of per-slice
+    * sums). */
+  private[graft] def prefixBeforeMultiBySharedTot(dv: DataFrame,
+      keyCols: Seq[String], key: String,
+      weights: Seq[(String, Column)]): (DataFrame, DataFrame) =
+    prefixBeforeMultiBySharedImpl(dv, keyCols, key, weights,
+      withTotals = true)
+
+  /** Single-weight [[prefixBeforeMultiBySharedTot]]: result carries
+    * `__cum`, `__tot`, `__keymin`, `__keymax`. */
+  private[graft] def prefixBeforeSharedTot(dv: DataFrame, key: String,
+      weight: Column): (DataFrame, DataFrame) = {
+    val (shared, res) = prefixBeforeMultiBySharedImpl(dv, Seq.empty, key,
+      Seq("w" -> weight), withTotals = true)
+    (shared, res.withColumnRenamed("__cum_w", "__cum")
+      .withColumnRenamed("__tot_w", "__tot"))
+  }
+
+  private def prefixBeforeMultiBySharedImpl(dv: DataFrame,
+      keyCols: Seq[String], key: String,
+      weights: Seq[(String, Column)],
+      withTotals: Boolean): (DataFrame, DataFrame) = {
     require(weights.nonEmpty, "need at least one weight")
     val keys = keyCols.map(col)
     // width discipline (round 16): a weight that is ALREADY a plain
@@ -469,13 +505,25 @@ object Analytics {
     val offAggs = wSrc.map { case (n, _, src) =>
       sum(wcol(n, src)).as(s"__pw_$n") } ++
       Seq(min(col(key)).as("__gmin"), max(col(key)).as("__gmax"))
+    // totals as UNORDERED windows over the offset frame (withTotals):
+    // the per-slice sums are already aggregated here, so the grand
+    // total is a fold over a #partitions-/groups-sized frame — no new
+    // pass over the pinned data, no extra plan compile, no broadcast
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*)
+    val totCols: Seq[Column] =
+      if (!withTotals) Nil
+      else weights.map { case (n, _) =>
+        sum(col(s"__pw_$n")).over(wAll).as(s"__tot_$n") } ++
+        Seq(min(col("__gmin")).over(wAll).as("__keymin"),
+          max(col("__gmax")).over(wAll).as("__keymax"))
     val offs = p.groupBy(col("__pid") +: keys: _*)
       .agg(offAggs.head, offAggs.tail: _*)
       .select(col("__pid") +: col("__gmin") +: col("__gmax") +:
         (keyCols.zipWithIndex.map { case (c, i) => col(c).as(s"__gk$i") } ++
           weights.map { case (n, _) =>
             coalesce(sum(col(s"__pw_$n")).over(wOff), lit(0L))
-              .as(s"__off_$n") }): _*)
+              .as(s"__off_$n") } ++ totCols): _*)
     val local = wSrc.foldLeft(p) { case (d, (n, _, src)) =>
       d.withColumn(s"__lc_$n",
         coalesce(sum(wcol(n, src)).over(wLocal), lit(0L)))
@@ -6253,10 +6301,13 @@ object Analytics {
     // pass's PINNED ranged frame — a second reference to vc/st would
     // re-run the aggregation AND the upstream join (round 16; this
     // operator chains two prefixes, so the double execution compounded)
-    val (vcShared, vcPre) = prefixBeforeShared(vc0, "__v", col("__c"))
-    val tot = vcShared.agg(sum(col("__c")).as("__n"))
+    // totals ride the prefix result (round 20, prefixBeforeSharedTot):
+    // this operator chains TWO prefixes, each of which also ran its own
+    // broadcast total/max aggregate — both folds now arrive on the
+    // rows the offset join already delivers
+    val (_, vcPre) = prefixBeforeSharedTot(vc0, "__v", col("__c"))
     val vstats = vcPre
-      .crossJoin(broadcast(tot))
+      .withColumnRenamed("__tot", "__n")
       .select(col("__v").as("__vk"),
         (col("__n") - col("__c") - lit(2) * col("__cum")).as("__s"),
         col("__n"))
@@ -6265,11 +6316,10 @@ object Analytics {
     val st = base.join(vstats, col("__v") === col("__vk"))
       .groupBy(col("__t")).agg(sum(dec(col("__s"))).as("__st"),
         max(col("__n")).as("__n2"))
-    val (stShared, stPre) = prefixBeforeShared(st, "__t", col("__st"))
+    val (_, stPre) = prefixBeforeSharedTot(st, "__t", col("__st"))
     val cum = stPre
       .withColumn("__u", col("__cum") + col("__st"))
-      .crossJoin(broadcast(stShared.agg(max(col("__t")).as("__tmax"))))
-      .filter(col("__t") < col("__tmax"))
+      .filter(col("__t") < col("__keymax"))
     cum
       .withColumn("__au", abs(col("__u")))
       .orderBy(col("__au").desc, col("__t").asc)
